@@ -1,0 +1,105 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for document pipelines: tokenization, counts,
+  * quality scoring, language-ID heuristics, fingerprinting. All are
+  * narrow per-row column expressions (codegen'd builtins / higher-order
+  * functions) — no UDFs, no shuffles.
+  */
+object TextFunctions {
+
+  /** Whitespace tokenization. */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  /** BPE-ish subword split: words plus punctuation runs as separate tokens
+    * (regexp-based approximation of a byte-pair pre-tokenizer). */
+  def subwordTokens(text: Column): Column =
+    filter(split(text, "(?<=\\W)|(?=\\W)"), t => trim(t) =!= "")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  def charCount(text: Column): Column = length(text)
+
+  def distinctTokenCount(text: Column): Column = size(array_distinct(tokens(text)))
+
+  /** Mean token length (characters per token, whitespace excluded). */
+  def avgTokenLength(text: Column): Column =
+    length(regexp_replace(text, "\\s+", "")).cast("double") /
+      tokenCount(text).cast("double")
+
+  /** Type-token ratio — a standard lexical-diversity quality signal. */
+  def typeTokenRatio(text: Column): Column =
+    distinctTokenCount(text).cast("double") / tokenCount(text).cast("double")
+
+  /** Fraction of tokens found in `stopwords` (lowercased comparison). */
+  def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {
+    val sw = array(stopwords.map(s => lit(s.toLowerCase)): _*)
+    size(filter(tokens(lower(text)), t => array_contains(sw, t))).cast("double") /
+      tokenCount(text).cast("double")
+  }
+
+  /** Fraction of characters that are punctuation. */
+  def punctRatio(text: Column): Column =
+    (length(text) - length(regexp_replace(text, "[\\p{Punct}]", ""))).cast("double") /
+      length(text).cast("double")
+
+  /** Composite quality score in [0,1]: rewards moderate length, lexical
+    * diversity and low punctuation noise. Deterministic and documented so
+    * it can be reproduced in any SQL engine. */
+  def qualityScore(text: Column, stopwords: Seq[String]): Column = {
+    val lenScore = least(tokenCount(text).cast("double") / lit(100.0), lit(1.0))
+    val diversity = typeTokenRatio(text)
+    val punctPenalty = lit(1.0) - least(punctRatio(text) * 5.0, lit(1.0))
+    val swr = stopwordRatio(text, stopwords)
+    // stopword ratio ~0.4 is natural prose; score peaks there
+    val swScore = lit(1.0) - abs(swr - lit(0.4)) / lit(0.6)
+    (lenScore + diversity + punctPenalty + greatest(swScore, lit(0.0))) / lit(4.0)
+  }
+
+  /** N-gram-profile language-ID heuristic: scores text against small
+    * per-language marker-token sets and returns the argmax language code.
+    * Tiny marker lists keep this a pure column expression; swap in real
+    * profiles for production. Ties resolve by list order (deterministic). */
+  def langIdHeuristic(text: Column,
+                      profiles: Seq[(String, Seq[String])] = defaultProfiles): Column = {
+    val toks = tokens(lower(text))
+    val scored = profiles.map { case (lang, markers) =>
+      val m = array(markers.map(lit(_)): _*)
+      struct(size(filter(toks, t => array_contains(m, t))).as("score"), lit(lang).as("lang"))
+    }
+    // argmax by (score, reverse list position) — greatest favors later
+    // elements on tie, so reverse order to make EARLIER profiles win ties
+    val best = scored.zipWithIndex.map { case (s, i) =>
+      struct(s.getField("score").as("score"), lit(profiles.size - i).as("prio"),
+        s.getField("lang").as("lang"))
+    }
+    greatest(best: _*).getField("lang")
+  }
+
+  val defaultProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "it"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "los", "del"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "des", "un", "une"),
+    "de" -> Seq("der", "die", "und", "das", "von", "zu", "mit", "den"),
+    "zh" -> Seq("的", "是", "了", "在", "和", "有", "我", "不"))
+
+  /** Order-insensitive document fingerprint: sha2-256 over the sorted
+    * distinct lowercase token set. Two documents with the same vocabulary
+    * share a fingerprint regardless of word order — a cheap near-dup
+    * bucket key. */
+  def vocabFingerprint(text: Column): Column =
+    sha2(array_join(array_sort(array_distinct(tokens(lower(text)))), " "), 256)
+
+  /** Rolling (polynomial) hash over the token sequence — order-sensitive
+    * fingerprint: h = sum(hash(token_i) * 31^(position mod 16)). */
+  def rollingFingerprint(text: Column): Column =
+    aggregate(
+      zip_with(
+        tokens(lower(text)),
+        sequence(lit(0), size(tokens(lower(text))) - 1),
+        (t, i) => xxhash64(t) * pow(lit(31.0), (i % 16).cast("double")).cast("long")),
+      lit(0L),
+      (acc, v) => acc + v)
+}

@@ -1,0 +1,105 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Dense-vector math over `array<float>` / `array<double>` columns.
+  *
+  * Implemented with higher-order functions (`zip_with` + `aggregate`) —
+  * these stay inside Catalyst (no UDF serialization) and evaluate
+  * per-row with zero shuffle. Element order is the array order, so the
+  * fold is deterministic. A codegen'd Catalyst `Expression` variant is the
+  * planned fast path if profiling demands (SURVEY.md §4).
+  */
+object VectorFunctions {
+
+  /** Dot product; elements cast to double before multiply/accumulate. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0),
+      (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity in [-1, 1]; null-safe on zero vectors (returns null
+    * via division by zero → null is NOT SQL semantics — x/0 is null in
+    * Spark ANSI-off mode; acceptable for unit-scale embeddings). */
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Brute-force top-k nearest neighbors of a single query vector.
+    *
+    * `queryVec` is a literal array (driver-side small); the scan is a
+    * single narrow pass computing cosine, then `orderBy().limit(k)` which
+    * Spark executes as TakeOrderedAndProject — per-partition partial top-k,
+    * only k rows per partition reach the driver. This is the correct
+    * baseline at any scale; see [[lshTopK]] for the bucketed variant.
+    */
+  def bruteForceTopK(vectors: DataFrame, vecCol: String, idCol: String,
+                     queryVec: Seq[Float], k: Int): DataFrame = {
+    val q = array(queryVec.map(v => lit(v)): _*)
+    vectors
+      .withColumn("cosine_sim", cosine(col(vecCol), q))
+      .select(col(idCol), col("cosine_sim"))
+      .orderBy(col("cosine_sim").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** Random-hyperplane LSH bucketing: sign-bit signature of `numPlanes`
+    * dot products against deterministic pseudo-random hyperplanes (seeded
+    * from element index — no RNG at plan time, reproducible across runs).
+    * Vectors sharing a bucket are near in angle with high probability.
+    * Returns df + `lsh_bucket: bigint`. At scale, an ANN query probes only
+    * matching buckets instead of the full corpus. */
+  def lshBuckets(vectors: DataFrame, vecCol: String, numPlanes: Int = 16): DataFrame = {
+    // plane p component i = a deterministic hash mapped to [-0.5, 0.5)
+    val bucket = expr(
+      s"""aggregate(
+            sequence(0, ${numPlanes - 1}),
+            0L,
+            (acc, p) -> acc + shiftleft(
+              CASE WHEN aggregate(
+                zip_with($vecCol, sequence(0, size($vecCol) - 1),
+                         (v, i) -> cast(v as double) *
+                                   ((cast(pmod(xxhash64(p, i), 1000000) as double) / 1000000.0) - 0.5)),
+                0.0D, (s, x) -> s + x) > 0.0D THEN 1L ELSE 0L END, p))""")
+    vectors.withColumn("lsh_bucket", bucket)
+  }
+
+  /** ANN top-k via LSH: probe only the query's bucket (fallback to brute
+    * force when the bucket has fewer than k members is the caller's
+    * policy). Approximate — recall depends on numPlanes. */
+  def lshTopK(vectors: DataFrame, vecCol: String, idCol: String,
+              queryVec: Seq[Float], k: Int, numPlanes: Int = 8): DataFrame = {
+    val bucketed = lshBuckets(vectors, vecCol, numPlanes)
+    // compute query bucket with the same formula, driver-side via a 1-row df
+    val qdf = bucketed.sparkSession.range(1)
+      .select(array(queryVec.map(v => lit(v)): _*).as("qv"))
+    val qBucket = lshBuckets(qdf, "qv", numPlanes).select("lsh_bucket")
+    val q = array(queryVec.map(v => lit(v)): _*)
+    bucketed
+      .join(broadcast(qBucket), Seq("lsh_bucket"), "left_semi")
+      .withColumn("cosine_sim", cosine(col(vecCol), q))
+      .select(col(idCol), col("cosine_sim"))
+      .orderBy(col("cosine_sim").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** All-pairs top-k per vector within LSH buckets (k-NN graph building
+    * block): self-join within buckets only. */
+  def bucketedKnn(vectors: DataFrame, vecCol: String, idCol: String,
+                  k: Int, numPlanes: Int = 8): DataFrame = {
+    val b = lshBuckets(vectors, vecCol, numPlanes)
+      .select(col(idCol), col(vecCol), col("lsh_bucket"))
+    val l = b.select(col("lsh_bucket"), col(idCol).as("id_a"), col(vecCol).as("vec_a"))
+    val r = b.select(col("lsh_bucket"), col(idCol).as("id_b"), col(vecCol).as("vec_b"))
+    val w = Window.partitionBy(col("id_a")).orderBy(col("cosine_sim").desc, col("id_b").asc)
+    l.join(r, Seq("lsh_bucket"))
+      .filter(col("id_a") =!= col("id_b"))
+      .withColumn("cosine_sim", cosine(col("vec_a"), col("vec_b")))
+      .withColumn("__rank", row_number().over(w))
+      .filter(col("__rank") <= k)
+      .select(col("id_a"), col("id_b"), col("cosine_sim"))
+  }
+}

@@ -1,0 +1,50 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of (nearest-prior-event) join.
+  *
+  * Spark has no built-in as-of join. A naive range join + row_number
+  * explodes candidate pairs; the scalable rewrite is union + ordered
+  * window: tag both sides, union on (key, time), and carry the latest
+  * right-side payload forward with `last(..., ignoreNulls)` over an
+  * unbounded-preceding frame. One shuffle on (key), no pair explosion —
+  * this survives 100 TB where the range-join form does not.
+  */
+object AsOfJoin {
+
+  /** For each left row, attach the payload columns of the latest right row
+    * with `right.timeCol <= left.timeCol` and equal `keys` (left-outer:
+    * null payload when no prior right row exists).
+    *
+    * `payload` = right columns to carry (must not collide with left names).
+    */
+  def backward(left: DataFrame, right: DataFrame, keys: Seq[String],
+               leftTime: String, rightTime: String,
+               payload: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    // side = 1 for right so that at equal timestamps the right row sorts
+    // first and is visible to the left row (<= semantics).
+    val l = left
+      .withColumn("__t", col(leftTime))
+      .withColumn("__side", lit(0))
+      .select((keys.map(col) ++ Seq(col("__t"), col("__side")) ++
+        leftCols.filterNot(keys.contains).map(col) ++
+        payload.map(c => lit(null).cast(right.schema(c).dataType).as(c))).toIndexedSeq: _*)
+    val r = right
+      .withColumn("__t", col(rightTime))
+      .withColumn("__side", lit(1))
+      .select((keys.map(col) ++ Seq(col("__t"), col("__side")) ++
+        leftCols.filterNot(keys.contains).map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+        payload.map(col)).toIndexedSeq: _*)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__t").asc, col("__side").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = payload.foldLeft(l.unionByName(r)) { (df, c) =>
+      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    }
+    carried.filter(col("__side") === 0).drop("__t", "__side")
+  }
+}

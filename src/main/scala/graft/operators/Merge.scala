@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Merge/upsert semantics as pure relational plans.
+  *
+  * The reference loads with three Postgres conflict idioms, all batched
+  * row-at-a-time SQL:
+  *  - `INSERT .. ON CONFLICT (key) DO UPDATE SET ..` (upsert, load.py:18-22)
+  *  - `INSERT .. ON CONFLICT DO NOTHING` (insert-if-absent, load.py:38-42,
+  *    63-65, 84-92)
+  *  - `UPDATE target SET cols WHERE key = :k` (keyed update, load.py:113-125)
+  *
+  * Without a mutable store these become recompute-and-overwrite plans. All
+  * three are one shuffle (or zero, when the delta side broadcasts): at
+  * 100 TB, partition the target by the merge key on disk so the rewrite
+  * touches only affected partitions, and let AQE pick broadcast when the
+  * delta is small — mirroring the reference's intent of shipping only the
+  * delta across the storage boundary.
+  *
+  * Determinism: Postgres resolves intra-batch conflicts by statement order.
+  * We require an explicit `tiebreak` ordering instead (SURVEY.md §2.A
+  * hazards) — callers pass the column order that reproduces "file order".
+  */
+object Merge {
+
+  /** Upsert (ON CONFLICT DO UPDATE): rows of `updates` replace target rows
+    * sharing `keys`; unmatched update rows are inserted. Within `updates`,
+    * the LAST row per key under `tiebreak` wins (statement-order analog).
+    * Schemas must match. */
+  def upsert(target: DataFrame, updates: DataFrame, keys: Seq[String],
+             tiebreak: Seq[Column]): DataFrame = {
+    val lastPerKey = Dedup.keepFirst(updates, keys, tiebreak.map(_.desc))
+    target.join(lastPerKey, keys, "left_anti").unionByName(lastPerKey)
+  }
+
+  /** Insert-if-absent (ON CONFLICT DO NOTHING): rows of `inserts` whose key
+    * is absent from `target` are appended; the FIRST row per key under
+    * `tiebreak` wins among intra-batch duplicates. */
+  def insertIfAbsent(target: DataFrame, inserts: DataFrame, keys: Seq[String],
+                     tiebreak: Seq[Column]): DataFrame = {
+    val firstPerKey = Dedup.keepFirst(inserts, keys, tiebreak)
+    target.unionByName(firstPerKey.join(target, keys, "left_anti"))
+  }
+
+  /** Keyed update (UPDATE .. WHERE key): overwrite `setCols` of target rows
+    * whose key appears in `updates`; other rows and columns pass through.
+    * `updates` must be unique per key (pre-aggregate first, as the
+    * reference does — load.py:104-107). */
+  def updateColumns(target: DataFrame, updates: DataFrame, keys: Seq[String],
+                    setCols: Seq[String]): DataFrame = {
+    val renamed = setCols.foldLeft(updates.select((keys ++ setCols).map(col): _*)) {
+      (df, c) => df.withColumnRenamed(c, s"__graft_new_$c")
+    }
+    val joined = target.join(renamed, keys, "left")
+    val projected = target.columns.map { c =>
+      if (setCols.contains(c)) coalesce(col(s"__graft_new_$c"), col(c)).as(c)
+      else col(c)
+    }
+    joined.select(projected.toIndexedSeq: _*)
+  }
+
+  /** The reference's miss-warning (load.py:123-124): update keys that hit no
+    * target row. */
+  def updateMisses(target: DataFrame, updates: DataFrame, keys: Seq[String]): DataFrame =
+    updates.join(target, keys, "left_anti")
+}

@@ -1,0 +1,66 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Scan layer.
+  *
+  * The engine's canonical storage format is parquet, one file/directory per
+  * table under a base dir (driver testdata layout, TESTDATA.md). Column
+  * pruning and predicate pushdown reach the parquet reader automatically
+  * when queries stay declarative — verify with `.explain("formatted")`
+  * (`PushedFilters`, `ReadSchema`).
+  *
+  * A CSV reader matching the reference's input contract is also provided:
+  * the reference scans TSE CSVs with `sep=';'`, `encoding='latin-1'`,
+  * header row and inferred schema (reference extract.py:46). We default to
+  * an explicit schema — inference costs a full extra pass over 100 TB.
+  */
+object Tables {
+
+  /** All tables the driver testdata ships (TESTDATA.md + FIXTURES.md). */
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** `events` with `ts` normalized to a microsecond TimestampType.
+    *
+    * The testdata writes parquet TIMESTAMP(NANOS), which Spark's vectorized
+    * reader rejects; with `spark.sql.legacy.parquet.nanosAsLong=true` (set
+    * by [[graft.GraftSession]] / Verify / Bench) the column arrives as a
+    * nanosecond LongType which we truncate to µs — the same truncation
+    * DuckDB applies reading the file, so both engines see identical values.
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    val raw = table(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      case _ => raw
+    }
+  }
+
+  /** CSV scan with the reference's parsing contract (extract.py:46):
+    * `sep=';'`, latin-1, header. Explicit schema when given; inference
+    * (`inferSchema`) only as a compatibility fallback. */
+  def tseCsv(spark: SparkSession, path: String, schema: Option[StructType] = None): DataFrame = {
+    val base = spark.read
+      .option("sep", ";")
+      .option("encoding", "ISO-8859-1")
+      .option("header", "true")
+    schema match {
+      case Some(s) => base.schema(s).csv(path)
+      case None    => base.option("inferSchema", "true").csv(path)
+    }
+  }
+
+  /** Union-all of per-member frames by column name — the reference's
+    * `pd.concat(df_list, ignore_index=True)` (extract.py:48). In Spark a
+    * multi-file read is already a union at the source level; this exists
+    * for heterogeneous frames (e.g. per-state CSVs with column drift). */
+  def unionAll(dfs: Seq[DataFrame], allowMissingColumns: Boolean = false): DataFrame =
+    dfs.reduce(_.unionByName(_, allowMissingColumns))
+}

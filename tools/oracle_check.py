@@ -1,0 +1,95 @@
+#!/usr/bin/env python3
+"""Dev-only harness mirroring the driver's correctness gate: run each
+oracleSql in DuckDB over the same parquet tables and compare against the
+Verify.scala parquet dumps (exact compare, columns sorted by name).
+
+Usage: python3 tools/oracle_check.py <sfDir> <verifyOutDir>
+
+NOT part of the engine — the shipped library is pure Scala/Spark.
+"""
+import json
+import math
+import sys
+from pathlib import Path
+
+import duckdb
+import pyarrow.parquet as pq
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def norm_cell(v):
+    if v is None:
+        return None
+    # decimals -> float, timestamps -> isoformat at us precision
+    t = type(v).__name__
+    if t == "Decimal":
+        return float(v)
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    if isinstance(v, float) and math.isnan(v):
+        return "NaN"
+    if isinstance(v, list):
+        return tuple(norm_cell(x) for x in v)
+    return v
+
+
+def table_rows(tbl):
+    cols = sorted(tbl.column_names)
+    data = [tbl.column(c).to_pylist() for c in cols]
+    return cols, [tuple(norm_cell(col[i]) for col in data) for i in range(tbl.num_rows)]
+
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    con.execute("SET TimeZone='UTC'")
+    for t in TABLES:
+        p = Path(sf_dir) / f"{t}.parquet"
+        if p.exists():
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+
+    oracle = json.loads((Path(out_dir) / "oracle_sql.json").read_text())
+    n_pass = n_fail = 0
+    failures = []
+    for name in sorted(oracle):
+        sql = oracle[name]
+        spark_path = Path(out_dir) / name
+        if not spark_path.exists():
+            failures.append((name, "spark output missing"))
+            n_fail += 1
+            continue
+        try:
+            duck = con.execute(sql).fetch_arrow_table()
+        except Exception as e:
+            failures.append((name, f"duckdb error: {e}"))
+            n_fail += 1
+            continue
+        spark = pq.read_table(spark_path)
+        dc, drows = table_rows(duck)
+        sc, srows = table_rows(spark)
+        if dc != sc:
+            failures.append((name, f"schema mismatch: duck={dc} spark={sc}"))
+            n_fail += 1
+            continue
+        if drows != srows:
+            msg = f"rows differ: duck={len(drows)} spark={len(srows)}"
+            for i, (a, b) in enumerate(zip(drows, srows)):
+                if a != b:
+                    msg += f"\n  first diff at row {i}:\n    duck : {a}\n    spark: {b}"
+                    break
+            failures.append((name, msg))
+            n_fail += 1
+            continue
+        n_pass += 1
+        print(f"PASS {name} ({len(srows)} rows)")
+
+    for name, msg in failures:
+        print(f"FAIL {name}: {msg}")
+    print(f"\n{n_pass} passed, {n_fail} failed")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
