@@ -1,0 +1,240 @@
+package graft.catalog
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
+import graft.operators.Dedup
+
+/** LLM-data-pipeline operators over `documents` and `embeddings`
+  * (north-star extensions, BASELINE.json): text analysis, exact and
+  * near-duplicate dedup, similarity search.
+  *
+  * Engine-specific operators whose outputs depend on internal hash seeds
+  * (MinHash/SimHash/LSH) have no SQL oracle — they are covered by
+  * invariant specs in src/test (identical docs pair up, planted near-dups
+  * are found) and register here as rows-only checks.
+  */
+object LlmQueries {
+
+  import Catalog._
+
+  /** Stopword list shared by query and oracle (subset of the testdata
+    * vocabulary so ratios are non-trivial). */
+  private val stopwords = Seq("the", "a", "and", "of")
+  private def stopwordSqlList = stopwords.map(w => s"'$w'").mkString(", ")
+
+  /** Deterministic near-dup corpus: every doc with doc_id < 20 gets a
+    * perturbed twin (two tokens appended, id + 1000000) — gives the
+    * near-dup operators planted positives derived purely from the data. */
+  private def withPlantedNearDups(docs: DataFrame): DataFrame = {
+    val twins = docs.filter(col("doc_id") < 20).select(
+      (col("doc_id") + 1000000L).as("doc_id"),
+      concat(col("text"), lit(" zz zz")).as("text"),
+      col("lang"), col("source"), col("n_chars"))
+    docs.select("doc_id", "text", "lang", "source", "n_chars").unionByName(twins)
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // --- per-document stats ----------------------------------------------
+    "q35_doc_stats" -> ((s, d) => {
+      t(s, d, "documents").select(
+        col("doc_id"),
+        TF.tokenCount(col("text")).cast("long").as("n_tokens"),
+        TF.distinctTokenCount(col("text")).cast("long").as("n_distinct"),
+        TF.charCount(col("text")).cast("long").as("n_chars_text"),
+        round(TF.avgTokenLength(col("text")), 4).as("avg_token_len"),
+        round(TF.typeTokenRatio(col("text")), 4).as("ttr"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // --- corpus word frequency (tokenize + explode + count) --------------
+    "q36_word_freq" -> ((s, d) => {
+      t(s, d, "documents")
+        .select(explode(TF.tokens(col("text"))).as("word"))
+        .groupBy(col("word"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("word").asc)
+        .limit(50)
+    }),
+
+    // --- exact dedup: canonical id per content hash ----------------------
+    "q37_exact_dedup" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("content_hash"))
+      t(s, d, "documents")
+        .withColumn("content_hash", sha2(col("text"), 256))
+        .withColumn("canonical_id", min(col("doc_id")).over(w))
+        .select(col("doc_id"), col("content_hash"), col("canonical_id"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // --- vocab fingerprint (order-insensitive near-dup bucket key) -------
+    "q38_vocab_fingerprint" -> ((s, d) => {
+      t(s, d, "documents")
+        .select(col("doc_id"), TF.vocabFingerprint(col("text")).as("fingerprint"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // --- quality scoring --------------------------------------------------
+    "q39_quality" -> ((s, d) => {
+      t(s, d, "documents").select(
+        col("doc_id"),
+        round(TF.stopwordRatio(col("text"), stopwords), 4).as("stopword_ratio"),
+        round(TF.typeTokenRatio(col("text")), 4).as("ttr"),
+        round(TF.avgTokenLength(col("text")), 4).as("avg_token_len"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // --- language ID heuristic (engine-defined; rows-only) ---------------
+    "q40_lang_id" -> ((s, d) => {
+      t(s, d, "documents")
+        .select(col("doc_id"), TF.langIdHeuristic(col("text")).as("lang_pred"))
+        .groupBy(col("lang_pred")).agg(count(lit(1)).as("n"))
+        .orderBy(col("lang_pred"))
+    }),
+
+    // --- cosine similarity scores vs query vector ------------------------
+    "q41_cosine_scores" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").as("query_vec"))
+      emb.crossJoin(broadcast(q))
+        .select(col("vec_id"),
+          round(VF.cosine(col("embedding"), col("query_vec")), 4).as("cosine_sim"))
+        .orderBy(col("vec_id"))
+    }),
+
+    // --- brute-force top-k nearest neighbors -----------------------------
+    "q42_cosine_topk" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").as("query_vec"))
+      emb.crossJoin(broadcast(q))
+        .select(col("vec_id"),
+          round(VF.cosine(col("embedding"), col("query_vec")), 4).as("cosine_sim"))
+        .filter(col("vec_id") =!= 0)
+        .orderBy(col("cosine_sim").desc, col("vec_id").asc)
+        .limit(10)
+    }),
+
+    // --- MinHash LSH near-dup pairs (rows-only; seeds are engine-internal)
+    "q43_minhash_pairs" -> ((s, d) => {
+      val corpus = withPlantedNearDups(t(s, d, "documents"))
+      val sig = Dedup.minHashSignature(corpus, "text", shingleSize = 3, numHashes = 32)
+      val pairs = Dedup.minHashCandidatePairs(sig, "doc_id", bands = 8, rowsPerBand = 4)
+      Dedup.jaccardVerify(pairs, corpus, "doc_id", "text")
+        .filter(col("jaccard") >= 0.5)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // --- SimHash near-dup (rows-only) ------------------------------------
+    "q44_simhash_nn" -> ((s, d) => {
+      val corpus = withPlantedNearDups(t(s, d, "documents"))
+      val hashed = Dedup.simHash(corpus, "text").select(col("doc_id"), col("simhash"))
+      val a = hashed.select(col("doc_id").as("id_a"), col("simhash").as("h_a"))
+      val b = hashed.select(col("doc_id").as("id_b"), col("simhash").as("h_b"))
+      // planted twins differ by few bits; join original ids against twin ids
+      a.filter(col("id_a") < 1000000)
+        .join(b.filter(col("id_b") >= 1000000), Dedup.hamming(col("h_a"), col("h_b")) <= 6)
+        .select(col("id_a"), col("id_b"),
+          Dedup.hamming(col("h_a"), col("h_b")).as("hamming"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // --- LSH-bucketed approximate top-k (rows-only) ----------------------
+    "q45_lsh_topk" -> ((s, d) => {
+      import scala.jdk.CollectionConverters._
+      val emb = t(s, d, "embeddings")
+      val qv = emb.filter(col("vec_id") === 0).select("embedding")
+        .collect()(0).getList[Float](0).asScala.toSeq
+      VF.lshTopK(emb.filter(col("vec_id") =!= 0), "embedding", "vec_id", qv,
+        k = 10, numPlanes = 4)
+        .select(col("vec_id"), round(col("cosine_sim"), 4).as("cosine_sim"))
+    }),
+
+    // --- array/higher-order functions over embeddings --------------------
+    "q46_array_funcs" -> ((s, d) => {
+      t(s, d, "embeddings").select(
+        col("vec_id"),
+        size(col("embedding")).cast("long").as("dim"),
+        round(element_at(col("embedding"), 1).cast("double"), 4).as("first_el"),
+        round(VF.norm(col("embedding")), 4).as("l2_norm"),
+        round(aggregate(col("embedding"), lit(0.0),
+          (acc, x) => acc + x.cast("double")), 4).as("sum_el"),
+        round(aggregate(col("embedding"), lit(0.0),
+          (acc, x) => greatest(acc, abs(x.cast("double")))), 4).as("max_abs"))
+        .orderBy(col("vec_id"))
+    }))
+
+  def oracleSql: Map[String, String] = Map(
+    "q35_doc_stats" ->
+      """SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
+           CAST(length(text) AS BIGINT) AS n_chars_text,
+           round(CAST(length(replace(text, ' ', '')) AS DOUBLE)
+             / len(string_split(text, ' ')), 4) AS avg_token_len,
+           round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+             / len(string_split(text, ' ')), 4) AS ttr
+         FROM documents ORDER BY doc_id""",
+
+    "q36_word_freq" ->
+      """SELECT word, count(*) AS cnt
+         FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+         GROUP BY word ORDER BY cnt DESC, word ASC LIMIT 50""",
+
+    "q37_exact_dedup" ->
+      """SELECT doc_id, sha256(text) AS content_hash,
+           min(doc_id) OVER (PARTITION BY sha256(text)) AS canonical_id
+         FROM documents ORDER BY doc_id""",
+
+    "q38_vocab_fingerprint" ->
+      """SELECT doc_id,
+           sha256(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' ')) AS fingerprint
+         FROM documents ORDER BY doc_id""",
+
+    "q39_quality" ->
+      s"""SELECT doc_id,
+           round(CAST(len(list_filter(string_split(lower(text), ' '),
+             w -> w IN ($stopwordSqlList))) AS DOUBLE)
+             / len(string_split(text, ' ')), 4) AS stopword_ratio,
+           round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+             / len(string_split(text, ' ')), 4) AS ttr,
+           round(CAST(length(replace(text, ' ', '')) AS DOUBLE)
+             / len(string_split(text, ' ')), 4) AS avg_token_len
+         FROM documents ORDER BY doc_id""",
+
+    "q41_cosine_scores" ->
+      """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+         SELECT e.vec_id,
+           round(sum(CAST(e.embedding[CAST(i AS INT)] AS DOUBLE) * CAST(q.qe[CAST(i AS INT)] AS DOUBLE))
+             / (sqrt(sum(CAST(e.embedding[CAST(i AS INT)] AS DOUBLE) * CAST(e.embedding[CAST(i AS INT)] AS DOUBLE)))
+                * sqrt(sum(CAST(q.qe[CAST(i AS INT)] AS DOUBLE) * CAST(q.qe[CAST(i AS INT)] AS DOUBLE)))), 4) AS cosine_sim
+         FROM embeddings e, q, generate_series(1, 64) AS g(i)
+         GROUP BY e.vec_id ORDER BY e.vec_id""",
+
+    "q42_cosine_topk" ->
+      """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         sims AS (
+           SELECT e.vec_id,
+             round(sum(CAST(e.embedding[CAST(i AS INT)] AS DOUBLE) * CAST(q.qe[CAST(i AS INT)] AS DOUBLE))
+               / (sqrt(sum(CAST(e.embedding[CAST(i AS INT)] AS DOUBLE) * CAST(e.embedding[CAST(i AS INT)] AS DOUBLE)))
+                  * sqrt(sum(CAST(q.qe[CAST(i AS INT)] AS DOUBLE) * CAST(q.qe[CAST(i AS INT)] AS DOUBLE)))), 4) AS cosine_sim
+           FROM embeddings e, q, generate_series(1, 64) AS g(i)
+           WHERE e.vec_id <> 0
+           GROUP BY e.vec_id)
+         SELECT vec_id, cosine_sim FROM sims
+         ORDER BY cosine_sim DESC, vec_id ASC LIMIT 10""",
+
+    "q46_array_funcs" ->
+      """SELECT e.vec_id,
+           CAST(len(e.embedding) AS BIGINT) AS dim,
+           round(CAST(e.embedding[1] AS DOUBLE), 4) AS first_el,
+           round(sqrt(sum(CAST(e.embedding[CAST(i AS INT)] AS DOUBLE) * CAST(e.embedding[CAST(i AS INT)] AS DOUBLE))), 4) AS l2_norm,
+           round(sum(CAST(e.embedding[CAST(i AS INT)] AS DOUBLE)), 4) AS sum_el,
+           round(max(abs(CAST(e.embedding[CAST(i AS INT)] AS DOUBLE))), 4) AS max_abs
+         FROM embeddings e, generate_series(1, 64) AS g(i)
+         GROUP BY e.vec_id, e.embedding ORDER BY e.vec_id""")
+}

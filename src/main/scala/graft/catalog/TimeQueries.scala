@@ -1,0 +1,130 @@
+package graft.catalog
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Event-time windowing over `events` (batch form of the streaming surface
+  * — identical `window()`/`session_window()` expressions run unchanged
+  * under `readStream`, see graft.streaming) plus multi-dimensional
+  * aggregates (cube / grouping sets).
+  */
+object TimeQueries {
+
+  import Catalog._
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // --- tumbling window -------------------------------------------------
+    "q29_tumbling_window" -> ((s, d) => {
+      ev(s, d)
+        .groupBy(window(col("ts"), "10 minutes"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+        .select(col("window.start").as("w_start"), col("n"), col("sum_value"))
+        .orderBy(col("w_start"))
+    }),
+
+    // --- sliding window (10 min window, 5 min slide) ---------------------
+    "q30_sliding_window" -> ((s, d) => {
+      ev(s, d)
+        .groupBy(window(col("ts"), "10 minutes", "5 minutes"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+        .select(col("window.start").as("w_start"), col("n"), col("sum_value"))
+        .orderBy(col("w_start"))
+    }),
+
+    // --- session window (4 h inactivity gap) -----------------------------
+    "q31_session_window" -> ((s, d) => {
+      ev(s, d)
+        .groupBy(col("user_id"), session_window(col("ts"), "4 hours"))
+        .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+        .select(col("user_id"), col("session_window.start").as("session_start"),
+          col("n_events"), col("sum_value"))
+        .orderBy(col("user_id"), col("session_start"))
+    }),
+
+    // --- cube -------------------------------------------------------------
+    "q32_cube" -> ((s, d) => {
+      t(s, d, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+        .orderBy(col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first)
+    }),
+
+    // --- grouping sets (SQL surface) -------------------------------------
+    "q33_grouping_sets" -> ((s, d) => {
+      t(s, d, "lineitem").createOrReplaceTempView("graft_li_gs")
+      s.sql(
+        """SELECT l_returnflag, l_linestatus, count(*) AS n,
+             round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 4) AS sum_qty
+           FROM graft_li_gs
+           GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+           ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""")
+    }),
+
+    // --- per-group moving average over event time ------------------------
+    "q34_moving_avg" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-2, 0)
+      ev(s, d)
+        .withColumn("mov_sum",
+          round(sum(col("value").cast("decimal(18,2)")).over(w).cast("double"), 4))
+        .withColumn("mov_n", count(lit(1)).over(w))
+        .select(col("event_id"), col("user_id"), col("mov_sum"), col("mov_n"))
+        .orderBy(col("event_id"))
+    }))
+
+  def oracleSql: Map[String, String] = Map(
+    "q29_tumbling_window" ->
+      """SELECT time_bucket(INTERVAL '10 minutes', ts) AS w_start,
+           count(*) AS n,
+           round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 4) AS sum_value
+         FROM events GROUP BY 1 ORDER BY w_start""",
+
+    "q30_sliding_window" ->
+      """WITH b AS (
+           SELECT time_bucket(INTERVAL '5 minutes', ts) AS w_start, value FROM events
+           UNION ALL
+           SELECT time_bucket(INTERVAL '5 minutes', ts) - INTERVAL '5 minutes', value FROM events)
+         SELECT w_start, count(*) AS n,
+           round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 4) AS sum_value
+         FROM b GROUP BY w_start ORDER BY w_start""",
+
+    "q31_session_window" ->
+      """WITH o AS (
+           SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                    OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL '4 hours'
+                  THEN 1 ELSE 0 END AS new_s
+           FROM events),
+         s AS (
+           SELECT user_id, ts, value,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+           FROM o)
+         SELECT user_id, min(ts) AS session_start, count(*) AS n_events,
+           round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 4) AS sum_value
+         FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""",
+
+    "q32_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 4) AS total
+         FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+         ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""",
+
+    "q33_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+           round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 4) AS sum_qty
+         FROM lineitem
+         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+         ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""",
+
+    "q34_moving_avg" ->
+      """SELECT event_id, user_id,
+           round(CAST(sum(CAST(value AS DECIMAL(18,2))) OVER
+             (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE), 4) AS mov_sum,
+           count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS mov_n
+         FROM events ORDER BY event_id""")
+}
