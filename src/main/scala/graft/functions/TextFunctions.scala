@@ -93,13 +93,13 @@ object TextFunctions {
     sha2(array_join(array_sort(array_distinct(tokens(lower(text)))), " "), 256)
 
   /** Rolling (polynomial) hash over the token sequence — order-sensitive
-    * fingerprint: h = sum(hash(token_i) * 31^(position mod 16)). */
-  def rollingFingerprint(text: Column): Column =
+    * fingerprint: h = (h * 31 + hash(token)) mod p, p = 1e9+7. Modular at
+    * every step so it is ANSI-overflow-safe at any document length. */
+  def rollingFingerprint(text: Column): Column = {
+    val p = lit(1000000007L)
     aggregate(
-      zip_with(
-        tokens(lower(text)),
-        sequence(lit(0), size(tokens(lower(text))) - 1),
-        (t, i) => xxhash64(t) * pow(lit(31.0), (i % 16).cast("double")).cast("long")),
+      tokens(lower(text)),
       lit(0L),
-      (acc, v) => acc + v)
+      (acc, t) => pmod(acc * 31L + pmod(xxhash64(t), p), p))
+  }
 }

@@ -1,0 +1,60 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Structured-Streaming surface of the engine.
+  *
+  * Batch/stream unification: these transforms take any events-shaped
+  * DataFrame — batch (`spark.read`) or streaming (`spark.readStream`) —
+  * and return the same logical plan. The batch forms are oracle-checked in
+  * [[graft.catalog.TimeQueries]]; the streaming behaviors (watermarking,
+  * late-data drop, stateful dedup) are exercised with MemoryStream in
+  * src/test (they have no SQL oracle — runtime behavior, SURVEY.md §5).
+  *
+  * At scale: watermarks bound state; tumbling/sliding aggregations use
+  * partial aggregation before the shuffle; session windows and
+  * dropDuplicates keep per-key state in the state store — key cardinality,
+  * not event volume, sizes executor memory.
+  */
+object StreamOps {
+
+  /** Tumbling event-time window aggregation (+ optional watermark for
+    * streaming use). */
+  def tumblingCounts(events: DataFrame, width: String,
+                     watermark: Option[String] = None): DataFrame = {
+    val src = watermark.fold(events)(w => events.withWatermark("ts", w))
+    src.groupBy(window(col("ts"), width))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("w_start"), col("n"), col("sum_value"))
+  }
+
+  /** Sliding event-time window aggregation. */
+  def slidingCounts(events: DataFrame, width: String, slide: String,
+                    watermark: Option[String] = None): DataFrame = {
+    val src = watermark.fold(events)(w => events.withWatermark("ts", w))
+    src.groupBy(window(col("ts"), width, slide))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("w_start"), col("n"))
+  }
+
+  /** Session windows per key with an inactivity gap. */
+  def sessionCounts(events: DataFrame, gap: String, key: Column,
+                    watermark: Option[String] = None): DataFrame = {
+    val src = watermark.fold(events)(w => events.withWatermark("ts", w))
+    src.groupBy(key, session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"))
+      .select(key, col("session_window.start").as("session_start"),
+        col("n_events"))
+  }
+
+  /** Stateful exact dedup on a key set; with a watermark this is
+    * `dropDuplicatesWithinWatermark` (bounded state), without it plain
+    * `dropDuplicates` (unbounded state — batch or tests only). */
+  def dedupStream(events: DataFrame, keys: Seq[String],
+                  watermark: Option[String] = None): DataFrame =
+    watermark match {
+      case Some(w) => events.withWatermark("ts", w).dropDuplicatesWithinWatermark(keys)
+      case None    => events.dropDuplicates(keys)
+    }
+}

@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.operators.{Dedup, Merge}
+
+/** Algebraic invariants (SURVEY.md §5.3) checked over ScalaCheck-generated
+  * inputs with fixed seeds (deterministic CI). Row counts are small — the
+  * properties are about semantics, not scale. */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val rowsGen: Gen[List[(Int, Int, Int)]] =
+    Gen.listOfN(30, Gen.zip(Gen.choose(0, 5), Gen.choose(0, 100), Gen.choose(0, 1000)))
+
+  private def samples(n: Int): Seq[List[(Int, Int, Int)]] =
+    (1 to n).map(i => rowsGen.pureApply(Gen.Parameters.default, Seed(i.toLong)))
+
+  test("union-all count additivity") {
+    for (Seq(a, b) <- samples(6).grouped(2)) {
+      val da = a.toDF("k", "v", "ord")
+      val db = b.toDF("k", "v", "ord")
+      assert(da.unionByName(db).count() == a.length + b.length)
+    }
+  }
+
+  test("keepFirst dedup is idempotent and keys are unique after") {
+    for (rows <- samples(4)) {
+      val df = rows.toDF("k", "v", "ord")
+      val once = Dedup.keepFirst(df, Seq("k"), Seq(col("ord"), col("v")))
+      val twice = Dedup.keepFirst(once, Seq("k"), Seq(col("ord"), col("v")))
+      assert(once.select("k").distinct().count() == once.count())
+      assert(once.orderBy("k").collect().toSeq == twice.orderBy("k").collect().toSeq)
+    }
+  }
+
+  test("sum aggregation is invariant to repartitioning") {
+    for (rows <- samples(4)) {
+      val df = rows.toDF("k", "v", "ord")
+      val a = df.groupBy("k").agg(sum("v")).orderBy("k").collect().toSeq
+      val b = df.repartition(7).groupBy("k").agg(sum("v")).orderBy("k").collect().toSeq
+      assert(a == b)
+    }
+  }
+
+  test("upsert applied twice equals once (idempotence)") {
+    for (Seq(t, u) <- samples(6).grouped(2)) {
+      val target = Dedup.keepFirst(t.toDF("k", "v", "ord"), Seq("k"), Seq(col("ord"), col("v")))
+      val updates = u.toDF("k", "v", "ord")
+      val tb = Seq(col("ord"), col("v"))
+      val once = Merge.upsert(target, updates, Seq("k"), tb)
+      val twice = Merge.upsert(once, updates, Seq("k"), tb)
+      assert(once.orderBy("k", "v", "ord").collect().toSeq ==
+        twice.orderBy("k", "v", "ord").collect().toSeq)
+    }
+  }
+
+  test("insertIfAbsent never changes existing rows and never duplicates keys") {
+    for (Seq(t, u) <- samples(6).grouped(2)) {
+      val target = Dedup.keepFirst(t.toDF("k", "v", "ord"), Seq("k"), Seq(col("ord"), col("v")))
+      val inserts = u.toDF("k", "v", "ord")
+      val out = Merge.insertIfAbsent(target, inserts, Seq("k"), Seq(col("ord"), col("v")))
+      assert(out.select("k").distinct().count() == out.count())
+      val changed = target.as("t").join(out.as("o"), Seq("k"))
+        .filter($"t.v" =!= $"o.v").count()
+      assert(changed == 0)
+    }
+  }
+}

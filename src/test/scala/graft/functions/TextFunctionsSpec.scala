@@ -1,0 +1,64 @@
+package graft.functions
+
+import graft.SparkSpec
+
+class TextFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("token counts and ratios") {
+    val df = Seq((1L, "the cat sat on the mat")).toDF("id", "text")
+    val out = df.select(
+      TextFunctions.tokenCount($"text"),
+      TextFunctions.distinctTokenCount($"text"),
+      TextFunctions.avgTokenLength($"text"),
+      TextFunctions.typeTokenRatio($"text"))
+      .as[(Int, Int, Double, Double)].collect().head
+    assert(out._1 == 6)
+    assert(out._2 == 5) // "the" twice
+    assert(math.abs(out._3 - 17.0 / 6) < 1e-12)
+    assert(math.abs(out._4 - 5.0 / 6) < 1e-12)
+  }
+
+  test("stopword and punctuation ratios") {
+    val df = Seq((1L, "the cat, the dog!")).toDF("id", "text")
+    val out = df.select(
+      TextFunctions.stopwordRatio($"text", Seq("the")),
+      TextFunctions.punctRatio($"text"))
+      .as[(Double, Double)].collect().head
+    assert(math.abs(out._1 - 0.5) < 1e-12) // but "cat," is a token with punct
+    assert(out._2 > 0.0 && out._2 < 0.2)
+  }
+
+  test("vocabFingerprint is word-order insensitive, rollingFingerprint is not") {
+    val df = Seq(
+      (1L, "alpha beta gamma"), (2L, "gamma alpha beta"), (3L, "alpha beta delta"))
+      .toDF("id", "text")
+    val vf = df.select($"id", TextFunctions.vocabFingerprint($"text").as("f"))
+      .as[(Long, String)].collect().toMap
+    assert(vf(1L) == vf(2L))
+    assert(vf(1L) != vf(3L))
+    val rf = df.select($"id", TextFunctions.rollingFingerprint($"text").as("f"))
+      .as[(Long, Long)].collect().toMap
+    assert(rf(1L) != rf(2L))
+  }
+
+  test("langIdHeuristic identifies obvious samples") {
+    val df = Seq(
+      (1L, "the cat is in the house and it is warm"),
+      (2L, "el gato de la casa y los perros del pueblo"),
+      (3L, "der hund und die katze von dem haus mit den"))
+      .toDF("id", "text")
+    val out = df.select($"id", TextFunctions.langIdHeuristic($"text").as("l"))
+      .as[(Long, String)].collect().toMap
+    assert(out(1L) == "en")
+    assert(out(2L) == "es")
+    assert(out(3L) == "de")
+  }
+
+  test("subwordTokens splits punctuation from words") {
+    val df = Seq((1L, "hello, world")).toDF("id", "text")
+    val out = df.select(TextFunctions.subwordTokens($"text"))
+      .as[Seq[String]].collect().head
+    assert(out == Seq("hello", ",", "world"))
+  }
+}

@@ -1,0 +1,50 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import graft.SparkSpec
+
+class AsOfJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("backward: latest right row at or before each left row, per key") {
+    val left = Seq(
+      (1L, 100L, ts("2024-01-01 10:00:00")),
+      (1L, 101L, ts("2024-01-01 12:00:00")),
+      (2L, 200L, ts("2024-01-01 11:00:00")))
+      .toDF("user_id", "event_id", "ts")
+    val right = Seq(
+      (1L, ts("2024-01-01 09:00:00")),
+      (1L, ts("2024-01-01 11:30:00")),
+      (2L, ts("2024-01-01 12:00:00"))) // after left -> no match
+      .toDF("user_id", "signup_ts")
+    val out = AsOfJoin.backward(left, right, Seq("user_id"), "ts", "signup_ts",
+      Seq("signup_ts"))
+      .select("event_id", "signup_ts").as[(Long, Option[Timestamp])]
+      .collect().toMap
+    assert(out(100L).contains(ts("2024-01-01 09:00:00")))
+    assert(out(101L).contains(ts("2024-01-01 11:30:00")))
+    assert(out(200L).isEmpty)
+  }
+
+  test("backward: right row at exactly the left timestamp matches (<=)") {
+    val left = Seq((1L, 100L, ts("2024-01-01 10:00:00"))).toDF("user_id", "event_id", "ts")
+    val right = Seq((1L, ts("2024-01-01 10:00:00"))).toDF("user_id", "signup_ts")
+    val out = AsOfJoin.backward(left, right, Seq("user_id"), "ts", "signup_ts",
+      Seq("signup_ts")).select("signup_ts").as[Option[Timestamp]].collect()
+    assert(out.head.contains(ts("2024-01-01 10:00:00")))
+  }
+
+  test("backward preserves every left row (left-outer semantics)") {
+    val left = Seq(
+      (1L, 1L, ts("2024-01-01 01:00:00")),
+      (3L, 2L, ts("2024-01-01 02:00:00"))) // key absent from right
+      .toDF("user_id", "event_id", "ts")
+    val right = Seq((1L, ts("2024-01-01 00:00:00"))).toDF("user_id", "signup_ts")
+    val n = AsOfJoin.backward(left, right, Seq("user_id"), "ts", "signup_ts",
+      Seq("signup_ts")).count()
+    assert(n == 2)
+  }
+}

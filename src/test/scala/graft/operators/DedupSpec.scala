@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("keepFirst keeps the row that sorts first per key, deterministically") {
+    val df = Seq(
+      (1, "b", 20), (1, "a", 10), (2, "c", 30), (2, "d", 5), (3, "e", 1))
+      .toDF("k", "v", "ord")
+    val out = Dedup.keepFirst(df, Seq("k"), Seq(col("ord")))
+      .orderBy("k").select("k", "v").as[(Int, String)].collect()
+    assert(out.toSeq == Seq((1, "a"), (2, "d"), (3, "e")))
+  }
+
+  test("keepFirst handles key = 0 (the reference's truthiness bug, not replicated)") {
+    val df = Seq((0, "zero", 1), (0, "zero2", 2)).toDF("k", "v", "ord")
+    val out = Dedup.keepFirst(df, Seq("k"), Seq(col("ord"))).collect()
+    assert(out.length == 1 && out(0).getString(1) == "zero")
+  }
+
+  test("keepFirst is idempotent") {
+    val df = Seq((1, "a", 1), (1, "b", 2), (2, "c", 1)).toDF("k", "v", "ord")
+    val once = Dedup.keepFirst(df, Seq("k"), Seq(col("ord")))
+    val twice = Dedup.keepFirst(once, Seq("k"), Seq(col("ord")))
+    assert(once.orderBy("k").collect().toSeq == twice.orderBy("k").collect().toSeq)
+  }
+
+  test("exactByContent collapses identical content to the smallest id") {
+    val df = Seq((10L, "same text"), (3L, "same text"), (7L, "other"))
+      .toDF("id", "text")
+    val out = Dedup.exactByContent(df, "text", "id")
+      .select("id").as[Long].collect().sorted
+    assert(out.toSeq == Seq(3L, 7L))
+  }
+
+  test("minhash: identical docs always share every band; near-dups pair up") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (3L, "the quick brown fox jumps over the lazy dog again and again tomorrow"),
+      (4L, "completely different words nothing shared here at all whatsoever ever done"))
+      .toDF("doc_id", "text")
+    val sig = Dedup.minHashSignature(docs, "text", shingleSize = 3, numHashes = 32)
+    val pairs = Dedup.minHashCandidatePairs(sig, "doc_id", bands = 8, rowsPerBand = 4)
+      .as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)), s"identical docs must be candidates, got $pairs")
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L),
+      s"unrelated doc must not pair, got $pairs")
+  }
+
+  test("jaccardVerify: identical docs have jaccard 1.0") {
+    val docs = Seq(
+      (1L, "a b c d e f g h"), (2L, "a b c d e f g h"), (3L, "x y z q r s t u"))
+      .toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (1L, 3L)).toDF("id_a", "id_b")
+    val out = Dedup.jaccardVerify(pairs, docs, "doc_id", "text")
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect()
+      .map { case (a, b, j) => ((a, b), j) }.toMap
+    assert(out((1L, 2L)) == 1.0)
+    assert(out((1L, 3L)) == 0.0)
+  }
+
+  test("simhash: identical text -> hamming 0; perturbed -> small; unrelated -> large") {
+    val docs = Seq(
+      (1L, "spark catalyst tungsten whole stage codegen shuffle exchange partition"),
+      (2L, "spark catalyst tungsten whole stage codegen shuffle exchange partition"),
+      (3L, "spark catalyst tungsten whole stage codegen shuffle exchange partitions"),
+      (4L, "entirely unrelated vocabulary about cooking recipes and garden flowers"))
+      .toDF("doc_id", "text")
+    val h = Dedup.simHash(docs, "text").select("doc_id", "simhash")
+      .as[(Long, Long)].collect().toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(h(a) ^ h(b))
+    assert(ham(1L, 2L) == 0)
+    assert(ham(1L, 3L) < ham(1L, 4L),
+      s"near-dup ${ham(1L, 3L)} should be closer than unrelated ${ham(1L, 4L)}")
+  }
+}

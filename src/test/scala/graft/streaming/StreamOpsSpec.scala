@@ -1,0 +1,105 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+case class Ev(ts: Timestamp, user_id: Long, value: Double)
+
+/** Runtime streaming behavior (watermark, late data, stateful dedup) —
+  * not oracle-checkable (SURVEY.md §5), exercised with MemoryStream. */
+class StreamOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private def runToMemory(df: org.apache.spark.sql.DataFrame, name: String,
+                          mode: String): Unit = {
+    val q = df.writeStream.format("memory").queryName(name).outputMode(mode).start()
+    q.processAllAvailable()
+    q.stop()
+  }
+
+  test("tumbling window aggregation over a stream (update mode)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    mem.addData(
+      Ev(ts("2024-01-01 00:01:00"), 1, 1.0),
+      Ev(ts("2024-01-01 00:04:00"), 1, 2.0),
+      Ev(ts("2024-01-01 00:12:00"), 2, 3.0))
+    runToMemory(StreamOps.tumblingCounts(mem.toDF(), "10 minutes"),
+      "tumbling_out", "update")
+    val rows = spark.table("tumbling_out")
+      .select($"w_start".cast("string"), $"n")
+      .as[(String, Long)].collect().toMap
+    assert(rows("2024-01-01 00:00:00") == 2)
+    assert(rows("2024-01-01 00:10:00") == 1)
+  }
+
+  test("watermark drops events later than the threshold (append mode)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val agg = StreamOps.tumblingCounts(mem.toDF(), "10 minutes",
+      watermark = Some("5 minutes"))
+    val q = agg.writeStream.format("memory").queryName("wm_out")
+      .outputMode("append").start()
+    // batch 1: window [00:00,00:10) gets one event; watermark advances to 00:55
+    mem.addData(Ev(ts("2024-01-01 00:01:00"), 1, 1.0))
+    q.processAllAvailable()
+    mem.addData(Ev(ts("2024-01-01 01:00:00"), 1, 1.0))
+    q.processAllAvailable()
+    // late event for the closed [00:00,00:10) window — must be dropped
+    mem.addData(Ev(ts("2024-01-01 00:02:00"), 1, 99.0))
+    q.processAllAvailable()
+    // close all windows
+    mem.addData(Ev(ts("2024-01-01 02:00:00"), 1, 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("wm_out")
+      .select($"w_start".cast("string"), $"n").as[(String, Long)].collect().toMap
+    assert(rows("2024-01-01 00:00:00") == 1, "late event must not be counted")
+  }
+
+  test("dropDuplicatesWithinWatermark dedups stateful across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val dedup = StreamOps.dedupStream(mem.toDF(), Seq("user_id"),
+      watermark = Some("1 hour"))
+    val q = dedup.writeStream.format("memory").queryName("dd_out")
+      .outputMode("append").start()
+    mem.addData(Ev(ts("2024-01-01 00:01:00"), 1, 1.0),
+      Ev(ts("2024-01-01 00:02:00"), 1, 2.0))
+    q.processAllAvailable()
+    mem.addData(Ev(ts("2024-01-01 00:03:00"), 1, 3.0),
+      Ev(ts("2024-01-01 00:04:00"), 2, 4.0))
+    q.processAllAvailable()
+    q.stop()
+    val n = spark.table("dd_out").groupBy("user_id").count()
+      .as[(Long, Long)].collect().toMap
+    assert(n(1L) == 1, "user 1 must appear once despite 3 arrivals")
+    assert(n(2L) == 1)
+  }
+
+  test("session windows over a stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    mem.addData(
+      Ev(ts("2024-01-01 00:00:00"), 1, 1.0),
+      Ev(ts("2024-01-01 00:10:00"), 1, 1.0),  // same session (gap 30m)
+      Ev(ts("2024-01-01 01:00:00"), 1, 1.0))  // new session
+    val agg = StreamOps.sessionCounts(mem.toDF(), "30 minutes", col("user_id"),
+      watermark = Some("10 minutes"))
+    val q = agg.writeStream.format("memory").queryName("sess_out")
+      .outputMode("complete").start()
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("sess_out")
+      .select($"session_start".cast("string"), $"n_events")
+      .as[(String, Long)].collect().toMap
+    assert(rows("2024-01-01 00:00:00") == 2)
+    assert(rows("2024-01-01 01:00:00") == 1)
+  }
+}
