@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.catalog.{CoreQueries, LlmQueries, TimeQueries}
+import graft.catalog.{CoreQueries, ExtQueries, LlmQueries, TimeQueries}
 
 /** Driver contract — one `queries` entry (+ `oracleSql` ANSI equivalent
   * where SQL-expressible) per operator from SURVEY.md §2.
@@ -20,8 +20,10 @@ object SparkEntry {
     queries("q01_pricing_summary")(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    CoreQueries.queries ++ TimeQueries.queries ++ LlmQueries.queries
+    CoreQueries.queries ++ TimeQueries.queries ++ LlmQueries.queries ++
+      ExtQueries.queries
 
   def oracleSql: Map[String, String] =
-    CoreQueries.oracleSql ++ TimeQueries.oracleSql ++ LlmQueries.oracleSql
+    CoreQueries.oracleSql ++ TimeQueries.oracleSql ++ LlmQueries.oracleSql ++
+      ExtQueries.oracleSql
 }
