@@ -14,7 +14,9 @@ import org.apache.spark.sql.functions._
   */
 object VectorFunctions {
 
-  /** Dot product; elements cast to double before multiply/accumulate. */
+  /** Dot product; elements cast to double before multiply/accumulate.
+    * Higher-order-function form — interpreted (HOFs are CodegenFallback);
+    * fine off the hot path and as the reference semantics. */
   def dot(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
@@ -23,10 +25,16 @@ object VectorFunctions {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** Cosine similarity in [-1, 1]; null-safe on zero vectors (returns null
-    * via division by zero → null is NOT SQL semantics — x/0 is null in
-    * Spark ANSI-off mode; acceptable for unit-scale embeddings). */
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Cosine similarity in [-1, 1] — native codegen'd Catalyst expression
+    * ([[graft.plans.CosineSimilarity]]): one fused primitive loop inside
+    * whole-stage codegen. Null on length mismatch or zero vector. */
+  def cosine(a: Column, b: Column): Column =
+    graft.plans.CosineSimilarity(a, b)
+
+  /** Reference implementation of [[cosine]] via higher-order functions —
+    * identical fold order/semantics, used to cross-check the native
+    * expression in tests. */
+  def cosineHof(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
   /** Brute-force top-k nearest neighbors of a single query vector.
     *

@@ -42,28 +42,40 @@ object Dedup {
     keepFirst(hashed, Seq("content_hash"), Seq(col(idCol)))
   }
 
-  /** Per-row MinHash signature over token shingles.
+  /** k-token shingles of a text column (lowercased, whitespace-split). */
+  private def shingleExpr(textCol: String, shingleSize: Int) = expr(
+    s"transform(sequence(1, greatest(size(split(lower(trim($textCol)), '\\\\s+')) - ${shingleSize - 1}, 1)), " +
+    s"i -> concat_ws(' ', slice(split(lower(trim($textCol)), '\\\\s+'), i, $shingleSize)))")
+
+  /** MinHash signature over token shingles via the native codegen'd
+    * expression [[graft.plans.MinHashSignature]]: per-row compute, zero
+    * shuffle — the signature is the first thing that ever needs to move
+    * between executors, and it is numHashes longs per document.
     *
-    * Pipeline (all narrow, no shuffle — each row computes independently):
-    * tokens → k-shingles → for each of `numHashes` seeded hash functions,
-    * the min hash over the row's shingles. Seeded family:
-    * `h_i(x) = xxhash64(i, x)` (xxhash64 is a 64-bit codegen'd builtin).
-    *
-    * Returns df with `minhash: array<bigint>` of length `numHashes`.
+    * Adds `minhash: array<bigint>` of length numHashes.
     */
   def minHashSignature(df: DataFrame, textCol: String, shingleSize: Int = 3,
-                       numHashes: Int = 32): DataFrame = {
-    val toks = split(lower(trim(col(textCol))), "\\s+")
-    // shingles: concat_ws of each k-token window; empty-safe via greatest(0, n-k+1)
-    val shingles = expr(
-      s"transform(sequence(1, greatest(size(split(lower(trim($textCol)), '\\\\s+')) - ${shingleSize - 1}, 1)), " +
-      s"i -> concat_ws(' ', slice(split(lower(trim($textCol)), '\\\\s+'), i, $shingleSize)))")
-    val sig = expr(
-      s"transform(sequence(0, ${numHashes - 1}), " +
-      s"seed -> array_min(transform(__graft_shingles, sh -> xxhash64(seed, sh))))")
-    df.withColumn("__graft_shingles", shingles)
-      .withColumn("minhash", sig)
-      .drop("__graft_shingles")
+                       numHashes: Int = 32): DataFrame =
+    df.withColumn("minhash",
+      graft.plans.MinHashSignature(col(textCol), shingleSize, numHashes))
+
+  /** Explode + hash-aggregate formulation of the signature (codegen'd
+    * builtins only, but shuffles one row per shingle). Kept as the
+    * pure-builtin alternative and as a cross-check for the native
+    * expression; prefer [[minHashSignature]].
+    */
+  def minHashSignatureAgg(df: DataFrame, textCol: String, shingleSize: Int = 3,
+                          numHashes: Int = 32, idCol: String = "doc_id"): DataFrame = {
+    val exploded = df
+      .select(col(idCol), explode(shingleExpr(textCol, shingleSize)).as("__sh"))
+      .select(col(idCol), xxhash64(col("__sh")).as("__h"))
+    val minCols = (0 until numHashes)
+      .map(j => min(xxhash64(lit(j), col("__h"))).as(s"__m$j"))
+    exploded
+      .groupBy(col(idCol))
+      .agg(minCols.head, minCols.tail: _*)
+      .select(col(idCol),
+        array((0 until numHashes).map(j => col(s"__m$j")): _*).as("minhash"))
   }
 
   /** LSH banding over MinHash signatures → candidate near-duplicate pairs.
@@ -100,14 +112,21 @@ object Dedup {
 
   /** Exact n-gram Jaccard similarity for a candidate-pair frame — the
     * verification step after LSH. `pairs` has (id_a, id_b); `docs` has
-    * (idCol, textCol). Two broadcast-able joins against the shingle sets.
-    * Jaccard = |A ∩ B| / |A ∪ B| over distinct k-shingles. */
+    * (idCol, textCol). Two broadcast-able joins against shingle-hash sets
+    * (native codegen'd [[graft.plans.ShingleHashSet]] — no shingle
+    * strings materialized). Jaccard = |A ∩ B| / |A ∪ B| over distinct
+    * k-shingle hashes (equal to string Jaccard up to 64-bit collisions). */
   def jaccardVerify(pairs: DataFrame, docs: DataFrame, idCol: String, textCol: String,
                     shingleSize: Int = 3): DataFrame = {
-    val sets = docs.select(
+    // only docs that appear in a candidate pair need their shingle set —
+    // semi-join BEFORE set construction so the work is proportional to
+    // candidates, not corpus size
+    val pairIds = pairs.select(col("id_a").as("__pid"))
+      .union(pairs.select(col("id_b").as("__pid"))).distinct()
+    val candidates = docs.join(pairIds, col(idCol) === col("__pid"), "left_semi")
+    val sets = candidates.select(
       col(idCol).as("__jid"),
-      expr(s"array_distinct(transform(sequence(1, greatest(size(split(lower(trim($textCol)), '\\\\s+')) - ${shingleSize - 1}, 1)), " +
-           s"i -> concat_ws(' ', slice(split(lower(trim($textCol)), '\\\\s+'), i, $shingleSize))))").as("__jset"))
+      graft.plans.ShingleHashSet(col(textCol), shingleSize).as("__jset"))
     pairs
       .join(sets.withColumnRenamed("__jid", "id_a").withColumnRenamed("__jset", "set_a"), "id_a")
       .join(sets.withColumnRenamed("__jid", "id_b").withColumnRenamed("__jset", "set_b"), "id_b")
@@ -120,22 +139,26 @@ object Dedup {
   /** SimHash: 64-bit fingerprint where bit i is the sign of the sum over
     * tokens of (token-hash bit i ? +1 : -1). Near-duplicates differ in few
     * bits (small Hamming distance). Entirely narrow per-row compute. */
-  def simHash(df: DataFrame, textCol: String): DataFrame = {
-    // token hashes once per row, then fold the 64 bit positions over them
-    val sim = expr(
-      s"""aggregate(
-            sequence(0, 63),
-            0L,
-            (acc, bit) -> acc + shiftleft(
-              CASE WHEN aggregate(
-                __graft_th,
-                0L,
-                (s, h) -> s + CASE WHEN (shiftright(h, bit) & 1) = 1 THEN 1L ELSE -1L END
-              ) > 0 THEN 1L ELSE 0L END, bit))""")
-    df.withColumn("__graft_th",
-        expr(s"transform(split(lower(trim($textCol)), '\\\\s+'), t -> xxhash64(t))"))
-      .withColumn("simhash", sim)
-      .drop("__graft_th")
+  def simHash(df: DataFrame, textCol: String, idCol: String = "doc_id"): DataFrame = {
+    // explode tokens -> hash once -> 64 codegen'd sum aggregates (one per
+    // bit), map-side combined; then assemble the sign bits into one long.
+    // (A per-row HOF fold is interpreted and ~100x slower at corpus scale.)
+    val exploded = df
+      .select(col(idCol),
+        explode(split(lower(trim(col(textCol))), "\\s+")).as("__t"))
+      .select(col(idCol), xxhash64(col("__t")).as("__h"))
+    val bitSums = (0 until 64).map { j =>
+      sum(when(shiftright(col("__h"), j).bitwiseAND(lit(1L)) === 1L, 1L)
+        .otherwise(-1L)).as(s"__b$j")
+    }
+    val assembled = (0 until 64)
+      .map(j => when(col(s"__b$j") > 0, shiftleft(lit(1L), j)).otherwise(lit(0L)))
+      .reduce(_.bitwiseOR(_))
+    val sigs = exploded
+      .groupBy(col(idCol))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col(idCol), assembled.as("simhash"))
+    df.join(sigs, Seq(idCol), "left")
   }
 
   /** Hamming distance between two 64-bit simhashes. */

@@ -1,0 +1,15 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+
+/** SQL-surface registration for the engine's native expressions. After
+  * `GraftFunctions.register(spark)`, `SELECT cosine_similarity(a, b)`
+  * works in spark.sql. */
+object GraftFunctions {
+  def register(spark: SparkSession): Unit = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "cosine_similarity",
+      exprs => CosineSimilarity(exprs(0), exprs(1)),
+      "built-in")
+  }
+}
