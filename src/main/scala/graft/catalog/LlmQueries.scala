@@ -154,6 +154,27 @@ object LlmQueries {
         .select(col("vec_id"), round(col("cosine_sim"), 4).as("cosine_sim"))
     }),
 
+    // --- multimodal: metadata analytics over binary media table ----------
+    "q60_media_meta" -> ((s, d) => {
+      import graft.operators.Multimodal
+      Multimodal.metaStats(Multimodal.syntheticMedia(t(s, d, "documents")))
+        .select(col("kind"), col("n"), round(col("avg_width"), 4).as("avg_width"),
+          col("max_duration_ms"))
+        .orderBy(col("kind"))
+    }),
+
+    // --- multimodal: stub decode -> frame features -> pooled embeddings
+    //     (rows-only: decode is engine-internal) -------------------------
+    "q61_media_embeddings" -> ((s, d) => {
+      import graft.operators.Multimodal
+      val media = Multimodal.syntheticMedia(t(s, d, "documents").filter(col("doc_id") < 50))
+      val emb = Multimodal.frameEmbeddings(Multimodal.decodeFrames(media, frames = 2, dim = 64))
+      emb.select(col("media_id"),
+        round(graft.plans.CosineSimilarity(col("embedding"), col("embedding")), 4).as("self_sim"),
+        size(col("embedding")).cast("long").as("dim"))
+        .orderBy(col("media_id"))
+    }),
+
     // --- array/higher-order functions over embeddings --------------------
     "q46_array_funcs" -> ((s, d) => {
       t(s, d, "embeddings").select(
@@ -169,6 +190,14 @@ object LlmQueries {
     }))
 
   def oracleSql: Map[String, String] = Map(
+    "q60_media_meta" ->
+      """SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
+                WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+           count(*) AS n,
+           round(avg(CAST(n_chars % 640 + 16 AS DOUBLE)), 4) AS avg_width,
+           max(n_chars * 10) AS max_duration_ms
+         FROM documents GROUP BY 1 ORDER BY kind""",
+
     "q35_doc_stats" ->
       """SELECT doc_id,
            CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,

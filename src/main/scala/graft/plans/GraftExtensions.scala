@@ -1,0 +1,48 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SparkSessionExtensions entry point: makes the engine's native
+  * expressions available to ANY session created with
+  *
+  * {{{
+  * SparkSession.builder()
+  *   .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+  *   ...
+  * }}}
+  *
+  * (or `.withExtensions(new GraftExtensions)`), including pure-SQL users —
+  * the injection route survives into thrift-server / connect deployments
+  * where [[GraftFunctions.register]]'s per-session temp functions do not.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("cosine_similarity"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_similarity"),
+      (exprs: Seq[Expression]) => CosineSimilarity(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("minhash"),
+      new ExpressionInfo(classOf[MinHashSignature].getName, "minhash"),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(t)       => MinHashSignature(t, 3, 32)
+        case Seq(t, k, n) => MinHashSignature(t,
+          k.eval().asInstanceOf[Number].intValue(),
+          n.eval().asInstanceOf[Number].intValue())
+        case _ => throw new IllegalArgumentException(
+          "minhash(text[, shingleSize, numHashes])")
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("shingle_hash_set"),
+      new ExpressionInfo(classOf[ShingleHashSet].getName, "shingle_hash_set"),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(t)    => ShingleHashSet(t, 3)
+        case Seq(t, k) => ShingleHashSet(t, k.eval().asInstanceOf[Number].intValue())
+        case _ => throw new IllegalArgumentException("shingle_hash_set(text[, shingleSize])")
+      }))
+  }
+}

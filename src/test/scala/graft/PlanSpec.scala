@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.functions._
+
+/** Physical-plan assertions: the optimizations the 100 TB design relies on
+  * must actually appear in the executed plans (SURVEY.md §4). */
+class PlanSpec extends SparkSpec {
+
+  private def executedPlan(df: org.apache.spark.sql.DataFrame): String = {
+    df.collect() // finalize AQE so the adaptive plan shows real operators
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("filters push down to the parquet scan") {
+    val li = spark.read.parquet(sf("sf0.001") + "/lineitem.parquet")
+      .filter(col("l_orderkey") === 42L)
+      .select("l_orderkey", "l_quantity")
+    val plan = executedPlan(li)
+    assert(plan.contains("PushedFilters") && plan.contains("l_orderkey"),
+      s"expected pushed filter in:\n$plan")
+  }
+
+  test("column pruning reaches the scan (2-col projection reads 2 cols)") {
+    val li = spark.read.parquet(sf("sf0.001") + "/lineitem.parquet")
+      .select("l_orderkey", "l_quantity")
+    val plan = executedPlan(li)
+    assert(plan.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"),
+      s"expected pruned ReadSchema in:\n$plan")
+  }
+
+  test("star join broadcasts the dimension tables (q07)") {
+    val plan = executedPlan(
+      SparkEntry.queries("q07_star_join")(spark, sf("sf0.001")))
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join in:\n$plan")
+  }
+
+  test("top-k compiles to TakeOrderedAndProject, not a global sort (q14)") {
+    val plan = executedPlan(
+      SparkEntry.queries("q14_top10_orders")(spark, sf("sf0.001")))
+    assert(plan.contains("TakeOrderedAndProject"), s"expected top-k operator in:\n$plan")
+  }
+
+  test("aggregation is partial then final (map-side combine, q01)") {
+    val plan = executedPlan(
+      SparkEntry.queries("q01_pricing_summary")(spark, sf("sf0.001")))
+    assert(plan.contains("partial"), s"expected partial aggregation in:\n$plan")
+  }
+
+  test("native cosine participates in whole-stage codegen") {
+    val emb = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
+    val q = emb.limit(1).select(col("embedding").as("qv"))
+    val df = emb.crossJoin(broadcast(q))
+      .select(graft.functions.VectorFunctions.cosine(col("embedding"), col("qv")))
+    val plan = executedPlan(df)
+    // the "*(n)" prefix marks operators fused into WholeStageCodegen
+    assert("\\*\\(\\d+\\) Project \\[cosinesimilarity".r.findFirstIn(plan).isDefined,
+      s"expected cosinesimilarity inside a codegen'd (*-prefixed) Project in:\n$plan")
+    assert(!plan.contains("CodegenFallback"), s"must not fall back:\n$plan")
+  }
+}

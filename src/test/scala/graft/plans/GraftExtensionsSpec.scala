@@ -1,0 +1,51 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The extensions route needs its own session (spark.sql.extensions is
+  * fixed at session build), so this spec builds one instead of using the
+  * shared harness session. */
+class GraftExtensionsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = {
+    // getOrCreate ignores withExtensions when a session already exists
+    // (suites share one JVM) — stop it; later suites re-create their own.
+    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+      .foreach(_.stop())
+    SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-ext-test")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.sql.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+  }
+
+  override protected def withFixture(test: NoArgTest) = {
+    val res = super.withFixture(test)
+    // leave a clean slate so the next suite's getOrCreate builds fresh
+    spark.stop()
+    res
+  }
+
+  test("injected functions are available to pure SQL") {
+    val cos = spark.sql(
+      "SELECT cosine_similarity(array(1.0D, 2.0D), array(1.0D, 2.0D)) AS c")
+      .collect().head.getDouble(0)
+    assert(math.abs(cos - 1.0) < 1e-15)
+
+    val sig = spark.sql("SELECT minhash('a b c d e f') AS s")
+      .collect().head.getSeq[Long](0)
+    assert(sig.length == 32)
+
+    val sig16 = spark.sql("SELECT minhash('a b c d e f', 3, 16) AS s")
+      .collect().head.getSeq[Long](0)
+    assert(sig16.length == 16)
+
+    val sh = spark.sql("SELECT shingle_hash_set('a b c d') AS s")
+      .collect().head.getSeq[Long](0)
+    assert(sh.length == 2) // 2 distinct 3-shingles in 4 tokens
+    assert(sh == sh.sorted)
+  }
+}

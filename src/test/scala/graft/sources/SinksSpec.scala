@@ -1,0 +1,42 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class SinksSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp() = java.nio.file.Files.createTempDirectory("sinks").toString + "/t"
+
+  test("appendParquet appends; partitioned layout on disk") {
+    val p = tmp()
+    Sinks.appendParquet(Seq((1L, "a", "x"), (2L, "b", "y")).toDF("k", "v", "part"),
+      p, Seq("part"))
+    Sinks.appendParquet(Seq((3L, "c", "x")).toDF("k", "v", "part"), p, Seq("part"))
+    assert(spark.read.parquet(p).count() == 3)
+    assert(new java.io.File(p, "part=x").exists())
+  }
+
+  test("overwritePartitions rewrites only touched partitions") {
+    val p = tmp()
+    Sinks.appendParquet(Seq((1L, "a", "x"), (2L, "b", "y")).toDF("k", "v", "part"),
+      p, Seq("part"))
+    Sinks.overwritePartitions(Seq((9L, "A2", "x")).toDF("k", "v", "part"), p, Seq("part"))
+    val out = spark.read.parquet(p).orderBy("k").select("k", "v")
+      .as[(Long, String)].collect().toSeq
+    // partition x replaced, partition y untouched
+    assert(out == Seq((2L, "b"), (9L, "A2")))
+  }
+
+  test("upsertParquet merges against existing state on disk") {
+    val p = tmp()
+    Sinks.upsertParquet(Seq((1L, "a", 1), (2L, "b", 1)).toDF("k", "v", "ver"),
+      p, Seq("k"), Seq(col("ver")))
+    Sinks.upsertParquet(Seq((2L, "B2", 2), (3L, "c", 2)).toDF("k", "v", "ver"),
+      p, Seq("k"), Seq(col("ver")))
+    val out = spark.read.parquet(p).orderBy("k").select("k", "v")
+      .as[(Long, String)].collect().toSeq
+    assert(out == Seq((1L, "a"), (2L, "B2"), (3L, "c")))
+  }
+}
