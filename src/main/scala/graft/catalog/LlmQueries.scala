@@ -175,6 +175,22 @@ object LlmQueries {
         .orderBy(col("media_id"))
     }),
 
+    // --- typed Aggregator UDAF: per-label embedding centroids ------------
+    "q62_label_centroids" -> ((s, d) => {
+      import graft.functions.TypedAggregators
+      val mean = udaf(new TypedAggregators.VectorMean(64))
+      t(s, d, "embeddings")
+        .select(col("label").cast("long").as("label"),
+          col("embedding").cast("array<float>").as("vec"))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n"), mean(col("vec")).as("centroid"))
+        .select(col("label"), col("n"),
+          round(element_at(col("centroid"), 1), 4).as("first_el"),
+          round(sqrt(aggregate(col("centroid"), lit(0.0), (a, x) => a + x * x)), 4)
+            .as("centroid_norm"))
+        .orderBy(col("label"))
+    }),
+
     // --- array/higher-order functions over embeddings --------------------
     "q46_array_funcs" -> ((s, d) => {
       t(s, d, "embeddings").select(
@@ -234,6 +250,20 @@ object LlmQueries {
            round(CAST(length(replace(text, ' ', '')) AS DOUBLE)
              / len(string_split(text, ' ')), 4) AS avg_token_len
          FROM documents ORDER BY doc_id""",
+
+    "q62_label_centroids" ->
+      """WITH per AS (
+           SELECT label, i, avg(CAST(embedding[CAST(i AS INT)] AS DOUBLE)) AS m
+           FROM embeddings, generate_series(1, 64) AS g(i)
+           GROUP BY label, i),
+         agg AS (
+           SELECT label,
+             round(max(CASE WHEN i = 1 THEN m END), 4) AS first_el,
+             round(sqrt(sum(m * m)), 4) AS centroid_norm
+           FROM per GROUP BY label),
+         c AS (SELECT label, count(*) AS n FROM embeddings GROUP BY label)
+         SELECT CAST(a.label AS BIGINT) AS label, c.n, a.first_el, a.centroid_norm
+         FROM agg a JOIN c ON a.label = c.label ORDER BY label""",
 
     "q41_cosine_scores" ->
       """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)

@@ -47,4 +47,17 @@ object AsOfJoin {
     }
     carried.filter(col("__side") === 0).drop("__t", "__side")
   }
+
+  /** Forward as-of: earliest right row with `right.timeCol >= left.timeCol`
+    * per key. Same union+window shape with the ordering reversed. */
+  def forward(left: DataFrame, right: DataFrame, keys: Seq[String],
+              leftTime: String, rightTime: String,
+              payload: Seq[String]): DataFrame = {
+    val negL = left.withColumn("__negt", -unix_micros(col(leftTime).cast("timestamp")))
+    val negR = right.withColumn("__negt", -unix_micros(col(rightTime).cast("timestamp")))
+    backward(
+      negL, negR, keys, leftTime = "__negt", rightTime = "__negt",
+      payload = payload)
+      .drop("__negt")
+  }
 }

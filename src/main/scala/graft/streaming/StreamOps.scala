@@ -57,4 +57,29 @@ object StreamOps {
       case Some(w) => events.withWatermark("ts", w).dropDuplicatesWithinWatermark(keys)
       case None    => events.dropDuplicates(keys)
     }
+
+  /** Arbitrary per-key state (`flatMapGroupsWithState`): emits a running
+    * (user_id, cumulative count, cumulative value sum) record per input
+    * event. State is one counter pair per key — executor memory scales
+    * with key cardinality, not stream volume. */
+  def runningTotalsPerUser(events: DataFrame): org.apache.spark.sql.Dataset[(Long, Long, Double)] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .selectExpr("user_id", "value")
+      .as[(Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Double), (Long, Long, Double)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[(Long, Double)], state: GroupState[(Long, Double)]) =>
+          var (n, s) = state.getOption.getOrElse((0L, 0.0))
+          val out = rows.map { case (_, v) =>
+            n += 1; s += v
+            (user, n, s)
+          }.toList
+          state.update((n, s))
+          out.iterator
+      }
+  }
 }

@@ -1,0 +1,52 @@
+package graft.sources
+
+import org.apache.spark.sql.types._
+
+import graft.SparkSpec
+
+/** Source-format round-trips: CSV (the reference's input contract) and
+  * JSON (north-star source surface). */
+class SourcesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tseCsv reads sep=';' latin-1 with explicit schema") {
+    val dir = java.nio.file.Files.createTempDirectory("csv")
+    val f = dir.resolve("data.csv")
+    java.nio.file.Files.write(f,
+      "NR_PARTIDO;NM_PARTIDO\n13;São Paulo Ção\n0;Zero\n".getBytes("ISO-8859-1"))
+    val schema = StructType(Seq(
+      StructField("NR_PARTIDO", LongType), StructField("NM_PARTIDO", StringType)))
+    val df = Tables.tseCsv(spark, f.toString, Some(schema))
+    val rows = df.as[(Long, String)].collect().toMap
+    assert(rows(13L) == "São Paulo Ção", "latin-1 diacritics must decode")
+    assert(rows.contains(0L))
+    assert(df.schema == schema)
+  }
+
+  test("tseCsv schema inference fallback") {
+    val dir = java.nio.file.Files.createTempDirectory("csv2")
+    val f = dir.resolve("d.csv")
+    java.nio.file.Files.write(f, "A;B\n1;x\n2;y\n".getBytes("ISO-8859-1"))
+    val df = Tables.tseCsv(spark, f.toString)
+    assert(df.count() == 2)
+    assert(df.schema("A").dataType == IntegerType)
+  }
+
+  test("JSON source round-trip preserves schema and values") {
+    val dir = java.nio.file.Files.createTempDirectory("json").toString + "/j"
+    val df = Seq((1L, "a", 1.5), (2L, "b", 2.5)).toDF("id", "s", "x")
+    df.write.json(dir)
+    val back = spark.read.json(dir).orderBy("id")
+      .selectExpr("CAST(id AS BIGINT) id", "s", "x")
+      .as[(Long, String, Double)].collect().toSeq
+    assert(back == Seq((1L, "a", 1.5), (2L, "b", 2.5)))
+  }
+
+  test("unionAll with allowMissingColumns fills absent columns with null") {
+    val a = Seq((1L, "x")).toDF("k", "v")
+    val b = Seq(2L).toDF("k")
+    val u = Tables.unionAll(Seq(a, b), allowMissingColumns = true)
+    assert(u.count() == 2)
+    assert(u.filter($"v".isNull).count() == 1)
+  }
+}

@@ -83,6 +83,25 @@ class StreamOpsSpec extends SparkSpec {
     assert(n(2L) == 1)
   }
 
+  test("flatMapGroupsWithState: running totals per key across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = StreamOps.runningTotalsPerUser(mem.toDF())
+      .toDF("user_id", "n", "total")
+      .writeStream.format("memory").queryName("state_out")
+      .outputMode("append").start()
+    mem.addData(Ev(ts("2024-01-01 00:01:00"), 1, 1.0),
+      Ev(ts("2024-01-01 00:02:00"), 1, 2.0))
+    q.processAllAvailable()
+    mem.addData(Ev(ts("2024-01-01 00:03:00"), 1, 3.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("state_out").orderBy("n")
+      .as[(Long, Long, Double)].collect().toSeq
+    // state persists across batches: third event sees n=3, total=6
+    assert(rows.last == ((1L, 3L, 6.0)))
+  }
+
   test("session windows over a stream") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
