@@ -1,0 +1,169 @@
+package graft.catalog
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Second breadth batch: time-interval joins, union-distinct, math/string/
+  * date function coverage, approximate order statistics. */
+object ExtQueries2 {
+
+  import Catalog._
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // --- interval (time-range) join: purchase within 2h after a signup ---
+    "q63_interval_join" -> ((s, d) => {
+      val e = ev(s, d)
+      val signups = e.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("ts").as("signup_ts"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts").as("purchase_ts"))
+      purchases.join(signups,
+        purchases("user_id") === signups("user_id") &&
+          col("purchase_ts") >= col("signup_ts") &&
+          col("purchase_ts") < col("signup_ts") + expr("INTERVAL 2 HOURS"))
+        .select(col("event_id"), purchases("user_id").as("user_id"),
+          col("signup_ts"))
+        .orderBy(col("event_id"), col("signup_ts"))
+    }),
+
+    // --- union distinct ---------------------------------------------------
+    "q64_union_distinct" -> ((s, d) => {
+      val o = t(s, d, "orders")
+      o.filter(col("o_totalprice") > 100000.0).select(col("o_custkey"))
+        .union(o.filter(col("o_orderstatus") === "P").select(col("o_custkey")))
+        .distinct()
+        .orderBy(col("o_custkey"))
+    }),
+
+    // --- math function breadth --------------------------------------------
+    "q65_math_funcs" -> ((s, d) => {
+      t(s, d, "customer").select(
+        col("c_custkey"),
+        round(abs(col("c_acctbal")), 2).as("abs_bal"),
+        ceil(col("c_acctbal")).cast("long").as("ceil_bal"),
+        floor(col("c_acctbal")).cast("long").as("floor_bal"),
+        signum(col("c_acctbal")).cast("long").as("sign_bal"),
+        pmod(col("c_custkey"), lit(7L)).as("mod7"),
+        round(pow(col("c_custkey").cast("double"), 2.0), 2).as("key_sq"),
+        round(log(col("c_custkey").cast("double") + 1.0), 6).as("ln_key"),
+        round(sqrt(col("c_custkey").cast("double")), 6).as("sqrt_key"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // --- string function breadth ------------------------------------------
+    "q66_string_more" -> ((s, d) => {
+      t(s, d, "nation").select(
+        col("n_nationkey").cast("long").as("key"),
+        concat(upper(substring(col("n_name"), 1, 1)),
+          lower(substring(col("n_name"), 2, 100))).as("name_cap"),
+        lpad(col("n_name"), 12, "_").as("padded"),
+        rpad(col("n_name"), 12, ".").as("rpadded"),
+        translate(col("n_name"), "AEIOU", "aeiou").as("translated"),
+        reverse(col("n_name")).as("reversed"),
+        split(col("n_name"), "A").getItem(0).as("first_part"),
+        instr(col("n_name"), "A").cast("long").as("a_pos"),
+        repeat(substring(col("n_name"), 1, 2), 2).as("repeated"))
+        .orderBy(col("key"))
+    }),
+
+    // --- date function breadth --------------------------------------------
+    "q67_date_more" -> ((s, d) => {
+      t(s, d, "orders").select(
+        col("o_orderkey"),
+        last_day(to_date(col("o_orderdate"))).as("month_end"),
+        date_add(to_date(col("o_orderdate")), 30).as("plus30"),
+        date_sub(to_date(col("o_orderdate")), 7).as("minus7"),
+        weekofyear(col("o_orderdate")).cast("long").as("week"),
+        dayofweek(col("o_orderdate")).cast("long").as("dow"),
+        dayofyear(col("o_orderdate")).cast("long").as("doy"),
+        unix_timestamp(col("o_orderdate")).as("epoch_s"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // --- approximate percentile (rows-only: estimator-specific) ----------
+    "q68_approx_percentile" -> ((s, d) => {
+      t(s, d, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(expr("approx_percentile(o_totalprice, array(0.5, 0.95), 1000)")
+          .as("approx_p"))
+        .select(col("o_orderstatus"), element_at(col("approx_p"), 1).as("p50"),
+          element_at(col("approx_p"), 2).as("p95"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
+    // --- nth_value / cume_dist / percent_rank ------------------------------
+    "q69_window_rank_funcs" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("c_acctbal").asc, col("c_custkey").asc)
+      t(s, d, "customer").select(
+        col("c_custkey"), col("c_mktsegment"),
+        round(percent_rank().over(w), 6).as("prank"),
+        round(cume_dist().over(w), 6).as("cdist"),
+        round(nth_value(col("c_acctbal"), 2).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2)
+          .as("second_lowest"))
+        .orderBy(col("c_custkey"))
+    }))
+
+  def oracleSql: Map[String, String] = Map(
+    "q63_interval_join" ->
+      """SELECT p.event_id, p.user_id, s.ts AS signup_ts
+         FROM events p JOIN events s
+           ON p.user_id = s.user_id
+          AND p.event_type = 'purchase' AND s.event_type = 'signup'
+          AND p.ts >= s.ts AND p.ts < s.ts + INTERVAL '2 hours'
+         ORDER BY p.event_id, signup_ts""",
+
+    "q64_union_distinct" ->
+      """SELECT o_custkey FROM orders WHERE o_totalprice > 100000.0
+         UNION
+         SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
+         ORDER BY o_custkey""",
+
+    "q65_math_funcs" ->
+      """SELECT c_custkey,
+           round(abs(c_acctbal), 2) AS abs_bal,
+           CAST(ceil(c_acctbal) AS BIGINT) AS ceil_bal,
+           CAST(floor(c_acctbal) AS BIGINT) AS floor_bal,
+           CAST(sign(c_acctbal) AS BIGINT) AS sign_bal,
+           c_custkey % 7 AS mod7,
+           round(pow(CAST(c_custkey AS DOUBLE), 2.0), 2) AS key_sq,
+           round(ln(CAST(c_custkey AS DOUBLE) + 1.0), 6) AS ln_key,
+           round(sqrt(CAST(c_custkey AS DOUBLE)), 6) AS sqrt_key
+         FROM customer ORDER BY c_custkey""",
+
+    "q66_string_more" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS key,
+           concat(upper(substring(n_name, 1, 1)), lower(substring(n_name, 2, 100))) AS name_cap,
+           lpad(n_name, 12, '_') AS padded,
+           rpad(n_name, 12, '.') AS rpadded,
+           translate(n_name, 'AEIOU', 'aeiou') AS translated,
+           reverse(n_name) AS reversed,
+           string_split(n_name, 'A')[1] AS first_part,
+           CAST(instr(n_name, 'A') AS BIGINT) AS a_pos,
+           repeat(substring(n_name, 1, 2), 2) AS repeated
+         FROM nation ORDER BY key""",
+
+    "q67_date_more" ->
+      """SELECT o_orderkey,
+           last_day(CAST(o_orderdate AS DATE)) AS month_end,
+           CAST(o_orderdate AS DATE) + 30 AS plus30,
+           CAST(o_orderdate AS DATE) - 7 AS minus7,
+           CAST(weekofyear(o_orderdate) AS BIGINT) AS week,
+           CAST(dayofweek(o_orderdate) + 1 AS BIGINT) AS dow,
+           CAST(dayofyear(o_orderdate) AS BIGINT) AS doy,
+           CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s
+         FROM orders ORDER BY o_orderkey""",
+
+    "q69_window_rank_funcs" ->
+      """SELECT c_custkey, c_mktsegment,
+           round(percent_rank() OVER w, 6) AS prank,
+           round(cume_dist() OVER w, 6) AS cdist,
+           round(nth_value(c_acctbal, 2) OVER
+             (PARTITION BY c_mktsegment ORDER BY c_acctbal ASC, c_custkey ASC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS second_lowest
+         FROM customer
+         WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal ASC, c_custkey ASC)
+         ORDER BY c_custkey""")
+}
