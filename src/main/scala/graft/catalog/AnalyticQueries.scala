@@ -1,0 +1,99 @@
+package graft.catalog
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multi-join analytical queries in classic TPC-H shapes (Q3/Q5/Q10
+  * analogs on the testdata star schema) — the bench-relevant workloads:
+  * selective filters pushed to scans, dimension broadcasts, fact-fact
+  * shuffle joins, aggregate + top-k. */
+object AnalyticQueries {
+
+  import Catalog._
+
+  private def discRevenue = sum(
+    (col("l_extendedprice").cast("decimal(18,2)") *
+      (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+      .cast("decimal(28,4)"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // --- Q3 analog: shipping priority — top 10 orders by revenue ---------
+    "q70_shipping_priority" -> ((s, d) => {
+      val cust = t(s, d, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val ord = t(s, d, "orders")
+        .filter(col("o_orderdate") < lit("1997-01-01"))
+      val li = t(s, d, "lineitem")
+        .filter(col("l_shipdate") > lit("1996-06-30"))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"), "left_semi")
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(round(discRevenue.cast("double"), 4).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey").asc)
+        .limit(10)
+    }),
+
+    // --- Q5 analog: revenue by nation through the full star --------------
+    "q71_nation_volume" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, d, "supplier")), col("l_suppkey") === col("s_suppkey"))
+        .filter(col("c_nationkey") === col("s_nationkey")) // local supplier
+        .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(round(discRevenue.cast("double"), 4).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("r_name"), col("revenue").desc, col("n_name"))
+    }),
+
+    // --- Q10 analog: top customers by returned-item revenue --------------
+    "q72_returned_revenue" -> ((s, d) => {
+      t(s, d, "lineitem").filter(col("l_returnflag") === "R")
+        .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+        .agg(round(discRevenue.cast("double"), 4).as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey").asc)
+        .limit(20)
+    }))
+
+  def oracleSql: Map[String, String] = Map(
+    "q70_shipping_priority" ->
+      """SELECT l_orderkey, o_orderdate, o_orderpriority,
+           round(CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(28,4))) AS DOUBLE), 4) AS revenue
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         WHERE l_shipdate > TIMESTAMP '1996-06-30 00:00:00'
+           AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+           AND EXISTS (SELECT 1 FROM customer
+                       WHERE c_custkey = o_custkey AND c_mktsegment = 'BUILDING')
+         GROUP BY l_orderkey, o_orderdate, o_orderpriority
+         ORDER BY revenue DESC, l_orderkey ASC LIMIT 10""",
+
+    "q71_nation_volume" ->
+      """SELECT r_name, n_name,
+           round(CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(28,4))) AS DOUBLE), 4) AS revenue,
+           count(*) AS n_items
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         WHERE c_nationkey = s_nationkey
+         GROUP BY r_name, n_name
+         ORDER BY r_name, revenue DESC, n_name""",
+
+    "q72_returned_revenue" ->
+      """SELECT c_custkey, c_name, n_name,
+           round(CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(28,4))) AS DOUBLE), 4) AS revenue
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         WHERE l_returnflag = 'R'
+         GROUP BY c_custkey, c_name, n_name
+         ORDER BY revenue DESC, c_custkey ASC LIMIT 20""")
+}

@@ -57,6 +57,16 @@ object Tables {
     }
   }
 
+  /** JDBC dimension read (reference load.py:56-57,66 reads dims from
+    * Postgres). Compat surface: predicate pushdown and column pruning
+    * reach the remote database; use `partitionColumn`/`numPartitions`
+    * options for parallel reads of large tables. Untested in this
+    * environment (no database available) — the native path is parquet
+    * dims + broadcast. */
+  def jdbc(spark: SparkSession, url: String, table: String,
+           props: java.util.Properties = new java.util.Properties()): DataFrame =
+    spark.read.jdbc(url, table, props)
+
   /** Union-all of per-member frames by column name — the reference's
     * `pd.concat(df_list, ignore_index=True)` (extract.py:48). In Spark a
     * multi-file read is already a union at the source level; this exists
