@@ -32,6 +32,18 @@ object Dedup {
     * already deterministic — every surviving row is identical. */
   def distinctRows(df: DataFrame): DataFrame = df.distinct()
 
+  /** Hash-aggregate formulation of keep-first: `min_by(struct(*), ord)`
+    * per key. Same result as [[keepFirst]] when `ord` is unique per key,
+    * but executes as HashAggregate partial→final (map-side combine, no
+    * per-partition sort) — at 100 TB this halves the shuffle and skips
+    * the sort entirely. Prefer it when the tiebreak is a single column. */
+  def keepFirstAgg(df: DataFrame, keys: Seq[String], ord: String): DataFrame = {
+    val payload = df.columns.filterNot(c => keys.contains(c))
+    df.groupBy(keys.map(col): _*)
+      .agg(min_by(struct(payload.map(col).toIndexedSeq: _*), col(ord)).as("__row"))
+      .select(keys.map(col) ++ payload.map(c => col(s"__row.$c").as(c)): _*)
+  }
+
   /** Exact content dedup for document-scale data: hash the content column
     * (sha2-256 — collision-safe at any realistic corpus size), keep the row
     * with the smallest `idCol` per hash. Shuffles fixed-width hashes, not

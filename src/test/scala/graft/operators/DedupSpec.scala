@@ -22,6 +22,18 @@ class DedupSpec extends SparkSpec {
     assert(out.length == 1 && out(0).getString(1) == "zero")
   }
 
+  test("keepFirstAgg (min_by form) equals the window form") {
+    val df = Seq(
+      (1, "b", 20), (1, "a", 10), (2, "c", 30), (2, "d", 5), (3, "e", 1),
+      (0, "zero", 2), (0, "z2", 7))
+      .toDF("k", "v", "ord")
+    val win = Dedup.keepFirst(df, Seq("k"), Seq(col("ord")))
+      .orderBy("k").select("k", "v", "ord").collect().toSeq
+    val agg = Dedup.keepFirstAgg(df, Seq("k"), "ord")
+      .orderBy("k").select("k", "v", "ord").collect().toSeq
+    assert(win == agg)
+  }
+
   test("keepFirst is idempotent") {
     val df = Seq((1, "a", 1), (1, "b", 2), (2, "c", 1)).toDF("k", "v", "ord")
     val once = Dedup.keepFirst(df, Seq("k"), Seq(col("ord")))
