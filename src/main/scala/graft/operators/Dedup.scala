@@ -32,16 +32,26 @@ object Dedup {
     * already deterministic — every surviving row is identical. */
   def distinctRows(df: DataFrame): DataFrame = df.distinct()
 
-  /** Hash-aggregate formulation of keep-first: `min_by(struct(*), ord)`
-    * per key. Same result as [[keepFirst]] when `ord` is unique per key,
-    * but executes as HashAggregate partial→final (map-side combine, no
-    * per-partition sort) — at 100 TB this halves the shuffle and skips
-    * the sort entirely. Prefer it when the tiebreak is a single column. */
+  /** Hash-aggregate formulation of keep-first: `min(struct(ord, *))` per
+    * key. Same result and schema order as [[keepFirst]] with an
+    * `ord asc_nulls_first` tiebreak (struct ordering puts a null leading
+    * field first, matching the window form's default), but executes as
+    * HashAggregate partial→final (map-side combine, no per-partition
+    * sort) — at 100 TB this halves the shuffle and skips the sort
+    * entirely. `ord` should be unique per key for a total order.
+    * Keys must name existing columns exactly (fail-fast — no silent
+    * case-insensitive duplication). */
   def keepFirstAgg(df: DataFrame, keys: Seq[String], ord: String): DataFrame = {
+    val missing = keys.filterNot(df.columns.contains)
+    require(missing.isEmpty, s"keepFirstAgg: keys not found exactly in schema: $missing")
     val payload = df.columns.filterNot(c => keys.contains(c))
-    df.groupBy(keys.map(col): _*)
-      .agg(min_by(struct(payload.map(col).toIndexedSeq: _*), col(ord)).as("__row"))
-      .select(keys.map(col) ++ payload.map(c => col(s"__row.$c").as(c)): _*)
+    val grouped = df.groupBy(keys.map(col): _*)
+      .agg(min(struct((col(ord).as("__ord0") +: payload.map(c => col(c).as(c)))
+        .toIndexedSeq: _*)).as("__row"))
+    // restore the input's column order; getField is dot/space-safe
+    grouped.select(df.columns.toIndexedSeq.map { c =>
+      if (keys.contains(c)) col(c) else grouped("__row").getField(c).as(c)
+    }: _*)
   }
 
   /** Exact content dedup for document-scale data: hash the content column

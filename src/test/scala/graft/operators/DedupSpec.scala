@@ -34,6 +34,27 @@ class DedupSpec extends SparkSpec {
     assert(win == agg)
   }
 
+  test("keepFirstAgg: null ords sort first, schema order preserved, bad key fails fast") {
+    // null ord must win (nulls-first, matching the window form's default)
+    val withNulls = Seq(
+      (1, "null-ord", None: Option[Int]), (1, "five", Some(5)),
+      (2, "only-null", None))
+      .toDF("k", "v", "ord")
+    val aggOut = Dedup.keepFirstAgg(withNulls, Seq("k"), "ord")
+      .orderBy("k").select("k", "v").as[(Int, String)].collect().toSeq
+    val winOut = Dedup.keepFirst(withNulls, Seq("k"), Seq(col("ord").asc_nulls_first))
+      .orderBy("k").select("k", "v").as[(Int, String)].collect().toSeq
+    assert(aggOut == winOut)
+    assert(aggOut == Seq((1, "null-ord"), (2, "only-null")))
+    // schema order: input (v, k, ord) must come back as (v, k, ord)
+    val odd = Seq(("a", 1, 10)).toDF("v", "k", "ord")
+    assert(Dedup.keepFirstAgg(odd, Seq("k"), "ord").columns.toSeq == Seq("v", "k", "ord"))
+    // unknown key -> immediate error, not silent duplication
+    intercept[IllegalArgumentException] {
+      Dedup.keepFirstAgg(odd, Seq("K"), "ord")
+    }
+  }
+
   test("keepFirst is idempotent") {
     val df = Seq((1, "a", 1), (1, "b", 2), (2, "c", 1)).toDF("k", "v", "ord")
     val once = Dedup.keepFirst(df, Seq("k"), Seq(col("ord")))
