@@ -27,7 +27,7 @@ object LlmQueries {
   /** Deterministic near-dup corpus: every doc with doc_id < 20 gets a
     * perturbed twin (two tokens appended, id + 1000000) — gives the
     * near-dup operators planted positives derived purely from the data. */
-  private def withPlantedNearDups(docs: DataFrame): DataFrame = {
+  def withPlantedNearDups(docs: DataFrame): DataFrame = {
     val twins = docs.filter(col("doc_id") < 20).select(
       (col("doc_id") + 1000000L).as("doc_id"),
       concat(col("text"), lit(" zz zz")).as("text"),
@@ -216,18 +216,18 @@ object LlmQueries {
 
     "q35_doc_stats" ->
       """SELECT doc_id,
-           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-           CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
+           CAST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''))) AS BIGINT) AS n_distinct,
            CAST(length(text) AS BIGINT) AS n_chars_text,
            round(CAST(length(replace(text, ' ', '')) AS DOUBLE)
-             / len(string_split(text, ' ')), 4) AS avg_token_len,
-           round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
-             / len(string_split(text, ' ')), 4) AS ttr
+             / len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')), 4) AS avg_token_len,
+           round(CAST(len(list_distinct(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''))) AS DOUBLE)
+             / len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')), 4) AS ttr
          FROM documents ORDER BY doc_id""",
 
     "q36_word_freq" ->
       """SELECT word, count(*) AS cnt
-         FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+         FROM (SELECT unnest(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS word FROM documents)
          GROUP BY word ORDER BY cnt DESC, word ASC LIMIT 50""",
 
     "q37_exact_dedup" ->
@@ -237,18 +237,18 @@ object LlmQueries {
 
     "q38_vocab_fingerprint" ->
       """SELECT doc_id,
-           sha256(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' ')) AS fingerprint
+           sha256(array_to_string(list_sort(list_distinct(list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> ''))), ' ')) AS fingerprint
          FROM documents ORDER BY doc_id""",
 
     "q39_quality" ->
       s"""SELECT doc_id,
-           round(CAST(len(list_filter(string_split(lower(text), ' '),
+           round(CAST(len(list_filter(list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> ''),
              w -> w IN ($stopwordSqlList))) AS DOUBLE)
-             / len(string_split(text, ' ')), 4) AS stopword_ratio,
-           round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
-             / len(string_split(text, ' ')), 4) AS ttr,
+             / len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')), 4) AS stopword_ratio,
+           round(CAST(len(list_distinct(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> ''))) AS DOUBLE)
+             / len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')), 4) AS ttr,
            round(CAST(length(replace(text, ' ', '')) AS DOUBLE)
-             / len(string_split(text, ' ')), 4) AS avg_token_len
+             / len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')), 4) AS avg_token_len
          FROM documents ORDER BY doc_id""",
 
     "q62_label_centroids" ->

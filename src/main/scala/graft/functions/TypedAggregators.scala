@@ -19,6 +19,7 @@ object TypedAggregators {
     override def zero: (Array[Double], Long) = (new Array[Double](dim), 0L)
 
     override def reduce(b: (Array[Double], Long), v: Seq[Float]): (Array[Double], Long) = {
+      if (v == null) return b // builtin aggregates skip nulls; so do we
       val (acc, n) = b
       var i = 0
       val m = math.min(dim, v.length)
@@ -52,6 +53,7 @@ object TypedAggregators {
     override def zero: Array[Long] = Array.fill(numHashes)(Long.MaxValue)
 
     override def reduce(acc: Array[Long], sig: Seq[Long]): Array[Long] = {
+      if (sig == null) return acc
       var i = 0
       val m = math.min(numHashes, sig.length)
       while (i < m) { if (sig(i) < acc(i)) acc(i) = sig(i); i += 1 }

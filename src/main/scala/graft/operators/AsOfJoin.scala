@@ -39,8 +39,11 @@ object AsOfJoin {
       .select((keys.map(col) ++ Seq(col("__t"), col("__side")) ++
         leftCols.filterNot(keys.contains).map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
         payload.map(col)).toIndexedSeq: _*)
+    // payload columns join the ordering so right rows sharing (key, time)
+    // resolve deterministically (greatest payload tuple wins)
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("__t").asc, col("__side").desc)
+      .orderBy(Seq(col("__t").asc, col("__side").desc) ++
+        payload.map(c => col(c).asc_nulls_first): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = payload.foldLeft(l.unionByName(r)) { (df, c) =>
       df.withColumn(c, last(col(c), ignoreNulls = true).over(w))

@@ -110,8 +110,12 @@ object Dedup {
     * Returns distinct candidate pairs (id_a < id_b).
     */
   def minHashCandidatePairs(withSig: DataFrame, idCol: String,
-                            bands: Int, rowsPerBand: Int): DataFrame = {
-    require(bands * rowsPerBand <= 1024, "band layout too large")
+                            bands: Int, rowsPerBand: Int,
+                            numHashes: Int = 32): DataFrame = {
+    // an oversized layout would slice past the signature: empty bands hash
+    // to one constant -> every doc in a single bucket -> O(n^2) blowup
+    require(bands * rowsPerBand == numHashes,
+      s"band layout ${bands}x$rowsPerBand must cover the signature length $numHashes exactly")
     val banded = withSig
       .select(col(idCol).as("__id"), col("minhash"))
       .withColumn("band", explode(expr(

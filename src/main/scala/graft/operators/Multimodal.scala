@@ -88,22 +88,26 @@ object Multimodal {
   }
 
   /** Mean-pool frame features into one embedding per media item — output
-    * feeds VectorFunctions / similarity search directly. */
+    * feeds VectorFunctions / similarity search directly. The output
+    * dimension is whatever the frames carry (taken from the first frame
+    * of each group). */
   def frameEmbeddings(decoded: Dataset[DecodedFrame]): DataFrame = {
-    val dim = 64
     val spark = decoded.sparkSession
     import spark.implicits._
     decoded
       .groupByKey(_.media_id)
       .mapGroups { (id, frames) =>
-        val acc = new Array[Float](dim)
+        var acc: Array[Float] = null
         var n = 0
         frames.foreach { fr =>
+          if (acc == null) acc = new Array[Float](fr.pixels.length)
           var i = 0
-          while (i < math.min(dim, fr.pixels.length)) { acc(i) += fr.pixels(i); i += 1 }
+          val m = math.min(acc.length, fr.pixels.length)
+          while (i < m) { acc(i) += fr.pixels(i); i += 1 }
           n += 1
         }
-        if (n > 0) { var i = 0; while (i < dim) { acc(i) /= n; i += 1 } }
+        if (acc == null) acc = Array.emptyFloatArray
+        if (n > 0) { var i = 0; while (i < acc.length) { acc(i) /= n; i += 1 } }
         (id, acc.toSeq)
       }
       .toDF("media_id", "embedding")

@@ -53,7 +53,7 @@ object MinHashSignature {
     * lowercase, whitespace-tokenize, hash tokens once, then one pass per
     * shingle updating all `numHashes` minima. */
   def compute(text: UTF8String, shingleSize: Int, numHashes: Int): ArrayData = {
-    val toks = text.toString.toLowerCase.trim.split("\\s+")
+    val toks = text.toString.toLowerCase(java.util.Locale.ROOT).trim.split("\\s+")
     val th = new Array[Long](toks.length)
     var i = 0
     while (i < toks.length) {

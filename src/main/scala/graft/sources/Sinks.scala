@@ -47,18 +47,20 @@ object Sinks {
   def upsertParquet(updates: DataFrame, path: String, keys: Seq[String],
                     tiebreak: Seq[org.apache.spark.sql.Column]): Unit = {
     val spark = updates.sparkSession
+    val dst = new org.apache.hadoop.fs.Path(path)
+    // resolve the filesystem FROM THE PATH (hdfs://, s3a://, file:, ...) —
+    // a java.io.File check would silently miss non-local targets and drop
+    // the existing table from the merge
+    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val merged =
-      if (new java.io.File(path).exists())
+      if (fs.exists(dst))
         graft.operators.Merge.upsert(spark.read.parquet(path), updates, keys, tiebreak)
       else updates
     // write via temp dir then swap: parquet sinks can't read-and-overwrite
     // the same path in one job
-    val tmp = path + "__graft_tmp"
-    merged.write.mode(SaveMode.Overwrite).parquet(tmp)
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
-    val dst = new org.apache.hadoop.fs.Path(path)
+    val tmp = new org.apache.hadoop.fs.Path(path + "__graft_tmp")
+    merged.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
     fs.delete(dst, true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+    fs.rename(tmp, dst)
   }
 }

@@ -43,9 +43,10 @@ object StreamDemo {
     q.processAllAvailable()
     q.stop()
 
-    val result = spark.read.parquet(outDir)
+    val result = spark.read.schema(agg.schema).parquet(outDir)
     val n = result.count()
-    val total = result.agg(sum("n")).head.getLong(0)
+    val total = Option(result.agg(sum("n")).head.get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
     println(s"[stream-demo] windows=$n events_counted=$total (append mode drops " +
       "windows newer than the final watermark; a live stream would flush them)")
     result.orderBy("w_start").show(5, truncate = false)

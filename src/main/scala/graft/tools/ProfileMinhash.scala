@@ -11,13 +11,8 @@ object ProfileMinhash {
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.local(4)
     val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val docs = spark.read.parquet(s"$d/documents.parquet")
-    val twins = docs.filter(col("doc_id") < 20).select(
-      (col("doc_id") + 1000000L).as("doc_id"),
-      concat(col("text"), lit(" zz zz")).as("text"),
-      col("lang"), col("source"), col("n_chars"))
-    val corpus = docs.select("doc_id", "text", "lang", "source", "n_chars")
-      .unionByName(twins)
+    val corpus = graft.catalog.LlmQueries.withPlantedNearDups(
+      spark.read.parquet(s"$d/documents.parquet"))
 
     def time[T](label: String)(f: => T): T = {
       val t0 = System.nanoTime(); val r = f
