@@ -91,6 +91,45 @@ object ExtQueries2 {
         .orderBy(col("o_orderstatus"))
     }),
 
+    // --- corpus-statistics quality: mean -ln(corpus token frequency) -----
+    "q73_corpus_surprisal" -> ((s, d) => {
+      val toks = t(s, d, "documents")
+        .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("word"))
+      val freq = toks.groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      val total = toks.count().toDouble
+      toks.join(broadcast(freq), "word")
+        .groupBy(col("doc_id"))
+        .agg(round(avg(-log(col("cnt").cast("double") / lit(total))), 4)
+          .as("mean_surprisal"), count(lit(1)).as("n_tokens"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // --- windowed event dedup: first event per (user, type, 10-min bucket)
+    "q74_windowed_dedup" -> ((s, d) => {
+      import graft.operators.Dedup
+      val bucketed = ev(s, d).withColumn("bucket",
+        timestamp_seconds(floor(unix_timestamp(col("ts")) / 600) * 600))
+      Dedup.keepFirstAgg(
+        bucketed.select("event_id", "user_id", "event_type", "bucket"),
+        Seq("user_id", "event_type", "bucket"), "event_id")
+        .select(col("user_id"), col("event_type"), col("bucket"), col("event_id"))
+        .orderBy(col("user_id"), col("event_type"), col("bucket"))
+    }),
+
+    // --- forward as-of: next error event after each purchase, per user ---
+    "q75_asof_forward" -> ((s, d) => {
+      import graft.operators.AsOfJoin
+      val e = ev(s, d)
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val errors = e.filter(col("event_type") === "error")
+        .select(col("user_id"), col("ts").as("error_ts"))
+      AsOfJoin.forward(purchases, errors, Seq("user_id"),
+        leftTime = "ts", rightTime = "error_ts", payload = Seq("error_ts"))
+        .select(col("event_id"), col("user_id"), col("error_ts").as("next_error_ts"))
+        .orderBy(col("event_id"))
+    }),
+
     // --- nth_value / cume_dist / percent_rank ------------------------------
     "q69_window_rank_funcs" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
@@ -155,6 +194,36 @@ object ExtQueries2 {
            CAST(dayofyear(o_orderdate) AS BIGINT) AS doy,
            CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s
          FROM orders ORDER BY o_orderkey""",
+
+    "q73_corpus_surprisal" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS word
+           FROM documents),
+         freq AS (SELECT word, count(*) AS cnt FROM toks GROUP BY word),
+         total AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM toks)
+         SELECT t.doc_id,
+           round(avg(-ln(CAST(f.cnt AS DOUBLE) / (SELECT n FROM total))), 4) AS mean_surprisal,
+           count(*) AS n_tokens
+         FROM toks t JOIN freq f ON t.word = f.word
+         GROUP BY t.doc_id ORDER BY t.doc_id""",
+
+    "q74_windowed_dedup" ->
+      """SELECT user_id, event_type, bucket, event_id FROM (
+           SELECT user_id, event_type,
+             time_bucket(INTERVAL '10 minutes', ts) AS bucket, event_id,
+             row_number() OVER (PARTITION BY user_id, event_type,
+               time_bucket(INTERVAL '10 minutes', ts) ORDER BY event_id) AS rn
+           FROM events)
+         WHERE rn = 1
+         ORDER BY user_id, event_type, bucket""",
+
+    "q75_asof_forward" ->
+      """SELECT p.event_id, p.user_id,
+           (SELECT min(x.ts) FROM events x
+            WHERE x.user_id = p.user_id AND x.event_type = 'error'
+              AND x.ts >= p.ts) AS next_error_ts
+         FROM events p WHERE p.event_type = 'purchase'
+         ORDER BY p.event_id""",
 
     "q69_window_rank_funcs" ->
       """SELECT c_custkey, c_mktsegment,

@@ -58,6 +58,24 @@ object StreamOps {
       case None    => events.dropDuplicates(keys)
     }
 
+  /** Stream-stream inner join within a time bound: left events join right
+    * events of the same key with `right.ts in [left.ts, left.ts + within]`.
+    * Both sides carry watermarks so the join state is bounded — Spark
+    * drops buffered rows once they can no longer match. */
+  def streamStreamJoin(left: DataFrame, right: DataFrame, key: String,
+                       within: String, watermark: String): DataFrame = {
+    val l = left.withWatermark("ts", watermark)
+      .select(col(key).as("l_key"), col("ts").as("l_ts"),
+        col("event_id").as("l_event_id"))
+    val r = right.withWatermark("ts", watermark)
+      .select(col(key).as("r_key"), col("ts").as("r_ts"),
+        col("event_id").as("r_event_id"))
+    l.join(r,
+      col("l_key") === col("r_key") &&
+        col("r_ts") >= col("l_ts") &&
+        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $within"))
+  }
+
   /** Arbitrary per-key state (`flatMapGroupsWithState`): emits a running
     * (user_id, cumulative count, cumulative value sum) record per input
     * event. State is one counter pair per key — executor memory scales

@@ -8,6 +8,7 @@ import org.apache.spark.sql.functions._
 import graft.SparkSpec
 
 case class Ev(ts: Timestamp, user_id: Long, value: Double)
+case class Ev2(event_id: Long, ts: Timestamp, user_id: Long)
 
 /** Runtime streaming behavior (watermark, late data, stateful dedup) —
   * not oracle-checkable (SURVEY.md §5), exercised with MemoryStream. */
@@ -100,6 +101,27 @@ class StreamOpsSpec extends SparkSpec {
       .as[(Long, Long, Double)].collect().toSeq
     // state persists across batches: third event sees n=3, total=6
     assert(rows.last == ((1L, 3L, 6.0)))
+  }
+
+  test("stream-stream join within a time bound") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Ev2]
+    val buys = MemoryStream[Ev2]
+    val joined = StreamOps.streamStreamJoin(
+      clicks.toDF(), buys.toDF(), "user_id",
+      within = "30 MINUTES", watermark = "10 minutes")
+    val q = joined.writeStream.format("memory").queryName("ss_out")
+      .outputMode("append").start()
+    clicks.addData(Ev2(1L, ts("2024-01-01 10:00:00"), 7))
+    buys.addData(
+      Ev2(100L, ts("2024-01-01 10:10:00"), 7),  // within 30m -> match
+      Ev2(101L, ts("2024-01-01 11:00:00"), 7),  // outside -> no match
+      Ev2(102L, ts("2024-01-01 10:15:00"), 8))  // other user -> no match
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("ss_out")
+      .select("l_event_id", "r_event_id").as[(Long, Long)].collect().toSeq
+    assert(rows == Seq((1L, 100L)))
   }
 
   test("session windows over a stream") {
