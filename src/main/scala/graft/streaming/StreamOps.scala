@@ -76,6 +76,43 @@ object StreamOps {
         col("r_ts") <= col("l_ts") + expr(s"INTERVAL $within"))
   }
 
+  /** Same running totals on the `transformWithState` API (Spark 4's
+    * successor to flatMapGroupsWithState: typed ValueState handles,
+    * timer support, state-store-backed). */
+  class RunningTotalsProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, (Long, Double), (Long, Long, Double)] {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues}
+    import org.apache.spark.sql.Encoders
+    @transient private var totals: org.apache.spark.sql.streaming.ValueState[(Long, Double)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      totals = getHandle.getValueState[(Long, Double)]("totals",
+        Encoders.product[(Long, Double)],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[(Long, Double)],
+                                 timers: TimerValues): Iterator[(Long, Long, Double)] = {
+      var (n, s) = Option(totals.get()).getOrElse((0L, 0.0))
+      val out = rows.map { case (_, v) =>
+        n += 1; s += v
+        (key, n, s)
+      }.toList
+      totals.update((n, s))
+      out.iterator
+    }
+  }
+
+  /** [[RunningTotalsProcessor]] wired through `transformWithState`. */
+  def runningTotalsTws(events: DataFrame): org.apache.spark.sql.Dataset[(Long, Long, Double)] = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.selectExpr("user_id", "value").as[(Long, Double)]
+      .groupByKey(_._1)
+      .transformWithState(new RunningTotalsProcessor,
+        TimeMode.None(), OutputMode.Append())
+  }
+
   /** Arbitrary per-key state (`flatMapGroupsWithState`): emits a running
     * (user_id, cumulative count, cumulative value sum) record per input
     * event. State is one counter pair per key — executor memory scales

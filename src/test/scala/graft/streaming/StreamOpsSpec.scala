@@ -103,6 +103,28 @@ class StreamOpsSpec extends SparkSpec {
     assert(rows.last == ((1L, 3L, 6.0)))
   }
 
+  test("transformWithState: running totals persist across batches (ValueState)") {
+    implicit val sqlCtx = spark.sqlContext
+    // transformWithState requires the RocksDB state store provider
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val mem = MemoryStream[Ev]
+    val q = StreamOps.runningTotalsTws(mem.toDF())
+      .toDF("user_id", "n", "total")
+      .writeStream.format("memory").queryName("tws_out")
+      .outputMode("append").start()
+    mem.addData(Ev(ts("2024-01-01 00:01:00"), 1, 1.0),
+      Ev(ts("2024-01-01 00:02:00"), 1, 2.0))
+    q.processAllAvailable()
+    mem.addData(Ev(ts("2024-01-01 00:03:00"), 1, 3.0))
+    q.processAllAvailable()
+    q.stop()
+    spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    val rows = spark.table("tws_out").orderBy("n")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(rows.last == ((1L, 3L, 6.0)))
+  }
+
   test("stream-stream join within a time bound") {
     implicit val sqlCtx = spark.sqlContext
     val clicks = MemoryStream[Ev2]
