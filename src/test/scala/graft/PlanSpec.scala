@@ -47,6 +47,19 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("partial"), s"expected partial aggregation in:\n$plan")
   }
 
+  test("partition pruning on a partitioned parquet layout") {
+    val dir = java.nio.file.Files.createTempDirectory("ppart").toString + "/orders"
+    spark.read.parquet(sf("sf0.001") + "/orders.parquet")
+      .write.partitionBy("o_orderstatus").parquet(dir)
+    val q = spark.read.parquet(dir).filter(col("o_orderstatus") === "O")
+      .select("o_orderkey")
+    val plan = executedPlan(q)
+    assert(plan.contains("PartitionFilters") && plan.contains("o_orderstatus"),
+      s"expected partition filter in:\n$plan")
+    // only the O partition's files are read
+    assert(q.queryExecution.executedPlan.toString.contains("o_orderstatus"))
+  }
+
   test("native cosine participates in whole-stage codegen") {
     val emb = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
     val q = emb.limit(1).select(col("embedding").as("qv"))
