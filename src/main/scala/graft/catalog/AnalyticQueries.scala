@@ -11,11 +11,6 @@ object AnalyticQueries {
 
   import Catalog._
 
-  private def discRevenue = sum(
-    (col("l_extendedprice").cast("decimal(18,2)") *
-      (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
-      .cast("decimal(28,4)"))
-
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // --- Q3 analog: shipping priority — top 10 orders by revenue ---------
     "q70_shipping_priority" -> ((s, d) => {
@@ -27,7 +22,7 @@ object AnalyticQueries {
       li.join(ord, col("l_orderkey") === col("o_orderkey"))
         .join(broadcast(cust), col("o_custkey") === col("c_custkey"), "left_semi")
         .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
-        .agg(round(discRevenue.cast("double"), 4).as("revenue"))
+        .agg(discRevenue.as("revenue"))
         .orderBy(col("revenue").desc, col("l_orderkey").asc)
         .limit(10)
     }),
@@ -42,7 +37,7 @@ object AnalyticQueries {
         .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
         .join(broadcast(t(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
         .groupBy(col("r_name"), col("n_name"))
-        .agg(round(discRevenue.cast("double"), 4).as("revenue"),
+        .agg(discRevenue.as("revenue"),
           count(lit(1)).as("n_items"))
         .orderBy(col("r_name"), col("revenue").desc, col("n_name"))
     }),
@@ -54,7 +49,7 @@ object AnalyticQueries {
         .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
         .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
         .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
-        .agg(round(discRevenue.cast("double"), 4).as("revenue"))
+        .agg(discRevenue.as("revenue"))
         .orderBy(col("revenue").desc, col("c_custkey").asc)
         .limit(20)
     }))

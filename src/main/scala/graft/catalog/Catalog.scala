@@ -22,4 +22,12 @@ object Catalog {
   /** Exact money arithmetic: accumulate in decimal, present as double. */
   def dsum(c: Column, scale: Int = 2): Column =
     round(sum(c.cast(s"decimal(18,$scale)")).cast("double"), 4)
+
+  /** TPC-H discounted revenue `sum(extprice * (1 - discount))`, decimal-
+    * exact — the one definition all revenue queries (and their oracle
+    * SQL) must agree with. */
+  def discRevenue: Column =
+    round(sum((col("l_extendedprice").cast("decimal(18,2)") *
+      (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+      .cast("decimal(28,4)")).cast("double"), 4)
 }

@@ -23,9 +23,7 @@ object CoreQueries {
         .agg(
           dsum(col("l_quantity")).as("sum_qty"),
           dsum(col("l_extendedprice")).as("sum_base_price"),
-          round(sum((col("l_extendedprice").cast("decimal(18,2)") *
-            (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
-            .cast("decimal(28,4)")).cast("double"), 4).as("sum_disc_price"),
+          discRevenue.as("sum_disc_price"),
           round(sum(col("l_quantity").cast("decimal(18,2)")).cast("double") /
             count(lit(1)), 6).as("avg_qty"),
           count(lit(1)).as("n_rows"),
@@ -93,9 +91,7 @@ object CoreQueries {
         .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
         .groupBy(col("n_name"))
         .agg(
-          round(sum((col("l_extendedprice").cast("decimal(18,2)") *
-            (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
-            .cast("decimal(28,4)")).cast("double"), 4).as("revenue"),
+          discRevenue.as("revenue"),
           count(lit(1)).as("n_items"))
         .orderBy(col("n_name"))
     }),

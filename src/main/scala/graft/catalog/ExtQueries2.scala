@@ -94,12 +94,19 @@ object ExtQueries2 {
     // --- corpus-statistics quality: mean -ln(corpus token frequency) -----
     "q73_corpus_surprisal" -> ((s, d) => {
       val toks = t(s, d, "documents")
-        .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("word"))
+        .select(col("doc_id"),
+          explode(graft.functions.TextFunctions.tokens(col("text"))).as("word"))
       val freq = toks.groupBy(col("word")).agg(count(lit(1)).as("cnt"))
-      val total = toks.count().toDouble
-      toks.join(broadcast(freq), "word")
+      // total token count derived lazily (no driver-side action); the
+      // per-token surprisal is rounded to a fixed scale and accumulated
+      // in decimal so the mean is partition-order independent
+      val withTotal = freq.crossJoin(broadcast(freq.agg(sum(col("cnt")).as("total"))))
+      toks.join(broadcast(withTotal), "word")
+        .withColumn("surprisal",
+          round(-log(col("cnt").cast("double") / col("total").cast("double")), 9)
+            .cast("decimal(28,9)"))
         .groupBy(col("doc_id"))
-        .agg(round(avg(-log(col("cnt").cast("double") / lit(total))), 4)
+        .agg(round((sum(col("surprisal")).cast("double") / count(lit(1))), 4)
           .as("mean_surprisal"), count(lit(1)).as("n_tokens"))
         .orderBy(col("doc_id"))
     }),
@@ -202,7 +209,7 @@ object ExtQueries2 {
          freq AS (SELECT word, count(*) AS cnt FROM toks GROUP BY word),
          total AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM toks)
          SELECT t.doc_id,
-           round(avg(-ln(CAST(f.cnt AS DOUBLE) / (SELECT n FROM total))), 4) AS mean_surprisal,
+           round(CAST(sum(CAST(round(-ln(CAST(f.cnt AS DOUBLE) / (SELECT n FROM total)), 9) AS DECIMAL(28,9))) AS DOUBLE) / count(*), 4) AS mean_surprisal,
            count(*) AS n_tokens
          FROM toks t JOIN freq f ON t.word = f.word
          GROUP BY t.doc_id ORDER BY t.doc_id""",

@@ -10,8 +10,12 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
-  /** Whitespace tokenization. */
-  def tokens(text: Column): Column = split(trim(text), "\\s+")
+  /** Whitespace tokenization. Empty tokens are filtered so empty /
+    * whitespace-only text yields zero tokens (Spark's split returns [""]
+    * there) — keeps ratios null-propagating and matches the SQL-engine
+    * convention (`string_split_regex` + empty filter). */
+  def tokens(text: Column): Column =
+    filter(split(trim(text), "\\s+"), t => t =!= "")
 
   /** BPE-ish subword split: words plus punctuation runs as separate tokens
     * (regexp-based approximation of a byte-pair pre-tokenizer). */
