@@ -154,6 +154,19 @@ object LlmQueries {
         .select(col("vec_id"), round(col("cosine_sim"), 4).as("cosine_sim"))
     }),
 
+    // --- IVF coarse-quantized ANN top-k (rows-only: approximate) ---------
+    "q76_ivf_topk" -> ((s, d) => {
+      import scala.jdk.CollectionConverters._
+      import graft.functions.IvfIndex
+      val emb = t(s, d, "embeddings")
+      val qv = emb.filter(col("vec_id") === 0).select("embedding")
+        .collect()(0).getList[Float](0).asScala.toSeq
+      val rest = emb.filter(col("vec_id") =!= 0)
+      val (indexed, centroids) = IvfIndex.build(rest, "embedding", "vec_id", k = 8)
+      IvfIndex.topK(indexed, centroids, "embedding", "vec_id", qv, k = 10, nprobe = 4)
+        .select(col("vec_id"), round(col("cosine_sim"), 4).as("cosine_sim"))
+    }),
+
     // --- multimodal: metadata analytics over binary media table ----------
     "q60_media_meta" -> ((s, d) => {
       import graft.operators.Multimodal

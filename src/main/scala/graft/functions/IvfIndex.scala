@@ -1,0 +1,82 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+
+/** IVF (inverted-file) approximate nearest-neighbor index — the coarse-
+  * quantizer scale path for similarity search (complements the
+  * random-hyperplane LSH variant in [[VectorFunctions]]).
+  *
+  * Train: deterministic k-means-style clustering — initial centroids are
+  * the k lowest-id vectors, then `iterations` Lloyd rounds of
+  * (assign to max-cosine centroid, recompute centroid = element-wise
+  * mean). All steps are DataFrame plans: assignment is a broadcast cross
+  * join against the (small) centroid set + keep-best aggregation; the
+  * mean is the [[TypedAggregators.VectorMean]] UDAF (map-side combined).
+  *
+  * Query: score the query against the k centroids, probe only the
+  * `nprobe` nearest clusters, brute-force within them. At 100 TB the
+  * probed fraction (~nprobe/k of the corpus) is the whole point —
+  * partition the indexed table by `cluster_id` on disk so a probe is a
+  * partition-pruned scan.
+  */
+object IvfIndex {
+
+  /** Assign every vector to its best centroid (max cosine, ties to the
+    * lowest centroid id). `centroids` must be small (broadcast). */
+  private def assign(vectors: DataFrame, centroids: DataFrame,
+                     vecCol: String, idCol: String): DataFrame = {
+    val scored = vectors
+      .crossJoin(broadcast(centroids.select(
+        col("cluster_id"), col("centroid"))))
+      .withColumn("__sim",
+        graft.plans.CosineSimilarity(col(vecCol), col("centroid")))
+      .drop("centroid")
+    // keep-best: max sim, then lowest cluster_id — deterministic
+    Dedup.keepFirst(scored, Seq(idCol),
+      Seq(col("__sim").desc_nulls_last, col("cluster_id").asc))
+      .drop("__sim")
+  }
+
+  /** Build the index: returns (vectors + `cluster_id`, centroids). */
+  def build(vectors: DataFrame, vecCol: String, idCol: String,
+            k: Int = 16, iterations: Int = 2): (DataFrame, DataFrame) = {
+    val dim = vectors.select(size(col(vecCol))).head.getInt(0)
+    val mean = udaf(new TypedAggregators.VectorMean(dim))
+    // deterministic seeding: the k lowest-id vectors
+    var centroids = vectors.orderBy(col(idCol).asc).limit(k)
+      .select(row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy(col(idCol)))
+          .cast("long").as("cluster_id"),
+        col(vecCol).cast("array<double>").as("centroid"))
+    var assigned = assign(vectors, centroids, vecCol, idCol)
+    for (_ <- 1 to iterations) {
+      centroids = assigned
+        .groupBy(col("cluster_id"))
+        .agg(mean(col(vecCol).cast("array<float>")).as("centroid"))
+      assigned = assign(vectors, centroids, vecCol, idCol)
+    }
+    (assigned, centroids)
+  }
+
+  /** Probe the `nprobe` clusters nearest to `queryVec`, brute-force
+    * cosine within them, return top-k (sim desc, id asc). */
+  def topK(indexed: DataFrame, centroids: DataFrame, vecCol: String,
+           idCol: String, queryVec: Seq[Float], k: Int,
+           nprobe: Int = 2): DataFrame = {
+    val q = array(queryVec.map(v => lit(v)): _*)
+    val probeClusters = centroids
+      .withColumn("__sim", graft.plans.CosineSimilarity(col("centroid"), q))
+      .orderBy(col("__sim").desc_nulls_last, col("cluster_id").asc)
+      .limit(nprobe)
+      .select("cluster_id")
+    indexed
+      .join(broadcast(probeClusters), Seq("cluster_id"), "left_semi")
+      .withColumn("cosine_sim", graft.plans.CosineSimilarity(col(vecCol), q))
+      .select(col(idCol), col("cosine_sim"))
+      .orderBy(col("cosine_sim").desc_nulls_last, col(idCol).asc)
+      .limit(k)
+  }
+}
