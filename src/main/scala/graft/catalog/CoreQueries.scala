@@ -145,7 +145,7 @@ object CoreQueries {
       t(s, d, "orders")
         .withColumn("rnk", row_number().over(w))
         .filter(col("rnk") <= 3)
-        .select(col("o_orderpriority"), col("rnk"), col("o_orderkey"),
+        .select(col("o_orderpriority"), col("rnk").cast("long").as("rnk"), col("o_orderkey"),
           round(col("o_totalprice"), 2).as("price"))
         .orderBy(col("o_orderpriority"), col("rnk"))
     }),
@@ -203,7 +203,7 @@ object CoreQueries {
         .select(
           col("p_partkey"),
           substring(col("p_name"), 1, 8).as("prefix"),
-          length(col("p_name")).as("name_len"),
+          length(col("p_name")).cast("long").as("name_len"),
           upper(col("p_brand")).as("brand_uc"),
           lower(col("p_type")).as("type_lc"),
           concat_ws("-", col("p_brand"), col("p_type")).as("brand_type"),
@@ -477,7 +477,7 @@ object CoreQueries {
 
     "q20_json_extract" ->
       """SELECT event_type,
-           sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
            count(*) AS n,
            min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
            max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k

@@ -72,9 +72,9 @@ object ExtQueries {
       t(s, d, "orders")
         .select(
           col("o_orderkey"), col("o_orderstatus"),
-          dense_rank().over(w).as("drank"),
+          dense_rank().over(w).cast("long").as("drank"),
           ntile(4).over(Window.partitionBy(col("o_orderstatus"))
-            .orderBy(col("o_orderkey").asc)).as("quartile"),
+            .orderBy(col("o_orderkey").asc)).cast("long").as("quartile"),
           round(lead(col("o_totalprice"), 1).over(w), 2).as("next_price"),
           round(first(col("o_totalprice")).over(
             w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2)

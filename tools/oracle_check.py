@@ -73,6 +73,14 @@ def main():
             failures.append((name, f"schema mismatch: duck={dc} spark={sc}"))
             n_fail += 1
             continue
+        # type drift warning: value-equal but differently-typed columns
+        # could still break a type-sensitive hash compare
+        dtypes = {f.name: str(f.type) for f in duck.schema}
+        stypes = {f.name: str(f.type) for f in spark.schema}
+        drift = {c: (dtypes[c], stypes[c]) for c in dtypes
+                 if dtypes[c] != stypes[c]}
+        if drift:
+            print(f"WARN {name} type drift (duck, spark): {drift}")
         if drows != srows:
             msg = f"rows differ: duck={len(drows)} spark={len(srows)}"
             for i, (a, b) in enumerate(zip(drows, srows)):
