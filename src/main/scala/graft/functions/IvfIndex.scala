@@ -40,25 +40,34 @@ object IvfIndex {
       .drop("__sim")
   }
 
-  /** Build the index: returns (vectors + `cluster_id`, centroids). */
+  /** Build the index: returns (vectors + `cluster_id`, centroids).
+    *
+    * The centroid frame is tiny (k rows) and feeds every later stage —
+    * it is persisted so probes and the assigned frame don't re-run the
+    * iterative clustering lineage. Null vectors are excluded up front. */
   def build(vectors: DataFrame, vecCol: String, idCol: String,
             k: Int = 16, iterations: Int = 2): (DataFrame, DataFrame) = {
-    val dim = vectors.select(size(col(vecCol))).head.getInt(0)
+    val clean = vectors.filter(col(vecCol).isNotNull)
+    val dimRow = clean.select(size(col(vecCol)).as("d")).limit(1).collect()
+    require(dimRow.nonEmpty, "IvfIndex.build: no non-null vectors to index")
+    val dim = dimRow(0).getInt(0)
     val mean = udaf(new TypedAggregators.VectorMean(dim))
     // deterministic seeding: the k lowest-id vectors
-    var centroids = vectors.orderBy(col(idCol).asc).limit(k)
+    var centroids = clean.orderBy(col(idCol).asc).limit(k)
       .select(row_number().over(
           org.apache.spark.sql.expressions.Window.orderBy(col(idCol)))
           .cast("long").as("cluster_id"),
         col(vecCol).cast("array<double>").as("centroid"))
-    var assigned = assign(vectors, centroids, vecCol, idCol)
+    var assigned = assign(clean, centroids, vecCol, idCol)
     for (_ <- 1 to iterations) {
       centroids = assigned
         .groupBy(col("cluster_id"))
         .agg(mean(col(vecCol).cast("array<float>")).as("centroid"))
-      assigned = assign(vectors, centroids, vecCol, idCol)
+      assigned = assign(clean, centroids, vecCol, idCol)
     }
-    (assigned, centroids)
+    val pinned = centroids.persist()
+    pinned.count() // materialize so downstream plans reuse, not re-cluster
+    (assign(clean, pinned, vecCol, idCol), pinned)
   }
 
   /** Probe the `nprobe` clusters nearest to `queryVec`, brute-force

@@ -28,26 +28,31 @@ object TextFunctions {
 
   def distinctTokenCount(text: Column): Column = size(array_distinct(tokens(text)))
 
+  /** ANSI-safe division: null (not DIVIDE_BY_ZERO) on a zero denominator,
+    * so ratios null-propagate on empty/degenerate text. */
+  private def safeDiv(num: Column, den: Column): Column =
+    num / nullif(den.cast("double"), lit(0.0))
+
   /** Mean token length (characters per token, whitespace excluded). */
   def avgTokenLength(text: Column): Column =
-    length(regexp_replace(text, "\\s+", "")).cast("double") /
-      tokenCount(text).cast("double")
+    safeDiv(length(regexp_replace(text, "\\s+", "")).cast("double"),
+      tokenCount(text))
 
   /** Type-token ratio — a standard lexical-diversity quality signal. */
   def typeTokenRatio(text: Column): Column =
-    distinctTokenCount(text).cast("double") / tokenCount(text).cast("double")
+    safeDiv(distinctTokenCount(text).cast("double"), tokenCount(text))
 
   /** Fraction of tokens found in `stopwords` (lowercased comparison). */
   def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {
     val sw = array(stopwords.map(s => lit(s.toLowerCase)): _*)
-    size(filter(tokens(lower(text)), t => array_contains(sw, t))).cast("double") /
-      tokenCount(text).cast("double")
+    safeDiv(size(filter(tokens(lower(text)), t => array_contains(sw, t))).cast("double"),
+      tokenCount(text))
   }
 
   /** Fraction of characters that are punctuation. */
   def punctRatio(text: Column): Column =
-    (length(text) - length(regexp_replace(text, "[\\p{Punct}]", ""))).cast("double") /
-      length(text).cast("double")
+    safeDiv((length(text) - length(regexp_replace(text, "[\\p{Punct}]", ""))).cast("double"),
+      length(text))
 
   /** Composite quality score in [0,1]: rewards moderate length, lexical
     * diversity and low punctuation noise. Deterministic and documented so

@@ -19,11 +19,12 @@ object TypedAggregators {
     override def zero: (Array[Double], Long) = (new Array[Double](dim), 0L)
 
     override def reduce(b: (Array[Double], Long), v: Seq[Float]): (Array[Double], Long) = {
-      if (v == null) return b // builtin aggregates skip nulls; so do we
+      // skip nulls (builtin-aggregate convention) AND ragged vectors —
+      // zero-padding a short vector would silently bias the centroid
+      if (v == null || v.length != dim) return b
       val (acc, n) = b
       var i = 0
-      val m = math.min(dim, v.length)
-      while (i < m) { acc(i) += v(i); i += 1 }
+      while (i < dim) { acc(i) += v(i); i += 1 }
       (acc, n + 1)
     }
 

@@ -34,7 +34,8 @@ object VectorFunctions {
   /** Reference implementation of [[cosine]] via higher-order functions —
     * identical fold order/semantics, used to cross-check the native
     * expression in tests. */
-  def cosineHof(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  def cosineHof(a: Column, b: Column): Column =
+    dot(a, b) / nullif(norm(a) * norm(b), lit(0.0))
 
   /** Brute-force top-k nearest neighbors of a single query vector.
     *

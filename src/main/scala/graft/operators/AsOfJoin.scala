@@ -19,36 +19,47 @@ object AsOfJoin {
     * with `right.timeCol <= left.timeCol` and equal `keys` (left-outer:
     * null payload when no prior right row exists).
     *
-    * `payload` = right columns to carry (must not collide with left names).
+    * `payload` = right columns to carry (must not collide with left
+    * names). The whole payload is carried as ONE struct, so the output is
+    * always a genuine right row (never a column-wise mix of different
+    * rows), null payload values inside the as-of row are preserved, and
+    * ties on (key, time) resolve deterministically to the greatest
+    * payload tuple.
     */
   def backward(left: DataFrame, right: DataFrame, keys: Seq[String],
                leftTime: String, rightTime: String,
                payload: Seq[String]): DataFrame = {
     val leftCols = left.columns.toSeq
+    val payloadStruct = struct(payload.map(col): _*)
+    val nullStruct = lit(null).cast(
+      org.apache.spark.sql.types.StructType(payload.map(c =>
+        org.apache.spark.sql.types.StructField(c, right.schema(c).dataType,
+          nullable = true))))
     // side = 1 for right so that at equal timestamps the right row sorts
     // first and is visible to the left row (<= semantics).
     val l = left
       .withColumn("__t", col(leftTime))
       .withColumn("__side", lit(0))
       .select((keys.map(col) ++ Seq(col("__t"), col("__side")) ++
-        leftCols.filterNot(keys.contains).map(col) ++
-        payload.map(c => lit(null).cast(right.schema(c).dataType).as(c))).toIndexedSeq: _*)
+        leftCols.filterNot(keys.contains).map(col) :+
+        nullStruct.as("__payload")).toIndexedSeq: _*)
     val r = right
       .withColumn("__t", col(rightTime))
       .withColumn("__side", lit(1))
       .select((keys.map(col) ++ Seq(col("__t"), col("__side")) ++
-        leftCols.filterNot(keys.contains).map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-        payload.map(col)).toIndexedSeq: _*)
-    // payload columns join the ordering so right rows sharing (key, time)
+        leftCols.filterNot(keys.contains).map(c =>
+          lit(null).cast(left.schema(c).dataType).as(c)) :+
+        payloadStruct.as("__payload")).toIndexedSeq: _*)
+    // payload struct joins the ordering so right rows sharing (key, time)
     // resolve deterministically (greatest payload tuple wins)
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(Seq(col("__t").asc, col("__side").desc) ++
-        payload.map(c => col(c).asc_nulls_first): _*)
+      .orderBy(col("__t").asc, col("__side").desc, col("__payload").asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = payload.foldLeft(l.unionByName(r)) { (df, c) =>
-      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-    }
-    carried.filter(col("__side") === 0).drop("__t", "__side")
+    val carried = l.unionByName(r)
+      .withColumn("__payload", last(col("__payload"), ignoreNulls = true).over(w))
+    carried.filter(col("__side") === 0)
+      .select((leftCols.map(col) ++
+        payload.map(c => col("__payload").getField(c).as(c))).toIndexedSeq: _*)
   }
 
   /** Forward as-of: earliest right row with `right.timeCol >= left.timeCol`

@@ -60,7 +60,11 @@ object Dedup {
     * documents, once the optimizer prunes columns.
     * Adds `content_hash`; drops duplicate rows. */
   def exactByContent(df: DataFrame, contentCol: String, idCol: String): DataFrame = {
-    val hashed = df.withColumn("content_hash", sha2(col(contentCol), 256))
+    // null content is NOT equal content (SQL semantics): give each
+    // null-content row its own hash group so none are dropped
+    val hashed = df.withColumn("content_hash",
+      coalesce(sha2(col(contentCol), 256),
+        concat(lit("null:"), col(idCol).cast("string"))))
     keepFirst(hashed, Seq("content_hash"), Seq(col(idCol)))
   }
 

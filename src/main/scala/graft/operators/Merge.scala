@@ -22,6 +22,8 @@ import org.apache.spark.sql.functions._
   * Determinism: Postgres resolves intra-batch conflicts by statement order.
   * We require an explicit `tiebreak` ordering instead (SURVEY.md §2.A
   * hazards) — callers pass the column order that reproduces "file order".
+  * Tiebreaks must be BARE columns (`col("ts")`), not pre-sorted
+  * (`col("ts").asc`) — the merge applies its own sort direction.
   */
 object Merge {
 
@@ -50,12 +52,16 @@ object Merge {
     * reference does — load.py:104-107). */
   def updateColumns(target: DataFrame, updates: DataFrame, keys: Seq[String],
                     setCols: Seq[String]): DataFrame = {
+    // matched-ness is decided by a join marker, not value nullness — an
+    // update row carrying NULL must still set the column to NULL
+    // (Postgres UPDATE ... SET col = NULL semantics)
     val renamed = setCols.foldLeft(updates.select((keys ++ setCols).map(col): _*)) {
       (df, c) => df.withColumnRenamed(c, s"__graft_new_$c")
-    }
+    }.withColumn("__graft_matched", lit(true))
     val joined = target.join(renamed, keys, "left")
     val projected = target.columns.map { c =>
-      if (setCols.contains(c)) coalesce(col(s"__graft_new_$c"), col(c)).as(c)
+      if (setCols.contains(c))
+        when(col("__graft_matched"), col(s"__graft_new_$c")).otherwise(col(c)).as(c)
       else col(c)
     }
     joined.select(projected.toIndexedSeq: _*)

@@ -55,6 +55,16 @@ class TextFunctionsSpec extends SparkSpec {
     assert(out(3L) == "de")
   }
 
+  test("ratios null-propagate on empty/whitespace-only text (no ANSI divide error)") {
+    val df = Seq((1L, ""), (2L, "   ")).toDF("id", "text")
+    val out = df.select($"id",
+      TextFunctions.typeTokenRatio($"text").as("ttr"),
+      TextFunctions.avgTokenLength($"text").as("atl"),
+      TextFunctions.stopwordRatio($"text", Seq("the")).as("swr"))
+      .as[(Long, Option[Double], Option[Double], Option[Double])].collect()
+    assert(out.forall { case (_, a, b, c) => a.isEmpty && b.isEmpty && c.isEmpty })
+  }
+
   test("subwordTokens splits punctuation from words") {
     val df = Seq((1L, "hello, world")).toDF("id", "text")
     val out = df.select(TextFunctions.subwordTokens($"text"))

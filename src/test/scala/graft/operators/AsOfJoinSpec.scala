@@ -37,6 +37,19 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out.head.contains(ts("2024-01-01 10:00:00")))
   }
 
+  test("backward carries whole rows: null payload fields stay null, no cross-row mixing") {
+    val left = Seq((1L, 100L, ts("2024-01-01 12:00:00"))).toDF("user_id", "event_id", "ts")
+    val right = Seq(
+      (1L, ts("2024-01-01 10:00:00"), Some(5L), None: Option[Long]),
+      (1L, ts("2024-01-01 11:00:00"), None: Option[Long], Some(7L)))
+      .toDF("user_id", "r_ts", "a", "b")
+    val out = AsOfJoin.backward(left, right, Seq("user_id"), "ts", "r_ts",
+      Seq("a", "b")).select("a", "b")
+      .as[(Option[Long], Option[Long])].collect().head
+    // nearest prior row is (a=null, b=7): a must be null, not resurrect 5
+    assert(out == ((None, Some(7L))))
+  }
+
   test("backward preserves every left row (left-outer semantics)") {
     val left = Seq(
       (1L, 1L, ts("2024-01-01 01:00:00")),

@@ -46,6 +46,13 @@ class MergeSpec extends SparkSpec {
     assert(out == Seq((0L, "zero", 1), (1L, "A2", 1), (2L, "b", 1)))
   }
 
+  test("updateColumns can set a matched column to NULL (join marker, not coalesce)") {
+    val updates = Seq((1L, None: Option[String])).toDF("k", "v")
+    val out = Merge.updateColumns(target, updates, Seq("k"), Seq("v"))
+      .orderBy("k").select("k", "v").as[(Long, Option[String])].collect().toSeq
+    assert(out == Seq((0L, Some("zero")), (1L, None), (2L, Some("b"))))
+  }
+
   test("updateMisses finds update keys with no target row") {
     val updates = Seq((1L, "x"), (9L, "y")).toDF("k", "v")
     val out = Merge.updateMisses(target, updates, Seq("k"))
