@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked run JVM's stdout straight through (no "[info] " logger
+// prefix) — graft.Bench's JSON line must be machine-parseable as-is.
+run / outputStrategy := Some(StdoutOutput)
+// The driver parses the LAST stdout line of `runMain graft.Bench` as JSON;
+// sbt's trailing "[success] Total time: …" line broke that in round 1
+// (BENCH_r01.json parsed:null). Suppress it so Bench's JSON line is last.
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -19,6 +19,10 @@ object LlmQueries {
 
   import Catalog._
 
+  /** Session-scoped IVF index cache for q76 (see there). */
+  private[catalog] val ivfCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), graft.functions.IvfIndex.Index]()
+
   /** Stopword list shared by query and oracle (subset of the testdata
     * vocabulary so ratios are non-trivial). */
   private val stopwords = Seq("the", "a", "and", "of")
@@ -162,8 +166,12 @@ object LlmQueries {
       val qv = emb.filter(col("vec_id") === 0).select("embedding")
         .collect()(0).getList[Float](0).asScala.toSeq
       val rest = emb.filter(col("vec_id") =!= 0)
-      val (indexed, centroids) = IvfIndex.build(rest, "embedding", "vec_id", k = 8)
-      IvfIndex.topK(indexed, centroids, "embedding", "vec_id", qv, k = 10, nprobe = 4)
+      // one index per (session, sfDir): repeated catalog invocations reuse
+      // the persisted centroids instead of leaking a new cached copy each
+      // time (Index.close() is the owning-lifecycle API for library users)
+      val idx = LlmQueries.ivfCache.computeIfAbsent((s, d),
+        _ => IvfIndex.build(rest, "embedding", "vec_id", k = 8))
+      IvfIndex.topK(idx.indexed, idx.centroids, "embedding", "vec_id", qv, k = 10, nprobe = 4)
         .select(col("vec_id"), round(col("cosine_sim"), 4).as("cosine_sim"))
     }),
 

@@ -24,6 +24,15 @@ import graft.operators.Dedup
   */
 object IvfIndex {
 
+  /** A built index. The centroid frame is persisted for the index's
+    * lifetime (every probe and the assignment lineage read it); the caller
+    * owns that lifecycle — `close()` unpersists. Queries planned before
+    * `close()` still compute correctly afterwards (lineage is intact),
+    * they just re-run the clustering. */
+  final case class Index(indexed: DataFrame, centroids: DataFrame) extends AutoCloseable {
+    override def close(): Unit = { centroids.unpersist(); () }
+  }
+
   /** Assign every vector to its best centroid (max cosine, ties to the
     * lowest centroid id). `centroids` must be small (broadcast). */
   private def assign(vectors: DataFrame, centroids: DataFrame,
@@ -40,13 +49,15 @@ object IvfIndex {
       .drop("__sim")
   }
 
-  /** Build the index: returns (vectors + `cluster_id`, centroids).
+  /** Build the index: returns an [[Index]] of (vectors + `cluster_id`,
+    * centroids).
     *
     * The centroid frame is tiny (k rows) and feeds every later stage —
     * it is persisted so probes and the assigned frame don't re-run the
-    * iterative clustering lineage. Null vectors are excluded up front. */
+    * iterative clustering lineage; the caller unpersists via
+    * `Index.close()`. Null vectors are excluded up front. */
   def build(vectors: DataFrame, vecCol: String, idCol: String,
-            k: Int = 16, iterations: Int = 2): (DataFrame, DataFrame) = {
+            k: Int = 16, iterations: Int = 2): Index = {
     val clean = vectors.filter(col(vecCol).isNotNull)
     val dimRow = clean.select(size(col(vecCol)).as("d")).limit(1).collect()
     require(dimRow.nonEmpty, "IvfIndex.build: no non-null vectors to index")
@@ -67,7 +78,7 @@ object IvfIndex {
     }
     val pinned = centroids.persist()
     pinned.count() // materialize so downstream plans reuse, not re-cluster
-    (assign(clean, pinned, vecCol, idCol), pinned)
+    Index(assign(clean, pinned, vecCol, idCol), pinned)
   }
 
   /** Probe the `nprobe` clusters nearest to `queryVec`, brute-force

@@ -86,17 +86,21 @@ object Dedup {
       graft.plans.MinHashSignature(col(textCol), shingleSize, numHashes))
 
   /** Explode + hash-aggregate formulation of the signature (codegen'd
-    * builtins only, but shuffles one row per shingle). Kept as the
-    * pure-builtin alternative and as a cross-check for the native
-    * expression; prefer [[minHashSignature]].
+    * builtins only, but shuffles one row per shingle). Bit-identical to
+    * [[minHashSignature]] (same hash family: xxhash64(shingle), then
+    * xxhash64(j.toLong, h) — asserted by DedupSpec), so signatures from
+    * the two paths band together; prefer [[minHashSignature]] (no
+    * shuffle).
     */
   def minHashSignatureAgg(df: DataFrame, textCol: String, shingleSize: Int = 3,
                           numHashes: Int = 32, idCol: String = "doc_id"): DataFrame = {
     val exploded = df
       .select(col(idCol), explode(shingleExpr(textCol, shingleSize)).as("__sh"))
       .select(col(idCol), xxhash64(col("__sh")).as("__h"))
+    // lit(j.toLong): an Int literal would hash via hashInt, a different
+    // value than the native path's hashLong-composed seed
     val minCols = (0 until numHashes)
-      .map(j => min(xxhash64(lit(j), col("__h"))).as(s"__m$j"))
+      .map(j => min(xxhash64(lit(j.toLong), col("__h"))).as(s"__m$j"))
     exploded
       .groupBy(col(idCol))
       .agg(minCols.head, minCols.tail: _*)

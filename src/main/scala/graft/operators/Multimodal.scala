@@ -119,13 +119,19 @@ object Multimodal {
   def resizeFrames(decoded: Dataset[DecodedFrame], newDim: Int): Dataset[DecodedFrame] = {
     implicit val enc = Encoders.product[DecodedFrame]
     decoded.map { fr =>
-      val out = new Array[Float](newDim)
-      var i = 0
-      while (i < newDim) {
-        out(i) = fr.pixels((i.toLong * fr.pixels.length / newDim).toInt)
-        i += 1
+      if (fr.pixels.isEmpty) {
+        // nothing to sample from (dim=0 stub, or a real decoder emitting an
+        // empty frame): keep emptiness rather than fabricate pixels
+        DecodedFrame(fr.media_id, fr.frame_no, Array.emptyFloatArray)
+      } else {
+        val out = new Array[Float](newDim)
+        var i = 0
+        while (i < newDim) {
+          out(i) = fr.pixels((i.toLong * fr.pixels.length / newDim).toInt)
+          i += 1
+        }
+        DecodedFrame(fr.media_id, fr.frame_no, out)
       }
-      DecodedFrame(fr.media_id, fr.frame_no, out)
     }
   }
 

@@ -20,6 +20,21 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
+  /** Int parameter of a SQL builder: must be a foldable non-null literal.
+    * A column-valued argument would otherwise fail at `eval()` with an
+    * unhelpful NPE (or silently yield a wrong value) — raise the standard
+    * analysis errors instead. */
+  private def literalInt(e: Expression, fn: String, param: String): Int = {
+    if (!e.foldable)
+      throw new org.apache.spark.sql.AnalysisException("NON_FOLDABLE_ARGUMENT",
+        Map("funcName" -> s"`$fn`", "paramName" -> s"`$param`", "paramType" -> "\"INT\""))
+    val v = e.eval()
+    if (v == null)
+      throw new org.apache.spark.sql.AnalysisException("INVALID_PARAMETER_VALUE.NULL",
+        Map("parameter" -> s"`$param`", "functionName" -> s"`$fn`"))
+    v.asInstanceOf[Number].intValue()
+  }
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier("cosine_similarity"),
@@ -31,8 +46,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) => exprs match {
         case Seq(t)       => MinHashSignature(t, 3, 32)
         case Seq(t, k, n) => MinHashSignature(t,
-          k.eval().asInstanceOf[Number].intValue(),
-          n.eval().asInstanceOf[Number].intValue())
+          literalInt(k, "minhash", "shingleSize"),
+          literalInt(n, "minhash", "numHashes"))
         case _ => throw new IllegalArgumentException(
           "minhash(text[, shingleSize, numHashes])")
       }))
@@ -41,7 +56,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[ShingleHashSet].getName, "shingle_hash_set"),
       (exprs: Seq[Expression]) => exprs match {
         case Seq(t)    => ShingleHashSet(t, 3)
-        case Seq(t, k) => ShingleHashSet(t, k.eval().asInstanceOf[Number].intValue())
+        case Seq(t, k) => ShingleHashSet(t, literalInt(k, "shingle_hash_set", "shingleSize"))
         case _ => throw new IllegalArgumentException("shingle_hash_set(text[, shingleSize])")
       }))
   }

@@ -57,10 +57,22 @@ object Sinks {
         graft.operators.Merge.upsert(spark.read.parquet(path), updates, keys, tiebreak)
       else updates
     // write via temp dir then swap: parquet sinks can't read-and-overwrite
-    // the same path in one job
+    // the same path in one job. Swap order keeps a primary copy at every
+    // step (old data is parked at __graft_old, never deleted before the new
+    // data is in place) and every rename's boolean result is checked —
+    // rename can return false without throwing (e.g. object-store
+    // FileSystem impls), which round 1 silently ignored.
     val tmp = new org.apache.hadoop.fs.Path(path + "__graft_tmp")
+    val old = new org.apache.hadoop.fs.Path(path + "__graft_old")
     merged.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-    fs.delete(dst, true)
-    fs.rename(tmp, dst)
+    def renameOrThrow(src: org.apache.hadoop.fs.Path, to: org.apache.hadoop.fs.Path): Unit =
+      if (!fs.rename(src, to))
+        throw new java.io.IOException(s"upsertParquet: rename $src -> $to failed; " +
+          s"existing data is intact at ${if (fs.exists(dst)) dst else old}")
+    fs.delete(old, true) // leftover from a prior crash; dst or tmp holds the data
+    val hadExisting = fs.exists(dst)
+    if (hadExisting) renameOrThrow(dst, old)
+    renameOrThrow(tmp, dst)
+    if (hadExisting) fs.delete(old, true)
   }
 }

@@ -85,6 +85,27 @@ class DedupSpec extends SparkSpec {
       s"unrelated doc must not pair, got $pairs")
   }
 
+  test("native and builtin-agg minhash signatures are bit-identical (ADVICE r1)") {
+    // the two formulations must share one hash family or banding across
+    // them is meaningless — includes short docs (< shingleSize tokens),
+    // single token, repeated whitespace, and mixed case
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "two tokens"),
+      (3L, "one"),
+      (4L, "  padded   with   extra   spaces  "),
+      (5L, "MiXeD Case TOKENS here"))
+      .toDF("doc_id", "text")
+    val native = Dedup.minHashSignature(docs, "text", shingleSize = 3, numHashes = 16)
+      .select("doc_id", "minhash").as[(Long, Seq[Long])].collect().toMap
+    val agg = Dedup.minHashSignatureAgg(docs, "text", shingleSize = 3, numHashes = 16)
+      .select("doc_id", "minhash").as[(Long, Seq[Long])].collect().toMap
+    assert(native.keySet == agg.keySet)
+    native.foreach { case (id, sig) =>
+      assert(sig == agg(id), s"doc $id: native $sig != agg ${agg(id)}")
+    }
+  }
+
   test("jaccardVerify: identical docs have jaccard 1.0") {
     val docs = Seq(
       (1L, "a b c d e f g h"), (2L, "a b c d e f g h"), (3L, "x y z q r s t u"))

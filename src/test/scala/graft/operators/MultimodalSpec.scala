@@ -42,6 +42,18 @@ class MultimodalSpec extends SparkSpec {
     assert(r.collect().forall(_.pixels.length == 16))
   }
 
+  test("resizeFrames tolerates empty frames (ADVICE r1: dim=0 / empty decode)") {
+    import Multimodal.DecodedFrame
+    implicit val enc = org.apache.spark.sql.Encoders.product[DecodedFrame]
+    val d = spark.createDataset(Seq(
+      DecodedFrame(1L, 0, Array.emptyFloatArray),
+      DecodedFrame(1L, 1, Array(0.5f, 0.25f))))
+    val out = Multimodal.resizeFrames(d, newDim = 4).collect()
+      .map(f => f.frame_no -> f.pixels.toSeq).toMap
+    assert(out(0) == Seq.empty, "empty frame stays empty, no AIOOBE")
+    assert(out(1).length == 4)
+  }
+
   test("metaStats never reads the payload column (column pruning)") {
     val dir = java.nio.file.Files.createTempDirectory("mm").toString
     media.write.mode("overwrite").parquet(dir)

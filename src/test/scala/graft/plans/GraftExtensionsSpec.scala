@@ -47,5 +47,22 @@ class GraftExtensionsSpec extends AnyFunSuite {
       .collect().head.getSeq[Long](0)
     assert(sh.length == 2) // 2 distinct 3-shingles in 4 tokens
     assert(sh == sh.sorted)
+
+    // size parameters must be literals: a column-valued argument raises a
+    // clear AnalysisException naming the parameter, not an NPE (ADVICE r1)
+    import org.apache.spark.sql.AnalysisException
+    spark.range(3).toDF("n").createOrReplaceTempView("ext_n")
+    val e1 = intercept[AnalysisException] {
+      spark.sql("SELECT minhash('a b c', n, 16) FROM ext_n").collect()
+    }
+    assert(e1.getMessage.contains("shingleSize"), e1.getMessage)
+    val e2 = intercept[AnalysisException] {
+      spark.sql("SELECT shingle_hash_set('a b c', n) FROM ext_n").collect()
+    }
+    assert(e2.getMessage.contains("shingleSize"), e2.getMessage)
+    val e3 = intercept[AnalysisException] {
+      spark.sql("SELECT minhash('a b c', 3, CAST(NULL AS INT))").collect()
+    }
+    assert(e3.getMessage.contains("numHashes"), e3.getMessage)
   }
 }

@@ -38,5 +38,23 @@ class SinksSpec extends SparkSpec {
     val out = spark.read.parquet(p).orderBy("k").select("k", "v")
       .as[(Long, String)].collect().toSeq
     assert(out == Seq((1L, "a"), (2L, "B2"), (3L, "c")))
+    // swap left no working dirs behind (ADVICE r1: crash-safe rename order)
+    assert(!new java.io.File(p + "__graft_tmp").exists())
+    assert(!new java.io.File(p + "__graft_old").exists())
+  }
+
+  test("upsertParquet recovers when a stale __graft_old dir survives a crash") {
+    val p = tmp()
+    Sinks.upsertParquet(Seq((1L, "a", 1)).toDF("k", "v", "ver"),
+      p, Seq("k"), Seq(col("ver")))
+    // simulate a crash that died between parking old data and cleanup
+    val old = new java.io.File(p + "__graft_old")
+    assert(old.mkdirs())
+    new java.io.FileWriter(new java.io.File(old, "leftover")).append("x").close()
+    Sinks.upsertParquet(Seq((1L, "a2", 2)).toDF("k", "v", "ver"),
+      p, Seq("k"), Seq(col("ver")))
+    val out = spark.read.parquet(p).select("k", "v").as[(Long, String)].collect().toSeq
+    assert(out == Seq((1L, "a2")))
+    assert(!old.exists(), "stale __graft_old must be cleared, not block the rename")
   }
 }
