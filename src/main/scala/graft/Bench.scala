@@ -37,7 +37,20 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    run("q01_pricing_summary") // warmup, untimed
+    // Warmup, untimed: q01 exercises lineitem + agg codegen; the events
+    // scan and a 1-row JSON probe absorb the one-time costs (reader init,
+    // Jackson/json-path classload, per-table first-scan JIT) that otherwise
+    // land on whichever timed query first touches them (~4.5 s spike on
+    // q20 in round 1).
+    run("q01_pricing_summary")
+    try {
+      graft.sources.Tables.events(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+      spark.range(1)
+        .select(org.apache.spark.sql.functions.get_json_object(
+          org.apache.spark.sql.functions.lit("""{"k":1}"""), "$.k"))
+        .write.format("noop").mode("overwrite").save()
+    } catch { case e: Throwable => System.err.println(s"[bench] warmup: ${e.getMessage}") }
 
     val results = SparkEntry.queries.keys.toSeq.sorted.map(n => n -> run(n))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }

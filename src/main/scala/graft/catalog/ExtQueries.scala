@@ -154,7 +154,23 @@ object ExtQueries {
         .orderBy(col("o_orderkey"))
     }),
 
-    // --- posexplode with ordinality (rows-only: no portable SQL form) -----
+    // --- stratified deterministic sampling --------------------------------
+    // Different keep-rate per stratum (status F ~1/8, O ~1/4, else ~1/2)
+    // via the engines' shared md5: reproducible cross-engine sampling with
+    // no RNG state — the pattern for corpus downsampling where strata
+    // (language, source) need different rates. Pure narrow filter: no
+    // shuffle, pushes the sample below any later join/agg.
+    "q80_stratified_sample" -> ((s, d) => {
+      t(s, d, "orders")
+        .filter(substring(md5(col("o_orderkey").cast("string")), 1, 1) <=
+          when(col("o_orderstatus") === "F", "1")
+            .when(col("o_orderstatus") === "O", "3")
+            .otherwise("7"))
+        .select(col("o_orderkey"), col("o_orderstatus"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // --- posexplode with ordinality ---------------------------------------
     "q58_posexplode" -> ((s, d) => {
       t(s, d, "documents")
         .filter(col("doc_id") < 10)
@@ -271,6 +287,19 @@ object ExtQueries {
       """SELECT o_orderkey, o_orderstatus FROM orders
          WHERE substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) IN ('0', '1')
          ORDER BY o_orderkey""",
+
+    "q80_stratified_sample" ->
+      """SELECT o_orderkey, o_orderstatus FROM orders
+         WHERE substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) <=
+           CASE o_orderstatus WHEN 'F' THEN '1' WHEN 'O' THEN '3' ELSE '7' END
+         ORDER BY o_orderkey""",
+
+    "q58_posexplode" ->
+      """SELECT doc_id, CAST(generate_subscripts(toks, 1) - 1 AS INT) AS token_pos,
+           unnest(toks) AS token
+         FROM (SELECT doc_id, string_split(text, ' ') AS toks
+               FROM documents WHERE doc_id < 10) t
+         ORDER BY doc_id, token_pos""",
 
     "q59_map_funcs" ->
       """SELECT event_id,

@@ -224,6 +224,74 @@ object LlmQueries {
         round(aggregate(col("embedding"), lit(0.0),
           (acc, x) => greatest(acc, abs(x.cast("double")))), 4).as("max_abs"))
         .orderBy(col("vec_id"))
+    }),
+
+    // --- duplicate-cluster resolution: connected components --------------
+    // Candidate pairs alone under-deduplicate (A~B, B~C must collapse
+    // A,B,C): resolve pairs into clusters with the O(log n)-round
+    // alternating-star algorithm (operators.Graph). The demo graph is
+    // deterministic and SQL-expressible (consecutive-by-length chains per
+    // lang) so DuckDB's recursive CTE can oracle the transitive closure;
+    // production input is the LSH pair frame (GraphSpec pipeline test).
+    "q77_dup_clusters" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      import graft.operators.Graph
+      val docs = t(s, d, "documents")
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("n_chars").asc, col("doc_id").asc)
+      val edges = docs
+        .select(col("doc_id"), col("n_chars"),
+          lag(col("doc_id"), 1).over(w).as("prev_id"),
+          lag(col("n_chars"), 1).over(w).as("prev_chars"))
+        .filter(col("prev_id").isNotNull &&
+          col("n_chars") - col("prev_chars") <= 2)
+        .select(col("prev_id").as("src"), col("doc_id").as("dst"))
+      Graph.connectedComponents(edges,
+          nodes = Some((docs.select("doc_id"), "doc_id")))
+        .select(col("id").as("doc_id"), col("component"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // --- TF-IDF: the classic corpus-relevance score -----------------------
+    // tf per (doc, term) and df per term are both partial-aggregatable;
+    // the corpus size N broadcasts as a scalar subquery. Top-5 terms per
+    // doc via ranked window (per-doc partitions scale).
+    "q78_tfidf" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = t(s, d, "documents")
+      val toks = docs.select(col("doc_id"),
+        explode(TF.tokens(col("text"))).as("term"))
+      val tf = toks.groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+      val df = toks.groupBy(col("term"))
+        .agg(countDistinct(col("doc_id")).as("df"))
+      val n = docs.count() // scalar: corpus size (one tiny job)
+      val scored = tf.join(df, "term")
+        .withColumn("raw",
+          col("tf") * log((lit(n) + 1.0) / (col("df") + 1.0)))
+      val rk = Window.partitionBy(col("doc_id"))
+        .orderBy(col("raw").desc, col("term").asc)
+      scored.withColumn("rk", row_number().over(rk))
+        .filter(col("rk") <= 5 && col("doc_id") < 50)
+        .select(col("doc_id"), col("term"), round(col("raw"), 6).as("tfidf"))
+        .orderBy(col("doc_id"), col("tfidf").desc, col("term"))
+    }),
+
+    // --- n-gram (bigram) frequency ----------------------------------------
+    // lag window over posexploded tokens: one shuffle keyed by doc_id,
+    // per-doc partitions — no driver-side n-gram construction.
+    "q81_bigram_freq" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val toks = t(s, d, "documents")
+        .select(col("doc_id"), posexplode(TF.tokens(col("text"))))
+        .withColumnRenamed("pos", "p").withColumnRenamed("col", "tok")
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("p").asc)
+      toks.withColumn("prev", lag(col("tok"), 1).over(w))
+        .filter(col("prev").isNotNull)
+        .select(concat_ws(" ", col("prev"), col("tok")).as("bigram"))
+        .groupBy(col("bigram")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("bigram").asc)
+        .limit(40)
     }))
 
   def oracleSql: Map[String, String] = Map(
@@ -316,5 +384,51 @@ object LlmQueries {
            round(sum(CAST(e.embedding[CAST(i AS INT)] AS DOUBLE)), 4) AS sum_el,
            round(max(abs(CAST(e.embedding[CAST(i AS INT)] AS DOUBLE))), 4) AS max_abs
          FROM embeddings e, generate_series(1, 64) AS g(i)
-         GROUP BY e.vec_id, e.embedding ORDER BY e.vec_id""")
+         GROUP BY e.vec_id, e.embedding ORDER BY e.vec_id""",
+
+    // transitive closure via recursive CTE = the independent formulation
+    // of the engine's alternating-star connected components
+    "q77_dup_clusters" ->
+      """WITH RECURSIVE ordered AS (
+           SELECT doc_id, lang, n_chars,
+                  lag(doc_id)  OVER w AS prev_id,
+                  lag(n_chars) OVER w AS prev_chars
+           FROM documents
+           WINDOW w AS (PARTITION BY lang ORDER BY n_chars ASC, doc_id ASC)),
+         edges AS (
+           SELECT prev_id AS src, doc_id AS dst FROM ordered
+           WHERE prev_id IS NOT NULL AND n_chars - prev_chars <= 2),
+         undirected AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+         cc(id, comp) AS (
+           SELECT doc_id, doc_id FROM documents
+           UNION
+           SELECT u.dst, cc.comp FROM undirected u JOIN cc ON u.src = cc.id)
+         SELECT id AS doc_id, min(comp) AS component FROM cc
+         GROUP BY id ORDER BY doc_id""",
+
+    "q78_tfidf" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS term
+           FROM documents),
+         tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+         df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+         n AS (SELECT count(*) AS n FROM documents),
+         scored AS (
+           SELECT tf.doc_id, tf.term,
+                  tf.tf * ln((n.n + 1.0) / (df.df + 1.0)) AS raw,
+                  row_number() OVER (PARTITION BY tf.doc_id
+                    ORDER BY tf.tf * ln((n.n + 1.0) / (df.df + 1.0)) DESC, tf.term ASC) AS rk
+           FROM tf JOIN df USING (term) CROSS JOIN n)
+         SELECT doc_id, term, round(raw, 6) AS tfidf FROM scored
+         WHERE rk <= 5 AND doc_id < 50
+         ORDER BY doc_id, tfidf DESC, term""",
+
+    "q81_bigram_freq" ->
+      """WITH toks AS (
+           SELECT list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t FROM documents),
+         grams AS (
+           SELECT t[i] || ' ' || t[i+1] AS bigram
+           FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i) g)
+         SELECT bigram, count(*) AS cnt FROM grams GROUP BY 1
+         ORDER BY cnt DESC, bigram LIMIT 40""")
 }

@@ -72,6 +72,26 @@ object TimeQueries {
         .withColumn("mov_n", count(lit(1)).over(w))
         .select(col("event_id"), col("user_id"), col("mov_sum"), col("mov_n"))
         .orderBy(col("event_id"))
+    }),
+
+    // --- gap-based sessionization with explicit session numbers ----------
+    // Complements q31 (session_window aggregates): assigns each EVENT its
+    // per-user session ordinal — lag + running sum over per-user
+    // partitions, the batch twin of stateful streaming sessionization.
+    // Gap compares integer microseconds on both engines (sub-second-exact).
+    "q79_sessionize" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      ev(s, d)
+        .withColumn("new_s",
+          when(lag(col("ts"), 1).over(w).isNull ||
+            unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w))
+              > 1800000000L, 1L).otherwise(0L))
+        .withColumn("session_no",
+          sum(col("new_s")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select(col("user_id"), col("event_id"), col("session_no"))
+        .orderBy(col("user_id"), col("event_id"))
     }))
 
   def oracleSql: Map[String, String] = Map(
@@ -126,5 +146,18 @@ object TimeQueries {
               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE), 4) AS mov_sum,
            count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS mov_n
-         FROM events ORDER BY event_id""")
+         FROM events ORDER BY event_id""",
+
+    "q79_sessionize" ->
+      """WITH marked AS (
+           SELECT user_id, event_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                  THEN 1 ELSE 0 END AS new_s
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC))
+         SELECT user_id, event_id,
+           CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_no
+         FROM marked ORDER BY user_id, event_id""")
 }

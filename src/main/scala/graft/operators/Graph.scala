@@ -1,0 +1,112 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed graph clustering for duplicate-cluster resolution.
+  *
+  * After candidate-pair generation (LSH banding, SimHash buckets, exact
+  * content hash — [[Dedup]]), near-duplicate *pairs* must be resolved into
+  * *clusters* (connected components) so each group keeps one canonical
+  * document. Pairwise output alone under-deduplicates: A~B and B~C must
+  * collapse A,B,C together even when (A,C) was never a candidate.
+  *
+  * The algorithm is alternating large-star/small-star (Kiveris et al.,
+  * "Connected Components in MapReduce and Beyond", SoCC'14) expressed as
+  * DataFrame plans: each half-round is one hash-shuffle groupBy + one
+  * shuffle join on node id, and the edge set converges to stars
+  * (min-id root -> member) in O(log n) rounds — the proven shape for
+  * multi-TB graphs, vs O(diameter) rounds for naive label propagation.
+  * Per-round `localCheckpoint` truncates lineage so the loop's plan does
+  * not grow (a 20-round lineage would otherwise blow up the optimizer
+  * and re-execute every prior round on each action).
+  */
+object Graph {
+
+  private def canonical(e: DataFrame): DataFrame =
+    e.filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("src"),
+        greatest(col("src"), col("dst")).as("dst"))
+      .distinct()
+
+  /** Both directions of an undirected edge list. */
+  private def bothDirs(e: DataFrame): DataFrame =
+    e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+
+  /** Large-star: every node connects its strictly-larger neighbors to the
+    * minimum of its neighborhood (including itself). */
+  private def largeStar(e: DataFrame): DataFrame = {
+    val nb = bothDirs(e)
+    val m = nb.groupBy("src").agg(least(min(col("dst")), col("src")).as("m"))
+    canonical(
+      nb.join(m, "src")
+        .filter(col("dst") > col("src"))
+        .select(col("dst").as("src"), col("m").as("dst")))
+  }
+
+  /** Small-star: every node connects its smaller-or-equal neighborhood
+    * (and itself) to that neighborhood's minimum. */
+  private def smallStar(e: DataFrame): DataFrame = {
+    val nb = bothDirs(e).filter(col("dst") < col("src"))
+    val m = nb.groupBy("src").agg(min(col("dst")).as("m"))
+    canonical(
+      m.select(col("src"), col("m").as("dst"))
+        .union(nb.join(m, "src")
+          .filter(col("dst") =!= col("m"))
+          .select(col("dst").as("src"), col("m").as("dst"))))
+  }
+
+  /** Connected components of the undirected graph given by `edges`
+    * (columns `srcCol`, `dstCol`; self-loops and duplicate/reversed edges
+    * tolerated). Returns (`id`, `component`) for every node appearing in
+    * an edge, where `component` is the minimum node id of the component.
+    *
+    * Nodes of `nodes` (optional, column `idCol`) that appear in no edge
+    * come back as singleton components of themselves — callers pass the
+    * full corpus so isolated documents aren't dropped from the output.
+    */
+  def connectedComponents(edges: DataFrame, srcCol: String = "src",
+                          dstCol: String = "dst",
+                          nodes: Option[(DataFrame, String)] = None,
+                          maxIter: Int = 25): DataFrame = {
+    var e = canonical(edges.select(
+        col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst")))
+      .localCheckpoint()
+    var eCount = e.count()
+    var converged = eCount == 0
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val next = smallStar(largeStar(e)).localCheckpoint()
+      val nextCount = next.count()
+      // sets are distinct: equal size + one-sided difference empty => equal
+      converged = nextCount == eCount && next.except(e).isEmpty
+      e = next
+      eCount = nextCount
+      iter += 1
+    }
+    if (!converged && iter == maxIter)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds " +
+        "(expected O(log n); is the edge list adversarial or maxIter too small?)")
+    // converged edge set is a union of stars rooted at each component min
+    val fromEdges = bothDirs(e)
+      .groupBy("src")
+      .agg(least(min(col("dst")), col("src")).as("component"))
+      .withColumnRenamed("src", "id")
+    nodes match {
+      case None => fromEdges
+      case Some((n, idCol)) =>
+        val ids = n.select(col(idCol).cast("long").as("id")).distinct()
+        ids.join(fromEdges, Seq("id"), "left")
+          .select(col("id"), coalesce(col("component"), col("id")).as("component"))
+    }
+  }
+
+  /** Canonical-document selection: given components and the corpus, keep
+    * the member with the minimum id per cluster (= the component root).
+    * The dedup "resolution" step after clustering. */
+  def keepClusterCanonical(docs: DataFrame, components: DataFrame,
+                           idCol: String): DataFrame =
+    docs.join(components.filter(col("id") === col("component"))
+        .select(col("id").as(idCol)), Seq(idCol), "left_semi")
+}
