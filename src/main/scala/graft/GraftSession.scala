@@ -29,6 +29,14 @@ object GraftSession {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // Runtime bloom-filter pushdown: a selective fact-fact join builds a
+      // bloom filter from the filtered side and prunes the probe side's
+      // scan at the row-group level — the AQE-era replacement for manual
+      // pre-filter staging on 100 TB joins. (Creation thresholds are the
+      // defaults — 10 MB build side / 10 GB probe side — so it only kicks
+      // in where it pays; BloomFilterJoinSpec lowers them to assert the
+      // injected filter end-to-end.)
+      .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
       // testdata events.ts is parquet TIMESTAMP(NANOS); read as long ns
       // and normalize in sources.Tables.events
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -292,6 +292,36 @@ object LlmQueries {
         .groupBy(col("bigram")).agg(count(lit(1)).as("cnt"))
         .orderBy(col("cnt").desc, col("bigram").asc)
         .limit(40)
+    }),
+
+    // --- repetition scoring (Gopher-style quality filter) -----------------
+    // Per-doc fraction of mass taken by the most frequent token and the
+    // most frequent bigram: high values flag boilerplate/templated docs
+    // for removal before training. All partial-aggregatable per-doc work.
+    "q82_repetition" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = t(s, d, "documents")
+      val toks = docs.select(col("doc_id"), posexplode(TF.tokens(col("text"))))
+        .withColumnRenamed("pos", "p").withColumnRenamed("col", "tok")
+      val tokTop = toks.groupBy(col("doc_id"), col("tok"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(max(col("c")).as("max_tok"), sum(col("c")).as("n_tok"))
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("p").asc)
+      val biTop = toks.withColumn("prev", lag(col("tok"), 1).over(w))
+        .filter(col("prev").isNotNull)
+        .select(col("doc_id"), concat_ws(" ", col("prev"), col("tok")).as("bg"))
+        .groupBy(col("doc_id"), col("bg"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(max(col("c")).as("max_bg"), sum(col("c")).as("n_bg"))
+      docs.select(col("doc_id"))
+        .join(tokTop, Seq("doc_id"), "left")
+        .join(biTop, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          round(col("max_tok").cast("double") / col("n_tok"), 4).as("top_token_frac"),
+          round(col("max_bg").cast("double") / col("n_bg"), 4).as("top_bigram_frac"))
+        .orderBy(col("doc_id"))
     }))
 
   def oracleSql: Map[String, String] = Map(
@@ -430,5 +460,30 @@ object LlmQueries {
            SELECT t[i] || ' ' || t[i+1] AS bigram
            FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i) g)
          SELECT bigram, count(*) AS cnt FROM grams GROUP BY 1
-         ORDER BY cnt DESC, bigram LIMIT 40""")
+         ORDER BY cnt DESC, bigram LIMIT 40""",
+
+    "q82_repetition" ->
+      """WITH toks AS (
+           SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t
+           FROM documents),
+         tok_counts AS (
+           SELECT doc_id, unnest(t) AS tok FROM toks),
+         tok_top AS (
+           SELECT doc_id, max(c) AS max_tok, sum(c) AS n_tok
+           FROM (SELECT doc_id, tok, count(*) AS c FROM tok_counts GROUP BY 1, 2)
+           GROUP BY doc_id),
+         grams AS (
+           SELECT doc_id, t[i] || ' ' || t[i+1] AS bg
+           FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i) g),
+         bg_top AS (
+           SELECT doc_id, max(c) AS max_bg, sum(c) AS n_bg
+           FROM (SELECT doc_id, bg, count(*) AS c FROM grams GROUP BY 1, 2)
+           GROUP BY doc_id)
+         SELECT d.doc_id,
+           round(CAST(tok_top.max_tok AS DOUBLE) / tok_top.n_tok, 4) AS top_token_frac,
+           round(CAST(bg_top.max_bg AS DOUBLE) / bg_top.n_bg, 4) AS top_bigram_frac
+         FROM documents d
+         LEFT JOIN tok_top ON d.doc_id = tok_top.doc_id
+         LEFT JOIN bg_top ON d.doc_id = bg_top.doc_id
+         ORDER BY d.doc_id""")
 }

@@ -115,25 +115,40 @@ object Dedup {
     * narrow; the only shuffle is the groupBy on (band, bandHash) — the
     * classic LSH join, linear in corpus size instead of O(n^2) pairwise.
     *
+    * `maxBucketSize` caps the quadratic pair fan-out of a single bucket:
+    * a degenerate bucket (boilerplate-heavy corpora put millions of docs
+    * behind one band hash) would otherwise emit size² pairs and dominate
+    * the job. Oversized buckets are dropped — their members almost always
+    * co-occur in other, smaller buckets; raise the cap (or add bands) if
+    * recall on template-heavy data matters more than the blowup guard.
+    *
     * Returns distinct candidate pairs (id_a < id_b).
     */
   def minHashCandidatePairs(withSig: DataFrame, idCol: String,
                             bands: Int, rowsPerBand: Int,
-                            numHashes: Int = 32): DataFrame = {
+                            numHashes: Int = 32,
+                            maxBucketSize: Int = 10000): DataFrame = {
     // an oversized layout would slice past the signature: empty bands hash
     // to one constant -> every doc in a single bucket -> O(n^2) blowup
     require(bands * rowsPerBand == numHashes,
       s"band layout ${bands}x$rowsPerBand must cover the signature length $numHashes exactly")
+    require(maxBucketSize > 1, s"maxBucketSize must be > 1, got $maxBucketSize")
     val banded = withSig
       .select(col(idCol).as("__id"), col("minhash"))
       .withColumn("band", explode(expr(
         s"transform(sequence(0, ${bands - 1}), " +
         s"b -> named_struct('band_id', b, 'band_hash', xxhash64(concat_ws(',', slice(minhash, b * $rowsPerBand + 1, $rowsPerBand)))))")))
       .select(col("__id"), col("band.band_id"), col("band.band_hash"))
+    // size-gate BEFORE collect_list: the window count is sort-based and
+    // spillable, so a degenerate bucket never has to fit in one
+    // aggregation buffer; only surviving (capped) buckets are collected.
+    // Same partitioning key both steps -> Catalyst plans ONE shuffle.
+    val wBucket = Window.partitionBy(col("band_id"), col("band_hash"))
     val grouped = banded
+      .withColumn("__n", count(lit(1)).over(wBucket))
+      .filter(col("__n") > 1 && col("__n") <= maxBucketSize)
       .groupBy("band_id", "band_hash")
       .agg(collect_list("__id").as("ids"))
-      .filter(size(col("ids")) > 1)
     // pairs within a bucket; sort_array makes (a,b) canonical with a < b
     grouped
       .select(explode(expr(

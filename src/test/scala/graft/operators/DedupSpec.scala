@@ -85,6 +85,22 @@ class DedupSpec extends SparkSpec {
       s"unrelated doc must not pair, got $pairs")
   }
 
+  test("minHashCandidatePairs drops buckets above maxBucketSize (blowup guard)") {
+    // 6 identical docs: every band bucket has all 6 members
+    val docs = (1L to 6L).map(i => (i, "alpha beta gamma delta epsilon zeta eta"))
+      .toDF("doc_id", "text")
+    val sig = Dedup.minHashSignature(docs, "text", shingleSize = 3, numHashes = 32)
+    val uncapped = Dedup.minHashCandidatePairs(sig, "doc_id", bands = 8, rowsPerBand = 4)
+    assert(uncapped.count() == 15, "6 identical docs -> C(6,2) pairs")
+    val capped = Dedup.minHashCandidatePairs(sig, "doc_id", bands = 8, rowsPerBand = 4,
+      maxBucketSize = 5)
+    assert(capped.count() == 0, "all buckets oversized -> no pairs emitted")
+    intercept[IllegalArgumentException] {
+      Dedup.minHashCandidatePairs(sig, "doc_id", bands = 8, rowsPerBand = 4,
+        maxBucketSize = 1)
+    }
+  }
+
   test("native and builtin-agg minhash signatures are bit-identical (ADVICE r1)") {
     // the two formulations must share one hash family or banding across
     // them is meaningless — includes short docs (< shingleSize tokens),
