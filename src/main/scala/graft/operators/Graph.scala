@@ -34,27 +34,39 @@ object Graph {
     e.union(e.select(col("dst").as("src"), col("src").as("dst")))
 
   /** Large-star: every node connects its strictly-larger neighbors to the
-    * minimum of its neighborhood (including itself). */
+    * minimum of its neighborhood (including itself). Emits raw (possibly
+    * duplicated) edges — the caller canonicalizes once per round; m < v
+    * always holds so no self-loops appear. */
   private def largeStar(e: DataFrame): DataFrame = {
     val nb = bothDirs(e)
     val m = nb.groupBy("src").agg(least(min(col("dst")), col("src")).as("m"))
-    canonical(
-      nb.join(m, "src")
-        .filter(col("dst") > col("src"))
-        .select(col("dst").as("src"), col("m").as("dst")))
+    nb.join(m, "src")
+      .filter(col("dst") > col("src"))
+      .select(col("m").as("src"), col("dst").as("dst"))
   }
 
   /** Small-star: every node connects its smaller-or-equal neighborhood
-    * (and itself) to that neighborhood's minimum. */
+    * (and itself) to that neighborhood's minimum. Emits raw edges (m is
+    * the strict minimum, so m < partner always — no self-loops). */
   private def smallStar(e: DataFrame): DataFrame = {
     val nb = bothDirs(e).filter(col("dst") < col("src"))
     val m = nb.groupBy("src").agg(min(col("dst")).as("m"))
-    canonical(
-      m.select(col("src"), col("m").as("dst"))
-        .union(nb.join(m, "src")
-          .filter(col("dst") =!= col("m"))
-          .select(col("dst").as("src"), col("m").as("dst"))))
+    m.select(col("m").as("src"), col("src").as("dst"))
+      .union(nb.join(m, "src")
+        .filter(col("dst") =!= col("m"))
+        .select(col("m").as("src"), col("dst").as("dst")))
   }
+
+  /** Distinct-set fingerprint in one job: (row count, two independent
+    * 64-bit hash sums accumulated in DECIMAL(38,0) — overflow-free).
+    * Equal fingerprints on canonical (distinct) edge sets imply equality
+    * up to a ~2^-128 collision — far below hardware error rates; used
+    * only to detect the loop's fixpoint. */
+  private def fingerprint(e: DataFrame): Seq[Any] =
+    e.agg(count(lit(1)),
+        sum(xxhash64(col("src"), col("dst")).cast("decimal(38,0)")),
+        sum(xxhash64(col("dst"), col("src"), lit(7L)).cast("decimal(38,0)")))
+      .collect()(0).toSeq
 
   /** Connected components of the undirected graph given by `edges`
     * (columns `srcCol`, `dstCol`; self-loops and duplicate/reversed edges
@@ -72,16 +84,17 @@ object Graph {
     var e = canonical(edges.select(
         col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst")))
       .localCheckpoint()
-    var eCount = e.count()
-    var converged = eCount == 0
+    var sig = fingerprint(e)
+    var converged = sig.head == 0L
     var iter = 0
     while (!converged && iter < maxIter) {
-      val next = smallStar(largeStar(e)).localCheckpoint()
-      val nextCount = next.count()
-      // sets are distinct: equal size + one-sided difference empty => equal
-      converged = nextCount == eCount && next.except(e).isEmpty
+      // star steps emit canonically-ordered (min, other) edges by
+      // construction; one distinct per round bounds the duplicate growth
+      val next = smallStar(largeStar(e)).distinct().localCheckpoint()
+      val nextSig = fingerprint(next)
+      converged = nextSig == sig
       e = next
-      eCount = nextCount
+      sig = nextSig
       iter += 1
     }
     if (!converged && iter == maxIter)
