@@ -52,6 +52,28 @@ object AnalyticQueries {
         .agg(discRevenue.as("revenue"))
         .orderBy(col("revenue").desc, col("c_custkey").asc)
         .limit(20)
+    }),
+
+    // --- Q7 analog: cross-border trade volume by nation pair and year ----
+    // Two broadcast copies of the nation dim under different role names;
+    // the fact-fact lineitem ⋈ orders shuffle dominates and is exactly
+    // what AQE/bloom-filter machinery targets at scale.
+    "q84_nation_trade" -> ((s, d) => {
+      val n1 = t(s, d, "nation")
+        .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+      val n2 = t(s, d, "nation")
+        .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+      t(s, d, "lineitem")
+        .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, d, "supplier")), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+        .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+        .filter(col("supp_nation") =!= col("cust_nation")) // cross-border only
+        .withColumn("l_year", year(col("l_shipdate")).cast("long"))
+        .groupBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+        .agg(discRevenue.as("volume"))
+        .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
     }))
 
   def oracleSql: Map[String, String] = Map(
@@ -90,5 +112,18 @@ object AnalyticQueries {
          JOIN nation ON c_nationkey = n_nationkey
          WHERE l_returnflag = 'R'
          GROUP BY c_custkey, c_name, n_name
-         ORDER BY revenue DESC, c_custkey ASC LIMIT 20""")
+         ORDER BY revenue DESC, c_custkey ASC LIMIT 20""",
+
+    "q84_nation_trade" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(year(l_shipdate) AS BIGINT) AS l_year,
+           round(CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(28,4))) AS DOUBLE), 4) AS volume
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation n1 ON s_nationkey = n1.n_nationkey
+         JOIN nation n2 ON c_nationkey = n2.n_nationkey
+         WHERE n1.n_name <> n2.n_name
+         GROUP BY 1, 2, 3 ORDER BY supp_nation, cust_nation, l_year""")
 }

@@ -270,6 +270,18 @@ object CoreQueries {
         .orderBy(col("o_orderkey"))
     }),
 
+    // --- SCD Type 2: versioned dimension from a change log (R12/R20 at
+    // history-keeping strength). valid_from/valid_to as integer µs —
+    // cross-engine-exact, no timestamp round-tripping.
+    "q83_scd2" -> ((s, d) => {
+      val changes = ev(s, d).select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"),
+        floor(col("value") / 25).cast("long").as("tier"))
+      Merge.scd2FromChanges(changes, Seq("user_id"), "ts_us", Seq("tier"),
+          orderCols = Seq(col("ts_us").asc, col("event_id").asc))
+        .orderBy(col("user_id"), col("valid_from"), col("tier"))
+    }),
+
     // --- as-of join (nearest prior signup per purchase) -----------------
     "q24_asof_join" -> ((s, d) => {
       val e = ev(s, d)
@@ -517,6 +529,24 @@ object CoreQueries {
                       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 4) AS new_price
                     FROM lineitem GROUP BY l_orderkey) r ON o.o_orderkey = r.l_orderkey
          ORDER BY o_orderkey""",
+
+    "q83_scd2" ->
+      """WITH changes AS (
+           SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+                  CAST(floor(value / 25) AS BIGINT) AS tier
+           FROM events),
+         marked AS (
+           SELECT user_id, event_id, ts_us, tier,
+                  CASE WHEN row_number() OVER w = 1 THEN TRUE
+                       ELSE tier IS DISTINCT FROM lag(tier) OVER w END AS changed
+           FROM changes
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts_us ASC, event_id ASC)),
+         vers AS (
+           SELECT user_id, tier, ts_us AS valid_from,
+                  lead(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us ASC, event_id ASC) AS valid_to
+           FROM marked WHERE changed)
+         SELECT user_id, tier, valid_from, valid_to FROM vers
+         ORDER BY user_id, valid_from, tier NULLS FIRST""",
 
     "q24_asof_join" ->
       """SELECT p.event_id, p.user_id,

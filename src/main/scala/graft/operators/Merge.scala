@@ -71,4 +71,32 @@ object Merge {
     * target row. */
   def updateMisses(target: DataFrame, updates: DataFrame, keys: Seq[String]): DataFrame =
     updates.join(target, keys, "left_anti")
+
+  /** SCD Type 2: build a versioned dimension (validity intervals) from a
+    * change log. Consecutive rows per key with unchanged `attrCols` are
+    * collapsed (no-op updates create no version); each surviving version
+    * is valid from its own timestamp until the next version's
+    * (`valid_to` NULL = current). One shuffle on the key; at 100 TB this
+    * recompute runs per affected key-partition and lands via
+    * [[graft.sources.Sinks.overwritePartitions]].
+    *
+    * `orderCols` must totally order changes within a key (e.g. ts +
+    * change id) or version boundaries are nondeterministic. */
+  def scd2FromChanges(changes: DataFrame, keys: Seq[String], tsCol: String,
+                      attrCols: Seq[String],
+                      orderCols: Seq[Column] = Nil): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ord = if (orderCols.nonEmpty) orderCols else Seq(col(tsCol).asc)
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(ord: _*)
+    val attrs = struct(attrCols.map(col): _*)
+    changes
+      .withColumn("__prev", lag(attrs, 1).over(w))
+      // null-safe change test: first row (null prev) and genuine changes
+      // survive; no-op updates collapse
+      .filter(!(col("__prev") <=> attrs))
+      .withColumn("valid_from", col(tsCol))
+      .withColumn("valid_to", lead(col(tsCol), 1).over(w))
+      .select((keys.map(col) ++ attrCols.map(col) ++
+        Seq(col("valid_from"), col("valid_to"))): _*)
+  }
 }

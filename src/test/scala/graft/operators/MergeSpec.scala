@@ -59,4 +59,33 @@ class MergeSpec extends SparkSpec {
       .select("k").as[Long].collect().toSeq
     assert(out == Seq(9L))
   }
+
+  test("scd2FromChanges: versions with validity intervals, no-ops collapsed") {
+    val changes = Seq(
+      (1L, 100L, "a"), (1L, 200L, "a"), (1L, 300L, "b"), (1L, 400L, "b"),
+      (2L, 150L, "x"))
+      .toDF("k", "ts", "attr")
+    val out = Merge.scd2FromChanges(changes, Seq("k"), "ts", Seq("attr"))
+      .orderBy("k", "valid_from")
+      .select("k", "attr", "valid_from", "valid_to")
+      .as[(Long, String, Long, Option[Long])].collect().toSeq
+    assert(out == Seq(
+      (1L, "a", 100L, Some(300L)), // ts=200 no-op collapsed
+      (1L, "b", 300L, None),       // ts=400 no-op collapsed; open version
+      (2L, "x", 150L, None)))
+  }
+
+  test("scd2FromChanges: null attr values version correctly (null-safe compare)") {
+    val changes = Seq(
+      (1L, 1L, Option("a")), (1L, 2L, None), (1L, 3L, None), (1L, 4L, Option("a")))
+      .toDF("k", "ts", "attr")
+    val out = Merge.scd2FromChanges(changes, Seq("k"), "ts", Seq("attr"))
+      .orderBy("k", "valid_from")
+      .select("attr", "valid_from", "valid_to")
+      .as[(Option[String], Long, Option[Long])].collect().toSeq
+    assert(out == Seq(
+      (Some("a"), 1L, Some(2L)),
+      (None, 2L, Some(4L)),        // consecutive nulls collapsed
+      (Some("a"), 4L, None)))      // a -> null -> a is two real changes
+  }
 }
