@@ -76,6 +76,22 @@ object StreamOps {
         col("r_ts") <= col("l_ts") + expr(s"INTERVAL $within"))
   }
 
+  /** Continuous upsert sink: each micro-batch merges into the parquet
+    * target through [[graft.sources.Sinks.upsertParquet]] — the streaming
+    * form of the reference's ON CONFLICT upsert loading (load.py:18-22).
+    * The merge is last-write-wins per key under `tiebreak`, so a replayed
+    * micro-batch (failure recovery) converges to the same state:
+    * effectively-once per key on top of the checkpointed source offsets. */
+  def upsertSink(updates: DataFrame, path: String, keys: Seq[String],
+                 tiebreak: Seq[Column], checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    updates.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.sources.Sinks.upsertParquet(batch, path, keys, tiebreak)
+      }
+      .start()
+
   /** Same running totals on the `transformWithState` API (Spark 4's
     * successor to flatMapGroupsWithState: typed ValueState handles,
     * timer support, state-store-backed). */

@@ -165,4 +165,22 @@ class StreamOpsSpec extends SparkSpec {
     assert(rows("2024-01-01 00:00:00") == 2)
     assert(rows("2024-01-01 01:00:00") == 1)
   }
+
+  test("foreachBatch upsert sink: micro-batches merge last-write-wins into parquet") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("stream-upsert")
+    val target = dir.toString + "/t"
+    val ckpt = dir.toString + "/ckpt"
+    val mem = MemoryStream[(Long, String, Long)]
+    val q = StreamOps.upsertSink(
+      mem.toDF().toDF("k", "v", "ver"), target, Seq("k"), Seq(col("ver")), ckpt)
+    mem.addData((1L, "a", 1L), (2L, "b", 1L))
+    q.processAllAvailable()
+    mem.addData((2L, "B2", 2L), (3L, "c", 2L))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.read.parquet(target).orderBy("k").select("k", "v")
+      .as[(Long, String)].collect().toSeq
+    assert(out == Seq((1L, "a"), (2L, "B2"), (3L, "c")))
+  }
 }
