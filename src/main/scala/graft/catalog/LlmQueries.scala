@@ -294,6 +294,16 @@ object LlmQueries {
         .limit(40)
     }),
 
+    // --- embedding-cosine near-dup clusters (rows-only: LSH internals) ----
+    "q85_embedding_dedup" -> ((s, d) => {
+      t(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+        .transform(e => Dedup.embeddingNearDupClusters(
+          e, "embedding", "vec_id", threshold = 0.95, numPlanes = 8, numTables = 2))
+        .select(col("id").as("vec_id"), col("component"))
+        .orderBy(col("vec_id"))
+    }),
+
     // --- repetition scoring (Gopher-style quality filter) -----------------
     // Per-doc fraction of mass taken by the most frequent token and the
     // most frequent bigram: high values flag boilerplate/templated docs

@@ -61,18 +61,21 @@ object VectorFunctions {
     * Vectors sharing a bucket are near in angle with high probability.
     * Returns df + `lsh_bucket: bigint`. At scale, an ANN query probes only
     * matching buckets instead of the full corpus. */
-  def lshBuckets(vectors: DataFrame, vecCol: String, numPlanes: Int = 16): DataFrame = {
-    // plane p component i = a deterministic hash mapped to [-0.5, 0.5)
+  def lshBuckets(vectors: DataFrame, vecCol: String, numPlanes: Int = 16,
+                 planeOffset: Int = 0): DataFrame = {
+    // plane p component i = a deterministic hash mapped to [-0.5, 0.5).
+    // planeOffset shifts into a disjoint plane family — multi-table LSH
+    // (union of tables raises recall; see Dedup.embeddingNearDupClusters)
     val bucket = expr(
       s"""aggregate(
-            sequence(0, ${numPlanes - 1}),
+            sequence($planeOffset, ${planeOffset + numPlanes - 1}),
             0L,
             (acc, p) -> acc + shiftleft(
               CASE WHEN aggregate(
                 zip_with($vecCol, sequence(0, size($vecCol) - 1),
                          (v, i) -> cast(v as double) *
                                    ((cast(pmod(xxhash64(p, i), 1000000) as double) / 1000000.0) - 0.5)),
-                0.0D, (s, x) -> s + x) > 0.0D THEN 1L ELSE 0L END, p))""")
+                0.0D, (s, x) -> s + x) > 0.0D THEN 1L ELSE 0L END, p - $planeOffset))""")
     vectors.withColumn("lsh_bucket", bucket)
   }
 

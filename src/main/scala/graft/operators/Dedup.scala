@@ -212,4 +212,40 @@ object Dedup {
 
   /** Hamming distance between two 64-bit simhashes. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Embedding-cosine near-duplicate clusters: random-hyperplane LSH
+    * buckets (numTables independent plane families for recall), pairwise
+    * cosine within each bucket gated at `threshold`, then transitive
+    * cluster resolution via [[Graph.connectedComponents]]. Returns
+    * (id, component) for every input vector (non-duplicates are
+    * singletons of themselves).
+    *
+    * The within-bucket self-join is quadratic per bucket — the same
+    * blowup risk as MinHash banding, gated the same way
+    * (`maxBucketSize`, spillable window count before the join). */
+  def embeddingNearDupClusters(vectors: DataFrame, vecCol: String, idCol: String,
+                               threshold: Double, numPlanes: Int = 8,
+                               numTables: Int = 2,
+                               maxBucketSize: Int = 10000): DataFrame = {
+    import graft.functions.{VectorFunctions => VF}
+    require(numTables >= 1, s"numTables must be >= 1, got $numTables")
+    val pairs = (0 until numTables).map { t =>
+      val bucketed = VF.lshBuckets(vectors, vecCol, numPlanes,
+          planeOffset = t * numPlanes)
+        .select(col(idCol).cast("long").as("__id"), col(vecCol).as("__v"),
+          col("lsh_bucket"))
+      val wBucket = Window.partitionBy(col("lsh_bucket"))
+      val gated = bucketed.withColumn("__n", count(lit(1)).over(wBucket))
+        .filter(col("__n") > 1 && col("__n") <= maxBucketSize)
+        .drop("__n")
+      gated.select(col("lsh_bucket"), col("__id").as("id_a"), col("__v").as("__va"))
+        .join(gated.select(col("lsh_bucket"), col("__id").as("id_b"),
+          col("__v").as("__vb")), Seq("lsh_bucket"))
+        .filter(col("id_a") < col("id_b"))
+        .filter(VF.cosine(col("__va"), col("__vb")) >= threshold)
+        .select(col("id_a"), col("id_b"))
+    }.reduce(_ union _).distinct()
+    Graph.connectedComponents(pairs, "id_a", "id_b",
+      nodes = Some((vectors.select(col(idCol)), idCol)))
+  }
 }

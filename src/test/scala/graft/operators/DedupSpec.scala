@@ -134,6 +134,25 @@ class DedupSpec extends SparkSpec {
     assert(out((1L, 3L)) == 0.0)
   }
 
+  test("embeddingNearDupClusters groups near-identical vectors transitively") {
+    def vec(base: Array[Double], eps: Double, at: Int): Seq[Double] = {
+      val v = base.clone(); v(at) = v(at) + eps; v.toSeq
+    }
+    val a = Array(1.0, 0.02, 0.0, 0.01)
+    val b = Array(0.0, 1.0, 0.03, 0.0)
+    val rows = Seq(
+      (1L, vec(a, 0.0, 0)), (2L, vec(a, 0.01, 1)), (3L, vec(a, 0.02, 2)),
+      (4L, vec(b, 0.0, 0)), (5L, vec(b, 0.01, 3)),
+      (9L, Seq(0.5, -0.5, 0.5, -0.5))) // unrelated direction
+    val df = rows.toDF("vid", "emb")
+    val out = Dedup.embeddingNearDupClusters(df, "emb", "vid",
+      threshold = 0.995, numPlanes = 4, numTables = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(out(1L) == out(2L) && out(2L) == out(3L), s"group A must cluster: $out")
+    assert(out(4L) == out(5L), s"group B must cluster: $out")
+    assert(out(1L) != out(4L) && out(9L) == 9L, s"distinct directions stay apart: $out")
+  }
+
   test("simhash: identical text -> hamming 0; perturbed -> small; unrelated -> large") {
     val docs = Seq(
       (1L, "spark catalyst tungsten whole stage codegen shuffle exchange partition"),
