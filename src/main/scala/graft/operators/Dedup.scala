@@ -187,11 +187,17 @@ object Dedup {
 
   /** SimHash: 64-bit fingerprint where bit i is the sign of the sum over
     * tokens of (token-hash bit i ? +1 : -1). Near-duplicates differ in few
-    * bits (small Hamming distance). Entirely narrow per-row compute. */
-  def simHash(df: DataFrame, textCol: String, idCol: String = "doc_id"): DataFrame = {
-    // explode tokens -> hash once -> 64 codegen'd sum aggregates (one per
-    // bit), map-side combined; then assemble the sign bits into one long.
-    // (A per-row HOF fold is interpreted and ~100x slower at corpus scale.)
+    * bits (small Hamming distance). Native codegen'd per-row compute
+    * ([[graft.plans.SimHash64]]) — zero shuffle; the fingerprint is one
+    * long per document. */
+  def simHash(df: DataFrame, textCol: String, idCol: String = "doc_id"): DataFrame =
+    df.withColumn("simhash", graft.plans.SimHash64(col(textCol)))
+
+  /** Explode + 64-sum-aggregate formulation of the fingerprint (codegen'd
+    * builtins only, but shuffles one row per corpus token). Bit-identical
+    * to [[simHash]] (same token-hash family: xxhash64, seed 42 — asserted
+    * by DedupSpec); kept as the pure-builtin cross-check. */
+  def simHashAgg(df: DataFrame, textCol: String, idCol: String = "doc_id"): DataFrame = {
     val exploded = df
       .select(col(idCol),
         explode(split(lower(trim(col(textCol))), "\\s+")).as("__t"))

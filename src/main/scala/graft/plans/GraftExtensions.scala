@@ -52,6 +52,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "minhash(text[, shingleSize, numHashes])")
       }))
     ext.injectFunction((
+      FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+      (exprs: Seq[Expression]) => SimHash64(exprs(0))))
+    ext.injectFunction((
       FunctionIdentifier("shingle_hash_set"),
       new ExpressionInfo(classOf[ShingleHashSet].getName, "shingle_hash_set"),
       (exprs: Seq[Expression]) => exprs match {

@@ -11,5 +11,9 @@ object GraftFunctions {
       "cosine_similarity",
       exprs => CosineSimilarity(exprs(0), exprs(1)),
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "simhash64",
+      exprs => SimHash64(exprs(0)),
+      "built-in")
   }
 }

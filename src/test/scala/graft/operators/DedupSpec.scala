@@ -153,6 +153,20 @@ class DedupSpec extends SparkSpec {
     assert(out(1L) != out(4L) && out(9L) == 9L, s"distinct directions stay apart: $out")
   }
 
+  test("native and aggregate simhash are bit-identical") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "one"),
+      (3L, "  spaced   out   tokens  "),
+      (4L, "MiXeD Case text HERE"))
+      .toDF("doc_id", "text")
+    val native = Dedup.simHash(docs, "text").select("doc_id", "simhash")
+      .as[(Long, Long)].collect().toMap
+    val agg = Dedup.simHashAgg(docs, "text").select("doc_id", "simhash")
+      .as[(Long, Long)].collect().toMap
+    assert(native == agg)
+  }
+
   test("simhash: identical text -> hamming 0; perturbed -> small; unrelated -> large") {
     val docs = Seq(
       (1L, "spark catalyst tungsten whole stage codegen shuffle exchange partition"),
