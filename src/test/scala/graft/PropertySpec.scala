@@ -68,4 +68,45 @@ class PropertySpec extends SparkSpec {
       assert(changed == 0)
     }
   }
+
+  test("connectedComponents is invariant to edge order, direction, and partitioning") {
+    import graft.operators.Graph
+    for (rows <- samples(4)) {
+      // random small graph: node ids 0..5, edges from (k, v%6)
+      val edges = rows.map { case (a, b, _) => (a.toLong, (b % 6).toLong) }
+      val base = Graph.connectedComponents(edges.toDF("src", "dst"))
+        .orderBy("id").collect().toSeq
+      val shuffled = Graph.connectedComponents(
+        scala.util.Random.javaRandomToRandom(new java.util.Random(42))
+          .shuffle(edges.map { case (a, b) => (b, a) }) // reversed + reordered
+          .toDF("src", "dst").repartition(7))
+        .orderBy("id").collect().toSeq
+      assert(base == shuffled)
+    }
+  }
+
+  test("scd2FromChanges output intervals tile each key's timeline") {
+    import graft.operators.Merge
+    for (rows <- samples(4)) {
+      // unique ts per key for a total order
+      val changes = rows.zipWithIndex
+        .map { case ((k, _, v), i) => (k.toLong, i.toLong, (v % 3).toLong) }
+        .toDF("k", "ts", "attr")
+      val out = Merge.scd2FromChanges(changes, Seq("k"), "ts", Seq("attr"))
+        .select($"k", $"attr", $"valid_from", $"valid_to")
+        .as[(Long, Long, Long, Option[Long])].collect()
+        .groupBy(_._1).view.mapValues(_.sortBy(_._3)).toMap
+      out.foreach { case (_, vers) =>
+        // exactly one open interval per key, and valid_to chains to the
+        // next version's valid_from with no gaps or overlaps
+        assert(vers.count(_._4.isEmpty) == 1)
+        vers.sliding(2).foreach {
+          case Array(a, b) =>
+            assert(a._4.contains(b._3), s"intervals must tile: $vers")
+            assert(a._2 != b._2, s"consecutive versions must differ: $vers")
+          case _ => ()
+        }
+      }
+    }
+  }
 }
