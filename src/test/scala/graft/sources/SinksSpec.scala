@@ -43,6 +43,24 @@ class SinksSpec extends SparkSpec {
     assert(!new java.io.File(p + "__graft_old").exists())
   }
 
+  test("clusteredParquet produces disjoint per-file key ranges (min/max pruning layout)") {
+    val p = tmp()
+    val orders = spark.read.parquet(sf("sf0.001") + "/orders.parquet")
+    Sinks.clusteredParquet(orders, p, Seq("o_orderkey"), files = 4)
+    val ranges = spark.read.parquet(p)
+      .groupBy(input_file_name().as("f"))
+      .agg(min("o_orderkey").as("lo"), max("o_orderkey").as("hi"))
+      .select("lo", "hi").as[(Long, Long)].collect().sortBy(_._1)
+    assert(ranges.length >= 2, "expected multiple files")
+    ranges.sliding(2).foreach {
+      case Array((_, hi1), (lo2, _)) =>
+        assert(hi1 < lo2, s"file key ranges must be disjoint: ${ranges.toSeq}")
+      case _ => ()
+    }
+    // nothing lost in the re-layout
+    assert(spark.read.parquet(p).count() == orders.count())
+  }
+
   test("upsertParquet recovers when a stale __graft_old dir survives a crash") {
     val p = tmp()
     Sinks.upsertParquet(Seq((1L, "a", 1)).toDF("k", "v", "ver"),
