@@ -294,6 +294,30 @@ object LlmQueries {
         .limit(40)
     }),
 
+    // --- regexp pattern stats (safety/quality scan surface) ---------------
+    // The per-doc regexp_count surface used for PII/charset scans; the
+    // testdata vocabulary is clean ASCII so the patterns here count
+    // ordinary token shapes, but the plan shape (narrow regexp scan, no
+    // shuffle until the final sort) is the production PII filter's.
+    "q86_pattern_stats" -> ((s, d) => {
+      t(s, d, "documents").select(
+        col("doc_id"),
+        regexp_count(col("text"), lit("\\bs[a-z]*")).cast("long").as("s_tokens"),
+        regexp_count(col("text"), lit("ss")).cast("long").as("double_s"),
+        regexp_count(col("text"), lit("[0-9]")).cast("long").as("digits"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // --- cross-corpus contamination (rows-only: shingle-hash internals) ---
+    "q87_decontaminate" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      Dedup.crossCorpusOverlap(
+        docs.filter(col("source") === "src0"),
+        docs.filter(col("source") =!= "src0"),
+        "doc_id", "text", shingleSize = 3)
+        .orderBy(col("doc_id"))
+    }),
+
     // --- embedding-cosine near-dup clusters (rows-only: LSH internals) ----
     "q85_embedding_dedup" -> ((s, d) => {
       t(s, d, "embeddings")
@@ -471,6 +495,13 @@ object LlmQueries {
            FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i) g)
          SELECT bigram, count(*) AS cnt FROM grams GROUP BY 1
          ORDER BY cnt DESC, bigram LIMIT 40""",
+
+    "q86_pattern_stats" ->
+      """SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '\bs[a-z]*')) AS BIGINT) AS s_tokens,
+           CAST(len(regexp_extract_all(text, 'ss')) AS BIGINT) AS double_s,
+           CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS digits
+         FROM documents ORDER BY doc_id""",
 
     "q82_repetition" ->
       """WITH toks AS (

@@ -219,6 +219,35 @@ object Dedup {
   /** Hamming distance between two 64-bit simhashes. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** Cross-corpus contamination (benchmark decontamination): for each
+    * candidate document, the fraction of its distinct k-shingles that
+    * appear anywhere in the reference corpus. Training pipelines drop
+    * candidates above a threshold so evaluation data never leaks into
+    * training data.
+    *
+    * Shape for 100 TB: both sides reduce to 8-byte shingle hashes
+    * (native [[graft.plans.ShingleHashSet]], no shingle strings), the
+    * reference side collapses to a distinct-hash set, and the overlap is
+    * one shuffle join on the hash — candidate text never moves.
+    * Returns (idCol, n_shingles, n_matched, overlap_frac). */
+  def crossCorpusOverlap(candidates: DataFrame, reference: DataFrame,
+                         idCol: String, textCol: String,
+                         shingleSize: Int = 8): DataFrame = {
+    val candHashes = candidates
+      .select(col(idCol),
+        explode(graft.plans.ShingleHashSet(col(textCol), shingleSize)).as("__h"))
+    val refHashes = reference
+      .select(explode(graft.plans.ShingleHashSet(col(textCol), shingleSize)).as("__h"))
+      .distinct()
+    candHashes
+      .join(refHashes.withColumn("__hit", lit(1L)), Seq("__h"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shingles"),
+        coalesce(sum(col("__hit")), lit(0L)).as("n_matched"))
+      .withColumn("overlap_frac",
+        round(col("n_matched").cast("double") / col("n_shingles"), 4))
+  }
+
   /** Embedding-cosine near-duplicate clusters: random-hyperplane LSH
     * buckets (numTables independent plane families for recall), pairwise
     * cosine within each bucket gated at `threshold`, then transitive

@@ -153,6 +153,24 @@ class DedupSpec extends SparkSpec {
     assert(out(1L) != out(4L) && out(9L) == 9L, s"distinct directions stay apart: $out")
   }
 
+  test("crossCorpusOverlap flags candidates sharing shingles with the reference") {
+    val reference = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (101L, "lambda mu nu xi omicron pi rho sigma tau upsilon"))
+      .toDF("doc_id", "text")
+    val candidates = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"), // exact copy
+      (2L, "intro words alpha beta gamma delta epsilon and some tail content here"), // partial
+      (3L, "fully original content with no shared phrases at all anywhere"))
+      .toDF("doc_id", "text")
+    val out = Dedup.crossCorpusOverlap(candidates, reference, "doc_id", "text",
+      shingleSize = 3)
+      .select("doc_id", "overlap_frac").as[(Long, Double)].collect().toMap
+    assert(out(1L) == 1.0, s"verbatim copy must be fully contaminated: $out")
+    assert(out(2L) > 0.0 && out(2L) < 1.0, s"partial overlap in (0,1): $out")
+    assert(out(3L) == 0.0, s"original content must not match: $out")
+  }
+
   test("native and aggregate simhash are bit-identical") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),
