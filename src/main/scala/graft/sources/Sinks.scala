@@ -52,6 +52,21 @@ object Sinks {
     // a java.io.File check would silently miss non-local targets and drop
     // the existing table from the merge
     val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(path + "__graft_tmp")
+    val old = new org.apache.hadoop.fs.Path(path + "__graft_old")
+    def renameOrThrow(src: org.apache.hadoop.fs.Path, to: org.apache.hadoop.fs.Path): Unit =
+      if (!fs.rename(src, to))
+        throw new java.io.IOException(s"upsertParquet: rename $src -> $to failed; " +
+          s"existing data is intact at ${if (fs.exists(dst)) dst else old}")
+    // Crash recovery BEFORE reading state: if a prior run died between
+    // parking dst at __graft_old and promoting tmp, __graft_old holds the
+    // only full copy and dst is absent — restore it first (and discard the
+    // dead run's tmp, whose contents may be partial). __graft_old is only
+    // garbage when dst exists.
+    if (!fs.exists(dst) && fs.exists(old)) {
+      fs.delete(tmp, true)
+      renameOrThrow(old, dst)
+    }
     val merged =
       if (fs.exists(dst))
         graft.operators.Merge.upsert(spark.read.parquet(path), updates, keys, tiebreak)
@@ -62,16 +77,12 @@ object Sinks {
     // data is in place) and every rename's boolean result is checked —
     // rename can return false without throwing (e.g. object-store
     // FileSystem impls), which round 1 silently ignored.
-    val tmp = new org.apache.hadoop.fs.Path(path + "__graft_tmp")
-    val old = new org.apache.hadoop.fs.Path(path + "__graft_old")
     merged.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-    def renameOrThrow(src: org.apache.hadoop.fs.Path, to: org.apache.hadoop.fs.Path): Unit =
-      if (!fs.rename(src, to))
-        throw new java.io.IOException(s"upsertParquet: rename $src -> $to failed; " +
-          s"existing data is intact at ${if (fs.exists(dst)) dst else old}")
-    fs.delete(old, true) // leftover from a prior crash; dst or tmp holds the data
     val hadExisting = fs.exists(dst)
-    if (hadExisting) renameOrThrow(dst, old)
+    if (hadExisting) {
+      fs.delete(old, true) // stale leftover; dst holds the data, safe to clear
+      renameOrThrow(dst, old)
+    }
     renameOrThrow(tmp, dst)
     if (hadExisting) fs.delete(old, true)
   }

@@ -75,4 +75,27 @@ class SinksSpec extends SparkSpec {
     assert(out == Seq((1L, "a2")))
     assert(!old.exists(), "stale __graft_old must be cleared, not block the rename")
   }
+
+  test("upsertParquet restores __graft_old when a crash left dst missing (ADVICE r2)") {
+    val p = tmp()
+    Sinks.upsertParquet(Seq((1L, "a", 1), (2L, "b", 1)).toDF("k", "v", "ver"),
+      p, Seq("k"), Seq(col("ver")))
+    // simulate a crash mid-swap: dst was parked at __graft_old, the promote
+    // of tmp never happened — __graft_old is the ONLY full copy and tmp
+    // holds a partial (garbage) write
+    val dst = new java.io.File(p)
+    val old = new java.io.File(p + "__graft_old")
+    assert(dst.renameTo(old))
+    val tmpDir = new java.io.File(p + "__graft_tmp")
+    assert(tmpDir.mkdirs())
+    new java.io.FileWriter(new java.io.File(tmpDir, "partial")).append("junk").close()
+    // the retry must restore the parked copy first, not merge against nothing
+    Sinks.upsertParquet(Seq((3L, "c", 2)).toDF("k", "v", "ver"),
+      p, Seq("k"), Seq(col("ver")))
+    val out = spark.read.parquet(p).orderBy("k").select("k", "v")
+      .as[(Long, String)].collect().toSeq
+    assert(out == Seq((1L, "a"), (2L, "b"), (3L, "c")),
+      "pre-crash rows must survive the retry")
+    assert(!old.exists() && !tmpDir.exists())
+  }
 }
