@@ -60,12 +60,27 @@ object VectorFunctions {
     * from element index — no RNG at plan time, reproducible across runs).
     * Vectors sharing a bucket are near in angle with high probability.
     * Returns df + `lsh_bucket: bigint`. At scale, an ANN query probes only
-    * matching buckets instead of the full corpus. */
+    * matching buckets instead of the full corpus.
+    *
+    * Native codegen ([[graft.plans.HyperplaneLsh]]): this is the
+    * full-corpus pass feeding LSH ANN and embedding near-dup clustering —
+    * the widest scan in the dedup pipeline — so it must stay inside
+    * whole-stage codegen. Bit-identical to [[lshBucketsHof]] (asserted in
+    * VectorFunctionsSpec); the `coalesce` reproduces the HOF's bucket-0
+    * for a null vector. */
   def lshBuckets(vectors: DataFrame, vecCol: String, numPlanes: Int = 16,
-                 planeOffset: Int = 0): DataFrame = {
-    // plane p component i = a deterministic hash mapped to [-0.5, 0.5).
-    // planeOffset shifts into a disjoint plane family — multi-table LSH
-    // (union of tables raises recall; see Dedup.embeddingNearDupClusters)
+                 planeOffset: Int = 0): DataFrame =
+    vectors.withColumn("lsh_bucket",
+      coalesce(graft.plans.HyperplaneLsh(col(vecCol), numPlanes, planeOffset), lit(0L)))
+
+  /** Reference implementation of [[lshBuckets]] via higher-order functions
+    * (interpreted — CodegenFallback); retained to cross-check the native
+    * expression bit-for-bit in tests. Plane p component i = a
+    * deterministic hash mapped to [-0.5, 0.5). planeOffset shifts into a
+    * disjoint plane family — multi-table LSH (union of tables raises
+    * recall; see Dedup.embeddingNearDupClusters). */
+  def lshBucketsHof(vectors: DataFrame, vecCol: String, numPlanes: Int = 16,
+                    planeOffset: Int = 0): DataFrame = {
     val bucket = expr(
       s"""aggregate(
             sequence($planeOffset, ${planeOffset + numPlanes - 1}),

@@ -42,6 +42,36 @@ class VectorFunctionsSpec extends SparkSpec {
     assert(out.headOption.contains(2L))
   }
 
+  test("lshBuckets native codegen is bit-identical to the HOF reference") {
+    // real embeddings (array<float>) across plane counts and offsets,
+    // incl. the 64-plane boundary
+    val emb = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
+    for ((planes, off) <- Seq((16, 0), (8, 0), (8, 8), (64, 0), (1, 3))) {
+      val native = VectorFunctions.lshBuckets(emb, "embedding", planes, off)
+        .select($"vec_id", $"lsh_bucket".as("b_native"))
+      val hof = VectorFunctions.lshBucketsHof(emb, "embedding", planes, off)
+        .select($"vec_id", $"lsh_bucket".as("b_hof"))
+      val diff = native.join(hof, "vec_id")
+        .filter($"b_native" =!= $"b_hof" || $"b_native".isNull =!= $"b_hof".isNull)
+      assert(diff.count() == 0, s"planes=$planes offset=$off diverged")
+    }
+  }
+
+  test("lshBuckets native matches HOF on edge cases: empty, null element, null vec, doubles") {
+    val edge = Seq(
+      (0L, Some(Seq[Option[Double]]())),                       // empty array
+      (1L, Some(Seq(Some(1.0), None, Some(2.0)))),             // null element
+      (2L, None),                                              // null vector
+      (3L, Some(Seq(Some(0.5), Some(-0.25), Some(3.75)))))     // plain doubles
+      .toDF("id", "v")
+    val native = VectorFunctions.lshBuckets(edge, "v", 16).select($"id", $"lsh_bucket".as("n"))
+    val hof = VectorFunctions.lshBucketsHof(edge, "v", 16).select($"id", $"lsh_bucket".as("h"))
+    val rows = native.join(hof, "id").orderBy("id").as[(Long, Long, Long)].collect()
+    rows.foreach { case (id, n, h) => assert(n == h, s"id=$id native=$n hof=$h") }
+    // empty / null-element / null-vec all land in bucket 0 on both paths
+    assert(rows.take(3).forall(_._2 == 0L))
+  }
+
   test("bucketedKnn only pairs within buckets and ranks by cosine") {
     val out = VectorFunctions.bucketedKnn(vecs, "embedding", "vec_id",
       k = 2, numPlanes = 1)
