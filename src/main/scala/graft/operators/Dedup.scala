@@ -68,10 +68,15 @@ object Dedup {
     keepFirst(hashed, Seq("content_hash"), Seq(col(idCol)))
   }
 
-  /** k-token shingles of a text column (lowercased, whitespace-split). */
-  private def shingleExpr(textCol: String, shingleSize: Int) = expr(
-    s"transform(sequence(1, greatest(size(split(lower(trim($textCol)), '\\\\s+')) - ${shingleSize - 1}, 1)), " +
-    s"i -> concat_ws(' ', slice(split(lower(trim($textCol)), '\\\\s+'), i, $shingleSize)))")
+  /** k-token shingles of a text column (lowercased, whitespace-split,
+    * empty tokens dropped — the [[graft.plans.Tokens]] contract, so agg
+    * and native forms tokenize identically on edge whitespace). */
+  private def shingleExpr(textCol: String, shingleSize: Int) = {
+    val toks = graft.plans.Tokens.whitespaceSql(textCol)
+    expr(
+      s"transform(sequence(1, greatest(size($toks) - ${shingleSize - 1}, 1)), " +
+      s"i -> concat_ws(' ', slice($toks, i, $shingleSize)))")
+  }
 
   /** MinHash signature over token shingles via the native codegen'd
     * expression [[graft.plans.MinHashSignature]]: per-row compute, zero
@@ -200,7 +205,7 @@ object Dedup {
   def simHashAgg(df: DataFrame, textCol: String, idCol: String = "doc_id"): DataFrame = {
     val exploded = df
       .select(col(idCol),
-        explode(split(lower(trim(col(textCol))), "\\s+")).as("__t"))
+        explode(expr(graft.plans.Tokens.whitespaceSql(textCol))).as("__t"))
       .select(col(idCol), xxhash64(col("__t")).as("__h"))
     val bitSums = (0 until 64).map { j =>
       sum(when(shiftright(col("__h"), j).bitwiseAND(lit(1L)) === 1L, 1L)
@@ -213,7 +218,12 @@ object Dedup {
       .groupBy(col(idCol))
       .agg(bitSums.head, bitSums.tail: _*)
       .select(col(idCol), assembled.as("simhash"))
+    // a token-less text (empty / all-whitespace) explodes to zero rows and
+    // misses the join; the native expression gives it fingerprint 0 (all
+    // bit-sums zero), so patch the miss to 0 — null text stays null
     df.join(sigs, Seq(idCol), "left")
+      .withColumn("simhash",
+        when(col(textCol).isNotNull, coalesce(col("simhash"), lit(0L))))
   }
 
   /** Hamming distance between two 64-bit simhashes. */

@@ -61,7 +61,7 @@ object MinHashSignature {
     * Bit-identical to the builtin composition
     * `min(xxhash64(lit(j.toLong), xxhash64(shingle_string)))`. */
   def compute(text: UTF8String, shingleSize: Int, numHashes: Int): ArrayData = {
-    val toks = text.toString.toLowerCase(java.util.Locale.ROOT).trim.split("\\s+")
+    val toks = Tokens.whitespace(text)
     val tokBytes = new Array[Array[Byte]](toks.length)
     var maxWin = 0
     var i = 0

@@ -41,7 +41,7 @@ case class ShingleHashSet(child: Expression, shingleSize: Int)
 object ShingleHashSet {
 
   def compute(text: UTF8String, shingleSize: Int): ArrayData = {
-    val toks = text.toString.toLowerCase(java.util.Locale.ROOT).trim.split("\\s+")
+    val toks = Tokens.whitespace(text)
     val th = new Array[Long](toks.length)
     var i = 0
     while (i < toks.length) {

@@ -50,7 +50,7 @@ object SimHash64 {
     * whitespace-tokenize, hash each token once (seed 42 = builtin
     * xxhash64), accumulate the 64 bit counters, assemble sign bits. */
   def compute(text: UTF8String): Long = {
-    val toks = text.toString.toLowerCase(java.util.Locale.ROOT).trim.split("\\s+")
+    val toks = Tokens.whitespace(text)
     val counts = new Array[Int](64)
     var i = 0
     while (i < toks.length) {

@@ -110,7 +110,10 @@ class DedupSpec extends SparkSpec {
       (2L, "two tokens"),
       (3L, "one"),
       (4L, "  padded   with   extra   spaces  "),
-      (5L, "MiXeD Case TOKENS here"))
+      (5L, "MiXeD Case TOKENS here"),
+      (6L, "\tleading tab and trailing newline\n"),   // ADVICE r2: non-space edge ws
+      (7L, "inner\ttabs\nand\nnewlines between"),
+      (8L, ""))
       .toDF("doc_id", "text")
     val native = Dedup.minHashSignature(docs, "text", shingleSize = 3, numHashes = 16)
       .select("doc_id", "minhash").as[(Long, Seq[Long])].collect().toMap
@@ -176,7 +179,9 @@ class DedupSpec extends SparkSpec {
       (1L, "the quick brown fox jumps over the lazy dog"),
       (2L, "one"),
       (3L, "  spaced   out   tokens  "),
-      (4L, "MiXeD Case text HERE"))
+      (4L, "MiXeD Case text HERE"),
+      (5L, "\tleading tab, trailing newline\n"),      // ADVICE r2: non-space edge ws
+      (6L, ""))                                       // token-less -> 0L on both paths
       .toDF("doc_id", "text")
     val native = Dedup.simHash(docs, "text").select("doc_id", "simhash")
       .as[(Long, Long)].collect().toMap
