@@ -56,7 +56,13 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failed = results.count(_._2 < 0)
+    // Per-query detail on its own line FIRST; the FINAL stdout line is the
+    // short total-only record. The driver json-parses the last stdout line
+    // within a bounded tail-capture window — rounds 1-2 proved a
+    // many-query single-line JSON overruns it (BENCH_r02 parsed:null).
+    println(s"""{"metric":"queries","sf":"$sfDir","queries":$qs}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","queries_run":${results.size},"failed":$failed}""")
     spark.stop()
   }
 }

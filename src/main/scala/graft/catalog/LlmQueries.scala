@@ -265,10 +265,12 @@ object LlmQueries {
         .agg(count(lit(1)).as("tf"))
       val df = toks.groupBy(col("term"))
         .agg(countDistinct(col("doc_id")).as("df"))
-      val n = docs.count() // scalar: corpus size (one tiny job)
-      val scored = tf.join(df, "term")
+      // corpus size N as a broadcast 1-row aggregate, not a driver action:
+      // keeps plan construction lazy (no mid-plan job), same q73 pattern
+      val nDf = broadcast(docs.agg(count(lit(1)).as("__n")))
+      val scored = tf.join(df, "term").crossJoin(nDf)
         .withColumn("raw",
-          col("tf") * log((lit(n) + 1.0) / (col("df") + 1.0)))
+          col("tf") * log((col("__n") + 1.0) / (col("df") + 1.0)))
       val rk = Window.partitionBy(col("doc_id"))
         .orderBy(col("raw").desc, col("term").asc)
       scored.withColumn("rk", row_number().over(rk))
