@@ -77,13 +77,28 @@ object Graph {
     * come back as singleton components of themselves — callers pass the
     * full corpus so isolated documents aren't dropped from the output.
     */
+  /** `reliable = true` switches the per-round lineage truncation from
+    * `localCheckpoint` (executor-local blocks — fast, but on a real
+    * cluster a lost executor makes the truncated lineage unrecoverable
+    * mid-loop) to `checkpoint` against the session's configured
+    * checkpoint directory (replicated/distributed storage survives node
+    * loss — the production path for long CC runs). Requires
+    * `sparkContext.setCheckpointDir` to have been called; set
+    * `spark.cleaner.referenceTracking.cleanCheckpoints=true` to reap
+    * superseded round files. */
   def connectedComponents(edges: DataFrame, srcCol: String = "src",
                           dstCol: String = "dst",
                           nodes: Option[(DataFrame, String)] = None,
-                          maxIter: Int = 25): DataFrame = {
-    var e = canonical(edges.select(
-        col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst")))
-      .localCheckpoint()
+                          maxIter: Int = 25,
+                          reliable: Boolean = false): DataFrame = {
+    if (reliable && edges.sparkSession.sparkContext.getCheckpointDir.isEmpty)
+      throw new IllegalStateException(
+        "connectedComponents(reliable = true) needs a reliable checkpoint " +
+        "location: call sparkContext.setCheckpointDir(<durable path>) first")
+    def materialize(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint() else df.localCheckpoint()
+    var e = materialize(canonical(edges.select(
+        col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))))
     var sig = fingerprint(e)
     var converged = sig.head == 0L
     var iter = 0
@@ -97,8 +112,8 @@ object Graph {
       // Star steps emit canonically-ordered (min, other) edges by
       // construction; one distinct per half-round bounds duplicate
       // growth.
-      val half = largeStar(e).distinct().localCheckpoint()
-      val next = smallStar(half).distinct().localCheckpoint()
+      val half = materialize(largeStar(e).distinct())
+      val next = materialize(smallStar(half).distinct())
       val nextSig = fingerprint(next)
       converged = nextSig == sig
       e = next
