@@ -19,9 +19,40 @@ object LlmQueries {
 
   import Catalog._
 
-  /** Session-scoped IVF index cache for q76 (see there). */
-  private[catalog] val ivfCache =
+  /** Session-scoped IVF index cache for q76 (see there). Entries pin
+    * persisted centroid blocks, so the cache must not outlive its session:
+    * the first insert for a session registers an application-end listener
+    * that closes and drops every entry of that session (ADVICE r2 — the
+    * unbounded map otherwise held stopped sessions and un-closed indexes
+    * for the JVM lifetime). */
+  private[graft] val ivfCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), graft.functions.IvfIndex.Index]()
+  private val ivfListenerRegistered =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[SparkSession]()
+
+  /** Drop + close every cached index belonging to `s`. */
+  private[graft] def evictIvfForSession(s: SparkSession): Unit = {
+    ivfListenerRegistered.remove(s)
+    val it = ivfCache.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getKey._1 eq s) {
+        try e.getValue.close() catch { case _: Throwable => () } // context may already be down
+        it.remove()
+      }
+    }
+  }
+
+  private[graft] def cachedIvfIndex(s: SparkSession, d: String)(
+      build: => graft.functions.IvfIndex.Index): graft.functions.IvfIndex.Index = {
+    if (ivfListenerRegistered.add(s))
+      s.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onApplicationEnd(
+            end: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
+          evictIvfForSession(s)
+      })
+    ivfCache.computeIfAbsent((s, d), _ => build)
+  }
 
   /** Stopword list shared by query and oracle (subset of the testdata
     * vocabulary so ratios are non-trivial). */
@@ -168,9 +199,10 @@ object LlmQueries {
       val rest = emb.filter(col("vec_id") =!= 0)
       // one index per (session, sfDir): repeated catalog invocations reuse
       // the persisted centroids instead of leaking a new cached copy each
-      // time (Index.close() is the owning-lifecycle API for library users)
-      val idx = LlmQueries.ivfCache.computeIfAbsent((s, d),
-        _ => IvfIndex.build(rest, "embedding", "vec_id", k = 8))
+      // time; evicted + closed on application end (Index.close() is the
+      // owning-lifecycle API for library users)
+      val idx = LlmQueries.cachedIvfIndex(s, d)(
+        IvfIndex.build(rest, "embedding", "vec_id", k = 8))
       IvfIndex.topK(idx.indexed, idx.centroids, "embedding", "vec_id", qv, k = 10, nprobe = 4)
         .select(col("vec_id"), round(col("cosine_sim"), 4).as("cosine_sim"))
     }),

@@ -37,6 +37,25 @@ class IvfIndexSpec extends SparkSpec {
     idx.close()
   }
 
+  test("catalog ivf cache evicts and closes its session's entries (ADVICE r2)") {
+    import graft.catalog.LlmQueries
+    val idx = LlmQueries.cachedIvfIndex(spark, "spec-dir")(
+      IvfIndex.build(emb, "embedding", "vec_id", k = 4))
+    assert(LlmQueries.cachedIvfIndex(spark, "spec-dir")(
+      fail("second lookup must hit the cache")) eq idx)
+    assert(idx.centroids.storageLevel.useMemory)
+    LlmQueries.evictIvfForSession(spark)
+    assert(!idx.centroids.storageLevel.useMemory,
+      "eviction must close() the index and release centroid blocks")
+    assert(!LlmQueries.ivfCache.keySet().stream()
+      .anyMatch(k => k._1 eq spark), "no entries for the session may remain")
+    // re-registration after eviction works (listener set was cleared)
+    val idx2 = LlmQueries.cachedIvfIndex(spark, "spec-dir")(
+      IvfIndex.build(emb, "embedding", "vec_id", k = 4))
+    assert(idx2 ne idx)
+    LlmQueries.evictIvfForSession(spark)
+  }
+
   test("small nprobe still finds most of the true top-k (recall sanity)") {
     import scala.jdk.CollectionConverters._
     val qv = emb.filter($"vec_id" === 0).select("embedding")
