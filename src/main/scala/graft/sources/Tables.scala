@@ -60,9 +60,8 @@ object Tables {
   /** JDBC dimension read (reference load.py:56-57,66 reads dims from
     * Postgres). Compat surface: predicate pushdown and column pruning
     * reach the remote database; use `partitionColumn`/`numPartitions`
-    * options for parallel reads of large tables. Untested in this
-    * environment (no database available) — the native path is parquet
-    * dims + broadcast. */
+    * options for parallel reads of large tables. Tested against embedded
+    * Derby (SourcesSpec) — the native path is parquet dims + broadcast. */
   def jdbc(spark: SparkSession, url: String, table: String,
            props: java.util.Properties = new java.util.Properties()): DataFrame =
     spark.read.jdbc(url, table, props)

@@ -43,6 +43,38 @@ class SinksSpec extends SparkSpec {
     assert(!new java.io.File(p + "__graft_old").exists())
   }
 
+  test("upsertJdbc round-trips with Merge.upsert conflict semantics (embedded Derby)") {
+    val dbDir = java.nio.file.Files.createTempDirectory("derby").toString
+    val url = s"jdbc:derby:$dbDir/db;create=true"
+    val ddl = java.sql.DriverManager.getConnection(url)
+    ddl.createStatement().execute(
+      "CREATE TABLE tgt (k BIGINT PRIMARY KEY, v VARCHAR(32), ver INT)")
+    ddl.close()
+    // key-hash partitioning: concurrent partitions never share a key
+    val first = Seq((1L, "a", 1), (2L, "b", 1)).toDF("k", "v", "ver")
+      .repartition(4, col("k"))
+    Sinks.upsertJdbc(first, url, "tgt", Seq("k"), batchSize = 1)
+    val second = Seq((2L, "B2", 2), (3L, "c", 2)).toDF("k", "v", "ver")
+      .repartition(4, col("k"))
+    Sinks.upsertJdbc(second, url, "tgt", Seq("k"))
+    val back = spark.read.format("jdbc").option("url", url).option("dbtable", "tgt")
+      .load()
+      .select(col("K").cast("long"), col("V"), col("VER").cast("int"))
+      .as[(Long, String, Int)].collect().toSeq.sorted
+    // same outcome as the storage-side merge: k=2 updated, k=3 inserted
+    assert(back == Seq((1L, "a", 1), (2L, "B2", 2), (3L, "c", 2)))
+    // bad key fails fast, before any connection is opened
+    intercept[IllegalArgumentException] {
+      Sinks.upsertJdbc(first, url, "tgt", Seq("nope"))
+    }
+    // the read wrapper sees the upserted state, with filters pushed to
+    // the database (Tables.jdbc is the reference's dim-read surface)
+    val viaWrapper = Tables.jdbc(spark, url, "tgt")
+      .filter(col("K") >= 2L).select(col("K").cast("long")).as[Long]
+      .collect().toSeq.sorted
+    assert(viaWrapper == Seq(2L, 3L))
+  }
+
   test("clusteredParquet produces disjoint per-file key ranges (min/max pruning layout)") {
     val p = tmp()
     val orders = spark.read.parquet(sf("sf0.001") + "/orders.parquet")
