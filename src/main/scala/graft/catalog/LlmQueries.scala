@@ -390,9 +390,47 @@ object LlmQueries {
           round(col("max_tok").cast("double") / col("n_tok"), 4).as("top_token_frac"),
           round(col("max_bg").cast("double") / col("n_bg"), 4).as("top_bigram_frac"))
         .orderBy(col("doc_id"))
+    }),
+
+    // --- exact Jaccard over the planted pairs (VALUE-checked) -------------
+    // The planted-twin pair list is deterministic from the data alone
+    // (doc_id < 20 -> twin at id + 1000000 with ' zz zz' appended), so the
+    // LSH verify stage gets a true DuckDB oracle: exact 3-shingle string
+    // Jaccard, independent of every engine-internal hash seed. Covers the
+    // scoring math that q43's rows-only entry exercises end-to-end.
+    "q88_planted_jaccard" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val corpus = withPlantedNearDups(docs)
+      val pairs = docs.filter(col("doc_id") < 20)
+        .select(col("doc_id").as("id_a"), (col("doc_id") + 1000000L).as("id_b"))
+      Dedup.jaccardVerify(pairs, corpus, "doc_id", "text")
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+        .orderBy(col("id_a"))
     }))
 
   def oracleSql: Map[String, String] = Map(
+    // Exact string-Jaccard over the deterministic planted pairs: the
+    // DuckDB side recomputes 3-shingle sets from the text itself (no
+    // engine hash involved), value-checking the Spark verify stage.
+    "q88_planted_jaccard" ->
+      """WITH tk AS (
+           SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS ta,
+             list_filter(string_split_regex(lower(text || ' zz zz'), '\s+'), x -> x <> '') AS tb
+           FROM documents WHERE doc_id < 20
+         ),
+         sh AS (
+           SELECT doc_id,
+             list_distinct([array_to_string(list_slice(ta, i, i+2), ' ')
+                            for i in range(1, greatest(len(ta)-2,1)+1)]) AS sa,
+             list_distinct([array_to_string(list_slice(tb, i, i+2), ' ')
+                            for i in range(1, greatest(len(tb)-2,1)+1)]) AS sb
+           FROM tk
+         )
+         SELECT doc_id AS id_a, doc_id + 1000000 AS id_b,
+           round(CAST(len(list_intersect(sa, sb)) AS DOUBLE) /
+                 len(list_distinct(list_concat(sa, sb))), 4) AS jaccard
+         FROM sh ORDER BY id_a""",
     "q60_media_meta" ->
       """SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
                 WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
