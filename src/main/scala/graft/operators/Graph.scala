@@ -97,9 +97,16 @@ object Graph {
         "location: call sparkContext.setCheckpointDir(<durable path>) first")
     def materialize(df: DataFrame): DataFrame =
       if (reliable) df.checkpoint() else df.localCheckpoint()
-    var e = materialize(canonical(edges.select(
+    // lazy checkpoint + fingerprint: the convergence fingerprint is a full
+    // scan, so letting IT materialize the checkpoint folds two actions
+    // (eager-checkpoint job + fingerprint job) into one pass per round
+    def checkpointViaFingerprint(df: DataFrame): (DataFrame, Seq[Any]) = {
+      val ck = if (reliable) df.checkpoint(eager = false)
+               else df.localCheckpoint(eager = false)
+      (ck, fingerprint(ck))
+    }
+    var (e, sig) = checkpointViaFingerprint(canonical(edges.select(
         col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))))
-    var sig = fingerprint(e)
     var converged = sig.head == 0L
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -111,10 +118,11 @@ object Graph {
       // (measured 4× slower when two rounds shared one checkpoint).
       // Star steps emit canonically-ordered (min, other) edges by
       // construction; one distinct per half-round bounds duplicate
-      // growth.
+      // growth. `half` has no natural action between itself and `next`,
+      // so it checkpoints eagerly; `next` materializes through its
+      // fingerprint (2 jobs per round, not 3).
       val half = materialize(largeStar(e).distinct())
-      val next = materialize(smallStar(half).distinct())
-      val nextSig = fingerprint(next)
+      val (next, nextSig) = checkpointViaFingerprint(smallStar(half).distinct())
       converged = nextSig == sig
       e = next
       sig = nextSig
