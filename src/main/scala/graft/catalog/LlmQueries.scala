@@ -406,9 +406,39 @@ object LlmQueries {
       Dedup.jaccardVerify(pairs, corpus, "doc_id", "text")
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
         .orderBy(col("id_a"))
+    }),
+
+    // --- sequence packing for training (concat-stream chunking) -----------
+    // Docs laid on 8 parallel token streams, chunked into 2048-token
+    // windows: per-doc (shard, seq_id, pos_in_seq). One shuffle on shard;
+    // the within-shard running offset is a spillable sort window.
+    "q89_sequence_pack" -> ((s, d) => {
+      import graft.operators.Pack
+      val docs = t(s, d, "documents")
+        .withColumn("n_tok", TF.tokenCount(col("text")).cast("long"))
+      Pack.sequencePack(docs, "doc_id", "n_tok", capacity = 2048, numShards = 8)
+        .select(col("doc_id"), col("shard"), col("seq_id"),
+          col("pos_in_seq"), col("n_tok"))
+        .orderBy(col("doc_id"))
     }))
 
   def oracleSql: Map[String, String] = Map(
+    "q89_sequence_pack" ->
+      """WITH tk AS (
+           SELECT doc_id,
+             CAST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS BIGINT) AS n_tok
+           FROM documents
+         ),
+         placed AS (
+           SELECT doc_id, n_tok, doc_id % 8 AS shard,
+             CAST(coalesce(sum(n_tok) OVER (PARTITION BY doc_id % 8 ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_off
+           FROM tk
+         )
+         SELECT doc_id, shard, CAST(floor(tok_off / 2048.0) AS BIGINT) AS seq_id,
+           tok_off % 2048 AS pos_in_seq, n_tok
+         FROM placed ORDER BY doc_id""",
+
     // Exact string-Jaccard over the deterministic planted pairs: the
     // DuckDB side recomputes 3-shingle sets from the text itself (no
     // engine hash involved), value-checking the Spark verify stage.

@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class PackSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("sequencePack places docs on a contiguous per-shard token stream") {
+    // one shard so the layout is a single stream: offsets are exact
+    // partial sums, capacity 10 chunks at token 10 and 20
+    val docs = Seq((1L, 4L), (2L, 3L), (3L, 6L), (4L, 2L), (5L, 9L))
+      .toDF("doc_id", "n_tok")
+    val out = Pack.sequencePack(docs, "doc_id", "n_tok", capacity = 10, numShards = 1)
+      .select("doc_id", "shard", "offset", "seq_id", "pos_in_seq")
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(out == Seq(
+      (1L, 0L, 0L, 0L, 0L),   // tokens [0,4)
+      (2L, 0L, 4L, 0L, 4L),   // [4,7)
+      (3L, 0L, 7L, 0L, 7L),   // [7,13): starts in seq 0, straddles into 1
+      (4L, 0L, 13L, 1L, 3L),  // [13,15)
+      (5L, 0L, 15L, 1L, 5L))) // [15,24)
+  }
+
+  test("sharded packing: independent streams, deterministic assignment, invariants") {
+    val docs = spark.range(1, 201).toDF("doc_id")
+      .withColumn("n_tok", pmod(col("doc_id") * 37L, lit(50L)) + 1L)
+    val packed = Pack.sequencePack(docs, "doc_id", "n_tok", capacity = 64, numShards = 4)
+    val rows = packed.select("doc_id", "shard", "offset", "n_tok")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(rows.map(_._2).distinct.sorted.toSeq == Seq(0L, 1L, 2L, 3L))
+    // per shard: offsets are the exact partial sums of n_tok in doc order
+    rows.groupBy(_._2).foreach { case (_, members) =>
+      val inOrder = members.sortBy(_._1)
+      val expected = inOrder.map(_._4).scanLeft(0L)(_ + _).init
+      assert(inOrder.map(_._3).toSeq == expected.toSeq,
+        "offset must equal the sum of preceding docs' token counts")
+    }
+    // determinism: a re-run (different partitioning) places identically
+    val rerun = Pack.sequencePack(docs.repartition(13), "doc_id", "n_tok",
+      capacity = 64, numShards = 4)
+      .select("doc_id", "shard", "offset").as[(Long, Long, Long)].collect().toSet
+    assert(rerun == rows.map(r => (r._1, r._2, r._3)).toSet)
+  }
+
+  test("packStats rolls up window fill per packed sequence") {
+    val docs = Seq((1L, 4L), (2L, 3L), (3L, 6L), (4L, 2L), (5L, 9L))
+      .toDF("doc_id", "n_tok")
+    val packed = Pack.sequencePack(docs, "doc_id", "n_tok", capacity = 10, numShards = 1)
+    val stats = Pack.packStats(packed, "n_tok")
+      .select("seq_id", "n_starting_docs", "start_tokens")
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(stats == Seq((0L, 3L, 13L), (1L, 2L, 11L)))
+  }
+
+  test("guards: non-positive capacity or shards fail fast") {
+    val docs = Seq((1L, 4L)).toDF("doc_id", "n_tok")
+    intercept[IllegalArgumentException] {
+      Pack.sequencePack(docs, "doc_id", "n_tok", capacity = 0, numShards = 1)
+    }
+    intercept[IllegalArgumentException] {
+      Pack.sequencePack(docs, "doc_id", "n_tok", capacity = 10, numShards = 0)
+    }
+  }
+}
