@@ -420,9 +420,29 @@ object LlmQueries {
         .select(col("doc_id"), col("shard"), col("seq_id"),
           col("pos_in_seq"), col("n_tok"))
         .orderBy(col("doc_id"))
+    }),
+
+    // --- deterministic train/val/test split -------------------------------
+    // Hash-of-id membership (never positional/random): leak-free and
+    // stable under re-runs and corpus growth. Narrow projection — the
+    // split column costs one md5 per row, no shuffle.
+    "q90_hash_split" -> ((s, d) => {
+      import graft.operators.Splits
+      Splits.hashSplit(t(s, d, "documents"), "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select(col("doc_id"), col("split"))
+        .orderBy(col("doc_id"))
     }))
 
   def oracleSql: Map[String, String] = Map(
+    // thresholds: floor(0.8 * 65536) = 0xcccc, floor(0.9 * 65536) = 0xe666
+    "q90_hash_split" ->
+      """SELECT doc_id,
+           CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'cccc' THEN 'train'
+                WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'e666' THEN 'val'
+                ELSE 'test' END AS split
+         FROM documents ORDER BY doc_id""",
+
     "q89_sequence_pack" ->
       """WITH tk AS (
            SELECT doc_id,
