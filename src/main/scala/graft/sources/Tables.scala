@@ -66,6 +66,12 @@ object Tables {
            props: java.util.Properties = new java.util.Properties()): DataFrame =
     spark.read.jdbc(url, table, props)
 
+  /** ORC scan — the second columnar format Spark ships natively (some
+    * lakes standardize on it). Same pushdown/pruning machinery as
+    * parquet; SourcesSpec asserts filters reach the ORC scan. */
+  def orc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
   /** Union-all of per-member frames by column name — the reference's
     * `pd.concat(df_list, ignore_index=True)` (extract.py:48). In Spark a
     * multi-file read is already a union at the source level; this exists

@@ -71,4 +71,14 @@ class PlanSpec extends SparkSpec {
       s"expected cosinesimilarity inside a codegen'd (*-prefixed) Project in:\n$plan")
     assert(!plan.contains("CodegenFallback"), s"must not fall back:\n$plan")
   }
+
+  test("native hyperplane-LSH bucketing participates in whole-stage codegen") {
+    val emb = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
+    val df = graft.functions.VectorFunctions.lshBuckets(emb, "embedding", 16)
+      .select("vec_id", "lsh_bucket")
+    val plan = executedPlan(df)
+    assert("\\*\\(\\d+\\) Project \\[.*hyperplanelsh".r.findFirstIn(plan).isDefined,
+      s"expected hyperplanelsh inside a codegen'd (*-prefixed) Project in:\n$plan")
+    assert(!plan.contains("CodegenFallback"), s"must not fall back:\n$plan")
+  }
 }

@@ -49,4 +49,16 @@ class SourcesSpec extends SparkSpec {
     assert(u.count() == 2)
     assert(u.filter($"v".isNull).count() == 1)
   }
+
+  test("ORC round-trip with filter pushdown reaching the scan") {
+    val dir = java.nio.file.Files.createTempDirectory("orc").toString + "/t"
+    val orders = spark.read.parquet(sf("sf0.001") + "/orders.parquet")
+    orders.write.orc(dir)
+    val back = Tables.orc(spark, dir)
+    assert(back.count() == orders.count())
+    val q = back.filter($"o_orderkey" === 42L).select("o_orderkey", "o_totalprice")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("o_orderkey"),
+      s"ORC scan must receive the pushed filter:\n$plan")
+  }
 }
