@@ -432,6 +432,24 @@ object LlmQueries {
         Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
         .select(col("doc_id"), col("split"))
         .orderBy(col("doc_id"))
+    }),
+
+    // --- incremental dedup: new batch vs existing corpus (rows-only) ------
+    // The growing-corpus ingest shape: the planted twins arrive as a
+    // "batch" and are deduped against the original documents without
+    // re-pairing the corpus with itself. Rows-only (banding internals);
+    // DedupSpec pins the batch/corpus pair semantics.
+    "q91_incremental_dedup" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val batch = withPlantedNearDups(docs).filter(col("doc_id") >= 1000000L)
+      val sigC = Dedup.minHashSignature(docs, "text", shingleSize = 3, numHashes = 32)
+      val sigB = Dedup.minHashSignature(batch, "text", shingleSize = 3, numHashes = 32)
+      val pairs = Dedup.incrementalCandidatePairs(sigB, sigC, "doc_id",
+        bands = 8, rowsPerBand = 4)
+      Dedup.jaccardVerify(pairs, withPlantedNearDups(docs), "doc_id", "text")
+        .filter(col("jaccard") >= 0.5)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+        .orderBy(col("id_a"), col("id_b"))
     }))
 
   def oracleSql: Map[String, String] = Map(

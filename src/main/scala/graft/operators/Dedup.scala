@@ -138,12 +138,7 @@ object Dedup {
     require(bands * rowsPerBand == numHashes,
       s"band layout ${bands}x$rowsPerBand must cover the signature length $numHashes exactly")
     require(maxBucketSize > 1, s"maxBucketSize must be > 1, got $maxBucketSize")
-    val banded = withSig
-      .select(col(idCol).as("__id"), col("minhash"))
-      .withColumn("band", explode(expr(
-        s"transform(sequence(0, ${bands - 1}), " +
-        s"b -> named_struct('band_id', b, 'band_hash', xxhash64(concat_ws(',', slice(minhash, b * $rowsPerBand + 1, $rowsPerBand)))))")))
-      .select(col("__id"), col("band.band_id"), col("band.band_hash"))
+    val banded = bandedSignatures(withSig, idCol, bands, rowsPerBand)
     // size-gate BEFORE collect_list: the window count is sort-based and
     // spillable, so a degenerate bucket never has to fit in one
     // aggregation buffer; only surviving (capped) buckets are collected.
@@ -162,6 +157,62 @@ object Dedup {
         "j -> named_struct('id_a', least(ids[i-1], j), 'id_b', greatest(ids[i-1], j)))))")).as("p"))
       .select(col("p.id_a"), col("p.id_b"))
       .distinct()
+  }
+
+  /** (__id, band_id, band_hash) rows: one per band per signature. */
+  private def bandedSignatures(withSig: DataFrame, idCol: String,
+                               bands: Int, rowsPerBand: Int): DataFrame =
+    withSig
+      .select(col(idCol).as("__id"), col("minhash"))
+      .withColumn("band", explode(expr(
+        s"transform(sequence(0, ${bands - 1}), " +
+        s"b -> named_struct('band_id', b, 'band_hash', xxhash64(concat_ws(',', slice(minhash, b * $rowsPerBand + 1, $rowsPerBand)))))")))
+      .select(col("__id"), col("band.band_id"), col("band.band_hash"))
+
+  /** Incremental near-dup candidates: pair a NEW batch against an
+    * already-signed corpus without ever re-pairing the corpus with
+    * itself — the production shape for a growing 100 TB corpus, where
+    * re-running full-corpus banding per ingest batch is the thing that
+    * does not scale.
+    *
+    * The corpus side is touched only where the batch's band hashes land:
+    * its banded form is semi-joined down to matched buckets BEFORE any
+    * pairing (store the banded corpus as a table bucketed by band_hash
+    * and this semi-join is a pruned scan, not a full pass). Work ∝
+    * batch size + matched-bucket membership, never corpus².
+    *
+    * Both inputs carry `minhash` (from [[minHashSignature]], same band
+    * layout). Returns distinct (id_a < id_b) pairs where at least one
+    * side is from the batch: batch-internal pairs via
+    * [[minHashCandidatePairs]] on the batch alone, batch-vs-corpus pairs
+    * via the bucket join. Verify + cluster downstream exactly as in the
+    * batch path. */
+  def incrementalCandidatePairs(newSigs: DataFrame, corpusSigs: DataFrame,
+                                idCol: String, bands: Int, rowsPerBand: Int,
+                                numHashes: Int = 32,
+                                maxBucketSize: Int = 10000): DataFrame = {
+    require(bands * rowsPerBand == numHashes,
+      s"band layout ${bands}x$rowsPerBand must cover the signature length $numHashes exactly")
+    val newBands = bandedSignatures(newSigs, idCol, bands, rowsPerBand)
+    // corpus bands pruned to buckets the batch actually touches
+    val matched = bandedSignatures(corpusSigs, idCol, bands, rowsPerBand)
+      .join(newBands.select(col("band_id"), col("band_hash")).distinct(),
+        Seq("band_id", "band_hash"), "left_semi")
+    // blowup guard on the corpus side of each touched bucket (the batch
+    // side is bounded by the batch itself)
+    val wBucket = Window.partitionBy(col("band_id"), col("band_hash"))
+    val gated = matched
+      .withColumn("__n", count(lit(1)).over(wBucket))
+      .filter(col("__n") <= maxBucketSize)
+      .drop("__n")
+    val crossPairs = newBands
+      .join(gated.withColumnRenamed("__id", "__cid"), Seq("band_id", "band_hash"))
+      .filter(col("__id") =!= col("__cid"))
+      .select(least(col("__id"), col("__cid")).as("id_a"),
+        greatest(col("__id"), col("__cid")).as("id_b"))
+    val newNew = minHashCandidatePairs(newSigs, idCol, bands, rowsPerBand,
+      numHashes, maxBucketSize)
+    crossPairs.union(newNew).distinct()
   }
 
   /** Exact n-gram Jaccard similarity for a candidate-pair frame — the

@@ -125,6 +125,31 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("incrementalCandidatePairs finds batch-vs-corpus and batch-internal dups only") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"), // corpus-internal dup
+      (3L, "totally unrelated corpus content with different words here entirely"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"), // dup of 1 and 2
+      (11L, "brand new content unseen anywhere else in any corpus at all"),
+      (12L, "brand new content unseen anywhere else in any corpus at all")) // batch-internal dup
+      .toDF("doc_id", "text")
+    val sigC = Dedup.minHashSignature(corpus, "text", 3, 32)
+    val sigB = Dedup.minHashSignature(batch, "text", 3, 32)
+    val pairs = Dedup.incrementalCandidatePairs(sigB, sigC, "doc_id",
+      bands = 8, rowsPerBand = 4)
+      .as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 10L)) && pairs.contains((2L, 10L)),
+      s"batch doc must pair with its corpus twins: $pairs")
+    assert(pairs.contains((11L, 12L)), s"batch-internal dup must pair: $pairs")
+    assert(!pairs.contains((1L, 2L)),
+      s"corpus-internal pairs must NOT be re-derived: $pairs")
+    assert(pairs.forall { case (a, b) => b >= 10L },
+      s"every pair involves at least one batch doc: $pairs")
+  }
+
   test("jaccardVerify: identical docs have jaccard 1.0") {
     val docs = Seq(
       (1L, "a b c d e f g h"), (2L, "a b c d e f g h"), (3L, "x y z q r s t u"))
