@@ -453,6 +453,29 @@ object LlmQueries {
     }))
 
   def oracleSql: Map[String, String] = Map(
+    // Decontamination value-checked: DuckDB recomputes distinct 3-shingle
+    // sets from text (hash-free) — equality with the engine's shingle-hash
+    // overlap holds up to 64-bit collisions, i.e. exactly.
+    "q87_decontaminate" ->
+      """WITH tok AS (
+           SELECT doc_id, source,
+             list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS tk
+           FROM documents
+         ),
+         sh AS (
+           SELECT doc_id, source,
+             list_distinct([array_to_string(list_slice(tk, i, i+2), ' ')
+                            for i in range(1, greatest(len(tk)-2,1)+1)]) AS s
+           FROM tok
+         ),
+         ref AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE source <> 'src0'),
+         cand AS (SELECT doc_id, unnest(s) AS g FROM sh WHERE source = 'src0')
+         SELECT cand.doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(coalesce(sum(CASE WHEN ref.g IS NOT NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_matched,
+           round(CAST(sum(CASE WHEN ref.g IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS overlap_frac
+         FROM cand LEFT JOIN ref ON cand.g = ref.g
+         GROUP BY cand.doc_id ORDER BY cand.doc_id""",
+
     // thresholds: floor(0.8 * 65536) = 0xcccc, floor(0.9 * 65536) = 0xe666
     "q90_hash_split" ->
       """SELECT doc_id,
