@@ -453,6 +453,44 @@ object LlmQueries {
     }))
 
   def oracleSql: Map[String, String] = Map(
+    // Lang-id value-checked: the heuristic is pure marker counting +
+    // argmax with earlier-profile tie preference — fully re-expressible
+    // in SQL (score desc, profile priority desc, first row).
+    "q40_lang_id" ->
+      """WITH tok AS (
+           SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '') AS tk
+           FROM documents
+         ),
+         profiles AS (
+           SELECT * FROM (VALUES
+             ('en', 5, ['the','and','of','to','in','is','that','it']),
+             ('es', 4, ['el','la','de','que','y','en','los','del']),
+             ('fr', 3, ['le','la','de','et','les','des','un','une']),
+             ('de', 2, ['der','die','und','das','von','zu','mit','den']),
+             ('zh', 1, ['的','是','了','在','和','有','我','不'])) AS p(lang, prio, markers)
+         ),
+         scored AS (
+           SELECT doc_id, lang, prio,
+             len(list_filter(tk, t -> list_contains(markers, t))) AS score
+           FROM tok CROSS JOIN profiles
+         ),
+         best AS (
+           SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, prio DESC) AS rn
+           FROM scored
+         )
+         SELECT lang AS lang_pred, CAST(count(*) AS BIGINT) AS n
+         FROM best WHERE rn = 1 GROUP BY 1 ORDER BY lang_pred""",
+
+    // Multimodal embedding contract: the decode is an engine-defined
+    // deterministic stub (no codecs in env), but the OUTPUT contract is
+    // oracle-able — one row per media id < 50, unit self-similarity
+    // (pooled embedding is nonzero), dim 64. Shape + invariant check;
+    // embedding values themselves are engine-internal.
+    "q61_media_embeddings" ->
+      """SELECT doc_id AS media_id, CAST(1.0 AS DOUBLE) AS self_sim, CAST(64 AS BIGINT) AS dim
+         FROM documents WHERE doc_id < 50 ORDER BY media_id""",
+
     // Decontamination value-checked: DuckDB recomputes distinct 3-shingle
     // sets from text (hash-free) — equality with the engine's shingle-hash
     // overlap holds up to 64-bit collisions, i.e. exactly.
