@@ -159,15 +159,17 @@ object Dedup {
       .distinct()
   }
 
-  /** (__id, band_id, band_hash) rows: one per band per signature. */
+  /** (__id, band_id, band_hash) rows: one per band per signature.
+    * Band hashing is the native codegen [[graft.plans.BandHashes]] (one
+    * JIT'd fold per row, no per-band string materialization); posexplode
+    * supplies the band ordinal. */
   private def bandedSignatures(withSig: DataFrame, idCol: String,
                                bands: Int, rowsPerBand: Int): DataFrame =
     withSig
-      .select(col(idCol).as("__id"), col("minhash"))
-      .withColumn("band", explode(expr(
-        s"transform(sequence(0, ${bands - 1}), " +
-        s"b -> named_struct('band_id', b, 'band_hash', xxhash64(concat_ws(',', slice(minhash, b * $rowsPerBand + 1, $rowsPerBand)))))")))
-      .select(col("__id"), col("band.band_id"), col("band.band_hash"))
+      .select(col(idCol).as("__id"),
+        posexplode(graft.plans.BandHashes(col("minhash"), bands, rowsPerBand)))
+      .withColumnRenamed("pos", "band_id")
+      .withColumnRenamed("col", "band_hash")
 
   /** Incremental near-dup candidates: pair a NEW batch against an
     * already-signed corpus without ever re-pairing the corpus with

@@ -125,6 +125,34 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("native band hashes are bit-identical to builtin xxhash64 over signature slices") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "two tokens"), (3L, "one"),
+      (4L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+      .toDF("doc_id", "text")
+    val sig = Dedup.minHashSignature(docs, "text", 3, 32)
+    // builtin twin: xxhash64 applied to the sliced ARRAY hashes elements
+    // left-to-right with the running hash as seed — the same fold
+    val native = sig.select($"doc_id",
+      graft.plans.BandHashes($"minhash", 8, 4).as("n"))
+    val builtin = sig.select($"doc_id", expr(
+      "transform(sequence(0, 7), b -> xxhash64(slice(minhash, b * 4 + 1, 4))) AS bi"))
+    val joined = native.join(builtin, "doc_id")
+      .as[(Long, Seq[Long], Seq[Long])].collect()
+    joined.foreach { case (id, n, bi) =>
+      assert(n == bi, s"doc $id: native $n != builtin $bi")
+    }
+    // clipping: a short signature folds only available elements
+    val short = Seq((1L, Seq(7L, 8L, 9L))).toDF("doc_id", "minhash")
+    val clipped = short.select(graft.plans.BandHashes($"minhash", 2, 2).as("h"))
+      .as[Seq[Long]].collect().head
+    val twin = short.select(expr(
+      "transform(sequence(0, 1), b -> xxhash64(slice(minhash, b * 2 + 1, 2)))"))
+      .as[Seq[Long]].collect().head
+    assert(clipped == twin)
+  }
+
   test("incrementalCandidatePairs finds batch-vs-corpus and batch-internal dups only") {
     val corpus = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
