@@ -217,6 +217,70 @@ object Dedup {
     crossPairs.union(newNew).distinct()
   }
 
+  /** Ingest-time dedup against a persistent signature store: drop batch
+    * docs that (a) re-ingest an id already in the store, (b) band-match a
+    * stored document, or (c) band-match an earlier (smaller-id) doc in
+    * the same batch — then append the SURVIVORS' signatures to the store.
+    * Returns the surviving rows of `batch`. The unit of growth for a
+    * continuously-ingested corpus; [[graft.streaming.StreamOps
+    * .nearDupFilterSink]] wraps it per micro-batch.
+    *
+    * Semantics: candidate-level (banding) dedup — no Jaccard verify,
+    * because the store keeps 32-long signatures, not text (at 100 TB the
+    * store must stay narrow). Choose the band layout for the precision
+    * you need; run [[jaccardVerify]]+[[Graph.connectedComponents]] offline
+    * for exact cluster resolution. Batch-internal resolution is greedy
+    * keep-first by id (matches the reference's sequential dedup), not CC.
+    * The id anti-join makes batch replay (stream restart) effectively
+    * once: re-ingested ids drop before any signature comparison.
+    * Single-writer per store path. */
+  def dedupAgainstStore(batch: DataFrame, idCol: String, textCol: String,
+                        storePath: String, bands: Int = 8, rowsPerBand: Int = 4,
+                        numHashes: Int = 32,
+                        maxBucketSize: Int = 10000): DataFrame = {
+    val spark = batch.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(storePath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stored: Option[DataFrame] =
+      if (fs.exists(new org.apache.hadoop.fs.Path(storePath)))
+        Some(spark.read.parquet(storePath)) else None
+    // (a) exact id replay guard
+    val fresh = stored match {
+      case Some(st) => batch.join(st.select(col(idCol)), Seq(idCol), "left_anti")
+      case None     => batch
+    }
+    val sigB = minHashSignature(fresh, textCol, shingleSize = 3, numHashes = numHashes)
+      .select(col(idCol), col("minhash"))
+    val pairs = stored match {
+      case Some(st) => incrementalCandidatePairs(sigB, st, idCol, bands, rowsPerBand,
+        numHashes, maxBucketSize)
+      case None => minHashCandidatePairs(sigB, idCol, bands, rowsPerBand,
+        numHashes, maxBucketSize)
+    }
+    val batchIds = fresh.select(col(idCol).as("__bid"))
+    // (b) batch endpoint of a cross pair: ids are disjoint after (a), so
+    // exactly one endpoint of a cross pair is in the batch; (c) greedy
+    // keep-first: id_b (the larger) of a batch-internal pair drops
+    val dropB = pairs.join(batchIds, col("id_b") === col("__bid"), "left_semi")
+      .select(col("id_b").as(idCol))
+    val dropA = pairs
+      .join(batchIds, col("id_a") === col("__bid"), "left_semi")     // a is new
+      .join(batchIds.withColumnRenamed("__bid", "__bid2"),
+        col("id_b") === col("__bid2"), "left_anti")                  // b is stored
+      .select(col("id_a").as(idCol))
+    // materialize BEFORE appending to the store: the survivor plan reads
+    // the store (anti-join + pairing), and handing the caller a lazy plan
+    // over a path this function just grew invites re-list hazards
+    val survivors = fresh.join(dropB.union(dropA).distinct(), Seq(idCol), "left_anti")
+      .localCheckpoint()
+    // recompute survivors' signatures from the checkpointed rows — the
+    // store append then has NO read dependency on the store path
+    graft.sources.Sinks.appendParquet(
+      minHashSignature(survivors, textCol, shingleSize = 3, numHashes = numHashes)
+        .select(col(idCol), col("minhash")), storePath)
+    survivors
+  }
+
   /** Exact n-gram Jaccard similarity for a candidate-pair frame — the
     * verification step after LSH. `pairs` has (id_a, id_b); `docs` has
     * (idCol, textCol). Two broadcast-able joins against shingle-hash sets

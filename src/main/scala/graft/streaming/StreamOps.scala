@@ -92,6 +92,26 @@ object StreamOps {
       }
       .start()
 
+  /** Streaming near-duplicate filter: each micro-batch is deduped against
+    * the growing signature store ([[graft.operators.Dedup
+    * .dedupAgainstStore]] — id replay guard, batch-vs-store banding,
+    * greedy within-batch keep-first) and only survivors append to
+    * `outPath`. The store grows by exactly the survivors, so a document
+    * admitted once blocks every later near-duplicate across the stream's
+    * lifetime. The id anti-join makes restart replay effectively once. */
+  def nearDupFilterSink(docs: DataFrame, idCol: String, textCol: String,
+                        storePath: String, outPath: String, checkpoint: String,
+                        bands: Int = 8, rowsPerBand: Int = 4)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val kept = graft.operators.Dedup.dedupAgainstStore(
+          batch, idCol, textCol, storePath, bands, rowsPerBand)
+        graft.sources.Sinks.appendParquet(kept, outPath)
+      }
+      .start()
+
   /** Same running totals on the `transformWithState` API (Spark 4's
     * successor to flatMapGroupsWithState: typed ValueState handles,
     * timer support, state-store-backed). */

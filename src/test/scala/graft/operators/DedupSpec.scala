@@ -125,6 +125,35 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("dedupAgainstStore: store growth, cross-batch dedup, replay guard, keep-first") {
+    val dir = java.nio.file.Files.createTempDirectory("store").toString
+    val store = dir + "/sigs"
+    val b1 = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"), // dup of 1
+      (3L, "completely different other content sharing no phrases with anything"))
+      .toDF("doc_id", "text")
+    val k1 = Dedup.dedupAgainstStore(b1, "doc_id", "text", store)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(k1 == Seq(1L, 3L), "within-batch dup drops, keep-first by id")
+    val b2 = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"), // dup of stored 1
+      (11L, "brand new unique material resembling nothing stored before now"))
+      .toDF("doc_id", "text")
+    val k2 = Dedup.dedupAgainstStore(b2, "doc_id", "text", store)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(k2 == Seq(11L), "batch doc near-dup of STORED doc drops")
+    // replay of b2 (stream restart): 11 re-ingests a stored id, 10 still
+    // band-matches stored 1 — nothing survives, output stays exact
+    val k3 = Dedup.dedupAgainstStore(b2, "doc_id", "text", store)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(k3.isEmpty, "replayed batch must add nothing")
+    // store holds exactly the survivors' signatures
+    val storedIds = spark.read.parquet(store).select("doc_id")
+      .as[Long].collect().sorted.toSeq
+    assert(storedIds == Seq(1L, 3L, 11L))
+  }
+
   test("native band hashes are bit-identical to builtin xxhash64 over signature slices") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),

@@ -183,4 +183,27 @@ class StreamOpsSpec extends SparkSpec {
       .as[(Long, String)].collect().toSeq
     assert(out == Seq((1L, "a"), (2L, "B2"), (3L, "c")))
   }
+
+  test("nearDupFilterSink admits each document family once across the stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("stream-neardup")
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamOps.nearDupFilterSink(mem.toDF().toDF("doc_id", "text"),
+      "doc_id", "text", dir.toString + "/store", dir.toString + "/out",
+      dir.toString + "/ckpt")
+    mem.addData(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (3L, "completely different other content sharing no phrases with anything"))
+    q.processAllAvailable()
+    mem.addData(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (11L, "brand new unique material resembling nothing streamed before now"))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.read.parquet(dir.toString + "/out").select("doc_id")
+      .as[Long].collect().sorted.toSeq
+    assert(out == Seq(1L, 3L, 11L),
+      "within-batch dup (2) and cross-batch dup (10) must be filtered")
+  }
 }
