@@ -74,6 +74,47 @@ object AnalyticQueries {
         .groupBy(col("supp_nation"), col("cust_nation"), col("l_year"))
         .agg(discRevenue.as("volume"))
         .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+    }),
+
+    // --- Q14 analog: promo revenue share by month ------------------------
+    // Conditional share of a broadcast-dim attribute over the fact table:
+    // exact decimal sums for both numerator and denominator, one double
+    // division at the end (reproducible vs the oracle).
+    "q92_promo_share" -> ((s, d) => {
+      val rev = (col("l_extendedprice").cast("decimal(18,2)") *
+        (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+        .cast("decimal(28,4)")
+      t(s, d, "lineitem")
+        .join(broadcast(t(s, d, "part")), col("l_partkey") === col("p_partkey"))
+        .withColumn("month", date_trunc("month", col("l_shipdate")).cast("date"))
+        .groupBy(col("month"))
+        .agg(
+          sum(when(col("p_type") === "PROMO", rev)
+            .otherwise(lit(0).cast("decimal(28,4)"))).as("promo_rev"),
+          sum(rev).as("total_rev"))
+        .select(col("month"),
+          round(lit(100.0) * col("promo_rev").cast("double") /
+            col("total_rev").cast("double"), 4).as("promo_share"),
+          round(col("total_rev").cast("double"), 4).as("total_revenue"))
+        .orderBy(col("month"))
+    }),
+
+    // --- Q19 analog: disjunctive multi-attribute predicate join ----------
+    // OR-of-AND predicate groups spanning both join sides — the shape
+    // that exercises predicate normalization and join-condition pushdown
+    // (Catalyst extracts the common l_partkey = p_partkey equi-condition;
+    // the residual disjunction evaluates post-join).
+    "q93_disjunctive_join" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      val part = broadcast(t(s, d, "part"))
+      li.join(part, col("l_partkey") === col("p_partkey") && (
+          (col("p_type") === "SMALL" && col("p_size").between(1, 15) &&
+            col("l_quantity").between(1, 20)) ||
+          (col("p_type") === "MEDIUM" && col("p_size").between(10, 30) &&
+            col("l_quantity").between(10, 35)) ||
+          (col("p_type") === "LARGE" && col("p_size").between(20, 50) &&
+            col("l_quantity").between(20, 50))))
+        .agg(discRevenue.as("revenue"), count(lit(1)).as("n_items"))
     }))
 
   def oracleSql: Map[String, String] = Map(
@@ -113,6 +154,26 @@ object AnalyticQueries {
          WHERE l_returnflag = 'R'
          GROUP BY c_custkey, c_name, n_name
          ORDER BY revenue DESC, c_custkey ASC LIMIT 20""",
+
+    "q92_promo_share" ->
+      """SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS month,
+           round(100.0 * CAST(sum(CASE WHEN p_type = 'PROMO' THEN rev
+                                       ELSE CAST(0 AS DECIMAL(28,4)) END) AS DOUBLE)
+                 / CAST(sum(rev) AS DOUBLE), 4) AS promo_share,
+           round(CAST(sum(rev) AS DOUBLE), 4) AS total_revenue
+         FROM (SELECT l_shipdate, p_type,
+                 CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(28,4)) AS rev
+               FROM lineitem JOIN part ON l_partkey = p_partkey) t
+         GROUP BY 1 ORDER BY month""",
+
+    "q93_disjunctive_join" ->
+      """SELECT
+           round(CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(28,4))) AS DOUBLE), 4) AS revenue,
+           count(*) AS n_items
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE (p_type = 'SMALL' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
+            OR (p_type = 'MEDIUM' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 35)
+            OR (p_type = 'LARGE' AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 20 AND 50)""",
 
     "q84_nation_trade" ->
       """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
