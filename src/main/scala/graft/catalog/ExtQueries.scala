@@ -170,6 +170,23 @@ object ExtQueries {
         .orderBy(col("o_orderkey"))
     }),
 
+    // --- fixed-size per-stratum sample (deterministic reservoir analog) ---
+    // Exactly k rows per stratum, chosen by hash order: the distributed
+    // replacement for reservoir sampling — no RNG state, stable across
+    // runs and partitionings, one shuffle on the stratum key (window
+    // rank), early-exit at rank k. doc_id tiebreak makes md5 collisions
+    // (and the order itself) fully deterministic.
+    "q94_fixed_per_stratum" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("source"))
+        .orderBy(md5(col("doc_id").cast("string")).asc, col("doc_id").asc)
+      t(s, d, "documents")
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5)
+        .select(col("source"), col("doc_id"))
+        .orderBy(col("source"), col("doc_id"))
+    }),
+
     // --- posexplode with ordinality ---------------------------------------
     "q58_posexplode" -> ((s, d) => {
       t(s, d, "documents")
@@ -293,6 +310,14 @@ object ExtQueries {
          WHERE substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) <=
            CASE o_orderstatus WHEN 'F' THEN '1' WHEN 'O' THEN '3' ELSE '7' END
          ORDER BY o_orderkey""",
+
+    "q94_fixed_per_stratum" ->
+      """SELECT source, doc_id FROM (
+           SELECT source, doc_id,
+             row_number() OVER (PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+           FROM documents)
+         WHERE rk <= 5 ORDER BY source, doc_id""",
 
     "q58_posexplode" ->
       """SELECT doc_id, CAST(generate_subscripts(toks, 1) - 1 AS INT) AS token_pos,
