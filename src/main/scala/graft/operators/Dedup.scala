@@ -163,7 +163,7 @@ object Dedup {
     * Band hashing is the native codegen [[graft.plans.BandHashes]] (one
     * JIT'd fold per row, no per-band string materialization); posexplode
     * supplies the band ordinal. */
-  private def bandedSignatures(withSig: DataFrame, idCol: String,
+  private[operators] def bandedSignatures(withSig: DataFrame, idCol: String,
                                bands: Int, rowsPerBand: Int): DataFrame =
     withSig
       .select(col(idCol).as("__id"),
@@ -196,8 +196,22 @@ object Dedup {
     require(bands * rowsPerBand == numHashes,
       s"band layout ${bands}x$rowsPerBand must cover the signature length $numHashes exactly")
     val newBands = bandedSignatures(newSigs, idCol, bands, rowsPerBand)
-    // corpus bands pruned to buckets the batch actually touches
-    val matched = bandedSignatures(corpusSigs, idCol, bands, rowsPerBand)
+    val crossPairs = crossPairsFromBands(newBands,
+      bandedSignatures(corpusSigs, idCol, bands, rowsPerBand), maxBucketSize)
+    val newNew = minHashCandidatePairs(newSigs, idCol, bands, rowsPerBand,
+      numHashes, maxBucketSize)
+    crossPairs.union(newNew).distinct()
+  }
+
+  /** Batch-vs-corpus candidate pairs from already-banded rows (both sides
+    * `(__id, band_id, band_hash)`). The corpus side is semi-joined down to
+    * the batch's exact band hashes BEFORE any pairing; when the corpus
+    * bands come from a [[SignatureStore]] the input is additionally a
+    * partition-pruned scan of just the touched buckets. */
+  private[operators] def crossPairsFromBands(newBands: DataFrame,
+                                             corpusBands: DataFrame,
+                                             maxBucketSize: Int): DataFrame = {
+    val matched = corpusBands
       .join(newBands.select(col("band_id"), col("band_hash")).distinct(),
         Seq("band_id", "band_hash"), "left_semi")
     // blowup guard on the corpus side of each touched bucket (the batch
@@ -207,60 +221,94 @@ object Dedup {
       .withColumn("__n", count(lit(1)).over(wBucket))
       .filter(col("__n") <= maxBucketSize)
       .drop("__n")
-    val crossPairs = newBands
+    newBands
       .join(gated.withColumnRenamed("__id", "__cid"), Seq("band_id", "band_hash"))
       .filter(col("__id") =!= col("__cid"))
       .select(least(col("__id"), col("__cid")).as("id_a"),
         greatest(col("__id"), col("__cid")).as("id_b"))
-    val newNew = minHashCandidatePairs(newSigs, idCol, bands, rowsPerBand,
-      numHashes, maxBucketSize)
-    crossPairs.union(newNew).distinct()
   }
 
-  /** Ingest-time dedup against a persistent signature store: drop batch
+  /** Ingest-time dedup against a persistent [[SignatureStore]]: drop batch
     * docs that (a) re-ingest an id already in the store, (b) band-match a
-    * stored document, or (c) band-match an earlier (smaller-id) doc in
-    * the same batch — then append the SURVIVORS' signatures to the store.
-    * Returns the surviving rows of `batch`. The unit of growth for a
-    * continuously-ingested corpus; [[graft.streaming.StreamOps
+    * stored document, or (c) band-match another doc in the same batch —
+    * then land the survivors via `land` and append their signatures to the
+    * store. Returns the surviving rows of `batch`. The unit of growth for
+    * a continuously-ingested corpus; [[graft.streaming.StreamOps
     * .nearDupFilterSink]] wraps it per micro-batch.
     *
+    * Scale shape: the store is banded and bucketed ([[SignatureStore]]),
+    * so both store reads are PARTITION-PRUNED scans — the id replay guard
+    * reads only the id-buckets the batch occupies, and candidate
+    * generation reads only the band-buckets the batch's band hashes land
+    * in. Work per batch is O(batch + touched-bucket membership), never
+    * O(corpus) — round 3 re-banded the full store every batch. The two
+    * touched-bucket collects are bounded by the store's bucket count
+    * (small driver scalars, not data).
+    *
     * Semantics: candidate-level (banding) dedup — no Jaccard verify,
-    * because the store keeps 32-long signatures, not text (at 100 TB the
-    * store must stay narrow). Choose the band layout for the precision
-    * you need; run [[jaccardVerify]]+[[Graph.connectedComponents]] offline
-    * for exact cluster resolution. Batch-internal resolution is greedy
-    * keep-first by id (matches the reference's sequential dedup), not CC.
-    * The id anti-join makes batch replay (stream restart) effectively
-    * once: re-ingested ids drop before any signature comparison.
-    * Single-writer per store path. */
+    * because the store keeps banded hashes, not text (at 100 TB the store
+    * must stay narrow). Choose the band layout for the precision you need;
+    * run [[jaccardVerify]]+[[Graph.connectedComponents]] offline for exact
+    * cluster resolution. Batch-internal resolution drops EVERY larger-id
+    * endpoint of every batch-internal candidate pair — transitive at
+    * candidate level: in a chain A~B, B~C with no A~C pair, both B and C
+    * drop, which is STRICTER than one-at-a-time sequential ingestion
+    * (sequential would keep C, since its only similar doc B was itself
+    * dropped). This is a deliberate policy — the conservative choice for
+    * training-data dedup (never admits a doc that band-matched anything
+    * seen in the same batch) and it keeps the batch path join-only; use
+    * [[Graph.connectedComponents]] + keep-min over the batch pairs when
+    * per-cluster exactly-one-survivor semantics matter.
+    *
+    * Write ordering (crash safety): `land` runs BEFORE the store append.
+    * On a crash between the two, replay recomputes the SAME survivors
+    * (the store did not advance, and the computation is deterministic), so
+    * an idempotent `land` (e.g. dynamic overwrite of a batch-id partition)
+    * converges; once the store append lands, replay's id anti-join empties
+    * the batch and both writes become no-ops. Round 3 appended the store
+    * first, which silently LOST the batch's output on replay — the id
+    * guard saw the ids as already stored. The id anti-join makes batch
+    * replay effectively once end-to-end. Single-writer per store path. */
   def dedupAgainstStore(batch: DataFrame, idCol: String, textCol: String,
                         storePath: String, bands: Int = 8, rowsPerBand: Int = 4,
                         numHashes: Int = 32,
-                        maxBucketSize: Int = 10000): DataFrame = {
+                        maxBucketSize: Int = 10000,
+                        storeBuckets: Int = SignatureStore.DefaultBuckets,
+                        land: DataFrame => Unit = _ => ()): DataFrame = {
     val spark = batch.sparkSession
-    val fs = new org.apache.hadoop.fs.Path(storePath)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val stored: Option[DataFrame] =
-      if (fs.exists(new org.apache.hadoop.fs.Path(storePath)))
-        Some(spark.read.parquet(storePath)) else None
-    // (a) exact id replay guard
-    val fresh = stored match {
-      case Some(st) => batch.join(st.select(col(idCol)), Seq(idCol), "left_anti")
-      case None     => batch
-    }
+    val hasStore = SignatureStore.exists(spark, storePath)
+    val nb = SignatureStore.resolveBuckets(spark, storePath, storeBuckets)
+    // (a) exact id replay guard, pruned to the batch's id-buckets
+    val fresh =
+      if (hasStore) {
+        val touchedIdb = batch
+          .select(SignatureStore.idBucket(col(idCol), nb).as("b"))
+          .distinct().collect().map(_.getInt(0)).toSeq
+        batch.join(SignatureStore.readIds(spark, storePath, touchedIdb)
+            .select(col("id").as(idCol)), Seq(idCol), "left_anti")
+      } else batch
     val sigB = minHashSignature(fresh, textCol, shingleSize = 3, numHashes = numHashes)
       .select(col(idCol), col("minhash"))
-    val pairs = stored match {
-      case Some(st) => incrementalCandidatePairs(sigB, st, idCol, bands, rowsPerBand,
+    val newBands = bandedSignatures(sigB, idCol, bands, rowsPerBand)
+    val pairs =
+      if (hasStore) {
+        val touched = newBands
+          .select(SignatureStore.bandBucket(col("band_hash"), nb).as("b"))
+          .distinct().collect().map(_.getInt(0)).toSeq
+        // pruned scan of the already-banded store: no re-banding, and only
+        // the touched bucket directories are listed/read
+        val corpusBands = SignatureStore.readBands(spark, storePath, touched)
+          .select(col("id").as("__id"), col("band_id"), col("band_hash"))
+        crossPairsFromBands(newBands, corpusBands, maxBucketSize)
+          .union(minHashCandidatePairs(sigB, idCol, bands, rowsPerBand,
+            numHashes, maxBucketSize))
+          .distinct()
+      } else minHashCandidatePairs(sigB, idCol, bands, rowsPerBand,
         numHashes, maxBucketSize)
-      case None => minHashCandidatePairs(sigB, idCol, bands, rowsPerBand,
-        numHashes, maxBucketSize)
-    }
     val batchIds = fresh.select(col(idCol).as("__bid"))
     // (b) batch endpoint of a cross pair: ids are disjoint after (a), so
-    // exactly one endpoint of a cross pair is in the batch; (c) greedy
-    // keep-first: id_b (the larger) of a batch-internal pair drops
+    // exactly one endpoint of a cross pair is in the batch; (c) transitive
+    // batch-internal drop: id_b (the larger) of a batch-internal pair drops
     val dropB = pairs.join(batchIds, col("id_b") === col("__bid"), "left_semi")
       .select(col("id_b").as(idCol))
     val dropA = pairs
@@ -268,16 +316,20 @@ object Dedup {
       .join(batchIds.withColumnRenamed("__bid", "__bid2"),
         col("id_b") === col("__bid2"), "left_anti")                  // b is stored
       .select(col("id_a").as(idCol))
-    // materialize BEFORE appending to the store: the survivor plan reads
-    // the store (anti-join + pairing), and handing the caller a lazy plan
-    // over a path this function just grew invites re-list hazards
+    // materialize BEFORE any write: the survivor plan reads the store
+    // (anti-join + pairing), and both `land` and the store append must see
+    // one frozen result (no re-list hazards over paths this call grows)
     val survivors = fresh.join(dropB.union(dropA).distinct(), Seq(idCol), "left_anti")
       .localCheckpoint()
-    // recompute survivors' signatures from the checkpointed rows — the
-    // store append then has NO read dependency on the store path
-    graft.sources.Sinks.appendParquet(
+    // 1) caller's idempotent output landing FIRST (crash here -> replay
+    //    recomputes the same survivors and re-lands convergently)
+    land(survivors)
+    // 2) store append SECOND — recomputed from the checkpointed rows, so
+    //    it has no read dependency on the store path
+    SignatureStore.append(
       minHashSignature(survivors, textCol, shingleSize = 3, numHashes = numHashes)
-        .select(col(idCol), col("minhash")), storePath)
+        .select(col(idCol), col("minhash")),
+      idCol, bands, rowsPerBand, storePath, nb)
     survivors
   }
 

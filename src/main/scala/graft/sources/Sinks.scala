@@ -41,6 +41,46 @@ object Sinks {
     }
   }
 
+  private def renameOrThrow(fs: org.apache.hadoop.fs.FileSystem,
+                            src: org.apache.hadoop.fs.Path,
+                            to: org.apache.hadoop.fs.Path,
+                            intactAt: => org.apache.hadoop.fs.Path): Unit =
+    if (!fs.rename(src, to))
+      throw new java.io.IOException(s"rename $src -> $to failed; " +
+        s"existing data is intact at $intactAt")
+
+  /** Crash recovery at entry for the tmp/old swap protocol: if a prior run
+    * died between parking dst at `__graft_old` and promoting tmp,
+    * `__graft_old` holds the only full copy and dst is absent — restore it
+    * first (and discard the dead run's tmp, whose contents may be partial).
+    * `__graft_old` is only garbage when dst exists. */
+  private def recoverInterruptedSwap(fs: org.apache.hadoop.fs.FileSystem,
+                                     dst: org.apache.hadoop.fs.Path,
+                                     tmp: org.apache.hadoop.fs.Path,
+                                     old: org.apache.hadoop.fs.Path): Unit =
+    if (!fs.exists(dst) && fs.exists(old)) {
+      fs.delete(tmp, true)
+      renameOrThrow(fs, old, dst, old)
+    }
+
+  /** Promote a fully-written tmp dir over dst. Swap order keeps a primary
+    * copy at every step (old data is parked at `__graft_old`, never deleted
+    * before the new data is in place) and every rename's boolean result is
+    * checked — rename can return false without throwing (e.g. object-store
+    * FileSystem impls), which round 1 silently ignored. */
+  private def promoteSwap(fs: org.apache.hadoop.fs.FileSystem,
+                          dst: org.apache.hadoop.fs.Path,
+                          tmp: org.apache.hadoop.fs.Path,
+                          old: org.apache.hadoop.fs.Path): Unit = {
+    val hadExisting = fs.exists(dst)
+    if (hadExisting) {
+      fs.delete(old, true) // stale leftover; dst holds the data, safe to clear
+      renameOrThrow(fs, dst, old, dst)
+    }
+    renameOrThrow(fs, tmp, dst, if (fs.exists(dst)) dst else old)
+    if (hadExisting) fs.delete(old, true)
+  }
+
   /** Upsert-to-storage: read current state, apply Merge.upsert, rewrite.
     * At scale, pair with `partitionBy` on the merge key's partition column
     * and [[overwritePartitions]]. */
@@ -54,37 +94,43 @@ object Sinks {
     val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tmp = new org.apache.hadoop.fs.Path(path + "__graft_tmp")
     val old = new org.apache.hadoop.fs.Path(path + "__graft_old")
-    def renameOrThrow(src: org.apache.hadoop.fs.Path, to: org.apache.hadoop.fs.Path): Unit =
-      if (!fs.rename(src, to))
-        throw new java.io.IOException(s"upsertParquet: rename $src -> $to failed; " +
-          s"existing data is intact at ${if (fs.exists(dst)) dst else old}")
-    // Crash recovery BEFORE reading state: if a prior run died between
-    // parking dst at __graft_old and promoting tmp, __graft_old holds the
-    // only full copy and dst is absent — restore it first (and discard the
-    // dead run's tmp, whose contents may be partial). __graft_old is only
-    // garbage when dst exists.
-    if (!fs.exists(dst) && fs.exists(old)) {
-      fs.delete(tmp, true)
-      renameOrThrow(old, dst)
-    }
+    recoverInterruptedSwap(fs, dst, tmp, old)
     val merged =
       if (fs.exists(dst))
         graft.operators.Merge.upsert(spark.read.parquet(path), updates, keys, tiebreak)
       else updates
     // write via temp dir then swap: parquet sinks can't read-and-overwrite
-    // the same path in one job. Swap order keeps a primary copy at every
-    // step (old data is parked at __graft_old, never deleted before the new
-    // data is in place) and every rename's boolean result is checked —
-    // rename can return false without throwing (e.g. object-store
-    // FileSystem impls), which round 1 silently ignored.
+    // the same path in one job
     merged.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-    val hadExisting = fs.exists(dst)
-    if (hadExisting) {
-      fs.delete(old, true) // stale leftover; dst holds the data, safe to clear
-      renameOrThrow(dst, old)
-    }
-    renameOrThrow(tmp, dst)
-    if (hadExisting) fs.delete(old, true)
+    promoteSwap(fs, dst, tmp, old)
+  }
+
+  /** In-place compaction of a (possibly partitioned) parquet table: rewrite
+    * down to one file per partition directory (or `targetFiles` files for an
+    * unpartitioned table) through the same crash-safe tmp/swap protocol as
+    * [[upsertParquet]]. The maintenance pass for append-heavy tables —
+    * per-micro-batch streaming appends otherwise grow an unbounded file
+    * count (the classic small-files problem: at 100 TB, listing cost and
+    * per-file open overhead dominate before data volume does). No-op if the
+    * table does not exist. */
+  def compactParquet(spark: org.apache.spark.sql.SparkSession, path: String,
+                     partitionBy: Seq[String] = Nil, targetFiles: Int = 8): Unit = {
+    val dst = new org.apache.hadoop.fs.Path(path)
+    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(path + "__graft_tmp")
+    val old = new org.apache.hadoop.fs.Path(path + "__graft_old")
+    recoverInterruptedSwap(fs, dst, tmp, old)
+    if (!fs.exists(dst)) return
+    val cur = spark.read.parquet(path)
+    // hash-repartition on the partition columns: each directory's rows land
+    // in exactly one task, so each directory compacts to exactly one file
+    val compacted =
+      if (partitionBy.nonEmpty) cur.repartition(partitionBy.map(col): _*)
+      else cur.repartition(math.max(targetFiles, 1))
+    val w = compacted.write.mode(SaveMode.Overwrite)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+      .parquet(tmp.toString)
+    promoteSwap(fs, dst, tmp, old)
   }
 
   /** Batched upsert over JDBC — the reference's actual sink shape

@@ -94,21 +94,35 @@ object StreamOps {
 
   /** Streaming near-duplicate filter: each micro-batch is deduped against
     * the growing signature store ([[graft.operators.Dedup
-    * .dedupAgainstStore]] — id replay guard, batch-vs-store banding,
-    * greedy within-batch keep-first) and only survivors append to
+    * .dedupAgainstStore]] — pruned id replay guard, batch-vs-store
+    * banding, transitive within-batch drop) and only survivors land in
     * `outPath`. The store grows by exactly the survivors, so a document
     * admitted once blocks every later near-duplicate across the stream's
-    * lifetime. The id anti-join makes restart replay effectively once. */
+    * lifetime.
+    *
+    * Effectively-once for BOTH the output and the store (round 3 was
+    * at-most-once for the output): survivors land FIRST, idempotently —
+    * dynamic overwrite of the micro-batch's own `ingest_batch=<id>`
+    * partition — and the store append runs second. A crash between the two
+    * replays the batch against an unchanged store, which deterministically
+    * recomputes the same survivors and overwrites the same partition with
+    * the same rows; a crash after the store append replays into an empty
+    * survivor set, and an empty dynamic overwrite touches no partitions —
+    * the landed output stays. Output rows carry the extra `ingest_batch`
+    * column (also a useful lineage/backfill handle). */
   def nearDupFilterSink(docs: DataFrame, idCol: String, textCol: String,
                         storePath: String, outPath: String, checkpoint: String,
                         bands: Int = 8, rowsPerBand: Int = 4)
       : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val kept = graft.operators.Dedup.dedupAgainstStore(
-          batch, idCol, textCol, storePath, bands, rowsPerBand)
-        graft.sources.Sinks.appendParquet(kept, outPath)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.Dedup.dedupAgainstStore(
+          batch, idCol, textCol, storePath, bands, rowsPerBand,
+          land = kept => graft.sources.Sinks.overwritePartitions(
+            kept.withColumn("ingest_batch", lit(batchId)),
+            outPath, Seq("ingest_batch")))
+        ()
       }
       .start()
 

@@ -147,11 +147,82 @@ class DedupSpec extends SparkSpec {
     // band-matches stored 1 — nothing survives, output stays exact
     val k3 = Dedup.dedupAgainstStore(b2, "doc_id", "text", store)
       .select("doc_id").as[Long].collect().toSeq
-    assert(k3.isEmpty, "replayed batch must add nothing")
-    // store holds exactly the survivors' signatures
-    val storedIds = spark.read.parquet(store).select("doc_id")
+    assert(k3.isEmpty, "replayed batch must add nothing to the store")
+    // store holds exactly the survivors' ids
+    val storedIds = SignatureStore.allIds(spark, store)
       .as[Long].collect().sorted.toSeq
     assert(storedIds == Seq(1L, 3L, 11L))
+  }
+
+  test("crash between output landing and store append: replay lands output exactly once") {
+    val dir = java.nio.file.Files.createTempDirectory("store-crash").toString
+    val store = dir + "/sigs"
+    val out = dir + "/out"
+    def landAs(batchId: Long): org.apache.spark.sql.DataFrame => Unit =
+      kept => graft.sources.Sinks.overwritePartitions(
+        kept.withColumn("ingest_batch", lit(batchId)), out, Seq("ingest_batch"))
+    def outIds(): Seq[(Long, Long)] = spark.read.parquet(out)
+      .select(col("doc_id"), col("ingest_batch").cast("long"))
+      .as[(Long, Long)].collect().sorted.toSeq
+    val b1 = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (3L, "completely different other content sharing no phrases with anything"))
+      .toDF("doc_id", "text")
+    Dedup.dedupAgainstStore(b1, "doc_id", "text", store, land = landAs(0L))
+    assert(outIds() == Seq((1L, 0L), (3L, 0L)))
+    // batch 2 "crashes" between the two writes: the output landed, the
+    // store append never ran (the exact window the r3 ordering lost data in)
+    class Boom extends RuntimeException("crash after landing, before store append")
+    val b2 = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"), // dup of stored 1
+      (11L, "brand new unique material resembling nothing stored before now"))
+      .toDF("doc_id", "text")
+    intercept[Boom] {
+      Dedup.dedupAgainstStore(b2, "doc_id", "text", store,
+        land = kept => { landAs(1L)(kept); throw new Boom })
+    }
+    assert(outIds() == Seq((1L, 0L), (3L, 0L), (11L, 1L)),
+      "output landed before the crash")
+    assert(SignatureStore.allIds(spark, store).as[Long].collect().sorted.toSeq
+      == Seq(1L, 3L), "store must NOT have advanced")
+    // replay of batch 2 (stream restart): same survivors recomputed against
+    // the unchanged store, partition overwritten with the same rows, store
+    // append finally lands — the r3 ordering would have dropped 11 forever
+    Dedup.dedupAgainstStore(b2, "doc_id", "text", store, land = landAs(1L))
+    assert(outIds() == Seq((1L, 0L), (3L, 0L), (11L, 1L)),
+      "replay must land the survivors exactly once")
+    assert(SignatureStore.allIds(spark, store).as[Long].collect().sorted.toSeq
+      == Seq(1L, 3L, 11L))
+    // replay after FULL success (crash before offset commit): id guard
+    // empties the batch, the empty dynamic overwrite touches no partitions
+    Dedup.dedupAgainstStore(b2, "doc_id", "text", store, land = landAs(1L))
+    assert(outIds() == Seq((1L, 0L), (3L, 0L), (11L, 1L)),
+      "post-success replay must change nothing")
+  }
+
+  test("batch-internal chain A~B, B~C (no A~C): transitive drop keeps only A (documented policy)") {
+    // B = A's text ++ C's text: with 32 bands x 1 row a band matches iff one
+    // minhash slot matches (P = Jaccard ~ 0.44 per slot for A-in-B), so
+    // A~B and B~C are candidates with P(miss) ~ (1-J)^32 ~ 1e-8, while
+    // J(A,C) = 0 keeps A~C out. Deterministic in practice: fixed inputs,
+    // fixed hash family.
+    val a = "apple banana cherry date elderberry fig grape honeydew kiwi lemon"
+    val c = "table chair lamp sofa desk shelf rug curtain mirror clock"
+    val docs = Seq((1L, a), (2L, a + " " + c), (3L, c)).toDF("doc_id", "text")
+    val sig = Dedup.minHashSignature(docs, "text", shingleSize = 3, numHashes = 32)
+    val pairs = Dedup.minHashCandidatePairs(sig, "doc_id", bands = 32, rowsPerBand = 1)
+      .as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L), (2L, 3L)),
+      s"scenario needs exactly A~B and B~C as candidates, got $pairs")
+    val store = java.nio.file.Files.createTempDirectory("store-chain").toString + "/sigs"
+    val kept = Dedup.dedupAgainstStore(docs, "doc_id", "text", store,
+      bands = 32, rowsPerBand = 1)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    // sequential one-at-a-time ingestion would keep C (its only similar doc
+    // B was itself dropped); the engine's candidate-level TRANSITIVE drop
+    // removes every larger-id endpoint of every pair — stricter, by policy
+    assert(kept == Seq(1L),
+      s"transitive drop must remove both B and C, kept $kept")
   }
 
   test("native band hashes are bit-identical to builtin xxhash64 over signature slices") {
