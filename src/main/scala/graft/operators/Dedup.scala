@@ -84,11 +84,17 @@ object Dedup {
     * between executors, and it is numHashes longs per document.
     *
     * Adds `minhash: array<bigint>` of length numHashes.
+    *
+    * `nfc = true` applies Unicode NFC normalization before tokenizing
+    * ([[graft.plans.Tokens.whitespaceNfc]]) so canonically-equal texts
+    * (composed vs decomposed accents) produce identical signatures —
+    * the multilingual-corpus mode. Signatures from different modes do NOT
+    * band together; pick one mode per corpus/store.
     */
   def minHashSignature(df: DataFrame, textCol: String, shingleSize: Int = 3,
-                       numHashes: Int = 32): DataFrame =
+                       numHashes: Int = 32, nfc: Boolean = false): DataFrame =
     df.withColumn("minhash",
-      graft.plans.MinHashSignature(col(textCol), shingleSize, numHashes))
+      graft.plans.MinHashSignature(col(textCol), shingleSize, numHashes, nfc))
 
   /** Explode + hash-aggregate formulation of the signature (codegen'd
     * builtins only, but shuffles one row per shingle). Bit-identical to
@@ -340,7 +346,7 @@ object Dedup {
     * strings materialized). Jaccard = |A ∩ B| / |A ∪ B| over distinct
     * k-shingle hashes (equal to string Jaccard up to 64-bit collisions). */
   def jaccardVerify(pairs: DataFrame, docs: DataFrame, idCol: String, textCol: String,
-                    shingleSize: Int = 3): DataFrame = {
+                    shingleSize: Int = 3, nfc: Boolean = false): DataFrame = {
     // only docs that appear in a candidate pair need their shingle set —
     // semi-join BEFORE set construction so the work is proportional to
     // candidates, not corpus size
@@ -349,7 +355,7 @@ object Dedup {
     val candidates = docs.join(pairIds, col(idCol) === col("__pid"), "left_semi")
     val sets = candidates.select(
       col(idCol).as("__jid"),
-      graft.plans.ShingleHashSet(col(textCol), shingleSize).as("__jset"))
+      graft.plans.ShingleHashSet(col(textCol), shingleSize, nfc).as("__jset"))
     pairs
       .join(sets.withColumnRenamed("__jid", "id_a").withColumnRenamed("__jset", "set_a"), "id_a")
       .join(sets.withColumnRenamed("__jid", "id_b").withColumnRenamed("__jset", "set_b"), "id_b")
@@ -364,8 +370,9 @@ object Dedup {
     * bits (small Hamming distance). Native codegen'd per-row compute
     * ([[graft.plans.SimHash64]]) — zero shuffle; the fingerprint is one
     * long per document. */
-  def simHash(df: DataFrame, textCol: String, idCol: String = "doc_id"): DataFrame =
-    df.withColumn("simhash", graft.plans.SimHash64(col(textCol)))
+  def simHash(df: DataFrame, textCol: String, idCol: String = "doc_id",
+              nfc: Boolean = false): DataFrame =
+    df.withColumn("simhash", graft.plans.SimHash64(col(textCol), nfc))
 
   /** Explode + 64-sum-aggregate formulation of the fingerprint (codegen'd
     * builtins only, but shuffles one row per corpus token). Bit-identical
@@ -411,12 +418,12 @@ object Dedup {
     * Returns (idCol, n_shingles, n_matched, overlap_frac). */
   def crossCorpusOverlap(candidates: DataFrame, reference: DataFrame,
                          idCol: String, textCol: String,
-                         shingleSize: Int = 8): DataFrame = {
+                         shingleSize: Int = 8, nfc: Boolean = false): DataFrame = {
     val candHashes = candidates
       .select(col(idCol),
-        explode(graft.plans.ShingleHashSet(col(textCol), shingleSize)).as("__h"))
+        explode(graft.plans.ShingleHashSet(col(textCol), shingleSize, nfc)).as("__h"))
     val refHashes = reference
-      .select(explode(graft.plans.ShingleHashSet(col(textCol), shingleSize)).as("__h"))
+      .select(explode(graft.plans.ShingleHashSet(col(textCol), shingleSize, nfc)).as("__h"))
       .distinct()
     candHashes
       .join(refHashes.withColumn("__hit", lit(1L)), Seq("__h"), "left")

@@ -37,7 +37,7 @@ object Graph {
     * minimum of its neighborhood (including itself). Emits raw (possibly
     * duplicated) edges — the caller canonicalizes once per round; m < v
     * always holds so no self-loops appear. */
-  private def largeStar(e: DataFrame): DataFrame = {
+  private[operators] def largeStar(e: DataFrame): DataFrame = {
     val nb = bothDirs(e)
     val m = nb.groupBy("src").agg(least(min(col("dst")), col("src")).as("m"))
     nb.join(m, "src")
@@ -48,7 +48,7 @@ object Graph {
   /** Small-star: every node connects its smaller-or-equal neighborhood
     * (and itself) to that neighborhood's minimum. Emits raw edges (m is
     * the strict minimum, so m < partner always — no self-loops). */
-  private def smallStar(e: DataFrame): DataFrame = {
+  private[operators] def smallStar(e: DataFrame): DataFrame = {
     val nb = bothDirs(e).filter(col("dst") < col("src"))
     val m = nb.groupBy("src").agg(min(col("dst")).as("m"))
     m.select(col("m").as("src"), col("src").as("dst"))

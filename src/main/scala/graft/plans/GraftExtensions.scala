@@ -44,23 +44,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("minhash"),
       new ExpressionInfo(classOf[MinHashSignature].getName, "minhash"),
       (exprs: Seq[Expression]) => exprs match {
-        case Seq(t)       => MinHashSignature(t, 3, 32)
+        case Seq(t)       => MinHashSignature(t, 3, 32, nfc = false)
         case Seq(t, k, n) => MinHashSignature(t,
           literalInt(k, "minhash", "shingleSize"),
-          literalInt(n, "minhash", "numHashes"))
+          literalInt(n, "minhash", "numHashes"), nfc = false)
         case _ => throw new IllegalArgumentException(
           "minhash(text[, shingleSize, numHashes])")
       }))
     ext.injectFunction((
       FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
-      (exprs: Seq[Expression]) => SimHash64(exprs(0))))
+      (exprs: Seq[Expression]) => SimHash64(exprs(0), nfc = false)))
     ext.injectFunction((
       FunctionIdentifier("shingle_hash_set"),
       new ExpressionInfo(classOf[ShingleHashSet].getName, "shingle_hash_set"),
       (exprs: Seq[Expression]) => exprs match {
-        case Seq(t)    => ShingleHashSet(t, 3)
-        case Seq(t, k) => ShingleHashSet(t, literalInt(k, "shingle_hash_set", "shingleSize"))
+        case Seq(t)    => ShingleHashSet(t, 3, nfc = false)
+        case Seq(t, k) => ShingleHashSet(t, literalInt(k, "shingle_hash_set", "shingleSize"), nfc = false)
         case _ => throw new IllegalArgumentException("shingle_hash_set(text[, shingleSize])")
       }))
   }

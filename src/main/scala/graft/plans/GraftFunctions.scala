@@ -13,7 +13,7 @@ object GraftFunctions {
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "simhash64",
-      exprs => SimHash64(exprs(0)),
+      exprs => SimHash64(exprs(0), nfc = false),
       "built-in")
   }
 }

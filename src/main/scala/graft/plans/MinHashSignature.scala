@@ -28,7 +28,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * from either path can be banded together. (ASCII-exact; both paths
   * lowercase via the same ASCII fast path for the corpus alphabet.)
   */
-case class MinHashSignature(child: Expression, shingleSize: Int, numHashes: Int)
+case class MinHashSignature(child: Expression, shingleSize: Int, numHashes: Int,
+                            nfc: Boolean)
     extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -42,11 +43,11 @@ case class MinHashSignature(child: Expression, shingleSize: Int, numHashes: Int)
         s"minhash expects a string column, got ${child.dataType.catalogString}")
 
   override def nullSafeEval(input: Any): Any =
-    MinHashSignature.compute(input.asInstanceOf[UTF8String], shingleSize, numHashes)
+    MinHashSignature.compute(input.asInstanceOf[UTF8String], shingleSize, numHashes, nfc)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c =>
-      s"graft.plans.MinHashSignature.compute($c, $shingleSize, $numHashes)")
+      s"graft.plans.MinHashSignature.compute($c, $shingleSize, $numHashes, $nfc)")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -60,8 +61,9 @@ object MinHashSignature {
     * row, not per shingle) and updating all `numHashes` minima.
     * Bit-identical to the builtin composition
     * `min(xxhash64(lit(j.toLong), xxhash64(shingle_string)))`. */
-  def compute(text: UTF8String, shingleSize: Int, numHashes: Int): ArrayData = {
-    val toks = Tokens.whitespace(text)
+  def compute(text: UTF8String, shingleSize: Int, numHashes: Int,
+              nfc: Boolean = false): ArrayData = {
+    val toks = Tokens.tokens(text, nfc)
     val tokBytes = new Array[Array[Byte]](toks.length)
     var maxWin = 0
     var i = 0
@@ -110,7 +112,8 @@ object MinHashSignature {
     new GenericArrayData(mins)
   }
 
-  def apply(text: Column, shingleSize: Int = 3, numHashes: Int = 32): Column =
+  def apply(text: Column, shingleSize: Int = 3, numHashes: Int = 32,
+            nfc: Boolean = false): Column =
     GraftBridge.column(MinHashSignature(GraftBridge.expression(text),
-      shingleSize, numHashes))
+      shingleSize, numHashes, nfc))
 }

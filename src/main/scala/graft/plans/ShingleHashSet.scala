@@ -14,7 +14,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * hash sets equals string-shingle Jaccard up to 64-bit collisions.
   * Sorted output makes downstream set intersection mergeable.
   */
-case class ShingleHashSet(child: Expression, shingleSize: Int)
+case class ShingleHashSet(child: Expression, shingleSize: Int,
+                          nfc: Boolean)
     extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -28,11 +29,11 @@ case class ShingleHashSet(child: Expression, shingleSize: Int)
         s"shingle_hash_set expects a string column, got ${child.dataType.catalogString}")
 
   override def nullSafeEval(input: Any): Any =
-    ShingleHashSet.compute(input.asInstanceOf[UTF8String], shingleSize)
+    ShingleHashSet.compute(input.asInstanceOf[UTF8String], shingleSize, nfc)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c =>
-      s"graft.plans.ShingleHashSet.compute($c, $shingleSize)")
+      s"graft.plans.ShingleHashSet.compute($c, $shingleSize, $nfc)")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -40,8 +41,8 @@ case class ShingleHashSet(child: Expression, shingleSize: Int)
 
 object ShingleHashSet {
 
-  def compute(text: UTF8String, shingleSize: Int): ArrayData = {
-    val toks = Tokens.whitespace(text)
+  def compute(text: UTF8String, shingleSize: Int, nfc: Boolean = false): ArrayData = {
+    val toks = Tokens.tokens(text, nfc)
     val th = new Array[Long](toks.length)
     var i = 0
     while (i < toks.length) {
@@ -71,6 +72,6 @@ object ShingleHashSet {
     new GenericArrayData(out)
   }
 
-  def apply(text: Column, shingleSize: Int = 3): Column =
-    GraftBridge.column(ShingleHashSet(GraftBridge.expression(text), shingleSize))
+  def apply(text: Column, shingleSize: Int = 3, nfc: Boolean = false): Column =
+    GraftBridge.column(ShingleHashSet(GraftBridge.expression(text), shingleSize, nfc))
 }

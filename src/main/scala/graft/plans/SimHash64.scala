@@ -22,7 +22,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * bit-identical (asserted in DedupSpec). Ties (bit-sum 0) count as 0,
   * matching `sum > 0` in the aggregate form.
   */
-case class SimHash64(child: Expression) extends UnaryExpression {
+case class SimHash64(child: Expression, nfc: Boolean) extends UnaryExpression {
 
   override def dataType: DataType = LongType
   override def nullable: Boolean = child.nullable
@@ -35,10 +35,10 @@ case class SimHash64(child: Expression) extends UnaryExpression {
         s"simhash64 expects a string column, got ${child.dataType.catalogString}")
 
   override def nullSafeEval(input: Any): Any =
-    SimHash64.compute(input.asInstanceOf[UTF8String])
+    SimHash64.compute(input.asInstanceOf[UTF8String], nfc)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.plans.SimHash64.compute($c)")
+    defineCodeGen(ctx, ev, c => s"graft.plans.SimHash64.compute($c, $nfc)")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -49,8 +49,8 @@ object SimHash64 {
   /** Shared by interpreted eval and generated code: lowercase,
     * whitespace-tokenize, hash each token once (seed 42 = builtin
     * xxhash64), accumulate the 64 bit counters, assemble sign bits. */
-  def compute(text: UTF8String): Long = {
-    val toks = Tokens.whitespace(text)
+  def compute(text: UTF8String, nfc: Boolean = false): Long = {
+    val toks = Tokens.tokens(text, nfc)
     val counts = new Array[Int](64)
     var i = 0
     while (i < toks.length) {
@@ -73,6 +73,6 @@ object SimHash64 {
     out
   }
 
-  def apply(text: Column): Column =
-    GraftBridge.column(SimHash64(GraftBridge.expression(text)))
+  def apply(text: Column, nfc: Boolean = false): Column =
+    GraftBridge.column(SimHash64(GraftBridge.expression(text), nfc))
 }

@@ -48,6 +48,39 @@ class GraphSpec extends SparkSpec {
     assert(out == Map(7L -> 7L, 8L -> 8L))
   }
 
+  test("adversarial hub skew: ~50% of all edges through one node — O(log n) rounds, partial agg on both star steps") {
+    // The classic CC hot key: a mega-component whose root every member
+    // groupBy-hits. 1000 of 2000 edges go through hub 0; the other 1000
+    // form 10 disjoint 100-edge chains. The defense at scale is map-side
+    // combine (partial_min) on the star steps' groupBy — the hub's rows
+    // collapse per input partition before the shuffle, so no single task
+    // materializes the full neighborhood.
+    val hubEdges = (1L to 1000L).map(i => (0L, i))
+    val chainEdges = (0 until 10).flatMap { c =>
+      val base = 10000L + c * 1000L
+      (0L until 100L).map(i => (base + i, base + i + 1))
+    }
+    val edges = (hubEdges ++ chainEdges).toDF("src", "dst")
+    // plan-level proof of map-side combine: BOTH star steps' aggregations
+    // run partial_min before the exchange (no all-rows-of-a-key-in-one-
+    // task pre-shuffle blowup)
+    Seq(Graph.largeStar(edges), Graph.smallStar(edges)).foreach { step =>
+      val plan = step.queryExecution.executedPlan.toString
+      assert(plan.contains("partial_min"),
+        s"star step must partial-aggregate before its shuffle:\n$plan")
+    }
+    // rounds stay O(log n): 2101 nodes, maxIter 10 — non-convergence throws
+    val out = Graph.connectedComponents(edges, maxIter = 10)
+      .as[(Long, Long)].collect()
+    val byComp = out.groupBy(_._2)
+    assert(byComp(0L).length == 1001, "hub component holds hub + 1000 leaves")
+    assert(byComp.size == 11, s"10 chains + hub component, got ${byComp.size}")
+    (0 until 10).foreach { c =>
+      val root = 10000L + c * 1000L
+      assert(byComp(root).length == 101, s"chain $c must resolve to its min")
+    }
+  }
+
   test("keepClusterCanonical keeps exactly one doc per cluster (the root)") {
     val docs = Seq((1L, "a"), (2L, "b"), (3L, "c"), (9L, "z")).toDF("doc_id", "text")
     val edges = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
