@@ -111,4 +111,23 @@ object TextFunctions {
       lit(0L),
       (acc, t) => pmod(acc * 31L + pmod(xxhash64(t), p), p))
   }
+
+  /** PII pattern masks shared by the Spark column and the SQL oracle.
+    * RE2-safe subset (no lookaround/backrefs) so the same pattern strings
+    * run identically on Java regex (Spark) and RE2 (DuckDB/production
+    * scanners) — cross-engine redaction parity is part of the contract. */
+  val PiiPatterns: Seq[(String, String)] = Seq(
+    ("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("\\+\\d{1,2}-\\d{3}-\\d{4}", "<PHONE>"),
+    ("\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>"))
+
+  /** Redact common PII (emails, phone numbers, IPv4 addresses) with typed
+    * mask tokens — the pre-training scrub pass. Chained `regexp_replace`
+    * stays inside whole-stage codegen; order matters (emails first, so an
+    * address's digits are never half-eaten by the phone pattern). At
+    * 100 TB this is a narrow per-row projection: no shuffle, no UDF. */
+  def redactPii(text: Column): Column =
+    PiiPatterns.foldLeft(text) { case (acc, (pat, mask)) =>
+      regexp_replace(acc, pat, mask)
+    }
 }

@@ -365,6 +365,39 @@ object Dedup {
       .drop("set_a", "set_b")
   }
 
+  /** Chunk-level exact dedup — fine-grained repetition removal: documents
+    * are split into fixed `chunkTokens`-token chunks and each DISTINCT
+    * chunk is owned by its first occurrence (ordered by id, then chunk
+    * position). Training pipelines use this between document-level dedup
+    * (too coarse: a half-copied doc survives) and suffix-array substring
+    * dedup (too expensive at 100 TB): boilerplate headers, license blocks
+    * and template paragraphs repeat across otherwise-distinct documents.
+    *
+    * Returns one row per chunk: (idCol, chunk_id, chunk_hash, is_first).
+    * `is_first = false` marks a chunk whose text already occurred earlier
+    * in the corpus order — drop those rows (or re-join and excise) for
+    * the dedup, or aggregate per document for repetition stats.
+    *
+    * Scale shape: chunks reduce to sha2 hashes before the one shuffle
+    * (window over chunk_hash); chunk text never moves. A token-less
+    * document contributes one empty chunk (all empty docs share one hash
+    * group), so every input row is represented. */
+  def chunkFirstOccurrence(df: DataFrame, idCol: String, textCol: String,
+                           chunkTokens: Int = 16): DataFrame = {
+    require(chunkTokens >= 1, s"chunkTokens must be >= 1, got $chunkTokens")
+    val tk = s"filter(split(trim($textCol), '\\\\s+'), x -> x <> '')"
+    val nChunks = s"greatest(cast(ceil(size($tk) / ${chunkTokens}.0) as int), 1)"
+    val chunks = df.select(col(idCol),
+        posexplode(expr(
+          s"transform(sequence(1, $nChunks), " +
+          s"i -> concat_ws(' ', slice($tk, (i - 1) * $chunkTokens + 1, $chunkTokens)))")))
+      .select(col(idCol), col("pos").as("chunk_id"),
+        sha2(col("col"), 256).as("chunk_hash"))
+    val w = Window.partitionBy(col("chunk_hash"))
+      .orderBy(col(idCol), col("chunk_id"))
+    chunks.withColumn("is_first", row_number().over(w) === 1)
+  }
+
   /** SimHash: 64-bit fingerprint where bit i is the sign of the sum over
     * tokens of (token-hash bit i ? +1 : -1). Near-duplicates differ in few
     * bits (small Hamming distance). Native codegen'd per-row compute

@@ -39,4 +39,35 @@ object Splits {
       case (acc, ((name, _), cut)) => acc.when(h < lit(cut), lit(name))
     }.otherwise(lit(splits.last._1))
   }
+
+  /** Deterministic per-group downsampling — the data-mixing primitive: a
+    * training mix keeps source A in full, source B at 50%, web crawl at
+    * 10%. A row survives iff its md5 bucket falls under its group's
+    * weight, so membership is a pure function of the id: stable across
+    * re-runs, engines, data order, and corpus growth (a grown group keeps
+    * every previously-kept row — no resampling churn), and exactly
+    * reproducible in any SQL engine from the weight table alone.
+    *
+    * Buckets are `'0' || first-4-hex-of-md5(id)` compared against the
+    * 5-hex-digit cut `floor(weight * 65536)`: the extra leading digit
+    * makes weight 1.0 (cut 0x10000) a well-formed lexicographic compare
+    * that keeps everything, weight 0.0 keeps nothing.
+    *
+    * Scale shape: a narrow filter projection — no shuffle, no UDF, and
+    * the weights ride the plan as a CASE literal (no join against a
+    * weight table needed at this cardinality). */
+  def weightedKeep(df: DataFrame, idCol: String, groupCol: String,
+                   weights: Map[String, Double],
+                   defaultWeight: Double = 0.0): DataFrame = {
+    require((weights.values ++ Seq(defaultWeight)).forall(w => w >= 0.0 && w <= 1.0),
+      s"weights must be in [0,1]: $weights default=$defaultWeight")
+    def cutHex(w: Double) = f"${math.floor(w * 65536).toLong}%05x"
+    val bucket = concat(lit("0"), substring(md5(col(idCol).cast("string")), 1, 4))
+    val cut = weights.toSeq.sortBy(_._1)
+      .foldLeft(when(lit(false), lit(""))) { case (acc, (g, w)) =>
+        acc.when(col(groupCol) === g, lit(cutHex(w)))
+      }
+      .otherwise(lit(cutHex(defaultWeight)))
+    df.filter(bucket < cut)
+  }
 }

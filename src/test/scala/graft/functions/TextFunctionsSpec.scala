@@ -71,4 +71,21 @@ class TextFunctionsSpec extends SparkSpec {
       .as[Seq[String]].collect().head
     assert(out == Seq("hello", ",", "world"))
   }
+
+  test("redactPii masks emails, phones and IPs; clean text passes through") {
+    val df = Seq(
+      (1L, "mail a.user+tag@sub.example.org now"),
+      (2L, "call +1-555-0042 or +55-123-9999 today"),
+      (3L, "host 192.168.0.1 responded"),
+      (4L, "mixed bob@x.io at 10.0.0.7 dial +1-555-1234"),
+      (5L, "nothing sensitive here at all"))
+      .toDF("id", "text")
+    val out = df.select($"id", TextFunctions.redactPii($"text").as("r"))
+      .as[(Long, String)].collect().toMap
+    assert(out(1L) == "mail <EMAIL> now")
+    assert(out(2L) == "call <PHONE> or <PHONE> today")
+    assert(out(3L) == "host <IP> responded")
+    assert(out(4L) == "mixed <EMAIL> at <IP> dial <PHONE>")
+    assert(out(5L) == "nothing sensitive here at all")
+  }
 }

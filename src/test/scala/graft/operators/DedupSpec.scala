@@ -278,6 +278,25 @@ class DedupSpec extends SparkSpec {
       s"every pair involves at least one batch doc: $pairs")
   }
 
+  test("chunkFirstOccurrence: repeated chunks owned by first occurrence, within and across docs") {
+    // chunkTokens = 2: doc 1 = [a b][c d], doc 2 repeats [a b] twice then
+    // adds a new chunk, doc 3 re-uses doc 1's [c d]; doc 4 is token-less
+    val docs = Seq(
+      (1L, "a b c d"),
+      (2L, "a b a b x y"),
+      (3L, "c d"),
+      (4L, "   "))
+      .toDF("doc_id", "text")
+    val out = Dedup.chunkFirstOccurrence(docs, "doc_id", "text", chunkTokens = 2)
+      .select("doc_id", "chunk_id", "is_first")
+      .as[(Long, Int, Boolean)].collect().toSet
+    assert(out == Set(
+      (1L, 0, true), (1L, 1, true),            // first owners of [a b], [c d]
+      (2L, 0, false), (2L, 1, false), (2L, 2, true), // both [a b] repeats drop
+      (3L, 0, false),                          // cross-doc repeat of [c d]
+      (4L, 0, true)))                          // token-less -> one empty chunk
+  }
+
   test("jaccardVerify: identical docs have jaccard 1.0") {
     val docs = Seq(
       (1L, "a b c d e f g h"), (2L, "a b c d e f g h"), (3L, "x y z q r s t u"))

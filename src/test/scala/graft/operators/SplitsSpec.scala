@@ -43,4 +43,31 @@ class SplitsSpec extends SparkSpec {
       Splits.hashSplit(df, "id", Seq("a" -> 1.1, "b" -> -0.1))       // negative
     }
   }
+
+  test("weightedKeep: weight 1 keeps all, 0 keeps none, fractions approximate, deterministic") {
+    val df = spark.range(0, 4000).toDF("id")
+      .withColumn("grp", concat(lit("g"), pmod(col("id"), lit(4))))
+    val kept = Splits.weightedKeep(df, "id", "grp",
+      Map("g0" -> 1.0, "g1" -> 0.5, "g2" -> 0.0), defaultWeight = 0.25)
+    val byGrp = kept.groupBy("grp").count().as[(String, Long)].collect().toMap
+    assert(byGrp("g0") == 1000, "weight 1.0 must keep every row")
+    assert(!byGrp.contains("g2"), "weight 0.0 must keep nothing")
+    assert(math.abs(byGrp("g1") / 1000.0 - 0.5) < 0.05, s"$byGrp")
+    assert(math.abs(byGrp("g3") / 1000.0 - 0.25) < 0.05, s"default weight applies: $byGrp")
+    // pure function of the id: a re-run keeps the identical set
+    val again = Splits.weightedKeep(df, "id", "grp",
+      Map("g0" -> 1.0, "g1" -> 0.5, "g2" -> 0.0), defaultWeight = 0.25)
+    assert(kept.select("id").as[Long].collect().sorted.toSeq ==
+      again.select("id").as[Long].collect().sorted.toSeq)
+    // monotone in the weight: growing a group's share only ADDS rows
+    // (no resampling churn when a mix is rebalanced)
+    val low = Splits.weightedKeep(df, "id", "grp", Map("g1" -> 0.25), 0.0)
+      .select("id").as[Long].collect().toSet
+    val high = Splits.weightedKeep(df, "id", "grp", Map("g1" -> 0.5), 0.0)
+      .select("id").as[Long].collect().toSet
+    assert(low.subsetOf(high), "raising a weight must never drop a kept row")
+    intercept[IllegalArgumentException] {
+      Splits.weightedKeep(df, "id", "grp", Map("g0" -> 1.5))
+    }
+  }
 }
