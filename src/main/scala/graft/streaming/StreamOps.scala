@@ -109,10 +109,19 @@ object StreamOps {
     * the same rows; a crash after the store append replays into an empty
     * survivor set, and an empty dynamic overwrite touches no partitions —
     * the landed output stays. Output rows carry the extra `ingest_batch`
-    * column (also a useful lineage/backfill handle). */
+    * column (also a useful lineage/backfill handle).
+    *
+    * `compactEvery = n` (> 0) compacts the signature store after every
+    * n-th micro-batch ([[graft.operators.SignatureStore.compact]]): each
+    * append adds one file set per bucket, so a week-long stream otherwise
+    * accumulates unbounded small files — listing cost, not data volume,
+    * becomes the bottleneck. Compaction runs AFTER the batch's two writes
+    * (it is pure maintenance: crash-safe swap, content-identical), keyed
+    * on batchId so a replayed batch compacts at the same points. */
   def nearDupFilterSink(docs: DataFrame, idCol: String, textCol: String,
                         storePath: String, outPath: String, checkpoint: String,
-                        bands: Int = 8, rowsPerBand: Int = 4)
+                        bands: Int = 8, rowsPerBand: Int = 4,
+                        compactEvery: Int = 0)
       : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
@@ -122,6 +131,9 @@ object StreamOps {
           land = kept => graft.sources.Sinks.overwritePartitions(
             kept.withColumn("ingest_batch", lit(batchId)),
             outPath, Seq("ingest_batch")))
+        if (compactEvery > 0 && (batchId + 1) % compactEvery == 0 &&
+            graft.operators.SignatureStore.exists(batch.sparkSession, storePath))
+          graft.operators.SignatureStore.compact(batch.sparkSession, storePath)
         ()
       }
       .start()

@@ -190,7 +190,7 @@ class StreamOpsSpec extends SparkSpec {
     val mem = MemoryStream[(Long, String)]
     val q = StreamOps.nearDupFilterSink(mem.toDF().toDF("doc_id", "text"),
       "doc_id", "text", dir.toString + "/store", dir.toString + "/out",
-      dir.toString + "/ckpt")
+      dir.toString + "/ckpt", compactEvery = 2)
     mem.addData(
       (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
       (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
@@ -205,5 +205,16 @@ class StreamOpsSpec extends SparkSpec {
       .as[Long].collect().sorted.toSeq
     assert(out == Seq(1L, 3L, 11L),
       "within-batch dup (2) and cross-batch dup (10) must be filtered")
+    // compactEvery = 2 fired after the second micro-batch: every bucket
+    // dir of both sub-stores is down to one file, content intact
+    val bandDirs = new java.io.File(dir.toString + "/store/bands").listFiles()
+      .filter(_.isDirectory)
+    assert(bandDirs.nonEmpty)
+    bandDirs.foreach { d =>
+      assert(d.listFiles().count(_.getName.endsWith(".parquet")) == 1,
+        s"bucket ${d.getName} must be compacted to one file")
+    }
+    assert(graft.operators.SignatureStore.allIds(spark, dir.toString + "/store")
+      .as[Long].collect().sorted.toSeq == Seq(1L, 3L, 11L))
   }
 }
