@@ -498,6 +498,29 @@ object LlmQueries {
         .agg(count(lit(1)).as("n_chunks"),
           sum(when(!col("is_first"), 1L).otherwise(0L)).as("n_dup_chunks"))
         .orderBy(col("doc_id"))
+    }),
+
+    // --- NFC-canonical exact dedup (VERDICT r3 #4, oracled) --------------
+    // The corpus is ASCII, so the query plants the multilingual hazard
+    // deterministically: each doc < 50 gets a twin whose appended accent
+    // marker is the DECOMPOSED form (e + U+0301) of the original's
+    // COMPOSED suffix (U+00E9) — byte-different, canonically equal. Exact
+    // dedup on sha2(nfc_normalize(text)) collapses exactly the pairs; the
+    // oracle groups by DuckDB's own nfc_normalize. Escapes/chr() on both
+    // sides so no source file carries normalization-fragile literals.
+    "q98_nfc_dedup" -> ((s, d) => {
+      val base = t(s, d, "documents").filter(col("doc_id") < 50)
+        .select(col("doc_id"), col("text"))
+      val composed = base.select(col("doc_id"),
+        concat(col("text"), lit(" caf\u00e9 entr\u00e9e")).as("text"))
+      val decomposed = base.select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(col("text"), lit(" cafe\u0301 entre\u0301e")).as("text"))
+      composed.unionByName(decomposed)
+        .groupBy(sha2(graft.plans.NfcNormalize(col("text")), 256).as("__h"))
+        .agg(min(col("doc_id")).as("kept_id"), count(lit(1)).as("n_dups"))
+        .filter(col("n_dups") > 1)
+        .select(col("kept_id"), col("n_dups"))
+        .orderBy(col("kept_id"))
     }))
 
   def oracleSql: Map[String, String] = Map(
@@ -817,5 +840,22 @@ object LlmQueries {
            FROM ch)
          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
            CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks
-         FROM rk GROUP BY doc_id ORDER BY doc_id""")
+         FROM rk GROUP BY doc_id ORDER BY doc_id""",
+
+    // DuckDB's own nfc_normalize; suffixes rebuilt via chr() codepoints
+    // (233 = U+00E9 composed, 769 = U+0301 combining acute) so neither
+    // engine's source carries normalization-fragile literals
+    "q98_nfc_dedup" ->
+      """WITH corpus AS (
+           SELECT doc_id,
+             text || ' caf' || chr(233) || ' entr' || chr(233) || 'e' AS text
+           FROM documents WHERE doc_id < 50
+           UNION ALL
+           SELECT doc_id + 1000000,
+             text || ' cafe' || chr(769) || ' entre' || chr(769) || 'e' AS text
+           FROM documents WHERE doc_id < 50
+         )
+         SELECT min(doc_id) AS kept_id, CAST(count(*) AS BIGINT) AS n_dups
+         FROM corpus GROUP BY nfc_normalize(text)
+         HAVING count(*) > 1 ORDER BY kept_id""")
 }

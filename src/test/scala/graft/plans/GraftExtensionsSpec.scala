@@ -48,6 +48,13 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(sh.length == 2) // 2 distinct 3-shingles in 4 tokens
     assert(sh == sh.sorted)
 
+    // nfc_normalize: decomposed e + U+0301 composes to U+00E9 (DuckDB-
+    // compatible name and semantics — used by the q98 oracle pair).
+    // Scala \u escapes, not Spark chr(): Spark's chr is mod-256 ASCII.
+    val nfc = spark.sql("SELECT nfc_normalize('cafe\u0301') AS n")
+      .collect().head.getString(0)
+    assert(nfc == "caf\u00e9", s"got ${nfc.toList.map(_.toInt)}")
+
     // size parameters must be literals: a column-valued argument raises a
     // clear AnalysisException naming the parameter, not an NPE (ADVICE r1)
     import org.apache.spark.sql.AnalysisException
