@@ -41,6 +41,11 @@ object GraftSession {
       // and normalize in sources.Tables.events
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // the engine's SQL surface (minhash, simhash64, shingle_hash_set,
+      // cosine_similarity, nfc_normalize) is part of the session contract —
+      // a GraftSession user gets them in spark.sql(...) without wiring
+      // spark.sql.extensions themselves
+      .withExtensions(new graft.plans.GraftExtensions)
 
   def local(cores: Int = 32): SparkSession = {
     val s = builder(s"local[$cores]", shufflePartitions = cores).getOrCreate()

@@ -78,4 +78,14 @@ object Tables {
     * for heterogeneous frames (e.g. per-state CSVs with column drift). */
   def unionAll(dfs: Seq[DataFrame], allowMissingColumns: Boolean = false): DataFrame =
     dfs.reduce(_.unionByName(_, allowMissingColumns))
+
+  /** Parquet scan across SCHEMA-EVOLVED file generations: a long-lived
+    * table accretes columns over years of appends, and `mergeSchema`
+    * reconciles per-file footers into one superset schema (absent columns
+    * null-fill). Off by Spark default because footer merging lists every
+    * file's metadata — at 100 TB turn it on only for reads that span
+    * generations, or better, rewrite old partitions to the current schema
+    * during compaction. */
+  def parquetEvolved(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(path)
 }

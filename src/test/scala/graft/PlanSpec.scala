@@ -81,4 +81,23 @@ class PlanSpec extends SparkSpec {
       s"expected hyperplanelsh inside a codegen'd (*-prefixed) Project in:\n$plan")
     assert(!plan.contains("CodegenFallback"), s"must not fall back:\n$plan")
   }
+
+  test("q96 source-mix reads only (doc_id, source) — column pruning through the md5 filter") {
+    val plan = executedPlan(SparkEntry.queries("q96_source_mix")(spark, sf("sf0.001")))
+    val read = "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(plan)
+      .map(_.group(1)).getOrElse("")
+    assert(read.contains("doc_id") && read.contains("source") && !read.contains("text"),
+      s"scan must not read the wide text column:\n$read")
+    // the only exchange allowed is the output orderBy's range partitioning —
+    // the mix filter itself is a narrow projection
+    assert(!plan.contains("hashpartitioning"),
+      s"the md5 filter must not introduce a hash shuffle:\n$plan")
+  }
+
+  test("q95 PII redaction runs the regex chain inside whole-stage codegen") {
+    val plan = executedPlan(SparkEntry.queries("q95_pii_redact")(spark, sf("sf0.001")))
+    assert("\\*\\(\\d+\\) Project \\[.*regexp_replace".r.findFirstIn(plan).isDefined,
+      s"redaction chain must sit in a codegen'd Project:\n$plan")
+    assert(!plan.contains("CodegenFallback"), s"must not fall back:\n$plan")
+  }
 }

@@ -50,6 +50,21 @@ class SourcesSpec extends SparkSpec {
     assert(u.filter($"v".isNull).count() == 1)
   }
 
+  test("parquetEvolved merges schema generations; plain read sees one footer") {
+    val dir = java.nio.file.Files.createTempDirectory("evolve").toString + "/t"
+    // generation 1: (k, v); generation 2 adds a column (k, v, score)
+    Seq((1L, "a")).toDF("k", "v").write.parquet(dir)
+    Seq((2L, "b", 0.5)).toDF("k", "v", "score")
+      .write.mode("append").parquet(dir)
+    val merged = Tables.parquetEvolved(spark, dir)
+    assert(merged.columns.sorted.toSeq == Seq("k", "score", "v"),
+      "merged schema must be the superset across file generations")
+    val rows = merged.orderBy("k").select("k", "v", "score")
+      .as[(Long, String, Option[Double])].collect().toSeq
+    assert(rows == Seq((1L, "a", None), (2L, "b", Some(0.5))),
+      "generation-1 rows null-fill the added column")
+  }
+
   test("ORC round-trip with filter pushdown reaching the scan") {
     val dir = java.nio.file.Files.createTempDirectory("orc").toString + "/t"
     val orders = spark.read.parquet(sf("sf0.001") + "/orders.parquet")
