@@ -521,6 +521,24 @@ object LlmQueries {
         .filter(col("n_dups") > 1)
         .select(col("kept_id"), col("n_dups"))
         .orderBy(col("kept_id"))
+    }),
+
+    // --- quality-gated curation (drop the bottom decile) -----------------
+    // Corpus curation's standard move: score every document, drop the
+    // worst tail. The cutoff is an EXACT percentile computed as one
+    // distributed aggregate broadcast back as a scalar — never a global
+    // row_number (a single-partition window is the anti-pattern at
+    // 100 TB). Scores sit on a 1e-4 grid (round 4), so the >= gate has no
+    // float-boundary ambiguity between engines; ties at the cutoff are
+    // all kept, deterministically.
+    "q99_quality_gate" -> ((s, d) => {
+      val scored = t(s, d, "documents").select(col("doc_id"),
+        round(TF.typeTokenRatio(col("text")), 4).as("score"))
+      val cut = scored.agg(expr("percentile(score, 0.1)").as("__cut"))
+      scored.crossJoin(broadcast(cut))
+        .filter(col("score") >= col("__cut"))
+        .select(col("doc_id"), col("score"))
+        .orderBy(col("doc_id"))
     }))
 
   def oracleSql: Map[String, String] = Map(
@@ -857,5 +875,18 @@ object LlmQueries {
          )
          SELECT min(doc_id) AS kept_id, CAST(count(*) AS BIGINT) AS n_dups
          FROM corpus GROUP BY nfc_normalize(text)
-         HAVING count(*) > 1 ORDER BY kept_id""")
+         HAVING count(*) > 1 ORDER BY kept_id""",
+
+    // quantile_cont = Spark's exact percentile (both R-7 linear
+    // interpolation over the same rounded score grid)
+    "q99_quality_gate" ->
+      """WITH scored AS (
+           SELECT doc_id,
+             round(CAST(len(list_distinct(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''))) AS DOUBLE)
+               / len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')), 4) AS score
+           FROM documents
+         ),
+         cut AS (SELECT quantile_cont(score, 0.1) AS c FROM scored)
+         SELECT doc_id, score FROM scored, cut
+         WHERE score >= c ORDER BY doc_id""")
 }
