@@ -217,4 +217,34 @@ class StreamOpsSpec extends SparkSpec {
     assert(graft.operators.SignatureStore.allIds(spark, dir.toString + "/store")
       .as[Long].collect().sorted.toSeq == Seq(1L, 3L, 11L))
   }
+
+  test("nearDupFilterSink survives a QUERY RESTART from its checkpoint (offset-log continuity)") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("stream-restart")
+    val mem = MemoryStream[(Long, String)]
+    def start() = StreamOps.nearDupFilterSink(mem.toDF().toDF("doc_id", "text"),
+      "doc_id", "text", dir.toString + "/store", dir.toString + "/out",
+      dir.toString + "/ckpt")
+    val q1 = start()
+    mem.addData(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "completely different other content sharing no phrases with anything"))
+    q1.processAllAvailable()
+    q1.stop()
+    // second incarnation resumes from the SAME checkpoint: committed
+    // offsets are not re-emitted, new data dedups against the store the
+    // first incarnation grew
+    val q2 = start()
+    mem.addData(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"), // dup of stored 1
+      (11L, "brand new unique material resembling nothing streamed before now"))
+    q2.processAllAvailable()
+    q2.stop()
+    val out = spark.read.parquet(dir.toString + "/out")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(out == Seq(1L, 2L, 11L),
+      "across a restart: no re-emission of batch 1, near-dup of stored doc filtered")
+    assert(graft.operators.SignatureStore.allIds(spark, dir.toString + "/store")
+      .as[Long].collect().sorted.toSeq == Seq(1L, 2L, 11L))
+  }
 }
