@@ -295,6 +295,20 @@ object CoreQueries {
         .orderBy(col("event_id"))
     }),
 
+    // --- nearest as-of (minimal |Δt|, backward wins ties) ----------------
+    "q100_asof_nearest" -> ((s, d) => {
+      val e = ev(s, d)
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val signups = e.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("ts").as("signup_ts"))
+      AsOfJoin.nearest(purchases, signups, Seq("user_id"),
+        leftTime = "ts", rightTime = "signup_ts", payload = Seq("signup_ts"))
+        .select(col("event_id"), col("user_id"),
+          col("signup_ts").as("nearest_signup_ts"))
+        .orderBy(col("event_id"))
+    }),
+
     // --- cross join ------------------------------------------------------
     "q25_cross_join" -> ((s, d) => {
       t(s, d, "region").crossJoin(t(s, d, "nation"))
@@ -553,6 +567,17 @@ object CoreQueries {
            (SELECT max(s.ts) FROM events s
             WHERE s.user_id = p.user_id AND s.event_type = 'signup'
               AND s.ts <= p.ts) AS last_signup_ts
+         FROM events p WHERE p.event_type = 'purchase'
+         ORDER BY p.event_id""",
+
+    // tie rule mirrored: equal distance -> earlier (backward) signup,
+    // via the s.ts ASC secondary sort
+    "q100_asof_nearest" ->
+      """SELECT p.event_id, p.user_id,
+           (SELECT s.ts FROM events s
+            WHERE s.user_id = p.user_id AND s.event_type = 'signup'
+            ORDER BY abs(epoch_us(s.ts) - epoch_us(p.ts)) ASC, s.ts ASC
+            LIMIT 1) AS nearest_signup_ts
          FROM events p WHERE p.event_type = 'purchase'
          ORDER BY p.event_id""",
 

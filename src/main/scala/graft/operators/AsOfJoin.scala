@@ -74,4 +74,68 @@ object AsOfJoin {
       payload = payload)
       .drop("__negt")
   }
+
+  /** Nearest as-of: the right row minimizing |right.time - left.time| per
+    * key; BACKWARD WINS TIES (an equidistant prior row beats the later
+    * one — the convention matching sensor-alignment usage).
+    *
+    * Shape: the same union as [[backward]], carrying BOTH the
+    * latest-prior payload (backward window) and the earliest-later
+    * payload (forward window) in one pass — two sorts over ONE hash
+    * shuffle on the keys (the exchange is reused; no pair explosion, no
+    * second shuffle). The right timestamp rides inside the payload struct
+    * (as double — exact to the microsecond within IEEE-754's 2^53, i.e.
+    * until year ~2255) so the distance compare is a per-row projection.
+    *
+    * Times must be numeric or castable to double (timestamps cast to
+    * fractional epoch seconds). */
+  def nearest(left: DataFrame, right: DataFrame, keys: Seq[String],
+              leftTime: String, rightTime: String,
+              payload: Seq[String]): DataFrame = {
+    require(!payload.contains("__rt"), "payload name __rt is reserved by nearest()")
+    val leftCols = left.columns.toSeq
+    import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
+    val pType = StructType(payload.map(c =>
+      StructField(c, right.schema(c).dataType, nullable = true)) :+
+      StructField("__rt", DoubleType, nullable = true))
+    val nullStruct = lit(null).cast(pType)
+    val pStruct = struct((payload.map(col) :+
+      col(rightTime).cast("double").as("__rt")).toIndexedSeq: _*)
+    val l = left
+      .withColumn("__t", col(leftTime).cast("double"))
+      .withColumn("__side", lit(0))
+      .select((keys.map(col) ++ Seq(col("__t"), col("__side")) ++
+        leftCols.filterNot(keys.contains).map(col) :+
+        nullStruct.as("__payload")).toIndexedSeq: _*)
+    val r = right
+      .withColumn("__t", col(rightTime).cast("double"))
+      .withColumn("__side", lit(1))
+      .select((keys.map(col) ++ Seq(col("__t"), col("__side")) ++
+        leftCols.filterNot(keys.contains).map(c =>
+          lit(null).cast(left.schema(c).dataType).as(c)) :+
+        pStruct.as("__payload")).toIndexedSeq: _*)
+    // backward: right-before-left at equal t (<= visible); forward:
+    // left-before-right at equal t (>= visible). Ties among right rows
+    // sharing a timestamp resolve deterministically via the payload tuple
+    // (greatest backward, least forward).
+    val wB = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__t").asc, col("__side").desc, col("__payload").asc_nulls_first)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wF = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__t").asc, col("__side").asc, col("__payload").asc_nulls_first)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val carried = l.unionByName(r)
+      .withColumn("__pb", last(col("__payload"), ignoreNulls = true).over(wB))
+      .withColumn("__pf", first(col("__payload"), ignoreNulls = true).over(wF))
+    val distB = abs(col("__t") - col("__pb").getField("__rt"))
+    val distF = abs(col("__pf").getField("__rt") - col("__t"))
+    val pick = when(col("__pb").isNull, col("__pf"))
+      .when(col("__pf").isNull, col("__pb"))
+      .when(distB <= distF, col("__pb"))
+      .otherwise(col("__pf"))
+    carried.filter(col("__side") === 0)
+      .withColumn("__pick", pick)
+      .select((leftCols.map(col) ++
+        payload.map(c => col("__pick").getField(c).as(c))).toIndexedSeq: _*)
+  }
 }

@@ -50,6 +50,30 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out == ((None, Some(7L))))
   }
 
+  test("nearest picks minimal |Δt|; backward wins exact ties; one-sided keys fall back") {
+    val left = Seq(
+      (1L, 10L, ts("2024-01-01 10:00:00")), // prior 09:59, later 10:02 -> prior
+      (1L, 11L, ts("2024-01-01 10:01:30")), // prior 09:59 (2.5 min), later 10:02 (0.5 min) -> later
+      (2L, 20L, ts("2024-01-01 10:00:00")), // equidistant 09:59 / 10:01 -> BACKWARD wins
+      (3L, 30L, ts("2024-01-01 10:00:00")), // only a later right row exists
+      (4L, 40L, ts("2024-01-01 10:00:00"))) // key absent from right -> null
+      .toDF("user_id", "event_id", "ts")
+    val right = Seq(
+      (1L, ts("2024-01-01 09:59:00")), (1L, ts("2024-01-01 10:02:00")),
+      (2L, ts("2024-01-01 09:59:00")), (2L, ts("2024-01-01 10:01:00")),
+      (3L, ts("2024-01-01 10:30:00")))
+      .toDF("user_id", "r_ts")
+    val out = AsOfJoin.nearest(left, right, Seq("user_id"), "ts", "r_ts", Seq("r_ts"))
+      .selectExpr("event_id", "CAST(r_ts AS STRING)")
+      .as[(Long, Option[String])].collect().toMap
+    assert(out(10L).contains("2024-01-01 09:59:00"), s"prior is closer: $out")
+    assert(out(11L).contains("2024-01-01 10:02:00"), s"later is closer: $out")
+    assert(out(20L).contains("2024-01-01 09:59:00"),
+      s"equidistant -> backward wins: $out")
+    assert(out(30L).contains("2024-01-01 10:30:00"), s"forward-only fallback: $out")
+    assert(out(40L).isEmpty, s"no right rows -> null payload: $out")
+  }
+
   test("backward preserves every left row (left-outer semantics)") {
     val left = Seq(
       (1L, 1L, ts("2024-01-01 01:00:00")),
