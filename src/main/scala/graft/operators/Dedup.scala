@@ -293,8 +293,14 @@ object Dedup {
         batch.join(SignatureStore.readIds(spark, storePath, touchedIdb)
             .select(col("id").as(idCol)), Seq(idCol), "left_anti")
       } else batch
+    // materialize the batch signatures ONCE: minhash is the CPU-heavy step
+    // and three downstream actions read it (the touched-bucket collect,
+    // candidate-pair generation, and the survivor anti-join's pair plan) —
+    // without the checkpoint each action recomputes every signature. The
+    // checkpointed rows are narrow (id + numHashes longs).
     val sigB = minHashSignature(fresh, textCol, shingleSize = 3, numHashes = numHashes)
       .select(col(idCol), col("minhash"))
+      .localCheckpoint()
     val newBands = bandedSignatures(sigB, idCol, bands, rowsPerBand)
     val pairs =
       if (hasStore) {
@@ -330,11 +336,11 @@ object Dedup {
     // 1) caller's idempotent output landing FIRST (crash here -> replay
     //    recomputes the same survivors and re-lands convergently)
     land(survivors)
-    // 2) store append SECOND — recomputed from the checkpointed rows, so
-    //    it has no read dependency on the store path
+    // 2) store append SECOND — survivors' signatures are the checkpointed
+    //    sigB semi-joined down (no recompute from text, and no read
+    //    dependency on the store path this call grows)
     SignatureStore.append(
-      minHashSignature(survivors, textCol, shingleSize = 3, numHashes = numHashes)
-        .select(col(idCol), col("minhash")),
+      sigB.join(survivors.select(col(idCol)), Seq(idCol), "left_semi"),
       idCol, bands, rowsPerBand, storePath, nb)
     survivors
   }
