@@ -15,5 +15,9 @@ object GraftFunctions {
       "simhash64",
       exprs => SimHash64(exprs(0), nfc = false),
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "nfc_normalize",
+      exprs => NfcNormalize(exprs(0)),
+      "built-in")
   }
 }

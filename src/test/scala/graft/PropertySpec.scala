@@ -109,4 +109,54 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  private val textGen: Gen[List[(Long, String)]] = {
+    val word = Gen.oneOf("alpha", "beta", "user@example.com", "+1-555-0000",
+      "10.0.0.1", "café", "café", "plain", "x1")
+    Gen.listOfN(12, Gen.listOfN(8, word).map(_.mkString(" ")))
+      .map(_.zipWithIndex.map { case (t, i) => (i.toLong, t) })
+  }
+
+  test("redactPii is idempotent (a redacted corpus re-redacts to itself)") {
+    import graft.functions.TextFunctions
+    for (i <- 1 to 3) {
+      val rows = textGen.pureApply(Gen.Parameters.default, Seed(100L + i))
+      val df = rows.toDF("id", "text")
+      val once = df.select($"id", TextFunctions.redactPii($"text").as("r"))
+      val twice = once.select($"id", TextFunctions.redactPii($"r").as("r"))
+      assert(once.orderBy("id").collect().toSeq ==
+        twice.orderBy("id").collect().toSeq)
+    }
+  }
+
+  test("NFC normalization is idempotent and stable on ASCII") {
+    for (i <- 1 to 3) {
+      val rows = textGen.pureApply(Gen.Parameters.default, Seed(200L + i))
+      val df = rows.toDF("id", "text")
+      val once = df.select($"id", graft.plans.NfcNormalize($"text").as("n"))
+      val twice = once.select($"id", graft.plans.NfcNormalize($"n").as("n"))
+      assert(once.orderBy("id").collect().toSeq ==
+        twice.orderBy("id").collect().toSeq)
+      // pure-ASCII rows pass through unchanged
+      val ascii = df.filter(!$"text".contains("caf"))
+      assert(ascii.select(graft.plans.NfcNormalize($"text") === $"text")
+        .as[Boolean].collect().forall(identity))
+    }
+  }
+
+  test("chunk dedup conserves chunks: one owner per distinct chunk, counts additive") {
+    for (i <- 1 to 3) {
+      val rows = textGen.pureApply(Gen.Parameters.default, Seed(300L + i))
+      val df = rows.toDF("doc_id", "text")
+      val chunks = Dedup.chunkFirstOccurrence(df, "doc_id", "text", chunkTokens = 3)
+      val total = chunks.count()
+      val owners = chunks.filter($"is_first").count()
+      val distinctHashes = chunks.select("chunk_hash").distinct().count()
+      assert(owners == distinctHashes,
+        "exactly one is_first owner per distinct chunk")
+      // every doc is represented (token-less included) and counts add up
+      assert(chunks.select("doc_id").distinct().count() == rows.length)
+      assert(chunks.filter(!$"is_first").count() == total - owners)
+    }
+  }
 }
