@@ -218,6 +218,31 @@ class StreamOpsSpec extends SparkSpec {
       .as[Long].collect().sorted.toSeq == Seq(1L, 3L, 11L))
   }
 
+  test("stream-static broadcast enrichment + Trigger.AvailableNow drain-and-stop") {
+    implicit val sqlCtx = spark.sqlContext
+    // stream-STATIC join: each micro-batch enriches against a static dim
+    // (re-read per batch in real sources; broadcast — the dim never
+    // shuffles). AvailableNow = the catch-up trigger: drain everything
+    // available, then STOP — the production shape for periodic batch
+    // jobs running streaming code with checkpointed offsets.
+    val dim = Seq((10L, "gold"), (11L, "silver")).toDF("user_id", "tier")
+    val dir = java.nio.file.Files.createTempDirectory("stream-static")
+    val mem = MemoryStream[(Long, Long, Double)]
+    mem.addData((1L, 10L, 5.0), (2L, 11L, 7.0), (3L, 12L, 9.0)) // 12: no dim row
+    val enriched = mem.toDF().toDF("event_id", "user_id", "value")
+      .join(org.apache.spark.sql.functions.broadcast(dim), Seq("user_id"), "left")
+    val q = enriched.writeStream
+      .format("parquet").option("path", dir.toString + "/out")
+      .option("checkpointLocation", dir.toString + "/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(60000), "AvailableNow must drain and stop on its own")
+    val out = spark.read.parquet(dir.toString + "/out")
+      .select("event_id", "tier").as[(Long, Option[String])].collect().toMap
+    assert(out == Map(1L -> Some("gold"), 2L -> Some("silver"), 3L -> None),
+      "broadcast dim enrichment with left-outer miss semantics")
+  }
+
   test("nearDupFilterSink survives a QUERY RESTART from its checkpoint (offset-log continuity)") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("stream-restart")
