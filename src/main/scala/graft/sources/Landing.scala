@@ -76,6 +76,31 @@ object Landing {
     n.substring(n.lastIndexOf('/') + 1)
   }
 
+  /** [[cachedFetch]] with bounded retries + linear backoff: production
+    * HTTP flakes (connection resets, 5xx) where the reference's one-shot
+    * fetch (extract.py:23) simply dies. The retry wraps the WHOLE
+    * cachedFetch attempt — each try gets a fresh temp file, never a
+    * half-written stream to append to — and the temp+atomic-move protocol
+    * guarantees a failed attempt leaves no truncated cache entry, so
+    * restarting from byte 0 is always safe. The last failure propagates
+    * after `attempts` tries. `sleep` is injectable for tests. */
+  def cachedFetchRetrying(cacheDir: String, name: String, force: Boolean = false,
+                          attempts: Int = 3, backoffMs: Long = 1000,
+                          sleep: Long => Unit = Thread.sleep)
+                         (fetch: OutputStream => Unit): Path = {
+    require(attempts >= 1, s"attempts must be >= 1, got $attempts")
+    var tryNo = 0
+    var out: Option[Path] = None
+    while (out.isEmpty) {
+      tryNo += 1
+      try out = Some(cachedFetch(cacheDir, name, force)(fetch))
+      catch {
+        case _: Exception if tryNo < attempts => sleep(backoffMs * tryNo)
+      }
+    }
+    out.get
+  }
+
   /** The reference's end-to-end landing contract (extract.py:11-49):
     * fetch-with-cache `prefix_year.zip`, expand (preferring the
     * consolidated `prefix_year_BRASIL.csv`), return the landing dir to

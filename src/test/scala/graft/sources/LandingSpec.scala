@@ -60,6 +60,31 @@ class LandingSpec extends SparkSpec {
     assert(Files.readAllBytes(recovered).toSeq == Seq[Byte](7))
   }
 
+  test("cachedFetchRetrying: fresh temp file per attempt, backoff, last failure propagates") {
+    val cache = Files.createTempDirectory("cache").toString
+    var calls = 0
+    val sleeps = scala.collection.mutable.ArrayBuffer[Long]()
+    // two connection resets, then success — and the success must NOT
+    // carry bytes from the dead attempts
+    val p = Landing.cachedFetchRetrying(cache, "flaky.zip", attempts = 3,
+      backoffMs = 10, sleep = sleeps.append(_)) { out =>
+      calls += 1
+      out.write(99) // partial write before the failure
+      if (calls < 3) throw new RuntimeException("connection reset")
+      out.write(Array[Byte](1, 2, 3))
+    }
+    assert(calls == 3)
+    assert(sleeps.toSeq == Seq(10L, 20L), "linear backoff between attempts")
+    assert(Files.readAllBytes(p).toSeq == Seq[Byte](99, 1, 2, 3),
+      "the surviving attempt starts from byte 0 — no bytes from dead attempts")
+    // exhausted attempts -> the last failure propagates, no cache entry
+    intercept[RuntimeException] {
+      Landing.cachedFetchRetrying(cache, "dead.zip", attempts = 2,
+        backoffMs = 1, sleep = _ => ()) { _ => throw new RuntimeException("down") }
+    }
+    assert(!Files.exists(java.nio.file.Paths.get(cache, "dead.zip")))
+  }
+
   test("expandZipCsvs prefers the consolidated member, else lands all CSVs") {
     val withC = fixtureZip(withConsolidated = true)
     val d1 = Files.createTempDirectory("land1").toString
