@@ -523,6 +523,16 @@ object LlmQueries {
         .orderBy(col("kept_id"))
     }),
 
+    // --- BPE vocabulary induction (rows-only) ----------------------------
+    // Deterministic merge table (count desc, pair asc tie-break — no RNG)
+    // but the loop is data-dependent-iterative, which SQL can't replay;
+    // BpeSpec value-checks rank-for-rank against an independent reference
+    // implementation instead.
+    "q101_bpe_vocab" -> ((s, d) => {
+      graft.operators.Bpe.learnMerges(t(s, d, "documents"), "text", numMerges = 20)
+        .orderBy(col("rank"))
+    }),
+
     // --- quality-gated curation (drop the bottom decile) -----------------
     // Corpus curation's standard move: score every document, drop the
     // worst tail. The cutoff is an EXACT percentile computed as one
