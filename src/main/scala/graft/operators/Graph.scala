@@ -153,4 +153,37 @@ object Graph {
                            idCol: String): DataFrame =
     docs.join(components.filter(col("id") === col("component"))
         .select(col("id").as(idCol)), Seq(idCol), "left_semi")
+
+  /** Incremental connected components: fold `newEdges` into an existing
+    * (id, component) labeling without re-clustering the full graph. The
+    * prior labeling IS its own contracted graph — each component is one
+    * star edge (root, member) — so the union of star edges + new edges
+    * has one node per previously-labeled doc but only O(components)
+    * internal structure: the CC loop re-converges in rounds bounded by
+    * the NEW structure's depth, not the historical graph's. The
+    * ingest-time companion to [[Dedup.dedupAgainstStore]]: each batch's
+    * candidate pairs fold into the corpus clustering as they arrive.
+    *
+    * Component ids remain the member-minimum, so labels are stable:
+    * a component untouched by new edges keeps its id, and merged
+    * components adopt the smallest involved id. Result is IDENTICAL to a
+    * full recompute over (all original edges ∪ newEdges) — star edges
+    * preserve exactly the connectivity of the labeling (GraphSpec). */
+  def incrementalComponents(components: DataFrame, newEdges: DataFrame,
+                            srcCol: String = "src", dstCol: String = "dst",
+                            maxIter: Int = 25,
+                            reliable: Boolean = false): DataFrame = {
+    val starEdges = components
+      .select(col("component").cast("long").as("src"), col("id").cast("long").as("dst"))
+    val newE = newEdges.select(
+      col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+    // nodes = every previously-labeled id plus every new-edge endpoint:
+    // prior singletons keep their label AND brand-new nodes get one
+    val allNodes = components.select(col("id").cast("long").as("id"))
+      .union(newE.select(col("src").as("id")))
+      .union(newE.select(col("dst").as("id")))
+    connectedComponents(starEdges.union(newE), "src", "dst",
+      nodes = Some((allNodes, "id")),
+      maxIter = maxIter, reliable = reliable)
+  }
 }

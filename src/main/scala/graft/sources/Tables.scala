@@ -79,6 +79,28 @@ object Tables {
   def unionAll(dfs: Seq[DataFrame], allowMissingColumns: Boolean = false): DataFrame =
     dfs.reduce(_.unionByName(_, allowMissingColumns))
 
+  /** [[tseCsv]] with corrupt-record QUARANTINE: rows that fail the
+    * explicit schema (wrong arity, unparseable casts) land in a
+    * `_corrupt_record` column holding the raw line instead of killing
+    * the job — the reference dies on its first malformed row
+    * (extract.py:46 with no error handling); a 100 TB ingest cannot.
+    * Split downstream: `_corrupt_record IS NULL` → clean rows,
+    * `IS NOT NULL` → quarantine sink for replay after a fix.
+    * Spark requires CACHING the frame before filtering on only the
+    * corrupt column (the parser must see a non-corrupt column referenced
+    * — SPARK-21610); callers splitting both ways should `.cache()`. */
+  def tseCsvQuarantine(spark: SparkSession, path: String,
+                       schema: StructType): DataFrame =
+    spark.read
+      .option("sep", ";")
+      .option("encoding", "ISO-8859-1")
+      .option("header", "true")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .schema(schema.add("_corrupt_record",
+        org.apache.spark.sql.types.StringType, nullable = true))
+      .csv(path)
+
   /** Parquet scan across SCHEMA-EVOLVED file generations: a long-lived
     * table accretes columns over years of appends, and `mergeSchema`
     * reconciles per-file footers into one superset schema (absent columns

@@ -81,6 +81,25 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("incrementalComponents == full recompute; untouched labels stable; merges adopt the min") {
+    val edges1 = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L)).toDF("src", "dst")
+    val nodes = Seq(1L, 2L, 3L, 10L, 11L, 20L, 21L, 99L).toDF("id")
+    val base = Graph.connectedComponents(edges1, nodes = Some((nodes, "id")))
+    // batch 2: bridge {1,2,3} and {10,11}; extend {20,21}; touch isolated 99
+    val edges2 = Seq((3L, 10L), (21L, 22L), (99L, 98L)).toDF("src", "dst")
+    val inc = Graph.incrementalComponents(base, edges2)
+      .as[(Long, Long)].collect().toMap
+    val full = Graph.connectedComponents(edges1.union(edges2),
+      nodes = Some((nodes, "id"))).as[(Long, Long)].collect().toMap
+    // every previously-labeled node agrees with the from-scratch answer
+    full.foreach { case (id, comp) =>
+      assert(inc(id) == comp, s"node $id: incremental ${inc(id)} != full $comp")
+    }
+    assert(inc(10L) == 1L && inc(11L) == 1L, "merged components adopt the min id")
+    assert(inc(20L) == 20L && inc(22L) == 20L, "extended component keeps its label")
+    assert(inc(99L) == 98L, "former singleton joins its new neighbor's component")
+  }
+
   test("keepClusterCanonical keeps exactly one doc per cluster (the root)") {
     val docs = Seq((1L, "a"), (2L, "b"), (3L, "c"), (9L, "z")).toDF("doc_id", "text")
     val edges = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")

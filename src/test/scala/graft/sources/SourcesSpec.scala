@@ -50,6 +50,25 @@ class SourcesSpec extends SparkSpec {
     assert(u.filter($"v".isNull).count() == 1)
   }
 
+  test("tseCsvQuarantine isolates malformed rows instead of failing the scan") {
+    import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+    val dir = java.nio.file.Files.createTempDirectory("quarantine")
+    val f = dir.resolve("bad.csv")
+    java.nio.file.Files.write(f,
+      "a;b\n1;2\nnot_an_int;9\n3;4\n5\n".getBytes("ISO-8859-1"))
+    val schema = StructType(Seq(
+      StructField("a", IntegerType), StructField("b", IntegerType)))
+    val df = Tables.tseCsvQuarantine(spark, f.toString, schema).cache()
+    val good = df.filter($"_corrupt_record".isNull)
+      .select("a", "b").as[(Int, Int)].collect().sorted.toSeq
+    val bad = df.filter($"_corrupt_record".isNotNull)
+      .select("_corrupt_record").as[String].collect().sorted.toSeq
+    df.unpersist()
+    assert(good == Seq((1, 2), (3, 4)), s"clean rows parse: $good")
+    assert(bad == Seq("5", "not_an_int;9"),
+      s"malformed rows carry their raw line for replay-after-fix: $bad")
+  }
+
   test("parquetEvolved merges schema generations; plain read sees one footer") {
     val dir = java.nio.file.Files.createTempDirectory("evolve").toString + "/t"
     // generation 1: (k, v); generation 2 adds a column (k, v, score)
