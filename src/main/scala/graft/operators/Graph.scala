@@ -171,17 +171,23 @@ object Graph {
     * preserve exactly the connectivity of the labeling (GraphSpec). */
   def incrementalComponents(components: DataFrame, newEdges: DataFrame,
                             srcCol: String = "src", dstCol: String = "dst",
+                            newNodes: Option[(DataFrame, String)] = None,
                             maxIter: Int = 25,
                             reliable: Boolean = false): DataFrame = {
     val starEdges = components
       .select(col("component").cast("long").as("src"), col("id").cast("long").as("dst"))
     val newE = newEdges.select(
       col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
-    // nodes = every previously-labeled id plus every new-edge endpoint:
-    // prior singletons keep their label AND brand-new nodes get one
+    // nodes = every previously-labeled id, every new-edge endpoint, and
+    // (via `newNodes`) the batch's edge-LESS documents: prior singletons
+    // keep their label, brand-new nodes get one, and a novel doc with no
+    // candidate pair still comes back as a singleton of itself
     val allNodes = components.select(col("id").cast("long").as("id"))
       .union(newE.select(col("src").as("id")))
       .union(newE.select(col("dst").as("id")))
+      .union(newNodes.fold(newE.select(col("src").as("id")).limit(0)) {
+        case (df, c) => df.select(col(c).cast("long").as("id"))
+      })
     connectedComponents(starEdges.union(newE), "src", "dst",
       nodes = Some((allNodes, "id")),
       maxIter = maxIter, reliable = reliable)

@@ -297,6 +297,41 @@ class DedupSpec extends SparkSpec {
       (4L, 0, true)))                          // token-less -> one empty chunk
   }
 
+  test("incremental ingest composition: batched pairs + incrementalComponents == full-corpus clustering") {
+    // the production ingest loop: per batch, candidate pairs vs the
+    // growing corpus (incrementalCandidatePairs), folded into the evolving
+    // clustering (incrementalComponents) — must equal clustering the
+    // final corpus in one shot
+    val b1 = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (3L, "totally unrelated corpus content with different words here entirely"))
+      .toDF("doc_id", "text")
+    val b2 = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"), // joins {1,2}
+      (11L, "fresh singleton material matching nothing else in this corpus"))
+      .toDF("doc_id", "text")
+    def sigs(df: org.apache.spark.sql.DataFrame) =
+      Dedup.minHashSignature(df, "text", 3, 32).select(col("doc_id"), col("minhash"))
+    // incremental path
+    val pairs1 = Dedup.minHashCandidatePairs(sigs(b1), "doc_id", 8, 4)
+    val comps1 = Graph.connectedComponents(pairs1, "id_a", "id_b",
+      nodes = Some((b1.select("doc_id"), "doc_id")))
+    val pairs2 = Dedup.incrementalCandidatePairs(sigs(b2), sigs(b1), "doc_id", 8, 4)
+    val inc = Graph.incrementalComponents(comps1, pairs2, "id_a", "id_b",
+      newNodes = Some((b2.select("doc_id"), "doc_id")))
+      .as[(Long, Long)].collect().toMap
+    // one-shot path over the final corpus
+    val all = b1.unionByName(b2)
+    val full = Graph.connectedComponents(
+      Dedup.minHashCandidatePairs(sigs(all), "doc_id", 8, 4), "id_a", "id_b",
+      nodes = Some((all.select("doc_id"), "doc_id")))
+      .as[(Long, Long)].collect().toMap
+    assert(inc == full, s"\nincremental: $inc\nfull:        $full")
+    assert(inc(10L) == 1L, "new near-dup joins the existing cluster's root")
+    assert(inc(11L) == 11L, "novel doc stays a singleton")
+  }
+
   test("jaccardVerify: identical docs have jaccard 1.0") {
     val docs = Seq(
       (1L, "a b c d e f g h"), (2L, "a b c d e f g h"), (3L, "x y z q r s t u"))
