@@ -92,6 +92,30 @@ object StreamOps {
       }
       .start()
 
+  /** Continuous upsert into a LIVE DATABASE — the streaming form of the
+    * reference's actual sink (Postgres INSERT .. ON CONFLICT, load.py:
+    * 18-22): each micro-batch merges through [[graft.sources.Sinks
+    * .upsertJdbc]]'s executor-side two-phase batches. Per-key upsert is
+    * idempotent, so a replayed micro-batch (failure recovery) converges:
+    * effectively-once per key on top of checkpointed source offsets.
+    * The batch is key-deduped first (last row per key under `tiebreak`)
+    * — upsertJdbc's single-writer-per-key contract. */
+  def upsertJdbcSink(updates: DataFrame, url: String, table: String,
+                     keys: Seq[String], tiebreak: Seq[Column],
+                     checkpoint: String,
+                     properties: java.util.Properties = new java.util.Properties())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    updates.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val lastPerKey = graft.operators.Dedup.keepFirst(
+          batch, keys, tiebreak.map(_.desc))
+        graft.sources.Sinks.upsertJdbc(
+          lastPerKey.repartition(4, keys.map(col): _*),
+          url, table, keys, properties = properties)
+      }
+      .start()
+
   /** Streaming near-duplicate filter: each micro-batch is deduped against
     * the growing signature store ([[graft.operators.Dedup
     * .dedupAgainstStore]] — pruned id replay guard, batch-vs-store

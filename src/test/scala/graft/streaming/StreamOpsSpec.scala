@@ -218,6 +218,33 @@ class StreamOpsSpec extends SparkSpec {
       .as[Long].collect().sorted.toSeq == Seq(1L, 3L, 11L))
   }
 
+  test("upsertJdbcSink merges each micro-batch into a live database (embedded Derby)") {
+    implicit val sqlCtx = spark.sqlContext
+    val dbDir = java.nio.file.Files.createTempDirectory("derby-stream").toString
+    val url = s"jdbc:derby:$dbDir/db;create=true"
+    val ddl = java.sql.DriverManager.getConnection(url)
+    ddl.createStatement().execute(
+      "CREATE TABLE tgt (k BIGINT PRIMARY KEY, v VARCHAR(32), ver BIGINT)")
+    ddl.close()
+    val ckpt = java.nio.file.Files.createTempDirectory("jdbc-ckpt").toString
+    val mem = MemoryStream[(Long, String, Long)]
+    val q = StreamOps.upsertJdbcSink(mem.toDF().toDF("k", "v", "ver"),
+      url, "tgt", Seq("k"), Seq(col("ver")), ckpt)
+    // batch 1 includes an IN-BATCH key update: only the latest version lands
+    mem.addData((1L, "a", 1L), (2L, "b", 1L), (2L, "b2", 2L))
+    q.processAllAvailable()
+    // batch 2: cross-batch update + fresh insert
+    mem.addData((2L, "B3", 3L), (3L, "c", 1L))
+    q.processAllAvailable()
+    q.stop()
+    val back = spark.read.format("jdbc").option("url", url).option("dbtable", "tgt")
+      .load()
+      .selectExpr("CAST(K AS BIGINT)", "V", "CAST(VER AS BIGINT)")
+      .as[(Long, String, Long)].collect().sorted.toSeq
+    assert(back == Seq((1L, "a", 1L), (2L, "B3", 3L), (3L, "c", 1L)),
+      "the reference's ON CONFLICT sink semantics, streaming")
+  }
+
   test("stream-static broadcast enrichment + Trigger.AvailableNow drain-and-stop") {
     implicit val sqlCtx = spark.sqlContext
     // stream-STATIC join: each micro-batch enriches against a static dim
