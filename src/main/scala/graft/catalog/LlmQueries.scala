@@ -523,6 +523,18 @@ object LlmQueries {
         .orderBy(col("kept_id"))
     }),
 
+    // --- scalable SimHash dedup (rows-only) ------------------------------
+    // The linear-time form of q44: pigeonhole block bucketing (Manku
+    // WWW'07) instead of the all-pairs theta join — EXACT pair set under
+    // the Hamming radius (DedupSpec proves equality with brute force);
+    // rows-only because simhash values are engine-hash-seeded.
+    "q102_simhash_dedup" -> ((s, d) => {
+      val corpus = withPlantedNearDups(t(s, d, "documents"))
+      val sig = Dedup.simHash(corpus, "text").select(col("doc_id"), col("simhash"))
+      Dedup.simHashCandidatePairs(sig, "doc_id", maxHamming = 6)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // --- BPE vocabulary induction (rows-only) ----------------------------
     // Deterministic merge table (count desc, pair asc tie-break — no RNG)
     // but the loop is data-dependent-iterative, which SQL can't replay;

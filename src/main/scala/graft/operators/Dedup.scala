@@ -444,6 +444,62 @@ object Dedup {
   /** Hamming distance between two 64-bit simhashes. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** EXACT near-duplicate pairs under a Hamming radius, at corpus scale —
+    * the pigeonhole block-bucketing of Manku et al. (WWW'07, Google's
+    * simhash dedup): split the 64-bit fingerprint into `maxHamming + 1`
+    * disjoint blocks; two fingerprints within Hamming distance
+    * `maxHamming` MUST agree exactly on at least one block (k bit flips
+    * cannot touch all k+1 blocks), so bucketing on (block_id, block
+    * value) has ZERO false negatives, and the exact `hamming <=
+    * maxHamming` gate after the bucket join leaves exactly the true
+    * pair set — unlike MinHash banding, this is an exact algorithm, not
+    * a probabilistic one.
+    *
+    * Scale shape mirrors [[minHashCandidatePairs]]: the block explode is
+    * narrow (k+1 longs per doc), the only shuffle is the bucket groupBy,
+    * and `maxBucketSize` caps the quadratic fan-out of degenerate
+    * buckets (dropping an oversized bucket is the one way recall is
+    * traded — same documented guard as MinHash).
+    *
+    * Input needs (idCol, simhash) — from [[simHash]]. Returns distinct
+    * (id_a < id_b, hamming). */
+  def simHashCandidatePairs(withSig: DataFrame, idCol: String,
+                            maxHamming: Int = 3,
+                            maxBucketSize: Int = 10000): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 15,
+      s"maxHamming must be in [0, 15] (64 bits / >= 4-bit blocks), got $maxHamming")
+    require(maxBucketSize > 1, s"maxBucketSize must be > 1, got $maxBucketSize")
+    val blocks = maxHamming + 1
+    val width = 64 / blocks // last block also takes the 64 % blocks remainder
+    val blockVal = (b: Int) => {
+      val shifted = shiftrightunsigned(col("simhash"), b * width)
+      if (b == blocks - 1) shifted // top block: all remaining bits
+      else shifted.bitwiseAND(lit((1L << width) - 1))
+    }
+    val blocked = withSig.select(col(idCol).as("__id"), col("simhash"),
+      posexplode(array((0 until blocks).map(blockVal): _*)))
+      .withColumnRenamed("pos", "block_id")
+      .withColumnRenamed("col", "block_val")
+    val wBucket = Window.partitionBy(col("block_id"), col("block_val"))
+    val grouped = blocked
+      .withColumn("__n", count(lit(1)).over(wBucket))
+      .filter(col("__n") > 1 && col("__n") <= maxBucketSize)
+      .groupBy("block_id", "block_val")
+      .agg(collect_list(struct(col("__id"), col("simhash"))).as("members"))
+    grouped
+      .select(explode(expr(
+        "flatten(transform(sequence(1, size(members) - 1), " +
+        "i -> transform(slice(members, i + 1, size(members) - i), " +
+        "j -> named_struct(" +
+        "'id_a', least(members[i-1].__id, j.__id), " +
+        "'id_b', greatest(members[i-1].__id, j.__id), " +
+        "'h_a', members[i-1].simhash, 'h_b', j.simhash))))")).as("p"))
+      .select(col("p.id_a"), col("p.id_b"),
+        hamming(col("p.h_a"), col("p.h_b")).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
   /** Cross-corpus contamination (benchmark decontamination): for each
     * candidate document, the fraction of its distinct k-shingles that
     * appear anywhere in the reference corpus. Training pipelines drop

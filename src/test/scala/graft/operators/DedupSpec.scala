@@ -397,6 +397,38 @@ class DedupSpec extends SparkSpec {
     assert(native == agg)
   }
 
+  test("simHashCandidatePairs equals brute-force Hamming pairs (pigeonhole exactness)") {
+    // a corpus with real near-dup structure: 12 base docs, each with a
+    // lightly-perturbed twin, plus unrelated fillers — then verify the
+    // bucketed algorithm returns EXACTLY the brute-force pair set
+    val base = (0 until 12).map(i =>
+      s"document number $i talks about spark shuffles partitions codegen and storage layer topic$i")
+    val docs = (base.zipWithIndex.map { case (t, i) => (i.toLong, t) } ++
+      base.zipWithIndex.map { case (t, i) => (100L + i, t + " extra") } ++
+      (0 until 8).map(i => (200L + i,
+        s"completely different filler text about cooking recipe $i garden flowers weather")))
+      .toDF("doc_id", "text")
+    val sig = Dedup.simHash(docs, "text").select("doc_id", "simhash")
+    val local = sig.as[(Long, Long)].collect().toSeq
+    for (k <- Seq(0, 3, 6)) {
+      val expected = (for {
+        (a, ha) <- local; (b, hb) <- local if a < b
+        if java.lang.Long.bitCount(ha ^ hb) <= k
+      } yield (a, b, java.lang.Long.bitCount(ha ^ hb))).toSet
+      val got = Dedup.simHashCandidatePairs(sig, "doc_id", maxHamming = k)
+        .as[(Long, Long, Int)].collect().toSet
+      assert(got == expected,
+        s"k=$k:\n missing=${expected -- got}\n spurious=${got -- expected}")
+    }
+    // blowup guard: identical docs all share every block; capping drops them
+    val same = (1L to 6L).map(i => (i, "same text everywhere always"))
+      .toDF("doc_id", "text")
+    val sameSig = Dedup.simHash(same, "text").select("doc_id", "simhash")
+    assert(Dedup.simHashCandidatePairs(sameSig, "doc_id", 3).count() == 15)
+    assert(Dedup.simHashCandidatePairs(sameSig, "doc_id", 3, maxBucketSize = 5)
+      .count() == 0)
+  }
+
   test("simhash: identical text -> hamming 0; perturbed -> small; unrelated -> large") {
     val docs = Seq(
       (1L, "spark catalyst tungsten whole stage codegen shuffle exchange partition"),
