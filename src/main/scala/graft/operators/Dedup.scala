@@ -461,6 +461,14 @@ object Dedup {
     * buckets (dropping an oversized bucket is the one way recall is
     * traded — same documented guard as MinHash).
     *
+    * Radius/width trade-off: block width is `64 / (k+1)`, so candidate
+    * selectivity degrades as k grows — k=3 gives 16-bit blocks (65k
+    * bucket values: collisions ≈ true near-dups), while k=6 gives 9-bit
+    * blocks (512 values: every bucket is corpus/512 and the pair
+    * fan-out dominates — measured 6.5 s vs 0.7 s at sf0.1). Keep
+    * k <= 3 at corpus scale; larger radii need Manku's multi-block
+    * combination tables (bucket on unions of blocks), not implemented.
+    *
     * Input needs (idCol, simhash) — from [[simHash]]. Returns distinct
     * (id_a < id_b, hamming). */
   def simHashCandidatePairs(withSig: DataFrame, idCol: String,
