@@ -527,12 +527,13 @@ object LlmQueries {
     // The linear-time form of q44: pigeonhole block bucketing (Manku
     // WWW'07) instead of the all-pairs theta join — EXACT pair set under
     // the Hamming radius (DedupSpec proves equality with brute force);
-    // rows-only because simhash values are engine-hash-seeded. Radius 3
-    // = 16-bit blocks, the scale-sane setting (see the operator doc).
+    // rows-only because simhash values are engine-hash-seeded. Radius 6
+    // (q44's gate) at linear cost via Manku combination tables: 8 blocks,
+    // C(8,6) = 28 tables of 16-bit keys (see the operator doc).
     "q102_simhash_dedup" -> ((s, d) => {
       val corpus = withPlantedNearDups(t(s, d, "documents"))
       val sig = Dedup.simHash(corpus, "text").select(col("doc_id"), col("simhash"))
-      Dedup.simHashCandidatePairs(sig, "doc_id", maxHamming = 3)
+      Dedup.simHashCandidatePairs(sig, "doc_id", maxHamming = 6, blocks = 8)
         .orderBy(col("id_a"), col("id_b"))
     }),
 

@@ -461,38 +461,55 @@ object Dedup {
     * buckets (dropping an oversized bucket is the one way recall is
     * traded — same documented guard as MinHash).
     *
-    * Radius/width trade-off: block width is `64 / (k+1)`, so candidate
-    * selectivity degrades as k grows — k=3 gives 16-bit blocks (65k
-    * bucket values: collisions ≈ true near-dups), while k=6 gives 9-bit
-    * blocks (512 values: every bucket is corpus/512 and the pair
-    * fan-out dominates — measured 6.5 s vs 0.7 s at sf0.1). Keep
-    * k <= 3 at corpus scale; larger radii need Manku's multi-block
-    * combination tables (bucket on unions of blocks), not implemented.
+    * Radius/width trade-off: with the default single-block tables, block
+    * width is `64 / (k+1)`, so candidate selectivity degrades as k grows
+    * — k=3 gives 16-bit blocks (65k bucket values: collisions ≈ true
+    * near-dups), while k=6 gives 9-bit blocks (512 values: every bucket
+    * is corpus/512 and the pair fan-out dominates — measured 6.5 s vs
+    * ~1 s at sf0.1). For larger radii pass `blocks > k+1` to switch to
+    * Manku's COMBINATION tables: with m blocks, a pair within radius k
+    * agrees on at least m-k of them, so bucketing on every (m-k)-subset
+    * of blocks — C(m, k) tables keyed by the subset's combined value —
+    * keeps zero false negatives while the key carries `(m-k) * 64/m`
+    * bits of selectivity (k=6, m=8: 28 tables of 16-bit keys). The
+    * explode factor is the table count; keys are xxhash64-combined
+    * (hash collisions only ADD candidates, which the exact gate
+    * removes — exactness is preserved).
     *
     * Input needs (idCol, simhash) — from [[simHash]]. Returns distinct
     * (id_a < id_b, hamming). */
   def simHashCandidatePairs(withSig: DataFrame, idCol: String,
                             maxHamming: Int = 3,
-                            maxBucketSize: Int = 10000): DataFrame = {
+                            maxBucketSize: Int = 10000,
+                            blocks: Int = 0): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 15,
       s"maxHamming must be in [0, 15] (64 bits / >= 4-bit blocks), got $maxHamming")
     require(maxBucketSize > 1, s"maxBucketSize must be > 1, got $maxBucketSize")
-    val blocks = maxHamming + 1
-    val width = 64 / blocks // last block also takes the 64 % blocks remainder
+    val m = if (blocks == 0) maxHamming + 1 else blocks
+    require(m > maxHamming && m <= 64,
+      s"blocks must be in (maxHamming, 64], got $m for maxHamming=$maxHamming")
+    val width = 64 / m // last block also takes the 64 % m remainder
     val blockVal = (b: Int) => {
       val shifted = shiftrightunsigned(col("simhash"), b * width)
-      if (b == blocks - 1) shifted // top block: all remaining bits
+      if (b == m - 1) shifted // top block: all remaining bits
       else shifted.bitwiseAND(lit((1L << width) - 1))
     }
+    // one bucket key per (m - maxHamming)-subset of blocks; subset values
+    // combined through xxhash64 with the table ordinal as the seed input
+    val combos = (0 until m).combinations(m - maxHamming).toVector
+    require(combos.size <= 512,
+      s"C($m, ${m - maxHamming}) = ${combos.size} combination tables — " +
+        "reduce blocks (explode factor = table count)")
+    val keyCols = combos.zipWithIndex.map { case (combo, ci) =>
+      xxhash64((lit(ci.toLong) +: combo.map(blockVal)): _*)
+    }
     val blocked = withSig.select(col(idCol).as("__id"), col("simhash"),
-      posexplode(array((0 until blocks).map(blockVal): _*)))
-      .withColumnRenamed("pos", "block_id")
-      .withColumnRenamed("col", "block_val")
-    val wBucket = Window.partitionBy(col("block_id"), col("block_val"))
+      explode(array(keyCols: _*)).as("block_val"))
+    val wBucket = Window.partitionBy(col("block_val"))
     val grouped = blocked
       .withColumn("__n", count(lit(1)).over(wBucket))
       .filter(col("__n") > 1 && col("__n") <= maxBucketSize)
-      .groupBy("block_id", "block_val")
+      .groupBy("block_val")
       .agg(collect_list(struct(col("__id"), col("simhash"))).as("members"))
     grouped
       .select(explode(expr(

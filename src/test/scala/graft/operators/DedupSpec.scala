@@ -420,6 +420,16 @@ class DedupSpec extends SparkSpec {
       assert(got == expected,
         s"k=$k:\n missing=${expected -- got}\n spurious=${got -- expected}")
     }
+    // Manku combination tables: same EXACT pair set at radius 6 with 8
+    // blocks (28 tables of 16-bit keys) as with the direct 7-block split
+    val k6expected = (for {
+      (a, ha) <- local; (b, hb) <- local if a < b
+      if java.lang.Long.bitCount(ha ^ hb) <= 6
+    } yield (a, b, java.lang.Long.bitCount(ha ^ hb))).toSet
+    val k6combo = Dedup.simHashCandidatePairs(sig, "doc_id", maxHamming = 6,
+      blocks = 8).as[(Long, Long, Int)].collect().toSet
+    assert(k6combo == k6expected,
+      s"combination tables must stay exact:\n missing=${k6expected -- k6combo}")
     // blowup guard: identical docs all share every block; capping drops them
     val same = (1L to 6L).map(i => (i, "same text everywhere always"))
       .toDF("doc_id", "text")
@@ -427,6 +437,10 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.simHashCandidatePairs(sameSig, "doc_id", 3).count() == 15)
     assert(Dedup.simHashCandidatePairs(sameSig, "doc_id", 3, maxBucketSize = 5)
       .count() == 0)
+    // guard: combination blowup fails fast
+    intercept[IllegalArgumentException] {
+      Dedup.simHashCandidatePairs(sameSig, "doc_id", maxHamming = 6, blocks = 20)
+    }
   }
 
   test("simhash: identical text -> hamming 0; perturbed -> small; unrelated -> large") {
