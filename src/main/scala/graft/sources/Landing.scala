@@ -83,10 +83,19 @@ object Landing {
     * half-written stream to append to — and the temp+atomic-move protocol
     * guarantees a failed attempt leaves no truncated cache entry, so
     * restarting from byte 0 is always safe. The last failure propagates
-    * after `attempts` tries. `sleep` is injectable for tests. */
+    * after `attempts` tries. `sleep` is injectable for tests.
+    *
+    * Only TRANSIENT failures retry: by default `java.io.IOException` (the
+    * transport's failure type); pass `retryable` to widen (e.g. an HTTP
+    * client's 5xx exception type). Everything else — caller bugs like
+    * `IllegalArgumentException` from the fetch closure — propagates on the
+    * first throw instead of being masked behind backoff sleeps, and
+    * `InterruptedException` is always rethrown with the thread's interrupt
+    * status restored (a retry loop must never swallow cancellation). */
   def cachedFetchRetrying(cacheDir: String, name: String, force: Boolean = false,
                           attempts: Int = 3, backoffMs: Long = 1000,
-                          sleep: Long => Unit = Thread.sleep)
+                          sleep: Long => Unit = Thread.sleep,
+                          retryable: Throwable => Boolean = _.isInstanceOf[java.io.IOException])
                          (fetch: OutputStream => Unit): Path = {
     require(attempts >= 1, s"attempts must be >= 1, got $attempts")
     var tryNo = 0
@@ -95,7 +104,10 @@ object Landing {
       tryNo += 1
       try out = Some(cachedFetch(cacheDir, name, force)(fetch))
       catch {
-        case _: Exception if tryNo < attempts => sleep(backoffMs * tryNo)
+        case ie: InterruptedException =>
+          Thread.currentThread().interrupt(); throw ie
+        case e: Exception if retryable(e) && tryNo < attempts =>
+          sleep(backoffMs * tryNo)
       }
     }
     out.get

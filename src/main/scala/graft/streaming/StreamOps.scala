@@ -99,11 +99,19 @@ object StreamOps {
     * idempotent, so a replayed micro-batch (failure recovery) converges:
     * effectively-once per key on top of checkpointed source offsets.
     * The batch is key-deduped first (last row per key under `tiebreak`)
-    * — upsertJdbc's single-writer-per-key contract. */
+    * — upsertJdbc's single-writer-per-key contract.
+    *
+    * `writePartitions` is the number of concurrent JDBC connections the
+    * sink opens per micro-batch (one per partition): size it to the
+    * database's connection budget and the batch volume, not to the Spark
+    * cluster — a 1000-executor job must not open 1000 connections to one
+    * Postgres. Key-hash repartitioning also keeps the per-key
+    * single-writer contract regardless of the count. */
   def upsertJdbcSink(updates: DataFrame, url: String, table: String,
                      keys: Seq[String], tiebreak: Seq[Column],
                      checkpoint: String,
-                     properties: java.util.Properties = new java.util.Properties())
+                     properties: java.util.Properties = new java.util.Properties(),
+                     writePartitions: Int = 4)
       : org.apache.spark.sql.streaming.StreamingQuery =
     updates.writeStream
       .option("checkpointLocation", checkpoint)
@@ -111,7 +119,7 @@ object StreamOps {
         val lastPerKey = graft.operators.Dedup.keepFirst(
           batch, keys, tiebreak.map(_.desc))
         graft.sources.Sinks.upsertJdbc(
-          lastPerKey.repartition(4, keys.map(col): _*),
+          lastPerKey.repartition(writePartitions, keys.map(col): _*),
           url, table, keys, properties = properties)
       }
       .start()

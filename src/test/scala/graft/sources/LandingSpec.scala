@@ -70,7 +70,7 @@ class LandingSpec extends SparkSpec {
       backoffMs = 10, sleep = sleeps.append(_)) { out =>
       calls += 1
       out.write(99) // partial write before the failure
-      if (calls < 3) throw new RuntimeException("connection reset")
+      if (calls < 3) throw new java.io.IOException("connection reset")
       out.write(Array[Byte](1, 2, 3))
     }
     assert(calls == 3)
@@ -78,11 +78,40 @@ class LandingSpec extends SparkSpec {
     assert(Files.readAllBytes(p).toSeq == Seq[Byte](99, 1, 2, 3),
       "the surviving attempt starts from byte 0 — no bytes from dead attempts")
     // exhausted attempts -> the last failure propagates, no cache entry
-    intercept[RuntimeException] {
+    intercept[java.io.IOException] {
       Landing.cachedFetchRetrying(cache, "dead.zip", attempts = 2,
-        backoffMs = 1, sleep = _ => ()) { _ => throw new RuntimeException("down") }
+        backoffMs = 1, sleep = _ => ()) { _ => throw new java.io.IOException("down") }
     }
     assert(!Files.exists(java.nio.file.Paths.get(cache, "dead.zip")))
+  }
+
+  test("cachedFetchRetrying retries transient failures only") {
+    val cache = Files.createTempDirectory("cache").toString
+    // a caller bug is NOT retried — it propagates on the first throw
+    var calls = 0
+    intercept[IllegalArgumentException] {
+      Landing.cachedFetchRetrying(cache, "bug.zip", attempts = 3,
+        backoffMs = 1, sleep = _ => ()) { _ =>
+        calls += 1; throw new IllegalArgumentException("caller bug")
+      }
+    }
+    assert(calls == 1, "non-IOException must not burn retry attempts")
+    // interruption is never swallowed, and the interrupt status survives
+    intercept[InterruptedException] {
+      Landing.cachedFetchRetrying(cache, "int.zip", attempts = 3,
+        backoffMs = 1, sleep = _ => ()) { _ => throw new InterruptedException() }
+    }
+    assert(Thread.interrupted(), "interrupt flag must be restored (and clear it)")
+    // a custom retryable predicate widens the transient set
+    var httpCalls = 0
+    val got = Landing.cachedFetchRetrying(cache, "http.zip", attempts = 2,
+      backoffMs = 1, sleep = _ => (),
+      retryable = _.getMessage == "503") { out =>
+      httpCalls += 1
+      if (httpCalls == 1) throw new RuntimeException("503")
+      out.write(5)
+    }
+    assert(httpCalls == 2 && Files.readAllBytes(got).toSeq == Seq[Byte](5))
   }
 
   test("expandZipCsvs prefers the consolidated member, else lands all CSVs") {
