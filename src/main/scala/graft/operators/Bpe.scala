@@ -90,17 +90,25 @@ object Bpe {
   /** Apply a learned merge table to text: tokenize, split each token to
     * characters, replay the merges in rank order. Returns the frame with
     * a `bpe_tokens: array<string>` column — the encode side of the
-    * tokenizer. Merge replay is rank-ordered fold composition, same
-    * greedy rule as training. */
+    * tokenizer.
+    *
+    * The merge table rides along as DATA — one `typedlit` literal of
+    * `(left, right, merged)` structs — and the replay is a single nested
+    * fold: outer `aggregate` over the merge array (rank order), inner
+    * `aggregate` over the token's symbols (the same greedy left-to-right
+    * rule as training). The expression tree is therefore CONSTANT-depth
+    * regardless of vocabulary size; an earlier form composed one nested
+    * transform/aggregate per merge, which grew the Catalyst tree linearly
+    * and hit analyzer/codegen method-size limits at realistic
+    * (thousands-of-merges) vocabularies. Per-row work is unchanged —
+    * merges × symbols either way. */
   def encode(docs: DataFrame, textCol: String, merges: DataFrame): DataFrame = {
     val ordered = merges.select("rank", "left", "right", "merged")
       .orderBy("rank")
       .collect()
       .map(r => (r.getString(1), r.getString(2), r.getString(3)))
       .toSeq
-    // per token: its character array; merges then fold over each token.
-    // Column-lambda composition (not string expr) binds the per-token
-    // loop variable across the nested transform/aggregate HOFs.
+    // per token: its character array; the merge fold then runs per token.
     val base = expr(
       s"transform(${graft.plans.Tokens.whitespaceSql(textCol)}, " +
       "w -> filter(split(w, ''), x -> x <> ''))")
@@ -109,17 +117,18 @@ object Bpe {
 
   private def encodeImpl(base: org.apache.spark.sql.Column,
                          ordered: Seq[(String, String, String)]): org.apache.spark.sql.Column = {
-    import org.apache.spark.sql.Column
-    val mergedCol: Column = ordered.foldLeft(base) { case (acc, (l, r, m)) =>
-      org.apache.spark.sql.functions.transform(acc, w =>
-        aggregate(w,
+    if (ordered.isEmpty) return base
+    val mergeTab = typedlit(ordered) // array<struct<_1,_2,_3>> — ONE literal node
+    transform(base, w =>
+      aggregate(mergeTab, w, (syms, mrg) =>
+        aggregate(syms,
           lit(Array.empty[String]).cast("array<string>"),
           (out, x) =>
             when(size(out) > 0 &&
-                 element_at(out, -1) === lit(l) && x === lit(r),
-              concat(slice(out, lit(1), size(out) - 1), array(lit(m))))
-              .otherwise(concat(out, array(x)))))
-    }
-    mergedCol
+                 element_at(out, -1) === mrg.getField("_1") &&
+                 x === mrg.getField("_2"),
+              concat(slice(out, lit(1), size(out) - 1),
+                array(mrg.getField("_3"))))
+              .otherwise(concat(out, array(x))))))
   }
 }

@@ -37,22 +37,55 @@ object SignatureStore {
 
   val DefaultBuckets = 64
 
-  private def bandsPath(store: String) = store + "/bands"
-  private def idsPath(store: String)   = store + "/ids"
-  private def metaPath(store: String)  = store + "/_graft_buckets"
+  private def bandsPath(store: String)   = store + "/bands"
+  private def idsPath(store: String)     = store + "/ids"
+  private def metaPath(store: String)    = store + "/_graft_buckets"
+  private def stagingPath(store: String) = store + "/_legacy_migrating"
 
   private def fsOf(spark: SparkSession, path: String) =
     new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  private def hPath(s: String) = new org.apache.hadoop.fs.Path(s)
+
+  /** True when `store` holds a round-3-style FLAT signature store —
+    * `(id, minhash)` parquet data files directly under the root instead of
+    * the banded `bands/` + `ids/` subtrees (or a migration of one is
+    * staged but unfinished). A flat store carries no bucket marker, so
+    * without this check it would read as "absent": its corpus would never
+    * be consulted and duplicate ids would be silently re-admitted. */
+  def isLegacyLayout(spark: SparkSession, store: String): Boolean = {
+    val fs = fsOf(spark, store)
+    val root = hPath(store)
+    if (!fs.exists(root)) return false
+    val flatDataFiles = fs.listStatus(root).exists { s =>
+      s.isFile && s.getPath.getName.startsWith("part-") &&
+        s.getPath.getName.contains(".parquet")
+    }
+    flatDataFiles ||
+      (fs.exists(hPath(stagingPath(store))) && !fs.exists(hPath(metaPath(store))))
+  }
+
+  private def failIfLegacy(spark: SparkSession, store: String): Unit =
+    if (isLegacyLayout(spark, store))
+      throw new IllegalStateException(
+        s"$store holds a legacy FLAT (id, minhash) signature store, which this " +
+          "banded/bucketed layout cannot read. Run SignatureStore.migrateLegacy(" +
+          "spark, store, idCol, bands, rowsPerBand) ONCE with the same band " +
+          "layout the dedup uses, then retry. Refusing to proceed: treating the " +
+          "store as absent would silently re-admit already-stored documents.")
+
   /** A store exists once its bucket-count marker is durable. The marker is
     * written LAST on creation (after both data appends): a crash mid-append
     * leaves the store invisible, and the replayed batch — which recomputes
-    * the same survivors deterministically — re-appends; at worst the bands
-    * table briefly holds duplicate rows (harmless: candidate pairs are
-    * distinct()-ed), never a marker pointing at missing data. */
-  def exists(spark: SparkSession, store: String): Boolean =
-    fsOf(spark, store).exists(new org.apache.hadoop.fs.Path(metaPath(store)))
+    * the same survivors deterministically — re-appends after [[append]]
+    * clears the orphaned partial subtrees, never a marker pointing at
+    * missing data. Fails fast on a legacy flat store (see
+    * [[isLegacyLayout]]) rather than reporting it absent. */
+  def exists(spark: SparkSession, store: String): Boolean = {
+    failIfLegacy(spark, store)
+    fsOf(spark, store).exists(hPath(metaPath(store)))
+  }
 
   /** The pinned bucket count, or `requested` for a store not yet created. */
   def resolveBuckets(spark: SparkSession, store: String, requested: Int): Int = {
@@ -87,11 +120,35 @@ object SignatureStore {
 
   /** Append `(idCol, minhash)` signature rows in banded+bucketed form.
     * No-op for an empty frame (never creates a file-less partition tree
-    * that would break schema inference on read). */
+    * that would break schema inference on read).
+    *
+    * If data subtrees exist WITHOUT the bucket marker, they are orphans of
+    * a first append that crashed mid-write — possibly bucketed under a
+    * DIFFERENT modulus than this call's. They are deleted before writing:
+    * the caller that replays a crashed first batch recomputes the same
+    * rows deterministically (the store never became visible), so deletion
+    * converges, whereas keeping them would let a re-pinned modulus make
+    * pruned reads silently miss the orphaned rows. */
   def append(sigs: DataFrame, idCol: String, bands: Int, rowsPerBand: Int,
              store: String, numBuckets: Int = DefaultBuckets): Unit = {
+    failIfLegacy(sigs.sparkSession, store)
+    appendInternal(sigs, idCol, bands, rowsPerBand, store, numBuckets)
+  }
+
+  /** The write path shared by [[append]] and [[migrateLegacy]] — no legacy
+    * check (migration legitimately writes while the staged legacy rows
+    * still exist). */
+  private def appendInternal(sigs: DataFrame, idCol: String, bands: Int,
+                             rowsPerBand: Int, store: String,
+                             numBuckets: Int): Unit = {
     if (sigs.isEmpty) return
     val spark = sigs.sparkSession
+    val fs = fsOf(spark, store)
+    if (!fs.exists(hPath(metaPath(store)))) {
+      Seq(bandsPath(store), idsPath(store)).foreach { d =>
+        if (fs.exists(hPath(d))) fs.delete(hPath(d), true)
+      }
+    }
     val n = resolveBuckets(spark, store, numBuckets)
     val banded = Dedup.bandedSignatures(sigs, idCol, bands, rowsPerBand)
       .select(col("__id").as("id"), col("band_id"), col("band_hash"),
@@ -100,6 +157,44 @@ object SignatureStore {
     val ids = sigs.select(col(idCol).as("id"), idBucket(col(idCol), n).as("idb"))
     graft.sources.Sinks.appendParquet(ids, idsPath(store), Seq("idb"))
     writeMetaIfAbsent(spark, store, n) // LAST — see exists()
+  }
+
+  /** One-shot migration of a round-3-style FLAT store — `(id, minhash)`
+    * parquet files directly under `store` — into the banded/bucketed
+    * layout, in place. Pass the SAME `bands`/`rowsPerBand` the dedup will
+    * use (banding is baked into the stored rows). Resumable after a crash
+    * at any point:
+    *
+    *  1. flat root data files move (rename) into `_legacy_migrating/`;
+    *  2. the staged rows are re-banded and appended (a partial append's
+    *     orphans are cleared on resume by the marker-absent cleanup);
+    *  3. the bucket marker lands (store becomes visible);
+    *  4. the staging directory is deleted.
+    *
+    * A rerun after step 3 only performs the step-4 cleanup. Until step 3,
+    * [[exists]]/[[append]] keep failing fast — the store is never
+    * readable-but-incomplete. */
+  def migrateLegacy(spark: SparkSession, store: String, idCol: String,
+                    bands: Int, rowsPerBand: Int,
+                    numBuckets: Int = DefaultBuckets): Unit = {
+    val fs = fsOf(spark, store)
+    val staging = hPath(stagingPath(store))
+    if (fs.exists(hPath(metaPath(store)))) {
+      if (fs.exists(staging)) fs.delete(staging, true) // crashed after step 3
+      return
+    }
+    require(isLegacyLayout(spark, store),
+      s"no legacy flat store at $store — nothing to migrate")
+    fs.mkdirs(staging)
+    fs.listStatus(hPath(store)).foreach { s =>
+      val name = s.getPath.getName
+      if (s.isFile && (name.startsWith("part-") || name == "_SUCCESS"))
+        fs.rename(s.getPath, new org.apache.hadoop.fs.Path(staging, name))
+    }
+    val legacy = spark.read.parquet(stagingPath(store))
+      .select(col(idCol), col("minhash"))
+    appendInternal(legacy, idCol, bands, rowsPerBand, store, numBuckets)
+    fs.delete(staging, true)
   }
 
   /** Banded rows `(id, band_id, band_hash)` of the touched buckets only —

@@ -85,4 +85,21 @@ class BpeSpec extends SparkSpec {
       .select("bpe_tokens").as[Seq[String]].collect().head
     assert(enc == Seq("aa", "a", "aa", "a"), s"aaa must encode [aa, a]: $enc")
   }
+
+  test("encode survives a realistic-size (2000-merge) vocabulary — constant plan depth") {
+    // synthetic merge table far past where per-merge expression nesting
+    // blew analyzer/codegen limits: merge rank i fuses ("m<i-1>", "x")
+    // into "m<i>", so applying all of them to "m0" + "x"*k is a pure
+    // left-fold chain with a closed-form answer.
+    val n = 2000
+    val merges = (0 until n).map { i =>
+      val l = if (i == 0) "s" else s"s${"x" * i}"
+      (i, l, "x", l + "x", 2L)
+    }.toDF("rank", "left", "right", "merged", "pair_count")
+    // a word of s + 50 x's fuses into ONE token via the first 50 merges
+    val docs = Seq((1L, "s" + "x" * 50 + " plain")).toDF("doc_id", "text")
+    val got = Bpe.encode(docs, "text", merges)
+      .select("bpe_tokens").as[Seq[String]].collect().head
+    assert(got == Seq("s" + "x" * 50, "p", "l", "a", "i", "n"), s"got $got")
+  }
 }
