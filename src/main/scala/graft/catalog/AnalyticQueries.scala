@@ -115,9 +115,38 @@ object AnalyticQueries {
           (col("p_type") === "LARGE" && col("p_size").between(20, 50) &&
             col("l_quantity").between(20, 50))))
         .agg(discRevenue.as("revenue"), count(lit(1)).as("n_items"))
+    }),
+
+    // --- salted join (hot-key skew hardening) -----------------------------
+    // The explicit-salt path for the key so hot that AQE's partition
+    // splitting can't help (AQE splits shuffle partitions, not keys):
+    // lineitem fans out over (suppkey, salt), supplier replicates across
+    // the 8 salt values — no single reducer ever owns a whole key. The
+    // result is EQUAL to the plain join by construction, so the oracle is
+    // simply the unsalted SQL join; SkewAndAsOfSpec pins plan shape.
+    "q105_salted_join" -> ((s, d) => {
+      val li = t(s, d, "lineitem").select(
+        col("l_suppkey").as("suppkey"), col("l_quantity"),
+        col("l_orderkey"), col("l_linenumber"))
+      val supp = t(s, d, "supplier").select(
+        col("s_suppkey").as("suppkey"), col("s_nationkey"))
+      graft.operators.SkewJoin.saltedInner(li, supp, "suppkey",
+          saltSource = col("l_orderkey") * lit(8L) + col("l_linenumber"),
+          buckets = 8)
+        .groupBy(col("s_nationkey"))
+        .agg(dsum(col("l_quantity")).as("total_qty"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("s_nationkey"))
     }))
 
   def oracleSql: Map[String, String] = Map(
+    // the unsalted join IS the oracle: salting must not change results
+    "q105_salted_join" ->
+      """SELECT s_nationkey,
+           round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 4) AS total_qty,
+           count(*) AS n_items
+         FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+         GROUP BY s_nationkey ORDER BY s_nationkey""",
     "q70_shipping_priority" ->
       """SELECT l_orderkey, o_orderdate, o_orderpriority,
            round(CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(28,4))) AS DOUBLE), 4) AS revenue

@@ -187,6 +187,22 @@ object ExtQueries {
         .orderBy(col("source"), col("doc_id"))
     }),
 
+    // --- weighted sampling WITHOUT replacement (fixed k per stratum) -------
+    // Efraimidis–Spirakis exponential jitter over md5-derived uniforms:
+    // selection probability proportional to weight, exactly k survivors
+    // per source, zero RNG state — the quality-weighted curation
+    // counterpart of q94's uniform fixed-size sample. Weights ride a
+    // deterministic 1..5 grid derived from doc_id so the oracle rebuilds
+    // them bit-for-bit.
+    "q104_weighted_sample" -> ((s, d) => {
+      val docs = t(s, d, "documents").select(col("doc_id"), col("source"),
+        (pmod(col("doc_id"), lit(5L)) + lit(1L)).cast("double").as("weight"))
+      graft.operators.Splits.weightedSamplePerStratum(
+          docs, "doc_id", "source", col("weight"), k = 20)
+        .select(col("doc_id"), col("source"), col("weight"))
+        .orderBy(col("doc_id"))
+    }),
+
     // --- posexplode with ordinality ---------------------------------------
     "q58_posexplode" -> ((s, d) => {
       t(s, d, "documents")
@@ -318,6 +334,24 @@ object ExtQueries {
                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
            FROM documents)
          WHERE rk <= 5 ORDER BY source, doc_id""",
+
+    // the same 52-bit md5 uniform ((v+1) * 2^-52 — exact in double) and
+    // the same Exp(weight) priority; ln() is the one non-exact op, and
+    // rank flips would need two priorities within ~1 ulp of each other
+    "q104_weighted_sample" ->
+      """WITH w AS (
+           SELECT doc_id, source, CAST((doc_id % 5) + 1 AS DOUBLE) AS weight
+           FROM documents),
+         pr AS (
+           SELECT doc_id, source, weight,
+             -ln((('0x' || substr(md5('wsr' || CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT + 1)
+                 / 4503599627370496.0) / weight AS p
+           FROM w),
+         rk AS (
+           SELECT doc_id, source, weight,
+             row_number() OVER (PARTITION BY source ORDER BY p ASC, doc_id ASC) AS rn
+           FROM pr)
+         SELECT doc_id, source, weight FROM rk WHERE rn <= 20 ORDER BY doc_id""",
 
     "q58_posexplode" ->
       """SELECT doc_id, CAST(generate_subscripts(toks, 1) - 1 AS INT) AS token_pos,

@@ -563,6 +563,43 @@ object LlmQueries {
         .filter(col("score") >= col("__cut"))
         .select(col("doc_id"), col("score"))
         .orderBy(col("doc_id"))
+    }),
+
+    // --- k-means cluster assignment (corpus clustering for curation) -----
+    // Fixed centroids (the 8 lowest-id vectors) so the assignment step is
+    // SQL-replayable; the full Lloyd's loop (data-dependent-iterative) is
+    // value-checked against an independent reference in KMeansSpec.
+    // Assignment scores corpus × k through the native codegen SquaredL2;
+    // argmin on raw distances (centroid separations dwarf float noise),
+    // 4-dp rounding only for display parity.
+    "q103_kmeans_assign" -> ((s, d) => {
+      val emb = t(s, d, "embeddings").filter(col("embedding").isNotNull)
+      val centroids = emb.filter(col("vec_id") < 8)
+        .select((col("vec_id") + 1L).as("cluster_id"),
+          col("embedding").cast("array<double>").as("centroid"))
+      graft.operators.KMeans.assign(emb, "embedding", "vec_id", centroids)
+        .select(col("vec_id"), col("cluster_id"),
+          round(col("dist2"), 4).as("dist2"))
+        .orderBy(col("vec_id"))
+    }),
+
+    // --- int8-quantized similarity search --------------------------------
+    // Search runs entirely over int8 codes (4x smaller at rest/in
+    // shuffle); scale cancels out of cosine. Value-checked exactly: the
+    // quantization formula is all correctly-rounded IEEE ops and the
+    // dot/norms are integer-exact, so both engines produce bit-identical
+    // similarities — a stronger check than the float ANN paths allow.
+    "q106_quantized_cosine" -> ((s, d) => {
+      val emb = t(s, d, "embeddings").filter(col("embedding").isNotNull)
+        .select(col("vec_id"), VF.quantizeInt8(col("embedding")).as("codes"))
+        .filter(col("codes").isNotNull)
+      val q = emb.filter(col("vec_id") === 0).select(col("codes").as("qcodes"))
+      emb.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q))
+        .select(col("vec_id"),
+          round(VF.int8Cosine(col("codes"), col("qcodes")), 4).as("q_cosine"))
+        .orderBy(col("q_cosine").desc, col("vec_id").asc)
+        .limit(10)
     }))
 
   def oracleSql: Map[String, String] = Map(
@@ -912,5 +949,47 @@ object LlmQueries {
          ),
          cut AS (SELECT quantile_cont(score, 0.1) AS c FROM scored)
          SELECT doc_id, score FROM scored, cut
-         WHERE score >= c ORDER BY doc_id""")
+         WHERE score >= c ORDER BY doc_id""",
+
+    // squared L2 as a positional double sum (the q42 pattern); argmin via
+    // row_number with the same (dist, cluster_id) tie order as the engine
+    "q103_kmeans_assign" ->
+      """WITH c AS (
+           SELECT CAST(vec_id + 1 AS BIGINT) AS cluster_id, embedding AS centroid
+           FROM embeddings WHERE vec_id < 8),
+         d AS (
+           SELECT e.vec_id, c.cluster_id,
+             sum((CAST(e.embedding[CAST(i AS INT)] AS DOUBLE) - CAST(c.centroid[CAST(i AS INT)] AS DOUBLE))
+               * (CAST(e.embedding[CAST(i AS INT)] AS DOUBLE) - CAST(c.centroid[CAST(i AS INT)] AS DOUBLE))) AS d2
+           FROM embeddings e, c, generate_series(1, 64) AS g(i)
+           GROUP BY e.vec_id, c.cluster_id),
+         best AS (
+           SELECT vec_id, cluster_id, d2,
+             row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cluster_id ASC) AS rn
+           FROM d)
+         SELECT vec_id, cluster_id, round(d2, 4) AS dist2
+         FROM best WHERE rn = 1 ORDER BY vec_id""",
+
+    // identical quantization formula (floor(x * 127/maxabs + 0.5) — all
+    // correctly-rounded IEEE ops), integer-exact dot/norms, double only in
+    // the final divide: bit-identical similarities by construction
+    "q106_quantized_cosine" ->
+      """WITH m AS (
+           SELECT vec_id, max(abs(CAST(embedding[CAST(i AS INT)] AS DOUBLE))) AS mx
+           FROM embeddings, generate_series(1, 64) AS g(i)
+           GROUP BY vec_id),
+         codes AS (
+           SELECT e.vec_id, i,
+             CAST(floor(CAST(e.embedding[CAST(i AS INT)] AS DOUBLE) * (127.0 / m.mx) + 0.5) AS BIGINT) AS c
+           FROM embeddings e JOIN m USING (vec_id), generate_series(1, 64) AS g(i)
+           WHERE m.mx > 0),
+         q AS (SELECT i, c AS qc FROM codes WHERE vec_id = 0),
+         sims AS (
+           SELECT codes.vec_id,
+             CAST(sum(c * qc) AS DOUBLE)
+               / nullif(sqrt(CAST(sum(c * c) AS DOUBLE)) * sqrt(CAST(sum(qc * qc) AS DOUBLE)), 0) AS s
+           FROM codes JOIN q USING (i) WHERE codes.vec_id <> 0
+           GROUP BY codes.vec_id)
+         SELECT vec_id, round(s, 4) AS q_cosine FROM sims
+         ORDER BY q_cosine DESC, vec_id ASC LIMIT 10""")
 }

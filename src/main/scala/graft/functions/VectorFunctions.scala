@@ -129,4 +129,40 @@ object VectorFunctions {
       .filter(col("__rank") <= k)
       .select(col("id_a"), col("id_b"), col("cosine_sim"))
   }
+
+  /** Scalar int8 quantization of a float/double vector: symmetric
+    * per-vector max-abs scaling, codes in [-127, 127] as `array<int>`.
+    * 4× smaller than float32 at rest and in shuffle — the memory/IO lever
+    * for billion-vector ANN corpora; [[int8Cosine]] searches the codes
+    * directly (the per-vector scale cancels out of cosine, so it is not
+    * even stored for cosine-only use).
+    *
+    * `floor(x · 127/maxabs + 0.5)`: every step (float→double cast, one
+    * multiply, one add, floor) is a correctly-rounded IEEE op, so the
+    * codes are BIT-IDENTICAL in any engine that evaluates the same
+    * formula — which makes quantized search value-checkable against a
+    * SQL oracle, unlike anything built on `round()` (half-even vs
+    * half-up varies by engine). Null for null vectors; a zero vector
+    * quantizes to null (no scale exists), so filter or coalesce first. */
+  def quantizeInt8(vec: Column): Column = {
+    val m = array_max(transform(vec, x => abs(x.cast("double"))))
+    val scale = lit(127.0) / m
+    when(m > lit(0.0),
+      transform(vec, x => floor(x.cast("double") * scale + lit(0.5)).cast("int")))
+  }
+
+  /** Cosine similarity over int8 code arrays from [[quantizeInt8]]. Dot
+    * and norms accumulate in long — EXACT integer arithmetic (64 dims ×
+    * 127² ≈ 2²⁰ per term, no overflow anywhere near 2⁶³), reassociation-
+    * proof — doubles appear only in the final divide/sqrt, which are
+    * correctly rounded. Null on length mismatch / zero code vector. */
+  def int8Cosine(a: Column, b: Column): Column = {
+    def fold(f: (Column, Column) => Column) =
+      aggregate(zip_with(a, b, f), lit(0L), (acc, v) => acc + v)
+    val dotI = fold((x, y) => x.cast("long") * y.cast("long"))
+    val na   = fold((x, _) => x.cast("long") * x.cast("long"))
+    val nb   = fold((_, y) => y.cast("long") * y.cast("long"))
+    dotI.cast("double") /
+      nullif(sqrt(na.cast("double")) * sqrt(nb.cast("double")), lit(0.0))
+  }
 }

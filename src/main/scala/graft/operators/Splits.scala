@@ -70,4 +70,46 @@ object Splits {
       .otherwise(lit(cutHex(defaultWeight)))
     df.filter(bucket < cut)
   }
+
+  /** Deterministic weighted sampling WITHOUT replacement: keep exactly
+    * `k` rows per stratum (fewer if the stratum is smaller), where a
+    * row's chance of selection is proportional to `weightCol` — the
+    * quality-weighted curation move ("keep 100k docs per source, biased
+    * toward high quality") that [[weightedKeep]]'s independent Bernoulli
+    * filter cannot express (it has no fixed-size guarantee and no
+    * without-replacement semantics).
+    *
+    * Efraimidis–Spirakis exponential-jitter form: each row draws a
+    * deterministic uniform u ∈ (0, 1] from md5(salt ‖ id) — 13 hex chars
+    * = 52 bits, exactly representable in a double, identically
+    * recomputable in any SQL engine — and is ranked by
+    * `priority = -ln(u) / weight` ascending (an Exp(weight) variate: the
+    * k smallest are a weighted sample without replacement). Ties (id)
+    * ascending; null/non-positive weights are rejected up front.
+    *
+    * Scale shape: one narrow projection + one shuffle by stratum for the
+    * per-stratum window top-k. The window sorts only within each
+    * stratum's partition; at pathological single-stratum scale, swap the
+    * window for a per-partition top-k aggregation — documented trade,
+    * not needed while strata ≪ corpus. */
+  def weightedSamplePerStratum(df: DataFrame, idCol: String,
+                               strataCol: String, weightCol: Column,
+                               k: Int, salt: String = "wsr"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val u = uniformFromId(col(idCol), salt)
+    val priority = -log(u) / weightCol
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(strataCol))
+      .orderBy(priority.asc, col(idCol).asc)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
+  }
+
+  /** The deterministic uniform in (0, 1]: 52 md5 bits scaled by 2⁻⁵², plus
+    * one ulp so u is never 0 (ln(0) = -inf). Exact in both double and
+    * int64, so any engine recomputes it bit-identically. */
+  def uniformFromId(id: Column, salt: String): Column =
+    (conv(substring(md5(concat(lit(salt), id.cast("string"))), 1, 13), 16, 10)
+      .cast("double") + lit(1.0)) / lit(4503599627370496.0) // 2^52
 }
