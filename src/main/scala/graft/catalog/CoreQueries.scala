@@ -282,6 +282,26 @@ object CoreQueries {
         .orderBy(col("user_id"), col("valid_from"), col("tier"))
     }),
 
+    // --- SCD2 point-in-time lookup (the consumption side of q83) --------
+    // Every purchase picks the tier version valid at its timestamp: key
+    // equi-join with the interval test as residual (never a cross
+    // product). Purchases are change events themselves, so coverage is
+    // total — but the left join and the open-interval NULL handling are
+    // the real contract under test.
+    "q108_scd2_lookup" -> ((s, d) => {
+      val changes = ev(s, d).select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"),
+        floor(col("value") / 25).cast("long").as("tier"))
+      val dim = Merge.scd2FromChanges(changes, Seq("user_id"), "ts_us",
+        Seq("tier"), orderCols = Seq(col("ts_us").asc, col("event_id").asc))
+      val purchases = ev(s, d).filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"))
+      Merge.scd2Lookup(purchases, dim, Seq("user_id"), "ts_us")
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+          col("tier").as("tier_at_purchase"))
+        .orderBy(col("event_id"))
+    }),
+
     // --- as-of join (nearest prior signup per purchase) -----------------
     "q24_asof_join" -> ((s, d) => {
       val e = ev(s, d)
@@ -561,6 +581,32 @@ object CoreQueries {
            FROM marked WHERE changed)
          SELECT user_id, tier, valid_from, valid_to FROM vers
          ORDER BY user_id, valid_from, tier NULLS FIRST""",
+
+    // same version CTE as q83; the lookup is the interval join
+    "q108_scd2_lookup" ->
+      """WITH changes AS (
+           SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+                  CAST(floor(value / 25) AS BIGINT) AS tier
+           FROM events),
+         marked AS (
+           SELECT user_id, event_id, ts_us, tier,
+                  CASE WHEN row_number() OVER w = 1 THEN TRUE
+                       ELSE tier IS DISTINCT FROM lag(tier) OVER w END AS changed
+           FROM changes
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts_us ASC, event_id ASC)),
+         vers AS (
+           SELECT user_id, tier, ts_us AS valid_from,
+                  lead(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us ASC, event_id ASC) AS valid_to
+           FROM marked WHERE changed),
+         purchases AS (
+           SELECT event_id, user_id, epoch_us(ts) AS ts_us
+           FROM events WHERE event_type = 'purchase')
+         SELECT p.event_id, p.user_id, p.ts_us, v.tier AS tier_at_purchase
+         FROM purchases p
+         LEFT JOIN vers v ON p.user_id = v.user_id
+           AND p.ts_us >= v.valid_from
+           AND (v.valid_to IS NULL OR p.ts_us < v.valid_to)
+         ORDER BY p.event_id""",
 
     "q24_asof_join" ->
       """SELECT p.event_id, p.user_id,

@@ -589,6 +589,65 @@ object LlmQueries {
     // quantization formula is all correctly-rounded IEEE ops and the
     // dot/norms are integer-exact, so both engines produce bit-identical
     // similarities — a stronger check than the float ANN paths allow.
+    // --- exact set-similarity self-join (prefix filtering) ----------------
+    // The zero-false-negative dedup path: every pair with shingle-set
+    // Jaccard >= 0.8 over the planted corpus, found via PPJoin-style
+    // prefix blocking (operators.SetSimJoin) — no LSH approximation, no
+    // banding probability. Work is one explode + one equi-join shuffle +
+    // an exact gate over candidates; never all-pairs. Value-checked
+    // against DuckDB's brute-force O(n²) string-shingle Jaccard (equality
+    // up to 64-bit shingle-hash collisions, the q87/q88 contract).
+    "q107_setsim_join" -> ((s, d) => {
+      val corpus = withPlantedNearDups(t(s, d, "documents"))
+      val sets = corpus.select(col("doc_id"),
+        graft.plans.ShingleHashSet(col("text")).as("shingles"))
+      graft.operators.SetSimJoin.jaccardSelfJoin(sets, "doc_id", "shingles", 0.8)
+        .select(col("id_a"), col("id_b"), col("intersection"),
+          round(col("jaccard"), 4).as("jaccard"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // --- deterministic global shuffle → training shards -------------------
+    // Hash order, never input order: (shard, pos) is a pure function of
+    // (salt, doc_id), so shard manifests are reproducible across re-runs
+    // and stable as the corpus grows. One shuffle on shard; the per-shard
+    // window sort is distributed and spillable.
+    "q109_shard_shuffle" -> ((s, d) => {
+      graft.operators.Splits.shardShuffle(
+          t(s, d, "documents").select(col("doc_id")), "doc_id", numShards = 8)
+        .select(col("doc_id"), col("shard"), col("pos"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // --- markup stripping (web-text extraction) ---------------------------
+    // The corpus is plain text, so the query INJECTS deterministic markup
+    // around it (the q95 pattern), then strips: tags → space, entities
+    // decoded (&amp; last), whitespace collapsed. The oracle rebuilds the
+    // same wrapped text and applies the same RE2-safe patterns.
+    "q110_markup_strip" -> ((s, d) => {
+      val wrapped = t(s, d, "documents").select(col("doc_id"),
+        concat(lit("<html><body class=\"c"), pmod(col("doc_id"), lit(7)),
+          lit("\"><h1>T&amp;C "), col("doc_id"),
+          lit("</h1>\n<p>"), col("text"),
+          lit("</p><br/>&nbsp;</body></html>")).as("text"))
+      wrapped.select(col("doc_id"), TF.stripMarkup(col("text")).as("clean"))
+        .withColumn("n_chars_clean", length(col("clean")).cast("long"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // --- temperature-scaled source mixing ---------------------------------
+    // α = 0.5: each source keeps sqrt(c_min/c) of its docs — upsample-the-
+    // small / downsample-the-big with cross-engine-exact cut points (sqrt
+    // and division are correctly rounded IEEE ops; see Splits doc). One
+    // tiny count agg broadcast back, then the q96 md5-bucket filter.
+    "q111_temperature_mix" -> ((s, d) => {
+      graft.operators.Splits.temperatureKeep(
+          t(s, d, "documents").select(col("doc_id"), col("lang")),
+          "doc_id", "lang", alpha = 0.5)
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q106_quantized_cosine" -> ((s, d) => {
       val emb = t(s, d, "embeddings").filter(col("embedding").isNotNull)
         .select(col("vec_id"), VF.quantizeInt8(col("embedding")).as("codes"))
@@ -969,6 +1028,79 @@ object LlmQueries {
            FROM d)
          SELECT vec_id, cluster_id, round(d2, 4) AS dist2
          FROM best WHERE rn = 1 ORDER BY vec_id""",
+
+    // brute-force O(n²) reference over recomputed STRING shingles — the
+    // engine's prefix-filtered join must find exactly these pairs; the
+    // intersection/jaccard integers match up to 64-bit hash collisions
+    "q107_setsim_join" ->
+      """WITH corpus AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 1000000, text || ' zz zz' FROM documents WHERE doc_id < 20
+         ),
+         tok AS (
+           SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS tk
+           FROM corpus
+         ),
+         sh AS (
+           SELECT doc_id,
+             list_distinct([array_to_string(list_slice(tk, i, i+2), ' ')
+                            for i in range(1, greatest(len(tk)-2,1)+1)]) AS s
+           FROM tok
+         ),
+         pairs AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS intersection,
+             CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+               len(list_distinct(list_concat(a.s, b.s))) AS j
+           FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         )
+         SELECT id_a, id_b, intersection, round(j, 4) AS jaccard
+         FROM pairs WHERE j >= 0.8 ORDER BY id_a, id_b""",
+
+    "q109_shard_shuffle" ->
+      """WITH k AS (
+           SELECT doc_id,
+             ('0x' || substr(md5('shuf' || CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT AS key
+           FROM documents)
+         SELECT doc_id, key % 8 AS shard,
+           CAST(row_number() OVER (PARTITION BY key % 8 ORDER BY key ASC, doc_id ASC) AS BIGINT) AS pos
+         FROM k ORDER BY doc_id""",
+
+    // same wrapper, same strip pipeline: tags → space, entities decoded in
+    // the same order (&amp; LAST), whitespace collapsed, trimmed
+    "q110_markup_strip" ->
+      """WITH wrapped AS (
+           SELECT doc_id,
+             '<html><body class="c' || (doc_id % 7) || '"><h1>T&amp;C ' || doc_id
+               || '</h1>' || chr(10) || '<p>' || text
+               || '</p><br/>&nbsp;</body></html>' AS text
+           FROM documents),
+         stripped AS (
+           SELECT doc_id,
+             trim(regexp_replace(
+               replace(replace(replace(replace(replace(replace(
+                 regexp_replace(text, '<[^>]*>', ' ', 'g'),
+                 '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+                 '&quot;', '"'), '&#39;', chr(39)), '&amp;', '&'),
+               '\s+', ' ', 'g')) AS clean
+           FROM wrapped)
+         SELECT doc_id, clean, CAST(length(clean) AS BIGINT) AS n_chars_clean
+         FROM stripped ORDER BY doc_id""",
+
+    // sqrt/division are correctly-rounded IEEE ops → bit-identical rates
+    // and cut points in both engines
+    "q111_temperature_mix" ->
+      """WITH c AS (
+           SELECT lang, CAST(count(*) AS DOUBLE) AS cnt
+           FROM documents GROUP BY lang),
+         r AS (
+           SELECT lang, sqrt((SELECT min(cnt) FROM c) / cnt) AS rate FROM c)
+         SELECT d.doc_id, d.lang
+         FROM documents d JOIN r USING (lang)
+         WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4))::BIGINT
+               < floor(rate * 65536.0)
+         ORDER BY d.doc_id""",
 
     // identical quantization formula (floor(x * 127/maxabs + 0.5) — all
     // correctly-rounded IEEE ops), integer-exact dot/norms, double only in

@@ -130,4 +130,28 @@ object TextFunctions {
     PiiPatterns.foldLeft(text) { case (acc, (pat, mask)) =>
       regexp_replace(acc, pat, mask)
     }
+
+  /** HTML entities decoded by [[stripMarkup]], in application order.
+    * `&amp;` must decode LAST (the standard rule — otherwise
+    * `&amp;lt;` would double-decode into `<`). */
+  private val MarkupEntities = Seq(
+    "&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
+    "&quot;" -> "\"", "&#39;" -> "'", "&amp;" -> "&")
+
+  /** Strip markup from web-crawled text (the extraction pass before any
+    * dedup/quality scoring): drop tags, decode the common entities,
+    * collapse runs of whitespace. Tag removal is the RE2-safe
+    * `<[^>]*>` → space (a tag boundary never glues two words together);
+    * this is deliberately a TEXT-layer scrub, not an HTML parser — no
+    * DOM, no script/style content model — which is exactly the
+    * trafilatura-lite fast path a 100 TB crawl wants as its first
+    * narrow projection. Chained codegen `regexp_replace`/`replace`:
+    * no shuffle, no UDF. */
+  def stripMarkup(text: Column): Column = {
+    val untagged = regexp_replace(text, "<[^>]*>", " ")
+    val decoded = MarkupEntities.foldLeft(untagged) {
+      case (acc, (ent, repl)) => replace(acc, lit(ent), lit(repl))
+    }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
 }

@@ -82,6 +82,30 @@ object Merge {
     *
     * `orderCols` must totally order changes within a key (e.g. ts +
     * change id) or version boundaries are nondeterministic. */
+  /** Point-in-time (as-of) lookup against an SCD2 dimension: each fact
+    * row picks the dimension version whose validity interval covers its
+    * timestamp — key match, `valid_from <= ts < valid_to`, open
+    * `valid_to` (NULL) = current. On a well-formed dimension (contiguous
+    * intervals per key, as [[scd2FromChanges]] builds) the match is
+    * unique; degenerate empty intervals `[t, t)` from same-timestamp
+    * change bursts never match, exactly as intended. Facts earlier than
+    * the key's first version (or with an unknown key) keep NULL attrs —
+    * left join.
+    *
+    * Scale shape: an equi-join on the keys with the interval test as a
+    * residual — sort-merge/shuffled-hash on the key columns, never a
+    * cross product; versions-per-key is small by construction so the
+    * residual scan is bounded. Broadcast the dimension when it fits. */
+  def scd2Lookup(facts: DataFrame, dim: DataFrame, keys: Seq[String],
+                 factTsCol: String,
+                 validFrom: String = "valid_from",
+                 validTo: String = "valid_to"): DataFrame = {
+    val cond = keys.map(k => facts(k) === dim(k)).reduce(_ && _) &&
+      facts(factTsCol) >= dim(validFrom) &&
+      (dim(validTo).isNull || facts(factTsCol) < dim(validTo))
+    keys.foldLeft(facts.join(dim, cond, "left"))((df, k) => df.drop(dim(k)))
+  }
+
   def scd2FromChanges(changes: DataFrame, keys: Seq[String], tsCol: String,
                       attrCols: Seq[String],
                       orderCols: Seq[Column] = Nil): DataFrame = {

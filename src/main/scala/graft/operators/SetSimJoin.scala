@@ -1,0 +1,134 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.functions._
+
+/** Exact set-similarity self-join with prefix filtering (AllPairs/PPJoin
+  * family) — the ZERO-false-negative counterpart of the MinHash/LSH path
+  * ([[Dedup.candidatePairs]]): every pair with Jaccard >= threshold is
+  * found, by construction, with no banding probability to tune. Use it
+  * when dedup must be provably complete (compliance-grade decontamination,
+  * eval-leak audits) or as the ground truth that calibrates an LSH layout.
+  *
+  * Algorithm (reference: the prefix-filtering literature, e.g. Bayardo et
+  * al. "Scaling Up All Pairs Similarity Search", WWW'07): order every
+  * set's elements by one GLOBAL total order; a pair with Jaccard >= t must
+  * share at least one element inside each side's first
+  * `n - ceil(t*n) + 1` elements (overlap >= ceil(t*n) on both sides, and
+  * fewer than that many elements lie outside a prefix). So equi-joining
+  * exploded PREFIX elements generates a candidate superset, and an exact
+  * `array_intersect` gate removes the rest.
+  *
+  * Scale shape: one narrow projection computes sorted sets, one explode of
+  * ~(1-t)·n elements per set feeds one equi-join shuffle keyed by element
+  * (never all-pairs), a distinct collapses multi-element agreements, and
+  * the exact gate touches candidates only — work is proportional to
+  * candidates, as in [[Dedup.jaccardVerify]]. Element blocks bound the
+  * fan-out: a block of b sets sharing a prefix element contributes at most
+  * b² candidates, and because prefixes hold each set's RAREST elements
+  * under frequency order (below), b stays small on real corpora.
+  *
+  * Element order: the default orders by element VALUE — with ~unique
+  * elements (shingle hashes: corpus-wide frequency ≈ 1 except for actual
+  * near-dups) frequency ordering buys nothing, and value order reuses the
+  * already-sorted [[graft.plans.ShingleHashSet]] output with ZERO extra
+  * jobs. `frequencyOrder = true` adds the classic ascending-global-
+  * frequency order (one count aggregation + one re-sort shuffle) for
+  * skewed element universes (raw tokens, category sets).
+  */
+object SetSimJoin {
+
+  /** All pairs (id_a < id_b) with exact Jaccard(setCol_a, setCol_b) >=
+    * `threshold`, over DISTINCT set elements. Rows with empty/null sets
+    * never pair (Jaccard undefined). Output: (id_a, id_b, size_a, size_b,
+    * intersection, jaccard). `setCol` is any atomic-element array column;
+    * elements are compared by equality, ordered per the mode above. */
+  def jaccardSelfJoin(df: DataFrame, idCol: String, setCol: String,
+                      threshold: Double,
+                      frequencyOrder: Boolean = false): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"threshold must be in (0, 1], got $threshold")
+    val base = df
+      .select(col(idCol).as("__sid"),
+        array_sort(array_distinct(col(setCol))).as("__els"))
+      .filter(size(col("__els")) > 0)
+
+    val ordered =
+      if (!frequencyOrder) base
+      else {
+        // ascending global frequency, element value tie-break: rare
+        // elements first, so prefixes block on the rarest elements
+        val freq = base.select(explode(col("__els")).as("__el"))
+          .groupBy(col("__el")).agg(count(lit(1)).as("__cnt"))
+        base.select(col("__sid"), explode(col("__els")).as("__el"))
+          .join(freq, "__el")
+          .groupBy(col("__sid"))
+          .agg(array_sort(collect_list(struct(col("__cnt"), col("__el"))))
+            .as("__se"))
+          .select(col("__sid"),
+            transform(col("__se"), s => s.getField("__el")).as("__els"))
+      }
+
+    val sets = ordered
+      .select(col("__sid"), col("__els"), size(col("__els")).as("__n"),
+        // prefix length n - ceil(t*n) + 1, never below 1
+        greatest(size(col("__els"))
+          - ceil(lit(threshold) * size(col("__els"))).cast("int") + 1,
+          lit(1)).as("__p"))
+
+    // candidate generation: exploded-prefix equi-join. The length filter
+    // (Jaccard >= t implies min(n_a, n_b) >= t * max(n_a, n_b)) rides the
+    // join condition; the epsilon slackens PRUNING only — a candidate is
+    // never wrongly dropped, the exact gate below decides membership.
+    val prefixes = sets.select(col("__sid"), col("__n"),
+      explode(slice(col("__els"), lit(1), col("__p"))).as("__el"))
+    val a = prefixes.select(col("__sid").as("id_a"), col("__n").as("__na"),
+      col("__el"))
+    val b = prefixes.select(col("__sid").as("id_b"), col("__n").as("__nb"),
+      col("__el"))
+    val candidates = a.join(b,
+        a("__el") === b("__el") && col("id_a") < col("id_b") &&
+          col("__na").cast("double") >= lit(threshold) * col("__nb") - lit(1e-9) &&
+          col("__nb").cast("double") >= lit(threshold) * col("__na") - lit(1e-9))
+      .select(col("id_a"), col("id_b")).distinct()
+
+    // exact gate — candidates only
+    val withA = candidates.join(
+      sets.select(col("__sid").as("id_a"), col("__els").as("__ea"),
+        col("__n").as("size_a")), "id_a")
+    val withB = withA.join(
+      sets.select(col("__sid").as("id_b"), col("__els").as("__eb"),
+        col("__n").as("size_b")), "id_b")
+    withB
+      .withColumn("intersection",
+        size(array_intersect(col("__ea"), col("__eb"))).cast("long"))
+      .withColumn("jaccard", col("intersection").cast("double") /
+        (col("size_a") + col("size_b") - col("intersection")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("size_a").cast("long").as("size_a"),
+        col("size_b").cast("long").as("size_b"), col("intersection"),
+        col("jaccard"))
+  }
+
+  /** Brute-force all-pairs reference (O(n²) — tests and tiny frames
+    * ONLY). Same output contract as [[jaccardSelfJoin]]. */
+  private[graft] def bruteForce(df: DataFrame, idCol: String, setCol: String,
+                                threshold: Double): DataFrame = {
+    val s = df.select(col(idCol).as("__sid"),
+        array_sort(array_distinct(col(setCol))).as("__els"))
+      .filter(size(col("__els")) > 0)
+    val a = s.select(col("__sid").as("id_a"), col("__els").as("__ea"),
+      size(col("__els")).as("size_a"))
+    val b = s.select(col("__sid").as("id_b"), col("__els").as("__eb"),
+      size(col("__els")).as("size_b"))
+    a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .withColumn("intersection",
+        size(array_intersect(col("__ea"), col("__eb"))).cast("long"))
+      .withColumn("jaccard", col("intersection").cast("double") /
+        (col("size_a") + col("size_b") - col("intersection")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("size_a").cast("long").as("size_a"),
+        col("size_b").cast("long").as("size_b"), col("intersection"),
+        col("jaccard"))
+  }
+}

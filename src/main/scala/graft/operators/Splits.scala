@@ -106,6 +106,70 @@ object Splits {
       .drop("__rn")
   }
 
+  /** Deterministic global shuffle for training-shard layout: every row
+    * gets a `shard` in [0, numShards) and a dense `pos` ordinal within its
+    * shard, both pure functions of (salt, id) — the reproducible-manifest
+    * property pretraining needs (re-running the pipeline, or re-running it
+    * on a grown corpus, never reorders the rows two shards already agreed
+    * on relative to each other). Hash order, never input order: input
+    * order is an accident of file listing.
+    *
+    * shard = 52 md5 bits mod numShards; pos = rank of the SAME hash key
+    * within the shard (id tie-break — md5 52-bit collisions exist at
+    * corpus scale). One shuffle on `shard`; the per-shard window sort is
+    * distributed and spillable, and each shard is corpus/numShards — size
+    * numShards so a shard fits an executor's spill budget. */
+  def shardShuffle(df: DataFrame, idCol: String, numShards: Int,
+                   salt: String = "shuf"): DataFrame = {
+    require(numShards >= 1, s"numShards must be >= 1, got $numShards")
+    val key = conv(substring(md5(concat(lit(salt), col(idCol).cast("string"))),
+      1, 13), 16, 10).cast("long")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("__key").asc, col(idCol).asc)
+    df.withColumn("__key", key)
+      .withColumn("shard", pmod(col("__key"), lit(numShards.toLong)))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .drop("__key")
+  }
+
+  /** Temperature-scaled source mixing (the multilingual-pretraining
+    * recipe: upsample small sources, downsample huge ones). With
+    * per-group count c and temperature α, a group's sampling rate is
+    * `(c_min / c)^(1-α)` — α = 1 keeps the natural distribution,
+    * α = 0 equalizes every group to the smallest. The rate is applied
+    * with the same md5-bucket-under-cut filter as [[weightedKeep]], so
+    * membership stays a pure function of the id.
+    *
+    * α = 0.5 (the default, and the common published choice) computes
+    * rates via `sqrt` — correctly rounded per IEEE-754 in every engine,
+    * so cut points are bit-identical cross-engine and the filter is
+    * SQL-oracle-exact. Other α go through `pow`, which engines round
+    * within 1 ulp of each other — fine in production, but a rate sitting
+    * exactly on a bucket boundary could differ; hence the doc, not a
+    * guard.
+    *
+    * Scale shape: one tiny per-group count aggregation, broadcast back;
+    * the filter itself is narrow. */
+  def temperatureKeep(df: DataFrame, idCol: String, groupCol: String,
+                      alpha: Double = 0.5): DataFrame = {
+    require(alpha >= 0.0 && alpha <= 1.0, s"alpha must be in [0,1], got $alpha")
+    val counts = df.groupBy(col(groupCol))
+      .agg(count(lit(1)).cast("double").as("__c"))
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy()
+    val rates = counts
+      .withColumn("__cmin", min(col("__c")).over(wAll))
+      .withColumn("__rate",
+        if (alpha == 0.5) sqrt(col("__cmin") / col("__c"))
+        else pow(col("__cmin") / col("__c"), lit(1.0 - alpha)))
+      .select(col(groupCol), col("__rate"))
+    val bucket = conv(substring(md5(col(idCol).cast("string")), 1, 4), 16, 10)
+      .cast("long")
+    df.join(broadcast(rates), groupCol)
+      .filter(bucket < floor(col("__rate") * lit(65536.0)))
+      .drop("__rate")
+  }
+
   /** The deterministic uniform in (0, 1]: 52 md5 bits scaled by 2⁻⁵², plus
     * one ulp so u is never 0 (ln(0) = -inf). Exact in both double and
     * int64, so any engine recomputes it bit-identically. */

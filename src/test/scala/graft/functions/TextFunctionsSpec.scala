@@ -88,4 +88,23 @@ class TextFunctionsSpec extends SparkSpec {
     assert(out(4L) == "mixed <EMAIL> at <IP> dial <PHONE>")
     assert(out(5L) == "nothing sensitive here at all")
   }
+
+  test("stripMarkup: tags out, entities decoded once, whitespace collapsed") {
+    val df = Seq(
+      (1L, "<html><body><h1>Title</h1><p>hello  world</p></body></html>"),
+      (2L, "a &amp; b &lt;tag&gt; &quot;q&quot; &#39;s&#39; x&nbsp;y"),
+      // &amp;lt; must decode to the literal text "&lt;", never to "<"
+      (3L, "escaped &amp;lt;b&amp;gt; stays text"),
+      (4L, "no markup at all"),
+      (5L, "<br/><p class=\"x\">spaced</p>\n\t<div> out </div>"),
+      (6L, "")).toDF("id", "text")
+    val out = df.select($"id", TextFunctions.stripMarkup($"text").as("c"))
+      .as[(Long, String)].collect().toMap
+    assert(out(1L) == "Title hello world")
+    assert(out(2L) == "a & b <tag> \"q\" 's' x y")
+    assert(out(3L) == "escaped &lt;b&gt; stays text")
+    assert(out(4L) == "no markup at all")
+    assert(out(5L) == "spaced out")
+    assert(out(6L) == "")
+  }
 }

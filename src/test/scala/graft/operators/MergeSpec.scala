@@ -88,4 +88,28 @@ class MergeSpec extends SparkSpec {
       (None, 2L, Some(4L)),        // consecutive nulls collapsed
       (Some("a"), 4L, None)))      // a -> null -> a is two real changes
   }
+
+  test("scd2Lookup: facts pick the covering version; boundaries and misses") {
+    val dim = Seq(
+      (1L, "a", 100L, Option(300L)),
+      (1L, "b", 300L, None),       // open current version
+      (2L, "x", 150L, Option(150L)), // degenerate empty interval [150,150)
+      (2L, "y", 150L, None))
+      .toDF("k", "attr", "valid_from", "valid_to")
+    val facts = Seq(
+      (10L, 1L, 100L),  // inclusive lower bound -> a
+      (11L, 1L, 299L),  // inside first           -> a
+      (12L, 1L, 300L),  // exclusive upper bound  -> b
+      (13L, 1L, 99L),   // before history         -> null
+      (14L, 2L, 150L),  // empty interval skipped -> y
+      (15L, 3L, 500L))  // unknown key            -> null
+      .toDF("fid", "k", "ts")
+    val out = Merge.scd2Lookup(facts, dim, Seq("k"), "ts")
+      .select("fid", "attr").as[(Long, Option[String])].collect().toMap
+    assert(out == Map(
+      10L -> Some("a"), 11L -> Some("a"), 12L -> Some("b"),
+      13L -> None, 14L -> Some("y"), 15L -> None))
+    // unique match on a well-formed dim: row count preserved
+    assert(Merge.scd2Lookup(facts, dim, Seq("k"), "ts").count() == facts.count())
+  }
 }

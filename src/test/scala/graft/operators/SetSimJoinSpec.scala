@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class SetSimJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Deterministic synthetic corpus: 40 base sets of pseudo-random longs
+    * plus planted near-dup twins (base + 2 extra elements → Jaccard well
+    * above 0.8 for the 30-element bases) and one exact dup. */
+  private def corpus = {
+    def els(id: Int): Seq[Long] =
+      (0 until 30).map(j => ((id * 131 + j * 17) % 97).toLong * 1000003L + j % 7)
+    val bases = (0 until 40).map(i => (i.toLong, els(i)))
+    val twins = (0 until 10).map(i =>
+      (1000L + i, els(i) ++ Seq(-1L, -2L)))
+    val exact = Seq((2000L, els(5)))
+    (bases ++ twins ++ exact).toDF("id", "els")
+  }
+
+  private def pairsOf(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long)] =
+    df.select("id_a", "id_b", "intersection").as[(Long, Long, Long)].collect().toSet
+
+  test("prefix-filtered join equals brute force at several thresholds") {
+    for (t <- Seq(0.5, 0.8, 0.95, 1.0)) {
+      val fast = pairsOf(SetSimJoin.jaccardSelfJoin(corpus, "id", "els", t))
+      val slow = pairsOf(SetSimJoin.bruteForce(corpus, "id", "els", t))
+      assert(fast == slow, s"mismatch at threshold $t")
+    }
+  }
+
+  test("frequency order changes nothing but the plan") {
+    val t = 0.8
+    val value = pairsOf(SetSimJoin.jaccardSelfJoin(corpus, "id", "els", t))
+    val freq = pairsOf(
+      SetSimJoin.jaccardSelfJoin(corpus, "id", "els", t, frequencyOrder = true))
+    assert(value == freq)
+  }
+
+  test("finds planted twins and the exact duplicate; jaccard values exact") {
+    val out = SetSimJoin.jaccardSelfJoin(corpus, "id", "els", 0.8)
+      .select("id_a", "id_b", "size_a", "size_b", "intersection", "jaccard")
+      .as[(Long, Long, Long, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+    // twin i pairs with base i: |base| = 30 distinct? els may repeat values
+    // — sizes come from the frame itself, assert consistency instead
+    for (i <- 0 until 10) {
+      val key = (i.toLong, 1000L + i)
+      assert(out.contains(key), s"missing twin pair $key")
+      val (_, _, sa, sb, inter, j) = out(key)
+      assert(sb == sa + 2 && inter == sa)
+      assert(math.abs(j - sa.toDouble / (sa + 2)) < 1e-12)
+    }
+    val dup = out((5L, 2000L))
+    assert(dup._5 == dup._3 && dup._6 == 1.0)
+  }
+
+  test("empty and null sets never pair; duplicate elements collapse") {
+    val df = Seq(
+      (1L, Seq(1L, 1L, 2L, 3L)), (2L, Seq(3L, 2L, 1L)),
+      (3L, Seq.empty[Long])).toDF("id", "els")
+      .union(Seq((4L, null.asInstanceOf[Seq[Long]])).toDF("id", "els"))
+    val out = pairsOf(SetSimJoin.jaccardSelfJoin(df, "id", "els", 0.5))
+    assert(out == Set((1L, 2L, 3L)))
+  }
+
+  test("threshold 1.0 returns exact duplicates only") {
+    val out = pairsOf(SetSimJoin.jaccardSelfJoin(corpus, "id", "els", 1.0))
+    assert(out == Set((5L, 2000L, 30L)) ||
+      out.forall { case (a, b, _) => (a, b) == (5L, 2000L) })
+  }
+}

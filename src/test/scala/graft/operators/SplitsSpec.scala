@@ -70,4 +70,65 @@ class SplitsSpec extends SparkSpec {
       Splits.weightedKeep(df, "id", "grp", Map("g0" -> 1.5))
     }
   }
+
+  test("shardShuffle: dense positions, hash order, stable under growth") {
+    val df = spark.range(0, 1000).toDF("id")
+    val out = Splits.shardShuffle(df, "id", numShards = 4)
+      .select("id", "shard", "pos").as[(Long, Long, Long)].collect()
+    assert(out.length == 1000)
+    assert(out.forall { case (_, s, _) => s >= 0 && s < 4 })
+    // positions are dense 1..n per shard
+    out.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1L to rows.length).toSeq)
+    }
+    // pure function of (salt, id): re-run identical
+    val again = Splits.shardShuffle(df, "id", numShards = 4)
+      .select("id", "shard", "pos").as[(Long, Long, Long)].collect()
+    assert(out.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+    // growth stability: adding rows never changes an existing row's shard,
+    // and never reorders two old rows within a shard (positions shift by
+    // insertions only — relative order is preserved)
+    val grown = Splits.shardShuffle(spark.range(0, 1500).toDF("id"), "id", 4)
+      .select("id", "shard", "pos").as[(Long, Long, Long)].collect()
+    val oldByShard = out.groupBy(_._2).view.mapValues(
+      _.sortBy(_._3).map(_._1).toSeq).toMap
+    val grownOldByShard = grown.filter(_._1 < 1000).groupBy(_._2).view.mapValues(
+      _.sortBy(_._3).map(_._1).toSeq).toMap
+    assert(oldByShard == grownOldByShard)
+    // not input order: the per-shard sequence differs from ascending ids
+    assert(oldByShard.values.exists(seq => seq != seq.sorted))
+    // different salt -> different layout
+    val salted = Splits.shardShuffle(df, "id", 4, salt = "other")
+      .select("id", "shard").as[(Long, Long)].collect().toMap
+    assert(out.exists { case (id, s, _) => salted(id) != s })
+  }
+
+  test("temperatureKeep: alpha endpoints, skew flattening, determinism") {
+    // skewed groups: g0 has 4000 rows, g1 1000, g2 250
+    val df = spark.range(0, 5250).toDF("id")
+      .withColumn("grp", when(col("id") < 4000, "g0")
+        .when(col("id") < 5000, "g1").otherwise("g2"))
+    // alpha = 1: natural distribution — every row kept (rate 1 for all)
+    val nat = Splits.temperatureKeep(df, "id", "grp", alpha = 1.0)
+    assert(nat.count() == 5250)
+    // alpha = 0: equalize to the smallest group (~250 each)
+    val eq = Splits.temperatureKeep(df, "id", "grp", alpha = 0.0)
+      .groupBy("grp").count().as[(String, Long)].collect().toMap
+    assert(math.abs(eq("g0") - 250.0) / 250.0 < 0.25, s"$eq")
+    assert(math.abs(eq("g1") - 250.0) / 250.0 < 0.25, s"$eq")
+    assert(eq("g2") == 250, "the smallest group is kept in full")
+    // alpha = 0.5: rates are sqrt(cmin/c) — between the endpoints
+    val half = Splits.temperatureKeep(df, "id", "grp", alpha = 0.5)
+      .groupBy("grp").count().as[(String, Long)].collect().toMap
+    assert(half("g0") > eq("g0") && half("g0") < 4000, s"$half")
+    assert(half("g2") == 250)
+    // deterministic re-run
+    val again = Splits.temperatureKeep(df, "id", "grp", alpha = 0.5)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(Splits.temperatureKeep(df, "id", "grp", alpha = 0.5)
+      .select("id").as[Long].collect().sorted.toSeq == again)
+    intercept[IllegalArgumentException] {
+      Splits.temperatureKeep(df, "id", "grp", alpha = 1.5)
+    }
+  }
 }

@@ -218,6 +218,40 @@ class StreamOpsSpec extends SparkSpec {
       .as[Long].collect().sorted.toSeq == Seq(1L, 3L, 11L))
   }
 
+  test("file-source ingestion: readStream over a landed dir, one file per trigger") {
+    val dir = java.nio.file.Files.createTempDirectory("stream-files")
+    val in = dir.toString + "/in"
+    def land(rows: (Long, String)*): Unit =
+      rows.toSeq.toDF("doc_id", "text").coalesce(1)
+        .write.mode("append").parquet(in)
+    // two files landed BEFORE the query starts: maxFilesPerTrigger = 1
+    // must still process them as separate micro-batches
+    land((1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+    land((3L, "completely different other content sharing no phrases with anything"))
+    val stream = spark.readStream
+      .schema("doc_id LONG, text STRING")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(in)
+    val q = StreamOps.nearDupFilterSink(stream, "doc_id", "text",
+      dir.toString + "/store", dir.toString + "/out", dir.toString + "/ckpt")
+    q.processAllAvailable()
+    // a file landed while the query is live is picked up as its own batch
+    land((10L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (11L, "brand new unique material resembling nothing streamed before now"))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.read.parquet(dir.toString + "/out")
+    assert(out.select("doc_id").as[Long].collect().sorted.toSeq == Seq(1L, 3L, 11L),
+      "same dedup semantics as the MemoryStream path")
+    // rate limiting is observable in the output layout: each surviving doc
+    // landed from a DIFFERENT micro-batch (ingest_batch partition values
+    // 0, 1, 2) — unthrottled, the two pre-landed files would share batch 0
+    val batches = out.select("ingest_batch").distinct()
+      .as[Long].collect().sorted.toSeq
+    assert(batches == Seq(0L, 1L, 2L), s"got $batches")
+  }
+
   test("upsertJdbcSink merges each micro-batch into a live database (embedded Derby)") {
     implicit val sqlCtx = spark.sqlContext
     val dbDir = java.nio.file.Files.createTempDirectory("derby-stream").toString
