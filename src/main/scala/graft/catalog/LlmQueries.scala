@@ -601,7 +601,11 @@ object LlmQueries {
       val corpus = withPlantedNearDups(t(s, d, "documents"))
       val sets = corpus.select(col("doc_id"),
         graft.plans.ShingleHashSet(col("text")).as("shingles"))
-      graft.operators.SetSimJoin.jaccardSelfJoin(sets, "doc_id", "shingles", 0.8)
+      // frequencyOrder: the synthetic vocab is tiny (~31 words), so
+      // shingles repeat corpus-wide — rarest-first prefixes keep the
+      // candidate blocks small (value order is for ~unique elements)
+      graft.operators.SetSimJoin.jaccardSelfJoin(sets, "doc_id", "shingles", 0.8,
+          frequencyOrder = true)
         .select(col("id_a"), col("id_b"), col("intersection"),
           round(col("jaccard"), 4).as("jaccard"))
         .orderBy(col("id_a"), col("id_b"))
@@ -646,6 +650,93 @@ object LlmQueries {
           "doc_id", "lang", alpha = 0.5)
         .select(col("doc_id"), col("lang"))
         .orderBy(col("doc_id"))
+    }),
+
+    // --- inverted-index postings (distributed form) -----------------------
+    // One row per (token, doc): tf + 1-based occurrence positions — the
+    // pair-table form that IS the index at scale (bucket by token on
+    // persist; a query term prunes to its buckets). Bounded here to
+    // doc_id < 50 to keep the dump small; the plan is corpus-shaped.
+    "q112_postings" -> ((s, d) => {
+      graft.operators.TextIndex.postings(
+          t(s, d, "documents").filter(col("doc_id") < 50), "doc_id", "text")
+        .select(col("token"), col("doc_id"), col("tf").cast("long").as("tf"),
+          transform(col("positions"), p => p.cast("long")).as("positions"))
+        .orderBy(col("token"), col("doc_id"))
+    }),
+
+    // --- BM25 lexical retrieval -------------------------------------------
+    // Robertson/Lucene BM25 for a 3-term query over the whole corpus
+    // (no-match docs score 0). The (token, doc) table is filtered to the
+    // query's terms BEFORE aggregation; corpus stats ride as one
+    // broadcast row. Ranking key is the ROUNDED score (q99 discipline) so
+    // rank boundaries sit on a grid, id tie-break.
+    "q113_bm25" -> ((s, d) => {
+      graft.operators.TextIndex.bm25(t(s, d, "documents"), "doc_id", "text",
+          queryTokens = Seq("spark", "window", "merge"))
+        .select(col("doc_id"), round(col("score"), 4).as("bm25"))
+        .orderBy(col("bm25").desc, col("doc_id").asc)
+        .limit(20)
+    }),
+
+    // --- hybrid retrieval: BM25 ⊕ dense cosine via RRF --------------------
+    // The sparse and dense rankings fuse by reciprocal rank (k = 60):
+    // ranks are exact integers over rounded score grids, so the fused
+    // score is bit-identical cross-engine. vec_id aligns with doc_id in
+    // the testdata, giving both rankings one universe.
+    "q114_hybrid_rrf" -> ((s, d) => {
+      val lexical = graft.operators.TextIndex.bm25(
+        t(s, d, "documents"), "doc_id", "text",
+        queryTokens = Seq("spark", "window", "merge"))
+      val emb = t(s, d, "embeddings")
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").as("query_vec"))
+      val dense = emb.crossJoin(broadcast(q))
+        .select(col("vec_id").as("doc_id"),
+          VF.cosine(col("embedding"), col("query_vec")).as("cos"))
+      graft.operators.TextIndex.rrfFuse(lexical, "score", dense, "cos")
+        .select(col("doc_id"), round(col("rrf"), 6).as("rrf"))
+        .orderBy(col("rrf").desc, col("doc_id").asc)
+        .limit(10)
+    }),
+
+    // --- deterministic contrastive negative sampling ----------------------
+    // k pseudo-random negatives per anchor from the dense id space,
+    // hash-derived (reproducible, engine-portable), self-pair shifted
+    // away. Narrow map + one broadcast count: no shuffle.
+    "q115_negative_sample" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      graft.operators.Splits.negativeSample(
+          docs.filter(col("doc_id") < 100), "doc_id", docs, "doc_id", k = 5)
+        .orderBy(col("anchor_id"), col("j"))
+    }),
+
+    // --- bigram LM cross-entropy (statistical quality filter) -------------
+    // Per-doc mean -ln p(cur|prev) under the corpus's own add-one-smoothed
+    // bigram model — the KenLM-shaped signal: low = templated, high =
+    // noise. Fixed-grid rounding + decimal accumulation (q73 discipline)
+    // keeps the mean partition-order independent and oracle-exact.
+    "q116_bigram_xent" -> ((s, d) => {
+      graft.operators.LanguageModel.bigramCrossEntropy(
+          t(s, d, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
+    // --- containment join (doc-in-doc detection) --------------------------
+    // Overlap coefficient |A ∩ B| / |A| >= 0.9 from the 20 originals into
+    // the planted corpus: each original is ⊂ its twin (containment 1.0).
+    // Prefix filter on the probe side only — containment bounds none of
+    // B, so B indexes every element (operators.SetSimJoin doc).
+    "q117_containment" -> ((s, d) => {
+      val corpus = withPlantedNearDups(t(s, d, "documents"))
+      val sets = corpus.select(col("doc_id"),
+        graft.plans.ShingleHashSet(col("text")).as("sh"))
+      val probes = sets.filter(col("doc_id") < 20)
+      graft.operators.SetSimJoin.containmentJoin(
+          probes, "doc_id", sets, "doc_id", "sh", 0.9)
+        .select(col("id_a"), col("id_b"), col("intersection"),
+          round(col("containment"), 4).as("containment"))
+        .orderBy(col("id_a"), col("id_b"))
     }),
 
     "q106_quantized_cosine" -> ((s, d) => {
@@ -1101,6 +1192,144 @@ object LlmQueries {
          WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4))::BIGINT
                < floor(rate * 65536.0)
          ORDER BY d.doc_id""",
+
+    "q112_postings" ->
+      """WITH tok AS (
+           SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS tk
+           FROM documents WHERE doc_id < 50),
+         pos AS (
+           SELECT doc_id,
+             unnest([{'token': tk[i], 'p': CAST(i AS BIGINT)}
+                     for i in range(1, len(tk) + 1)]) AS u
+           FROM tok)
+         SELECT u.token AS token, doc_id, CAST(count(*) AS BIGINT) AS tf,
+           list_sort(list(u.p)) AS positions
+         FROM pos GROUP BY u.token, doc_id ORDER BY token, doc_id""",
+
+    // same Robertson/Lucene form; (1.2 + 1.0) written as the same IEEE
+    // addition the engine performs; ln + round(4) per the q73 precedent
+    "q113_bm25" ->
+      """WITH tok AS (
+           SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS tk
+           FROM documents),
+         lens AS (SELECT doc_id, len(tk) AS dl FROM tok),
+         stats AS (SELECT count(*) AS n, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM lens),
+         pairs AS (SELECT doc_id, unnest(tk) AS token FROM tok),
+         tfs AS (SELECT doc_id, token, CAST(count(*) AS DOUBLE) AS tf
+                 FROM pairs WHERE token IN ('spark', 'window', 'merge')
+                 GROUP BY doc_id, token),
+         dfs AS (SELECT token, CAST(count(*) AS DOUBLE) AS df FROM tfs GROUP BY token),
+         contrib AS (
+           SELECT t.doc_id,
+             ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5)) * t.tf * (1.2 + 1.0)
+               / (t.tf + 1.2 * (0.25 + 0.75 * l.dl / s.avgdl)) AS c
+           FROM tfs t JOIN dfs d USING (token) CROSS JOIN stats s
+           JOIN lens l ON t.doc_id = l.doc_id),
+         scored AS (SELECT doc_id, sum(c) AS score FROM contrib GROUP BY doc_id)
+         SELECT l.doc_id, round(coalesce(s.score, 0.0), 4) AS bm25
+         FROM lens l LEFT JOIN scored s USING (doc_id)
+         ORDER BY bm25 DESC, doc_id ASC LIMIT 20""",
+
+    // both rankings ordered by round(score, 4) DESC, id ASC — integer
+    // ranks, so the fused 1/(60+rank) sums are bit-identical
+    "q114_hybrid_rrf" ->
+      """WITH tok AS (
+           SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS tk
+           FROM documents),
+         lens AS (SELECT doc_id, len(tk) AS dl FROM tok),
+         stats AS (SELECT count(*) AS n, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM lens),
+         pairs AS (SELECT doc_id, unnest(tk) AS token FROM tok),
+         tfs AS (SELECT doc_id, token, CAST(count(*) AS DOUBLE) AS tf
+                 FROM pairs WHERE token IN ('spark', 'window', 'merge')
+                 GROUP BY doc_id, token),
+         dfs AS (SELECT token, CAST(count(*) AS DOUBLE) AS df FROM tfs GROUP BY token),
+         contrib AS (
+           SELECT t.doc_id,
+             ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5)) * t.tf * (1.2 + 1.0)
+               / (t.tf + 1.2 * (0.25 + 0.75 * l.dl / s.avgdl)) AS c
+           FROM tfs t JOIN dfs d USING (token) CROSS JOIN stats s
+           JOIN lens l ON t.doc_id = l.doc_id),
+         scored AS (SELECT doc_id, sum(c) AS score FROM contrib GROUP BY doc_id),
+         lex AS (SELECT l.doc_id, coalesce(s.score, 0.0) AS score
+                 FROM lens l LEFT JOIN scored s USING (doc_id)),
+         lrank AS (SELECT doc_id,
+                     row_number() OVER (ORDER BY round(score, 4) DESC, doc_id ASC) AS ra
+                   FROM lex),
+         q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         dense AS (
+           SELECT e.vec_id AS doc_id,
+             sum(CAST(e.embedding[CAST(i AS INT)] AS DOUBLE) * CAST(q.qe[CAST(i AS INT)] AS DOUBLE))
+               / (sqrt(sum(CAST(e.embedding[CAST(i AS INT)] AS DOUBLE) * CAST(e.embedding[CAST(i AS INT)] AS DOUBLE)))
+                  * sqrt(sum(CAST(q.qe[CAST(i AS INT)] AS DOUBLE) * CAST(q.qe[CAST(i AS INT)] AS DOUBLE)))) AS cos
+           FROM embeddings e, q, generate_series(1, 64) AS g(i)
+           GROUP BY e.vec_id),
+         drank AS (SELECT doc_id,
+                     row_number() OVER (ORDER BY round(cos, 4) DESC, doc_id ASC) AS rb
+                   FROM dense),
+         fused AS (
+           SELECT doc_id,
+             coalesce(1.0 / (60 + l.ra), 0.0) + coalesce(1.0 / (60 + d.rb), 0.0) AS rrf
+           FROM lrank l FULL JOIN drank d USING (doc_id))
+         SELECT doc_id, round(rrf, 6) AS rrf FROM fused
+         ORDER BY rrf DESC, doc_id ASC LIMIT 10""",
+
+    // same add-one-smoothed model, same 9-decimal grid + DECIMAL sum
+    "q116_bigram_xent" ->
+      """WITH toks AS (
+           SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS tk
+           FROM documents),
+         bg AS (
+           SELECT doc_id, tk[i] AS prev, tk[i+1] AS cur
+           FROM toks, LATERAL (SELECT unnest(generate_series(1, len(tk) - 1)) AS i) g),
+         cbg AS (SELECT prev, cur, count(*) AS c FROM bg GROUP BY prev, cur),
+         ctx AS (SELECT prev, sum(c) AS cp FROM cbg GROUP BY prev),
+         v AS (SELECT count(DISTINCT u.t) AS v
+               FROM (SELECT unnest(tk) AS t FROM toks) u)
+         SELECT b.doc_id,
+           round(CAST(sum(CAST(round(-ln(CAST(cbg.c + 1 AS DOUBLE) / (ctx.cp + (SELECT v FROM v))), 9) AS DECIMAL(28,9))) AS DOUBLE) / count(*), 4) AS xent,
+           count(*) AS n_bigrams
+         FROM bg b
+         JOIN cbg ON b.prev = cbg.prev AND b.cur = cbg.cur
+         JOIN ctx ON b.prev = ctx.prev
+         GROUP BY b.doc_id ORDER BY b.doc_id""",
+
+    // brute-force containment over recomputed string shingles
+    "q117_containment" ->
+      """WITH corpus AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 1000000, text || ' zz zz' FROM documents WHERE doc_id < 20
+         ),
+         tok AS (
+           SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS tk
+           FROM corpus
+         ),
+         sh AS (
+           SELECT doc_id,
+             list_distinct([array_to_string(list_slice(tk, i, i+2), ' ')
+                            for i in range(1, greatest(len(tk)-2,1)+1)]) AS s
+           FROM tok
+         ),
+         pairs AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS intersection,
+             CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(a.s) AS cont
+           FROM sh a JOIN sh b ON a.doc_id < 20 AND a.doc_id <> b.doc_id
+         )
+         SELECT id_a, id_b, intersection, round(cont, 4) AS containment
+         FROM pairs WHERE cont >= 0.9 ORDER BY id_a, id_b""",
+
+    "q115_negative_sample" ->
+      """WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+         a AS (SELECT doc_id AS anchor_id FROM documents WHERE doc_id < 100),
+         js AS (SELECT unnest(range(0, 5)) AS j),
+         draws AS (
+           SELECT anchor_id, CAST(j AS BIGINT) AS j, n.n AS n,
+             ('0x' || substr(md5('neg' || CAST(anchor_id AS VARCHAR) || '-' || CAST(j AS VARCHAR)), 1, 13))::BIGINT % n.n AS draw
+           FROM a CROSS JOIN n CROSS JOIN js)
+         SELECT anchor_id, j,
+           CASE WHEN draw = anchor_id THEN (draw + 1) % n ELSE draw END AS neg_id
+         FROM draws ORDER BY anchor_id, j""",
 
     // identical quantization formula (floor(x * 127/maxabs + 0.5) — all
     // correctly-rounded IEEE ops), integer-exact dot/norms, double only in

@@ -110,6 +110,53 @@ object SetSimJoin {
         col("jaccard"))
   }
 
+  /** Exact containment join: all (id_a from `left`, id_b from `right`)
+    * with overlap coefficient |A ∩ B| / |A| >= `threshold` — the
+    * doc-in-doc detector (quotes, boilerplate inclusion, eval passages
+    * embedded in training docs). Asymmetric by nature: A is the
+    * contained/probe side. Same-id pairs are excluded (self-containment
+    * is trivially 1).
+    *
+    * Prefix filtering only helps the PROBE side here (containment puts
+    * no lower bound on the share of B covered, so B must index EVERY
+    * element): A explodes its first `na - ceil(t*na) + 1` elements,
+    * B explodes all of ITS elements, and the equi-join blocks as in
+    * [[jaccardSelfJoin]]. Output: (id_a, id_b, size_a, size_b,
+    * intersection, containment). */
+  def containmentJoin(left: DataFrame, leftIdCol: String,
+                      right: DataFrame, rightIdCol: String,
+                      setCol: String, threshold: Double): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"threshold must be in (0, 1], got $threshold")
+    def prep(df: DataFrame, idCol: String) = df
+      .select(col(idCol).as("__sid"),
+        array_sort(array_distinct(col(setCol))).as("__els"))
+      .filter(size(col("__els")) > 0)
+      .withColumn("__n", size(col("__els")))
+    val a = prep(left, leftIdCol)
+    val b = prep(right, rightIdCol)
+    val aPrefix = a.select(col("__sid").as("id_a"),
+      explode(slice(col("__els"), lit(1),
+        greatest(col("__n") - ceil(lit(threshold) * col("__n")).cast("int") + 1,
+          lit(1)))).as("__el"))
+    val bAll = b.select(col("__sid").as("id_b"), explode(col("__els")).as("__el"))
+    val candidates = aPrefix.join(bAll,
+        aPrefix("__el") === bAll("__el") && col("id_a") =!= col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    candidates
+      .join(a.select(col("__sid").as("id_a"), col("__els").as("__ea"),
+        col("__n").as("size_a")), "id_a")
+      .join(b.select(col("__sid").as("id_b"), col("__els").as("__eb"),
+        col("__n").as("size_b")), "id_b")
+      .withColumn("intersection",
+        size(array_intersect(col("__ea"), col("__eb"))).cast("long"))
+      .withColumn("containment", col("intersection").cast("double") / col("size_a"))
+      .filter(col("containment") >= threshold)
+      .select(col("id_a"), col("id_b"), col("size_a").cast("long").as("size_a"),
+        col("size_b").cast("long").as("size_b"), col("intersection"),
+        col("containment"))
+  }
+
   /** Brute-force all-pairs reference (O(n²) — tests and tiny frames
     * ONLY). Same output contract as [[jaccardSelfJoin]]. */
   private[graft] def bruteForce(df: DataFrame, idCol: String, setCol: String,

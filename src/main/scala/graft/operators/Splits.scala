@@ -170,6 +170,39 @@ object Splits {
       .drop("__rate")
   }
 
+  /** Deterministic random negative sampling for contrastive training:
+    * each anchor row gets `k` pseudo-random partner ids drawn from
+    * [0, corpusSize) by hashing (salt, anchor, j) — reproducible across
+    * re-runs and engines, no RNG state. A draw that hits the anchor
+    * itself shifts by one (mod corpusSize), so a pair is never
+    * self-paired; distinct draws may repeat for tiny corpora (sampling
+    * WITH replacement — the standard contrastive recipe, and the
+    * only shuffle-free form: without-replacement needs per-anchor
+    * dedup state).
+    *
+    * The ids are drawn from the DENSE [0, n) space — join the result
+    * back to the corpus on `neg_id` when ids are sparse (or map ids
+    * through [[shardShuffle]]'s hash order first). Scale shape: one
+    * broadcast 1-row count + a k-way explode — a narrow map, no
+    * shuffle. */
+  def negativeSample(anchors: DataFrame, idCol: String, corpus: DataFrame,
+                     corpusIdCol: String, k: Int,
+                     salt: String = "neg"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val n = corpus.agg(count(lit(1)).as("__n"))
+    anchors.crossJoin(broadcast(n))
+      .select(col(idCol).as("anchor_id"), col("__n"),
+        explode(sequence(lit(0), lit(k - 1))).as("j"))
+      .withColumn("__draw", pmod(
+        conv(substring(md5(concat(lit(salt), col("anchor_id").cast("string"),
+          lit("-"), col("j").cast("string"))), 1, 13), 16, 10).cast("long"),
+        col("__n")))
+      .withColumn("neg_id",
+        when(col("__draw") === col("anchor_id"),
+          pmod(col("__draw") + 1, col("__n"))).otherwise(col("__draw")))
+      .select(col("anchor_id"), col("j").cast("long").as("j"), col("neg_id"))
+  }
+
   /** The deterministic uniform in (0, 1]: 52 md5 bits scaled by 2⁻⁵², plus
     * one ulp so u is never 0 (ln(0) = -inf). Exact in both double and
     * int64, so any engine recomputes it bit-identically. */

@@ -71,4 +71,39 @@ class SetSimJoinSpec extends SparkSpec {
     assert(out == Set((5L, 2000L, 30L)) ||
       out.forall { case (a, b, _) => (a, b) == (5L, 2000L) })
   }
+
+  test("containmentJoin equals brute force; subsets found regardless of B size") {
+    import org.apache.spark.sql.DataFrame
+    def brute(l: DataFrame, r: DataFrame, t: Double): Set[(Long, Long)] = {
+      val a = l.select(col("id").as("id_a"),
+        array_sort(array_distinct(col("els"))).as("ea"))
+        .filter(size(col("ea")) > 0)
+      val b = r.select(col("id").as("id_b"),
+        array_sort(array_distinct(col("els"))).as("eb"))
+        .filter(size(col("eb")) > 0)
+      a.crossJoin(b).filter(col("id_a") =!= col("id_b"))
+        .filter(size(array_intersect(col("ea"), col("eb"))).cast("double") /
+          size(col("ea")) >= t)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    }
+    // probes: strict subsets of corpus sets + partial overlaps
+    val probes = (Seq(
+      (9000L, (0 until 10).map(j => ((131 + j * 17) % 97).toLong * 1000003L + j % 7)), // ⊂ base 1
+      (9001L, Seq(-1L, -2L)),                 // ⊂ every twin
+      (9002L, Seq(1L, 2L, 3L))) ++            // nowhere
+      (0 until 5).map(i => (9100L + i,
+        (0 until 30).map(j => ((i * 131 + j * 17) % 97).toLong * 1000003L + j % 7)))) // = base i
+      .toDF("id", "els")
+    for (t <- Seq(0.6, 0.9, 1.0)) {
+      val fast = SetSimJoin.containmentJoin(probes, "id", corpus, "id", "els", t)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      assert(fast == brute(probes, corpus, t), s"mismatch at threshold $t")
+    }
+    // the full-subset probe is contained in base 1 at threshold 1.0
+    val exact = SetSimJoin.containmentJoin(probes, "id", corpus, "id", "els", 1.0)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(exact.contains((9000L, 1L)))
+    assert(exact.exists { case (a, b) => a == 9001L && b >= 1000L })
+    assert(!exact.exists(_._1 == 9002L))
+  }
 }

@@ -131,4 +131,23 @@ class SplitsSpec extends SparkSpec {
       Splits.temperatureKeep(df, "id", "grp", alpha = 1.5)
     }
   }
+
+  test("negativeSample: k draws per anchor, in range, never self, deterministic") {
+    val corpus = spark.range(0, 200).toDF("id")
+    val anchors = corpus.filter(col("id") < 50)
+    val out = Splits.negativeSample(anchors, "id", corpus, "id", k = 4)
+      .select("anchor_id", "j", "neg_id").as[(Long, Long, Long)].collect()
+    assert(out.length == 50 * 4)
+    assert(out.forall { case (_, _, n) => n >= 0 && n < 200 })
+    assert(out.forall { case (a, _, n) => n != a }, "never self-paired")
+    out.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.map(_._2).sorted.toSeq == Seq(0L, 1L, 2L, 3L))
+    }
+    // pure function of (salt, anchor, j)
+    val again = Splits.negativeSample(anchors, "id", corpus, "id", k = 4)
+      .select("anchor_id", "j", "neg_id").as[(Long, Long, Long)].collect()
+    assert(out.sortBy(r => (r._1, r._2)).toSeq == again.sortBy(r => (r._1, r._2)).toSeq)
+    // draws spread over the corpus (not degenerate)
+    assert(out.map(_._3).distinct.length > 100)
+  }
 }
