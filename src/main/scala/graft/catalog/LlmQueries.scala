@@ -657,11 +657,15 @@ object LlmQueries {
     // pair-table form that IS the index at scale (bucket by token on
     // persist; a query term prunes to its buckets). Bounded here to
     // doc_id < 50 to keep the dump small; the plan is corpus-shaped.
+    // The positions ARRAY is serialized to a comma-joined string in this
+    // COMPARED output only (the verify harness's row canonicalizer cannot
+    // hash array cells); TextIndex.postings itself keeps the array form.
     "q112_postings" -> ((s, d) => {
       graft.operators.TextIndex.postings(
           t(s, d, "documents").filter(col("doc_id") < 50), "doc_id", "text")
         .select(col("token"), col("doc_id"), col("tf").cast("long").as("tf"),
-          transform(col("positions"), p => p.cast("long")).as("positions"))
+          concat_ws(",", transform(col("positions"), p => p.cast("string")))
+            .as("positions"))
         .orderBy(col("token"), col("doc_id"))
     }),
 
@@ -683,7 +687,10 @@ object LlmQueries {
     // The sparse and dense rankings fuse by reciprocal rank (k = 60):
     // ranks are exact integers over rounded score grids, so the fused
     // score is bit-identical cross-engine. vec_id aligns with doc_id in
-    // the testdata, giving both rankings one universe.
+    // the testdata, giving both rankings one universe. Each ranking is
+    // pruned to its top 100 FIRST (TakeOrderedAndProject — distributed
+    // partial top-k), so the rank windows sort 100 rows, never the
+    // corpus; a doc outside a list's top 100 contributes 0 from it.
     "q114_hybrid_rrf" -> ((s, d) => {
       val lexical = graft.operators.TextIndex.bm25(
         t(s, d, "documents"), "doc_id", "text",
@@ -694,7 +701,8 @@ object LlmQueries {
       val dense = emb.crossJoin(broadcast(q))
         .select(col("vec_id").as("doc_id"),
           VF.cosine(col("embedding"), col("query_vec")).as("cos"))
-      graft.operators.TextIndex.rrfFuse(lexical, "score", dense, "cos")
+      graft.operators.TextIndex.rrfFuse(lexical, "score", dense, "cos",
+          topM = 100)
         .select(col("doc_id"), round(col("rrf"), 6).as("rrf"))
         .orderBy(col("rrf").desc, col("doc_id").asc)
         .limit(10)
@@ -737,6 +745,21 @@ object LlmQueries {
         .select(col("id_a"), col("id_b"), col("intersection"),
           round(col("containment"), 4).as("containment"))
         .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // --- phrase match over postings positions -----------------------------
+    // The consumer of q112's positions: exact consecutive-token phrase
+    // occurrences, computed entirely on the (token, doc) pair table —
+    // the first term's postings bound the start-explode, later terms
+    // join by doc and gate with codegen'd array_contains. Against a
+    // persisted index this touches only the phrase's buckets.
+    "q118_phrase_match" -> ((s, d) => {
+      val post = graft.operators.TextIndex.postings(
+        t(s, d, "documents"), "doc_id", "text")
+      graft.operators.TextIndex.phraseMatch(post, Seq("table", "window"))
+        .select(col("doc_id"),
+          col("n_occurrences").cast("long").as("n_occurrences"))
+        .orderBy(col("doc_id"))
     }),
 
     "q106_quantized_cosine" -> ((s, d) => {
@@ -1203,7 +1226,7 @@ object LlmQueries {
                      for i in range(1, len(tk) + 1)]) AS u
            FROM tok)
          SELECT u.token AS token, doc_id, CAST(count(*) AS BIGINT) AS tf,
-           list_sort(list(u.p)) AS positions
+           array_to_string(list_sort(list(u.p)), ',') AS positions
          FROM pos GROUP BY u.token, doc_id ORDER BY token, doc_id""",
 
     // same Robertson/Lucene form; (1.2 + 1.0) written as the same IEEE
@@ -1231,7 +1254,9 @@ object LlmQueries {
          ORDER BY bm25 DESC, doc_id ASC LIMIT 20""",
 
     // both rankings ordered by round(score, 4) DESC, id ASC — integer
-    // ranks, so the fused 1/(60+rank) sums are bit-identical
+    // ranks, so the fused 1/(60+rank) sums are bit-identical; each list
+    // is pruned to its top 100 before fusion (rank <= 100 ≡ the engine's
+    // orderBy().limit(100) candidate-list prune)
     "q114_hybrid_rrf" ->
       """WITH tok AS (
            SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS tk
@@ -1252,9 +1277,10 @@ object LlmQueries {
          scored AS (SELECT doc_id, sum(c) AS score FROM contrib GROUP BY doc_id),
          lex AS (SELECT l.doc_id, coalesce(s.score, 0.0) AS score
                  FROM lens l LEFT JOIN scored s USING (doc_id)),
-         lrank AS (SELECT doc_id,
-                     row_number() OVER (ORDER BY round(score, 4) DESC, doc_id ASC) AS ra
-                   FROM lex),
+         lrank AS (SELECT * FROM (
+                     SELECT doc_id,
+                       row_number() OVER (ORDER BY round(score, 4) DESC, doc_id ASC) AS ra
+                     FROM lex) WHERE ra <= 100),
          q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
          dense AS (
            SELECT e.vec_id AS doc_id,
@@ -1263,9 +1289,10 @@ object LlmQueries {
                   * sqrt(sum(CAST(q.qe[CAST(i AS INT)] AS DOUBLE) * CAST(q.qe[CAST(i AS INT)] AS DOUBLE)))) AS cos
            FROM embeddings e, q, generate_series(1, 64) AS g(i)
            GROUP BY e.vec_id),
-         drank AS (SELECT doc_id,
-                     row_number() OVER (ORDER BY round(cos, 4) DESC, doc_id ASC) AS rb
-                   FROM dense),
+         drank AS (SELECT * FROM (
+                     SELECT doc_id,
+                       row_number() OVER (ORDER BY round(cos, 4) DESC, doc_id ASC) AS rb
+                     FROM dense) WHERE rb <= 100),
          fused AS (
            SELECT doc_id,
              coalesce(1.0 / (60 + l.ra), 0.0) + coalesce(1.0 / (60 + d.rb), 0.0) AS rrf
@@ -1318,6 +1345,18 @@ object LlmQueries {
          )
          SELECT id_a, id_b, intersection, round(cont, 4) AS containment
          FROM pairs WHERE cont >= 0.9 ORDER BY id_a, id_b""",
+
+    // phrase occurrences straight off the token sequence: a start index i
+    // matches iff tk[i]='table' and tk[i+1]='window' — definitionally the
+    // same occurrences the engine derives from postings positions
+    "q118_phrase_match" ->
+      """WITH tok AS (
+           SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS tk
+           FROM documents)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_occurrences
+         FROM tok, LATERAL (SELECT unnest(generate_series(1, len(tk) - 1)) AS i) g
+         WHERE tk[i] = 'table' AND tk[i+1] = 'window'
+         GROUP BY doc_id ORDER BY doc_id""",
 
     "q115_negative_sample" ->
       """WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),

@@ -121,28 +121,41 @@ object SetSimJoin {
     * no lower bound on the share of B covered, so B must index EVERY
     * element): A explodes its first `na - ceil(t*na) + 1` elements,
     * B explodes all of ITS elements, and the equi-join blocks as in
-    * [[jaccardSelfJoin]]. Output: (id_a, id_b, size_a, size_b,
-    * intersection, containment). */
+    * [[jaccardSelfJoin]]. Because the required overlap ceil(t·na)
+    * exceeds the |A| - prefix-length remainder, ANY p-subset of A is a
+    * valid prefix — so ordering is free to minimize block sizes:
+    *
+    *  - `frequencyOrder = true` orders each A set by ascending frequency
+    *    of its elements IN THE INDEXED SIDE (one B-side count aggregation
+    *    + one A re-sort) — prefixes then hold the elements with the
+    *    SMALLEST posting blocks (elements absent from B count 0: a free
+    *    non-match). Essential for skewed universes (raw tokens, category
+    *    sets) where a stop-word-ish element in a value-ordered prefix
+    *    meets B's full posting list and the block explodes b². Exact
+    *    either way; default off because ~unique shingle hashes gain
+    *    nothing from the extra jobs.
+    *  - `maxBlockSize` drops elements whose B-side posting list exceeds
+    *    the cap from CANDIDATE GENERATION (the [[Dedup.candidatePairs]]
+    *    `maxBucketSize` hazard valve). This one trades recall: a
+    *    qualifying pair is missed only when EVERY shared prefix element
+    *    is capped — with `frequencyOrder` on, prefixes prefer uncapped
+    *    elements, so set it comfortably above the frequency knee and
+    *    pairs sharing any non-stop-word survive. Leave at `Int.MaxValue`
+    *    (default) for provably complete output.
+    *
+    * Output: (id_a, id_b, size_a, size_b, intersection, containment). */
   def containmentJoin(left: DataFrame, leftIdCol: String,
                       right: DataFrame, rightIdCol: String,
-                      setCol: String, threshold: Double): DataFrame = {
+                      setCol: String, threshold: Double,
+                      frequencyOrder: Boolean = false,
+                      maxBlockSize: Int = Int.MaxValue): DataFrame = {
     require(threshold > 0 && threshold <= 1,
       s"threshold must be in (0, 1], got $threshold")
-    def prep(df: DataFrame, idCol: String) = df
-      .select(col(idCol).as("__sid"),
-        array_sort(array_distinct(col(setCol))).as("__els"))
-      .filter(size(col("__els")) > 0)
-      .withColumn("__n", size(col("__els")))
-    val a = prep(left, leftIdCol)
-    val b = prep(right, rightIdCol)
-    val aPrefix = a.select(col("__sid").as("id_a"),
-      explode(slice(col("__els"), lit(1),
-        greatest(col("__n") - ceil(lit(threshold) * col("__n")).cast("int") + 1,
-          lit(1)))).as("__el"))
-    val bAll = b.select(col("__sid").as("id_b"), explode(col("__els")).as("__el"))
-    val candidates = aPrefix.join(bAll,
-        aPrefix("__el") === bAll("__el") && col("id_a") =!= col("id_b"))
-      .select(col("id_a"), col("id_b")).distinct()
+    require(maxBlockSize > 0, s"maxBlockSize must be positive, got $maxBlockSize")
+    val a = prepSets(left, leftIdCol, setCol)
+    val b = prepSets(right, rightIdCol, setCol)
+    val candidates =
+      containmentCandidates(a, b, threshold, frequencyOrder, maxBlockSize)
     candidates
       .join(a.select(col("__sid").as("id_a"), col("__els").as("__ea"),
         col("__n").as("size_a")), "id_a")
@@ -155,6 +168,63 @@ object SetSimJoin {
       .select(col("id_a"), col("id_b"), col("size_a").cast("long").as("size_a"),
         col("size_b").cast("long").as("size_b"), col("intersection"),
         col("containment"))
+  }
+
+  /** (id, sorted distinct elements, size) — shared prep. */
+  private[graft] def prepSets(df: DataFrame, idCol: String, setCol: String) = df
+    .select(col(idCol).as("__sid"),
+      array_sort(array_distinct(col(setCol))).as("__els"))
+    .filter(size(col("__els")) > 0)
+    .withColumn("__n", size(col("__els")))
+
+  /** Candidate (id_a, id_b) pairs of [[containmentJoin]] — split out so
+    * specs can assert the candidate count stays bounded under
+    * `frequencyOrder`/`maxBlockSize` on skewed universes. Inputs are
+    * [[prepSets]] frames. */
+  private[graft] def containmentCandidates(a: DataFrame, b: DataFrame,
+                                           threshold: Double,
+                                           frequencyOrder: Boolean,
+                                           maxBlockSize: Int): DataFrame = {
+    // posting-list size per element on the indexed side (distinct
+    // elements per set already — one count per (element, set) membership)
+    lazy val bFreq = b.select(explode(col("__els")).as("__el"))
+      .groupBy(col("__el")).agg(count(lit(1)).as("__cnt"))
+
+    val aOrdered =
+      if (!frequencyOrder) a
+      else {
+        // ascending B-side posting size, element value tie-break; an
+        // element absent from B sorts first (freq 0 — a free non-match)
+        a.select(col("__sid"), col("__n"), explode(col("__els")).as("__el"))
+          .join(bFreq, Seq("__el"), "left")
+          .groupBy(col("__sid"), col("__n"))
+          .agg(array_sort(collect_list(struct(
+            coalesce(col("__cnt"), lit(0L)).as("__cnt"), col("__el"))))
+            .as("__se"))
+          .select(col("__sid"),
+            transform(col("__se"), s => s.getField("__el")).as("__els"),
+            col("__n"))
+      }
+
+    val aPrefix = aOrdered.select(col("__sid").as("id_a"),
+      explode(slice(col("__els"), lit(1),
+        greatest(col("__n") - ceil(lit(threshold) * col("__n")).cast("int") + 1,
+          lit(1)))).as("__el"))
+    val bAll = b.select(col("__sid").as("id_b"), explode(col("__els")).as("__el"))
+    val (aGen, bGen) =
+      if (maxBlockSize == Int.MaxValue) (aPrefix, bAll)
+      else {
+        // hazard valve: capped elements generate no candidates (recall
+        // trade documented at the API) — semi-join BOTH sides so neither
+        // shuffles the capped blocks (the keep list is vocabulary-sized,
+        // so no broadcast hint: AQE picks the strategy by its real size)
+        val keep = bFreq.filter(col("__cnt") <= maxBlockSize).select(col("__el"))
+        (aPrefix.join(keep, Seq("__el"), "leftsemi"),
+          bAll.join(keep, Seq("__el"), "leftsemi"))
+      }
+    aGen.join(bGen,
+        aGen("__el") === bGen("__el") && col("id_a") =!= col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
   }
 
   /** Brute-force all-pairs reference (O(n²) — tests and tiny frames

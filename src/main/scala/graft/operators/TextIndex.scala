@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{TextFunctions => TF}
@@ -20,8 +20,9 @@ object TextIndex {
 
   /** Postings table: one row per (token, doc) with term frequency and
     * 1-based occurrence positions — the distributed inverted index
-    * (sort/bucket by `token` when persisting; a query term then prunes to
-    * its buckets). Positions ride along for phrase/proximity scoring. */
+    * ([[persistPostings]] writes it bucketed by token hash; a query term
+    * then prunes to its bucket). Positions ride along for
+    * phrase/proximity scoring ([[phraseMatch]]). */
   def postings(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs
       .select(col(idCol).as("doc_id"),
@@ -79,26 +80,207 @@ object TextIndex {
       .select(col("doc_id"), coalesce(col("score"), lit(0.0)).as("score"))
   }
 
-  /** Reciprocal-rank fusion of two full rankings: rrf = Σ 1/(k + rank).
-    * Each input is (doc_id, <scoreCol>); ranks are dense over
-    * (round(score, 4) DESC, doc_id ASC) — the rounded grid keeps rank
-    * boundaries off 1-ulp float disagreements (the q99 discipline), the
-    * id tie-break makes ranks total. k = 60 is the published default.
-    * Ranks are exact integers, so the fused score is bit-identical in any
-    * engine. One window per ranking (single global sort each — fuse TOP-M
-    * candidate lists, not whole corpora, when N is huge; both inputs here
-    * are already score-pruned in that regime). */
+  /** Reciprocal-rank fusion of two TOP-M candidate lists:
+    * rrf = Σ 1/(k + rank). Each input is (doc_id, <scoreCol>); ranks are
+    * dense over (round(score, 4) DESC, doc_id ASC) — the rounded grid
+    * keeps rank boundaries off 1-ulp float disagreements (the q99
+    * discipline), the id tie-break makes ranks total. k = 60 is the
+    * published default. Ranks are exact integers, so the fused score is
+    * bit-identical in any engine.
+    *
+    * Scale shape: each ranking is pruned to its top `topM` rows FIRST via
+    * orderBy + limit — Spark compiles that to TakeOrderedAndProject, a
+    * distributed partial top-k (each partition keeps its best M, one
+    * bounded merge) — so the rank window that follows sorts at most M
+    * rows, never the corpus. Without the prune, an unpartitioned
+    * row_number window funnels the ENTIRE input through one task — the
+    * global-sort anti-pattern the q99 design note forbids. A doc outside
+    * a list's top M simply contributes 0 from that list, the standard
+    * candidate-list RRF semantics. */
   def rrfFuse(a: DataFrame, scoreColA: String, bdf: DataFrame,
-              scoreColB: String, k: Int = 60): DataFrame = {
+              scoreColB: String, k: Int = 60, topM: Int = 1000): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    def ranked(df: DataFrame, scoreCol: String, rankName: String) =
-      df.select(col("doc_id"),
+    require(topM > 0, s"topM must be positive, got $topM")
+    def ranked(df: DataFrame, scoreCol: String, rankName: String) = {
+      val key = round(col(scoreCol), 4)
+      // TakeOrderedAndProject: the only corpus-sized op, fully distributed
+      val pruned = df.orderBy(key.desc, col("doc_id").asc).limit(topM)
+      pruned.select(col("doc_id"),
         row_number().over(Window.orderBy(
           round(col(scoreCol), 4).desc, col("doc_id").asc)).as(rankName))
+    }
     ranked(a, scoreColA, "rank_a")
       .join(ranked(bdf, scoreColB, "rank_b"), Seq("doc_id"), "full")
       .select(col("doc_id"),
         (coalesce(lit(1.0) / (lit(k) + col("rank_a")), lit(0.0)) +
           coalesce(lit(1.0) / (lit(k) + col("rank_b")), lit(0.0))).as("rrf"))
+  }
+
+  // --------------------------------------------------------------------
+  // Persistent index (the SignatureStore layout pattern): postings land
+  // BUCKETED BY TOKEN HASH, so a query term's lookup is a partition-
+  // pruned scan of one bucket directory — never a full-index scan.
+  // --------------------------------------------------------------------
+
+  val DefaultIndexBuckets = 64
+
+  private def postingsPath(store: String) = store + "/postings"
+  private def lensPath(store: String)     = store + "/lens"
+  private def metaPath(store: String)     = store + "/_graft_index_meta"
+
+  private def fsOf(spark: SparkSession, path: String) =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def hPath(s: String) = new org.apache.hadoop.fs.Path(s)
+
+  /** xxhash64 (Spark's builtin, seed 42) of a term, evaluated driver-side
+    * so the read path computes the SAME bucket the write path's
+    * `pmod(xxhash64(token), n)` column produced. */
+  private def tokenHash(term: String): Long = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+    import org.apache.spark.sql.types.StringType
+    import org.apache.spark.unsafe.types.UTF8String
+    XxHash64(Seq(Literal(UTF8String.fromString(term), StringType)), 42L)
+      .eval(null).asInstanceOf[Long]
+  }
+
+  /** The bucket a term's postings live in (pmod of the 64-bit hash). */
+  def tokenBucket(term: String, numBuckets: Int): Int =
+    (((tokenHash(term) % numBuckets) + numBuckets) % numBuckets).toInt
+
+  private case class IndexMeta(numBuckets: Int, nDocs: Long, sumDl: Long)
+
+  private def readMeta(spark: SparkSession, store: String): IndexMeta = {
+    val fs = fsOf(spark, store)
+    val in = fs.open(hPath(metaPath(store)))
+    val parts =
+      try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8).trim.split("\\s+")
+      finally in.close()
+    IndexMeta(parts(0).toInt, parts(1).toLong, parts(2).toLong)
+  }
+
+  /** True once the meta marker is durable. The marker is written LAST on
+    * [[persistPostings]]: a crash mid-write leaves the index invisible
+    * (the SignatureStore crash-safety contract). */
+  def indexExists(spark: SparkSession, store: String): Boolean =
+    fsOf(spark, store).exists(hPath(metaPath(store)))
+
+  /** Build and persist the inverted index of `docs` at `store`:
+    *
+    *  - `<store>/postings/tb=<b>/…` — (token, doc_id, tf, positions)
+    *    partitioned by `tb = pmod(xxhash64(token), numBuckets)`, so a
+    *    query term's read is a PARTITION-PRUNED scan of its one bucket;
+    *  - `<store>/lens/…` — (doc_id, dl) token counts, the narrow side
+    *    table BM25 needs for length normalization;
+    *  - `<store>/_graft_index_meta` — `numBuckets nDocs sumDl`, written
+    *    LAST: it pins the bucket modulus for every later read (a
+    *    mismatched modulus would silently prune the wrong directories)
+    *    and carries the exact corpus stats (docs, total tokens) so
+    *    query-time scoring touches no corpus-wide aggregation at all.
+    *
+    * Rebuild-in-place is safe: the marker is deleted first, so readers
+    * racing a rebuild see "absent", never half-written data. Single
+    * writer per store path (the SignatureStore contract). */
+  def persistPostings(docs: DataFrame, idCol: String, textCol: String,
+                      store: String,
+                      numBuckets: Int = DefaultIndexBuckets): Unit = {
+    require(numBuckets > 0, s"numBuckets must be positive, got $numBuckets")
+    val spark = docs.sparkSession
+    val fs = fsOf(spark, store)
+    if (fs.exists(hPath(metaPath(store)))) fs.delete(hPath(metaPath(store)), false)
+    postings(docs, idCol, textCol)
+      .withColumn("tb",
+        pmod(xxhash64(col("token")), lit(numBuckets.toLong)).cast("int"))
+      .write.partitionBy("tb").mode("overwrite").parquet(postingsPath(store))
+    val lens = docs.select(col(idCol).as("doc_id"),
+      size(TF.tokens(col(textCol))).as("dl"))
+    lens.write.mode("overwrite").parquet(lensPath(store))
+    // exact corpus stats ride in the marker (one tiny agg at build time)
+    val Array(nDocs, sumDl) = lens
+      .agg(count(lit(1)), coalesce(sum(col("dl").cast("long")), lit(0L)))
+      .collect().head.toSeq.map(_.asInstanceOf[Long]).toArray
+    val out = fs.create(hPath(metaPath(store)), true) // LAST — see indexExists
+    try out.write(s"$numBuckets $nDocs $sumDl"
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Postings rows of `terms` only — `tb` is a partition column, so the
+    * IN-filter is partition pruning (only the terms' bucket directories
+    * are listed into the scan); the exact token filter then drops the
+    * buckets' other tokens at the scan (parquet pushdown). */
+  def readPostings(spark: SparkSession, store: String,
+                   terms: Seq[String]): DataFrame = {
+    require(terms.nonEmpty, "terms must be non-empty")
+    require(indexExists(spark, store), s"no persisted index at $store")
+    val n = readMeta(spark, store).numBuckets
+    val buckets = terms.map(tokenBucket(_, n)).distinct
+    spark.read.parquet(postingsPath(store))
+      .filter(col("tb").isin(buckets: _*) && col("token").isin(terms.distinct: _*))
+      .select("token", "doc_id", "tf", "positions")
+  }
+
+  /** Per-document token counts of the persisted corpus. */
+  def readLens(spark: SparkSession, store: String): DataFrame = {
+    require(indexExists(spark, store), s"no persisted index at $store")
+    spark.read.parquet(lensPath(store)).select("doc_id", "dl")
+  }
+
+  /** BM25 over a PERSISTED index — same scores as [[bm25]] on the
+    * indexed corpus, but query-time work is: one partition-pruned
+    * postings read (the query terms' buckets only), the narrow lens
+    * table, and corpus stats straight from the marker. Nothing
+    * corpus-wide is tokenized or aggregated at query time. */
+  def bm25FromIndex(spark: SparkSession, store: String,
+                    queryTokens: Seq[String], k1: Double = 1.2,
+                    b: Double = 0.75): DataFrame = {
+    require(queryTokens.nonEmpty, "queryTokens must be non-empty")
+    val meta = readMeta(spark, store)
+    val lens = readLens(spark, store)
+      .select(col("doc_id"), col("dl").as("__dl"))
+    val pairs = readPostings(spark, store, queryTokens)
+      .select(col("doc_id"), col("token"), col("tf").cast("double").as("__tf"))
+    val dfs = pairs.groupBy(col("token"))
+      .agg(count(lit(1)).cast("double").as("__df"))
+    // same formula, same type promotions as bm25() — long n, double df
+    val contrib = pairs
+      .join(broadcast(dfs), "token")
+      .withColumn("__idf",
+        log(lit(1.0) + (lit(meta.nDocs) - col("__df") + lit(0.5)) / (col("__df") + lit(0.5))))
+      .join(lens, "doc_id")
+      .withColumn("__avgdl", lit(meta.sumDl).cast("double") / lit(meta.nDocs))
+      .withColumn("__c", col("__idf") * col("__tf") * lit(k1 + 1.0) /
+        (col("__tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("__dl") / col("__avgdl"))))
+    val scored = contrib.groupBy(col("doc_id")).agg(sum(col("__c")).as("score"))
+    lens.select(col("doc_id")).join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("score"), lit(0.0)).as("score"))
+  }
+
+  /** Documents containing the exact consecutive-token phrase, with the
+    * occurrence count — the consumer of the postings' `positions`: an
+    * occurrence starts at position p iff term_i sits at p + i for every
+    * i. Input is any postings frame ([[postings]] output or a
+    * [[readPostings]] pruned read — pass `phrase` as the terms and the
+    * whole computation touches only the phrase's buckets).
+    *
+    * Scale shape: the start-position explode is bounded by the FIRST
+    * term's postings; each subsequent term joins by doc_id (candidate
+    * docs only, never the corpus) and gates with a codegen'd
+    * array_contains on that doc's positions array. Output:
+    * (doc_id, n_occurrences). */
+  def phraseMatch(post: DataFrame, phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "phrase must be non-empty")
+    val starts = post.filter(col("token") === phrase.head)
+      .select(col("doc_id"), explode(col("positions")).as("__p"))
+    val matched = phrase.zipWithIndex.drop(1).foldLeft(starts) {
+      case (acc, (term, i)) =>
+        acc.join(post.filter(col("token") === term)
+            .select(col("doc_id"), col("positions").as(s"__pos$i")), "doc_id")
+          .filter(array_contains(col(s"__pos$i"), col("__p") + i))
+          .drop(s"__pos$i")
+    }
+    matched.groupBy(col("doc_id")).agg(count(lit(1)).as("n_occurrences"))
   }
 }

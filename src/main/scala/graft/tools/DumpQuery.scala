@@ -8,9 +8,20 @@ import org.apache.spark.sql.SparkSession
   * <sfDir> <name>...`. */
 object DumpQuery {
   def main(args: Array[String]): Unit = {
+    if (args.length < 3) {
+      System.err.println("usage: runMain graft.tools.DumpQuery <outDir> <sfDir> <queryName>...")
+      System.err.println("known queries: " + graft.SparkEntry.queries.keys.toSeq.sorted.mkString(", "))
+      sys.exit(2)
+    }
     val outDir = args(0)
     val sfDir = args(1)
     val names = args.drop(2)
+    val unknown = names.filterNot(graft.SparkEntry.queries.contains)
+    if (unknown.nonEmpty) {
+      System.err.println("unknown queries: " + unknown.mkString(", "))
+      System.err.println("known queries: " + graft.SparkEntry.queries.keys.toSeq.sorted.mkString(", "))
+      sys.exit(2)
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -100,4 +100,29 @@ class PlanSpec extends SparkSpec {
       s"redaction chain must sit in a codegen'd Project:\n$plan")
     assert(!plan.contains("CodegenFallback"), s"must not fall back:\n$plan")
   }
+
+  test("q114 hybrid RRF: rank windows sit above distributed top-k prunes, " +
+      "never a corpus-sized single-partition exchange") {
+    import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
+    import org.apache.spark.sql.execution.TakeOrderedAndProjectExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    val df = SparkEntry.queries("q114_hybrid_rrf")(spark, sf("sf0.001"))
+    val plan = df.queryExecution.sparkPlan
+    // every rank window's input is already pruned to top-M rows
+    val windows = plan.collect { case w: WindowExec => w }
+    assert(windows.nonEmpty, s"expected rank windows in:\n$plan")
+    windows.foreach { w =>
+      assert(w.collect { case t: TakeOrderedAndProjectExec => t }.nonEmpty,
+        s"rank window must sit above a TakeOrderedAndProject prune:\n$w")
+    }
+    // any single-partition exchange in the plan carries only pruned rows
+    plan.collect {
+      case e: ShuffleExchangeExec if e.outputPartitioning == SinglePartition => e
+    }.foreach { e =>
+      assert(e.collect { case t: TakeOrderedAndProjectExec => t }.nonEmpty,
+        s"single-partition exchange must be fed by a top-k prune:\n$e")
+    }
+    assert(df.collect().nonEmpty)
+  }
 }

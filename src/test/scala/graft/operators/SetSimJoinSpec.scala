@@ -106,4 +106,50 @@ class SetSimJoinSpec extends SparkSpec {
     assert(exact.exists { case (a, b) => a == 9001L && b >= 1000L })
     assert(!exact.exists(_._1 == 9002L))
   }
+
+  /** Skewed raw-token universe: 5 stop words in EVERY corpus set + 5
+    * unique tokens per set. Value order puts the stop words first
+    * (lexicographically 's' < 'u'), so every probe prefix meets every
+    * posting list — the b² hazard; frequency order puts each probe's
+    * unique tokens first and candidates collapse to the true pairs. */
+  test("containmentJoin on a skewed universe: frequencyOrder bounds candidates, results ≡ brute force") {
+    val stops = (0 until 5).map(i => s"stop$i")
+    val corpusSk = (0 until 30)
+      .map(i => (i.toLong, stops ++ (0 until 5).map(j => s"u${i}_$j")))
+      .toDF("id", "els")
+    // probe i ⊂ set i: 2 stop words + 2 of its unique tokens; vs any other
+    // set the overlap is the 2 stop words = 0.5 < 0.75
+    val probesSk = (0 until 30)
+      .map(i => (9000L + i, Seq("stop0", "stop1", s"u${i}_0", s"u${i}_1")))
+      .toDF("id", "els")
+    val t = 0.75
+    val expect = (0 until 30).map(i => (9000L + i, i.toLong)).toSet
+
+    def results(freq: Boolean, cap: Int) =
+      SetSimJoin.containmentJoin(probesSk, "id", corpusSk, "id", "els", t,
+          frequencyOrder = freq, maxBlockSize = cap)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    def candidates(freq: Boolean, cap: Int) =
+      SetSimJoin.containmentCandidates(
+        SetSimJoin.prepSets(probesSk, "id", "els"),
+        SetSimJoin.prepSets(corpusSk, "id", "els"),
+        t, frequencyOrder = freq, maxBlockSize = cap).count()
+
+    // exact under both orders; frequency order shrinks the candidate set
+    // from ~every (probe, set) pair down to the true pairs
+    assert(results(freq = false, Int.MaxValue) == expect)
+    assert(results(freq = true, Int.MaxValue) == expect)
+    val valueCands = candidates(freq = false, Int.MaxValue)
+    val freqCands = candidates(freq = true, Int.MaxValue)
+    assert(valueCands >= 30L * 30, s"stop-word prefixes must block b²: $valueCands")
+    assert(freqCands == 30, s"rare-first prefixes must block only true pairs: $freqCands")
+
+    // the maxBlockSize valve: stop-word postings (30 > 5) stop generating
+    // candidates. With rare-first prefixes the true pairs all survive …
+    assert(results(freq = true, cap = 5) == expect)
+    assert(candidates(freq = true, cap = 5) == 30)
+    // … but under value order the capped stop words WERE the prefixes —
+    // the documented recall trade, pinned here
+    assert(results(freq = false, cap = 5).isEmpty)
+  }
 }

@@ -73,4 +73,97 @@ class TextIndexSpec extends SparkSpec {
       .as[(Long, Double)].collect().toMap
     assert(tied(5L) > tied(7L), "lower id wins the tie (rank 1)")
   }
+
+  test("persisted postings reads are PARTITION-PRUNED to the query terms' buckets") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val store = java.nio.file.Files.createTempDirectory("postings").toString + "/idx"
+    // enough vocabulary to spread over many buckets
+    val corpus = (1 to 80).map(i =>
+      (i.toLong, s"common filler text t$i u$i v$i w${i % 7}")).toDF("doc_id", "text")
+    TextIndex.persistPostings(corpus, "doc_id", "text", store, numBuckets = 16)
+    assert(TextIndex.indexExists(spark, store))
+
+    val all = spark.read.parquet(store + "/postings")
+    val allBuckets = all.select("tb").distinct().as[Int].collect().toSeq
+    assert(allBuckets.size >= 8, s"vocabulary should spread over many buckets: $allBuckets")
+
+    val terms = Seq("t3", "u17")
+    val pruned = TextIndex.readPostings(spark, store, terms)
+    val scan = pruned.queryExecution.sparkPlan.collect {
+      case f: FileSourceScanExec => f
+    }.head
+    val expectBuckets = terms.map(TextIndex.tokenBucket(_, 16)).distinct
+    assert(scan.selectedPartitions.partitionCount == expectBuckets.size,
+      s"expected ${expectBuckets.size} selected partitions, " +
+        s"got ${scan.selectedPartitions.partitionCount} of ${allBuckets.size}")
+    assert(scan.selectedPartitions.totalNumberOfFiles < all.inputFiles.length,
+      "pruned scan must list fewer files than the full index")
+    // and the pruned read returns exactly the direct computation's rows
+    val direct = TextIndex.postings(corpus, "doc_id", "text")
+      .filter(col("token").isin(terms: _*))
+      .select($"token", $"doc_id", $"tf").as[(String, Long, Long)].collect().toSet
+    val got = pruned.select($"token", $"doc_id", $"tf")
+      .as[(String, Long, Long)].collect().toSet
+    assert(got == direct && got.nonEmpty)
+  }
+
+  test("bm25FromIndex scores the persisted corpus identically to bm25") {
+    val store = java.nio.file.Files.createTempDirectory("postings").toString + "/idx"
+    TextIndex.persistPostings(docs, "doc_id", "text", store, numBuckets = 8)
+    val q = Seq("spark", "window")
+    val direct = TextIndex.bm25(docs, "doc_id", "text", q)
+      .as[(Long, Double)].collect().toMap
+    val indexed = TextIndex.bm25FromIndex(spark, store, q)
+      .as[(Long, Double)].collect().toMap
+    assert(indexed.keySet == direct.keySet)
+    direct.foreach { case (id, s) =>
+      assert(math.abs(indexed(id) - s) < 1e-12, s"doc $id: ${indexed(id)} vs $s")
+    }
+    // the marker is written last: a store without it reads as absent
+    val fresh = java.nio.file.Files.createTempDirectory("postings").toString + "/nope"
+    assert(!TextIndex.indexExists(spark, fresh))
+    intercept[IllegalArgumentException] {
+      TextIndex.readPostings(spark, fresh, Seq("spark"))
+    }
+  }
+
+  test("phraseMatch: consecutive positions only, with occurrence counts") {
+    val corpus = Seq(
+      (1L, "new york city is the new york of cities"),
+      (2L, "york new haven"),
+      (3L, "new and also york but never adjacent"),
+      (4L, "new new york york")).toDF("doc_id", "text")
+    val post = TextIndex.postings(corpus, "doc_id", "text")
+    val out = TextIndex.phraseMatch(post, Seq("new", "york"))
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 2L, 4L -> 1L),
+      s"docs 2 (reversed) and 3 (non-adjacent) must not match: $out")
+    // single-token phrase degenerates to term occurrence counts
+    val one = TextIndex.phraseMatch(post, Seq("new")).as[(Long, Long)].collect().toMap
+    assert(one == Map(1L -> 2L, 2L -> 1L, 3L -> 1L, 4L -> 2L))
+    // three-token phrase
+    val three = TextIndex.phraseMatch(post, Seq("new", "york", "city"))
+      .as[(Long, Long)].collect().toMap
+    assert(three == Map(1L -> 1L))
+    // a pruned persisted read feeds the same result
+    val store = java.nio.file.Files.createTempDirectory("postings").toString + "/idx"
+    TextIndex.persistPostings(corpus, "doc_id", "text", store, numBuckets = 8)
+    val viaStore = TextIndex.phraseMatch(
+      TextIndex.readPostings(spark, store, Seq("new", "york")), Seq("new", "york"))
+      .as[(Long, Long)].collect().toMap
+    assert(viaStore == Map(1L -> 2L, 4L -> 1L))
+  }
+
+  test("rrfFuse topM prunes each candidate list before ranking") {
+    val a = Seq((1L, 10.0), (2L, 5.0), (3L, 1.0)).toDF("doc_id", "sa")
+    val b = Seq((2L, 0.9), (3L, 0.8), (4L, 0.7)).toDF("doc_id", "sb")
+    val out = TextIndex.rrfFuse(a, "sa", b, "sb", k = 60, topM = 2)
+      .as[(Long, Double)].collect().toMap
+    // doc 3 falls outside a's top 2 (rank would be 3) but holds b's rank 2;
+    // doc 4 falls outside b's top 2 entirely and vanishes from the fusion
+    assert(math.abs(out(1L) - 1.0 / 61) < 1e-15)
+    assert(math.abs(out(2L) - (1.0 / 62 + 1.0 / 61)) < 1e-15)
+    assert(math.abs(out(3L) - 1.0 / 62) < 1e-15)
+    assert(!out.contains(4L), "a doc outside both top-M lists must not appear")
+  }
 }
