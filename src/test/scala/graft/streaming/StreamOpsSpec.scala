@@ -252,6 +252,64 @@ class StreamOpsSpec extends SparkSpec {
     assert(batches == Seq(0L, 1L, 2L), s"got $batches")
   }
 
+  test("file-source ingest at sf0.01 ≡ batch dedup of the same chunks (composition, store growth)") {
+    // The GraphSpec composition pattern at bench scale: the full sf0.01
+    // documents corpus + planted twins, landed as 4 parquet files and
+    // streamed through nearDupFilterSink with maxFilesPerTrigger = 1,
+    // must produce EXACTLY the survivors and store content of 4
+    // sequential batch dedupAgainstStore calls over the same chunks —
+    // the streaming plumbing (file source, checkpoint, rate limit,
+    // land-first ordering) adds nothing and loses nothing.
+    val dir = java.nio.file.Files.createTempDirectory("stream-sf001")
+    val docs = spark.read.parquet(sf("sf0.01") + "/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val twins = docs.select((col("doc_id") + 1000000L).as("doc_id"),
+      concat(col("text"), lit(" zz zz")).as("text"))
+    val chunks = Seq(
+      docs.filter(col("doc_id") < 250),
+      docs.filter(col("doc_id") >= 250),
+      twins.filter(col("doc_id") < 1000250L),
+      twins.filter(col("doc_id") >= 1000250L))
+
+    // landed in order: one file per chunk = one micro-batch per chunk
+    val in = dir.toString + "/in"
+    chunks.foreach(_.coalesce(1).write.mode("append").parquet(in))
+
+    val stream = spark.readStream
+      .schema("doc_id LONG, text STRING")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(in)
+    val q = StreamOps.nearDupFilterSink(stream, "doc_id", "text",
+      dir.toString + "/store", dir.toString + "/out", dir.toString + "/ckpt")
+    q.processAllAvailable()
+    q.stop()
+
+    // batch reference: the same four chunks through the batch operator
+    val batchSurvivors = chunks.flatMap { c =>
+      graft.operators.Dedup.dedupAgainstStore(c, "doc_id", "text",
+          dir.toString + "/store2")
+        .select("doc_id").as[Long].collect()
+    }.sorted
+
+    val streamed = spark.read.parquet(dir.toString + "/out")
+    val streamedIds = streamed.select("doc_id").as[Long].collect().sorted.toSeq
+    assert(streamedIds == batchSurvivors,
+      s"streamed survivors (${streamedIds.size}) must equal batch survivors (${batchSurvivors.size})")
+    // most originals admitted; the twin chunks deduped against the store
+    assert(streamedIds.size >= 400 && streamedIds.count(_ >= 1000000L) < 50)
+    // the store grew by exactly the survivors — same ids in both stores
+    val storeIds = graft.operators.SignatureStore
+      .allIds(spark, dir.toString + "/store").as[Long].collect().sorted.toSeq
+    val store2Ids = graft.operators.SignatureStore
+      .allIds(spark, dir.toString + "/store2").as[Long].collect().sorted.toSeq
+    assert(storeIds == streamedIds && store2Ids == storeIds)
+    // rate limiting held: one micro-batch per landed file
+    val batches = streamed.select("ingest_batch").distinct()
+      .as[Long].collect().sorted.toSeq
+    assert(batches.size == chunks.count(c => streamedIds.intersect(
+      c.select("doc_id").as[Long].collect()).nonEmpty))
+  }
+
   test("upsertJdbcSink merges each micro-batch into a live database (embedded Derby)") {
     implicit val sqlCtx = spark.sqlContext
     val dbDir = java.nio.file.Files.createTempDirectory("derby-stream").toString
