@@ -762,6 +762,117 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // --- edit-distance entity join (SymSpell deletion neighborhoods) ------
+    // Short-string near-match: customer names pair when levenshtein <= 1
+    // (TPC-H names differ in digit positions, so real typo-shaped pairs
+    // exist at every SF). Deletion-neighborhood equi-join generates the
+    // zero-false-negative candidate superset; the codegen'd levenshtein
+    // builtin gates exactly. Never all-pairs.
+    "q119_editdist_join" -> ((s, d) => {
+      graft.operators.EditDistance.levenshteinSelfJoin(
+          t(s, d, "customer").select(col("c_custkey"), col("c_name")),
+          "c_custkey", "c_name", maxDist = 1)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // --- proximity search (terms within a window) --------------------------
+    // The relaxation of q118's phrase match: spark and merge within 5
+    // tokens, either order, counting close position pairs. Same
+    // postings-only shape — candidate docs are those holding BOTH terms.
+    "q120_proximity" -> ((s, d) => {
+      val post = graft.operators.TextIndex.postings(
+        t(s, d, "documents"), "doc_id", "text")
+      graft.operators.TextIndex.proximityMatch(post, "spark", "merge",
+          window = 5)
+        .select(col("doc_id"),
+          col("n_close_pairs").cast("long").as("n_close_pairs"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // --- context-window chunking (RAG/embedding prep) ----------------------
+    // 32-token windows every 24 tokens (8-token overlap) — the
+    // embedding-ingest shape. Pure narrow expansion: no shuffle at all;
+    // bounded to doc_id < 100 to keep the compared dump small.
+    "q121_chunk" -> ((s, d) => {
+      graft.operators.Pack.chunkTokens(
+          t(s, d, "documents").filter(col("doc_id") < 100), "doc_id", "text",
+          size = 32, stride = 24)
+        .orderBy(col("doc_id"), col("chunk_id"))
+    }),
+
+    // --- within-doc repetition signals (Gopher-family quality filter) -----
+    // dup-bigram fraction + top-bigram token share per doc; ratios of
+    // small integers, so the doubles are engine-exact on the 4-decimal
+    // grid.
+    "q122_repetition" -> ((s, d) => {
+      graft.operators.Quality.repetitionSignals(
+          t(s, d, "documents"), "doc_id", "text", n = 2)
+        .select(col("doc_id"),
+          round(col("dup_ngram_frac"), 4).as("dup_ngram_frac"),
+          round(col("top_ngram_frac"), 4).as("top_ngram_frac"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // --- TF-IDF sparse cosine retrieval ------------------------------------
+    // Pair-table sparse vectors (the 100 TB form — vocabulary-dimensional
+    // arrays never materialize); query doc 0's rows broadcast, dot =
+    // shared-token join, norms computed for candidate docs only.
+    // Dot/norm terms on the 9-grid in DECIMAL (q73 discipline).
+    "q123_tfidf_cosine" -> ((s, d) => {
+      val w = graft.operators.TextIndex.tfidf(
+        t(s, d, "documents"), "doc_id", "text")
+      graft.operators.TextIndex.tfidfCosineToDoc(w, queryDocId = 0L)
+        .select(col("doc_id"), round(col("cosine"), 4).as("cosine"))
+        .orderBy(col("cosine").desc, col("doc_id").asc)
+        .limit(20)
+    }),
+
+    // --- interpolated trigram LM cross-entropy -----------------------------
+    // Jelinek–Mercer λ = (0.6, 0.3, 0.1) over the corpus's own
+    // trigram/bigram/unigram MLE tables — the higher-order sibling of
+    // q116. Every context is observed by construction; the unigram
+    // floor keeps p > 0 with no additive smoothing.
+    "q124_trigram_xent" -> ((s, d) => {
+      graft.operators.LanguageModel.trigramCrossEntropy(
+          t(s, d, "documents"), "doc_id", "text")
+        .select(col("doc_id"), col("xent3"), col("n_trigrams"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // --- per-group mean embedding (centroids, exploded form) ---------------
+    // Source-profile centroids over the embedding corpus, 4 pseudo-groups
+    // by id. dimMeans is the ORACLE-EXACT pooling path (9-grid DECIMAL
+    // per-dim sums), unlike the throughput UDAF inside k-means.
+    "q125_group_centroid" -> ((s, d) => {
+      graft.functions.VectorFunctions.dimMeans(
+          t(s, d, "embeddings")
+            .select(pmod(col("vec_id"), lit(4L)).as("grp"), col("embedding")),
+          "grp", "embedding")
+        .select(col("grp"), col("dim").cast("long").as("dim"),
+          round(col("mean"), 6).as("mean"))
+        .orderBy(col("grp"), col("dim"))
+    }),
+
+    // --- token-length histogram per source ---------------------------------
+    "q126_length_histogram" -> ((s, d) => {
+      graft.operators.Quality.lengthHistogram(
+          t(s, d, "documents"), "text", Seq("source"), binWidth = 8)
+        .orderBy(col("source"), col("bin"))
+    }),
+
+    // --- collocation mining (bigram PMI) ------------------------------------
+    // pmi = ln(C(ab)·N / (C(a·)·C(·b))), min-count 5 against the hapax
+    // bias; factors widened to double BEFORE multiplying (C·N overflows
+    // int64 at corpus scale).
+    "q127_collocations" -> ((s, d) => {
+      graft.operators.LanguageModel.bigramPmi(
+          t(s, d, "documents"), "doc_id", "text", minCount = 5)
+        .select(col("prev"), col("cur"), col("n"),
+          round(col("pmi"), 4).as("pmi"))
+        .orderBy(col("pmi").desc, col("prev"), col("cur"))
+        .limit(30)
+    }),
+
     "q106_quantized_cosine" -> ((s, d) => {
       val emb = t(s, d, "embeddings").filter(col("embedding").isNotNull)
         .select(col("vec_id"), VF.quantizeInt8(col("embedding")).as("codes"))
@@ -1357,6 +1468,154 @@ object LlmQueries {
          FROM tok, LATERAL (SELECT unnest(generate_series(1, len(tk) - 1)) AS i) g
          WHERE tk[i] = 'table' AND tk[i+1] = 'window'
          GROUP BY doc_id ORDER BY doc_id""",
+
+    // brute-force reference: every pair, exact levenshtein
+    "q119_editdist_join" ->
+      """SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+           CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+         FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+         WHERE levenshtein(a.c_name, b.c_name) <= 1
+         ORDER BY id_a, id_b""",
+
+    // every (spark-position, merge-position) pair within the window
+    "q120_proximity" ->
+      """WITH tok AS (
+           SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS tk
+           FROM documents),
+         pos AS (
+           SELECT doc_id, tk[i] AS tkn, CAST(i AS BIGINT) AS p
+           FROM tok, LATERAL (SELECT unnest(generate_series(1, len(tk))) AS i) g)
+         SELECT a.doc_id AS doc_id, CAST(count(*) AS BIGINT) AS n_close_pairs
+         FROM pos a JOIN pos b
+           ON a.doc_id = b.doc_id AND b.tkn = 'merge' AND abs(a.p - b.p) <= 5
+         WHERE a.tkn = 'spark'
+         GROUP BY a.doc_id ORDER BY a.doc_id""",
+
+    // starts 0, 24, 48, … while < len; windows clamp at the doc end
+    "q121_chunk" ->
+      """WITH tok AS (
+           SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS tk
+           FROM documents WHERE doc_id < 100),
+         chunks AS (
+           SELECT doc_id, CAST(g.i AS BIGINT) AS chunk_id,
+             list_slice(tk, 1 + g.i * 24, g.i * 24 + 32) AS c
+           FROM tok, LATERAL (SELECT unnest(generate_series(0, (len(tk) - 1) // 24)) AS i) g
+           WHERE len(tk) > 0)
+         SELECT doc_id, chunk_id, CAST(len(c) AS BIGINT) AS n_tokens,
+           array_to_string(c, ' ') AS chunk_text
+         FROM chunks ORDER BY doc_id, chunk_id""",
+
+    // bigram multiset per doc; both signals are integer ratios
+    "q122_repetition" ->
+      """WITH tok AS (
+           SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS tk
+           FROM documents),
+         g AS (
+           SELECT doc_id, len(tk) AS l,
+             array_to_string(list_slice(tk, i, i + 1), ' ') AS gram
+           FROM tok, LATERAL (SELECT unnest(generate_series(1, len(tk) - 1)) AS i) s
+           WHERE len(tk) >= 2),
+         c AS (SELECT doc_id, l, gram, count(*) AS cnt FROM g GROUP BY doc_id, l, gram)
+         SELECT doc_id,
+           round(1.0 - CAST(count(*) AS DOUBLE) / sum(cnt), 4) AS dup_ngram_frac,
+           round(CAST(max(cnt) * 2 AS DOUBLE) / l, 4) AS top_ngram_frac
+         FROM c GROUP BY doc_id, l ORDER BY doc_id""",
+
+    // same tf·ln(N/df) weights; dot/norm terms on the 9-grid in DECIMAL
+    "q123_tfidf_cosine" ->
+      """WITH tok AS (
+           SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS tk
+           FROM documents),
+         pairs AS (SELECT doc_id, unnest(tk) AS token FROM tok),
+         tfs AS (SELECT doc_id, token, CAST(count(*) AS DOUBLE) AS tf
+                 FROM pairs GROUP BY doc_id, token),
+         dfs AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tfs GROUP BY token),
+         n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM tok),
+         w AS (SELECT doc_id, token, tf * ln(n.n / df) AS w
+               FROM tfs JOIN dfs USING (token) CROSS JOIN n),
+         q AS (SELECT token, w AS wq FROM w WHERE doc_id = 0),
+         dots AS (
+           SELECT w.doc_id, sum(CAST(round(w.w * q.wq, 9) AS DECIMAL(28,9))) AS dot
+           FROM w JOIN q USING (token) WHERE w.doc_id <> 0 GROUP BY w.doc_id),
+         norms AS (
+           SELECT doc_id, sum(CAST(round(w * w, 9) AS DECIMAL(28,9))) AS n2
+           FROM w WHERE doc_id IN (SELECT doc_id FROM dots) GROUP BY doc_id),
+         qn AS (SELECT sum(CAST(round(wq * wq, 9) AS DECIMAL(28,9))) AS qn2 FROM q)
+         SELECT d.doc_id AS doc_id,
+           round(CAST(d.dot AS DOUBLE) /
+             (sqrt(CAST(m.n2 AS DOUBLE)) * sqrt(CAST(qn.qn2 AS DOUBLE))), 4) AS cosine
+         FROM dots d JOIN norms m USING (doc_id) CROSS JOIN qn
+         ORDER BY cosine DESC, doc_id ASC LIMIT 20""",
+
+    // same λ-interpolated MLE mixture, same 9-grid DECIMAL accumulation
+    "q124_trigram_xent" ->
+      """WITH tok AS (
+           SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS tk
+           FROM documents),
+         tg AS (
+           SELECT doc_id, tk[i] AS w1, tk[i+1] AS w2, tk[i+2] AS w3
+           FROM tok, LATERAL (SELECT unnest(generate_series(1, len(tk) - 2)) AS i) g),
+         c3 AS (SELECT w1, w2, w3, count(*) AS c3 FROM tg GROUP BY w1, w2, w3),
+         c3x AS (SELECT w1, w2, sum(c3) AS c3x FROM c3 GROUP BY w1, w2),
+         bg AS (
+           SELECT tk[i] AS w2, tk[i+1] AS w3
+           FROM tok, LATERAL (SELECT unnest(generate_series(1, len(tk) - 1)) AS i) g),
+         c2 AS (SELECT w2, w3, count(*) AS c2 FROM bg GROUP BY w2, w3),
+         c2x AS (SELECT w2, sum(c2) AS c2x FROM c2 GROUP BY w2),
+         c1 AS (SELECT u.t AS w3, count(*) AS c1
+                FROM (SELECT unnest(tk) AS t FROM tok) u GROUP BY u.t),
+         tt AS (SELECT count(*) AS t FROM (SELECT unnest(tk) AS t FROM tok) u),
+         scored AS (
+           SELECT g.doc_id AS doc_id,
+             0.6 * (CAST(c3.c3 AS DOUBLE) / c3x.c3x) +
+             0.3 * (CAST(c2.c2 AS DOUBLE) / c2x.c2x) +
+             0.1 * (CAST(c1.c1 AS DOUBLE) / tt.t) AS p
+           FROM tg g
+           JOIN c3 USING (w1, w2, w3) JOIN c3x USING (w1, w2)
+           JOIN c2 USING (w2, w3) JOIN c2x USING (w2)
+           JOIN c1 USING (w3) CROSS JOIN tt)
+         SELECT doc_id,
+           round(CAST(sum(CAST(round(-ln(p), 9) AS DECIMAL(28,9))) AS DOUBLE) / count(*), 4) AS xent3,
+           count(*) AS n_trigrams
+         FROM scored GROUP BY doc_id ORDER BY doc_id""",
+
+    // float32 → double widening is exact in both engines; 9-grid DECIMAL
+    // per-dim sums as in the engine's dimMeans
+    "q125_group_centroid" ->
+      """WITH e AS (
+           SELECT vec_id % 4 AS grp, embedding FROM embeddings
+           WHERE embedding IS NOT NULL)
+         SELECT grp, CAST(i AS BIGINT) AS dim,
+           round(CAST(sum(CAST(round(CAST(embedding[CAST(i AS INT)] AS DOUBLE), 9) AS DECIMAL(28,9))) AS DOUBLE) / count(*), 6) AS mean
+         FROM e, generate_series(1, 64) AS g(i)
+         GROUP BY grp, i ORDER BY grp, dim""",
+
+    "q126_length_histogram" ->
+      """WITH tok AS (
+           SELECT source, CAST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS BIGINT) AS l
+           FROM documents)
+         SELECT source, l // 8 AS bin, (l // 8) * 8 AS bin_lo,
+           CAST(count(*) AS BIGINT) AS n_docs
+         FROM tok GROUP BY source, l // 8 ORDER BY source, bin""",
+
+    // same double-widened factor order: (c·N) / (ca·cb)
+    "q127_collocations" ->
+      """WITH tok AS (
+           SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS tk
+           FROM documents),
+         bg AS (
+           SELECT tk[i] AS prev, tk[i+1] AS cur
+           FROM tok, LATERAL (SELECT unnest(generate_series(1, len(tk) - 1)) AS i) g),
+         cbg AS (SELECT prev, cur, count(*) AS c FROM bg GROUP BY prev, cur),
+         ca AS (SELECT prev, sum(c) AS ca FROM cbg GROUP BY prev),
+         cb AS (SELECT cur, sum(c) AS cb FROM cbg GROUP BY cur),
+         tot AS (SELECT count(*) AS t FROM bg)
+         SELECT b.prev AS prev, b.cur AS cur, CAST(b.c AS BIGINT) AS n,
+           round(ln((CAST(b.c AS DOUBLE) * CAST(tot.t AS DOUBLE)) /
+             (CAST(ca.ca AS DOUBLE) * CAST(cb.cb AS DOUBLE))), 4) AS pmi
+         FROM cbg b JOIN ca USING (prev) JOIN cb USING (cur) CROSS JOIN tot
+         WHERE b.c >= 5
+         ORDER BY pmi DESC, prev, cur LIMIT 30""",
 
     "q115_negative_sample" ->
       """WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),

@@ -165,4 +165,25 @@ object VectorFunctions {
     dotI.cast("double") /
       nullif(sqrt(na.cast("double")) * sqrt(nb.cast("double")), lit(0.0))
   }
+
+  /** Per-group mean embedding (centroid) in EXPLODED pair-table form:
+    * (groupCol, dim, mean) — group centroids for source profiling,
+    * class prototypes, or seeding [[graft.operators.KMeans]]. Unlike the
+    * k-means UDAF path (throughput-oriented double accumulation), this
+    * form is ORACLE-EXACT: each element rounds to the 9-decimal grid and
+    * accumulates in DECIMAL, so the mean is partition-order independent
+    * (the q73 discipline). Null vectors drop; `dim` is 1-based.
+    *
+    * Scale shape: posexplode is a narrow expansion; one shuffle on
+    * (group, dim) with map-side partial aggregation. The output is
+    * groups × dims rows — collect back to arrays with
+    * `sort_array(collect_list(struct(dim, mean)))` only when a consumer
+    * genuinely needs array form. */
+  def dimMeans(df: DataFrame, groupCol: String, vecCol: String): DataFrame =
+    df.filter(col(vecCol).isNotNull)
+      .select(col(groupCol),
+        posexplode(col(vecCol)).as(Seq("__d0", "__x")))
+      .groupBy(col(groupCol), (col("__d0") + 1).as("dim"))
+      .agg((sum(round(col("__x").cast("double"), 9).cast("decimal(28,9)"))
+        .cast("double") / count(lit(1))).as("mean"))
 }

@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Exact edit-distance (Levenshtein) similarity self-join via symmetric
+  * deletion neighborhoods (the SymSpell family) — the short-string
+  * counterpart of [[SetSimJoin]]: entity/name/title near-match without
+  * an all-pairs comparison.
+  *
+  * Principle: if lev(a, b) <= d then deleting at most d characters from
+  * each side reaches a COMMON string (delete a's surplus/substituted
+  * characters and b's counterparts under any optimal alignment). So an
+  * equi-join on "all strings reachable by <= d deletions" (the deletion
+  * neighborhood, original included) yields a candidate superset with
+  * zero false negatives, and one exact `levenshtein` gate — a
+  * codegen'd builtin — decides membership. No pair outside a shared
+  * neighborhood is ever materialized.
+  *
+  * Scale shape: one narrow projection expands each string into its
+  * <= 1 + n + n·(n-1)/2 + … neighborhood variants (n = length), one
+  * equi-join shuffle keyed by variant, a distinct collapses
+  * multi-variant agreements, then the gate touches candidates only.
+  * Designed for SHORT strings (names, titles, codes: n up to ~50 and
+  * d <= 2) — neighborhood size grows as n^d, which is the documented
+  * trade of the whole SymSpell family; for long-text near-dup use the
+  * shingle/MinHash path instead. Variant blocks behave like
+  * [[SetSimJoin]] prefix blocks: a block of b strings sharing a variant
+  * contributes at most b² candidates — short-string universes keep b
+  * small because a variant pins all but d characters.
+  */
+object EditDistance {
+
+  /** All single-character deletions of `s` (empty array for empty/1-char
+    * handled naturally: "a" → [""], "" → []). */
+  private def deletions(s: Column): Column =
+    when(length(s) <= 0, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), length(s), lit(1)),
+        i => concat(s.substr(lit(1), i - 1), s.substr(i + 1, length(s) - i))))
+
+  /** The deletion neighborhood of `s` up to depth `d`, original
+    * included, duplicates collapsed. */
+  private[graft] def deletionVariants(s: Column, d: Int): Column = {
+    var v = array(s)
+    for (_ <- 1 to d) v = array_distinct(concat(v, flatten(transform(v, deletions(_)))))
+    v
+  }
+
+  /** All pairs (id_a < id_b) with levenshtein(strCol_a, strCol_b) <=
+    * `maxDist`. Null strings never pair. Output: (id_a, id_b, dist). */
+  def levenshteinSelfJoin(df: DataFrame, idCol: String, strCol: String,
+                          maxDist: Int): DataFrame = {
+    require(maxDist >= 1, s"maxDist must be >= 1, got $maxDist")
+    val base = df.select(col(idCol).as("__eid"), col(strCol).as("__str"))
+      .filter(col("__str").isNotNull)
+    val vars = base.select(col("__eid"), col("__str"),
+      explode(deletionVariants(col("__str"), maxDist)).as("__v"))
+    val a = vars.select(col("__eid").as("id_a"), col("__str").as("__sa"),
+      col("__v"))
+    val b = vars.select(col("__eid").as("id_b"), col("__str").as("__sb"),
+      col("__v"))
+    val candidates = a.join(b,
+        a("__v") === b("__v") && col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("__sa"), col("__sb"))
+      .distinct()
+    // exact gate — candidates only, codegen'd builtin
+    candidates
+      .withColumn("dist", levenshtein(col("__sa"), col("__sb")).cast("long"))
+      .filter(col("dist") <= maxDist)
+      .select(col("id_a"), col("id_b"), col("dist"))
+  }
+
+  /** Brute-force all-pairs reference (O(n²) — tests and tiny frames
+    * ONLY). Same output contract as [[levenshteinSelfJoin]]. */
+  private[graft] def bruteForce(df: DataFrame, idCol: String, strCol: String,
+                                maxDist: Int): DataFrame = {
+    val s = df.select(col(idCol).as("__eid"), col(strCol).as("__str"))
+      .filter(col("__str").isNotNull)
+    val a = s.select(col("__eid").as("id_a"), col("__str").as("__sa"))
+    val b = s.select(col("__eid").as("id_b"), col("__str").as("__sb"))
+    a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .withColumn("dist", levenshtein(col("__sa"), col("__sb")).cast("long"))
+      .filter(col("dist") <= maxDist)
+      .select(col("id_a"), col("id_b"), col("dist"))
+  }
+}

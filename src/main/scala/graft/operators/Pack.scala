@@ -54,4 +54,38 @@ object Pack {
     packed.groupBy(col("shard"), col("seq_id"))
       .agg(count(lit(1)).as("n_starting_docs"),
         sum(col(tokenCountCol)).as("start_tokens"))
+
+  /** Context-window chunking (the RAG/embedding-prep shape): each
+    * document's token sequence splits into windows of `size` tokens
+    * starting every `stride` tokens — consecutive chunks overlap by
+    * `size - stride`, every token lands in at least one chunk, the last
+    * chunk of a doc may be shorter. Empty/whitespace-only docs produce
+    * no chunks. Output: (idCol, chunk_id, n_tokens, chunk_text), one
+    * deterministic row per window.
+    *
+    * Scale shape: a narrow per-row expansion — sequence + posexplode +
+    * slice + concat_ws, all codegen'd builtins, no shuffle at all.
+    * Fan-out is len/stride rows per doc; downstream writers repartition
+    * as they see fit. */
+  def chunkTokens(docs: DataFrame, idCol: String, textCol: String,
+                  size: Int, stride: Int): DataFrame = {
+    require(size > 0, s"size must be positive, got $size")
+    require(stride > 0 && stride <= size,
+      s"stride must be in [1, size], got $stride")
+    docs
+      .select(col(idCol),
+        graft.functions.TextFunctions.tokens(col(textCol)).as("__tk"))
+      .filter(size_(col("__tk")) > 0)
+      .select(col(idCol), col("__tk"),
+        posexplode(sequence(lit(0), size_(col("__tk")) - 1, lit(stride)))
+          .as(Seq("chunk_id", "__start")))
+      .select(col(idCol), col("chunk_id").cast("long").as("chunk_id"),
+        slice(col("__tk"), col("__start") + 1, lit(size)).as("__chunk"))
+      .select(col(idCol), col("chunk_id"),
+        size_(col("__chunk")).cast("long").as("n_tokens"),
+        concat_ws(" ", col("__chunk")).as("chunk_text"))
+  }
+
+  // `size` the parameter shadows functions.size inside chunkTokens
+  private def size_(c: Column): Column = org.apache.spark.sql.functions.size(c)
 }

@@ -39,4 +39,63 @@ object Quality {
     val obs = Observation(name)
     (df.observe(obs, metrics.head, metrics.tail: _*), obs)
   }
+
+  /** Token-length histogram per group: fixed-width bins over each doc's
+    * token count — the corpus-profile view behind length-based quality
+    * cuts (too-short fragments, runaway concatenations). Output:
+    * (groupCols…, bin, bin_lo, n_docs) with bin_lo = bin · binWidth.
+    * One narrow projection + one (group, bin) aggregation. */
+  def lengthHistogram(docs: DataFrame, textCol: String,
+                      groupCols: Seq[String], binWidth: Int): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    val g = groupCols.map(col)
+    docs
+      .select(g :+ size(graft.functions.TextFunctions.tokens(col(textCol)))
+        .cast("long").as("__len"): _*)
+      .groupBy(g :+ floor(col("__len") / binWidth).as("bin"): _*)
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("bin_lo", col("bin") * binWidth)
+      .select(g ++ Seq(col("bin"), col("bin_lo"), col("n_docs")): _*)
+  }
+
+  /** Within-document repetition signals (the Gopher-repetition family of
+    * pre-training quality filters, token-level): for each doc with at
+    * least `n` tokens,
+    *
+    *  - `dup_ngram_frac` = 1 − distinct n-grams / total n-grams — the
+    *    share of n-gram slots occupied by a repeat (0 = no repetition);
+    *  - `top_ngram_frac` = occurrences-of-most-frequent-n-gram × n /
+    *    token count — the share of tokens attributable to the single
+    *    most repeated n-gram (loops/boilerplate push this toward 1).
+    *
+    * Both are ratios of small integers, so the doubles are
+    * engine-exact. Output: (idCol, dup_ngram_frac, top_ngram_frac).
+    *
+    * Scale shape: one narrow n-gram expansion (sequence + explode +
+    * slice + concat_ws, codegen'd), one (doc, gram) count with map-side
+    * partial aggregation, one per-doc roll-up — two shuffles keyed by
+    * doc-sized groups, nothing corpus-wide. */
+  def repetitionSignals(docs: DataFrame, idCol: String, textCol: String,
+                        n: Int): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val tk = graft.functions.TextFunctions.tokens(col(textCol))
+    val grams = docs
+      .select(col(idCol), tk.as("__tk"))
+      .filter(size(col("__tk")) >= n)
+      .select(col(idCol), size(col("__tk")).as("__len"),
+        explode(sequence(lit(1), size(col("__tk")) - n + 1, lit(1))).as("__i"),
+        col("__tk"))
+      .select(col(idCol), col("__len"),
+        concat_ws(" ", slice(col("__tk"), col("__i"), lit(n))).as("__gram"))
+    grams
+      .groupBy(col(idCol), col("__len"), col("__gram"))
+      .agg(count(lit(1)).as("__cnt"))
+      .groupBy(col(idCol), col("__len"))
+      .agg(
+        (lit(1.0) - count(lit(1)).cast("double") / sum(col("__cnt")))
+          .as("dup_ngram_frac"),
+        (max(col("__cnt")).cast("double") * n / col("__len").cast("double"))
+          .as("top_ngram_frac"))
+      .select(col(idCol), col("dup_ngram_frac"), col("top_ngram_frac"))
+  }
 }

@@ -149,16 +149,35 @@ object TextIndex {
   def tokenBucket(term: String, numBuckets: Int): Int =
     (((tokenHash(term) % numBuckets) + numBuckets) % numBuckets).toInt
 
-  private case class IndexMeta(numBuckets: Int, nDocs: Long, sumDl: Long)
+  private[graft] case class IndexMeta(numBuckets: Int, nDocs: Long,
+                                      sumDl: Long, batches: Seq[Long])
 
-  private def readMeta(spark: SparkSession, store: String): IndexMeta = {
+  private[graft] def readMeta(spark: SparkSession, store: String): IndexMeta = {
     val fs = fsOf(spark, store)
     val in = fs.open(hPath(metaPath(store)))
     val parts =
       try new String(in.readAllBytes(),
         java.nio.charset.StandardCharsets.UTF_8).trim.split("\\s+")
       finally in.close()
-    IndexMeta(parts(0).toInt, parts(1).toLong, parts(2).toLong)
+    IndexMeta(parts(0).toInt, parts(1).toLong, parts(2).toLong,
+      parts.drop(3).map(_.toLong).toSeq)
+  }
+
+  /** The marker is the index MANIFEST: bucket modulus, exact corpus
+    * stats, and the list of visible ingest batches. It is replaced
+    * atomically (tmp + rename), LAST in every write path — data a crash
+    * leaves behind without a manifest entry is invisible to readers and
+    * gets overwritten convergently on replay. */
+  private def writeMeta(spark: SparkSession, store: String, m: IndexMeta): Unit = {
+    val fs = fsOf(spark, store)
+    val tmp = hPath(metaPath(store) + "__tmp")
+    val out = fs.create(tmp, true)
+    try out.write(
+      s"${m.numBuckets} ${m.nDocs} ${m.sumDl} ${m.batches.mkString(" ")}"
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    if (fs.exists(hPath(metaPath(store)))) fs.delete(hPath(metaPath(store)), false)
+    fs.rename(tmp, hPath(metaPath(store)))
   }
 
   /** True once the meta marker is durable. The marker is written LAST on
@@ -169,16 +188,19 @@ object TextIndex {
 
   /** Build and persist the inverted index of `docs` at `store`:
     *
-    *  - `<store>/postings/tb=<b>/…` — (token, doc_id, tf, positions)
-    *    partitioned by `tb = pmod(xxhash64(token), numBuckets)`, so a
-    *    query term's read is a PARTITION-PRUNED scan of its one bucket;
-    *  - `<store>/lens/…` — (doc_id, dl) token counts, the narrow side
-    *    table BM25 needs for length normalization;
-    *  - `<store>/_graft_index_meta` — `numBuckets nDocs sumDl`, written
-    *    LAST: it pins the bucket modulus for every later read (a
-    *    mismatched modulus would silently prune the wrong directories)
-    *    and carries the exact corpus stats (docs, total tokens) so
-    *    query-time scoring touches no corpus-wide aggregation at all.
+    *  - `<store>/postings/ab=<batch>/tb=<b>/…` — (token, doc_id, tf,
+    *    positions) partitioned by ingest batch and by
+    *    `tb = pmod(xxhash64(token), numBuckets)`, so a query term's read
+    *    is a PARTITION-PRUNED scan of its one bucket per visible batch;
+    *  - `<store>/lens/ab=<batch>/…` — (doc_id, dl) token counts, the
+    *    narrow side table BM25 needs for length normalization;
+    *  - `<store>/_graft_index_meta` — `numBuckets nDocs sumDl batches…`,
+    *    written LAST: it pins the bucket modulus for every later read (a
+    *    mismatched modulus would silently prune the wrong directories),
+    *    carries the exact corpus stats (docs, total tokens) so
+    *    query-time scoring touches no corpus-wide aggregation, and
+    *    MANIFESTS the visible batches — grow the index with
+    *    [[appendToIndex]], never by writing files.
     *
     * Rebuild-in-place is safe: the marker is deleted first, so readers
     * racing a rebuild see "absent", never half-written data. Single
@@ -190,42 +212,85 @@ object TextIndex {
     val spark = docs.sparkSession
     val fs = fsOf(spark, store)
     if (fs.exists(hPath(metaPath(store)))) fs.delete(hPath(metaPath(store)), false)
-    postings(docs, idCol, textCol)
-      .withColumn("tb",
-        pmod(xxhash64(col("token")), lit(numBuckets.toLong)).cast("int"))
-      .write.partitionBy("tb").mode("overwrite").parquet(postingsPath(store))
+    Seq(postingsPath(store), lensPath(store)).foreach { d =>
+      if (fs.exists(hPath(d))) fs.delete(hPath(d), true)
+    }
+    val (nDocs, sumDl) = writeBatch(docs, idCol, textCol, store, numBuckets, 0L)
+    writeMeta(spark, store, IndexMeta(numBuckets, nDocs, sumDl, Seq(0L)))
+  }
+
+  /** One batch's postings + lens land under `ab=<batchId>` via DYNAMIC
+    * partition overwrite — a replayed crashed write recomputes the same
+    * rows and overwrites its own partitions, converging. Returns the
+    * batch's (docs, tokens) counts. */
+  private def writeBatch(docs: DataFrame, idCol: String, textCol: String,
+                         store: String, numBuckets: Int,
+                         batchId: Long): (Long, Long) = {
+    graft.sources.Sinks.overwritePartitions(
+      postings(docs, idCol, textCol)
+        .withColumn("ab", lit(batchId))
+        .withColumn("tb",
+          pmod(xxhash64(col("token")), lit(numBuckets.toLong)).cast("int")),
+      postingsPath(store), Seq("ab", "tb"))
     val lens = docs.select(col(idCol).as("doc_id"),
       size(TF.tokens(col(textCol))).as("dl"))
-    lens.write.mode("overwrite").parquet(lensPath(store))
-    // exact corpus stats ride in the marker (one tiny agg at build time)
-    val Array(nDocs, sumDl) = lens
+    graft.sources.Sinks.overwritePartitions(
+      lens.withColumn("ab", lit(batchId)), lensPath(store), Seq("ab"))
+    // exact batch stats ride into the manifest (one tiny agg per batch)
+    val row = lens
       .agg(count(lit(1)), coalesce(sum(col("dl").cast("long")), lit(0L)))
-      .collect().head.toSeq.map(_.asInstanceOf[Long]).toArray
-    val out = fs.create(hPath(metaPath(store)), true) // LAST — see indexExists
-    try out.write(s"$numBuckets $nDocs $sumDl"
-      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
+      .collect().head
+    (row.getLong(0), row.getLong(1))
+  }
+
+  /** Append a new document batch to a persisted index — the incremental
+    * ingest path (the [[graft.operators.Dedup.dedupAgainstStore]] shape
+    * for retrieval): work is O(batch), never a rebuild. `batchId` is the
+    * idempotency key — an id already in the manifest is a completed
+    * replay and the call is a no-op; a crash anywhere before the final
+    * manifest swap leaves the batch invisible, and the retried call
+    * dynamically overwrites its own `ab=<batchId>` partitions with the
+    * same deterministic rows. Caller owns id disjointness across batches
+    * (same contract as the dedup store). Single writer per store path. */
+  def appendToIndex(docs: DataFrame, idCol: String, textCol: String,
+                    store: String, batchId: Long): Unit = {
+    val spark = docs.sparkSession
+    require(indexExists(spark, store),
+      s"no persisted index at $store — build one with persistPostings first")
+    val meta = readMeta(spark, store)
+    if (meta.batches.contains(batchId)) return // completed replay
+    val (nDocs, sumDl) =
+      writeBatch(docs, idCol, textCol, store, meta.numBuckets, batchId)
+    writeMeta(spark, store, meta.copy(nDocs = meta.nDocs + nDocs,
+      sumDl = meta.sumDl + sumDl, batches = meta.batches :+ batchId))
   }
 
   /** Postings rows of `terms` only — `tb` is a partition column, so the
     * IN-filter is partition pruning (only the terms' bucket directories
-    * are listed into the scan); the exact token filter then drops the
-    * buckets' other tokens at the scan (parquet pushdown). */
+    * are listed into the scan, per visible batch); the exact token
+    * filter then drops the buckets' other tokens at the scan (parquet
+    * pushdown). Only manifested batches are read: orphans of a crashed
+    * append do not exist to queries. */
   def readPostings(spark: SparkSession, store: String,
                    terms: Seq[String]): DataFrame = {
     require(terms.nonEmpty, "terms must be non-empty")
     require(indexExists(spark, store), s"no persisted index at $store")
-    val n = readMeta(spark, store).numBuckets
-    val buckets = terms.map(tokenBucket(_, n)).distinct
+    val meta = readMeta(spark, store)
+    val buckets = terms.map(tokenBucket(_, meta.numBuckets)).distinct
     spark.read.parquet(postingsPath(store))
-      .filter(col("tb").isin(buckets: _*) && col("token").isin(terms.distinct: _*))
+      .filter(col("ab").isin(meta.batches: _*) &&
+        col("tb").isin(buckets: _*) && col("token").isin(terms.distinct: _*))
       .select("token", "doc_id", "tf", "positions")
   }
 
-  /** Per-document token counts of the persisted corpus. */
+  /** Per-document token counts of the persisted corpus (manifested
+    * batches only). */
   def readLens(spark: SparkSession, store: String): DataFrame = {
     require(indexExists(spark, store), s"no persisted index at $store")
-    spark.read.parquet(lensPath(store)).select("doc_id", "dl")
+    val meta = readMeta(spark, store)
+    spark.read.parquet(lensPath(store))
+      .filter(col("ab").isin(meta.batches: _*))
+      .select("doc_id", "dl")
   }
 
   /** BM25 over a PERSISTED index — same scores as [[bm25]] on the
@@ -282,5 +347,73 @@ object TextIndex {
           .drop(s"__pos$i")
     }
     matched.groupBy(col("doc_id")).agg(count(lit(1)).as("n_occurrences"))
+  }
+
+  /** TF-IDF weights as a PAIR TABLE — (doc_id, token, w) with
+    * w = tf · ln(N / df): the distributed form of sparse document
+    * vectors (a 100 TB corpus's vocabulary-dimensional vectors never
+    * materialize as arrays; the pair table IS the matrix, shuffled once
+    * on (doc, token) and once on token for df). */
+  def tfidf(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val pairs = docs
+      .select(col(idCol).as("doc_id"),
+        explode(TF.tokens(col(textCol))).as("token"))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("__tf"))
+    val dfs = pairs.groupBy(col("token")).agg(count(lit(1)).as("__df"))
+    val n = docs.agg(count(lit(1)).as("__n"))
+    pairs.join(dfs, "token").crossJoin(broadcast(n))
+      .select(col("doc_id"), col("token"),
+        (col("__tf").cast("double") *
+          log(col("__n").cast("double") / col("__df"))).as("w"))
+  }
+
+  /** Cosine similarity of every document against one query document,
+    * over [[tfidf]] pair-table vectors: (doc_id, cosine), query doc
+    * excluded. Candidates are docs SHARING a token with the query (all
+    * others have cosine 0 and are omitted) — the query's pair rows
+    * broadcast, the dot product is one semi-bounded join, and norms are
+    * computed for candidate docs only (one narrow agg after a semi-join,
+    * never the corpus). Dot/norm terms round to the 9-decimal grid and
+    * accumulate in DECIMAL (the q73 discipline) so results are
+    * partition-order independent and oracle-exact. */
+  def tfidfCosineToDoc(weights: DataFrame, queryDocId: Long): DataFrame = {
+    val q = weights.filter(col("doc_id") === queryDocId)
+      .select(col("token"), col("w").as("__wq"))
+    val dec = (c: Column) => round(c, 9).cast("decimal(28,9)")
+    val qNorm = q.agg(sum(dec(col("__wq") * col("__wq"))).as("__qn2"))
+    val dots = weights.filter(col("doc_id") =!= queryDocId)
+      .join(broadcast(q), "token")
+      .groupBy(col("doc_id"))
+      .agg(sum(dec(col("w") * col("__wq"))).as("__dot"))
+    val norms = weights
+      .join(dots.select(col("doc_id")), Seq("doc_id"), "left_semi")
+      .groupBy(col("doc_id"))
+      .agg(sum(dec(col("w") * col("w"))).as("__n2"))
+    dots.join(norms, "doc_id").crossJoin(broadcast(qNorm))
+      .select(col("doc_id"),
+        (col("__dot").cast("double") /
+          (sqrt(col("__n2").cast("double")) * sqrt(col("__qn2").cast("double"))))
+          .as("cosine"))
+  }
+
+  /** Documents where two distinct terms co-occur within `window` tokens
+    * (unordered), with the count of close position pairs — the proximity
+    * relaxation of [[phraseMatch]]. Postings-only like phraseMatch: both
+    * terms' position lists join by doc_id (candidate docs only — docs
+    * holding both terms), then the pair explode is bounded by the
+    * per-doc tf product. Output: (doc_id, n_close_pairs). */
+  def proximityMatch(post: DataFrame, termA: String, termB: String,
+                     window: Int): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    require(termA != termB, "terms must be distinct (a term is trivially near itself)")
+    val pa = post.filter(col("token") === termA)
+      .select(col("doc_id"), explode(col("positions")).as("__pa"))
+    val pb = post.filter(col("token") === termB)
+      .select(col("doc_id"), col("positions").as("__pbs"))
+    pa.join(pb, "doc_id")
+      .select(col("doc_id"), col("__pa"), explode(col("__pbs")).as("__pb"))
+      .filter(abs(col("__pb") - col("__pa")) <= window)
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_close_pairs"))
   }
 }

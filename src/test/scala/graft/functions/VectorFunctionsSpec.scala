@@ -81,4 +81,18 @@ class VectorFunctionsSpec extends SparkSpec {
     assert(rows.nonEmpty)
     assert(rows.forall { case (a, b, _) => a != b })
   }
+
+  test("dimMeans: per-group per-dimension means, exact; null vectors drop") {
+    val df = Seq(
+      ("a", Some(Seq(1.0, 2.0, 3.0))),
+      ("a", Some(Seq(3.0, 2.0, 1.0))),
+      ("b", Some(Seq(10.0, 0.0, -4.0))),
+      ("b", None)).toDF("grp", "v")
+    val out = VectorFunctions.dimMeans(df, "grp", "v")
+      .as[(String, Int, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(out == Map(
+      ("a", 1) -> 2.0, ("a", 2) -> 2.0, ("a", 3) -> 2.0,
+      ("b", 1) -> 10.0, ("b", 2) -> 0.0, ("b", 3) -> -4.0))
+  }
 }

@@ -63,4 +63,30 @@ class PackSpec extends SparkSpec {
       Pack.sequencePack(docs, "doc_id", "n_tok", capacity = 10, numShards = 0)
     }
   }
+
+  test("chunkTokens: overlapping windows cover every token; last chunk short") {
+    val docs = Seq(
+      (1L, "t1 t2 t3 t4 t5 t6 t7"),     // 7 tokens
+      (2L, "a b"),                       // shorter than one window
+      (3L, "   "),                       // whitespace-only: no chunks
+      (4L, "x")).toDF("doc_id", "text")
+    val out = Pack.chunkTokens(docs, "doc_id", "text", size = 4, stride = 2)
+      .as[(Long, Long, Long, String)].collect().toSet
+    assert(out == Set(
+      (1L, 0L, 4L, "t1 t2 t3 t4"),
+      (1L, 1L, 4L, "t3 t4 t5 t6"),
+      (1L, 2L, 3L, "t5 t6 t7"),
+      (1L, 3L, 1L, "t7"),
+      (2L, 0L, 2L, "a b"),
+      (4L, 0L, 1L, "x")))
+    // non-overlapping stride = size: exact partition of the stream
+    val flat = Pack.chunkTokens(docs.filter($"doc_id" === 1), "doc_id", "text",
+        size = 3, stride = 3)
+      .as[(Long, Long, Long, String)].collect().sortBy(_._2).toSeq
+    assert(flat == Seq((1L, 0L, 3L, "t1 t2 t3"), (1L, 1L, 3L, "t4 t5 t6"),
+      (1L, 2L, 1L, "t7")))
+    intercept[IllegalArgumentException] {
+      Pack.chunkTokens(docs, "doc_id", "text", size = 4, stride = 5)
+    }
+  }
 }

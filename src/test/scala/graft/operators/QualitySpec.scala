@@ -31,4 +31,54 @@ class QualitySpec extends SparkSpec {
     assert(obs.get("out_of_range") == 2L && obs.get("n") == 3L)
     assert(spark.read.parquet(out).count() == 3, "data landed unchanged")
   }
+
+  test("lengthHistogram: fixed-width bins per group; empty docs land in bin 0") {
+    val docs = Seq(
+      ("web", "a b c"), ("web", "a b c d e"), ("web", "a"),
+      ("book", (1 to 12).map(i => s"t$i").mkString(" ")),
+      ("web", "")).toDF("source", "text")
+    val out = Quality.lengthHistogram(docs, "text", Seq("source"), binWidth = 4)
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(out == Set(
+      ("web", 0L, 0L, 3L),   // lengths 3, 1, 0
+      ("web", 1L, 4L, 1L),   // length 5
+      ("book", 3L, 12L, 1L)) // length 12 → bin [12, 16)
+    )
+    intercept[IllegalArgumentException] {
+      Quality.lengthHistogram(docs, "text", Seq("source"), binWidth = 0)
+    }
+  }
+
+  test("repetitionSignals matches an independent reference; repetitive docs score high") {
+    val docs = Seq(
+      (1L, "buy now buy now buy now buy now"),        // heavy loop
+      (2L, "the quick brown fox jumps over the dog"), // all bigrams distinct
+      (3L, "a a a a a a"),                            // one repeated bigram
+      (4L, "x"),                                      // shorter than n: no row
+      (5L, "p q p q r")).toDF("doc_id", "text")
+    val out = Quality.repetitionSignals(docs, "doc_id", "text", n = 2)
+      .as[(Long, Double, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+
+    // independent reference: plain Scala over the same strings
+    val ref = Map(
+      1L -> "buy now buy now buy now buy now",
+      2L -> "the quick brown fox jumps over the dog",
+      3L -> "a a a a a a",
+      5L -> "p q p q r").map { case (id, s) =>
+      val tk = s.split("\\s+").toSeq
+      val grams = tk.sliding(2).map(_.mkString(" ")).toSeq
+      val counts = grams.groupBy(identity).map(_._2.size)
+      id -> (1.0 - counts.size.toDouble / grams.size,
+        counts.max.toDouble * 2 / tk.length)
+    }
+    assert(out.keySet == ref.keySet, "doc 4 (1 token) must produce no row")
+    ref.foreach { case (id, (dup, top)) =>
+      assert(math.abs(out(id)._1 - dup) < 1e-15, s"dup_ngram_frac doc $id")
+      assert(math.abs(out(id)._2 - top) < 1e-15, s"top_ngram_frac doc $id")
+    }
+    // the loop doc dominates both signals; the distinct doc floors them
+    assert(out(1L)._1 > 0.5 && out(2L)._1 == 0.0)
+    assert(out(1L)._2 > out(5L)._2 && out(3L)._2 > 0.9)
+  }
 }

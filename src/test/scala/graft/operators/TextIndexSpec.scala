@@ -127,6 +127,42 @@ class TextIndexSpec extends SparkSpec {
     }
   }
 
+  test("appendToIndex: incremental batches score identically to a full rebuild") {
+    val store = java.nio.file.Files.createTempDirectory("postings").toString + "/idx"
+    val all = (1 to 80).map(i =>
+      (i.toLong, s"common filler text spark t$i u$i w${i % 7}")).toDF("doc_id", "text")
+    val base = all.filter($"doc_id" <= 40)
+    val batch = all.filter($"doc_id" > 40)
+    TextIndex.persistPostings(base, "doc_id", "text", store, numBuckets = 8)
+    TextIndex.appendToIndex(batch, "doc_id", "text", store, batchId = 1L)
+
+    val q = Seq("spark", "t3", "u57")
+    val direct = TextIndex.bm25(all, "doc_id", "text", q)
+      .as[(Long, Double)].collect().toMap
+    val indexed = TextIndex.bm25FromIndex(spark, store, q)
+      .as[(Long, Double)].collect().toMap
+    assert(indexed.keySet == direct.keySet && indexed.size == 80)
+    direct.foreach { case (id, s) =>
+      assert(math.abs(indexed(id) - s) < 1e-12, s"doc $id")
+    }
+
+    // replaying a completed batch is a no-op (idempotency key: batchId)
+    TextIndex.appendToIndex(batch, "doc_id", "text", store, batchId = 1L)
+    assert(TextIndex.readMeta(spark, store).nDocs == 80)
+    assert(TextIndex.bm25FromIndex(spark, store, q)
+      .as[(Long, Double)].collect().toMap == indexed)
+
+    // un-manifested data (a crashed append's orphan) is invisible
+    all.filter($"doc_id" === 1L)
+      .select(lit("spark").as("token"), $"doc_id", lit(999L).as("tf"),
+        array(lit(1)).as("positions"), lit(7L).as("ab"),
+        lit(TextIndex.tokenBucket("spark", 8)).as("tb"))
+      .write.mode("append").partitionBy("ab", "tb").parquet(store + "/postings")
+    val afterOrphan = TextIndex.readPostings(spark, store, Seq("spark"))
+      .filter($"tf" === 999L).count()
+    assert(afterOrphan == 0, "orphan batch rows must not be readable")
+  }
+
   test("phraseMatch: consecutive positions only, with occurrence counts") {
     val corpus = Seq(
       (1L, "new york city is the new york of cities"),
@@ -152,6 +188,70 @@ class TextIndexSpec extends SparkSpec {
       TextIndex.readPostings(spark, store, Seq("new", "york")), Seq("new", "york"))
       .as[(Long, Long)].collect().toMap
     assert(viaStore == Map(1L -> 2L, 4L -> 1L))
+  }
+
+  test("tfidf + cosine-to-doc match an independent reference; no shared token → no row") {
+    val corpus = Map(
+      1L -> "spark window merge spark",
+      2L -> "window table row",
+      3L -> "spark spark spark",
+      4L -> "nothing shared here")
+    val cdf = corpus.toSeq.toDF("doc_id", "text")
+    val n = corpus.size.toDouble
+    val dfs = corpus.values.flatMap(_.split(" ").distinct).toSeq
+      .groupBy(identity).view.mapValues(_.size.toDouble).toMap
+    def vec(s: String): Map[String, Double] =
+      s.split(" ").toSeq.groupBy(identity).map { case (t, o) =>
+        t -> o.size * math.log(n / dfs(t))
+      }
+
+    val w = TextIndex.tfidf(cdf, "doc_id", "text")
+    val got = w.as[(Long, String, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    corpus.foreach { case (id, s) =>
+      vec(s).foreach { case (t, x) =>
+        assert(math.abs(got((id, t)) - x) < 1e-12, s"w($id, $t)")
+      }
+    }
+    assert(got.size == corpus.values.map(_.split(" ").distinct.size).sum)
+
+    def grid9(x: Double) =
+      BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    def cosRef(a: Map[String, Double], b: Map[String, Double]): Double = {
+      val dot = a.keySet.intersect(b.keySet).toSeq.sorted
+        .map(t => grid9(a(t) * b(t))).sum
+      (dot.toDouble / (math.sqrt(a.values.toSeq.sorted.map(x => grid9(x * x)).sum.toDouble) *
+        math.sqrt(b.values.toSeq.sorted.map(x => grid9(x * x)).sum.toDouble)))
+    }
+    val cos = TextIndex.tfidfCosineToDoc(w, queryDocId = 1L)
+      .as[(Long, Double)].collect().toMap
+    // doc 4 shares no token with doc 1: absent, not zero
+    assert(cos.keySet == Set(2L, 3L))
+    Seq(2L, 3L).foreach { id =>
+      val ref = cosRef(vec(corpus(1L)), vec(corpus(id)))
+      assert(math.abs(cos(id) - ref) < 1e-9, s"cos(1, $id): ${cos(id)} vs $ref")
+    }
+    // doc 3 (pure spark) beats doc 2 (one shared common term)
+    assert(cos(3L) > cos(2L))
+  }
+
+  test("proximityMatch: unordered window co-occurrence with pair counts") {
+    val corpus = Seq(
+      (1L, "spark is a fast engine and merge works"),   // spark@1, merge@7: |d|=6
+      (2L, "merge spark"),                              // adjacent, both orders
+      (3L, "spark alone here"),
+      (4L, "spark x x x x x merge spark")               // spark@{1,8}, merge@7
+    ).toDF("doc_id", "text")
+    val post = TextIndex.postings(corpus, "doc_id", "text")
+    def prox(w: Int) = TextIndex.proximityMatch(post, "spark", "merge", w)
+      .as[(Long, Long)].collect().toMap
+    // window 1: only adjacency — doc 2 (|1-2|=1) and doc 4 (|8-7|=1)
+    assert(prox(1) == Map(2L -> 1L, 4L -> 1L))
+    // window 6: doc 1 joins (|1-7|=6); doc 4 now has both spark positions
+    assert(prox(6) == Map(1L -> 1L, 2L -> 1L, 4L -> 2L))
+    intercept[IllegalArgumentException] {
+      TextIndex.proximityMatch(post, "spark", "spark", 3)
+    }
   }
 
   test("rrfFuse topM prunes each candidate list before ranking") {
