@@ -51,6 +51,13 @@ object EditDistance {
   def levenshteinSelfJoin(df: DataFrame, idCol: String, strCol: String,
                           maxDist: Int): DataFrame = {
     require(maxDist >= 1, s"maxDist must be >= 1, got $maxDist")
+    // deletionVariants references the accumulated expression twice per
+    // depth, so the Catalyst tree grows ~2^d — and the neighborhood itself
+    // grows n^d. Both are the documented short-string design envelope
+    // (d <= 2 typical); fail fast instead of pathological codegen.
+    require(maxDist <= 3, s"maxDist must be <= 3, got $maxDist — the " +
+      "deletion-neighborhood design is for short strings and small d; " +
+      "for long-text near-dup use the shingle/MinHash path")
     val base = df.select(col(idCol).as("__eid"), col(strCol).as("__str"))
       .filter(col("__str").isNotNull)
     val vars = base.select(col("__eid"), col("__str"),

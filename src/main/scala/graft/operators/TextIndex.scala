@@ -126,13 +126,33 @@ object TextIndex {
 
   private def postingsPath(store: String) = store + "/postings"
   private def lensPath(store: String)     = store + "/lens"
-  private def metaPath(store: String)     = store + "/_graft_index_meta"
+  private def metaPrefix(store: String)   = store + "/_graft_index_meta"
 
   private def fsOf(spark: SparkSession, path: String) =
     new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   private def hPath(s: String) = new org.apache.hadoop.fs.Path(s)
+
+  /** Manifest marker files present at `store`, as (version, path),
+    * ascending. The manifest is VERSIONED (`_graft_index_meta.<n>`):
+    * a swap writes version n+1 first and deletes n second, so there is
+    * never an instant with zero visible manifests — a crash (or a reader
+    * racing a writer) between the two steps sees both and picks the
+    * highest. (The earlier delete-then-rename single file had a window
+    * where the whole index read as absent — ADVICE r7.) */
+  private def markerVersions(fs: org.apache.hadoop.fs.FileSystem,
+                             store: String): Seq[(Long, org.apache.hadoop.fs.Path)] = {
+    val dir = hPath(store)
+    if (!fs.exists(dir)) return Seq.empty
+    val prefix = "_graft_index_meta."
+    fs.listStatus(dir).toSeq.flatMap { s =>
+      val name = s.getPath.getName
+      if (s.isFile && name.startsWith(prefix) && !name.endsWith("__tmp"))
+        name.stripPrefix(prefix).toLongOption.map(_ -> s.getPath)
+      else None
+    }.sortBy(_._1)
+  }
 
   /** xxhash64 (Spark's builtin, seed 42) of a term, evaluated driver-side
     * so the read path computes the SAME bucket the write path's
@@ -152,9 +172,13 @@ object TextIndex {
   private[graft] case class IndexMeta(numBuckets: Int, nDocs: Long,
                                       sumDl: Long, batches: Seq[Long])
 
+  /** The HIGHEST-version manifest (see [[markerVersions]] for why more
+    * than one can momentarily exist). */
   private[graft] def readMeta(spark: SparkSession, store: String): IndexMeta = {
     val fs = fsOf(spark, store)
-    val in = fs.open(hPath(metaPath(store)))
+    val markers = markerVersions(fs, store)
+    require(markers.nonEmpty, s"no persisted index at $store")
+    val in = fs.open(markers.last._2)
     val parts =
       try new String(in.readAllBytes(),
         java.nio.charset.StandardCharsets.UTF_8).trim.split("\\s+")
@@ -164,27 +188,42 @@ object TextIndex {
   }
 
   /** The marker is the index MANIFEST: bucket modulus, exact corpus
-    * stats, and the list of visible ingest batches. It is replaced
-    * atomically (tmp + rename), LAST in every write path — data a crash
-    * leaves behind without a manifest entry is invisible to readers and
-    * gets overwritten convergently on replay. */
+    * stats, and the list of visible ingest batches. It is written LAST in
+    * every write path — data a crash leaves behind without a manifest
+    * entry is invisible to readers and gets overwritten convergently on
+    * replay. The swap protocol is write-new-version-then-delete-old
+    * (tmp + rename for the new file itself), so readers always see at
+    * least one manifest and [[readMeta]] picks the highest version; a
+    * crash between the two steps just leaves a stale lower version for
+    * the next write to clean up. */
   private def writeMeta(spark: SparkSession, store: String, m: IndexMeta): Unit = {
     val fs = fsOf(spark, store)
-    val tmp = hPath(metaPath(store) + "__tmp")
+    val old = markerVersions(fs, store)
+    val next = old.lastOption.map(_._1 + 1).getOrElse(1L)
+    val dst = hPath(metaPrefix(store) + "." + next)
+    val tmp = hPath(metaPrefix(store) + "." + next + "__tmp")
     val out = fs.create(tmp, true)
     try out.write(
       s"${m.numBuckets} ${m.nDocs} ${m.sumDl} ${m.batches.mkString(" ")}"
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
-    if (fs.exists(hPath(metaPath(store)))) fs.delete(hPath(metaPath(store)), false)
-    fs.rename(tmp, hPath(metaPath(store)))
+    if (!fs.rename(tmp, dst))
+      throw new java.io.IOException(
+        s"rename $tmp -> $dst failed; current manifest is intact")
+    old.foreach { case (_, p) => fs.delete(p, false) } // new version is durable
   }
 
-  /** True once the meta marker is durable. The marker is written LAST on
+  /** Drop every manifest version — the index reads as absent afterwards
+    * (rebuild entry point; data dirs may still hold stale bytes, which
+    * are unreachable without a manifest). */
+  private def clearMarkers(fs: org.apache.hadoop.fs.FileSystem, store: String): Unit =
+    markerVersions(fs, store).foreach { case (_, p) => fs.delete(p, false) }
+
+  /** True once a meta marker is durable. The marker is written LAST on
     * [[persistPostings]]: a crash mid-write leaves the index invisible
     * (the SignatureStore crash-safety contract). */
   def indexExists(spark: SparkSession, store: String): Boolean =
-    fsOf(spark, store).exists(hPath(metaPath(store)))
+    markerVersions(fsOf(spark, store), store).nonEmpty
 
   /** Build and persist the inverted index of `docs` at `store`:
     *
@@ -202,21 +241,30 @@ object TextIndex {
     *    MANIFESTS the visible batches — grow the index with
     *    [[appendToIndex]], never by writing files.
     *
-    * Rebuild-in-place is safe: the marker is deleted first, so readers
+    * Rebuild-in-place is safe: the markers are deleted first, so readers
     * racing a rebuild see "absent", never half-written data. Single
-    * writer per store path (the SignatureStore contract). */
+    * writer per store path (the SignatureStore contract).
+    *
+    * `baseBatchId` is the manifest id the base build registers under
+    * (default 0 — RESERVED for base builds; [[appendToIndex]] ids must be
+    * positive). [[graft.streaming.StreamOps.indexAppendSink]] passes its
+    * first micro-batch's id here so a post-crash replay of that batch is
+    * recognized as already ingested. */
   def persistPostings(docs: DataFrame, idCol: String, textCol: String,
                       store: String,
-                      numBuckets: Int = DefaultIndexBuckets): Unit = {
+                      numBuckets: Int = DefaultIndexBuckets,
+                      baseBatchId: Long = 0L): Unit = {
     require(numBuckets > 0, s"numBuckets must be positive, got $numBuckets")
+    require(baseBatchId >= 0, s"baseBatchId must be >= 0, got $baseBatchId" +
+      " (negative ids are compaction generations)")
     val spark = docs.sparkSession
     val fs = fsOf(spark, store)
-    if (fs.exists(hPath(metaPath(store)))) fs.delete(hPath(metaPath(store)), false)
+    clearMarkers(fs, store)
     Seq(postingsPath(store), lensPath(store)).foreach { d =>
       if (fs.exists(hPath(d))) fs.delete(hPath(d), true)
     }
-    val (nDocs, sumDl) = writeBatch(docs, idCol, textCol, store, numBuckets, 0L)
-    writeMeta(spark, store, IndexMeta(numBuckets, nDocs, sumDl, Seq(0L)))
+    val (nDocs, sumDl) = writeBatch(docs, idCol, textCol, store, numBuckets, baseBatchId)
+    writeMeta(spark, store, IndexMeta(numBuckets, nDocs, sumDl, Seq(baseBatchId)))
   }
 
   /** One batch's postings + lens land under `ab=<batchId>` via DYNAMIC
@@ -251,10 +299,17 @@ object TextIndex {
     * manifest swap leaves the batch invisible, and the retried call
     * dynamically overwrites its own `ab=<batchId>` partitions with the
     * same deterministic rows. Caller owns id disjointness across batches
-    * (same contract as the dedup store). Single writer per store path. */
+    * (same contract as the dedup store). Single writer per store path.
+    *
+    * `batchId` must be POSITIVE: 0 is the default [[persistPostings]]
+    * base-build id (an append with 0 would silently read as an
+    * already-completed replay — ADVICE r7) and negative ids are
+    * [[compactIndex]] generations. */
   def appendToIndex(docs: DataFrame, idCol: String, textCol: String,
                     store: String, batchId: Long): Unit = {
     val spark = docs.sparkSession
+    require(batchId > 0, s"batchId must be > 0, got $batchId (0 is the base" +
+      " build's manifest id, negative ids are compaction generations)")
     require(indexExists(spark, store),
       s"no persisted index at $store — build one with persistPostings first")
     val meta = readMeta(spark, store)
@@ -263,6 +318,57 @@ object TextIndex {
       writeBatch(docs, idCol, textCol, store, meta.numBuckets, batchId)
     writeMeta(spark, store, meta.copy(nDocs = meta.nDocs + nDocs,
       sumDl = meta.sumDl + sumDl, batches = meta.batches :+ batchId))
+  }
+
+  /** Fold every visible batch into ONE compaction generation — the
+    * maintenance pass bounding file/partition-dir growth under streaming
+    * ingest: [[appendToIndex]] adds an `ab=<id>` directory tree per
+    * batch, so a long-lived stream otherwise accumulates unbounded small
+    * files and listing cost (the small-files problem
+    * [[graft.sources.Sinks.compactParquet]] solves for plain tables).
+    * Reads stay partition-pruned either way; this bounds FILE counts.
+    *
+    * Protocol (single writer; readable at every crash point):
+    *  1. all manifested postings/lens rows are rewritten under a fresh
+    *     NEGATIVE generation id (`ab=<gen>` — reserved: appends are
+    *     positive, base builds 0), hash-repartitioned on the bucket key
+    *     so each partition directory compacts to few files;
+    *  2. the manifest swaps to `batches = [gen]` — the versioned-marker
+    *     swap never leaves a zero-manifest window, and a crash BEFORE the
+    *     swap leaves the old manifest pointing at the old directories,
+    *     fully readable (the new generation is an invisible orphan that a
+    *     rerun overwrites convergently: the manifest only grows between
+    *     compactions, so the rerun's partition set is a superset);
+    *  3. superseded `ab=` directories are swept LAST (best-effort — a
+    *     crash here leaves unreachable orphans for the next compaction).
+    * Corpus stats are untouched — compaction moves bytes, not content:
+    * [[bm25FromIndex]] scores are identical before and after. */
+  def compactIndex(spark: SparkSession, store: String): Unit = {
+    require(indexExists(spark, store), s"no persisted index at $store")
+    val meta = readMeta(spark, store)
+    val gen = math.min(0L, meta.batches.min) - 1L
+    val post = spark.read.parquet(postingsPath(store))
+      .filter(col("ab").isin(meta.batches: _*))
+      .select(col("token"), col("doc_id"), col("tf"), col("positions"),
+        lit(gen).as("ab"), col("tb"))
+      .repartition(col("tb"))
+    graft.sources.Sinks.overwritePartitions(post, postingsPath(store), Seq("ab", "tb"))
+    val lens = spark.read.parquet(lensPath(store))
+      .filter(col("ab").isin(meta.batches: _*))
+      .select(col("doc_id"), col("dl"), lit(gen).as("ab"))
+      .repartition(8)
+    graft.sources.Sinks.overwritePartitions(lens, lensPath(store), Seq("ab"))
+    writeMeta(spark, store, meta.copy(batches = Seq(gen)))
+    val fs = fsOf(spark, store)
+    Seq(postingsPath(store), lensPath(store)).foreach { root =>
+      if (fs.exists(hPath(root)))
+        fs.listStatus(hPath(root)).foreach { s =>
+          val name = s.getPath.getName
+          if (s.isDirectory && name.startsWith("ab=") &&
+              name.stripPrefix("ab=").toLongOption.exists(_ != gen))
+            fs.delete(s.getPath, true)
+        }
+    }
   }
 
   /** Postings rows of `terms` only — `tb` is a partition column, so the
@@ -302,6 +408,7 @@ object TextIndex {
                     queryTokens: Seq[String], k1: Double = 1.2,
                     b: Double = 0.75): DataFrame = {
     require(queryTokens.nonEmpty, "queryTokens must be non-empty")
+    require(indexExists(spark, store), s"no persisted index at $store")
     val meta = readMeta(spark, store)
     val lens = readLens(spark, store)
       .select(col("doc_id"), col("dl").as("__dl"))
@@ -321,6 +428,105 @@ object TextIndex {
     val scored = contrib.groupBy(col("doc_id")).agg(sum(col("__c")).as("score"))
     lens.select(col("doc_id")).join(scored, Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("score"), lit(0.0)).as("score"))
+  }
+
+  /** Shared scoring tail of the BATCHED BM25 forms: `pairs` is the
+    * corpus-side (doc_id, token, __tf) table already filtered to the
+    * union of query terms, `lens` is (doc_id, __dl), `stats` one row
+    * (__n, __avgdl), `qt` the deduped (query_id, token) query table.
+    * Per-term work (df, idf, the per-(doc, token) contribution) happens
+    * ONCE regardless of how many queries share the term; the broadcast
+    * join against `qt` then fans each contribution out to its queries
+    * and one (query_id, doc_id) aggregation sums scores. */
+  private def bm25BatchScore(pairs: DataFrame, lens: DataFrame,
+                             stats: DataFrame, qt: DataFrame, k1: Double,
+                             b: Double, topK: Int): DataFrame = {
+    val dfs = pairs.groupBy(col("token"))
+      .agg(count(lit(1)).cast("double").as("__df"))
+    val contrib = pairs
+      .join(broadcast(dfs), "token")
+      .crossJoin(broadcast(stats))
+      .join(lens, "doc_id")
+      .withColumn("__idf",
+        log(lit(1.0) + (col("__n") - col("__df") + lit(0.5)) / (col("__df") + lit(0.5))))
+      .withColumn("__c", col("__idf") * col("__tf") * lit(k1 + 1.0) /
+        (col("__tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("__dl") / col("__avgdl"))))
+      .join(broadcast(qt), "token")
+    val scored = contrib.groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("__c")).as("score"))
+    if (topK <= 0) scored
+    else {
+      import org.apache.spark.sql.expressions.Window
+      // rank on the rounded grid (q99 discipline), id tie-break; the
+      // window partitions by query_id — per-query bounded sorts, never a
+      // global single-partition funnel
+      scored.withColumn("__rk", row_number().over(
+          Window.partitionBy(col("query_id"))
+            .orderBy(round(col("score"), 4).desc, col("doc_id").asc)))
+        .filter(col("__rk") <= topK).drop("__rk")
+    }
+  }
+
+  /** BM25 of ALL queries in ONE job — the batched form of [[bm25]] for
+    * eval sweeps and relevance labeling, where N per-query calls mean N
+    * driver-side job submissions (the driver becomes the bottleneck at
+    * exactly the scale the index is built for; the dim-cache
+    * build-once-probe-many pattern, reference load.py:56-57,66, applied
+    * to retrieval). `queries` is a (query_id, token) pair table
+    * (duplicate rows collapse). Output: (query_id, doc_id, score) for
+    * every doc sharing >= 1 token with the query. Docs sharing NO term
+    * score exactly 0 in [[bm25]] and are OMITTED here — emitting them
+    * would be a |queries| × |corpus| cross product, not a 100 TB-viable
+    * output; so `bm25Batch` with one query equals `bm25` filtered to
+    * score > 0 (shared-term contributions are strictly positive).
+    * `topK > 0` keeps each query's top k by (round(score, 4) DESC,
+    * doc_id ASC).
+    *
+    * Scale shape: the query table broadcasts (it is O(queries × terms) —
+    * thousands of rows, never corpus-sized); corpus-side work is
+    * identical to a single [[bm25]] over the UNION of all query terms —
+    * the (doc, token) pair table is filtered to that union BEFORE
+    * aggregation, and per-term df is corpus document frequency, shared
+    * across queries, computed once. */
+  def bm25Batch(docs: DataFrame, idCol: String, textCol: String,
+                queries: DataFrame, k1: Double = 1.2, b: Double = 0.75,
+                topK: Int = 0): DataFrame = {
+    val qt = queries.select(col("query_id"), col("token")).distinct()
+    val termSet = qt.select("token").distinct()
+    val base = docs.select(col(idCol).as("doc_id"),
+      TF.tokens(col(textCol)).as("__tk"))
+    val lens = base.select(col("doc_id"), size(col("__tk")).as("__dl"))
+    val stats = lens.agg(count(lit(1)).as("__n"),
+      (sum(col("__dl")).cast("double") / count(lit(1))).as("__avgdl"))
+    val pairs = base
+      .select(col("doc_id"), explode(col("__tk")).as("token"))
+      .join(broadcast(termSet), "token")
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).cast("double").as("__tf"))
+    bm25BatchScore(pairs, lens, stats, qt, k1, b, topK)
+  }
+
+  /** [[bm25Batch]] over a PERSISTED index — same scores, but the corpus
+    * side is one partition-pruned postings read of the queries' buckets
+    * plus the narrow lens table, with corpus stats straight from the
+    * manifest. The distinct term list is collected driver-side to drive
+    * the pruning — bounded by the query set's vocabulary, never the
+    * corpus. */
+  def bm25BatchFromIndex(spark: SparkSession, store: String,
+                         queries: DataFrame, k1: Double = 1.2,
+                         b: Double = 0.75, topK: Int = 0): DataFrame = {
+    require(indexExists(spark, store), s"no persisted index at $store")
+    val meta = readMeta(spark, store)
+    val qt = queries.select(col("query_id"), col("token")).distinct()
+    val terms = qt.select("token").distinct().collect().map(_.getString(0)).toSeq
+    require(terms.nonEmpty, "queries must contain at least one token")
+    val pairs = readPostings(spark, store, terms)
+      .select(col("doc_id"), col("token"), col("tf").cast("double").as("__tf"))
+    val lens = readLens(spark, store)
+      .select(col("doc_id"), col("dl").as("__dl"))
+    val stats = spark.range(1).select(lit(meta.nDocs).as("__n"),
+      (lit(meta.sumDl).cast("double") / lit(meta.nDocs)).as("__avgdl"))
+    bm25BatchScore(pairs, lens, stats, qt, k1, b, topK)
   }
 
   /** Documents containing the exact consecutive-token phrase, with the
@@ -345,6 +551,41 @@ object TextIndex {
             .select(col("doc_id"), col("positions").as(s"__pos$i")), "doc_id")
           .filter(array_contains(col(s"__pos$i"), col("__p") + i))
           .drop(s"__pos$i")
+    }
+    matched.groupBy(col("doc_id")).agg(count(lit(1)).as("n_occurrences"))
+  }
+
+  /** Documents containing the phrase terms IN ORDER within a bounded
+    * window — slop-k "sloppy phrase", the standard retrieval middle
+    * ground between exact [[phraseMatch]] and unordered
+    * [[proximityMatch]]. A match is a position tuple p_1 < p_2 < … < p_n
+    * with term_i at p_i and total slack (p_n - p_1) - (n - 1) <= slop:
+    * slop = 0 admits only consecutive positions (≡ [[phraseMatch]]),
+    * slop = k admits up to k extra tokens interleaved anywhere in the
+    * span. Output: (doc_id, n_occurrences) counting matching tuples.
+    *
+    * Scale shape: same postings-only discipline as [[phraseMatch]] — the
+    * start explode is bounded by the first term's postings; each later
+    * term joins candidate docs only, and slack is monotone in the prefix
+    * (p_i - p_1 - i never shrinks), so each step explodes JUST the
+    * positions passing the partial-slack gate (filter-then-explode, a
+    * codegen'd HOF) — intermediate width is bounded by viable partial
+    * matches, not tf products. */
+  def slopPhraseMatch(post: DataFrame, phrase: Seq[String],
+                      slop: Int): DataFrame = {
+    require(phrase.nonEmpty, "phrase must be non-empty")
+    require(slop >= 0, s"slop must be >= 0, got $slop")
+    val starts = post.filter(col("token") === phrase.head)
+      .select(col("doc_id"), explode(col("positions")).as("__p1"))
+      .withColumn("__prev", col("__p1"))
+    val matched = phrase.zipWithIndex.drop(1).foldLeft(starts) {
+      case (acc, (term, i)) =>
+        acc.join(post.filter(col("token") === term)
+            .select(col("doc_id"), col("positions").as(s"__pos$i")), "doc_id")
+          .select(col("doc_id"), col("__p1"),
+            explode(filter(col(s"__pos$i"),
+              p => p > col("__prev") && p - col("__p1") - lit(i) <= lit(slop)))
+              .as("__prev"))
     }
     matched.groupBy(col("doc_id")).agg(count(lit(1)).as("n_occurrences"))
   }

@@ -170,6 +170,54 @@ object StreamOps {
       }
       .start()
 
+  /** Streaming ingest into a persisted inverted index — the retrieval
+    * twin of [[nearDupFilterSink]]: each micro-batch lands through
+    * [[graft.operators.TextIndex.appendToIndex]], so a live corpus is
+    * searchable ([[graft.operators.TextIndex.bm25FromIndex]]) as it
+    * arrives, with work per batch O(batch), never a rebuild.
+    *
+    * Effectively-once via the manifest: `batchId + 1` is the idempotency
+    * key (+1 keeps 0 reserved for pre-built base indexes). The first
+    * micro-batch to find no index CREATES it — `persistPostings` with
+    * that key as the base id, ONE atomic manifest write, so a post-crash
+    * replay of the creating batch is recognized as already ingested
+    * rather than double-counted. A crash anywhere else leaves either no
+    * manifest entry (the replay dynamically overwrites its own `ab=`
+    * partitions with the same deterministic rows) or a completed entry
+    * (the replay no-ops).
+    *
+    * `compactEvery = n` (> 0) folds the accumulated per-batch directory
+    * trees into one generation every n micro-batches
+    * ([[graft.operators.TextIndex.compactIndex]]): each append adds an
+    * `ab=` tree, so a week-long stream otherwise grows an unbounded file
+    * count — listing cost, not data volume, becomes the bottleneck (the
+    * [[nearDupFilterSink]] compaction discipline). Keyed on batchId, so
+    * a replayed batch compacts at the same points. */
+  def indexAppendSink(docs: DataFrame, idCol: String, textCol: String,
+                      storePath: String, checkpoint: String,
+                      numBuckets: Int = graft.operators.TextIndex.DefaultIndexBuckets,
+                      compactEvery: Int = 0)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val key = batchId + 1
+        if (!graft.operators.TextIndex.indexExists(spark, storePath)) {
+          // an empty first batch must not create a file-less index tree
+          if (!batch.isEmpty)
+            graft.operators.TextIndex.persistPostings(batch, idCol, textCol,
+              storePath, numBuckets, baseBatchId = key)
+        } else
+          graft.operators.TextIndex.appendToIndex(batch, idCol, textCol,
+            storePath, key)
+        if (compactEvery > 0 && (batchId + 1) % compactEvery == 0 &&
+            graft.operators.TextIndex.indexExists(spark, storePath))
+          graft.operators.TextIndex.compactIndex(spark, storePath)
+        ()
+      }
+      .start()
+
   /** Same running totals on the `transformWithState` API (Spark 4's
     * successor to flatMapGroupsWithState: typed ValueState handles,
     * timer support, state-store-backed). */

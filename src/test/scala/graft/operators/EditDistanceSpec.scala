@@ -49,6 +49,18 @@ class EditDistanceSpec extends SparkSpec {
     assert(!n.exists { case (a, b, _) => a == 99L || b == 99L })
   }
 
+  test("maxDist outside the short-string design envelope fails fast") {
+    // deletionVariants' expression tree doubles per depth (ADVICE r7):
+    // a large d would hit pathological analysis/codegen, not a slow job
+    val e = intercept[IllegalArgumentException] {
+      EditDistance.levenshteinSelfJoin(corpus, "id", "name", maxDist = 6)
+    }
+    assert(e.getMessage.contains("maxDist must be <= 3"))
+    intercept[IllegalArgumentException] {
+      EditDistance.levenshteinSelfJoin(corpus, "id", "name", maxDist = 0)
+    }
+  }
+
   test("deletion neighborhood: size and membership at d = 1") {
     val v = spark.range(1).select(
         EditDistance.deletionVariants(lit("abc"), 1).as("v"))

@@ -254,6 +254,186 @@ class TextIndexSpec extends SparkSpec {
     }
   }
 
+  test("manifest swap never leaves zero visible manifests; readMeta picks the highest version") {
+    val store = java.nio.file.Files.createTempDirectory("postings").toString + "/idx"
+    TextIndex.persistPostings(docs, "doc_id", "text", store, numBuckets = 8)
+    val dir = new java.io.File(store)
+    def markers = dir.listFiles().map(_.getName)
+      .filter(n => n.startsWith("_graft_index_meta.") && !n.endsWith("__tmp")).sorted.toSeq
+    assert(markers == Seq("_graft_index_meta.1"))
+    // an append swaps to version 2 and cleans version 1
+    TextIndex.appendToIndex(docs.select($"doc_id" + 100 as "doc_id", $"text"),
+      "doc_id", "text", store, batchId = 1L)
+    assert(markers == Seq("_graft_index_meta.2"))
+    val meta2 = TextIndex.readMeta(spark, store)
+    assert(meta2.nDocs == 8 && meta2.batches == Seq(0L, 1L))
+    // simulate a crash BETWEEN write-new and delete-old: plant a stale
+    // LOWER version alongside — readers must pick the highest, and the
+    // next swap must sweep the stale one
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(store, "_graft_index_meta.1"),
+      "8 999 999 0".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    assert(markers.size == 2)
+    assert(TextIndex.readMeta(spark, store) == meta2,
+      "highest version wins over the stale survivor")
+    TextIndex.appendToIndex(docs.select($"doc_id" + 200 as "doc_id", $"text"),
+      "doc_id", "text", store, batchId = 2L)
+    assert(markers == Seq("_graft_index_meta.3"),
+      "a swap sweeps every older version")
+    assert(TextIndex.readMeta(spark, store).nDocs == 12)
+  }
+
+  test("guards: append batchId 0 is rejected; absent store fails friendly everywhere") {
+    val store = java.nio.file.Files.createTempDirectory("postings").toString + "/idx"
+    TextIndex.persistPostings(docs, "doc_id", "text", store, numBuckets = 8)
+    val e = intercept[IllegalArgumentException] {
+      TextIndex.appendToIndex(docs, "doc_id", "text", store, batchId = 0L)
+    }
+    assert(e.getMessage.contains("batchId must be > 0"),
+      "batch 0 would silently read as a completed replay of the base build")
+    val absent = java.nio.file.Files.createTempDirectory("postings").toString + "/nope"
+    Seq(
+      () => TextIndex.bm25FromIndex(spark, absent, Seq("spark")),
+      () => TextIndex.bm25BatchFromIndex(spark, absent,
+        Seq((1L, "spark")).toDF("query_id", "token")),
+      () => TextIndex.compactIndex(spark, absent)
+    ).foreach { f =>
+      val err = intercept[IllegalArgumentException](f())
+      assert(err.getMessage.contains("no persisted index"), err.getMessage)
+    }
+  }
+
+  test("bm25Batch: one job scores all queries; single query ≡ bm25; topK per query") {
+    val queries = Seq(
+      (1L, "spark"), (1L, "window"),
+      (2L, "table"), (2L, "row"),
+      (3L, "spark")).toDF("query_id", "token")
+    val out = TextIndex.bm25Batch(docs, "doc_id", "text", queries)
+      .as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    // per-query reference: the single-query operator, zero-score docs dropped
+    Seq(Seq("spark", "window"), Seq("table", "row"), Seq("spark"))
+      .zipWithIndex.foreach { case (terms, qi) =>
+        val single = TextIndex.bm25(docs, "doc_id", "text", terms)
+          .filter($"score" > 0).as[(Long, Double)].collect().toMap
+        val batch = out.collect { case ((q, d), s) if q == qi + 1 => d -> s }
+        assert(batch.keySet == single.keySet, s"query ${qi + 1} candidate sets")
+        single.foreach { case (d, s) =>
+          assert(math.abs(batch(d) - s) < 1e-12, s"query ${qi + 1} doc $d")
+        }
+      }
+    // topK = 1 keeps exactly each query's best doc (rounded grid, id tie-break)
+    val top1 = TextIndex.bm25Batch(docs, "doc_id", "text", queries, topK = 1)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._2).toMap
+    assert(top1.keySet == Set(1L, 2L, 3L))
+    assert(top1(3L) == 3L, "the all-spark doc wins the pure-spark query")
+  }
+
+  test("bm25BatchFromIndex ≡ bm25Batch over the indexed corpus (pruned read, manifest stats)") {
+    val store = java.nio.file.Files.createTempDirectory("postings").toString + "/idx"
+    val corpus = (1 to 60).map(i =>
+      (i.toLong, s"common filler spark text t$i u$i w${i % 7}")).toDF("doc_id", "text")
+    TextIndex.persistPostings(corpus.filter($"doc_id" <= 30), "doc_id", "text",
+      store, numBuckets = 8)
+    TextIndex.appendToIndex(corpus.filter($"doc_id" > 30), "doc_id", "text",
+      store, batchId = 1L)
+    val queries = Seq(
+      (10L, "spark"), (10L, "t3"),
+      (20L, "w2"), (20L, "u17"),
+      (30L, "filler")).toDF("query_id", "token")
+    val direct = TextIndex.bm25Batch(corpus, "doc_id", "text", queries)
+      .as[(Long, Long, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    val indexed = TextIndex.bm25BatchFromIndex(spark, store, queries)
+      .as[(Long, Long, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(indexed.keySet == direct.keySet && indexed.nonEmpty)
+    direct.foreach { case (k, s) =>
+      assert(math.abs(indexed(k) - s) < 1e-12, s"$k: ${indexed(k)} vs $s")
+    }
+    // topK flows through the index path too
+    val top2 = TextIndex.bm25BatchFromIndex(spark, store, queries, topK = 2)
+    assert(top2.groupBy($"query_id").count().as[(Long, Long)].collect()
+      .forall(_._2 <= 2))
+  }
+
+  test("slopPhraseMatch: in-order window matches; slop 0 ≡ phraseMatch; repeated terms") {
+    val corpus = Seq(
+      (1L, "new york city is the new york of cities"),
+      (2L, "york new haven"),                     // wrong order
+      (3L, "new big york"),                       // one gap: slop >= 1
+      (4L, "new a b york"),                       // two gaps: slop >= 2
+      (5L, "new new york york")).toDF("doc_id", "text")
+    val post = TextIndex.postings(corpus, "doc_id", "text")
+    def slopMap(s: Int) = TextIndex.slopPhraseMatch(post, Seq("new", "york"), s)
+      .as[(Long, Long)].collect().toMap
+    // slop 0 ≡ exact phrase
+    val exact = TextIndex.phraseMatch(post, Seq("new", "york"))
+      .as[(Long, Long)].collect().toMap
+    assert(slopMap(0) == exact)
+    // slop 1 admits doc 3 (one interleaved token) and doc 5's (2,3) pair +
+    // (1,3): tuples are counted — new@1,new@2 × york@3,york@4 within slack
+    val s1 = slopMap(1)
+    assert(s1(3L) == 1L && !s1.contains(4L) && !s1.contains(2L))
+    // doc 5: new@{1,2}, york@{3,4}; slack(p1,p2)=p2-p1-1<=1 admits
+    // (1,3), (2,3), (2,4) but not (1,4)
+    assert(s1(5L) == 3L)
+    assert(slopMap(2)(4L) == 1L, "two interleaved tokens need slop 2")
+    // three terms in order, bounded total slack
+    val corpus3 = Seq(
+      (1L, "alpha x beta gamma"),                 // slack 1
+      (2L, "alpha beta x x gamma"),               // slack 2
+      (3L, "gamma beta alpha")).toDF("doc_id", "text")
+    val post3 = TextIndex.postings(corpus3, "doc_id", "text")
+    val t1 = TextIndex.slopPhraseMatch(post3, Seq("alpha", "beta", "gamma"), 1)
+      .as[(Long, Long)].collect().toMap
+    assert(t1 == Map(1L -> 1L), "total slack across the whole span, in order only")
+    val t2 = TextIndex.slopPhraseMatch(post3, Seq("alpha", "beta", "gamma"), 2)
+      .as[(Long, Long)].collect().toMap
+    assert(t2 == Map(1L -> 1L, 2L -> 1L))
+  }
+
+  test("compactIndex folds batches into one generation: fewer files, identical scores") {
+    val store = java.nio.file.Files.createTempDirectory("postings").toString + "/idx"
+    val all = (1 to 90).map(i =>
+      (i.toLong, s"common filler spark text t$i u$i w${i % 7}")).toDF("doc_id", "text")
+    TextIndex.persistPostings(all.filter($"doc_id" <= 30), "doc_id", "text",
+      store, numBuckets = 8)
+    TextIndex.appendToIndex(all.filter($"doc_id" > 30 && $"doc_id" <= 60),
+      "doc_id", "text", store, batchId = 1L)
+    TextIndex.appendToIndex(all.filter($"doc_id" > 60), "doc_id", "text",
+      store, batchId = 2L)
+    val q = Seq("spark", "t3", "u57")
+    val before = TextIndex.bm25FromIndex(spark, store, q)
+      .as[(Long, Double)].collect().toMap
+    def abDirs = new java.io.File(store + "/postings").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("ab=")).map(_.getName).sorted.toSeq
+    def fileCount = {
+      def walk(f: java.io.File): Int =
+        if (f.isDirectory) f.listFiles().map(walk).sum
+        else if (f.getName.endsWith(".parquet")) 1 else 0
+      walk(new java.io.File(store))
+    }
+    assert(abDirs == Seq("ab=0", "ab=1", "ab=2"))
+    val filesBefore = fileCount
+
+    TextIndex.compactIndex(spark, store)
+    assert(abDirs == Seq("ab=-1"), "superseded generations are swept")
+    assert(fileCount < filesBefore, s"$fileCount vs $filesBefore")
+    val meta = TextIndex.readMeta(spark, store)
+    assert(meta.batches == Seq(-1L) && meta.nDocs == 90)
+    val after = TextIndex.bm25FromIndex(spark, store, q)
+      .as[(Long, Double)].collect().toMap
+    assert(after == before, "compaction moves bytes, not content")
+
+    // the index stays appendable and re-compactable after compaction
+    TextIndex.appendToIndex(
+      all.select($"doc_id" + 1000 as "doc_id", $"text"), "doc_id", "text",
+      store, batchId = 3L)
+    assert(TextIndex.readMeta(spark, store).nDocs == 180)
+    TextIndex.compactIndex(spark, store)
+    assert(abDirs == Seq("ab=-2") && TextIndex.readMeta(spark, store).nDocs == 180)
+    assert(TextIndex.bm25FromIndex(spark, store, q).count() == 180)
+  }
+
   test("rrfFuse topM prunes each candidate list before ranking") {
     val a = Seq((1L, 10.0), (2L, 5.0), (3L, 1.0)).toDF("doc_id", "sa")
     val b = Seq((2L, 0.9), (3L, 0.8), (4L, 0.7)).toDF("doc_id", "sb")

@@ -310,6 +310,78 @@ class StreamOpsSpec extends SparkSpec {
       c.select("doc_id").as[Long].collect()).nonEmpty))
   }
 
+  test("indexAppendSink: streamed corpus scores identically to batch index builds") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("stream-index")
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamOps.indexAppendSink(mem.toDF().toDF("doc_id", "text"),
+      "doc_id", "text", dir.toString + "/idx", dir.toString + "/ckpt",
+      numBuckets = 8)
+    // batch 0 creates the index; batches 1-2 append
+    mem.addData((1L, "spark merge spark window"), (2L, "window table row"))
+    q.processAllAvailable()
+    mem.addData((3L, "spark spark spark"))
+    q.processAllAvailable()
+    mem.addData((4L, "nothing relevant here"), (5L, "table window table"))
+    q.processAllAvailable()
+    q.stop()
+
+    val all = Seq(
+      (1L, "spark merge spark window"), (2L, "window table row"),
+      (3L, "spark spark spark"), (4L, "nothing relevant here"),
+      (5L, "table window table")).toDF("doc_id", "text")
+    val meta = graft.operators.TextIndex.readMeta(spark, dir.toString + "/idx")
+    assert(meta.nDocs == 5 && meta.batches == Seq(1L, 2L, 3L),
+      s"micro-batch ids 0..2 manifest as keys 1..3: $meta")
+    val streamed = graft.operators.TextIndex.bm25FromIndex(spark,
+      dir.toString + "/idx", Seq("spark", "window")).as[(Long, Double)].collect().toMap
+    val direct = graft.operators.TextIndex.bm25(all, "doc_id", "text",
+      Seq("spark", "window")).as[(Long, Double)].collect().toMap
+    assert(streamed.keySet == direct.keySet && streamed.size == 5)
+    direct.foreach { case (id, s) =>
+      assert(math.abs(streamed(id) - s) < 1e-12, s"doc $id")
+    }
+    // the live index also serves phrase queries off its pruned postings
+    val phrase = graft.operators.TextIndex.phraseMatch(
+      graft.operators.TextIndex.readPostings(spark, dir.toString + "/idx",
+        Seq("table", "window")), Seq("table", "window"))
+      .as[(Long, Long)].collect().toMap
+    assert(phrase == Map(5L -> 1L))
+  }
+
+  test("indexAppendSink survives a restart; compactEvery bounds the batch-dir count") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("stream-index-restart")
+    val mem = MemoryStream[(Long, String)]
+    def start() = StreamOps.indexAppendSink(mem.toDF().toDF("doc_id", "text"),
+      "doc_id", "text", dir.toString + "/idx", dir.toString + "/ckpt",
+      numBuckets = 8, compactEvery = 2)
+    val q1 = start()
+    mem.addData((1L, "spark merge spark window"), (2L, "window table row"))
+    q1.processAllAvailable()
+    mem.addData((3L, "spark spark spark"))
+    q1.processAllAvailable()
+    q1.stop()
+    // second incarnation resumes from the checkpoint: committed batches
+    // are not re-ingested, new data appends to the same manifest
+    val q2 = start()
+    mem.addData((4L, "table window table"))
+    q2.processAllAvailable()
+    q2.stop()
+    val meta = graft.operators.TextIndex.readMeta(spark, dir.toString + "/idx")
+    assert(meta.nDocs == 4, s"no double-ingest across the restart: $meta")
+    // compactEvery = 2 fired after micro-batch 1: batches 0-1 folded into
+    // one negative generation, batch 2 appended after it
+    assert(meta.batches.head < 0 && meta.batches.size == 2, s"$meta")
+    val abDirs = new java.io.File(dir.toString + "/idx/postings").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("ab=")).map(_.getName).sorted
+    assert(abDirs.length == 2, s"superseded batch dirs swept: ${abDirs.toSeq}")
+    val scores = graft.operators.TextIndex.bm25FromIndex(spark,
+      dir.toString + "/idx", Seq("spark", "table")).as[(Long, Double)].collect().toMap
+    assert(scores.keySet == Set(1L, 2L, 3L, 4L))
+    assert(scores(3L) > scores(2L), "all-spark doc outranks no-spark doc")
+  }
+
   test("upsertJdbcSink merges each micro-batch into a live database (embedded Derby)") {
     implicit val sqlCtx = spark.sqlContext
     val dbDir = java.nio.file.Files.createTempDirectory("derby-stream").toString
