@@ -873,6 +873,42 @@ object LlmQueries {
         .limit(30)
     }),
 
+    // --- batched multi-query BM25 (one job for the whole query set) --------
+    // The build-once-probe-many pattern applied to retrieval: 5 queries
+    // (11 terms) score in ONE job — query table broadcast, per-term df
+    // computed once, per-query top-5 via a query-partitioned window
+    // (bounded sorts, never a global funnel). N per-query bm25() calls
+    // would mean N driver submissions — the eval-sweep bottleneck.
+    "q128_bm25_batch" -> ((s, d) => {
+      import s.implicits._
+      val queries = Seq(
+        (1L, "spark"), (1L, "window"), (2L, "merge"), (2L, "table"),
+        (3L, "join"), (3L, "hash"), (4L, "customer"), (4L, "vector"),
+        (5L, "stream"), (5L, "batch"), (5L, "query"))
+        .toDF("query_id", "token")
+      graft.operators.TextIndex.bm25Batch(t(s, d, "documents"), "doc_id",
+          "text", queries, topK = 5)
+        .select(col("query_id"), col("doc_id"),
+          round(col("score"), 4).as("bm25"))
+        .orderBy(col("query_id"), col("bm25").desc, col("doc_id"))
+    }),
+
+    // --- sloppy phrase: terms in order within a bounded window -------------
+    // The middle ground between q118 (exact adjacency) and q120
+    // (unordered proximity): value…table…part in order with at most 4
+    // interleaved tokens across the span. Postings-only; each step
+    // explodes just the positions passing the monotone partial-slack
+    // gate (filter-then-explode HOF).
+    "q129_slop_phrase" -> ((s, d) => {
+      val post = graft.operators.TextIndex.postings(
+        t(s, d, "documents"), "doc_id", "text")
+      graft.operators.TextIndex.slopPhraseMatch(post,
+          Seq("value", "table", "part"), slop = 4)
+        .select(col("doc_id"),
+          col("n_occurrences").cast("long").as("n_occurrences"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q106_quantized_cosine" -> ((s, d) => {
       val emb = t(s, d, "embeddings").filter(col("embedding").isNotNull)
         .select(col("vec_id"), VF.quantizeInt8(col("embedding")).as("codes"))
@@ -1650,5 +1686,56 @@ object LlmQueries {
            FROM codes JOIN q USING (i) WHERE codes.vec_id <> 0
            GROUP BY codes.vec_id)
          SELECT vec_id, round(s, 4) AS q_cosine FROM sims
-         ORDER BY q_cosine DESC, vec_id ASC LIMIT 10""")
+         ORDER BY q_cosine DESC, vec_id ASC LIMIT 10""",
+
+    // same Robertson/Lucene form per query; df is corpus document
+    // frequency (query-independent); per-query rank on the rounded grid
+    "q128_bm25_batch" ->
+      """WITH queries AS (
+           SELECT CAST(query_id AS BIGINT) AS query_id, token
+           FROM (VALUES (1, 'spark'), (1, 'window'), (2, 'merge'), (2, 'table'),
+                        (3, 'join'), (3, 'hash'), (4, 'customer'), (4, 'vector'),
+                        (5, 'stream'), (5, 'batch'), (5, 'query')) t(query_id, token)),
+         tok AS (
+           SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS tk
+           FROM documents),
+         lens AS (SELECT doc_id, len(tk) AS dl FROM tok),
+         stats AS (SELECT count(*) AS n, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM lens),
+         pairs AS (SELECT doc_id, unnest(tk) AS token FROM tok),
+         tfs AS (SELECT doc_id, token, CAST(count(*) AS DOUBLE) AS tf
+                 FROM pairs WHERE token IN (SELECT DISTINCT token FROM queries)
+                 GROUP BY doc_id, token),
+         dfs AS (SELECT token, CAST(count(*) AS DOUBLE) AS df FROM tfs GROUP BY token),
+         contrib AS (
+           SELECT q.query_id, t.doc_id,
+             ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5)) * t.tf * (1.2 + 1.0)
+               / (t.tf + 1.2 * (0.25 + 0.75 * l.dl / s.avgdl)) AS c
+           FROM tfs t JOIN dfs d USING (token) CROSS JOIN stats s
+           JOIN lens l ON t.doc_id = l.doc_id
+           JOIN queries q ON q.token = t.token),
+         scored AS (SELECT query_id, doc_id, sum(c) AS score FROM contrib GROUP BY 1, 2),
+         ranked AS (SELECT query_id, doc_id, score,
+                      row_number() OVER (PARTITION BY query_id
+                        ORDER BY round(score, 4) DESC, doc_id ASC) AS rk
+                    FROM scored)
+         SELECT query_id, doc_id, round(score, 4) AS bm25 FROM ranked WHERE rk <= 5
+         ORDER BY query_id, bm25 DESC, doc_id""",
+
+    // in-order position tuples a < b < c with total slack <= 4; the
+    // partial-slack prefix gate is implied (slack is monotone)
+    "q129_slop_phrase" ->
+      """WITH tok AS (
+           SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS tk
+           FROM documents),
+         pos AS (
+           SELECT doc_id, tk[i] AS tkn, CAST(i AS BIGINT) AS p
+           FROM tok, LATERAL (SELECT unnest(generate_series(1, len(tk))) AS i) g)
+         SELECT a.doc_id AS doc_id, CAST(count(*) AS BIGINT) AS n_occurrences
+         FROM pos a
+         JOIN pos b ON a.doc_id = b.doc_id AND b.tkn = 'table'
+           AND b.p > a.p AND b.p - a.p - 1 <= 4
+         JOIN pos c ON b.doc_id = c.doc_id AND c.tkn = 'part'
+           AND c.p > b.p AND c.p - a.p - 2 <= 4
+         WHERE a.tkn = 'value'
+         GROUP BY a.doc_id ORDER BY doc_id""")
 }
