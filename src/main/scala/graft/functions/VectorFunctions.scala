@@ -113,6 +113,46 @@ object VectorFunctions {
       .limit(k)
   }
 
+  /** ANN top-k via MULTI-TABLE LSH: probe the query's bucket in each of
+    * `tables` independent hyperplane families (disjoint `planeOffset`
+    * ranges) and brute-force the UNION of candidates. Single-table LSH at
+    * few planes is the cheapest probe, but on a weak-neighbor corpus its
+    * recall collapses — measured 0.08@10 on the sf0.01 embeddings
+    * (AnnRecallSpec) where a top-10 neighbor at cosine ~0.3 agrees with
+    * the query on all 4 sign bits only ~13% of the time. Unioning L
+    * tables lifts per-neighbor recall to 1 - (1 - p)^L at ~L× the probe
+    * cost — the standard E2LSH recall/cost dial.
+    *
+    * Scale shape: ONE narrow corpus pass computes all L signatures
+    * (L · numPlanes codegen'd [[graft.plans.HyperplaneLsh]] evaluations
+    * per row); the candidate gate is an OR over per-table bucket
+    * equalities against driver-computed query buckets (same expression,
+    * one 1-row job), then exact cosine + TakeOrderedAndProject on
+    * candidates only. At 100 TB, persist the L bucket columns and
+    * partition by one of them — each probe then prunes to L bucket
+    * scans instead of a full pass. */
+  def lshTopKMulti(vectors: DataFrame, vecCol: String, idCol: String,
+                   queryVec: Seq[Float], k: Int, numPlanes: Int = 4,
+                   tables: Int = 8): DataFrame = {
+    require(tables >= 1, s"tables must be >= 1, got $tables")
+    val session = vectors.sparkSession
+    def bucketExpr(c: Column, t: Int): Column =
+      coalesce(graft.plans.HyperplaneLsh(c, numPlanes, t * numPlanes), lit(0L))
+    val qdf = session.range(1)
+      .select(array(queryVec.map(v => lit(v)): _*).as("qv"))
+    val qRow = qdf.select((0 until tables).map(t =>
+      bucketExpr(col("qv"), t).as(s"b$t")): _*).collect().head
+    val q = array(queryVec.map(v => lit(v)): _*)
+    val isCandidate = (0 until tables)
+      .map(t => bucketExpr(col(vecCol), t) === lit(qRow.getLong(t)))
+      .reduce(_ || _)
+    vectors.filter(isCandidate)
+      .withColumn("cosine_sim", cosine(col(vecCol), q))
+      .select(col(idCol), col("cosine_sim"))
+      .orderBy(col("cosine_sim").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** All-pairs top-k per vector within LSH buckets (k-NN graph building
     * block): self-join within buckets only. */
   def bucketedKnn(vectors: DataFrame, vecCol: String, idCol: String,

@@ -1,0 +1,108 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Recall harness for the approximate-nearest-neighbor paths (VERDICT r7
+  * item 6): the LSH/IVF operators are oracle-less by construction (their
+  * outputs depend on engine hash seeds / clustering), so "bucketed probes
+  * are good enough" must rest on MEASUREMENT against exact brute-force
+  * cosine, not just planted-positive specs.
+  *
+  * Runs on the real sf0.01 embeddings (500 × 64, weak-but-real neighbor
+  * structure: top sims ~0.3-0.5 over a ~0 mean — the hard case for ANN;
+  * clustered corpora only do better). Measures mean recall@10 over 20
+  * query vectors at the shipped settings and asserts floors set under the
+  * measured values (to pin regressions, not luck), plus the exactness
+  * limit: probing every IVF cluster IS brute force (recall 1.0) — the
+  * knob a user turns when recall matters more than probe cost. The
+  * single-table LSH measurement is what motivated [[VectorFunctions
+  * .lshTopKMulti]]. Measured numbers land in BENCH_NOTES.md §r8.
+  */
+class AnnRecallSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val K = 10
+  private val NQueries = 20
+
+  private lazy val emb = spark.read
+    .parquet(sf("sf0.01") + "/embeddings.parquet")
+    .filter(col("embedding").isNotNull)
+    .cache()
+
+  private lazy val queryVecs: Seq[(Long, Seq[Float])] = {
+    import scala.jdk.CollectionConverters._
+    emb.filter(col("vec_id") < NQueries).orderBy(col("vec_id"))
+      .collect()
+      .map(r => (r.getLong(0), r.getList[Float](1).asScala.toSeq)).toSeq
+  }
+
+  private def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+    df.select("vec_id").as[Long].collect().toSet
+
+  private def exactTopK(qid: Long, qv: Seq[Float]): Set[Long] =
+    ids(VectorFunctions.bruteForceTopK(
+      emb.filter(col("vec_id") =!= qid), "embedding", "vec_id", qv, K))
+
+  private def meanRecall(approx: (Long, Seq[Float]) => Set[Long]): Double = {
+    val recalls = queryVecs.map { case (qid, qv) =>
+      val exact = exactTopK(qid, qv)
+      exact.intersect(approx(qid, qv)).size.toDouble / exact.size
+    }
+    recalls.sum / recalls.size
+  }
+
+  test("IVF recall@10 at shipped settings (k=8, nprobe=4) clears the floor; full probe is exact") {
+    val idx = IvfIndex.build(emb, "embedding", "vec_id", k = 8, iterations = 2)
+    try {
+      val r = meanRecall((qid, qv) => ids(IvfIndex.topK(
+        idx.indexed.filter(col("vec_id") =!= qid), idx.centroids,
+        "embedding", "vec_id", qv, K, nprobe = 4)))
+      info(f"IVF recall@10 (k=8, nprobe=4, half the clusters): $r%.3f")
+      assert(r >= 0.75, f"IVF recall regressed: $r%.3f")
+
+      // nprobe = k probes every cluster: the approximate path degenerates
+      // to brute force and recall must be exactly 1 — the correctness
+      // anchor that the bucketing itself loses nothing
+      val full = meanRecall((qid, qv) => ids(IvfIndex.topK(
+        idx.indexed.filter(col("vec_id") =!= qid), idx.centroids,
+        "embedding", "vec_id", qv, K, nprobe = 8)))
+      assert(full == 1.0, f"full probe must equal brute force, got $full%.3f")
+    } finally idx.close()
+  }
+
+  test("LSH recall@10: single-table collapses on weak neighbors; multi-table recovers it") {
+    // single table, one bucket of 16 ≈ 6% of the corpus probed: a top-10
+    // neighbor at cosine ~0.3 agrees on all 4 sign bits only ~13% of the
+    // time, so recall COLLAPSES — the measurement that motivated
+    // lshTopKMulti (this corpus's weak neighbors are the hard case;
+    // clustered corpora only do better)
+    val r1 = meanRecall((qid, qv) => ids(VectorFunctions.lshTopK(
+      emb.filter(col("vec_id") =!= qid), "embedding", "vec_id", qv, K,
+      numPlanes = 4)))
+    info(f"LSH recall@10 (single table, numPlanes=4, ~1/16 corpus): $r1%.3f")
+
+    // multi-table: union of 8 independent families, 1-(1-p)^8 per
+    // neighbor — the E2LSH recall dial the shipped q45 uses
+    val r8 = meanRecall((qid, qv) => ids(VectorFunctions.lshTopKMulti(
+      emb.filter(col("vec_id") =!= qid), "embedding", "vec_id", qv, K,
+      numPlanes = 4, tables = 8)))
+    info(f"LSH recall@10 (8 tables, numPlanes=4): $r8%.3f")
+    assert(r8 >= 0.45, f"multi-table LSH recall regressed: $r8%.3f")
+    assert(r8 > r1 + 0.2,
+      f"unioning tables must lift recall materially: $r8%.3f vs $r1%.3f")
+
+    // single query sanity: one table is a strict subset of the union's
+    // candidates, so the union's top-k cosine floor dominates
+    val (qid, qv) = queryVecs.head
+    val single = VectorFunctions.lshTopK(
+      emb.filter(col("vec_id") =!= qid), "embedding", "vec_id", qv, K,
+      numPlanes = 4).as[(Long, Double)].collect()
+    val multi = VectorFunctions.lshTopKMulti(
+      emb.filter(col("vec_id") =!= qid), "embedding", "vec_id", qv, K,
+      numPlanes = 4, tables = 8).as[(Long, Double)].collect()
+    if (single.length == K && multi.length == K)
+      assert(multi.map(_._2).min >= single.map(_._2).min - 1e-12)
+  }
+}
