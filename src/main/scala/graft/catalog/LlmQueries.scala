@@ -914,6 +914,29 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // --- end-to-end curation pipeline (ONE lazy plan) ----------------------
+    // The whole training-data recipe composed: markup strip → length +
+    // repetition gates → exact dedup → temperature mix, every stage an
+    // existing operator, fused by Catalyst into one job chain
+    // (CurationSpec asserts zero jobs at construction). Markup is
+    // injected (q110 pattern) and exact dups planted (100 re-wrapped
+    // copies, dropped by content hash after stripping), so every stage
+    // does real work. The hash-seeded near-dup stage is off here (no SQL
+    // oracle); CurationSpec value-checks it.
+    "q130_curation" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val src = docs.select(col("doc_id"), col("lang"),
+          concat(lit("<p>"), col("text"), lit("</p>&nbsp;")).as("text"))
+        .unionByName(docs.filter(col("doc_id") < 100)
+          .select((col("doc_id") + 2000000L).as("doc_id"), col("lang"),
+            concat(lit("<div>"), col("text"), lit("</div>")).as("text")))
+      graft.pipelines.Curation.curate(src, "doc_id", "text", "lang",
+          graft.pipelines.Curation.Config(minTokens = 30, maxTokens = 10000,
+            maxDupBigramFrac = 0.05, nearDup = false, mixAlpha = 0.5))
+        .select(col("doc_id"), col("lang"), col("n_tokens"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q106_quantized_cosine" -> ((s, d) => {
       val emb = t(s, d, "embeddings").filter(col("embedding").isNotNull)
         .select(col("vec_id"), VF.quantizeInt8(col("embedding")).as("codes"))
@@ -1742,5 +1765,46 @@ object LlmQueries {
          JOIN pos c ON b.doc_id = c.doc_id AND c.tkn = 'part'
            AND c.p > b.p AND c.p - a.p - 2 <= 4
          WHERE a.tkn = 'value'
-         GROUP BY a.doc_id ORDER BY doc_id""")
+         GROUP BY a.doc_id ORDER BY doc_id""",
+
+    // the composed pipeline, stage for stage: q110's strip chain, q122's
+    // bigram dup fraction, keep-lowest-id per content hash, q111's
+    // sqrt-rate md5-bucket mix over the POST-dedup distribution
+    "q130_curation" ->
+      """WITH src AS (
+           SELECT doc_id, lang, '<p>' || text || '</p>&nbsp;' AS text FROM documents
+           UNION ALL
+           SELECT doc_id + 2000000, lang, '<div>' || text || '</div>' AS text
+           FROM documents WHERE doc_id < 100),
+         clean AS (
+           SELECT doc_id, lang,
+             trim(regexp_replace(
+               replace(replace(replace(replace(replace(replace(
+                 regexp_replace(text, '<[^>]*>', ' ', 'g'),
+                 '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+                 '&quot;', '"'), '&#39;', chr(39)), '&amp;', '&'),
+               '\s+', ' ', 'g')) AS clean_text
+           FROM src),
+         tok AS (SELECT doc_id, lang, clean_text,
+                   list_filter(string_split_regex(trim(clean_text), '\s+'), x -> x <> '') AS tk
+                 FROM clean),
+         lengated AS (SELECT * FROM tok WHERE len(tk) BETWEEN 30 AND 10000),
+         g AS (SELECT doc_id, len(tk) AS l, array_to_string(list_slice(tk, i, i+1), ' ') AS gram
+               FROM lengated, LATERAL (SELECT unnest(generate_series(1, len(tk)-1)) AS i) s),
+         c AS (SELECT doc_id, l, gram, count(*) AS cnt FROM g GROUP BY doc_id, l, gram),
+         rep AS (SELECT doc_id, 1.0 - CAST(count(*) AS DOUBLE)/sum(cnt) AS dupfrac
+                 FROM c GROUP BY doc_id, l),
+         gated AS (SELECT t.* FROM lengated t JOIN rep USING (doc_id)
+                   WHERE rep.dupfrac <= 0.05),
+         hashed AS (SELECT *, sha256(clean_text) AS h FROM gated),
+         exact AS (SELECT * FROM (
+                     SELECT *, row_number() OVER (PARTITION BY h ORDER BY doc_id) AS rn
+                     FROM hashed) WHERE rn = 1),
+         cc AS (SELECT lang, CAST(count(*) AS DOUBLE) AS cnt FROM exact GROUP BY lang),
+         r AS (SELECT lang, sqrt((SELECT min(cnt) FROM cc) / cnt) AS rate FROM cc)
+         SELECT e.doc_id, e.lang, CAST(len(e.tk) AS BIGINT) AS n_tokens
+         FROM exact e JOIN r USING (lang)
+         WHERE ('0x' || substr(md5(CAST(e.doc_id AS VARCHAR)), 1, 4))::BIGINT
+               < floor(rate * 65536.0)
+         ORDER BY e.doc_id""")
 }
