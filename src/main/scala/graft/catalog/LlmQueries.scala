@@ -937,6 +937,20 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // --- batched TF-IDF cosine retrieval (one job for N query docs) --------
+    // The q128 discipline applied to the sparse-vector path: 3 query
+    // docs × top-10 in ONE job. Query rows broadcast; candidate norms
+    // computed ONCE per doc across the union of candidates (norm is
+    // query-independent); q73 9-grid DECIMAL determinism throughout.
+    "q131_tfidf_batch" -> ((s, d) => {
+      val w = graft.operators.TextIndex.tfidf(
+        t(s, d, "documents"), "doc_id", "text")
+      graft.operators.TextIndex.tfidfCosineBatch(w, Seq(0L, 1L, 2L), topK = 10)
+        .select(col("query_id"), col("doc_id"),
+          round(col("cosine"), 4).as("cosine"))
+        .orderBy(col("query_id"), col("cosine").desc, col("doc_id"))
+    }),
+
     "q106_quantized_cosine" -> ((s, d) => {
       val emb = t(s, d, "embeddings").filter(col("embedding").isNotNull)
         .select(col("vec_id"), VF.quantizeInt8(col("embedding")).as("codes"))
@@ -1806,5 +1820,40 @@ object LlmQueries {
          FROM exact e JOIN r USING (lang)
          WHERE ('0x' || substr(md5(CAST(e.doc_id AS VARCHAR)), 1, 4))::BIGINT
                < floor(rate * 65536.0)
-         ORDER BY e.doc_id""")
+         ORDER BY e.doc_id""",
+
+    // q123's weights and grid, batched: per-query dots, shared norms,
+    // per-query rank on the rounded grid
+    "q131_tfidf_batch" ->
+      """WITH tok AS (
+           SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS tk
+           FROM documents),
+         pairs AS (SELECT doc_id, unnest(tk) AS token FROM tok),
+         tfs AS (SELECT doc_id, token, CAST(count(*) AS DOUBLE) AS tf
+                 FROM pairs GROUP BY doc_id, token),
+         dfs AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tfs GROUP BY token),
+         n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM tok),
+         w AS (SELECT doc_id, token, tf * ln(n.n / df) AS w
+               FROM tfs JOIN dfs USING (token) CROSS JOIN n),
+         q AS (SELECT doc_id AS query_id, token, w AS wq FROM w WHERE doc_id IN (0, 1, 2)),
+         dots AS (
+           SELECT q.query_id, w.doc_id, sum(CAST(round(w.w * q.wq, 9) AS DECIMAL(28,9))) AS dot
+           FROM w JOIN q USING (token) WHERE w.doc_id <> q.query_id
+           GROUP BY q.query_id, w.doc_id),
+         norms AS (
+           SELECT doc_id, sum(CAST(round(w * w, 9) AS DECIMAL(28,9))) AS n2
+           FROM w WHERE doc_id IN (SELECT DISTINCT doc_id FROM dots) GROUP BY doc_id),
+         qn AS (SELECT query_id, sum(CAST(round(wq * wq, 9) AS DECIMAL(28,9))) AS qn2
+                FROM q GROUP BY query_id),
+         scored AS (
+           SELECT d.query_id, d.doc_id,
+             CAST(d.dot AS DOUBLE) /
+               (sqrt(CAST(m.n2 AS DOUBLE)) * sqrt(CAST(qn.qn2 AS DOUBLE))) AS cosine
+           FROM dots d JOIN norms m USING (doc_id) JOIN qn USING (query_id)),
+         ranked AS (SELECT query_id, doc_id, cosine,
+                      row_number() OVER (PARTITION BY query_id
+                        ORDER BY round(cosine, 4) DESC, doc_id ASC) AS rk
+                    FROM scored)
+         SELECT query_id, doc_id, round(cosine, 4) AS cosine FROM ranked WHERE rk <= 10
+         ORDER BY query_id, cosine DESC, doc_id""")
 }

@@ -638,6 +638,53 @@ object TextIndex {
           .as("cosine"))
   }
 
+  /** [[tfidfCosineToDoc]] for a SET of query documents in ONE job — the
+    * batched form (the [[bm25Batch]] discipline applied to dense-ish
+    * retrieval): N per-query calls are N driver submissions over the
+    * same weights table. Output: (query_id, doc_id, cosine) for every
+    * (query doc, candidate) pair sharing >= 1 token, self-pairs
+    * excluded; `topK > 0` keeps each query's best k by
+    * (round(cosine, 4) DESC, doc_id ASC) via a query-partitioned window.
+    *
+    * Scale shape: the query docs' weight rows broadcast (O(queries ×
+    * their tokens)); the dot product is ONE shared-token join + one
+    * (query, doc) aggregation; norms are computed once per CANDIDATE doc
+    * (semi-join before the agg — norm is query-independent, so the
+    * union of candidates pays it once, not once per query). Same 9-grid
+    * DECIMAL accumulation as the single-query form — bit-equal results
+    * (spec-asserted). */
+  def tfidfCosineBatch(weights: DataFrame, queryDocIds: Seq[Long],
+                       topK: Int = 0): DataFrame = {
+    require(queryDocIds.nonEmpty, "queryDocIds must be non-empty")
+    val dec = (c: Column) => round(c, 9).cast("decimal(28,9)")
+    val q = weights.filter(col("doc_id").isin(queryDocIds: _*))
+      .select(col("doc_id").as("query_id"), col("token"), col("w").as("__wq"))
+    val qNorms = q.groupBy(col("query_id"))
+      .agg(sum(dec(col("__wq") * col("__wq"))).as("__qn2"))
+    val dots = weights
+      .join(broadcast(q), "token")
+      .filter(col("doc_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(dec(col("w") * col("__wq"))).as("__dot"))
+    val norms = weights
+      .join(dots.select(col("doc_id")).distinct(), Seq("doc_id"), "left_semi")
+      .groupBy(col("doc_id"))
+      .agg(sum(dec(col("w") * col("w"))).as("__n2"))
+    val scored = dots.join(norms, "doc_id").join(broadcast(qNorms), "query_id")
+      .select(col("query_id"), col("doc_id"),
+        (col("__dot").cast("double") /
+          (sqrt(col("__n2").cast("double")) * sqrt(col("__qn2").cast("double"))))
+          .as("cosine"))
+    if (topK <= 0) scored
+    else {
+      import org.apache.spark.sql.expressions.Window
+      scored.withColumn("__rk", row_number().over(
+          Window.partitionBy(col("query_id"))
+            .orderBy(round(col("cosine"), 4).desc, col("doc_id").asc)))
+        .filter(col("__rk") <= topK).drop("__rk")
+    }
+  }
+
   /** Documents where two distinct terms co-occur within `window` tokens
     * (unordered), with the count of close position pairs — the proximity
     * relaxation of [[phraseMatch]]. Postings-only like phraseMatch: both

@@ -235,6 +235,33 @@ class TextIndexSpec extends SparkSpec {
     assert(cos(3L) > cos(2L))
   }
 
+  test("tfidfCosineBatch: single query ≡ tfidfCosineToDoc; topK per query; no self-pairs") {
+    val corpus = Seq(
+      (0L, "spark window merge spark"),
+      (1L, "window table row"),
+      (2L, "spark spark spark"),
+      (3L, "merge window table"),
+      (4L, "nothing shared here")).toDF("doc_id", "text")
+    val w = TextIndex.tfidf(corpus, "doc_id", "text")
+    val single = TextIndex.tfidfCosineToDoc(w, queryDocId = 0L)
+      .as[(Long, Double)].collect().toMap
+    val batch = TextIndex.tfidfCosineBatch(w, Seq(0L, 1L))
+      .as[(Long, Long, Double)].collect()
+      .groupBy(_._1).map { case (q, rs) => q -> rs.map(r => r._2 -> r._3).toMap }
+    assert(batch(0L).keySet == single.keySet)
+    single.foreach { case (d, c) =>
+      assert(batch(0L)(d) == c, s"doc $d: bit-equal to the single-query form")
+    }
+    // query 1 candidates: docs sharing window/table/row; never itself;
+    // doc 4 shares nothing with anyone
+    assert(batch(1L).keySet == Set(0L, 3L))
+    assert(!batch.values.exists(_.keySet.exists(d => batch.contains(d) &&
+      batch(d).contains(d))), "self-pairs excluded")
+    val top1 = TextIndex.tfidfCosineBatch(w, Seq(0L, 1L), topK = 1)
+      .as[(Long, Long, Double)].collect()
+    assert(top1.length == 2 && top1.map(_._1).toSet == Set(0L, 1L))
+  }
+
   test("proximityMatch: unordered window co-occurrence with pair counts") {
     val corpus = Seq(
       (1L, "spark is a fast engine and merge works"),   // spark@1, merge@7: |d|=6
