@@ -590,6 +590,31 @@ object TextIndex {
     matched.groupBy(col("doc_id")).agg(count(lit(1)).as("n_occurrences"))
   }
 
+  /** [[phraseMatch]] over a PERSISTED index: reads only the phrase
+    * terms' buckets (partition-pruned), so query-time work is
+    * O(the phrase's postings), never a corpus scan or re-tokenization. */
+  def phraseMatchFromIndex(spark: SparkSession, store: String,
+                           phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "phrase must be non-empty")
+    phraseMatch(readPostings(spark, store, phrase), phrase)
+  }
+
+  /** [[slopPhraseMatch]] over a PERSISTED index (pruned read, same
+    * contract). */
+  def slopPhraseMatchFromIndex(spark: SparkSession, store: String,
+                               phrase: Seq[String], slop: Int): DataFrame = {
+    require(phrase.nonEmpty, "phrase must be non-empty")
+    slopPhraseMatch(readPostings(spark, store, phrase), phrase, slop)
+  }
+
+  /** [[proximityMatch]] over a PERSISTED index (pruned read of the two
+    * terms' buckets). */
+  def proximityMatchFromIndex(spark: SparkSession, store: String,
+                              termA: String, termB: String,
+                              window: Int): DataFrame =
+    proximityMatch(readPostings(spark, store, Seq(termA, termB)),
+      termA, termB, window)
+
   /** TF-IDF weights as a PAIR TABLE — (doc_id, token, w) with
     * w = tf · ln(N / df): the distributed form of sparse document
     * vectors (a 100 TB corpus's vocabulary-dimensional vectors never

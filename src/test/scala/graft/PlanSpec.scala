@@ -101,6 +101,33 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CodegenFallback"), s"must not fall back:\n$plan")
   }
 
+  test("q128/q131 batched retrieval: topK windows are query-partitioned, " +
+      "query tables broadcast — no global funnel") {
+    import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    Seq("q128_bm25_batch", "q131_tfidf_batch").foreach { name =>
+      val df = SparkEntry.queries(name)(spark, sf("sf0.001"))
+      val plan = df.queryExecution.sparkPlan
+      val windows = plan.collect { case w: WindowExec => w }
+      assert(windows.nonEmpty, s"$name: expected the per-query rank window")
+      windows.foreach { w =>
+        assert(w.partitionSpec.nonEmpty,
+          s"$name: rank window must partition by query_id, not sort globally:\n$w")
+      }
+      assert(plan.toString.contains("BroadcastHashJoin"),
+        s"$name: the query/df tables must broadcast:\n$plan")
+      // the per-query rank never funnels the corpus through one task
+      plan.collect {
+        case e: ShuffleExchangeExec if e.outputPartitioning == SinglePartition => e
+      }.foreach { e =>
+        assert(e.collect { case w: WindowExec => w }.isEmpty,
+          s"$name: no window output may feed a single-partition exchange:\n$e")
+      }
+      assert(df.collect().nonEmpty)
+    }
+  }
+
   test("q114 hybrid RRF: rank windows sit above distributed top-k prunes, " +
       "never a corpus-sized single-partition exchange") {
     import org.apache.spark.sql.catalyst.plans.physical.SinglePartition

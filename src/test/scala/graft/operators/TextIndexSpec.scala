@@ -181,13 +181,19 @@ class TextIndexSpec extends SparkSpec {
     val three = TextIndex.phraseMatch(post, Seq("new", "york", "city"))
       .as[(Long, Long)].collect().toMap
     assert(three == Map(1L -> 1L))
-    // a pruned persisted read feeds the same result
+    // a pruned persisted read feeds the same result — via the wrappers
     val store = java.nio.file.Files.createTempDirectory("postings").toString + "/idx"
     TextIndex.persistPostings(corpus, "doc_id", "text", store, numBuckets = 8)
-    val viaStore = TextIndex.phraseMatch(
-      TextIndex.readPostings(spark, store, Seq("new", "york")), Seq("new", "york"))
+    val viaStore = TextIndex.phraseMatchFromIndex(spark, store, Seq("new", "york"))
       .as[(Long, Long)].collect().toMap
     assert(viaStore == Map(1L -> 2L, 4L -> 1L))
+    val slopStore = TextIndex.slopPhraseMatchFromIndex(spark, store,
+      Seq("new", "york"), slop = 0).as[(Long, Long)].collect().toMap
+    assert(slopStore == viaStore, "slop 0 over the index ≡ phrase over the index")
+    val proxStore = TextIndex.proximityMatchFromIndex(spark, store,
+      "new", "york", window = 1).as[(Long, Long)].collect().toMap
+    assert(proxStore.keySet == Set(1L, 2L, 4L),
+      "unordered window-1 admits the reversed doc 2 the phrase forms reject")
   }
 
   test("tfidf + cosine-to-doc match an independent reference; no shared token → no row") {

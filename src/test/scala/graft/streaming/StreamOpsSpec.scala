@@ -382,6 +382,55 @@ class StreamOpsSpec extends SparkSpec {
     assert(scores(3L) > scores(2L), "all-spark doc outranks no-spark doc")
   }
 
+  test("file-source index ingest at sf0.01 ≡ one-shot batch index build (composition)") {
+    // The r7 nearDupFilterSink sf0.01 proof, for retrieval: the full
+    // sf0.01 documents corpus landed as 4 parquet files and streamed
+    // through indexAppendSink (maxFilesPerTrigger = 1 → 4 micro-batches:
+    // creation + 3 appends) must serve bm25/phrase/proximity queries
+    // IDENTICALLY to a one-shot persistPostings of the whole corpus —
+    // the streaming plumbing adds nothing and loses nothing.
+    val dir = java.nio.file.Files.createTempDirectory("stream-index-sf001")
+    val docs = spark.read.parquet(sf("sf0.01") + "/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val in = dir.toString + "/in"
+    Seq(docs.filter(col("doc_id") < 125),
+      docs.filter(col("doc_id") >= 125 && col("doc_id") < 250),
+      docs.filter(col("doc_id") >= 250 && col("doc_id") < 375),
+      docs.filter(col("doc_id") >= 375))
+      .foreach(_.coalesce(1).write.mode("append").parquet(in))
+
+    val stream = spark.readStream
+      .schema("doc_id LONG, text STRING")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(in)
+    val q = StreamOps.indexAppendSink(stream, "doc_id", "text",
+      dir.toString + "/idx", dir.toString + "/ckpt", numBuckets = 16)
+    q.processAllAvailable()
+    q.stop()
+
+    val ref = dir.toString + "/ref"
+    graft.operators.TextIndex.persistPostings(docs, "doc_id", "text", ref,
+      numBuckets = 16)
+
+    val meta = graft.operators.TextIndex.readMeta(spark, dir.toString + "/idx")
+    assert(meta.nDocs == 500 && meta.batches.size == 4,
+      s"4 micro-batches (creation + 3 appends): $meta")
+    val terms = Seq("spark", "window", "merge")
+    val streamed = graft.operators.TextIndex.bm25FromIndex(spark,
+      dir.toString + "/idx", terms).as[(Long, Double)].collect().toMap
+    val batch = graft.operators.TextIndex.bm25FromIndex(spark, ref, terms)
+      .as[(Long, Double)].collect().toMap
+    assert(streamed.size == 500 && streamed == batch,
+      "scores identical to the one-shot build")
+    val phraseStreamed = graft.operators.TextIndex.phraseMatchFromIndex(
+      spark, dir.toString + "/idx", Seq("table", "window"))
+      .as[(Long, Long)].collect().toMap
+    val phraseBatch = graft.operators.TextIndex.phraseMatchFromIndex(
+      spark, ref, Seq("table", "window"))
+      .as[(Long, Long)].collect().toMap
+    assert(phraseStreamed == phraseBatch && phraseStreamed.nonEmpty)
+  }
+
   test("upsertJdbcSink merges each micro-batch into a live database (embedded Derby)") {
     implicit val sqlCtx = spark.sqlContext
     val dbDir = java.nio.file.Files.createTempDirectory("derby-stream").toString
