@@ -951,6 +951,19 @@ object LlmQueries {
         .orderBy(col("query_id"), col("cosine").desc, col("doc_id"))
     }),
 
+    // --- temperature mixing by REPLICATION (upsampling epochs) -------------
+    // The complement of q111: small languages replicate toward balance
+    // ((c_max/c)^0.5 copies, largest group stays at one), copy counts a
+    // pure function of (id, counts), with a 0-based epoch ordinal per
+    // copy. One broadcast rate join + a narrow sequence explode.
+    "q132_temperature_epochs" -> ((s, d) => {
+      graft.operators.Splits.temperatureEpochs(
+          t(s, d, "documents").select(col("doc_id"), col("lang")),
+          "doc_id", "lang", alpha = 0.5)
+        .select(col("doc_id"), col("lang"), col("epoch"))
+        .orderBy(col("doc_id"), col("epoch"))
+    }),
+
     "q106_quantized_cosine" -> ((s, d) => {
       val emb = t(s, d, "embeddings").filter(col("embedding").isNotNull)
         .select(col("vec_id"), VF.quantizeInt8(col("embedding")).as("codes"))
@@ -1855,5 +1868,19 @@ object LlmQueries {
                         ORDER BY round(cosine, 4) DESC, doc_id ASC) AS rk
                     FROM scored)
          SELECT query_id, doc_id, round(cosine, 4) AS cosine FROM ranked WHERE rk <= 10
-         ORDER BY query_id, cosine DESC, doc_id""")
+         ORDER BY query_id, cosine DESC, doc_id""",
+
+    // sqrt rates (IEEE-exact), floor + fractional md5-bucket cut, 0-based
+    // epoch ordinals via generate_series — same copy counts, same order
+    "q132_temperature_epochs" ->
+      """WITH c AS (SELECT lang, CAST(count(*) AS DOUBLE) AS cnt FROM documents GROUP BY lang),
+         r AS (SELECT lang, sqrt((SELECT max(cnt) FROM c) / cnt) AS rate FROM c),
+         n AS (SELECT d.doc_id, d.lang, CAST(floor(r.rate) AS BIGINT) +
+                 CASE WHEN ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4))::BIGINT
+                      < floor((r.rate - floor(r.rate)) * 65536.0) THEN 1 ELSE 0 END AS n
+               FROM documents d JOIN r USING (lang))
+         SELECT doc_id, lang, CAST(g.i AS BIGINT) AS epoch
+         FROM n, LATERAL (SELECT unnest(generate_series(0, CAST(n.n AS INT) - 1)) AS i) g
+         WHERE n.n > 0
+         ORDER BY doc_id, epoch""")
 }

@@ -170,6 +170,50 @@ object Splits {
       .drop("__rate")
   }
 
+  /** Temperature mixing by REPLICATION — the with-upsampling complement
+    * of [[temperatureKeep]] (which can only drop rows): with per-group
+    * count c and temperature α, a group's target rate is
+    * `(c_max / c)^(1-α)` >= 1 — the LARGEST group stays at exactly one
+    * copy and smaller groups replicate toward balance (α = 1 natural,
+    * α = 0 every group matches the largest). Each row emits
+    * `floor(rate)` copies plus one more iff its md5 bucket falls under
+    * the fractional remainder's cut — membership and copy count are a
+    * pure function of (id, group counts), reproducible across engines
+    * and re-runs. Output adds `epoch` (0-based copy ordinal) so
+    * downstream shard shuffles can spread replicas.
+    *
+    * α = 0.5 computes rates via `sqrt` (correctly rounded IEEE →
+    * SQL-oracle-exact cut points); other α go through `pow` — the
+    * [[temperatureKeep]] caveat applies.
+    *
+    * Scale shape: one tiny per-group count aggregation broadcast back,
+    * then a narrow per-row sequence explode — no data shuffle. The
+    * fan-out is the mixture's epoch factor (bounded by
+    * `(c_max/c_min)^(1-α)`); feed [[shardShuffle]] afterwards so
+    * replicas of a document land in different shards. */
+  def temperatureEpochs(df: DataFrame, idCol: String, groupCol: String,
+                        alpha: Double = 0.5): DataFrame = {
+    require(alpha >= 0.0 && alpha <= 1.0, s"alpha must be in [0,1], got $alpha")
+    val counts = df.groupBy(col(groupCol))
+      .agg(count(lit(1)).cast("double").as("__c"))
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
+    val rates = counts
+      .withColumn("__cmax", max(col("__c")).over(wAll))
+      .withColumn("__rate",
+        if (alpha == 0.5) sqrt(col("__cmax") / col("__c"))
+        else pow(col("__cmax") / col("__c"), lit(1.0 - alpha)))
+      .select(col(groupCol), col("__rate"))
+    val bucket = conv(substring(md5(col(idCol).cast("string")), 1, 4), 16, 10)
+      .cast("long")
+    df.join(broadcast(rates), groupCol)
+      .withColumn("__n", floor(col("__rate")).cast("long") +
+        when(bucket < floor((col("__rate") - floor(col("__rate"))) * lit(65536.0)),
+          lit(1L)).otherwise(lit(0L)))
+      .filter(col("__n") > 0)
+      .withColumn("epoch", explode(sequence(lit(0L), col("__n") - 1)))
+      .drop("__rate", "__n")
+  }
+
   /** Deterministic random negative sampling for contrastive training:
     * each anchor row gets `k` pseudo-random partner ids drawn from
     * [0, corpusSize) by hashing (salt, anchor, j) — reproducible across

@@ -132,6 +132,38 @@ class SplitsSpec extends SparkSpec {
     }
   }
 
+  test("temperatureEpochs: upsamples toward balance, largest group stays single-copy") {
+    val df = spark.range(0, 5250).toDF("id")
+      .withColumn("grp", when(col("id") < 4000, "g0")
+        .when(col("id") < 5000, "g1").otherwise("g2"))
+    // alpha = 1: natural — exactly one copy of everything, epoch 0
+    val nat = Splits.temperatureEpochs(df, "id", "grp", alpha = 1.0)
+    assert(nat.count() == 5250)
+    assert(nat.select(max(col("epoch"))).as[Long].head() == 0L)
+    // alpha = 0: every group replicates to ~the largest (4000)
+    val eq = Splits.temperatureEpochs(df, "id", "grp", alpha = 0.0)
+      .groupBy("grp").count().as[(String, Long)].collect().toMap
+    assert(eq("g0") == 4000, "the largest group is never replicated")
+    assert(math.abs(eq("g1") - 4000.0) / 4000.0 < 0.1, s"$eq")
+    assert(math.abs(eq("g2") - 4000.0) / 4000.0 < 0.1, s"$eq")
+    // alpha = 0.5: sqrt rates — g1 ≈ 1000·2 = 2000, g2 ≈ 250·4 = 1000;
+    // epochs are dense 0..n-1 per row
+    val half = Splits.temperatureEpochs(df, "id", "grp", alpha = 0.5)
+    val counts = half.groupBy("grp").count().as[(String, Long)].collect().toMap
+    assert(counts("g0") == 4000 && counts("g1") > 1500 && counts("g2") > 800, s"$counts")
+    val perRow = half.filter(col("id") === 5100L).select("epoch")
+      .as[Long].collect().sorted.toSeq
+    assert(perRow == (0L until perRow.size.toLong), s"dense epochs: $perRow")
+    // deterministic re-run
+    val a = half.select("id", "epoch").as[(Long, Long)].collect().sorted.toSeq
+    val b = Splits.temperatureEpochs(df, "id", "grp", alpha = 0.5)
+      .select("id", "epoch").as[(Long, Long)].collect().sorted.toSeq
+    assert(a == b)
+    intercept[IllegalArgumentException] {
+      Splits.temperatureEpochs(df, "id", "grp", alpha = -0.1)
+    }
+  }
+
   test("negativeSample: k draws per anchor, in range, never self, deterministic") {
     val corpus = spark.range(0, 200).toDF("id")
     val anchors = corpus.filter(col("id") < 50)
