@@ -964,6 +964,23 @@ object LlmQueries {
         .orderBy(col("doc_id"), col("epoch"))
     }),
 
+    // --- PageRank (link-analysis importance) -------------------------------
+    // Damped power iteration over a deterministic synthetic link graph
+    // (two affine hash maps with collisions → real in-degree skew; rank
+    // spread ~100× at sf0.01). 3 iterations; per-edge contributions on
+    // the 9-grid in DECIMAL (q73 discipline) so ranks are bit-identical
+    // cross-engine. One contribution join + one dst-keyed sum per round.
+    "q133_pagerank" -> ((s, d) => {
+      val docs = t(s, d, "documents").select(col("doc_id"))
+      val edges = docs.select(col("doc_id").as("src"),
+          pmod(col("doc_id") * col("doc_id") + 1, lit(500L)).as("dst"))
+        .unionByName(docs.select(col("doc_id").as("src"),
+          pmod(col("doc_id") * 37, lit(100L)).as("dst")))
+      graft.operators.Graph.pageRank(edges, iterations = 3)
+        .select(col("id"), round(col("pagerank"), 6).as("pagerank"))
+        .orderBy(col("id"))
+    }),
+
     "q106_quantized_cosine" -> ((s, d) => {
       val emb = t(s, d, "embeddings").filter(col("embedding").isNotNull)
         .select(col("vec_id"), VF.quantizeInt8(col("embedding")).as("codes"))
@@ -1882,5 +1899,31 @@ object LlmQueries {
          SELECT doc_id, lang, CAST(g.i AS BIGINT) AS epoch
          FROM n, LATERAL (SELECT unnest(generate_series(0, CAST(n.n AS INT) - 1)) AS i) g
          WHERE n.n > 0
-         ORDER BY doc_id, epoch""")
+         ORDER BY doc_id, epoch""",
+
+    // 3 unrolled power iterations, same 9-grid DECIMAL contribution sums;
+    // this graph has no dangling nodes, so the engine's dangling term is
+    // exactly 0 and the formulas coincide
+    "q133_pagerank" ->
+      """WITH e AS (
+           SELECT doc_id AS src, (doc_id * doc_id + 1) % 500 AS dst FROM documents
+           UNION ALL
+           SELECT doc_id AS src, (doc_id * 37) % 100 AS dst FROM documents),
+         nodes AS (SELECT DISTINCT id FROM (SELECT src AS id FROM e UNION ALL SELECT dst AS id FROM e)),
+         n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+         deg AS (SELECT src, CAST(count(*) AS DOUBLE) AS deg FROM e GROUP BY src),
+         r0 AS (SELECT id, round(1.0 / n.n, 9) AS r FROM nodes, n),
+         c1 AS (SELECT e.dst, sum(CAST(round(r0.r / deg.deg, 9) AS DECIMAL(28,9))) AS s
+                FROM e JOIN r0 ON e.src = r0.id JOIN deg ON e.src = deg.src GROUP BY e.dst),
+         r1 AS (SELECT nodes.id, round((1.0 - 0.85) / n.n + 0.85 * coalesce(CAST(c1.s AS DOUBLE), 0.0), 9) AS r
+                FROM nodes LEFT JOIN c1 ON nodes.id = c1.dst, n),
+         c2 AS (SELECT e.dst, sum(CAST(round(r1.r / deg.deg, 9) AS DECIMAL(28,9))) AS s
+                FROM e JOIN r1 ON e.src = r1.id JOIN deg ON e.src = deg.src GROUP BY e.dst),
+         r2 AS (SELECT nodes.id, round((1.0 - 0.85) / n.n + 0.85 * coalesce(CAST(c2.s AS DOUBLE), 0.0), 9) AS r
+                FROM nodes LEFT JOIN c2 ON nodes.id = c2.dst, n),
+         c3 AS (SELECT e.dst, sum(CAST(round(r2.r / deg.deg, 9) AS DECIMAL(28,9))) AS s
+                FROM e JOIN r2 ON e.src = r2.id JOIN deg ON e.src = deg.src GROUP BY e.dst),
+         r3 AS (SELECT nodes.id, round((1.0 - 0.85) / n.n + 0.85 * coalesce(CAST(c3.s AS DOUBLE), 0.0), 9) AS r
+                FROM nodes LEFT JOIN c3 ON nodes.id = c3.dst, n)
+         SELECT id, round(r, 6) AS pagerank FROM r3 ORDER BY id""")
 }

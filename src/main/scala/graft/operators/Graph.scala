@@ -154,6 +154,80 @@ object Graph {
     docs.join(components.filter(col("id") === col("component"))
         .select(col("id").as(idCol)), Seq(idCol), "left_semi")
 
+  /** Damped PageRank over a directed edge list — the link-analysis
+    * importance signal (web-crawl quality weighting, citation ranking,
+    * dedup-cluster canonical election by centrality). Standard power
+    * iteration: r'(v) = (1-d)/N + d · (Σ_{u→v} r(u)/outdeg(u) +
+    * dangling_mass/N), run for a FIXED `iterations` (the production
+    * norm — convergence tests on rank vectors are fleet-specific).
+    *
+    * Deterministic/oracle-exact (the q73 discipline): per-edge
+    * contributions round to the 9-grid and accumulate in DECIMAL(28,9),
+    * and each iteration's rank re-rounds to the grid — so ranks are
+    * bit-identical across partitionings, re-runs, and engines. Dangling
+    * nodes (no out-edges) redistribute their mass uniformly via a 1-row
+    * broadcast aggregate — no driver-side collect in the loop.
+    *
+    * Scale shape per iteration: one (src-keyed) contribution join, one
+    * dst-keyed sum shuffle, one left join back to the node set —
+    * O(edges) work, O(log-free) fixed rounds. `localCheckpoint` per
+    * iteration truncates lineage exactly as [[connectedComponents]]
+    * does (and with the same executor-loss caveat; pass
+    * `reliable = true` for checkpoint-dir-backed truncation).
+    *
+    * Returns (id, pagerank) for every node (edge endpoints ∪ optional
+    * `nodes`). Ranks sum to ~1 (grid rounding leaves ~1e-9·N slack). */
+  def pageRank(edges: DataFrame, srcCol: String = "src",
+               dstCol: String = "dst", iterations: Int = 10,
+               damping: Double = 0.85,
+               nodes: Option[(DataFrame, String)] = None,
+               reliable: Boolean = false): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    require(damping >= 0.0 && damping <= 1.0,
+      s"damping must be in [0,1], got $damping")
+    if (reliable && edges.sparkSession.sparkContext.getCheckpointDir.isEmpty)
+      throw new IllegalStateException(
+        "pageRank(reliable = true) needs a reliable checkpoint location: " +
+        "call sparkContext.setCheckpointDir(<durable path>) first")
+    def materialize(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint() else df.localCheckpoint()
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst"))
+    val nodeIds = materialize {
+      val fromEdges = e.select(col("src").as("id"))
+        .union(e.select(col("dst").as("id")))
+      nodes.fold(fromEdges) { case (df, c) =>
+        fromEdges.union(df.select(col(c).cast("long").as("id")))
+      }.distinct()
+    }
+    val n = nodeIds.count().toDouble
+    val outdeg = materialize(
+      e.groupBy("src").agg(count(lit(1)).cast("double").as("__deg")))
+    val dec9 = (c: org.apache.spark.sql.Column) =>
+      round(c, 9).cast("decimal(28,9)")
+    var ranks = nodeIds.select(col("id"),
+      round(lit(1.0) / lit(n), 9).as("pagerank"))
+    for (_ <- 1 to iterations) {
+      val contribs = ranks
+        .join(outdeg, col("id") === col("src"))
+        .join(e, "src")
+        .select(col("dst"), dec9(col("pagerank") / col("__deg")).as("__c"))
+      val sums = contribs.groupBy("dst").agg(sum(col("__c")).as("__in"))
+      val dangling = ranks
+        .join(outdeg, col("id") === col("src"), "left_anti")
+        .agg(coalesce(sum(dec9(col("pagerank"))),
+          lit(java.math.BigDecimal.ZERO).cast("decimal(28,9)")).as("__dang"))
+      ranks = materialize(
+        nodeIds.join(sums, col("id") === col("dst"), "left")
+          .crossJoin(broadcast(dangling))
+          .select(col("id"),
+            round(lit(1.0 - damping) / lit(n) + lit(damping) *
+              (coalesce(col("__in").cast("double"), lit(0.0)) +
+                col("__dang").cast("double") / lit(n)), 9).as("pagerank")))
+    }
+    ranks
+  }
+
   /** Incremental connected components: fold `newEdges` into an existing
     * (id, component) labeling without re-clustering the full graph. The
     * prior labeling IS its own contracted graph — each component is one

@@ -131,6 +131,50 @@ class GraphSpec extends SparkSpec {
     assert(new java.io.File(dir).listFiles().nonEmpty)
   }
 
+  test("pageRank: cycle is uniform, hubs outrank spokes, dangling mass redistributes, sums to 1") {
+    // 3-cycle: perfectly regular → uniform 1/3 at every iteration
+    val cycle = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    val cr = Graph.pageRank(cycle, iterations = 5)
+      .as[(Long, Double)].collect().toMap
+    cr.values.foreach(v => assert(math.abs(v - 1.0 / 3) < 1e-8, s"$cr"))
+
+    // star: 4 spokes → hub, hub → spoke 1. The hub and spoke 1 trade
+    // the mass (period-2 oscillation damping toward the fixed point);
+    // both must dominate the in-degree-0 spokes, whose rank is exactly
+    // the teleport floor (1-d)/n = 0.03. Ranks sum to ~1.
+    val star = Seq((1L, 10L), (2L, 10L), (3L, 10L), (4L, 10L),
+      (10L, 1L)).toDF("src", "dst")
+    val sr = Graph.pageRank(star, iterations = 10)
+      .as[(Long, Double)].collect().toMap
+    assert(sr(10L) > sr(2L) * 3 && sr(1L) > sr(2L) * 3,
+      s"the cycle dominates the teleport-only spokes: $sr")
+    assert(math.abs(sr(2L) - 0.03) < 1e-9, s"in-degree-0 rank is the teleport floor: $sr")
+    assert(math.abs(sr.values.sum - 1.0) < 1e-6, s"mass conserved: ${sr.values.sum}")
+
+    // dangling node: a -> b, b has no out-edges; hand-computed one
+    // iteration: r1(a) = 0.075 + 0.85·(0 + 0.25) = 0.2875,
+    // r1(b) = 0.075 + 0.85·(0.5 + 0.25) = 0.7125
+    val dang = Seq((1L, 2L)).toDF("src", "dst")
+    val dr = Graph.pageRank(dang, iterations = 1)
+      .as[(Long, Double)].collect().toMap
+    assert(math.abs(dr(1L) - 0.2875) < 1e-9 && math.abs(dr(2L) - 0.7125) < 1e-9,
+      s"dangling mass redistributes uniformly: $dr")
+    assert(math.abs(dr.values.sum - 1.0) < 1e-8)
+
+    // isolated nodes via the nodes param get teleport-only mass; ranks
+    // are deterministic across runs
+    val withIso = Graph.pageRank(star, iterations = 3,
+      nodes = Some((Seq(99L).toDF("id"), "id")))
+      .as[(Long, Double)].collect().toMap
+    assert(withIso.contains(99L) && withIso(99L) < withIso(10L))
+    val again = Graph.pageRank(star, iterations = 10)
+      .as[(Long, Double)].collect().toMap
+    assert(again == sr, "bit-identical re-run (9-grid DECIMAL sums)")
+
+    intercept[IllegalArgumentException](Graph.pageRank(star, iterations = 0))
+    intercept[IllegalArgumentException](Graph.pageRank(star, damping = 1.5))
+  }
+
   test("pipeline: LSH candidate pairs -> components -> canonical docs") {
     // three identical docs + one unrelated: the cluster collapses to one
     val docs = Seq(
