@@ -981,6 +981,31 @@ object LlmQueries {
         .orderBy(col("id"))
     }),
 
+    // --- incremental HLL cardinality store ---------------------------------
+    // Per-lang distinct-token counts via the mergeable-sketch store: two
+    // ingest batches (odd/even docs) append per-group sketches, the
+    // query merges the persisted batches and estimates — zero raw data
+    // re-read. Below the sketch's dense threshold the DataSketches
+    // estimate is EXACT (coupon list), so tiny vocabularies get a real
+    // count(DISTINCT) oracle; SketchesSpec proves union-exactness and
+    // the 5% band at 4k+ cardinalities where estimation kicks in.
+    "q134_hll_store" -> ((s, d) => {
+      val store = java.nio.file.Files
+        .createTempDirectory("hll-q134").toString + "/s"
+      val docs = t(s, d, "documents")
+      def toks(df: org.apache.spark.sql.DataFrame) =
+        df.select(col("lang"), explode(TF.tokens(col("text"))).as("token"))
+      graft.operators.Sketches.appendSketches(
+        toks(docs.filter(pmod(col("doc_id"), lit(2)) === 0)),
+        Seq("lang"), "token", store, batchId = 1L)
+      graft.operators.Sketches.appendSketches(
+        toks(docs.filter(pmod(col("doc_id"), lit(2)) === 1)),
+        Seq("lang"), "token", store, batchId = 2L)
+      graft.operators.Sketches.distinctCounts(s, store)
+        .select(col("lang"), col("distinct_estimate"))
+        .orderBy(col("lang"))
+    }),
+
     "q106_quantized_cosine" -> ((s, d) => {
       val emb = t(s, d, "embeddings").filter(col("embedding").isNotNull)
         .select(col("vec_id"), VF.quantizeInt8(col("embedding")).as("codes"))
@@ -1925,5 +1950,14 @@ object LlmQueries {
                 FROM e JOIN r2 ON e.src = r2.id JOIN deg ON e.src = deg.src GROUP BY e.dst),
          r3 AS (SELECT nodes.id, round((1.0 - 0.85) / n.n + 0.85 * coalesce(CAST(c3.s AS DOUBLE), 0.0), 9) AS r
                 FROM nodes LEFT JOIN c3 ON nodes.id = c3.dst, n)
-         SELECT id, round(r, 6) AS pagerank FROM r3 ORDER BY id""")
+         SELECT id, round(r, 6) AS pagerank FROM r3 ORDER BY id""",
+
+    // below the coupon-list threshold the HLL estimate is exact, so the
+    // sketch-store answer equals a plain distinct count
+    "q134_hll_store" ->
+      """WITH tok AS (
+           SELECT lang, unnest(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS token
+           FROM documents)
+         SELECT lang, CAST(count(DISTINCT token) AS BIGINT) AS distinct_estimate
+         FROM tok GROUP BY lang ORDER BY lang""")
 }

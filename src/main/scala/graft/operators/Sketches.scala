@@ -1,0 +1,113 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Mergeable-sketch cardinality store — incremental distinct counting
+  * for a growing corpus, the sketch-world sibling of the MinHash
+  * [[SignatureStore]] and the postings store ([[TextIndex]]).
+  *
+  * A 100 TB ingest pipeline constantly needs per-group distinct counts
+  * ("unique users per day", "vocabulary size per source") over ALL data
+  * so far. Exact recount per batch is O(corpus); storing raw ids is the
+  * corpus itself. HLL sketches (Spark's built-in Apache DataSketches
+  * `hll_sketch_agg` family — codegen'd aggregates, kilobytes per group)
+  * are MERGEABLE: union(sketch(A), sketch(B)) carries the identical
+  * register state as sketch(A ∪ B), so per-batch sketches persisted
+  * once can answer distinct-count queries over any subset of batches
+  * forever at O(groups) cost — and the batch-union estimate EQUALS the
+  * single-pass estimate exactly (spec-asserted), not just
+  * approximately.
+  *
+  * Layout: `<store>/sketches/ab=<batchId>/…` parquet rows
+  * (group keys…, hll binary), one partition dir per ingest batch;
+  * `<store>/_graft_hll_meta.<n>` versioned manifest
+  * ([[graft.sources.Manifest]] swap protocol) pinning `lgK` (sketches
+  * of different lgK must not merge blind) and the visible batch list —
+  * the [[TextIndex]] crash contract: manifest written LAST, orphans of
+  * a crashed append invisible, replay by batchId idempotent, dynamic
+  * partition overwrite convergent.
+  */
+object Sketches {
+
+  private def sketchesPath(store: String) = store + "/sketches"
+  private val MetaPrefix                  = "_graft_hll_meta"
+
+  private[graft] case class HllMeta(lgK: Int, keys: Seq[String],
+                                    batches: Seq[Long])
+
+  private[graft] def readMeta(spark: SparkSession, store: String): HllMeta = {
+    require(storeExists(spark, store), s"no sketch store at $store")
+    val lines = graft.sources.Manifest.read(spark, store, MetaPrefix)
+      .trim.split("\n")
+    val head = lines(0).trim.split("\\s+")
+    HllMeta(head(0).toInt, lines(1).trim.split("\\s+").toSeq,
+      if (lines.length > 2 && lines(2).trim.nonEmpty)
+        lines(2).trim.split("\\s+").map(_.toLong).toSeq
+      else Seq.empty)
+  }
+
+  private def writeMeta(spark: SparkSession, store: String, m: HllMeta): Unit =
+    graft.sources.Manifest.write(spark, store, MetaPrefix,
+      s"${m.lgK}\n${m.keys.mkString(" ")}\n${m.batches.mkString(" ")}")
+
+  def storeExists(spark: SparkSession, store: String): Boolean =
+    graft.sources.Manifest.exists(spark, store, MetaPrefix)
+
+  /** Per-group HLL sketch of `valueCol` — the one-pass batch form
+    * (map-side combined, bytes per group). */
+  def hllSketches(df: DataFrame, keys: Seq[String], valueCol: String,
+                  lgK: Int = 12): DataFrame =
+    df.groupBy(keys.map(col): _*)
+      .agg(hll_sketch_agg(col(valueCol), lit(lgK)).as("hll"))
+
+  /** Append one ingest batch's per-group sketches. First call creates
+    * the store (manifest LAST — the creation is invisible until
+    * complete); later calls must agree on `keys` and use the pinned
+    * lgK (mixed-lgK unions would silently degrade precision, so the
+    * call fails fast instead). `batchId` is the idempotency key: a
+    * manifested id is a completed replay and the call no-ops; a crash
+    * before the manifest swap leaves orphan partitions that are
+    * invisible and get dynamically overwritten on replay. Single
+    * writer per store. */
+  def appendSketches(df: DataFrame, keys: Seq[String], valueCol: String,
+                     store: String, batchId: Long, lgK: Int = 12): Unit = {
+    require(keys.nonEmpty, "keys must be non-empty")
+    val spark = df.sparkSession
+    val meta =
+      if (storeExists(spark, store)) {
+        val m = readMeta(spark, store)
+        require(m.keys == keys,
+          s"store $store is keyed by ${m.keys.mkString(", ")}, got ${keys.mkString(", ")}")
+        require(m.lgK == lgK,
+          s"store $store pins lgK=${m.lgK}, got $lgK — sketches of different " +
+            "precision must not merge")
+        m
+      } else HllMeta(lgK, keys, Seq.empty)
+    if (meta.batches.contains(batchId)) return // completed replay
+    graft.sources.Sinks.overwritePartitions(
+      hllSketches(df, keys, valueCol, lgK).withColumn("ab", lit(batchId)),
+      sketchesPath(store), Seq("ab"))
+    writeMeta(spark, store, meta.copy(batches = meta.batches :+ batchId))
+  }
+
+  /** Per-group sketches of the manifested batches, merged:
+    * (keys…, hll). */
+  def mergedSketches(spark: SparkSession, store: String): DataFrame = {
+    val meta = readMeta(spark, store)
+    spark.read.parquet(sketchesPath(store))
+      .filter(col("ab").isin(meta.batches: _*))
+      .groupBy(meta.keys.map(col): _*)
+      .agg(hll_union_agg(col("hll")).as("hll"))
+  }
+
+  /** Distinct-count estimates per group over EVERYTHING ingested so
+    * far: O(groups × batches) sketch rows read, zero raw data
+    * touched. */
+  def distinctCounts(spark: SparkSession, store: String): DataFrame = {
+    val meta = readMeta(spark, store)
+    mergedSketches(spark, store)
+      .select(meta.keys.map(col) :+
+        hll_sketch_estimate(col("hll")).as("distinct_estimate"): _*)
+  }
+}

@@ -126,33 +126,13 @@ object TextIndex {
 
   private def postingsPath(store: String) = store + "/postings"
   private def lensPath(store: String)     = store + "/lens"
-  private def metaPrefix(store: String)   = store + "/_graft_index_meta"
+  private val MetaPrefix                  = "_graft_index_meta"
 
   private def fsOf(spark: SparkSession, path: String) =
     new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   private def hPath(s: String) = new org.apache.hadoop.fs.Path(s)
-
-  /** Manifest marker files present at `store`, as (version, path),
-    * ascending. The manifest is VERSIONED (`_graft_index_meta.<n>`):
-    * a swap writes version n+1 first and deletes n second, so there is
-    * never an instant with zero visible manifests — a crash (or a reader
-    * racing a writer) between the two steps sees both and picks the
-    * highest. (The earlier delete-then-rename single file had a window
-    * where the whole index read as absent — ADVICE r7.) */
-  private def markerVersions(fs: org.apache.hadoop.fs.FileSystem,
-                             store: String): Seq[(Long, org.apache.hadoop.fs.Path)] = {
-    val dir = hPath(store)
-    if (!fs.exists(dir)) return Seq.empty
-    val prefix = "_graft_index_meta."
-    fs.listStatus(dir).toSeq.flatMap { s =>
-      val name = s.getPath.getName
-      if (s.isFile && name.startsWith(prefix) && !name.endsWith("__tmp"))
-        name.stripPrefix(prefix).toLongOption.map(_ -> s.getPath)
-      else None
-    }.sortBy(_._1)
-  }
 
   /** xxhash64 (Spark's builtin, seed 42) of a term, evaluated driver-side
     * so the read path computes the SAME bucket the write path's
@@ -172,17 +152,13 @@ object TextIndex {
   private[graft] case class IndexMeta(numBuckets: Int, nDocs: Long,
                                       sumDl: Long, batches: Seq[Long])
 
-  /** The HIGHEST-version manifest (see [[markerVersions]] for why more
-    * than one can momentarily exist). */
+  /** The HIGHEST-version manifest (the [[graft.sources.Manifest]]
+    * versioned-swap protocol — more than one version can momentarily
+    * exist after a crash; highest wins). */
   private[graft] def readMeta(spark: SparkSession, store: String): IndexMeta = {
-    val fs = fsOf(spark, store)
-    val markers = markerVersions(fs, store)
-    require(markers.nonEmpty, s"no persisted index at $store")
-    val in = fs.open(markers.last._2)
-    val parts =
-      try new String(in.readAllBytes(),
-        java.nio.charset.StandardCharsets.UTF_8).trim.split("\\s+")
-      finally in.close()
+    require(indexExists(spark, store), s"no persisted index at $store")
+    val parts = graft.sources.Manifest.read(spark, store, MetaPrefix)
+      .trim.split("\\s+")
     IndexMeta(parts(0).toInt, parts(1).toLong, parts(2).toLong,
       parts.drop(3).map(_.toLong).toSeq)
   }
@@ -191,39 +167,19 @@ object TextIndex {
     * stats, and the list of visible ingest batches. It is written LAST in
     * every write path — data a crash leaves behind without a manifest
     * entry is invisible to readers and gets overwritten convergently on
-    * replay. The swap protocol is write-new-version-then-delete-old
-    * (tmp + rename for the new file itself), so readers always see at
-    * least one manifest and [[readMeta]] picks the highest version; a
-    * crash between the two steps just leaves a stale lower version for
-    * the next write to clean up. */
-  private def writeMeta(spark: SparkSession, store: String, m: IndexMeta): Unit = {
-    val fs = fsOf(spark, store)
-    val old = markerVersions(fs, store)
-    val next = old.lastOption.map(_._1 + 1).getOrElse(1L)
-    val dst = hPath(metaPrefix(store) + "." + next)
-    val tmp = hPath(metaPrefix(store) + "." + next + "__tmp")
-    val out = fs.create(tmp, true)
-    try out.write(
-      s"${m.numBuckets} ${m.nDocs} ${m.sumDl} ${m.batches.mkString(" ")}"
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-    if (!fs.rename(tmp, dst))
-      throw new java.io.IOException(
-        s"rename $tmp -> $dst failed; current manifest is intact")
-    old.foreach { case (_, p) => fs.delete(p, false) } // new version is durable
-  }
-
-  /** Drop every manifest version — the index reads as absent afterwards
-    * (rebuild entry point; data dirs may still hold stale bytes, which
-    * are unreachable without a manifest). */
-  private def clearMarkers(fs: org.apache.hadoop.fs.FileSystem, store: String): Unit =
-    markerVersions(fs, store).foreach { case (_, p) => fs.delete(p, false) }
+    * replay. The swap is [[graft.sources.Manifest.write]]'s
+    * write-new-version-then-delete-old, so readers always see at least
+    * one manifest (the r7 delete-then-rename zero-manifest window is
+    * closed by construction). */
+  private def writeMeta(spark: SparkSession, store: String, m: IndexMeta): Unit =
+    graft.sources.Manifest.write(spark, store, MetaPrefix,
+      s"${m.numBuckets} ${m.nDocs} ${m.sumDl} ${m.batches.mkString(" ")}")
 
   /** True once a meta marker is durable. The marker is written LAST on
     * [[persistPostings]]: a crash mid-write leaves the index invisible
     * (the SignatureStore crash-safety contract). */
   def indexExists(spark: SparkSession, store: String): Boolean =
-    markerVersions(fsOf(spark, store), store).nonEmpty
+    graft.sources.Manifest.exists(spark, store, MetaPrefix)
 
   /** Build and persist the inverted index of `docs` at `store`:
     *
@@ -259,7 +215,7 @@ object TextIndex {
       " (negative ids are compaction generations)")
     val spark = docs.sparkSession
     val fs = fsOf(spark, store)
-    clearMarkers(fs, store)
+    graft.sources.Manifest.clear(spark, store, MetaPrefix)
     Seq(postingsPath(store), lensPath(store)).foreach { d =>
       if (fs.exists(hPath(d))) fs.delete(hPath(d), true)
     }

@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class SketchesSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 3 groups × overlapping value ranges; true distincts known exactly
+  private def rows(lo: Long, hi: Long) =
+    spark.range(lo, hi).select(
+      (col("id") % 3).cast("string").as("grp"),
+      (col("id") % 5000).as("v"))
+
+  test("union of per-batch sketches estimates EXACTLY like a single-pass sketch") {
+    val store = java.nio.file.Files.createTempDirectory("hll").toString + "/s"
+    Sketches.appendSketches(rows(0, 4000), Seq("grp"), "v", store, batchId = 1L)
+    Sketches.appendSketches(rows(2000, 8000), Seq("grp"), "v", store, batchId = 2L)
+    Sketches.appendSketches(rows(6000, 12000), Seq("grp"), "v", store, batchId = 3L)
+    val merged = Sketches.distinctCounts(spark, store)
+      .as[(String, Long)].collect().toMap
+    // single-pass over the union of the same rows
+    val all = rows(0, 4000).union(rows(2000, 8000)).union(rows(6000, 12000))
+    val single = Sketches.hllSketches(all, Seq("grp"), "v")
+      .select(col("grp"), hll_sketch_estimate(col("hll")).as("e"))
+      .as[(String, Long)].collect().toMap
+    assert(merged == single,
+      s"mergeability is exact, not approximate: $merged vs $single")
+    // and the estimate is close to truth (distinct v per grp <= 5000/3+1)
+    val truth = all.select("grp", "v").distinct()
+      .groupBy("grp").count().as[(String, Long)].collect().toMap
+    truth.foreach { case (g, t) =>
+      assert(math.abs(merged(g) - t).toDouble / t < 0.05,
+        s"grp $g: estimate ${merged(g)} vs true $t")
+    }
+  }
+
+  test("replay no-ops; orphan batches are invisible; guards fail fast") {
+    val store = java.nio.file.Files.createTempDirectory("hll").toString + "/s"
+    Sketches.appendSketches(rows(0, 3000), Seq("grp"), "v", store, batchId = 1L)
+    val before = Sketches.distinctCounts(spark, store)
+      .as[(String, Long)].collect().toMap
+    // replay of a manifested batch changes nothing (even with new data)
+    Sketches.appendSketches(rows(0, 12000), Seq("grp"), "v", store, batchId = 1L)
+    assert(Sketches.distinctCounts(spark, store)
+      .as[(String, Long)].collect().toMap == before)
+    // a crashed append's orphan partition (data landed, no manifest) is
+    // invisible to queries
+    Sketches.hllSketches(rows(0, 12000), Seq("grp"), "v")
+      .withColumn("ab", lit(77L))
+      .write.mode("append").partitionBy("ab").parquet(store + "/sketches")
+    assert(Sketches.distinctCounts(spark, store)
+      .as[(String, Long)].collect().toMap == before,
+      "unmanifested sketches must not merge in")
+    // …and the replayed batch id 77 dynamically overwrites its own orphan
+    Sketches.appendSketches(rows(3000, 6000), Seq("grp"), "v", store, batchId = 77L)
+    val after = Sketches.distinctCounts(spark, store)
+      .as[(String, Long)].collect().toMap
+    assert(after("0") > before("0"))
+    // lgK / keys pinned at creation
+    intercept[IllegalArgumentException] {
+      Sketches.appendSketches(rows(0, 10), Seq("grp"), "v", store,
+        batchId = 9L, lgK = 14)
+    }
+    intercept[IllegalArgumentException] {
+      Sketches.appendSketches(rows(0, 10).withColumnRenamed("grp", "g2"),
+        Seq("g2"), "v", store, batchId = 9L)
+    }
+    // absent store fails friendly
+    val absent = java.nio.file.Files.createTempDirectory("hll").toString + "/nope"
+    val e = intercept[IllegalArgumentException] {
+      Sketches.distinctCounts(spark, absent)
+    }
+    assert(e.getMessage.contains("no sketch store"))
+  }
+}
