@@ -110,4 +110,34 @@ object Sketches {
       .select(meta.keys.map(col) :+
         hll_sketch_estimate(col("hll")).as("distinct_estimate"): _*)
   }
+
+  /** Fold all manifested batches into ONE negative compaction
+    * generation (the [[TextIndex.compactIndex]] protocol: appends are
+    * positive, generations negative; manifest swap LAST via the
+    * versioned-marker protocol, superseded `ab=` dirs swept after).
+    * Sketch union is exact, so [[distinctCounts]] is identical before
+    * and after — this bounds batch-dir/file growth under streaming
+    * ingest, shrinking the query-time merge from O(batches) rows per
+    * group to one. */
+  def compactStore(spark: SparkSession, store: String): Unit = {
+    val meta = readMeta(spark, store)
+    val gen = math.min(0L, meta.batches.min) - 1L
+    val folded = spark.read.parquet(sketchesPath(store))
+      .filter(col("ab").isin(meta.batches: _*))
+      .groupBy(meta.keys.map(col): _*)
+      .agg(hll_union_agg(col("hll")).as("hll"))
+      .withColumn("ab", lit(gen))
+    graft.sources.Sinks.overwritePartitions(folded, sketchesPath(store), Seq("ab"))
+    writeMeta(spark, store, meta.copy(batches = Seq(gen)))
+    val fs = new org.apache.hadoop.fs.Path(store)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val root = new org.apache.hadoop.fs.Path(sketchesPath(store))
+    if (fs.exists(root))
+      fs.listStatus(root).foreach { s =>
+        val name = s.getPath.getName
+        if (s.isDirectory && name.startsWith("ab=") &&
+            name.stripPrefix("ab=").toLongOption.exists(_ != gen))
+          fs.delete(s.getPath, true)
+      }
+  }
 }

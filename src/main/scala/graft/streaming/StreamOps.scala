@@ -218,6 +218,34 @@ object StreamOps {
       }
       .start()
 
+  /** Streaming ingest into the mergeable HLL cardinality store — the
+    * sketch twin of [[indexAppendSink]]: each micro-batch's per-group
+    * sketches land through [[graft.operators.Sketches.appendSketches]]
+    * (batchId + 1 as the manifest idempotency key; the first batch
+    * creates the store, pinning lgK and keys), so running distinct
+    * counts over the whole stream history cost O(groups) at any time
+    * ([[graft.operators.Sketches.distinctCounts]]) with zero raw data
+    * retained. `compactEvery = n` folds batch partitions into one
+    * generation every n micro-batches — sketch union is exact, so
+    * estimates never change across compaction. */
+  def hllSink(rows: DataFrame, keys: Seq[String], valueCol: String,
+              storePath: String, checkpoint: String, lgK: Int = 12,
+              compactEvery: Int = 0)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    rows.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // an empty first batch must not create a file-less store tree
+        if (!batch.isEmpty)
+          graft.operators.Sketches.appendSketches(batch, keys, valueCol,
+            storePath, batchId + 1, lgK)
+        if (compactEvery > 0 && (batchId + 1) % compactEvery == 0 &&
+            graft.operators.Sketches.storeExists(batch.sparkSession, storePath))
+          graft.operators.Sketches.compactStore(batch.sparkSession, storePath)
+        ()
+      }
+      .start()
+
   /** Same running totals on the `transformWithState` API (Spark 4's
     * successor to flatMapGroupsWithState: typed ValueState handles,
     * timer support, state-store-backed). */

@@ -36,6 +36,33 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  test("compactStore folds batches into one generation; estimates unchanged; appendable after") {
+    val store = java.nio.file.Files.createTempDirectory("hll").toString + "/s"
+    Sketches.appendSketches(rows(0, 4000), Seq("grp"), "v", store, batchId = 1L)
+    Sketches.appendSketches(rows(2000, 8000), Seq("grp"), "v", store, batchId = 2L)
+    Sketches.appendSketches(rows(6000, 12000), Seq("grp"), "v", store, batchId = 3L)
+    val before = Sketches.distinctCounts(spark, store)
+      .as[(String, Long)].collect().toMap
+    def abDirs = new java.io.File(store + "/sketches").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("ab="))
+      .map(_.getName).sorted.toSeq
+    assert(abDirs == Seq("ab=1", "ab=2", "ab=3"))
+    Sketches.compactStore(spark, store)
+    assert(abDirs == Seq("ab=-1"), "superseded batch dirs swept")
+    assert(Sketches.readMeta(spark, store).batches == Seq(-1L))
+    assert(Sketches.distinctCounts(spark, store)
+      .as[(String, Long)].collect().toMap == before,
+      "sketch union is exact — compaction never moves an estimate")
+    Sketches.appendSketches(rows(12000, 15000), Seq("grp"), "v", store, batchId = 4L)
+    val after = Sketches.distinctCounts(spark, store)
+      .as[(String, Long)].collect().toMap
+    assert(after("0") >= before("0"))
+    Sketches.compactStore(spark, store)
+    assert(abDirs == Seq("ab=-2") &&
+      Sketches.distinctCounts(spark, store)
+        .as[(String, Long)].collect().toMap == after)
+  }
+
   test("replay no-ops; orphan batches are invisible; guards fail fast") {
     val store = java.nio.file.Files.createTempDirectory("hll").toString + "/s"
     Sketches.appendSketches(rows(0, 3000), Seq("grp"), "v", store, batchId = 1L)

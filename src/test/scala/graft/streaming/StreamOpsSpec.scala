@@ -431,6 +431,38 @@ class StreamOpsSpec extends SparkSpec {
     assert(phraseStreamed == phraseBatch && phraseStreamed.nonEmpty)
   }
 
+  test("hllSink: running distinct counts over the stream history; restart-safe; compaction exact") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("stream-hll")
+    val mem = MemoryStream[(String, Long)]
+    def start() = StreamOps.hllSink(mem.toDF().toDF("grp", "v"),
+      Seq("grp"), "v", dir.toString + "/store", dir.toString + "/ckpt",
+      compactEvery = 2)
+    val q1 = start()
+    mem.addData((1L to 500L).map(v => ("a", v)) ++ (1L to 100L).map(v => ("b", v)): _*)
+    q1.processAllAvailable()
+    mem.addData((301L to 800L).map(v => ("a", v)): _*) // 300 overlap with batch 0
+    q1.processAllAvailable()
+    q1.stop()
+    // restart from the checkpoint: committed batches not re-ingested
+    val q2 = start()
+    mem.addData((1L to 50L).map(v => ("b", v + 100)): _*)
+    q2.processAllAvailable()
+    q2.stop()
+    val counts = graft.operators.Sketches
+      .distinctCounts(spark, dir.toString + "/store")
+      .as[(String, Long)].collect().toMap
+    // b (150 distinct) sits in the sketch's exact range; a (800 true)
+    // is past it and estimates within the lgK=12 error band (~2%)
+    assert(counts("b") == 150L, s"small cardinality is exact: $counts")
+    assert(math.abs(counts("a") - 800.0) / 800.0 < 0.03,
+      s"distinct over the whole stream history: $counts")
+    // compactEvery=2 fired after micro-batch 1: at most 2 ab dirs remain
+    val abDirs = new java.io.File(dir.toString + "/store/sketches").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("ab=")).map(_.getName)
+    assert(abDirs.length <= 2, s"compaction bounds batch dirs: ${abDirs.toSeq}")
+  }
+
   test("upsertJdbcSink merges each micro-batch into a live database (embedded Derby)") {
     implicit val sqlCtx = spark.sqlContext
     val dbDir = java.nio.file.Files.createTempDirectory("derby-stream").toString
