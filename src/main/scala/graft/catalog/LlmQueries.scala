@@ -1006,6 +1006,23 @@ object LlmQueries {
         .orderBy(col("lang"))
     }),
 
+    // --- bloom-prefiltered decontamination ---------------------------------
+    // Exact anti-join semantics with a narrow fast path: the benchmark
+    // reference set (5% of docs, by content hash) builds a bloom filter
+    // once; candidates the codegen'd probe rejects are definitely clean
+    // and NEVER shuffle — only flagged rows (true hits + ~1% fpp) reach
+    // the exact verification join. Output ≡ plain anti-join, hence the
+    // real oracle.
+    "q135_bloom_decontaminate" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val hashed = docs.select(col("doc_id"), sha2(col("text"), 256).as("h"))
+      val ref = hashed.filter(pmod(col("doc_id"), lit(20)) === 0)
+        .select(col("h").as("rh"))
+      graft.operators.Bloom.decontaminate(hashed, "h", ref, "rh")
+        .select(col("doc_id"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q106_quantized_cosine" -> ((s, d) => {
       val emb = t(s, d, "embeddings").filter(col("embedding").isNotNull)
         .select(col("vec_id"), VF.quantizeInt8(col("embedding")).as("codes"))
@@ -1959,5 +1976,13 @@ object LlmQueries {
            SELECT lang, unnest(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS token
            FROM documents)
          SELECT lang, CAST(count(DISTINCT token) AS BIGINT) AS distinct_estimate
-         FROM tok GROUP BY lang ORDER BY lang""")
+         FROM tok GROUP BY lang ORDER BY lang""",
+
+    // the bloom path is exact end-to-end: plain anti-join reference
+    "q135_bloom_decontaminate" ->
+      """WITH ref AS (
+           SELECT sha256(text) AS h FROM documents WHERE doc_id % 20 = 0)
+         SELECT d.doc_id FROM documents d
+         WHERE sha256(d.text) NOT IN (SELECT h FROM ref)
+         ORDER BY d.doc_id""")
 }
