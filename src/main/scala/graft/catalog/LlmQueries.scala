@@ -1023,6 +1023,28 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // --- VARIANT semi-structured extraction (Spark 4 type) -----------------
+    // Nested JSON (injected, the q110 pattern) parses ONCE into the
+    // binary VARIANT encoding; typed path extraction (object fields,
+    // array indexing, numeric casts) then runs on the encoded form —
+    // the lakehouse answer to schema-on-read without per-path string
+    // re-parsing (q20's get_json_object re-scans the text per path).
+    "q136_variant" -> ((s, d) => {
+      val j = t(s, d, "documents").select(col("doc_id"),
+        concat(lit("{\"meta\": {\"lang\": \""), col("lang"),
+          lit("\", \"n\": "), col("n_chars"),
+          lit("}, \"tags\": [\""), col("source"), lit("\", \"x\"], \"score\": "),
+          pmod(col("doc_id"), lit(7)), lit("}")).as("js"))
+      j.select(col("doc_id"), parse_json(col("js")).as("v"))
+        .select(col("doc_id"),
+          variant_get(col("v"), "$.meta.lang", "string").as("vlang"),
+          variant_get(col("v"), "$.meta.n", "long").as("vn"),
+          variant_get(col("v"), "$.tags[0]", "string").as("tag0"),
+          variant_get(col("v"), "$.score", "long").as("score"))
+        .filter(col("score") >= 3)
+        .orderBy(col("doc_id"))
+    }),
+
     "q106_quantized_cosine" -> ((s, d) => {
       val emb = t(s, d, "embeddings").filter(col("embedding").isNotNull)
         .select(col("vec_id"), VF.quantizeInt8(col("embedding")).as("codes"))
@@ -1984,5 +2006,20 @@ object LlmQueries {
            SELECT sha256(text) AS h FROM documents WHERE doc_id % 20 = 0)
          SELECT d.doc_id FROM documents d
          WHERE sha256(d.text) NOT IN (SELECT h FROM ref)
-         ORDER BY d.doc_id""")
+         ORDER BY d.doc_id""",
+
+    // same constructed JSON, DuckDB's json path extraction
+    "q136_variant" ->
+      """WITH j AS (
+           SELECT doc_id,
+             '{"meta": {"lang": "' || lang || '", "n": ' || n_chars ||
+             '}, "tags": ["' || source || '", "x"], "score": ' || (doc_id % 7) || '}' AS js
+           FROM documents)
+         SELECT doc_id,
+           json_extract_string(js, '$.meta.lang') AS vlang,
+           CAST(json_extract(js, '$.meta.n') AS BIGINT) AS vn,
+           json_extract_string(js, '$.tags[0]') AS tag0,
+           CAST(json_extract(js, '$.score') AS BIGINT) AS score
+         FROM j WHERE CAST(json_extract(js, '$.score') AS BIGINT) >= 3
+         ORDER BY doc_id""")
 }
