@@ -1045,6 +1045,45 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // --- label propagation communities (q133's graph, denser semantics) ----
+    // Deterministic synchronous LPA: every node adopts its neighbors'
+    // most frequent label, ties to the smallest — 3 fixed rounds over
+    // the q133 edge set. Finds densely-linked groups INSIDE components
+    // (CC answers reachability, q77); the per-round vote is two chained
+    // map-side-combinable aggregations, oracle unrolled per round (the
+    // q133 pattern).
+    "q138_label_propagation" -> ((s, d) => {
+      val docs = t(s, d, "documents").select(col("doc_id"))
+      val edges = docs.select(col("doc_id").as("src"),
+          pmod(col("doc_id") * col("doc_id") + 1, lit(500L)).as("dst"))
+        .unionByName(docs.select(col("doc_id").as("src"),
+          pmod(col("doc_id") * 37, lit(100L)).as("dst")))
+      graft.operators.Graph.labelPropagation(edges, iterations = 3)
+        .orderBy(col("id"))
+    }),
+
+    // --- MMR diversity rerank (bounded candidate list) ---------------------
+    // The last stage of the retrieval stack: dense top-20 (cosine to
+    // vec 0, the q42 recall stage) hands a BOUNDED candidate list to
+    // MMR, which greedily picks 5 results trading relevance against
+    // redundancy (λ = 0.5 — exactly representable, so both engines
+    // compute identical doubles on the rounded-4 grid). Every argmax
+    // compares round(score, 4) with id ASC tie-break — the selection
+    // sequence is bit-reproducible, so the DuckDB oracle unrolls the 5
+    // greedy stages (the q133 fixed-iteration pattern).
+    "q137_mmr_rerank" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val qv = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").as("query_vec"))
+      val cands = emb.filter(col("vec_id") =!= 0).crossJoin(broadcast(qv))
+        .select(col("vec_id"),
+          round(VF.cosine(col("embedding"), col("query_vec")), 4).as("rel"),
+          col("embedding"))
+        .orderBy(col("rel").desc, col("vec_id").asc).limit(20)
+      graft.operators.Mmr.mmrRerank(cands, "vec_id", "rel", "embedding",
+        k = 5, lambda = 0.5)
+    }),
+
     "q106_quantized_cosine" -> ((s, d) => {
       val emb = t(s, d, "embeddings").filter(col("embedding").isNotNull)
         .select(col("vec_id"), VF.quantizeInt8(col("embedding")).as("codes"))
@@ -2007,6 +2046,101 @@ object LlmQueries {
          SELECT d.doc_id FROM documents d
          WHERE sha256(d.text) NOT IN (SELECT h FROM ref)
          ORDER BY d.doc_id""",
+
+    // 3 synchronous LPA rounds unrolled (the q133 pattern): per round,
+    // neighbor-label counts then argmax via (cnt DESC, label ASC)
+    "q138_label_propagation" ->
+      """WITH d AS (SELECT doc_id FROM documents),
+         raw AS (
+           SELECT doc_id AS src, ((doc_id * doc_id + 1) % 500 + 500) % 500 AS dst FROM d
+           UNION ALL
+           SELECT doc_id AS src, (doc_id * 37 % 100 + 100) % 100 AS dst FROM d),
+         canon AS (
+           SELECT DISTINCT least(src, dst) AS s, greatest(src, dst) AS t
+           FROM raw WHERE src <> dst),
+         e AS (SELECT s AS src, t AS dst FROM canon
+               UNION ALL SELECT t AS src, s AS dst FROM canon),
+         n AS (SELECT DISTINCT src AS id FROM e),
+         l0 AS (SELECT id, id AS label FROM n),
+         v1 AS (SELECT e.src AS v, l.label AS lbl, count(*) AS cnt
+                FROM e JOIN l0 l ON e.dst = l.id GROUP BY 1, 2),
+         b1 AS (SELECT v, lbl FROM (
+                  SELECT v, lbl, row_number() OVER (PARTITION BY v ORDER BY cnt DESC, lbl ASC) AS rk
+                  FROM v1) WHERE rk = 1),
+         l1 AS (SELECT l0.id, coalesce(b1.lbl, l0.label) AS label
+                FROM l0 LEFT JOIN b1 ON l0.id = b1.v),
+         v2 AS (SELECT e.src AS v, l.label AS lbl, count(*) AS cnt
+                FROM e JOIN l1 l ON e.dst = l.id GROUP BY 1, 2),
+         b2 AS (SELECT v, lbl FROM (
+                  SELECT v, lbl, row_number() OVER (PARTITION BY v ORDER BY cnt DESC, lbl ASC) AS rk
+                  FROM v2) WHERE rk = 1),
+         l2 AS (SELECT l1.id, coalesce(b2.lbl, l1.label) AS label
+                FROM l1 LEFT JOIN b2 ON l1.id = b2.v),
+         v3 AS (SELECT e.src AS v, l.label AS lbl, count(*) AS cnt
+                FROM e JOIN l2 l ON e.dst = l.id GROUP BY 1, 2),
+         b3 AS (SELECT v, lbl FROM (
+                  SELECT v, lbl, row_number() OVER (PARTITION BY v ORDER BY cnt DESC, lbl ASC) AS rk
+                  FROM v3) WHERE rk = 1),
+         l3 AS (SELECT l2.id, coalesce(b3.lbl, l2.label) AS label
+                FROM l2 LEFT JOIN b3 ON l2.id = b3.v)
+         SELECT id, label FROM l3 ORDER BY id""",
+
+    // the 5 greedy MMR stages unrolled (the q133 fixed-iteration
+    // pattern): each stage argmaxes round(0.5*rel - 0.5*maxsim, 4) with
+    // vec_id ASC tie-break over the not-yet-selected top-20 candidates
+    "q137_mmr_rerank" ->
+      """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         rels AS (
+           SELECT e.vec_id,
+             round(sum(CAST(e.embedding[CAST(i AS INT)] AS DOUBLE) * CAST(q.qe[CAST(i AS INT)] AS DOUBLE))
+               / (sqrt(sum(CAST(e.embedding[CAST(i AS INT)] AS DOUBLE) * CAST(e.embedding[CAST(i AS INT)] AS DOUBLE)))
+                  * sqrt(sum(CAST(q.qe[CAST(i AS INT)] AS DOUBLE) * CAST(q.qe[CAST(i AS INT)] AS DOUBLE)))), 4) AS rel
+           FROM embeddings e, q, generate_series(1, 64) AS g(i)
+           WHERE e.vec_id <> 0
+           GROUP BY e.vec_id),
+         cand AS (SELECT vec_id, rel FROM rels ORDER BY rel DESC, vec_id ASC LIMIT 20),
+         ce AS (SELECT c.vec_id, e.embedding FROM cand c JOIN embeddings e USING (vec_id)),
+         ps AS (
+           SELECT a.vec_id AS ia, b.vec_id AS ib,
+             round(sum(CAST(a.embedding[CAST(i AS INT)] AS DOUBLE) * CAST(b.embedding[CAST(i AS INT)] AS DOUBLE))
+               / (sqrt(sum(CAST(a.embedding[CAST(i AS INT)] AS DOUBLE) * CAST(a.embedding[CAST(i AS INT)] AS DOUBLE)))
+                  * sqrt(sum(CAST(b.embedding[CAST(i AS INT)] AS DOUBLE) * CAST(b.embedding[CAST(i AS INT)] AS DOUBLE)))), 4) AS s
+           FROM ce a, ce b, generate_series(1, 64) AS g(i)
+           WHERE a.vec_id <> b.vec_id
+           GROUP BY a.vec_id, b.vec_id),
+         st1 AS (SELECT vec_id, round(0.5 * rel, 4) AS score FROM cand
+                 ORDER BY round(0.5 * rel, 4) DESC, vec_id ASC LIMIT 1),
+         sel1 AS (SELECT vec_id, 1 AS rank, score FROM st1),
+         st2 AS (
+           SELECT c.vec_id, round(0.5 * c.rel - (1 - 0.5) * coalesce(p.m, 0), 4) AS score
+           FROM cand c LEFT JOIN (SELECT ia AS vec_id, max(s) AS m FROM ps
+                                  JOIN sel1 ON ps.ib = sel1.vec_id GROUP BY ia) p USING (vec_id)
+           WHERE c.vec_id NOT IN (SELECT vec_id FROM sel1)
+           ORDER BY score DESC, c.vec_id ASC LIMIT 1),
+         sel2 AS (SELECT * FROM sel1 UNION ALL SELECT vec_id, 2 AS rank, score FROM st2),
+         st3 AS (
+           SELECT c.vec_id, round(0.5 * c.rel - (1 - 0.5) * coalesce(p.m, 0), 4) AS score
+           FROM cand c LEFT JOIN (SELECT ia AS vec_id, max(s) AS m FROM ps
+                                  JOIN sel2 ON ps.ib = sel2.vec_id GROUP BY ia) p USING (vec_id)
+           WHERE c.vec_id NOT IN (SELECT vec_id FROM sel2)
+           ORDER BY score DESC, c.vec_id ASC LIMIT 1),
+         sel3 AS (SELECT * FROM sel2 UNION ALL SELECT vec_id, 3 AS rank, score FROM st3),
+         st4 AS (
+           SELECT c.vec_id, round(0.5 * c.rel - (1 - 0.5) * coalesce(p.m, 0), 4) AS score
+           FROM cand c LEFT JOIN (SELECT ia AS vec_id, max(s) AS m FROM ps
+                                  JOIN sel3 ON ps.ib = sel3.vec_id GROUP BY ia) p USING (vec_id)
+           WHERE c.vec_id NOT IN (SELECT vec_id FROM sel3)
+           ORDER BY score DESC, c.vec_id ASC LIMIT 1),
+         sel4 AS (SELECT * FROM sel3 UNION ALL SELECT vec_id, 4 AS rank, score FROM st4),
+         st5 AS (
+           SELECT c.vec_id, round(0.5 * c.rel - (1 - 0.5) * coalesce(p.m, 0), 4) AS score
+           FROM cand c LEFT JOIN (SELECT ia AS vec_id, max(s) AS m FROM ps
+                                  JOIN sel4 ON ps.ib = sel4.vec_id GROUP BY ia) p USING (vec_id)
+           WHERE c.vec_id NOT IN (SELECT vec_id FROM sel4)
+           ORDER BY score DESC, c.vec_id ASC LIMIT 1),
+         sel5 AS (SELECT * FROM sel4 UNION ALL SELECT vec_id, 5 AS rank, score FROM st5)
+         SELECT CAST(rank AS INT) AS rank, vec_id, score AS mmr_score
+         FROM sel5 ORDER BY rank""",
 
     // same constructed JSON, DuckDB's json path extraction
     "q136_variant" ->

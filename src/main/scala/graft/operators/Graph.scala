@@ -266,4 +266,63 @@ object Graph {
       nodes = Some((allNodes, "id")),
       maxIter = maxIter, reliable = reliable)
   }
+
+  /** Synchronous label propagation — community detection beside
+    * [[connectedComponents]] (which finds *reachability*; LPA finds
+    * *densely linked* groups inside one component) and [[pageRank]]
+    * (node importance). Every node starts labeled with its own id; each
+    * round, every node adopts the most frequent label among its
+    * NEIGHBORS, ties broken by the smallest label — the deterministic
+    * synchronous variant (Raghavan et al. 2007's async coin-flips would
+    * never hash-reproduce across engines or runs). Isolated nodes keep
+    * their own label. Fixed `iterations` (communities stabilize in a few
+    * rounds; synchronous LPA can 2-cycle on bipartite structure, so a
+    * fixed budget IS the convergence policy, same as [[pageRank]]).
+    *
+    * Scale shape (the [[pageRank]] loop discipline): per round ONE
+    * (node, label) count aggregation over the edge-join — map-side
+    * combined — then a second, strictly smaller aggregation collapses
+    * each node's vote via `min_by(label, (-cnt, label))`; both
+    * partial-aggregate (a row_number window could not). A left join
+    * against the node set keeps isolated nodes. Per-round
+    * `localCheckpoint` (or reliable `checkpoint`) truncates lineage.
+    * Labels are node ids (longs) — `min_by` on the (-cnt, label) struct
+    * is exact integer comparison, no float grids involved.
+    *
+    * Output: (id, label) — nodes sharing a label form one community. */
+  def labelPropagation(edges: DataFrame, srcCol: String = "src",
+                       dstCol: String = "dst", iterations: Int = 5,
+                       nodes: Option[(DataFrame, String)] = None,
+                       reliable: Boolean = false): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    if (reliable && edges.sparkSession.sparkContext.getCheckpointDir.isEmpty)
+      throw new IllegalStateException(
+        "labelPropagation(reliable = true) needs a reliable checkpoint " +
+        "location: call sparkContext.setCheckpointDir(<durable path>) first")
+    def materialize(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint() else df.localCheckpoint()
+    // undirected neighbor list, self-loops dropped, parallel edges
+    // collapsed (a duplicate edge must not double a vote)
+    val e = bothDirs(canonical(edges.select(
+      col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))))
+    val nodeIds = materialize {
+      val fromEdges = e.select(col("src").as("id")).distinct()
+      nodes.fold(fromEdges) { case (df, c) =>
+        fromEdges.union(df.select(col(c).cast("long").as("id"))).distinct()
+      }
+    }
+    var labels = nodeIds.select(col("id"), col("id").as("label"))
+    for (_ <- 1 to iterations) {
+      val votes = e.join(labels, e("dst") === labels("id"))
+        .select(e("src").as("__v"), col("label").as("__l"))
+        .groupBy(col("__v"), col("__l")).agg(count(lit(1)).as("__cnt"))
+        .groupBy(col("__v"))
+        .agg(min_by(col("__l"),
+          struct((col("__cnt") * -1).as("nc"), col("__l"))).as("__new"))
+      labels = materialize(
+        labels.join(votes, labels("id") === votes("__v"), "left")
+          .select(col("id"), coalesce(col("__new"), col("label")).as("label")))
+    }
+    labels
+  }
 }

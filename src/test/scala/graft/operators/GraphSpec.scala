@@ -191,4 +191,55 @@ class GraphSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().sorted.toSeq
     assert(kept == Seq(1L, 4L))
   }
+
+  test("labelPropagation: two triangles over a bridge settle into two communities") {
+    // triangles {1,2,3} and {4,5,6} joined by the single bridge 3-4:
+    // within a triangle every node has 2 same-community neighbors, the
+    // bridge endpoints have 2 vs 1 — LPA keeps the triangles separate
+    // (connectedComponents would merge everything into one component)
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (4L, 5L), (5L, 6L), (4L, 6L), (3L, 4L)).toDF("src", "dst")
+    val labels = Graph.labelPropagation(e, iterations = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels(1) == labels(2) && labels(2) == labels(3))
+    assert(labels(4) == labels(5) && labels(5) == labels(6))
+    assert(labels(1) != labels(4),
+      s"bridge must not merge the triangles: $labels")
+    val comps = Graph.connectedComponents(e)
+      .select("component").distinct().count()
+    assert(comps == 1, "sanity: CC sees ONE component across the bridge")
+  }
+
+  test("labelPropagation: isolated nodes keep their own label; ties go to the smallest") {
+    // star 10-(11,12,13): each leaf's only neighbor is 10, and 10's
+    // neighbors all hold distinct labels round 1 (tie) -> smallest (11).
+    // Node 99 arrives via `nodes` with no edges and must survive as its
+    // own singleton community.
+    val e = Seq((10L, 11L), (10L, 12L), (10L, 13L)).toDF("src", "dst")
+    val extra = Seq(Tuple1(99L)).toDF("id")
+    val labels = Graph.labelPropagation(e, iterations = 1,
+        nodes = Some((extra, "id")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels(10) == 11L, s"tie among {11,12,13} must pick 11: $labels")
+    assert(labels(11) == 10L && labels(12) == 10L && labels(13) == 10L)
+    assert(labels(99) == 99L, "edge-less node keeps its own label")
+  }
+
+  test("labelPropagation: duplicate and reversed edges do not double votes; reruns are identical") {
+    // 1's neighbors: 2 (listed 3x, as dup + reverse) and 3, 4 — if dups
+    // counted, 2's label would win the vote at iteration 2; collapsed,
+    // the vote among distinct neighbors ties to the smallest label
+    val e = Seq((1L, 2L), (1L, 2L), (2L, 1L), (1L, 3L), (1L, 4L),
+      (2L, 5L)).toDF("src", "dst")
+    val a = Graph.labelPropagation(e, iterations = 3)
+      .orderBy("id").collect().toSeq
+    val b = Graph.labelPropagation(e, iterations = 3)
+      .orderBy("id").collect().toSeq
+    assert(a == b, "synchronous LPA must be run-to-run deterministic")
+    val l1 = a.find(_.getLong(0) == 1L).get.getLong(1)
+    // round 1: node 1 sees {2,3,4} once each -> tie -> 2 (smallest)
+    assert(Graph.labelPropagation(e, iterations = 1)
+      .filter(col("id") === 1L).collect().head.getLong(1) == 2L)
+    assert(l1 == a.find(_.getLong(0) == 1L).get.getLong(1))
+  }
 }
