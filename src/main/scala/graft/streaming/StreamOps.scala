@@ -246,6 +246,35 @@ object StreamOps {
       }
       .start()
 
+  /** Streaming ingest into the mergeable KLL QUANTILE store — order
+    * statistics over the whole stream history at O(groups × batches)
+    * query cost ([[graft.operators.Quantiles.groupQuantiles]]): the
+    * [[hllSink]] recipe with sketches that answer p50/p95/p99 instead
+    * of distinct counts. Same contract: batchId + 1 is the manifest
+    * idempotency key (replays no-op, crashed appends stay invisible),
+    * the first batch pins `k` and the group keys, and `compactEvery`
+    * bounds partition-dir growth (exact-mode folds are lossless;
+    * over-capacity folds stay within the pinned rank-error bound —
+    * [[graft.operators.Quantiles.compactStore]]). */
+  def kllSink(rows: DataFrame, keys: Seq[String], valueCol: String,
+              storePath: String, checkpoint: String,
+              k: Int = graft.plans.KllSketch.DefaultK,
+              compactEvery: Int = 0)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    rows.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // an empty first batch must not create a file-less store tree
+        if (!batch.isEmpty)
+          graft.operators.Quantiles.appendSketches(batch, keys, valueCol,
+            storePath, batchId + 1, k)
+        if (compactEvery > 0 && (batchId + 1) % compactEvery == 0 &&
+            graft.operators.Quantiles.storeExists(batch.sparkSession, storePath))
+          graft.operators.Quantiles.compactStore(batch.sparkSession, storePath)
+        ()
+      }
+      .start()
+
   /** Same running totals on the `transformWithState` API (Spark 4's
     * successor to flatMapGroupsWithState: typed ValueState handles,
     * timer support, state-store-backed). */

@@ -463,6 +463,43 @@ class StreamOpsSpec extends SparkSpec {
     assert(abDirs.length <= 2, s"compaction bounds batch dirs: ${abDirs.toSeq}")
   }
 
+  test("kllSink: running quantiles over the stream history; restart-safe; exact n/min/max") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("stream-kll")
+    val mem = MemoryStream[(String, Double)]
+    def start() = StreamOps.kllSink(mem.toDF().toDF("grp", "v"),
+      Seq("grp"), "v", dir.toString + "/store", dir.toString + "/ckpt",
+      compactEvery = 2)
+    val q1 = start()
+    mem.addData((1L to 1000L).map(v => ("a", v.toDouble)): _*)
+    q1.processAllAvailable()
+    mem.addData((1001L to 2000L).map(v => ("a", v.toDouble)) ++
+      Seq(("b", 5.0), ("b", 1.0), ("b", 9.0)): _*)
+    q1.processAllAvailable()
+    q1.stop()
+    // restart from the checkpoint: committed batches not re-ingested
+    val q2 = start()
+    mem.addData(Seq(("b", 7.0)): _*)
+    q2.processAllAvailable()
+    q2.stop()
+    val q = graft.operators.Quantiles
+      .groupQuantiles(spark, dir.toString + "/store", Seq(0.5))
+      .select(col("grp"), col("n"), col("min_v"), col("max_v"),
+        element_at(col("quantiles"), 1).as("p50"))
+      .as[(String, Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    // exact stream facts over the whole history, across restart + compaction
+    assert(q("a")._2 == 2000L && q("a")._3 == 1.0 && q("a")._4 == 2000.0, s"$q")
+    assert(q("b")._2 == 4L && q("b")._3 == 1.0 && q("b")._4 == 9.0, s"$q")
+    // b is in exact mode: p50 of {1,5,7,9} (INCLUSIVE) = 5; a is over
+    // capacity — rank guarantee only
+    assert(q("b")._5 == 5.0, s"$q")
+    assert(math.abs(q("a")._5 - 1000.0) / 2000.0 < 0.05, s"$q")
+    val abDirs = new java.io.File(dir.toString + "/store/sketches").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("ab=")).map(_.getName)
+    assert(abDirs.length <= 2, s"compaction bounds batch dirs: ${abDirs.toSeq}")
+  }
+
   test("upsertJdbcSink merges each micro-batch into a live database (embedded Derby)") {
     implicit val sqlCtx = spark.sqlContext
     val dbDir = java.nio.file.Files.createTempDirectory("derby-stream").toString
