@@ -1006,6 +1006,32 @@ object LlmQueries {
         .orderBy(col("lang"))
     }),
 
+    // --- incremental KLL quantile store ------------------------------------
+    // Per-lang doc-length distribution via the mergeable-sketch store
+    // (the q134 discipline for ORDER STATISTICS): two ingest batches
+    // (odd/even docs) append per-group KLL sketches, the query merges
+    // the persisted images and reads p50/p90 + the exactly-carried
+    // (n, min, max). k = 800 > the largest sf0.01 group, so every
+    // sketch stays in exact mode and the INCLUSIVE quantile IS
+    // percentile_disc — a real DuckDB oracle; QuantilesSpec covers the
+    // estimation band where compaction kicks in.
+    "q139_quantile_store" -> ((s, d) => {
+      val store = java.nio.file.Files
+        .createTempDirectory("kll-q139").toString + "/s"
+      val docs = t(s, d, "documents")
+      graft.operators.Quantiles.appendSketches(
+        docs.filter(pmod(col("doc_id"), lit(2)) === 0),
+        Seq("lang"), "n_chars", store, batchId = 1L, k = 800)
+      graft.operators.Quantiles.appendSketches(
+        docs.filter(pmod(col("doc_id"), lit(2)) === 1),
+        Seq("lang"), "n_chars", store, batchId = 2L, k = 800)
+      graft.operators.Quantiles.groupQuantiles(s, store, Seq(0.5, 0.9))
+        .select(col("lang"), col("n"), col("min_v"), col("max_v"),
+          element_at(col("quantiles"), 1).as("p50"),
+          element_at(col("quantiles"), 2).as("p90"))
+        .orderBy(col("lang"))
+    }),
+
     // --- bloom-prefiltered decontamination ---------------------------------
     // Exact anti-join semantics with a narrow fast path: the benchmark
     // reference set (5% of docs, by content hash) builds a bloom filter
@@ -1082,6 +1108,31 @@ object LlmQueries {
         .orderBy(col("rel").desc, col("vec_id").asc).limit(20)
       graft.operators.Mmr.mmrRerank(cands, "vec_id", "rel", "embedding",
         k = 5, lambda = 0.5)
+    }),
+
+    // --- product-quantization ANN (ADC + exact refine) ---------------------
+    // The memory-bound ANN path: 64-float vectors compress to 16 code
+    // bytes (16x); the scan reads CODES + a driver-side lookup table
+    // (codegen'd PqAdc), shortlists 50, and re-ranks just those rows
+    // exactly. Deterministic end-to-end (lowest-id seeding, tie-broken
+    // argmins) but k-means-in-SQL has no practical oracle -> rows-only
+    // (the q45/q76 discipline); PqIndexSpec measures recall@10 = 0.9
+    // against exact cosine and pins the floor.
+    "q140_pq_ann" -> ((s, d) => {
+      val emb = t(s, d, "embeddings").filter(col("embedding").isNotNull)
+      val normed = emb.select(col("vec_id"),
+        transform(col("embedding"), x => x / VF.norm(col("embedding")))
+          .cast("array<float>").as("vec"))
+      val q = normed.filter(col("vec_id") === 0)
+        .select("vec").collect()(0).getSeq[Float](0)
+      val corpus = normed.filter(col("vec_id") =!= 0)
+      val cb = graft.functions.PqIndex.train(corpus, "vec", "vec_id",
+        m = 16, ksub = 32, iterations = 3)
+      val coded = graft.functions.PqIndex.encode(corpus, "vec", cb)
+      graft.functions.PqIndex.adcRefineTopK(coded, "vec", "vec_id", cb, q,
+          k = 10, shortlist = 50)
+        .select(col("vec_id"), round(col("l2_dist"), 4).as("l2_dist"))
+        .orderBy(col("l2_dist"), col("vec_id"))
     }),
 
     "q106_quantized_cosine" -> ((s, d) => {
@@ -2038,6 +2089,16 @@ object LlmQueries {
            FROM documents)
          SELECT lang, CAST(count(DISTINCT token) AS BIGINT) AS distinct_estimate
          FROM tok GROUP BY lang ORDER BY lang""",
+
+    // exact mode (k > group n): KLL INCLUSIVE ≡ percentile_disc, and
+    // n/min/max ride the image exactly — count/min/max/quantile_disc
+    "q139_quantile_store" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n,
+           CAST(min(n_chars) AS DOUBLE) AS min_v,
+           CAST(max(n_chars) AS DOUBLE) AS max_v,
+           CAST(quantile_disc(n_chars, 0.5) AS DOUBLE) AS p50,
+           CAST(quantile_disc(n_chars, 0.9) AS DOUBLE) AS p90
+         FROM documents GROUP BY lang ORDER BY lang""",
 
     // the bloom path is exact end-to-end: plain anti-join reference
     "q135_bloom_decontaminate" ->

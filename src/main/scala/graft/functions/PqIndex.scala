@@ -1,0 +1,166 @@
+package graft.functions
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.operators.Dedup
+import graft.plans.{PqCodes, SquaredL2}
+
+/** Product-quantization ANN index (Jégou et al. 2011): compress each
+  * vector to `m` one-byte codes (one per contiguous sub-vector, nearest
+  * of `ksub` per-subspace centroids), then answer nearest-neighbor
+  * queries with ASYMMETRIC DISTANCE — the query stays uncompressed, a
+  * driver-side m×ksub lookup table turns each coded row into m table
+  * lookups ([[graft.plans.PqAdc]], whole-stage codegen).
+  *
+  * This is the memory-bound scale path beside [[IvfIndex]] (which
+  * prunes WHICH rows are scanned; PQ shrinks WHAT each scanned row
+  * costs — 64 float dims = 256 bytes → 8 bytes at m = 8, 32×). The two
+  * compose: IVF picks nprobe clusters, ADC scans their codes. PQ
+  * approximates L2; for cosine ranking, L2-normalize vectors first
+  * (||a−b||² = 2 − 2·cos on the unit sphere — rank-equivalent).
+  *
+  * Training is deterministic per-subspace Lloyd (the [[IvfIndex]]
+  * discipline): seeds are the `ksub` lowest-id vectors' sub-slices; the
+  * assign step is one distributed job over the (id, sub_id, subvec)
+  * explode — all m subspaces train CONCURRENTLY in each round, not m
+  * sequential k-means — and the new means (m·ksub tiny rows) collect to
+  * the driver, the [[graft.operators.KMeans]] per-iteration pattern.
+  * Empty clusters keep their previous centroid.
+  */
+object PqIndex {
+
+  /** Trained codebooks: `cents(s)(c)` = centroid c of subspace s. */
+  final case class Codebooks(m: Int, ksub: Int, subDim: Int,
+                             cents: Array[Array[Array[Float]]])
+
+  /** Train per-subspace codebooks on `vectors`. `dim` must divide
+    * evenly into `m` subspaces; `ksub` <= 256 (one byte per code). */
+  def train(vectors: DataFrame, vecCol: String, idCol: String,
+            m: Int = 8, ksub: Int = 16, iterations: Int = 3): Codebooks = {
+    require(m >= 1, s"m must be >= 1, got $m")
+    require(ksub >= 1 && ksub <= 256, s"need 1 <= ksub <= 256, got $ksub")
+    require(iterations >= 0, s"iterations must be >= 0, got $iterations")
+    val spark = vectors.sparkSession
+    val clean = vectors.filter(col(vecCol).isNotNull)
+    val dimRow = clean.select(size(col(vecCol)).as("d")).limit(1).collect()
+    require(dimRow.nonEmpty, "PqIndex.train: no non-null vectors")
+    val dim = dimRow(0).getInt(0)
+    require(dim % m == 0, s"dim $dim must split evenly into m=$m subspaces")
+    val subDim = dim / m
+
+    // deterministic seeding: sub-slices of the ksub lowest-id vectors
+    val seeds = clean.orderBy(col(idCol).asc).limit(ksub)
+      .select(col(vecCol).cast("array<double>")).collect()
+      .map(_.getSeq[Double](0).toArray)
+    require(seeds.length == ksub,
+      s"need at least ksub=$ksub vectors to seed, got ${seeds.length}")
+    var cents: Array[Array[Array[Double]]] =
+      Array.tabulate(m, ksub)((s, c) => seeds(c).slice(s * subDim, (s + 1) * subDim))
+
+    if (iterations > 0) {
+      // (id, sub_id, subvec): all m subspaces ride one exploded frame
+      val pieces = (0 until m).map { s =>
+        struct(lit(s).as("sub_id"),
+          slice(col("__v"), s * subDim + 1, subDim).as("subvec"))
+      }
+      val subs = clean
+        .select(col(idCol).as("__id"), col(vecCol).as("__v"))
+        .select(col("__id"), inline(array(pieces: _*)))
+      val mean = udaf(new TypedAggregators.VectorMean(subDim))
+      val centSchema = StructType(Seq(
+        StructField("sub_id", IntegerType, nullable = false),
+        StructField("cluster_id", IntegerType, nullable = false),
+        StructField("centroid", ArrayType(DoubleType, containsNull = false))))
+      for (_ <- 1 to iterations) {
+        val centRows = for (s <- 0 until m; c <- 0 until ksub)
+          yield Row(s, c, cents(s)(c).toSeq)
+        val centsDf = spark.createDataFrame(
+          spark.sparkContext.parallelize(centRows, 1), centSchema)
+        val assigned = Dedup.keepFirst(
+          subs.join(broadcast(centsDf), "sub_id")
+            .withColumn("__d", SquaredL2(col("subvec"), col("centroid"))),
+          Seq("__id", "sub_id"),
+          Seq(col("__d").asc_nulls_last, col("cluster_id").asc))
+        val means = assigned
+          .groupBy(col("sub_id"), col("cluster_id"))
+          .agg(mean(col("subvec").cast("array<float>")).as("mu"))
+          .collect()
+        means.foreach { r =>
+          val mu = r.getSeq[Double](2)
+          if (mu.nonEmpty) cents(r.getInt(0))(r.getInt(1)) = mu.toArray
+          // empty cluster -> keep previous centroid
+        }
+      }
+    }
+    Codebooks(m, ksub, subDim, cents.map(_.map(_.map(_.toFloat))))
+  }
+
+  /** Add the m-byte PQ codes column — the compressed dataset
+    * ([[graft.plans.PqEncode]], codegen'd; the codebooks ride the
+    * generated class as a constant). */
+  def encode(vectors: DataFrame, vecCol: String, cb: Codebooks,
+             codesCol: String = "pq_codes"): DataFrame =
+    vectors.withColumn(codesCol, PqCodes.encode(col(vecCol), cb.cents))
+
+  /** The query's asymmetric-distance lookup table:
+    * `lut(s)(c) = ||query_s − cents(s)(c)||²` — m·ksub floats, computed
+    * once driver-side per query. */
+  def lut(queryVec: Seq[Float], cb: Codebooks): Array[Array[Float]] = {
+    require(queryVec.length == cb.m * cb.subDim,
+      s"query dim ${queryVec.length} != ${cb.m} x ${cb.subDim}")
+    Array.tabulate(cb.m, cb.ksub) { (s, c) =>
+      var d = 0.0
+      var j = 0
+      while (j < cb.subDim) {
+        val diff = queryVec(s * cb.subDim + j).toDouble - cb.cents(s)(c)(j)
+        d += diff * diff
+        j += 1
+      }
+      d.toFloat
+    }
+  }
+
+  /** Approximate top-k nearest neighbors of `queryVec` over the coded
+    * column: one scan of the m-byte codes (never the raw vectors),
+    * `orderBy().limit(k)` = TakeOrderedAndProject (distributed partial
+    * top-k). Output: (<idCol>, adc_dist), ascending distance, id
+    * tie-break. */
+  def adcTopK(encoded: DataFrame, idCol: String, cb: Codebooks,
+              queryVec: Seq[Float], k: Int,
+              codesCol: String = "pq_codes"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    encoded
+      .withColumn("adc_dist", PqCodes.adc(col(codesCol), lut(queryVec, cb)))
+      .filter(col("adc_dist").isNotNull)
+      .select(col(idCol), col("adc_dist"))
+      .orderBy(col("adc_dist").asc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** The standard PQ serving pipeline: ADC shortlists `shortlist`
+    * candidates from the CODES scan (cheap, approximate), then the raw
+    * vectors of just those rows re-rank EXACTLY (squared L2, ascending,
+    * id tie-break). Quantization noise only has to keep a true neighbor
+    * inside the shortlist, not rank it — recall@k of the refined list is
+    * recall@shortlist of raw ADC, a far easier bar (measured in
+    * PqIndexSpec / BENCH_NOTES). `encoded` must still carry `vecCol`;
+    * the exact pass touches `shortlist` rows, never the corpus. */
+  def adcRefineTopK(encoded: DataFrame, vecCol: String, idCol: String,
+                    cb: Codebooks, queryVec: Seq[Float], k: Int,
+                    shortlist: Int = 100,
+                    codesCol: String = "pq_codes"): DataFrame = {
+    require(k >= 1 && shortlist >= k,
+      s"need shortlist >= k >= 1, got k=$k shortlist=$shortlist")
+    val ids = adcTopK(encoded, idCol, cb, queryVec, shortlist, codesCol)
+      .select(idCol)
+    val q = array(queryVec.map(v => lit(v)): _*)
+    encoded
+      .join(broadcast(ids), Seq(idCol), "left_semi")
+      .withColumn("l2_dist", SquaredL2(col(vecCol), q))
+      .select(col(idCol), col("l2_dist"))
+      .orderBy(col("l2_dist").asc, col(idCol).asc)
+      .limit(k)
+  }
+}
