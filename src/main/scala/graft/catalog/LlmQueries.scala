@@ -1032,6 +1032,54 @@ object LlmQueries {
         .orderBy(col("lang"))
     }),
 
+    // --- incremental heavy-hitters store -----------------------------------
+    // Per-lang top tokens via the third sketch store (HLL = how many
+    // distinct, KLL = how distributed, Misra-Gries = WHICH dominate):
+    // two ingest batches append per-group frequent-items sketches, the
+    // query merges the persisted images and ranks top-5. 31 distinct
+    // tokens per lang sits far under maxMapSize=128's purge threshold,
+    // so counts are EXACT (error bound 0) — a real count/row_number
+    // oracle; HeavyHittersSpec covers the purge regime's bounds.
+    "q141_heavy_hitters" -> ((s, d) => {
+      val store = java.nio.file.Files
+        .createTempDirectory("freq-q141").toString + "/s"
+      val docs = t(s, d, "documents")
+      def toks(df: org.apache.spark.sql.DataFrame) =
+        df.select(col("lang"), explode(TF.tokens(col("text"))).as("token"))
+      graft.operators.HeavyHitters.appendSketches(
+        toks(docs.filter(pmod(col("doc_id"), lit(2)) === 0)),
+        Seq("lang"), "token", store, batchId = 1L, maxMapSize = 128)
+      graft.operators.HeavyHitters.appendSketches(
+        toks(docs.filter(pmod(col("doc_id"), lit(2)) === 1)),
+        Seq("lang"), "token", store, batchId = 2L, maxMapSize = 128)
+      graft.operators.HeavyHitters.topItems(s, store, 5)
+        .select(col("lang"), col("rank"), col("item"), col("estimate"))
+        .orderBy(col("lang"), col("rank"))
+    }),
+
+    // --- theta sketch set algebra -------------------------------------------
+    // Distinct-count SET OPERATIONS — the capability HLL lacks: theta
+    // images intersect and difference, so audience-overlap questions
+    // ("high-value users who click AND purchase") cost sketch bytes,
+    // not a distinct join. 75/67 live entries sit far under the
+    // nominal 4096 — exact regime, real count(DISTINCT) oracle;
+    // ThetaSketchSpec covers the estimation band.
+    "q142_theta_setops" -> ((s, d) => {
+      val th = graft.plans.ThetaSketch
+      val hot = t(s, d, "events").filter(col("value") > 150)
+      val sk = hot.filter(col("event_type").isin("click", "purchase"))
+        .groupBy("event_type").agg(th.sketch(col("user_id")).as("sk"))
+      val c = sk.filter(col("event_type") === "click").select(col("sk").as("sk_c"))
+      val p = sk.filter(col("event_type") === "purchase").select(col("sk").as("sk_p"))
+      c.crossJoin(p).select(
+        round(th.estimate(col("sk_c"))).cast("long").as("n_click"),
+        round(th.estimate(col("sk_p"))).cast("long").as("n_purchase"),
+        round(th.estimate(th.intersect(col("sk_c"), col("sk_p"))))
+          .cast("long").as("n_both"),
+        round(th.estimate(th.difference(col("sk_c"), col("sk_p"))))
+          .cast("long").as("n_click_only"))
+    }),
+
     // --- bloom-prefiltered decontamination ---------------------------------
     // Exact anti-join semantics with a narrow fast path: the benchmark
     // reference set (5% of docs, by content hash) builds a bloom filter
@@ -1120,15 +1168,17 @@ object LlmQueries {
     // against exact cosine and pins the floor.
     "q140_pq_ann" -> ((s, d) => {
       val emb = t(s, d, "embeddings").filter(col("embedding").isNotNull)
-      val normed = emb.select(col("vec_id"),
-        transform(col("embedding"), x => x / VF.norm(col("embedding")))
-          .cast("array<float>").as("vec"))
+      val normed = VF.l2Normalized(emb, "embedding", "vec")
+        .select(col("vec_id"), col("vec"))
       val q = normed.filter(col("vec_id") === 0)
         .select("vec").collect()(0).getSeq[Float](0)
       val corpus = normed.filter(col("vec_id") =!= 0)
       val cb = graft.functions.PqIndex.train(corpus, "vec", "vec_id",
         m = 16, ksub = 32, iterations = 3)
+      // materialize the coded table once — in a real deployment the
+      // codes column IS the persisted index the ADC scan reads
       val coded = graft.functions.PqIndex.encode(corpus, "vec", cb)
+        .localCheckpoint()
       graft.functions.PqIndex.adcRefineTopK(coded, "vec", "vec_id", cb, q,
           k = 10, shortlist = 50)
         .select(col("vec_id"), round(col("l2_dist"), 4).as("l2_dist"))
@@ -2099,6 +2149,31 @@ object LlmQueries {
            CAST(quantile_disc(n_chars, 0.5) AS DOUBLE) AS p50,
            CAST(quantile_disc(n_chars, 0.9) AS DOUBLE) AS p90
          FROM documents GROUP BY lang ORDER BY lang""",
+
+    // exact regime (vocab < purge threshold): estimates are counts
+    "q141_heavy_hitters" ->
+      """WITH tok AS (
+           SELECT lang,
+             unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS item
+           FROM documents
+         ),
+         cnt AS (SELECT lang, item, count(*) AS estimate FROM tok GROUP BY 1, 2),
+         rk AS (SELECT lang, item, estimate,
+                  row_number() OVER (PARTITION BY lang ORDER BY estimate DESC, item ASC) AS rank
+                FROM cnt)
+         SELECT lang, CAST(rank AS INT) AS rank, item, CAST(estimate AS BIGINT) AS estimate
+         FROM rk WHERE rank <= 5 ORDER BY lang, rank""",
+
+    // exact regime (entries < nominal k): estimates are counts
+    "q142_theta_setops" ->
+      """WITH c AS (SELECT DISTINCT user_id FROM events
+                    WHERE event_type = 'click' AND value > 150),
+              p AS (SELECT DISTINCT user_id FROM events
+                    WHERE event_type = 'purchase' AND value > 150)
+         SELECT CAST((SELECT count(*) FROM c) AS BIGINT) AS n_click,
+                CAST((SELECT count(*) FROM p) AS BIGINT) AS n_purchase,
+                CAST((SELECT count(*) FROM c WHERE user_id IN (SELECT user_id FROM p)) AS BIGINT) AS n_both,
+                CAST((SELECT count(*) FROM c WHERE user_id NOT IN (SELECT user_id FROM p)) AS BIGINT) AS n_click_only""",
 
     // the bloom path is exact end-to-end: plain anti-join reference
     "q135_bloom_decontaminate" ->

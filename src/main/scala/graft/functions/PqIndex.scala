@@ -1,10 +1,8 @@
 package graft.functions
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types._
 
-import graft.operators.Dedup
 import graft.plans.{PqCodes, SquaredL2}
 
 /** Product-quantization ANN index (Jégou et al. 2011): compress each
@@ -23,11 +21,11 @@ import graft.plans.{PqCodes, SquaredL2}
   *
   * Training is deterministic per-subspace Lloyd (the [[IvfIndex]]
   * discipline): seeds are the `ksub` lowest-id vectors' sub-slices; the
-  * assign step is one distributed job over the (id, sub_id, subvec)
-  * explode — all m subspaces train CONCURRENTLY in each round, not m
-  * sequential k-means — and the new means (m·ksub tiny rows) collect to
-  * the driver, the [[graft.operators.KMeans]] per-iteration pattern.
-  * Empty clusters keep their previous centroid.
+  * assign step IS the encoder — one codegen'd [[graft.plans.PqEncode]]
+  * pass assigns all m subspaces concurrently (no centroid join, no
+  * shuffle of distance rows) — and the new means (m·ksub tiny rows)
+  * collect to the driver, the [[graft.operators.KMeans]] per-iteration
+  * pattern. Empty clusters keep their previous centroid.
   */
 object PqIndex {
 
@@ -36,23 +34,43 @@ object PqIndex {
                              cents: Array[Array[Array[Float]]])
 
   /** Train per-subspace codebooks on `vectors`. `dim` must divide
-    * evenly into `m` subspaces; `ksub` <= 256 (one byte per code). */
+    * evenly into `m` subspaces; `ksub` <= 256 (one byte per code).
+    *
+    * Training runs on a BOUNDED deterministic sample of at most
+    * ~`maxTrainRows` vectors (hash-modulus on the id — stable across
+    * runs and partitionings), materialized ONCE via `localCheckpoint`:
+    * codebooks are statistics, not an index — every production PQ
+    * trains on a capped sample, never the corpus — and the Lloyd loop
+    * then iterates over cached bounded data instead of re-deriving the
+    * corpus lineage `iterations + 1` times. */
   def train(vectors: DataFrame, vecCol: String, idCol: String,
-            m: Int = 8, ksub: Int = 16, iterations: Int = 3): Codebooks = {
+            m: Int = 8, ksub: Int = 16, iterations: Int = 3,
+            maxTrainRows: Long = 100000L): Codebooks = {
     require(m >= 1, s"m must be >= 1, got $m")
     require(ksub >= 1 && ksub <= 256, s"need 1 <= ksub <= 256, got $ksub")
     require(iterations >= 0, s"iterations must be >= 0, got $iterations")
-    val spark = vectors.sparkSession
+    require(maxTrainRows >= ksub,
+      s"maxTrainRows=$maxTrainRows must cover ksub=$ksub seeds")
     val clean = vectors.filter(col(vecCol).isNotNull)
-    val dimRow = clean.select(size(col(vecCol)).as("d")).limit(1).collect()
-    require(dimRow.nonEmpty, "PqIndex.train: no non-null vectors")
+    val n = clean.count()
+    require(n > 0, "PqIndex.train: no non-null vectors")
+    val keepMod = math.max(1L, math.ceil(n.toDouble / maxTrainRows).toLong)
+    val sampled =
+      if (keepMod > 1L)
+        clean.filter(pmod(xxhash64(col(idCol)), lit(keepMod)) === 0)
+      else clean
+    val base = sampled
+      .select(col(idCol).as("__id"), col(vecCol).as("__v"))
+      .localCheckpoint()
+    val dimRow = base.select(size(col("__v")).as("d")).limit(1).collect()
+    require(dimRow.nonEmpty, "PqIndex.train: sampling left no vectors")
     val dim = dimRow(0).getInt(0)
     require(dim % m == 0, s"dim $dim must split evenly into m=$m subspaces")
     val subDim = dim / m
 
     // deterministic seeding: sub-slices of the ksub lowest-id vectors
-    val seeds = clean.orderBy(col(idCol).asc).limit(ksub)
-      .select(col(vecCol).cast("array<double>")).collect()
+    val seeds = base.orderBy(col("__id").asc).limit(ksub)
+      .select(col("__v").cast("array<double>")).collect()
       .map(_.getSeq[Double](0).toArray)
     require(seeds.length == ksub,
       s"need at least ksub=$ksub vectors to seed, got ${seeds.length}")
@@ -60,29 +78,26 @@ object PqIndex {
       Array.tabulate(m, ksub)((s, c) => seeds(c).slice(s * subDim, (s + 1) * subDim))
 
     if (iterations > 0) {
-      // (id, sub_id, subvec): all m subspaces ride one exploded frame
-      val pieces = (0 until m).map { s =>
-        struct(lit(s).as("sub_id"),
-          slice(col("__v"), s * subDim + 1, subDim).as("subvec"))
-      }
-      val subs = clean
-        .select(col(idCol).as("__id"), col(vecCol).as("__v"))
-        .select(col("__id"), inline(array(pieces: _*)))
+      // Lloyd assign = the ENCODER itself: PqEncode's codegen'd argmin
+      // assigns all m subspaces in ONE narrow pass over the cached
+      // sample — no centroid cross join, no shuffle of |sample| ×
+      // m·ksub distance rows (that first-cut shape cost 9.3 s at
+      // sf0.1). The update step inlines (sub_id, code, subvec) rows
+      // and map-side-combines the per-cluster means.
       val mean = udaf(new TypedAggregators.VectorMean(subDim))
-      val centSchema = StructType(Seq(
-        StructField("sub_id", IntegerType, nullable = false),
-        StructField("cluster_id", IntegerType, nullable = false),
-        StructField("centroid", ArrayType(DoubleType, containsNull = false))))
       for (_ <- 1 to iterations) {
-        val centRows = for (s <- 0 until m; c <- 0 until ksub)
-          yield Row(s, c, cents(s)(c).toSeq)
-        val centsDf = spark.createDataFrame(
-          spark.sparkContext.parallelize(centRows, 1), centSchema)
-        val assigned = Dedup.keepFirst(
-          subs.join(broadcast(centsDf), "sub_id")
-            .withColumn("__d", SquaredL2(col("subvec"), col("centroid"))),
-          Seq("__id", "sub_id"),
-          Seq(col("__d").asc_nulls_last, col("cluster_id").asc))
+        val cbF = cents.map(_.map(_.map(_.toFloat)))
+        val pieces = (0 until m).map { s =>
+          struct(lit(s).as("sub_id"),
+            // byte s of the code block, unsigned (hex -> base 10)
+            conv(hex(substring(col("__codes"), s + 1, 1)), 16, 10)
+              .cast("int").as("cluster_id"),
+            slice(col("__v"), s * subDim + 1, subDim).as("subvec"))
+        }
+        val assigned = base
+          .withColumn("__codes", PqCodes.encode(col("__v"), cbF))
+          .filter(col("__codes").isNotNull)
+          .select(inline(array(pieces: _*)))
         val means = assigned
           .groupBy(col("sub_id"), col("cluster_id"))
           .agg(mean(col("subvec").cast("array<float>")).as("mu"))

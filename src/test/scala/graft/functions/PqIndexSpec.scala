@@ -14,9 +14,7 @@ class PqIndexSpec extends SparkSpec {
   private lazy val normed = {
     val emb = spark.read.parquet(sf("sf0.01") + "/embeddings.parquet")
       .filter(col("embedding").isNotNull)
-    emb.select(col("vec_id"),
-      transform(col("embedding"), x => x / VF.norm(col("embedding")))
-        .cast("array<float>").as("vec"))
+    VF.l2Normalized(emb, "embedding", "vec").select(col("vec_id"), col("vec"))
   }
 
   test("pq_encode (codegen) matches a driver-side argmin reference") {
@@ -84,6 +82,37 @@ class PqIndexSpec extends SparkSpec {
     val recallR = (exact & refined).size / 10.0
     info(s"PQ ADC+refine recall@10 (shortlist 50): $recallR")
     assert(recallR >= 0.8, s"refined recall@10 $recallR under floor")
+  }
+
+  test("composes with IVF: probe a cluster subset, ADC+refine inside it") {
+    // IVF prunes WHICH rows are scanned, PQ shrinks WHAT each row
+    // costs — the composed plan scans codes of ~nprobe/k of the corpus
+    val q = normed.filter(col("vec_id") === 0)
+      .select("vec").as[Seq[Float]].head()
+    val corpus = normed.filter(col("vec_id") =!= 0)
+    val exact = VF.bruteForceTopK(corpus, "vec", "vec_id", q, 10)
+      .select("vec_id").as[Long].collect().toSet
+
+    val ivf = IvfIndex.build(corpus, "vec", "vec_id", k = 8)
+    try {
+      val probe = ivf.centroids
+        .withColumn("__sim", graft.plans.CosineSimilarity(col("centroid"),
+          org.apache.spark.sql.functions.array(q.map(v => lit(v)): _*)))
+        .orderBy(col("__sim").desc_nulls_last, col("cluster_id").asc)
+        .limit(4).select("cluster_id")
+      val cb = PqIndex.train(corpus, "vec", "vec_id", m = 16, ksub = 32,
+        iterations = 3)
+      val probed = PqIndex.encode(ivf.indexed, "vec", cb)
+        .join(broadcast(probe), Seq("cluster_id"), "left_semi")
+      val got = PqIndex.adcRefineTopK(probed, "vec", "vec_id", cb, q,
+          k = 10, shortlist = 50)
+        .select("vec_id").as[Long].collect().toSet
+      val recall = (exact & got).size / 10.0
+      info(s"IVF(4/8) × PQ ADC+refine recall@10: $recall")
+      // bounded by IVF's own probe recall (0.82 measured in
+      // AnnRecallSpec) times the refine stage's — floor under both
+      assert(recall >= 0.6, s"composed recall@10 $recall under floor")
+    } finally ivf.close()
   }
 
   test("ADC distance approximates true squared L2 (normalized: 2 - 2cos)") {
