@@ -275,6 +275,30 @@ object StreamOps {
       }
       .start()
 
+  /** Streaming ingest into the mergeable heavy-hitters store — the
+    * third sketch sink ([[hllSink]] = distinct counts, [[kllSink]] =
+    * quantiles, this = top items): running "which items dominate each
+    * group" over a stream's whole history, same idempotency/compaction
+    * contract. */
+  def freqSink(rows: DataFrame, keys: Seq[String], itemCol: String,
+               storePath: String, checkpoint: String,
+               maxMapSize: Int = graft.plans.FreqSketch.DefaultMaxMapSize,
+               compactEvery: Int = 0)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    rows.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // an empty first batch must not create a file-less store tree
+        if (!batch.isEmpty)
+          graft.operators.HeavyHitters.appendSketches(batch, keys, itemCol,
+            storePath, batchId + 1, maxMapSize)
+        if (compactEvery > 0 && (batchId + 1) % compactEvery == 0 &&
+            graft.operators.HeavyHitters.storeExists(batch.sparkSession, storePath))
+          graft.operators.HeavyHitters.compactStore(batch.sparkSession, storePath)
+        ()
+      }
+      .start()
+
   /** Same running totals on the `transformWithState` API (Spark 4's
     * successor to flatMapGroupsWithState: typed ValueState handles,
     * timer support, state-store-backed). */

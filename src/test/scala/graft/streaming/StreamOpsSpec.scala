@@ -500,6 +500,31 @@ class StreamOpsSpec extends SparkSpec {
     assert(abDirs.length <= 2, s"compaction bounds batch dirs: ${abDirs.toSeq}")
   }
 
+  test("freqSink: running top items over the stream history; restart-safe; exact regime") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("stream-freq")
+    val mem = MemoryStream[(String, String)]
+    def start() = StreamOps.freqSink(mem.toDF().toDF("grp", "item"),
+      Seq("grp"), "item", dir.toString + "/store", dir.toString + "/ckpt",
+      maxMapSize = 64, compactEvery = 2)
+    val q1 = start()
+    mem.addData((1 to 60).map(i => ("a", s"t${i % 10}")): _*) // 6 each
+    q1.processAllAvailable()
+    mem.addData((1 to 30).map(_ => ("a", "t3")): _*) // t3 surges
+    q1.processAllAvailable()
+    q1.stop()
+    val q2 = start() // restart: committed batches not re-ingested
+    mem.addData(Seq(("a", "t7")): _*)
+    q2.processAllAvailable()
+    q2.stop()
+    val got = graft.operators.HeavyHitters
+      .topItems(spark, dir.toString + "/store", 2)
+      .select("grp", "rank", "item", "estimate")
+      .as[(String, Int, String, Long)].collect().toSeq.sorted
+    // exact regime across restart + compaction: t3 = 6+30, t7 = 6+1
+    assert(got == Seq(("a", 1, "t3", 36L), ("a", 2, "t7", 7L)), s"$got")
+  }
+
   test("upsertJdbcSink merges each micro-batch into a live database (embedded Derby)") {
     implicit val sqlCtx = spark.sqlContext
     val dbDir = java.nio.file.Files.createTempDirectory("derby-stream").toString
