@@ -1080,6 +1080,17 @@ object LlmQueries {
           .cast("long").as("n_click_only"))
     }),
 
+    // --- snippet / keyword-in-context extraction ---------------------------
+    // The retrieval display stage: ±2 tokens around each matching
+    // doc's FIRST occurrence of the term. Postings supply the
+    // position; only matching docs re-tokenize, only to slice.
+    "q143_snippet" -> ((s, d) =>
+      graft.operators.TextIndex.snippet(
+          t(s, d, "documents"), "doc_id", "text", "vector", width = 2)
+        .select(col("doc_id"), col("first_pos").cast("int").as("first_pos"),
+          col("snippet"))
+        .orderBy(col("doc_id"))),
+
     // --- bloom-prefiltered decontamination ---------------------------------
     // Exact anti-join semantics with a narrow fast path: the benchmark
     // reference set (5% of docs, by content hash) builds a bloom filter
@@ -2174,6 +2185,19 @@ object LlmQueries {
                 CAST((SELECT count(*) FROM p) AS BIGINT) AS n_purchase,
                 CAST((SELECT count(*) FROM c WHERE user_id IN (SELECT user_id FROM p)) AS BIGINT) AS n_both,
                 CAST((SELECT count(*) FROM c WHERE user_id NOT IN (SELECT user_id FROM p)) AS BIGINT) AS n_click_only""",
+
+    // same tokenizer recipe; list_position = first occurrence (1-based)
+    "q143_snippet" ->
+      """WITH tok AS (
+           SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS tk
+           FROM documents)
+         SELECT doc_id,
+           CAST(list_position(tk, 'vector') AS INT) AS first_pos,
+           array_to_string(list_slice(tk,
+             greatest(list_position(tk, 'vector') - 2, 1),
+             least(list_position(tk, 'vector') + 2, len(tk))), ' ') AS snippet
+         FROM tok WHERE list_contains(tk, 'vector') ORDER BY doc_id""",
 
     // the bloom path is exact end-to-end: plain anti-join reference
     "q135_bloom_decontaminate" ->

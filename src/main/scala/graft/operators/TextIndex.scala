@@ -666,6 +666,27 @@ object TextIndex {
     }
   }
 
+  /** Snippet (keyword-in-context) extraction — the retrieval stack's
+    * display stage: for every document containing `term`, the `width`
+    * tokens on each side of the FIRST occurrence, joined back into a
+    * string. Postings supply the position (their whole job); only
+    * matching docs re-tokenize, and only to slice — no scoring, no
+    * corpus-wide work. Output: (doc_id, first_pos, snippet). */
+  def snippet(docs: DataFrame, idCol: String, textCol: String,
+              term: String, width: Int): DataFrame = {
+    require(width >= 0, s"width must be >= 0, got $width")
+    val pos = postings(docs, idCol, textCol)
+      .filter(col("token") === term)
+      .select(col("doc_id"), element_at(col("positions"), 1).as("first_pos"))
+    docs.select(col(idCol).as("doc_id"), TF.tokens(col(textCol)).as("__tk"))
+      .join(pos, "doc_id")
+      .select(col("doc_id"), col("first_pos"),
+        concat_ws(" ", slice(col("__tk"),
+          greatest(col("first_pos") - width, lit(1)),
+          least(col("first_pos") + width, size(col("__tk"))) -
+            greatest(col("first_pos") - width, lit(1)) + 1)).as("snippet"))
+  }
+
   /** Documents where two distinct terms co-occur within `window` tokens
     * (unordered), with the count of close position pairs — the proximity
     * relaxation of [[phraseMatch]]. Postings-only like phraseMatch: both

@@ -479,4 +479,19 @@ class TextIndexSpec extends SparkSpec {
     assert(math.abs(out(3L) - 1.0 / 62) < 1e-15)
     assert(!out.contains(4L), "a doc outside both top-M lists must not appear")
   }
+
+  test("snippet: window clamps at both document edges; first occurrence wins; width 0") {
+    val got = TextIndex.snippet(docs, "doc_id", "text", "spark", width = 1)
+      .as[(Long, Int, String)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    // doc 1: first occurrence at pos 1 (left edge clamps), not pos 3
+    assert(got(1L) == ((1, "spark merge")))
+    assert(got(3L) == ((1, "spark spark")))
+    assert(!got.contains(2L) && !got.contains(4L), "non-matching docs drop out")
+    val right = TextIndex.snippet(docs, "doc_id", "text", "row", width = 5)
+      .as[(Long, Int, String)].collect().head
+    assert(right == ((2L, 3, "window table row")), "right edge clamps")
+    val w0 = TextIndex.snippet(docs, "doc_id", "text", "table", width = 0)
+      .as[(Long, Int, String)].collect().head
+    assert(w0 == ((2L, 2, "table")), "width 0 = just the match")
+  }
 }
