@@ -1080,6 +1080,29 @@ object LlmQueries {
           .cast("long").as("n_click_only"))
     }),
 
+    // --- quantile-store-driven quality gate --------------------------------
+    // The composition the quantile store exists for: per-lang p10
+    // length thresholds come from the PERSISTED sketches (one tiny
+    // read, broadcast), then gate the corpus — no per-query corpus
+    // re-aggregation. Exact mode (k=800) -> a real quantile_disc
+    // oracle.
+    "q144_quantile_gate" -> ((s, d) => {
+      val store = java.nio.file.Files
+        .createTempDirectory("kll-q144").toString + "/s"
+      val docs = t(s, d, "documents")
+      graft.operators.Quantiles.appendSketches(docs, Seq("lang"), "n_chars",
+        store, batchId = 1L, k = 800)
+      val thr = graft.operators.Quantiles.groupQuantiles(s, store, Seq(0.1))
+        .select(col("lang"), element_at(col("quantiles"), 1).as("p10"))
+      docs.join(broadcast(thr), "lang")
+        .groupBy(col("lang"), col("p10"))
+        .agg(count(lit(1)).as("n_total"),
+          sum(when(col("n_chars") >= col("p10"), lit(1L)).otherwise(lit(0L)))
+            .as("n_kept"))
+        .select(col("lang"), col("p10"), col("n_total"), col("n_kept"))
+        .orderBy(col("lang"))
+    }),
+
     // --- snippet / keyword-in-context extraction ---------------------------
     // The retrieval display stage: ±2 tokens around each matching
     // doc's FIRST occurrence of the term. Postings supply the
@@ -2185,6 +2208,16 @@ object LlmQueries {
                 CAST((SELECT count(*) FROM p) AS BIGINT) AS n_purchase,
                 CAST((SELECT count(*) FROM c WHERE user_id IN (SELECT user_id FROM p)) AS BIGINT) AS n_both,
                 CAST((SELECT count(*) FROM c WHERE user_id NOT IN (SELECT user_id FROM p)) AS BIGINT) AS n_click_only""",
+
+    // exact-mode store threshold == quantile_disc
+    "q144_quantile_gate" ->
+      """WITH thr AS (
+           SELECT lang, CAST(quantile_disc(n_chars, 0.1) AS DOUBLE) AS p10
+           FROM documents GROUP BY lang)
+         SELECT d.lang, thr.p10, CAST(count(*) AS BIGINT) AS n_total,
+           CAST(sum(CASE WHEN d.n_chars >= thr.p10 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+         FROM documents d JOIN thr USING (lang)
+         GROUP BY d.lang, thr.p10 ORDER BY d.lang""",
 
     // same tokenizer recipe; list_position = first occurrence (1-based)
     "q143_snippet" ->

@@ -154,6 +154,48 @@ object PqIndex {
       .limit(k)
   }
 
+  private val MetaPrefix = "_graft_pq_meta"
+
+  /** Persist trained codebooks at `store` — the missing half of a
+    * persisted PQ index (the codes column lands in parquet beside the
+    * ids; the codebooks must survive too, or the codes are
+    * undecodable). Floats serialize as raw int bits, so the roundtrip
+    * is BIT-exact; the write is the [[graft.sources.Manifest]]
+    * versioned swap (never a zero-manifest instant, latest wins). */
+  def saveCodebooks(spark: org.apache.spark.sql.SparkSession, store: String,
+                    cb: Codebooks): Unit = {
+    val sb = new StringBuilder
+    sb.append(s"${cb.m} ${cb.ksub} ${cb.subDim}\n")
+    for (s <- 0 until cb.m; c <- 0 until cb.ksub)
+      sb.append(cb.cents(s)(c)
+        .map(f => java.lang.Float.floatToIntBits(f).toString)
+        .mkString(" ")).append("\n")
+    graft.sources.Manifest.write(spark, store, MetaPrefix, sb.toString)
+  }
+
+  def codebooksExist(spark: org.apache.spark.sql.SparkSession,
+                     store: String): Boolean =
+    graft.sources.Manifest.exists(spark, store, MetaPrefix)
+
+  /** Load persisted codebooks (bit-exact inverse of [[saveCodebooks]]). */
+  def loadCodebooks(spark: org.apache.spark.sql.SparkSession,
+                    store: String): Codebooks = {
+    require(codebooksExist(spark, store), s"no PQ codebooks at $store")
+    val lines = graft.sources.Manifest.read(spark, store, MetaPrefix)
+      .trim.split("\n")
+    val head = lines(0).trim.split("\\s+")
+    val (m, ksub, subDim) = (head(0).toInt, head(1).toInt, head(2).toInt)
+    require(lines.length == 1 + m * ksub,
+      s"corrupt codebooks at $store: ${lines.length - 1} rows, want ${m * ksub}")
+    val cents = Array.tabulate(m, ksub) { (s, c) =>
+      val row = lines(1 + s * ksub + c).trim.split("\\s+")
+      require(row.length == subDim,
+        s"corrupt codebooks at $store: centroid width ${row.length}, want $subDim")
+      row.map(b => java.lang.Float.intBitsToFloat(b.toInt))
+    }
+    Codebooks(m, ksub, subDim, cents)
+  }
+
   /** The standard PQ serving pipeline: ADC shortlists `shortlist`
     * candidates from the CODES scan (cheap, approximate), then the raw
     * vectors of just those rows re-rank EXACTLY (squared L2, ascending,

@@ -76,6 +76,28 @@ object StreamOps {
         col("r_ts") <= col("l_ts") + expr(s"INTERVAL $within"))
   }
 
+  /** Watermarked stream-stream LEFT OUTER join: left events that find
+    * no right match inside the `within` bound still emit — with null
+    * right columns — once the watermark proves no match can arrive
+    * (Spark holds the left row in state until `l_ts + within` passes
+    * the watermark, then emits the null-extended row; an inner join
+    * would silently drop it). The time-bound predicate is what makes
+    * outer stream-stream joins legal: it bounds how long state lives. */
+  def streamStreamLeftJoin(left: DataFrame, right: DataFrame, key: String,
+                           within: String, watermark: String): DataFrame = {
+    val l = left.withWatermark("ts", watermark)
+      .select(col(key).as("l_key"), col("ts").as("l_ts"),
+        col("event_id").as("l_event_id"))
+    val r = right.withWatermark("ts", watermark)
+      .select(col(key).as("r_key"), col("ts").as("r_ts"),
+        col("event_id").as("r_event_id"))
+    l.join(r,
+      col("l_key") === col("r_key") &&
+        col("r_ts") >= col("l_ts") &&
+        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $within"),
+      "left_outer")
+  }
+
   /** Continuous upsert sink: each micro-batch merges into the parquet
     * target through [[graft.sources.Sinks.upsertParquet]] — the streaming
     * form of the reference's ON CONFLICT upsert loading (load.py:18-22).

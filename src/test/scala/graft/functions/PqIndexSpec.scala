@@ -115,6 +115,35 @@ class PqIndexSpec extends SparkSpec {
     } finally ivf.close()
   }
 
+  test("codebooks persist bit-exactly; versioned swap keeps the latest; absent store fails friendly") {
+    val store = java.nio.file.Files.createTempDirectory("pq").toString + "/s"
+    assert(!PqIndex.codebooksExist(spark, store))
+    val e = intercept[IllegalArgumentException] {
+      PqIndex.loadCodebooks(spark, store)
+    }
+    assert(e.getMessage.contains("no PQ codebooks"))
+    val cb = PqIndex.train(normed, "vec", "vec_id", m = 8, ksub = 16,
+      iterations = 2)
+    PqIndex.saveCodebooks(spark, store, cb)
+    val back = PqIndex.loadCodebooks(spark, store)
+    assert(back.m == cb.m && back.ksub == cb.ksub && back.subDim == cb.subDim)
+    assert(back.cents.flatten.flatten.map(java.lang.Float.floatToIntBits).toSeq ==
+      cb.cents.flatten.flatten.map(java.lang.Float.floatToIntBits).toSeq,
+      "roundtrip must be bit-exact — codes encoded before the save must " +
+        "decode identically after a reload")
+    // a second save supersedes (versioned swap, latest wins)
+    val cb2 = PqIndex.train(normed, "vec", "vec_id", m = 4, ksub = 8,
+      iterations = 1)
+    PqIndex.saveCodebooks(spark, store, cb2)
+    assert(PqIndex.loadCodebooks(spark, store).m == 4)
+    // encoding with reloaded codebooks = encoding with originals
+    val a = PqIndex.encode(normed.limit(20), "vec", cb)
+      .select("pq_codes").collect().map(_.getAs[Array[Byte]](0).toSeq)
+    val b = PqIndex.encode(normed.limit(20), "vec", back)
+      .select("pq_codes").collect().map(_.getAs[Array[Byte]](0).toSeq)
+    assert(a.toSeq == b.toSeq)
+  }
+
   test("ADC distance approximates true squared L2 (normalized: 2 - 2cos)") {
     val q = normed.filter(col("vec_id") === 0)
       .select("vec").as[Seq[Float]].head()

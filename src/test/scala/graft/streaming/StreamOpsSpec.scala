@@ -146,6 +146,34 @@ class StreamOpsSpec extends SparkSpec {
     assert(rows == Seq((1L, 100L)))
   }
 
+  test("stream-stream LEFT OUTER join emits unmatched left rows after the watermark closes them") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Ev2]
+    val buys = MemoryStream[Ev2]
+    val joined = StreamOps.streamStreamLeftJoin(
+      clicks.toDF(), buys.toDF(), "user_id",
+      within = "30 MINUTES", watermark = "10 minutes")
+    val q = joined.writeStream.format("memory").queryName("sslo_out")
+      .outputMode("append").start()
+    clicks.addData(
+      Ev2(1L, ts("2024-01-01 10:00:00"), 7),   // will match
+      Ev2(2L, ts("2024-01-01 10:00:00"), 9))   // never matches
+    buys.addData(Ev2(100L, ts("2024-01-01 10:10:00"), 7))
+    q.processAllAvailable()
+    // advance BOTH watermarks far past 10:30 + 10m so user 9's join
+    // window is provably closed -> the null-extended row must emit
+    clicks.addData(Ev2(3L, ts("2024-01-01 12:00:00"), 7))
+    buys.addData(Ev2(103L, ts("2024-01-01 12:00:00"), 8))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("sslo_out")
+      .select("l_event_id", "r_event_id")
+      .as[(Long, Option[Long])].collect().toSet
+    assert(rows.contains((1L, Some(100L))), s"matched row: $rows")
+    assert(rows.contains((2L, None)),
+      s"unmatched left row must emit with null right side once closed: $rows")
+  }
+
   test("session windows over a stream") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
