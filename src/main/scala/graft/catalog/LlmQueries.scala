@@ -1103,6 +1103,25 @@ object LlmQueries {
         .orderBy(col("lang"))
     }),
 
+    // --- personalized PageRank (random walk with restart) ------------------
+    // Related-document retrieval: teleport mass restricted to the seed
+    // set (doc_id % 25 == 0), so rank measures proximity TO the seeds
+    // along the link graph. Same no-dangling edge construction as q133
+    // (every dst is a src), so the unrolled oracle skips the dangling
+    // term the engine carries for general graphs.
+    "q145_ppr" -> ((s, d) => {
+      val docs = t(s, d, "documents").select(col("doc_id"))
+      val edges = docs.select(col("doc_id").as("src"),
+          pmod(col("doc_id") * col("doc_id") + 1, lit(500L)).as("dst"))
+        .unionByName(docs.select(col("doc_id").as("src"),
+          pmod(col("doc_id") * 37, lit(100L)).as("dst")))
+      val seeds = docs.filter(pmod(col("doc_id"), lit(25)) === 0)
+        .select(col("doc_id").as("id"))
+      graft.operators.Graph.personalizedPageRank(edges, seeds, iterations = 3)
+        .select(col("id"), round(col("pagerank"), 6).as("pagerank"))
+        .orderBy(col("id"))
+    }),
+
     // --- snippet / keyword-in-context extraction ---------------------------
     // The retrieval display stage: ±2 tokens around each matching
     // doc's FIRST occurrence of the term. Postings supply the
@@ -2218,6 +2237,31 @@ object LlmQueries {
            CAST(sum(CASE WHEN d.n_chars >= thr.p10 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
          FROM documents d JOIN thr USING (lang)
          GROUP BY d.lang, thr.p10 ORDER BY d.lang""",
+
+    // 3 RWR iterations unrolled (the q133 pattern) with the teleport
+    // vector t = 1/20 on seeds, 0 elsewhere; no dangling by construction
+    "q145_ppr" ->
+      """WITH e AS (
+           SELECT doc_id AS src, (doc_id * doc_id + 1) % 500 AS dst FROM documents
+           UNION ALL
+           SELECT doc_id AS src, (doc_id * 37) % 100 AS dst FROM documents),
+         nodes AS (SELECT DISTINCT id FROM (SELECT src AS id FROM e UNION ALL SELECT dst AS id FROM e)),
+         deg AS (SELECT src, CAST(count(*) AS DOUBLE) AS deg FROM e GROUP BY src),
+         tele AS (SELECT id, CASE WHEN id % 25 = 0 THEN round(1.0/20.0, 9) ELSE 0.0 END AS t FROM nodes),
+         r0 AS (SELECT id, t AS r FROM tele),
+         c1 AS (SELECT e.dst, sum(CAST(round(r0.r / deg.deg, 9) AS DECIMAL(28,9))) AS s
+                FROM e JOIN r0 ON e.src = r0.id JOIN deg ON e.src = deg.src GROUP BY e.dst),
+         r1 AS (SELECT tele.id, tele.t, round((1.0 - 0.85) * tele.t + 0.85 * coalesce(CAST(c1.s AS DOUBLE), 0.0), 9) AS r
+                FROM tele LEFT JOIN c1 ON tele.id = c1.dst),
+         c2 AS (SELECT e.dst, sum(CAST(round(r1.r / deg.deg, 9) AS DECIMAL(28,9))) AS s
+                FROM e JOIN r1 ON e.src = r1.id JOIN deg ON e.src = deg.src GROUP BY e.dst),
+         r2 AS (SELECT tele.id, tele.t, round((1.0 - 0.85) * tele.t + 0.85 * coalesce(CAST(c2.s AS DOUBLE), 0.0), 9) AS r
+                FROM tele LEFT JOIN c2 ON tele.id = c2.dst),
+         c3 AS (SELECT e.dst, sum(CAST(round(r2.r / deg.deg, 9) AS DECIMAL(28,9))) AS s
+                FROM e JOIN r2 ON e.src = r2.id JOIN deg ON e.src = deg.src GROUP BY e.dst),
+         r3 AS (SELECT tele.id, round((1.0 - 0.85) * tele.t + 0.85 * coalesce(CAST(c3.s AS DOUBLE), 0.0), 9) AS r
+                FROM tele LEFT JOIN c3 ON tele.id = c3.dst)
+         SELECT id, round(r, 6) AS pagerank FROM r3 ORDER BY id""",
 
     // same tokenizer recipe; list_position = first occurrence (1-based)
     "q143_snippet" ->

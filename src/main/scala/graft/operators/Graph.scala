@@ -228,6 +228,91 @@ object Graph {
     ranks
   }
 
+  /** Personalized PageRank (random walk with restart) — the seeded
+    * variant of [[pageRank]] for *related-item* retrieval: teleport mass
+    * returns to the `seeds` set instead of spreading uniformly, so ranks
+    * measure proximity TO the seeds (find documents related to this one,
+    * expand a labeled quality set along the link graph, topic-sensitive
+    * crawl weighting). r'(v) = (1-d)·t(v) + d·(Σ_{u→v} r(u)/outdeg(u) +
+    * dangling_mass·t(v)), where t(v) = 1/|S| for seeds and 0 otherwise —
+    * dangling mass restarts at the seeds too, keeping Σr = 1.
+    *
+    * Same determinism discipline as [[pageRank]] (per-edge contributions
+    * on the 9-grid accumulated in DECIMAL(28,9), ranks re-rounded per
+    * iteration) and the same per-iteration scale shape: one src-keyed
+    * contribution join, one dst-keyed sum, one join back to the node
+    * set. The teleport vector is a node-keyed column, not a broadcast —
+    * |S| may be anything from one doc to a whole labeled corpus.
+    *
+    * With `seeds` = all nodes this IS PageRank up to grid rounding of
+    * the teleport constant (t rounds once to the 9-grid; [[pageRank]]
+    * keeps 1/N exact in the update), so ranks agree to ~1e-9.
+    *
+    * Returns (id, pagerank) for every node; seeds not present in the
+    * graph are ignored (a walk cannot restart at an unknown node). */
+  def personalizedPageRank(edges: DataFrame, seeds: DataFrame,
+                           srcCol: String = "src", dstCol: String = "dst",
+                           seedCol: String = "id", iterations: Int = 10,
+                           damping: Double = 0.85,
+                           nodes: Option[(DataFrame, String)] = None,
+                           reliable: Boolean = false): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    require(damping >= 0.0 && damping <= 1.0,
+      s"damping must be in [0,1], got $damping")
+    if (reliable && edges.sparkSession.sparkContext.getCheckpointDir.isEmpty)
+      throw new IllegalStateException(
+        "personalizedPageRank(reliable = true) needs a reliable checkpoint " +
+        "location: call sparkContext.setCheckpointDir(<durable path>) first")
+    def materialize(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint() else df.localCheckpoint()
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst"))
+    val nodeIds = materialize {
+      val fromEdges = e.select(col("src").as("id"))
+        .union(e.select(col("dst").as("id")))
+      nodes.fold(fromEdges) { case (df, c) =>
+        fromEdges.union(df.select(col(c).cast("long").as("id")))
+      }.distinct()
+    }
+    val seedIds = materialize(
+      seeds.select(col(seedCol).cast("long").as("id")).distinct()
+        .join(nodeIds, Seq("id"), "left_semi"))
+    val sCount = seedIds.count()
+    require(sCount >= 1,
+      "personalizedPageRank needs at least one seed present in the graph")
+    val tele = materialize(
+      nodeIds.join(
+          seedIds.select(col("id"),
+            round(lit(1.0) / lit(sCount.toDouble), 9).as("__tele")),
+          Seq("id"), "left")
+        .select(col("id"), coalesce(col("__tele"), lit(0.0)).as("__tele")))
+    val outdeg = materialize(
+      e.groupBy("src").agg(count(lit(1)).cast("double").as("__deg")))
+    val dec9 = (c: org.apache.spark.sql.Column) =>
+      round(c, 9).cast("decimal(28,9)")
+    var ranks = tele.select(col("id"), col("__tele").as("pagerank"))
+    for (_ <- 1 to iterations) {
+      val contribs = ranks
+        .join(outdeg, col("id") === col("src"))
+        .join(e, "src")
+        .select(col("dst"), dec9(col("pagerank") / col("__deg")).as("__c"))
+      val sums = contribs.groupBy("dst").agg(sum(col("__c")).as("__in"))
+      val dangling = ranks
+        .join(outdeg, col("id") === col("src"), "left_anti")
+        .agg(coalesce(sum(dec9(col("pagerank"))),
+          lit(java.math.BigDecimal.ZERO).cast("decimal(28,9)")).as("__dang"))
+      ranks = materialize(
+        tele.join(sums, col("id") === col("dst"), "left")
+          .crossJoin(broadcast(dangling))
+          .select(col("id"),
+            round(lit(1.0 - damping) * col("__tele") + lit(damping) *
+              (coalesce(col("__in").cast("double"), lit(0.0)) +
+                col("__dang").cast("double") * col("__tele")), 9)
+              .as("pagerank")))
+    }
+    ranks
+  }
+
   /** Incremental connected components: fold `newEdges` into an existing
     * (id, component) labeling without re-clustering the full graph. The
     * prior labeling IS its own contracted graph — each component is one

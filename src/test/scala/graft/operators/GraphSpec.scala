@@ -175,6 +175,55 @@ class GraphSpec extends SparkSpec {
     intercept[IllegalArgumentException](Graph.pageRank(star, damping = 1.5))
   }
 
+  test("personalizedPageRank: seed locality, dangling-to-seed restart, all-seeds ≡ pageRank") {
+    // two disconnected 3-cycles; seeding only {1} leaves the other
+    // cycle with EXACTLY zero mass (no teleport, no path)
+    val twoCycles = Seq((1L, 2L), (2L, 3L), (3L, 1L),
+      (11L, 12L), (12L, 13L), (13L, 11L)).toDF("src", "dst")
+    // 30 iterations: a directed 3-cycle oscillates with period 3, so
+    // distance-decay only holds near the fixed point, not at iter 5
+    val pr = Graph.personalizedPageRank(twoCycles, Seq(1L).toDF("id"),
+      iterations = 30).as[(Long, Double)].collect().toMap
+    assert(pr(11L) == 0.0 && pr(12L) == 0.0 && pr(13L) == 0.0,
+      s"unreachable component gets no mass: $pr")
+    assert(pr(1L) > pr(2L) && pr(2L) > pr(3L),
+      s"rank decays with walk distance from the seed: $pr")
+    assert(math.abs(pr.values.sum - 1.0) < 1e-6, s"mass conserved: $pr")
+
+    // dangling restart goes to the SEEDS, not uniform: a->b, seed {a}.
+    // r0 = (1, 0); r1(a) = 0.15·1 = 0.15, r1(b) = 0.85·(1) = 0.85;
+    // r2(a) = 0.15 + 0.85·(dang 0.85 · t 1) = 0.8725, r2(b) = 0.85·0.15
+    val dang = Seq((1L, 2L)).toDF("src", "dst")
+    val d2 = Graph.personalizedPageRank(dang, Seq(1L).toDF("id"),
+      iterations = 2).as[(Long, Double)].collect().toMap
+    assert(math.abs(d2(1L) - 0.8725) < 1e-9 && math.abs(d2(2L) - 0.1275) < 1e-9,
+      s"dangling mass restarts at the seed: $d2")
+
+    // seeding every node IS PageRank (up to 9-grid rounding of t)
+    val star = Seq((1L, 10L), (2L, 10L), (3L, 10L), (4L, 10L),
+      (10L, 1L)).toDF("src", "dst")
+    val allIds = Seq(1L, 2L, 3L, 4L, 10L).toDF("id")
+    val ppr = Graph.personalizedPageRank(star, allIds, iterations = 10)
+      .as[(Long, Double)].collect().toMap
+    val plain = Graph.pageRank(star, iterations = 10)
+      .as[(Long, Double)].collect().toMap
+    ppr.foreach { case (id, v) =>
+      assert(math.abs(v - plain(id)) < 1e-7, s"uniform seeds ≡ pageRank: $id") }
+
+    // unknown seeds are dropped; all-unknown fails fast; re-run is
+    // bit-identical (9-grid DECIMAL discipline)
+    val mixed = Graph.personalizedPageRank(twoCycles,
+      Seq(1L, 999L).toDF("id"), iterations = 30)
+      .as[(Long, Double)].collect().toMap
+    assert(mixed == pr, "seeds outside the graph are ignored")
+    intercept[IllegalArgumentException] {
+      Graph.personalizedPageRank(twoCycles, Seq(999L).toDF("id"))
+    }
+    val rerun = Graph.personalizedPageRank(twoCycles, Seq(1L).toDF("id"),
+      iterations = 30).as[(Long, Double)].collect().toMap
+    assert(rerun == pr, "bit-identical re-run")
+  }
+
   test("pipeline: LSH candidate pairs -> components -> canonical docs") {
     // three identical docs + one unrelated: the cluster collapses to one
     val docs = Seq(
