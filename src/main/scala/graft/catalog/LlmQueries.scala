@@ -1122,6 +1122,27 @@ object LlmQueries {
         .orderBy(col("id"))
     }),
 
+    // --- cross-doc duplicate span detection (substring-level dedup) --------
+    // Lee et al. exact-substring dedup: sliding 8-token windows hashed,
+    // windows occurring in >= 2 distinct docs flagged, overlapping /
+    // adjacent flagged windows merged into maximal spans. The oracle
+    // groups by the k-gram STRING where the engine groups by xxhash64 —
+    // identical modulo a 64-bit collision (the hashed-key discipline).
+    "q146_dup_spans" -> ((s, d) =>
+      graft.operators.Dedup.duplicateSpans(
+          t(s, d, "documents"), "doc_id", "text", k = 8)
+        .orderBy(col("doc_id"), col("span_start"))),
+
+    // --- boilerplate line removal (C4 corpus-frequency cut) ----------------
+    // The synthetic corpus has no newlines, so the literal token
+    // " line " serves as the line delimiter — segments repeating >= 3
+    // times corpus-wide are excised and docs reassembled in order.
+    "q147_boilerplate" -> ((s, d) =>
+      graft.operators.Quality.removeBoilerplateLines(
+          t(s, d, "documents"), "doc_id", "text",
+          minCount = 3, delimiter = " line ")
+        .orderBy(col("doc_id"))),
+
     // --- snippet / keyword-in-context extraction ---------------------------
     // The retrieval display stage: ±2 tokens around each matching
     // doc's FIRST occurrence of the term. Postings supply the
@@ -2262,6 +2283,54 @@ object LlmQueries {
          r3 AS (SELECT tele.id, round((1.0 - 0.85) * tele.t + 0.85 * coalesce(CAST(c3.s AS DOUBLE), 0.0), 9) AS r
                 FROM tele LEFT JOIN c3 ON tele.id = c3.dst)
          SELECT id, round(r, 6) AS pagerank FROM r3 ORDER BY id""",
+
+    // literal split, trim, corpus count >= 3, ordered reassembly;
+    // string_agg skips the NULLed (dropped) segments
+    "q147_boilerplate" ->
+      """WITH seg AS (
+           SELECT doc_id, i AS line_no, trim(s[i+1]) AS norm
+           FROM (SELECT doc_id, string_split(text, ' line ') AS s FROM documents),
+                unnest(range(0, len(s))) AS t(i)),
+         ne AS (SELECT * FROM seg WHERE norm <> ''),
+         boiler AS (SELECT norm FROM ne GROUP BY norm HAVING count(*) >= 3),
+         flagged AS (SELECT doc_id, line_no, norm,
+                       norm IN (SELECT norm FROM boiler) AS dropd FROM ne),
+         rebuilt AS (
+           SELECT doc_id,
+             string_agg(CASE WHEN NOT dropd THEN norm END, chr(10) ORDER BY line_no) AS clean_text,
+             CAST(sum(CASE WHEN dropd THEN 0 ELSE 1 END) AS BIGINT) AS n_kept,
+             CAST(sum(CASE WHEN dropd THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+           FROM flagged GROUP BY doc_id)
+         SELECT d.doc_id, coalesce(r.clean_text, '') AS clean_text,
+           coalesce(r.n_kept, 0) AS n_kept, coalesce(r.n_dropped, 0) AS n_dropped
+         FROM documents d LEFT JOIN rebuilt r ON d.doc_id = r.doc_id
+         ORDER BY d.doc_id""",
+
+    // same tokenizer + windows; dup test on the k-gram string, islands
+    // via lag + running sum (break when start gap > k)
+    "q146_dup_spans" ->
+      """WITH tok AS (
+           SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS tk
+           FROM documents),
+         win AS (
+           SELECT doc_id, i AS start, array_to_string(list_slice(tk, i+1, i+8), ' ') AS g
+           FROM tok, unnest(range(0, len(tk) - 8 + 1)) AS t(i) WHERE len(tk) >= 8),
+         dup AS (SELECT g FROM win GROUP BY g HAVING count(DISTINCT doc_id) >= 2),
+         hits AS (SELECT doc_id, start FROM win WHERE g IN (SELECT g FROM dup)),
+         isl AS (
+           SELECT doc_id, start,
+             CASE WHEN start - lag(start) OVER (PARTITION BY doc_id ORDER BY start) <= 8
+                  THEN 0 ELSE 1 END AS brk
+           FROM hits),
+         grp AS (
+           SELECT doc_id, start,
+             sum(CASE WHEN brk IS NULL THEN 1 ELSE brk END)
+               OVER (PARTITION BY doc_id ORDER BY start ROWS UNBOUNDED PRECEDING) AS gid
+           FROM isl)
+         SELECT doc_id, CAST(min(start) AS BIGINT) AS span_start,
+           CAST(max(start) + 8 AS BIGINT) AS span_end,
+           CAST(count(*) AS BIGINT) AS n_windows
+         FROM grp GROUP BY doc_id, gid ORDER BY doc_id, span_start""",
 
     // same tokenizer recipe; list_position = first occurrence (1-based)
     "q143_snippet" ->

@@ -404,6 +404,63 @@ object Dedup {
     chunks.withColumn("is_first", row_number().over(w) === 1)
   }
 
+  /** Cross-document duplicate SPAN detection — substring-level dedup
+    * (Lee et al., "Deduplicating Training Data Makes Language Models
+    * Better", ACL'22: exact duplicated substrings inflate memorization
+    * even when whole documents are distinct). Where
+    * [[chunkFirstOccurrence]] tests FIXED non-overlapping chunks, this
+    * slides a k-token window one token at a time, so a duplicated run
+    * is found at ANY alignment, and adjacent/overlapping duplicated
+    * windows merge into one maximal span.
+    *
+    * A window counts as duplicated when its exact k-gram occurs in at
+    * least `minDocs` DISTINCT documents — within-doc repetition is
+    * [[graft.operators.Quality]]'s business, not flagged here.
+    *
+    * Returns (idCol, span_start, span_end, n_windows): token positions
+    * with 0-based inclusive start, exclusive end; every token in the
+    * span is covered by at least one duplicated window (windows merge
+    * only when starts differ by ≤ k). Callers excise with
+    * `slice(tokens, …)` or route spans to a review set.
+    *
+    * Scale shape: one narrow pass builds (id, start, xxhash64(k-gram))
+    * — 8-byte hashes, never window text; the ≥ minDocs filter is one
+    * hash-keyed partial-agg shuffle; flagged starts come back via a
+    * semi-join on the same key; the island merge is a doc-partitioned
+    * window. Work ∝ total tokens, shuffle bytes ∝ tokens × 12B. The
+    * k-gram equality is by 64-bit hash (the hashed-join-key discipline):
+    * a collision would need two different k-grams at the same hash —
+    * negligible against corpus sizes, and no false NEGATIVES ever. */
+  def duplicateSpans(docs: DataFrame, idCol: String, textCol: String,
+                     k: Int = 8, minDocs: Int = 2): DataFrame = {
+    require(k >= 2, s"window size k must be >= 2, got $k")
+    require(minDocs >= 2, s"minDocs must be >= 2 (cross-doc), got $minDocs")
+    import graft.functions.{TextFunctions => TF}
+    val toks = docs.select(col(idCol), TF.tokens(col(textCol)).as("__tk"))
+      .filter(size(col("__tk")) >= k)
+    val wins = toks.select(col(idCol),
+      posexplode(transform(sequence(lit(0), size(col("__tk")) - lit(k)),
+        i => xxhash64(concat_ws(" ", slice(col("__tk"), i + 1, lit(k))))))
+        .as(Seq("start", "__h")))
+    val dups = wins.groupBy("__h")
+      .agg(countDistinct(col(idCol)).as("__nd"))
+      .filter(col("__nd") >= minDocs)
+      .select("__h")
+    val hits = wins.join(dups, "__h").select(col(idCol), col("start"))
+    val w = Window.partitionBy(idCol).orderBy("start")
+    hits
+      .withColumn("__brk",
+        when(col("start") - lag("start", 1).over(w) <= k, lit(0))
+          .otherwise(lit(1)))
+      .withColumn("__gid",
+        sum("__brk").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col(idCol), col("__gid"))
+      .agg(min("start").cast("long").as("span_start"),
+        (max("start") + k).cast("long").as("span_end"),
+        count(lit(1)).as("n_windows"))
+      .select(col(idCol), col("span_start"), col("span_end"), col("n_windows"))
+  }
+
   /** SimHash: 64-bit fingerprint where bit i is the sign of the sum over
     * tokens of (token-hash bit i ? +1 : -1). Near-duplicates differ in few
     * bits (small Hamming distance). Native codegen'd per-row compute

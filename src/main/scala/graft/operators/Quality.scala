@@ -98,4 +98,64 @@ object Quality {
           .as("top_ngram_frac"))
       .select(col(idCol), col("dup_ngram_frac"), col("top_ngram_frac"))
   }
+
+  /** Boilerplate line removal — the C4/RefinedWeb corpus-frequency cut:
+    * a LINE (navigation chrome, cookie banner, license header, template
+    * footer) that repeats verbatim across the corpus at least `minCount`
+    * times is boilerplate; every occurrence is excised and each document
+    * reassembled from its surviving lines, in order. Complements
+    * [[Dedup.duplicateSpans]] (any-alignment token runs): this is the
+    * line-structured variant that keeps the DOCUMENT as the unit.
+    *
+    * Lines are `delimiter`-separated (literal, regex-quoted; '\n' for
+    * real text), trimmed before counting and reassembly; whitespace-only
+    * segments are dropped unconditionally. Output keeps EVERY input row:
+    * (idCol, clean_text — surviving lines joined with '\n', '' when
+    * everything was boilerplate — n_kept, n_dropped).
+    *
+    * Scale shape: the frequency count shuffles only (xxhash64(line),
+    * 1) pairs with map-side partial aggregation; the flagged set (lines
+    * at count ≥ minCount — rare by definition) joins back on the same
+    * 8-byte key, AQE broadcasting when small. Line TEXT shuffles exactly
+    * once, in the per-doc reassembly groupBy, which any text-out
+    * transform pays. Line equality is by 64-bit hash (the hashed-key
+    * discipline): collisions can only over-count a line's frequency,
+    * never lose a document. */
+  def removeBoilerplateLines(docs: DataFrame, idCol: String, textCol: String,
+                             minCount: Int = 3,
+                             delimiter: String = "\n"): DataFrame = {
+    require(minCount >= 2, s"minCount must be >= 2, got $minCount")
+    require(delimiter.nonEmpty, "delimiter must be non-empty")
+    val lines = docs
+      .select(col(idCol),
+        posexplode(split(col(textCol),
+          java.util.regex.Pattern.quote(delimiter)))
+          .as(Seq("__line_no", "__raw")))
+      .select(col(idCol), col("__line_no"), trim(col("__raw")).as("__norm"))
+      .filter(col("__norm") =!= "")
+    val boiler = lines
+      .groupBy(xxhash64(col("__norm")).as("__h"))
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") >= minCount)
+      .select(col("__h"), lit(true).as("__boiler"))
+    val flagged = lines
+      .withColumn("__h", xxhash64(col("__norm")))
+      .join(boiler, Seq("__h"), "left")
+      .withColumn("__drop", coalesce(col("__boiler"), lit(false)))
+    val rebuilt = flagged
+      .groupBy(col(idCol))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(
+            when(!col("__drop"), struct(col("__line_no"), col("__norm"))))),
+          s => s.getField("__norm")), "\n").as("clean_text"),
+        sum(when(col("__drop"), 0L).otherwise(1L)).as("n_kept"),
+        sum(when(col("__drop"), 1L).otherwise(0L)).as("n_dropped"))
+    docs.select(col(idCol))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("n_dropped"), lit(0L)).as("n_dropped"))
+  }
 }

@@ -297,6 +297,47 @@ class DedupSpec extends SparkSpec {
       (4L, 0, true)))                          // token-less -> one empty chunk
   }
 
+  test("duplicateSpans: planted shared run found at exact positions; within-doc repeats not flagged") {
+    // docs 1 and 2 share a 6-token run at different offsets; k=4 →
+    // windows at the 3 alignments inside the run merge to one span
+    val shared = "alpha bravo charlie delta echo foxtrot"
+    val docs = Seq(
+      (1L, s"u1 u2 $shared u3 u4"),                 // run at tokens 2..8
+      (2L, s"$shared v1 v2 v3"),                    // run at tokens 0..6
+      (3L, "w1 w2 w3 w1 w2 w3 w1 w2 w3 w1 w2 w3"), // self-repetition only
+      (4L, "x1 x2 x3 x4 x5 x6 x7 x8"))              // unique
+      .toDF("doc_id", "text")
+    val out = Dedup.duplicateSpans(docs, "doc_id", "text", k = 4)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // 3 windows each (starts 2,3,4 / 0,1,2), span = [start, start+6)
+    assert(out == Set((1L, 2L, 8L, 3L), (2L, 0L, 6L, 3L)),
+      s"exact span positions and window counts: $out")
+
+    // two shared runs in one doc separated by > k unique tokens stay
+    // two spans; a doc pair sharing everything collapses to one
+    val again = Seq(
+      (1L, s"$shared g1 g2 g3 g4 g5 $shared"),
+      (2L, s"$shared h1 h2 h3 h4 h5 $shared"))
+      .toDF("doc_id", "text")
+    val spans = Dedup.duplicateSpans(again, "doc_id", "text", k = 4)
+      .as[(Long, Long, Long, Long)].collect()
+    // the full 17-token docs share NOTHING besides the two runs; gap
+    // g1..g5 vs h1..h5 breaks every bridging window
+    assert(spans.length == 4 &&
+      spans.forall { case (_, s0, e0, _) => (s0, e0) == (0L, 6L) || (s0, e0) == (11L, 17L) },
+      s"two maximal spans per doc: ${spans.toSeq}")
+
+    // unique corpus → empty; guards
+    val none = Dedup.duplicateSpans(
+      Seq((1L, "a b c d e"), (2L, "f g h i j")).toDF("doc_id", "text"),
+      "doc_id", "text", k = 3)
+    assert(none.count() == 0)
+    intercept[IllegalArgumentException](
+      Dedup.duplicateSpans(docs, "doc_id", "text", k = 1))
+    intercept[IllegalArgumentException](
+      Dedup.duplicateSpans(docs, "doc_id", "text", minDocs = 1))
+  }
+
   test("incremental ingest composition: batched pairs + incrementalComponents == full-corpus clustering") {
     // the production ingest loop: per batch, candidate pairs vs the
     // growing corpus (incrementalCandidatePairs), folded into the evolving

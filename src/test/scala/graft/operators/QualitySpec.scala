@@ -81,4 +81,46 @@ class QualitySpec extends SparkSpec {
     assert(out(1L)._1 > 0.5 && out(2L)._1 == 0.0)
     assert(out(1L)._2 > out(5L)._2 && out(3L)._2 > 0.9)
   }
+
+  test("removeBoilerplateLines: corpus-frequent lines excised, order kept, every doc survives") {
+    // "cookie notice" appears in 3 docs → boilerplate at minCount=3;
+    // "rare footer" appears twice → kept
+    val docs = Seq(
+      (1L, "cookie notice\nreal content one\nrare footer"),
+      (2L, "real content two\ncookie notice\nmore real text"),
+      (3L, "cookie notice\n  \nrare footer\nunique tail"),
+      (4L, "nothing shared here"))
+      .toDF("doc_id", "text")
+    val out = Quality.removeBoilerplateLines(docs, "doc_id", "text")
+      .as[(Long, String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(1L) == (("real content one\nrare footer", 2L, 1L)))
+    assert(out(2L) == (("real content two\nmore real text", 2L, 1L)))
+    // whitespace-only segment dropped unconditionally, not counted
+    assert(out(3L) == (("rare footer\nunique tail", 2L, 1L)))
+    assert(out(4L) == (("nothing shared here", 1L, 0L)))
+
+    // a doc that is ENTIRELY boilerplate stays in the output, empty
+    val all = Seq((1L, "x\nx"), (2L, "x"), (3L, "x\ny")).toDF("doc_id", "text")
+    val o2 = Quality.removeBoilerplateLines(all, "doc_id", "text", minCount = 3)
+      .as[(Long, String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(o2(1L) == (("", 0L, 2L)) && o2(2L) == (("", 0L, 1L)))
+    assert(o2(3L) == (("y", 1L, 1L)))
+
+    // custom delimiter is literal (regex-quoted): '|' must not be
+    // treated as alternation
+    val piped = Seq((1L, "a|shared|b"), (2L, "shared|c"), (3L, "shared"))
+      .toDF("doc_id", "text")
+    val o3 = Quality.removeBoilerplateLines(piped, "doc_id", "text",
+        minCount = 3, delimiter = "|")
+      .as[(Long, String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(o3(1L) == (("a\nb", 2L, 1L)) && o3(3L) == (("", 0L, 1L)))
+
+    intercept[IllegalArgumentException](
+      Quality.removeBoilerplateLines(docs, "doc_id", "text", minCount = 1))
+    intercept[IllegalArgumentException](
+      Quality.removeBoilerplateLines(docs, "doc_id", "text", delimiter = ""))
+  }
 }
