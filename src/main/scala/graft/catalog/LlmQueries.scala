@@ -1133,6 +1133,18 @@ object LlmQueries {
           t(s, d, "documents"), "doc_id", "text", k = 8)
         .orderBy(col("doc_id"), col("span_start"))),
 
+    // --- substring dedup end-to-end: detect + excise -----------------------
+    // The aggressive policy: every cross-doc duplicated span (q146's
+    // output, unfiltered) is cut from every doc; docs survive, possibly
+    // empty. detect → transform as one lazy plan.
+    "q148_excise_spans" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val spans = graft.operators.Dedup.duplicateSpans(
+        docs, "doc_id", "text", k = 8)
+      graft.operators.Dedup.exciseSpans(docs, "doc_id", "text", spans)
+        .orderBy(col("doc_id"))
+    }),
+
     // --- boilerplate line removal (C4 corpus-frequency cut) ----------------
     // The synthetic corpus has no newlines, so the literal token
     // " line " serves as the line delimiter — segments repeating >= 3
@@ -2283,6 +2295,47 @@ object LlmQueries {
          r3 AS (SELECT tele.id, round((1.0 - 0.85) * tele.t + 0.85 * coalesce(CAST(c3.s AS DOUBLE), 0.0), 9) AS r
                 FROM tele LEFT JOIN c3 ON tele.id = c3.dst)
          SELECT id, round(r, 6) AS pagerank FROM r3 ORDER BY id""",
+
+    // q146's span CTEs + NOT EXISTS position reconstruction
+    "q148_excise_spans" ->
+      """WITH tok AS (
+           SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS tk
+           FROM documents),
+         win AS (
+           SELECT doc_id, i AS start, array_to_string(list_slice(tk, i+1, i+8), ' ') AS g
+           FROM tok, unnest(range(0, len(tk) - 8 + 1)) AS t(i) WHERE len(tk) >= 8),
+         dup AS (SELECT g FROM win GROUP BY g HAVING count(DISTINCT doc_id) >= 2),
+         hits AS (SELECT doc_id, start FROM win WHERE g IN (SELECT g FROM dup)),
+         isl AS (
+           SELECT doc_id, start,
+             CASE WHEN start - lag(start) OVER (PARTITION BY doc_id ORDER BY start) <= 8
+                  THEN 0 ELSE 1 END AS brk
+           FROM hits),
+         grp AS (
+           SELECT doc_id, start,
+             sum(CASE WHEN brk IS NULL THEN 1 ELSE brk END)
+               OVER (PARTITION BY doc_id ORDER BY start ROWS UNBOUNDED PRECEDING) AS gid
+           FROM isl),
+         spans AS (
+           SELECT doc_id, min(start) AS s, max(start) + 8 AS e
+           FROM grp GROUP BY doc_id, gid),
+         tokpos AS (
+           SELECT doc_id, i AS pos, tk[i+1] AS token, len(tk) AS n
+           FROM tok, unnest(range(0, len(tk))) AS t(i)),
+         kept AS (
+           SELECT p.* FROM tokpos p WHERE NOT EXISTS (
+             SELECT 1 FROM spans s
+             WHERE s.doc_id = p.doc_id AND p.pos >= s.s AND p.pos < s.e)),
+         reb AS (
+           SELECT doc_id, string_agg(token, ' ' ORDER BY pos) AS clean_text,
+             CAST(count(*) AS BIGINT) AS n_kept
+           FROM kept GROUP BY doc_id),
+         lens AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n FROM tok)
+         SELECT l.doc_id, coalesce(r.clean_text, '') AS clean_text,
+           coalesce(r.n_kept, 0) AS n_kept,
+           l.n - coalesce(r.n_kept, 0) AS n_dropped
+         FROM lens l LEFT JOIN reb r ON l.doc_id = r.doc_id
+         ORDER BY l.doc_id""",
 
     // literal split, trim, corpus count >= 3, ordered reassembly;
     // string_agg skips the NULLed (dropped) segments

@@ -461,6 +461,50 @@ object Dedup {
       .select(col(idCol), col("span_start"), col("span_end"), col("n_windows"))
   }
 
+  /** Token-range excision — the transform side of [[duplicateSpans]]:
+    * rebuild each document's text with the tokens inside any listed
+    * span removed. `spans` is (idCol, span_start, span_end) with
+    * 0-based inclusive/exclusive token positions (exactly what
+    * [[duplicateSpans]] emits); the CALLER chooses policy by filtering
+    * the span table first (excise everywhere for aggressive substring
+    * dedup, exempt a canonical doc per cluster, route to review, …).
+    *
+    * Every input row survives: docs with no spans pass through with
+    * text re-normalized to single-space joints, fully-excised docs come
+    * back with empty text. Output: (idCol, clean_text, n_kept,
+    * n_dropped) in token counts.
+    *
+    * Scale shape: spans roll up per doc (a doc-keyed partial-agg
+    * shuffle of two longs per span), then ONE id-keyed join against the
+    * corpus and a codegen'd index-aware `filter` HOF — per-row work
+    * O(tokens × spans-of-that-doc), no explode, document text never
+    * shuffles (the join moves the tiny span side to the text, not the
+    * reverse, under AQE/broadcast). */
+  def exciseSpans(docs: DataFrame, idCol: String, textCol: String,
+                  spans: DataFrame): DataFrame = {
+    import graft.functions.{TextFunctions => TF}
+    val sp = spans.groupBy(col(idCol))
+      .agg(collect_list(struct(
+        col("span_start").cast("long").as("s"),
+        col("span_end").cast("long").as("e"))).as("__spans"))
+    docs
+      .select(col(idCol), TF.tokens(col(textCol)).as("__tk"))
+      .join(sp, Seq(idCol), "left")
+      .select(col(idCol), col("__tk"),
+        coalesce(col("__spans"),
+          array().cast("array<struct<s:bigint,e:bigint>>")).as("__spans"))
+      .select(col(idCol),
+        filter(col("__tk"), (_, i) =>
+          !exists(col("__spans"),
+            sp => i.cast("long") >= sp.getField("s") &&
+              i.cast("long") < sp.getField("e"))).as("__kept"),
+        size(col("__tk")).as("__n"))
+      .select(col(idCol),
+        concat_ws(" ", col("__kept")).as("clean_text"),
+        size(col("__kept")).cast("long").as("n_kept"),
+        (col("__n") - size(col("__kept"))).cast("long").as("n_dropped"))
+  }
+
   /** SimHash: 64-bit fingerprint where bit i is the sign of the sum over
     * tokens of (token-hash bit i ? +1 : -1). Near-duplicates differ in few
     * bits (small Hamming distance). Native codegen'd per-row compute

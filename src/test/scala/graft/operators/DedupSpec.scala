@@ -338,6 +338,33 @@ class DedupSpec extends SparkSpec {
       Dedup.duplicateSpans(docs, "doc_id", "text", minDocs = 1))
   }
 
+  test("exciseSpans: listed token ranges cut, untouched docs re-normalized, fully-cut doc survives empty") {
+    val shared = "alpha bravo charlie delta echo foxtrot"
+    val docs = Seq(
+      (1L, s"u1 u2 $shared u3 u4"),
+      (2L, s"$shared v1 v2 v3"),
+      (4L, "x1  x2   x3"))
+      .toDF("doc_id", "text")
+    val spans = Dedup.duplicateSpans(docs, "doc_id", "text", k = 4)
+    val out = Dedup.exciseSpans(docs, "doc_id", "text", spans)
+      .as[(Long, String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(1L) == (("u1 u2 u3 u4", 4L, 6L)), s"run excised: ${out(1L)}")
+    assert(out(2L) == (("v1 v2 v3", 3L, 6L)))
+    // no spans → text passes through (whitespace re-normalized)
+    assert(out(4L) == (("x1 x2 x3", 3L, 0L)))
+
+    // a doc that is ONE big duplicated span comes back empty, not lost;
+    // overlapping caller-supplied spans don't double-drop
+    val twin = Seq((1L, shared), (2L, shared)).toDF("doc_id", "text")
+    val manual = Seq((1L, 0L, 4L), (1L, 2L, 6L), (2L, 0L, 6L))
+      .toDF("doc_id", "span_start", "span_end")
+    val o2 = Dedup.exciseSpans(twin, "doc_id", "text", manual)
+      .as[(Long, String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(o2(1L) == (("", 0L, 6L)) && o2(2L) == (("", 0L, 6L)))
+  }
+
   test("incremental ingest composition: batched pairs + incrementalComponents == full-corpus clustering") {
     // the production ingest loop: per batch, candidate pairs vs the
     // growing corpus (incrementalCandidatePairs), folded into the evolving
