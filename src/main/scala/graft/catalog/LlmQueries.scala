@@ -1133,6 +1133,22 @@ object LlmQueries {
           t(s, d, "documents"), "doc_id", "text", k = 8)
         .orderBy(col("doc_id"), col("span_start"))),
 
+    // --- full text-cleanup curation: boilerplate + substring stages on -----
+    // q130's oracled pipeline shape plus the round's two text-rewrite
+    // stages: boilerplate line removal (raw text, ' line ' delimiter)
+    // BEFORE the strip, substring excision after; rep gate neutral
+    // (threshold 1.0), nearDup off, alpha-0.5 mix on the post-dedup
+    // distribution.
+    "q149_curation_clean" -> ((s, d) =>
+      graft.pipelines.Curation.curate(
+          t(s, d, "documents"), "doc_id", "text", "lang",
+          graft.pipelines.Curation.Config(
+            minTokens = 10, maxDupBigramFrac = 1.0, nearDup = false,
+            mixAlpha = 0.5, boilerplateMinCount = 3,
+            boilerplateDelimiter = " line ", dupSpanK = 8))
+        .select(col("doc_id"), col("lang"), col("n_tokens"))
+        .orderBy(col("doc_id"))),
+
     // --- substring dedup end-to-end: detect + excise -----------------------
     // The aggressive policy: every cross-doc duplicated span (q146's
     // output, unfiltered) is cut from every doc; docs survive, possibly
@@ -2295,6 +2311,73 @@ object LlmQueries {
          r3 AS (SELECT tele.id, round((1.0 - 0.85) * tele.t + 0.85 * coalesce(CAST(c3.s AS DOUBLE), 0.0), 9) AS r
                 FROM tele LEFT JOIN c3 ON tele.id = c3.dst)
          SELECT id, round(r, 6) AS pagerank FROM r3 ORDER BY id""",
+
+    // q130's oracle shape with the boilerplate stage prepended (raw
+    // text, ' line ' delimiter, BEFORE the strip) and the q148 span
+    // CTEs applied to the stripped text; rep gate neutral at 1.0 so
+    // its CTEs drop out; mix = q130's sqrt-rate md5 cut
+    "q149_curation_clean" ->
+      """WITH bseg AS (
+           SELECT doc_id, i AS line_no, trim(s[i+1]) AS norm
+           FROM (SELECT doc_id, string_split(text, ' line ') AS s FROM documents),
+                unnest(range(0, len(s))) AS t(i)),
+         ne AS (SELECT * FROM bseg WHERE norm <> ''),
+         boiler AS (SELECT norm FROM ne GROUP BY norm HAVING count(*) >= 3),
+         breb AS (
+           SELECT doc_id, string_agg(CASE WHEN norm NOT IN (SELECT norm FROM boiler) THEN norm END,
+             chr(10) ORDER BY line_no) AS raw2
+           FROM ne GROUP BY doc_id),
+         raw3 AS (SELECT d.doc_id, d.lang, coalesce(r.raw2, '') AS raw2
+                  FROM documents d LEFT JOIN breb r USING (doc_id)),
+         clean AS (
+           SELECT doc_id, lang,
+             trim(regexp_replace(
+               replace(replace(replace(replace(replace(replace(
+                 regexp_replace(raw2, '<[^>]*>', ' ', 'g'),
+                 '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+                 '&quot;', '"'), '&#39;', chr(39)), '&amp;', '&'),
+               '\s+', ' ', 'g')) AS ct
+           FROM raw3),
+         tok AS (SELECT doc_id, lang,
+                   list_filter(string_split_regex(trim(ct), '\s+'), x -> x <> '') AS tk
+                 FROM clean),
+         win AS (
+           SELECT doc_id, i AS start, array_to_string(list_slice(tk, i+1, i+8), ' ') AS g
+           FROM tok, unnest(range(0, len(tk) - 8 + 1)) AS t(i) WHERE len(tk) >= 8),
+         dup AS (SELECT g FROM win GROUP BY g HAVING count(DISTINCT doc_id) >= 2),
+         hits AS (SELECT doc_id, start FROM win WHERE g IN (SELECT g FROM dup)),
+         isl AS (
+           SELECT doc_id, start,
+             CASE WHEN start - lag(start) OVER (PARTITION BY doc_id ORDER BY start) <= 8
+                  THEN 0 ELSE 1 END AS brk
+           FROM hits),
+         grp AS (
+           SELECT doc_id, start,
+             sum(CASE WHEN brk IS NULL THEN 1 ELSE brk END)
+               OVER (PARTITION BY doc_id ORDER BY start ROWS UNBOUNDED PRECEDING) AS gid
+           FROM isl),
+         spans AS (SELECT doc_id, min(start) AS s, max(start) + 8 AS e FROM grp GROUP BY doc_id, gid),
+         tokpos AS (SELECT doc_id, i AS pos, tk[i+1] AS token FROM tok, unnest(range(0, len(tk))) AS t(i)),
+         kept AS (
+           SELECT p.* FROM tokpos p WHERE NOT EXISTS (
+             SELECT 1 FROM spans s WHERE s.doc_id = p.doc_id AND p.pos >= s.s AND p.pos < s.e)),
+         reb2 AS (SELECT doc_id, string_agg(token, ' ' ORDER BY pos) AS ct2,
+                    CAST(count(*) AS BIGINT) AS n
+                  FROM kept GROUP BY doc_id),
+         fin AS (SELECT t.doc_id, t.lang, coalesce(r.ct2, '') AS ct2, coalesce(r.n, 0) AS n
+                 FROM tok t LEFT JOIN reb2 r USING (doc_id)),
+         lengated AS (SELECT * FROM fin WHERE n BETWEEN 10 AND 10000),
+         hashed AS (SELECT *, sha256(ct2) AS h FROM lengated),
+         exact AS (SELECT * FROM (
+                     SELECT *, row_number() OVER (PARTITION BY h ORDER BY doc_id) AS rn
+                     FROM hashed) WHERE rn = 1),
+         cc AS (SELECT lang, CAST(count(*) AS DOUBLE) AS cnt FROM exact GROUP BY lang),
+         r AS (SELECT lang, sqrt((SELECT min(cnt) FROM cc) / cnt) AS rate FROM cc)
+         SELECT e.doc_id, e.lang, e.n AS n_tokens
+         FROM exact e JOIN r USING (lang)
+         WHERE ('0x' || substr(md5(CAST(e.doc_id AS VARCHAR)), 1, 4))::BIGINT
+               < floor(rate * 65536.0)
+         ORDER BY e.doc_id""",
 
     // q146's span CTEs + NOT EXISTS position reconstruction
     "q148_excise_spans" ->

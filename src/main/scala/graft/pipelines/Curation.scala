@@ -51,17 +51,48 @@ object Curation {
       nearDup: Boolean = true,
       mixAlpha: Double = 0.5,
       chunkSize: Int = 0,
-      chunkStride: Int = 0)
+      chunkStride: Int = 0,
+      boilerplateMinCount: Int = 0,
+      boilerplateDelimiter: String = "\n",
+      dupSpanK: Int = 0)
 
   /** The composed plan. Output: (idCol, groupCol, clean_text, n_tokens)
     * — or chunk rows when `cfg.chunkSize > 0`. */
   def curate(docs: DataFrame, idCol: String, textCol: String,
              groupCol: String, cfg: Config = Config()): DataFrame = {
+    // 0. boilerplate line removal (optional) — BEFORE the markup strip:
+    //    stripMarkup normalizes all whitespace and would destroy the
+    //    line delimiter. Verbatim-repeat matching is well-defined on raw
+    //    lines; the op returns (id, clean_text, counts), groupCol rides
+    //    back via a narrow id-keyed join.
+    val preStripped =
+      if (cfg.boilerplateMinCount <= 0)
+        docs.select(col(idCol), col(groupCol), col(textCol).as("__raw"))
+      else Quality.removeBoilerplateLines(docs, idCol, textCol,
+          cfg.boilerplateMinCount, cfg.boilerplateDelimiter)
+        .select(col(idCol), col("clean_text").as("__raw"))
+        .join(docs.select(col(idCol), col(groupCol)), Seq(idCol))
+        .select(col(idCol), col(groupCol), col("__raw"))
     // 1. markup strip — narrow codegen'd projection
-    val clean = docs.select(col(idCol), col(groupCol),
-      TF.stripMarkup(col(textCol)).as("clean_text"))
+    val clean = preStripped.select(col(idCol), col(groupCol),
+      TF.stripMarkup(col("__raw")).as("clean_text"))
+    // 1c. cross-doc substring excision (optional, Lee et al.): duplicated
+    //     spans cut everywhere so newly-identical remnants fall to the
+    //     exact-dedup stage below. The detect subtree is referenced
+    //     twice (spans + excise input) — Catalyst plans it twice; the
+    //     trade for staying one lazy plan, same as any self-join.
+    val afterSpans =
+      if (cfg.dupSpanK <= 0) clean
+      else {
+        val spans = Dedup.duplicateSpans(clean, idCol, "clean_text",
+          cfg.dupSpanK)
+        Dedup.exciseSpans(clean, idCol, "clean_text", spans)
+          .select(col(idCol), col("clean_text"))
+          .join(clean.select(col(idCol), col(groupCol)), Seq(idCol))
+          .select(col(idCol), col(groupCol), col("clean_text"))
+      }
     // 2a. length gate — narrow
-    val lenGated = clean.filter(TF.tokenCount(col("clean_text"))
+    val lenGated = afterSpans.filter(TF.tokenCount(col("clean_text"))
       .between(cfg.minTokens, cfg.maxTokens))
     // 2b. repetition gate: dup-bigram fraction (Gopher-family signal);
     //     both engines compute it as ratios of small integers, so the

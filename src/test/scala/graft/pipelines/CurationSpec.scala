@@ -86,6 +86,45 @@ class CurationSpec extends SparkSpec {
     assert(overlapped == 3, "stride 12 over 30 tokens → starts 0, 12, 24")
   }
 
+  test("optional boilerplate + substring-excision stages ≡ manual composition") {
+    import graft.operators.{Dedup, Quality}
+    import graft.functions.{TextFunctions => TF}
+    // 12 docs sharing a cookie-banner line (boilerplate) and, in 3 of
+    // them, a 10-token run duplicated across docs (substring dup)
+    val banner = "accept all cookies to continue"
+    val run = (1 to 10).map(i => s"dup$i").mkString(" ")
+    val docs = (1L to 12L).map { i =>
+      val body = (1 to 25).map(j => s"t${i}_$j").mkString(" ")
+      val text =
+        if (i <= 3) s"$banner\n$body $run"
+        else s"$banner\n$body"
+      (i, text, "web")
+    }.toDF("doc_id", "text", "source")
+    val cfg2 = cfg.copy(nearDup = false, maxDupBigramFrac = 1.0,
+      boilerplateMinCount = 3, dupSpanK = 6)
+    val out = Curation.curate(docs, "doc_id", "text", "source", cfg2)
+      .select($"doc_id", $"n_tokens").as[(Long, Long)].collect().toMap
+
+    // manual composition, stage by stage (boilerplate BEFORE strip —
+    // stripMarkup would collapse the '\n' delimiter)
+    val noBoiler = Quality.removeBoilerplateLines(
+        docs, "doc_id", "text", 3, "\n")
+      .select($"doc_id", $"clean_text".as("raw"))
+      .join(docs.select($"doc_id", $"source"), Seq("doc_id"))
+    val clean = noBoiler.select($"doc_id", $"source",
+      TF.stripMarkup($"raw").as("clean_text"))
+    val spans = Dedup.duplicateSpans(clean, "doc_id", "clean_text", k = 6)
+    val excised = Dedup.exciseSpans(clean, "doc_id", "clean_text", spans)
+    val expected = excised
+      .filter(TF.tokenCount($"clean_text") >= 10)
+      .select($"doc_id", TF.tokenCount($"clean_text").cast("long").as("n"))
+      .as[(Long, Long)].collect().toMap
+    assert(out == expected, s"curate ≡ manual: $out vs $expected")
+    // the banner (5 boilerplate tokens) and the run (10 dup tokens) are
+    // both gone from doc 1: 25 body tokens remain
+    assert(out(1L) == 25L && out(12L) == 25L && out.size == 12)
+  }
+
   test("mixing runs on the POST-dedup distribution (alpha 0.5 changes rates)") {
     // group sizes after dedup: web 2, books 2 → rates sqrt(2/2) = 1 for
     // both; planting 2 extra surviving web docs makes web 4 vs books 2 →
