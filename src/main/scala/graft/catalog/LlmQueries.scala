@@ -1171,6 +1171,20 @@ object LlmQueries {
           minCount = 3, delimiter = " line ")
         .orderBy(col("doc_id"))),
 
+    // --- triangle counting / clustering coefficient ------------------------
+    // q133's synthetic link graph treated as UNDIRECTED; per-node
+    // triangle membership + local clustering coefficient. The engine
+    // enumerates via degree-ordered orientation; the oracle via the
+    // plain id-ordered triple join — same triangles either way.
+    "q150_triangles" -> ((s, d) => {
+      val docs = t(s, d, "documents").select(col("doc_id"))
+      val edges = docs.select(col("doc_id").as("src"),
+          pmod(col("doc_id") * col("doc_id") + 1, lit(500L)).as("dst"))
+        .unionByName(docs.select(col("doc_id").as("src"),
+          pmod(col("doc_id") * 37, lit(100L)).as("dst")))
+      graft.operators.Graph.triangleCounts(edges).orderBy(col("id"))
+    }),
+
     // --- snippet / keyword-in-context extraction ---------------------------
     // The retrieval display stage: ±2 tokens around each matching
     // doc's FIRST occurrence of the term. Postings supply the
@@ -2467,6 +2481,29 @@ object LlmQueries {
            CAST(max(start) + 8 AS BIGINT) AS span_end,
            CAST(count(*) AS BIGINT) AS n_windows
          FROM grp GROUP BY doc_id, gid ORDER BY doc_id, span_start""",
+
+    // canonical undirected edges, a<b<c triple join counts each
+    // triangle once, 3-way corner explode for per-node counts
+    "q150_triangles" ->
+      """WITH raw AS (
+           SELECT doc_id AS src, (doc_id * doc_id + 1) % 500 AS dst FROM documents
+           UNION ALL
+           SELECT doc_id AS src, (doc_id * 37) % 100 AS dst FROM documents),
+         e AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+               FROM raw WHERE src <> dst),
+         nbr AS (SELECT a AS id, b AS nb FROM e UNION ALL SELECT b, a FROM e),
+         deg AS (SELECT id, CAST(count(*) AS BIGINT) AS degree FROM nbr GROUP BY id),
+         tri AS (
+           SELECT e1.a AS x, e1.b AS y, e2.b AS z
+           FROM e e1 JOIN e e2 ON e2.a = e1.b JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+         pern AS (SELECT id, CAST(count(*) AS BIGINT) AS triangles FROM (
+           SELECT x AS id FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri)
+           GROUP BY id)
+         SELECT d.id, coalesce(p.triangles, 0) AS triangles, d.degree,
+           CASE WHEN d.degree >= 2
+                THEN round(2.0 * coalesce(p.triangles, 0) / (d.degree * (d.degree - 1)), 6)
+                ELSE 0.0 END AS clustering_coeff
+         FROM deg d LEFT JOIN pern p USING (id) ORDER BY d.id""",
 
     // same tokenizer recipe; list_position = first occurrence (1-based)
     "q143_snippet" ->

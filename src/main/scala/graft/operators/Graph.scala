@@ -313,6 +313,68 @@ object Graph {
     ranks
   }
 
+  /** Triangle counting + local clustering coefficient — the cohesion
+    * signal beside reachability ([[connectedComponents]]), importance
+    * ([[pageRank]]) and communities ([[labelPropagation]]): how CLIQUISH
+    * is each node's neighborhood (link-farm detection, community
+    * density, graph-feature extraction).
+    *
+    * Edges are treated as UNDIRECTED (canonicalized, self-loops and
+    * duplicates dropped). Enumeration uses the degree-ordered
+    * orientation (Chiba–Nishizeki / Suri–Vassilvitskii): each edge
+    * points from its lower-(degree, id) endpoint to the higher, wedges
+    * are built only from each apex's OUT-neighbors, and a wedge counts
+    * as a triangle iff its closing edge exists. Every triangle has
+    * exactly one min-(degree, id) corner, so it is found exactly once —
+    * and out-degrees are bounded by O(√m) on any graph (the arboricity
+    * argument), so the wedge self-join never explodes on hubs the way a
+    * naive id-ordered orientation does: a degree-10⁶ celebrity vertex
+    * contributes wedges only through its LOW-degree neighbors.
+    *
+    * Scale shape: two narrow degree joins, one src-keyed wedge
+    * self-join (fan-out bounded as above), one equi-join against the
+    * edge set to close wedges, one explode + count. All shuffles are
+    * keyed by node/edge ids — no corpus-wide single-partition step.
+    *
+    * Returns (id, triangles, degree, clustering_coeff) for every edge
+    * endpoint; coefficient = 2t / d(d−1) on the round-6 grid, 0 when
+    * degree < 2. */
+  def triangleCounts(edges: DataFrame, srcCol: String = "src",
+                     dstCol: String = "dst"): DataFrame = {
+    val e = canonical(edges.select(
+      col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst")))
+    val deg = bothDirs(e).groupBy(col("src").as("id"))
+      .agg(count(lit(1)).as("degree"))
+    val withDeg = e
+      .join(deg.select(col("id").as("src"), col("degree").as("__ds")), "src")
+      .join(deg.select(col("id").as("dst"), col("degree").as("__dd")), "dst")
+    val oriented = withDeg.select(
+      when(col("__ds") < col("__dd") ||
+          (col("__ds") === col("__dd") && col("src") < col("dst")),
+        struct(col("src").as("u"), col("dst").as("v")))
+        .otherwise(struct(col("dst").as("u"), col("src").as("v"))).as("o"))
+      .select(col("o.u").as("u"), col("o.v").as("v"))
+    val wedges = oriented.select(col("u"), col("v").as("x"))
+      .join(oriented.select(col("u"), col("v").as("y")), "u")
+      .filter(col("x") < col("y"))
+    val tri = wedges.join(e,
+        least(col("x"), col("y")) === col("src") &&
+        greatest(col("x"), col("y")) === col("dst"))
+      .select(col("u"), col("x"), col("y"))
+    val perNode = tri
+      .select(explode(array(col("u"), col("x"), col("y"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("triangles"))
+    deg.join(perNode, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"),
+        col("degree"),
+        when(col("degree") >= 2,
+          round(lit(2.0) * coalesce(col("triangles"), lit(0L)) /
+            (col("degree") * (col("degree") - 1)), 6))
+          .otherwise(lit(0.0)).as("clustering_coeff"))
+  }
+
   /** Incremental connected components: fold `newEdges` into an existing
     * (id, component) labeling without re-clustering the full graph. The
     * prior labeling IS its own contracted graph — each component is one

@@ -224,6 +224,31 @@ class GraphSpec extends SparkSpec {
     assert(rerun == pr, "bit-identical re-run")
   }
 
+  test("triangleCounts: K4, star, and duplicate/direction noise hand-checked") {
+    // K4: every node in C(3,2)=3 triangles, degree 3, coefficient 1
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+      .toDF("src", "dst")
+    val r4 = Graph.triangleCounts(k4)
+      .as[(Long, Long, Long, Double)].collect().map { case (i, t, d, c) => i -> ((t, d, c)) }.toMap
+    assert(r4.size == 4 && r4.values.forall(_ == ((3L, 3L, 1.0))), s"$r4")
+
+    // star: no triangles; hub coefficient 0, spokes degree 1 → 0
+    val star = Seq((10L, 1L), (10L, 2L), (10L, 3L)).toDF("src", "dst")
+    val rs = Graph.triangleCounts(star)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(rs.forall(r => r._2 == 0L && r._4 == 0.0), s"${rs.toSeq}")
+
+    // one triangle + a pendant; duplicate edges, reversed directions and
+    // self-loops must not change counts. Node 1: deg 3 (2,3,4), 1
+    // triangle → cc = 2·1/(3·2) = 0.333333
+    val noisy = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 1L), (1L, 3L),
+      (1L, 1L), (1L, 4L)).toDF("src", "dst")
+    val rn = Graph.triangleCounts(noisy)
+      .as[(Long, Long, Long, Double)].collect().map { case (i, t, d, c) => i -> ((t, d, c)) }.toMap
+    assert(rn(1L) == ((1L, 3L, 0.333333)) && rn(2L) == ((1L, 2L, 1.0)) &&
+      rn(3L) == ((1L, 2L, 1.0)) && rn(4L) == ((0L, 1L, 0.0)), s"$rn")
+  }
+
   test("pipeline: LSH candidate pairs -> components -> canonical docs") {
     // three identical docs + one unrelated: the cluster collapses to one
     val docs = Seq(
