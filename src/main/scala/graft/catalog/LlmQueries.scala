@@ -858,6 +858,19 @@ object LlmQueries {
         .orderBy(col("grp"), col("dim"))
     }),
 
+    // --- per-dimension z-score standardization -----------------------------
+    // The scale-normalization step in front of LSH/PQ/k-means; stats
+    // from 9-grid DECIMAL moment sums (partition-order independent),
+    // output on the round-6 grid. First 10 vectors keep the compared
+    // output small; the transform itself is corpus-wide.
+    "q151_standardize" -> ((s, d) =>
+      graft.functions.VectorFunctions.standardizeDims(
+          t(s, d, "embeddings"), "vec_id", "embedding")
+        .filter(col("vec_id") < 10)
+        .select(col("vec_id"), col("dim").cast("long").as("dim"),
+          round(col("z"), 6).as("z"))
+        .orderBy(col("vec_id"), col("dim"))),
+
     // --- token-length histogram per source ---------------------------------
     "q126_length_histogram" -> ((s, d) => {
       graft.operators.Quality.lengthHistogram(
@@ -2300,6 +2313,28 @@ object LlmQueries {
            CAST(sum(CASE WHEN d.n_chars >= thr.p10 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
          FROM documents d JOIN thr USING (lang)
          GROUP BY d.lang, thr.p10 ORDER BY d.lang""",
+
+    // same 9-grid DECIMAL moments and double arithmetic as the engine
+    "q151_standardize" ->
+      """WITH pairs AS (
+           SELECT vec_id, i + 1 AS dim, CAST(embedding[i+1] AS DOUBLE) AS x
+           FROM embeddings, unnest(range(0, len(embedding))) AS t(i)
+           WHERE embedding IS NOT NULL),
+         stats AS (
+           SELECT dim, count(*) AS n,
+             sum(CAST(round(x, 9) AS DECIMAL(28,9))) AS s,
+             sum(CAST(round(x * x, 9) AS DECIMAL(28,9))) AS ss
+           FROM pairs GROUP BY dim),
+         ms AS (
+           SELECT dim, CAST(s AS DOUBLE) / n AS mean,
+             sqrt(greatest(CAST(ss AS DOUBLE) / n
+               - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n), 0.0)) AS std
+           FROM stats)
+         SELECT p.vec_id, CAST(p.dim AS BIGINT) AS dim,
+           round(CASE WHEN m.std > 0 THEN (p.x - m.mean) / m.std ELSE 0.0 END, 6) AS z
+         FROM pairs p JOIN ms m USING (dim)
+         WHERE p.vec_id < 10
+         ORDER BY p.vec_id, p.dim""",
 
     // 3 RWR iterations unrolled (the q133 pattern) with the teleport
     // vector t = 1/20 on seeds, 0 elsewhere; no dangling by construction

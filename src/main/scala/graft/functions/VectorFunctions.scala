@@ -243,4 +243,48 @@ object VectorFunctions {
       .groupBy(col(groupCol), (col("__d0") + 1).as("dim"))
       .agg((sum(round(col("__x").cast("double"), 9).cast("decimal(28,9)"))
         .cast("double") / count(lit(1))).as("mean"))
+
+  /** Per-dimension corpus statistics: (dim, mean, std) with population
+    * std from 9-grid DECIMAL sums of x and x² — partition-order
+    * independent (the [[dimMeans]] discipline), so both moments are
+    * bit-stable across runs and engines. `dim` is 1-based; null vectors
+    * drop. One narrow posexplode + one dim-keyed partial-agg shuffle of
+    * (dims) groups. */
+  def dimStats(df: DataFrame, vecCol: String): DataFrame = {
+    val dec9 = (c: Column) => round(c, 9).cast("decimal(28,9)")
+    df.filter(col(vecCol).isNotNull)
+      .select(posexplode(col(vecCol)).as(Seq("__d0", "__x")))
+      .select((col("__d0") + 1).as("dim"), col("__x").cast("double").as("__v"))
+      .groupBy("dim")
+      .agg(count(lit(1)).as("__n"),
+        sum(dec9(col("__v"))).as("__s"),
+        sum(dec9(col("__v") * col("__v"))).as("__ss"))
+      .select(col("dim"),
+        (col("__s").cast("double") / col("__n")).as("mean"),
+        sqrt(greatest(
+          col("__ss").cast("double") / col("__n") -
+            (col("__s").cast("double") / col("__n")) *
+            (col("__s").cast("double") / col("__n")),
+          lit(0.0))).as("std"))
+  }
+
+  /** Z-score standardization in pair-table form: (idCol, dim, z) with
+    * z = (x − mean_d)/std_d, 0 where a dimension is constant (std 0) —
+    * the preprocessing step in front of LSH/PQ/k-means when dimensions
+    * are on different scales (unstandardized, a high-variance dimension
+    * dominates every distance). Stats come from [[dimStats]] over the
+    * same frame and BROADCAST back onto the narrow exploded pairs — the
+    * corpus shuffles only for the dims-sized stats aggregation, never
+    * for the transform itself. Collect back to array form with
+    * `sort_array(collect_list(struct(dim, z)))` when a consumer needs
+    * vectors. */
+  def standardizeDims(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    df.filter(col(vecCol).isNotNull)
+      .select(col(idCol), posexplode(col(vecCol)).as(Seq("__d0", "__x")))
+      .select(col(idCol), (col("__d0") + 1).as("dim"),
+        col("__x").cast("double").as("__v"))
+      .join(broadcast(dimStats(df, vecCol)), "dim")
+      .select(col(idCol), col("dim"),
+        when(col("std") > 0, (col("__v") - col("mean")) / col("std"))
+          .otherwise(lit(0.0)).as("z"))
 }

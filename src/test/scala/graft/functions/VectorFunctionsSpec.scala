@@ -95,4 +95,39 @@ class VectorFunctionsSpec extends SparkSpec {
       ("a", 1) -> 2.0, ("a", 2) -> 2.0, ("a", 3) -> 2.0,
       ("b", 1) -> 10.0, ("b", 2) -> 0.0, ("b", 3) -> -4.0))
   }
+
+  test("dimStats + standardizeDims: hand-computed moments, constant dim yields z = 0") {
+    // dim 1: values 1,3,5 → mean 3, popvar 8/3; dim 2 constant → std 0
+    val vecs = Seq(
+      (1L, Array(1.0f, 2.0f)), (2L, Array(3.0f, 2.0f)), (3L, Array(5.0f, 2.0f)))
+      .toDF("vec_id", "embedding")
+    val stats = VectorFunctions.dimStats(vecs, "embedding")
+      .as[(Int, Double, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(stats(1)._1 == 3.0 && math.abs(stats(1)._2 - math.sqrt(8.0 / 3)) < 1e-12)
+    assert(stats(2) == ((2.0, 0.0)))
+
+    val z = VectorFunctions.standardizeDims(vecs, "vec_id", "embedding")
+      .as[(Long, Int, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    val s1 = math.sqrt(8.0 / 3)
+    assert(math.abs(z((1L, 1)) - (-2.0 / s1)) < 1e-12 &&
+      math.abs(z((3L, 1)) - 2.0 / s1) < 1e-12 && z((2L, 1)) == 0.0)
+    assert(Seq(1L, 2L, 3L).forall(i => z((i, 2)) == 0.0),
+      "constant dimension standardizes to 0, not NaN")
+
+    // standardized dims have mean 0 / std 1 (up to the 9-grid): re-run
+    // dimStats over the z pair-table rebuilt into arrays
+    val zArr = VectorFunctions.standardizeDims(vecs, "vec_id", "embedding")
+      .groupBy($"vec_id")
+      .agg(transform(array_sort(collect_list(struct($"dim", $"z"))),
+        s => s.getField("z")).as("zv"))
+    val zs = VectorFunctions.dimStats(zArr, "zv")
+      .as[(Int, Double, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(math.abs(zs(1)._1) < 1e-9 && math.abs(zs(1)._2 - 1.0) < 1e-9)
+
+    // null vectors drop from stats and transform
+    val withNull = vecs.unionByName(
+      Seq((4L, null.asInstanceOf[Array[Float]])).toDF("vec_id", "embedding"))
+    assert(VectorFunctions.standardizeDims(withNull, "vec_id", "embedding")
+      .count() == 6)
+  }
 }
