@@ -871,6 +871,16 @@ object LlmQueries {
           round(col("z"), 6).as("z"))
         .orderBy(col("vec_id"), col("dim"))),
 
+    // --- char-level Shannon entropy (quality signal) -----------------------
+    // Zero-shuffle per-row HOF chain; 9-grid DECIMAL term accumulation
+    // makes the per-doc sum order-independent, so the count-table
+    // oracle agrees bit-for-bit on the round-6 grid.
+    "q152_char_entropy" -> ((s, d) =>
+      graft.operators.Quality.charEntropies(
+          t(s, d, "documents"), "doc_id", "text")
+        .select(col("doc_id"), round(col("char_entropy"), 6).as("char_entropy"))
+        .orderBy(col("doc_id"))),
+
     // --- token-length histogram per source ---------------------------------
     "q126_length_histogram" -> ((s, d) => {
       graft.operators.Quality.lengthHistogram(
@@ -2313,6 +2323,21 @@ object LlmQueries {
            CAST(sum(CASE WHEN d.n_chars >= thr.p10 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
          FROM documents d JOIN thr USING (lang)
          GROUP BY d.lang, thr.p10 ORDER BY d.lang""",
+
+    // char counts per doc, identical per-term double arithmetic on the
+    // 9-grid DECIMAL accumulator
+    "q152_char_entropy" ->
+      """WITH ch AS (
+           SELECT doc_id, substring(text, i, 1) AS c
+           FROM documents, unnest(range(1, len(text) + 1)) AS t(i)),
+         cnt AS (SELECT doc_id, c, count(*) AS nc FROM ch GROUP BY doc_id, c),
+         tot AS (SELECT doc_id, CAST(sum(nc) AS DOUBLE) AS n FROM cnt GROUP BY doc_id),
+         ent AS (
+           SELECT c.doc_id,
+             sum(CAST(round((c.nc / t.n) * ln(c.nc / t.n), 9) AS DECIMAL(28,9))) AS s
+           FROM cnt c JOIN tot t USING (doc_id) GROUP BY c.doc_id)
+         SELECT d.doc_id, round(coalesce(-CAST(e.s AS DOUBLE), 0.0), 6) AS char_entropy
+         FROM documents d LEFT JOIN ent e USING (doc_id) ORDER BY d.doc_id""",
 
     // same 9-grid DECIMAL moments and double arithmetic as the engine
     "q151_standardize" ->

@@ -107,4 +107,22 @@ class TextFunctionsSpec extends SparkSpec {
     assert(out(5L) == "spaced out")
     assert(out(6L) == "")
   }
+
+  test("charEntropy: repeated-char junk near 0, uniform alphabet = ln k, empty = 0") {
+    val docs = Seq(
+      (1L, "aaaaaaaa"),          // one symbol → exactly 0
+      (2L, "abcd"),              // uniform over 4 → ln 4
+      (3L, "aabb"),              // uniform over 2 → ln 2
+      (4L, ""),                  // empty → 0 by contract
+      (5L, "the quick brown fox"))
+      .toDF("doc_id", "text")
+    val out = docs.select($"doc_id", TextFunctions.charEntropy($"text").as("e"))
+      .as[(Long, Double)].collect().toMap
+    assert(out(1L) == 0.0)
+    assert(math.abs(out(2L) - math.log(4)) < 1e-8, s"${out(2L)}")
+    assert(math.abs(out(3L) - math.log(2)) < 1e-8, s"${out(3L)}")
+    assert(out(4L) == 0.0)
+    // prose sits between junk and uniform-noise bounds
+    assert(out(5L) > 2.0 && out(5L) < math.log(19), s"${out(5L)}")
+  }
 }

@@ -82,6 +82,21 @@ class QualitySpec extends SparkSpec {
     assert(out(1L)._2 > out(5L)._2 && out(3L)._2 > 0.9)
   }
 
+  test("charEntropies (table form) ≡ charEntropy (HOF form), empty doc is 0") {
+    import graft.functions.TextFunctions
+    val docs = Seq((1L, "aaaaaaaa"), (2L, "abcd"), (3L, "aabb"), (4L, ""),
+      (5L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val table = Quality.charEntropies(docs, "doc_id", "text")
+      .select($"doc_id", round($"char_entropy", 9).as("e"))
+      .as[(Long, Double)].collect().toMap
+    val hof = docs.select($"doc_id",
+        round(TextFunctions.charEntropy($"text"), 9).as("e"))
+      .as[(Long, Double)].collect().toMap
+    assert(table == hof, s"table $table vs HOF $hof")
+    assert(table(4L) == 0.0 && math.abs(table(2L) - math.log(4)) < 1e-8)
+  }
+
   test("removeBoilerplateLines: corpus-frequent lines excised, order kept, every doc survives") {
     // "cookie notice" appears in 3 docs → boilerplate at minCount=3;
     // "rare footer" appears twice → kept
