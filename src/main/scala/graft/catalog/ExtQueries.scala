@@ -203,6 +203,20 @@ object ExtQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // --- weighted sampling, mergeable-aggregate form -----------------------
+    // Same Efraimidis-Spirakis selection as q104 (so the same oracle
+    // shape), executed as a k-capped heap aggregate with map-side
+    // combine instead of a per-stratum window sort — the single-giant-
+    // stratum escape hatch, proven row-identical by SplitsSpec.
+    "q153_weighted_sample_agg" -> ((s, d) => {
+      val docs = t(s, d, "documents").select(col("doc_id"), col("source"),
+        (pmod(col("doc_id"), lit(5L)) + lit(1L)).cast("double").as("weight"))
+      graft.operators.Splits.weightedSamplePerStratumAgg(
+          docs, "doc_id", "source", col("weight"), k = 20)
+        .select(col("doc_id"), col("source"), col("weight"))
+        .orderBy(col("doc_id"))
+    }),
+
     // --- posexplode with ordinality ---------------------------------------
     "q58_posexplode" -> ((s, d) => {
       t(s, d, "documents")
@@ -339,6 +353,23 @@ object ExtQueries {
     // the same Exp(weight) priority; ln() is the one non-exact op, and
     // rank flips would need two priorities within ~1 ulp of each other
     "q104_weighted_sample" ->
+      """WITH w AS (
+           SELECT doc_id, source, CAST((doc_id % 5) + 1 AS DOUBLE) AS weight
+           FROM documents),
+         pr AS (
+           SELECT doc_id, source, weight,
+             -ln((('0x' || substr(md5('wsr' || CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT + 1)
+                 / 4503599627370496.0) / weight AS p
+           FROM w),
+         rk AS (
+           SELECT doc_id, source, weight,
+             row_number() OVER (PARTITION BY source ORDER BY p ASC, doc_id ASC) AS rn
+           FROM pr)
+         SELECT doc_id, source, weight FROM rk WHERE rn <= 20 ORDER BY doc_id""",
+
+    // identical selection to q104 — the aggregate changes execution,
+    // not the sample
+    "q153_weighted_sample_agg" ->
       """WITH w AS (
            SELECT doc_id, source, CAST((doc_id % 5) + 1 AS DOUBLE) AS weight
            FROM documents),

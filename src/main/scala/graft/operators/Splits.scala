@@ -89,9 +89,9 @@ object Splits {
     *
     * Scale shape: one narrow projection + one shuffle by stratum for the
     * per-stratum window top-k. The window sorts only within each
-    * stratum's partition; at pathological single-stratum scale, swap the
-    * window for a per-partition top-k aggregation — documented trade,
-    * not needed while strata ≪ corpus. */
+    * stratum's partition; at pathological single-stratum scale use
+    * [[weightedSamplePerStratumAgg]] — same selection, heap aggregate
+    * instead of a sort. */
   def weightedSamplePerStratum(df: DataFrame, idCol: String,
                                strataCol: String, weightCol: Column,
                                k: Int, salt: String = "wsr"): DataFrame = {
@@ -104,6 +104,31 @@ object Splits {
     df.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= k)
       .drop("__rn")
+  }
+
+  /** [[weightedSamplePerStratum]] as a MERGEABLE AGGREGATE — identical
+    * selection (the k smallest (priority, id) pairs per stratum under
+    * the same Efraimidis–Spirakis priority; spec asserts row equality),
+    * different execution: [[graft.plans.TopKAgg]] keeps a k-capped heap
+    * per stratum with map-side partial combine, so a SINGLE GIANT
+    * stratum never funnels its full row set through one task's sort —
+    * only k pairs per stratum cross the shuffle, and the winner set
+    * (≤ strata × k ids) semi-joins back narrow (AQE broadcasts it).
+    * The escape hatch the window form's scaladoc promises; prefer the
+    * window form when strata are many and small (no heap overhead,
+    * payload rides the sort). */
+  def weightedSamplePerStratumAgg(df: DataFrame, idCol: String,
+                                  strataCol: String, weightCol: Column,
+                                  k: Int, salt: String = "wsr"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val u = uniformFromId(col(idCol), salt)
+    val priority = (-log(u) / weightCol).cast("double")
+    val winners = df
+      .groupBy(col(strataCol))
+      .agg(graft.plans.TopK.topK(priority, col(idCol).cast("long"), k)
+        .as("__top"))
+      .select(explode(col("__top.id")).as("__win_id"))
+    df.join(winners, col(idCol).cast("long") === col("__win_id"), "left_semi")
   }
 
   /** Deterministic global shuffle for training-shard layout: every row

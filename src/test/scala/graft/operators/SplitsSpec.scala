@@ -71,6 +71,37 @@ class SplitsSpec extends SparkSpec {
     }
   }
 
+  test("weightedSamplePerStratumAgg ≡ window form; partial heap agg in the plan; giant stratum fine") {
+    val df = spark.range(0, 3000).toDF("id")
+      .withColumn("grp", concat(lit("g"), pmod(col("id"), lit(3))))
+      .withColumn("w", (pmod(col("id"), lit(7)) + 1).cast("double"))
+    val win = Splits.weightedSamplePerStratum(df, "id", "grp", col("w"), k = 25)
+      .select("id").as[Long].collect().sorted.toSeq
+    val agg = Splits.weightedSamplePerStratumAgg(df, "id", "grp", col("w"), k = 25)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(win == agg, "heap aggregate selects the identical sample")
+    assert(agg.length == 75)
+
+    // plan proof: the aggregate form partial-combines map-side (no
+    // full-stratum sort anywhere in ITS aggregation subtree)
+    val winners = df.groupBy(col("grp"))
+      .agg(graft.plans.TopK.topK(col("w"), col("id"), 25).as("t"))
+    val plan = winners.queryExecution.executedPlan.toString
+    assert(plan.contains("partial_top_k_agg"),
+      s"map-side partial heap aggregation expected:\n$plan")
+    assert(!plan.toLowerCase.contains("sort"),
+      s"no sort in the aggregate subtree:\n$plan")
+
+    // single giant stratum: the window form's pathological case — the
+    // aggregate form returns the exact k smallest priorities
+    val one = spark.range(0, 5000).toDF("id").withColumn("grp", lit("all"))
+    val sampled = Splits.weightedSamplePerStratumAgg(one, "id", "grp",
+      lit(1.0), k = 10).select("id").as[Long].collect().sorted.toSeq
+    val expected = Splits.weightedSamplePerStratum(one, "id", "grp",
+      lit(1.0), k = 10).select("id").as[Long].collect().sorted.toSeq
+    assert(sampled == expected && sampled.length == 10)
+  }
+
   test("shardShuffle: dense positions, hash order, stable under growth") {
     val df = spark.range(0, 1000).toDF("id")
     val out = Splits.shardShuffle(df, "id", numShards = 4)
