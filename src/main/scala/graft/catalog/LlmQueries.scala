@@ -1126,6 +1126,23 @@ object LlmQueries {
         .orderBy(col("lang"))
     }),
 
+    // --- weighted PageRank --------------------------------------------------
+    // q133's graph with per-edge walk weights (doc_id % 3 + 1): a
+    // walker leaves u along (u,v) with probability w/Σw — link
+    // strength steers the flow.
+    "q154_weighted_pagerank" -> ((s, d) => {
+      val docs = t(s, d, "documents").select(col("doc_id"))
+      val wcol = (pmod(col("doc_id"), lit(3L)) + 1).cast("double").as("w")
+      val edges = docs.select(col("doc_id").as("src"),
+          pmod(col("doc_id") * col("doc_id") + 1, lit(500L)).as("dst"), wcol)
+        .unionByName(docs.select(col("doc_id").as("src"),
+          pmod(col("doc_id") * 37, lit(100L)).as("dst"), wcol))
+      graft.operators.Graph.pageRank(edges, iterations = 3,
+          weightCol = Some("w"))
+        .select(col("id"), round(col("pagerank"), 6).as("pagerank"))
+        .orderBy(col("id"))
+    }),
+
     // --- personalized PageRank (random walk with restart) ------------------
     // Related-document retrieval: teleport mass restricted to the seed
     // set (doc_id % 25 == 0), so rank measures proximity TO the seeds
@@ -2360,6 +2377,32 @@ object LlmQueries {
          FROM pairs p JOIN ms m USING (dim)
          WHERE p.vec_id < 10
          ORDER BY p.vec_id, p.dim""",
+
+    // q133's unrolled form with deg = sum(w) and contributions r·w/deg
+    "q154_weighted_pagerank" ->
+      """WITH e AS (
+           SELECT doc_id AS src, (doc_id * doc_id + 1) % 500 AS dst,
+             CAST(doc_id % 3 + 1 AS DOUBLE) AS w FROM documents
+           UNION ALL
+           SELECT doc_id AS src, (doc_id * 37) % 100 AS dst,
+             CAST(doc_id % 3 + 1 AS DOUBLE) AS w FROM documents),
+         nodes AS (SELECT DISTINCT id FROM (SELECT src AS id FROM e UNION ALL SELECT dst AS id FROM e)),
+         n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+         deg AS (SELECT src, sum(w) AS deg FROM e GROUP BY src),
+         r0 AS (SELECT id, round(1.0 / n.n, 9) AS r FROM nodes, n),
+         c1 AS (SELECT e.dst, sum(CAST(round(r0.r * e.w / deg.deg, 9) AS DECIMAL(28,9))) AS s
+                FROM e JOIN r0 ON e.src = r0.id JOIN deg ON e.src = deg.src GROUP BY e.dst),
+         r1 AS (SELECT nodes.id, round((1.0 - 0.85) / n.n + 0.85 * coalesce(CAST(c1.s AS DOUBLE), 0.0), 9) AS r
+                FROM nodes LEFT JOIN c1 ON nodes.id = c1.dst, n),
+         c2 AS (SELECT e.dst, sum(CAST(round(r1.r * e.w / deg.deg, 9) AS DECIMAL(28,9))) AS s
+                FROM e JOIN r1 ON e.src = r1.id JOIN deg ON e.src = deg.src GROUP BY e.dst),
+         r2 AS (SELECT nodes.id, round((1.0 - 0.85) / n.n + 0.85 * coalesce(CAST(c2.s AS DOUBLE), 0.0), 9) AS r
+                FROM nodes LEFT JOIN c2 ON nodes.id = c2.dst, n),
+         c3 AS (SELECT e.dst, sum(CAST(round(r2.r * e.w / deg.deg, 9) AS DECIMAL(28,9))) AS s
+                FROM e JOIN r2 ON e.src = r2.id JOIN deg ON e.src = deg.src GROUP BY e.dst),
+         r3 AS (SELECT nodes.id, round((1.0 - 0.85) / n.n + 0.85 * coalesce(CAST(c3.s AS DOUBLE), 0.0), 9) AS r
+                FROM nodes LEFT JOIN c3 ON nodes.id = c3.dst, n)
+         SELECT id, round(r, 6) AS pagerank FROM r3 ORDER BY id""",
 
     // 3 RWR iterations unrolled (the q133 pattern) with the teleport
     // vector t = 1/20 on seeds, 0 elsewhere; no dangling by construction

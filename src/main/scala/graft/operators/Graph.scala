@@ -181,7 +181,8 @@ object Graph {
                dstCol: String = "dst", iterations: Int = 10,
                damping: Double = 0.85,
                nodes: Option[(DataFrame, String)] = None,
-               reliable: Boolean = false): DataFrame = {
+               reliable: Boolean = false,
+               weightCol: Option[String] = None): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
     require(damping >= 0.0 && damping <= 1.0,
       s"damping must be in [0,1], got $damping")
@@ -191,18 +192,28 @@ object Graph {
         "call sparkContext.setCheckpointDir(<durable path>) first")
     def materialize(df: DataFrame): DataFrame =
       if (reliable) df.checkpoint() else df.localCheckpoint()
-    val e = edges.select(col(srcCol).cast("long").as("src"),
-      col(dstCol).cast("long").as("dst"))
+    // weighted variant: a walker leaves u along (u,v) with probability
+    // w(u,v) / Σ_out w(u) — link strength (co-citation counts, click
+    // weights) steers the rank flow. w = 1 reduces BIT-exactly to the
+    // unweighted form (x·1.0 = x in IEEE; count ≡ sum of ones).
+    val w = weightCol.fold(lit(1.0))(c => col(c).cast("double"))
+    // non-positive weights carry no walk probability: dropped from the
+    // walk (an all-nonpositive source degrades to a dangling node, never
+    // a zero-out-weight division) but their endpoints stay in the node
+    // set, exactly like any dangling endpoint
+    val e0 = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst"), w.as("__w"))
+    val e = e0.filter(col("__w") > 0)
     val nodeIds = materialize {
-      val fromEdges = e.select(col("src").as("id"))
-        .union(e.select(col("dst").as("id")))
+      val fromEdges = e0.select(col("src").as("id"))
+        .union(e0.select(col("dst").as("id")))
       nodes.fold(fromEdges) { case (df, c) =>
         fromEdges.union(df.select(col(c).cast("long").as("id")))
       }.distinct()
     }
     val n = nodeIds.count().toDouble
     val outdeg = materialize(
-      e.groupBy("src").agg(count(lit(1)).cast("double").as("__deg")))
+      e.groupBy("src").agg(sum(col("__w")).cast("double").as("__deg")))
     val dec9 = (c: org.apache.spark.sql.Column) =>
       round(c, 9).cast("decimal(28,9)")
     var ranks = nodeIds.select(col("id"),
@@ -211,7 +222,8 @@ object Graph {
       val contribs = ranks
         .join(outdeg, col("id") === col("src"))
         .join(e, "src")
-        .select(col("dst"), dec9(col("pagerank") / col("__deg")).as("__c"))
+        .select(col("dst"),
+          dec9(col("pagerank") * col("__w") / col("__deg")).as("__c"))
       val sums = contribs.groupBy("dst").agg(sum(col("__c")).as("__in"))
       val dangling = ranks
         .join(outdeg, col("id") === col("src"), "left_anti")

@@ -173,6 +173,27 @@ class GraphSpec extends SparkSpec {
 
     intercept[IllegalArgumentException](Graph.pageRank(star, iterations = 0))
     intercept[IllegalArgumentException](Graph.pageRank(star, damping = 1.5))
+
+    // weighted: w=1 everywhere is BIT-identical to the unweighted form;
+    // a 3:1 split sends 3x the contribution down the heavy edge.
+    // 1->2 (w=3), 1->3 (w=1), one iteration from uniform 1/3 (2 and 3
+    // are dangling, mass 2/3 redistributes uniformly):
+    // r1(2) = 0.05 + 0.85·(round9(1/3·3/4) + (2/3)/3) = 0.451388889
+    // r1(3) = 0.05 + 0.85·(round9(1/3·1/4) + (2/3)/3) = 0.309722222
+    val ones = star.withColumn("w", lit(1.0))
+    val wRanks = Graph.pageRank(ones, iterations = 10, weightCol = Some("w"))
+      .as[(Long, Double)].collect().toMap
+    assert(wRanks == sr, "unit weights ≡ unweighted, bit-for-bit")
+    val split = Seq((1L, 2L, 3.0), (1L, 3L, 1.0)).toDF("src", "dst", "w")
+    val ws = Graph.pageRank(split, iterations = 1, weightCol = Some("w"))
+      .as[(Long, Double)].collect().toMap
+    assert(math.abs(ws(2L) - 0.451388889) < 1e-9 &&
+      math.abs(ws(3L) - 0.309722222) < 1e-9, s"$ws")
+    // zero-weight edges drop from the walk; their endpoints remain
+    val zeroed = Seq((1L, 2L, 1.0), (1L, 3L, 0.0)).toDF("src", "dst", "w")
+    val zr = Graph.pageRank(zeroed, iterations = 1, weightCol = Some("w"))
+      .as[(Long, Double)].collect().toMap
+    assert(zr.contains(3L) && zr(2L) > zr(3L), s"$zr")
   }
 
   test("personalizedPageRank: seed locality, dangling-to-seed restart, all-seeds ≡ pageRank") {
