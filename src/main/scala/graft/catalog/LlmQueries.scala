@@ -1225,6 +1225,17 @@ object LlmQueries {
       graft.operators.Graph.triangleCounts(edges).orderBy(col("id"))
     }),
 
+    // --- boolean retrieval (Lucene BooleanQuery semantics) -----------------
+    // must contain 'vector', must not contain 'slow'; 'table'/'query'
+    // are optional coordination score.
+    "q155_boolean_query" -> ((s, d) =>
+      graft.operators.TextIndex.booleanQuery(
+          graft.operators.TextIndex.postings(
+            t(s, d, "documents"), "doc_id", "text"),
+          must = Seq("vector"), should = Seq("table", "query"),
+          mustNot = Seq("slow"))
+        .orderBy(col("doc_id"))),
+
     // --- snippet / keyword-in-context extraction ---------------------------
     // The retrieval display stage: ±2 tokens around each matching
     // doc's FIRST occurrence of the term. Postings supply the
@@ -2607,6 +2618,18 @@ object LlmQueries {
                 THEN round(2.0 * coalesce(p.triangles, 0) / (d.degree * (d.degree - 1)), 6)
                 ELSE 0.0 END AS clustering_coeff
          FROM deg d LEFT JOIN pern p USING (id) ORDER BY d.id""",
+
+    // list_contains conjunctions; n_should = matched optional terms
+    "q155_boolean_query" ->
+      """WITH tok AS (
+           SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS tk
+           FROM documents)
+         SELECT doc_id,
+           CAST((CASE WHEN list_contains(tk, 'table') THEN 1 ELSE 0 END)
+              + (CASE WHEN list_contains(tk, 'query') THEN 1 ELSE 0 END) AS BIGINT) AS n_should
+         FROM tok
+         WHERE list_contains(tk, 'vector') AND NOT list_contains(tk, 'slow')
+         ORDER BY doc_id""",
 
     // same tokenizer recipe; list_position = first occurrence (1-based)
     "q143_snippet" ->

@@ -706,4 +706,49 @@ object TextIndex {
       .filter(abs(col("__pb") - col("__pa")) <= window)
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_close_pairs"))
   }
+
+  /** Boolean retrieval (the Lucene `BooleanQuery` semantics): a document
+    * qualifies when it contains EVERY `must` term, at least `minShould`
+    * of the `should` terms, and NO `mustNot` term; `n_should` (how many
+    * optional terms matched) returns as the natural coordination score.
+    * With `must` non-empty, `minShould = 0` makes `should` purely
+    * scoring — the Lucene default.
+    *
+    * One pass over the postings rows of the query's own terms (postings
+    * are (token, doc)-unique, so counts are distinct-term counts) and
+    * one doc-keyed aggregation with map-side combine — work is
+    * O(postings of query terms), never corpus-wide; through
+    * [[booleanQueryFromIndex]] the read is also bucket-pruned. */
+  def booleanQuery(post: DataFrame, must: Seq[String],
+                   should: Seq[String] = Nil, mustNot: Seq[String] = Nil,
+                   minShould: Int = 0): DataFrame = {
+    require(must.nonEmpty || minShould >= 1,
+      "a query with no required term and minShould = 0 matches every " +
+      "document — give it at least one must term or a should threshold")
+    require(minShould >= 0 && minShould <= should.size,
+      s"minShould must be in [0, ${should.size}], got $minShould")
+    val overlap = (must ++ should).toSet.intersect(mustNot.toSet)
+    require(overlap.isEmpty,
+      s"terms both required/optional and forbidden match nothing: $overlap")
+    val all = (must ++ should ++ mustNot).distinct
+    post.filter(col("token").isin(all: _*))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(when(col("token").isin(must: _*), lit(1))).as("__n_must"),
+        count(when(col("token").isin(should: _*), lit(1))).as("__n_should"),
+        count(when(col("token").isin(mustNot: _*), lit(1))).as("__n_not"))
+      .filter(col("__n_must") === must.size && col("__n_not") === 0 &&
+        col("__n_should") >= minShould)
+      .select(col("doc_id"), col("__n_should").cast("long").as("n_should"))
+  }
+
+  /** [[booleanQuery]] over the persisted index: reads only the query
+    * terms' buckets. */
+  def booleanQueryFromIndex(spark: SparkSession, store: String,
+                            must: Seq[String], should: Seq[String] = Nil,
+                            mustNot: Seq[String] = Nil,
+                            minShould: Int = 0): DataFrame =
+    booleanQuery(
+      readPostings(spark, store, (must ++ should ++ mustNot).distinct),
+      must, should, mustNot, minShould)
 }

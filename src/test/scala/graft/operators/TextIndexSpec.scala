@@ -494,4 +494,48 @@ class TextIndexSpec extends SparkSpec {
       .as[(Long, Int, String)].collect().head
     assert(w0 == ((2L, 2, "table")), "width 0 = just the match")
   }
+
+  test("booleanQuery: must/should/mustNot semantics; index form ≡ docs form; degenerate rejected") {
+    val docs = Seq(
+      (1L, "alpha beta gamma"),        // must + 2 should
+      (2L, "alpha beta"),              // must + 1 should
+      (3L, "alpha delta"),             // must, 0 should
+      (4L, "alpha beta banned"),       // excluded by mustNot
+      (5L, "beta gamma"))              // missing must
+      .toDF("doc_id", "text")
+    val post = TextIndex.postings(docs, "doc_id", "text")
+    val out = TextIndex.booleanQuery(post, must = Seq("alpha"),
+        should = Seq("beta", "gamma"), mustNot = Seq("banned"))
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 2L, 2L -> 1L, 3L -> 0L), s"$out")
+
+    // minShould turns optional into a threshold; multi-term must is AND
+    val th = TextIndex.booleanQuery(post, must = Seq("alpha"),
+        should = Seq("beta", "gamma"), minShould = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(th == Map(1L -> 2L))
+    val and2 = TextIndex.booleanQuery(post, must = Seq("alpha", "beta"))
+      .as[(Long, Long)].collect().toMap
+    assert(and2.keySet == Set(1L, 2L, 4L), s"$and2")
+    // should-only with a threshold works without any must
+    val shouldOnly = TextIndex.booleanQuery(post, must = Nil,
+        should = Seq("beta", "gamma"), minShould = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(shouldOnly.keySet == Set(1L, 5L))
+
+    // persisted-index form answers identically off the pruned buckets
+    val store = java.nio.file.Files.createTempDirectory("bq-idx").toString + "/s"
+    TextIndex.persistPostings(docs, "doc_id", "text", store, numBuckets = 4)
+    val fromIdx = TextIndex.booleanQueryFromIndex(spark, store,
+        must = Seq("alpha"), should = Seq("beta", "gamma"),
+        mustNot = Seq("banned"))
+      .as[(Long, Long)].collect().toMap
+    assert(fromIdx == out, "index form ≡ docs form")
+
+    intercept[IllegalArgumentException](
+      TextIndex.booleanQuery(post, must = Nil, should = Seq("beta")))
+    intercept[IllegalArgumentException](
+      TextIndex.booleanQuery(post, must = Seq("alpha"),
+        mustNot = Seq("alpha")))
+  }
 }
