@@ -1236,6 +1236,19 @@ object LlmQueries {
           mustNot = Seq("slow"))
         .orderBy(col("doc_id"))),
 
+    // --- fuzzy term retrieval ----------------------------------------------
+    // 'vektor' (a typo) finds every 'vector' posting at distance 1;
+    // the gate runs over the 31-token distinct vocabulary, not the
+    // corpus.
+    "q156_fuzzy_query" -> ((s, d) =>
+      graft.operators.TextIndex.fuzzyTermQuery(
+          graft.operators.TextIndex.postings(
+            t(s, d, "documents"), "doc_id", "text"),
+          term = "vektor", maxDist = 1)
+        .select(col("doc_id"), col("matched_token"), col("distance"),
+          col("tf").cast("long").as("tf"))
+        .orderBy(col("doc_id"), col("matched_token"))),
+
     // --- snippet / keyword-in-context extraction ---------------------------
     // The retrieval display stage: ±2 tokens around each matching
     // doc's FIRST occurrence of the term. Postings supply the
@@ -2618,6 +2631,22 @@ object LlmQueries {
                 THEN round(2.0 * coalesce(p.triangles, 0) / (d.degree * (d.degree - 1)), 6)
                 ELSE 0.0 END AS clustering_coeff
          FROM deg d LEFT JOIN pern p USING (id) ORDER BY d.id""",
+
+    // same banded-distance gate over the distinct vocab, then a
+    // postings join
+    "q156_fuzzy_query" ->
+      """WITH tok AS (
+           SELECT doc_id, unnest(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS token
+           FROM documents),
+         post AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+                  FROM tok GROUP BY doc_id, token),
+         v AS (SELECT DISTINCT token,
+                 CAST(levenshtein(token, 'vektor') AS BIGINT) AS distance
+               FROM post
+               WHERE abs(len(token) - 6) <= 1 AND levenshtein(token, 'vektor') <= 1)
+         SELECT p.doc_id, p.token AS matched_token, v.distance, p.tf
+         FROM post p JOIN v USING (token)
+         ORDER BY p.doc_id, p.token""",
 
     // list_contains conjunctions; n_should = matched optional terms
     "q155_boolean_query" ->

@@ -742,6 +742,35 @@ object TextIndex {
       .select(col("doc_id"), col("__n_should").cast("long").as("n_should"))
   }
 
+  /** Fuzzy term retrieval — typo-tolerant lookup: every posting whose
+    * token is within Levenshtein `maxDist` of `term`, with the matched
+    * token and its distance (callers rank closer matches first).
+    *
+    * The distance gate runs over the DISTINCT vocabulary, length-pruned
+    * to `|len − |term|| ≤ maxDist` first and then through the banded
+    * 3-arg `levenshtein` (O(len · maxDist) with early exit, the q119
+    * discipline); the surviving variant set is tiny and joins the
+    * postings narrow (AQE broadcasts it from stats). Work is O(vocab)
+    * for the gate + O(matched postings) — never corpus text. A fuzzy
+    * query cannot bucket-prune a persisted index (the matching terms
+    * are unknown until the vocab scan); for repeated fuzzy workloads
+    * build the [[EditDistance]] deletion-variant index instead. */
+  def fuzzyTermQuery(post: DataFrame, term: String,
+                     maxDist: Int = 1): DataFrame = {
+    require(term.nonEmpty, "term must be non-empty")
+    require(maxDist >= 1 && maxDist <= 3,
+      s"maxDist must be in [1, 3], got $maxDist")
+    val variants = post.select(col("token")).distinct()
+      .filter(length(col("token"))
+        .between(term.length - maxDist, term.length + maxDist))
+      .select(col("token"),
+        levenshtein(col("token"), lit(term), maxDist).as("distance"))
+      .filter(col("distance") >= 0)
+    post.join(variants, "token")
+      .select(col("doc_id"), col("token").as("matched_token"),
+        col("distance").cast("long").as("distance"), col("tf"))
+  }
+
   /** [[booleanQuery]] over the persisted index: reads only the query
     * terms' buckets. */
   def booleanQueryFromIndex(spark: SparkSession, store: String,

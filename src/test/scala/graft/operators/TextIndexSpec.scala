@@ -538,4 +538,30 @@ class TextIndexSpec extends SparkSpec {
       TextIndex.booleanQuery(post, must = Seq("alpha"),
         mustNot = Seq("alpha")))
   }
+
+  test("fuzzyTermQuery: distance-banded vocab gate, exact match at 0, length pruning") {
+    val docs = Seq(
+      (1L, "vector vector store"),   // exact, tf 2
+      (2L, "vectr index"),           // deletion, d=1
+      (3L, "victor writes"),         // substitution, d=1
+      (4L, "vectorize all"),         // 3 edits + length out of band
+      (5L, "nothing here"))
+      .toDF("doc_id", "text")
+    val post = TextIndex.postings(docs, "doc_id", "text")
+    val out = TextIndex.fuzzyTermQuery(post, "vector", maxDist = 1)
+      .select($"doc_id", $"matched_token", $"distance", $"tf".cast("long"))
+      .as[(Long, String, Long, Long)].collect().toSet
+    assert(out == Set((1L, "vector", 0L, 2L), (2L, "vectr", 1L, 1L),
+      (3L, "victor", 1L, 1L)), s"$out")
+
+    // widening the band admits more ('vectorize' = 3 insertions);
+    // guards reject nonsense
+    val wide = TextIndex.fuzzyTermQuery(post, "vector", maxDist = 3)
+      .select($"matched_token").distinct().as[String].collect().toSet
+    assert(wide.contains("vectorize"), s"d=3 admits the 3-insert token: $wide")
+    intercept[IllegalArgumentException](
+      TextIndex.fuzzyTermQuery(post, "", maxDist = 1))
+    intercept[IllegalArgumentException](
+      TextIndex.fuzzyTermQuery(post, "vector", maxDist = 4))
+  }
 }
