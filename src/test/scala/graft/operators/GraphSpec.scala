@@ -337,4 +337,55 @@ class GraphSpec extends SparkSpec {
       .filter(col("id") === 1L).collect().head.getLong(1) == 2L)
     assert(l1 == a.find(_.getLong(0) == 1L).get.getLong(1))
   }
+
+  test("hopDistances: BFS min-hop levels, directed, maxHops horizon, multi-source") {
+    // 0 -> 1 -> 2 -> 3 -> 4 chain, a shortcut 0 -> 3, a back-edge 2 -> 0,
+    // a self-loop, and an unreachable island 10 -> 11
+    val e = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (0L, 3L),
+      (2L, 0L), (1L, 1L), (10L, 11L)).toDF("src", "dst")
+    val src0 = Seq(Tuple1(0L)).toDF("id")
+    val out = Graph.hopDistances(e, src0).as[(Long, Long)].collect().toMap
+    // shortcut wins: 3 at dist 1, 4 at dist 2; island omitted
+    assert(out == Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 1L, 4L -> 2L), s"$out")
+
+    // horizon: maxHops = 1 keeps only the first frontier
+    val near = Graph.hopDistances(e, src0, maxHops = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(near == Map(0L -> 0L, 1L -> 1L, 3L -> 1L), s"$near")
+
+    // multi-source: min distance from ANY source
+    val multi = Graph.hopDistances(e, Seq(Tuple1(0L), Tuple1(10L)).toDF("id"))
+      .as[(Long, Long)].collect().toMap
+    assert(multi(10L) == 0L && multi(11L) == 1L && multi(4L) == 2L, s"$multi")
+
+    // undirected reachability = pass both directions
+    val und = Graph.hopDistances(
+      e.unionByName(e.select(col("dst").as("src"), col("src").as("dst"))),
+      Seq(Tuple1(4L)).toDF("id")).as[(Long, Long)].collect().toMap
+    assert(und(0L) == 2L, s"4 -> 3 -> 0 via reversed shortcut: $und")
+  }
+
+  test("kCore: peel cascade to fixpoint, degrees counted inside the core") {
+    // K4 on {1,2,3,4} (a 3-core), plus a tail 4-5-6 and a pendant 7 on 1:
+    // peeling at k=3 must cascade the whole tail away and keep exactly K4
+    val e = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (5L, 6L), (1L, 7L)).toDF("src", "dst")
+    val core3 = Graph.kCore(e, k = 3).as[(Long, Long)].collect().toMap
+    assert(core3 == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L), s"$core3")
+
+    // k=1 keeps everything (degrees in the full graph); k=4 empties
+    val core1 = Graph.kCore(e, k = 1).as[(Long, Long)].collect().toMap
+    assert(core1.keySet == Set(1L, 2L, 3L, 4L, 5L, 6L, 7L) &&
+      core1(1L) == 4L && core1(6L) == 1L, s"$core1")
+    assert(Graph.kCore(e, k = 4).isEmpty)
+
+    // duplicate/reversed/self-loop edges never double a degree: without
+    // collapsing, node 5 would count deg 3 and survive the k=2 peel
+    val noisy = e.unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
+      .unionByName(Seq((5L, 5L), (4L, 5L), (5L, 4L)).toDF("src", "dst"))
+    val core2 = Graph.kCore(noisy, k = 2).as[(Long, Long)].collect().toMap
+    assert(!core2.contains(6L) && !core2.contains(7L), s"$core2")
+    assert(!core2.contains(5L),
+      s"5's real degree drops to 1 once 6 peels, so 5 peels next: $core2")
+  }
 }
