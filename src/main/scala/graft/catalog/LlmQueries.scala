@@ -1249,6 +1249,14 @@ object LlmQueries {
           col("tf").cast("long").as("tf"))
         .orderBy(col("doc_id"), col("matched_token"))),
 
+    // --- covariance matrix over embeddings ---------------------------------
+    // The feature-correlation profile: population cov for every dim
+    // pair (upper triangle), 9-grid DECIMAL sums.
+    "q159_covariance" -> ((s, d) =>
+      graft.functions.VectorFunctions.covarianceMatrix(
+          t(s, d, "embeddings"), "embedding")
+        .orderBy(col("i"), col("j"))),
+
     // --- BFS shortest hop distances ----------------------------------------
     // Link-neighborhood extraction on the synthetic citation graph:
     // every doc reachable from doc 0 with its minimum hop count.
@@ -2658,6 +2666,24 @@ object LlmQueries {
                 THEN round(2.0 * coalesce(p.triangles, 0) / (d.degree * (d.degree - 1)), 6)
                 ELSE 0.0 END AS clustering_coeff
          FROM deg d LEFT JOIN pern p USING (id) ORDER BY d.id""",
+
+    // identical moment arithmetic: 9-grid DECIMAL sums of x and x*y,
+    // double divides, 6-grid output
+    "q159_covariance" ->
+      """WITH x AS (
+           SELECT vec_id, CAST(i AS BIGINT) AS dim, CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS v
+           FROM embeddings, generate_series(1, 64) AS g(i)),
+         s AS (SELECT dim, sum(CAST(round(v, 9) AS DECIMAL(28,9))) AS s, CAST(count(*) AS BIGINT) AS n
+               FROM x GROUP BY dim),
+         p AS (SELECT a.dim AS i, b.dim AS j, sum(CAST(round(a.v * b.v, 9) AS DECIMAL(28,9))) AS sp,
+                      CAST(count(*) AS BIGINT) AS n
+               FROM x a JOIN x b ON a.vec_id = b.vec_id AND b.dim >= a.dim
+               GROUP BY a.dim, b.dim)
+         SELECT p.i, p.j,
+           round(CAST(p.sp AS DOUBLE) / p.n
+             - (CAST(si.s AS DOUBLE) / si.n) * (CAST(sj.s AS DOUBLE) / sj.n), 6) AS cov
+         FROM p JOIN s si ON si.dim = p.i JOIN s sj ON sj.dim = p.j
+         ORDER BY p.i, p.j""",
 
     // recursive-CTE BFS: min dist per reached node (UNION-dedup bounds
     // the (id, dist) pair space; min collapses path multiplicity)

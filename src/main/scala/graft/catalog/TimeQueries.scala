@@ -92,7 +92,22 @@ object TimeQueries {
           sum(col("new_s")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
         .select(col("user_id"), col("event_id"), col("session_no"))
         .orderBy(col("user_id"), col("event_id"))
-    }))
+    }),
+
+    // --- conversion funnel (24 h window) ---------------------------------
+    // view -> click -> purchase, each step within 24 h of the previous:
+    // the ordered-sequence conversion report.
+    "q160_funnel" -> ((s, d) =>
+      graft.operators.Funnel.funnel(ev(s, d), "user_id", "event_type",
+          "ts", Seq("view", "click", "purchase"),
+          maxGapUs = Some(24L * 3600L * 1000000L))
+        .orderBy(col("step"))),
+
+    // --- weekly cohort retention -----------------------------------------
+    "q161_retention" -> ((s, d) =>
+      graft.operators.Funnel.cohortRetention(ev(s, d), "user_id", "ts",
+          "week")
+        .orderBy(col("cohort"), col("period_offset"))))
 
   def oracleSql: Map[String, String] = Map(
     "q29_tumbling_window" ->
@@ -159,5 +174,31 @@ object TimeQueries {
          SELECT user_id, event_id,
            CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_no
-         FROM marked ORDER BY user_id, event_id""")
+         FROM marked ORDER BY user_id, event_id""",
+
+    // earliest-qualifying greedy per step; strict-after + 24 h gate
+    "q160_funnel" ->
+      """WITH e AS (SELECT user_id AS u, event_type AS t, ts FROM events),
+         s1 AS (SELECT u, min(ts) AS p FROM e WHERE t = 'view' GROUP BY u),
+         s2 AS (SELECT e.u, min(e.ts) AS p FROM e JOIN s1 ON e.u = s1.u AND e.ts > s1.p
+                AND epoch_us(e.ts) - epoch_us(s1.p) <= CAST(86400000000 AS BIGINT)
+                WHERE e.t = 'click' GROUP BY e.u),
+         s3 AS (SELECT e.u, min(e.ts) AS p FROM e JOIN s2 ON e.u = s2.u AND e.ts > s2.p
+                AND epoch_us(e.ts) - epoch_us(s2.p) <= CAST(86400000000 AS BIGINT)
+                WHERE e.t = 'purchase' GROUP BY e.u)
+         SELECT * FROM (
+           SELECT CAST(1 AS BIGINT) AS step, 'view' AS step_name, CAST(count(*) AS BIGINT) AS users FROM s1
+           UNION ALL SELECT 2, 'click', count(*) FROM s2
+           UNION ALL SELECT 3, 'purchase', count(*) FROM s3)
+         ORDER BY step""",
+
+    // activity set = DISTINCT (user, week); cohort = min week
+    "q161_retention" ->
+      """WITH a AS (SELECT DISTINCT user_id AS u, date_trunc('week', ts) AS p FROM events),
+         c AS (SELECT u, min(p) AS c FROM a GROUP BY u)
+         SELECT CAST(c.c AS DATE) AS cohort,
+           CAST(datediff('day', c.c, a.p) / 7 AS BIGINT) AS period_offset,
+           CAST(count(*) AS BIGINT) AS users
+         FROM a JOIN c ON a.u = c.u
+         GROUP BY 1, 2 ORDER BY 1, 2""")
 }

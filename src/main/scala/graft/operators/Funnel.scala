@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Ordered event-sequence analytics over an event stream: conversion
+  * funnels and cohort retention — the product-analytics pair beside
+  * sessionization (q79) and the event-time windows (TimeQueries).
+  *
+  * Both are pure aggregation plans over (user, type, ts) projections:
+  * every shuffle is keyed by user (or by the small (cohort, offset)
+  * grid), every aggregation partial-combines map-side, and nothing is
+  * windowed over an unpartitioned ordering — the shapes survive
+  * billions of events because per-user state is one row per funnel
+  * step, never the user's event list.
+  */
+object Funnel {
+
+  /** Conversion funnel: how many users performed `steps` IN ORDER —
+    * step i+1 counted only when it happens STRICTLY AFTER the user's
+    * earliest qualifying step i (ties at the same timestamp are not
+    * progression), and, with `maxGapUs` set, within that many
+    * microseconds of it (the standard conversion-window semantics —
+    * an unbounded funnel saturates on any long-lived user base).
+    * Output: (step, step_name, users), one row per step, users
+    * non-increasing.
+    *
+    * Uses the earliest-qualifying-time greedy: step 1 anchors at the
+    * user's FIRST step-1 event; each later step at the first qualifying
+    * occurrence after the previous anchor. With a conversion window
+    * this is not always the maximal assignment (an anchor later than
+    * the earliest can occasionally rescue a tight window) — the greedy
+    * is the industry-standard semantics and keeps per-user state one
+    * timestamp per step.
+    *
+    * Scale shape: one filtered scan + user-keyed min-agg per step, each
+    * joined user-keyed to the previous step's anchors; repeated step
+    * types are fine (the strict-after gate advances through duplicate
+    * types). Counts union into one small result. */
+  def funnel(events: DataFrame, userCol: String, typeCol: String,
+             tsCol: String, steps: Seq[String],
+             maxGapUs: Option[Long] = None): DataFrame = {
+    require(steps.nonEmpty, "steps must be non-empty")
+    maxGapUs.foreach(g => require(g > 0, s"maxGapUs must be positive, got $g"))
+    val e = events.select(col(userCol).as("__u"), col(typeCol).as("__t"),
+      col(tsCol).as("__ts"))
+    def stepCount(reached: DataFrame, i: Int, name: String) =
+      reached.agg(count(lit(1)).as("users"))
+        .select(lit(i.toLong).as("step"), lit(name).as("step_name"),
+          col("users"))
+    var reached = e.filter(col("__t") === steps.head)
+      .groupBy("__u").agg(min(col("__ts")).as("__prev"))
+    var out = stepCount(reached, 1, steps.head)
+    steps.zipWithIndex.drop(1).foreach { case (st, i) =>
+      val gate = maxGapUs.fold(lit(true))(g =>
+        unix_micros(col("__ts")) - unix_micros(col("__prev")) <= g)
+      reached = e.filter(col("__t") === st)
+        .join(reached, Seq("__u"))
+        .filter(col("__ts") > col("__prev") && gate)
+        .groupBy("__u").agg(min(col("__ts")).as("__prev"))
+      out = out.unionByName(stepCount(reached, i + 1, st))
+    }
+    out
+  }
+
+  /** Cohort retention: users bucketed by the period of their FIRST
+    * event (the cohort), counted in every period they were active.
+    * Output: (cohort, period_offset, users) — cohort as a date
+    * (period start), offset 0 = the cohort period itself, so offset-0
+    * users is the cohort size and the retention rate is
+    * users / cohort-size downstream.
+    *
+    * `period` is `day`, `week` (Monday-start, the `date_trunc`
+    * convention) or `month`. Scale shape: one (user, period) distinct
+    * — THE activity set, one row per user-period, not per event —
+    * then a user-keyed min for cohorts and one small (cohort, offset)
+    * count; all partial-agg shuffles. */
+  def cohortRetention(events: DataFrame, userCol: String, tsCol: String,
+                      period: String = "week"): DataFrame = {
+    require(Set("day", "week", "month").contains(period),
+      s"period must be day|week|month, got $period")
+    val active = events
+      .select(col(userCol).as("__u"),
+        date_trunc(period, col(tsCol)).as("__p"))
+      .distinct()
+    val cohorts = active.groupBy("__u").agg(min(col("__p")).as("__c"))
+    val offset = period match {
+      case "day"   => datediff(col("__p"), col("__c")).cast("long")
+      case "week"  => (datediff(col("__p"), col("__c")) / 7).cast("long")
+      case "month" => months_between(col("__p"), col("__c")).cast("long")
+    }
+    active.join(cohorts, Seq("__u"))
+      .groupBy(col("__c").cast("date").as("cohort"),
+        offset.as("period_offset"))
+      .agg(count(lit(1)).as("users"))
+  }
+}

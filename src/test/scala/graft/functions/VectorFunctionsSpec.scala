@@ -130,4 +130,26 @@ class VectorFunctionsSpec extends SparkSpec {
     assert(VectorFunctions.standardizeDims(withNull, "vec_id", "embedding")
       .count() == 6)
   }
+
+  test("covarianceMatrix: hand-computed population covariances, upper triangle, null drop") {
+    // dims over vecs: d1 = [1,0,2,-1,1] (mean .6), d2 = [0,1,0,0,1]
+    // (mean .4), d3 = zeros
+    val out = VectorFunctions.covarianceMatrix(vecs, "embedding")
+      .as[(Long, Long, Double)].collect()
+      .map { case (i, j, c) => (i, j) -> c }.toMap
+    assert(out.size == 6, s"3 dims -> 6 upper-triangle pairs: $out")
+    assert(out((1L, 1L)) == 1.04 && out((2L, 2L)) == 0.24)
+    assert(out((1L, 2L)) == -0.04, "E[xy] - mx*my = 0.2 - 0.24")
+    assert(out((1L, 3L)) == 0.0 && out((2L, 3L)) == 0.0 &&
+      out((3L, 3L)) == 0.0)
+    assert(!out.contains((2L, 1L)), "lower triangle omitted")
+
+    // a null vector must not skew any count
+    val withNull = vecs.unionByName(
+      Seq((9L, null.asInstanceOf[Array[Float]])).toDF("vec_id", "embedding"))
+    val out2 = VectorFunctions.covarianceMatrix(withNull, "embedding")
+      .as[(Long, Long, Double)].collect()
+      .map { case (i, j, c) => (i, j) -> c }.toMap
+    assert(out2 == out, s"$out2")
+  }
 }

@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class FunnelSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("funnel: in-order progression, strict-after, conversion window") {
+    // u1 completes A->B->C in order; u2 does B before A (B must not
+    // count); u3 has A and B at the SAME timestamp (tie is not
+    // progression); u4 converts but only outside a 1-hour window
+    val e = Seq(
+      (1L, "A", ts("2024-01-01 10:00:00")),
+      (1L, "B", ts("2024-01-01 10:10:00")),
+      (1L, "C", ts("2024-01-01 10:20:00")),
+      (2L, "B", ts("2024-01-01 09:00:00")),
+      (2L, "A", ts("2024-01-01 09:30:00")),
+      (3L, "A", ts("2024-01-01 08:00:00")),
+      (3L, "B", ts("2024-01-01 08:00:00")),
+      (4L, "A", ts("2024-01-01 00:00:00")),
+      (4L, "B", ts("2024-01-01 05:00:00")),
+      (4L, "C", ts("2024-01-01 23:00:00")))
+      .toDF("user_id", "event_type", "ts")
+    val out = Funnel.funnel(e, "user_id", "event_type", "ts",
+        Seq("A", "B", "C"))
+      .as[(Long, String, Long)].collect().toList.sortBy(_._1)
+    // unbounded: u1 and u4 reach C; u2 stops at A; u3 stops at A (tie)
+    assert(out == List((1L, "A", 4L), (2L, "B", 2L), (3L, "C", 2L)), s"$out")
+
+    val windowed = Funnel.funnel(e, "user_id", "event_type", "ts",
+        Seq("A", "B", "C"), maxGapUs = Some(3600L * 1000000L))
+      .as[(Long, String, Long)].collect().toList.sortBy(_._1)
+    // 1-hour window: u4's B (5 h after A) falls out -> only u1 converts
+    assert(windowed == List((1L, "A", 4L), (2L, "B", 1L), (3L, "C", 1L)),
+      s"$windowed")
+  }
+
+  test("funnel: repeated step types advance through duplicates; guards") {
+    // A->A funnel: needs two As strictly ordered
+    val e = Seq(
+      (1L, "A", ts("2024-01-01 10:00:00")),
+      (1L, "A", ts("2024-01-01 11:00:00")),
+      (2L, "A", ts("2024-01-01 10:00:00")))
+      .toDF("user_id", "event_type", "ts")
+    val out = Funnel.funnel(e, "user_id", "event_type", "ts", Seq("A", "A"))
+      .as[(Long, String, Long)].collect().toList.sortBy(_._1)
+    assert(out == List((1L, "A", 2L), (2L, "A", 1L)), s"$out")
+    intercept[IllegalArgumentException](
+      Funnel.funnel(e, "user_id", "event_type", "ts", Nil))
+    intercept[IllegalArgumentException](
+      Funnel.funnel(e, "user_id", "event_type", "ts", Seq("A"),
+        maxGapUs = Some(0L)))
+  }
+
+  test("cohortRetention: weekly cohorts, offsets, distinct users per cell") {
+    // u1 first active week of Jan 1 (Mon), returns week of Jan 8;
+    // u2 first active week of Jan 8 only (two events, one cell);
+    // u3 active weeks 0 and 2 of its cohort
+    val e = Seq(
+      (1L, ts("2024-01-02 10:00:00")),
+      (1L, ts("2024-01-09 10:00:00")),
+      (2L, ts("2024-01-10 10:00:00")),
+      (2L, ts("2024-01-11 11:00:00")),
+      (3L, ts("2024-01-03 10:00:00")),
+      (3L, ts("2024-01-16 10:00:00")))
+      .toDF("user_id", "ts")
+    val out = Funnel.cohortRetention(e, "user_id", "ts", "week")
+      .select(col("cohort").cast("string"), col("period_offset"),
+        col("users"))
+      .as[(String, Long, Long)].collect().toSet
+    assert(out == Set(
+      ("2024-01-01", 0L, 2L),  // u1 + u3 cohort week
+      ("2024-01-01", 1L, 1L),  // u1 returns
+      ("2024-01-01", 2L, 1L),  // u3 returns
+      ("2024-01-08", 0L, 1L)), // u2, single cell despite two events
+      s"$out")
+    intercept[IllegalArgumentException](
+      Funnel.cohortRetention(e, "user_id", "ts", "quarter"))
+  }
+
+  test("cohortRetention: day and month periods") {
+    val e = Seq(
+      (1L, ts("2024-01-01 10:00:00")),
+      (1L, ts("2024-01-03 10:00:00")),
+      (1L, ts("2024-03-15 10:00:00")))
+      .toDF("user_id", "ts")
+    val day = Funnel.cohortRetention(e, "user_id", "ts", "day")
+      .select(col("period_offset")).as[Long].collect().toSet
+    assert(day == Set(0L, 2L, 74L), s"$day")
+    val month = Funnel.cohortRetention(e, "user_id", "ts", "month")
+      .select(col("period_offset")).as[Long].collect().toSet
+    assert(month == Set(0L, 2L), s"$month")
+  }
+}
