@@ -1249,6 +1249,13 @@ object LlmQueries {
           col("tf").cast("long").as("tf"))
         .orderBy(col("doc_id"), col("matched_token"))),
 
+    // --- prefix completion (autocomplete) ----------------------------------
+    // Top-4 of the six s-prefixed vocabulary terms by corpus frequency.
+    "q162_autocomplete" -> ((s, d) =>
+      graft.operators.TextIndex.prefixComplete(
+        graft.operators.TextIndex.postings(
+          t(s, d, "documents"), "doc_id", "text"), "s", k = 4)),
+
     // --- covariance matrix over embeddings ---------------------------------
     // The feature-correlation profile: population cov for every dim
     // pair (upper triangle), 9-grid DECIMAL sums.
@@ -2666,6 +2673,17 @@ object LlmQueries {
                 THEN round(2.0 * coalesce(p.triangles, 0) / (d.degree * (d.degree - 1)), 6)
                 ELSE 0.0 END AS clustering_coeff
          FROM deg d LEFT JOIN pern p USING (id) ORDER BY d.id""",
+
+    // vocab-sized agg over the prefix-filtered postings, top-k
+    "q162_autocomplete" ->
+      """WITH tok AS (
+           SELECT doc_id, unnest(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS token
+           FROM documents),
+         post AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+                  FROM tok GROUP BY doc_id, token)
+         SELECT token, CAST(sum(tf) AS BIGINT) AS freq, CAST(count(*) AS BIGINT) AS df
+         FROM post WHERE token LIKE 's%' GROUP BY token
+         ORDER BY freq DESC, token ASC LIMIT 4""",
 
     // identical moment arithmetic: 9-grid DECIMAL sums of x and x*y,
     // double divides, 6-grid output

@@ -107,7 +107,15 @@ object TimeQueries {
     "q161_retention" -> ((s, d) =>
       graft.operators.Funnel.cohortRetention(ev(s, d), "user_id", "ts",
           "week")
-        .orderBy(col("cohort"), col("period_offset"))))
+        .orderBy(col("cohort"), col("period_offset"))),
+
+    // --- event-type transition matrix ------------------------------------
+    // P(next event type | current) over each user's time-ordered
+    // sequence, event_id as the equal-ts tie-break.
+    "q163_transitions" -> ((s, d) =>
+      graft.operators.Funnel.transitionMatrix(ev(s, d), "user_id",
+          "event_type", "ts", "event_id")
+        .orderBy(col("from_type"), col("to_type"))))
 
   def oracleSql: Map[String, String] = Map(
     "q29_tumbling_window" ->
@@ -200,5 +208,19 @@ object TimeQueries {
            CAST(datediff('day', c.c, a.p) / 7 AS BIGINT) AS period_offset,
            CAST(count(*) AS BIGINT) AS users
          FROM a JOIN c ON a.u = c.u
-         GROUP BY 1, 2 ORDER BY 1, 2""")
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // lead() per user (ts, event_id ordered), pair counts, row-normalized
+    "q163_transitions" ->
+      """WITH seq AS (
+           SELECT event_type AS t,
+             lead(event_type) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS nxt
+           FROM events),
+         pairs AS (SELECT t AS from_type, nxt AS to_type, CAST(count(*) AS BIGINT) AS n
+                   FROM seq WHERE nxt IS NOT NULL GROUP BY 1, 2),
+         tot AS (SELECT from_type, sum(n) AS tot FROM pairs GROUP BY 1)
+         SELECT pairs.from_type, pairs.to_type, pairs.n,
+           round(CAST(pairs.n AS DOUBLE) / tot.tot, 6) AS p
+         FROM pairs JOIN tot USING (from_type)
+         ORDER BY from_type, to_type""")
 }

@@ -63,6 +63,35 @@ object Funnel {
     out
   }
 
+  /** First-order Markov transition matrix of event types: for every
+    * consecutive pair in each user's time-ordered event sequence, the
+    * pair count and the conditional probability P(to | from). The
+    * user-journey summary beside [[funnel]] (which tests ONE ordered
+    * hypothesis; the matrix surveys all of them). Output:
+    * (from_type, to_type, n, p) with p on the 6-grid.
+    *
+    * `tieCol` breaks equal timestamps (an event id / sequence number) so
+    * the sequence — and the matrix — is deterministic under concurrent
+    * events. Scale shape: one user-partitioned lead() window (per-user
+    * bounded sort, the q79 sessionize shape), one (from, to) count of at
+    * most |types|² groups, row totals broadcast back. */
+  def transitionMatrix(events: DataFrame, userCol: String, typeCol: String,
+                       tsCol: String, tieCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("__u"))
+      .orderBy(col("__ts").asc, col("__tie").asc)
+    val pairs = events.select(col(userCol).as("__u"), col(typeCol).as("__t"),
+        col(tsCol).as("__ts"), col(tieCol).as("__tie"))
+      .withColumn("__next", lead(col("__t"), 1).over(w))
+      .filter(col("__next").isNotNull)
+      .groupBy(col("__t").as("from_type"), col("__next").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = pairs.groupBy("from_type").agg(sum(col("n")).as("__tot"))
+    pairs.join(broadcast(totals), Seq("from_type"))
+      .select(col("from_type"), col("to_type"), col("n"),
+        round(col("n").cast("double") / col("__tot"), 6).as("p"))
+  }
+
   /** Cohort retention: users bucketed by the period of their FIRST
     * event (the cohort), counted in every period they were active.
     * Output: (cohort, period_offset, users) — cohort as a date

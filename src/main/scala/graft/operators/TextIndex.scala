@@ -771,6 +771,29 @@ object TextIndex {
         col("distance").cast("long").as("distance"), col("tf"))
   }
 
+  /** Prefix completion ("autocomplete"): the top-`k` vocabulary terms
+    * starting with `prefix`, ranked by corpus frequency (total tf) with
+    * document frequency alongside and the token as tie-break. Output:
+    * (token, freq, df).
+    *
+    * Scale shape: one vocab-sized aggregation of the prefix-filtered
+    * postings, then orderBy+limit — Spark's TakeOrderedAndProject, a
+    * distributed partial top-k (each partition keeps k, one bounded
+    * merge), never a global sort. NOTE the persisted index buckets by
+    * token HASH, so a prefix cannot partition-prune it ([[readPostings]]
+    * helps exact terms only) — a dedicated prefix-serving layout would
+    * bucket by token range instead; at query volume, materialize the
+    * vocab table (tiny next to postings) and serve prefixes from it. */
+  def prefixComplete(post: DataFrame, prefix: String, k: Int = 10): DataFrame = {
+    require(prefix.nonEmpty, "prefix must be non-empty")
+    require(k > 0, s"k must be positive, got $k")
+    post.filter(col("token").startsWith(prefix))
+      .groupBy(col("token"))
+      .agg(sum(col("tf")).as("freq"), count(lit(1)).as("df"))
+      .orderBy(col("freq").desc, col("token").asc)
+      .limit(k)
+  }
+
   /** [[booleanQuery]] over the persisted index: reads only the query
     * terms' buckets. */
   def booleanQueryFromIndex(spark: SparkSession, store: String,

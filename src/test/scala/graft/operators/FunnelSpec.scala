@@ -82,6 +82,30 @@ class FunnelSpec extends SparkSpec {
       Funnel.cohortRetention(e, "user_id", "ts", "quarter"))
   }
 
+  test("transitionMatrix: ordered pairs per user, tie-break determinism, row-normalized p") {
+    // u1: A -> B -> A; u2: A -> C. Transitions: A->B, B->A, A->C.
+    // u3 has two events at the SAME ts — the tie column (event id)
+    // orders them X(1) -> Y(2) deterministically.
+    val e = Seq(
+      (1L, 10L, "A", ts("2024-01-01 10:00:00")),
+      (1L, 11L, "B", ts("2024-01-01 11:00:00")),
+      (1L, 12L, "A", ts("2024-01-01 12:00:00")),
+      (2L, 20L, "A", ts("2024-01-01 10:00:00")),
+      (2L, 21L, "C", ts("2024-01-01 11:00:00")),
+      (3L, 1L, "X", ts("2024-01-01 09:00:00")),
+      (3L, 2L, "Y", ts("2024-01-01 09:00:00")))
+      .toDF("user_id", "event_id", "event_type", "ts")
+    val out = Funnel.transitionMatrix(e, "user_id", "event_type", "ts",
+        "event_id")
+      .as[(String, String, Long, Double)].collect()
+      .map { case (f, t, n, p) => (f, t) -> ((n, p)) }.toMap
+    assert(out == Map(
+      ("A", "B") -> ((1L, 0.5)), ("A", "C") -> ((1L, 0.5)),
+      ("B", "A") -> ((1L, 1.0)), ("X", "Y") -> ((1L, 1.0))), s"$out")
+    // single-event users contribute no pair; sequences never cross users
+    assert(!out.contains(("C", "X")) && !out.contains(("A", "X")))
+  }
+
   test("cohortRetention: day and month periods") {
     val e = Seq(
       (1L, ts("2024-01-01 10:00:00")),

@@ -564,4 +564,26 @@ class TextIndexSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       TextIndex.fuzzyTermQuery(post, "vector", maxDist = 4))
   }
+
+  test("prefixComplete: frequency ranking, token tiebreak, k cap") {
+    val docs = Seq(
+      (1L, "query queue query quest"),
+      (2L, "query queue quick"),
+      (3L, "quota other words"))
+      .toDF("doc_id", "text")
+    val post = TextIndex.postings(docs, "doc_id", "text")
+    val out = TextIndex.prefixComplete(post, "qu", k = 3)
+      .as[(String, Long, Long)].collect().toList
+    // freq: query 3 (df 2), queue 2 (df 2), quest/quick/quota 1 each —
+    // k=3 cuts at the tie-break (quest < quick < quota)
+    assert(out == List(("query", 3L, 2L), ("queue", 2L, 2L),
+      ("quest", 1L, 1L)), s"$out")
+    // narrower prefix; no matches -> empty
+    assert(TextIndex.prefixComplete(post, "que", k = 10)
+      .as[(String, Long, Long)].collect().toSet ==
+      Set(("query", 3L, 2L), ("queue", 2L, 2L), ("quest", 1L, 1L)))
+    assert(TextIndex.prefixComplete(post, "zz", k = 5).isEmpty)
+    intercept[IllegalArgumentException](TextIndex.prefixComplete(post, "", 5))
+    intercept[IllegalArgumentException](TextIndex.prefixComplete(post, "q", 0))
+  }
 }
