@@ -1264,6 +1264,16 @@ object LlmQueries {
           t(s, d, "embeddings"), "embedding")
         .orderBy(col("i"), col("j"))),
 
+    // --- first principal component (distributed power iteration) ----------
+    // Dominant eigenvector of the embedding covariance; the matrix
+    // stays a pair table end-to-end.
+    "q164_power_iteration" -> ((s, d) =>
+      graft.functions.VectorFunctions.powerIteration(
+          graft.functions.VectorFunctions.covarianceMatrix(
+            t(s, d, "embeddings"), "embedding"),
+          iterations = 3)
+        .orderBy(col("dim"))),
+
     // --- BFS shortest hop distances ----------------------------------------
     // Link-neighborhood extraction on the synthetic citation graph:
     // every doc reachable from doc 0 with its minimum hop count.
@@ -2702,6 +2712,64 @@ object LlmQueries {
              - (CAST(si.s AS DOUBLE) / si.n) * (CAST(sj.s AS DOUBLE) / sj.n), 6) AS cov
          FROM p JOIN s si ON si.dim = p.i JOIN s sj ON sj.dim = p.j
          ORDER BY p.i, p.j""",
+
+    // the q159 covariance CTEs + 3 unrolled normalize(C·v) steps, all
+    // sums on the 9-grid in DECIMAL; MATERIALIZED pins each step to one
+    // evaluation
+    "q164_power_iteration" ->
+      """WITH x AS MATERIALIZED (
+           SELECT vec_id, CAST(i AS BIGINT) AS dim, CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS v
+           FROM embeddings, generate_series(1, 64) AS g(i)),
+         s AS MATERIALIZED (SELECT dim, sum(CAST(round(v, 9) AS DECIMAL(28,9))) AS s, CAST(count(*) AS BIGINT) AS n
+               FROM x GROUP BY dim),
+         p AS MATERIALIZED (SELECT a.dim AS i, b.dim AS j, sum(CAST(round(a.v * b.v, 9) AS DECIMAL(28,9))) AS sp,
+                      CAST(count(*) AS BIGINT) AS n
+               FROM x a JOIN x b ON a.vec_id = b.vec_id AND b.dim >= a.dim
+               GROUP BY a.dim, b.dim),
+         cv AS MATERIALIZED (
+           SELECT p.i, p.j,
+             round(CAST(p.sp AS DOUBLE) / p.n
+               - (CAST(si.s AS DOUBLE) / si.n) * (CAST(sj.s AS DOUBLE) / sj.n), 6) AS c
+           FROM p JOIN s si ON si.dim = p.i JOIN s sj ON sj.dim = p.j),
+         m AS MATERIALIZED (
+           SELECT i, j, c FROM cv
+           UNION ALL SELECT j, i, c FROM cv WHERE i <> j),
+         v0 AS MATERIALIZED (
+           SELECT DISTINCT i AS dim, round(1.0 / sqrt(64.0), 9) AS v FROM m),
+         y1 AS MATERIALIZED (
+           SELECT m.i AS dim, sum(CAST(round(m.c * v0.v, 9) AS DECIMAL(28,9))) AS y
+           FROM m JOIN v0 ON m.j = v0.dim GROUP BY m.i),
+         n1 AS MATERIALIZED (
+           SELECT sum(CAST(round(CAST(y AS DOUBLE) * CAST(y AS DOUBLE), 9) AS DECIMAL(28,9))) AS n2 FROM y1),
+         v1 AS MATERIALIZED (
+           SELECT y1.dim,
+             CASE WHEN CAST(n1.n2 AS DOUBLE) > 0
+                  THEN round(CAST(y1.y AS DOUBLE) / sqrt(CAST(n1.n2 AS DOUBLE)), 9)
+                  ELSE 0.0 END AS v
+           FROM y1, n1),
+         y2 AS MATERIALIZED (
+           SELECT m.i AS dim, sum(CAST(round(m.c * v1.v, 9) AS DECIMAL(28,9))) AS y
+           FROM m JOIN v1 ON m.j = v1.dim GROUP BY m.i),
+         n2_ AS MATERIALIZED (
+           SELECT sum(CAST(round(CAST(y AS DOUBLE) * CAST(y AS DOUBLE), 9) AS DECIMAL(28,9))) AS n2 FROM y2),
+         v2 AS MATERIALIZED (
+           SELECT y2.dim,
+             CASE WHEN CAST(n2_.n2 AS DOUBLE) > 0
+                  THEN round(CAST(y2.y AS DOUBLE) / sqrt(CAST(n2_.n2 AS DOUBLE)), 9)
+                  ELSE 0.0 END AS v
+           FROM y2, n2_),
+         y3 AS MATERIALIZED (
+           SELECT m.i AS dim, sum(CAST(round(m.c * v2.v, 9) AS DECIMAL(28,9))) AS y
+           FROM m JOIN v2 ON m.j = v2.dim GROUP BY m.i),
+         n3 AS MATERIALIZED (
+           SELECT sum(CAST(round(CAST(y AS DOUBLE) * CAST(y AS DOUBLE), 9) AS DECIMAL(28,9))) AS n2 FROM y3),
+         v3 AS MATERIALIZED (
+           SELECT y3.dim,
+             CASE WHEN CAST(n3.n2 AS DOUBLE) > 0
+                  THEN round(CAST(y3.y AS DOUBLE) / sqrt(CAST(n3.n2 AS DOUBLE)), 9)
+                  ELSE 0.0 END AS v
+           FROM y3, n3)
+         SELECT dim, round(v, 6) AS loading FROM v3 ORDER BY dim""",
 
     // recursive-CTE BFS: min dist per reached node (UNION-dedup bounds
     // the (id, dist) pair space; min collapses path multiplicity)

@@ -339,4 +339,56 @@ object VectorFunctions {
           (col("__si").cast("double") / col("__ni")) *
           (col("__sj").cast("double") / col("__nj")), 6).as("cov"))
   }
+
+  /** Dominant eigenvector (first principal component) of a symmetric
+    * matrix given as the [[covarianceMatrix]] upper-triangle pair table
+    * (i, j, cov) — power iteration: v ← normalize(C·v) from the uniform
+    * unit start, a FIXED `iterations` budget (the [[graft.operators.Graph.pageRank]]
+    * convergence policy; the rate is governed by the spectral gap
+    * λ₁/λ₂ — near-isotropic data converges slowly, real embedding
+    * spectra decay fast). Output: (dim, loading) on the 6-grid, unit
+    * norm. Deterministic/oracle-exact: every matrix-vector term and
+    * every squared-norm term rounds to the 9-grid and accumulates in
+    * DECIMAL(28,9), and the vector re-rounds to the grid per iteration.
+    *
+    * Scale shape: the matrix stays DISTRIBUTED as the pair table (d²
+    * rows — the whole point for d where a driver-side d×d dense matrix
+    * dies, e.g. token-token co-occurrence with d = vocab); each
+    * iteration is one j-keyed join against the d-row vector, one i-keyed
+    * sum, one 1-row norm broadcast. Per-iteration lineage truncation as
+    * the Graph loops (`reliable` = durable checkpoints). A zero matrix
+    * fixes at the zero vector rather than dividing by zero. */
+  def powerIteration(cov: DataFrame, iterations: Int = 10,
+                     reliable: Boolean = false): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    if (reliable && cov.sparkSession.sparkContext.getCheckpointDir.isEmpty)
+      throw new IllegalStateException(
+        "powerIteration(reliable = true) needs a reliable checkpoint " +
+        "location: call sparkContext.setCheckpointDir(<durable path>) first")
+    def materialize(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint() else df.localCheckpoint()
+    val dec9 = (c: Column) => round(c, 9).cast("decimal(28,9)")
+    val m = materialize(cov.select(col("i"), col("j"), col("cov")).union(
+      cov.filter(col("i") =!= col("j"))
+        .select(col("j").as("i"), col("i").as("j"), col("cov"))))
+    val dims = m.select(col("i").as("dim")).distinct()
+    val d = dims.count()
+    require(d > 0, "powerIteration needs a non-empty matrix")
+    var v = materialize(dims.select(col("dim"),
+      round(lit(1.0) / sqrt(lit(d.toDouble)), 9).as("__v")))
+    for (_ <- 1 to iterations) {
+      val y = m.join(v, m("j") === v("dim"))
+        .groupBy(m("i").as("ydim"))
+        .agg(sum(dec9(col("cov") * col("__v"))).as("__y"))
+      val n2 = y.agg(sum(dec9(col("__y").cast("double") *
+        col("__y").cast("double"))).as("__n2"))
+      v = materialize(y.crossJoin(broadcast(n2))
+        .select(col("ydim").as("dim"),
+          when(col("__n2").cast("double") > 0,
+            round(col("__y").cast("double") /
+              sqrt(col("__n2").cast("double")), 9))
+            .otherwise(lit(0.0)).as("__v")))
+    }
+    v.select(col("dim"), round(col("__v"), 6).as("loading"))
+  }
 }

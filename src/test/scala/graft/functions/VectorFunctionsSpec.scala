@@ -152,4 +152,39 @@ class VectorFunctionsSpec extends SparkSpec {
       .map { case (i, j, c) => (i, j) -> c }.toMap
     assert(out2 == out, s"$out2")
   }
+
+  test("powerIteration: rank-1 covariance recovers the dominant direction exactly") {
+    // vectors along ±(3,4,0): C = 62.5·uuᵀ with u = (0.6, 0.8, 0) —
+    // power iteration lands on u after ONE multiply (Cv ∝ u for any v
+    // with u·v ≠ 0); run a few to exercise the loop
+    val rank1 = Seq(
+      (0L, Seq(3.0f, 4.0f, 0.0f)),
+      (1L, Seq(-3.0f, -4.0f, 0.0f)),
+      (2L, Seq(6.0f, 8.0f, 0.0f)),
+      (3L, Seq(-6.0f, -8.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val cov = VectorFunctions.covarianceMatrix(rank1, "embedding")
+    val v = VectorFunctions.powerIteration(cov, iterations = 3)
+      .as[(Long, Double)].collect().toMap
+    assert(math.abs(v(1L) - 0.6) < 1e-5 && math.abs(v(2L) - 0.8) < 1e-5 &&
+      math.abs(v(3L)) < 1e-9, s"$v")
+    // unit norm on the 6-grid
+    val norm = math.sqrt(v.values.map(x => x * x).sum)
+    assert(math.abs(norm - 1.0) < 1e-4, s"norm $norm")
+
+    // deterministic: rerun bit-equal
+    val v2 = VectorFunctions.powerIteration(cov, iterations = 3)
+      .as[(Long, Double)].collect().toMap
+    assert(v == v2)
+
+    // a zero matrix fixes at zero, never divides by zero
+    val zeros = Seq((0L, Seq(0.0f, 0.0f)), (1L, Seq(0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val vz = VectorFunctions.powerIteration(
+        VectorFunctions.covarianceMatrix(zeros, "embedding"), iterations = 2)
+      .as[(Long, Double)].collect().toMap
+    assert(vz == Map(1L -> 0.0, 2L -> 0.0), s"$vz")
+    intercept[IllegalArgumentException](
+      VectorFunctions.powerIteration(cov, iterations = 0))
+  }
 }
