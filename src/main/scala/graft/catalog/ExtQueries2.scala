@@ -150,7 +150,30 @@ object ExtQueries2 {
           w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2)
           .as("second_lowest"))
         .orderBy(col("c_custkey"))
-    }))
+    }),
+
+    // --- smoothed target encoding (categorical feature prep) -------------
+    // Mean o_totalprice per priority, shrunk toward the global mean
+    // with a pseudo-count of 10.
+    "q165_target_encode" -> ((s, d) =>
+      graft.operators.Features.targetEncode(t(s, d, "orders"),
+          "o_orderpriority", "o_totalprice", alpha = 10.0)
+        .orderBy(col("category"))),
+
+    // --- winsorization at exact quantiles (robust scaling) ----------------
+    // Clip prices at [p05, p95], then profile the clipped column per
+    // returnflag — the clip bounds surface as min/max.
+    "q166_winsorize" -> ((s, d) =>
+      graft.operators.Features.winsorize(t(s, d, "orders"),
+          "o_totalprice", 0.05, 0.95)
+        .withColumn("__w", round(col("o_totalprice_w"), 4))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(round(col("__w"), 4).cast("decimal(28,4)"))
+            .cast("double"), 2).as("sum_w"),
+          round(min(col("__w")), 4).as("min_w"),
+          round(max(col("__w")), 4).as("max_w"))
+        .orderBy(col("o_orderstatus"))))
 
   def oracleSql: Map[String, String] = Map(
     "q63_interval_join" ->
@@ -241,5 +264,32 @@ object ExtQueries2 {
               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS second_lowest
          FROM customer
          WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal ASC, c_custkey ASC)
-         ORDER BY c_custkey""")
+         ORDER BY c_custkey""",
+
+    // per-category 9-grid DECIMAL sums; global mean from the category
+    // sums (one corpus scan); same shrinkage arithmetic
+    "q165_target_encode" ->
+      """WITH per AS (
+           SELECT o_orderpriority AS category, CAST(count(*) AS BIGINT) AS n,
+                  sum(CAST(round(o_totalprice, 9) AS DECIMAL(28,9))) AS s
+           FROM orders WHERE o_totalprice IS NOT NULL GROUP BY 1),
+         g AS (SELECT CAST(sum(s) AS DOUBLE) / sum(n) AS g FROM per)
+         SELECT category, n,
+           round((CAST(s AS DOUBLE) + 10.0 * g.g) / (n + 10.0), 6) AS encoding
+         FROM per, g ORDER BY category""",
+
+    // quantile_cont ≡ Spark's exact percentile (the q49 convention);
+    // clipped values round to the 4-grid BEFORE the decimal sum so both
+    // engines aggregate identical inputs
+    "q166_winsorize" ->
+      """WITH b AS (SELECT quantile_cont(o_totalprice, 0.05) AS lo,
+                           quantile_cont(o_totalprice, 0.95) AS hi
+                    FROM orders),
+         w AS (SELECT o_orderstatus,
+                 round(least(greatest(o_totalprice, b.lo), b.hi), 4) AS w
+               FROM orders, b)
+         SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+           round(CAST(sum(CAST(round(w, 4) AS DECIMAL(28,4))) AS DOUBLE), 2) AS sum_w,
+           round(min(w), 4) AS min_w, round(max(w), 4) AS max_w
+         FROM w GROUP BY o_orderstatus ORDER BY o_orderstatus""")
 }

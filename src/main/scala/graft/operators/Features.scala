@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Tabular feature preparation for model training — the encodings and
+  * robust transforms a training-data pipeline applies to structured
+  * columns before they reach a trainer (the numeric cousins of the text
+  * quality gates in [[Quality]]).
+  *
+  * Determinism discipline throughout: every cross-row sum rounds to the
+  * 9-grid and accumulates in DECIMAL(28,9) (the q73 rule), so encodings
+  * are bit-stable across partitionings and engines.
+  */
+object Features {
+
+  private val dec9 = (c: Column) => round(c, 9).cast("decimal(28,9)")
+
+  /** Smoothed target (mean) encoding of a categorical column — the
+    * standard high-cardinality categorical representation: each
+    * category maps to a shrunk estimate of the target mean,
+    * `(Σ target + α · global_mean) / (n + α)` — rare categories pull
+    * toward the global mean (α is the pseudo-count prior; α = 0 is the
+    * raw per-category mean, already unsafe at n = 1), frequent ones
+    * toward their own. Output: (category, n, encoding) — join it back
+    * onto the table to materialize the feature; keeping the code table
+    * separate is what makes the encoding auditable and reusable on
+    * serving data. Null targets drop; a null CATEGORY is a real level
+    * (it encodes like any other — unseen-at-serving-time handling is
+    * the caller's join default).
+    *
+    * Scale shape: one category-keyed partial-agg shuffle + a 1-row
+    * global-mean broadcast — the global mean derives from the
+    * per-category sums, so the corpus is scanned ONCE. */
+  def targetEncode(df: DataFrame, catCol: String, targetCol: String,
+                   alpha: Double = 10.0): DataFrame = {
+    require(alpha >= 0.0, s"alpha must be >= 0, got $alpha")
+    val per = df.filter(col(targetCol).isNotNull)
+      .groupBy(col(catCol).as("category"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec9(col(targetCol).cast("double"))).as("__s"))
+    val g = per.agg(
+      (sum(col("__s")).cast("double") / sum(col("n"))).as("__g"))
+    per.crossJoin(broadcast(g))
+      .select(col("category"), col("n"),
+        round((col("__s").cast("double") + lit(alpha) * col("__g")) /
+          (col("n") + lit(alpha)), 6).as("encoding"))
+  }
+
+  /** Winsorization: clip a numeric column at its [pLo, pHi] quantiles —
+    * the robust-scaling precursor that tames heavy tails before
+    * normalization (a single 10⁹ outlier otherwise flattens every
+    * z-score in the batch). Returns the input with `<valCol>_w`
+    * appended; nulls stay null.
+    *
+    * `exact = true` uses Spark's exact `percentile` (the interpolating
+    * quantile_cont convention, oracle-parity with DuckDB) — its
+    * aggregation state holds the column's values, so reserve it for
+    * single-machine-sized inputs (the correctness path). At corpus
+    * scale set `exact = false` for `approx_percentile` (t-digest,
+    * bounded state, 1e-4 relative accuracy here) or feed bounds from
+    * the mergeable KLL store ([[Quantiles]]) and clip manually. */
+  def winsorize(df: DataFrame, valCol: String, pLo: Double = 0.01,
+                pHi: Double = 0.99, exact: Boolean = true): DataFrame = {
+    require(pLo >= 0.0 && pHi <= 1.0 && pLo < pHi,
+      s"need 0 <= pLo < pHi <= 1, got ($pLo, $pHi)")
+    val (lo, hi) =
+      if (exact)
+        (expr(s"percentile($valCol, $pLo)"), expr(s"percentile($valCol, $pHi)"))
+      else
+        (expr(s"approx_percentile($valCol, $pLo, 10000)"),
+         expr(s"approx_percentile($valCol, $pHi, 10000)"))
+    val bounds = df.agg(lo.as("__lo"), hi.as("__hi"))
+    df.crossJoin(broadcast(bounds))
+      .withColumn(valCol + "_w",
+        // greatest/least SKIP nulls (a null value would clip to the
+        // lower bound) — gate explicitly so nulls stay null
+        when(col(valCol).isNull, lit(null).cast("double"))
+          .otherwise(least(greatest(col(valCol).cast("double"),
+            col("__lo")), col("__hi"))))
+      .drop("__lo", "__hi")
+  }
+}
