@@ -160,6 +160,15 @@ object ExtQueries2 {
           "o_orderpriority", "o_totalprice", alpha = 10.0)
         .orderBy(col("category"))),
 
+    // --- one-pass table profiling -----------------------------------------
+    // Null counts, exact distincts, modal value per column (string
+    // form; int columns stringify identically in both engines — floats
+    // would not, see Profile scaladoc).
+    "q167_profile" -> ((s, d) =>
+      graft.operators.Profile.profileTable(t(s, d, "orders"),
+          Seq("o_custkey", "o_orderstatus", "o_orderpriority"))
+        .orderBy(col("column"))),
+
     // --- winsorization at exact quantiles (robust scaling) ----------------
     // Clip prices at [p05, p95], then profile the clipped column per
     // returnflag — the clip bounds surface as min/max.
@@ -277,6 +286,43 @@ object ExtQueries2 {
          SELECT category, n,
            round((CAST(s AS DOUBLE) + 10.0 * g.g) / (n + 10.0), 6) AS encoding
          FROM per, g ORDER BY category""",
+
+    // per-column profile blocks, mode via ordered LIMIT 1
+    "q167_profile" ->
+      """(
+           WITH p AS (SELECT CAST(o_custkey AS VARCHAR) AS v FROM orders),
+           m AS (SELECT v AS mode_value, CAST(count(*) AS BIGINT) AS mode_n
+                 FROM p WHERE v IS NOT NULL GROUP BY v
+                 ORDER BY count(*) DESC, v ASC LIMIT 1)
+           SELECT 'o_custkey' AS "column",
+             (SELECT CAST(count(*) AS BIGINT) FROM p) AS n_rows,
+             (SELECT CAST(count(*) FILTER (WHERE v IS NULL) AS BIGINT) FROM p) AS n_null,
+             (SELECT CAST(count(DISTINCT v) AS BIGINT) FROM p) AS n_distinct,
+             m.mode_value, m.mode_n
+           FROM m)
+         UNION ALL (
+           WITH p AS (SELECT CAST(o_orderstatus AS VARCHAR) AS v FROM orders),
+           m AS (SELECT v AS mode_value, CAST(count(*) AS BIGINT) AS mode_n
+                 FROM p WHERE v IS NOT NULL GROUP BY v
+                 ORDER BY count(*) DESC, v ASC LIMIT 1)
+           SELECT 'o_orderstatus' AS "column",
+             (SELECT CAST(count(*) AS BIGINT) FROM p) AS n_rows,
+             (SELECT CAST(count(*) FILTER (WHERE v IS NULL) AS BIGINT) FROM p) AS n_null,
+             (SELECT CAST(count(DISTINCT v) AS BIGINT) FROM p) AS n_distinct,
+             m.mode_value, m.mode_n
+           FROM m)
+         UNION ALL (
+           WITH p AS (SELECT CAST(o_orderpriority AS VARCHAR) AS v FROM orders),
+           m AS (SELECT v AS mode_value, CAST(count(*) AS BIGINT) AS mode_n
+                 FROM p WHERE v IS NOT NULL GROUP BY v
+                 ORDER BY count(*) DESC, v ASC LIMIT 1)
+           SELECT 'o_orderpriority' AS "column",
+             (SELECT CAST(count(*) AS BIGINT) FROM p) AS n_rows,
+             (SELECT CAST(count(*) FILTER (WHERE v IS NULL) AS BIGINT) FROM p) AS n_null,
+             (SELECT CAST(count(DISTINCT v) AS BIGINT) FROM p) AS n_distinct,
+             m.mode_value, m.mode_n
+           FROM m)
+         ORDER BY "column"""",
 
     // quantile_cont ≡ Spark's exact percentile (the q49 convention);
     // clipped values round to the 4-grid BEFORE the decimal sum so both

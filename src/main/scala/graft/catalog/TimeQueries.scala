@@ -115,7 +115,13 @@ object TimeQueries {
     "q163_transitions" -> ((s, d) =>
       graft.operators.Funnel.transitionMatrix(ev(s, d), "user_id",
           "event_type", "ts", "event_id")
-        .orderBy(col("from_type"), col("to_type"))))
+        .orderBy(col("from_type"), col("to_type"))),
+
+    // --- top user-journey paths -------------------------------------------
+    // The 10 most frequent 3-step event sequences.
+    "q168_top_paths" -> ((s, d) =>
+      graft.operators.Funnel.topPaths(ev(s, d), "user_id", "event_type",
+        "ts", "event_id", len = 3, k = 10)))
 
   def oracleSql: Map[String, String] = Map(
     "q29_tumbling_window" ->
@@ -222,5 +228,15 @@ object TimeQueries {
          SELECT pairs.from_type, pairs.to_type, pairs.n,
            round(CAST(pairs.n AS DOUBLE) / tot.tot, 6) AS p
          FROM pairs JOIN tot USING (from_type)
-         ORDER BY from_type, to_type""")
+         ORDER BY from_type, to_type""",
+
+    // two stacked leads over one user window, path-keyed count, top-10
+    "q168_top_paths" ->
+      """WITH seq AS (
+           SELECT event_type AS t,
+             lead(event_type, 1) OVER w AS t1, lead(event_type, 2) OVER w AS t2
+           FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC))
+         SELECT t || '>' || t1 || '>' || t2 AS path, CAST(count(*) AS BIGINT) AS n
+         FROM seq WHERE t1 IS NOT NULL AND t2 IS NOT NULL
+         GROUP BY 1 ORDER BY n DESC, path ASC LIMIT 10""")
 }

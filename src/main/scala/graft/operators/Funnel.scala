@@ -63,6 +63,39 @@ object Funnel {
     out
   }
 
+  /** Top-k most frequent length-`len` event-type paths across users'
+    * time-ordered sequences — the exploratory companion to
+    * [[transitionMatrix]] (first-order) and [[funnel]] (one fixed
+    * hypothesis): which journeys actually happen. Paths are windows of
+    * `len` CONSECUTIVE events within one user (no gaps, no
+    * cross-user windows); output (path, n) with the path joined by
+    * `>`, ranked (n DESC, path ASC).
+    *
+    * Scale shape: `len − 1` stacked lead() columns over ONE
+    * user-partitioned window (a single per-user bounded sort), one
+    * path-keyed count (≤ |types|^len groups), TakeOrderedAndProject
+    * for the top k. */
+  def topPaths(events: DataFrame, userCol: String, typeCol: String,
+               tsCol: String, tieCol: String, len: Int = 3,
+               k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(len >= 2, s"len must be >= 2, got $len")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val w = Window.partitionBy(col("__u"))
+      .orderBy(col("__ts").asc, col("__tie").asc)
+    val steps = col("__t").as("__p0") +:
+      (1 until len).map(i => lead(col("__t"), i).over(w).as(s"__p$i"))
+    events.select(col(userCol).as("__u"), col(typeCol).as("__t"),
+        col(tsCol).as("__ts"), col(tieCol).as("__tie"))
+      .select(steps: _*)
+      .filter((1 until len).map(i => col(s"__p$i").isNotNull).reduce(_ && _))
+      .select(concat_ws(">", (0 until len).map(i => col(s"__p$i")): _*)
+        .as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path").asc)
+      .limit(k)
+  }
+
   /** First-order Markov transition matrix of event types: for every
     * consecutive pair in each user's time-ordered event sequence, the
     * pair count and the conditional probability P(to | from). The

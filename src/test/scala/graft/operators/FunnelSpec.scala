@@ -106,6 +106,30 @@ class FunnelSpec extends SparkSpec {
     assert(!out.contains(("C", "X")) && !out.contains(("A", "X")))
   }
 
+  test("topPaths: consecutive windows per user, rank and tie-break, no cross-user path") {
+    // u1: A B A B -> paths A>B>A, B>A>B; u2: A B C -> A>B>C;
+    // u3: single event, no path
+    val e = Seq(
+      (1L, 1L, "A"), (1L, 2L, "B"), (1L, 3L, "A"), (1L, 4L, "B"),
+      (2L, 5L, "A"), (2L, 6L, "B"), (2L, 7L, "C"),
+      (3L, 8L, "Z"))
+      .map { case (u, id, t) => (u, id, t, ts("2024-01-01 10:00:00")) }
+      .toDF("user_id", "event_id", "event_type", "ts")
+    val out = Funnel.topPaths(e, "user_id", "event_type", "ts",
+        "event_id", len = 3, k = 10)
+      .as[(String, Long)].collect().toList
+    // all counts 1 -> path ASC tie-break ordering
+    assert(out == List(("A>B>A", 1L), ("A>B>C", 1L), ("B>A>B", 1L)), s"$out")
+
+    // len = 2 aggregates pairs; k caps
+    val pairs = Funnel.topPaths(e, "user_id", "event_type", "ts",
+        "event_id", len = 2, k = 2)
+      .as[(String, Long)].collect().toList
+    assert(pairs == List(("A>B", 3L), ("B>A", 1L)), s"$pairs")
+    intercept[IllegalArgumentException](
+      Funnel.topPaths(e, "user_id", "event_type", "ts", "event_id", len = 1))
+  }
+
   test("cohortRetention: day and month periods") {
     val e = Seq(
       (1L, ts("2024-01-01 10:00:00")),
