@@ -160,6 +160,13 @@ object ExtQueries2 {
           "o_orderpriority", "o_totalprice", alpha = 10.0)
         .orderBy(col("category"))),
 
+    // --- market-basket co-occurrence with lift -----------------------------
+    // Suppliers co-appearing in the same order; lift vs independence.
+    "q170_basket_lift" -> ((s, d) =>
+      graft.operators.Baskets.cooccurrence(t(s, d, "lineitem"),
+          "l_orderkey", "l_suppkey", minCount = 25L)
+        .orderBy(col("item_a"), col("item_b"))),
+
     // --- one-pass table profiling -----------------------------------------
     // Null counts, exact distincts, modal value per column (string
     // form; int columns stringify identically in both engines — floats
@@ -286,6 +293,21 @@ object ExtQueries2 {
          SELECT category, n,
            round((CAST(s AS DOUBLE) + 10.0 * g.g) / (n + 10.0), 6) AS encoding
          FROM per, g ORDER BY category""",
+
+    // presence-distinct items, basket self-join pairs, lift vs
+    // independence
+    "q170_basket_lift" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey AS b, l_suppkey AS i FROM lineitem),
+         nb AS (SELECT CAST(count(DISTINCT b) AS BIGINT) AS nb FROM items),
+         ic AS (SELECT i, CAST(count(*) AS BIGINT) AS n FROM items GROUP BY i),
+         pairs AS (SELECT a.i AS item_a, b.i AS item_b, CAST(count(*) AS BIGINT) AS n_ab
+                   FROM items a JOIN items b ON a.b = b.b AND a.i < b.i
+                   GROUP BY 1, 2 HAVING count(*) >= 25)
+         SELECT p.item_a, p.item_b, p.n_ab, ia.n AS n_a, ib.n AS n_b,
+           round(CAST(p.n_ab AS DOUBLE) * nb.nb / (ia.n * ib.n), 6) AS lift
+         FROM pairs p JOIN ic ia ON ia.i = p.item_a
+           JOIN ic ib ON ib.i = p.item_b, nb
+         ORDER BY p.item_a, p.item_b""",
 
     // per-column profile blocks, mode via ordered LIMIT 1
     "q167_profile" ->

@@ -121,7 +121,25 @@ object TimeQueries {
     // The 10 most frequent 3-step event sequences.
     "q168_top_paths" -> ((s, d) =>
       graft.operators.Funnel.topPaths(ev(s, d), "user_id", "event_type",
-        "ts", "event_id", len = 3, k = 10)))
+        "ts", "event_id", len = 3, k = 10)),
+
+    // --- event-time RANGE window (24 h trailing per user) ------------------
+    // Value-based frame over epoch micros — unlike q34's ROWS frame,
+    // the window spans whatever number of events falls in the interval
+    // (and all ties of the current timestamp).
+    "q169_range_window" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(unix_micros(col("ts")))
+        .rangeBetween(-86400000000L, 0L)
+      ev(s, d)
+        .withColumn("w_sum",
+          round(sum(col("value").cast("decimal(18,2)")).over(w)
+            .cast("double"), 4))
+        .withColumn("w_n", count(lit(1)).over(w))
+        .select(col("event_id"), col("user_id"), col("w_sum"), col("w_n"))
+        .orderBy(col("event_id"))
+    }))
 
   def oracleSql: Map[String, String] = Map(
     "q29_tumbling_window" ->
@@ -238,5 +256,15 @@ object TimeQueries {
            FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC))
          SELECT t || '>' || t1 || '>' || t2 AS path, CAST(count(*) AS BIGINT) AS n
          FROM seq WHERE t1 IS NOT NULL AND t2 IS NOT NULL
-         GROUP BY 1 ORDER BY n DESC, path ASC LIMIT 10""")
+         GROUP BY 1 ORDER BY n DESC, path ASC LIMIT 10""",
+
+    // RANGE frame over epoch micros, inclusive 24 h trailing
+    "q169_range_window" ->
+      """SELECT event_id, user_id,
+           round(CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE), 4) AS w_sum,
+           CAST(count(*) OVER w AS BIGINT) AS w_n
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+           RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW)
+         ORDER BY event_id""")
 }

@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Market-basket co-occurrence mining — which items appear together in
+  * the same basket (order, session, document) more often than chance:
+  * the association signal behind related-item recommendation,
+  * co-purchase analysis, and token co-occurrence features.
+  */
+object Baskets {
+
+  /** Item-pair co-occurrence with lift: for every unordered item pair
+    * appearing in >= `minCount` common baskets, the pair count, each
+    * item's basket count, and `lift = P(a,b) / (P(a)·P(b)) =
+    * n_ab·N / (n_a·n_b)` — lift > 1 is positive association, < 1
+    * avoidance. PRESENCE semantics: an item counts once per basket
+    * however many rows repeat it. Output: (item_a, item_b, n_ab, n_a,
+    * n_b, lift), item_a < item_b.
+    *
+    * Scale shape: one (basket, item) distinct, then the pair explosion
+    * via a basket-keyed self-join — work is Σ s_b² over basket sizes,
+    * the inherent pair count, NEVER an item-item cross product; item
+    * totals are an items-sized broadcast, the basket total one
+    * broadcast row. A pathological mega-basket (one basket holding half
+    * the catalog) makes s² explode — cap or split such baskets
+    * upstream; ordinary baskets (orders, sessions) are bounded by
+    * construction. `minCount` prunes AFTER exact counting (it is an
+    * output filter, not an apriori bound). */
+  def cooccurrence(df: DataFrame, basketCol: String, itemCol: String,
+                   minCount: Long = 1L): DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    val items = df.select(col(basketCol).as("__b"), col(itemCol).as("__i"))
+      .distinct()
+    val nBaskets = items.select(col("__b")).distinct()
+      .agg(count(lit(1)).as("__nb"))
+    val itemCounts = items.groupBy(col("__i")).agg(count(lit(1)).as("__n"))
+    val pairs = items.select(col("__b"), col("__i").as("__ia"))
+      .join(items.select(col("__b"), col("__i").as("__ib")), "__b")
+      .filter(col("__ia") < col("__ib"))
+      .groupBy(col("__ia").as("item_a"), col("__ib").as("item_b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minCount)
+    pairs
+      .join(broadcast(itemCounts.select(col("__i").as("item_a"),
+        col("__n").as("n_a"))), "item_a")
+      .join(broadcast(itemCounts.select(col("__i").as("item_b"),
+        col("__n").as("n_b"))), "item_b")
+      .crossJoin(broadcast(nBaskets))
+      .select(col("item_a"), col("item_b"), col("n_ab"), col("n_a"),
+        col("n_b"),
+        round(col("n_ab").cast("double") * col("__nb") /
+          (col("n_a") * col("n_b")), 6).as("lift"))
+  }
+}

@@ -1,0 +1,36 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class BasketsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cooccurrence: presence semantics, lift arithmetic, minCount prune") {
+    // baskets: 1 = {x, y}, 2 = {x, y}, 3 = {x, z}, 4 = {y} — and basket
+    // 1 repeats x twice (presence must count it once)
+    val rows = Seq(
+      (1L, "x"), (1L, "x"), (1L, "y"),
+      (2L, "x"), (2L, "y"),
+      (3L, "x"), (3L, "z"),
+      (4L, "y"))
+      .toDF("basket", "item")
+    val out = Baskets.cooccurrence(rows, "basket", "item")
+      .as[(String, String, Long, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+    // N = 4 baskets; x in 3, y in 3, z in 1; xy together 2, xz 1
+    assert(out(("x", "y")) == (("x", "y", 2L, 3L, 3L,
+      BigDecimal(2.0 * 4 / 9).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble)), s"$out")
+    assert(out(("x", "z")) == (("x", "z", 1L, 3L, 1L,
+      BigDecimal(1.0 * 4 / 3).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble)))
+    assert(out.size == 2, "yz never co-occur; same-item pairs excluded")
+
+    // minCount prunes the singleton pair
+    val pruned = Baskets.cooccurrence(rows, "basket", "item", minCount = 2)
+      .as[(String, String, Long, Long, Long, Double)].collect()
+    assert(pruned.map(r => (r._1, r._2)).toSet == Set(("x", "y")))
+    intercept[IllegalArgumentException](
+      Baskets.cooccurrence(rows, "basket", "item", minCount = 0))
+  }
+}
