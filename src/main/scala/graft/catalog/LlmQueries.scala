@@ -1249,6 +1249,14 @@ object LlmQueries {
           col("tf").cast("long").as("tf"))
         .orderBy(col("doc_id"), col("matched_token"))),
 
+    // --- character-class profile -------------------------------------------
+    // Exact letter/digit/whitespace counts per doc — the script/markup
+    // composition signal.
+    "q172_charclass" -> ((s, d) =>
+      graft.operators.Quality.charClassProfile(
+          t(s, d, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))),
+
     // --- prefix completion (autocomplete) ----------------------------------
     // Top-4 of the six s-prefixed vocabulary terms by corpus frequency.
     "q162_autocomplete" -> ((s, d) =>
@@ -2683,6 +2691,15 @@ object LlmQueries {
                 THEN round(2.0 * coalesce(p.triangles, 0) / (d.degree * (d.degree - 1)), 6)
                 ELSE 0.0 END AS clustering_coeff
          FROM deg d LEFT JOIN pern p USING (id) ORDER BY d.id""",
+
+    // strip-and-diff lengths, exact integers
+    "q172_charclass" ->
+      """SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS BIGINT) AS n_letters,
+           CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS n_digits,
+           CAST(length(text) - length(regexp_replace(text, '[ \t\n\r]', '', 'g')) AS BIGINT) AS n_space
+         FROM documents ORDER BY doc_id""",
 
     // vocab-sized agg over the prefix-filtered postings, top-k
     "q162_autocomplete" ->

@@ -139,7 +139,13 @@ object TimeQueries {
         .withColumn("w_n", count(lit(1)).over(w))
         .select(col("event_id"), col("user_id"), col("w_sum"), col("w_n"))
         .orderBy(col("event_id"))
-    }))
+    }),
+
+    // --- time-decayed engagement score (7-day half-life) ------------------
+    "q171_decayed_sum" -> ((s, d) =>
+      graft.operators.Features.decayedSum(ev(s, d), "user_id", "ts",
+          "value", halfLifeUs = 7L * 86400L * 1000000L)
+        .orderBy(col("user_id"))))
 
   def oracleSql: Map[String, String] = Map(
     "q29_tumbling_window" ->
@@ -266,5 +272,14 @@ object TimeQueries {
          FROM events
          WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
            RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW)
-         ORDER BY event_id""")
+         ORDER BY event_id""",
+
+    // weight rounds to the 9-grid before the product; DECIMAL sums
+    "q171_decayed_sum" ->
+      """WITH t AS (SELECT max(epoch_us(ts)) AS T FROM events),
+         w AS (SELECT user_id,
+                 round(value * round(power(2.0, -CAST(t.T - epoch_us(ts) AS DOUBLE) / 604800000000.0), 9), 9) AS wv
+               FROM events, t)
+         SELECT user_id, round(CAST(sum(CAST(wv AS DECIMAL(28,9))) AS DOUBLE), 6) AS decayed_sum
+         FROM w GROUP BY user_id ORDER BY user_id""")
 }

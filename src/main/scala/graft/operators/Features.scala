@@ -47,6 +47,40 @@ object Features {
           (col("n") + lit(alpha)), 6).as("encoding"))
   }
 
+  /** Time-decayed (exponentially weighted) sum per key — the recency
+    * feature: each event contributes `value · 2^(−age/halfLife)` toward
+    * its key, ages measured back from `asOfUs` (or the frame's max
+    * timestamp when absent — a reproducible snapshot anchor). Half the
+    * signal gone every half-life; a user's decayed activity score, an
+    * item's trending weight. Output: (keyCol, decayed_sum).
+    *
+    * Determinism: the decay WEIGHT rounds to the 9-grid before the
+    * product, the product re-rounds, and the sum accumulates in
+    * DECIMAL(28,9) — partition-order independent; `pow` is the one
+    * libm call (the ln/log exposure every scoring query already
+    * carries). Scale shape: one narrow projection + one key-keyed
+    * partial-agg shuffle; the snapshot anchor is a 1-row broadcast. */
+  def decayedSum(df: DataFrame, keyCol: String, tsCol: String,
+                 valCol: String, halfLifeUs: Long,
+                 asOfUs: Option[Long] = None): DataFrame = {
+    require(halfLifeUs > 0, s"halfLifeUs must be positive, got $halfLifeUs")
+    val anchored = asOfUs match {
+      case Some(t) => df.withColumn("__T", lit(t))
+      case None =>
+        df.crossJoin(broadcast(
+          df.agg(max(unix_micros(col(tsCol))).as("__T"))))
+    }
+    anchored
+      .select(col(keyCol),
+        round(col(valCol).cast("double") *
+          round(pow(lit(2.0),
+            -(col("__T") - unix_micros(col(tsCol))).cast("double") /
+              lit(halfLifeUs.toDouble)), 9), 9).as("__wv"))
+      .groupBy(col(keyCol))
+      .agg(round(sum(col("__wv").cast("decimal(28,9)")).cast("double"), 6)
+        .as("decayed_sum"))
+  }
+
   /** Winsorization: clip a numeric column at its [pLo, pHi] quantiles —
     * the robust-scaling precursor that tames heavy tails before
     * normalization (a single 10⁹ outlier otherwise flattens every

@@ -189,4 +189,26 @@ object Quality {
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
         coalesce(col("n_dropped"), lit(0L)).as("n_dropped"))
   }
+
+  /** Character-class profile per document: total characters and how
+    * many are ASCII letters / digits / whitespace — the cheap
+    * script/markup composition signal beside [[charEntropies]]
+    * (machine-generated text skews digit/punct-heavy, scraped markup
+    * whitespace-heavy; non-Latin scripts show as a low letter ratio
+    * against n_chars). Counts are EXACT integers (strip-and-diff
+    * lengths over codegen'd regexp_replace — no float ratios inside
+    * the engine, so the numbers cross engines bit-for-bit; derive
+    * ratios downstream at whatever grid the consumer wants). One
+    * narrow projection, no shuffle. */
+  def charClassProfile(docs: DataFrame, idCol: String,
+                       textCol: String): DataFrame = {
+    val t = col(textCol)
+    def stripped(re: String) =
+      (length(t) - length(regexp_replace(t, re, ""))).cast("long")
+    docs.select(col(idCol),
+      length(t).cast("long").as("n_chars"),
+      stripped("[A-Za-z]").as("n_letters"),
+      stripped("[0-9]").as("n_digits"),
+      stripped("[ \\t\\n\\r]").as("n_space"))
+  }
 }

@@ -220,6 +220,39 @@ object Sinks {
       .sortWithinPartitions(layoutKeys.map(col): _*)
       .write.mode(SaveMode.Overwrite).parquet(path)
 
+  /** Bucketed (and optionally bucket-sorted) persistent table — the
+    * co-located-join layout: two tables bucketed on the SAME keys with
+    * the SAME bucket count sort-merge-join with NO shuffle on either
+    * side (Spark plans bucket i against bucket i directly), and a
+    * groupBy on the bucket keys aggregates shuffle-free too. THE
+    * standard answer for a 100 TB fact table repeatedly joined on one
+    * key (orders ⋈ lineitem): pay the bucketed write once, skip the
+    * dominant exchange on every subsequent join — where
+    * [[clusteredParquet]]/[[zOrderedParquet]] optimize SCAN pruning,
+    * bucketing optimizes JOIN placement; the same hash-layout idea the
+    * engine's own stores use (SignatureStore / TextIndex token
+    * buckets), surfaced for general tables.
+    *
+    * Bucketing metadata lives in the session catalog (`saveAsTable` —
+    * plain `parquet(path)` cannot carry it); `path` makes the table
+    * external so the data outlives the catalog entry. Read back with
+    * `spark.table(table)`. `sortKeys` presorts each bucket file,
+    * letting the join skip its Sort when they match the join keys and
+    * each bucket holds one file (write with one task per bucket —
+    * repartition on the bucket keys first — to guarantee that). */
+  def writeBucketed(df: DataFrame, table: String, path: String,
+                    bucketKeys: Seq[String], numBuckets: Int,
+                    sortKeys: Seq[String] = Nil): Unit = {
+    require(bucketKeys.nonEmpty, "bucketKeys must be non-empty")
+    require(numBuckets > 0, s"numBuckets must be positive, got $numBuckets")
+    val base = df.write.format("parquet").mode(SaveMode.Overwrite)
+      .option("path", path)
+      .bucketBy(numBuckets, bucketKeys.head, bucketKeys.tail: _*)
+    val w = if (sortKeys.nonEmpty) base.sortBy(sortKeys.head, sortKeys.tail: _*)
+            else base
+    w.saveAsTable(table)
+  }
+
   /** Z-value of numeric columns: each column quantizes to a 16-bit
     * ordinal on its OWN [min, max] (the bounds ride as literals —
     * compute them once with one tiny agg), and the ordinals' bits

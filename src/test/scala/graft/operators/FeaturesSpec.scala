@@ -38,6 +38,27 @@ class FeaturesSpec extends SparkSpec {
       Features.targetEncode(df, "cat", "y", alpha = -1.0))
   }
 
+  test("decayedSum: half-life weighting, snapshot anchor, per-key sums") {
+    val hl = 3600L * 1000000L // 1 h half-life
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 12:00:00")
+    val t1 = java.sql.Timestamp.valueOf("2024-01-01 11:00:00") // age 1 hl
+    val t2 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00") // age 2 hl
+    val e = Seq(("a", t0, 10.0), ("a", t1, 10.0), ("b", t2, 8.0))
+      .toDF("k", "ts", "v")
+    // anchor = max ts = t0: a -> 10·1 + 10·0.5 = 15; b -> 8·0.25 = 2
+    val out = Features.decayedSum(e, "k", "ts", "v", hl)
+      .as[(String, Double)].collect().toMap
+    assert(out == Map("a" -> 15.0, "b" -> 2.0), s"$out")
+
+    // explicit asOf one half-life later halves everything
+    val asOf = t0.getTime * 1000L + hl
+    val later = Features.decayedSum(e, "k", "ts", "v", hl, Some(asOf))
+      .as[(String, Double)].collect().toMap
+    assert(later == Map("a" -> 7.5, "b" -> 1.0), s"$later")
+    intercept[IllegalArgumentException](
+      Features.decayedSum(e, "k", "ts", "v", 0L))
+  }
+
   test("winsorize: clips at exact quantiles, preserves rows and nulls") {
     // 1..10: p20 = 2.8, p80 = 8.2 (the (n-1)p interpolation convention)
     val df = (1 to 10).map(i => (i.toLong, i.toDouble)).toDF("id", "v")

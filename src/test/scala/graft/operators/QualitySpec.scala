@@ -138,4 +138,20 @@ class QualitySpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Quality.removeBoilerplateLines(docs, "doc_id", "text", delimiter = ""))
   }
+
+  test("charClassProfile: exact class counts, non-ASCII outside every class") {
+    val docs = Seq(
+      (1L, "Ab 12\n"),           // 2 letters, 2 digits, 2 space
+      (2L, "!!??"),              // punctuation only
+      (3L, ""),                  // empty
+      (4L, "héllo wörld"))       // é/ö are NOT [A-Za-z]
+      .toDF("doc_id", "text")
+    val out = Quality.charClassProfile(docs, "doc_id", "text")
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(out(1L) == ((6L, 2L, 2L, 2L)), s"$out")
+    assert(out(2L) == ((4L, 0L, 0L, 0L)))
+    assert(out(3L) == ((0L, 0L, 0L, 0L)))
+    assert(out(4L) == ((11L, 8L, 0L, 1L)), "accented chars count in n_chars only")
+  }
 }
