@@ -1264,6 +1264,18 @@ object LlmQueries {
         graft.operators.TextIndex.postings(
           t(s, d, "documents"), "doc_id", "text"), "s", k = 4)),
 
+    // --- index-served autocomplete -----------------------------------------
+    // Same results as q162, but through the persisted range-clustered
+    // vocab: build index -> persistVocab -> stats-pruned prefix read.
+    "q173_vocab_complete" -> ((s, d) => {
+      val store = java.nio.file.Files
+        .createTempDirectory("graft_q173").toString + "/idx"
+      graft.operators.TextIndex.persistPostings(
+        t(s, d, "documents"), "doc_id", "text", store, numBuckets = 16)
+      graft.operators.TextIndex.persistVocab(s, store, files = 4)
+      graft.operators.TextIndex.prefixCompleteFromVocab(s, store, "s", k = 4)
+    }),
+
     // --- covariance matrix over embeddings ---------------------------------
     // The feature-correlation profile: population cov for every dim
     // pair (upper triangle), 9-grid DECIMAL sums.
@@ -2691,6 +2703,17 @@ object LlmQueries {
                 THEN round(2.0 * coalesce(p.triangles, 0) / (d.degree * (d.degree - 1)), 6)
                 ELSE 0.0 END AS clustering_coeff
          FROM deg d LEFT JOIN pern p USING (id) ORDER BY d.id""",
+
+    // the q162 aggregation — the vocab table must serve identical rows
+    "q173_vocab_complete" ->
+      """WITH tok AS (
+           SELECT doc_id, unnest(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS token
+           FROM documents),
+         post AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+                  FROM tok GROUP BY doc_id, token)
+         SELECT token, CAST(sum(tf) AS BIGINT) AS freq, CAST(count(*) AS BIGINT) AS df
+         FROM post WHERE token LIKE 's%' GROUP BY token
+         ORDER BY freq DESC, token ASC LIMIT 4""",
 
     // strip-and-diff lengths, exact integers
     "q172_charclass" ->

@@ -794,6 +794,60 @@ object TextIndex {
       .limit(k)
   }
 
+  private def vocabPath(store: String) = store + "/vocab"
+  private val VocabMetaPrefix          = "_graft_vocab_meta"
+
+  /** Materialize the vocabulary table (token, freq, df) of a persisted
+    * index, RANGE-CLUSTERED by token ([[graft.sources.Sinks.clusteredParquet]])
+    * — the prefix-serving layout the hash-bucketed postings cannot
+    * provide ([[prefixComplete]]'s scaladoc): each vocab file covers a
+    * disjoint token range, so a prefix read prunes to the files whose
+    * [min, max] straddle the prefix (parquet stats skipping). The vocab
+    * is tiny next to the postings (one row per DISTINCT token), so the
+    * rebuild is one aggregation.
+    *
+    * The vocab marker records WHICH manifest batches it summarizes;
+    * [[prefixCompleteFromVocab]] fails loud when the index has grown
+    * past it (stale reads silently missing fresh terms are the bug this
+    * protocol exists to prevent) — re-run after [[appendToIndex]] /
+    * [[compactIndex]]. Marker written LAST (the index crash contract). */
+  def persistVocab(spark: SparkSession, store: String,
+                   files: Int = 16): Unit = {
+    require(files > 0, s"files must be positive, got $files")
+    require(indexExists(spark, store), s"no persisted index at $store")
+    val meta = readMeta(spark, store)
+    val vocab = spark.read.parquet(postingsPath(store))
+      .filter(col("ab").isin(meta.batches: _*))
+      .groupBy(col("token"))
+      .agg(sum(col("tf")).as("freq"), count(lit(1)).as("df"))
+    graft.sources.Manifest.clear(spark, store, VocabMetaPrefix)
+    graft.sources.Sinks.clusteredParquet(vocab, vocabPath(store),
+      Seq("token"), files)
+    graft.sources.Manifest.write(spark, store, VocabMetaPrefix,
+      meta.batches.mkString(" "))
+  }
+
+  /** [[prefixComplete]] served from the persisted vocab: one
+    * stats-pruned scan of the token-range files covering the prefix —
+    * no postings touched, no corpus-wide aggregation at query time. */
+  def prefixCompleteFromVocab(spark: SparkSession, store: String,
+                              prefix: String, k: Int = 10): DataFrame = {
+    require(prefix.nonEmpty, "prefix must be non-empty")
+    require(k > 0, s"k must be positive, got $k")
+    require(graft.sources.Manifest.exists(spark, store, VocabMetaPrefix),
+      s"no persisted vocab at $store — build one with persistVocab")
+    val vocabBatches = graft.sources.Manifest
+      .read(spark, store, VocabMetaPrefix).trim
+    val indexBatches = readMeta(spark, store).batches.mkString(" ")
+    require(vocabBatches == indexBatches,
+      s"vocab at $store is STALE (summarizes batches [$vocabBatches], " +
+      s"index has [$indexBatches]) — re-run persistVocab")
+    spark.read.parquet(vocabPath(store))
+      .filter(col("token").startsWith(prefix))
+      .orderBy(col("freq").desc, col("token").asc)
+      .limit(k)
+  }
+
   /** [[booleanQuery]] over the persisted index: reads only the query
     * terms' buckets. */
   def booleanQueryFromIndex(spark: SparkSession, store: String,

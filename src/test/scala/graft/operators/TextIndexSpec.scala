@@ -586,4 +586,47 @@ class TextIndexSpec extends SparkSpec {
     intercept[IllegalArgumentException](TextIndex.prefixComplete(post, "", 5))
     intercept[IllegalArgumentException](TextIndex.prefixComplete(post, "q", 0))
   }
+
+  test("persistVocab: range-clustered prefix serving, disjoint file ranges, staleness guard") {
+    val store = java.nio.file.Files.createTempDirectory("vocab").toString + "/idx"
+    // 120 distinct tokens + a high-frequency one for ranking
+    val corpus = (0 until 120).map(i =>
+      (i.toLong, f"tok$i%03d common")).toDF("doc_id", "text")
+    TextIndex.persistPostings(corpus, "doc_id", "text", store, numBuckets = 8)
+    TextIndex.persistVocab(spark, store, files = 6)
+
+    // served prefix ≡ direct postings computation
+    val served = TextIndex.prefixCompleteFromVocab(spark, store, "tok0", 5)
+      .as[(String, Long, Long)].collect().toList
+    val direct = TextIndex.prefixComplete(
+        TextIndex.postings(corpus, "doc_id", "text"), "tok0", 5)
+      .as[(String, Long, Long)].collect().toList
+    assert(served == direct && served.size == 5, s"$served")
+
+    // each vocab file covers a DISJOINT token range (what makes parquet
+    // min/max stats skip files for a prefix predicate)
+    val files = new java.io.File(store + "/vocab").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.toString).toSeq
+    assert(files.size >= 4, s"expected several range files: ${files.size}")
+    val ranges = files.map { f =>
+      val r = spark.read.parquet(f).agg(min($"token"), max($"token")).collect()(0)
+      (r.getString(0), r.getString(1))
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Seq((_, hi), (lo2, _)) =>
+        assert(hi < lo2, s"file ranges overlap: $ranges")
+      case _ =>
+    }
+
+    // growth past the vocab snapshot fails LOUD, not silently stale
+    TextIndex.appendToIndex(
+      Seq((500L, "tokzzz fresh")).toDF("doc_id", "text"),
+      "doc_id", "text", store, batchId = 1L)
+    val ex = intercept[IllegalArgumentException](
+      TextIndex.prefixCompleteFromVocab(spark, store, "tok0", 5))
+    assert(ex.getMessage.contains("STALE"), ex.getMessage)
+    TextIndex.persistVocab(spark, store, files = 6)
+    assert(TextIndex.prefixCompleteFromVocab(spark, store, "tokz", 5)
+      .as[(String, Long, Long)].collect().toList == List(("tokzzz", 1L, 1L)))
+  }
 }
