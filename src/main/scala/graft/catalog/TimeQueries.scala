@@ -145,7 +145,21 @@ object TimeQueries {
     "q171_decayed_sum" -> ((s, d) =>
       graft.operators.Features.decayedSum(ev(s, d), "user_id", "ts",
           "value", halfLifeUs = 7L * 86400L * 1000000L)
-        .orderBy(col("user_id"))))
+        .orderBy(col("user_id"))),
+
+    // --- dense daily resample with forward fill ---------------------------
+    // Irregular events -> per-user daily series; gap days carry the
+    // last observed daily sum (observed=0 marks synthesized rows).
+    "q174_gap_fill" -> ((s, d) =>
+      graft.operators.TimeSeries.gapFillDaily(
+          ev(s, d).filter(col("user_id") < 30), "user_id", "ts", "value")
+        .orderBy(col("user_id"), col("day"))),
+
+    // --- robust outlier profile (median/MAD gate) -------------------------
+    "q175_mad_outliers" -> ((s, d) =>
+      graft.operators.TimeSeries.madOutliers(ev(s, d), "event_type",
+          "value", k = 3.0)
+        .orderBy(col("event_type"))))
 
   def oracleSql: Map[String, String] = Map(
     "q29_tumbling_window" ->
@@ -281,5 +295,40 @@ object TimeQueries {
                  round(value * round(power(2.0, -CAST(t.T - epoch_us(ts) AS DOUBLE) / 604800000000.0), 9), 9) AS wv
                FROM events, t)
          SELECT user_id, round(CAST(sum(CAST(wv AS DECIMAL(28,9))) AS DOUBLE), 6) AS decayed_sum
-         FROM w GROUP BY user_id ORDER BY user_id""")
+         FROM w GROUP BY user_id ORDER BY user_id""",
+
+    // per-key spine + last_value IGNORE NULLS = the same fill
+    "q174_gap_fill" ->
+      """WITH daily AS (
+           SELECT user_id, CAST(ts AS DATE) AS day,
+             sum(CAST(round(CAST(value AS DECIMAL(28,9)), 9) AS DECIMAL(28,9))) AS v
+           FROM events WHERE user_id < 30 GROUP BY 1, 2),
+         spine AS (
+           SELECT user_id, unnest(generate_series(mn, mx, INTERVAL 1 DAY))::DATE AS day
+           FROM (SELECT user_id, min(day) AS mn, max(day) AS mx FROM daily GROUP BY 1)),
+         joined AS (
+           SELECT s.user_id, s.day, d.v,
+             CASE WHEN d.v IS NULL THEN 0 ELSE 1 END AS observed
+           FROM spine s LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day)
+         SELECT user_id, day,
+           CAST(last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(28,9)) AS filled,
+           CAST(observed AS INT) AS observed
+         FROM joined ORDER BY user_id, day""",
+
+    // median + median-absolute-deviation, 9-grid boundary gate
+    "q175_mad_outliers" ->
+      """WITH med AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+                      FROM events GROUP BY 1),
+         dev AS (SELECT e.event_type, m.med, abs(e.value - m.med) AS adev
+                 FROM events e JOIN med m USING (event_type)),
+         mad AS (SELECT event_type, med, quantile_cont(adev, 0.5) AS mad
+                 FROM dev GROUP BY 1, 2)
+         SELECT d.event_type, round(a.med, 4) AS med, round(a.mad, 4) AS mad,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN round(d.adev, 9) > round(3.0 * a.mad, 9)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+         FROM dev d JOIN mad a USING (event_type)
+         GROUP BY d.event_type, a.med, a.mad
+         ORDER BY d.event_type""")
 }

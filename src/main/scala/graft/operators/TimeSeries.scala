@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series regularization: turn an irregular event stream into a
+  * dense per-key daily series (the resample step every feature pipeline
+  * needs before windowed models can consume event data).
+  *
+  * Reference analog: the reference materializes per-entity daily
+  * aggregates by re-querying per day (transform.py:31 groups one
+  * extraction batch at a time); here the spine and the fill are one
+  * declarative plan over all keys at once.
+  */
+object TimeSeries {
+
+  /** Dense daily series per key with forward-filled gaps.
+    *
+    * Steps (all keyed by `keyCol` — no corpus-wide shuffle):
+    *  1. daily sums, DECIMAL(28,9)-accumulated ([[graft.catalog.Catalog]]
+    *     determinism rules: decimal is associative, double is not);
+    *  2. a per-key date spine `sequence(min(day), max(day))` — the
+    *     explode is bounded by each key's own span, so a key observed
+    *     once contributes one row, not `global-range` rows;
+    *  3. left join daily onto the spine on (key, day);
+    *  4. forward fill: `last(v, ignoreNulls)` over a per-key
+    *     rows-unbounded-preceding window.
+    *
+    * Everything shuffles on the key: the daily agg, the spine join and
+    * the fill window share hash(key) co-partitioning, and AQE coalesces
+    * the tiny bounds agg. At 100 TB the cost is one fact-sized keyed
+    * shuffle plus rows ∝ Σ per-key spans — there is no global date
+    * cross-join (the classic gap-fill scale bug this operator exists to
+    * avoid).
+    *
+    * Output: (keyCol, day, filled DECIMAL(28,9), observed INT) —
+    * `observed` = 0 marks rows synthesized by the spine. Leading rows
+    * before a key's first observation do not exist by construction, so
+    * `filled` is never null.
+    */
+  def gapFillDaily(df: DataFrame, keyCol: String, tsCol: String,
+                   valCol: String): DataFrame = {
+    val daily = df
+      .groupBy(col(keyCol), to_date(col(tsCol)).as("day"))
+      .agg(sum(round(col(valCol).cast("decimal(28,9)"), 9)).as("v"))
+    val spine = daily
+      .groupBy(col(keyCol))
+      .agg(min(col("day")).as("mn"), max(col("day")).as("mx"))
+      .select(col(keyCol),
+        explode(sequence(col("mn"), col("mx"), expr("interval 1 day")))
+          .as("day"))
+    val fillW = Window.partitionBy(keyCol).orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(daily, Seq(keyCol, "day"), "left")
+      .select(col(keyCol), col("day"),
+        last(col("v"), ignoreNulls = true).over(fillW)
+          .cast("decimal(28,9)").as("filled"),
+        when(col("v").isNull, 0).otherwise(1).cast("int").as("observed"))
+  }
+
+  /** Per-group robust outlier profile via the median/MAD gate (the
+    * scale-free alternative to z-scores: one 10⁹ reading moves a mean
+    * and std arbitrarily but not the median; see winsorize's scaladoc
+    * in [[Features]] for why quantile gates beat moment gates on raw
+    * event data).
+    *
+    * Two exact-`percentile` aggregation passes keyed by `groupCol`
+    * (median, then median absolute deviation) and one counting pass —
+    * each a single keyed shuffle; the per-group medians ride a
+    * broadcast-or-shuffle join back onto the rows under AQE. The
+    * `exact` percentile holds group values in executor memory per
+    * group — the documented trade of [[Features.winsorize]]; swap in
+    * approx_percentile / the KLL store for groups beyond memory.
+    *
+    * The gate compares on the 9-grid (`round(adev,9) > round(3·mad,9)`)
+    * so both engines in a cross-engine compare resolve boundary cases
+    * identically.
+    *
+    * Output per group: (groupCol, med, mad, n, n_outliers), med/mad
+    * rounded to 4.
+    */
+  def madOutliers(df: DataFrame, groupCol: String, valCol: String,
+                  k: Double = 3.0): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val med = df.groupBy(col(groupCol))
+      .agg(expr(s"percentile($valCol, 0.5)").as("med"))
+    val dev = df.join(med, groupCol)
+      .withColumn("adev", abs(col(valCol) - col("med")))
+    val mad = dev.groupBy(col(groupCol), col("med"))
+      .agg(expr("percentile(adev, 0.5)").as("mad"))
+    dev.join(mad.withColumnRenamed("med", "med2"), groupCol)
+      .groupBy(col(groupCol), col("med2"), col("mad"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(round(col("adev"), 9) > round(lit(k) * col("mad"), 9), 1)
+          .otherwise(0)).as("n_outliers"))
+      .select(col(groupCol), round(col("med2"), 4).as("med"),
+        round(col("mad"), 4).as("mad"), col("n"), col("n_outliers"))
+  }
+}
