@@ -189,7 +189,40 @@ object ExtQueries2 {
             .cast("double"), 2).as("sum_w"),
           round(min(col("__w")), 4).as("min_w"),
           round(max(col("__w")), 4).as("max_w"))
-        .orderBy(col("o_orderstatus"))))
+        .orderBy(col("o_orderstatus"))),
+
+    // --- snapshot diff (drift audit between two table versions) ----------
+    // Per-order revenue over two overlapping ship windows: orders only
+    // in the old window read as removed, only in the new as added,
+    // spanning both with different totals as changed.
+    "q176_snapshot_diff" -> ((s, d) => {
+      def snap(lo: String, hi: String) =
+        t(s, d, "lineitem")
+          .filter(col("l_shipdate") >= lit(lo) && col("l_shipdate") < lit(hi))
+          .groupBy(col("l_orderkey"))
+          .agg(round(sum(col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double"), 4).as("rev"),
+            count(lit(1)).as("n_items"))
+      graft.operators.Diff.snapshotDiff(
+          snap("1996-01-01", "1998-01-01"), snap("1997-01-01", "1999-01-01"),
+          Seq("l_orderkey"))
+        .groupBy(col("change_type"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(when(col("change_type") === "changed",
+              round(abs(col("rev_new") - col("rev_old")), 4)
+                .cast("decimal(28,4)"))
+            .otherwise(lit(0).cast("decimal(28,4)")))
+            .cast("double"), 4).as("changed_delta"))
+        .orderBy(col("change_type"))
+    }),
+
+    // --- grouped OLS from sufficient statistics ---------------------------
+    // price-on-quantity regression per returnflag: one aggregation
+    // pass, closed-form slope/intercept/R².
+    "q177_ols_fit" -> ((s, d) =>
+      graft.operators.Features.olsFit(t(s, d, "lineitem"),
+          "l_returnflag", "l_quantity", "l_extendedprice")
+        .orderBy(col("l_returnflag"))))
 
   def oracleSql: Map[String, String] = Map(
     "q63_interval_join" ->
@@ -359,5 +392,57 @@ object ExtQueries2 {
          SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
            round(CAST(sum(CAST(round(w, 4) AS DECIMAL(28,4))) AS DOUBLE), 2) AS sum_w,
            round(min(w), 4) AS min_w, round(max(w), 4) AS max_w
-         FROM w GROUP BY o_orderstatus ORDER BY o_orderstatus""")
+         FROM w GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+
+    // full-outer key join + null-safe compare = the same classification
+    "q176_snapshot_diff" ->
+      """WITH snapa AS (
+           SELECT l_orderkey,
+             round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 4) AS rev,
+             CAST(count(*) AS BIGINT) AS n_items
+           FROM lineitem WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1998-01-01'
+           GROUP BY 1),
+         snapb AS (
+           SELECT l_orderkey,
+             round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 4) AS rev,
+             CAST(count(*) AS BIGINT) AS n_items
+           FROM lineitem WHERE l_shipdate >= '1997-01-01' AND l_shipdate < '1999-01-01'
+           GROUP BY 1),
+         diff AS (
+           SELECT CASE WHEN a.l_orderkey IS NULL THEN 'added'
+                  WHEN b.l_orderkey IS NULL THEN 'removed'
+                  WHEN a.rev IS DISTINCT FROM b.rev
+                    OR a.n_items IS DISTINCT FROM b.n_items THEN 'changed'
+                  ELSE 'unchanged' END AS change_type,
+                  a.rev AS rev_old, b.rev AS rev_new
+           FROM snapa a FULL JOIN snapb b ON a.l_orderkey = b.l_orderkey)
+         SELECT change_type, CAST(count(*) AS BIGINT) AS n,
+           round(CAST(sum(CASE WHEN change_type = 'changed'
+             THEN CAST(round(abs(rev_new - rev_old), 4) AS DECIMAL(28,4))
+             ELSE CAST(0 AS DECIMAL(28,4)) END) AS DOUBLE), 4) AS changed_delta
+         FROM diff GROUP BY 1 ORDER BY change_type""",
+
+    // identical sufficient-statistics closed form, DECIMAL sums
+    "q177_ols_fit" ->
+      """WITH g AS (
+           SELECT l_returnflag,
+             CAST(round(CAST(l_quantity AS DECIMAL(18,4)), 4) AS DECIMAL(19,4)) AS x,
+             CAST(round(CAST(l_extendedprice AS DECIMAL(18,4)), 4) AS DECIMAL(19,4)) AS y
+           FROM lineitem),
+         s AS (
+           SELECT l_returnflag,
+             CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+             CAST(sum(CAST(x * y AS DECIMAL(38,8))) AS DOUBLE) AS sxy,
+             CAST(sum(CAST(x * x AS DECIMAL(38,8))) AS DOUBLE) AS sxx,
+             CAST(sum(CAST(y * y AS DECIMAL(38,8))) AS DOUBLE) AS syy
+           FROM g GROUP BY 1)
+         SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+           round(CASE WHEN n*sxx - sx*sx <> 0.0
+             THEN (n*sxy - sx*sy)/(n*sxx - sx*sx) END, 4) AS slope,
+           round(CASE WHEN n*sxx - sx*sx <> 0.0
+             THEN (sy - ((n*sxy - sx*sy)/(n*sxx - sx*sx)) * sx)/n END, 4) AS intercept,
+           round(CASE WHEN n*sxx - sx*sx <> 0.0 AND n*syy - sy*sy <> 0.0
+             THEN ((n*sxy - sx*sy)*(n*sxy - sx*sy))/((n*sxx - sx*sx)*(n*syy - sy*sy)) END, 4) AS r2
+         FROM s ORDER BY l_returnflag""")
 }

@@ -114,4 +114,43 @@ object Features {
             col("__lo")), col("__hi"))))
       .drop("__lo", "__hi")
   }
+
+  /** Per-group simple linear regression (y = a·x + b) from sufficient
+    * statistics — the distributed closed form: ONE map-side-combined
+    * aggregation pass accumulates (n, Σx, Σy, Σxy, Σx², Σy²) per group,
+    * then slope/intercept/R² derive in a projection. No iteration, no
+    * second pass, no driver round-trips — the plan is a single keyed
+    * shuffle whatever the fact size.
+    *
+    * Determinism: x and y round to a 4-decimal grid and accumulate as
+    * DECIMAL (exact, associative — the [[graft.catalog.Catalog]] rule);
+    * the closed-form arithmetic then runs in double from identical
+    * decimal sums, so any engine evaluating the same formula gets the
+    * same bits. Groups with zero x-variance yield null slope/intercept/r2
+    * rather than a division blowup.
+    *
+    * Output: (groupCol, n, slope, intercept, r2), rounded to 4.
+    */
+  def olsFit(df: DataFrame, groupCol: String, xCol: String,
+             yCol: String): DataFrame = {
+    val x = round(col(xCol).cast("decimal(18,4)"), 4)
+    val y = round(col(yCol).cast("decimal(18,4)"), 4)
+    val stats = df.groupBy(col(groupCol)).agg(
+      count(lit(1)).cast("double").as("n"),
+      sum(x).cast("double").as("sx"),
+      sum(y).cast("double").as("sy"),
+      sum((x * y).cast("decimal(38,8)")).cast("double").as("sxy"),
+      sum((x * x).cast("decimal(38,8)")).cast("double").as("sxx"),
+      sum((y * y).cast("decimal(38,8)")).cast("double").as("syy"))
+    val varX  = col("n") * col("sxx") - col("sx") * col("sx")
+    val varY  = col("n") * col("syy") - col("sy") * col("sy")
+    val cov   = col("n") * col("sxy") - col("sx") * col("sy")
+    val slope = when(varX =!= 0.0, cov / varX)
+    stats.select(col(groupCol), col("n").cast("bigint").as("n"),
+      round(slope, 4).as("slope"),
+      round(when(varX =!= 0.0,
+        (col("sy") - slope * col("sx")) / col("n")), 4).as("intercept"),
+      round(when(varX =!= 0.0 && varY =!= 0.0,
+        (cov * cov) / (varX * varY)), 4).as("r2"))
+  }
 }

@@ -85,4 +85,40 @@ class FeaturesSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Features.winsorize(df, "v", 0.9, 0.1))
   }
+
+  test("olsFit: recovers a known line exactly; degenerate groups go null") {
+    // group a: y = 2x + 1 exactly -> slope 2, intercept 1, r2 1
+    // group b: zero x-variance -> nulls
+    // group c: y constant -> slope 0, r2 null (zero y-variance)
+    val df = Seq(
+      ("a", 1.0, 3.0), ("a", 2.0, 5.0), ("a", 3.0, 7.0), ("a", 4.0, 9.0),
+      ("b", 5.0, 1.0), ("b", 5.0, 9.0),
+      ("c", 1.0, 4.0), ("c", 2.0, 4.0))
+      .toDF("g", "x", "y")
+    val out = Features.olsFit(df, "g", "x", "y").orderBy("g").collect()
+    val a = out(0)
+    assert(a.getLong(1) == 4L && a.getDouble(2) == 2.0 &&
+      a.getDouble(3) == 1.0 && a.getDouble(4) == 1.0, a.toString)
+    val b = out(1)
+    assert(b.isNullAt(2) && b.isNullAt(3) && b.isNullAt(4), b.toString)
+    val c = out(2)
+    assert(c.getDouble(2) == 0.0 && c.getDouble(3) == 4.0 && c.isNullAt(4),
+      c.toString)
+  }
+
+  test("olsFit: noisy slope matches a hand-computed closed form") {
+    val xs = (1 to 20).map(_.toDouble)
+    val ys = xs.map(x => 3.5 * x + 2.0 + (if (x % 2 == 0) 0.25 else -0.25))
+    val df = xs.zip(ys).map { case (x, y) => ("g", x, y) }.toDF("g", "x", "y")
+    val n = xs.size.toDouble
+    val (sx, sy) = (xs.sum, ys.sum)
+    val sxy = xs.zip(ys).map { case (x, y) => x * y }.sum
+    val sxx = xs.map(x => x * x).sum
+    val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    val icept = (sy - slope * sx) / n
+    val row = Features.olsFit(df, "g", "x", "y").collect().head
+    assert(math.abs(row.getDouble(2) - slope) < 1e-3, row.toString)
+    assert(math.abs(row.getDouble(3) - icept) < 1e-3, row.toString)
+    assert(row.getDouble(4) > 0.99, "near-perfect fit")
+  }
 }
