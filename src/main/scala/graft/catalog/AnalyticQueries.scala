@@ -137,6 +137,23 @@ object AnalyticQueries {
         .agg(dsum(col("l_quantity")).as("total_qty"),
           count(lit(1)).as("n_items"))
         .orderBy(col("s_nationkey"))
+    }),
+
+    // --- Q13 analog: order-count distribution over customers -------------
+    // LEFT join with a non-trivial join-side predicate (urgent orders
+    // excluded IN the join condition, not a post-filter — zero-order
+    // customers must survive), double aggregation.
+    "q179_custdist" -> ((s, d) => {
+      val cust = t(s, d, "customer").select(col("c_custkey"))
+      val ord = t(s, d, "orders")
+      val counts = cust.join(ord,
+          cust("c_custkey") === ord("o_custkey") &&
+            ord("o_orderpriority") =!= "1-URGENT", "left")
+        .groupBy(cust("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+      counts.groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
     }))
 
   def oracleSql: Map[String, String] = Map(
@@ -215,5 +232,13 @@ object AnalyticQueries {
          JOIN nation n1 ON s_nationkey = n1.n_nationkey
          JOIN nation n2 ON c_nationkey = n2.n_nationkey
          WHERE n1.n_name <> n2.n_name
-         GROUP BY 1, 2, 3 ORDER BY supp_nation, cust_nation, l_year""")
+         GROUP BY 1, 2, 3 ORDER BY supp_nation, cust_nation, l_year""",
+
+    "q179_custdist" ->
+      """SELECT c_count, CAST(count(*) AS BIGINT) AS custdist FROM (
+           SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+           FROM customer c LEFT JOIN orders o
+             ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+           GROUP BY c.c_custkey) t
+         GROUP BY c_count ORDER BY custdist DESC, c_count DESC""")
 }

@@ -1225,6 +1225,20 @@ object LlmQueries {
       graft.operators.Graph.triangleCounts(edges).orderBy(col("id"))
     }),
 
+    // --- Adamic-Adar link prediction ---------------------------------------
+    // Top predicted new edges on the q133 synthetic graph; degree cap
+    // exercised at 50.
+    "q178_link_predict" -> ((s, d) => {
+      val docs = t(s, d, "documents").select(col("doc_id"))
+      val edges = docs.select(col("doc_id").as("src"),
+          pmod(col("doc_id") * col("doc_id") + 1, lit(500L)).as("dst"))
+        .unionByName(docs.select(col("doc_id").as("src"),
+          pmod(col("doc_id") * 37, lit(100L)).as("dst")))
+      graft.operators.Graph.adamicAdar(edges, maxDegree = 50)
+        .orderBy(col("aa_score").desc, col("a").asc, col("b").asc)
+        .limit(20)
+    }),
+
     // --- boolean retrieval (Lucene BooleanQuery semantics) -----------------
     // must contain 'vector', must not contain 'slow'; 'table'/'query'
     // are optional coordination score.
@@ -2382,6 +2396,32 @@ object LlmQueries {
          r3 AS (SELECT nodes.id, round((1.0 - 0.85) / n.n + 0.85 * coalesce(CAST(c3.s AS DOUBLE), 0.0), 9) AS r
                 FROM nodes LEFT JOIN c3 ON nodes.id = c3.dst, n)
          SELECT id, round(r, 6) AS pagerank FROM r3 ORDER BY id""",
+
+    // z-keyed self-join minus existing edges, 9-grid 1/ln(deg) sums
+    "q178_link_predict" ->
+      """WITH raw AS (
+           SELECT doc_id AS src, (doc_id*doc_id + 1) % 500 AS dst FROM documents
+           UNION ALL
+           SELECT doc_id, (doc_id*37) % 100 FROM documents),
+         canon AS (
+           SELECT DISTINCT least(src,dst) AS a, greatest(src,dst) AS b
+           FROM raw WHERE src <> dst),
+         und AS (SELECT a AS z, b AS nbr FROM canon UNION ALL SELECT b, a FROM canon),
+         deg AS (SELECT z AS id, CAST(count(*) AS BIGINT) AS deg FROM und GROUP BY 1),
+         nb AS (SELECT u.z, u.nbr FROM und u JOIN deg ON deg.id = u.z WHERE deg.deg <= 50),
+         cand AS (
+           SELECT x.nbr AS a, y.nbr AS b, x.z
+           FROM nb x JOIN nb y ON x.z = y.z AND x.nbr < y.nbr),
+         newp AS (
+           SELECT c.a, c.b, c.z FROM cand c
+           WHERE NOT EXISTS (SELECT 1 FROM canon e WHERE e.a = c.a AND e.b = c.b)),
+         scored AS (
+           SELECT a, b,
+             round(CAST(sum(CAST(round(1.0/ln(CAST(deg.deg AS DOUBLE)), 9) AS DECIMAL(28,9))) AS DOUBLE), 6) AS aa_score,
+             CAST(count(*) AS BIGINT) AS n_common
+           FROM newp JOIN deg ON deg.id = newp.z GROUP BY a, b)
+         SELECT a, b, aa_score, n_common FROM scored
+         ORDER BY aa_score DESC, a ASC, b ASC LIMIT 20""",
 
     // below the coupon-list threshold the HLL estimate is exact, so the
     // sketch-store answer equals a plain distinct count

@@ -597,4 +597,50 @@ object Graph {
     }
     labels
   }
+
+  /** Adamic–Adar link prediction: score non-adjacent node pairs by
+    * Σ_{z ∈ N(a)∩N(b)} 1/ln(deg(z)) — common neighbors weighted down by
+    * how promiscuous they are (a shared hub says little; a shared
+    * degree-2 node says a lot).
+    *
+    * Plan: the undirected neighbor list keyed by the common neighbor z
+    * self-joins on z (`nbr_a < nbr_b` halves the output), anti-joins the
+    * existing canonical edges, then aggregates per pair. Every stage
+    * shuffles on z or on the pair — never all-pairs.
+    *
+    * The z-self-join emits deg(z)² candidates per node, so hubs are the
+    * scale hazard: `maxDegree` drops z's above the cap BEFORE the join
+    * (one degree agg + a filter). That is standard for this score —
+    * a hub's 1/ln(deg) contribution is asymptotically noise, and capping
+    * bounds the join at maxDegree × |edges| whatever the degree
+    * distribution (the same valve as SetSimJoin's maxBlockSize).
+    *
+    * Determinism: 1/ln(deg) rounds to the 9-grid before the DECIMAL sum
+    * (associative — no double reassociation hazard).
+    *
+    * Output: (a, b, aa_score DOUBLE round-6, n_common) for pairs with at
+    * least one common neighbor, NOT already connected.
+    */
+  def adamicAdar(edges: DataFrame, srcCol: String = "src",
+                 dstCol: String = "dst", maxDegree: Int = 10000): DataFrame = {
+    require(maxDegree >= 2, s"maxDegree must be >= 2, got $maxDegree")
+    val canon = canonical(
+      edges.select(col(srcCol).as("src"), col(dstCol).as("dst")))
+    val und = bothDirs(canon)
+    val deg = und.groupBy(col("src").as("id"))
+      .agg(count(lit(1)).as("deg"))
+    val nb = und.select(col("src").as("z"), col("dst").as("nbr"))
+      .join(deg.filter(col("deg") <= maxDegree)
+        .select(col("id").as("z"), col("deg")), "z")
+    val cand = nb.select(col("z"), col("nbr").as("a"), col("deg"))
+      .join(nb.select(col("z"), col("nbr").as("b")), "z")
+      .filter(col("a") < col("b"))
+    cand
+      .join(canon.select(col("src").as("a"), col("dst").as("b")),
+        Seq("a", "b"), "left_anti")
+      .groupBy(col("a"), col("b"))
+      .agg(round(sum(round(lit(1.0) / log(col("deg").cast("double")), 9)
+          .cast("decimal(28,9)")).cast("double"), 6).as("aa_score"),
+        count(lit(1)).as("n_common"))
+  }
 }

@@ -388,4 +388,25 @@ class GraphSpec extends SparkSpec {
     assert(!core2.contains(5L),
       s"5's real degree drops to 1 once 6 peels, so 5 peels next: $core2")
   }
+
+  test("adamicAdar: hand-computed scores, adjacency excluded, hub cap") {
+    // square 1-2-3-4-1: (1,3) and (2,4) share two deg-2 neighbors each
+    val square = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("src", "dst")
+    val out = Graph.adamicAdar(square)
+      .orderBy("a", "b").as[(Long, Long, Double, Long)].collect().toList
+    val twoOverLn2 = BigDecimal(2.0 / math.log(2.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out.map(r => (r._1, r._2, r._4)) == List((1L, 3L, 2L), (2L, 4L, 2L)))
+    assert(out.forall(r => math.abs(r._3 - twoOverLn2) < 1e-6), s"$out")
+
+    // triangle: every candidate pair is already an edge -> empty
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("src", "dst")
+    assert(Graph.adamicAdar(tri).isEmpty)
+
+    // star: center deg 5 > cap 4 -> dropped as a common neighbor
+    val star = (1L to 5L).map(i => (0L, i)).toDF("src", "dst")
+    assert(Graph.adamicAdar(star, maxDegree = 4).isEmpty)
+    assert(Graph.adamicAdar(star, maxDegree = 5).count() == 10L)
+    intercept[IllegalArgumentException](Graph.adamicAdar(star, maxDegree = 1))
+  }
 }
