@@ -222,7 +222,33 @@ object ExtQueries2 {
     "q177_ols_fit" -> ((s, d) =>
       graft.operators.Features.olsFit(t(s, d, "lineitem"),
           "l_returnflag", "l_quantity", "l_extendedprice")
-        .orderBy(col("l_returnflag"))))
+        .orderBy(col("l_returnflag"))),
+
+    // --- 2-D Pareto frontier (skyline) ------------------------------------
+    // Suppliers not dominated on (account balance, total revenue).
+    "q180_skyline" -> ((s, d) => {
+      val m = t(s, d, "lineitem").groupBy(col("l_suppkey").as("suppkey"))
+        .agg(round(sum(col("l_extendedprice").cast("decimal(18,2)"))
+          .cast("double"), 4).as("rev"))
+      val pts = t(s, d, "supplier")
+        .join(m, col("s_suppkey") === col("suppkey"))
+        .select(round(col("s_acctbal"), 4).as("bal"), col("rev"))
+      graft.operators.Skyline.pareto(pts, "bal", "rev")
+        .orderBy(col("bal").desc)
+    }),
+
+    // --- declarative data-quality expectations ----------------------------
+    // One report row per rule; row-local rules share a single scan.
+    "q181_expectations" -> ((s, d) => {
+      import graft.operators.Expectations._
+      check(t(s, d, "lineitem"), Seq(
+        NotNull("l_orderkey"),
+        InRange("l_quantity", 1, 30),
+        Satisfies("discount_cap", col("l_discount") <= 0.05),
+        Unique(Seq("l_orderkey", "l_linenumber")),
+        RefIntegrity("l_orderkey", t(s, d, "orders"), "o_orderkey")))
+        .orderBy(col("rule"))
+    }))
 
   def oracleSql: Map[String, String] = Map(
     "q63_interval_join" ->
@@ -444,5 +470,49 @@ object ExtQueries2 {
              THEN (sy - ((n*sxy - sx*sy)/(n*sxx - sx*sx)) * sx)/n END, 4) AS intercept,
            round(CASE WHEN n*sxx - sx*sx <> 0.0 AND n*syy - sy*sy <> 0.0
              THEN ((n*sxy - sx*sy)*(n*sxy - sx*sy))/((n*sxx - sx*sx)*(n*syy - sy*sy)) END, 4) AS r2
-         FROM s ORDER BY l_returnflag""")
+         FROM s ORDER BY l_returnflag""",
+
+    // strict-dominance NOT EXISTS over the same rounded points
+    "q180_skyline" ->
+      """WITH m AS (
+           SELECT l_suppkey AS suppkey,
+             round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 4) AS rev
+           FROM lineitem GROUP BY 1),
+         pts AS (
+           SELECT round(s.s_acctbal, 4) AS bal, m.rev
+           FROM supplier s JOIN m ON s.s_suppkey = m.suppkey),
+         grp AS (SELECT bal, rev, CAST(count(*) AS BIGINT) AS n_rows
+                 FROM pts GROUP BY 1, 2),
+         sky AS (
+           SELECT g.* FROM grp g WHERE NOT EXISTS (
+             SELECT 1 FROM pts p WHERE p.bal >= g.bal AND p.rev >= g.rev
+               AND (p.bal > g.bal OR p.rev > g.rev)))
+         SELECT bal, rev, n_rows FROM sky ORDER BY bal DESC""",
+
+    // each rule's violation count, rule names matching the engine's
+    "q181_expectations" ->
+      """SELECT 'in_range(l_quantity,1.0,30.0)' AS rule,
+           CAST(sum(CASE WHEN l_quantity IS NULL OR l_quantity < 1.0
+             OR l_quantity > 30.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
+           CAST(count(*) AS BIGINT) AS n_rows FROM lineitem
+         UNION ALL
+         SELECT 'not_null(l_orderkey)',
+           CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(count(*) AS BIGINT) FROM lineitem
+         UNION ALL
+         SELECT 'ref_integrity(l_orderkey)',
+           (SELECT CAST(count(*) AS BIGINT) FROM lineitem l
+            WHERE l.l_orderkey IS NOT NULL AND NOT EXISTS
+              (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)),
+           CAST(count(*) AS BIGINT) FROM lineitem
+         UNION ALL
+         SELECT 'satisfies(discount_cap)',
+           CAST(sum(CASE WHEN NOT coalesce(l_discount <= 0.05, false)
+             THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(count(*) AS BIGINT) FROM lineitem
+         UNION ALL
+         SELECT 'unique(l_orderkey,l_linenumber)',
+           CAST(count(*) - count(DISTINCT (l_orderkey, l_linenumber)) AS BIGINT),
+           CAST(count(*) AS BIGINT) FROM lineitem
+         ORDER BY rule""")
 }

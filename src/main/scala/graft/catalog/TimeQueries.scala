@@ -159,7 +159,27 @@ object TimeQueries {
     "q175_mad_outliers" -> ((s, d) =>
       graft.operators.TimeSeries.madOutliers(ev(s, d), "event_type",
           "value", k = 3.0)
-        .orderBy(col("event_type"))))
+        .orderBy(col("event_type"))),
+
+    // --- last-touch attribution -------------------------------------------
+    // Each purchase credits the user's most recent PRIOR non-purchase
+    // event type ('none' for cold-start purchases).
+    "q182_attribution" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      ev(s, d)
+        .withColumn("channel",
+          last(when(col("event_type") =!= "purchase", col("event_type")),
+            ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase")
+        .groupBy(coalesce(col("channel"), lit("none")).as("channel"))
+        .agg(count(lit(1)).as("n_purchases"),
+          round(sum(col("value").cast("decimal(18,2)")).cast("double"), 4)
+            .as("attributed_value"))
+        .orderBy(col("channel"))
+    }))
 
   def oracleSql: Map[String, String] = Map(
     "q29_tumbling_window" ->
@@ -330,5 +350,20 @@ object TimeQueries {
                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
          FROM dev d JOIN mad a USING (event_type)
          GROUP BY d.event_type, a.med, a.mad
-         ORDER BY d.event_type""")
+         ORDER BY d.event_type""",
+
+    // last non-purchase type over the 1-PRECEDING user window
+    "q182_attribution" ->
+      """WITH attr AS (
+           SELECT event_type, value,
+             last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+               IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS channel
+           FROM events)
+         SELECT coalesce(channel, 'none') AS channel,
+           CAST(count(*) AS BIGINT) AS n_purchases,
+           round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 4) AS attributed_value
+         FROM attr WHERE event_type = 'purchase'
+         GROUP BY 1 ORDER BY channel""")
 }
