@@ -248,7 +248,17 @@ object ExtQueries2 {
         Unique(Seq("l_orderkey", "l_linenumber")),
         RefIntegrity("l_orderkey", t(s, d, "orders"), "o_orderkey")))
         .orderBy(col("rule"))
-    }))
+    }),
+
+    // --- chi-square independence screen -----------------------------------
+    // Market segment x order priority: per-cell observed/expected/
+    // contribution.
+    "q183_chi_square" -> ((s, d) =>
+      graft.operators.Features.chiSquare(
+          t(s, d, "orders").join(t(s, d, "customer"),
+            col("o_custkey") === col("c_custkey")),
+          "c_mktsegment", "o_orderpriority")
+        .orderBy(col("c_mktsegment"), col("o_orderpriority"))))
 
   def oracleSql: Map[String, String] = Map(
     "q63_interval_join" ->
@@ -514,5 +524,24 @@ object ExtQueries2 {
          SELECT 'unique(l_orderkey,l_linenumber)',
            CAST(count(*) - count(DISTINCT (l_orderkey, l_linenumber)) AS BIGINT),
            CAST(count(*) AS BIGINT) FROM lineitem
-         ORDER BY rule""")
+         ORDER BY rule""",
+
+    // identical (rt*ct)/n arithmetic from exact integer counts
+    "q183_chi_square" ->
+      """WITH j AS (
+           SELECT c.c_mktsegment, o.o_orderpriority
+           FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+         cell AS (SELECT c_mktsegment, o_orderpriority,
+                    CAST(count(*) AS DOUBLE) AS obs FROM j GROUP BY 1, 2),
+         rt AS (SELECT c_mktsegment, sum(obs) AS rt FROM cell GROUP BY 1),
+         ct AS (SELECT o_orderpriority, sum(obs) AS ct FROM cell GROUP BY 1),
+         n AS (SELECT sum(obs) AS n FROM cell)
+         SELECT cell.c_mktsegment, cell.o_orderpriority,
+           CAST(obs AS BIGINT) AS obs,
+           round(rt.rt * ct.ct / n.n, 4) AS expected,
+           round((obs - rt.rt * ct.ct / n.n)*(obs - rt.rt * ct.ct / n.n)
+             / (rt.rt * ct.ct / n.n), 4) AS contrib
+         FROM cell JOIN rt USING (c_mktsegment)
+           JOIN ct USING (o_orderpriority), n
+         ORDER BY c_mktsegment, o_orderpriority""")
 }

@@ -179,7 +179,23 @@ object TimeQueries {
           round(sum(col("value").cast("decimal(18,2)")).cast("double"), 4)
             .as("attributed_value"))
         .orderBy(col("channel"))
-    }))
+    }),
+
+    // --- gaps-and-islands over integer keys --------------------------------
+    // Maximal runs of consecutive orderkeys among urgent orders.
+    "q184_islands" -> ((s, d) =>
+      graft.operators.TimeSeries.islands(
+          t(s, d, "orders").filter(col("o_orderpriority") === "1-URGENT"),
+          "o_orderkey", minLen = 3L)
+        .orderBy(col("island_start"))),
+
+    // --- per-user EWMA of event values -------------------------------------
+    // alpha=0.3 fold over each user's time-ordered values, event_id as
+    // the equal-ts tie-break.
+    "q185_ewma" -> ((s, d) =>
+      graft.operators.TimeSeries.ewma(ev(s, d), "user_id", "ts",
+          "event_id", "value", alpha = 0.3)
+        .orderBy(col("user_id"))))
 
   def oracleSql: Map[String, String] = Map(
     "q29_tumbling_window" ->
@@ -365,5 +381,26 @@ object TimeQueries {
            CAST(count(*) AS BIGINT) AS n_purchases,
            round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 4) AS attributed_value
          FROM attr WHERE event_type = 'purchase'
-         GROUP BY 1 ORDER BY channel""")
+         GROUP BY 1 ORDER BY channel""",
+
+    // textbook k - row_number() island grouping (the oracle may use the
+    // global window; the engine's rank-join form must agree)
+    "q184_islands" ->
+      """WITH k AS (SELECT DISTINCT o_orderkey AS k FROM orders
+                    WHERE o_orderpriority = '1-URGENT'),
+         g AS (SELECT k, k - row_number() OVER (ORDER BY k) AS grp FROM k)
+         SELECT min(k) AS island_start, max(k) AS island_end,
+           CAST(count(*) AS BIGINT) AS len
+         FROM g GROUP BY grp HAVING count(*) >= 3 ORDER BY island_start""",
+
+    // list_reduce fold with the same per-step 9-grid rounding
+    "q185_ewma" ->
+      """WITH s AS (
+           SELECT user_id,
+             list(round(CAST(value AS DECIMAL(28,9)), 9)::DOUBLE
+                  ORDER BY ts, event_id) AS vs
+           FROM events GROUP BY 1)
+         SELECT user_id,
+           round(list_reduce(vs, (acc, x) -> round(0.3*x + 0.7*acc, 9)), 6) AS ewma
+         FROM s ORDER BY user_id""")
 }

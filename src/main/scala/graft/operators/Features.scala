@@ -153,4 +153,29 @@ object Features {
       round(when(varX =!= 0.0 && varY =!= 0.0,
         (cov * cov) / (varX * varY)), 4).as("r2"))
   }
+
+  /** Chi-square contingency table between two categorical columns: per
+    * cell the observed count, the independence-expected count
+    * (rowTotal·colTotal/N), and the χ² contribution (obs−exp)²/exp —
+    * the categorical-feature/target dependence screen.
+    *
+    * One cell aggregation over the fact (the only fact-sized shuffle),
+    * then row totals, column totals and N derive from the CELL table
+    * (cardinality = |A|×|B|, tiny) and ride broadcast joins back on.
+    * Counts are integers in doubles (exact < 2^53 regardless of
+    * association order), so the derived doubles are engine-stable.
+    */
+  def chiSquare(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val cell = df.groupBy(col(aCol), col(bCol))
+      .agg(count(lit(1)).cast("double").as("obs"))
+    val rt = cell.groupBy(col(aCol)).agg(sum(col("obs")).as("rt"))
+    val ct = cell.groupBy(col(bCol)).agg(sum(col("obs")).as("ct"))
+    val n  = cell.agg(sum(col("obs")).as("n"))
+    val e  = col("rt") * col("ct") / col("n")
+    cell.join(broadcast(rt), Seq(aCol)).join(broadcast(ct), Seq(bCol))
+      .crossJoin(broadcast(n))
+      .select(col(aCol), col(bCol), col("obs").cast("bigint").as("obs"),
+        round(e, 4).as("expected"),
+        round((col("obs") - e) * (col("obs") - e) / e, 4).as("contrib"))
+  }
 }

@@ -97,4 +97,69 @@ object TimeSeries {
       .select(col(groupCol), round(col("med2"), 4).as("med"),
         round(col("mad"), 4).as("mad"), col("n"), col("n_outliers"))
   }
+
+  /** Islands of consecutive integer keys (gaps-and-islands): maximal
+    * runs k, k+1, …, k+len−1 all present in the column.
+    *
+    * Distributed shape: island STARTS are keys whose predecessor is
+    * absent (one key-keyed anti-join), ENDS are keys whose successor is
+    * absent (another); sorted starts and ends interleave 1:1, so pairing
+    * is a rank join. The heavy work — distinct + both anti-joins — is
+    * all key-keyed shuffles over the full column; only the
+    * island-count-sized start/end tables pass through the global
+    * rank windows (the TopK-tail shape: tiny by then). This avoids the
+    * textbook `k - row_number()` form whose single global window sees
+    * EVERY key.
+    *
+    * Output: (island_start, island_end, len) for islands with
+    * `len >= minLen`.
+    */
+  def islands(df: DataFrame, keyCol: String, minLen: Long = 1L): DataFrame = {
+    require(minLen >= 1, s"minLen must be >= 1, got $minLen")
+    val keys = df.select(col(keyCol).cast("long").as("k")).distinct()
+    val starts = keys
+      .join(keys.select((col("k") + 1).as("k")), Seq("k"), "left_anti")
+    val ends = keys
+      .join(keys.select((col("k") - 1).as("k")), Seq("k"), "left_anti")
+    val s2 = starts.select(col("k").as("island_start"),
+      row_number().over(Window.orderBy(col("k"))).as("__i"))
+    val e2 = ends.select(col("k").as("island_end"),
+      row_number().over(Window.orderBy(col("k"))).as("__i"))
+    s2.join(e2, "__i")
+      .select(col("island_start"), col("island_end"),
+        (col("island_end") - col("island_start") + 1).as("len"))
+      .filter(col("len") >= minLen)
+  }
+
+  /** Per-key exponentially-weighted moving average over the key's
+    * time-ordered values: the sequential fold ewmaₜ = α·vₜ + (1−α)·ewmaₜ₋₁
+    * seeded with the first value.
+    *
+    * A fold is inherently sequential per key, so it runs as a codegen'd
+    * higher-order `aggregate` over the key's sorted value array — one
+    * keyed shuffle (collect_list), no window, no UDF, no iteration. The
+    * array holds ONE KEY's values (the per-key sequence bound every
+    * sessionize/pack operator in this repo shares); keys are independent
+    * and distribute freely.
+    *
+    * Determinism: inputs round to the 9-grid, every fold step re-rounds
+    * (`round(α·x + (1−α)·acc, 9)`), so engines agree bit-for-bit.
+    * Output: (keyCol, ewma round-6).
+    */
+  def ewma(df: DataFrame, keyCol: String, tsCol: String, tieCol: String,
+           valCol: String, alpha: Double): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0,1], got $alpha")
+    val a = lit(alpha)
+    val b = lit(1.0 - alpha)
+    df.groupBy(col(keyCol))
+      .agg(sort_array(collect_list(struct(col(tsCol).as("t"),
+        col(tieCol).as("i"),
+        round(col(valCol).cast("decimal(28,9)"), 9).cast("double")
+          .as("v")))).as("__arr"))
+      .select(col(keyCol),
+        round(aggregate(
+          expr("slice(transform(__arr, x -> x.v), 2, size(__arr) - 1)"),
+          expr("__arr[0].v"),
+          (acc, x) => round(a * x + b * acc, 9)), 6).as("ewma"))
+  }
 }

@@ -121,4 +121,17 @@ class FeaturesSpec extends SparkSpec {
     assert(math.abs(row.getDouble(3) - icept) < 1e-3, row.toString)
     assert(row.getDouble(4) > 0.99, "near-perfect fit")
   }
+
+  test("chiSquare: hand-computed 2x2 contingency") {
+    // a:(x,x,y,y) b:(x,y,y,y) -> N=8, rt=4 each, ct: x=3, y=5
+    val df = (Seq.fill(2)(("a", "x")) ++ Seq.fill(2)(("a", "y")) ++
+      Seq.fill(1)(("b", "x")) ++ Seq.fill(3)(("b", "y")))
+      .toDF("g", "h")
+    val out = Features.chiSquare(df, "g", "h").orderBy("g", "h")
+      .as[(String, String, Long, Double, Double)].collect().toList
+    // expected(a,x) = 4*3/8 = 1.5; contrib = (2-1.5)^2/1.5 = 0.1667
+    assert(out == List(
+      ("a", "x", 2L, 1.5, 0.1667), ("a", "y", 2L, 2.5, 0.1),
+      ("b", "x", 1L, 1.5, 0.1667), ("b", "y", 3L, 2.5, 0.1)))
+  }
 }

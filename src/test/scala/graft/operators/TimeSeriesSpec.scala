@@ -64,4 +64,41 @@ class TimeSeriesSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       TimeSeries.madOutliers(df, "g", "v", k = 0.0))
   }
+
+  test("islands: runs detected, duplicates collapse, minLen filters, singletons count") {
+    // keys: 1,2,3 | 7 | 10,11 (with a duplicate 2)
+    val df = Seq(1L, 2L, 2L, 3L, 7L, 10L, 11L).toDF("k")
+    val all = TimeSeries.islands(df, "k").orderBy("island_start")
+      .as[(Long, Long, Long)].collect().toList
+    assert(all == List((1L, 3L, 3L), (7L, 7L, 1L), (10L, 11L, 2L)))
+    val big = TimeSeries.islands(df, "k", minLen = 2L).orderBy("island_start")
+      .as[(Long, Long, Long)].collect().toList
+    assert(big == List((1L, 3L, 3L), (10L, 11L, 2L)))
+    intercept[IllegalArgumentException](TimeSeries.islands(df, "k", 0L))
+  }
+
+  test("ewma: hand-computed fold, single element = itself, order by ts then tie") {
+    // values in time order: 10, 20, 30 with alpha 0.5:
+    // e1=10, e2=0.5*20+0.5*10=15, e3=0.5*30+0.5*15=22.5
+    val df = Seq(
+      (1L, ts("2024-01-01 00:00:02"), 2L, 30.0),
+      (1L, ts("2024-01-01 00:00:00"), 0L, 10.0),
+      (1L, ts("2024-01-01 00:00:01"), 1L, 20.0),
+      (2L, ts("2024-01-01 00:00:00"), 3L, 42.0))
+      .toDF("u", "ts", "id", "v")
+    val out = TimeSeries.ewma(df, "u", "ts", "id", "v", alpha = 0.5)
+      .orderBy("u").as[(Long, Double)].collect().toList
+    assert(out == List((1L, 22.5), (2L, 42.0)))
+
+    // equal-ts rows order by the tie column
+    val tie = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 2L, 100.0),
+      (1L, ts("2024-01-01 00:00:00"), 1L, 0.0))
+      .toDF("u", "ts", "id", "v")
+    // order 0 then 100: 0.5*100 + 0.5*0 = 50
+    assert(TimeSeries.ewma(tie, "u", "ts", "id", "v", 0.5)
+      .as[(Long, Double)].collect().head == ((1L, 50.0)))
+    intercept[IllegalArgumentException](
+      TimeSeries.ewma(tie, "u", "ts", "id", "v", 0.0))
+  }
 }
