@@ -1239,6 +1239,22 @@ object LlmQueries {
         .limit(20)
     }),
 
+    // --- weighted single-source shortest paths -----------------------------
+    // Bellman-Ford supersteps over a deterministic weighted digraph on
+    // the 25 nations.
+    "q186_shortest_paths" -> ((s, d) => {
+      val n = t(s, d, "nation")
+        .select(col("n_nationkey").cast("long").as("nk"))
+      val edges = n.select(col("nk").as("src"),
+          pmod(col("nk") * 3 + 1, lit(25L)).as("dst"),
+          (col("nk") % 5 + 1).as("w"))
+        .unionByName(n.select(col("nk").as("src"),
+          pmod(col("nk") + 7, lit(25L)).as("dst"),
+          (col("nk") % 3 + 2).as("w")))
+      graft.operators.Graph.shortestPaths(edges, source = 0L)
+        .orderBy(col("id"))
+    }),
+
     // --- boolean retrieval (Lucene BooleanQuery semantics) -----------------
     // must contain 'vector', must not contain 'slow'; 'table'/'query'
     // are optional coordination score.
@@ -2422,6 +2438,21 @@ object LlmQueries {
            FROM newp JOIN deg ON deg.id = newp.z GROUP BY a, b)
          SELECT a, b, aa_score, n_common FROM scored
          ORDER BY aa_score DESC, a ASC, b ASC LIMIT 20""",
+
+    // bounded recursive walk (UNION dedups states); 60 > the true
+    // 18-max shortest distance, so min(d) is exact
+    "q186_shortest_paths" ->
+      """WITH RECURSIVE e AS (
+           SELECT n_nationkey AS src, (n_nationkey * 3 + 1) % 25 AS dst,
+                  (n_nationkey % 5) + 1 AS w FROM nation
+           UNION ALL
+           SELECT n_nationkey, (n_nationkey + 7) % 25, (n_nationkey % 3) + 2 FROM nation),
+         walk(node, d) AS (
+           SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+           UNION
+           SELECT e.dst, w.d + e.w FROM walk w JOIN e ON e.src = w.node
+           WHERE w.d + e.w < 60)
+         SELECT node AS id, min(d) AS dist FROM walk GROUP BY node ORDER BY id""",
 
     // below the coupon-list threshold the HLL estimate is exact, so the
     // sketch-store answer equals a plain distinct count

@@ -643,4 +643,55 @@ object Graph {
           .cast("decimal(28,9)")).cast("double"), 6).as("aa_score"),
         count(lit(1)).as("n_common"))
   }
+
+  /** Single-source weighted shortest paths (Bellman–Ford supersteps):
+    * min-plus relaxation rounds over non-negative integer weights.
+    *
+    * Each round relaxes ONLY the frontier — nodes whose distance
+    * improved last round — against their out-edges (one keyed join),
+    * then min-merges candidates into the distance table (one keyed
+    * agg + join). Work per round is O(frontier out-edges), the
+    * [[hopDistances]] BFS shape generalized to weights; convergence is
+    * exact (an empty improvement set is the fixpoint, reached in at
+    * most |V|−1 rounds on any graph without negative cycles; weights
+    * are assumed non-negative — `maxIter` bounds the rounds
+    * regardless). Per-round lineage truncation via localCheckpoint as
+    * in every iterative operator here.
+    *
+    * Output: (id, dist) for every node reachable from `source`.
+    */
+  def shortestPaths(edges: DataFrame, source: Long,
+                    srcCol: String = "src", dstCol: String = "dst",
+                    weightCol: String = "w",
+                    maxIter: Int = 50): DataFrame = {
+    require(maxIter >= 1, s"maxIter must be >= 1, got $maxIter")
+    def materialize(df: DataFrame): DataFrame = df.localCheckpoint()
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst"),
+      col(weightCol).cast("long").as("w"))
+    val spark = edges.sparkSession
+    import spark.implicits._
+    var dist = materialize(Seq((source, 0L)).toDF("id", "dist"))
+    var frontier = dist
+    var it = 0
+    var done = frontier.limit(1).isEmpty
+    while (!done && it < maxIter) {
+      it += 1
+      val candidates = frontier.join(e, frontier("id") === e("src"))
+        .groupBy(col("dst").as("id"))
+        .agg(min(col("dist") + col("w")).as("cand"))
+      val improved = materialize(
+        candidates.join(dist, Seq("id"), "left")
+          .filter(col("dist").isNull || col("cand") < col("dist"))
+          .select(col("id"), col("cand").as("dist")))
+      done = improved.limit(1).isEmpty
+      if (!done) {
+        dist = materialize(
+          dist.join(improved.select(col("id")), Seq("id"), "left_anti")
+            .union(improved))
+        frontier = improved
+      }
+    }
+    dist
+  }
 }

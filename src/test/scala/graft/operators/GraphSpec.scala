@@ -409,4 +409,26 @@ class GraphSpec extends SparkSpec {
     assert(Graph.adamicAdar(star, maxDegree = 5).count() == 10L)
     intercept[IllegalArgumentException](Graph.adamicAdar(star, maxDegree = 1))
   }
+
+  test("shortestPaths: weighted relaxation beats fewer-hops, unreachable absent") {
+    // 0->1 (w=10); 0->2 (1), 2->3 (1), 3->1 (1): best 0->1 is 3 via hops
+    // 9 is disconnected; 4 reachable only via the long edge chain
+    val e = Seq((0L, 1L, 10L), (0L, 2L, 1L), (2L, 3L, 1L), (3L, 1L, 1L),
+      (1L, 4L, 2L), (9L, 0L, 1L))
+      .toDF("src", "dst", "w")
+    val out = Graph.shortestPaths(e, source = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(0L -> 0L, 1L -> 3L, 2L -> 1L, 3L -> 2L, 4L -> 5L))
+
+    // a cycle does not loop forever: fixpoint reached, distances exact
+    val cyc = Seq((0L, 1L, 1L), (1L, 2L, 1L), (2L, 0L, 1L)).toDF("src", "dst", "w")
+    assert(Graph.shortestPaths(cyc, 0L).as[(Long, Long)].collect().toMap ==
+      Map(0L -> 0L, 1L -> 1L, 2L -> 2L))
+
+    // maxIter truncates relaxation depth
+    val chain = Seq((0L, 1L, 1L), (1L, 2L, 1L), (2L, 3L, 1L)).toDF("src", "dst", "w")
+    assert(Graph.shortestPaths(chain, 0L, maxIter = 2)
+      .as[(Long, Long)].collect().toMap == Map(0L -> 0L, 1L -> 1L, 2L -> 2L))
+    intercept[IllegalArgumentException](Graph.shortestPaths(chain, 0L, maxIter = 0))
+  }
 }
