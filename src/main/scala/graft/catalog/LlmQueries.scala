@@ -1255,6 +1255,23 @@ object LlmQueries {
         .orderBy(col("id"))
     }),
 
+    // --- incremental exact aggregate store ----------------------------------
+    // Two ingest batches of lineitem partials; serving merges partials
+    // and must equal a one-pass aggregation of the whole table.
+    "q187_agg_store" -> ((s, d) => {
+      val store = java.nio.file.Files
+        .createTempDirectory("graft_q187").toString + "/aggs"
+      val li = t(s, d, "lineitem")
+      val cut = lit("1997-01-01")
+      val keys = Seq("l_returnflag", "l_linestatus")
+      graft.operators.AggStore.append(
+        li.filter(col("l_shipdate") < cut), keys, "l_quantity", store, 1L)
+      graft.operators.AggStore.append(
+        li.filter(col("l_shipdate") >= cut), keys, "l_quantity", store, 2L)
+      graft.operators.AggStore.serve(s, store)
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
     // --- boolean retrieval (Lucene BooleanQuery semantics) -----------------
     // must contain 'vector', must not contain 'slow'; 'table'/'query'
     // are optional coordination score.
@@ -2453,6 +2470,21 @@ object LlmQueries {
            SELECT e.dst, w.d + e.w FROM walk w JOIN e ON e.src = w.node
            WHERE w.d + e.w < 60)
          SELECT node AS id, min(d) AS dist FROM walk GROUP BY node ORDER BY id""",
+
+    // the one-pass aggregation the merged partials must equal
+    "q187_agg_store" ->
+      """WITH v AS (SELECT l_returnflag, l_linestatus,
+                      round(CAST(l_quantity AS DECIMAL(28,9)), 9) AS v,
+                      l_quantity
+                    FROM lineitem)
+         SELECT l_returnflag, l_linestatus,
+           CAST(count(l_quantity) AS BIGINT) AS n,
+           round(CAST(CAST(sum(v) AS DECIMAL(28,9)) AS DOUBLE), 4) AS total,
+           round(CAST(CAST(sum(v) AS DECIMAL(28,9)) AS DOUBLE)
+             / CAST(count(l_quantity) AS DOUBLE), 4) AS mean,
+           round(CAST(min(v) AS DOUBLE), 4) AS vmin,
+           round(CAST(max(v) AS DOUBLE), 4) AS vmax
+         FROM v GROUP BY 1, 2 ORDER BY l_returnflag, l_linestatus""",
 
     // below the coupon-list threshold the HLL estimate is exact, so the
     // sketch-store answer equals a plain distinct count

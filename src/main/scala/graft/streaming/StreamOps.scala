@@ -321,6 +321,31 @@ object StreamOps {
       }
       .start()
 
+  /** Streaming ingest into the EXACT aggregate store — incremental
+    * materialized group-by maintenance over the stream's whole history
+    * ([[graft.operators.AggStore]]: counts/DECIMAL sums/min/max merge
+    * losslessly, so [[graft.operators.AggStore.serve]] equals a batch
+    * aggregation of everything streamed). Fourth store sink, same
+    * idempotency/compaction contract as [[hllSink]]/[[kllSink]]/
+    * [[freqSink]]. */
+  def aggSink(rows: DataFrame, keys: Seq[String], valueCol: String,
+              storePath: String, checkpoint: String,
+              compactEvery: Int = 0)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    rows.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // an empty first batch must not create a file-less store tree
+        if (!batch.isEmpty)
+          graft.operators.AggStore.append(batch, keys, valueCol,
+            storePath, batchId + 1)
+        if (compactEvery > 0 && (batchId + 1) % compactEvery == 0 &&
+            graft.operators.AggStore.storeExists(batch.sparkSession, storePath))
+          graft.operators.AggStore.compactStore(batch.sparkSession, storePath)
+        ()
+      }
+      .start()
+
   /** Same running totals on the `transformWithState` API (Spark 4's
     * successor to flatMapGroupsWithState: typed ValueState handles,
     * timer support, state-store-backed). */
