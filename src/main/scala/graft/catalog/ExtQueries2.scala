@@ -250,6 +250,24 @@ object ExtQueries2 {
         .orderBy(col("rule"))
     }),
 
+    // --- equi-depth quantile binning ---------------------------------------
+    // Order totals into 4 equal-population bins; per-bin count + range.
+    "q189_quantile_bins" -> ((s, d) =>
+      graft.operators.Features.quantileBin(t(s, d, "orders"),
+          "o_totalprice", numBins = 4)
+        .groupBy(col("o_totalprice_bin").as("bin"))
+        .agg(count(lit(1)).as("n"),
+          round(min(col("o_totalprice")), 4).as("lo"),
+          round(max(col("o_totalprice")), 4).as("hi"))
+        .orderBy(col("bin"))),
+
+    // --- per-group Spearman rank correlation -------------------------------
+    // Monotone association of quantity vs extended price per returnflag.
+    "q190_spearman" -> ((s, d) =>
+      graft.operators.Features.spearman(t(s, d, "lineitem"),
+          "l_returnflag", "l_quantity", "l_extendedprice")
+        .orderBy(col("l_returnflag"))),
+
     // --- chi-square independence screen -----------------------------------
     // Market segment x order priority: per-cell observed/expected/
     // contribution.
@@ -525,6 +543,45 @@ object ExtQueries2 {
            CAST(count(*) - count(DISTINCT (l_orderkey, l_linenumber)) AS BIGINT),
            CAST(count(*) AS BIGINT) FROM lineitem
          ORDER BY rule""",
+
+    // quantile_cont boundaries ≡ Spark's exact percentile (the q49
+    // convention); bin = 1 + |{b : v > b}|
+    "q189_quantile_bins" ->
+      """WITH b AS (SELECT quantile_cont(o_totalprice, 0.25) AS b1,
+                           quantile_cont(o_totalprice, 0.50) AS b2,
+                           quantile_cont(o_totalprice, 0.75) AS b3 FROM orders),
+         x AS (SELECT o_totalprice AS v,
+                 1 + CASE WHEN o_totalprice > b.b1 THEN 1 ELSE 0 END
+                   + CASE WHEN o_totalprice > b.b2 THEN 1 ELSE 0 END
+                   + CASE WHEN o_totalprice > b.b3 THEN 1 ELSE 0 END AS bin
+               FROM orders, b)
+         SELECT CAST(bin AS INT) AS bin, CAST(count(*) AS BIGINT) AS n,
+           round(min(v), 4) AS lo, round(max(v), 4) AS hi
+         FROM x GROUP BY bin ORDER BY bin""",
+
+    // rank() ties-averaged = (2*rank + ties - 1)/2, exact halves in
+    // DECIMAL(19,1); Pearson on ranks from identical decimal sums
+    "q190_spearman" ->
+      """WITH r AS (
+           SELECT l_returnflag AS g,
+             (2.0*rank() OVER (PARTITION BY l_returnflag ORDER BY l_quantity)
+               + count(*) OVER (PARTITION BY l_returnflag, l_quantity) - 1) / 2.0 AS rx,
+             (2.0*rank() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice)
+               + count(*) OVER (PARTITION BY l_returnflag, l_extendedprice) - 1) / 2.0 AS ry
+           FROM lineitem),
+         c AS (SELECT g, CAST(rx AS DECIMAL(19,1)) AS x,
+                 CAST(ry AS DECIMAL(19,1)) AS y FROM r),
+         s AS (
+           SELECT g, CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+             CAST(sum(CAST(x * y AS DECIMAL(38,2))) AS DOUBLE) AS sxy,
+             CAST(sum(CAST(x * x AS DECIMAL(38,2))) AS DOUBLE) AS sxx,
+             CAST(sum(CAST(y * y AS DECIMAL(38,2))) AS DOUBLE) AS syy
+           FROM c GROUP BY g)
+         SELECT g AS l_returnflag, CAST(n AS BIGINT) AS n,
+           round(CASE WHEN (n*sxx - sx*sx) > 0.0 AND (n*syy - sy*sy) > 0.0
+             THEN (n*sxy - sx*sy) / sqrt((n*sxx - sx*sx)*(n*syy - sy*sy)) END, 4) AS spearman
+         FROM s ORDER BY l_returnflag""",
 
     // identical (rt*ct)/n arithmetic from exact integer counts
     "q183_chi_square" ->

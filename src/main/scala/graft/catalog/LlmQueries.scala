@@ -1272,6 +1272,18 @@ object LlmQueries {
         .orderBy(col("l_returnflag"), col("l_linestatus"))
     }),
 
+    // --- literal occurrence offsets (span locate) ---------------------------
+    // Every 0-based char offset of "data" across the corpus, one row per
+    // occurrence — the contamination-audit span primitive.
+    "q188_occurrences" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          posexplode(graft.functions.TextFunctions
+            .occurrenceOffsets(col("text"), "data")).as(Seq("__i", "off")))
+        .select(col("doc_id"), (col("__i") + 1).cast("long").as("occ"),
+          col("off"))
+        .orderBy(col("doc_id"), col("occ"))),
+
     // --- boolean retrieval (Lucene BooleanQuery semantics) -----------------
     // must contain 'vector', must not contain 'slow'; 'table'/'query'
     // are optional coordination score.
@@ -2485,6 +2497,23 @@ object LlmQueries {
            round(CAST(min(v) AS DOUBLE), 4) AS vmin,
            round(CAST(max(v) AS DOUBLE), 4) AS vmax
          FROM v GROUP BY 1, 2 ORDER BY l_returnflag, l_linestatus""",
+
+    // same split-and-prefix-sum construction: string_split parts carry
+    // the inter-needle gaps; cumulative part lengths + (i-1)*|needle|
+    // recover each occurrence's 0-based offset
+    "q188_occurrences" ->
+      """WITH sp AS (SELECT doc_id, string_split(text, 'data') AS parts
+                     FROM documents),
+         p AS (SELECT doc_id, unnest(parts) AS part,
+                 unnest(range(1, len(parts) + 1)) AS i FROM sp),
+         o AS (
+           SELECT doc_id, CAST(i AS BIGINT) AS occ,
+             CAST(sum(length(part)) OVER (PARTITION BY doc_id ORDER BY i)
+               + (i - 1) * 4 AS BIGINT) AS off,
+             count(*) OVER (PARTITION BY doc_id) AS total
+           FROM p)
+         SELECT doc_id, occ, off FROM o WHERE occ < total
+         ORDER BY doc_id, occ""",
 
     // below the coupon-list threshold the HLL estimate is exact, so the
     // sketch-store answer equals a plain distinct count

@@ -144,6 +144,35 @@ object TextFunctions {
       (acc, t) => pmod(acc * 31L + pmod(xxhash64(t), p), p))
   }
 
+  /** All 0-based character offsets of a literal `needle` in `text`, as
+    * an array<bigint> in left-to-right order — the span-locate primitive
+    * under contamination auditing ("where exactly does the benchmark
+    * string appear?") and snippet anchoring. Matching is literal (the
+    * needle is regex-quoted) and NON-OVERLAPPING left-to-right: after a
+    * match the scan resumes past it, so `"aaaa"` with needle `"aa"`
+    * yields [0, 2] — the `string_split` convention every engine shares,
+    * which is what makes the offsets SQL-oracle-able.
+    *
+    * Shape: one codegen'd `split` plus a per-row `aggregate` fold over
+    * the parts (offset of occurrence i = Σ len(parts ≤ i) + (i−1)·|needle|)
+    * — a narrow projection, no shuffle, no UDF; null text → null. */
+  def occurrenceOffsets(text: Column, needle: String): Column = {
+    require(needle.nonEmpty, "needle must be non-empty")
+    val nl = lit(needle.length.toLong)
+    val parts = split(text, java.util.regex.Pattern.quote(needle), -1)
+    aggregate(
+      parts,
+      struct(lit(Array.empty[Long]).as("offs"), lit(0L).as("pos")),
+      (acc, p) => struct(
+        concat(acc.getField("offs"),
+          array(acc.getField("pos") + length(p).cast("long"))).as("offs"),
+        (acc.getField("pos") + length(p).cast("long") + nl).as("pos")),
+      // the fold appends one candidate per part; the last part ends at
+      // end-of-string, not at a needle — drop it
+      acc => slice(acc.getField("offs"), lit(1),
+        size(acc.getField("offs")) - 1))
+  }
+
   /** PII pattern masks shared by the Spark column and the SQL oracle.
     * RE2-safe subset (no lookaround/backrefs) so the same pattern strings
     * run identically on Java regex (Spark) and RE2 (DuckDB/production

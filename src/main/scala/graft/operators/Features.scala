@@ -154,6 +154,92 @@ object Features {
         (cov * cov) / (varX * varY)), 4).as("r2"))
   }
 
+  /** Equi-depth quantile binning: adds `<valCol>_bin` ∈ 1..numBins where
+    * bin boundaries are the exact (or t-digest) 1/numBins quantiles of
+    * the column — the discretization step in front of histogramming,
+    * monotone-feature bucketing, or stratified sampling on a continuous
+    * key. Bin of v = 1 + |{boundary b : v > b}| (upper-inclusive bins,
+    * the quantile_cont convention both engines share); nulls stay null.
+    *
+    * Scale shape: ONE aggregation computes all numBins−1 boundaries
+    * (single `percentile(col, array(...))` pass), the 1-row bound table
+    * broadcasts onto a narrow codegen'd projection (`size(filter(...))`
+    * over a numBins-sized constant array — no per-bin join, no shuffle
+    * of the fact). As with [[winsorize]], exact `percentile` holds the
+    * column in aggregation state — the correctness path; at corpus
+    * scale set `exact = false` (t-digest `approx_percentile`) or feed
+    * boundaries from the mergeable KLL store ([[Quantiles]]). */
+  def quantileBin(df: DataFrame, valCol: String, numBins: Int,
+                  exact: Boolean = true): DataFrame = {
+    require(numBins >= 2, s"numBins must be >= 2, got $numBins")
+    val ps = (1 until numBins).map(i => i.toDouble / numBins).mkString(", ")
+    val bexpr =
+      if (exact) expr(s"percentile($valCol, array($ps))")
+      else expr(s"approx_percentile($valCol, array($ps), 10000)")
+    val bounds = df.agg(bexpr.as("__bounds"))
+    df.crossJoin(broadcast(bounds))
+      .withColumn(valCol + "_bin",
+        when(col(valCol).isNull, lit(null).cast("int"))
+          .otherwise(lit(1) +
+            size(filter(col("__bounds"),
+              b => col(valCol).cast("double") > b))))
+      .drop("__bounds")
+  }
+
+  /** Per-group Spearman rank correlation — the monotone-association
+    * screen that is robust to outliers and nonlinearity (Pearson on
+    * average ranks, the standard tie-corrected form).
+    *
+    * Scale shape: ranks are NOT computed with a row-level window (a
+    * corpus-sized sort per group). Instead the average rank of every
+    * DISTINCT (group, value) pair derives from a distinct-sized count
+    * table + a cumulative window over distinct values only
+    * (avg rank = (2·cum − cnt + 1)/2, exactly rank() ties-averaged),
+    * then joins back onto the rows — the [[graft.operators.TimeSeries]]
+    * islands discipline: only value-cardinality-sized tables hit the
+    * ordered window, and AQE broadcasts them when small. One keyed
+    * aggregation then accumulates the Pearson sufficient statistics
+    * over the ranks.
+    *
+    * Determinism: average ranks are exact halves, held as DECIMAL(19,1);
+    * products and sums accumulate in DECIMAL (associative), the closed
+    * form runs in double from identical decimal sums (the [[olsFit]]
+    * discipline). Zero-variance groups (constant x or y) yield null.
+    * Rows with null x or y are excluded. Output: (groupCol, n, spearman
+    * rounded 4). */
+  def spearman(df: DataFrame, groupCol: String, xCol: String,
+               yCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rows = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(col(groupCol).as("__g"), col(xCol).as("__x"), col(yCol).as("__y"))
+    def ranks(vCol: String, out: String): DataFrame = {
+      val w = Window.partitionBy(col("__g")).orderBy(col(vCol))
+      rows.groupBy(col("__g"), col(vCol)).agg(count(lit(1)).as("__cnt"))
+        .withColumn("__cum", sum(col("__cnt")).over(w))
+        .select(col("__g"), col(vCol),
+          ((lit(2L) * col("__cum") - col("__cnt") + lit(1L)).cast("double") / 2.0)
+            .cast("decimal(19,1)").as(out))
+    }
+    val ranked = rows
+      .join(ranks("__x", "__rx"), Seq("__g", "__x"))
+      .join(ranks("__y", "__ry"), Seq("__g", "__y"))
+    val x = col("__rx"); val y = col("__ry")
+    val stats = ranked.groupBy(col("__g")).agg(
+      count(lit(1)).cast("double").as("n"),
+      sum(x).cast("double").as("sx"),
+      sum(y).cast("double").as("sy"),
+      sum((x * y).cast("decimal(38,2)")).cast("double").as("sxy"),
+      sum((x * x).cast("decimal(38,2)")).cast("double").as("sxx"),
+      sum((y * y).cast("decimal(38,2)")).cast("double").as("syy"))
+    val varX = col("n") * col("sxx") - col("sx") * col("sx")
+    val varY = col("n") * col("syy") - col("sy") * col("sy")
+    stats.select(col("__g").as(groupCol),
+      col("n").cast("bigint").as("n"),
+      round(when(varX > 0.0 && varY > 0.0,
+        (col("n") * col("sxy") - col("sx") * col("sy")) /
+          sqrt(varX * varY)), 4).as("spearman"))
+  }
+
   /** Chi-square contingency table between two categorical columns: per
     * cell the observed count, the independence-expected count
     * (rowTotal·colTotal/N), and the χ² contribution (obs−exp)²/exp —

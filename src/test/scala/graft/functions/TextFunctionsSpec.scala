@@ -125,4 +125,39 @@ class TextFunctionsSpec extends SparkSpec {
     // prose sits between junk and uniform-noise bounds
     assert(out(5L) > 2.0 && out(5L) < math.log(19), s"${out(5L)}")
   }
+
+  test("occurrenceOffsets: positions, edges, non-overlap, regex literals, null") {
+    val df = Seq(
+      (1L, Some("xxabyyabzz")),  // interior matches
+      (2L, Some("abxxab")),      // start + end
+      (3L, Some("ab")),          // whole string
+      (4L, Some("zzz")),         // no match
+      (5L, Some("")),            // empty text
+      (6L, None: Option[String]) // null text
+    ).toDF("id", "text")
+    val out = df.select($"id",
+      TextFunctions.occurrenceOffsets($"text", "ab").as("offs"))
+      .as[(Long, Option[Seq[Long]])].collect().toMap
+    assert(out(1L).get == Seq(2L, 6L), s"${out(1L)}")
+    assert(out(2L).get == Seq(0L, 4L), s"${out(2L)}")
+    assert(out(3L).get == Seq(0L), s"${out(3L)}")
+    assert(out(4L).get == Seq.empty, s"${out(4L)}")
+    assert(out(5L).get == Seq.empty, s"${out(5L)}")
+    assert(out(6L).isEmpty, "null text -> null")
+
+    // non-overlapping left-to-right: "aaaa" / "aa" -> [0, 2], not [0,1,2]
+    val aa = Seq(Tuple1("aaaa")).toDF("text")
+      .select(TextFunctions.occurrenceOffsets($"text", "aa"))
+      .as[Seq[Long]].collect().head
+    assert(aa == Seq(0L, 2L), s"$aa")
+
+    // needle with regex metacharacters is matched literally
+    val dot = Seq(Tuple1("a.b..b")).toDF("text")
+      .select(TextFunctions.occurrenceOffsets($"text", ".b"))
+      .as[Seq[Long]].collect().head
+    assert(dot == Seq(1L, 4L), s"$dot")
+
+    intercept[IllegalArgumentException](
+      TextFunctions.occurrenceOffsets($"text", ""))
+  }
 }

@@ -122,6 +122,62 @@ class FeaturesSpec extends SparkSpec {
     assert(row.getDouble(4) > 0.99, "near-perfect fit")
   }
 
+  test("quantileBin: equi-depth bins, boundary membership, nulls stay null") {
+    // values 1..8, 4 bins -> boundaries at quantile_cont .25/.5/.75 =
+    // 2.75, 4.5, 6.25; bin = 1 + #{b : v > b}
+    val df = (1 to 8).map(i => Tuple1(i.toDouble)).toDF("v")
+    val out = Features.quantileBin(df, "v", 4)
+      .select($"v", $"v_bin").as[(Double, Int)].collect().toMap
+    assert(out == Map(1.0 -> 1, 2.0 -> 1, 3.0 -> 2, 4.0 -> 2,
+      5.0 -> 3, 6.0 -> 3, 7.0 -> 4, 8.0 -> 4), s"$out")
+
+    // a value exactly on a boundary goes to the LOWER bin (v > b strict)
+    val onB = Seq(Tuple1(Some(4.5)), Tuple1(None))
+      .toDF("v")
+    val withNull = Features.quantileBin(
+      df.select($"v".cast("double").as("v")).union(onB.filter($"v".isNotNull))
+        .union(onB.filter($"v".isNull)), "v", 4)
+      .select($"v", $"v_bin").as[(Option[Double], Option[Int])].collect()
+    assert(withNull.collect { case (None, b) => b }.head.isEmpty,
+      "null value -> null bin")
+    intercept[IllegalArgumentException](Features.quantileBin(df, "v", 1))
+  }
+
+  test("spearman: perfect monotone, reversed, ties hand-check, constant null") {
+    // perfectly increasing -> 1.0; reversed -> -1.0
+    val inc = (1 to 6).map(i => ("g", i.toDouble, i * 10.0)).toDF("g", "x", "y")
+    assert(Features.spearman(inc, "g", "x", "y")
+      .as[(String, Long, Double)].collect().head == (("g", 6L, 1.0)))
+    val dec = (1 to 6).map(i => ("g", i.toDouble, -i * 2.0)).toDF("g", "x", "y")
+    assert(Features.spearman(dec, "g", "x", "y")
+      .as[(String, Long, Double)].collect().head == (("g", 6L, -1.0)))
+
+    // ties: x = (1,2,2,3), y = (1,2,3,4); avg ranks rx = 1, 2.5, 2.5, 4
+    // ry = 1..4 -> r = cov/sd = hand value
+    val tied = Seq(("g", 1.0, 1.0), ("g", 2.0, 2.0), ("g", 2.0, 3.0),
+      ("g", 3.0, 4.0)).toDF("g", "x", "y")
+    val rx = Seq(1.0, 2.5, 2.5, 4.0); val ry = Seq(1.0, 2.0, 3.0, 4.0)
+    val n = 4.0
+    val sx = rx.sum; val sy = ry.sum
+    val sxy = rx.zip(ry).map { case (a, b) => a * b }.sum
+    val sxx = rx.map(a => a * a).sum; val syy = ry.map(b => b * b).sum
+    val exp = BigDecimal((n * sxy - sx * sy) /
+        math.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(Features.spearman(tied, "g", "x", "y")
+      .as[(String, Long, Double)].collect().head == (("g", 4L, exp)))
+
+    // constant x -> zero variance -> null; null rows excluded from n
+    val const = Seq(("g", 1.0, 1.0), ("g", 1.0, 2.0)).toDF("g", "x", "y")
+    val row = Features.spearman(const, "g", "x", "y").collect().head
+    assert(row.isNullAt(2), row.toString)
+    val withNull = Seq(("g", Some(1.0), Some(1.0)), ("g", Some(2.0), Some(3.0)),
+      ("g", None, Some(9.0)), ("g", Some(3.0), Some(7.0)))
+      .toDF("g", "x", "y")
+    assert(Features.spearman(withNull, "g", "x", "y")
+      .as[(String, Long, Double)].collect().head == (("g", 3L, 1.0)))
+  }
+
   test("chiSquare: hand-computed 2x2 contingency") {
     // a:(x,x,y,y) b:(x,y,y,y) -> N=8, rt=4 each, ct: x=3, y=5
     val df = (Seq.fill(2)(("a", "x")) ++ Seq.fill(2)(("a", "y")) ++
