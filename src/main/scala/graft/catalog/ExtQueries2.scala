@@ -268,6 +268,46 @@ object ExtQueries2 {
           "l_returnflag", "l_quantity", "l_extendedprice")
         .orderBy(col("l_returnflag"))),
 
+    // --- Jaro-Winkler record linkage ---------------------------------------
+    // Best-matching supplier name per customer name (native codegen'd
+    // expression; all-pairs is the ORACLE shape — at scale the JW gate
+    // runs behind a blocked candidate join, see JaroWinkler scaladoc).
+    "q191_jaro_linkage" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val scored = t(s, d, "customer").select(col("c_name"))
+        .crossJoin(broadcast(t(s, d, "supplier").select(col("s_name"))))
+        .select(col("c_name"), col("s_name"),
+          round(graft.plans.JaroWinkler.jaroWinkler(
+            col("c_name"), col("s_name")), 4).as("jw"))
+      scored.withColumn("__rk", row_number().over(
+          Window.partitionBy(col("c_name"))
+            .orderBy(col("jw").desc, col("s_name").asc)))
+        .filter(col("__rk") === 1).drop("__rk")
+        .orderBy(col("c_name"))
+    }),
+
+    // --- Cohen's kappa (inter-rater agreement) -----------------------------
+    // Two heuristic length raters over documents: char buckets vs
+    // whitespace-token buckets.
+    "q192_kappa" -> ((s, d) => {
+      val tok = size(split(col("text"), " ", -1))
+      graft.operators.Features.cohenKappa(
+        t(s, d, "documents")
+          .withColumn("rater_chars",
+            when(col("n_chars") <= 250, "short")
+              .when(col("n_chars") <= 400, "medium").otherwise("long"))
+          .withColumn("rater_tokens",
+            when(tok <= 45, "short")
+              .when(tok <= 70, "medium").otherwise("long")),
+        "rater_chars", "rater_tokens")
+    }),
+
+    // --- mutual information screen -----------------------------------------
+    // Is document language independent of source?
+    "q193_mutual_info" -> ((s, d) =>
+      graft.operators.Features.mutualInfo(
+        t(s, d, "documents"), "lang", "source")),
+
     // --- chi-square independence screen -----------------------------------
     // Market segment x order priority: per-cell observed/expected/
     // contribution.
@@ -582,6 +622,65 @@ object ExtQueries2 {
            round(CASE WHEN (n*sxx - sx*sx) > 0.0 AND (n*syy - sy*sy) > 0.0
              THEN (n*sxy - sx*sy) / sqrt((n*sxx - sx*sx)*(n*syy - sy*sy)) END, 4) AS spearman
          FROM s ORDER BY l_returnflag""",
+
+    // DuckDB's jaro_winkler_similarity is the same classic definition
+    // (0.7 boost threshold, prefix <= 4, p = 0.1, empty -> 0) — verified
+    // bit-exact over all 150k name pairs; both engines rank on the
+    // rounded grid with the name tie-break
+    "q191_jaro_linkage" ->
+      """WITH p AS (SELECT c_name, s_name,
+           round(jaro_winkler_similarity(c_name, s_name), 4) AS jw
+         FROM customer, supplier),
+         r AS (SELECT *, row_number() OVER (PARTITION BY c_name
+            ORDER BY jw DESC, s_name ASC) AS rk FROM p)
+         SELECT c_name, s_name, jw FROM r WHERE rk = 1 ORDER BY c_name""",
+
+    // same exact-integer margins; pe sums count products in DECIMAL(38,0)
+    "q192_kappa" ->
+      """WITH r AS (SELECT
+           CASE WHEN n_chars <= 250 THEN 'short' WHEN n_chars <= 400 THEN 'medium'
+             ELSE 'long' END AS a,
+           CASE WHEN len(string_split(text, ' ')) <= 45 THEN 'short'
+             WHEN len(string_split(text, ' ')) <= 70 THEN 'medium'
+             ELSE 'long' END AS b
+         FROM documents),
+         base AS (SELECT CAST(count(*) AS BIGINT) AS n,
+            count(*) FILTER (a = b) AS agree FROM r),
+         ma AS (SELECT a AS l, count(*) AS ca FROM r GROUP BY 1),
+         mb AS (SELECT b AS l, count(*) AS cb FROM r GROUP BY 1),
+         pe AS (SELECT CAST(sum(CAST(coalesce(ca, 0) * coalesce(cb, 0)
+              AS DECIMAL(38,0))) AS DOUBLE) AS pn
+           FROM ma FULL JOIN mb USING (l))
+         SELECT n, round(agree / CAST(n AS DOUBLE), 4) AS po,
+           round(pn / (CAST(n AS DOUBLE) * n), 4) AS pe,
+           round(CASE WHEN pn / (CAST(n AS DOUBLE) * n) < 1.0
+             THEN (agree / CAST(n AS DOUBLE) - pn / (CAST(n AS DOUBLE) * n))
+               / (1.0 - pn / (CAST(n AS DOUBLE) * n)) END, 4) AS kappa
+         FROM base, pe""",
+
+    // identical per-cell information terms on the 9-grid decimal sum
+    "q193_mutual_info" ->
+      """WITH cell AS (SELECT lang AS a, source AS b, count(*) AS c
+            FROM documents GROUP BY 1, 2),
+         ma AS (SELECT a, sum(c) AS ca FROM cell GROUP BY 1),
+         mb AS (SELECT b, sum(c) AS cb FROM cell GROUP BY 1),
+         nn AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cell),
+         mi AS (SELECT CAST(sum(CAST(round(
+              (CAST(c AS DOUBLE) / n) * ln(CAST(c AS DOUBLE) * CAST(n AS DOUBLE)
+                / (CAST(ca AS DOUBLE) * CAST(cb AS DOUBLE))), 9)
+              AS DECIMAL(28,9))) AS DOUBLE) AS mi
+           FROM cell JOIN ma USING (a) JOIN mb USING (b), nn),
+         ha AS (SELECT CAST(sum(CAST(round(
+              -(CAST(ca AS DOUBLE) / n) * ln(CAST(ca AS DOUBLE) / n), 9)
+              AS DECIMAL(28,9))) AS DOUBLE) AS h FROM ma, nn),
+         hb AS (SELECT CAST(sum(CAST(round(
+              -(CAST(cb AS DOUBLE) / n) * ln(CAST(cb AS DOUBLE) / n), 9)
+              AS DECIMAL(28,9))) AS DOUBLE) AS h FROM mb, nn)
+         SELECT n, round(mi, 4) AS mi, round(ha.h, 4) AS h_a,
+           round(hb.h, 4) AS h_b,
+           round(CASE WHEN ha.h > 0.0 AND hb.h > 0.0
+             THEN mi / sqrt(ha.h * hb.h) END, 4) AS nmi
+         FROM nn, mi, ha, hb""",
 
     // identical (rt*ct)/n arithmetic from exact integer counts
     "q183_chi_square" ->

@@ -264,4 +264,82 @@ object Features {
         round(e, 4).as("expected"),
         round((col("obs") - e) * (col("obs") - e) / e, 4).as("contrib"))
   }
+
+  /** Cohen's kappa between two label columns — chance-corrected
+    * inter-rater agreement, the annotation-quality gate of a labeling
+    * pipeline (two annotators, or a model vs gold labels):
+    * κ = (p_o − p_e)/(1 − p_e) with p_o the observed agreement rate and
+    * p_e = Σ_label p_a(label)·p_b(label) the agreement expected from the
+    * raters' marginal distributions alone. κ = 1 is perfect agreement,
+    * 0 chance-level, < 0 worse than chance; degenerate p_e = 1 (both
+    * raters constant and equal) yields null, not NaN.
+    *
+    * Scale shape: agreement and both margins fold into ONE fact-sized
+    * aggregation pass each side (the [[chiSquare]] discipline) — the
+    * label-space-sized margin tables full-outer join on the label (a
+    * label one rater never uses contributes 0) and p_e sums exact
+    * integer count products in DECIMAL(38,0) (n² overflows long past
+    * n ≈ 3·10⁹ — corpus territory), so every derived double comes from
+    * exact integer arithmetic: engine-stable to the last bit. Rows with
+    * a null on either side are excluded. Output one row:
+    * (n, po, pe, kappa) rounded to 4. */
+  def cohenKappa(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val rows = df.filter(col(aCol).isNotNull && col(bCol).isNotNull)
+      .select(col(aCol).as("__a"), col(bCol).as("__b"))
+    val base = rows.agg(count(lit(1)).as("__n"),
+      count(when(col("__a") === col("__b"), lit(1))).as("__agree"))
+    val ma = rows.groupBy(col("__a").as("__l")).agg(count(lit(1)).as("__ca"))
+    val mb = rows.groupBy(col("__b").as("__l")).agg(count(lit(1)).as("__cb"))
+    val pe = ma.join(mb, Seq("__l"), "full")
+      .agg(sum((coalesce(col("__ca"), lit(0L)) * coalesce(col("__cb"), lit(0L)))
+        .cast("decimal(38,0)")).as("__pe_num"))
+    val po  = col("__agree").cast("double") / col("__n")
+    val peX = col("__pe_num").cast("double") /
+      (col("__n").cast("double") * col("__n"))
+    base.crossJoin(broadcast(pe))
+      .select(col("__n").as("n"), round(po, 4).as("po"),
+        round(peX, 4).as("pe"),
+        round(when(peX < 1.0, (po - peX) / (lit(1.0) - peX)), 4).as("kappa"))
+  }
+
+  /** Mutual information between two categorical columns, in nats, with
+    * marginal entropies and the normalized form
+    * NMI = I/√(H_a·H_b) — the feature-selection/dependence screen that,
+    * unlike [[chiSquare]], is directly comparable across feature pairs.
+    * I = Σ_cells p(a,b)·ln(p(a,b)·N²/(c_a·c_b·N)) from exact counts.
+    *
+    * Scale shape: one fact-sized cell aggregation, margins derive from
+    * the |A|×|B| cell table and ride broadcast joins (the [[chiSquare]]
+    * plan verbatim); per-cell information terms round to the 9-grid and
+    * sum in DECIMAL(28,9) (the q73 discipline — ln() doubles are
+    * IEEE-exact for given inputs, only the SUM order needs pinning).
+    * Nulls excluded. Degenerate single-valued columns give H = 0 and
+    * null NMI. Output one row: (n, mi, h_a, h_b, nmi) rounded to 4. */
+  def mutualInfo(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val dec = (c: Column) => round(c, 9).cast("decimal(28,9)")
+    val cell = df.filter(col(aCol).isNotNull && col(bCol).isNotNull)
+      .groupBy(col(aCol).as("__a"), col(bCol).as("__b"))
+      .agg(count(lit(1)).as("__c"))
+    val ma = cell.groupBy(col("__a")).agg(sum(col("__c")).as("__ca"))
+    val mb = cell.groupBy(col("__b")).agg(sum(col("__c")).as("__cb"))
+    val n = cell.agg(sum(col("__c")).as("__n"))
+    def entropy(margin: DataFrame, cnt: String): DataFrame = {
+      val p = col(cnt).cast("double") / col("__n")
+      margin.crossJoin(broadcast(n))
+        .agg(sum(dec(-p * log(p))).cast("double").as("__h"))
+    }
+    val mi = cell.join(broadcast(ma), "__a").join(broadcast(mb), "__b")
+      .crossJoin(broadcast(n))
+      .agg(sum(dec((col("__c").cast("double") / col("__n")) *
+        log(col("__c").cast("double") * col("__n").cast("double") /
+          (col("__ca").cast("double") * col("__cb").cast("double")))))
+        .cast("double").as("__mi"))
+    n.crossJoin(broadcast(mi))
+      .crossJoin(broadcast(entropy(ma, "__ca").select(col("__h").as("__ha"))))
+      .crossJoin(broadcast(entropy(mb, "__cb").select(col("__h").as("__hb"))))
+      .select(col("__n").as("n"), round(col("__mi"), 4).as("mi"),
+        round(col("__ha"), 4).as("h_a"), round(col("__hb"), 4).as("h_b"),
+        round(when(col("__ha") > 0.0 && col("__hb") > 0.0,
+          col("__mi") / sqrt(col("__ha") * col("__hb"))), 4).as("nmi"))
+  }
 }

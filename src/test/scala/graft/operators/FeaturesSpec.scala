@@ -178,6 +178,54 @@ class FeaturesSpec extends SparkSpec {
       .as[(String, Long, Double)].collect().head == (("g", 3L, 1.0)))
   }
 
+  test("cohenKappa: textbook 2x2, disjoint labels, degenerate, nulls") {
+    // (yes,yes),(yes,no),(no,no),(no,no): po = 3/4; margins A 2/2, B 1/3
+    // -> pe = (2*1 + 2*3)/16 = 0.5 -> kappa = 0.5
+    val df = Seq(("yes", "yes"), ("yes", "no"), ("no", "no"), ("no", "no"))
+      .toDF("a", "b")
+    val r = Features.cohenKappa(df, "a", "b")
+      .as[(Long, Double, Double, Double)].collect().head
+    assert(r == ((4L, 0.75, 0.5, 0.5)), s"$r")
+
+    // disjoint label spaces: po = 0, pe = 0 -> kappa = 0
+    val disj = Seq(("x", "y"), ("x", "y")).toDF("a", "b")
+    val rd = Features.cohenKappa(disj, "a", "b")
+      .as[(Long, Double, Double, Double)].collect().head
+    assert(rd == ((2L, 0.0, 0.0, 0.0)), s"$rd")
+
+    // both raters constant and equal: pe = 1 -> kappa null (not NaN)
+    val const = Seq(("k", "k"), ("k", "k")).toDF("a", "b")
+    val rc = Features.cohenKappa(const, "a", "b").collect().head
+    assert(rc.getDouble(1) == 1.0 && rc.getDouble(2) == 1.0 && rc.isNullAt(3))
+
+    // null on either side excluded from n
+    val withNull = Seq((Some("y"), Some("y")), (None, Some("y")),
+      (Some("y"), None), (Some("n"), Some("n"))).toDF("a", "b")
+    assert(Features.cohenKappa(withNull, "a", "b")
+      .select($"n").as[Long].collect().head == 2L)
+  }
+
+  test("mutualInfo: independence -> 0, perfect dependence -> ln 2 / NMI 1") {
+    // all four combos equally often: MI = 0, NMI = 0
+    val ind = Seq(("x", "1"), ("x", "2"), ("y", "1"), ("y", "2"))
+      .toDF("a", "b")
+    val ri = Features.mutualInfo(ind, "a", "b")
+      .as[(Long, Double, Double, Double, Double)].collect().head
+    assert(ri == ((4L, 0.0, 0.6931, 0.6931, 0.0)), s"$ri")
+
+    // x<->1, y<->2 deterministically: MI = H = ln 2, NMI = 1
+    val dep = Seq(("x", "1"), ("x", "1"), ("y", "2"), ("y", "2"))
+      .toDF("a", "b")
+    val rd = Features.mutualInfo(dep, "a", "b")
+      .as[(Long, Double, Double, Double, Double)].collect().head
+    assert(rd == ((4L, 0.6931, 0.6931, 0.6931, 1.0)), s"$rd")
+
+    // single-valued column: H_a = 0 -> NMI null
+    val degen = Seq(("k", "1"), ("k", "2")).toDF("a", "b")
+    val rg = Features.mutualInfo(degen, "a", "b").collect().head
+    assert(rg.getDouble(2) == 0.0 && rg.isNullAt(4), s"$rg")
+  }
+
   test("chiSquare: hand-computed 2x2 contingency") {
     // a:(x,x,y,y) b:(x,y,y,y) -> N=8, rt=4 each, ct: x=3, y=5
     val df = (Seq.fill(2)(("a", "x")) ++ Seq.fill(2)(("a", "y")) ++
