@@ -273,16 +273,23 @@ object ExtQueries2 {
     // expression; all-pairs is the ORACLE shape — at scale the JW gate
     // runs behind a blocked candidate join, see JaroWinkler scaladoc).
     "q191_jaro_linkage" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
+      // rank = (jw DESC, s_name ASC) ≡ min(struct(-jw, s_name)): the
+      // all-pairs scores never leave the map side — a partial-combined
+      // 15k-group agg replaces the oracle's corpus-sized window sort.
+      // the probe side is one small parquet file → one scan task; spread
+      // it so the 15M-pair JW loop uses every core, not one
       val scored = t(s, d, "customer").select(col("c_name"))
+        .repartition(s.sparkContext.defaultParallelism)
         .crossJoin(broadcast(t(s, d, "supplier").select(col("s_name"))))
         .select(col("c_name"), col("s_name"),
           round(graft.plans.JaroWinkler.jaroWinkler(
             col("c_name"), col("s_name")), 4).as("jw"))
-      scored.withColumn("__rk", row_number().over(
-          Window.partitionBy(col("c_name"))
-            .orderBy(col("jw").desc, col("s_name").asc)))
-        .filter(col("__rk") === 1).drop("__rk")
+      scored
+        .groupBy(col("c_name"))
+        .agg(min(struct(negate(col("jw")).as("njw"), col("s_name"),
+          col("jw"))).as("best"))
+        .select(col("c_name"), col("best.s_name").as("s_name"),
+          col("best.jw").as("jw"))
         .orderBy(col("c_name"))
     }),
 

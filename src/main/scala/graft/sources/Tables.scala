@@ -28,17 +28,26 @@ object Tables {
 
   /** `events` with `ts` normalized to a microsecond TimestampType.
     *
-    * The testdata writes parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects; with `spark.sql.legacy.parquet.nanosAsLong=true` (set
-    * by [[graft.GraftSession]] / Verify / Bench) the column arrives as a
-    * nanosecond LongType which we truncate to µs — the same truncation
-    * DuckDB applies reading the file, so both engines see identical values.
+    * The testdata has shipped `ts` two ways across rounds: parquet
+    * TIMESTAMP(NANOS) — which Spark's vectorized reader rejects, so with
+    * `spark.sql.legacy.parquet.nanosAsLong=true` (set by
+    * [[graft.GraftSession]] / Verify / Bench) the column arrives as a
+    * nanosecond LongType we truncate to µs — and plain TIMESTAMP(MICROS)
+    * without UTC adjustment, which Spark reads as TIMESTAMP_NTZ. Both are
+    * normalized to TimestampType here (the session timezone is pinned to
+    * UTC, so the NTZ cast preserves wall-clock values); DuckDB reads
+    * either file to the same naive microsecond timestamps, so both
+    * engines see identical values.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     val raw = table(spark, dir, "events")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.col("ts").cast(
+            org.apache.spark.sql.types.TimestampType))
       case _ => raw
     }
   }
