@@ -323,7 +323,46 @@ object ExtQueries2 {
           t(s, d, "orders").join(t(s, d, "customer"),
             col("o_custkey") === col("c_custkey")),
           "c_mktsegment", "o_orderpriority")
-        .orderBy(col("c_mktsegment"), col("o_orderpriority"))))
+        .orderBy(col("c_mktsegment"), col("o_orderpriority"))),
+
+    // --- tie-aware ROC AUC per group ---------------------------------------
+    // Does event value rank afternoon vs morning events, per type?
+    "q194_roc_auc" -> ((s, d) =>
+      graft.operators.Eval.rocAuc(
+          ev(s, d).withColumn("is_pm",
+            (hour(col("ts")) >= 12).cast("int")),
+          "event_type", "is_pm", "value")
+        .orderBy(col("event_type"))),
+
+    // --- two-sample Kolmogorov-Smirnov drift test --------------------------
+    // Do click and view events draw their values from the same
+    // distribution?
+    "q195_ks_drift" -> ((s, d) =>
+      graft.operators.Eval.ksTest(
+        ev(s, d), "event_type", "value", "click", "view")),
+
+    // --- population stability index ----------------------------------------
+    // Order-price drift: pre-1996 orders as reference, 1996+ as current.
+    "q196_psi" -> ((s, d) => {
+      val o = t(s, d, "orders")
+      graft.operators.Eval.psi(
+          o.filter(col("o_orderdate") < lit("1996-01-01")),
+          o.filter(col("o_orderdate") >= lit("1996-01-01")),
+          "o_totalprice", numBins = 10)
+        .orderBy(col("bin"))
+    }),
+
+    // --- Gini concentration per group --------------------------------------
+    // How unevenly is order spend distributed within each priority class?
+    "q197_gini" -> ((s, d) =>
+      graft.operators.Eval.gini(
+          t(s, d, "orders"), "o_orderpriority", "o_totalprice")
+        .orderBy(col("o_orderpriority"))),
+
+    // --- Benford first-digit screen ----------------------------------------
+    "q198_benford" -> ((s, d) =>
+      graft.operators.Eval.benford(t(s, d, "lineitem"), "l_extendedprice")
+        .orderBy(col("digit"))))
 
   def oracleSql: Map[String, String] = Map(
     "q63_interval_join" ->
@@ -706,5 +745,111 @@ object ExtQueries2 {
              / (rt.rt * ct.ct / n.n), 4) AS contrib
          FROM cell JOIN rt USING (c_mktsegment)
            JOIN ct USING (o_orderpriority), n
-         ORDER BY c_mktsegment, o_orderpriority""")
+         ORDER BY c_mktsegment, o_orderpriority""",
+
+    // identical score-level integer rank arithmetic in DECIMAL(38,0);
+    // the only float op is the single final division
+    "q194_roc_auc" ->
+      """WITH r AS (SELECT event_type AS g,
+             CASE WHEN hour(ts) >= 12 THEN 1 ELSE 0 END AS y, value AS s
+           FROM events WHERE value IS NOT NULL),
+         lvl AS (SELECT g, s, sum(y) AS p, sum(1 - y) AS q, count(*) AS t
+           FROM r GROUP BY 1, 2),
+         walked AS (SELECT g, p, q,
+             CAST(p * (2 * (sum(t) OVER (PARTITION BY g ORDER BY s) - t)
+               + t + 1) AS DECIMAL(38,0)) AS u2
+           FROM lvl),
+         agg AS (SELECT g, sum(p) AS np, sum(q) AS nq, sum(u2) AS s2
+           FROM walked GROUP BY 1)
+         SELECT g AS event_type, CAST(np AS BIGINT) AS n_pos,
+           CAST(nq AS BIGINT) AS n_neg,
+           round(CASE WHEN np > 0 AND nq > 0 THEN
+             CAST(s2 - CAST(np AS DECIMAL(38,0)) * (np + 1) AS DOUBLE)
+               / (2.0 * np * nq) END, 6) AS auc
+         FROM agg ORDER BY event_type""",
+
+    // sup over the distinct-value grid; exact cross-multiplied integer
+    // numerator |cumA*nb - cumB*na| in DECIMAL(38,0)
+    "q195_ks_drift" ->
+      """WITH r AS (SELECT (event_type = 'click') AS a, value AS v
+           FROM events
+           WHERE value IS NOT NULL AND event_type IN ('click', 'view')),
+         lvl AS (SELECT v,
+             sum(CASE WHEN a THEN 1 ELSE 0 END) AS ca,
+             sum(CASE WHEN a THEN 0 ELSE 1 END) AS cb
+           FROM r GROUP BY 1),
+         tot AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM lvl),
+         walked AS (SELECT sum(ca) OVER (ORDER BY v) AS cuma,
+             sum(cb) OVER (ORDER BY v) AS cumb
+           FROM lvl)
+         SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+           round(CASE WHEN na > 0 AND nb > 0 THEN
+             CAST(max(abs(CAST(cuma AS DECIMAL(38,0)) * nb
+               - CAST(cumb AS DECIMAL(38,0)) * na)) AS DOUBLE)
+               / (CAST(na AS DOUBLE) * nb) END, 6) AS ks_d
+         FROM walked, tot GROUP BY na, nb""",
+
+    // reference-quantile binning (the q189 quantile_cont convention),
+    // 1e-6 fraction floor, per-term 9-grid ln
+    "q196_psi" ->
+      """WITH ref AS (SELECT o_totalprice AS v FROM orders
+           WHERE o_orderdate < DATE '1996-01-01'),
+         cur AS (SELECT o_totalprice AS v FROM orders
+           WHERE o_orderdate >= DATE '1996-01-01'),
+         b AS (SELECT quantile_cont(v, [0.1, 0.2, 0.3, 0.4, 0.5,
+             0.6, 0.7, 0.8, 0.9]) AS bounds FROM ref),
+         rb AS (SELECT 1 + len(list_filter(bounds, x -> v > x)) AS bin,
+             count(*) AS ref_n FROM ref, b GROUP BY 1),
+         cb AS (SELECT 1 + len(list_filter(bounds, x -> v > x)) AS bin,
+             count(*) AS cur_n FROM cur, b GROUP BY 1),
+         j AS (SELECT coalesce(rb.bin, cb.bin) AS bin,
+             coalesce(ref_n, 0) AS ref_n, coalesce(cur_n, 0) AS cur_n
+           FROM rb FULL JOIN cb ON rb.bin = cb.bin),
+         t AS (SELECT sum(ref_n) AS rt, sum(cur_n) AS ct FROM j),
+         f AS (SELECT bin, ref_n, cur_n,
+             greatest(ref_n / CAST(rt AS DOUBLE), 1e-6) AS p,
+             greatest(cur_n / CAST(ct AS DOUBLE), 1e-6) AS q
+           FROM j, t)
+         SELECT CAST(bin AS INT) AS bin, CAST(ref_n AS BIGINT) AS ref_n,
+           CAST(cur_n AS BIGINT) AS cur_n,
+           round(p, 6) AS ref_frac, round(q, 6) AS cur_frac,
+           round((q - p) * ln(q / p), 9) AS psi_term
+         FROM f ORDER BY bin""",
+
+    // level term v*c*(2s+c-n): one IEEE double product per distinct
+    // value, 9-grid rounded, DECIMAL(38,9) sum — identical here
+    "q197_gini" ->
+      """WITH r AS (SELECT o_orderpriority AS g, round(o_totalprice, 9) AS v
+           FROM orders WHERE o_totalprice IS NOT NULL),
+         lvl AS (SELECT g, v, count(*) AS c FROM r GROUP BY 1, 2),
+         tot AS (SELECT g, CAST(sum(c) AS BIGINT) AS n,
+             sum(CAST(round(v * c, 9) AS DECIMAL(38,9))) AS sx
+           FROM lvl GROUP BY 1),
+         walked AS (SELECT g, v, c,
+             sum(c) OVER (PARTITION BY g ORDER BY v) AS cum FROM lvl),
+         agg AS (SELECT w.g, sum(CAST(round(
+               v * CAST(c * (2 * (cum - c) + c - n) AS DOUBLE), 9)
+             AS DECIMAL(38,9))) AS num
+           FROM walked w JOIN tot USING (g) GROUP BY 1)
+         SELECT g AS o_orderpriority, n,
+           round(CASE WHEN n > 0 AND sx <> 0 THEN CAST(num AS DOUBLE)
+             / (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE)) END, 6) AS gini
+         FROM agg JOIN tot USING (g) ORDER BY o_orderpriority""",
+
+    // string-based first-digit extraction at DECIMAL(18,4) rendering —
+    // no float log10 in the digit path; expected law on the 9-grid
+    "q198_benford" ->
+      """WITH d AS (SELECT CAST(regexp_extract(CAST(CAST(abs(l_extendedprice)
+             AS DECIMAL(18,4)) AS VARCHAR), '[1-9]', 0) AS INT) AS digit
+           FROM lineitem
+           WHERE l_extendedprice IS NOT NULL
+             AND regexp_extract(CAST(CAST(abs(l_extendedprice)
+               AS DECIMAL(18,4)) AS VARCHAR), '[1-9]', 0) <> ''),
+         c AS (SELECT digit, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY 1),
+         t AS (SELECT sum(n) AS tt FROM c),
+         f AS (SELECT digit, n, n / CAST(tt AS DOUBLE) AS obs,
+             round(log10(1.0 + 1.0 / digit), 9) AS e, tt FROM c, t)
+         SELECT digit, n, round(obs, 6) AS obs_frac, e AS exp_frac,
+           round(tt * (obs - e) * (obs - e) / e, 4) AS chi2_term
+         FROM f ORDER BY digit""")
 }

@@ -1,0 +1,249 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Model-evaluation and distribution-drift statistics — the measurements
+  * a training-data pipeline runs on its OWN outputs: how well a score
+  * ranks a label (AUC), whether serving data still looks like training
+  * data (KS, PSI), how concentrated a quantity is (Gini), whether a
+  * numeric column looks organically generated (Benford). The categorical
+  * dependence screens (χ², mutual information, Cohen's κ) live in
+  * [[Features]]; these are their ordered/numeric cousins.
+  *
+  * Scale discipline shared by all rank statistics here (the
+  * [[Features.spearman]] / islands pattern): nothing row-sized ever hits
+  * an ordered window. Every cumulative walk runs over a DISTINCT-VALUE
+  * table (per group where grouped), so the ordered exchange is bounded
+  * by value cardinality, not corpus size — for model scores that is the
+  * score grid (probabilities land on a rounded grid; round them first if
+  * truly continuous), for drift tests the value grid, for PSI just
+  * `numBins` rows. All rank arithmetic is EXACT integer math held in
+  * DECIMAL(38,0) until the single final division, so results are
+  * bit-stable across partitionings and engines (the q192 kappa
+  * discipline).
+  */
+object Eval {
+
+  /** Tie-aware ROC AUC per group — the probability a random positive
+    * outranks a random negative (ties count ½), i.e. the Mann-Whitney
+    * U statistic normalized: with average ranks R over the pooled
+    * scores, AUC = (Σ_pos R − n⁺(n⁺+1)/2) / (n⁺·n⁻).
+    *
+    * Computed without ranking rows: for a distinct-score level holding
+    * p positives and q negatives (t = p+q) with c rows at lower scores,
+    * every member's average rank is c + (t+1)/2, so the level
+    * contributes p·(2c + t + 1) to 2·Σ_pos R — integer arithmetic on
+    * the score-level table only. AUC = (Σ p(2c+t+1) − n⁺(n⁺+1)) /
+    * (2·n⁺·n⁻), exact in DECIMAL(38,0) until the final division.
+    *
+    * Label contract: null labels/scores drop; label casts to int,
+    * nonzero = positive (booleans cast true→1). Groups with no
+    * positives or no negatives yield null AUC (undefined, not 0.5 —
+    * a silent 0.5 would read as "uninformative" when it means
+    * "unmeasurable"). Output: (groupCol, n_pos, n_neg, auc rounded 6).
+    */
+  def rocAuc(df: DataFrame, groupCol: String, labelCol: String,
+             scoreCol: String): DataFrame = {
+    val rows = df
+      .filter(col(labelCol).isNotNull && col(scoreCol).isNotNull)
+      .select(col(groupCol).as("__g"),
+        (col(labelCol).cast("int") =!= 0).as("__pos"),
+        col(scoreCol).cast("double").as("__s"))
+    val level = rows.groupBy(col("__g"), col("__s"))
+      .agg(sum(when(col("__pos"), 1L).otherwise(0L)).as("__p"),
+        sum(when(col("__pos"), 0L).otherwise(1L)).as("__q"))
+      .withColumn("__t", col("__p") + col("__q"))
+    val w = Window.partitionBy(col("__g")).orderBy(col("__s"))
+    val walked = level
+      .withColumn("__cum", sum(col("__t")).over(w))
+      // p·(2c + t + 1) with c = rows strictly below this score level
+      .withColumn("__u2",
+        (col("__p") * (lit(2L) * (col("__cum") - col("__t")) +
+          col("__t") + lit(1L))).cast("decimal(38,0)"))
+    walked.groupBy(col("__g")).agg(
+        sum(col("__p")).as("n_pos"),
+        sum(col("__q")).as("n_neg"),
+        sum(col("__u2")).as("__s2"))
+      .select(col("__g").as(groupCol),
+        col("n_pos"), col("n_neg"),
+        round(when(col("n_pos") > 0 && col("n_neg") > 0,
+          (col("__s2") - col("n_pos").cast("decimal(38,0)") *
+            (col("n_pos") + lit(1L)).cast("decimal(38,0)")).cast("double") /
+            (lit(2.0) * col("n_pos") * col("n_neg"))), 6).as("auc"))
+  }
+
+  /** Two-sample Kolmogorov-Smirnov statistic — the distribution-drift
+    * test on a NUMERIC column: D = sup_x |F_a(x) − F_b(x)| over the
+    * empirical CDFs of the two samples. Sensitive to any difference
+    * (location, scale, shape), unlike a mean check.
+    *
+    * One value-level aggregation (counts per distinct value per
+    * sample), one cumulative walk over the distinct-value grid, and
+    * the sup is exact integer arithmetic: D = max|cumA·n_b − cumB·n_a|
+    * / (n_a·n_b), held in DECIMAL(38,0) until the final division.
+    * Rows whose sample label is neither `aLabel` nor `bLabel` (or
+    * whose value is null) drop. Output: one row
+    * (n_a, n_b, ks_d rounded 6); ks_d null if either sample is empty.
+    */
+  def ksTest(df: DataFrame, sampleCol: String, valCol: String,
+             aLabel: String, bLabel: String): DataFrame = {
+    val rows = df
+      .filter(col(valCol).isNotNull &&
+        col(sampleCol).isin(aLabel, bLabel))
+      .select((col(sampleCol) === aLabel).as("__a"),
+        col(valCol).cast("double").as("__v"))
+    val level = rows.groupBy(col("__v"))
+      .agg(sum(when(col("__a"), 1L).otherwise(0L)).as("__ca"),
+        sum(when(col("__a"), 0L).otherwise(1L)).as("__cb"))
+    // distinct-value grid only — the documented bounded-window trade
+    val w = Window.orderBy(col("__v"))
+    val totals = level.agg(sum(col("__ca")).as("n_a"),
+      sum(col("__cb")).as("n_b"))
+    level
+      .withColumn("__cuma", sum(col("__ca")).over(w))
+      .withColumn("__cumb", sum(col("__cb")).over(w))
+      .crossJoin(broadcast(totals))
+      .select(col("n_a"), col("n_b"),
+        abs(col("__cuma").cast("decimal(38,0)") * col("n_b") -
+          col("__cumb").cast("decimal(38,0)") * col("n_a")).as("__d"))
+      .groupBy(col("n_a"), col("n_b"))
+      .agg(round(when(col("n_a") > 0 && col("n_b") > 0,
+        max(col("__d")).cast("double") /
+          (col("n_a").cast("double") * col("n_b"))), 6).as("ks_d"))
+  }
+
+  /** Population Stability Index per bin — the serving-vs-training drift
+    * monitor on a numeric column: bin both populations by the
+    * REFERENCE's exact quantile boundaries (the [[Features.quantileBin]]
+    * convention: bin = 1 + #{boundaries < value}), then per bin
+    * PSI_i = (q_i − p_i)·ln(q_i/p_i) with p = reference fraction,
+    * q = current fraction. Σ PSI_i < 0.1 is the conventional "stable"
+    * reading; per-bin terms localize WHERE the shift happened, which is
+    * why this returns the per-bin table rather than one number.
+    *
+    * Empty-bin handling: fractions floor at 1e-6 (deterministic, both
+    * engines) so a vanished or newborn bin contributes a large finite
+    * term instead of ±∞. Each term rounds to the 9-grid (ln parity is
+    * the q193 exposure). Scale: two fact-sized binning passes against a
+    * broadcast boundary array + two numBins-sized aggs; `exact = false`
+    * swaps the reference percentile for t-digest at corpus scale.
+    * Output: (bin, ref_n, cur_n, ref_frac, cur_frac, psi_term) ordered
+    * by bin. */
+  def psi(ref: DataFrame, cur: DataFrame, valCol: String,
+          numBins: Int = 10, exact: Boolean = true): DataFrame = {
+    require(numBins >= 2, s"numBins must be >= 2, got $numBins")
+    val ps = (1 until numBins).map(i => i.toDouble / numBins).mkString(", ")
+    val bexpr =
+      if (exact) expr(s"percentile($valCol, array($ps))")
+      else expr(s"approx_percentile($valCol, array($ps), 10000)")
+    val bounds = ref.agg(bexpr.as("__bounds"))
+    def binned(df: DataFrame, out: String): DataFrame =
+      df.filter(col(valCol).isNotNull)
+        .crossJoin(broadcast(bounds))
+        .select((lit(1) + size(filter(col("__bounds"),
+          b => col(valCol).cast("double") > b))).as("bin"))
+        .groupBy(col("bin")).agg(count(lit(1)).as(out))
+    val joined = binned(ref, "ref_n")
+      .join(binned(cur, "cur_n"), Seq("bin"), "full_outer")
+      .select(col("bin"),
+        coalesce(col("ref_n"), lit(0L)).as("ref_n"),
+        coalesce(col("cur_n"), lit(0L)).as("cur_n"))
+    val totals = joined.agg(sum(col("ref_n")).as("__rt"),
+      sum(col("cur_n")).as("__ct"))
+    joined.crossJoin(broadcast(totals))
+      .select(col("bin"), col("ref_n"), col("cur_n"),
+        greatest(col("ref_n").cast("double") / col("__rt"), lit(1e-6))
+          .as("__p"),
+        greatest(col("cur_n").cast("double") / col("__ct"), lit(1e-6))
+          .as("__q"))
+      .select(col("bin"), col("ref_n"), col("cur_n"),
+        round(col("__p"), 6).as("ref_frac"),
+        round(col("__q"), 6).as("cur_frac"),
+        round((col("__q") - col("__p")) * log(col("__q") / col("__p")), 9)
+          .as("psi_term"))
+  }
+
+  /** Gini coefficient per group — inequality of a non-negative quantity
+    * (sampling-weight concentration, per-source token share, spend):
+    * G = Σᵢ (2i − n − 1)·x₍ᵢ₎ / (n·Σx) over ascending values, 0 =
+    * perfectly even, (n−1)/n = one holder has everything.
+    *
+    * Rank-free form: a distinct-value level (value v, count c, s rows
+    * strictly below) contributes v·c·(2s + c − n) to the numerator.
+    * Each level term is ONE IEEE double product (bit-identical on any
+    * engine given identical inputs), rounded to the 9-grid and summed
+    * in DECIMAL(38,9) — associative, so partition order can't move the
+    * result; a decimal×decimal form would instead overflow the 38-digit
+    * cap with engine-specific truncation. Negative values violate the Lorenz
+    * construction; they are the caller's contract (the result is then
+    * merely a ratio, not an inequality index). Null values drop; groups
+    * with n = 0 or Σx = 0 yield null. Output: (groupCol, n, gini
+    * rounded 6). */
+  def gini(df: DataFrame, groupCol: String, valCol: String): DataFrame = {
+    val rows = df.filter(col(valCol).isNotNull)
+      .select(col(groupCol).as("__g"),
+        round(col(valCol).cast("double"), 9).as("__v"))
+    val level = rows.groupBy(col("__g"), col("__v"))
+      .agg(count(lit(1)).as("__c"))
+    val totals = level.groupBy(col("__g")).agg(
+      sum(col("__c")).as("__n"),
+      sum(round(col("__v") * col("__c"), 9).cast("decimal(38,9)"))
+        .as("__sx"))
+    val w = Window.partitionBy(col("__g")).orderBy(col("__v"))
+    level
+      .withColumn("__cum", sum(col("__c")).over(w))
+      .join(totals, Seq("__g"))
+      .select(col("__g"), col("__n"), col("__sx"),
+        round(col("__v") *
+          (col("__c") * (lit(2L) * (col("__cum") - col("__c")) +
+            col("__c") - col("__n"))).cast("double"), 9)
+          .cast("decimal(38,9)").as("__term"))
+      .groupBy(col("__g"), col("__n"), col("__sx"))
+      .agg(sum(col("__term")).as("__num"))
+      .select(col("__g").as(groupCol),
+        col("__n").as("n"),
+        round(when(col("__n") > 0 && col("__sx") =!= 0,
+          col("__num").cast("double") /
+            (col("__n").cast("double") * col("__sx").cast("double"))), 6)
+          .as("gini"))
+  }
+
+  /** Benford first-significant-digit screen — does a naturally-generated
+    * numeric column follow log₁₀(1 + 1/d)? Fabricated, truncated, or
+    * capped data deviates; the χ² contributions localize which digits.
+    *
+    * Digit extraction is STRING-based, not log-based: the value rounds
+    * to DECIMAL(18,4) (fixed-point rendering is identical across
+    * engines; float log10 at exact powers of ten is not) and the first
+    * [1-9] character of the rendering is the digit. Zeros, nulls, and
+    * values that round to 0 drop. One digit-keyed agg (9 groups) + a
+    * 1-row total broadcast. Expected fractions round to the 9-grid (the
+    * q193 ln-parity exposure). Output: (digit, n, obs_frac, exp_frac,
+    * chi2_term) ordered by digit. */
+  def benford(df: DataFrame, valCol: String): DataFrame = {
+    val digit = regexp_extract(
+      abs(col(valCol).cast("double")).cast("decimal(18,4)").cast("string"),
+      "[1-9]", 0)
+    val counts = df
+      .filter(col(valCol).isNotNull)
+      .select(digit.as("__d"))
+      .filter(col("__d") =!= "")
+      .select(col("__d").cast("int").as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    val total = counts.agg(sum(col("n")).as("__t"))
+    counts.crossJoin(broadcast(total))
+      .select(col("digit"), col("n"),
+        (col("n").cast("double") / col("__t")).as("__obs"),
+        round(log(10.0, lit(1.0) + lit(1.0) / col("digit")), 9)
+          .as("exp_frac"),
+        col("__t"))
+      .select(col("digit"), col("n"),
+        round(col("__obs"), 6).as("obs_frac"),
+        col("exp_frac"),
+        round(col("__t") * (col("__obs") - col("exp_frac")) *
+          (col("__obs") - col("exp_frac")) / col("exp_frac"), 4)
+          .as("chi2_term"))
+  }
+}

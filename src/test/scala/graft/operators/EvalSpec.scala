@@ -1,0 +1,192 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class EvalSpec extends SparkSpec {
+  import spark.implicits._
+
+  // --- rocAuc --------------------------------------------------------------
+
+  test("rocAuc: perfect separation → 1.0, reversed → 0.0") {
+    val df = Seq(
+      ("g", 1, 0.9), ("g", 1, 0.8), ("g", 0, 0.2), ("g", 0, 0.1),
+      ("r", 0, 0.9), ("r", 0, 0.8), ("r", 1, 0.2), ("r", 1, 0.1))
+      .toDF("grp", "y", "s")
+    val out = Eval.rocAuc(df, "grp", "y", "s")
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(out("g") == 1.0)
+    assert(out("r") == 0.0)
+  }
+
+  test("rocAuc: ties count half — all-equal scores → 0.5; textbook mixed case") {
+    val allTied = Seq(("g", 1, 0.5), ("g", 1, 0.5), ("g", 0, 0.5), ("g", 0, 0.5))
+      .toDF("grp", "y", "s")
+    assert(Eval.rocAuc(allTied, "grp", "y", "s")
+      .collect().head.getDouble(3) == 0.5)
+    // pos scores {0.8, 0.4}, neg {0.4, 0.2}: pairs = 4, wins = 2.5
+    // (0.8>0.4, 0.8>0.2, 0.4=0.4 → ½, 0.4>0.2) → AUC = 0.875... wait
+    // wins: (0.8,0.4)=1 (0.8,0.2)=1 (0.4,0.4)=0.5 (0.4,0.2)=1 → 3.5/4
+    val mixed = Seq(("g", 1, 0.8), ("g", 1, 0.4), ("g", 0, 0.4), ("g", 0, 0.2))
+      .toDF("grp", "y", "s")
+    assert(Eval.rocAuc(mixed, "grp", "y", "s")
+      .collect().head.getDouble(3) == 0.875)
+  }
+
+  test("rocAuc: single-class group and null label/score → null auc / dropped") {
+    val df = Seq(
+      ("onlyPos", Some(1), Some(0.5)), ("onlyPos", Some(1), Some(0.7)),
+      ("ok", Some(1), Some(0.9)), ("ok", Some(0), Some(0.1)),
+      ("ok", None, Some(0.5)), ("ok", Some(1), None))
+      .toDF("grp", "y", "s")
+    val rows = Eval.rocAuc(df, "grp", "y", "s").collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(rows("onlyPos").isNullAt(3))
+    assert(rows("ok").getLong(1) == 1L && rows("ok").getLong(2) == 1L)
+    assert(rows("ok").getDouble(3) == 1.0)
+  }
+
+  test("rocAuc matches the O(n²) pair count on a pseudo-random set") {
+    val data = (1 to 200).map { i =>
+      val y = (i * 2654435761L % 97) % 2
+      val s = ((i * 40503L) % 101) / 101.0 // coarse grid → many ties
+      ("g", y.toInt, s)
+    }
+    val df = data.toDF("grp", "y", "s")
+    val pos = data.filter(_._2 == 1).map(_._3)
+    val neg = data.filter(_._2 == 0).map(_._3)
+    val wins = (for (p <- pos; n <- neg)
+      yield if (p > n) 1.0 else if (p == n) 0.5 else 0.0).sum
+    val expected = math.rint(wins / (pos.size * neg.size) * 1e6) / 1e6
+    assert(Eval.rocAuc(df, "grp", "y", "s").collect().head.getDouble(3)
+      == expected)
+  }
+
+  // --- ksTest --------------------------------------------------------------
+
+  test("ksTest: identical samples → 0, disjoint samples → 1") {
+    val same = Seq(("a", 1.0), ("a", 2.0), ("b", 1.0), ("b", 2.0))
+      .toDF("smp", "v")
+    assert(Eval.ksTest(same, "smp", "v", "a", "b")
+      .collect().head.getDouble(2) == 0.0)
+    val disjoint = Seq(("a", 1.0), ("a", 2.0), ("b", 5.0), ("b", 6.0))
+      .toDF("smp", "v")
+    assert(Eval.ksTest(disjoint, "smp", "v", "a", "b")
+      .collect().head.getDouble(2) == 1.0)
+  }
+
+  test("ksTest: hand case with unequal sizes; other labels and nulls drop") {
+    // a = {1, 2, 3}, b = {2, 4}: D at v=3 → |3/3 - 1/2| = 0.5
+    val df = Seq(
+      ("a", Some(1.0)), ("a", Some(2.0)), ("a", Some(3.0)),
+      ("b", Some(2.0)), ("b", Some(4.0)),
+      ("c", Some(9.9)), ("a", None))
+      .toDF("smp", "v")
+    val r = Eval.ksTest(df, "smp", "v", "a", "b").collect().head
+    assert(r.getLong(0) == 3L && r.getLong(1) == 2L)
+    assert(r.getDouble(2) == 0.5)
+  }
+
+  test("ksTest matches a brute-force sup over all sample values") {
+    val a = (1 to 150).map(i => (i * 7919 % 50).toDouble)
+    val b = (1 to 120).map(i => (i * 104729 % 60).toDouble)
+    val df = (a.map(("a", _)) ++ b.map(("b", _))).toDF("smp", "v")
+    val sup = (a ++ b).distinct.map { x =>
+      math.abs(a.count(_ <= x).toDouble / a.size -
+        b.count(_ <= x).toDouble / b.size)
+    }.max
+    val expected = math.rint(sup * 1e6) / 1e6
+    assert(Eval.ksTest(df, "smp", "v", "a", "b")
+      .collect().head.getDouble(2) == expected)
+  }
+
+  // --- psi -----------------------------------------------------------------
+
+  test("psi: identical populations → all terms 0; bins cover numBins") {
+    val ref = (1 to 100).map(_.toDouble).toDF("v")
+    val out = Eval.psi(ref, ref, "v", numBins = 4).orderBy("bin").collect()
+    assert(out.map(_.getInt(0)).toSeq == Seq(1, 2, 3, 4))
+    assert(out.forall(_.getDouble(5) == 0.0))
+    assert(out.forall(r => r.getLong(1) == r.getLong(2)))
+  }
+
+  test("psi: a shifted current population yields positive total drift") {
+    val ref = (1 to 1000).map(_.toDouble).toDF("v")
+    val cur = (501 to 1500).map(_.toDouble).toDF("v")
+    val terms = Eval.psi(ref, cur, "v", numBins = 10).collect()
+    val total = terms.map(_.getDouble(5)).sum
+    assert(total > 0.25, s"expected drift, got $total") // conventional 'shifted'
+    // vanished bins get the epsilon floor, not infinities
+    assert(terms.forall(r => !r.getDouble(5).isInfinite))
+  }
+
+  test("psi: empty-in-current bin uses the 1e-6 floor exactly") {
+    val ref = (1 to 100).map(_.toDouble).toDF("v")
+    val cur = (51 to 100).map(_.toDouble).toDF("v") // bins 1..2 empty in cur
+    val bin1 = Eval.psi(ref, cur, "v", numBins = 4)
+      .filter(col("bin") === 1).collect().head
+    val p = 0.25
+    val expected = math.rint((1e-6 - p) * math.log(1e-6 / p) * 1e9) / 1e9
+    assert(bin1.getLong(2) == 0L)
+    assert(bin1.getDouble(5) == expected)
+  }
+
+  // --- gini ----------------------------------------------------------------
+
+  test("gini: uniform → 0, single holder → (n−1)/n, textbook case") {
+    val even = Seq(("g", 5.0), ("g", 5.0), ("g", 5.0), ("g", 5.0))
+      .toDF("grp", "v")
+    assert(Eval.gini(even, "grp", "v").collect().head.getDouble(2) == 0.0)
+    val one = Seq(("g", 0.0), ("g", 0.0), ("g", 0.0), ("g", 10.0))
+      .toDF("grp", "v")
+    assert(Eval.gini(one, "grp", "v").collect().head.getDouble(2) == 0.75)
+    // {1,2,3,4}: G = Σ(2i-n-1)x_i / (nΣx) = (-3·1 -1·2 +1·3 +3·4)/(4·10) = 0.25
+    val tb = Seq(("g", 1.0), ("g", 2.0), ("g", 3.0), ("g", 4.0))
+      .toDF("grp", "v")
+    assert(Eval.gini(tb, "grp", "v").collect().head.getDouble(2) == 0.25)
+  }
+
+  test("gini: ties across the level boundary match the sorted-row formula") {
+    val vals = (1 to 120).map(i => (i * 31 % 7).toDouble) // heavy ties
+    val df = vals.map(("g", _)).toDF("grp", "v")
+    val sorted = vals.sorted
+    val n = sorted.size
+    val num = sorted.zipWithIndex.map { case (x, i0) =>
+      (2.0 * (i0 + 1) - n - 1) * x }.sum
+    val expected = math.rint(num / (n * sorted.sum) * 1e6) / 1e6
+    assert(Eval.gini(df, "grp", "v").collect().head.getDouble(2) == expected)
+  }
+
+  test("gini: zero-sum and empty groups → null; nulls drop") {
+    val df = Seq(("z", Some(0.0)), ("z", Some(0.0)), ("n", None))
+      .toDF("grp", "v")
+    val rows = Eval.gini(df, "grp", "v").collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(rows("z").isNullAt(2))
+    assert(!rows.contains("n")) // only-null group has no surviving rows
+  }
+
+  // --- benford -------------------------------------------------------------
+
+  test("benford: digit extraction is string-exact (powers of ten, decimals, negatives)") {
+    val df = Seq(1000.0, 0.00042, -73.2, 10.0, 0.0, 999.99994, 5.5)
+      .toDF("v")
+    // 999.99994 rounds to 999.9999 at DECIMAL(18,4) → digit 9; 0 drops
+    val counts = Eval.benford(df, "v").collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(counts == Map(1 -> 2L, 4 -> 1L, 7 -> 1L, 9 -> 1L, 5 -> 1L))
+  }
+
+  test("benford: expected fractions are the 9-grid log10 law and chi2 is exact") {
+    val df = (1 to 90).map(i => (i % 9 + 1) * 10.0).toDF("v") // uniform digits
+    val out = Eval.benford(df, "v").orderBy("digit").collect()
+    assert(out.length == 9)
+    val d1 = out.head
+    assert(d1.getDouble(3) == math.rint(math.log10(2.0) * 1e9) / 1e9)
+    val obs = 10.0 / 90.0
+    val e = math.rint(math.log10(2.0) * 1e9) / 1e9
+    val chi = math.rint(90.0 * (obs - e) * (obs - e) / e * 1e4) / 1e4
+    assert(d1.getDouble(4) == chi)
+  }
+}
