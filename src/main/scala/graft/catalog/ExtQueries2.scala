@@ -362,7 +362,24 @@ object ExtQueries2 {
     // --- Benford first-digit screen ----------------------------------------
     "q198_benford" -> ((s, d) =>
       graft.operators.Eval.benford(t(s, d, "lineitem"), "l_extendedprice")
-        .orderBy(col("digit"))))
+        .orderBy(col("digit"))),
+
+    // --- Naive Bayes language ID: train on 4/5 of the corpus, ------------
+    // predict the held-out fifth (deterministic id-mod split)
+    "q199_naive_bayes" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      graft.operators.Classify.naiveBayes(
+          docs.filter(col("doc_id") % 5 =!= 0),
+          docs.filter(col("doc_id") % 5 === 0),
+          "doc_id", "text", "lang")
+        .orderBy(col("doc_id"))
+    }),
+
+    // --- information-gain split finder -------------------------------------
+    // Best l_quantity threshold separating return flags.
+    "q200_info_gain" -> ((s, d) =>
+      graft.operators.Classify.infoGainSplit(
+        t(s, d, "lineitem"), "l_quantity", "l_returnflag")))
 
   def oracleSql: Map[String, String] = Map(
     "q63_interval_join" ->
@@ -851,5 +868,85 @@ object ExtQueries2 {
              round(log10(1.0 + 1.0 / digit), 9) AS e, tt FROM c, t)
          SELECT digit, n, round(obs, 6) AS obs_frac, e AS exp_frac,
            round(tt * (obs - e) * (obs - e) / e, 4) AS chi2_term
-         FROM f ORDER BY digit""")
+         FROM f ORDER BY digit""",
+
+    // identical Laplace arithmetic: every ln on the 9-grid, tf-weighted
+    // terms in DECIMAL(38,9), OOV drop, prior fallback, lexicographic
+    // tie-break
+    "q199_naive_bayes" ->
+      """WITH tr AS (SELECT lang, text FROM documents
+           WHERE doc_id % 5 <> 0 AND lang IS NOT NULL AND text IS NOT NULL),
+         sc AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
+         ttok AS (SELECT lang AS l,
+             unnest(list_filter(string_split_regex(trim(text), '\s+'),
+               x -> x <> '')) AS t
+           FROM tr),
+         cnt AS (SELECT l, t, count(*) AS c FROM ttok GROUP BY 1, 2),
+         labtot AS (SELECT l, sum(c) AS tot FROM cnt GROUP BY 1),
+         vsz AS (SELECT count(DISTINCT t) AS v FROM cnt),
+         pri AS (SELECT lang AS l, count(*) AS nl FROM tr GROUP BY 1),
+         prilog AS (SELECT l, round(ln(nl / CAST(
+             (SELECT sum(nl) FROM pri) AS DOUBLE)), 9) AS logprior FROM pri),
+         stok AS (SELECT id, t, count(*) AS tf FROM (
+             SELECT doc_id AS id,
+               unnest(list_filter(string_split_regex(trim(text), '\s+'),
+                 x -> x <> '')) AS t
+             FROM sc) GROUP BY 1, 2),
+         stok2 AS (SELECT * FROM stok
+           WHERE t IN (SELECT DISTINCT t FROM cnt)),
+         terms AS (SELECT s.id, lt.l,
+             CAST(round(s.tf * round(ln((coalesce(c.c, 0) + 1.0)
+               / (lt.tot + 1.0 * vsz.v)), 9), 9) AS DECIMAL(38,9)) AS term
+           FROM stok2 s CROSS JOIN labtot lt CROSS JOIN vsz
+           LEFT JOIN cnt c ON c.l = lt.l AND c.t = s.t),
+         sums AS (SELECT id, l, sum(term) AS s FROM terms GROUP BY 1, 2),
+         scored AS (SELECT d.doc_id AS id, p.l,
+             coalesce(CAST(s.s AS DOUBLE), 0.0) + p.logprior AS score
+           FROM sc d CROSS JOIN prilog p
+           LEFT JOIN sums s ON s.id = d.doc_id AND s.l = p.l),
+         best AS (SELECT id, l, score, row_number() OVER (
+             PARTITION BY id ORDER BY score DESC, l ASC) AS rk
+           FROM scored)
+         SELECT id AS doc_id, l AS label, round(score, 4) AS nb_score
+         FROM best WHERE rk = 1 ORDER BY doc_id""",
+
+    // same densified (value x class) grid, n-ln-n entropy identity on the
+    // 9-grid, max gain then smallest threshold
+    "q200_info_gain" ->
+      """WITH r AS (SELECT CAST(l_quantity AS DOUBLE) AS v, l_returnflag AS y
+           FROM lineitem
+           WHERE l_quantity IS NOT NULL AND l_returnflag IS NOT NULL),
+         cell AS (SELECT v, y, count(*) AS c FROM r GROUP BY 1, 2),
+         dense AS (SELECT vv.v, yy.y, coalesce(c.c, 0) AS c
+           FROM (SELECT DISTINCT v FROM cell) vv
+           CROSS JOIN (SELECT DISTINCT y FROM cell) yy
+           LEFT JOIN cell c ON c.v = vv.v AND c.y = yy.y),
+         cum AS (SELECT v, y, c,
+             sum(c) OVER (PARTITION BY y ORDER BY v) AS cum FROM dense),
+         ctot AS (SELECT y, sum(c) AS cy FROM cell GROUP BY 1),
+         n AS (SELECT sum(c) AS n FROM cell),
+         lvl AS (SELECT v, sum(cum) AS nle,
+             sum(CAST(CASE WHEN cum > 0
+               THEN round(cum * ln(CAST(cum AS DOUBLE)), 9) ELSE 0 END
+               AS DECIMAL(38,9))) AS sle,
+             sum(CAST(CASE WHEN cy - cum > 0
+               THEN round((cy - cum) * ln(CAST(cy - cum AS DOUBLE)), 9)
+               ELSE 0 END AS DECIMAL(38,9))) AS sgt
+           FROM cum JOIN ctot USING (y) GROUP BY v),
+         sy AS (SELECT sum(CAST(round(cy * ln(CAST(cy AS DOUBLE)), 9)
+             AS DECIMAL(38,9))) AS sy FROM ctot),
+         ig AS (SELECT v AS threshold, nle,
+             round(-((CAST(sy.sy AS DOUBLE) - CAST(sle AS DOUBLE)
+                 - CAST(sgt AS DOUBLE)) / n.n
+               - (ln(CAST(n.n AS DOUBLE))
+                 - (nle / CAST(n.n AS DOUBLE)) * ln(CAST(nle AS DOUBLE))
+                 - ((n.n - nle) / CAST(n.n AS DOUBLE))
+                   * ln(CAST(n.n - nle AS DOUBLE)))), 6) AS info_gain,
+             n.n AS n
+           FROM lvl, n, sy WHERE nle < n.n),
+         best AS (SELECT *, row_number() OVER (
+             ORDER BY info_gain DESC, threshold ASC) AS rk FROM ig)
+         SELECT threshold, CAST(nle AS BIGINT) AS n_le,
+           CAST(n - nle AS BIGINT) AS n_gt, info_gain
+         FROM best WHERE rk = 1""")
 }

@@ -1,0 +1,181 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{TextFunctions => TF}
+
+/** Trainable classifiers that stay inside the engine — the models a
+  * curation pipeline trains ON its own corpus and applies AT corpus
+  * scale (language ID, quality filtering, topic routing), built entirely
+  * from joins and aggregations so training data never leaves the
+  * cluster and scoring is a plan, not a service call.
+  *
+  * Everything here follows the engine's exactness discipline: model
+  * parameters are ratios of exact integer counts, every logarithm
+  * rounds to the 9-grid before it enters a sum, and sums accumulate in
+  * DECIMAL(38,9) — so a trained model and its predictions are
+  * bit-reproducible across partitionings and engines (these are
+  * SQL-oracle-able classifiers, unusual and deliberate).
+  */
+object Classify {
+
+  /** Multinomial Naive Bayes with Laplace smoothing, train + predict in
+    * one composed plan — the classic high-throughput text classifier
+    * (fastText-without-embeddings): P(c|d) ∝ P(c)·Π P(t|c)^tf, scored
+    * in log space; P(t|c) = (count(t,c) + α) / (tokens(c) + α·V).
+    *
+    * Decisions a user must know:
+    *  - Out-of-vocabulary score tokens DROP (the standard convention —
+    *    a token no class has seen shifts every class equally under
+    *    shared smoothing, so dropping changes no argmax);
+    *  - a score document with NO in-vocab tokens falls back to the
+    *    prior argmax (it still gets a prediction — silently losing rows
+    *    in a curation filter would bias the corpus);
+    *  - ties break toward the lexicographically smallest label,
+    *    deterministically.
+    *
+    * Scale shape: training is one (label, token)-keyed count of the
+    * train corpus; label totals, vocabulary size, and priors are
+    * label-cardinality/1-row tables that BROADCAST. Scoring explodes
+    * score docs to (doc, token, tf), multiplies by |labels| via a
+    * broadcast join (labels are few; the fact-sized shuffle is the
+    * (label, token) join against the model), and argmax is a map-side
+    * combinable min(struct(−score, label)) — no windows anywhere.
+    * Output: (idCol, label, nb_score) — the winning label and its joint
+    * log-likelihood rounded to 4.
+    */
+  def naiveBayes(train: DataFrame, score: DataFrame, idCol: String,
+                 textCol: String, labelCol: String,
+                 smoothing: Double = 1.0): DataFrame = {
+    require(smoothing > 0.0, s"smoothing must be > 0, got $smoothing")
+    val trainTok = train
+      .filter(col(labelCol).isNotNull && col(textCol).isNotNull)
+      .select(col(labelCol).as("__l"),
+        explode(TF.tokens(col(textCol))).as("__t"))
+    val cnt = trainTok.groupBy(col("__l"), col("__t"))
+      .agg(count(lit(1)).as("__c"))
+    val labTot = cnt.groupBy(col("__l")).agg(sum(col("__c")).as("__tot"))
+    val vocabSize = cnt.agg(countDistinct(col("__t")).as("__V"))
+    val priors = train
+      .filter(col(labelCol).isNotNull && col(textCol).isNotNull)
+      .groupBy(col(labelCol).as("__l")).agg(count(lit(1)).as("__nl"))
+    val priorsLog = priors
+      .crossJoin(broadcast(priors.agg(sum(col("__nl")).as("__N"))))
+      .select(col("__l"),
+        round(log(col("__nl").cast("double") / col("__N")), 9)
+          .as("__logprior"))
+    // one broadcastable model-constants table: (label, tot, V, logprior)
+    val labelStats = labTot
+      .join(priorsLog, Seq("__l"))
+      .crossJoin(broadcast(vocabSize))
+    val vocab = cnt.select(col("__t")).distinct()
+
+    val scoreTok = score
+      .select(col(idCol).as("__id"),
+        explode(TF.tokens(col(textCol))).as("__t"))
+      .groupBy(col("__id"), col("__t"))
+      .agg(count(lit(1)).as("__tf"))
+      .join(vocab, Seq("__t"), "left_semi") // OOV drops (see doc)
+    val terms = scoreTok
+      .crossJoin(broadcast(labelStats.select(col("__l"), col("__tot"), col("__V"))))
+      .join(cnt, Seq("__l", "__t"), "left")
+      .select(col("__id"), col("__l"),
+        round(col("__tf") *
+          round(log((coalesce(col("__c"), lit(0L)) + lit(smoothing)) /
+            (col("__tot") + lit(smoothing) * col("__V"))), 9), 9)
+          .cast("decimal(38,9)").as("__term"))
+    val sums = terms.groupBy(col("__id"), col("__l"))
+      .agg(sum(col("__term")).as("__s"))
+    // every score doc × every label, so no-in-vocab-token docs still
+    // get the prior argmax instead of vanishing
+    val scored = score.select(col(idCol).as("__id")).distinct()
+      .crossJoin(broadcast(labelStats.select(col("__l"), col("__logprior"))))
+      .join(sums, Seq("__id", "__l"), "left")
+      .select(col("__id"), col("__l"),
+        (coalesce(col("__s").cast("double"), lit(0.0)) + col("__logprior"))
+          .as("__score"))
+    scored.groupBy(col("__id"))
+      .agg(min(struct(negate(col("__score")).as("__neg"), col("__l"),
+        col("__score"))).as("__best"))
+      .select(col("__id").as(idCol),
+        col("__best.__l").as("label"),
+        round(col("__best.__score"), 4).as("nb_score"))
+  }
+
+  /** Best binary split of a numeric feature against a categorical
+    * target by information gain — the decision-stump / split-finder
+    * primitive (feature ranking, supervised discretization, the inner
+    * loop of tree induction): over every candidate threshold v (the
+    * distinct feature values), IG(v) = H(target) − [p_≤·H(target | x ≤ v)
+    * + p_>·H(target | x > v)], maximized.
+    *
+    * Scale shape: one (value, class)-keyed count of the fact, then ALL
+    * candidate thresholds evaluate together from cumulative class
+    * counts over the distinct-VALUE grid (the [[Eval.rocAuc]] walk —
+    * |values|·|classes| rows, never the corpus); entropies are Σ n·ln n
+    * forms so every term is integer-count-derived, 9-grid rounded,
+    * DECIMAL-summed. The top split (max gain, then smallest threshold)
+    * returns as ONE row: (threshold, n_le, n_gt, info_gain rounded 6).
+    * The maximal v (everything ≤ v) is excluded — it is not a split.
+    * Null features/targets drop. */
+  def infoGainSplit(df: DataFrame, featureCol: String,
+                    targetCol: String): DataFrame = {
+    val rows = df
+      .filter(col(featureCol).isNotNull && col(targetCol).isNotNull)
+      .select(col(featureCol).cast("double").as("__v"),
+        col(targetCol).as("__y"))
+    val cell = rows.groupBy(col("__v"), col("__y"))
+      .agg(count(lit(1)).as("__c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__y")).orderBy(col("__v"))
+    // DENSIFY first: a class with no row at value v must still carry its
+    // cumulative count into v's split evaluation — the sparse cell table
+    // would silently drop it from the ≤-side totals
+    val dense = cell.select(col("__v")).distinct()
+      .crossJoin(broadcast(cell.select(col("__y")).distinct()))
+      .join(cell, Seq("__v", "__y"), "left")
+      .withColumn("__c", coalesce(col("__c"), lit(0L)))
+    // per (value, class): class count at or below this value
+    val cum = dense.withColumn("__cum", sum(col("__c")).over(w))
+    val classTot = cell.groupBy(col("__y")).agg(sum(col("__c")).as("__cy"))
+    val n = cell.agg(sum(col("__c")).as("__n"))
+    // value-level: Σ over classes of x·ln(x) terms for the ≤ and > sides
+    val xlnx = (c: Column) =>
+      when(c > 0, round(c.cast("double") * log(c.cast("double")), 9))
+        .otherwise(lit(0.0))
+    val lvl = cum
+      .join(broadcast(classTot), Seq("__y"))
+      .groupBy(col("__v"))
+      .agg(sum(col("__cum")).as("__nle"),
+        sum(xlnx(col("__cum")).cast("decimal(38,9)")).as("__sle"),
+        sum(xlnx(col("__cy") - col("__cum")).cast("decimal(38,9)"))
+          .as("__sgt"))
+      .crossJoin(broadcast(n))
+      .crossJoin(broadcast(classTot
+        .agg(sum(xlnx(col("__cy")).cast("decimal(38,9)")).as("__sy"))))
+      .filter(col("__nle") < col("__n")) // the all-≤ point is not a split
+    // H(S) − Σ side (n_side/n)·H(side), with H from the n·ln n identity:
+    // H = ln n_side − (1/n_side)·Σ_c x ln x ⇒ weighted form below
+    val nle = col("__nle").cast("double")
+    val ngt = (col("__n") - col("__nle")).cast("double")
+    val nn = col("__n").cast("double")
+    val gain =
+      (col("__sy").cast("double") -
+        col("__sle").cast("double") - col("__sgt").cast("double")) / nn -
+      (log(nn) - (nle / nn) * log(nle) - (ngt / nn) * log(ngt))
+    lvl
+      .select(col("__v").as("threshold"),
+        col("__nle").as("n_le"),
+        (col("__n") - col("__nle")).as("n_gt"),
+        round(-gain, 6).as("info_gain"))
+      .groupBy()
+      .agg(min(struct(negate(col("info_gain")).as("__ng"),
+        col("threshold"), col("n_le"), col("n_gt"), col("info_gain")))
+        .as("__best"))
+      .select(col("__best.threshold").as("threshold"),
+        col("__best.n_le").as("n_le"),
+        col("__best.n_gt").as("n_gt"),
+        col("__best.info_gain").as("info_gain"))
+  }
+}

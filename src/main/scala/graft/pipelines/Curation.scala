@@ -88,7 +88,11 @@ object Curation {
           cfg.dupSpanK)
         Dedup.exciseSpans(clean, idCol, "clean_text", spans)
           .select(col(idCol), col("clean_text"))
-          .join(clean.select(col(idCol), col(groupCol)), Seq(idCol))
+          // groupCol passes through cleaning untouched — recover it from
+          // the RAW docs, not from `clean`, which would re-plan the
+          // whole boilerplate+strip chain a third time just for one
+          // pass-through column
+          .join(docs.select(col(idCol), col(groupCol)), Seq(idCol))
           .select(col(idCol), col(groupCol), col("clean_text"))
       }
     // 2a. length gate — narrow

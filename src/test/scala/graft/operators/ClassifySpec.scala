@@ -1,0 +1,114 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class ClassifySpec extends SparkSpec {
+  import spark.implicits._
+
+  // --- naiveBayes ----------------------------------------------------------
+
+  test("naiveBayes: hand-computed two-class posterior (Laplace, tf weighting)") {
+    val train = Seq(
+      (1L, "spam", "buy cheap pills"),
+      (2L, "spam", "cheap pills now"),
+      (3L, "ham", "meeting notes attached"),
+      (4L, "ham", "notes for the meeting"))
+      .toDF("id", "y", "text")
+    val score = Seq((10L, "cheap pills"), (11L, "meeting notes"))
+      .toDF("id", "text")
+    val out = Classify.naiveBayes(train, score, "id", "text", "y")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(10L -> "spam", 11L -> "ham"))
+
+    // exact score check for doc 10: vocab V = 9, spam tot = 6, prior ln(1/2)
+    // p(cheap|spam) = (2+1)/(6+9), p(pills|spam) = (2+1)/(6+9)
+    val g9 = (x: Double) => math.rint(x * 1e9) / 1e9
+    val expected = math.rint((g9(math.log(0.5)) +
+      g9(g9(math.log(3.0 / 15)) * 1) + g9(g9(math.log(3.0 / 15)) * 1)) * 1e4) / 1e4
+    val s10 = Classify.naiveBayes(train, score, "id", "text", "y")
+      .filter(col("id") === 10L).collect().head.getDouble(2)
+    assert(s10 == expected)
+  }
+
+  test("naiveBayes: OOV tokens drop; all-OOV doc falls back to prior argmax") {
+    val train = Seq(
+      (1L, "a", "x x x"), (2L, "a", "x y"), (3L, "b", "z"))
+      .toDF("id", "y", "text")
+    // doc 20 is entirely out of vocabulary → majority prior wins ("a");
+    // doc 21 mixes one OOV token with an in-vocab one → classified
+    val score = Seq((20L, "qqq www"), (21L, "z qqq")).toDF("id", "text")
+    val out = Classify.naiveBayes(train, score, "id", "text", "y")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(20L) == "a")
+    assert(out(21L) == "b")
+  }
+
+  test("naiveBayes: tf multiplies — repeated tokens outvote singletons") {
+    val train = Seq(
+      (1L, "a", "left left left right"), (2L, "b", "right right right left"))
+      .toDF("id", "y", "text")
+    val score = Seq((30L, "left left right"), (31L, "right right left"))
+      .toDF("id", "text")
+    val out = Classify.naiveBayes(train, score, "id", "text", "y")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(30L -> "a", 31L -> "b"))
+  }
+
+  test("naiveBayes: deterministic lexicographic tie-break") {
+    // perfectly symmetric classes → identical scores → smallest label
+    val train = Seq((1L, "bb", "t"), (2L, "aa", "t")).toDF("id", "y", "text")
+    val score = Seq((40L, "t")).toDF("id", "text")
+    val out = Classify.naiveBayes(train, score, "id", "text", "y").collect()
+    assert(out.head.getString(1) == "aa")
+  }
+
+  // --- infoGainSplit -------------------------------------------------------
+
+  test("infoGainSplit: perfect separator recovers the boundary with full gain") {
+    val df = ((1 to 50).map(i => (i.toDouble, "lo")) ++
+      (51 to 100).map(i => (i.toDouble, "hi"))).toDF("x", "y")
+    val r = Classify.infoGainSplit(df, "x", "y").collect().head
+    assert(r.getDouble(0) == 50.0)
+    assert(r.getLong(1) == 50L && r.getLong(2) == 50L)
+    // H(S) = ln 2 for the balanced parent, children pure → IG = ln 2
+    assert(r.getDouble(3) == math.rint(math.log(2.0) * 1e6) / 1e6)
+  }
+
+  test("infoGainSplit matches a brute-force scan over all thresholds") {
+    val data = (1 to 200).map { i =>
+      val v = (i * 37 % 23).toDouble
+      val y = if ((i * 7919) % 3 == 0) "a" else if (v > 11) "b" else "c"
+      (v, y)
+    }
+    val df = data.toDF("x", "y")
+    def entropy(xs: Seq[String]): Double = {
+      val n = xs.size.toDouble
+      xs.groupBy(identity).values.map { g =>
+        val p = g.size / n; -p * math.log(p)
+      }.sum
+    }
+    val hS = entropy(data.map(_._2))
+    val candidates = data.map(_._1).distinct.sorted.dropRight(1)
+    val best = candidates.map { v =>
+      val (le, gt) = data.partition(_._1 <= v)
+      val ig = hS - (le.size.toDouble / data.size) * entropy(le.map(_._2)) -
+        (gt.size.toDouble / data.size) * entropy(gt.map(_._2))
+      (v, ig)
+    }.maxBy { case (v, ig) => (math.rint(ig * 1e6) / 1e6, -v) }
+    val r = Classify.infoGainSplit(df, "x", "y").collect().head
+    assert(r.getDouble(0) == best._1)
+    assert(math.abs(r.getDouble(3) - best._2) < 1e-5)
+  }
+
+  test("infoGainSplit: uninformative feature → zero gain; nulls drop") {
+    val df = Seq((Some(1.0), Some("a")), (Some(1.0), Some("b")),
+      (Some(2.0), Some("a")), (Some(2.0), Some("b")),
+      (None, Some("a")), (Some(3.0), None))
+      .toDF("x", "y")
+    val r = Classify.infoGainSplit(df, "x", "y").collect().head
+    assert(r.getDouble(3) == 0.0)
+    assert(r.getLong(1) + r.getLong(2) == 4L)
+  }
+}
