@@ -379,7 +379,31 @@ object ExtQueries2 {
     // Best l_quantity threshold separating return flags.
     "q200_info_gain" -> ((s, d) =>
       graft.operators.Classify.infoGainSplit(
-        t(s, d, "lineitem"), "l_quantity", "l_returnflag")))
+        t(s, d, "lineitem"), "l_quantity", "l_returnflag")),
+
+    // --- calibration / reliability table -----------------------------------
+    // Treat value/500 (clamped to [0,1]) as a probability of "afternoon":
+    // per bin, is the score honest?
+    "q201_calibration" -> ((s, d) =>
+      graft.operators.Eval.calibration(
+          ev(s, d)
+            .withColumn("is_pm", (hour(col("ts")) >= 12).cast("int"))
+            .withColumn("p", least(col("value") / lit(500.0), lit(1.0))),
+          "is_pm", "p", numBins = 10)
+        .orderBy(col("bin"))),
+
+    // --- cumulative gains / lift table -------------------------------------
+    "q202_lift" -> ((s, d) =>
+      graft.operators.Eval.liftTable(
+          ev(s, d).withColumn("is_pm", (hour(col("ts")) >= 12).cast("int")),
+          "is_pm", "value", numBins = 10)
+        .orderBy(col("band"))),
+
+    // --- Welch's t-test ----------------------------------------------------
+    // Do purchase and click events differ in mean value?
+    "q203_welch_t" -> ((s, d) =>
+      graft.operators.Eval.welchT(
+        ev(s, d), "event_type", "value", "purchase", "click")))
 
   def oracleSql: Map[String, String] = Map(
     "q63_interval_join" ->
@@ -948,5 +972,81 @@ object ExtQueries2 {
              ORDER BY info_gain DESC, threshold ASC) AS rk FROM ig)
          SELECT threshold, CAST(nle AS BIGINT) AS n_le,
            CAST(n - nle AS BIGINT) AS n_gt, info_gain
-         FROM best WHERE rk = 1""")
+         FROM best WHERE rk = 1""",
+
+    // same equal-width [0,1] binning (floor(s*k)+1 clamped), score sums
+    // and Brier terms on the 9-grid in DECIMAL
+    "q201_calibration" ->
+      """WITH r AS (SELECT CASE WHEN hour(ts) >= 12 THEN 1 ELSE 0 END AS y,
+             least(value / 500.0, 1.0) AS s
+           FROM events WHERE value IS NOT NULL),
+         b AS (SELECT least(greatest(CAST(floor(s * 10) AS INT) + 1, 1),
+             10) AS bin, y, s FROM r)
+         SELECT CAST(bin AS INT) AS bin, CAST(count(*) AS BIGINT) AS n,
+           round(CAST(sum(CAST(round(s, 9) AS DECIMAL(28,9))) AS DOUBLE)
+             / count(*), 6) AS mean_score,
+           round(sum(y) / CAST(count(*) AS DOUBLE), 6) AS frac_pos,
+           round(CAST(sum(CAST(round((s - y) * (s - y), 9)
+             AS DECIMAL(28,9))) AS DOUBLE) / count(*), 6) AS bin_mse
+         FROM b GROUP BY bin ORDER BY bin""",
+
+    // band 1 = top scores via the same descending quantile boundaries;
+    // ties never split a band; the walk is over 10 rows
+    "q202_lift" ->
+      """WITH r AS (SELECT CASE WHEN hour(ts) >= 12 THEN 1 ELSE 0 END AS y,
+             value AS s
+           FROM events WHERE value IS NOT NULL),
+         b AS (SELECT quantile_cont(s, [0.1, 0.2, 0.3, 0.4, 0.5,
+             0.6, 0.7, 0.8, 0.9]) AS bounds FROM r),
+         banded AS (SELECT 10 - len(list_filter(bounds, x -> s > x)) AS band,
+             y FROM r, b),
+         agg AS (SELECT band, CAST(count(*) AS BIGINT) AS n, sum(y) AS np
+           FROM banded GROUP BY 1),
+         t AS (SELECT sum(n) AS nt, sum(np) AS pt FROM agg),
+         w AS (SELECT band, n, np,
+             sum(np) OVER (ORDER BY band) AS cump FROM agg)
+         SELECT CAST(band AS INT) AS band, n, CAST(np AS BIGINT) AS n_pos,
+           round(np / CAST(n AS DOUBLE), 6) AS pos_rate,
+           round(CASE WHEN pt > 0 THEN cump / CAST(pt AS DOUBLE) END, 6)
+             AS capture,
+           round(CASE WHEN pt > 0 THEN (np / CAST(n AS DOUBLE))
+             / (pt / CAST(nt AS DOUBLE)) END, 6) AS lift
+         FROM w, t ORDER BY band""",
+
+    // identical sufficient-stats pass (n, Σx, Σx² on the 9-grid in
+    // DECIMAL) and the same double expression tree for t and df
+    "q203_welch_t" ->
+      """WITH r AS (SELECT (event_type = 'purchase') AS a, value AS v
+           FROM events WHERE value IS NOT NULL
+             AND event_type IN ('purchase', 'click')),
+         s AS (SELECT
+             sum(CASE WHEN a THEN 1 ELSE 0 END) AS na,
+             sum(CASE WHEN a THEN 0 ELSE 1 END) AS nb,
+             sum(CASE WHEN a THEN CAST(round(v, 9) AS DECIMAL(38,9)) END) AS sa,
+             sum(CASE WHEN NOT a THEN CAST(round(v, 9) AS DECIMAL(38,9)) END) AS sb,
+             sum(CASE WHEN a THEN CAST(round(v * v, 9) AS DECIMAL(38,9)) END) AS qa,
+             sum(CASE WHEN NOT a THEN CAST(round(v * v, 9) AS DECIMAL(38,9)) END) AS qb
+           FROM r),
+         m AS (SELECT na, nb,
+             CAST(sa AS DOUBLE) / CAST(na AS DOUBLE) AS ma,
+             CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE) AS mb,
+             ((CAST(qa AS DOUBLE) - CAST(na AS DOUBLE)
+                 * (CAST(sa AS DOUBLE) / CAST(na AS DOUBLE))
+                 * (CAST(sa AS DOUBLE) / CAST(na AS DOUBLE)))
+               / (CAST(na AS DOUBLE) - 1.0)) / CAST(na AS DOUBLE) AS sea,
+             ((CAST(qb AS DOUBLE) - CAST(nb AS DOUBLE)
+                 * (CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE))
+                 * (CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE)))
+               / (CAST(nb AS DOUBLE) - 1.0)) / CAST(nb AS DOUBLE) AS seb
+           FROM s)
+         SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+           round(CASE WHEN na > 0 THEN ma END, 6) AS mean_a,
+           round(CASE WHEN nb > 0 THEN mb END, 6) AS mean_b,
+           round(CASE WHEN na >= 2 AND nb >= 2 AND sea + seb > 0.0
+             THEN (ma - mb) / sqrt(sea + seb) END, 6) AS t_stat,
+           round(CASE WHEN na >= 2 AND nb >= 2 AND sea + seb > 0.0
+             THEN (sea + seb) * (sea + seb)
+               / (sea * sea / (CAST(na AS DOUBLE) - 1.0)
+                 + seb * seb / (CAST(nb AS DOUBLE) - 1.0)) END, 6) AS df
+         FROM m""")
 }

@@ -210,6 +210,136 @@ object Eval {
           .as("gini"))
   }
 
+  /** Calibration (reliability) table — is a probability score HONEST:
+    * among rows scored ≈ p, do ≈ p of them carry the positive label?
+    * Scores bin equal-width on [0, 1] (bin = ⌊s·k⌋+1 clamped to k —
+    * exactly 1.0 joins the top bin); per bin the mean score vs the
+    * positive fraction is the reliability curve, and `bin_mse` is the
+    * within-bin Brier term (Σ(s−y)² / n) so Σ n·bin_mse / Σ n
+    * reconstructs the overall Brier score from the same table.
+    *
+    * One fact-sized keyed agg; score sums and squared-error sums are
+    * 9-grid DECIMAL (partition-order independence), fractions are
+    * integer-over-integer. Scores outside [0, 1] clamp into the edge
+    * bins (deterministic, no fabricated bins) — calibrating an
+    * unbounded score is the caller's modeling error to notice. Null
+    * labels/scores drop. Output: (bin, n, mean_score, frac_pos,
+    * bin_mse) — all rounded 6, ordered by whatever the caller sorts. */
+  def calibration(df: DataFrame, labelCol: String, scoreCol: String,
+                  numBins: Int = 10): DataFrame = {
+    require(numBins >= 2, s"numBins must be >= 2, got $numBins")
+    val rows = df
+      .filter(col(labelCol).isNotNull && col(scoreCol).isNotNull)
+      .select((col(labelCol).cast("int") =!= 0).as("__pos"),
+        col(scoreCol).cast("double").as("__s"))
+      .select(col("__pos"), col("__s"),
+        least(greatest(floor(col("__s") * numBins).cast("int") + 1, lit(1)),
+          lit(numBins)).as("bin"))
+    rows.groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("__s"), 9).cast("decimal(28,9)")).as("__ss"),
+        sum(when(col("__pos"), 1L).otherwise(0L)).as("__np"),
+        sum(round((col("__s") - when(col("__pos"), 1.0).otherwise(0.0)) *
+          (col("__s") - when(col("__pos"), 1.0).otherwise(0.0)), 9)
+          .cast("decimal(28,9)")).as("__se"))
+      .select(col("bin"), col("n"),
+        round(col("__ss").cast("double") / col("n"), 6).as("mean_score"),
+        round(col("__np").cast("double") / col("n"), 6).as("frac_pos"),
+        round(col("__se").cast("double") / col("n"), 6).as("bin_mse"))
+  }
+
+  /** Cumulative gains / lift table — the targeting-efficiency view of a
+    * ranking score: bucket the population into `numBins` score bands
+    * (band 1 = highest scores, by the score distribution's own
+    * quantile boundaries — the [[psi]] binning convention mirrored
+    * descending), then per band the positive rate, the cumulative
+    * capture rate (share of ALL positives found so far walking down),
+    * and lift vs the base rate.
+    *
+    * Equal-depth is approximate under score ties (ties never split a
+    * band — deterministic, and the honest behavior: a band boundary
+    * inside a tie group would be an arbitrary split of identical
+    * scores). The fact-sized work is one percentile pass + one keyed
+    * agg; the cumulative walk is over `numBins` rows. Output:
+    * (band, n, n_pos, pos_rate, capture, lift) rounded 6, ordered by
+    * band. */
+  def liftTable(df: DataFrame, labelCol: String, scoreCol: String,
+                numBins: Int = 10, exact: Boolean = true): DataFrame = {
+    require(numBins >= 2, s"numBins must be >= 2, got $numBins")
+    val ps = (1 until numBins).map(i => i.toDouble / numBins).mkString(", ")
+    val bexpr =
+      if (exact) expr(s"percentile($scoreCol, array($ps))")
+      else expr(s"approx_percentile($scoreCol, array($ps), 10000)")
+    val rows = df
+      .filter(col(labelCol).isNotNull && col(scoreCol).isNotNull)
+    val bounds = rows.agg(bexpr.as("__bounds"))
+    val banded = rows
+      .crossJoin(broadcast(bounds))
+      // band 1 = top scores: numBins − #{boundaries strictly below}
+      .select((lit(numBins) - size(filter(col("__bounds"),
+          b => col(scoreCol).cast("double") > b))).as("band"),
+        (col(labelCol).cast("int") =!= 0).as("__pos"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("__pos"), 1L).otherwise(0L)).as("n_pos"))
+    val totals = banded.agg(sum(col("n")).as("__nt"),
+      sum(col("n_pos")).as("__pt"))
+    val w = Window.orderBy(col("band")) // numBins rows only
+    banded
+      .withColumn("__cump", sum(col("n_pos")).over(w))
+      .crossJoin(broadcast(totals))
+      .select(col("band"), col("n"), col("n_pos"),
+        round(col("n_pos").cast("double") / col("n"), 6).as("pos_rate"),
+        round(when(col("__pt") > 0,
+          col("__cump").cast("double") / col("__pt")), 6).as("capture"),
+        round(when(col("__pt") > 0,
+          (col("n_pos").cast("double") / col("n")) /
+            (col("__pt").cast("double") / col("__nt"))), 6).as("lift"))
+  }
+
+  /** Welch's unequal-variance t statistic — the mean-difference test
+    * between two samples that does NOT assume equal spread (the safe
+    * default for A/B readouts and cohort comparisons):
+    * t = (m_a − m_b) / √(s²_a/n_a + s²_b/n_b), with the
+    * Welch–Satterthwaite degrees of freedom.
+    *
+    * ONE fact-sized pass accumulates (n, Σx, Σx²) per sample on the
+    * 9-grid in DECIMAL (the [[Features.olsFit]] discipline); the
+    * closed form runs in double from identical decimal sums. Sample
+    * variances are the unbiased n−1 form; t and df are null when
+    * either n < 2 or both variances are zero. Output: one row
+    * (n_a, n_b, mean_a, mean_b, t_stat, df) rounded 6. */
+  def welchT(df: DataFrame, sampleCol: String, valCol: String,
+             aLabel: String, bLabel: String): DataFrame = {
+    val dec9 = (c: Column) => round(c, 9).cast("decimal(38,9)")
+    val rows = df
+      .filter(col(valCol).isNotNull && col(sampleCol).isin(aLabel, bLabel))
+      .select((col(sampleCol) === aLabel).as("__a"),
+        col(valCol).cast("double").as("__v"))
+    val stats = rows.agg(
+      sum(when(col("__a"), 1L).otherwise(0L)).as("na"),
+      sum(when(col("__a"), 0L).otherwise(1L)).as("nb"),
+      sum(when(col("__a"), dec9(col("__v")))).as("sa"),
+      sum(when(!col("__a"), dec9(col("__v")))).as("sb"),
+      sum(when(col("__a"), dec9(col("__v") * col("__v")))).as("qa"),
+      sum(when(!col("__a"), dec9(col("__v") * col("__v")))).as("qb"))
+    val na = col("na").cast("double"); val nb = col("nb").cast("double")
+    val ma = col("sa").cast("double") / na
+    val mb = col("sb").cast("double") / nb
+    val va = (col("qa").cast("double") - na * ma * ma) / (na - 1.0)
+    val vb = (col("qb").cast("double") - nb * mb * mb) / (nb - 1.0)
+    val sea = va / na; val seb = vb / nb
+    val se2 = sea + seb
+    stats.select(col("na").as("n_a"), col("nb").as("n_b"),
+      round(when(col("na") > 0, ma), 6).as("mean_a"),
+      round(when(col("nb") > 0, mb), 6).as("mean_b"),
+      round(when(col("na") >= 2 && col("nb") >= 2 && se2 > 0.0,
+        (ma - mb) / sqrt(se2)), 6).as("t_stat"),
+      round(when(col("na") >= 2 && col("nb") >= 2 && se2 > 0.0,
+        se2 * se2 / (sea * sea / (na - 1.0) + seb * seb / (nb - 1.0))), 6)
+        .as("df"))
+  }
+
   /** Benford first-significant-digit screen — does a naturally-generated
     * numeric column follow log₁₀(1 + 1/d)? Fabricated, truncated, or
     * capped data deviates; the χ² contributions localize which digits.

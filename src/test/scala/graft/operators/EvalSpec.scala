@@ -167,6 +167,93 @@ class EvalSpec extends SparkSpec {
     assert(!rows.contains("n")) // only-null group has no surviving rows
   }
 
+  // --- calibration ---------------------------------------------------------
+
+  test("calibration: bin edges, clamping, and exact per-bin stats") {
+    val df = Seq(
+      (1, 0.05), (0, 0.05),          // bin 1
+      (1, 0.25),                     // bin 3 (floor(0.25*10)=2 → bin 3)
+      (1, 1.0), (0, 1.7),            // 1.0 and clamp-high → bin 10
+      (0, -0.3))                     // clamp-low → bin 1
+      .toDF("y", "s")
+    val out = Eval.calibration(df, "y", "s", numBins = 10)
+      .collect().map(r => r.getInt(0) -> r).toMap
+    assert(out.keySet == Set(1, 3, 10))
+    assert(out(1).getLong(1) == 3L)
+    assert(out(3).getDouble(3) == 1.0) // frac_pos
+    assert(out(10).getLong(1) == 2L)
+    // bin 3 Brier term: (0.25 − 1)² = 0.5625
+    assert(out(3).getDouble(4) == 0.5625)
+  }
+
+  test("calibration: a perfectly calibrated grid reads back its own diagonal") {
+    // at score p, exactly p of rows positive (p = 0.2/0.8 over 10 rows each)
+    val rows = (1 to 10).map(i => (if (i <= 2) 1 else 0, 0.25)) ++
+      (1 to 10).map(i => (if (i <= 8) 1 else 0, 0.85))
+    val out = Eval.calibration(rows.toDF("y", "s"), "y", "s", 10)
+      .collect().map(r => r.getInt(0) -> r).toMap
+    assert(out(3).getDouble(2) == 0.25 && out(3).getDouble(3) == 0.2)
+    assert(out(9).getDouble(2) == 0.85 && out(9).getDouble(3) == 0.8)
+  }
+
+  // --- liftTable -----------------------------------------------------------
+
+  test("liftTable: a perfect ranker captures everything in the top band") {
+    // 100 rows, scores descending 100..1, positives = top 10 scores
+    val df = (1 to 100).map(i => (if (i > 90) 1 else 0, i.toDouble))
+      .toDF("y", "s")
+    val out = Eval.liftTable(df, "y", "s", numBins = 10)
+      .orderBy("band").collect()
+    val b1 = out.head
+    assert(b1.getInt(0) == 1 && b1.getLong(2) == 10L)
+    assert(b1.getDouble(3) == 1.0)   // pos_rate
+    assert(b1.getDouble(4) == 1.0)   // capture: all positives in band 1
+    assert(b1.getDouble(5) == 10.0)  // lift = 1.0 / 0.1
+    assert(out.tail.forall(_.getLong(2) == 0L))
+    assert(out.tail.forall(_.getDouble(4) == 1.0)) // capture stays 1
+  }
+
+  test("liftTable: a random score has lift ≈ 1 everywhere and monotone capture") {
+    val df = (1 to 500).map { i =>
+      ((i * 2654435761L % 5 == 0).compareTo(false), (i * 7919 % 499).toDouble)
+    }.toDF("y", "s")
+    val out = Eval.liftTable(df, "y", "s", numBins = 5).orderBy("band").collect()
+    val captures = out.map(_.getDouble(4))
+    assert(captures.zip(captures.tail).forall { case (a, b) => a <= b })
+    assert(captures.last == 1.0)
+    assert(out.map(_.getLong(1)).sum == 500L)
+  }
+
+  // --- welchT --------------------------------------------------------------
+
+  test("welchT: hand-computed unequal-variance case") {
+    // a = {1,2,3,4,5}: m=3, s²=2.5; b = {2,4,6,8,10,12}: m=7, s²=14
+    val df = ((1 to 5).map(i => ("a", i.toDouble)) ++
+      (1 to 6).map(i => ("b", 2.0 * i))).toDF("smp", "v")
+    val r = Eval.welchT(df, "smp", "v", "a", "b").collect().head
+    assert(r.getLong(0) == 5L && r.getLong(1) == 6L)
+    assert(r.getDouble(2) == 3.0 && r.getDouble(3) == 7.0)
+    val sea = 2.5 / 5; val seb = 14.0 / 6
+    val t = (3.0 - 7.0) / math.sqrt(sea + seb)
+    val dfW = (sea + seb) * (sea + seb) /
+      (sea * sea / 4 + seb * seb / 5)
+    assert(r.getDouble(4) == math.rint(t * 1e6) / 1e6)
+    assert(r.getDouble(5) == math.rint(dfW * 1e6) / 1e6)
+  }
+
+  test("welchT: identical samples → t = 0; degenerate sizes/variances → null") {
+    val same = ((1 to 4) ++ (1 to 4)).zipWithIndex
+      .map { case (v, i) => (if (i < 4) "a" else "b", v.toDouble) }
+      .toDF("smp", "v")
+    assert(Eval.welchT(same, "smp", "v", "a", "b")
+      .collect().head.getDouble(4) == 0.0)
+    val tiny = Seq(("a", 1.0), ("b", 2.0), ("b", 3.0)).toDF("smp", "v")
+    assert(Eval.welchT(tiny, "smp", "v", "a", "b").collect().head.isNullAt(4))
+    val const = Seq(("a", 5.0), ("a", 5.0), ("b", 5.0), ("b", 5.0))
+      .toDF("smp", "v")
+    assert(Eval.welchT(const, "smp", "v", "a", "b").collect().head.isNullAt(4))
+  }
+
   // --- benford -------------------------------------------------------------
 
   test("benford: digit extraction is string-exact (powers of ten, decimals, negatives)") {
