@@ -403,7 +403,17 @@ object ExtQueries2 {
     // Do purchase and click events differ in mean value?
     "q203_welch_t" -> ((s, d) =>
       graft.operators.Eval.welchT(
-        ev(s, d), "event_type", "value", "purchase", "click")))
+        ev(s, d), "event_type", "value", "purchase", "click")),
+
+    // --- Morton (z-order) clustering key -----------------------------------
+    // The exact bit-interleave the layout writer sorts by (the write
+    // itself is ZOrderSpec's layout proof; the KEY is oracle-able).
+    "q204_zorder" -> ((s, d) =>
+      graft.operators.ZOrder.withZValue(
+          ev(s, d), Seq("value", "user_id"), bits = 8)
+        .select(col("event_id"), col("__z").as("z"))
+        .orderBy(col("z").desc, col("event_id"))
+        .limit(100)))
 
   def oracleSql: Map[String, String] = Map(
     "q63_interval_join" ->
@@ -1048,5 +1058,23 @@ object ExtQueries2 {
              THEN (sea + seb) * (sea + seb)
                / (sea * sea / (CAST(na AS DOUBLE) - 1.0)
                  + seb * seb / (CAST(nb AS DOUBLE) - 1.0)) END, 6) AS df
-         FROM m""")
+         FROM m""",
+
+    // identical min-max 255-grid ranks and explicit 16-term interleave
+    // (disjoint bit positions, so + ≡ |)
+    "q204_zorder" -> {
+      val zterms = (for (j <- 0 to 1; i <- 0 until 8)
+        yield s"(((r$j >> $i) & 1) << ${i * 2 + j})").mkString(" + ")
+      s"""WITH b AS (SELECT min(value) AS lov, max(value) AS hiv,
+             CAST(min(user_id) AS DOUBLE) AS lou,
+             CAST(max(user_id) AS DOUBLE) AS hiu FROM events),
+         r AS (SELECT event_id,
+             CASE WHEN hiv > lov THEN CAST(floor((value - lov)
+               / (hiv - lov) * 255) AS BIGINT) ELSE 0 END AS r0,
+             CASE WHEN hiu > lou THEN CAST(floor((CAST(user_id AS DOUBLE)
+               - lou) / (hiu - lou) * 255) AS BIGINT) ELSE 0 END AS r1
+           FROM events, b)
+         SELECT event_id, CAST($zterms AS BIGINT) AS z
+         FROM r ORDER BY z DESC, event_id LIMIT 100"""
+    })
 }
