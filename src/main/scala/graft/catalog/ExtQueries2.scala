@@ -413,7 +413,30 @@ object ExtQueries2 {
           ev(s, d), Seq("value", "user_id"), bits = 8)
         .select(col("event_id"), col("__z").as("z"))
         .orderBy(col("z").desc, col("event_id"))
-        .limit(100)))
+        .limit(100)),
+
+    // --- average precision (PR-AUC, step form) per group -------------------
+    "q205_avg_precision" -> ((s, d) =>
+      graft.operators.Eval.averagePrecision(
+          ev(s, d).withColumn("is_pm",
+            (hour(col("ts")) >= 12).cast("int")),
+          "event_type", "is_pm", "value")
+        .orderBy(col("event_type"))),
+
+    // --- Jensen-Shannon divergence of token distributions ------------------
+    // Corpus drift in categorical space: even- vs odd-id documents.
+    "q206_jsd" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      def toks(m: Int) = docs.filter(col("doc_id") % 2 === m)
+        .select(explode(graft.functions.TextFunctions.tokens(col("text")))
+          .as("token"))
+      graft.operators.Eval.jsDivergence(toks(0), toks(1), "token")
+    }),
+
+    // --- one-way ANOVA F ---------------------------------------------------
+    // Does mean event value differ across the five event types?
+    "q207_anova_f" -> ((s, d) =>
+      graft.operators.Eval.anovaF(ev(s, d), "event_type", "value")))
 
   def oracleSql: Map[String, String] = Map(
     "q63_interval_join" ->
@@ -1076,5 +1099,86 @@ object ExtQueries2 {
            FROM events, b)
          SELECT event_id, CAST($zterms AS BIGINT) AS z
          FROM r ORDER BY z DESC, event_id LIMIT 100"""
-    })
+    },
+
+    // same descending-threshold step integral on the score grid; each
+    // level term (Δrecall · precision) 9-grid rounded, DECIMAL-summed
+    "q205_avg_precision" ->
+      """WITH r AS (SELECT event_type AS g,
+             CASE WHEN hour(ts) >= 12 THEN 1 ELSE 0 END AS y, value AS s
+           FROM events WHERE value IS NOT NULL),
+         lvl AS (SELECT g, s, sum(y) AS p, sum(1 - y) AS q
+           FROM r GROUP BY 1, 2),
+         wk AS (SELECT g, s, p, q,
+             sum(p) OVER (PARTITION BY g ORDER BY s DESC) AS cp,
+             sum(p + q) OVER (PARTITION BY g ORDER BY s DESC) AS ct
+           FROM lvl),
+         tot AS (SELECT g, sum(p) AS np, sum(q) AS nq FROM lvl GROUP BY 1),
+         terms AS (SELECT w.g, np, nq,
+             CASE WHEN np > 0 THEN CAST(round(
+               (CAST(p AS DOUBLE) / np) * (CAST(cp AS DOUBLE) / ct), 9)
+               AS DECIMAL(38,9)) END AS term
+           FROM wk w JOIN tot USING (g))
+         SELECT g AS event_type, CAST(np AS BIGINT) AS n_pos,
+           CAST(nq AS BIGINT) AS n_neg,
+           round(CASE WHEN np > 0 THEN CAST(sum(term) AS DOUBLE) END, 6)
+             AS avg_precision
+         FROM terms GROUP BY g, np, nq ORDER BY event_type""",
+
+    // same full-outer item join, per-item ½·KL terms to the midpoint on
+    // the 9-grid (absent side → finite ln 2 limit, the JSD point)
+    "q206_jsd" ->
+      """WITH ta AS (SELECT unnest(list_filter(
+             string_split_regex(trim(text), '\s+'), x -> x <> '')) AS i
+           FROM documents WHERE doc_id % 2 = 0),
+         tb AS (SELECT unnest(list_filter(
+             string_split_regex(trim(text), '\s+'), x -> x <> '')) AS i
+           FROM documents WHERE doc_id % 2 = 1),
+         ca AS (SELECT i, count(*) AS ca FROM ta GROUP BY 1),
+         cb AS (SELECT i, count(*) AS cb FROM tb GROUP BY 1),
+         j AS (SELECT coalesce(ca.i, cb.i) AS i, coalesce(ca, 0) AS ca,
+             coalesce(cb, 0) AS cb
+           FROM ca FULL JOIN cb ON ca.i = cb.i),
+         t AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM j),
+         f AS (SELECT na, nb, ca / CAST(na AS DOUBLE) AS p,
+             cb / CAST(nb AS DOUBLE) AS q FROM j, t),
+         terms AS (SELECT na, nb, CAST(round(
+             (CASE WHEN p > 0 THEN p * ln(p / ((p + q) / 2.0)) * 0.5
+               ELSE 0.0 END) +
+             (CASE WHEN q > 0 THEN q * ln(q / ((p + q) / 2.0)) * 0.5
+               ELSE 0.0 END), 9) AS DECIMAL(38,9)) AS term FROM f)
+         SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+           CAST(count(*) AS BIGINT) AS items,
+           round(CAST(sum(term) AS DOUBLE), 6) AS jsd
+         FROM terms GROUP BY na, nb""",
+
+    // same per-group sufficient stats in DECIMAL, per-group s²/n ratios
+    // 9-grid rounded before the k-row fold
+    "q207_anova_f" ->
+      """WITH r AS (SELECT event_type AS g, value AS v FROM events
+           WHERE value IS NOT NULL),
+         per AS (SELECT g, count(*) AS n,
+             sum(CAST(round(v, 9) AS DECIMAL(38,9))) AS s,
+             sum(CAST(round(v * v, 9) AS DECIMAL(38,9))) AS q
+           FROM r GROUP BY 1),
+         f AS (SELECT CAST(count(*) AS BIGINT) AS k,
+             CAST(sum(n) AS BIGINT) AS n, sum(s) AS ts, sum(q) AS tq,
+             sum(CAST(round(CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n, 9)
+               AS DECIMAL(38,9))) AS tb
+           FROM per)
+         SELECT k, n,
+           round(CASE WHEN k >= 2 AND n > k
+               AND CAST(tq AS DOUBLE) - CAST(tb AS DOUBLE) > 0
+             THEN ((CAST(tb AS DOUBLE) - CAST(ts AS DOUBLE)
+                 * CAST(ts AS DOUBLE) / CAST(n AS DOUBLE))
+               / (CAST(k AS DOUBLE) - 1.0))
+               / ((CAST(tq AS DOUBLE) - CAST(tb AS DOUBLE))
+               / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE))) END, 6) AS f_stat,
+           round(CASE WHEN CAST(tq AS DOUBLE) - CAST(ts AS DOUBLE)
+               * CAST(ts AS DOUBLE) / CAST(n AS DOUBLE) > 0
+             THEN (CAST(tb AS DOUBLE) - CAST(ts AS DOUBLE)
+                 * CAST(ts AS DOUBLE) / CAST(n AS DOUBLE))
+               / (CAST(tq AS DOUBLE) - CAST(ts AS DOUBLE)
+                 * CAST(ts AS DOUBLE) / CAST(n AS DOUBLE)) END, 6) AS eta_sq
+         FROM f""")
 }

@@ -74,6 +74,124 @@ object Eval {
             (lit(2.0) * col("n_pos") * col("n_neg"))), 6).as("auc"))
   }
 
+  /** Average precision (area under the precision-recall curve, step
+    * form) per group — the ranking metric that stays honest under
+    * class imbalance, where ROC AUC saturates: AP = Σ_t (R_t −
+    * R_{t−1})·P_t over descending score thresholds (the step-integral
+    * convention, matching scikit-learn's average_precision_score; ties
+    * form ONE threshold — no arbitrary intra-tie ordering).
+    *
+    * Level form: thresholds are the distinct scores; at each, P = cum
+    * positives / cum total and ΔR = level positives / total positives —
+    * so the walk is over the score grid (the [[rocAuc]] shape), each
+    * level term rounds to the 9-grid and accumulates in DECIMAL(38,9).
+    * Groups with no positives yield null. Output: (groupCol, n_pos,
+    * n_neg, avg_precision rounded 6). */
+  def averagePrecision(df: DataFrame, groupCol: String, labelCol: String,
+                       scoreCol: String): DataFrame = {
+    val rows = df
+      .filter(col(labelCol).isNotNull && col(scoreCol).isNotNull)
+      .select(col(groupCol).as("__g"),
+        (col(labelCol).cast("int") =!= 0).as("__pos"),
+        col(scoreCol).cast("double").as("__s"))
+    val level = rows.groupBy(col("__g"), col("__s"))
+      .agg(sum(when(col("__pos"), 1L).otherwise(0L)).as("__p"),
+        sum(when(col("__pos"), 0L).otherwise(1L)).as("__q"))
+    val w = Window.partitionBy(col("__g")).orderBy(col("__s").desc)
+    val walked = level
+      .withColumn("__cp", sum(col("__p")).over(w))
+      .withColumn("__ct", sum(col("__p") + col("__q")).over(w))
+    val totals = level.groupBy(col("__g"))
+      .agg(sum(col("__p")).as("n_pos"), sum(col("__q")).as("n_neg"))
+    walked
+      .join(totals, Seq("__g"))
+      .select(col("__g"), col("n_pos"), col("n_neg"),
+        when(col("n_pos") > 0,
+          round((col("__p").cast("double") / col("n_pos")) *
+            (col("__cp").cast("double") / col("__ct")), 9)
+            .cast("decimal(38,9)")).as("__term"))
+      .groupBy(col("__g"), col("n_pos"), col("n_neg"))
+      .agg(sum(col("__term")).as("__ap"))
+      .select(col("__g").as(groupCol), col("n_pos"), col("n_neg"),
+        round(when(col("n_pos") > 0, col("__ap").cast("double")), 6)
+          .as("avg_precision"))
+  }
+
+  /** Jensen-Shannon divergence between two ITEM distributions (token
+    * histograms, source mixes, label distributions) — the symmetric,
+    * bounded [0, ln 2] drift measure for categorical space,
+    * complementing [[ksTest]]'s numeric CDFs: JSD = ½·KL(p‖m) +
+    * ½·KL(q‖m) with m = (p+q)/2. An item absent from one side
+    * contributes its finite ½·f·ln 2 limit (never ±∞) — that is the
+    * whole reason to prefer JSD over raw KL for corpus drift.
+    *
+    * One count agg per side, a full-outer item join, every per-item
+    * term 9-grid rounded into a DECIMAL(38,9) sum; fractions are
+    * integer-over-integer. Output: one row (n_a, n_b, items, jsd
+    * rounded 6). */
+  def jsDivergence(a: DataFrame, b: DataFrame, itemCol: String): DataFrame = {
+    def counts(df: DataFrame, out: String): DataFrame =
+      df.filter(col(itemCol).isNotNull)
+        .groupBy(col(itemCol).as("__i")).agg(count(lit(1)).as(out))
+    val joined = counts(a, "__ca").join(counts(b, "__cb"), Seq("__i"),
+        "full_outer")
+      .select(col("__i"), coalesce(col("__ca"), lit(0L)).as("__ca"),
+        coalesce(col("__cb"), lit(0L)).as("__cb"))
+    val totals = joined.agg(sum(col("__ca")).as("__na"),
+      sum(col("__cb")).as("__nb"))
+    val half = (frac: Column, m: Column) =>
+      when(frac > 0, frac * log(frac / m) * 0.5).otherwise(lit(0.0))
+    joined.crossJoin(broadcast(totals))
+      .select(col("__na"), col("__nb"),
+        (col("__ca").cast("double") / col("__na")).as("__p"),
+        (col("__cb").cast("double") / col("__nb")).as("__q"))
+      .select(col("__na"), col("__nb"),
+        round(half(col("__p"), (col("__p") + col("__q")) / 2.0) +
+          half(col("__q"), (col("__p") + col("__q")) / 2.0), 9)
+          .cast("decimal(38,9)").as("__term"))
+      .groupBy(col("__na"), col("__nb"))
+      .agg(count(lit(1)).as("items"), sum(col("__term")).as("__jsd"))
+      .select(col("__na").as("n_a"), col("__nb").as("n_b"), col("items"),
+        round(col("__jsd").cast("double"), 6).as("jsd"))
+  }
+
+  /** One-way ANOVA F statistic — does a numeric outcome differ across
+    * k groups (the multi-group extension of the two-sample t):
+    * F = [SSB/(k−1)] / [SSW/(n−k)], plus η² = SSB/SST (effect size —
+    * an F alone says nothing about magnitude at corpus n).
+    *
+    * ONE pass of per-group (n, Σx, Σx²) on the 9-grid in DECIMAL (the
+    * [[welchT]] discipline), then the k-row group table folds to the
+    * single output row. Degenerate inputs (k < 2, n ≤ k, zero
+    * within-group variance) yield null F. Output: one row
+    * (k, n, f_stat, eta_sq) rounded 6. */
+  def anovaF(df: DataFrame, groupCol: String, valCol: String): DataFrame = {
+    val dec9 = (c: Column) => round(c, 9).cast("decimal(38,9)")
+    val per = df.filter(col(valCol).isNotNull)
+      .select(col(groupCol).as("__g"), col(valCol).cast("double").as("__v"))
+      .groupBy(col("__g"))
+      .agg(count(lit(1)).as("__n"), sum(dec9(col("__v"))).as("__s"),
+        sum(dec9(col("__v") * col("__v"))).as("__q"))
+    // SSB = Σ_g s_g²/n_g − S²/N and SSW = Σ q_g − Σ s_g²/n_g — all from
+    // the k-row table; per-group ratios round to the 9-grid before the
+    // DECIMAL fold so the fold is associative
+    val folded = per.agg(
+      count(lit(1)).as("k"), sum(col("__n")).as("n"),
+      sum(col("__s")).as("__S"), sum(col("__q")).as("__Q"),
+      sum(round(col("__s").cast("double") * col("__s").cast("double") /
+        col("__n"), 9).cast("decimal(38,9)")).as("__B"))
+    val nD = col("n").cast("double"); val kD = col("k").cast("double")
+    val ssb = col("__B").cast("double") -
+      col("__S").cast("double") * col("__S").cast("double") / nD
+    val ssw = col("__Q").cast("double") - col("__B").cast("double")
+    val sst = col("__Q").cast("double") -
+      col("__S").cast("double") * col("__S").cast("double") / nD
+    folded.select(col("k"), col("n"),
+      round(when(col("k") >= 2 && col("n") > col("k") && ssw > 0.0,
+        (ssb / (kD - 1.0)) / (ssw / (nD - kD))), 6).as("f_stat"),
+      round(when(sst > 0.0, ssb / sst), 6).as("eta_sq"))
+  }
+
   /** Two-sample Kolmogorov-Smirnov statistic — the distribution-drift
     * test on a NUMERIC column: D = sup_x |F_a(x) − F_b(x)| over the
     * empirical CDFs of the two samples. Sensitive to any difference

@@ -63,6 +63,75 @@ class EvalSpec extends SparkSpec {
       == expected)
   }
 
+  // --- averagePrecision ----------------------------------------------------
+
+  test("averagePrecision: perfect ranking → 1, hand step-integral case") {
+    val perfect = Seq(("g", 1, 0.9), ("g", 1, 0.8), ("g", 0, 0.2), ("g", 0, 0.1))
+      .toDF("grp", "y", "s")
+    assert(Eval.averagePrecision(perfect, "grp", "y", "s")
+      .collect().head.getDouble(3) == 1.0)
+    // ranked [+ at .9, − at .8, + at .7]: AP = ½·1 + ½·(2/3) = 0.833333
+    val mixed = Seq(("g", 1, 0.9), ("g", 0, 0.8), ("g", 1, 0.7))
+      .toDF("grp", "y", "s")
+    assert(Eval.averagePrecision(mixed, "grp", "y", "s")
+      .collect().head.getDouble(3) == 0.833333)
+  }
+
+  test("averagePrecision: ties form one threshold; no positives → null") {
+    // + and − tied at 0.5 plus a + at 0.9: thresholds {0.9}, {0.5}
+    // AP = ½·1 + ½·(2/3) = 0.833333 — NOT an intra-tie ordering artifact
+    val tied = Seq(("g", 1, 0.9), ("g", 1, 0.5), ("g", 0, 0.5))
+      .toDF("grp", "y", "s")
+    assert(Eval.averagePrecision(tied, "grp", "y", "s")
+      .collect().head.getDouble(3) == 0.833333)
+    val neg = Seq(("g", 0, 0.9), ("g", 0, 0.5)).toDF("grp", "y", "s")
+    assert(Eval.averagePrecision(neg, "grp", "y", "s")
+      .collect().head.isNullAt(3))
+  }
+
+  // --- jsDivergence --------------------------------------------------------
+
+  test("jsDivergence: identical → 0, disjoint → ln 2, hand half-overlap") {
+    val a = Seq("x", "x", "y").toDF("i")
+    assert(Eval.jsDivergence(a, a, "i").collect().head.getDouble(3) == 0.0)
+    val b = Seq("z", "w").toDF("i")
+    assert(Eval.jsDivergence(a, b, "i").collect().head.getDouble(3) ==
+      math.rint(math.log(2.0) * 1e6) / 1e6)
+    // p = {x:1}, q = {x:½, y:½}: JSD = ½[1·ln(4/3)] + ½[½·ln(⅔·2) + ½·ln 2]
+    val p = Seq("x", "x").toDF("i")
+    val q = Seq("x", "y").toDF("i")
+    val g9 = (v: Double) => math.rint(v * 1e9) / 1e9
+    val expected = math.rint((
+      g9(1.0 * math.log(1.0 / 0.75) * 0.5 + 0.5 * math.log(0.5 / 0.75) * 0.5) +
+      g9(0.5 * math.log(0.5 / 0.25) * 0.5)) * 1e6) / 1e6
+    assert(Eval.jsDivergence(p, q, "i").collect().head.getDouble(3) == expected)
+  }
+
+  // --- anovaF --------------------------------------------------------------
+
+  test("anovaF: textbook three-group case") {
+    val df = Seq(
+      ("a", 1.0), ("a", 2.0), ("a", 3.0),
+      ("b", 2.0), ("b", 3.0), ("b", 4.0),
+      ("c", 3.0), ("c", 4.0), ("c", 5.0)).toDF("g", "v")
+    val r = Eval.anovaF(df, "g", "v").collect().head
+    assert(r.getLong(0) == 3L && r.getLong(1) == 9L)
+    // SSB = 6, SSW = 6 → F = (6/2)/(6/6) = 3; η² = 6/12 = 0.5
+    assert(r.getDouble(2) == 3.0)
+    assert(r.getDouble(3) == 0.5)
+  }
+
+  test("anovaF: identical groups → F = 0; zero within-variance → null F") {
+    val flat = Seq(("a", 1.0), ("a", 2.0), ("b", 1.0), ("b", 2.0))
+      .toDF("g", "v")
+    assert(Eval.anovaF(flat, "g", "v").collect().head.getDouble(2) == 0.0)
+    val const = Seq(("a", 1.0), ("a", 1.0), ("b", 2.0), ("b", 2.0))
+      .toDF("g", "v")
+    val r = Eval.anovaF(const, "g", "v").collect().head
+    assert(r.isNullAt(2))        // F undefined at SSW = 0
+    assert(r.getDouble(3) == 1.0) // but η² = 1: all variance between
+  }
+
   // --- ksTest --------------------------------------------------------------
 
   test("ksTest: identical samples → 0, disjoint samples → 1") {
