@@ -436,7 +436,18 @@ object ExtQueries2 {
     // --- one-way ANOVA F ---------------------------------------------------
     // Does mean event value differ across the five event types?
     "q207_anova_f" -> ((s, d) =>
-      graft.operators.Eval.anovaF(ev(s, d), "event_type", "value")))
+      graft.operators.Eval.anovaF(ev(s, d), "event_type", "value")),
+
+    // --- TextRank keyword extraction ---------------------------------------
+    // Top-3 keywords per document; ONE shuffle, then every document's
+    // tiny graph iterates inside its task. No SQL oracle (iterative) —
+    // KeywordsSpec pins bit-exact equality with an independent
+    // reference implementation.
+    "q208_textrank" -> ((s, d) =>
+      graft.operators.Keywords.textRank(
+          t(s, d, "documents"), "doc_id", "text",
+          window = 2, iterations = 5, topK = 3)
+        .orderBy(col("doc_id"), col("rank"))))
 
   def oracleSql: Map[String, String] = Map(
     "q63_interval_join" ->
