@@ -447,7 +447,18 @@ object ExtQueries2 {
       graft.operators.Keywords.textRank(
           t(s, d, "documents"), "doc_id", "text",
           window = 2, iterations = 5, topK = 3)
-        .orderBy(col("doc_id"), col("rank"))))
+        .orderBy(col("doc_id"), col("rank"))),
+
+    // --- ranked-retrieval metrics: nDCG@10, MRR@10, P@10, R@10 -------------
+    // Per event type: does value rank evening (rel 2) and afternoon
+    // (rel 1) events to the top?
+    "q209_ranking_metrics" -> ((s, d) =>
+      graft.operators.Eval.rankingMetrics(
+          ev(s, d).withColumn("rel",
+            when(hour(col("ts")) >= 18, 2.0)
+              .when(hour(col("ts")) >= 12, 1.0).otherwise(0.0)),
+          "event_type", "event_id", "rel", "value", k = 10)
+        .orderBy(col("event_type"))))
 
   def oracleSql: Map[String, String] = Map(
     "q63_interval_join" ->
@@ -1093,6 +1104,37 @@ object ExtQueries2 {
                / (sea * sea / (CAST(na AS DOUBLE) - 1.0)
                  + seb * seb / (CAST(nb AS DOUBLE) - 1.0)) END, 6) AS df
          FROM m""",
+
+    // same double rankings (score desc / rel desc, id tie-break), gain
+    // terms (2^rel − 1)/log2(rank+1) on the 9-grid in DECIMAL(38,9)
+    "q209_ranking_metrics" ->
+      """WITH r AS (SELECT event_type AS g, event_id AS id, value AS s,
+             CASE WHEN hour(ts) >= 18 THEN 2.0
+               WHEN hour(ts) >= 12 THEN 1.0 ELSE 0.0 END AS rel
+           FROM events WHERE value IS NOT NULL),
+         rk AS (SELECT g, id, rel,
+             row_number() OVER (PARTITION BY g ORDER BY s DESC, id ASC) AS rnk,
+             row_number() OVER (PARTITION BY g ORDER BY rel DESC, id ASC) AS irnk
+           FROM r),
+         agg AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_rel,
+             sum(CASE WHEN rnk <= 10 AND rel > 0 THEN 1 ELSE 0 END) AS hits,
+             min(CASE WHEN rnk <= 10 AND rel > 0 THEN rnk END) AS first_rel,
+             sum(CASE WHEN rnk <= 10 THEN CAST(round(
+               (pow(2.0, rel) - 1.0) / log2(rnk + 1), 9)
+               AS DECIMAL(38,9)) END) AS dcg,
+             sum(CASE WHEN irnk <= 10 THEN CAST(round(
+               (pow(2.0, rel) - 1.0) / log2(irnk + 1), 9)
+               AS DECIMAL(38,9)) END) AS idcg
+           FROM rk GROUP BY 1)
+         SELECT g AS event_type, n, n_rel,
+           round(CAST(hits AS DOUBLE) / 10, 6) AS p_at_k,
+           round(CASE WHEN n_rel > 0
+             THEN CAST(hits AS DOUBLE) / n_rel END, 6) AS r_at_k,
+           round(coalesce(1.0 / first_rel, 0.0), 6) AS rr,
+           round(CASE WHEN CAST(idcg AS DOUBLE) > 0
+             THEN CAST(dcg AS DOUBLE) / CAST(idcg AS DOUBLE) END, 6) AS ndcg
+         FROM agg ORDER BY event_type""",
 
     // identical min-max 255-grid ranks and explicit 16-term interleave
     // (disjoint bit positions, so + ≡ |)

@@ -458,6 +458,64 @@ object Eval {
         .as("df"))
   }
 
+  /** Ranked-retrieval quality per query — the metrics a search/RAG
+    * stack is actually judged by, computed over a (query, doc, score,
+    * relevance) table in ONE pass: graded nDCG@k (gain (2^rel − 1) /
+    * log₂(rank+1), normalized by the ideal ordering), MRR@k
+    * (reciprocal rank of the first relevant hit, 0 if none in the top
+    * k), precision@k and recall@k (binary relevance = rel > 0).
+    *
+    * Ranking is score-descending with the id column as the
+    * deterministic tie-break (a ranking metric without a pinned
+    * tie-break is not reproducible — this is the engine's id-asc
+    * convention, applied to BOTH the actual and the ideal ordering).
+    * Scale shape: two per-query row_number windows (keyed by query —
+    * the standard partitioned-window shuffle, never global) + one
+    * keyed agg; DCG/IDCG terms round to the 9-grid and accumulate in
+    * DECIMAL(38,9). Queries with no relevant docs: ndcg and recall are
+    * null (unmeasurable), precision and rr are 0 (measured and failed).
+    * Output: (queryCol, n, n_rel, p_at_k, r_at_k, rr, ndcg) rounded 6.
+    */
+  def rankingMetrics(df: DataFrame, queryCol: String, idCol: String,
+                     labelCol: String, scoreCol: String,
+                     k: Int = 10): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val rows = df
+      .filter(col(labelCol).isNotNull && col(scoreCol).isNotNull)
+      .select(col(queryCol).as("__q"), col(idCol).as("__d"),
+        col(labelCol).cast("double").as("__rel"),
+        col(scoreCol).cast("double").as("__s"))
+    val byScore = Window.partitionBy(col("__q"))
+      .orderBy(col("__s").desc, col("__d").asc)
+    val byIdeal = Window.partitionBy(col("__q"))
+      .orderBy(col("__rel").desc, col("__d").asc)
+    val ranked = rows
+      .withColumn("__rnk", row_number().over(byScore))
+      .withColumn("__irnk", row_number().over(byIdeal))
+    val gain = (r: Column, rank: Column) =>
+      round((pow(lit(2.0), r) - 1.0) / log2(rank + 1), 9)
+        .cast("decimal(38,9)")
+    ranked.groupBy(col("__q")).agg(
+        count(lit(1)).as("n"),
+        sum(when(col("__rel") > 0, 1L).otherwise(0L)).as("n_rel"),
+        sum(when(col("__rnk") <= k && col("__rel") > 0, 1L).otherwise(0L))
+          .as("__hits"),
+        min(when(col("__rnk") <= k && col("__rel") > 0, col("__rnk")))
+          .as("__first"),
+        sum(when(col("__rnk") <= k, gain(col("__rel"), col("__rnk"))))
+          .as("__dcg"),
+        sum(when(col("__irnk") <= k, gain(col("__rel"), col("__irnk"))))
+          .as("__idcg"))
+      .select(col("__q").as(queryCol), col("n"), col("n_rel"),
+        round(col("__hits").cast("double") / k, 6).as("p_at_k"),
+        round(when(col("n_rel") > 0,
+          col("__hits").cast("double") / col("n_rel")), 6).as("r_at_k"),
+        round(coalesce(lit(1.0) / col("__first"), lit(0.0)), 6).as("rr"),
+        round(when(col("__idcg").cast("double") > 0,
+          col("__dcg").cast("double") / col("__idcg").cast("double")), 6)
+          .as("ndcg"))
+  }
+
   /** Benford first-significant-digit screen — does a naturally-generated
     * numeric column follow log₁₀(1 + 1/d)? Fabricated, truncated, or
     * capped data deviates; the χ² contributions localize which digits.

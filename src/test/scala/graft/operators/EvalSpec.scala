@@ -323,6 +323,59 @@ class EvalSpec extends SparkSpec {
     assert(Eval.welchT(const, "smp", "v", "a", "b").collect().head.isNullAt(4))
   }
 
+  // --- rankingMetrics ------------------------------------------------------
+
+  test("rankingMetrics: perfect ranking → ndcg 1, rr 1; hand DCG case") {
+    val df = Seq(
+      ("q", 1L, 2.0, 0.9), ("q", 2L, 1.0, 0.8), ("q", 3L, 0.0, 0.7))
+      .toDF("qid", "doc", "rel", "s")
+    val r = Eval.rankingMetrics(df, "qid", "doc", "rel", "s", k = 3)
+      .collect().head
+    assert(r.getDouble(6) == 1.0) // ranking == ideal
+    assert(r.getDouble(5) == 1.0) // first relevant at rank 1
+    // swap top scores: ranked rel = [1, 2, 0]
+    val sw = Seq(
+      ("q", 1L, 2.0, 0.8), ("q", 2L, 1.0, 0.9), ("q", 3L, 0.0, 0.7))
+      .toDF("qid", "doc", "rel", "s")
+    val g9 = (x: Double) => math.rint(x * 1e9) / 1e9
+    val dcg = BigDecimal(g9(1.0 / (math.log(2.0) / math.log(2.0)))) +
+      BigDecimal(g9(3.0 / (math.log(3.0) / math.log(2.0))))
+    val idcg = BigDecimal(g9(3.0 / 1.0)) +
+      BigDecimal(g9(1.0 / (math.log(3.0) / math.log(2.0))))
+    val expected = math.rint(dcg.toDouble / idcg.toDouble * 1e6) / 1e6
+    assert(Eval.rankingMetrics(sw, "qid", "doc", "rel", "s", k = 3)
+      .collect().head.getDouble(6) == expected)
+  }
+
+  test("rankingMetrics: k truncation, precision/recall, rr beyond k → 0") {
+    // 4 docs, relevant ones ranked 3rd and 4th; k = 2
+    val df = Seq(
+      ("q", 1L, 0.0, 0.9), ("q", 2L, 0.0, 0.8),
+      ("q", 3L, 1.0, 0.7), ("q", 4L, 1.0, 0.6))
+      .toDF("qid", "doc", "rel", "s")
+    val r = Eval.rankingMetrics(df, "qid", "doc", "rel", "s", k = 2)
+      .collect().head
+    assert(r.getLong(1) == 4L && r.getLong(2) == 2L)
+    assert(r.getDouble(3) == 0.0) // p@2
+    assert(r.getDouble(4) == 0.0) // r@2
+    assert(r.getDouble(5) == 0.0) // no relevant inside top 2
+    assert(r.getDouble(6) == 0.0) // dcg@2 = 0, idcg@2 > 0
+  }
+
+  test("rankingMetrics: no-relevant query → null ndcg/recall, zero rr; ties break by id") {
+    val df = Seq(
+      ("none", 1L, 0.0, 0.9), ("none", 2L, 0.0, 0.8),
+      // tie on score: doc 5 (relevant) has smaller id → rank 1
+      ("tie", 5L, 1.0, 0.5), ("tie", 6L, 0.0, 0.5))
+      .toDF("qid", "doc", "rel", "s")
+    val out = Eval.rankingMetrics(df, "qid", "doc", "rel", "s", k = 2)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("none").isNullAt(6) && out("none").isNullAt(4))
+    assert(out("none").getDouble(5) == 0.0)
+    assert(out("tie").getDouble(5) == 1.0) // rr: relevant won the tie by id
+    assert(out("tie").getDouble(6) == 1.0)
+  }
+
   // --- benford -------------------------------------------------------------
 
   test("benford: digit extraction is string-exact (powers of ten, decimals, negatives)") {
