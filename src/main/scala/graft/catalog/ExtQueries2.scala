@@ -458,7 +458,38 @@ object ExtQueries2 {
             when(hour(col("ts")) >= 18, 2.0)
               .when(hour(col("ts")) >= 12, 1.0).otherwise(0.0)),
           "event_type", "event_id", "rel", "value", k = 10)
-        .orderBy(col("event_type"))))
+        .orderBy(col("event_type"))),
+
+    // --- two-proportion z-test ---------------------------------------------
+    // Do purchases clear the 100-value bar at a different rate than
+    // clicks?
+    "q210_prop_z" -> ((s, d) =>
+      graft.operators.Eval.propZTest(
+        ev(s, d).withColumn("hi", (col("value") > 100).cast("int")),
+        "event_type", "hi", "purchase", "click")),
+
+    // --- Wilson score intervals per group ----------------------------------
+    "q211_wilson" -> ((s, d) =>
+      graft.operators.Eval.wilsonCI(
+          ev(s, d).withColumn("hi", (col("value") > 100).cast("int")),
+          "event_type", "hi")
+        .orderBy(col("event_type"))),
+
+    // --- CUSUM changepoint on the daily order series -----------------------
+    "q212_changepoint" -> ((s, d) =>
+      graft.operators.TimeSeries.changePoint(
+        t(s, d, "orders").groupBy(col("o_orderdate").as("day"))
+          .agg(count(lit(1)).cast("double").as("cnt")),
+        "day", "cnt")),
+
+    // --- classical additive seasonal decomposition -------------------------
+    // Weekly seasonality of daily order counts.
+    "q213_seasonal" -> ((s, d) =>
+      graft.operators.TimeSeries.seasonalDecompose(
+          t(s, d, "orders").groupBy(col("o_orderdate").as("day"))
+            .agg(count(lit(1)).cast("double").as("cnt")),
+          "day", "cnt", period = 7)
+        .orderBy(col("day"))))
 
   def oracleSql: Map[String, String] = Map(
     "q63_interval_join" ->
@@ -1135,6 +1166,100 @@ object ExtQueries2 {
            round(CASE WHEN CAST(idcg AS DOUBLE) > 0
              THEN CAST(dcg AS DOUBLE) / CAST(idcg AS DOUBLE) END, 6) AS ndcg
          FROM agg ORDER BY event_type""",
+
+    // identical pooled-rate arithmetic; z null when pooled p is 0 or 1
+    "q210_prop_z" ->
+      """WITH r AS (SELECT (event_type = 'purchase') AS a,
+             CASE WHEN value > 100 THEN 1 ELSE 0 END AS s
+           FROM events WHERE value IS NOT NULL
+             AND event_type IN ('purchase', 'click')),
+         st AS (SELECT
+             sum(CASE WHEN a THEN 1 ELSE 0 END) AS na,
+             sum(CASE WHEN a AND s = 1 THEN 1 ELSE 0 END) AS xa,
+             sum(CASE WHEN NOT a THEN 1 ELSE 0 END) AS nb,
+             sum(CASE WHEN NOT a AND s = 1 THEN 1 ELSE 0 END) AS xb
+           FROM r),
+         m AS (SELECT na, xa, nb, xb,
+             xa / CAST(na AS DOUBLE) AS pa, xb / CAST(nb AS DOUBLE) AS pb,
+             (xa + xb) / (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE)) AS pp
+           FROM st)
+         SELECT CAST(na AS BIGINT) AS n_a, CAST(xa AS BIGINT) AS x_a,
+           CAST(nb AS BIGINT) AS n_b, CAST(xb AS BIGINT) AS x_b,
+           round(CASE WHEN na > 0 THEN pa END, 6) AS p_a,
+           round(CASE WHEN nb > 0 THEN pb END, 6) AS p_b,
+           round(CASE WHEN na > 0 AND nb > 0 AND pp > 0.0 AND pp < 1.0
+             THEN (pa - pb) / sqrt(pp * (1.0 - pp)
+               * (1.0 / CAST(na AS DOUBLE) + 1.0 / CAST(nb AS DOUBLE)))
+             END, 6) AS z
+         FROM m""",
+
+    // same Wilson expression tree; z² written as 1.96*1.96 so both
+    // engines compute the identical IEEE product
+    "q211_wilson" ->
+      """WITH per AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN value > 100 THEN 1 ELSE 0 END) AS BIGINT)
+               AS x
+           FROM events WHERE value IS NOT NULL GROUP BY 1),
+         m AS (SELECT event_type, n, x,
+             x / CAST(n AS DOUBLE) AS p, CAST(n AS DOUBLE) AS nd,
+             1.96 * 1.96 AS zz
+           FROM per)
+         SELECT event_type, n, x,
+           round(p, 6) AS p_hat,
+           round((p + zz / (2.0 * nd)) / (1.0 + zz / nd)
+             - 1.96 * sqrt(p * (1.0 - p) / nd + zz / (4.0 * nd * nd))
+               / (1.0 + zz / nd), 6) AS ci_lo,
+           round((p + zz / (2.0 * nd)) / (1.0 + zz / nd)
+             + 1.96 * sqrt(p * (1.0 - p) / nd + zz / (4.0 * nd * nd))
+               / (1.0 + zz / nd), 6) AS ci_hi
+         FROM m ORDER BY event_type""",
+
+    // same 9-grid DECIMAL cusum over the date grid; argmax by
+    // (|cusum| desc, earliest day)
+    "q212_changepoint" ->
+      """WITH srs AS (SELECT o_orderdate AS k, CAST(count(*) AS DOUBLE) AS v
+           FROM orders GROUP BY 1),
+         m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(round(v, 9) AS DECIMAL(38,9))) AS DOUBLE)
+               / count(*) AS mean
+           FROM srs),
+         c AS (SELECT k, m.n, m.mean,
+             sum(CAST(round(v - m.mean, 9) AS DECIMAL(38,9)))
+               OVER (ORDER BY k) AS cusum
+           FROM srs, m),
+         b AS (SELECT *, row_number() OVER (
+             ORDER BY abs(CAST(cusum AS DOUBLE)) DESC, k ASC) AS rk
+           FROM c)
+         SELECT k AS change_at,
+           round(abs(CAST(cusum AS DOUBLE)), 6) AS max_abs_cusum,
+           round(mean, 6) AS mean, n
+         FROM b WHERE rk = 1""",
+
+    // same centered 7-row MA trend (null at incomplete edges), detrended
+    // phase means re-centered to zero, residual where trend exists
+    "q213_seasonal" ->
+      """WITH srs AS (SELECT o_orderdate AS k, CAST(count(*) AS DOUBLE) AS v
+           FROM orders GROUP BY 1),
+         t AS (SELECT k, v, row_number() OVER (ORDER BY k) AS pos,
+             CASE WHEN count(*) OVER (ORDER BY k
+                 ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) = 7
+               THEN CAST(sum(CAST(round(v, 9) AS DECIMAL(38,9)))
+                 OVER (ORDER BY k ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+                 AS DOUBLE) / 7 END AS trend
+           FROM srs),
+         ph AS (SELECT *, (pos - 1) % 7 AS phase FROM t),
+         pm AS (SELECT phase,
+             CAST(sum(CAST(round(v - trend, 9) AS DECIMAL(38,9)))
+               AS DOUBLE) / count(*) AS raw
+           FROM ph WHERE trend IS NOT NULL GROUP BY 1),
+         off AS (SELECT CAST(sum(CAST(round(raw, 9) AS DECIMAL(38,9)))
+             AS DOUBLE) / count(*) AS soff FROM pm),
+         ce AS (SELECT phase, round(raw - soff, 9) AS seas FROM pm, off)
+         SELECT ph.k AS day, round(ph.v, 6) AS value,
+           round(trend, 6) AS trend, round(seas, 6) AS seasonal,
+           round(CASE WHEN trend IS NOT NULL
+             THEN ph.v - trend - seas END, 6) AS residual
+         FROM ph LEFT JOIN ce USING (phase) ORDER BY day""",
 
     // identical min-max 255-grid ranks and explicit 16-term interleave
     // (disjoint bit positions, so + ≡ |)

@@ -458,6 +458,75 @@ object Eval {
         .as("df"))
   }
 
+  /** Two-proportion z-test — the A/B readout on RATES (conversion,
+    * defect rate, positive-label share): z = (p̂_a − p̂_b) /
+    * √(p̂(1−p̂)(1/n_a + 1/n_b)) with p̂ pooled — the standard
+    * two-sided test statistic against H₀: equal proportions.
+    *
+    * ONE fact-sized pass counts (n, successes) per sample; everything
+    * after is integer-over-integer doubles (engine-stable). Success =
+    * successCol ≠ 0 (cast to int), nulls drop. z is null when either
+    * n = 0 or the pooled rate is degenerate (0 or 1 — no variance to
+    * test against). Output: one row (n_a, x_a, n_b, x_b, p_a, p_b, z)
+    * rounded 6. */
+  def propZTest(df: DataFrame, sampleCol: String, successCol: String,
+                aLabel: String, bLabel: String): DataFrame = {
+    val rows = df
+      .filter(col(successCol).isNotNull &&
+        col(sampleCol).isin(aLabel, bLabel))
+      .select((col(sampleCol) === aLabel).as("__a"),
+        (col(successCol).cast("int") =!= 0).as("__s"))
+    val stats = rows.agg(
+      sum(when(col("__a"), 1L).otherwise(0L)).as("na"),
+      sum(when(col("__a") && col("__s"), 1L).otherwise(0L)).as("xa"),
+      sum(when(!col("__a"), 1L).otherwise(0L)).as("nb"),
+      sum(when(!col("__a") && col("__s"), 1L).otherwise(0L)).as("xb"))
+    val na = col("na").cast("double"); val nb = col("nb").cast("double")
+    val pa = col("xa").cast("double") / na
+    val pb = col("xb").cast("double") / nb
+    val pp = (col("xa") + col("xb")).cast("double") / (na + nb)
+    stats.select(col("na").as("n_a"), col("xa").as("x_a"),
+      col("nb").as("n_b"), col("xb").as("x_b"),
+      round(when(col("na") > 0, pa), 6).as("p_a"),
+      round(when(col("nb") > 0, pb), 6).as("p_b"),
+      round(when(col("na") > 0 && col("nb") > 0 &&
+          pp > 0.0 && pp < 1.0,
+        (pa - pb) / sqrt(pp * (lit(1.0) - pp) *
+          (lit(1.0) / na + lit(1.0) / nb))), 6).as("z"))
+  }
+
+  /** Wilson score interval per group — the binomial rate CI that stays
+    * honest at small n and extreme p̂ (the Wald interval collapses to
+    * zero width at p̂ ∈ {0, 1}; Wilson never does): center
+    * (p̂ + z²/2n)/(1 + z²/n), half-width
+    * z·√(p̂(1−p̂)/n + z²/4n²)/(1 + z²/n). The per-segment rate
+    * readout a dashboard should ship instead of bare proportions.
+    *
+    * ONE keyed count pass; the interval is a fixed double expression
+    * tree on (n, x) — engine-stable. Output: (groupCol, n, x, p_hat,
+    * ci_lo, ci_hi) rounded 6; empty groups cannot occur (no rows → no
+    * group), n ≥ 1 always. */
+  def wilsonCI(df: DataFrame, groupCol: String, successCol: String,
+               z: Double = 1.96): DataFrame = {
+    require(z > 0.0, s"z must be > 0, got $z")
+    val per = df.filter(col(successCol).isNotNull)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col(successCol).cast("int") =!= 0, 1L).otherwise(0L))
+          .as("x"))
+    val nD = col("n").cast("double")
+    val p = col("x").cast("double") / nD
+    val z2 = lit(z * z)
+    val denom = lit(1.0) + z2 / nD
+    val center = (p + z2 / (lit(2.0) * nD)) / denom
+    val halfW = lit(z) * sqrt(p * (lit(1.0) - p) / nD +
+      z2 / (lit(4.0) * nD * nD)) / denom
+    per.select(col(groupCol), col("n"), col("x"),
+      round(p, 6).as("p_hat"),
+      round(center - halfW, 6).as("ci_lo"),
+      round(center + halfW, 6).as("ci_hi"))
+  }
+
   /** Ranked-retrieval quality per query — the metrics a search/RAG
     * stack is actually judged by, computed over a (query, doc, score,
     * relevance) table in ONE pass: graded nDCG@k (gain (2^rel − 1) /

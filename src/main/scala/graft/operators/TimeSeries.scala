@@ -162,4 +162,95 @@ object TimeSeries {
           expr("__arr[0].v"),
           (acc, x) => round(a * x + b * acc, 9)), 6).as("ewma"))
   }
+
+  /** CUSUM changepoint locator — WHERE did a series' level shift:
+    * cusum_t = Σ_{i≤t}(x_i − x̄) peaks (in absolute value) at the
+    * point where the mean changes; the argmax is the classic
+    * single-changepoint estimate, and max|cusum| is its strength
+    * (compare across series, or against a permutation threshold the
+    * caller owns).
+    *
+    * The series is (keyCol asc → valCol); the cumulative walk runs
+    * over the distinct-key grid (aggregate to the grain you mean —
+    * daily/hourly — BEFORE calling; a corpus-row walk is the misuse,
+    * same contract as [[graft.operators.Eval.ksTest]]). Deviations
+    * round to the 9-grid and cumulate in DECIMAL(38,9); the argmax
+    * tie-breaks to the EARLIEST key. Output: one row
+    * (change_at = keyCol value, max_abs_cusum, mean, n). */
+  def changePoint(df: DataFrame, keyCol: String,
+                  valCol: String): DataFrame = {
+    val rows = df.filter(col(valCol).isNotNull)
+      .select(col(keyCol).as("__k"), col(valCol).cast("double").as("__v"))
+    val m = rows.agg(count(lit(1)).as("__n"),
+      (sum(round(col("__v"), 9).cast("decimal(38,9)")).cast("double") /
+        count(lit(1))).as("__mean"))
+    val w = Window.orderBy(col("__k")) // distinct-key grid by contract
+    rows.crossJoin(broadcast(m))
+      .withColumn("__cusum",
+        sum(round(col("__v") - col("__mean"), 9).cast("decimal(38,9)"))
+          .over(w))
+      .select(col("__n"), col("__mean"), col("__k"),
+        abs(col("__cusum")).cast("double").as("__a"))
+      .groupBy(col("__n"), col("__mean"))
+      .agg(min(struct(negate(col("__a")).as("__na"), col("__k"),
+        col("__a"))).as("__best"))
+      .select(col("__best.__k").as("change_at"),
+        round(col("__best.__a"), 6).as("max_abs_cusum"),
+        round(col("__mean"), 6).as("mean"),
+        col("__n").as("n"))
+  }
+
+  /** Classical additive seasonal decomposition — value = trend +
+    * seasonal + residual, the first model a monitoring pipeline fits
+    * to a regular series: trend is the centered moving average over
+    * one full period (null at the edges where the window is
+    * incomplete — honest, not extrapolated), the seasonal component is
+    * each phase's mean DETRENDED value re-centered to sum to zero over
+    * the period (so trend and seasonal don't double-count the level),
+    * residual is the remainder where trend exists.
+    *
+    * Input is one regular series at its grain: (keyCol asc = time
+    * order, period = cycle length in rows, phase = position mod
+    * period). The walk runs over the distinct-key grid (the
+    * [[changePoint]] contract); phase means are one period-sized agg.
+    * Every mean derives from 9-grid DECIMAL sums. Output: (keyCol,
+    * value, trend, seasonal, residual) rounded 6. */
+  def seasonalDecompose(df: DataFrame, keyCol: String, valCol: String,
+                        period: Int): DataFrame = {
+    require(period >= 2, s"period must be >= 2, got $period")
+    require(period % 2 == 1,
+      s"period must be odd (centered MA of even windows needs the " +
+        s"2x-MA refinement this operator does not model), got $period")
+    val half = period / 2
+    val rows = df.filter(col(valCol).isNotNull)
+      .select(col(keyCol).as("__k"), col(valCol).cast("double").as("__v"))
+    val w = Window.orderBy(col("__k"))
+    val trended = rows
+      .withColumn("__pos", row_number().over(w))
+      .withColumn("__trend",
+        when(count(lit(1)).over(w.rowsBetween(-half, half)) === period,
+          sum(round(col("__v"), 9).cast("decimal(38,9)"))
+            .over(w.rowsBetween(-half, half)).cast("double") / period))
+    val phase = trended
+      .withColumn("__phase", (col("__pos") - 1) % period)
+    val phaseMeans = phase.filter(col("__trend").isNotNull)
+      .groupBy(col("__phase"))
+      .agg((sum(round(col("__v") - col("__trend"), 9)
+        .cast("decimal(38,9)")).cast("double") / count(lit(1)))
+        .as("__raw_seasonal"))
+    val centered = phaseMeans.crossJoin(broadcast(
+        phaseMeans.agg((sum(round(col("__raw_seasonal"), 9)
+          .cast("decimal(38,9)")).cast("double") /
+          count(lit(1))).as("__soff"))))
+      .select(col("__phase"),
+        round(col("__raw_seasonal") - col("__soff"), 9).as("__seasonal"))
+    phase.join(broadcast(centered), Seq("__phase"), "left")
+      .select(col("__k").as(keyCol),
+        round(col("__v"), 6).as("value"),
+        round(col("__trend"), 6).as("trend"),
+        round(col("__seasonal"), 6).as("seasonal"),
+        round(when(col("__trend").isNotNull,
+          col("__v") - col("__trend") - col("__seasonal")), 6)
+          .as("residual"))
+  }
 }

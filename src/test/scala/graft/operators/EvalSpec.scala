@@ -376,6 +376,43 @@ class EvalSpec extends SparkSpec {
     assert(out("tie").getDouble(6) == 1.0)
   }
 
+  // --- propZTest -----------------------------------------------------------
+
+  test("propZTest: hand-computed case; equal rates → 0; degenerate pooled → null") {
+    // a: 40/100, b: 25/100 → pooled .325, z = .15/sqrt(.325*.675*.02)
+    val df = ((1 to 100).map(i => ("a", if (i <= 40) 1 else 0)) ++
+      (1 to 100).map(i => ("b", if (i <= 25) 1 else 0))).toDF("smp", "y")
+    val r = Eval.propZTest(df, "smp", "y", "a", "b").collect().head
+    assert(r.getLong(1) == 40L && r.getLong(3) == 25L)
+    val z = (0.4 - 0.25) / math.sqrt(0.325 * (1 - 0.325) * (1.0 / 100 + 1.0 / 100))
+    assert(r.getDouble(6) == math.rint(z * 1e6) / 1e6)
+    val same = Seq(("a", 1), ("a", 0), ("b", 1), ("b", 0)).toDF("smp", "y")
+    assert(Eval.propZTest(same, "smp", "y", "a", "b")
+      .collect().head.getDouble(6) == 0.0)
+    val allPos = Seq(("a", 1), ("b", 1)).toDF("smp", "y")
+    assert(Eval.propZTest(allPos, "smp", "y", "a", "b")
+      .collect().head.isNullAt(6))
+  }
+
+  // --- wilsonCI ------------------------------------------------------------
+
+  test("wilsonCI: textbook interval; extreme p̂ never collapses; contains p_hat") {
+    // n=10, x=8, z=1.96: standard Wilson check
+    val df = (1 to 10).map(i => ("g", if (i <= 8) 1 else 0)).toDF("grp", "y")
+    val r = Eval.wilsonCI(df, "grp", "y").collect().head
+    val (n, p, z) = (10.0, 0.8, 1.96)
+    val denom = 1.0 + z * z / n
+    val center = (p + z * z / (2 * n)) / denom
+    val half = z * math.sqrt(p * (1 - p) / n + z * z / (4 * n * n)) / denom
+    assert(r.getDouble(4) == math.rint((center - half) * 1e6) / 1e6)
+    assert(r.getDouble(5) == math.rint((center + half) * 1e6) / 1e6)
+    // p̂ = 1: Wald would give [1, 1]; Wilson lower bound must be < 1
+    val ones = Seq(("g", 1), ("g", 1), ("g", 1)).toDF("grp", "y")
+    val r1 = Eval.wilsonCI(ones, "grp", "y").collect().head
+    assert(r1.getDouble(3) == 1.0 && r1.getDouble(4) < 1.0)
+    assert(r1.getDouble(4) > 0.0 && r1.getDouble(5) >= 1.0 - 1e-9)
+  }
+
   // --- benford -------------------------------------------------------------
 
   test("benford: digit extraction is string-exact (powers of ten, decimals, negatives)") {
