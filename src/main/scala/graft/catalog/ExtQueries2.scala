@@ -489,7 +489,20 @@ object ExtQueries2 {
           t(s, d, "orders").groupBy(col("o_orderdate").as("day"))
             .agg(count(lit(1)).cast("double").as("cnt")),
           "day", "cnt", period = 7)
-        .orderBy(col("day"))))
+        .orderBy(col("day"))),
+
+    // --- rank-biased overlap -----------------------------------------------
+    // Do spend and order frequency rank the top-50 customers alike?
+    "q214_rbo" -> ((s, d) => {
+      val o = t(s, d, "orders")
+      graft.operators.Eval.rbo(
+        o.groupBy(col("o_custkey").as("id"))
+          .agg(sum(col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double").as("s")),
+        o.groupBy(col("o_custkey").as("id"))
+          .agg(count(lit(1)).cast("double").as("s")),
+        "id", "s", k = 50, p = 0.9)
+    }))
 
   def oracleSql: Map[String, String] = Map(
     "q63_interval_join" ->
@@ -1260,6 +1273,29 @@ object ExtQueries2 {
            round(CASE WHEN trend IS NOT NULL
              THEN ph.v - trend - seas END, 6) AS residual
          FROM ph LEFT JOIN ce USING (phase) ORDER BY day""",
+
+    // the suffix-weight table W(m) is generated by the SAME Scala
+    // computation the engine uses, serialized round-trip-exact
+    "q214_rbo" -> {
+      val ws = graft.operators.Eval.rboWeights(50, 0.9)
+        .map(_.toString).mkString(", ")
+      s"""WITH sp AS (SELECT o_custkey AS i,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS s
+           FROM orders GROUP BY 1),
+         ct AS (SELECT o_custkey AS i, CAST(count(*) AS DOUBLE) AS s
+           FROM orders GROUP BY 1),
+         ra AS (SELECT i, row_number() OVER (ORDER BY s DESC, i ASC) AS r
+           FROM sp ORDER BY s DESC, i ASC LIMIT 50),
+         rb AS (SELECT i, row_number() OVER (ORDER BY s DESC, i ASC) AS r
+           FROM ct ORDER BY s DESC, i ASC LIMIT 50),
+         j AS (SELECT CAST(round(list_extract([$ws],
+             CAST(greatest(ra.r, rb.r) AS INT)), 9) AS DECIMAL(38,9)) AS w
+           FROM ra JOIN rb USING (i))
+         SELECT CAST(count(*) AS BIGINT) AS n_common,
+           round((1.0 - 0.9) * coalesce(CAST(sum(w) AS DOUBLE), 0.0), 6)
+             AS rbo
+         FROM j"""
+    },
 
     // identical min-max 255-grid ranks and explicit 16-term interleave
     // (disjoint bit positions, so + ≡ |)

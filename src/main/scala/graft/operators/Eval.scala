@@ -585,6 +585,54 @@ object Eval {
           .as("ndcg"))
   }
 
+  /** Truncated RBO weight table: W(m) = Σ_{d=m..k} p^{d−1}/d — the
+    * total weight an item contributes once it has entered both prefixes
+    * at depth m. Driver-side (k values), shared verbatim by the SQL
+    * oracle so both engines index the identical doubles. */
+  def rboWeights(k: Int, p: Double): Seq[Double] = {
+    val terms = (1 to k).map(d => math.pow(p, d - 1) / d)
+    (1 to k).map(m => terms.drop(m - 1).sum)
+  }
+
+  /** Rank-biased overlap (Webber et al. 2010), truncated at depth k —
+    * HOW SIMILAR are two rankings of the same universe, with
+    * top-weighted emphasis (persistence p: each deeper prefix counts
+    * p× the previous): RBO@k = (1−p)·Σ_{d≤k} p^{d−1}·|S_d ∩ T_d|/d.
+    * The metric for comparing retrieval variants (BM25 vs cosine, old
+    * index vs new) where plain set overlap ignores order entirely.
+    *
+    * One-pass form: an item ranked ra in S and rb in T joins every
+    * prefix intersection from depth max(ra, rb) on, so its total
+    * contribution is the suffix weight W(max(ra, rb)) — precomputed
+    * driver-side ([[rboWeights]]), looked up via a broadcast literal
+    * array. Each side is pruned to its top k by (score desc, id asc)
+    * BEFORE ranking (TakeOrderedAndProject — no global window over the
+    * corpus), so the join is k×k-bounded. Ties break by id, pinned.
+    * Output: one row (n_common, rbo rounded 6); disjoint prefixes → 0.
+    */
+  def rbo(a: DataFrame, b: DataFrame, idCol: String, scoreCol: String,
+          k: Int = 20, p: Double = 0.9): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(p > 0.0 && p < 1.0, s"p must be in (0,1), got $p")
+    def topRanked(df: DataFrame, out: String): DataFrame = {
+      val pruned = df.filter(col(scoreCol).isNotNull)
+        .select(col(idCol).as("__i"), col(scoreCol).cast("double").as("__s"))
+        .orderBy(col("__s").desc, col("__i").asc).limit(k)
+      pruned.withColumn(out, row_number().over(
+          Window.orderBy(col("__s").desc, col("__i").asc))) // k rows only
+        .select(col("__i"), col(out))
+    }
+    val weights = array(rboWeights(k, p).map(lit): _*)
+    topRanked(a, "__ra")
+      .join(topRanked(b, "__rb"), Seq("__i"))
+      .select(round(element_at(weights,
+        greatest(col("__ra"), col("__rb")).cast("int")), 9)
+        .cast("decimal(38,9)").as("__w"))
+      .agg(count(lit(1)).as("n_common"),
+        round(lit(1.0 - p) * coalesce(sum(col("__w")).cast("double"),
+          lit(0.0)), 6).as("rbo"))
+  }
+
   /** Benford first-significant-digit screen — does a naturally-generated
     * numeric column follow log₁₀(1 + 1/d)? Fabricated, truncated, or
     * capped data deviates; the χ² contributions localize which digits.

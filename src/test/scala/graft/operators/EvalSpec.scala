@@ -413,6 +413,55 @@ class EvalSpec extends SparkSpec {
     assert(r1.getDouble(4) > 0.0 && r1.getDouble(5) >= 1.0 - 1e-9)
   }
 
+  // --- rbo -----------------------------------------------------------------
+
+  test("rbo: identical rankings → Σ(1−p)p^(d−1), disjoint → 0, brute-force equality") {
+    val a = (1 to 10).map(i => (i.toLong, 100.0 - i)).toDF("id", "s")
+    val same = Eval.rbo(a, a, "id", "s", k = 10, p = 0.9).collect().head
+    // A_d = 1 at every depth → RBO = (1−p)·Σ p^(d−1)
+    val g9 = (x: Double) => math.rint(x * 1e9) / 1e9
+    val ws = Eval.rboWeights(10, 0.9)
+    val expSame = math.rint(0.1 * (1 to 10).map(m => BigDecimal(g9(ws(m - 1))))
+      .sum.toDouble * 1e6) / 1e6
+    assert(same.getDouble(1) == expSame)
+    assert(same.getLong(0) == 10L)
+    val b = (11 to 20).map(i => (i.toLong, 100.0 - i)).toDF("id", "s")
+    val dis = Eval.rbo(a, b, "id", "s", k = 10, p = 0.9).collect().head
+    assert(dis.getLong(0) == 0L && dis.getDouble(1) == 0.0)
+
+    // brute force on partially overlapping scrambled rankings
+    val x = Seq(1L -> 9.0, 2L -> 8.0, 3L -> 7.0, 4L -> 6.0, 5L -> 5.0)
+    val y = Seq(3L -> 9.0, 1L -> 8.0, 6L -> 7.0, 2L -> 6.0, 7L -> 5.0)
+    val out = Eval.rbo(x.toDF("id", "s"), y.toDF("id", "s"),
+      "id", "s", k = 5, p = 0.8).collect().head
+    val sx = x.sortBy { case (i, sc) => (-sc, i) }.map(_._1)
+    val sy = y.sortBy { case (i, sc) => (-sc, i) }.map(_._1)
+    val brute = 0.2 * (1 to 5).map { d =>
+      math.pow(0.8, d - 1) *
+        sx.take(d).toSet.intersect(sy.take(d).toSet).size / d.toDouble
+    }.sum
+    assert(math.abs(out.getDouble(1) - brute) < 1e-6)
+  }
+
+  test("rbo: prefixes prune at k and ties break by id") {
+    // beyond-k items must not contribute even if shared
+    val a = (1 to 30).map(i => (i.toLong, 100.0 - i)).toDF("id", "s")
+    val b = ((1 to 5) ++ (21 to 30)).map(i => (i.toLong, 50.0 - i))
+      .toDF("id", "s")
+    val out = Eval.rbo(a, b, "id", "s", k = 5, p = 0.9).collect().head
+    assert(out.getLong(0) == 5L) // items 21..30 rank beyond b's own top-5? no:
+    // b's top-5 by score are ids 1..5 — shared with a's top-5 exactly
+    // tie-break: equal scores order by id asc on both sides → same ranking
+    val t1 = Seq(1L -> 5.0, 2L -> 5.0, 3L -> 5.0).toDF("id", "s")
+    val r = Eval.rbo(t1, t1, "id", "s", k = 3, p = 0.5).collect().head
+    assert(r.getLong(0) == 3L)
+    val ws = Eval.rboWeights(3, 0.5)
+    val g9 = (x: Double) => math.rint(x * 1e9) / 1e9
+    val expected = math.rint(0.5 * (1 to 3)
+      .map(m => BigDecimal(g9(ws(m - 1)))).sum.toDouble * 1e6) / 1e6
+    assert(r.getDouble(1) == expected)
+  }
+
   // --- benford -------------------------------------------------------------
 
   test("benford: digit extraction is string-exact (powers of ten, decimals, negatives)") {
