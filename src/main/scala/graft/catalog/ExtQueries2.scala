@@ -491,6 +491,17 @@ object ExtQueries2 {
           "day", "cnt", period = 7)
         .orderBy(col("day"))),
 
+    // --- Holt linear forecast ----------------------------------------------
+    // Three-day forecast of daily event volume per type.
+    "q215_holt" -> ((s, d) =>
+      graft.operators.TimeSeries.holtForecast(
+          ev(s, d).groupBy(col("event_type"),
+              to_date(col("ts")).as("day"))
+            .agg(count(lit(1)).cast("double").as("cnt")),
+          "event_type", "day", "cnt",
+          alpha = 0.5, beta = 0.3, horizon = 3)
+        .orderBy(col("event_type"), col("h"))),
+
     // --- rank-biased overlap -----------------------------------------------
     // Do spend and order frequency rank the top-50 customers alike?
     "q214_rbo" -> ((s, d) => {
@@ -1273,6 +1284,36 @@ object ExtQueries2 {
            round(CASE WHEN trend IS NOT NULL
              THEN ph.v - trend - seas END, 6) AS residual
          FROM ph LEFT JOIN ce USING (phase) ORDER BY day""",
+
+    // the same fold with per-step 9-grid rounding; 1−α and 1−β stay
+    // written as subtractions (the IEEE value of 1.0-0.3 is not the
+    // literal 0.7); the init b₁ = x₂−x₁ inlines as a CASE on the step
+    // counter; state rides a LIST [l, b, n] — DuckDB 1.0.0 miscompiles
+    // STRUCT-state list_reduce lambdas (fields cross-contaminate),
+    // list state folds correctly
+    "q215_holt" ->
+      """WITH srs AS (SELECT event_type AS g, CAST(ts AS DATE) AS day,
+             CAST(count(*) AS DOUBLE) AS v
+           FROM events GROUP BY 1, 2),
+         s AS (SELECT g, list(round(CAST(v AS DECIMAL(28,9)), 9)::DOUBLE
+             ORDER BY day) AS vs FROM srs GROUP BY 1),
+         st AS (SELECT g, list_reduce(
+             list_transform(vs, x -> [x, 0.0, 1.0]),
+             (acc, x) -> [
+               round(0.5*x[1] + (1.0 - 0.5)*(acc[1] +
+                 (CASE WHEN acc[3] = 1.0 THEN x[1] - acc[1]
+                   ELSE acc[2] END)), 9),
+               round(0.3*(0.5*(x[1] - acc[1]) + (1.0 - 0.5)
+                   *(CASE WHEN acc[3] = 1.0 THEN x[1] - acc[1]
+                     ELSE acc[2] END))
+                 + (1.0 - 0.3)*(CASE WHEN acc[3] = 1.0
+                   THEN x[1] - acc[1] ELSE acc[2] END), 9),
+               acc[3] + 1.0]) AS fold
+           FROM s)
+         SELECT g AS event_type, CAST(h AS INT) AS h,
+           round(fold[1] + h * fold[2], 6) AS forecast
+         FROM st, unnest([1, 2, 3]) AS u(h)
+         ORDER BY event_type, h""",
 
     // the suffix-weight table W(m) is generated by the SAME Scala
     // computation the engine uses, serialized round-trip-exact

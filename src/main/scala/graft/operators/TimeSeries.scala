@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -161,6 +161,62 @@ object TimeSeries {
           expr("slice(transform(__arr, x -> x.v), 2, size(__arr) - 1)"),
           expr("__arr[0].v"),
           (acc, x) => round(a * x + b * acc, 9)), 6).as("ewma"))
+  }
+
+  /** Holt linear (double-exponential) forecast per key — level + trend
+    * smoothing, the first forecaster a monitoring pipeline reaches for
+    * once [[ewma]]'s flat level lags a trending series:
+    * l_t = α·x_t + (1−α)(l_{t−1} + b_{t−1}),
+    * b_t = β·Δ_t + (1−β)b_{t−1} with Δ_t = α(x_t − l_{t−1}) +
+    * (1−α)b_{t−1} — the level INCREMENT in its algebraic form (equal
+    * to l_t − l_{t−1} before rounding; using it keeps the trend update
+    * independent of the rounded level, so neither engine nests one
+    * rounded term inside another). Forecast(h) = l_n + h·b_n.
+    * Init: l₁ = x₁, b₁ = x₂ − x₁ (single-point series forecast flat).
+    *
+    * Execution: the [[ewma]] shape — ONE keyed collect, the recursion
+    * is a codegen'd `aggregate` HOF over each key's sorted values with
+    * a (level, trend, n) struct accumulator; per-step results round to
+    * the 9-grid, so the fold is bit-reproducible and ORACLE-ABLE
+    * (DuckDB list_reduce replays it exactly — including writing 1−α
+    * and 1−β as subtractions, because the IEEE value of `1.0 - 0.3` is
+    * NOT the literal `0.7`). tsCol must be unique per key (duplicate
+    * sort keys would leave cross-engine collect order ambiguous).
+    * Per-key state is O(series length) in the collect — aggregate to
+    * the series grain first, the [[changePoint]] contract. Output:
+    * (keyCol, h, forecast rounded 6) for h = 1..horizon. */
+  def holtForecast(df: DataFrame, keyCol: String, tsCol: String,
+                   valCol: String, alpha: Double, beta: Double,
+                   horizon: Int): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0,1], got $alpha")
+    require(beta > 0.0 && beta <= 1.0, s"beta must be in (0,1], got $beta")
+    require(horizon >= 1, s"horizon must be >= 1, got $horizon")
+    val a = lit(alpha); val a1 = lit(1.0 - alpha)
+    val b = lit(beta); val b1 = lit(1.0 - beta)
+    val arr = df.groupBy(col(keyCol))
+      .agg(sort_array(collect_list(struct(col(tsCol).as("t"),
+        round(col(valCol).cast("decimal(28,9)"), 9).cast("double")
+          .as("v")))).as("__a"))
+    val vals = expr("transform(__a, x -> x.v)")
+    val init = struct(element_at(vals, 1).as("l"), lit(0.0).as("b"),
+      lit(1).as("n"))
+    val step = (acc: Column, x: Column) => {
+      val accL = acc.getField("l"); val accB = acc.getField("b")
+      // first folded element is x₂: substitute the init b₁ = x₂ − l₁
+      val b0 = when(acc.getField("n") === 1, x - accL).otherwise(accB)
+      struct(round(a * x + a1 * (accL + b0), 9).as("l"),
+        round(b * (a * (x - accL) + a1 * b0) + b1 * b0, 9).as("b"),
+        (acc.getField("n") + 1).as("n"))
+    }
+    arr
+      .withColumn("__st",
+        aggregate(expr("slice(transform(__a, x -> x.v), 2, size(__a) - 1)"),
+          init, step))
+      .select(col(keyCol),
+        explode(sequence(lit(1), lit(horizon))).as("h"),
+        col("__st"))
+      .select(col(keyCol), col("h"),
+        round(col("__st.l") + col("h") * col("__st.b"), 6).as("forecast"))
   }
 
   /** CUSUM changepoint locator — WHERE did a series' level shift:

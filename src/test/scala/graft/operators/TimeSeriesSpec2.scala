@@ -29,6 +29,49 @@ class TimeSeriesSpec2 extends SparkSpec {
     assert(r.getInt(0) == 1) // every key ties at 0 → earliest wins
   }
 
+  // --- holtForecast --------------------------------------------------------
+
+  private def refHolt(xs: Seq[Double], a: Double, b: Double,
+                      horizon: Int): Seq[Double] = {
+    val g9 = (x: Double) => math.rint(x * 1e9) / 1e9
+    var l = xs.head
+    var t = 0.0
+    var first = true
+    for (x <- xs.tail) {
+      val b0 = if (first) x - l else t
+      first = false
+      val nl = g9(a * x + (1.0 - a) * (l + b0))
+      t = g9(b * (a * (x - l) + (1.0 - a) * b0) + (1.0 - b) * b0)
+      l = nl
+    }
+    (1 to horizon).map(h => math.rint((l + h * t) * 1e6) / 1e6)
+  }
+
+  test("holtForecast matches the reference recursion bit-for-bit; linear series extrapolates") {
+    val xs = Seq(10.0, 13.0, 11.5, 15.0, 14.0, 18.0, 17.5, 21.0)
+    val df = xs.zipWithIndex.map { case (v, i) => ("g", i, v) }
+      .toDF("grp", "t", "v")
+    val out = TimeSeries.holtForecast(df, "grp", "t", "v",
+        alpha = 0.5, beta = 0.3, horizon = 3)
+      .orderBy("h").collect().map(_.getDouble(2))
+    assert(out.toSeq == refHolt(xs, 0.5, 0.3, 3))
+    // pure linear input: forecasts continue the line exactly
+    val lin = (0 until 10).map(i => ("g", i, 5.0 + 2.0 * i)).toDF("grp", "t", "v")
+    val fc = TimeSeries.holtForecast(lin, "grp", "t", "v", 0.5, 0.3, 2)
+      .orderBy("h").collect().map(_.getDouble(2))
+    assert(fc.toSeq == Seq(25.0, 27.0))
+  }
+
+  test("holtForecast: single-point series forecasts flat; keys stay independent") {
+    val df = Seq(("solo", 0, 42.0), ("pair", 0, 1.0), ("pair", 1, 3.0))
+      .toDF("grp", "t", "v")
+    val out = TimeSeries.holtForecast(df, "grp", "t", "v", 0.5, 0.3, 2)
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(out(("solo", 1)) == 42.0 && out(("solo", 2)) == 42.0)
+    // pair: l1=1, b1=2; fold x2: b0=2, l=.5*3+.5*3=3, b=.3*2+.7*2=2
+    assert(out(("pair", 1)) == 5.0 && out(("pair", 2)) == 7.0)
+  }
+
   // --- seasonalDecompose ---------------------------------------------------
 
   test("seasonalDecompose recovers a planted trend + weekly seasonality exactly") {
