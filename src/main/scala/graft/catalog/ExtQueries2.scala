@@ -502,6 +502,21 @@ object ExtQueries2 {
           alpha = 0.5, beta = 0.3, horizon = 3)
         .orderBy(col("event_type"), col("h"))),
 
+    // --- Kendall's tau-b ---------------------------------------------------
+    // Ordinal association of quantity and line number (both discrete —
+    // the cell-table contract).
+    "q216_kendall" -> ((s, d) =>
+      graft.operators.Features.kendallTau(
+        t(s, d, "lineitem"), "l_quantity", "l_linenumber")),
+
+    // --- Cramér's V --------------------------------------------------------
+    // Effect size for the q183 chi-square screen.
+    "q217_cramers_v" -> ((s, d) =>
+      graft.operators.Features.cramersV(
+        t(s, d, "orders").join(t(s, d, "customer"),
+          col("o_custkey") === col("c_custkey")),
+        "c_mktsegment", "o_orderpriority")),
+
     // --- rank-biased overlap -----------------------------------------------
     // Do spend and order frequency rank the top-50 customers alike?
     "q214_rbo" -> ((s, d) => {
@@ -1314,6 +1329,61 @@ object ExtQueries2 {
            round(fold[1] + h * fold[2], 6) AS forecast
          FROM st, unnest([1, 2, 3]) AS u(h)
          ORDER BY event_type, h""",
+
+    // same cell-table pair counting in DECIMAL(38,0); tie pairs via the
+    // exact even division t(t-1)/2
+    "q216_kendall" ->
+      """WITH r AS (SELECT CAST(l_quantity AS DOUBLE) AS x,
+             CAST(l_linenumber AS DOUBLE) AS y
+           FROM lineitem
+           WHERE l_quantity IS NOT NULL AND l_linenumber IS NOT NULL),
+         cell AS (SELECT x, y, count(*) AS c FROM r GROUP BY 1, 2),
+         p AS (SELECT
+             sum(CASE WHEN a.y < b.y
+               THEN CAST(a.c * b.c AS DECIMAL(38,0)) END) AS cc,
+             sum(CASE WHEN a.y > b.y
+               THEN CAST(a.c * b.c AS DECIMAL(38,0)) END) AS dd
+           FROM cell a JOIN cell b ON a.x < b.x),
+         n AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cell),
+         t1 AS (SELECT sum(CAST((t * (t - 1)) // 2 AS DECIMAL(38,0))) AS n1
+           FROM (SELECT sum(c) AS t FROM cell GROUP BY x)),
+         t2 AS (SELECT sum(CAST((t * (t - 1)) // 2 AS DECIMAL(38,0))) AS n2
+           FROM (SELECT sum(c) AS t FROM cell GROUP BY y)),
+         f AS (SELECT n.n, coalesce(p.cc, 0) AS cc, coalesce(p.dd, 0) AS dd,
+             CAST((n.n * (n.n - 1)) // 2 AS DECIMAL(38,0)) AS n0, n1, n2
+           FROM p, n, t1, t2)
+         SELECT n, CAST(cc AS BIGINT) AS concordant,
+           CAST(dd AS BIGINT) AS discordant,
+           round(CASE WHEN CAST(n0 - n1 AS DOUBLE) > 0
+               AND CAST(n0 - n2 AS DOUBLE) > 0
+             THEN (CAST(cc AS DOUBLE) - CAST(dd AS DOUBLE))
+               / sqrt(CAST(n0 - n1 AS DOUBLE) * CAST(n0 - n2 AS DOUBLE))
+             END, 6) AS tau_b
+         FROM f""",
+
+    // same DENSIFIED r x c grid (zero cells contribute e), 9-grid terms
+    "q217_cramers_v" ->
+      """WITH j AS (SELECT c.c_mktsegment AS a, o.o_orderpriority AS b
+           FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+         cell AS (SELECT a, b, CAST(count(*) AS DOUBLE) AS o
+           FROM j GROUP BY 1, 2),
+         rt AS (SELECT a, sum(o) AS rt FROM cell GROUP BY 1),
+         ct AS (SELECT b, sum(o) AS ct FROM cell GROUP BY 1),
+         dims AS (SELECT sum(o) AS n, count(DISTINCT a) AS r,
+             count(DISTINCT b) AS c FROM cell),
+         g AS (SELECT rt.rt, ct.ct, coalesce(cell.o, 0.0) AS o
+           FROM rt CROSS JOIN ct
+           LEFT JOIN cell ON cell.a = rt.a AND cell.b = ct.b),
+         chi AS (SELECT dims.n, dims.r, dims.c,
+             sum(CAST(round((o - rt * ct / dims.n) * (o - rt * ct / dims.n)
+               / (rt * ct / dims.n), 9) AS DECIMAL(38,9))) AS chi2
+           FROM g, dims GROUP BY 1, 2, 3)
+         SELECT CAST(n AS BIGINT) AS n, r, c,
+           round(CAST(chi2 AS DOUBLE), 4) AS chi2,
+           round(CASE WHEN least(r - 1, c - 1) > 0
+             THEN sqrt(CAST(chi2 AS DOUBLE)
+               / (n * CAST(least(r - 1, c - 1) AS DOUBLE))) END, 6) AS v
+         FROM chi""",
 
     // the suffix-weight table W(m) is generated by the SAME Scala
     // computation the engine uses, serialized round-trip-exact

@@ -342,4 +342,101 @@ object Features {
         round(when(col("__ha") > 0.0 && col("__hb") > 0.0,
           col("__mi") / sqrt(col("__ha") * col("__hb"))), 4).as("nmi"))
   }
+
+  /** Kendall's τ-b — ordinal association with tie correction, the
+    * rank statistic to reach for when [[spearman]]'s average-rank
+    * linearity is unwanted: τ-b = (C − D) / √((n₀−n₁)(n₀−n₂)) with C/D
+    * the concordant/discordant pair counts, n₀ = n(n−1)/2 and n₁/n₂
+    * the pairs tied in x / in y.
+    *
+    * Computed from the JOINT-DISTRIBUTION cell table, never row pairs:
+    * cells (x, y, c) self-join on x_i < x_j, each cell pair
+    * contributing cᵢ·cⱼ to C (y ascending) or D (y descending); ties
+    * come from the margins. The contract is discrete/binned data —
+    * work is |cells|², so bin continuous columns first
+    * ([[quantileBin]]); the row-pair formulation this replaces is
+    * O(n²) in the CORPUS. All pair counts are exact integers in
+    * DECIMAL(38,0); the two divisions happen once, in double. Output:
+    * one row (n, concordant, discordant, tau_b rounded 6); τ null
+    * when either tie-corrected denominator term is 0 (a constant
+    * column). */
+  def kendallTau(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val rows = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(col(xCol).cast("double").as("__x"),
+        col(yCol).cast("double").as("__y"))
+    val cell = rows.groupBy(col("__x"), col("__y"))
+      .agg(count(lit(1)).as("__c"))
+    val b = cell.select(col("__x").as("__x2"), col("__y").as("__y2"),
+      col("__c").as("__c2"))
+    val pairs = cell.join(b, col("__x") < col("__x2"))
+      .agg(
+        sum(when(col("__y") < col("__y2"),
+          (col("__c") * col("__c2")).cast("decimal(38,0)")))
+          .as("__C"),
+        sum(when(col("__y") > col("__y2"),
+          (col("__c") * col("__c2")).cast("decimal(38,0)")))
+          .as("__D"))
+    // t(t−1)/2 stays DECIMAL end-to-end: long `/` in Spark is DOUBLE
+    // division (silent precision loss past 2^53), and the product of
+    // consecutive integers is even, so the decimal division is exact
+    def tiePairs(kCol: String, out: String): DataFrame =
+      cell.groupBy(col(kCol)).agg(sum(col("__c")).as("__t"))
+        .agg(sum(((col("__t").cast("decimal(38,0)") * (col("__t") - 1)) / 2)
+          .cast("decimal(38,0)")).as(out))
+    val n = cell.agg(sum(col("__c")).as("__n"))
+    val joined = pairs
+      .crossJoin(broadcast(n))
+      .crossJoin(broadcast(tiePairs("__x", "__n1")))
+      .crossJoin(broadcast(tiePairs("__y", "__n2")))
+      .withColumn("__n0",
+        (col("__n").cast("decimal(38,0)") * (col("__n") - 1) / 2)
+          .cast("decimal(38,0)"))
+    val cd = coalesce(col("__C"), lit(0).cast("decimal(38,0)")).cast("double") -
+      coalesce(col("__D"), lit(0).cast("decimal(38,0)")).cast("double")
+    val tx = (col("__n0") - col("__n1")).cast("double")
+    val ty = (col("__n0") - col("__n2")).cast("double")
+    joined.select(col("__n").as("n"),
+      coalesce(col("__C"), lit(0).cast("decimal(38,0)")).cast("long")
+        .as("concordant"),
+      coalesce(col("__D"), lit(0).cast("decimal(38,0)")).cast("long")
+        .as("discordant"),
+      round(when(tx > 0.0 && ty > 0.0, cd / sqrt(tx * ty)), 6)
+        .as("tau_b"))
+  }
+
+  /** Cramér's V — the EFFECT SIZE the χ² screen is missing: at corpus n
+    * everything is "significant", V = √(χ²/(n·min(r−1, c−1))) ∈ [0, 1]
+    * says whether the association is big. Same one-cell-agg shape as
+    * [[chiSquare]], but over the DENSIFIED r×c grid — an unobserved
+    * cell still contributes (0−e)²/e = e, and dropping zero cells
+    * deflates χ² on sparse tables (spec-pinned: a perfect 2×2 is V = 1
+    * only with its two zero cells counted); per-cell χ² terms round to
+    * the 9-grid into a DECIMAL(38,9) sum. Output: one row (n, r, c,
+    * chi2 rounded 4, v rounded 6); V null for a degenerate 1×k table. */
+  def cramersV(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val cell = df.filter(col(aCol).isNotNull && col(bCol).isNotNull)
+      .groupBy(col(aCol).as("__a"), col(bCol).as("__b"))
+      .agg(count(lit(1)).cast("double").as("__o"))
+    val rt = cell.groupBy(col("__a")).agg(sum(col("__o")).as("__rt"))
+    val ct = cell.groupBy(col("__b")).agg(sum(col("__o")).as("__ct"))
+    val dims = cell.agg(sum(col("__o")).as("__n"),
+      countDistinct(col("__a")).as("__r"), countDistinct(col("__b")).as("__c"))
+    val e = col("__rt") * col("__ct") / col("__n")
+    val chi = rt.crossJoin(ct) // the dense r×c grid, margins included
+      .join(cell, Seq("__a", "__b"), "left")
+      .withColumn("__o", coalesce(col("__o"), lit(0.0)))
+      .crossJoin(broadcast(dims))
+      .select(col("__n"), col("__r"), col("__c"),
+        round((col("__o") - e) * (col("__o") - e) / e, 9)
+          .cast("decimal(38,9)").as("__t"))
+      .groupBy(col("__n"), col("__r"), col("__c"))
+      .agg(sum(col("__t")).as("__chi2"))
+    val minDim = least(col("__r") - 1, col("__c") - 1).cast("double")
+    chi.select(col("__n").cast("long").as("n"),
+      col("__r").as("r"), col("__c").as("c"),
+      round(col("__chi2").cast("double"), 4).as("chi2"),
+      round(when(minDim > 0.0,
+        sqrt(col("__chi2").cast("double") / (col("__n") * minDim))), 6)
+        .as("v"))
+  }
 }

@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** kendallTau + cramersV (FeaturesSpec covers the earlier surface). */
+class FeaturesSpec2 extends SparkSpec {
+  import spark.implicits._
+
+  // --- kendallTau ----------------------------------------------------------
+
+  private def refTauB(xs: Seq[(Double, Double)]): Option[Double] = {
+    var c = 0L; var d = 0L; var tx = 0L; var ty = 0L
+    for (i <- xs.indices; j <- (i + 1) until xs.size) {
+      val ((x1, y1), (x2, y2)) = (xs(i), xs(j))
+      if (x1 == x2 && y1 == y2) { tx += 1; ty += 1 }
+      else if (x1 == x2) tx += 1
+      else if (y1 == y2) ty += 1
+      else if ((x1 < x2) == (y1 < y2)) c += 1
+      else d += 1
+    }
+    val n0 = xs.size.toLong * (xs.size - 1) / 2
+    val den = math.sqrt((n0 - tx).toDouble * (n0 - ty).toDouble)
+    if (den > 0) Some(math.rint((c - d) / den * 1e6) / 1e6) else None
+  }
+
+  test("kendallTau: perfect monotone → ±1; matches brute force with heavy ties") {
+    val up = (1 to 20).map(i => (i.toDouble, i * 2.0)).toDF("x", "y")
+    assert(Features.kendallTau(up, "x", "y").collect().head.getDouble(3) == 1.0)
+    val down = (1 to 20).map(i => (i.toDouble, -i * 2.0)).toDF("x", "y")
+    assert(Features.kendallTau(down, "x", "y")
+      .collect().head.getDouble(3) == -1.0)
+
+    val data = (1 to 150).map(i => ((i * 31 % 6).toDouble, (i * 17 % 5).toDouble))
+    val r = Features.kendallTau(data.toDF("x", "y"), "x", "y").collect().head
+    assert(r.getLong(0) == 150L)
+    assert(r.getDouble(3) == refTauB(data).get)
+    // pair identity: C + D + mixed ties = n0 is implied by brute equality;
+    // still sanity-check C/D against the reference counters
+    var c = 0L; var d = 0L
+    for (i <- data.indices; j <- (i + 1) until data.size) {
+      val ((x1, y1), (x2, y2)) = (data(i), data(j))
+      if (x1 != x2 && y1 != y2) {
+        if ((x1 < x2) == (y1 < y2)) c += 1 else d += 1
+      }
+    }
+    assert(r.getLong(1) == c && r.getLong(2) == d)
+  }
+
+  test("kendallTau: constant column → null; nulls drop") {
+    val const = Seq((1.0, Some(5.0)), (2.0, Some(5.0)), (3.0, None))
+      .toDF("x", "y")
+    val r = Features.kendallTau(const, "x", "y").collect().head
+    assert(r.getLong(0) == 2L)
+    assert(r.isNullAt(3))
+  }
+
+  // --- cramersV ------------------------------------------------------------
+
+  test("cramersV: perfect association → 1, independence → 0, textbook value") {
+    val perfect = Seq(("a", "x"), ("a", "x"), ("b", "y"), ("b", "y"))
+      .toDF("u", "w")
+    val rp = Features.cramersV(perfect, "u", "w").collect().head
+    assert(rp.getDouble(4) == 1.0)
+    val indep = (for (a <- Seq("a", "b"); b <- Seq("x", "y"); _ <- 1 to 5)
+      yield (a, b)).toDF("u", "w")
+    assert(Features.cramersV(indep, "u", "w").collect().head.getDouble(4) == 0.0)
+    // hand 2x2: [[10, 20], [30, 40]] → chi2 = 100/21·... compute directly
+    val counts = Seq(("a", "x", 10), ("a", "y", 20), ("b", "x", 30), ("b", "y", 40))
+    val df = counts.flatMap { case (a, b, k) => Seq.fill(k)((a, b)) }.toDF("u", "w")
+    val r = Features.cramersV(df, "u", "w").collect().head
+    val n = 100.0
+    val g9 = (x: Double) => math.rint(x * 1e9) / 1e9
+    val chi = Seq((10.0, 30 * 40 / n), (20.0, 30 * 60 / n),
+      (30.0, 70 * 40 / n), (40.0, 70 * 60 / n))
+      .map { case (o, e) => BigDecimal(g9((o - e) * (o - e) / e)) }.sum.toDouble
+    assert(r.getDouble(3) == math.rint(chi * 1e4) / 1e4)
+    assert(r.getDouble(4) == math.rint(math.sqrt(chi / n) * 1e6) / 1e6)
+  }
+
+  test("cramersV: degenerate 1xk table → null V") {
+    val df = Seq(("only", "x"), ("only", "y")).toDF("u", "w")
+    val r = Features.cramersV(df, "u", "w").collect().head
+    assert(r.getLong(1) == 1L && r.isNullAt(4))
+  }
+}
