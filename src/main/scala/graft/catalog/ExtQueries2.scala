@@ -517,6 +517,13 @@ object ExtQueries2 {
           col("o_custkey") === col("c_custkey")),
         "c_mktsegment", "o_orderpriority")),
 
+    // --- Theil's uncertainty coefficient -----------------------------------
+    // Directional version of q193: does lang predict source, or source
+    // predict lang?
+    "q218_theil_u" -> ((s, d) =>
+      graft.operators.Features.theilU(
+        t(s, d, "documents"), "lang", "source")),
+
     // --- rank-biased overlap -----------------------------------------------
     // Do spend and order frequency rank the top-50 customers alike?
     "q214_rbo" -> ((s, d) => {
@@ -1384,6 +1391,33 @@ object ExtQueries2 {
              THEN sqrt(CAST(chi2 AS DOUBLE)
                / (n * CAST(least(r - 1, c - 1) AS DOUBLE))) END, 6) AS v
          FROM chi""",
+
+    // the q193 cell/margin/entropy grids verbatim, plus the two
+    // directional divisions
+    "q218_theil_u" ->
+      """WITH cell AS (SELECT lang AS a, source AS b, count(*) AS c
+            FROM documents GROUP BY 1, 2),
+         ma AS (SELECT a, sum(c) AS ca FROM cell GROUP BY 1),
+         mb AS (SELECT b, sum(c) AS cb FROM cell GROUP BY 1),
+         nn AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cell),
+         mi AS (SELECT CAST(sum(CAST(round(
+              (CAST(c AS DOUBLE) / n) * ln(CAST(c AS DOUBLE)
+                * CAST(n AS DOUBLE)
+                / (CAST(ca AS DOUBLE) * CAST(cb AS DOUBLE))), 9)
+              AS DECIMAL(28,9))) AS DOUBLE) AS mi
+           FROM cell JOIN ma USING (a) JOIN mb USING (b), nn),
+         ha AS (SELECT CAST(sum(CAST(round(
+              -(CAST(ca AS DOUBLE) / n) * ln(CAST(ca AS DOUBLE) / n), 9)
+              AS DECIMAL(28,9))) AS DOUBLE) AS h FROM ma, nn),
+         hb AS (SELECT CAST(sum(CAST(round(
+              -(CAST(cb AS DOUBLE) / n) * ln(CAST(cb AS DOUBLE) / n), 9)
+              AS DECIMAL(28,9))) AS DOUBLE) AS h FROM mb, nn)
+         SELECT n, round(mi, 4) AS mi,
+           round(CASE WHEN ha.h > 0.0 THEN mi / ha.h END, 4)
+             AS u_a_given_b,
+           round(CASE WHEN hb.h > 0.0 THEN mi / hb.h END, 4)
+             AS u_b_given_a
+         FROM nn, mi, ha, hb""",
 
     // the suffix-weight table W(m) is generated by the SAME Scala
     // computation the engine uses, serialized round-trip-exact

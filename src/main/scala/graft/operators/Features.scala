@@ -343,6 +343,44 @@ object Features {
           col("__mi") / sqrt(col("__ha") * col("__hb"))), 4).as("nmi"))
   }
 
+  /** Theil's uncertainty coefficient — the ASYMMETRIC dependence screen
+    * [[mutualInfo]] and [[cramersV]] cannot express: U(a|b) = I(a;b) /
+    * H(a) is the fraction of a's uncertainty that knowing b removes,
+    * and U(a|b) ≠ U(b|a) tells you WHICH column predicts which (zip
+    * code predicts city almost fully; city barely predicts zip). Both
+    * directions from the same single pass. Same cell/margin shape and
+    * 9-grid DECIMAL discipline as [[mutualInfo]]; a constant column
+    * (H = 0) yields a null coefficient in that direction. Output: one
+    * row (n, mi, u_a_given_b, u_b_given_a) rounded 4. */
+  def theilU(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val dec = (c: Column) => round(c, 9).cast("decimal(28,9)")
+    val cell = df.filter(col(aCol).isNotNull && col(bCol).isNotNull)
+      .groupBy(col(aCol).as("__a"), col(bCol).as("__b"))
+      .agg(count(lit(1)).as("__c"))
+    val ma = cell.groupBy(col("__a")).agg(sum(col("__c")).as("__ca"))
+    val mb = cell.groupBy(col("__b")).agg(sum(col("__c")).as("__cb"))
+    val n = cell.agg(sum(col("__c")).as("__n"))
+    def entropy(margin: DataFrame, cnt: String): DataFrame = {
+      val p = col(cnt).cast("double") / col("__n")
+      margin.crossJoin(broadcast(n))
+        .agg(sum(dec(-p * log(p))).cast("double").as("__h"))
+    }
+    val mi = cell.join(broadcast(ma), "__a").join(broadcast(mb), "__b")
+      .crossJoin(broadcast(n))
+      .agg(sum(dec((col("__c").cast("double") / col("__n")) *
+        log(col("__c").cast("double") * col("__n").cast("double") /
+          (col("__ca").cast("double") * col("__cb").cast("double")))))
+        .cast("double").as("__mi"))
+    n.crossJoin(broadcast(mi))
+      .crossJoin(broadcast(entropy(ma, "__ca").select(col("__h").as("__ha"))))
+      .crossJoin(broadcast(entropy(mb, "__cb").select(col("__h").as("__hb"))))
+      .select(col("__n").as("n"), round(col("__mi"), 4).as("mi"),
+        round(when(col("__ha") > 0.0, col("__mi") / col("__ha")), 4)
+          .as("u_a_given_b"),
+        round(when(col("__hb") > 0.0, col("__mi") / col("__hb")), 4)
+          .as("u_b_given_a"))
+  }
+
   /** Kendall's τ-b — ordinal association with tie correction, the
     * rank statistic to reach for when [[spearman]]'s average-rank
     * linearity is unwanted: τ-b = (C − D) / √((n₀−n₁)(n₀−n₂)) with C/D

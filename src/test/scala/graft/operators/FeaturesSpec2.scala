@@ -56,6 +56,29 @@ class FeaturesSpec2 extends SparkSpec {
     assert(r.isNullAt(3))
   }
 
+  // --- theilU --------------------------------------------------------------
+
+  test("theilU: asymmetric many-to-one mapping — a determines b, not vice versa") {
+    // a ∈ {1..4} uniform; b = a mod 2: knowing a fixes b (U(b|a) = 1),
+    // knowing b halves a's uncertainty (U(a|b) = 1/2 for uniform a)
+    val df = (1 to 80).map(i => ((i % 4).toString, (i % 2).toString))
+      .toDF("a", "b")
+    val r = Features.theilU(df, "a", "b").collect().head
+    assert(r.getDouble(3) == 1.0)   // u_b_given_a
+    assert(r.getDouble(2) == 0.5)   // u_a_given_b
+  }
+
+  test("theilU: independence → 0 both ways; constant column → null that direction") {
+    val indep = (for (a <- Seq("x", "y"); b <- Seq("p", "q"); _ <- 1 to 5)
+      yield (a, b)).toDF("a", "b")
+    val ri = Features.theilU(indep, "a", "b").collect().head
+    assert(ri.getDouble(2) == 0.0 && ri.getDouble(3) == 0.0)
+    val const = Seq(("k", "p"), ("k", "q")).toDF("a", "b")
+    val rc = Features.theilU(const, "a", "b").collect().head
+    assert(rc.isNullAt(2))          // H(a) = 0
+    assert(rc.getDouble(3) == 0.0)  // mi = 0, H(b) > 0
+  }
+
   // --- cramersV ------------------------------------------------------------
 
   test("cramersV: perfect association → 1, independence → 0, textbook value") {
