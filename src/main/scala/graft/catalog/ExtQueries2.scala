@@ -966,9 +966,9 @@ object ExtQueries2 {
     // 1e-6 fraction floor, per-term 9-grid ln
     "q196_psi" ->
       """WITH ref AS (SELECT o_totalprice AS v FROM orders
-           WHERE o_orderdate < DATE '1996-01-01'),
+           WHERE o_orderdate < DATE '1996-01-01' AND o_totalprice IS NOT NULL),
          cur AS (SELECT o_totalprice AS v FROM orders
-           WHERE o_orderdate >= DATE '1996-01-01'),
+           WHERE o_orderdate >= DATE '1996-01-01' AND o_totalprice IS NOT NULL),
          b AS (SELECT quantile_cont(v, [0.1, 0.2, 0.3, 0.4, 0.5,
              0.6, 0.7, 0.8, 0.9]) AS bounds FROM ref),
          rb AS (SELECT 1 + len(list_filter(bounds, x -> v > x)) AS bin,

@@ -2881,7 +2881,7 @@ object LlmQueries {
                GROUP BY a.dim, b.dim)
          SELECT p.i, p.j,
            round(CAST(p.sp AS DOUBLE) / p.n
-             - (CAST(si.s AS DOUBLE) / si.n) * (CAST(sj.s AS DOUBLE) / sj.n), 6) AS cov
+             - (CAST(si.s AS DOUBLE) / si.n) * (CAST(sj.s AS DOUBLE) / sj.n), 6) + 0.0 AS cov
          FROM p JOIN s si ON si.dim = p.i JOIN s sj ON sj.dim = p.j
          ORDER BY p.i, p.j""",
 

@@ -153,6 +153,10 @@ object TimeQueries {
     "q174_gap_fill" -> ((s, d) =>
       graft.operators.TimeSeries.gapFillDaily(
           ev(s, d).filter(col("user_id") < 30), "user_id", "ts", "value")
+        // render the exact DECIMAL(28,9) fill on the 6-grid double like
+        // every other decimal-measure query — raw decimal columns have
+        // engine-specific scale rendering in the hash path
+        .withColumn("filled", round(col("filled").cast("double"), 6))
         .orderBy(col("user_id"), col("day"))),
 
     // --- robust outlier profile (median/MAD gate) -------------------------
@@ -347,8 +351,8 @@ object TimeQueries {
              CASE WHEN d.v IS NULL THEN 0 ELSE 1 END AS observed
            FROM spine s LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day)
          SELECT user_id, day,
-           CAST(last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY day
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(28,9)) AS filled,
+           round(CAST(last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 6) AS filled,
            CAST(observed AS INT) AS observed
          FROM joined ORDER BY user_id, day""",
 

@@ -335,9 +335,12 @@ object VectorFunctions {
       .join(broadcast(sums.select(col("dim").as("j"),
         col("__s").as("__sj"), col("__sn").as("__nj"))), "j")
       .select(col("i").cast("long").as("i"), col("j").cast("long").as("j"),
-        round(col("__sp").cast("double") / col("__n") -
+        // + 0.0 pins IEEE -0.0 to +0.0 (round of a tiny negative can
+        // render -0.0 on some engines; the oracle applies the same)
+        (round(col("__sp").cast("double") / col("__n") -
           (col("__si").cast("double") / col("__ni")) *
-          (col("__sj").cast("double") / col("__nj")), 6).as("cov"))
+          (col("__sj").cast("double") / col("__nj")), 6) + lit(0.0))
+          .as("cov"))
   }
 
   /** Dominant eigenvector (first principal component) of a symmetric

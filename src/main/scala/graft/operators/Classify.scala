@@ -173,6 +173,10 @@ object Classify {
       .agg(min(struct(negate(col("info_gain")).as("__ng"),
         col("threshold"), col("n_le"), col("n_gt"), col("info_gain")))
         .as("__best"))
+      // no valid split (empty/constant input) ⇒ zero rows, matching the
+      // oracle's `WHERE rk = 1` over an empty candidate set — NOT one
+      // all-null row (groupBy().agg(min) over nothing yields null)
+      .filter(col("__best").isNotNull)
       .select(col("__best.threshold").as("threshold"),
         col("__best.n_le").as("n_le"),
         col("__best.n_gt").as("n_gt"),

@@ -408,11 +408,15 @@ object Features {
       col("__c").as("__c2"))
     val pairs = cell.join(b, col("__x") < col("__x2"))
       .agg(
+        // cell-count products in DECIMAL(38,0) BEFORE the multiply —
+        // a LongType product wraps silently past 2^63
         sum(when(col("__y") < col("__y2"),
-          (col("__c") * col("__c2")).cast("decimal(38,0)")))
+          col("__c").cast("decimal(38,0)") *
+            col("__c2").cast("decimal(38,0)")))
           .as("__C"),
         sum(when(col("__y") > col("__y2"),
-          (col("__c") * col("__c2")).cast("decimal(38,0)")))
+          col("__c").cast("decimal(38,0)") *
+            col("__c2").cast("decimal(38,0)")))
           .as("__D"))
     // t(t−1)/2 stays DECIMAL end-to-end: long `/` in Spark is DOUBLE
     // division (silent precision loss past 2^53), and the product of
