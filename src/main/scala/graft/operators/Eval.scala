@@ -58,10 +58,13 @@ object Eval {
     val w = Window.partitionBy(col("__g")).orderBy(col("__s"))
     val walked = level
       .withColumn("__cum", sum(col("__t")).over(w))
-      // p·(2c + t + 1) with c = rows strictly below this score level
+      // p·(2c + t + 1) with c = rows strictly below this score level;
+      // both operands cast to DECIMAL(38,0) BEFORE the multiply so the
+      // product is exact past 2^63 (a LongType multiply wraps silently)
       .withColumn("__u2",
-        (col("__p") * (lit(2L) * (col("__cum") - col("__t")) +
-          col("__t") + lit(1L))).cast("decimal(38,0)"))
+        col("__p").cast("decimal(38,0)") *
+          (lit(2L) * (col("__cum") - col("__t")) +
+            col("__t") + lit(1L)).cast("decimal(38,0)"))
     walked.groupBy(col("__g")).agg(
         sum(col("__p")).as("n_pos"),
         sum(col("__q")).as("n_neg"),
@@ -204,7 +207,12 @@ object Eval {
     * Rows whose sample label is neither `aLabel` nor `bLabel` (or
     * whose value is null) drop. Output: one row
     * (n_a, n_b, ks_d rounded 6); ks_d null if either sample is empty.
-    */
+    *
+    * The cumulative walk is [[graft.operators.Ranks.groupedCumSum]]'s
+    * two-level bucketed shape, so a NEAR-UNIQUE continuous column
+    * (distinct-value grid ≈ the corpus) still never funnels through a
+    * single-partition window — the only global walk is the
+    * buckets-sized prefix table. */
   def ksTest(df: DataFrame, sampleCol: String, valCol: String,
              aLabel: String, bLabel: String): DataFrame = {
     val rows = df
@@ -215,17 +223,14 @@ object Eval {
     val level = rows.groupBy(col("__v"))
       .agg(sum(when(col("__a"), 1L).otherwise(0L)).as("__ca"),
         sum(when(col("__a"), 0L).otherwise(1L)).as("__cb"))
-    // distinct-value grid only — the documented bounded-window trade
-    val w = Window.orderBy(col("__v"))
     val totals = level.agg(sum(col("__ca")).as("n_a"),
       sum(col("__cb")).as("n_b"))
-    level
-      .withColumn("__cuma", sum(col("__ca")).over(w))
-      .withColumn("__cumb", sum(col("__cb")).over(w))
+    graft.operators.Ranks
+      .groupedCumSum(level, Seq.empty, "__v", Seq("__ca", "__cb"))
       .crossJoin(broadcast(totals))
       .select(col("n_a"), col("n_b"),
-        abs(col("__cuma").cast("decimal(38,0)") * col("n_b") -
-          col("__cumb").cast("decimal(38,0)") * col("n_a")).as("__d"))
+        abs(col("cum___ca").cast("decimal(38,0)") * col("n_b") -
+          col("cum___cb").cast("decimal(38,0)") * col("n_a")).as("__d"))
       .groupBy(col("n_a"), col("n_b"))
       .agg(round(when(col("n_a") > 0 && col("n_b") > 0,
         max(col("__d")).cast("double") /
@@ -314,9 +319,13 @@ object Eval {
       .withColumn("__cum", sum(col("__c")).over(w))
       .join(totals, Seq("__g"))
       .select(col("__g"), col("__n"), col("__sx"),
+        // count × rank-weight multiplied in DECIMAL(38,0) (not Long) so
+        // the exact-integer discipline holds past 2^63-row groups
         round(col("__v") *
-          (col("__c") * (lit(2L) * (col("__cum") - col("__c")) +
-            col("__c") - col("__n"))).cast("double"), 9)
+          (col("__c").cast("decimal(38,0)") *
+            (lit(2L) * (col("__cum") - col("__c")) +
+              col("__c") - col("__n")).cast("decimal(38,0)"))
+            .cast("double"), 9)
           .cast("decimal(38,9)").as("__term"))
       .groupBy(col("__g"), col("__n"), col("__sx"))
       .agg(sum(col("__term")).as("__num"))

@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Two-level (bucketed) replacements for the unpartitioned
+  * `Window.orderBy` funnel: a global rank or running sum computed as
+  * per-range-bucket local work plus a broadcast of bucket-prefix
+  * offsets. The classic scalable zip-with-index shape, expressed in
+  * the DataFrame API so Catalyst still prunes/pushes around it.
+  *
+  * Why: `row_number().over(Window.orderBy(k))` routes EVERY row
+  * through one task. Range-repartitioning on the order key makes
+  * partition ids ascend with the key, so a per-partition
+  * `row_number` (bounded by n/buckets rows per task) plus the count
+  * of rows in earlier partitions (a buckets-sized aggregate, cheap to
+  * broadcast) IS the exact global rank. Same composition for running
+  * sums. The only unpartitioned windows left walk the buckets-sized
+  * offset table — O(buckets), never O(rows).
+  *
+  * Determinism: ranks/cumulative sums are exact regardless of where
+  * the sampled range bounds fall; callers must pass an `orderCol`
+  * that is unique (per group, for the grouped form) — ties would get
+  * arbitrary relative ranks, the same contract a raw
+  * `row_number().over(orderBy)` has.
+  */
+object Ranks {
+
+  /** Exact global 1-based `row_number` by `orderCol` (must be unique)
+    * without a corpus-sized single-partition exchange. Appends
+    * `outCol` (LongType); row order of the output is not defined
+    * (sort downstream if needed). */
+  def globalRowNumber(df: DataFrame, orderCol: String, outCol: String,
+                      buckets: Int = 64): DataFrame = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    val local = df.repartitionByRange(buckets, col(orderCol))
+      .withColumn("__pid", spark_partition_id())
+      .withColumn("__lr",
+        row_number().over(
+          Window.partitionBy(col("__pid")).orderBy(col(orderCol)))
+          .cast("long"))
+    // bucket prefix counts: buckets rows — the ONLY global window
+    val offs = local.groupBy(col("__pid"))
+      .agg(count(lit(1)).as("__cnt"))
+      .withColumn("__off",
+        coalesce(sum(col("__cnt")).over(Window.orderBy(col("__pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__pid"), col("__off"))
+    local.join(broadcast(offs), "__pid")
+      .withColumn(outCol, col("__off") + col("__lr"))
+      .drop("__pid", "__lr", "__off")
+  }
+
+  /** Exact per-group running sums of `valCols` ordered by `orderCol`
+    * (unique within each group), inclusive of the current row, without
+    * a group-sized single-partition exchange even when ONE group holds
+    * every row. Appends `cum_<valCol>` per input value column.
+    *
+    * Shape: range-repartition on (group, order) so each (group,
+    * bucket) slice is contiguous; per-slice running sums are local
+    * windows; slice-prefix totals (groups × buckets rows, aggregated)
+    * compose via a per-group prefix walk over bucket ids. */
+  def groupedCumSum(df: DataFrame, groupCols: Seq[String], orderCol: String,
+                    valCols: Seq[String], buckets: Int = 64): DataFrame = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    val gcols: Seq[Column] = groupCols.map(col)
+    val parted = df.repartitionByRange(buckets, (gcols :+ col(orderCol)): _*)
+      .withColumn("__pid", spark_partition_id())
+    val localW = Window.partitionBy((col("__pid") +: gcols): _*)
+      .orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = valCols.foldLeft(parted) { (d, v) =>
+      d.withColumn(s"__lc_$v", sum(col(v)).over(localW))
+    }
+    // per-(group, bucket) totals → per-group prefix over bucket ids:
+    // groups × buckets rows max, aggregated before the walk
+    val prefW = Window.partitionBy(gcols: _*).orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = local.groupBy((col("__pid") +: gcols): _*)
+      .agg(valCols.head -> "sum", valCols.tail.map(_ -> "sum"): _*)
+      .toDF((("__pid" +: groupCols) ++ valCols.map(v => s"__t_$v")): _*)
+    val offs2 = valCols.foldLeft(offs) { (d, v) =>
+      d.withColumn(s"__off_$v", sum(col(s"__t_$v")).over(prefW))
+    }.select((col("__pid") +: gcols) ++
+        valCols.map(v => col(s"__off_$v")): _*)
+    val joined = local.join(broadcast(offs2),
+      ("__pid" +: groupCols).toSeq, "left")
+    valCols.foldLeft(joined) { (d, v) =>
+      d.withColumn(s"cum_$v",
+        coalesce(col(s"__off_$v"), lit(0)) + col(s"__lc_$v"))
+        .drop(s"__lc_$v", s"__off_$v")
+    }.drop("__pid")
+  }
+}

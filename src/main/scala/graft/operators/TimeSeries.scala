@@ -105,11 +105,14 @@ object TimeSeries {
     * absent (one key-keyed anti-join), ENDS are keys whose successor is
     * absent (another); sorted starts and ends interleave 1:1, so pairing
     * is a rank join. The heavy work — distinct + both anti-joins — is
-    * all key-keyed shuffles over the full column; only the
-    * island-count-sized start/end tables pass through the global
-    * rank windows (the TopK-tail shape: tiny by then). This avoids the
-    * textbook `k - row_number()` form whose single global window sees
-    * EVERY key.
+    * all key-keyed shuffles over the full column. Ranks come from
+    * [[Ranks.globalRowNumber]]'s bucketed two-level shape, so even the
+    * adversarial key set where EVERY key is its own island (no
+    * consecutive runs — start/end tables as big as the distinct-key
+    * set) never funnels through a single-partition window; the only
+    * global walk is over the buckets-sized prefix table. This avoids
+    * the textbook `k - row_number()` form whose single global window
+    * sees EVERY key.
     *
     * Output: (island_start, island_end, len) for islands with
     * `len >= minLen`.
@@ -121,10 +124,10 @@ object TimeSeries {
       .join(keys.select((col("k") + 1).as("k")), Seq("k"), "left_anti")
     val ends = keys
       .join(keys.select((col("k") - 1).as("k")), Seq("k"), "left_anti")
-    val s2 = starts.select(col("k").as("island_start"),
-      row_number().over(Window.orderBy(col("k"))).as("__i"))
-    val e2 = ends.select(col("k").as("island_end"),
-      row_number().over(Window.orderBy(col("k"))).as("__i"))
+    val s2 = Ranks.globalRowNumber(
+      starts.select(col("k").as("island_start")), "island_start", "__i")
+    val e2 = Ranks.globalRowNumber(
+      ends.select(col("k").as("island_end")), "island_end", "__i")
     s2.join(e2, "__i")
       .select(col("island_start"), col("island_end"),
         (col("island_end") - col("island_start") + 1).as("len"))
@@ -240,11 +243,16 @@ object TimeSeries {
     val m = rows.agg(count(lit(1)).as("__n"),
       (sum(round(col("__v"), 9).cast("decimal(38,9)")).cast("double") /
         count(lit(1))).as("__mean"))
-    val w = Window.orderBy(col("__k")) // distinct-key grid by contract
-    rows.crossJoin(broadcast(m))
-      .withColumn("__cusum",
-        sum(round(col("__v") - col("__mean"), 9).cast("decimal(38,9)"))
-          .over(w))
+    // distinct-key grid by contract; the walk itself is the bucketed
+    // two-level cumulative (decimal sums compose exactly), so a grid
+    // as big as the corpus still never crosses one task
+    val cum = Ranks.groupedCumSum(
+      rows.crossJoin(broadcast(m))
+        .withColumn("__d",
+          round(col("__v") - col("__mean"), 9).cast("decimal(38,9)")),
+      Seq.empty, "__k", Seq("__d"))
+    cum
+      .withColumn("__cusum", col("cum___d"))
       .select(col("__n"), col("__mean"), col("__k"),
         abs(col("__cusum")).cast("double").as("__a"))
       .groupBy(col("__n"), col("__mean"))
@@ -267,8 +275,11 @@ object TimeSeries {
     *
     * Input is one regular series at its grain: (keyCol asc = time
     * order, period = cycle length in rows, phase = position mod
-    * period). The walk runs over the distinct-key grid (the
-    * [[changePoint]] contract); phase means are one period-sized agg.
+    * period). Positions come from [[Ranks.globalRowNumber]] and the
+    * centered MA is a period-factor explode + position-keyed agg — no
+    * global sort anywhere, so even a corpus-grain misuse (the
+    * [[changePoint]] contract) degrades to an oversized keyed shuffle,
+    * never a one-task funnel; phase means are one period-sized agg.
     * Every mean derives from 9-grid DECIMAL sums. Output: (keyCol,
     * value, trend, seasonal, residual) rounded 6. */
   def seasonalDecompose(df: DataFrame, keyCol: String, valCol: String,
@@ -280,13 +291,24 @@ object TimeSeries {
     val half = period / 2
     val rows = df.filter(col(valCol).isNotNull)
       .select(col(keyCol).as("__k"), col(valCol).cast("double").as("__v"))
-    val w = Window.orderBy(col("__k"))
-    val trended = rows
-      .withColumn("__pos", row_number().over(w))
-      .withColumn("__trend",
-        when(count(lit(1)).over(w.rowsBetween(-half, half)) === period,
-          sum(round(col("__v"), 9).cast("decimal(38,9)"))
-            .over(w.rowsBetween(-half, half)).cast("double") / period))
+    // positions via the bucketed two-level rank (no global window);
+    // the centered MA is a period-factor explode + one position-keyed
+    // agg instead of a sliding window over a single global sort —
+    // row __pos contributes its value to trends __pos−half…__pos+half
+    val pos = Ranks.globalRowNumber(rows, "__k", "__pos")
+    val trend = pos
+      .select(explode(sequence(col("__pos") - half, col("__pos") + half))
+          .as("__tp"),
+        round(col("__v"), 9).cast("decimal(38,9)").as("__v9"))
+      .groupBy(col("__tp"))
+      .agg(count(lit(1)).as("__tn"), sum(col("__v9")).as("__ts"))
+      // edge positions (incomplete windows) and the phantom positions
+      // past either end fall out of the = period filter together
+      .filter(col("__tn") === period)
+      .select(col("__tp"), (col("__ts").cast("double") / period)
+        .as("__trend"))
+    val trended = pos.join(trend, col("__pos") === col("__tp"), "left")
+      .drop("__tp")
     val phase = trended
       .withColumn("__phase", (col("__pos") - 1) % period)
     val phaseMeans = phase.filter(col("__trend").isNotNull)

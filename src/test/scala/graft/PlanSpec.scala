@@ -152,4 +152,37 @@ class PlanSpec extends SparkSpec {
     }
     assert(df.collect().nonEmpty)
   }
+
+  test("islands: all-singleton adversarial key set never funnels the " +
+      "key set through a single-partition window") {
+    import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    import spark.implicits._
+    // every key odd ⇒ no consecutive pair ⇒ every distinct key is its
+    // own island: starts = ends = the whole distinct-key set
+    val n = 5000
+    val df = (0 until n).map(i => 2L * i + 1).toDF("k")
+    val out = graft.operators.TimeSeries.islands(df, "k")
+    val plan = out.queryExecution.sparkPlan
+    // the only windows allowed to sort globally are the buckets-sized
+    // prefix walks, which sit above an aggregation (groups = buckets)
+    plan.collect { case w: WindowExec if w.partitionSpec.isEmpty => w }
+      .foreach { w =>
+        assert(w.collect { case a: BaseAggregateExec => a }.nonEmpty,
+          s"global window must walk the bucket-prefix aggregate only:\n$w")
+      }
+    plan.collect {
+      case e: ShuffleExchangeExec if e.outputPartitioning == SinglePartition => e
+    }.foreach { e =>
+      assert(e.collect { case a: BaseAggregateExec => a }.nonEmpty,
+        s"single-partition exchange must carry aggregated (buckets-sized) " +
+          s"rows, not the key set:\n$e")
+    }
+    // and the ranks still pair correctly: n singleton islands
+    val rows = out.collect()
+    assert(rows.length == n)
+    assert(rows.forall(r => r.getLong(0) == r.getLong(1) && r.getLong(2) == 1L))
+  }
 }

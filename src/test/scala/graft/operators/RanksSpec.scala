@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class RanksSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("globalRowNumber ≡ single-window row_number across bucket counts") {
+    // shuffled, gappy, negative keys
+    val keys = (0 until 500).map(i => ((i * 7919) % 1000) - 300L).distinct
+    val df = scala.util.Random.shuffle(keys).toDF("k")
+    val expected = keys.sorted.zipWithIndex
+      .map { case (k, i) => (k, i + 1L) }.toSet
+    for (b <- Seq(1, 4, 64)) {
+      val got = Ranks.globalRowNumber(df, "k", "r", buckets = b)
+        .as[(Long, Long)].collect().toSet
+      assert(got == expected, s"buckets=$b")
+    }
+  }
+
+  test("groupedCumSum ≡ per-group running sum, incl. one-giant-group") {
+    val rows = (0 until 400).map { i =>
+      (if (i % 5 == 0) "big" else s"g${i % 3}", (i * 31) % 997, i.toLong)
+    }
+    val df = scala.util.Random.shuffle(rows).toDF("g", "o", "v")
+    val expected = rows.groupBy(_._1).flatMap { case (g, rs) =>
+      val sorted = rs.sortBy(_._2)
+      sorted.zip(sorted.scanLeft(0L)(_ + _._3).tail)
+        .map { case ((_, o, v), c) => (g, o, v, c) }
+    }.toSet
+    for (b <- Seq(1, 3, 64)) {
+      val got = Ranks.groupedCumSum(df, Seq("g"), "o", Seq("v"), buckets = b)
+        .select(col("g"), col("o"), col("v"), col("cum_v").cast("long"))
+        .as[(String, Int, Long, Long)].collect().toSet
+      assert(got == expected, s"buckets=$b")
+    }
+  }
+
+  test("groupedCumSum: multiple value columns in one pass") {
+    val df = Seq(("a", 1, 10L, 1.0), ("a", 2, 20L, 2.0), ("a", 3, 30L, 4.0),
+        ("b", 1, 5L, 0.5))
+      .toDF("g", "o", "v1", "v2")
+    val got = Ranks.groupedCumSum(df, Seq("g"), "o", Seq("v1", "v2"))
+      .select(col("g"), col("o"), col("cum_v1").cast("long"),
+        col("cum_v2").cast("double"))
+      .as[(String, Int, Long, Double)].collect().toSet
+    assert(got == Set(("a", 1, 10L, 1.0), ("a", 2, 30L, 3.0),
+      ("a", 3, 60L, 7.0), ("b", 1, 5L, 0.5)))
+  }
+}
