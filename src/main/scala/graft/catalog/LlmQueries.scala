@@ -1496,6 +1496,28 @@ object LlmQueries {
         .orderBy(col("l2_dist"), col("vec_id"))
     }),
 
+    // --- persisted incremental IVF index: build + frozen append + serve ---
+    // The full store lifecycle in one query: train/persist on 90% of the
+    // corpus, append the last 10% against the FROZEN centroids (O(batch),
+    // no re-cluster), then serve a partition-pruned probe from disk.
+    // Rows-only (approximate probe, clustering-dependent — the q76
+    // adjudication); served ≡ in-session is IvfStoreSpec's equality.
+    "q219_ivf_store" -> ((s, d) => {
+      import scala.jdk.CollectionConverters._
+      val emb = t(s, d, "embeddings")
+      val qv = emb.filter(col("vec_id") === 0).select("embedding")
+        .collect()(0).getList[Float](0).asScala.toSeq
+      val store = java.nio.file.Files
+        .createTempDirectory("graft-ivfstore").toString + "/ivf"
+      val rest = emb.filter(col("vec_id") =!= 0)
+      graft.functions.IvfStore.build(rest.filter(col("vec_id") % 10 =!= 9),
+        "embedding", "vec_id", store, k = 8, iterations = 2)
+      graft.functions.IvfStore.append(rest.filter(col("vec_id") % 10 === 9),
+        store, batchId = 1L)
+      graft.functions.IvfStore.topK(s, store, qv, k = 10, nprobe = 4)
+        .select(col("vec_id"), round(col("cosine_sim"), 4).as("cosine_sim"))
+    }),
+
     "q106_quantized_cosine" -> ((s, d) => {
       val emb = t(s, d, "embeddings").filter(col("embedding").isNotNull)
         .select(col("vec_id"), VF.quantizeInt8(col("embedding")).as("codes"))

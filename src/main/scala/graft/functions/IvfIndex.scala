@@ -34,9 +34,11 @@ object IvfIndex {
   }
 
   /** Assign every vector to its best centroid (max cosine, ties to the
-    * lowest centroid id). `centroids` must be small (broadcast). */
-  private def assign(vectors: DataFrame, centroids: DataFrame,
-                     vecCol: String, idCol: String): DataFrame = {
+    * lowest centroid id). `centroids` must be small (broadcast).
+    * Shared with [[IvfStore]] so the persisted index's assignment is
+    * BIT-identical to the in-session one. */
+  private[functions] def assign(vectors: DataFrame, centroids: DataFrame,
+                                vecCol: String, idCol: String): DataFrame = {
     val scored = vectors
       .crossJoin(broadcast(centroids.select(
         col("cluster_id"), col("centroid"))))

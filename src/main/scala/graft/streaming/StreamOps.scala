@@ -346,6 +346,44 @@ object StreamOps {
       }
       .start()
 
+  /** Streaming embedding ingest into the PERSISTED IVF vector index —
+    * the vector twin of [[indexAppendSink]]: the first non-empty
+    * micro-batch TRAINS and creates the store
+    * ([[graft.functions.IvfStore.build]] with `batchId + 1` as the
+    * base manifest id, so a post-crash replay of the creating batch is
+    * recognized as already ingested), every later batch assigns its
+    * vectors against the FROZEN centroids and appends in O(batch)
+    * ([[graft.functions.IvfStore.append]] — same idempotency contract:
+    * manifest-listed batch ids no-op, crashed appends stay invisible).
+    * Probes ([[graft.functions.IvfStore.topK]]) stay partition-pruned
+    * throughout; `compactEvery = n` folds the accumulated `ab=` trees
+    * every n micro-batches to bound file growth. Centroid drift is the
+    * caller's policy knob: rebuild periodically from a maintenance job
+    * if the embedding distribution moves (the store is rebuild-in-place
+    * safe). */
+  def ivfAppendSink(vectors: DataFrame, vecCol: String, idCol: String,
+                    storePath: String, checkpoint: String,
+                    k: Int = 16, iterations: Int = 2,
+                    compactEvery: Int = 0)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    vectors.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        if (!graft.functions.IvfStore.storeExists(spark, storePath)) {
+          // an empty first batch must not create a file-less store tree
+          if (!batch.isEmpty)
+            graft.functions.IvfStore.build(batch, vecCol, idCol, storePath,
+              k, iterations, baseBatchId = batchId + 1)
+        } else
+          graft.functions.IvfStore.append(batch, storePath, batchId + 1)
+        if (compactEvery > 0 && (batchId + 1) % compactEvery == 0 &&
+            graft.functions.IvfStore.storeExists(spark, storePath))
+          graft.functions.IvfStore.compactStore(spark, storePath)
+        ()
+      }
+      .start()
+
   /** Same running totals on the `transformWithState` API (Spark 4's
     * successor to flatMapGroupsWithState: typed ValueState handles,
     * timer support, state-store-backed). */

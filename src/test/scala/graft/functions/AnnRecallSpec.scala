@@ -72,6 +72,24 @@ class AnnRecallSpec extends SparkSpec {
     } finally idx.close()
   }
 
+  test("persisted IVF store recall@10 matches the in-session floors " +
+      "(served probes lose nothing to the roundtrip)") {
+    val store = java.nio.file.Files
+      .createTempDirectory("ann-ivfstore").toString + "/ivf"
+    IvfStore.build(emb, "embedding", "vec_id", store, k = 8, iterations = 2)
+    // the store indexes the full corpus (qid included), so serve K+1 and
+    // drop the query's self-hit driver-side — order survives collect
+    def served(nprobe: Int)(qid: Long, qv: Seq[Float]): Set[Long] =
+      IvfStore.topK(spark, store, qv, K + 1, nprobe = nprobe)
+        .collect().map(_.getLong(0)).filter(_ != qid).take(K).toSet
+    val r = meanRecall(served(4))
+    info(f"IVF-store recall@10 (k=8, nprobe=4): $r%.3f")
+    assert(r >= 0.75, f"IVF-store recall regressed: $r%.3f")
+    // full probe over the persisted layout is exact, same as in-session
+    val full = meanRecall(served(8))
+    assert(full == 1.0, f"full probe must equal brute force, got $full%.3f")
+  }
+
   test("LSH recall@10: single-table collapses on weak neighbors; multi-table recovers it") {
     // single table, one bucket of 16 ≈ 6% of the corpus probed: a top-10
     // neighbor at cosine ~0.3 agrees on all 4 sign bits only ~13% of the

@@ -6,6 +6,7 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
 import graft.SparkSpec
+import graft.functions.{IvfStore, VectorFunctions}
 
 case class Ev(ts: Timestamp, user_id: Long, value: Double)
 case class Ev2(event_id: Long, ts: Timestamp, user_id: Long)
@@ -408,6 +409,47 @@ class StreamOpsSpec extends SparkSpec {
       dir.toString + "/idx", Seq("spark", "table")).as[(Long, Double)].collect().toMap
     assert(scores.keySet == Set(1L, 2L, 3L, 4L))
     assert(scores(3L) > scores(2L), "all-spark doc outranks no-spark doc")
+  }
+
+  test("ivfAppendSink: first batch trains, later batches append against " +
+      "frozen centroids; full-probe serve ≡ brute force over the stream") {
+    implicit val sqlCtx = spark.sqlContext
+    import scala.jdk.CollectionConverters._
+    val dir = java.nio.file.Files.createTempDirectory("stream-ivf")
+    val store = dir.toString + "/ivf"
+    val emb = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
+    def rows(lo: Long, hi: Long): Seq[(Long, Seq[Float])] =
+      emb.filter(col("vec_id") >= lo && col("vec_id") < hi)
+        .collect().map(r =>
+          (r.getLong(0), r.getList[Float](1).asScala.toSeq)).toSeq
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val q = StreamOps.ivfAppendSink(mem.toDF().toDF("vec_id", "embedding"),
+      "embedding", "vec_id", store, dir.toString + "/ckpt", k = 4)
+    mem.addData(rows(1, 200): _*) // batch 0 trains + creates (manifest id 1)
+    q.processAllAvailable()
+    val centsAfterTrain = IvfStore.centroidsDf(spark, store)
+      .as[(Long, Seq[Double])].collect().toMap
+    mem.addData(rows(200, 300): _*) // appends, centroids frozen
+    q.processAllAvailable()
+    q.stop()
+    val meta = IvfStore.readMeta(spark, store)
+    assert(meta.batches == Seq(1L, 2L), s"micro-batches 0,1 -> keys 1,2: $meta")
+    assert(IvfStore.readVectors(spark, store).count() == 299)
+    // the append did NOT retrain: centroids bit-identical to post-train
+    val centsAfterAppend = IvfStore.centroidsDf(spark, store)
+      .as[(Long, Seq[Double])].collect().toMap
+    assert(centsAfterAppend == centsAfterTrain,
+      "append must freeze the trained centroids")
+    // probing every cluster = exact search over everything streamed
+    val qv = emb.filter(col("vec_id") === 0).select("embedding")
+      .collect()(0).getList[Float](0).asScala.toSeq
+    val streamedAll = emb.filter(col("vec_id") >= 1 && col("vec_id") < 300)
+    val exact = VectorFunctions.bruteForceTopK(
+        streamedAll, "embedding", "vec_id", qv, 10)
+      .select("vec_id").as[Long].collect().toSeq
+    val served = IvfStore.topK(spark, store, qv, k = 10, nprobe = 4)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(served == exact, "nprobe=k serve must equal exact search")
   }
 
   test("file-source index ingest at sf0.01 ≡ one-shot batch index build (composition)") {
