@@ -921,6 +921,49 @@ object LlmQueries {
         .orderBy(col("query_id"), col("bm25").desc, col("doc_id"))
     }),
 
+    // --- batched phrase match: N phrases, one job --------------------------
+    // The q128 shape for positions: three phrases (incl. a one-term
+    // degenerate) share one postings pass; per query the rows equal
+    // q118's single-needle form (spec-pinned).
+    "q220_phrase_batch" -> ((s, d) => {
+      import s.implicits._
+      val phrases = Seq(
+        (1L, Seq("table", "window")), (2L, Seq("spark", "merge")),
+        (3L, Seq("row")))
+        .toDF("query_id", "terms")
+      graft.operators.TextIndex.phraseMatchBatch(
+          graft.operators.TextIndex.postings(
+            t(s, d, "documents"), "doc_id", "text"), phrases)
+        .select(col("query_id"), col("doc_id"),
+          col("n_occurrences").cast("long").as("n_occurrences"))
+        .orderBy(col("query_id"), col("doc_id"))
+    }),
+
+    // --- batched snippets: N terms, one tokenization -----------------------
+    "q221_snippet_batch" -> ((s, d) => {
+      import s.implicits._
+      val queries = Seq((1L, "vector"), (2L, "table"), (3L, "stream"))
+        .toDF("query_id", "token")
+      graft.operators.TextIndex.snippetBatch(
+          t(s, d, "documents"), "doc_id", "text", queries, width = 2)
+        .select(col("query_id"), col("doc_id"),
+          col("first_pos").cast("int").as("first_pos"), col("snippet"))
+        .orderBy(col("query_id"), col("doc_id"))
+    }),
+
+    // --- batched fuzzy retrieval: N needles, one vocab gate ----------------
+    "q222_fuzzy_batch" -> ((s, d) => {
+      import s.implicits._
+      val needles = Seq((1L, "vektor"), (2L, "tabel"), (3L, "streem"))
+        .toDF("query_id", "term")
+      graft.operators.TextIndex.fuzzyTermQueryBatch(
+          graft.operators.TextIndex.postings(
+            t(s, d, "documents"), "doc_id", "text"), needles, maxDist = 1)
+        .select(col("query_id"), col("doc_id"), col("matched_token"),
+          col("distance"), col("tf").cast("long").as("tf"))
+        .orderBy(col("query_id"), col("doc_id"), col("matched_token"))
+    }),
+
     // --- sloppy phrase: terms in order within a bounded window -------------
     // The middle ground between q118 (exact adjacency) and q120
     // (unordered proximity): value…table…part in order with at most 4
@@ -2299,6 +2342,57 @@ object LlmQueries {
 
     // same Robertson/Lucene form per query; df is corpus document
     // frequency (query-independent); per-query rank on the rounded grid
+    // per-position slice equality over a VALUES phrase table — the q118
+    // walk for N phrases at once (incl. a one-term degenerate)
+    "q220_phrase_batch" ->
+      """WITH tok AS (
+           SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS tk
+           FROM documents),
+         q AS (SELECT CAST(query_id AS BIGINT) AS query_id, terms, len(terms) AS nt
+               FROM (VALUES (1, ['table', 'window']), (2, ['spark', 'merge']),
+                            (3, ['row'])) t(query_id, terms)),
+         pos AS (SELECT doc_id, tk, CAST(i AS BIGINT) AS i
+                 FROM tok, LATERAL (SELECT unnest(generate_series(1, len(tk))) AS i) g)
+         SELECT q.query_id, pos.doc_id, CAST(count(*) AS BIGINT) AS n_occurrences
+         FROM pos, q
+         WHERE pos.i + q.nt - 1 <= len(pos.tk)
+           AND pos.tk[pos.i : pos.i + q.nt - 1] = q.terms
+         GROUP BY q.query_id, pos.doc_id ORDER BY q.query_id, pos.doc_id""",
+
+    // the q143 recipe per (query, doc): list_position = first occurrence
+    "q221_snippet_batch" ->
+      """WITH tok AS (
+           SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS tk
+           FROM documents),
+         q AS (SELECT CAST(query_id AS BIGINT) AS query_id, token
+               FROM (VALUES (1, 'vector'), (2, 'table'), (3, 'stream')) t(query_id, token))
+         SELECT q.query_id, tok.doc_id,
+           CAST(list_position(tk, q.token) AS INT) AS first_pos,
+           array_to_string(list_slice(tk,
+             greatest(list_position(tk, q.token) - 2, 1),
+             least(list_position(tk, q.token) + 2, len(tk))), ' ') AS snippet
+         FROM tok, q WHERE list_contains(tk, q.token)
+         ORDER BY q.query_id, tok.doc_id""",
+
+    // the q156 banded vocab gate per needle, one postings join
+    "q222_fuzzy_batch" ->
+      """WITH tok AS (
+           SELECT doc_id, unnest(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS token
+           FROM documents),
+         post AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+                  FROM tok GROUP BY doc_id, token),
+         q AS (SELECT CAST(query_id AS BIGINT) AS query_id, term
+               FROM (VALUES (1, 'vektor'), (2, 'tabel'), (3, 'streem')) t(query_id, term)),
+         v AS (SELECT q.query_id, p.token,
+                 CAST(levenshtein(p.token, q.term) AS BIGINT) AS distance
+               FROM (SELECT DISTINCT token FROM post) p, q
+               WHERE abs(len(p.token) - len(q.term)) <= 1
+                 AND levenshtein(p.token, q.term) <= 1)
+         SELECT v.query_id, p.doc_id, p.token AS matched_token, v.distance, p.tf
+         FROM post p JOIN v USING (token)
+         ORDER BY v.query_id, p.doc_id, p.token""",
+
     "q128_bm25_batch" ->
       """WITH queries AS (
            SELECT CAST(query_id AS BIGINT) AS query_id, token

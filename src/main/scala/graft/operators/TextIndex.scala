@@ -546,6 +546,39 @@ object TextIndex {
     matched.groupBy(col("doc_id")).agg(count(lit(1)).as("n_occurrences"))
   }
 
+  /** BATCHED [[phraseMatch]] — N phrases in ONE job (the [[bm25Batch]]
+    * join-instead-of-isin shape): an eval sweep over thousands of
+    * phrases through the single-needle form re-pays driver dispatch and
+    * a full postings pass per phrase; here the phrase table broadcasts
+    * (O(phrases × terms) rows, never corpus-sized) and the corpus-side
+    * work is one postings pass over the UNION of all phrase terms.
+    *
+    * `phrases`: (query_id, terms array<string>). A start position p in
+    * doc d matches query q iff term_i sits at p + i for EVERY i — each
+    * candidate start (bounded by the first terms' postings) joins its
+    * query's per-term position lists by (query_id, doc_id) and the
+    * codegen'd array_contains gate must pass `size(terms)` times
+    * (i = 0 rides the same uniform gate, so one-term phrases need no
+    * special case). Output: (query_id, doc_id, n_occurrences) —
+    * per query exactly [[phraseMatch]]'s rows (spec-pinned). */
+  def phraseMatchBatch(post: DataFrame, phrases: DataFrame): DataFrame = {
+    val qt = phrases
+      .select(col("query_id"), posexplode(col("terms")).as(Seq("__i", "token")))
+    val qlen = phrases.select(col("query_id"), size(col("terms")).as("__len"))
+    val rows = post.join(broadcast(qt), "token")
+      .select(col("query_id"), col("__i"), col("doc_id"), col("positions"))
+    val starts = rows.filter(col("__i") === 0)
+      .select(col("query_id"), col("doc_id"), explode(col("positions")).as("__p"))
+    starts.join(rows, Seq("query_id", "doc_id"))
+      .filter(array_contains(col("positions"), col("__p") + col("__i")))
+      .groupBy(col("query_id"), col("doc_id"), col("__p"))
+      .agg(count(lit(1)).as("__hits"))
+      .join(broadcast(qlen), "query_id")
+      .filter(col("__hits") === col("__len"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(count(lit(1)).as("n_occurrences"))
+  }
+
   /** [[phraseMatch]] over a PERSISTED index: reads only the phrase
     * terms' buckets (partition-pruned), so query-time work is
     * O(the phrase's postings), never a corpus scan or re-tokenization. */
@@ -687,6 +720,28 @@ object TextIndex {
             greatest(col("first_pos") - width, lit(1)) + 1)).as("snippet"))
   }
 
+  /** BATCHED [[snippet]] — N terms in ONE job: the corpus tokenizes
+    * ONCE (the expensive pass a per-needle sweep would re-pay N times)
+    * and the term table broadcasts into the postings filter. `queries`:
+    * (query_id, token). Output: (query_id, doc_id, first_pos, snippet) —
+    * per query exactly [[snippet]]'s rows (spec-pinned). */
+  def snippetBatch(docs: DataFrame, idCol: String, textCol: String,
+                   queries: DataFrame, width: Int): DataFrame = {
+    require(width >= 0, s"width must be >= 0, got $width")
+    val qt = queries.select(col("query_id"), col("token")).distinct()
+    val pos = postings(docs, idCol, textCol)
+      .join(broadcast(qt), "token")
+      .select(col("query_id"), col("doc_id"),
+        element_at(col("positions"), 1).as("first_pos"))
+    docs.select(col(idCol).as("doc_id"), TF.tokens(col(textCol)).as("__tk"))
+      .join(pos, "doc_id")
+      .select(col("query_id"), col("doc_id"), col("first_pos"),
+        concat_ws(" ", slice(col("__tk"),
+          greatest(col("first_pos") - width, lit(1)),
+          least(col("first_pos") + width, size(col("__tk"))) -
+            greatest(col("first_pos") - width, lit(1)) + 1)).as("snippet"))
+  }
+
   /** Documents where two distinct terms co-occur within `window` tokens
     * (unordered), with the count of close position pairs — the proximity
     * relaxation of [[phraseMatch]]. Postings-only like phraseMatch: both
@@ -768,6 +823,34 @@ object TextIndex {
       .filter(col("distance") >= 0)
     post.join(variants, "token")
       .select(col("doc_id"), col("token").as("matched_token"),
+        col("distance").cast("long").as("distance"), col("tf"))
+  }
+
+  /** BATCHED [[fuzzyTermQuery]] — N needles against ONE vocabulary
+    * pass: the distance gate is the cost (O(vocab) per needle through
+    * the single form), so the needle table broadcasts into a
+    * length-banded theta join against the distinct vocab and the banded
+    * 3-arg levenshtein gates each (token, term) pair once; surviving
+    * variants join the postings narrow. `terms`: (query_id, term).
+    * Output: (query_id, doc_id, matched_token, distance, tf) — per
+    * query exactly [[fuzzyTermQuery]]'s rows (spec-pinned). Same
+    * caveat: fuzzy queries cannot bucket-prune a persisted index; for
+    * repeated fuzzy workloads build the [[EditDistance]]
+    * deletion-variant index. */
+  def fuzzyTermQueryBatch(post: DataFrame, terms: DataFrame,
+                          maxDist: Int = 1): DataFrame = {
+    require(maxDist >= 1 && maxDist <= 3,
+      s"maxDist must be in [1, 3], got $maxDist")
+    val q = terms.select(col("query_id"), col("term")).distinct()
+    val variants = post.select(col("token")).distinct()
+      .join(broadcast(q), length(col("token")).between(
+        length(col("term")) - maxDist, length(col("term")) + maxDist))
+      .select(col("query_id"), col("token"),
+        levenshtein(col("token"), col("term"), maxDist).as("distance"))
+      .filter(col("distance") >= 0)
+    post.join(variants, "token")
+      .select(col("query_id"), col("doc_id"),
+        col("token").as("matched_token"),
         col("distance").cast("long").as("distance"), col("tf"))
   }
 

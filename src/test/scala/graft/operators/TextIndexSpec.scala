@@ -388,6 +388,66 @@ class TextIndexSpec extends SparkSpec {
       .forall(_._2 <= 2))
   }
 
+  test("phraseMatchBatch: per query ≡ single phraseMatch, incl. one-term " +
+      "and repeated-term phrases, on the sf0.001 corpus") {
+    val corpus = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+      .select($"doc_id", $"text")
+    val post = TextIndex.postings(corpus, "doc_id", "text")
+    val phrases = Seq(
+      Seq("table", "window"), Seq("row"), Seq("value", "value"),
+      Seq("spark", "merge"))
+    val batch = TextIndex.phraseMatchBatch(post,
+        phrases.zipWithIndex.map { case (p, i) => ((i + 1).toLong, p) }
+          .toDF("query_id", "terms"))
+      .as[(Long, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(r => r._2 -> r._3).toMap).toMap
+    phrases.zipWithIndex.foreach { case (p, i) =>
+      val single = TextIndex.phraseMatch(post, p)
+        .as[(Long, Long)].collect().toMap
+      assert(batch.getOrElse((i + 1).toLong, Map.empty) == single,
+        s"phrase $p")
+    }
+  }
+
+  test("snippetBatch: per query ≡ single snippet on the sf0.001 corpus") {
+    val corpus = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+      .select($"doc_id", $"text")
+    val terms = Seq("vector", "table", "stream")
+    val batch = TextIndex.snippetBatch(corpus, "doc_id", "text",
+        terms.zipWithIndex.map { case (t, i) => ((i + 1).toLong, t) }
+          .toDF("query_id", "token"), width = 2)
+      .as[(Long, Long, Int, String)].collect()
+      .groupBy(_._1).view
+      .mapValues(_.map(r => r._2 -> (r._3, r._4)).toMap).toMap
+    terms.zipWithIndex.foreach { case (t, i) =>
+      val single = TextIndex.snippet(corpus, "doc_id", "text", t, width = 2)
+        .as[(Long, Int, String)].collect()
+        .map(r => r._1 -> (r._2, r._3)).toMap
+      assert(batch.getOrElse((i + 1).toLong, Map.empty) == single, s"term $t")
+    }
+  }
+
+  test("fuzzyTermQueryBatch: per query ≡ single fuzzyTermQuery on the " +
+      "sf0.001 corpus") {
+    val corpus = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+      .select($"doc_id", $"text")
+    val post = TextIndex.postings(corpus, "doc_id", "text")
+    val needles = Seq("vektor", "tabel", "streem")
+    val batch = TextIndex.fuzzyTermQueryBatch(post,
+        needles.zipWithIndex.map { case (t, i) => ((i + 1).toLong, t) }
+          .toDF("query_id", "term"), maxDist = 1)
+      .as[(Long, Long, String, Long, Long)].collect()
+      .groupBy(_._1).view
+      .mapValues(_.map(r => (r._2, r._3) -> (r._4, r._5)).toSet).toMap
+    needles.zipWithIndex.foreach { case (t, i) =>
+      val single = TextIndex.fuzzyTermQuery(post, t, maxDist = 1)
+        .as[(Long, String, Long, Long)].collect()
+        .map(r => (r._1, r._2) -> (r._3, r._4)).toSet
+      assert(batch.getOrElse((i + 1).toLong, Set.empty) == single,
+        s"needle $t")
+    }
+  }
+
   test("slopPhraseMatch: in-order window matches; slop 0 ≡ phraseMatch; repeated terms") {
     val corpus = Seq(
       (1L, "new york city is the new york of cities"),
