@@ -80,6 +80,14 @@ object Bench {
     // within a bounded tail-capture window — rounds 1-2 proved a
     // many-query single-line JSON overruns it (BENCH_r02 parsed:null).
     println(s"""{"metric":"queries","sf":"$sfDir","queries":$qs}""")
+    // The same per-query map, persisted: the stdout tail truncates past
+    // ~100 queries, so the committed file is the machine-readable record a
+    // later round can diff per-query against (VERDICT r8 item 7).
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      "/root/repo/BENCH_FULL.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(out),
+      s"""{"metric":"queries","sf":"$sfDir","queries_run":${results.size},"failed":$failed,"total_sec":$total,"queries":$qs}\n""")
+    catch { case e: Throwable => System.err.println(s"[bench] persist: ${e.getMessage}") }
     println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","queries_run":${results.size},"failed":$failed}""")
     spark.stop()
   }

@@ -524,6 +524,47 @@ object ExtQueries2 {
       graft.operators.Features.theilU(
         t(s, d, "documents"), "lang", "source")),
 
+    // --- Mann-Whitney U ----------------------------------------------------
+    // Nonparametric twin of q203's Welch test: do purchase and click
+    // event values come from the same location?
+    "q223_mann_whitney" -> ((s, d) =>
+      graft.operators.Eval.mannWhitneyU(
+        ev(s, d), "event_type", "value", "purchase", "click")),
+
+    // --- Kaplan-Meier survival curve ---------------------------------------
+    // Time to first purchase per user, censored at the user's last
+    // observed event; even/odd user cohorts.
+    "q224_kaplan_meier" -> ((s, d) => {
+      val per = ev(s, d).groupBy(col("user_id")).agg(
+        min(col("ts")).as("first_ts"),
+        min(when(col("event_type") === "purchase", col("ts")))
+          .as("conv_ts"),
+        max(col("ts")).as("last_ts"))
+      val durs = per.select(
+        (col("user_id") % 2).cast("int").as("cohort"),
+        datediff(coalesce(col("conv_ts"), col("last_ts")).cast("date"),
+          col("first_ts").cast("date")).as("dur"),
+        col("conv_ts").isNotNull.cast("int").as("ev"))
+      graft.operators.Survival.kaplanMeier(durs, "cohort", "dur", "ev")
+        .orderBy(col("cohort"), col("duration"))
+    }),
+
+    // --- CDC changelog apply -----------------------------------------------
+    // Orders as a change stream over customer balances: latest order
+    // per customer upserts its total as the balance, 'P' status
+    // deletes the row; untouched customers pass through.
+    "q225_cdc_apply" -> ((s, d) => {
+      val base = t(s, d, "customer")
+        .select(col("c_custkey").as("id"), col("c_acctbal").as("bal"))
+      val log = t(s, d, "orders").select(
+        col("o_custkey").as("id"), col("o_orderdate"), col("o_orderkey"),
+        when(col("o_orderstatus") === "P", "D").otherwise("U").as("op"),
+        col("o_totalprice").as("bal"))
+      graft.operators.Merge.applyCdc(base, log, Seq("id"),
+          Seq(col("o_orderdate"), col("o_orderkey")), "op")
+        .orderBy(col("id"))
+    }),
+
     // --- rank-biased overlap -----------------------------------------------
     // Do spend and order frequency rank the top-50 customers alike?
     "q214_rbo" -> ((s, d) => {
@@ -1539,5 +1580,92 @@ object ExtQueries2 {
                  * CAST(ts AS DOUBLE) / CAST(n AS DOUBLE))
                / (CAST(tq AS DOUBLE) - CAST(ts AS DOUBLE)
                  * CAST(ts AS DOUBLE) / CAST(n AS DOUBLE)) END, 6) AS eta_sq
-         FROM f""")
+         FROM f""",
+
+    // the q194 score-level integer rank arithmetic plus the exact tie
+    // term Σ t(t−1)(t+1); one final double division + sqrt
+    "q223_mann_whitney" ->
+      """WITH r AS (SELECT (event_type = 'purchase') AS a, value AS v
+           FROM events
+           WHERE value IS NOT NULL AND event_type IN ('purchase', 'click')),
+         lvl AS (SELECT v, sum(CASE WHEN a THEN 1 ELSE 0 END) AS p,
+             sum(CASE WHEN a THEN 0 ELSE 1 END) AS q
+           FROM r GROUP BY 1),
+         w AS (SELECT p, q, p + q AS t,
+             sum(p + q) OVER (ORDER BY v) AS cum FROM lvl),
+         terms AS (SELECT p, q, t,
+             CAST(p AS DECIMAL(38,0))
+               * CAST(2 * (cum - t) + t + 1 AS DECIMAL(38,0)) AS u2,
+             CAST(t AS DECIMAL(38,0)) * CAST(t - 1 AS DECIMAL(38,0))
+               * CAST(t + 1 AS DECIMAL(38,0)) AS tie
+           FROM w),
+         agg AS (SELECT sum(p) AS na, sum(q) AS nb,
+             sum(u2) AS s2, sum(tie) AS tt FROM terms),
+         fin AS (SELECT na, nb, tt, na + nb AS nn,
+             s2 - CAST(na AS DECIMAL(38,0))
+               * CAST(na + 1 AS DECIMAL(38,0)) AS twou
+           FROM agg),
+         vr AS (SELECT *, CAST(na AS DOUBLE) * nb / 12.0
+             * (CAST(nn + 1 AS DOUBLE) - CAST(tt AS DOUBLE)
+               / (CAST(nn AS DOUBLE) * (nn - 1))) AS var FROM fin)
+         SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+           round(CAST(twou AS DOUBLE) / 2.0, 1) AS u,
+           round(CASE WHEN na > 0 AND nb > 0 AND var > 0 THEN
+             (CAST(twou AS DOUBLE) - CAST(na AS DOUBLE) * nb)
+               / (2.0 * sqrt(var)) END, 6) AS z
+         FROM vr""",
+
+    // distinct-duration-grid walk: at-risk from cumulative level sizes,
+    // survival = exp of the DECIMAL(38,9) sum of 9-grid ln(1 - d/n)
+    // terms; the d = n final level pins to exactly 0
+    "q224_kaplan_meier" ->
+      """WITH per AS (SELECT user_id, min(ts) AS first_ts,
+             min(CASE WHEN event_type = 'purchase' THEN ts END) AS conv_ts,
+             max(ts) AS last_ts
+           FROM events GROUP BY 1),
+         r AS (SELECT CAST(user_id % 2 AS INT) AS g,
+             CAST(date_diff('day', CAST(first_ts AS DATE),
+               CAST(coalesce(conv_ts, last_ts) AS DATE)) AS INT) AS dur,
+             CASE WHEN conv_ts IS NOT NULL THEN 1 ELSE 0 END AS ev
+           FROM per),
+         lvl AS (SELECT g, dur, sum(ev) AS d, sum(1 - ev) AS c,
+             count(*) AS t FROM r GROUP BY 1, 2),
+         tot AS (SELECT g, sum(t) AS n FROM lvl GROUP BY 1),
+         w1 AS (SELECT l.*, n,
+             sum(t) OVER (PARTITION BY g ORDER BY dur) AS cumt
+           FROM lvl l JOIN tot USING (g)),
+         w2 AS (SELECT *, n - cumt + t AS nr,
+             CASE WHEN d > 0 AND d < n - cumt + t
+               THEN CAST(round(ln(1 - CAST(d AS DOUBLE)
+                 / (n - cumt + t)), 9) AS DECIMAL(38,9))
+               ELSE CAST(0 AS DECIMAL(38,9)) END AS term
+           FROM w1),
+         w3 AS (SELECT *,
+             sum(term) OVER (PARTITION BY g ORDER BY dur) AS cumln
+           FROM w2)
+         SELECT g AS cohort, CAST(dur AS DOUBLE) AS duration,
+           CAST(nr AS BIGINT) AS n_risk, CAST(d AS BIGINT) AS n_event,
+           CAST(c AS BIGINT) AS n_censored,
+           round(CASE WHEN d = nr THEN 0.0
+             ELSE exp(CAST(cumln AS DOUBLE)) END, 6) AS survival
+         FROM w3 ORDER BY cohort, duration""",
+
+    // latest log row per key decides (window rank), 'D' deletes,
+    // untouched base keys pass through
+    "q225_cdc_apply" ->
+      """WITH base AS (SELECT c_custkey AS id, c_acctbal AS bal
+           FROM customer),
+         log AS (SELECT o_custkey AS id, o_orderdate, o_orderkey,
+             CASE WHEN o_orderstatus = 'P' THEN 'D' ELSE 'U' END AS op,
+             o_totalprice AS bal
+           FROM orders),
+         latest AS (SELECT *, row_number() OVER (PARTITION BY id
+             ORDER BY o_orderdate DESC, o_orderkey DESC) AS rk
+           FROM log)
+         SELECT id, bal FROM (
+           SELECT id, bal FROM base
+            WHERE NOT EXISTS (SELECT 1 FROM log WHERE log.id = base.id)
+           UNION ALL
+           SELECT id, bal FROM latest WHERE rk = 1 AND op <> 'D')
+         ORDER BY id""")
 }

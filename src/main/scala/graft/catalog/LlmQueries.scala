@@ -964,6 +964,13 @@ object LlmQueries {
         .orderBy(col("query_id"), col("doc_id"), col("matched_token"))
     }),
 
+    // --- PMI collocations: phrase mining over bigram counts ----------------
+    // The q81 surface re-ranked by evidence: how much more often does a
+    // bigram occur than its parts predict?
+    "q226_collocations" -> ((s, d) =>
+      graft.operators.Keywords.collocations(
+        t(s, d, "documents"), "doc_id", "text", minCount = 5, topK = 40)),
+
     // --- sloppy phrase: terms in order within a bounded window -------------
     // The middle ground between q118 (exact adjacency) and q120
     // (unordered proximity): value…table…part in order with at most 4
@@ -2392,6 +2399,28 @@ object LlmQueries {
          SELECT v.query_id, p.doc_id, p.token AS matched_token, v.distance, p.tf
          FROM post p JOIN v USING (token)
          ORDER BY v.query_id, p.doc_id, p.token""",
+
+    // q81's tokenization; PMI ratio with pinned double association
+    // (c12·Nu·Nu)/(Nb·c1·c2), one ln, rounded 6
+    "q226_collocations" ->
+      """WITH toks AS (
+           SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t
+           FROM documents),
+         flat AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+         uni AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM flat GROUP BY 1),
+         tot AS (SELECT count(*) AS nu,
+             count(*) - count(DISTINCT doc_id) AS nb FROM flat),
+         grams AS (SELECT t[i] AS w1, t[i+1] AS w2
+           FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i) g),
+         pairs AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+           FROM grams GROUP BY 1, 2 HAVING count(*) >= 5)
+         SELECT w1 || ' ' || w2 AS bigram, c12 AS n_pair,
+           u1.c AS n_left, u2.c AS n_right,
+           round(ln(CAST(c12 AS DOUBLE) * nu * nu
+             / (CAST(nb AS DOUBLE) * u1.c * u2.c)), 6) AS pmi
+         FROM pairs JOIN uni u1 ON u1.tok = w1
+           JOIN uni u2 ON u2.tok = w2, tot
+         ORDER BY pmi DESC, bigram LIMIT 40""",
 
     "q128_bm25_batch" ->
       """WITH queries AS (

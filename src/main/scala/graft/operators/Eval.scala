@@ -237,6 +237,73 @@ object Eval {
           (col("n_a").cast("double") * col("n_b"))), 6).as("ks_d"))
   }
 
+  /** Two-sample Mann-Whitney U test (tie-corrected normal
+    * approximation) — the nonparametric location test behind
+    * [[rocAuc]]: U_a counts pairs where an A value beats a B value
+    * (ties ½), so U_a = AUC·n_a·n_b, and the z statistic asks whether
+    * that count is farther from n_a·n_b/2 than rank noise explains.
+    * The distribution-free A/B readout when [[welchT]]'s
+    * normal-ish-means assumption is suspect (heavy-tailed spend,
+    * latency, counts).
+    *
+    * Same score-level discipline as [[rocAuc]]/[[ksTest]]: one
+    * distinct-value aggregation, one bucketed cumulative walk
+    * ([[Ranks.groupedCumSum]] — a near-unique continuous column never
+    * funnels one partition), exact DECIMAL(38,0) integer arithmetic
+    * through 2U = Σ p(2c+t+1) − n_a(n_a+1) and the tie term
+    * Σ t(t−1)(t+1), one final double division:
+    * z = (2U − n_a·n_b) / (2·σ) with
+    * σ² = n_a·n_b/12 · ((N+1) − Σ(t³−t)/(N(N−1))).
+    *
+    * Rows with other labels or null values drop. Output: one row
+    * (n_a, n_b, u rounded 1 — U is integer-or-half, z rounded 6);
+    * z is null when a sample is empty or every value ties (σ = 0). */
+  def mannWhitneyU(df: DataFrame, sampleCol: String, valCol: String,
+                   aLabel: String, bLabel: String): DataFrame = {
+    val rows = df
+      .filter(col(valCol).isNotNull &&
+        col(sampleCol).isin(aLabel, bLabel))
+      .select((col(sampleCol) === aLabel).as("__a"),
+        col(valCol).cast("double").as("__v"))
+    val level = rows.groupBy(col("__v"))
+      .agg(sum(when(col("__a"), 1L).otherwise(0L)).as("__p"),
+        sum(when(col("__a"), 0L).otherwise(1L)).as("__q"))
+      .withColumn("__t", col("__p") + col("__q"))
+    val walked = graft.operators.Ranks
+      .groupedCumSum(level, Seq.empty, "__v", Seq("__t"))
+      // p·(2c + t + 1), c = rows strictly below — operands to decimal
+      // BEFORE the multiply (the rocAuc overflow discipline)
+      .withColumn("__u2",
+        col("__p").cast("decimal(38,0)") *
+          (lit(2L) * (col("cum___t") - col("__t")) +
+            col("__t") + lit(1L)).cast("decimal(38,0)"))
+      // tie correction Σ t(t−1)(t+1) = Σ(t³−t), exact
+      .withColumn("__tie",
+        col("__t").cast("decimal(38,0)") *
+          (col("__t") - 1L).cast("decimal(38,0)") *
+          (col("__t") + 1L).cast("decimal(38,0)"))
+    walked.agg(
+        sum(col("__p")).as("n_a"), sum(col("__q")).as("n_b"),
+        sum(col("__u2")).as("__s2"), sum(col("__tie")).as("__T"))
+      // 2U_a = Σ p(2c+t+1) − n_a(n_a+1)
+      .withColumn("__2u",
+        col("__s2") - col("n_a").cast("decimal(38,0)") *
+          (col("n_a") + lit(1L)).cast("decimal(38,0)"))
+      .withColumn("__n", col("n_a") + col("n_b"))
+      // σ² = n_a·n_b/12 · ((N+1) − T/(N(N−1))) in double
+      .withColumn("__var",
+        col("n_a").cast("double") * col("n_b") / 12.0 *
+          ((col("__n") + lit(1L)).cast("double") -
+            col("__T").cast("double") /
+              (col("__n").cast("double") * (col("__n") - lit(1L)))))
+      .select(col("n_a"), col("n_b"),
+        round(col("__2u").cast("double") / 2.0, 1).as("u"),
+        round(when(col("n_a") > 0 && col("n_b") > 0 && col("__var") > 0,
+          (col("__2u").cast("double") -
+            col("n_a").cast("double") * col("n_b")) /
+            (lit(2.0) * sqrt(col("__var")))), 6).as("z"))
+  }
+
   /** Population Stability Index per bin — the serving-vs-training drift
     * monitor on a numeric column: bin both populations by the
     * REFERENCE's exact quantile boundaries (the [[Features.quantileBin]]

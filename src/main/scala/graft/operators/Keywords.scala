@@ -99,4 +99,58 @@ object Keywords {
       }
       .toDF(idCol, "rank", "token", "score")
   }
+
+  /** PMI collocations — corpus-level two-word phrases ("new york"
+    * vs "of the"): pointwise mutual information
+    * PMI(w1,w2) = ln( P(w1,w2) / (P(w1)·P(w2)) ) scores how much more
+    * often a bigram occurs than its parts' frequencies predict, the
+    * classic phrase-mining signal raw bigram counts (q81) bury under
+    * stopword pairs. `minCount` guards the estimator's known failure
+    * mode: a hapax pair of two hapax words maxes PMI on zero evidence.
+    *
+    * Scale shape: one doc-keyed shuffle for adjacent pairs (the q81
+    * lag window — per-document partitions, never global), one
+    * vocab-sized unigram agg, two broadcast-sized joins of the
+    * SURVIVING bigrams (minCount prunes before any join) against the
+    * unigram table, totals as a 1-row cross join. Top-k lands via
+    * TakeOrderedAndProject — no global sort materializes.
+    *
+    * Determinism: the PMI ratio is built with pinned association —
+    * (c12·Nu·Nu) / (Nb·c1·c2), each product folded left in DOUBLE,
+    * one division, one ln, rounded 6 — so both engines walk the same
+    * IEEE path (the q193 ln-parity convention); ties break on the
+    * bigram text. Output: (bigram, n_pair, n_left, n_right, pmi)
+    * top-k by (pmi desc, bigram asc). */
+  def collocations(docs: DataFrame, idCol: String, textCol: String,
+                   minCount: Int = 5, topK: Int = 50): DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs
+      .select(col(idCol).as("__id"), posexplode(TF.tokens(col(textCol))))
+      .withColumnRenamed("pos", "__p").withColumnRenamed("col", "__tok")
+    val uni = toks.groupBy(col("__tok")).agg(count(lit(1)).as("__c"))
+    // bigrams per doc = tokens − 1; Σ over docs = Nu − #docs-with-tokens
+    val totals = toks.agg(count(lit(1)).as("__nu"),
+      (count(lit(1)) - countDistinct(col("__id"))).as("__nb"))
+    val w = Window.partitionBy(col("__id")).orderBy(col("__p"))
+    val pairs = toks.withColumn("__prev", lag(col("__tok"), 1).over(w))
+      .filter(col("__prev").isNotNull)
+      .groupBy(col("__prev").as("__w1"), col("__tok").as("__w2"))
+      .agg(count(lit(1)).as("__c12"))
+      .filter(col("__c12") >= minCount)
+    pairs
+      .join(uni.select(col("__tok").as("__w1"), col("__c").as("__c1")), "__w1")
+      .join(uni.select(col("__tok").as("__w2"), col("__c").as("__c2")), "__w2")
+      .crossJoin(broadcast(totals))
+      .select(concat_ws(" ", col("__w1"), col("__w2")).as("bigram"),
+        col("__c12").as("n_pair"), col("__c1").as("n_left"),
+        col("__c2").as("n_right"),
+        round(log(
+          col("__c12").cast("double") * col("__nu") * col("__nu") /
+            (col("__nb").cast("double") * col("__c1") * col("__c2"))), 6)
+          .as("pmi"))
+      .orderBy(col("pmi").desc, col("bigram").asc)
+      .limit(topK)
+  }
 }

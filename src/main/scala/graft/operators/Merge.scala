@@ -106,6 +106,31 @@ object Merge {
     keys.foldLeft(facts.join(dim, cond, "left"))((df, k) => df.drop(dim(k)))
   }
 
+  /** Apply a CDC changelog (op column: 'D' deletes, anything else
+    * upserts — Debezium-style I/U collapse) onto a base snapshot: the
+    * LATEST log row per key under `seqCols` decides the key's fate,
+    * base rows with no log entry pass through. The generalization of
+    * [[upsert]] that a replicated-table sync needs once deletes exist.
+    *
+    * Determinism: `seqCols` must totally order a key's log rows
+    * (source LSN / (ts, change id)); with ties the winner is
+    * undefined, the standard CDC contract. Base and log payloads must
+    * share the base schema; log-only columns (`seqCols`, `opCol`) are
+    * dropped from the result.
+    *
+    * Scale shape: one key shuffle for the latest-per-key window over
+    * the LOG (delta-sized, not table-sized), one anti-join against the
+    * base — AQE broadcasts the usual small delta, and a key-partitioned
+    * base on disk turns the rewrite into touched-partitions-only (the
+    * [[upsert]] deployment note). The base is never window-sorted. */
+  def applyCdc(base: DataFrame, log: DataFrame, keys: Seq[String],
+               seqCols: Seq[Column], opCol: String): DataFrame = {
+    val latest = Dedup.keepFirst(log, keys, seqCols.map(_.desc))
+    val survivors = latest.filter(col(opCol) =!= "D")
+      .select(base.columns.map(col).toIndexedSeq: _*)
+    base.join(latest, keys, "left_anti").unionByName(survivors)
+  }
+
   def scd2FromChanges(changes: DataFrame, keys: Seq[String], tsCol: String,
                       attrCols: Seq[String],
                       orderCols: Seq[Column] = Nil): DataFrame = {

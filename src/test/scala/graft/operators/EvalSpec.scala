@@ -484,4 +484,54 @@ class EvalSpec extends SparkSpec {
     val chi = math.rint(90.0 * (obs - e) * (obs - e) / e * 1e4) / 1e4
     assert(d1.getDouble(4) == chi)
   }
+
+  // --- mannWhitneyU --------------------------------------------------------
+
+  test("mannWhitneyU: disjoint samples — hand-computed U and z") {
+    // A = {1,2,3} all below B = {4,5,6}: U_a = 0, no ties,
+    // z = (0 - 4.5)/sqrt(9/12 * 7) = -1.963961 (rounded 6)
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0),
+      ("b", 4.0), ("b", 5.0), ("b", 6.0)).toDF("lbl", "v")
+    val r = Eval.mannWhitneyU(df, "lbl", "v", "a", "b").collect().head
+    assert(r.getLong(0) == 3L && r.getLong(1) == 3L)
+    assert(r.getDouble(2) == 0.0)
+    assert(r.getDouble(3) ==
+      math.rint(-4.5 / math.sqrt(5.25) * 1e6) / 1e6)
+  }
+
+  test("mannWhitneyU: swapping samples mirrors U and negates z") {
+    val df = Seq(("a", 1.0), ("a", 5.0), ("a", 3.0), ("a", 3.0),
+      ("b", 2.0), ("b", 3.0), ("b", 8.0)).toDF("lbl", "v")
+    val ab = Eval.mannWhitneyU(df, "lbl", "v", "a", "b").collect().head
+    val ba = Eval.mannWhitneyU(df, "lbl", "v", "b", "a").collect().head
+    assert(ab.getDouble(2) + ba.getDouble(2) == 4.0 * 3.0)
+    assert(ab.getDouble(3) == -ba.getDouble(3))
+  }
+
+  test("mannWhitneyU: all-tied values → U = n_a·n_b/2, null z; empty sample → null") {
+    val tied = Seq(("a", 5.0), ("a", 5.0), ("b", 5.0)).toDF("lbl", "v")
+    val rt = Eval.mannWhitneyU(tied, "lbl", "v", "a", "b").collect().head
+    assert(rt.getDouble(2) == 1.0) // 2·1/2
+    assert(rt.isNullAt(3))
+    val onlyA = Seq(("a", 1.0), ("a", 2.0)).toDF("lbl", "v")
+    val ra = Eval.mannWhitneyU(onlyA, "lbl", "v", "a", "b").collect().head
+    assert(ra.isNullAt(3))
+  }
+
+  test("mannWhitneyU matches the O(n²) pair count with heavy ties") {
+    val data = (1 to 300).map { i =>
+      val lbl = if (i * 2654435761L % 97 % 2 == 0) "a" else "b"
+      val v = ((i * 40507L) % 23).toDouble // 23-value grid → many ties
+      (lbl, v)
+    }
+    val df = data.toDF("lbl", "v")
+    val as = data.filter(_._1 == "a").map(_._2)
+    val bs = data.filter(_._1 == "b").map(_._2)
+    val u = (for (x <- as; y <- bs)
+      yield if (x > y) 1.0 else if (x == y) 0.5 else 0.0).sum
+    val r = Eval.mannWhitneyU(df, "lbl", "v", "a", "b").collect().head
+    assert(r.getLong(0) == as.size && r.getLong(1) == bs.size)
+    assert(r.getDouble(2) == u)
+    assert(!r.isNullAt(3) && math.abs(r.getDouble(3)) < 10)
+  }
 }

@@ -86,4 +86,46 @@ class KeywordsSpec extends SparkSpec {
     assert(out(1L).map(r => (r.getInt(1), r.getString(2), r.getDouble(3)))
       .toSet == solo)
   }
+
+  // --- collocations --------------------------------------------------------
+
+  test("collocations: hand-computed PMI; minCount prunes the hapax pair") {
+    val docs = Seq((1L, "a b a b"), (2L, "a b c d")).toDF("doc_id", "text")
+    // Nu = 8 tokens, Nb = 6 bigrams; "a b" ×3, c(a)=3, c(b)=3
+    val out = Keywords.collocations(docs, "doc_id", "text",
+        minCount = 2, topK = 10)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(out.keySet == Set("a b")) // "b a","b c","c d" are count-1
+    val pmi = math.rint(math.log(3.0 * 8 * 8 / (6.0 * 3 * 3)) * 1e6) / 1e6
+    assert(out("a b") == ((3L, 3L, 3L, pmi)))
+  }
+
+  test("collocations: exclusive pair outranks a stopword pair of equal count") {
+    // "x y" occurs 3×, x and y occur ONLY there; "t u" occurs 3× but t
+    // and u are everywhere — PMI must rank "x y" first even though raw
+    // counts tie (the q81 failure mode this operator exists to fix)
+    val docs = Seq(
+      (1L, "x y t q t u r t u s t u"),
+      (2L, "x y t t u u"),
+      (3L, "x y")).toDF("doc_id", "text")
+    val out = Keywords.collocations(docs, "doc_id", "text",
+        minCount = 3, topK = 10).collect()
+    val byName = out.map(r => r.getString(0) -> r.getDouble(4)).toMap
+    assert(byName("x y") > byName("t u"))
+    assert(out.head.getString(0) == "x y")
+  }
+
+  test("collocations: empty and single-token docs contribute no bigrams") {
+    val docs = Seq((1L, "solo"), (2L, ""), (3L, "p q p q p q"))
+      .toDF("doc_id", "text")
+    val out = Keywords.collocations(docs, "doc_id", "text",
+        minCount = 1, topK = 10).collect()
+    assert(out.map(_.getString(0)).toSet == Set("p q", "q p"))
+    // Nu counts only real tokens (7), Nb only real bigrams (5)
+    val pq = out.find(_.getString(0) == "p q").get
+    assert(pq.getLong(1) == 3L)
+    val exp = math.rint(math.log(3.0 * 7 * 7 / (5.0 * 3 * 3)) * 1e6) / 1e6
+    assert(pq.getDouble(4) == exp)
+  }
 }
