@@ -524,6 +524,17 @@ object ExtQueries2 {
       graft.operators.Features.theilU(
         t(s, d, "documents"), "lang", "source")),
 
+    // --- logistic regression (full-batch GD, 3 steps) ----------------------
+    // Does (scaled) quantity or discount predict a returned line item?
+    // Weights only — the auditable model table, not scored rows.
+    "q227_logistic_gd" -> ((s, d) =>
+      graft.operators.Classify.logisticGD(
+        t(s, d, "lineitem").select(
+          (col("l_returnflag") === "R").cast("int").as("y"),
+          (col("l_quantity").cast("double") / 50.0).as("x1"),
+          (col("l_discount").cast("double") * 10.0).as("x2")),
+        "y", Seq("x1", "x2"), lr = 0.5, iters = 3)),
+
     // --- Mann-Whitney U ----------------------------------------------------
     // Nonparametric twin of q203's Welch test: do purchase and click
     // event values come from the same location?
@@ -1581,6 +1592,52 @@ object ExtQueries2 {
                / (CAST(tq AS DOUBLE) - CAST(ts AS DOUBLE)
                  * CAST(ts AS DOUBLE) / CAST(n AS DOUBLE)) END, 6) AS eta_sq
          FROM f""",
+
+    // the 3 GD steps unrolled (the q133 pattern): per step one
+    // aggregation of 9-grid (y − σ)·x terms in DECIMAL(38,9), weight
+    // update re-rounded to the 9-grid — bit-identical recursion replay
+    "q227_logistic_gd" ->
+      """WITH data AS (SELECT
+             CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END AS y,
+             CAST(l_quantity AS DOUBLE) / 50.0 AS x1,
+             CAST(l_discount AS DOUBLE) * 10.0 AS x2
+           FROM lineitem
+           WHERE l_returnflag IS NOT NULL AND l_quantity IS NOT NULL
+             AND l_discount IS NOT NULL),
+         g1 AS (SELECT
+             sum(CAST(round(y - round(1.0/(1.0+exp(-(0.0 + x1*0.0 + x2*0.0))),9),9) AS DECIMAL(38,9))) AS g0,
+             sum(CAST(round((y - round(1.0/(1.0+exp(-(0.0 + x1*0.0 + x2*0.0))),9))*x1,9) AS DECIMAL(38,9))) AS gx1,
+             sum(CAST(round((y - round(1.0/(1.0+exp(-(0.0 + x1*0.0 + x2*0.0))),9))*x2,9) AS DECIMAL(38,9))) AS gx2,
+             count(*) AS n
+           FROM data),
+         w1 AS (SELECT round(0.0 + 0.5*(CAST(g0 AS DOUBLE)/n),9) AS a,
+             round(0.0 + 0.5*(CAST(gx1 AS DOUBLE)/n),9) AS b,
+             round(0.0 + 0.5*(CAST(gx2 AS DOUBLE)/n),9) AS c FROM g1),
+         g2 AS (SELECT
+             sum(CAST(round(y - round(1.0/(1.0+exp(-(a + x1*b + x2*c))),9),9) AS DECIMAL(38,9))) AS g0,
+             sum(CAST(round((y - round(1.0/(1.0+exp(-(a + x1*b + x2*c))),9))*x1,9) AS DECIMAL(38,9))) AS gx1,
+             sum(CAST(round((y - round(1.0/(1.0+exp(-(a + x1*b + x2*c))),9))*x2,9) AS DECIMAL(38,9))) AS gx2,
+             count(*) AS n
+           FROM data, w1),
+         w2 AS (SELECT round(a + 0.5*(CAST(g0 AS DOUBLE)/n),9) AS a,
+             round(b + 0.5*(CAST(gx1 AS DOUBLE)/n),9) AS b,
+             round(c + 0.5*(CAST(gx2 AS DOUBLE)/n),9) AS c
+           FROM g2, w1),
+         g3 AS (SELECT
+             sum(CAST(round(y - round(1.0/(1.0+exp(-(a + x1*b + x2*c))),9),9) AS DECIMAL(38,9))) AS g0,
+             sum(CAST(round((y - round(1.0/(1.0+exp(-(a + x1*b + x2*c))),9))*x1,9) AS DECIMAL(38,9))) AS gx1,
+             sum(CAST(round((y - round(1.0/(1.0+exp(-(a + x1*b + x2*c))),9))*x2,9) AS DECIMAL(38,9))) AS gx2,
+             count(*) AS n
+           FROM data, w2),
+         w3 AS (SELECT round(a + 0.5*(CAST(g0 AS DOUBLE)/n),9) AS a,
+             round(b + 0.5*(CAST(gx1 AS DOUBLE)/n),9) AS b,
+             round(c + 0.5*(CAST(gx2 AS DOUBLE)/n),9) AS c
+           FROM g3, w2)
+         SELECT term, weight FROM (
+           SELECT 'intercept' AS term, a AS weight FROM w3
+           UNION ALL SELECT 'x1', b FROM w3
+           UNION ALL SELECT 'x2', c FROM w3)
+         ORDER BY term""",
 
     // the q194 score-level integer rank arithmetic plus the exact tie
     // term Σ t(t−1)(t+1); one final double division + sqrt

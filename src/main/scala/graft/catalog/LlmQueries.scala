@@ -1579,6 +1579,24 @@ object LlmQueries {
           round(VF.int8Cosine(col("codes"), col("qcodes")), 4).as("q_cosine"))
         .orderBy(col("q_cosine").desc, col("vec_id").asc)
         .limit(10)
+    }),
+
+    // --- batch kNN join: every query's top-k neighbors in one job ----------
+    // Full probe (nprobe = #clusters) makes the IVF path EXACT brute
+    // force, so a SQL oracle pins it; the pruned-probe regime is
+    // AnnRecallSpec's measured territory.
+    "q228_knn_join" -> ((s, d) => {
+      import graft.functions.IvfIndex
+      val emb = t(s, d, "embeddings")
+      // distinct cache key: q76's index excludes vec_id 0, this one
+      // covers the whole table
+      val idx = LlmQueries.cachedIvfIndex(s, d + "#all")(
+        IvfIndex.build(emb, "embedding", "vec_id", k = 8))
+      val qs = emb.filter(col("vec_id") % 20 === 0)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+      IvfIndex.knnJoin(idx, qs, "query_id", "qvec",
+          "embedding", "vec_id", k = 5, nprobe = 8, grid = 4)
+        .orderBy(col("query_id"), col("cosine_sim").desc, col("vec_id"))
     }))
 
   def oracleSql: Map[String, String] = Map(
@@ -2421,6 +2439,23 @@ object LlmQueries {
          FROM pairs JOIN uni u1 ON u1.tok = w1
            JOIN uni u2 ON u2.tok = w2, tot
          ORDER BY pmi DESC, bigram LIMIT 40""",
+
+    // the q41 element-wise dot arithmetic per (query, corpus) pair;
+    // rank on the ROUNDED sim with id tie-break (both engines)
+    "q228_knn_join" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+           FROM embeddings WHERE vec_id % 20 = 0),
+         sims AS (
+           SELECT q.query_id, e.vec_id,
+             round(sum(CAST(e.embedding[CAST(i AS INT)] AS DOUBLE) * CAST(q.qe[CAST(i AS INT)] AS DOUBLE))
+               / (sqrt(sum(CAST(e.embedding[CAST(i AS INT)] AS DOUBLE) * CAST(e.embedding[CAST(i AS INT)] AS DOUBLE)))
+                  * sqrt(sum(CAST(q.qe[CAST(i AS INT)] AS DOUBLE) * CAST(q.qe[CAST(i AS INT)] AS DOUBLE)))), 4) AS cosine_sim
+           FROM embeddings e, q, generate_series(1, 64) AS g(i)
+           GROUP BY q.query_id, e.vec_id),
+         ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+             ORDER BY cosine_sim DESC, vec_id) AS rk FROM sims)
+         SELECT query_id, vec_id, cosine_sim FROM ranked WHERE rk <= 5
+         ORDER BY query_id, cosine_sim DESC, vec_id""",
 
     "q128_bm25_batch" ->
       """WITH queries AS (

@@ -83,6 +83,58 @@ object IvfIndex {
     Index(assign(clean, pinned, vecCol, idCol), pinned)
   }
 
+  /** Batch kNN JOIN: for EVERY query row, its top-k corpus neighbors
+    * by cosine — the all-queries-at-once form [[topK]]'s single-vector
+    * probe cannot batch (N driver dispatches for N queries, the
+    * pre-q128 BM25 bottleneck). The retrieval/eval sweep primitive:
+    * score a whole query table against the corpus in ONE job.
+    *
+    * Shape: queries rank the k-row centroid table on a broadcast
+    * (keyed window — per-query, never global), explode to `nprobe`
+    * (query, cluster) probes, then ONE equi-join on `cluster_id`
+    * against the indexed corpus — work is Σ probed-cluster sizes, not
+    * |Q|·|corpus|. Each corpus row lives in exactly one cluster, so
+    * candidates are already distinct per (query, corpus) pair. With
+    * the [[IvfStore]] layout the same join becomes a partition-pruned
+    * scan per probed cluster. Per-query top-k is a keyed window.
+    *
+    * Determinism: candidates compare on the `grid`-rounded cosine with
+    * id tie-break (the Mmr rounded-grid convention), so the selection
+    * is bit-reproducible and — at full probe (`nprobe` ≥ k_clusters),
+    * where results are EXACT brute force — SQL-oracle-able.
+    * Below full probe results are approximate (recall measured in
+    * AnnRecallSpec, the q76 adjudication).
+    *
+    * Output: (qIdCol, idCol, cosine_sim) — ≤ k rows per query, null
+    * query vectors dropped. */
+  def knnJoin(index: Index, queries: DataFrame, qIdCol: String,
+              qVecCol: String, vecCol: String, idCol: String, k: Int,
+              nprobe: Int = 2, grid: Int = 6): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
+    val w = org.apache.spark.sql.expressions.Window
+    val probeW = w.partitionBy(col("__qid"))
+      .orderBy(col("__csim").desc_nulls_last, col("cluster_id").asc)
+    val probes = queries.filter(col(qVecCol).isNotNull)
+      .select(col(qIdCol).as("__qid"), col(qVecCol).as("__qv"))
+      .crossJoin(broadcast(index.centroids.select(
+        col("cluster_id"), col("centroid"))))
+      .withColumn("__csim",
+        graft.plans.CosineSimilarity(col("__qv"), col("centroid")))
+      .withColumn("__pr", row_number().over(probeW))
+      .filter(col("__pr") <= nprobe)
+      .select(col("__qid"), col("__qv"), col("cluster_id"))
+    val rankW = w.partitionBy(col("__qid"))
+      .orderBy(col("__sim").desc_nulls_last, col(idCol).asc)
+    probes.join(index.indexed, Seq("cluster_id"))
+      .withColumn("__sim",
+        round(graft.plans.CosineSimilarity(col(vecCol), col("__qv")), grid))
+      .withColumn("__rk", row_number().over(rankW))
+      .filter(col("__rk") <= k)
+      .select(col("__qid").as(qIdCol), col(idCol),
+        col("__sim").as("cosine_sim"))
+  }
+
   /** Probe the `nprobe` clusters nearest to `queryVec`, brute-force
     * cosine within them, return top-k (sim desc, id asc). */
   def topK(indexed: DataFrame, centroids: DataFrame, vecCol: String,

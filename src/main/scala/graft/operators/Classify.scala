@@ -182,4 +182,76 @@ object Classify {
         col("__best.n_gt").as("n_gt"),
         col("__best.info_gain").as("info_gain"))
   }
+
+  /** Logistic regression by full-batch gradient descent, fixed
+    * iteration budget — the calibrated-probability counterpart to
+    * [[naiveBayes]] for NUMERIC features (quality scores, length
+    * ratios, retrieval signals): w ← w + η·Σ(y − σ(w·x))·x / n per
+    * step from w = 0, returning the weight vector as an auditable
+    * (term, weight) table (the [[Features.targetEncode]] convention —
+    * emit the model, not a fattened corpus; scoring is then one
+    * narrow projection the caller composes).
+    *
+    * A fixed iteration count, not a convergence test, for the same
+    * reason as [[graft.operators.Graph.pageRank]]: a data-dependent
+    * stopping rule makes results irreproducible across runs and
+    * engines. Each iteration is ONE map-side-combinable aggregation
+    * over the data with the current weights riding a broadcast
+    * (1-row cross join — never a driver collect in the loop), so the
+    * whole fit is `iters` sequential corpus passes and nothing else;
+    * features should be pre-scaled to O(1) (the standard GD contract)
+    * or the sigmoid saturates.
+    *
+    * Determinism (what makes a GD fit SQL-oracle-able at all): the
+    * margin folds left in double (w0 + x1·w1 + … — pinned
+    * association), σ rounds to the 9-grid, per-row gradient terms
+    * round to the 9-grid and accumulate in DECIMAL(38,9), and each
+    * weight update re-rounds to the 9-grid — so every iteration's
+    * weights are bit-identical across partitionings and engines and
+    * the DuckDB oracle replays the unrolled recursion exactly.
+    *
+    * Contract: null labels/features drop; label casts to int, nonzero
+    * = positive. Output: one row per term — ("intercept", w0) then
+    * each feature column by name — ordered by term. */
+  def logisticGD(df: DataFrame, labelCol: String,
+                 featureCols: Seq[String], lr: Double = 0.5,
+                 iters: Int = 3): DataFrame = {
+    require(featureCols.nonEmpty, "featureCols must be non-empty")
+    require(lr > 0, s"learning rate must be positive, got $lr")
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val d = featureCols.size
+    val dec9 = (c: Column) => round(c, 9).cast("decimal(38,9)")
+    val data = df
+      .filter(col(labelCol).isNotNull &&
+        featureCols.map(col(_).isNotNull).reduce(_ && _))
+      .select((col(labelCol).cast("int") =!= 0).cast("double").as("__y") +:
+        featureCols.zipWithIndex.map { case (f, i) =>
+          col(f).cast("double").as(s"__x$i")
+        }: _*)
+    val w0 = data.sparkSession.range(1)
+      .select((0 to d).map(j => lit(0.0).as(s"__w$j")): _*)
+    val wFinal = (1 to iters).foldLeft(w0) { (w, _) =>
+      val joined = data.crossJoin(broadcast(w))
+      val z = (0 until d).foldLeft(col("__w0")) { (acc, i) =>
+        acc + col(s"__x$i") * col(s"__w${i + 1}")
+      }
+      val e = col("__y") - round(lit(1.0) / (lit(1.0) + exp(-z)), 9)
+      val grads = joined.agg(
+        sum(dec9(e)).as("__g0"),
+        (1 to d).map(j =>
+          sum(dec9(e * col(s"__x${j - 1}"))).as(s"__g$j")) :+
+          count(lit(1)).as("__n"): _*)
+      w.crossJoin(grads).select((0 to d).map(j =>
+        round(col(s"__w$j") + lit(lr) *
+          (col(s"__g$j").cast("double") / col("__n")), 9)
+          .as(s"__w$j")): _*)
+    }
+    val terms = "intercept" +: featureCols
+    val stackArgs = terms.zipWithIndex
+      .map { case (t, j) => s"'${t.replace("'", "''")}', __w$j" }
+      .mkString(", ")
+    wFinal
+      .selectExpr(s"stack(${d + 1}, $stackArgs) AS (term, weight)")
+      .orderBy(col("term"))
+  }
 }

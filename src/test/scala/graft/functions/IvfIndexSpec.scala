@@ -69,4 +69,69 @@ class IvfIndexSpec extends SparkSpec {
     val recall = (exact intersect approx).size / 10.0
     assert(recall >= 0.3, s"recall@10 with half the clusters probed was $recall")
   }
+
+  // --- knnJoin -------------------------------------------------------------
+
+  test("knnJoin at full probe ≡ per-query brute force, exactly") {
+    val idx = IvfIndex.build(emb, "embedding", "vec_id", k = 8)
+    val qs = emb.filter($"vec_id" % 50 === 0)
+      .select($"vec_id".as("query_id"), $"embedding".as("qvec"))
+    val joined = IvfIndex.knnJoin(idx, qs, "query_id", "qvec",
+        "embedding", "vec_id", k = 5, nprobe = 8, grid = 6)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1)
+    import scala.jdk.CollectionConverters._
+    qs.collect().foreach { qr =>
+      val qid = qr.getLong(0)
+      val qv = qr.getList[Float](1).asScala.toSeq
+      val exact = VectorFunctions
+        .bruteForceTopK(emb, "embedding", "vec_id", qv, 5)
+        .select($"vec_id", round($"cosine_sim", 6).as("s"))
+        .as[(Long, Double)].collect().toSeq
+      // rank-on-rounded-grid can reorder within a rounded tie; compare
+      // the (id, sim) SETS and the sim sequence (both are pinned)
+      val got = joined(qid).map(t => (t._2, t._3)).toSeq
+      assert(got.map(_._2).sorted == exact.map(_._2).sorted,
+        s"query $qid sims diverge")
+      assert(got.toSet == exact.toSet || got.map(_._2) == exact.map(_._2),
+        s"query $qid sets diverge")
+      assert(got.head._1 == qid && got.head._2 == 1.0,
+        s"query $qid must match itself first")
+    }
+    idx.close()
+  }
+
+  test("knnJoin: pruned probe returns ≤ k rows per query from probed clusters only") {
+    val idx = IvfIndex.build(emb, "embedding", "vec_id", k = 8)
+    val qs = emb.filter($"vec_id" % 50 === 0)
+      .select($"vec_id".as("query_id"), $"embedding".as("qvec"))
+    val pruned = IvfIndex.knnJoin(idx, qs, "query_id", "qvec",
+      "embedding", "vec_id", k = 5, nprobe = 2)
+    val counts = pruned.groupBy("query_id").count()
+      .as[(Long, Long)].collect().toMap
+    assert(counts.values.forall(_ <= 5))
+    // every query still matches itself (its own cluster is its nearest)
+    val selfTop = pruned.filter($"query_id" === $"vec_id")
+      .select("query_id").as[Long].collect().toSet
+    assert(selfTop == counts.keySet)
+    idx.close()
+  }
+
+  test("knnJoin: null query vectors drop; guards reject bad k/nprobe") {
+    val idx = IvfIndex.build(emb, "embedding", "vec_id", k = 4)
+    val qs = Seq((1L, None: Option[Seq[Float]]))
+      .toDF("query_id", "qvec")
+    assert(IvfIndex.knnJoin(idx, qs, "query_id", "qvec",
+      "embedding", "vec_id", k = 3).count() == 0)
+    intercept[IllegalArgumentException] {
+      IvfIndex.knnJoin(idx, qs, "query_id", "qvec", "embedding", "vec_id",
+        k = 0)
+    }
+    intercept[IllegalArgumentException] {
+      IvfIndex.knnJoin(idx, qs, "query_id", "qvec", "embedding", "vec_id",
+        k = 3, nprobe = 0)
+    }
+    idx.close()
+  }
 }

@@ -111,4 +111,79 @@ class ClassifySpec extends SparkSpec {
     assert(r.getDouble(3) == 0.0)
     assert(r.getLong(1) + r.getLong(2) == 4L)
   }
+
+  // --- logisticGD ----------------------------------------------------------
+
+  private def r9(x: Double) = math.rint(x * 1e9) / 1e9
+
+  /** Independent driver-side replay of the documented recursion. */
+  private def gdReference(data: Seq[(Double, Double)], lr: Double,
+                          iters: Int): (Double, Double) = {
+    var w0 = 0.0; var w1 = 0.0
+    for (_ <- 1 to iters) {
+      val terms = data.map { case (y, x) =>
+        val e = y - r9(1.0 / (1.0 + math.exp(-(w0 + x * w1))))
+        (BigDecimal(r9(e)).setScale(9), BigDecimal(r9(e * x)).setScale(9))
+      }
+      val g0 = terms.map(_._1).sum
+      val g1 = terms.map(_._2).sum
+      val n = data.size
+      w0 = r9(w0 + lr * (g0.toDouble / n))
+      w1 = r9(w1 + lr * (g1.toDouble / n))
+    }
+    (w0, w1)
+  }
+
+  test("logisticGD: one step from zero is the hand-computable update") {
+    // z = 0 → σ = 0.5 exactly; g0 = 0, gx = 1.0, n = 2 → w = (0, 0.25)
+    val df = Seq((1, 1.0), (0, -1.0)).toDF("y", "x")
+    val out = Classify.logisticGD(df, "y", Seq("x"), lr = 0.5, iters = 1)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(out == Map("intercept" -> 0.0, "x" -> 0.25))
+  }
+
+  test("logisticGD ≡ independent driver-side recursion over 3 steps") {
+    val data = (1 to 200).map { i =>
+      val x = ((i * 40507L) % 101) / 101.0 - 0.5
+      val y = if ((i * 2654435761L % 97) % 3 == 0 || x > 0.2) 1.0 else 0.0
+      (y, x)
+    }
+    val df = data.map { case (y, x) => (y.toInt, x) }.toDF("y", "x")
+    val (ew0, ew1) = gdReference(data, lr = 0.5, iters = 3)
+    val out = Classify.logisticGD(df, "y", Seq("x"), lr = 0.5, iters = 3)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(out("intercept") == ew0)
+    assert(out("x") == ew1)
+  }
+
+  test("logisticGD: separating feature gets a positive weight; rerun and " +
+    "repartition are bit-identical") {
+    val data = (1 to 120).map { i =>
+      val x = if (i % 2 == 0) 1.0 else -1.0
+      (if (x > 0) 1 else 0, x, ((i * 37) % 7).toDouble)
+    }
+    val df = data.toDF("y", "x", "noise")
+    val w = Classify.logisticGD(df, "y", Seq("x", "noise"), 0.5, 3)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(w("x") > 0.3)
+    assert(math.abs(w("noise")) < math.abs(w("x")))
+    val w2 = Classify.logisticGD(df.repartition(7), "y",
+        Seq("x", "noise"), 0.5, 3)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(w2 == w)
+  }
+
+  test("logisticGD: null rows drop; guards reject bad arguments") {
+    val df = Seq((Some(1), Some(1.0)), (Some(0), Some(-1.0)),
+      (None, Some(9.0)), (Some(1), None)).toDF("y", "x")
+    val out = Classify.logisticGD(df, "y", Seq("x"), 0.5, 1)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(out == Map("intercept" -> 0.0, "x" -> 0.25))
+    intercept[IllegalArgumentException] {
+      Classify.logisticGD(df, "y", Seq.empty, 0.5, 1)
+    }
+    intercept[IllegalArgumentException] {
+      Classify.logisticGD(df, "y", Seq("x"), -1.0, 1)
+    }
+  }
 }
