@@ -524,6 +524,28 @@ object ExtQueries2 {
       graft.operators.Features.theilU(
         t(s, d, "documents"), "lang", "source")),
 
+    // --- pairwise correlation matrix ---------------------------------------
+    // The redundancy screen over lineitem's numeric measures: one pass,
+    // all 6 pairs, pairwise null deletion.
+    "q231_corr_matrix" -> ((s, d) =>
+      graft.operators.Profile.correlationMatrix(t(s, d, "lineitem"),
+          Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+        .orderBy(col("col_a"), col("col_b"))),
+
+    // --- CUPED variance-reduced A/B readout --------------------------------
+    // Even/odd users as variants; per-user second-half event value as
+    // the metric, first-half value as the pre-exposure covariate.
+    "q232_cuped" -> ((s, d) => {
+      val units = ev(s, d).groupBy(col("user_id")).agg(
+        coalesce(sum(when(dayofmonth(col("ts")) > 15, col("value"))
+          .cast("decimal(18,2)")), lit(0.0)).cast("double").as("metric"),
+        coalesce(sum(when(dayofmonth(col("ts")) <= 15, col("value"))
+          .cast("decimal(18,2)")), lit(0.0)).cast("double").as("covariate"))
+        .select(when(col("user_id") % 2 === 0, "A").otherwise("B")
+          .as("variant"), col("metric"), col("covariate"))
+      graft.operators.Eval.cuped(units, "variant", "metric", "covariate")
+    }),
+
     // --- logistic regression (full-batch GD, 3 steps) ----------------------
     // Does (scaled) quantity or discount predict a returned line item?
     // Weights only — the auditable model table, not scored rows.
@@ -1592,6 +1614,96 @@ object ExtQueries2 {
                / (CAST(tq AS DOUBLE) - CAST(ts AS DOUBLE)
                  * CAST(ts AS DOUBLE) / CAST(n AS DOUBLE)) END, 6) AS eta_sq
          FROM f""",
+
+    // one stats block per pair (values-only oracle; the engine fuses
+    // all pairs into one aggregation pass), identical 9-grid DECIMAL
+    // sums and pinned closed-form association
+    "q231_corr_matrix" ->
+      """WITH l AS (SELECT CAST(l_quantity AS DOUBLE) AS q,
+             CAST(l_extendedprice AS DOUBLE) AS e,
+             CAST(l_discount AS DOUBLE) AS di,
+             CAST(l_tax AS DOUBLE) AS tx FROM lineitem),
+         pqe AS (SELECT count(*) AS n,
+             sum(CAST(round(q,9) AS DECIMAL(38,9))) AS sx, sum(CAST(round(e,9) AS DECIMAL(38,9))) AS sy,
+             sum(CAST(round(q*e,9) AS DECIMAL(38,9))) AS sxy,
+             sum(CAST(round(q*q,9) AS DECIMAL(38,9))) AS sxx, sum(CAST(round(e*e,9) AS DECIMAL(38,9))) AS syy
+           FROM l WHERE q IS NOT NULL AND e IS NOT NULL),
+         pqd AS (SELECT count(*) AS n,
+             sum(CAST(round(q,9) AS DECIMAL(38,9))) AS sx, sum(CAST(round(di,9) AS DECIMAL(38,9))) AS sy,
+             sum(CAST(round(q*di,9) AS DECIMAL(38,9))) AS sxy,
+             sum(CAST(round(q*q,9) AS DECIMAL(38,9))) AS sxx, sum(CAST(round(di*di,9) AS DECIMAL(38,9))) AS syy
+           FROM l WHERE q IS NOT NULL AND di IS NOT NULL),
+         pqt AS (SELECT count(*) AS n,
+             sum(CAST(round(q,9) AS DECIMAL(38,9))) AS sx, sum(CAST(round(tx,9) AS DECIMAL(38,9))) AS sy,
+             sum(CAST(round(q*tx,9) AS DECIMAL(38,9))) AS sxy,
+             sum(CAST(round(q*q,9) AS DECIMAL(38,9))) AS sxx, sum(CAST(round(tx*tx,9) AS DECIMAL(38,9))) AS syy
+           FROM l WHERE q IS NOT NULL AND tx IS NOT NULL),
+         ped AS (SELECT count(*) AS n,
+             sum(CAST(round(e,9) AS DECIMAL(38,9))) AS sx, sum(CAST(round(di,9) AS DECIMAL(38,9))) AS sy,
+             sum(CAST(round(e*di,9) AS DECIMAL(38,9))) AS sxy,
+             sum(CAST(round(e*e,9) AS DECIMAL(38,9))) AS sxx, sum(CAST(round(di*di,9) AS DECIMAL(38,9))) AS syy
+           FROM l WHERE e IS NOT NULL AND di IS NOT NULL),
+         pet AS (SELECT count(*) AS n,
+             sum(CAST(round(e,9) AS DECIMAL(38,9))) AS sx, sum(CAST(round(tx,9) AS DECIMAL(38,9))) AS sy,
+             sum(CAST(round(e*tx,9) AS DECIMAL(38,9))) AS sxy,
+             sum(CAST(round(e*e,9) AS DECIMAL(38,9))) AS sxx, sum(CAST(round(tx*tx,9) AS DECIMAL(38,9))) AS syy
+           FROM l WHERE e IS NOT NULL AND tx IS NOT NULL),
+         pdt AS (SELECT count(*) AS n,
+             sum(CAST(round(di,9) AS DECIMAL(38,9))) AS sx, sum(CAST(round(tx,9) AS DECIMAL(38,9))) AS sy,
+             sum(CAST(round(di*tx,9) AS DECIMAL(38,9))) AS sxy,
+             sum(CAST(round(di*di,9) AS DECIMAL(38,9))) AS sxx, sum(CAST(round(tx*tx,9) AS DECIMAL(38,9))) AS syy
+           FROM l WHERE di IS NOT NULL AND tx IS NOT NULL),
+         allp AS (
+           SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b, * FROM pqe
+           UNION ALL SELECT 'l_quantity', 'l_discount', * FROM pqd
+           UNION ALL SELECT 'l_quantity', 'l_tax', * FROM pqt
+           UNION ALL SELECT 'l_extendedprice', 'l_discount', * FROM ped
+           UNION ALL SELECT 'l_extendedprice', 'l_tax', * FROM pet
+           UNION ALL SELECT 'l_discount', 'l_tax', * FROM pdt),
+         v AS (SELECT *,
+             CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS vx,
+             CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS vy
+           FROM allp)
+         SELECT col_a, col_b, CAST(n AS BIGINT) AS n,
+           round(CASE WHEN n >= 2 AND vx > 0 AND vy > 0 THEN
+             (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+               / (sqrt(vx) * sqrt(vy)) END, 6) AS corr
+         FROM v ORDER BY col_a, col_b""",
+
+    // pooled theta from one sufficient-stats pass, per-variant means,
+    // pinned double association throughout
+    "q232_cuped" ->
+      """WITH units AS (SELECT
+             CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS variant,
+             CAST(coalesce(sum(CASE WHEN day(ts) > 15
+               THEN CAST(value AS DECIMAL(18,2)) END), 0.0) AS DOUBLE) AS y,
+             CAST(coalesce(sum(CASE WHEN day(ts) <= 15
+               THEN CAST(value AS DECIMAL(18,2)) END), 0.0) AS DOUBLE) AS x
+           FROM events GROUP BY user_id),
+         pooled AS (SELECT count(*) AS pn,
+             sum(CAST(round(x,9) AS DECIMAL(38,9))) AS psx,
+             sum(CAST(round(y,9) AS DECIMAL(38,9))) AS psy,
+             sum(CAST(round(x*x,9) AS DECIMAL(38,9))) AS psxx,
+             sum(CAST(round(x*y,9) AS DECIMAL(38,9))) AS psxy
+           FROM units),
+         per AS (SELECT variant, count(*) AS n,
+             sum(CAST(round(y,9) AS DECIMAL(38,9))) AS sy,
+             sum(CAST(round(x,9) AS DECIMAL(38,9))) AS sx
+           FROM units GROUP BY 1),
+         fin AS (SELECT per.*, pn, psx, psy, psxx, psxy,
+             CAST(pn AS DOUBLE) * CAST(psxx AS DOUBLE)
+               - CAST(psx AS DOUBLE) * CAST(psx AS DOUBLE) AS varx
+           FROM per, pooled),
+         fin2 AS (SELECT *, CASE WHEN varx > 0 THEN
+             (CAST(pn AS DOUBLE) * CAST(psxy AS DOUBLE)
+               - CAST(psx AS DOUBLE) * CAST(psy AS DOUBLE)) / varx END AS theta
+           FROM fin)
+         SELECT variant, CAST(n AS BIGINT) AS n,
+           round(CAST(sy AS DOUBLE) / n, 6) AS mean_metric,
+           round(CAST(sy AS DOUBLE) / n - theta
+             * (CAST(sx AS DOUBLE) / n - CAST(psx AS DOUBLE) / pn), 6) AS adjusted_mean,
+           round(theta, 6) AS theta
+         FROM fin2 ORDER BY variant""",
 
     // the 3 GD steps unrolled (the q133 pattern): per step one
     // aggregation of 9-grid (y − σ)·x terms in DECIMAL(38,9), weight

@@ -1054,6 +1054,19 @@ object LlmQueries {
         .orderBy(col("id"))
     }),
 
+    // --- HITS hubs & authorities ------------------------------------------
+    // The q133 link graph scored by ROLE: pointed-at-by-good-hubs vs
+    // points-at-good-authorities (PageRank conflates the two).
+    "q229_hits" -> ((s, d) => {
+      val docs = t(s, d, "documents").select(col("doc_id"))
+      val edges = docs.select(col("doc_id").as("src"),
+          pmod(col("doc_id") * col("doc_id") + 1, lit(500L)).as("dst"))
+        .unionByName(docs.select(col("doc_id").as("src"),
+          pmod(col("doc_id") * 37, lit(100L)).as("dst")))
+      graft.operators.Graph.hits(edges, iterations = 2)
+        .orderBy(col("id"))
+    }),
+
     // --- incremental HLL cardinality store ---------------------------------
     // Per-lang distinct-token counts via the mergeable-sketch store: two
     // ingest batches (odd/even docs) append per-group sketches, the
@@ -2621,6 +2634,39 @@ object LlmQueries {
          r3 AS (SELECT nodes.id, round((1.0 - 0.85) / n.n + 0.85 * coalesce(CAST(c3.s AS DOUBLE), 0.0), 9) AS r
                 FROM nodes LEFT JOIN c3 ON nodes.id = c3.dst, n)
          SELECT id, round(r, 6) AS pagerank FROM r3 ORDER BY id""",
+
+    // 2 unrolled mutual-recursion rounds: authority from in-edge hub
+    // sums, hub from out-edge authority sums, each L1-normalized on an
+    // exact DECIMAL sum of 9-grid scores
+    "q229_hits" ->
+      """WITH e AS (
+           SELECT doc_id AS src, (doc_id * doc_id + 1) % 500 AS dst FROM documents
+           UNION ALL
+           SELECT doc_id AS src, (doc_id * 37) % 100 AS dst FROM documents),
+         nodes AS (SELECT DISTINCT id FROM (SELECT src AS id FROM e UNION ALL SELECT dst AS id FROM e)),
+         h0 AS (SELECT id, 1.0 AS h FROM nodes),
+         ar1 AS (SELECT e.dst AS id, sum(CAST(round(h0.h, 9) AS DECIMAL(28,9))) AS ar
+                 FROM e JOIN h0 ON e.src = h0.id GROUP BY 1),
+         an1 AS (SELECT sum(ar) AS an FROM ar1),
+         a1 AS (SELECT nodes.id, round(coalesce(CAST(ar1.ar AS DOUBLE), 0.0) / CAST(an1.an AS DOUBLE), 9) AS a
+                FROM nodes LEFT JOIN ar1 ON nodes.id = ar1.id, an1),
+         hr1 AS (SELECT e.src AS id, sum(CAST(round(a1.a, 9) AS DECIMAL(28,9))) AS hr
+                 FROM e JOIN a1 ON e.dst = a1.id GROUP BY 1),
+         hn1 AS (SELECT sum(hr) AS hn FROM hr1),
+         h1 AS (SELECT nodes.id, round(coalesce(CAST(hr1.hr AS DOUBLE), 0.0) / CAST(hn1.hn AS DOUBLE), 9) AS h
+                FROM nodes LEFT JOIN hr1 ON nodes.id = hr1.id, hn1),
+         ar2 AS (SELECT e.dst AS id, sum(CAST(round(h1.h, 9) AS DECIMAL(28,9))) AS ar
+                 FROM e JOIN h1 ON e.src = h1.id GROUP BY 1),
+         an2 AS (SELECT sum(ar) AS an FROM ar2),
+         a2 AS (SELECT nodes.id, round(coalesce(CAST(ar2.ar AS DOUBLE), 0.0) / CAST(an2.an AS DOUBLE), 9) AS a
+                FROM nodes LEFT JOIN ar2 ON nodes.id = ar2.id, an2),
+         hr2 AS (SELECT e.src AS id, sum(CAST(round(a2.a, 9) AS DECIMAL(28,9))) AS hr
+                 FROM e JOIN a2 ON e.dst = a2.id GROUP BY 1),
+         hn2 AS (SELECT sum(hr) AS hn FROM hr2),
+         h2 AS (SELECT nodes.id, round(coalesce(CAST(hr2.hr AS DOUBLE), 0.0) / CAST(hn2.hn AS DOUBLE), 9) AS h
+                FROM nodes LEFT JOIN hr2 ON nodes.id = hr2.id, hn2)
+         SELECT h2.id, round(h2.h, 6) AS hub, round(a2.a, 6) AS authority
+         FROM h2 JOIN a2 ON h2.id = a2.id ORDER BY h2.id""",
 
     // z-keyed self-join minus existing edges, 9-grid 1/ln(deg) sums
     "q178_link_predict" ->

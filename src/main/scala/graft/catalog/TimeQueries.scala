@@ -109,6 +109,14 @@ object TimeQueries {
           "week")
         .orderBy(col("cohort"), col("period_offset"))),
 
+    // --- sequential pair support -----------------------------------------
+    // For every ordered type pair: how many users did a strictly
+    // before b, however many events apart — the non-contiguous
+    // complement to q163/q168.
+    "q230_seq_support" -> ((s, d) =>
+      graft.operators.Funnel.sequentialSupport(ev(s, d), "user_id",
+        "event_type", "ts")),
+
     // --- event-type transition matrix ------------------------------------
     // P(next event type | current) over each user's time-ordered
     // sequence, event_id as the equal-ts tie-break.
@@ -293,6 +301,26 @@ object TimeQueries {
            CAST(count(*) AS BIGINT) AS users
          FROM a JOIN c ON a.u = c.u
          GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // ∃ a before b ⟺ min_ts(a) < max_ts(b): one (user, type) agg,
+    // user-keyed self-join bounded by the type vocabulary
+    "q230_seq_support" ->
+      """WITH per AS (SELECT user_id, event_type,
+             min(ts) AS f, max(ts) AS l
+           FROM events
+           WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+             AND ts IS NOT NULL
+           GROUP BY 1, 2),
+         tot AS (SELECT count(DISTINCT user_id) AS n FROM per),
+         pairs AS (SELECT a.event_type AS from_type,
+             b.event_type AS to_type, count(*) AS n_users
+           FROM per a JOIN per b
+             ON a.user_id = b.user_id AND a.f < b.l
+           GROUP BY 1, 2)
+         SELECT from_type, to_type, CAST(n_users AS BIGINT) AS n_users,
+           round(CAST(n_users AS DOUBLE) / n, 6) AS support
+         FROM pairs, tot
+         ORDER BY support DESC, from_type, to_type""",
 
     // lead() per user (ts, event_id ordered), pair counts, row-normalized
     "q163_transitions" ->

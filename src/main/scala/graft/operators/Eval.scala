@@ -304,6 +304,64 @@ object Eval {
             (lit(2.0) * sqrt(col("__var")))), 6).as("z"))
   }
 
+  /** CUPED variance reduction (Controlled-experiment Using Pre-Exposure
+    * Data) — the A/B readout [[welchT]]/[[propZTest]] should run ON:
+    * subtract the part of each unit's metric that its pre-experiment
+    * covariate already predicted, ŷ = y − θ·(x − x̄), θ = cov(x,y)/var(x)
+    * POOLED across variants. Means are unchanged in expectation but
+    * their variance shrinks by the covariate's R², which is what turns
+    * an underpowered experiment into a conclusive one.
+    *
+    * One corpus pass for the pooled sufficient statistics
+    * (n, Σx, Σy, Σx², Σxy — 9-grid terms in DECIMAL(38,9), the
+    * [[Features.olsFit]] discipline) broadcast as one row, one keyed
+    * agg for per-variant means; θ and the adjustment derive in a
+    * projection with pinned double association. Rows with null
+    * metric/covariate/variant drop (unit-level input — pre-aggregate
+    * events to units first). Zero covariate variance → null θ and
+    * null adjusted means (no silent fallback to the raw mean: that
+    * would misreport the variance you think you removed).
+    *
+    * Output: (variantCol, n, mean_metric, adjusted_mean, theta),
+    * rounded 6, ordered by variant. */
+  def cuped(df: DataFrame, variantCol: String, metricCol: String,
+            covariateCol: String): DataFrame = {
+    val dec9 = (c: Column) => round(c, 9).cast("decimal(38,9)")
+    val rows = df
+      .filter(col(variantCol).isNotNull && col(metricCol).isNotNull &&
+        col(covariateCol).isNotNull)
+      .select(col(variantCol).as("__v"),
+        col(metricCol).cast("double").as("__y"),
+        col(covariateCol).cast("double").as("__x"))
+    val pooled = rows.agg(
+      count(lit(1)).as("__pn"),
+      sum(dec9(col("__x"))).as("__psx"),
+      sum(dec9(col("__y"))).as("__psy"),
+      sum(dec9(col("__x") * col("__x"))).as("__psxx"),
+      sum(dec9(col("__x") * col("__y"))).as("__psxy"))
+    val per = rows.groupBy(col("__v")).agg(
+      count(lit(1)).as("n"),
+      sum(dec9(col("__y"))).as("__sy"),
+      sum(dec9(col("__x"))).as("__sx"))
+    per.crossJoin(broadcast(pooled))
+      .withColumn("__varx",
+        col("__pn").cast("double") * col("__psxx").cast("double") -
+          col("__psx").cast("double") * col("__psx").cast("double"))
+      .withColumn("__theta",
+        when(col("__varx") > 0,
+          (col("__pn").cast("double") * col("__psxy").cast("double") -
+            col("__psx").cast("double") * col("__psy").cast("double")) /
+            col("__varx")))
+      .select(col("__v").as(variantCol), col("n"),
+        round(col("__sy").cast("double") / col("n"), 6).as("mean_metric"),
+        round(col("__sy").cast("double") / col("n") - col("__theta") *
+          (col("__sx").cast("double") / col("n") -
+            col("__psx").cast("double") / col("__pn")), 6)
+          .as("adjusted_mean"),
+        round(col("__theta"), 6).as("theta"))
+      .orderBy(col(variantCol))
+  }
+
   /** Population Stability Index per bin — the serving-vs-training drift
     * monitor on a numeric column: bin both populations by the
     * REFERENCE's exact quantile boundaries (the [[Features.quantileBin]]

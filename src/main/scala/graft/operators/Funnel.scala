@@ -156,4 +156,44 @@ object Funnel {
         offset.as("period_offset"))
       .agg(count(lit(1)).as("users"))
   }
+
+  /** Sequential pair support — for every ORDERED event-type pair
+    * (a, b): how many users did a strictly before b? The
+    * non-contiguous complement to [[transitionMatrix]] (immediate
+    * next step) and [[topPaths]] (contiguous runs): "viewed, then —
+    * eventually — purchased" counts here even with a thousand clicks
+    * between. The support table sequence mining (and funnel DESIGN —
+    * which step orders are even common?) starts from.
+    *
+    * Shape: the pair existence test needs only each user's FIRST a
+    * and LAST b (∃ a before b ⟺ min_ts(a) < max_ts(b)), so the
+    * corpus reduces to one (user, type)-keyed agg and the pair
+    * explosion is a user-keyed self-join of |user's types|² rows —
+    * bounded by the type vocabulary, never by event count. Same-type
+    * pairs (a, a) mean "did a at least twice". Simultaneous
+    * timestamps are NOT "before" (strict <): concurrency stays
+    * unordered rather than picking an arbitrary winner.
+    *
+    * Output: (from_type, to_type, n_users, support rounded 6 —
+    * fraction of ALL users with any qualifying event), ordered by
+    * support desc then the pair. */
+  def sequentialSupport(events: DataFrame, userCol: String,
+                        typeCol: String, tsCol: String): DataFrame = {
+    val per = events
+      .filter(col(userCol).isNotNull && col(typeCol).isNotNull &&
+        col(tsCol).isNotNull)
+      .groupBy(col(userCol).as("__u"), col(typeCol).as("__t"))
+      .agg(min(col(tsCol)).as("__first"), max(col(tsCol)).as("__last"))
+    val total = per.agg(countDistinct(col("__u")).as("__n"))
+    per.select(col("__u"), col("__t").as("from_type"), col("__first"))
+      .join(per.select(col("__u"), col("__t").as("to_type"),
+        col("__last")), "__u")
+      .filter(col("__first") < col("__last"))
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n_users"))
+      .crossJoin(broadcast(total))
+      .select(col("from_type"), col("to_type"), col("n_users"),
+        round(col("n_users").cast("double") / col("__n"), 6).as("support"))
+      .orderBy(col("support").desc, col("from_type"), col("to_type"))
+  }
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Distributed graph clustering for duplicate-cluster resolution.
@@ -693,5 +693,63 @@ object Graph {
       }
     }
     dist
+  }
+
+  /** HITS hubs & authorities (Kleinberg) — the DIRECTED complement to
+    * [[pageRank]]'s single importance score: an authority is pointed
+    * at by good hubs, a hub points at good authorities (citation
+    * corpora, link farms, crawl frontiers distinguish the two roles;
+    * PageRank conflates them). Mutual recursion a(v) = Σ_{u→v} h(u),
+    * h(u) = Σ_{u→v} a(v), each vector L1-normalized per half-step —
+    * L1, not the textbook L2, so the normalizer is an EXACT DECIMAL
+    * sum of 9-grid scores and the iteration stays bit-reproducible
+    * (any norm preserves the ranking fixpoint).
+    *
+    * Same execution discipline as [[pageRank]]: per half-step one
+    * endpoint-keyed contribution join + one DECIMAL(28,9) sum, the
+    * normalizer a 1-row broadcast (never a driver collect), per-round
+    * lineage truncation. Duplicate edges contribute multiply
+    * (multigraph semantics — pre-`distinct` to change that); nodes
+    * without in-edges (out-edges) hold authority (hub) exactly 0.
+    *
+    * Returns (id, hub, authority) rounded 6 for every edge endpoint.
+    * Requires at least one edge (normalizers are positive). */
+  def hits(edges: DataFrame, srcCol: String = "src",
+           dstCol: String = "dst", iterations: Int = 2): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    val e = edges
+      .select(col(srcCol).cast("long").as("__src"),
+        col(dstCol).cast("long").as("__dst"))
+      .filter(col("__src").isNotNull && col("__dst").isNotNull)
+      .localCheckpoint()
+    val nodes = e.select(col("__src").as("id"))
+      .unionByName(e.select(col("__dst").as("id")))
+      .distinct().localCheckpoint()
+    val dec = (c: Column) => round(c, 9).cast("decimal(28,9)")
+    def normalize(raw: DataFrame, valCol: String, outCol: String): DataFrame = {
+      val total = raw.agg(sum(col(valCol)).as("__tot"))
+      nodes.join(raw, Seq("id"), "left")
+        .crossJoin(broadcast(total))
+        .select(col("id"),
+          round(coalesce(col(valCol).cast("double"), lit(0.0)) /
+            col("__tot").cast("double"), 9).as(outCol))
+    }
+    var h = nodes.withColumn("__h", lit(1.0))
+    var a = nodes.withColumn("__a", lit(0.0))
+    for (_ <- 1 to iterations) {
+      val araw = e
+        .join(h.select(col("id").as("__src"), col("__h")), "__src")
+        .groupBy(col("__dst").as("id"))
+        .agg(sum(dec(col("__h"))).as("__ar"))
+      a = normalize(araw, "__ar", "__a").localCheckpoint()
+      val hraw = e
+        .join(a.select(col("id").as("__dst"), col("__a")), "__dst")
+        .groupBy(col("__src").as("id"))
+        .agg(sum(dec(col("__a"))).as("__hr"))
+      h = normalize(hraw, "__hr", "__h").localCheckpoint()
+    }
+    h.join(a, Seq("id"))
+      .select(col("id"), round(col("__h"), 6).as("hub"),
+        round(col("__a"), 6).as("authority"))
   }
 }

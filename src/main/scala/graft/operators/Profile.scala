@@ -52,4 +52,68 @@ object Profile {
         col("__m.value").as("mode_value"),
         col("__m.__cnt").as("mode_n"))
   }
+
+  /** Pairwise Pearson correlation matrix over the named numeric
+    * columns — the redundancy screen of a feature audit (two columns
+    * at |r| ≈ 1 are one signal; a target leaking into a feature shows
+    * up here first). Complements [[profileTable]]'s per-column facts
+    * with the cross-column structure, and [[Features.spearman]] /
+    * [[Features.kendallTau]] (rank/ordinal, one pair at a time) with
+    * the all-pairs linear view.
+    *
+    * Shape: ONE map-side-combinable pass computes every pair's
+    * sufficient statistics — d(d−1)/2 × 6 aggregate expressions over
+    * the fact table, each pair's rows gated on BOTH values non-null
+    * (pairwise deletion, the standard convention) — then the single
+    * stats row explodes into one row per pair. No joins, no shuffle beyond the
+    * one aggregation; meant for profiling-scale d (expression count
+    * grows quadratically — at d ≳ 50 prefer
+    * [[graft.functions.VectorFunctions.covarianceMatrix]]'s pair-table
+    * form).
+    *
+    * Determinism: x, x², x·y terms round to the 9-grid into
+    * DECIMAL(38,9) sums (the [[Features.olsFit]] discipline); the
+    * closed form r = (n·Σxy − Σx·Σy) / (√(n·Σx² − Σx²̂) · √(…)) runs
+    * in double with pinned association. Degenerate pairs (n < 2 or a
+    * zero-variance side) yield null. Output: (col_a, col_b, n, corr
+    * rounded 6) for each pair col_a < col_b in the given order. */
+  def correlationMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, s"need at least 2 columns, got ${cols.size}")
+    require(cols.distinct.size == cols.size, "columns must be distinct")
+    val dec9 = (c: org.apache.spark.sql.Column) =>
+      round(c, 9).cast("decimal(38,9)")
+    val pairs = for {
+      i <- cols.indices; j <- (i + 1) until cols.size
+    } yield (cols(i), cols(j))
+    val aggs = pairs.zipWithIndex.flatMap { case ((a, b), p) =>
+      val x = col(a).cast("double"); val y = col(b).cast("double")
+      val both = x.isNotNull && y.isNotNull
+      Seq(
+        sum(when(both, 1L).otherwise(0L)).as(s"__n$p"),
+        sum(when(both, dec9(x))).as(s"__sx$p"),
+        sum(when(both, dec9(y))).as(s"__sy$p"),
+        sum(when(both, dec9(x * y))).as(s"__sxy$p"),
+        sum(when(both, dec9(x * x))).as(s"__sxx$p"),
+        sum(when(both, dec9(y * y))).as(s"__syy$p"))
+    }
+    val stats = df.agg(aggs.head, aggs.tail: _*)
+    val perPair = pairs.zipWithIndex.map { case ((a, b), p) =>
+      val n = col(s"__n$p").cast("double")
+      val sx = col(s"__sx$p").cast("double")
+      val sy = col(s"__sy$p").cast("double")
+      val sxy = col(s"__sxy$p").cast("double")
+      val sxx = col(s"__sxx$p").cast("double")
+      val syy = col(s"__syy$p").cast("double")
+      val vx = n * sxx - sx * sx
+      val vy = n * syy - sy * sy
+      struct(lit(a).as("col_a"), lit(b).as("col_b"),
+        col(s"__n$p").as("n"),
+        round(when(col(s"__n$p") >= 2 && vx > 0 && vy > 0,
+          (n * sxy - sx * sy) / (sqrt(vx) * sqrt(vy))), 6).as("corr"))
+    }
+    stats
+      .select(explode(array(perPair: _*)).as("__r"))
+      .select(col("__r.col_a"), col("__r.col_b"), col("__r.n"),
+        col("__r.corr"))
+  }
 }

@@ -518,6 +518,50 @@ class EvalSpec extends SparkSpec {
     assert(ra.isNullAt(3))
   }
 
+  // --- cuped ---------------------------------------------------------------
+
+  test("cuped: a perfectly predictive covariate collapses both variants " +
+    "to the pooled mean") {
+    // x = y exactly → θ = 1 → adjusted = ȳ_v − (x̄_v − x̄_pool) = ȳ_pool
+    val df = Seq(("A", 10.0, 10.0), ("A", 14.0, 14.0),
+      ("B", 20.0, 20.0), ("B", 28.0, 28.0)).toDF("v", "y", "x")
+    val out = Eval.cuped(df, "v", "y", "x").collect()
+      .map(r => r.getString(0) ->
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(out("A")._3 == 1.0 && out("B")._3 == 1.0)
+    assert(out("A")._1 == 12.0 && out("B")._1 == 24.0) // raw means differ
+    assert(out("A")._2 == 18.0 && out("B")._2 == 18.0) // adjusted collapse
+  }
+
+  test("cuped: zero-variance covariate → null theta and adjusted mean") {
+    val df = Seq(("A", 1.0, 5.0), ("A", 3.0, 5.0), ("B", 2.0, 5.0))
+      .toDF("v", "y", "x")
+    val rows = Eval.cuped(df, "v", "y", "x").collect()
+    rows.foreach { r =>
+      assert(r.isNullAt(3) && r.isNullAt(4))
+      assert(!r.isNullAt(2)) // raw mean still reported
+    }
+  }
+
+  test("cuped: theta matches the pooled closed form on mixed data") {
+    val data = Seq(("A", 3.0, 1.0), ("A", 5.0, 2.0), ("A", 4.0, 2.0),
+      ("B", 7.0, 3.0), ("B", 6.0, 2.0), ("B", 9.0, 4.0))
+    val out = Eval.cuped(data.toDF("v", "y", "x"), "v", "y", "x")
+      .collect().map(r => r.getString(0) -> r).toMap
+    def r9(v: Double) = math.rint(v * 1e9) / 1e9
+    val n = data.size.toDouble
+    val sx = data.map(d => r9(d._3)).sum
+    val sy = data.map(d => r9(d._2)).sum
+    val sxx = data.map(d => r9(d._3 * d._3)).sum
+    val sxy = data.map(d => r9(d._3 * d._2)).sum
+    val theta = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    assert(out("A").getDouble(4) == math.rint(theta * 1e6) / 1e6)
+    val aYs = data.filter(_._1 == "A")
+    val adjA = aYs.map(_._2).sum / 3 - theta *
+      (aYs.map(_._3).sum / 3 - sx / n)
+    assert(out("A").getDouble(3) == math.rint(adjA * 1e6) / 1e6)
+  }
+
   test("mannWhitneyU matches the O(n²) pair count with heavy ties") {
     val data = (1 to 300).map { i =>
       val lbl = if (i * 2654435761L % 97 % 2 == 0) "a" else "b"

@@ -143,4 +143,32 @@ class FunnelSpec extends SparkSpec {
       .select(col("period_offset")).as[Long].collect().toSet
     assert(month == Set(0L, 2L), s"$month")
   }
+
+  // --- sequentialSupport ---------------------------------------------------
+
+  private def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+
+  test("sequentialSupport: ordered pairs count users with a strictly before b") {
+    val e = Seq(
+      (1L, "a", ts(1)), (1L, "b", ts(5)),   // a→b for u1
+      (2L, "b", ts(1)), (2L, "a", ts(5)),   // b→a for u2
+      (3L, "a", ts(1)))                     // a only
+      .toDF("u", "t", "ts")
+    val out = Funnel.sequentialSupport(e, "u", "t", "ts").collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    assert(out((("a", "b"))) == ((1L, 0.333333)))
+    assert(out((("b", "a"))) == ((1L, 0.333333)))
+    assert(!out.contains(("a", "a"))) // nobody did a twice
+  }
+
+  test("sequentialSupport: same-type repeats count; simultaneous is not before") {
+    val e = Seq(
+      (1L, "a", ts(1)), (1L, "a", ts(9)),   // a→a for u1
+      (2L, "a", ts(4)), (2L, "b", ts(4)))   // tie: unordered
+      .toDF("u", "t", "ts")
+    val out = Funnel.sequentialSupport(e, "u", "t", "ts").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(out == Map(("a", "a") -> 1L))
+  }
 }

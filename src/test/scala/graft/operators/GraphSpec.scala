@@ -431,4 +431,43 @@ class GraphSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap == Map(0L -> 0L, 1L -> 1L, 2L -> 2L))
     intercept[IllegalArgumentException](Graph.shortestPaths(chain, 0L, maxIter = 0))
   }
+
+  // --- hits ----------------------------------------------------------------
+
+  test("hits: hand-walked 2 iterations on a 4-node chain-fan") {
+    // 1→3, 2→3, 3→4: after two rounds a = {3: 0.8, 4: 0.2},
+    // h = {1: 0.8/1.8, 2: 0.8/1.8, 3: 0.2/1.8} (L1-normalized)
+    val e = Seq((1L, 3L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val out = Graph.hits(e, iterations = 2).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(out(3L)._2 == 0.8 && out(4L)._2 == 0.2)
+    assert(out(1L)._2 == 0.0 && out(2L)._2 == 0.0)
+    assert(out(1L)._1 == 0.444444 && out(2L)._1 == 0.444444)
+    assert(out(3L)._1 == 0.111111 && out(4L)._1 == 0.0)
+  }
+
+  test("hits: star center is a pure hub, leaves pure authorities") {
+    val e = (1L to 5L).map(i => (0L, i)).toDF("src", "dst")
+    val out = Graph.hits(e, iterations = 3).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(out(0L)._1 == 1.0 && out(0L)._2 == 0.0)
+    (1L to 5L).foreach { i =>
+      assert(out(i)._1 == 0.0 && out(i)._2 == 0.2)
+    }
+  }
+
+  test("hits: duplicate edges contribute multiply; reruns are bit-identical") {
+    val single = Seq((1L, 2L), (3L, 2L), (3L, 4L)).toDF("src", "dst")
+    val doubled = Seq((1L, 2L), (1L, 2L), (3L, 2L), (3L, 4L))
+      .toDF("src", "dst")
+    val s = Graph.hits(single, iterations = 2).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).sortBy(_._1)
+    val d = Graph.hits(doubled, iterations = 2).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).sortBy(_._1)
+    assert(s.toSeq != d.toSeq, "multigraph semantics must see the dup edge")
+    val s2 = Graph.hits(single, iterations = 2).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).sortBy(_._1)
+    assert(s.toSeq == s2.toSeq)
+    intercept[IllegalArgumentException](Graph.hits(single, iterations = 0))
+  }
 }

@@ -25,4 +25,58 @@ class ProfileSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Profile.profileTable(df, Seq("nope")))
   }
+
+  // --- correlationMatrix ---------------------------------------------------
+
+  test("correlationMatrix: exact ±1 on linear columns, hand value on noise") {
+    val df = (1 to 20).map { i =>
+      (i.toDouble, 2.0 * i + 3.0, -0.5 * i + 10.0)
+    }.toDF("x", "y2x", "yneg")
+    val out = Profile.correlationMatrix(df, Seq("x", "y2x", "yneg"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    assert(out((("x", "y2x"))) == ((20L, 1.0)))
+    assert(out((("x", "yneg"))) == ((20L, -1.0)))
+    assert(out((("y2x", "yneg"))) == ((20L, -1.0)))
+  }
+
+  test("correlationMatrix: pairwise null deletion and degenerate nulls") {
+    val df = Seq(
+      (Some(1.0), Some(2.0), Some(5.0)),
+      (Some(2.0), Some(4.0), Some(5.0)),
+      (Some(3.0), None, Some(5.0)),
+      (None, Some(8.0), Some(5.0)))
+      .toDF("x", "y", "const")
+    val rows = Profile.correlationMatrix(df, Seq("x", "y", "const"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    val xy = rows((("x", "y")))
+    assert(xy.getLong(2) == 2L) // only the two complete rows
+    assert(xy.getDouble(3) == 1.0)
+    assert(rows((("x", "const"))).isNullAt(3)) // zero variance side
+    intercept[IllegalArgumentException](
+      Profile.correlationMatrix(df, Seq("x")))
+    intercept[IllegalArgumentException](
+      Profile.correlationMatrix(df, Seq("x", "x")))
+  }
+
+  test("correlationMatrix matches the closed form computed independently") {
+    val data = (1 to 150).map { i =>
+      val x = ((i * 40507L) % 97).toDouble
+      val y = ((i * 2654435761L % 89) % 53).toDouble
+      (x, y)
+    }
+    val out = Profile.correlationMatrix(data.toDF("x", "y"), Seq("x", "y"))
+      .collect().head
+    def r9(v: Double) = math.rint(v * 1e9) / 1e9
+    val n = data.size.toDouble
+    val sx = data.map(d => BigDecimal(r9(d._1)).setScale(9)).sum.toDouble
+    val sy = data.map(d => BigDecimal(r9(d._2)).setScale(9)).sum.toDouble
+    val sxy = data.map(d => BigDecimal(r9(d._1 * d._2)).setScale(9)).sum.toDouble
+    val sxx = data.map(d => BigDecimal(r9(d._1 * d._1)).setScale(9)).sum.toDouble
+    val syy = data.map(d => BigDecimal(r9(d._2 * d._2)).setScale(9)).sum.toDouble
+    val exp = math.rint((n * sxy - sx * sy) /
+      (math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy)) * 1e6) / 1e6
+    assert(out.getDouble(3) == exp)
+  }
 }
