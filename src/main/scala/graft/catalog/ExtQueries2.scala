@@ -502,6 +502,18 @@ object ExtQueries2 {
           alpha = 0.5, beta = 0.3, horizon = 3)
         .orderBy(col("event_type"), col("h"))),
 
+    // --- Holt-Winters additive seasonal forecast ---------------------------
+    // q215's daily series with the weekly pattern modeled explicitly:
+    // level + trend + 7 rotating seasonal slots.
+    "q236_holt_winters" -> ((s, d) =>
+      graft.operators.TimeSeries.holtWintersForecast(
+          ev(s, d).groupBy(col("event_type"),
+              col("ts").cast("date").as("day"))
+            .agg(count(lit(1)).cast("double").as("v")),
+          "event_type", "day", "v", period = 7,
+          alpha = 0.5, beta = 0.3, gamma = 0.4, horizon = 3)
+        .orderBy(col("event_type"), col("h"))),
+
     // --- Kendall's tau-b ---------------------------------------------------
     // Ordinal association of quantity and line number (both discrete —
     // the cell-table contract).
@@ -523,6 +535,68 @@ object ExtQueries2 {
     "q218_theil_u" -> ((s, d) =>
       graft.operators.Features.theilU(
         t(s, d, "documents"), "lang", "source")),
+
+    // --- split-conformal prediction intervals ------------------------------
+    // A deliberately crude predictor (price ≈ 1000·quantity) gets an
+    // honest 90% error bar from its own calibration residuals.
+    "q237_conformal" -> ((s, d) => {
+      val li = t(s, d, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        col("l_extendedprice").as("y"),
+        (col("l_quantity").cast("double") * 1000.0).as("yhat"),
+        concat_ws("_", col("l_orderkey"), col("l_linenumber")).as("rid"))
+      graft.operators.Eval.conformalInterval(
+          li.filter(col("l_orderkey") % 5 === 0),
+          li.filter(col("l_orderkey") % 5 === 1 &&
+            col("l_linenumber") === 1),
+          "rid", "y", "yhat", alpha = 0.1)
+        // (orderkey, linenumber) is NOT unique in the testdata — pin
+        // the tie with yhat so the ordering is total
+        .orderBy(col("rid"), col("yhat"))
+    }),
+
+    // --- reciprocal best match (bidirectional linkage) ---------------------
+    // q191's best-per-customer gate, hardened: keep only pairs where
+    // customer and supplier each pick the other — the high-precision
+    // entity-resolution filter (one-sided best match links every left
+    // row somewhere; reciprocity drops the forced marriages). Two
+    // map-side-combined aggs over the pair scores; the JW loop runs
+    // twice rather than materializing 15M scored pairs (CPU is the
+    // cheaper currency at corpus scale).
+    "q234_reciprocal_match" -> ((s, d) => {
+      def scored = t(s, d, "customer").select(col("c_name"))
+        .repartition(s.sparkContext.defaultParallelism)
+        .crossJoin(broadcast(t(s, d, "supplier").select(col("s_name"))))
+        .select(col("c_name"), col("s_name"),
+          round(graft.plans.JaroWinkler.jaroWinkler(
+            col("c_name"), col("s_name")), 4).as("jw"))
+      val bestPerC = scored.groupBy(col("c_name"))
+        .agg(min(struct(negate(col("jw")).as("njw"), col("s_name"),
+          col("jw"))).as("b"))
+        .select(col("c_name"), col("b.s_name").as("s_name"),
+          col("b.jw").as("jw"))
+      val bestPerS = scored.groupBy(col("s_name"))
+        .agg(min(struct(negate(col("jw")).as("njw"), col("c_name"))).as("b"))
+        .select(col("b.c_name").as("c_name"), col("s_name"))
+      bestPerC.join(bestPerS, Seq("c_name", "s_name"), "left_semi")
+        .orderBy(col("c_name"))
+    }),
+
+    // --- Benjamini-Hochberg FDR adjustment ---------------------------------
+    // The q183 chi-square cells as a family of 25 tests; p surrogate =
+    // 1/(1+contrib) (monotone in the statistic — the adjustment
+    // arithmetic is what's under test; a real Φ-based p differs only
+    // by the input mapping, and erf is not cross-engine stable).
+    "q235_bh_adjust" -> ((s, d) => {
+      val cells = graft.operators.Features.chiSquare(
+          t(s, d, "orders").join(t(s, d, "customer"),
+            col("o_custkey") === col("c_custkey")),
+          "c_mktsegment", "o_orderpriority")
+        .select(concat_ws("_", col("c_mktsegment"),
+            col("o_orderpriority")).as("test_id"),
+          round(lit(1.0) / (lit(1.0) + col("contrib")), 6).as("p"))
+      graft.operators.Eval.bhAdjust(cells, "test_id", "p")
+    }),
 
     // --- pairwise correlation matrix ---------------------------------------
     // The redundancy screen over lineitem's numeric measures: one pass,
@@ -1411,6 +1485,42 @@ object ExtQueries2 {
          FROM st, unnest([1, 2, 3]) AS u(h)
          ORDER BY event_type, h""",
 
+    // the q215 list-state fold extended to [l, b, s1..s7]: classical
+    // two-period init (left-folded 0.0-seeded means), every update
+    // re-rounded to the 9-grid; 1−β / 1−γ written as subtractions
+    // (IEEE 1.0-0.3 ≠ literal 0.7 — the q215 convention)
+    "q236_holt_winters" ->
+      """WITH srs AS (SELECT event_type AS g, CAST(ts AS DATE) AS day,
+             CAST(count(*) AS DOUBLE) AS v
+           FROM events GROUP BY 1, 2),
+         s AS (SELECT g, list(round(CAST(v AS DECIMAL(28,9)), 9)::DOUBLE
+             ORDER BY day) AS vs FROM srs GROUP BY 1),
+         ok AS (SELECT * FROM s WHERE len(vs) >= 14),
+         init AS (SELECT g, vs,
+             round((((((((0.0+vs[1])+vs[2])+vs[3])+vs[4])+vs[5])+vs[6])+vs[7])/7, 9) AS l0,
+             round((((((((0.0+vs[8])+vs[9])+vs[10])+vs[11])+vs[12])+vs[13])+vs[14])/7, 9) AS m2
+           FROM ok),
+         init2 AS (SELECT g, vs, l0,
+             round((m2 - l0)/7, 9) AS b0,
+             list_transform(list_slice(vs, 1, 7),
+               x -> round(x - l0, 9)) AS s0
+           FROM init),
+         st AS (SELECT g, list_reduce(
+             list_concat([list_concat([l0, b0], s0)],
+               list_transform(list_slice(vs, 8, len(vs)), x -> [x])),
+             (acc, x) -> list_concat([
+                 round(0.5*(x[1] - acc[3]) + (1.0 - 0.5)*(acc[1] + acc[2]), 9),
+                 round(0.3*(round(0.5*(x[1] - acc[3]) + (1.0 - 0.5)*(acc[1] + acc[2]), 9) - acc[1])
+                   + (1.0 - 0.3)*acc[2], 9)],
+               list_concat(list_slice(acc, 4, 9),
+                 [round(0.4*(x[1] - round(0.5*(x[1] - acc[3]) + (1.0 - 0.5)*(acc[1] + acc[2]), 9))
+                   + (1.0 - 0.4)*acc[3], 9)]))) AS fold
+           FROM init2)
+         SELECT g AS event_type, CAST(h AS INT) AS h,
+           round(fold[1] + h * fold[2] + fold[((h - 1) % 7) + 3], 6) AS forecast
+         FROM st, unnest([1, 2, 3]) AS u(h)
+         ORDER BY event_type, h""",
+
     // same cell-table pair counting in DECIMAL(38,0); tie pairs via the
     // exact even division t(t-1)/2
     "q216_kendall" ->
@@ -1614,6 +1724,75 @@ object ExtQueries2 {
                / (CAST(tq AS DOUBLE) - CAST(ts AS DOUBLE)
                  * CAST(ts AS DOUBLE) / CAST(n AS DOUBLE)) END, 6) AS eta_sq
          FROM f""",
+
+    // ceil-rank order statistic off the residual grid's cumulative
+    // walk; q-hat broadcasts onto the scoring rows
+    "q237_conformal" ->
+      """WITH li AS (SELECT l_orderkey, l_linenumber,
+             l_extendedprice AS y,
+             CAST(l_quantity AS DOUBLE) * 1000.0 AS yhat,
+             l_orderkey || '_' || l_linenumber AS rid
+           FROM lineitem),
+         cal AS (SELECT abs(CAST(y AS DOUBLE) - yhat) AS r FROM li
+           WHERE l_orderkey % 5 = 0
+             AND y IS NOT NULL AND yhat IS NOT NULL),
+         lvl AS (SELECT r, count(*) AS c FROM cal GROUP BY 1),
+         n AS (SELECT sum(c) AS n FROM lvl),
+         w AS (SELECT r, sum(c) OVER (ORDER BY r) AS cum FROM lvl),
+         q AS (SELECT min(r) AS q FROM w, n
+           WHERE cum >= CAST(ceil((n + 1) * (1.0 - 0.1)) AS BIGINT))
+         SELECT rid, yhat, round(yhat - q, 6) AS lo,
+           round(yhat + q, 6) AS hi
+         FROM li, q WHERE l_orderkey % 5 = 1 AND l_linenumber = 1
+         ORDER BY rid, yhat""",
+
+    // best-per-side via rank windows (oracle side); reciprocity = join
+    // of the two one-sided winners
+    "q234_reciprocal_match" ->
+      """WITH scored AS (SELECT c_name, s_name,
+             round(jaro_winkler_similarity(c_name, s_name), 4) AS jw
+           FROM customer, supplier),
+         bc AS (SELECT c_name, s_name, jw FROM (
+             SELECT *, row_number() OVER (PARTITION BY c_name
+               ORDER BY jw DESC, s_name) AS rk FROM scored)
+           WHERE rk = 1),
+         bs AS (SELECT c_name, s_name FROM (
+             SELECT *, row_number() OVER (PARTITION BY s_name
+               ORDER BY jw DESC, c_name) AS rk FROM scored)
+           WHERE rk = 1)
+         SELECT bc.c_name, bc.s_name, bc.jw
+         FROM bc JOIN bs ON bc.c_name = bs.c_name AND bc.s_name = bs.s_name
+         ORDER BY bc.c_name""",
+
+    // q183's cell arithmetic → p surrogate → ascending rank window +
+    // reverse suffix min, clamped at 1
+    "q235_bh_adjust" ->
+      """WITH j AS (
+           SELECT c.c_mktsegment, o.o_orderpriority
+           FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+         cell AS (SELECT c_mktsegment, o_orderpriority,
+                    CAST(count(*) AS DOUBLE) AS obs FROM j GROUP BY 1, 2),
+         rt AS (SELECT c_mktsegment, sum(obs) AS rt FROM cell GROUP BY 1),
+         ct AS (SELECT o_orderpriority, sum(obs) AS ct FROM cell GROUP BY 1),
+         n AS (SELECT sum(obs) AS n FROM cell),
+         tests AS (SELECT
+             cell.c_mktsegment || '_' || cell.o_orderpriority AS test_id,
+             round(1.0 / (1.0 + round(
+               (obs - rt.rt * ct.ct / n.n)*(obs - rt.rt * ct.ct / n.n)
+                 / (rt.rt * ct.ct / n.n), 4)), 6) AS p
+           FROM cell JOIN rt USING (c_mktsegment)
+             JOIN ct USING (o_orderpriority), n),
+         ranked AS (SELECT test_id, p,
+             row_number() OVER (ORDER BY p, test_id) AS rank,
+             count(*) OVER () AS m
+           FROM tests WHERE p IS NOT NULL),
+         cand AS (SELECT *, p * m / rank AS c FROM ranked),
+         adj AS (SELECT *, min(c) OVER (ORDER BY rank DESC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sm
+           FROM cand)
+         SELECT test_id, p, CAST(rank AS BIGINT) AS rank,
+           round(least(sm, 1.0), 6) AS p_adj
+         FROM adj ORDER BY rank""",
 
     // one stats block per pair (values-only oracle; the engine fuses
     // all pairs into one aggregation pass), identical 9-grid DECIMAL

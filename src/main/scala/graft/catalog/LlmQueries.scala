@@ -423,6 +423,29 @@ object LlmQueries {
         .orderBy(col("id_a"))
     }),
 
+    // --- asymmetric containment over planted snippets (VALUE-checked) -----
+    // Quote detection: a 10-token slice of each doc (+ 2 novel tokens)
+    // is planted as its own "document"; containment from the snippet
+    // side is high while Jaccard would be near zero — the q88 planted
+    // construction, deterministic from the data alone.
+    "q233_containment" -> ((s, d) => {
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val snips = docs.filter(col("doc_id") < 20).select(
+        (col("doc_id") + 2000000L).as("doc_id"),
+        concat_ws(" ",
+          concat_ws(" ", slice(TF.tokens(col("text")), 3, 10)),
+          lit("qq qq")).as("text"))
+      val pairs = docs.filter(col("doc_id") < 20).select(
+        (col("doc_id") + 2000000L).as("id_a"), col("doc_id").as("id_b"))
+      Dedup.containmentVerify(pairs, docs.unionByName(snips),
+          "doc_id", "text")
+        .select(col("id_a"), col("id_b"),
+          col("n_shingles_a"), col("n_shingles_b"),
+          round(col("containment_a"), 4).as("containment_a"),
+          round(col("containment_b"), 4).as("containment_b"))
+        .orderBy(col("id_a"))
+    }),
+
     // --- sequence packing for training (concat-stream chunking) -----------
     // Docs laid on 8 parallel token streams, chunked into 2048-token
     // windows: per-doc (shard, seq_id, pos_in_seq). One shuffle on shard;
@@ -1697,6 +1720,32 @@ object LlmQueries {
          SELECT doc_id, shard, CAST(floor(tok_off / 2048.0) AS BIGINT) AS seq_id,
            tok_off % 2048 AS pos_in_seq, n_tok
          FROM placed ORDER BY doc_id""",
+
+    // the q88 recipe, asymmetric: snippet = tokens 3..12 + 'qq qq';
+    // intersect over distinct 3-shingles divided by EACH side's size
+    "q233_containment" ->
+      """WITH base AS (SELECT doc_id, lower(text) AS lt
+           FROM documents WHERE doc_id < 20),
+         tk AS (SELECT doc_id,
+             list_filter(string_split_regex(lt, '\s+'), x -> x <> '') AS td,
+             list_concat(list_slice(
+               list_filter(string_split_regex(lt, '\s+'), x -> x <> ''),
+               3, 12), ['qq', 'qq']) AS ts
+           FROM base),
+         sh AS (SELECT doc_id,
+             list_distinct([array_to_string(list_slice(td, i, i+2), ' ')
+                            for i in range(1, greatest(len(td)-2,1)+1)]) AS sd,
+             list_distinct([array_to_string(list_slice(ts, i, i+2), ' ')
+                            for i in range(1, greatest(len(ts)-2,1)+1)]) AS ss
+           FROM tk)
+         SELECT doc_id + 2000000 AS id_a, doc_id AS id_b,
+           CAST(len(ss) AS BIGINT) AS n_shingles_a,
+           CAST(len(sd) AS BIGINT) AS n_shingles_b,
+           round(CAST(len(list_intersect(ss, sd)) AS DOUBLE) / len(ss), 4)
+             AS containment_a,
+           round(CAST(len(list_intersect(ss, sd)) AS DOUBLE) / len(sd), 4)
+             AS containment_b
+         FROM sh ORDER BY id_a""",
 
     // Exact string-Jaccard over the deterministic planted pairs: the
     // DuckDB side recomputes 3-shingle sets from the text itself (no

@@ -371,6 +371,52 @@ object Dedup {
       .drop("set_a", "set_b")
   }
 
+  /** Asymmetric containment verify — C(A,B) = |S(A)∩S(B)| / |S(A)| over
+    * the same shingle-hash sets as [[jaccardVerify]]. The VERIFY stage
+    * for candidate pairs someone else produced (LSH bands, simhash
+    * buckets); [[SetSimJoin.containmentJoin]] is the DISCOVERY form
+    * that finds the pairs in the first place. The measure
+    * QUOTE detection needs and Jaccard structurally cannot give: a
+    * 50-token passage fully copied into a 5000-token document has
+    * near-zero Jaccard (union is huge) but containment ≈ 1 from the
+    * short side — exactly how training-data pipelines find snippets of
+    * benchmark sets, licenses, or memorized sources embedded in larger
+    * documents.
+    *
+    * Same candidate discipline as [[jaccardVerify]]: only docs named in
+    * `pairs` build shingle sets (semi-join first — work is
+    * candidate-proportional, the corpus never shuffles), sets are
+    * 8-byte xxhash64 values, one narrow intersect per pair. Emits both
+    * directions plus the set sizes so the caller picks its policy
+    * (containment_a = fraction of A's shingles found in B). Docs below
+    * `shingleSize` tokens produce ONE truncated shingle (the
+    * [[graft.plans.ShingleHashSet]] convention), so containment stays
+    * defined; the null guard covers only a hypothetical empty set. */
+  def containmentVerify(pairs: DataFrame, docs: DataFrame, idCol: String,
+                        textCol: String, shingleSize: Int = 3,
+                        nfc: Boolean = false): DataFrame = {
+    val pairIds = pairs.select(col("id_a").as("__pid"))
+      .union(pairs.select(col("id_b").as("__pid"))).distinct()
+    val candidates = docs.join(pairIds, col(idCol) === col("__pid"), "left_semi")
+    val sets = candidates.select(
+      col(idCol).as("__cid"),
+      graft.plans.ShingleHashSet(col(textCol), shingleSize, nfc).as("__cset"))
+    pairs
+      .join(sets.withColumnRenamed("__cid", "id_a")
+        .withColumnRenamed("__cset", "set_a"), "id_a")
+      .join(sets.withColumnRenamed("__cid", "id_b")
+        .withColumnRenamed("__cset", "set_b"), "id_b")
+      .withColumn("__inter",
+        size(array_intersect(col("set_a"), col("set_b"))).cast("double"))
+      .withColumn("n_shingles_a", size(col("set_a")).cast("long"))
+      .withColumn("n_shingles_b", size(col("set_b")).cast("long"))
+      .withColumn("containment_a",
+        when(col("n_shingles_a") > 0, col("__inter") / col("n_shingles_a")))
+      .withColumn("containment_b",
+        when(col("n_shingles_b") > 0, col("__inter") / col("n_shingles_b")))
+      .drop("set_a", "set_b", "__inter")
+  }
+
   /** Chunk-level exact dedup — fine-grained repetition removal: documents
     * are split into fixed `chunkTokens`-token chunks and each DISTINCT
     * chunk is owned by its first occurrence (ordered by id, then chunk

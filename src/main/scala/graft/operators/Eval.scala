@@ -304,6 +304,85 @@ object Eval {
             (lit(2.0) * sqrt(col("__var")))), 6).as("z"))
   }
 
+  /** Split-conformal prediction intervals — distribution-free
+    * uncertainty for ANY point predictor: with q̂ the
+    * ⌈(n+1)(1−α)⌉-th smallest calibration residual |y − ŷ|, the
+    * interval ŷ ± q̂ covers the true y of a fresh row with
+    * probability ≥ 1−α, no matter how wrong the model is (the
+    * guarantee is exchangeability, not correctness). The honest
+    * error-bar [[calibration]]'s reliability table diagnoses but
+    * cannot produce.
+    *
+    * Shape: residuals aggregate to their distinct-value grid, the
+    * ceil-rank order statistic comes off one [[Ranks.groupedCumSum]]
+    * walk (never a corpus sort), and q̂ broadcasts onto the scoring
+    * rows as a 1-row cross join — scoring is a narrow projection.
+    * The exact order statistic (not an interpolated percentile) is
+    * what the conformal guarantee is proved for.
+    *
+    * Null y/ŷ calibration rows drop. If ⌈(n+1)(1−α)⌉ > n (α too
+    * small for the calibration size) q̂ is undefined and the
+    * intervals come back null — widen α or the calibration set.
+    * Output: scoring rows as (idCol, yhatCol, lo, hi), lo/hi rounded
+    * 6. */
+  def conformalInterval(cal: DataFrame, score: DataFrame, idCol: String,
+                        yCol: String, yhatCol: String,
+                        alpha: Double): DataFrame = {
+    require(alpha > 0.0 && alpha < 1.0, s"alpha must be in (0,1), got $alpha")
+    val res = cal
+      .filter(col(yCol).isNotNull && col(yhatCol).isNotNull)
+      .select(abs(col(yCol).cast("double") -
+        col(yhatCol).cast("double")).as("__r"))
+    val level = res.groupBy(col("__r")).agg(count(lit(1)).as("__c"))
+    val n = level.agg(sum(col("__c")).as("__n"))
+    val qhat = Ranks.groupedCumSum(level, Seq.empty, "__r", Seq("__c"))
+      .crossJoin(broadcast(n))
+      .filter(col("cum___c") >=
+        ceil((col("__n") + lit(1L)) * lit(1.0 - alpha)).cast("long"))
+      .agg(min(col("__r")).as("__q"))
+    score
+      .crossJoin(broadcast(qhat))
+      .select(col(idCol), col(yhatCol),
+        round(col(yhatCol).cast("double") - col("__q"), 6).as("lo"),
+        round(col(yhatCol).cast("double") + col("__q"), 6).as("hi"))
+  }
+
+  /** Benjamini-Hochberg FDR adjustment — the multiple-comparisons
+    * correction every WIDE testing sweep here needs ([[welchT]] per
+    * segment, [[Features.chiSquare]] per cell, drift tests per
+    * feature): testing m hypotheses at α inflates false discoveries
+    * ~m-fold; BH adjusts each p to the smallest FDR level at which it
+    * would still be rejected: adj_i = min_{j ≥ i}(p_j · m / j) over
+    * the ascending p ranking, clamped at 1.
+    *
+    * Input contract — and why the windows here are deliberately
+    * unpartitioned: the input is a TABLE OF TESTS (one row per
+    * hypothesis — thousands at most, the |tests| analog of the
+    * numBins contract), never corpus rows. Aggregate to your test
+    * table first. Ranking ties break by `idCol` so equal p-values
+    * order deterministically (BH is rank-monotone, so tie order never
+    * changes an adjusted value — pinning it keeps the rank column
+    * itself reproducible). Null p-values drop; m counts the surviving
+    * tests.
+    *
+    * Output: (idCol, pCol, rank, p_adj rounded 6) ordered by rank. */
+  def bhAdjust(df: DataFrame, idCol: String, pCol: String): DataFrame = {
+    val rows = df.filter(col(pCol).isNotNull)
+      .select(col(idCol).as("__id"), col(pCol).cast("double").as("__p"))
+    val m = rows.agg(count(lit(1)).as("__m"))
+    val rankW = Window.orderBy(col("__p").asc, col("__id").asc)
+    val suffixW = Window.orderBy(col("rank").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    rows.crossJoin(broadcast(m))
+      .withColumn("rank", row_number().over(rankW))
+      .withColumn("__cand", col("__p") * col("__m") / col("rank"))
+      .withColumn("p_adj",
+        round(least(min(col("__cand")).over(suffixW), lit(1.0)), 6))
+      .select(col("__id").as(idCol), col("__p").as(pCol),
+        col("rank").cast("long").as("rank"), col("p_adj"))
+      .orderBy(col("rank"))
+  }
+
   /** CUPED variance reduction (Controlled-experiment Using Pre-Exposure
     * Data) — the A/B readout [[welchT]]/[[propZTest]] should run ON:
     * subtract the part of each unit's metric that its pre-experiment

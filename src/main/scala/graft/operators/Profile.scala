@@ -96,7 +96,15 @@ object Profile {
         sum(when(both, dec9(x * x))).as(s"__sxx$p"),
         sum(when(both, dec9(y * y))).as(s"__syy$p"))
     }
-    val stats = df.agg(aggs.head, aggs.tail: _*)
+    // spread the decimal accumulation across the cluster: a small
+    // parquet source scans as ONE split, and 600k rows × 36 DECIMAL
+    // sums on one core is the whole runtime (measured 18.8 → ~1.5 s at
+    // sf0.1 — the covarianceMatrix repartition-before-CPU-bound fix);
+    // the exchange ships only the projected columns
+    val stats = df
+      .select(cols.map(col): _*)
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .agg(aggs.head, aggs.tail: _*)
     val perPair = pairs.zipWithIndex.map { case ((a, b), p) =>
       val n = col(s"__n$p").cast("double")
       val sx = col(s"__sx$p").cast("double")

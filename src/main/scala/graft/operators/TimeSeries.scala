@@ -222,6 +222,86 @@ object TimeSeries {
         round(col("__st.l") + col("h") * col("__st.b"), 6).as("forecast"))
   }
 
+  /** Holt-Winters additive triple exponential smoothing per key — the
+    * seasonal completion of [[holtForecast]]: level + trend + a
+    * rotating `period`-slot seasonal state, so a weekly-patterned
+    * daily series forecasts next Tuesday like a Tuesday instead of
+    * like the trend line. Classical init (the textbook convention):
+    * l₀ = mean of the first period, b₀ = (second-period mean −
+    * first-period mean)/period, s_i = x_i − l₀; the fold then consumes
+    * x_{period+1}.. with
+    * l′ = α(x − s_head) + (1−α)(l + b),
+    * b′ = β(l′ − l) + (1−β)b,
+    * s′ = γ(x − l′) + (1−γ)s_head, seasonal slots rotating.
+    *
+    * Same execution shape and oracle discipline as [[holtForecast]]:
+    * one keyed collect of the (small — the aggregate-first contract)
+    * series, a codegen'd `aggregate` HOF whose state is a
+    * `(2+period)`-slot double array ([l, b, s₁..s_period] — an ARRAY,
+    * not a struct, because DuckDB's list_reduce replays list states
+    * faithfully where struct-state lambdas miscompile), every update
+    * re-rounded to the 9-grid so the recursion is bit-identical
+    * across engines. Init means fold left with a 0.0 seed (pinned
+    * association, replayable term by term).
+    *
+    * Keys with fewer than 2·period observations drop (the classical
+    * init needs two full periods — emitting a half-initialized
+    * forecast would be silently wrong). Forecast h steps out:
+    * l + h·b + s[(h−1) mod period]. Output: (keyCol, h, forecast
+    * rounded 6). */
+  def holtWintersForecast(df: DataFrame, keyCol: String, tsCol: String,
+                          valCol: String, period: Int, alpha: Double,
+                          beta: Double, gamma: Double,
+                          horizon: Int): DataFrame = {
+    require(period >= 2, s"period must be >= 2, got $period")
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0,1], got $alpha")
+    require(beta > 0.0 && beta <= 1.0, s"beta must be in (0,1], got $beta")
+    require(gamma > 0.0 && gamma <= 1.0, s"gamma must be in (0,1], got $gamma")
+    require(horizon >= 1, s"horizon must be >= 1, got $horizon")
+    val a = lit(alpha); val a1 = lit(1.0 - alpha)
+    val bb = lit(beta); val b1 = lit(1.0 - beta)
+    val g = lit(gamma); val g1 = lit(1.0 - gamma)
+    val m = period
+    val arr = df.groupBy(col(keyCol))
+      .agg(sort_array(collect_list(struct(col(tsCol).as("t"),
+        round(col(valCol).cast("decimal(28,9)"), 9).cast("double")
+          .as("v")))).as("__a"))
+      .filter(size(col("__a")) >= 2 * m)
+      .withColumn("__v", expr("transform(__a, x -> x.v)"))
+    val mean1 = round(aggregate(slice(col("__v"), 1, m), lit(0.0),
+      (acc, x) => acc + x) / m, 9)
+    val mean2 = round(aggregate(slice(col("__v"), m + 1, m), lit(0.0),
+      (acc, x) => acc + x) / m, 9)
+    val withInit = arr
+      .withColumn("__l0", mean1)
+      .withColumn("__b0", round((mean2 - col("__l0")) / m, 9))
+      .withColumn("__s0", transform(slice(col("__v"), 1, m),
+        x => round(x - col("__l0"), 9)))
+      .withColumn("__state0",
+        concat(array(col("__l0"), col("__b0")), col("__s0")))
+    val step = (acc: Column, x: Column) => {
+      val l = element_at(acc, 1); val b = element_at(acc, 2)
+      val sh = element_at(acc, 3)
+      val lNew = round(a * (x - sh) + a1 * (l + b), 9)
+      val bNew = round(bb * (lNew - l) + b1 * b, 9)
+      val sNew = round(g * (x - lNew) + g1 * sh, 9)
+      concat(array(lNew, bNew), slice(acc, 4, m - 1), array(sNew))
+    }
+    withInit
+      .withColumn("__st",
+        aggregate(expr(s"slice(__v, ${m + 1}, size(__v) - $m)"),
+          col("__state0"), step))
+      .select(col(keyCol),
+        explode(sequence(lit(1), lit(horizon))).as("h"),
+        col("__st"))
+      .select(col(keyCol), col("h"),
+        round(element_at(col("__st"), 1) +
+          col("h") * element_at(col("__st"), 2) +
+          element_at(col("__st"),
+            pmod(col("h") - 1, lit(m)).cast("int") + 3), 6)
+          .as("forecast"))
+  }
+
   /** CUSUM changepoint locator — WHERE did a series' level shift:
     * cusum_t = Σ_{i≤t}(x_i − x̄) peaks (in absolute value) at the
     * point where the mean changes; the argmax is the classic

@@ -412,6 +412,36 @@ class DedupSpec extends SparkSpec {
     assert(out((1L, 3L)) == 0.0)
   }
 
+  test("containmentVerify: a contained snippet scores 1.0 from its side, " +
+    "fractionally from the container's") {
+    // doc 1 has 8 tokens → 6 distinct 3-shingles; doc 2 is tokens 1-5
+    // (3 shingles, all present in doc 1)
+    val docs = Seq(
+      (1L, "a b c d e f g h"), (2L, "a b c d e"), (3L, "x y z w"))
+      .toDF("doc_id", "text")
+    val pairs = Seq((2L, 1L), (3L, 1L)).toDF("id_a", "id_b")
+    val out = Dedup.containmentVerify(pairs, docs, "doc_id", "text")
+      .select("id_a", "id_b", "n_shingles_a", "n_shingles_b",
+        "containment_a", "containment_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5))).toMap
+    assert(out((2L, 1L)) == ((3L, 6L, 1.0, 0.5)))
+    assert(out((3L, 1L)) == ((2L, 6L, 0.0, 0.0)))
+  }
+
+  test("containmentVerify: short docs use the 1-truncated-shingle convention") {
+    // "xy" is below shingleSize → ONE truncated shingle (the q88
+    // ShingleHashSet contract), so containment stays defined: 0/1
+    val docs = Seq((1L, "a b c d"), (2L, "xy")).toDF("doc_id", "text")
+    val pairs = Seq((2L, 1L)).toDF("id_a", "id_b")
+    val r = Dedup.containmentVerify(pairs, docs, "doc_id", "text")
+      .select("n_shingles_a", "containment_a", "containment_b")
+      .collect().head
+    assert(r.getLong(0) == 1L)
+    assert(r.getDouble(1) == 0.0)
+    assert(r.getDouble(2) == 0.0)
+  }
+
   test("embeddingNearDupClusters groups near-identical vectors transitively") {
     def vec(base: Array[Double], eps: Double, at: Int): Seq[Double] = {
       val v = base.clone(); v(at) = v(at) + eps; v.toSeq

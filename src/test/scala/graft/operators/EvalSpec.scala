@@ -518,6 +518,87 @@ class EvalSpec extends SparkSpec {
     assert(ra.isNullAt(3))
   }
 
+  // --- bhAdjust ------------------------------------------------------------
+
+  test("bhAdjust: textbook adjustment with the suffix-min step") {
+    // p = (0.01, 0.02, 0.03, 0.04), m = 4: candidates are
+    // (0.04, 0.04, 0.04, 0.04) after p·m/j — the suffix min flattens
+    // the whole prefix to the tail value
+    val df = Seq(("t1", 0.01), ("t2", 0.02), ("t3", 0.03), ("t4", 0.04))
+      .toDF("id", "p")
+    val out = Eval.bhAdjust(df, "id", "p").collect()
+      .map(r => r.getString(0) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(out == Map("t1" -> ((1L, 0.04)), "t2" -> ((2L, 0.04)),
+      "t3" -> ((3L, 0.04)), "t4" -> ((4L, 0.04))))
+    // a genuinely small p survives: p=(0.001, 0.5, 0.9): adj =
+    // (0.003, 0.75, 0.9)
+    val df2 = Seq(("a", 0.001), ("b", 0.5), ("c", 0.9)).toDF("id", "p")
+    val out2 = Eval.bhAdjust(df2, "id", "p").collect()
+      .map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(out2 == Map("a" -> 0.003, "b" -> 0.75, "c" -> 0.9))
+  }
+
+  test("bhAdjust: equal p-values all get the same adjusted value; the " +
+    "suffix min caps a large early candidate at the tail p") {
+    val df = Seq(("x", 0.4), ("y", 0.4), ("z", 0.4)).toDF("id", "p")
+    val out = Eval.bhAdjust(df, "id", "p").collect()
+      .map(r => r.getDouble(3)).toSet
+    assert(out == Set(0.4)) // p·m/m at the tail, suffix-min propagates
+    // 0.9·2/1 = 1.8 would exceed 1, but the suffix min includes the
+    // tail candidate p_m·m/m = p_m ≤ 1 — adjusted p never exceeds p_m
+    val big = Seq(("x", 0.9), ("y", 0.95)).toDF("id", "p")
+    val o2 = Eval.bhAdjust(big, "id", "p").collect()
+      .map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(o2("y") == 0.95 && o2("x") == 0.95)
+  }
+
+  test("bhAdjust: adjusted values are monotone in rank; nulls drop") {
+    val data = (1 to 100).map(i => (s"t$i", ((i * 40507) % 97 + 1) / 100.0))
+    val df = data.toDF("id", "p")
+      .unionByName(Seq(("bad", Option.empty[Double])).toDF("id", "p"))
+    val out = Eval.bhAdjust(df, "id", "p").collect()
+    assert(out.length == 100) // null dropped; m = 100
+    val adj = out.sortBy(_.getLong(2)).map(_.getDouble(3))
+    assert(adj.zip(adj.tail).forall { case (a, b) => a <= b })
+  }
+
+  // --- conformalInterval ---------------------------------------------------
+
+  test("conformalInterval: q̂ is the exact ceil-rank residual") {
+    // residuals 1..10, α = 0.2: k = ceil(11·0.8) = 9 → q̂ = 9
+    val cal = (1 to 10).map(i => (i.toLong, i + 0.0, 0.0)).toDF("id", "y", "yhat")
+    val score = Seq((100L, 0.0, 50.0), (101L, 0.0, 60.0))
+      .toDF("id", "y", "yhat")
+    val out = Eval.conformalInterval(cal, score, "id", "y", "yhat", 0.2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(2), r.getDouble(3))).toMap
+    assert(out == Map(100L -> ((41.0, 59.0)), 101L -> ((51.0, 69.0))))
+  }
+
+  test("conformalInterval: tied residuals rank through cumulative counts") {
+    // residuals (1,1,1,2,2,5), α = 0.3: k = ceil(7·0.7) = 5 → the 5th
+    // smallest is 2
+    val cal = Seq(1.0, 1.0, 1.0, 2.0, 2.0, 5.0).zipWithIndex
+      .map { case (r, i) => (i.toLong, r, 0.0) }.toDF("id", "y", "yhat")
+    val score = Seq((9L, 0.0, 10.0)).toDF("id", "y", "yhat")
+    val r = Eval.conformalInterval(cal, score, "id", "y", "yhat", 0.3)
+      .collect().head
+    assert((r.getDouble(2), r.getDouble(3)) == ((8.0, 12.0)))
+  }
+
+  test("conformalInterval: α too small for the calibration set → null; guards") {
+    // n = 3, α = 0.1: k = ceil(4·0.9) = 4 > 3 → undefined
+    val cal = Seq((1L, 1.0, 0.0), (2L, 2.0, 0.0), (3L, 3.0, 0.0))
+      .toDF("id", "y", "yhat")
+    val score = Seq((9L, 0.0, 10.0)).toDF("id", "y", "yhat")
+    val r = Eval.conformalInterval(cal, score, "id", "y", "yhat", 0.1)
+      .collect().head
+    assert(r.isNullAt(2) && r.isNullAt(3))
+    intercept[IllegalArgumentException] {
+      Eval.conformalInterval(cal, score, "id", "y", "yhat", 0.0)
+    }
+  }
+
   // --- cuped ---------------------------------------------------------------
 
   test("cuped: a perfectly predictive covariate collapses both variants " +

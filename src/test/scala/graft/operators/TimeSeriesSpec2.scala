@@ -111,4 +111,73 @@ class TimeSeriesSpec2 extends SparkSpec {
     assert(out.forall(_.isNullAt(2)))
     assert(out.forall(_.isNullAt(3))) // no phase ever had a trend row
   }
+
+  // --- holtWintersForecast -------------------------------------------------
+
+  test("holtWinters: pure constant+seasonal input extrapolates exactly") {
+    // c ± d alternating, period 2: init gives l=c, b=0, s=(+d,−d) and
+    // every update is a fixpoint — forecasts read the seasonal slots
+    val c = 10.0; val d = 3.0
+    val rows = (1 to 6).map(t =>
+      ("k", t, if (t % 2 == 1) c + d else c - d))
+    val out = TimeSeries.holtWintersForecast(rows.toDF("g", "t", "v"),
+        "g", "t", "v", period = 2, alpha = 0.5, beta = 0.3,
+        gamma = 0.4, horizon = 4)
+      .orderBy("h").collect().map(r => r.getInt(1) -> r.getDouble(2)).toMap
+    // 6 observations: fold consumed t=3..6, head = season of t=7 (odd)
+    assert(out == Map(1 -> (c + d), 2 -> (c - d), 3 -> (c + d),
+      4 -> (c - d)))
+  }
+
+  test("holtWinters ≡ independent driver-side recursion; keys independent") {
+    def r9(x: Double) = math.rint(x * 1e9) / 1e9
+    val m = 3; val (al, be, ga) = (0.5, 0.3, 0.4)
+    def reference(raw: Seq[Double], horizon: Int): Seq[Double] = {
+      // the operator 9-grids inputs through a decimal cast first
+      val vs = raw.map(x =>
+        BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      val l0 = r9(vs.take(m).foldLeft(0.0)(_ + _) / m)
+      val m2 = r9(vs.slice(m, 2 * m).foldLeft(0.0)(_ + _) / m)
+      var l = l0; var b = r9((m2 - l0) / m)
+      var s = vs.take(m).map(x => r9(x - l0)).toVector
+      for (x <- vs.drop(m)) {
+        val lN = r9(al * (x - s.head) + (1.0 - al) * (l + b))
+        val bN = r9(be * (lN - l) + (1.0 - be) * b)
+        val sN = r9(ga * (x - lN) + (1.0 - ga) * s.head)
+        l = lN; b = bN; s = s.tail :+ sN
+      }
+      (1 to horizon).map(h =>
+        math.rint((l + h * b + s((h - 1) % m)) * 1e6) / 1e6)
+    }
+    val vsA = (1 to 11).map(t =>
+      20.0 + 0.7 * t + Seq(2.0, -1.0, -1.5)(t % 3))
+    val vsB = (1 to 9).map(t => ((t * 17) % 7).toDouble)
+    val rows = vsA.zipWithIndex.map { case (v, i) => ("A", i, v) } ++
+      vsB.zipWithIndex.map { case (v, i) => ("B", i, v) }
+    val out = TimeSeries.holtWintersForecast(rows.toDF("g", "t", "v"),
+        "g", "t", "v", m, al, be, ga, horizon = 3)
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    val expA = reference(vsA, 3); val expB = reference(vsB, 3)
+    (1 to 3).foreach { h =>
+      assert(out(("A", h)) == expA(h - 1), s"A h=$h")
+      assert(out(("B", h)) == expB(h - 1), s"B h=$h")
+    }
+  }
+
+  test("holtWinters: keys below 2·period drop; guards reject bad params") {
+    val rows = (1 to 5).map(t => ("short", t, t.toDouble)) ++
+      (1 to 6).map(t => ("ok", t, t.toDouble))
+    val df = rows.toDF("g", "t", "v")
+    val out = TimeSeries.holtWintersForecast(df, "g", "t", "v",
+      period = 3, alpha = 0.5, beta = 0.5, gamma = 0.5, horizon = 2)
+    assert(out.select("g").distinct().as[String].collect().toSeq ==
+      Seq("ok"))
+    intercept[IllegalArgumentException] {
+      TimeSeries.holtWintersForecast(df, "g", "t", "v", 1, 0.5, 0.5, 0.5, 1)
+    }
+    intercept[IllegalArgumentException] {
+      TimeSeries.holtWintersForecast(df, "g", "t", "v", 3, 0.5, 0.5, 1.5, 1)
+    }
+  }
 }
