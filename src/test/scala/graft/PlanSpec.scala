@@ -185,4 +185,78 @@ class PlanSpec extends SparkSpec {
     assert(rows.length == n)
     assert(rows.forall(r => r.getLong(0) == r.getLong(1) && r.getLong(2) == 1L))
   }
+
+  test("q228 knnJoin: centroids broadcast, rank windows are query-" +
+      "partitioned, no cartesian candidate join") {
+    import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    val df = SparkEntry.queries("q228_knn_join")(spark, sf("sf0.001"))
+    val plan = df.queryExecution.sparkPlan
+    val windows = plan.collect { case w: WindowExec => w }
+    assert(windows.nonEmpty, s"expected probe + rank windows in:\n$plan")
+    windows.foreach { w =>
+      assert(w.partitionSpec.nonEmpty,
+        s"knnJoin windows must partition by query id:\n$w")
+    }
+    // the candidate join is a cluster-keyed equi-join, never a cartesian
+    assert(!plan.toString.contains("CartesianProduct"),
+      s"candidate join must be cluster-keyed:\n$plan")
+    plan.collect {
+      case e: ShuffleExchangeExec if e.outputPartitioning == SinglePartition => e
+    }.foreach { e =>
+      assert(e.collect { case w: WindowExec => w }.isEmpty,
+        s"no window output may feed a single-partition exchange:\n$e")
+    }
+    assert(df.collect().nonEmpty)
+  }
+
+  test("q226 collocations: top-k lands via TakeOrderedAndProject, " +
+      "bigram window is doc-partitioned") {
+    import org.apache.spark.sql.execution.TakeOrderedAndProjectExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    val df = SparkEntry.queries("q226_collocations")(spark, sf("sf0.001"))
+    val plan = df.queryExecution.sparkPlan
+    assert(plan.collect { case t: TakeOrderedAndProjectExec => t }.nonEmpty,
+      s"topK must compile to TakeOrderedAndProject, not a global sort:\n$plan")
+    plan.collect { case w: WindowExec => w }.foreach { w =>
+      assert(w.partitionSpec.nonEmpty,
+        s"the bigram lag window must partition by doc:\n$w")
+    }
+    assert(df.collect().nonEmpty)
+  }
+
+  test("q231 correlationMatrix: one aggregation pass, no joins") {
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, SortMergeJoinExec}
+    val df = SparkEntry.queries("q231_corr_matrix")(spark, sf("sf0.001"))
+    val plan = df.queryExecution.sparkPlan
+    assert(plan.collect { case a: BaseAggregateExec => a }.nonEmpty)
+    assert(plan.collect {
+      case j: BroadcastHashJoinExec => j
+      case j: SortMergeJoinExec => j
+    }.isEmpty, s"all pair stats must come from ONE agg pass:\n$plan")
+    assert(df.collect().length == 6)
+  }
+
+  test("spearman on a near-unique column under few groups: no group-" +
+      "grid single-partition window (the q190 de-funnel)") {
+    import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import spark.implicits._
+    // 2 groups, every y distinct: the rank grid ≈ the corpus
+    val n = 4000
+    val df = (0 until n).map(i => (i % 2, (i % 7).toDouble, i * 1.0 + 0.5))
+      .toDF("g", "x", "y")
+    val out = graft.operators.Features.spearman(df, "g", "x", "y")
+    val plan = out.queryExecution.sparkPlan
+    plan.collect {
+      case e: ShuffleExchangeExec if e.outputPartitioning == SinglePartition => e
+    }.foreach { e =>
+      assert(e.collect { case a: BaseAggregateExec => a }.nonEmpty,
+        s"single-partition exchanges must carry aggregated rows only:\n$e")
+    }
+    assert(out.collect().length == 2)
+  }
 }
