@@ -55,9 +55,11 @@ object Eval {
       .agg(sum(when(col("__pos"), 1L).otherwise(0L)).as("__p"),
         sum(when(col("__pos"), 0L).otherwise(1L)).as("__q"))
       .withColumn("__t", col("__p") + col("__q"))
-    val w = Window.partitionBy(col("__g")).orderBy(col("__s"))
-    val walked = level
-      .withColumn("__cum", sum(col("__t")).over(w))
+    // score-grid walk via the bucketed two-level cumulative (the
+    // ksTest discipline): a continuous score column never funnels a
+    // group's grid through one task
+    val walked = Ranks.groupedCumSum(level, Seq("__g"), "__s", Seq("__t"))
+      .withColumn("__cum", col("cum___t"))
       // p·(2c + t + 1) with c = rows strictly below this score level;
       // both operands cast to DECIMAL(38,0) BEFORE the multiply so the
       // product is exact past 2^63 (a LongType multiply wraps silently)
@@ -100,10 +102,15 @@ object Eval {
     val level = rows.groupBy(col("__g"), col("__s"))
       .agg(sum(when(col("__pos"), 1L).otherwise(0L)).as("__p"),
         sum(when(col("__pos"), 0L).otherwise(1L)).as("__q"))
-    val w = Window.partitionBy(col("__g")).orderBy(col("__s").desc)
-    val walked = level
-      .withColumn("__cp", sum(col("__p")).over(w))
-      .withColumn("__ct", sum(col("__p") + col("__q")).over(w))
+    // descending-threshold walk as an ASCENDING bucketed cumulative
+    // over the negated score (the ksTest discipline — a continuous
+    // score grid never funnels a group through one task)
+    val walked = Ranks.groupedCumSum(
+        level.withColumn("__ns", negate(col("__s")))
+          .withColumn("__t", col("__p") + col("__q")),
+        Seq("__g"), "__ns", Seq("__p", "__t"))
+      .withColumn("__cp", col("cum___p"))
+      .withColumn("__ct", col("cum___t"))
     val totals = level.groupBy(col("__g"))
       .agg(sum(col("__p")).as("n_pos"), sum(col("__q")).as("n_neg"))
     walked
@@ -518,9 +525,11 @@ object Eval {
       sum(col("__c")).as("__n"),
       sum(round(col("__v") * col("__c"), 9).cast("decimal(38,9)"))
         .as("__sx"))
-    val w = Window.partitionBy(col("__g")).orderBy(col("__v"))
-    level
-      .withColumn("__cum", sum(col("__c")).over(w))
+    // per-group value-grid walk via the bucketed two-level cumulative
+    // (the ksTest discipline): a near-unique value column under few
+    // groups never funnels a group's grid through one task
+    Ranks.groupedCumSum(level, Seq("__g"), "__v", Seq("__c"))
+      .withColumn("__cum", col("cum___c"))
       .join(totals, Seq("__g"))
       .select(col("__g"), col("__n"), col("__sx"),
         // count × rank-weight multiplied in DECIMAL(38,0) (not Long) so
