@@ -341,6 +341,25 @@ object ExtQueries2 {
       graft.operators.Eval.ksTest(
         ev(s, d), "event_type", "value", "click", "view")),
 
+    // --- isotonic (PAV) calibration — rows-only ----------------------------
+    // Monotone repair of the q194 score/label pair per event type;
+    // PAV's unbounded backward pooling has no SQL form (the q208
+    // adjudication), so correctness is EvalSpec's brute-force-PAV
+    // equality + monotonicity/mass-preservation invariants.
+    "q239_isotonic" -> ((s, d) =>
+      graft.operators.Eval.isotonicCalibrate(
+          ev(s, d)
+            .withColumn("is_pm", (hour(col("ts")) >= 12).cast("int"))
+            .withColumn("score", round(col("value") / 100.0, 2)),
+          "event_type", "is_pm", "score")
+        .orderBy(col("event_type"), col("score"))),
+
+    // --- 1-D Wasserstein (earth mover's) distance --------------------------
+    // The integral companion to q195's KS sup, same two samples.
+    "q238_wasserstein" -> ((s, d) =>
+      graft.operators.Eval.wasserstein1(
+        ev(s, d), "event_type", "value", "click", "view")),
+
     // --- population stability index ----------------------------------------
     // Order-price drift: pre-1996 orders as reference, 1996+ as current.
     "q196_psi" -> ((s, d) => {
@@ -1109,6 +1128,34 @@ object ExtQueries2 {
                - CAST(cumb AS DECIMAL(38,0)) * na)) AS DOUBLE)
                / (CAST(na AS DOUBLE) * nb) END, 6) AS ks_d
          FROM walked, tot GROUP BY na, nb""",
+
+    // piecewise-constant CDFs on the merged value grid: per segment
+    // the exact DECIMAL(38,0) cross-difference × the gap, 9-grid terms,
+    // one final division
+    "q238_wasserstein" ->
+      """WITH r AS (SELECT (event_type = 'click') AS a, value AS v
+           FROM events
+           WHERE value IS NOT NULL AND event_type IN ('click', 'view')),
+         lvl AS (SELECT v,
+             sum(CASE WHEN a THEN 1 ELSE 0 END) AS ca,
+             sum(CASE WHEN a THEN 0 ELSE 1 END) AS cb
+           FROM r GROUP BY 1),
+         tot AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM lvl),
+         w AS (SELECT v,
+             sum(ca) OVER (ORDER BY v) AS fa,
+             sum(cb) OVER (ORDER BY v) AS fb,
+             lead(v) OVER (ORDER BY v) AS vn
+           FROM lvl),
+         seg AS (SELECT coalesce(sum(CAST(round(
+             CAST(abs(CAST(fa AS DECIMAL(38,0)) * nb
+               - CAST(fb AS DECIMAL(38,0)) * na) AS DOUBLE)
+             * (vn - v), 9) AS DECIMAL(38,9))),
+             CAST(0 AS DECIMAL(38,9))) AS s
+           FROM w, tot WHERE vn IS NOT NULL)
+         SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+           round(CASE WHEN na > 0 AND nb > 0 THEN
+             CAST(s AS DOUBLE) / (CAST(na AS DOUBLE) * nb) END, 6) AS w1
+         FROM tot, seg""",
 
     // reference-quantile binning (the q189 quantile_cont convention),
     // 1e-6 fraction floor, per-term 9-grid ln

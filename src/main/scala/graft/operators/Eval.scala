@@ -311,6 +311,124 @@ object Eval {
             (lit(2.0) * sqrt(col("__var")))), 6).as("z"))
   }
 
+  /** Isotonic calibration (pool-adjacent-violators) per group — the
+    * monotone repair for a score [[calibration]] diagnoses as skewed:
+    * fit the best non-decreasing map score → P(label) by pooling
+    * adjacent score levels whose empirical rates violate monotonicity
+    * (each pooled block's rate is its weighted mean — the classical
+    * PAV fixpoint, and the L2-optimal monotone fit). Unlike Platt
+    * scaling it assumes no sigmoid shape; unlike binning (q201) it
+    * lets the DATA choose the step boundaries.
+    *
+    * Shape: scores aggregate to their per-group distinct-value level
+    * table (the [[rocAuc]] grid contract — round continuous scores
+    * first), then ONE shuffle groups levels by `groupCol` and PAV
+    * runs imperatively inside each task (`flatMapGroups` — the
+    * [[graft.operators.Keywords.textRank]] per-key-imperative
+    * precedent; PAV's unbounded backward merging cannot be expressed
+    * as a bounded HOF). Merging compares exact integer cross products
+    * (pos·n), so block boundaries are bit-stable; rates render once
+    * at the end.
+    *
+    * Output: one row per input score level — (groupCol, score, n,
+    * n_pos, calibrated rounded 6), non-decreasing in score within
+    * each group. Null labels/scores drop. */
+  def isotonicCalibrate(df: DataFrame, groupCol: String,
+                        labelCol: String, scoreCol: String): DataFrame = {
+    import df.sparkSession.implicits._
+    val level = df
+      .filter(col(labelCol).isNotNull && col(scoreCol).isNotNull)
+      .select(col(groupCol).cast("string").as("__g"),
+        col(scoreCol).cast("double").as("__s"),
+        (col(labelCol).cast("int") =!= 0).as("__pos"))
+      .groupBy(col("__g"), col("__s"))
+      .agg(count(lit(1)).as("__n"),
+        sum(when(col("__pos"), 1L).otherwise(0L)).as("__p"))
+      .as[(String, Double, Long, Long)]
+    level.groupByKey(_._1)
+      .flatMapGroups { (g, it) =>
+        val levels = it.toArray.sortBy(_._2)
+        // blocks of (firstLevelIdx, n, pos); merge while the previous
+        // block's rate exceeds the new one's (pos_prev·n_new > pos_new·n_prev)
+        val stack = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long)]
+        levels.zipWithIndex.foreach { case ((_, _, n, p), i) =>
+          var blk = (i, n, p)
+          while (stack.nonEmpty &&
+            stack.last._3 * blk._2 > blk._3 * stack.last._2) {
+            val prev = stack.remove(stack.size - 1)
+            blk = (prev._1, prev._2 + blk._2, prev._3 + blk._3)
+          }
+          stack += blk
+        }
+        val out = new Array[(String, Double, Long, Long, Double)](levels.length)
+        var bi = 0
+        levels.indices.foreach { i =>
+          if (bi + 1 < stack.size && stack(bi + 1)._1 <= i) bi += 1
+          val (_, bn, bp) = stack(bi)
+          val (_, s, n, p) = levels(i)
+          out(i) = (g, s, n, p,
+            math.rint(bp.toDouble / bn * 1e6) / 1e6)
+        }
+        out.iterator
+      }
+      .toDF(groupCol, "score", "n", "n_pos", "calibrated")
+  }
+
+  /** 1-D Wasserstein distance (earth mover's) between two samples —
+    * the INTEGRAL drift measure beside [[ksTest]]'s sup: W₁ =
+    * ∫|F_a − F_b| dv says how much probability mass moved how FAR,
+    * where KS only says the worst single gap. A distribution that
+    * shifts slightly everywhere (quantization, unit drift) moves W₁
+    * and barely moves KS; a localized spike does the opposite —
+    * drift monitors want both.
+    *
+    * Exact on the merged distinct-value grid: between consecutive
+    * grid values the CDFs are constant, so
+    * W₁ = Σ_i |cumA_i·n_b − cumB_i·n_a| · (v_{i+1} − v_i) / (n_a·n_b)
+    * with the integer cross-difference held in DECIMAL(38,0) (the
+    * ksTest discipline). The walk is [[Ranks.groupedCumSum]] +
+    * [[Ranks.globalRowNumber]]; the neighbor gap comes from a
+    * rank → rank+1 self-join (keyed — a near-unique continuous
+    * column never funnels one task, and no unpartitioned lead()).
+    * Each segment term rounds to the 9-grid into a DECIMAL(38,9) sum;
+    * ONE final division. Output: one row (n_a, n_b, w1 rounded 6);
+    * null if either sample is empty. */
+  def wasserstein1(df: DataFrame, sampleCol: String, valCol: String,
+                   aLabel: String, bLabel: String): DataFrame = {
+    val rows = df
+      .filter(col(valCol).isNotNull &&
+        col(sampleCol).isin(aLabel, bLabel))
+      .select((col(sampleCol) === aLabel).as("__a"),
+        col(valCol).cast("double").as("__v"))
+    val level = rows.groupBy(col("__v"))
+      .agg(sum(when(col("__a"), 1L).otherwise(0L)).as("__ca"),
+        sum(when(col("__a"), 0L).otherwise(1L)).as("__cb"))
+    val totals = level.agg(sum(col("__ca")).as("n_a"),
+      sum(col("__cb")).as("n_b"))
+    val walked = Ranks.globalRowNumber(
+      Ranks.groupedCumSum(level, Seq.empty, "__v", Seq("__ca", "__cb")),
+      "__v", "__rk")
+    val cur = walked.select(col("__rk"), col("__v"),
+      col("cum___ca").as("__fa"), col("cum___cb").as("__fb"))
+    val nxt = walked.select((col("__rk") - 1L).as("__rk"),
+      col("__v").as("__vn"))
+    val segs = cur.join(nxt, "__rk")
+      .crossJoin(broadcast(totals))
+      .select(
+        round(abs(col("__fa").cast("decimal(38,0)") * col("n_b") -
+            col("__fb").cast("decimal(38,0)") * col("n_a")).cast("double") *
+          (col("__vn") - col("__v")), 9).cast("decimal(38,9)").as("__t"))
+      // a one-point grid has no segments: the sum is an exact 0, not an
+      // absent row
+      .agg(coalesce(sum(col("__t")),
+        lit(0).cast("decimal(38,9)")).as("__s"))
+    totals.crossJoin(segs)
+      .select(col("n_a"), col("n_b"),
+        round(when(col("n_a") > 0 && col("n_b") > 0,
+          col("__s").cast("double") /
+            (col("n_a").cast("double") * col("n_b"))), 6).as("w1"))
+  }
+
   /** Split-conformal prediction intervals — distribution-free
     * uncertainty for ANY point predictor: with q̂ the
     * ⌈(n+1)(1−α)⌉-th smallest calibration residual |y − ŷ|, the

@@ -518,6 +518,112 @@ class EvalSpec extends SparkSpec {
     assert(ra.isNullAt(3))
   }
 
+  // --- isotonicCalibrate ---------------------------------------------------
+
+  /** Independent textbook PAV over (score, n, pos) levels. */
+  private def pavReference(levels: Seq[(Double, Long, Long)]): Seq[Double] = {
+    case class B(var n: Long, var p: Long, var len: Int)
+    val blocks = scala.collection.mutable.ArrayBuffer.empty[B]
+    levels.sortBy(_._1).foreach { case (_, n, p) =>
+      blocks += B(n, p, 1)
+      while (blocks.size >= 2 && {
+        val a = blocks(blocks.size - 2); val b = blocks.last
+        a.p.toDouble / a.n > b.p.toDouble / b.n
+      }) {
+        val b = blocks.remove(blocks.size - 1)
+        val a = blocks.last
+        a.n += b.n; a.p += b.p; a.len += b.len
+      }
+    }
+    blocks.toSeq.flatMap(b =>
+      Seq.fill(b.len)(math.rint(b.p.toDouble / b.n * 1e6) / 1e6))
+  }
+
+  private def expandLevels(levels: Seq[(Double, Long, Long)], g: String = "g") =
+    levels.flatMap { case (s, n, p) =>
+      (1L to n).map(i => (g, if (i <= p) 1 else 0, s))
+    }.toDF("grp", "y", "s")
+
+  test("isotonicCalibrate: monotone input passes through; violations pool " +
+    "to weighted means; full reversal pools everything") {
+    val mono = expandLevels(Seq((1.0, 4L, 0L), (2.0, 4L, 2L), (3.0, 4L, 4L)))
+    val m = Eval.isotonicCalibrate(mono, "grp", "y", "s")
+      .orderBy("score").collect().map(_.getDouble(4)).toSeq
+    assert(m == Seq(0.0, 0.5, 1.0))
+    val mid = expandLevels(Seq((1.0, 5L, 1L), (2.0, 5L, 4L), (3.0, 5L, 2L)))
+    val v = Eval.isotonicCalibrate(mid, "grp", "y", "s")
+      .orderBy("score").collect().map(_.getDouble(4)).toSeq
+    assert(v == Seq(0.2, 0.6, 0.6))
+    val rev = expandLevels(Seq((1.0, 10L, 9L), (2.0, 10L, 5L), (3.0, 10L, 1L)))
+    val r = Eval.isotonicCalibrate(rev, "grp", "y", "s")
+      .orderBy("score").collect().map(_.getDouble(4)).toSeq
+    assert(r == Seq(0.5, 0.5, 0.5))
+  }
+
+  test("isotonicCalibrate ≡ independent PAV; monotone; preserves mass; " +
+    "groups independent") {
+    val levelsA = (1 to 40).map { i =>
+      val n = (i * 7) % 5 + 1L
+      (i.toDouble, n, (i * 2654435761L % (n + 1)))
+    }
+    val levelsB = (1 to 25).map { i =>
+      val n = (i * 3) % 4 + 2L
+      (i.toDouble, n, (i * 40507L % (n + 1)))
+    }
+    val df = expandLevels(levelsA, "A").unionByName(expandLevels(levelsB, "B"))
+    val out = Eval.isotonicCalibrate(df, "grp", "y", "s")
+      .collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))
+    for ((g, lv) <- Seq("A" -> levelsA, "B" -> levelsB)) {
+      val mine = out.filter(_._1 == g).sortBy(_._2)
+      assert(mine.map(_._5).toSeq == pavReference(lv), s"group $g")
+      // monotone non-decreasing
+      assert(mine.map(_._5).sliding(2).forall(w =>
+        w.length < 2 || w(0) <= w(1)))
+      // weighted mean preserved (up to the 1e-6 rendering)
+      val mass = mine.map(t => t._5 * t._3).sum
+      assert(math.abs(mass - lv.map(_._3).sum) < 1e-3, s"group $g mass")
+    }
+  }
+
+  // --- wasserstein1 --------------------------------------------------------
+
+  test("wasserstein1: identical → 0, point masses → the gap, shift → δ") {
+    val same = Seq(("a", 1.0), ("a", 2.0), ("b", 1.0), ("b", 2.0))
+      .toDF("lbl", "v")
+    assert(Eval.wasserstein1(same, "lbl", "v", "a", "b")
+      .collect().head.getDouble(2) == 0.0)
+    val masses = Seq(("a", 0.0), ("a", 0.0), ("b", 5.0), ("b", 5.0))
+      .toDF("lbl", "v")
+    assert(Eval.wasserstein1(masses, "lbl", "v", "a", "b")
+      .collect().head.getDouble(2) == 5.0)
+    val shifted = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0),
+      ("b", 1.5), ("b", 2.5), ("b", 3.5)).toDF("lbl", "v")
+    assert(Eval.wasserstein1(shifted, "lbl", "v", "a", "b")
+      .collect().head.getDouble(2) == 0.5)
+  }
+
+  test("wasserstein1 ≡ mean sorted-quantile gap for equal-size samples") {
+    val as = (1 to 120).map(i => ((i * 40507L) % 97).toDouble)
+    val bs = (1 to 120).map(i => ((i * 2654435761L % 89) % 97).toDouble)
+    val df = (as.map(("a", _)) ++ bs.map(("b", _))).toDF("lbl", "v")
+    val w1 = Eval.wasserstein1(df, "lbl", "v", "a", "b")
+      .collect().head.getDouble(2)
+    val brute = as.sorted.zip(bs.sorted)
+      .map { case (x, y) => math.abs(x - y) }.sum / as.size
+    assert(math.abs(w1 - brute) < 1e-6, s"$w1 vs $brute")
+  }
+
+  test("wasserstein1: single-point grid → exact 0; empty side → null") {
+    val one = Seq(("a", 7.0), ("b", 7.0), ("b", 7.0)).toDF("lbl", "v")
+    val r1 = Eval.wasserstein1(one, "lbl", "v", "a", "b").collect().head
+    assert(r1.getDouble(2) == 0.0)
+    val onlyA = Seq(("a", 1.0)).toDF("lbl", "v")
+    val r2 = Eval.wasserstein1(onlyA, "lbl", "v", "a", "b").collect().head
+    assert(r2.isNullAt(2))
+  }
+
   // --- bhAdjust ------------------------------------------------------------
 
   test("bhAdjust: textbook adjustment with the suffix-min step") {
