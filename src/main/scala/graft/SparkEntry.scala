@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.catalog.{AnalyticQueries, CoreQueries, ExtQueries, ExtQueries2, LlmQueries, TimeQueries}
+import graft.catalog.{AnalyticQueries, CoreQueries, ExtQueries, ExtQueries2, ExtQueries3, LlmQueries, TimeQueries}
 
 /** Driver contract — one `queries` entry (+ `oracleSql` ANSI equivalent
   * where SQL-expressible) per operator from SURVEY.md §2.
@@ -21,9 +21,11 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CoreQueries.queries ++ TimeQueries.queries ++ LlmQueries.queries ++
-      ExtQueries.queries ++ ExtQueries2.queries ++ AnalyticQueries.queries
+      ExtQueries.queries ++ ExtQueries2.queries ++ ExtQueries3.queries ++
+      AnalyticQueries.queries
 
   def oracleSql: Map[String, String] =
     CoreQueries.oracleSql ++ TimeQueries.oracleSql ++ LlmQueries.oracleSql ++
-      ExtQueries.oracleSql ++ ExtQueries2.oracleSql ++ AnalyticQueries.oracleSql
+      ExtQueries.oracleSql ++ ExtQueries2.oracleSql ++ ExtQueries3.oracleSql ++
+      AnalyticQueries.oracleSql
 }

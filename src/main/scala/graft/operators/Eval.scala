@@ -1009,4 +1009,156 @@ object Eval {
           (col("__obs") - col("exp_frac")) / col("exp_frac"), 4)
           .as("chi2_term"))
   }
+
+  /** Poisson(1) draw from a deterministic uniform — the resampling
+    * primitive behind [[bootstrapCi]]: inverse-CDF over pinned cumulative
+    * literals (shortest-repr doubles, so any engine parsing the same
+    * decimal text lands on the same bits and the same weight). Mass
+    * beyond k = 8 (≈ 1.1e-6) truncates to 9 — part of the operator's
+    * definition, identically on every engine. */
+  private def poisson1(u: Column): Column =
+    when(u <= 0.36787944117144233, 0)
+      .when(u <= 0.7357588823428847, 1)
+      .when(u <= 0.9196986029286058, 2)
+      .when(u <= 0.9810118431238463, 3)
+      .when(u <= 0.9963401531726563, 4)
+      .when(u <= 0.9994058151824183, 5)
+      .when(u <= 0.999916758850712, 6)
+      .when(u <= 0.9999897508033253, 7)
+      .when(u <= 0.999998874797402, 8)
+      .otherwise(9)
+
+  /** Poisson-bootstrap confidence interval for the per-group mean —
+    * the resampling error bar that actually distributes: classical
+    * bootstrap resamples n rows WITH replacement (a global operation —
+    * unshardable), but each row's multiplicity in a replicate is
+    * Binomial(n, 1/n) → Poisson(1) in the limit, so every row draws its
+    * own B independent Poisson(1) weights from md5(salt‖id‖#‖r)
+    * ([[graft.operators.Splits.uniformFromId]] — the engine's one
+    * cross-engine hash) and NEVER coordinates with any other row
+    * (Chamandy et al., "Estimating Uncertainty for Massive Data
+    * Streams", Google 2012). Deterministic: same salt → the same
+    * replicates on any engine, any partitioning.
+    *
+    * The CI is the percentile bootstrap with EXACT order statistics
+    * (the conformal discipline): lo = the ⌈B_eff·α/2⌉-th smallest
+    * replicate mean, hi = the ⌈B_eff·(1−α/2)⌉-th, read off a
+    * replicate-mean grid walk, never an interpolated percentile.
+    * Replicates whose total weight lands 0 (only plausible for tiny
+    * groups) drop — B_eff counts the survivors.
+    *
+    * Scale shape: the corpus explodes ×B into ONE (group, replicate)-
+    * keyed partial agg — map-side combine collapses each task to
+    * ≤ groups×B cells, so the shuffle carries groups×B rows, not
+    * B copies of the corpus; the grid walk and rank picks run on
+    * groups×B-sized tables. B is a per-row CPU multiplier — hundreds,
+    * not tens of thousands. Per-row products w·round(v,9) round to the
+    * 9-grid into DECIMAL(38,9) sums; one division per replicate.
+    * Output: (groupCol, n, mean, b_eff, lo, hi) rounded 6. */
+  def bootstrapCi(df: DataFrame, groupCol: String, idCol: String,
+                  valCol: String, b: Int = 200, alpha: Double = 0.05,
+                  salt: String = "boot"): DataFrame = {
+    require(b >= 10, s"b must be >= 10, got $b")
+    require(alpha > 0.0 && alpha < 1.0, s"alpha must be in (0,1), got $alpha")
+    val rows = df.filter(col(valCol).isNotNull)
+      .select(col(groupCol).as("__g"), col(idCol).cast("string").as("__id"),
+        col(valCol).cast("double").as("__v"))
+    val point = rows.groupBy(col("__g"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(round(col("__v"), 9).cast("decimal(38,9)"))
+          .cast("double") / count(lit(1)), 6).as("mean"))
+    val u = graft.operators.Splits.uniformFromId(
+      concat(col("__id"), lit("#"), col("__r").cast("string")), salt)
+    val reps = rows
+      .withColumn("__r", explode(sequence(lit(1), lit(b))))
+      .withColumn("__w", poisson1(u))
+      .groupBy(col("__g"), col("__r"))
+      .agg(sum(col("__w").cast("long")).as("__ws"),
+        sum(round(col("__w") * col("__v"), 9).cast("decimal(38,9)"))
+          .as("__wv"))
+      .filter(col("__ws") > 0L)
+      .select(col("__g"),
+        round(col("__wv").cast("double") / col("__ws"), 9).as("__m"))
+    val lvl = reps.groupBy(col("__g"), col("__m")).agg(count(lit(1)).as("__c"))
+    val eff = lvl.groupBy(col("__g")).agg(sum(col("__c")).as("b_eff"))
+    val walked = Ranks.groupedCumSum(lvl, Seq("__g"), "__m", Seq("__c"))
+      .join(eff, "__g")
+    def pick(q: Double, out: String): DataFrame = {
+      val rank = ceil(col("b_eff").cast("double") * lit(q))
+      walked.filter(col("cum___c") >= rank && col("cum___c") - col("__c") < rank)
+        .select(col("__g"), round(col("__m"), 6).as(out))
+    }
+    point.join(eff, point("__g") === eff("__g"))
+      .select(point("__g"), col("n"), col("mean"), col("b_eff"))
+      .join(pick(alpha / 2.0, "lo"), "__g")
+      .join(pick(1.0 - alpha / 2.0, "hi"), "__g")
+      .select(col("__g").as(groupCol), col("n"), col("mean"),
+        col("b_eff"), col("lo"), col("hi"))
+  }
+
+  /** Randomization (approximate permutation) test for a difference in
+    * means — the assumption-free significance readout next to
+    * [[welchT]]'s t approximation: under H₀ labels are exchangeable,
+    * so B pseudo-experiments reassign each row to variant A with
+    * probability n_a/n from its own md5(salt‖id‖#‖r) uniform and the
+    * p-value is the fraction of pseudo-diffs at least as extreme as
+    * the observed one, (1 + #{|d_r| ≥ |d_obs|}) / (1 + B_eff) — the
+    * add-one form that never returns an impossible p = 0.
+    *
+    * Independent Bernoulli assignment (not an exact relabeling — that
+    * would be a global shuffle of the label multiset, unshardable) is
+    * the standard distributed randomization-test compromise: pseudo
+    * group sizes vary Binomial(n, n_a/n) around the originals, which
+    * the mean-difference statistic is insensitive to. Replicates where
+    * either pseudo group lands empty drop (B_eff). Deterministic on
+    * any engine/partitioning — same discipline as [[bootstrapCi]],
+    * same explode-then-partial-agg scale shape (shuffle carries B
+    * rows). Both d_obs and every d_r round to the 9-grid BEFORE the
+    * |·| comparison, so the exceed count is bit-stable. Output one row:
+    * (n_a, n_b, diff_obs, b_eff, p_value) rounded 6. */
+  def randomizationTest(df: DataFrame, idCol: String, variantCol: String,
+                        valCol: String, aLabel: String, bLabel: String,
+                        b: Int = 200, salt: String = "perm"): DataFrame = {
+    require(b >= 10, s"b must be >= 10, got $b")
+    val rows = df
+      .filter(col(valCol).isNotNull && col(variantCol).isin(aLabel, bLabel))
+      .select(col(idCol).cast("string").as("__id"),
+        (col(variantCol) === aLabel).as("__a"),
+        col(valCol).cast("double").as("__v"))
+    val dec9 = (c: Column) => round(c, 9).cast("decimal(38,9)")
+    val tot = rows.agg(
+      sum(when(col("__a"), 1L).otherwise(0L)).as("n_a"),
+      sum(when(col("__a"), 0L).otherwise(1L)).as("n_b"),
+      sum(when(col("__a"), dec9(col("__v")))).as("__sa"),
+      sum(when(!col("__a"), dec9(col("__v")))).as("__sb"))
+    val obs = tot.select(col("n_a"), col("n_b"),
+      round(col("__sa").cast("double") / col("n_a") -
+        col("__sb").cast("double") / col("n_b"), 9).as("__d_obs"))
+    val u = graft.operators.Splits.uniformFromId(
+      concat(col("__id"), lit("#"), col("__r").cast("string")), salt)
+    val frac = col("n_a").cast("double") / (col("n_a") + col("n_b"))
+    val diffs = rows.crossJoin(broadcast(obs))
+      .withColumn("__r", explode(sequence(lit(1), lit(b))))
+      .withColumn("__pa", u < frac)
+      .groupBy(col("__r"))
+      .agg(count(when(col("__pa"), lit(1))).as("__na"),
+        count(when(!col("__pa"), lit(1))).as("__nb"),
+        sum(when(col("__pa"), dec9(col("__v")))).as("__ra"),
+        sum(when(!col("__pa"), dec9(col("__v")))).as("__rb"),
+        first(col("__d_obs")).as("__d_obs"))
+      .filter(col("__na") > 0L && col("__nb") > 0L)
+      .select(round(col("__ra").cast("double") / col("__na") -
+        col("__rb").cast("double") / col("__nb"), 9).as("__d"),
+        col("__d_obs"))
+    val pv = diffs.agg(count(lit(1)).as("b_eff"),
+      count(when(abs(col("__d")) >= abs(col("__d_obs")), lit(1)))
+        .as("__exceed"))
+      .select(col("b_eff"),
+        round((lit(1L) + col("__exceed")).cast("double") /
+          (lit(1L) + col("b_eff")), 6).as("p_value"))
+    obs.crossJoin(pv)
+      .select(col("n_a"), col("n_b"),
+        round(col("__d_obs"), 6).as("diff_obs"),
+        col("b_eff"), col("p_value"))
+  }
 }

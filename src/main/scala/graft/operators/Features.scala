@@ -273,6 +273,36 @@ object Features {
         round((col("obs") - e) * (col("obs") - e) / e, 4).as("contrib"))
   }
 
+  /** G-test (log-likelihood ratio) contingency table between two
+    * categorical columns — [[chiSquare]]'s information-theoretic twin:
+    * per cell the contribution 2·o·ln(o/e). G sums to exactly
+    * 2N·ln(2)·MI(A;B) (mutual information in bits — the q193 bridge),
+    * is additive across cell partitions where χ² is not, and tracks
+    * the asymptotic χ² distribution more closely when expected counts
+    * are small-but-positive. Empty cells (o = 0) contribute exactly 0
+    * by the x·ln(x) → 0 limit and never appear in the cell table, so
+    * both engines agree by construction.
+    *
+    * Same scale shape as [[chiSquare]]: ONE fact-sized cell
+    * aggregation, then margins and N derive from the cell table and
+    * ride broadcast joins back on. Counts are integers in doubles
+    * (exact < 2^53); the single ln per cell rounds to the 6-grid in
+    * the output. */
+  def gTest(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val cell = df.groupBy(col(aCol), col(bCol))
+      .agg(count(lit(1)).cast("double").as("obs"))
+    val rt = cell.groupBy(col(aCol)).agg(sum(col("obs")).as("rt"))
+    val ct = cell.groupBy(col(bCol)).agg(sum(col("obs")).as("ct"))
+    val n  = cell.agg(sum(col("obs")).as("n"))
+    val e  = col("rt") * col("ct") / col("n")
+    cell.join(broadcast(rt), Seq(aCol)).join(broadcast(ct), Seq(bCol))
+      .crossJoin(broadcast(n))
+      .select(col(aCol), col(bCol), col("obs").cast("bigint").as("obs"),
+        round(e, 4).as("expected"),
+        round(lit(2.0) * col("obs") * log(col("obs") / e), 6)
+          .as("g_contrib"))
+  }
+
   /** Cohen's kappa between two label columns — chance-corrected
     * inter-rater agreement, the annotation-quality gate of a labeling
     * pipeline (two annotators, or a model vs gold labels):

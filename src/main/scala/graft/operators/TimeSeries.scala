@@ -411,4 +411,127 @@ object TimeSeries {
           col("__v") - col("__trend") - col("__seasonal")), 6)
           .as("residual"))
   }
+
+  /** Forecast-accuracy scorecard per key — MAE, RMSE, sMAPE and MASE
+    * for ANY forecast column against actuals, the backtest gate that
+    * decides whether [[holtForecast]]/[[holtWintersForecast]] (or a
+    * lag-m seasonal naive) earns production: MASE < 1 means the
+    * forecast beats the in-sample naive ŷ_t = y_{t−1} random walk —
+    * the scale-free comparison MAPE breaks on zero/near-zero actuals
+    * (Hyndman & Koehler 2006).
+    *
+    * Rows with a null forecast (warm-up lags, short keys) score no
+    * error term but DO feed the naive denominator — MASE's scaling is
+    * the whole series' one-step difficulty, not just the scored span.
+    * sMAPE terms with |y|+|f| = 0 drop from that metric's own count
+    * (0/0 is undefined agreement, not perfect agreement). All error
+    * terms round to the 9-grid into DECIMAL(38,9) sums (bit-stable
+    * across partitionings and engines); one division each at the end.
+    *
+    * Scale shape: lag rides a per-key window (partitioned — a key's
+    * series sorts inside its own partition, never globally) and the
+    * scorecard is ONE map-side-combinable agg per key; output is
+    * keys-sized. Output: (keyCol, n, n_scored, mae, rmse, smape, mase)
+    * rounded 6; mase is null when the naive denominator is 0 (constant
+    * series) or no naive terms exist (single-point key). */
+  def forecastAccuracy(df: DataFrame, keyCol: String, tsCol: String,
+                       actualCol: String, forecastCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol))
+    val rows = df.filter(col(actualCol).isNotNull)
+      .select(col(keyCol), col(tsCol),
+        col(actualCol).cast("double").as("__y"),
+        col(forecastCol).cast("double").as("__f"))
+      .withColumn("__naive", lag(col("__y"), 1).over(w))
+    val err   = abs(col("__y") - col("__f"))
+    val sden  = abs(col("__y")) + abs(col("__f"))
+    val nerr  = abs(col("__y") - col("__naive"))
+    val dec38 = (c: Column) => round(c, 9).cast("decimal(38,9)")
+    rows.groupBy(col(keyCol))
+      .agg(
+        count(lit(1)).as("n"),
+        count(col("__f")).as("n_scored"),
+        sum(when(col("__f").isNotNull, dec38(err))).as("__sae"),
+        sum(when(col("__f").isNotNull, dec38(err * err))).as("__sse"),
+        count(when(col("__f").isNotNull && sden > 0.0, lit(1)))
+          .as("__ns"),
+        sum(when(col("__f").isNotNull && sden > 0.0,
+          dec38(lit(2.0) * err / sden))).as("__ss"),
+        count(col("__naive")).as("__nn"),
+        sum(dec38(nerr)).as("__sn"))
+      .select(col(keyCol), col("n"), col("n_scored"),
+        round(col("__sae").cast("double") / col("n_scored"), 6).as("mae"),
+        round(sqrt(col("__sse").cast("double") / col("n_scored")), 6)
+          .as("rmse"),
+        round(col("__ss").cast("double") / col("__ns"), 6).as("smape"),
+        round(when(col("__nn") > 0 && col("__sn") > 0 &&
+            col("n_scored") > 0,
+          (col("__sae").cast("double") / col("n_scored")) /
+            (col("__sn").cast("double") / col("__nn"))), 6).as("mase"))
+  }
+
+  /** Theil–Sen robust trend per key — slope = the median of all
+    * pairwise slopes (v_j−v_i)/(t_j−t_i), intercept = the median of
+    * v_i − slope·t_i: the trend estimate a 29%-outlier-contaminated
+    * series cannot drag, where OLS ([[graft.operators.Features]] q177)
+    * chases every spike. The robust complement to [[madOutliers]]'
+    * robust dispersion.
+    *
+    * Both medians are the LOWER median — the exact ⌈m/2⌉-th smallest
+    * order statistic (the conformal-interval discipline: an exact
+    * order statistic, never an interpolated percentile two engines
+    * round differently), read off a slope-LEVEL grid walk
+    * ([[Ranks.groupedCumSum]] per key) — ties collapse to one grid row
+    * each, and no per-row rank window runs over the O(n_k²) pair set.
+    *
+    * Scale contract: pairs are generated by a key-equi self-join —
+    * O(n_k²) per key, the [[graft.operators.SetSimJoin]] bounded-key
+    * discipline. This is for MANY SHORT series (per-entity daily
+    * metrics); a single 10⁶-point key owes 10¹² pairs and belongs in a
+    * sampled or repeated-median variant, not here. Equal-timestamp
+    * pairs are skipped (vertical slope); keys with < 2 distinct
+    * timestamps emit null slope/intercept. Slopes round to the 9-grid
+    * (the grid IS the comparison key, so both engines walk identical
+    * levels); output (keyCol, n, n_pairs, slope, intercept) rounded 6. */
+  def theilSen(df: DataFrame, keyCol: String, tsCol: String,
+               valCol: String): DataFrame = {
+    val rows = df.filter(col(tsCol).isNotNull && col(valCol).isNotNull)
+      .select(col(keyCol).as("__k"), col(tsCol).cast("double").as("__t"),
+        col(valCol).cast("double").as("__v"))
+    val keyStats = rows.groupBy(col("__k")).agg(count(lit(1)).as("n"))
+    val a = rows.select(col("__k"), col("__t").as("__t1"),
+      col("__v").as("__v1"))
+    val b = rows.select(col("__k"), col("__t").as("__t2"),
+      col("__v").as("__v2"))
+    val pairs = a.join(b, "__k")
+      .filter(col("__t1") < col("__t2"))
+      .select(col("__k"),
+        round((col("__v2") - col("__v1")) / (col("__t2") - col("__t1")), 9)
+          .as("__s"))
+    // lower median off the per-key slope-level grid: first level whose
+    // cumulative count reaches ceil(m/2)
+    def lowerMedian(lvls: DataFrame, out: String): DataFrame = {
+      val tot = lvls.groupBy(col("__k")).agg(sum(col("__c")).as("__m"))
+      Ranks.groupedCumSum(lvls, Seq("__k"), "__s", Seq("__c"))
+        .join(tot, "__k")
+        .filter(col("cum___c") >= ceil(col("__m") / 2) &&
+          col("cum___c") - col("__c") < ceil(col("__m") / 2))
+        .select(col("__k"), col("__s").as(out), col("__m"))
+    }
+    val slope = lowerMedian(
+      pairs.groupBy(col("__k"), col("__s")).agg(count(lit(1)).as("__c")),
+      "__slope")
+    val icepts = rows.join(slope, "__k")
+      .select(col("__k"),
+        round(col("__v") - col("__slope") * col("__t"), 9).as("__s"))
+      .groupBy(col("__k"), col("__s")).agg(count(lit(1)).as("__c"))
+    val intercept = lowerMedian(icepts, "__icept")
+      .select(col("__k"), col("__icept"))
+    keyStats.join(slope.select(col("__k"), col("__slope"),
+        col("__m").as("n_pairs")), Seq("__k"), "left")
+      .join(intercept, Seq("__k"), "left")
+      .select(col("__k").as(keyCol), col("n"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        round(col("__slope"), 6).as("slope"),
+        round(col("__icept"), 6).as("intercept"))
+  }
 }

@@ -1,0 +1,134 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** bootstrapCi + randomizationTest (EvalSpec covers the earlier
+  * eval/drift surface). */
+class EvalSpec2 extends SparkSpec {
+  import spark.implicits._
+
+  // independent reference for the md5 uniform + pinned Poisson(1)
+  // inverse CDF (the bootstrapCi definition, recomputed from scratch)
+  private def refUniform(salt: String, id: String): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest((salt + id).getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    (java.lang.Long.parseLong(hex.substring(0, 13), 16) + 1.0) /
+      4503599627370496.0
+  }
+  private val cdf = Array(0.36787944117144233, 0.7357588823428847,
+    0.9196986029286058, 0.9810118431238463, 0.9963401531726563,
+    0.9994058151824183, 0.999916758850712, 0.9999897508033253,
+    0.999998874797402)
+  private def refPoisson(u: Double): Int = {
+    val i = cdf.indexWhere(u <= _); if (i < 0) 9 else i
+  }
+  private def g9(x: Double): Double = math.rint(x * 1e9) / 1e9
+  private def g6(x: Double): Double = math.rint(x * 1e6) / 1e6
+
+  // --- bootstrapCi ---------------------------------------------------------
+
+  test("bootstrapCi ≡ independent driver-side Poisson bootstrap") {
+    val vals = (1 to 40).map(i => ("g", i.toString, (i % 7) * 1.5 + 2.0))
+    val df = vals.toDF("g", "id", "v")
+    val r = Eval.bootstrapCi(df, "g", "id", "v", b = 50, alpha = 0.1,
+      salt = "tb").collect().head
+    // reference replicate means
+    val reps = (1 to 50).flatMap { rr =>
+      val ws = vals.map { case (_, id, v) =>
+        (refPoisson(refUniform("tb", s"$id#$rr")), v) }
+      val wsum = ws.map(_._1).sum
+      if (wsum == 0) None
+      else Some(g9(ws.map { case (w, v) =>
+        BigDecimal(g9(w * v)) }.sum.toDouble / wsum))
+    }.sorted
+    val bEff = reps.size
+    val lo = reps(math.ceil(bEff * 0.05).toInt - 1)
+    val hi = reps(math.ceil(bEff * 0.95).toInt - 1)
+    assert(r.getLong(1) == 40L)
+    assert(r.getLong(3) == bEff.toLong)
+    assert(r.getDouble(4) == g6(lo))
+    assert(r.getDouble(5) == g6(hi))
+    assert(r.getDouble(2) ==
+      g6(vals.map(v => BigDecimal(g9(v._3))).sum.toDouble / 40))
+  }
+
+  test("bootstrapCi: CI brackets the mean and is partitioning-invariant") {
+    val df = (1 to 200).map(i => (if (i % 2 == 0) "a" else "b",
+      i.toString, 10.0 + (i % 13))).toDF("g", "id", "v")
+    val a = Eval.bootstrapCi(df, "g", "id", "v", b = 80)
+      .orderBy("g").collect().toSeq
+    a.foreach { r =>
+      assert(r.getDouble(4) <= r.getDouble(2) &&
+        r.getDouble(2) <= r.getDouble(5))
+    }
+    val b = Eval.bootstrapCi(df.repartition(17), "g", "id", "v", b = 80)
+      .orderBy("g").collect().toSeq
+    assert(a == b)
+    intercept[IllegalArgumentException] {
+      Eval.bootstrapCi(df, "g", "id", "v", b = 5)
+    }
+    intercept[IllegalArgumentException] {
+      Eval.bootstrapCi(df, "g", "id", "v", alpha = 1.5)
+    }
+  }
+
+  test("bootstrapCi: degenerate constant column → zero-width CI at the mean") {
+    val df = (1 to 30).map(i => ("g", i.toString, 7.0)).toDF("g", "id", "v")
+    val r = Eval.bootstrapCi(df, "g", "id", "v", b = 40).collect().head
+    assert(r.getDouble(2) == 7.0)
+    assert(r.getDouble(4) == 7.0 && r.getDouble(5) == 7.0)
+  }
+
+  // --- randomizationTest ---------------------------------------------------
+
+  test("randomizationTest ≡ independent driver-side replay") {
+    val rows = (1 to 30).map(i =>
+      (i.toString, if (i % 3 == 0) "x" else "y",
+        if (i % 3 == 0) 5.0 + i % 4 else 2.0 + i % 5))
+    val df = rows.toDF("id", "variant", "v")
+    val r = Eval.randomizationTest(df, "id", "variant", "v", "x", "y",
+      b = 60, salt = "tp").collect().head
+    val as = rows.filter(_._2 == "x"); val bs = rows.filter(_._2 == "y")
+    val dObs = g9(
+      as.map(x => BigDecimal(g9(x._3))).sum.toDouble / as.size -
+      bs.map(x => BigDecimal(g9(x._3))).sum.toDouble / bs.size)
+    val frac = as.size.toDouble / (as.size + bs.size)
+    val drs = (1 to 60).flatMap { rr =>
+      val (pa, pb) = rows.partition(x =>
+        refUniform("tp", s"${x._1}#$rr") < frac)
+      if (pa.isEmpty || pb.isEmpty) None
+      else Some(g9(
+        pa.map(x => BigDecimal(g9(x._3))).sum.toDouble / pa.size -
+        pb.map(x => BigDecimal(g9(x._3))).sum.toDouble / pb.size))
+    }
+    val exceed = drs.count(d => math.abs(d) >= math.abs(dObs))
+    assert(r.getLong(0) == as.size.toLong && r.getLong(1) == bs.size.toLong)
+    assert(r.getDouble(2) == g6(dObs))
+    assert(r.getLong(3) == drs.size.toLong)
+    assert(r.getDouble(4) == g6((1.0 + exceed) / (1 + drs.size)))
+  }
+
+  test("randomizationTest: identical groups → insignificant p; " +
+    "planted separation → small p; partitioning-invariant") {
+    val same = (1 to 100).map(i =>
+      (i.toString, if (i % 2 == 0) "x" else "y", (i % 5).toDouble))
+      .toDF("id", "variant", "v")
+    val rSame = Eval.randomizationTest(same, "id", "variant", "v",
+      "x", "y", b = 100).collect().head
+    assert(rSame.getDouble(4) > 0.05)
+    val sep = (1 to 100).map(i =>
+      (i.toString, if (i % 2 == 0) "x" else "y",
+        if (i % 2 == 0) 100.0 + i % 3 else (i % 3).toDouble))
+      .toDF("id", "variant", "v")
+    val rSep = Eval.randomizationTest(sep, "id", "variant", "v",
+      "x", "y", b = 100).collect().head
+    // the add-one form floors at 1/(B_eff+1)
+    assert(rSep.getDouble(4) <= 2.0 / 101)
+    val rSep2 = Eval.randomizationTest(sep.repartition(13), "id",
+      "variant", "v", "x", "y", b = 100).collect().head
+    assert(rSep.toSeq == rSep2.toSeq)
+  }
+}

@@ -107,4 +107,50 @@ class FeaturesSpec2 extends SparkSpec {
     val r = Features.cramersV(df, "u", "w").collect().head
     assert(r.getLong(1) == 1L && r.isNullAt(4))
   }
+
+  // --- gTest ---------------------------------------------------------------
+
+  test("gTest: exact independence → every cell contributes 0") {
+    val indep = (for (a <- Seq("a", "b"); b <- Seq("x", "y"); _ <- 1 to 5)
+      yield (a, b)).toDF("u", "w")
+    val out = Features.gTest(indep, "u", "w").collect()
+    assert(out.length == 4)
+    assert(out.forall(_.getDouble(4) == 0.0))
+    assert(out.forall(_.getDouble(3) == 5.0))
+  }
+
+  test("gTest: hand 2x2 — cells match 2·o·ln(o/e); total = 2N·MI(nats)") {
+    // [[30, 10], [10, 30]]: every expected count is 20
+    val counts = Seq(("a", "x", 30), ("a", "y", 10),
+      ("b", "x", 10), ("b", "y", 30))
+    val df = counts.flatMap { case (a, b, k) => Seq.fill(k)((a, b)) }
+      .toDF("u", "w")
+    val out = Features.gTest(df, "u", "w")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    val g6 = (x: Double) => math.rint(x * 1e6) / 1e6
+    assert(out(("a", "x")) == ((30L, 20.0, g6(60.0 * math.log(1.5)))))
+    assert(out(("a", "y")) == ((10L, 20.0, g6(20.0 * math.log(0.5)))))
+    // G total ≡ 2N·Σ p·ln(p/(pa·pb)) — the mutual-information bridge
+    val g = out.values.map(v => BigDecimal(v._3)).sum.toDouble
+    val mi = Seq(30, 10, 10, 30).map(_ / 80.0)
+      .zip(Seq((0.5, 0.5), (0.5, 0.5), (0.5, 0.5), (0.5, 0.5)))
+      .map { case (p, (pa, pb)) => p * math.log(p / (pa * pb)) }.sum
+    assert(math.abs(g - 2 * 80 * mi) < 1e-4)
+  }
+
+  test("gTest matches chiSquare's margins and beats it on a sparse cell") {
+    val df = Seq.fill(50)(("a", "x")) ++ Seq.fill(1)(("a", "y")) ++
+      Seq.fill(40)(("b", "x")) ++ Seq.fill(9)(("b", "y"))
+    val gt = Features.gTest(df.toDF("u", "w"), "u", "w")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    val ch = Features.chiSquare(df.toDF("u", "w"), "u", "w")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    // identical cell universe, identical obs and expected
+    assert(gt.keySet == ch.keySet)
+    gt.foreach { case (k, r) =>
+      assert(r.getLong(2) == ch(k).getLong(2))
+      assert(r.getDouble(3) == ch(k).getDouble(3))
+    }
+  }
 }

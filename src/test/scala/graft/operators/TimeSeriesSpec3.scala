@@ -1,0 +1,159 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** forecastAccuracy + theilSen (TimeSeriesSpec/2 cover the earlier
+  * surface). */
+class TimeSeriesSpec3 extends SparkSpec {
+  import spark.implicits._
+
+  // --- forecastAccuracy ----------------------------------------------------
+
+  test("forecastAccuracy: perfect forecast → zero errors, mase 0") {
+    val df = Seq(("k", 1, 1.0, 1.0), ("k", 2, 2.0, 2.0), ("k", 3, 3.0, 3.0))
+      .toDF("g", "t", "y", "f")
+    val r = TimeSeries.forecastAccuracy(df, "g", "t", "y", "f")
+      .collect().head
+    assert(r.getLong(1) == 3L && r.getLong(2) == 3L)
+    assert(r.getDouble(3) == 0.0) // mae
+    assert(r.getDouble(4) == 0.0) // rmse
+    assert(r.getDouble(5) == 0.0) // smape
+    assert(r.getDouble(6) == 0.0) // mase: naive errs 1,1 > 0
+  }
+
+  test("forecastAccuracy: hand case — lag-1 as the forecast scores mase 1") {
+    // y = 1,2,3,4; f = lag-1 → scored rows err 1 each; naive = same lag
+    val df = Seq(
+      ("k", 1, 1.0, None: Option[Double]), ("k", 2, 2.0, Some(1.0)),
+      ("k", 3, 3.0, Some(2.0)), ("k", 4, 4.0, Some(3.0)))
+      .toDF("g", "t", "y", "f")
+    val r = TimeSeries.forecastAccuracy(df, "g", "t", "y", "f")
+      .collect().head
+    assert(r.getLong(1) == 4L && r.getLong(2) == 3L)
+    assert(r.getDouble(3) == 1.0) // mae
+    assert(r.getDouble(4) == 1.0) // rmse
+    // smape terms: 2/3, 2/5, 2/7 → mean = (0.666666667+0.4+0.285714286)/3
+    assert(math.abs(r.getDouble(5) - 0.450794) < 1e-6)
+    assert(r.getDouble(6) == 1.0) // mase: naive mae = 1
+  }
+
+  test("forecastAccuracy: constant series → null mase; 0/0 smape rows drop") {
+    val const = Seq(("k", 1, 5.0, 4.0), ("k", 2, 5.0, 4.0),
+      ("k", 3, 5.0, 4.0)).toDF("g", "t", "y", "f")
+    val r1 = TimeSeries.forecastAccuracy(const, "g", "t", "y", "f")
+      .collect().head
+    assert(r1.isNullAt(6)) // naive denominator 0
+    assert(r1.getDouble(3) == 1.0)
+    // a (y=0, f=0) row: drops from smape's own count, not from mae's
+    val zeros = Seq(("k", 1, 0.0, 0.0), ("k", 2, 2.0, 1.0),
+      ("k", 3, 4.0, 3.0)).toDF("g", "t", "y", "f")
+    val r2 = TimeSeries.forecastAccuracy(zeros, "g", "t", "y", "f")
+      .collect().head
+    assert(math.abs(r2.getDouble(3) - 2.0 / 3) < 1e-6) // mae over 3
+    // smape over the 2 nonzero rows: (2·1/3 + 2·1/7)/2
+    assert(math.abs(r2.getDouble(5) -
+      (2.0 / 3 + 2.0 / 7) / 2) < 1e-6)
+  }
+
+  test("forecastAccuracy: null-forecast warm-up feeds the naive " +
+    "denominator; groups are independent") {
+    val df = Seq(
+      ("a", 1, 10.0, None: Option[Double]), ("a", 2, 20.0, None),
+      ("a", 3, 30.0, Some(40.0)),
+      ("b", 1, 1.0, Some(1.0)), ("b", 2, 3.0, Some(2.0)))
+      .toDF("g", "t", "y", "f")
+    val out = TimeSeries.forecastAccuracy(df, "g", "t", "y", "f")
+      .collect().map(r => r.getString(0) -> r).toMap
+    // a: scored err = 10, naive mae = 10 (two diffs of 10) → mase 1
+    assert(out("a").getLong(2) == 1L)
+    assert(out("a").getDouble(6) == 1.0)
+    // b: mae = 0.5, naive mae = 2 → mase 0.25
+    assert(out("b").getDouble(6) == 0.25)
+  }
+
+  test("forecastAccuracy ≡ window-built seasonal-naive backtest " +
+    "(the q241 shape) and is partitioning-invariant") {
+    val rows = (1 to 60).map { i =>
+      val g = if (i % 2 == 0) "x" else "y"
+      (g, i / 2, 10.0 + (i % 7) + (i % 3) * 0.5)
+    }
+    val df = rows.toDF("g", "t", "y")
+    val w = Window.partitionBy(col("g")).orderBy(col("t"))
+    val withF = df.withColumn("f", lag(col("y"), 7).over(w))
+    val a = TimeSeries.forecastAccuracy(withF, "g", "t", "y", "f")
+      .orderBy("g").collect().toSeq
+    val b = TimeSeries.forecastAccuracy(withF.repartition(13), "g", "t",
+      "y", "f").orderBy("g").collect().toSeq
+    assert(a == b)
+  }
+
+  // --- theilSen ------------------------------------------------------------
+
+  test("theilSen: hand case — lower-median slope and intercept") {
+    // points (0,0),(1,1),(2,4): slopes {1,2,3} → median 2;
+    // intercepts at slope 2: {0,−1,0} → lower median 0
+    val df = Seq(("k", 0.0, 0.0), ("k", 1.0, 1.0), ("k", 2.0, 4.0))
+      .toDF("g", "t", "v")
+    val r = TimeSeries.theilSen(df, "g", "t", "v").collect().head
+    assert(r.getLong(1) == 3L && r.getLong(2) == 3L)
+    assert(r.getDouble(3) == 2.0)
+    assert(r.getDouble(4) == 0.0)
+  }
+
+  test("theilSen shrugs off a 30%-contamination outlier where OLS cannot") {
+    // exact line v = 2t + 1 on t = 1..7 plus two wild outliers
+    val pts = (1 to 7).map(t => ("k", t.toDouble, 2.0 * t + 1)) ++
+      Seq(("k", 8.0, 1000.0), ("k", 9.0, -500.0))
+    val r = TimeSeries.theilSen(pts.toDF("g", "t", "v"), "g", "t", "v")
+      .collect().head
+    assert(r.getDouble(3) == 2.0)
+    assert(r.getDouble(4) == 1.0)
+  }
+
+  test("theilSen: equal-timestamp pairs are skipped; single-point and " +
+    "vertical keys emit null slope") {
+    val df = Seq(
+      ("dup", 1.0, 1.0), ("dup", 1.0, 9.0), ("dup", 2.0, 3.0),
+      ("one", 5.0, 5.0),
+      ("vert", 3.0, 1.0), ("vert", 3.0, 2.0))
+      .toDF("g", "t", "v")
+    val out = TimeSeries.theilSen(df, "g", "t", "v")
+      .collect().map(r => r.getString(0) -> r).toMap
+    // dup: pairs (1,1)→(2,3) slope 2 and (1,9)→(2,3) slope −6 → m=2,
+    // lower median = −6
+    assert(out("dup").getLong(2) == 2L)
+    assert(out("dup").getDouble(3) == -6.0)
+    assert(out("one").getLong(2) == 0L && out("one").isNullAt(3))
+    assert(out("vert").getLong(2) == 0L && out("vert").isNullAt(3))
+  }
+
+  test("theilSen ≡ brute-force median-of-slopes on pseudo-random series " +
+    "per key; partitioning-invariant") {
+    def u(i: Int, j: Int): Double =
+      ((i * 2654435761L + j * 40503L) % 1000) / 100.0
+    val rows = for (g <- Seq("a", "b", "c"); t <- 1 to 25)
+      yield (g, t.toDouble, 0.7 * t + u(g.hashCode.abs % 97, t))
+    val df = rows.toDF("g", "t", "v")
+    val out = TimeSeries.theilSen(df, "g", "t", "v")
+      .collect().map(r => (r.getString(0), r.getDouble(3), r.getDouble(4)))
+      .toList.sortBy(_._1)
+    val exp = rows.groupBy(_._1).map { case (g, pts) =>
+      val slopes = (for {
+        (_, t1, v1) <- pts; (_, t2, v2) <- pts if t1 < t2
+      } yield math.rint((v2 - v1) / (t2 - t1) * 1e9) / 1e9).sorted
+      val slope = slopes((slopes.size + 1) / 2 - 1)
+      val iceps = pts.map { case (_, t, v) =>
+        math.rint((v - slope * t) * 1e9) / 1e9 }.sorted
+      val icept = iceps((iceps.size + 1) / 2 - 1)
+      (g, math.rint(slope * 1e6) / 1e6, math.rint(icept * 1e6) / 1e6)
+    }.toList.sortBy(_._1)
+    assert(out == exp)
+    val out2 = TimeSeries.theilSen(df.repartition(17), "g", "t", "v")
+      .collect().map(r => (r.getString(0), r.getDouble(3), r.getDouble(4)))
+      .toList.sortBy(_._1)
+    assert(out2 == exp)
+  }
+}
