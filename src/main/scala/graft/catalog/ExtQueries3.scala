@@ -64,7 +64,61 @@ object ExtQueries3 {
       graft.operators.Eval.randomizationTest(
         ev(s, d), "event_id", "event_type", "value",
         "purchase", "click", b = 200)),
+
+    // --- seasonal-residual anomaly gate ------------------------------------
+    // The q213 decomposition's residual through the q175 MAD fence:
+    // days anomalous AFTER the weekly pattern is accounted for.
+    "q245_seasonal_outliers" -> ((s, d) =>
+      graft.operators.TimeSeries.seasonalOutliers(
+          t(s, d, "orders").groupBy(col("o_orderdate").as("day"))
+            .agg(count(lit(1)).cast("double").as("cnt")),
+          "day", "cnt", period = 7, k = 3.0)
+        .orderBy(col("day"))),
+
+    // --- depth-2 decision tree ---------------------------------------------
+    // q200's split finder recursed once: root + per-side thresholds on
+    // the quantity/returnflag pair.
+    "q246_decision_tree" -> ((s, d) =>
+      graft.operators.Classify.decisionTreeDepth2(
+          t(s, d, "lineitem"), "l_quantity", "l_returnflag")
+        .orderBy(col("node"))),
   )
+
+  /** The q200 info-gain split-finder CTE chain, prefix-renamed so the
+    * q246 oracle can instantiate it three times (root, le, gt) over
+    * different row sources — text kept token-identical to the proven
+    * q200 oracle so the double arithmetic matches the engine's. */
+  private def igBlock(p: String, src: String): String =
+    s"""${p}cell AS (SELECT v, y, count(*) AS c FROM $src GROUP BY 1, 2),
+         ${p}dense AS (SELECT vv.v, yy.y, coalesce(c.c, 0) AS c
+           FROM (SELECT DISTINCT v FROM ${p}cell) vv
+           CROSS JOIN (SELECT DISTINCT y FROM ${p}cell) yy
+           LEFT JOIN ${p}cell c ON c.v = vv.v AND c.y = yy.y),
+         ${p}cum AS (SELECT v, y, c,
+             sum(c) OVER (PARTITION BY y ORDER BY v) AS cum FROM ${p}dense),
+         ${p}ctot AS (SELECT y, sum(c) AS cy FROM ${p}cell GROUP BY 1),
+         ${p}n AS (SELECT sum(c) AS n FROM ${p}cell),
+         ${p}lvl AS (SELECT v, sum(cum) AS nle,
+             sum(CAST(CASE WHEN cum > 0
+               THEN round(cum * ln(CAST(cum AS DOUBLE)), 9) ELSE 0 END
+               AS DECIMAL(38,9))) AS sle,
+             sum(CAST(CASE WHEN cy - cum > 0
+               THEN round((cy - cum) * ln(CAST(cy - cum AS DOUBLE)), 9)
+               ELSE 0 END AS DECIMAL(38,9))) AS sgt
+           FROM ${p}cum JOIN ${p}ctot USING (y) GROUP BY v),
+         ${p}sy AS (SELECT sum(CAST(round(cy * ln(CAST(cy AS DOUBLE)), 9)
+             AS DECIMAL(38,9))) AS sy FROM ${p}ctot),
+         ${p}ig AS (SELECT v AS threshold, nle,
+             round(-((CAST(${p}sy.sy AS DOUBLE) - CAST(sle AS DOUBLE)
+                 - CAST(sgt AS DOUBLE)) / ${p}n.n
+               - (ln(CAST(${p}n.n AS DOUBLE))
+                 - (nle / CAST(${p}n.n AS DOUBLE)) * ln(CAST(nle AS DOUBLE))
+                 - ((${p}n.n - nle) / CAST(${p}n.n AS DOUBLE))
+                   * ln(CAST(${p}n.n - nle AS DOUBLE)))), 6) AS info_gain,
+             ${p}n.n AS n
+           FROM ${p}lvl, ${p}n, ${p}sy WHERE nle < ${p}n.n),
+         ${p}best AS (SELECT *, row_number() OVER (
+             ORDER BY info_gain DESC, threshold ASC) AS rk FROM ${p}ig)"""
 
   def oracleSql: Map[String, String] = Map(
     // q183's oracle with the cell contribution swapped to 2·o·ln(o/e);
@@ -245,5 +299,75 @@ object ExtQueries3 {
          SELECT n_a, n_b, round(d_obs, 6) AS diff_obs, b_eff,
            round(CAST(1 + ex AS DOUBLE) / (1 + b_eff), 6) AS p_value
          FROM obs, pv""",
+
+    // the q213 decomposition chain verbatim, then the q175 median/MAD
+    // fence on its residual; undecomposed edge days carry a null flag
+    "q245_seasonal_outliers" ->
+      """WITH srs AS (SELECT o_orderdate AS k, CAST(count(*) AS DOUBLE) AS v
+           FROM orders GROUP BY 1),
+         t AS (SELECT k, v, row_number() OVER (ORDER BY k) AS pos,
+             CASE WHEN count(*) OVER (ORDER BY k
+                 ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) = 7
+               THEN CAST(sum(CAST(round(v, 9) AS DECIMAL(38,9)))
+                 OVER (ORDER BY k ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+                 AS DOUBLE) / 7 END AS trend
+           FROM srs),
+         ph AS (SELECT *, (pos - 1) % 7 AS phase FROM t),
+         pm AS (SELECT phase,
+             CAST(sum(CAST(round(v - trend, 9) AS DECIMAL(38,9)))
+               AS DOUBLE) / count(*) AS raw
+           FROM ph WHERE trend IS NOT NULL GROUP BY 1),
+         off AS (SELECT CAST(sum(CAST(round(raw, 9) AS DECIMAL(38,9)))
+             AS DOUBLE) / count(*) AS soff FROM pm),
+         ce AS (SELECT phase, round(raw - soff, 9) AS seas FROM pm, off),
+         decomp AS (SELECT ph.k AS day, round(ph.v, 6) AS value,
+             round(CASE WHEN trend IS NOT NULL
+               THEN ph.v - trend - seas END, 6) AS residual
+           FROM ph LEFT JOIN ce USING (phase)),
+         scored AS (SELECT * FROM decomp WHERE residual IS NOT NULL),
+         med AS (SELECT quantile_cont(residual, 0.5) AS med FROM scored),
+         mad AS (SELECT med, quantile_cont(abs(residual - med), 0.5) AS mad
+           FROM scored, med GROUP BY med)
+         SELECT day, value, residual,
+           round(med, 4) AS med, round(mad, 4) AS mad,
+           CASE WHEN residual IS NOT NULL THEN
+             CAST(round(abs(residual - med), 9) > round(3.0 * mad, 9)
+               AS INT) END AS is_outlier
+         FROM decomp, mad ORDER BY day""",
+
+    // three instantiations of the proven q200 split-finder block; the
+    // children's row sources gate on the root winner's threshold via a
+    // scalar subquery (the broadcast-threshold twin)
+    "q246_decision_tree" -> {
+      val base =
+        """WITH r AS (SELECT CAST(l_quantity AS DOUBLE) AS v,
+             l_returnflag AS y
+           FROM lineitem
+           WHERE l_quantity IS NOT NULL AND l_returnflag IS NOT NULL),
+         """
+      val children =
+        """,
+         rle AS (SELECT * FROM r
+           WHERE v <= (SELECT threshold FROM rootbest WHERE rk = 1)),
+         """ + igBlock("le", "rle") + """,
+         rgt AS (SELECT * FROM r
+           WHERE v > (SELECT threshold FROM rootbest WHERE rk = 1)),
+         """ + igBlock("gt", "rgt")
+      val finalSel =
+        """
+         SELECT 'root' AS node, threshold, CAST(nle AS BIGINT) AS n_le,
+           CAST(n - nle AS BIGINT) AS n_gt, info_gain
+         FROM rootbest WHERE rk = 1
+         UNION ALL
+         SELECT 'le' AS node, threshold, CAST(nle AS BIGINT) AS n_le,
+           CAST(n - nle AS BIGINT) AS n_gt, info_gain
+         FROM lebest WHERE rk = 1
+         UNION ALL
+         SELECT 'gt' AS node, threshold, CAST(nle AS BIGINT) AS n_le,
+           CAST(n - nle AS BIGINT) AS n_gt, info_gain
+         FROM gtbest WHERE rk = 1
+         ORDER BY node"""
+      base + igBlock("root", "r") + children + finalSel
+    },
   )
 }

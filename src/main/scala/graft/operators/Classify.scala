@@ -183,6 +183,42 @@ object Classify {
         col("__best.info_gain").as("info_gain"))
   }
 
+  /** Depth-2 decision tree over one numeric feature — [[infoGainSplit]]
+    * applied recursively: the root split partitions the rows, then each
+    * side gets its own best split, yielding the 3-node model table a
+    * supervised discretizer or shallow-tree baseline needs (4 leaf
+    * intervals from 3 thresholds). Deeper trees iterate the same move —
+    * each LEVEL costs two corpus aggregations regardless of node count,
+    * because sibling nodes partition the rows and evaluate in the same
+    * pass here (left and right evaluate separately only because their
+    * filters are complementary scans of the same cached projection).
+    *
+    * The root threshold never touches the driver: it rides a 1-row
+    * broadcast cross join into the child filters (the logisticGD
+    * no-collect discipline). A node with no valid split (pure target,
+    * single distinct value, or empty side) simply emits no row — the
+    * [[infoGainSplit]] empty-contract — so output is 1–3 rows:
+    * (node ∈ root/le/gt, threshold, n_le, n_gt, info_gain), ordered by
+    * node. Null features/targets drop once, up front. */
+  def decisionTreeDepth2(df: DataFrame, featureCol: String,
+                         targetCol: String): DataFrame = {
+    val rows = df
+      .filter(col(featureCol).isNotNull && col(targetCol).isNotNull)
+      .select(col(featureCol).cast("double").as("__v"),
+        col(targetCol).as("__y"))
+    val root = infoGainSplit(rows, "__v", "__y")
+    val rt = broadcast(root.select(col("threshold").as("__rt")))
+    val le = infoGainSplit(
+      rows.crossJoin(rt).filter(col("__v") <= col("__rt")), "__v", "__y")
+    val gt = infoGainSplit(
+      rows.crossJoin(rt).filter(col("__v") > col("__rt")), "__v", "__y")
+    root.withColumn("node", lit("root"))
+      .unionByName(le.withColumn("node", lit("le")))
+      .unionByName(gt.withColumn("node", lit("gt")))
+      .select(col("node"), col("threshold"), col("n_le"), col("n_gt"),
+        col("info_gain"))
+  }
+
   /** Logistic regression by full-batch gradient descent, fixed
     * iteration budget — the calibrated-probability counterpart to
     * [[naiveBayes]] for NUMERIC features (quality scores, length

@@ -412,6 +412,43 @@ object TimeSeries {
           .as("residual"))
   }
 
+  /** Seasonality-aware anomaly gate — [[seasonalDecompose]]'s residual
+    * put through [[madOutliers]]' robust median/MAD fence: a reading is
+    * anomalous only if it deviates from what the trend AND the seasonal
+    * pattern jointly predict, so the Monday peak that a raw MAD gate
+    * flags every week is ordinary here, and a quiet-Sunday spike that
+    * hides under the weekly mean is caught. The standard STL-residual
+    * anomaly recipe, composed from the engine's own two primitives.
+    *
+    * Rows whose residual is undefined (the decompose's half-period
+    * edges) pass through with a null flag — unjudged, not silently
+    * normal. The fence compares on the 9-grid (the madOutliers
+    * boundary contract); median/MAD are the exact interpolated
+    * percentiles both engines share. Scale: the decompose's keyed
+    * shuffles + two series-length percentile aggs (one series — the
+    * [[changePoint]] grain contract: aggregate to series grain first).
+    * Output: (keyCol, value, residual, med, mad, is_outlier) rounded
+    * as produced by the decompose, ordered by the caller. */
+  def seasonalOutliers(df: DataFrame, keyCol: String, valCol: String,
+                       period: Int, k: Double = 3.0): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val dec = seasonalDecompose(df, keyCol, valCol, period)
+    val scored = dec.filter(col("residual").isNotNull)
+    val med = scored.agg(expr("percentile(residual, 0.5)").as("__med"))
+    val dev = scored.crossJoin(broadcast(med))
+      .withColumn("__adev", abs(col("residual") - col("__med")))
+    val mad = dev.agg(first(col("__med")).as("__med"),
+      expr("percentile(__adev, 0.5)").as("__mad"))
+    dec.crossJoin(broadcast(mad))
+      .select(col(keyCol), col("value"), col("residual"),
+        round(col("__med"), 4).as("med"),
+        round(col("__mad"), 4).as("mad"),
+        when(col("residual").isNotNull,
+          (round(abs(col("residual") - col("__med")), 9) >
+            round(lit(k) * col("__mad"), 9)).cast("int"))
+          .as("is_outlier"))
+  }
+
   /** Forecast-accuracy scorecard per key — MAE, RMSE, sMAPE and MASE
     * for ANY forecast column against actuals, the backtest gate that
     * decides whether [[holtForecast]]/[[holtWintersForecast]] (or a

@@ -186,4 +186,59 @@ class ClassifySpec extends SparkSpec {
       Classify.logisticGD(df, "y", Seq("x"), -1.0, 1)
     }
   }
+
+  // --- decisionTreeDepth2 --------------------------------------------------
+
+  test("decisionTreeDepth2: perfect root split; pure children still " +
+    "report their best (zero-gain) thresholds") {
+    val rows = Seq.fill(6)((1.0, "A")) ++ Seq.fill(6)((2.0, "A")) ++
+      Seq.fill(6)((3.0, "B")) ++ Seq.fill(6)((4.0, "B"))
+    val out = Classify.decisionTreeDepth2(rows.toDF("x", "y"), "x", "y")
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(out.keySet == Set("root", "le", "gt"))
+    assert(out("root")._1 == 2.0 && out("root")._2 == 12L &&
+      out("root")._3 == 12L)
+    assert(out("root")._4 == math.rint(math.log(2) * 1e6) / 1e6)
+    // both sides are pure: best candidate gains 0 (primitive compare —
+    // a boxed tuple equality would reject an IEEE −0.0), smallest
+    // threshold wins
+    assert(out("le")._1 == 1.0 && out("le")._2 == 6L &&
+      out("le")._3 == 6L && out("le")._4 == 0.0)
+    assert(out("gt")._1 == 3.0 && out("gt")._2 == 6L &&
+      out("gt")._3 == 6L && out("gt")._4 == 0.0)
+  }
+
+  test("decisionTreeDepth2: a single-distinct-value side emits no row") {
+    val rows = Seq.fill(5)((1.0, "A")) ++ Seq.fill(5)((3.0, "B")) ++
+      Seq.fill(5)((4.0, "B"))
+    val out = Classify.decisionTreeDepth2(rows.toDF("x", "y"), "x", "y")
+      .collect().map(_.getString(0)).toSet
+    assert(out == Set("root", "gt")) // le side is the single value 1.0
+  }
+
+  test("decisionTreeDepth2 ≡ infoGainSplit recursed by hand; " +
+    "partitioning-invariant") {
+    val rows = (1 to 200).map { i =>
+      val v = (i % 17).toDouble + (i % 3) * 0.25
+      val y = if (v < 5 && i % 7 != 0) "lo"
+        else if (v < 11) "mid" else "hi"
+      (v, y)
+    }
+    val df = rows.toDF("x", "y")
+    val tree = Classify.decisionTreeDepth2(df, "x", "y")
+      .collect().map(r => r.getString(0) -> r.toSeq.drop(1)).toMap
+    val root = Classify.infoGainSplit(df, "x", "y").collect().head
+    assert(tree("root") == root.toSeq)
+    val rt = root.getDouble(0)
+    val le = Classify.infoGainSplit(
+      df.filter(col("x") <= rt), "x", "y").collect().head
+    val gt = Classify.infoGainSplit(
+      df.filter(col("x") > rt), "x", "y").collect().head
+    assert(tree("le") == le.toSeq)
+    assert(tree("gt") == gt.toSeq)
+    val tree2 = Classify.decisionTreeDepth2(df.repartition(11), "x", "y")
+      .collect().map(r => r.getString(0) -> r.toSeq.drop(1)).toMap
+    assert(tree2 == tree)
+  }
 }

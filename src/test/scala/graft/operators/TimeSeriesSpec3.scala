@@ -156,4 +156,55 @@ class TimeSeriesSpec3 extends SparkSpec {
       .toList.sortBy(_._1)
     assert(out2 == exp)
   }
+
+  // --- seasonalOutliers ----------------------------------------------------
+
+  test("seasonalOutliers flags a planted spike but not the seasonal peak") {
+    // 8 weeks of a strong weekly pattern (phase 0 peaks at +30), one
+    // corrupted mid-series day (+25 off its pattern)
+    val pattern = Array(30.0, 0.0, 2.0, 4.0, 1.0, 3.0, 5.0)
+    val rows = (1 to 56).map { d =>
+      val base = 100.0 + pattern((d - 1) % 7)
+      (d, if (d == 25) base + 25.0 else base)
+    }
+    val out = TimeSeries.seasonalOutliers(rows.toDF("day", "v"),
+        "day", "v", period = 7, k = 3.0)
+      .collect().map(r => r.getInt(0) -> r).toMap
+    // edge days (first/last 3) have no trend → null flag
+    assert(out(1).isNullAt(5) && out(56).isNullAt(5))
+    // the corrupted day is flagged
+    assert(out(25).getInt(5) == 1)
+    // the seasonal peaks near it are NOT (pattern is modeled away);
+    // exclude the spike's own MA window (22..28), which it contaminates
+    val peaks = Seq(8, 15, 36, 43, 50)
+    peaks.foreach(d => assert(out(d).getInt(5) == 0, s"day $d"))
+  }
+
+  test("seasonalOutliers ≡ seasonalDecompose + median/MAD fence by hand") {
+    val rows = (1 to 35).map(d =>
+      (d, 50.0 + (d % 7) * 2.5 + (d % 4) * 1.25))
+    val df = rows.toDF("day", "v")
+    val out = TimeSeries.seasonalOutliers(df, "day", "v", 7, 3.0)
+      .collect().map(r => r.getInt(0) -> r).toMap
+    val dec = TimeSeries.seasonalDecompose(df, "day", "v", 7)
+      .collect().map(r => r.getInt(0) ->
+        (if (r.isNullAt(4)) None else Some(r.getDouble(4)))).toMap
+    val resid = dec.values.flatten.toSeq.sorted
+    def median(xs: Seq[Double]): Double = {
+      val n = xs.size
+      if (n % 2 == 1) xs(n / 2) else (xs(n / 2 - 1) + xs(n / 2)) / 2
+    }
+    val med = median(resid)
+    val mad = median(resid.map(x => math.abs(x - med)).sorted)
+    out.foreach { case (d, r) =>
+      dec(d) match {
+        case None => assert(r.isNullAt(5))
+        case Some(res) =>
+          val expect = math.rint(math.abs(res - med) * 1e9) / 1e9 >
+            math.rint(3.0 * mad * 1e9) / 1e9
+          assert(r.getInt(5) == (if (expect) 1 else 0), s"day $d")
+          assert(r.getDouble(3) == math.rint(med * 1e4) / 1e4)
+      }
+    }
+  }
 }
