@@ -82,6 +82,36 @@ object ExtQueries3 {
       graft.operators.Classify.decisionTreeDepth2(
           t(s, d, "lineitem"), "l_quantity", "l_returnflag")
         .orderBy(col("node"))),
+
+    // --- BPE encoding under a PINNED merge table ---------------------------
+    // q101 learns merges (engine-iterative, rows-only); this applies a
+    // fixed 5-merge table so the greedy left-to-right application
+    // itself — the serving path of the tokenizer — is DuckDB-oracled.
+    "q247_bpe_encode" -> ((s, d) => {
+      import s.implicits._
+      val merges = Seq(
+        (0, "t", "h", "th", 0L), (1, "th", "e", "the", 0L),
+        (2, "i", "n", "in", 0L), (3, "a", "n", "an", 0L),
+        (4, "e", "r", "er", 0L))
+        .toDF("rank", "left", "right", "merged", "pair_count")
+      graft.operators.Bpe.encode(t(s, d, "documents"), "text", merges)
+        .select(col("doc_id"),
+          coalesce(size(col("bpe_tokens")), lit(0)).as("n_tokens"),
+          coalesce(size(filter(col("bpe_tokens"), x => x === "the")),
+            lit(0)).as("n_the"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // --- quantile (median) regression by subgradient descent ---------------
+    // τ = 0.5 LAD fit of scaled price on scaled quantity/discount —
+    // the q227 unrolled-GD oracle pattern with the pinball indicator.
+    "q248_quantile_gd" -> ((s, d) =>
+      graft.operators.Classify.quantileGD(
+        t(s, d, "lineitem")
+          .withColumn("y", col("l_extendedprice").cast("double") / 60000.0)
+          .withColumn("x1", col("l_quantity").cast("double") / 50.0)
+          .withColumn("x2", col("l_discount").cast("double") * 10.0),
+        "y", Seq("x1", "x2"), tau = 0.5, lr = 0.5, iters = 3)),
   )
 
   /** The q200 info-gain split-finder CTE chain, prefix-renamed so the
@@ -369,5 +399,85 @@ object ExtQueries3 {
          ORDER BY node"""
       base + igBlock("root", "r") + children + finalSel
     },
+
+    // greedy left-to-right merge application as five sequential
+    // list_reduce folds (list-state — the q215 lambda finding), same
+    // whitespace/lower tokenization as q36; docs with no tokens keep a
+    // 0 row through the left join
+    "q247_bpe_encode" -> {
+      val merges = Seq(("t", "h", "th"), ("th", "e", "the"),
+        ("i", "n", "in"), ("a", "n", "an"), ("e", "r", "er"))
+      val folds = merges.zipWithIndex.map { case ((l, r, m), i) =>
+        s"""sym${i + 1} AS (SELECT doc_id, list_reduce(
+             list_transform(sym, x -> [x]),
+             (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = '$l'
+                 AND x[1] = '$r'
+               THEN list_append(list_slice(acc, 1, len(acc) - 1), '$m')
+               ELSE list_append(acc, x[1]) END) AS sym
+           FROM sym$i)"""
+      }.mkString(",\n         ")
+      s"""WITH toks AS (SELECT doc_id,
+             unnest(list_filter(string_split_regex(trim(lower(text)),
+               '\\s+'), x -> x <> '')) AS w
+           FROM documents),
+         sym0 AS (SELECT doc_id,
+             list_filter(string_split(w, ''), x -> x <> '') AS sym
+           FROM toks),
+         $folds,
+         agg AS (SELECT doc_id, CAST(sum(len(sym)) AS INT) AS n_tokens,
+             CAST(sum(len(list_filter(sym, s -> s = 'the'))) AS INT)
+               AS n_the
+           FROM sym${merges.size} GROUP BY 1)
+         SELECT d.doc_id, coalesce(a.n_tokens, 0) AS n_tokens,
+           coalesce(a.n_the, 0) AS n_the
+         FROM documents d LEFT JOIN agg a USING (doc_id)
+         ORDER BY doc_id"""
+    },
+
+    // q227's unrolled-GD recursion with the sigmoid swapped for the
+    // pinball indicator; the margin rounds to the 9-grid BEFORE the
+    // y <= margin comparison on both engines
+    "q248_quantile_gd" ->
+      """WITH data AS (SELECT
+             CAST(l_extendedprice AS DOUBLE) / 60000.0 AS y,
+             CAST(l_quantity AS DOUBLE) / 50.0 AS x1,
+             CAST(l_discount AS DOUBLE) * 10.0 AS x2
+           FROM lineitem
+           WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+             AND l_discount IS NOT NULL),
+         g1 AS (SELECT
+             sum(CAST(round(0.5 - CASE WHEN y <= round(0.0 + x1*0.0 + x2*0.0, 9) THEN 1.0 ELSE 0.0 END, 9) AS DECIMAL(38,9))) AS g0,
+             sum(CAST(round((0.5 - CASE WHEN y <= round(0.0 + x1*0.0 + x2*0.0, 9) THEN 1.0 ELSE 0.0 END)*x1, 9) AS DECIMAL(38,9))) AS gx1,
+             sum(CAST(round((0.5 - CASE WHEN y <= round(0.0 + x1*0.0 + x2*0.0, 9) THEN 1.0 ELSE 0.0 END)*x2, 9) AS DECIMAL(38,9))) AS gx2,
+             count(*) AS n
+           FROM data),
+         w1 AS (SELECT round(0.0 + 0.5*(CAST(g0 AS DOUBLE)/n),9) AS a,
+             round(0.0 + 0.5*(CAST(gx1 AS DOUBLE)/n),9) AS b,
+             round(0.0 + 0.5*(CAST(gx2 AS DOUBLE)/n),9) AS c FROM g1),
+         g2 AS (SELECT
+             sum(CAST(round(0.5 - CASE WHEN y <= round(a + x1*b + x2*c, 9) THEN 1.0 ELSE 0.0 END, 9) AS DECIMAL(38,9))) AS g0,
+             sum(CAST(round((0.5 - CASE WHEN y <= round(a + x1*b + x2*c, 9) THEN 1.0 ELSE 0.0 END)*x1, 9) AS DECIMAL(38,9))) AS gx1,
+             sum(CAST(round((0.5 - CASE WHEN y <= round(a + x1*b + x2*c, 9) THEN 1.0 ELSE 0.0 END)*x2, 9) AS DECIMAL(38,9))) AS gx2,
+             count(*) AS n
+           FROM data, w1),
+         w2 AS (SELECT round(a + 0.5*(CAST(g0 AS DOUBLE)/n),9) AS a,
+             round(b + 0.5*(CAST(gx1 AS DOUBLE)/n),9) AS b,
+             round(c + 0.5*(CAST(gx2 AS DOUBLE)/n),9) AS c
+           FROM g2, w1),
+         g3 AS (SELECT
+             sum(CAST(round(0.5 - CASE WHEN y <= round(a + x1*b + x2*c, 9) THEN 1.0 ELSE 0.0 END, 9) AS DECIMAL(38,9))) AS g0,
+             sum(CAST(round((0.5 - CASE WHEN y <= round(a + x1*b + x2*c, 9) THEN 1.0 ELSE 0.0 END)*x1, 9) AS DECIMAL(38,9))) AS gx1,
+             sum(CAST(round((0.5 - CASE WHEN y <= round(a + x1*b + x2*c, 9) THEN 1.0 ELSE 0.0 END)*x2, 9) AS DECIMAL(38,9))) AS gx2,
+             count(*) AS n
+           FROM data, w2),
+         w3 AS (SELECT round(a + 0.5*(CAST(g0 AS DOUBLE)/n),9) AS a,
+             round(b + 0.5*(CAST(gx1 AS DOUBLE)/n),9) AS b,
+             round(c + 0.5*(CAST(gx2 AS DOUBLE)/n),9) AS c
+           FROM g3, w2)
+         SELECT term, weight FROM (
+           SELECT 'intercept' AS term, a AS weight FROM w3
+           UNION ALL SELECT 'x1', b FROM w3
+           UNION ALL SELECT 'x2', c FROM w3)
+         ORDER BY term""",
   )
 }

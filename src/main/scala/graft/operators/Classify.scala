@@ -183,6 +183,73 @@ object Classify {
         col("__best.info_gain").as("info_gain"))
   }
 
+  /** Quantile (pinball-loss) regression by full-batch subgradient
+    * descent — [[logisticGD]]'s loss swapped for ρ_τ: the fit targets
+    * the τ-QUANTILE of y given x instead of a probability, which is
+    * what latency SLOs ("the p95 under load x"), cost envelopes and
+    * robust trend bands actually ask for; τ = 0.5 is median (LAD)
+    * regression, the outlier-immune alternative to [[Features]]' OLS.
+    * The subgradient of ρ_τ(y − ŷ) in ŷ is (1[y ≤ ŷ] − τ), so the
+    * ascent step is w ← w + η·Σ x·(τ − 1[y ≤ ŷ])/n — no sigmoid, the
+    * indicator IS the per-row error term.
+    *
+    * Same execution and determinism discipline as [[logisticGD]]
+    * (fixed iteration budget; weights ride a 1-row broadcast, never a
+    * driver collect; one map-side-combinable aggregation per
+    * iteration; per-iteration localCheckpoint kills the exponential
+    * lineage): the margin folds left in double, rounds to the 9-grid
+    * BEFORE the y ≤ ŷ comparison (so the indicator — a discontinuous
+    * function of the margin — resolves identically on every engine),
+    * per-row terms round to the 9-grid into DECIMAL(38,9) sums, and
+    * each update re-rounds. Features pre-scaled to O(1) as usual.
+    * Output: ("intercept", w0) then each feature by name, ordered. */
+  def quantileGD(df: DataFrame, targetCol: String,
+                 featureCols: Seq[String], tau: Double, lr: Double,
+                 iters: Int): DataFrame = {
+    require(featureCols.nonEmpty, "featureCols must be non-empty")
+    require(tau > 0.0 && tau < 1.0, s"tau must be in (0,1), got $tau")
+    require(lr > 0, s"learning rate must be positive, got $lr")
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val d = featureCols.size
+    val dec9 = (c: Column) => round(c, 9).cast("decimal(38,9)")
+    val data = df
+      .filter(col(targetCol).isNotNull &&
+        featureCols.map(col(_).isNotNull).reduce(_ && _))
+      .select(col(targetCol).cast("double").as("__y") +:
+        featureCols.zipWithIndex.map { case (f, i) =>
+          col(f).cast("double").as(s"__x$i")
+        }: _*)
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .localCheckpoint()
+    val w0 = data.sparkSession.range(1)
+      .select((0 to d).map(j => lit(0.0).as(s"__w$j")): _*)
+    val wFinal = (1 to iters).foldLeft(w0) { (w, _) =>
+      val joined = data.crossJoin(broadcast(w))
+      val z = (0 until d).foldLeft(col("__w0")) { (acc, i) =>
+        acc + col(s"__x$i") * col(s"__w${i + 1}")
+      }
+      val e = lit(tau) -
+        when(col("__y") <= round(z, 9), 1.0).otherwise(0.0)
+      val grads = joined.agg(
+        sum(dec9(e)).as("__g0"),
+        (1 to d).map(j =>
+          sum(dec9(e * col(s"__x${j - 1}"))).as(s"__g$j")) :+
+          count(lit(1)).as("__n"): _*)
+      w.crossJoin(grads).select((0 to d).map(j =>
+        round(col(s"__w$j") + lit(lr) *
+          (col(s"__g$j").cast("double") / col("__n")), 9)
+          .as(s"__w$j")): _*)
+        .localCheckpoint()
+    }
+    val terms = "intercept" +: featureCols
+    val stackArgs = terms.zipWithIndex
+      .map { case (t, j) => s"'${t.replace("'", "''")}', __w$j" }
+      .mkString(", ")
+    wFinal
+      .selectExpr(s"stack(${d + 1}, $stackArgs) AS (term, weight)")
+      .orderBy(col("term"))
+  }
+
   /** Depth-2 decision tree over one numeric feature — [[infoGainSplit]]
     * applied recursively: the root split partitions the rows, then each
     * side gets its own best split, yielding the 3-node model table a

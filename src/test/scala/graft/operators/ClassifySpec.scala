@@ -187,6 +187,60 @@ class ClassifySpec extends SparkSpec {
     }
   }
 
+  // --- quantileGD ----------------------------------------------------------
+
+  test("quantileGD: hand one-step update — all-positive y gives e = τ " +
+    "everywhere; τ asymmetry") {
+    val df = Seq((3.0, 2.0), (5.0, 4.0), (9.0, 6.0)).toDF("y", "x")
+    // step 1 from w = 0: margin 0 < y → indicator 0 → e = τ;
+    // w0 = lr·τ, wx = lr·τ·mean(x) = lr·τ·4
+    val w = Classify.quantileGD(df, "y", Seq("x"), tau = 0.5,
+      lr = 0.5, iters = 1)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(w("intercept") == 0.25)
+    assert(w("x") == 1.0)
+    val w9 = Classify.quantileGD(df, "y", Seq("x"), 0.9, 0.5, 1)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val w1 = Classify.quantileGD(df, "y", Seq("x"), 0.1, 0.5, 1)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(w9("intercept") > w1("intercept"))
+  }
+
+  test("quantileGD ≡ independent driver-side recursion over 3 steps; " +
+    "partitioning-invariant") {
+    def g9(x: Double): Double = math.rint(x * 1e9) / 1e9
+    val rows = (1 to 120).map { i =>
+      val x = (i % 11) / 10.0
+      (2.0 * x + (i % 7) * 0.3, x)
+    }
+    val df = rows.toDF("y", "x")
+    val (tau, lr) = (0.5, 0.4)
+    var (a, b) = (0.0, 0.0)
+    for (_ <- 1 to 3) {
+      val terms = rows.map { case (y, x) =>
+        val ind = if (y <= g9(a + x * b)) 1.0 else 0.0
+        (BigDecimal(g9(tau - ind)), BigDecimal(g9((tau - ind) * x)))
+      }
+      val n = rows.size
+      a = g9(a + lr * (terms.map(_._1).sum.toDouble / n))
+      b = g9(b + lr * (terms.map(_._2).sum.toDouble / n))
+    }
+    val w = Classify.quantileGD(df, "y", Seq("x"), tau, lr, 3)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(w("intercept") == a)
+    assert(w("x") == b)
+    val w2 = Classify.quantileGD(df.repartition(7), "y", Seq("x"),
+      tau, lr, 3)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(w2 == w)
+    intercept[IllegalArgumentException] {
+      Classify.quantileGD(df, "y", Seq("x"), 1.2, 0.5, 1)
+    }
+    intercept[IllegalArgumentException] {
+      Classify.quantileGD(df, "y", Seq.empty, 0.5, 0.5, 1)
+    }
+  }
+
   // --- decisionTreeDepth2 --------------------------------------------------
 
   test("decisionTreeDepth2: perfect root split; pure children still " +
