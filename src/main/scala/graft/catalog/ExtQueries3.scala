@@ -112,6 +112,24 @@ object ExtQueries3 {
           .withColumn("x1", col("l_quantity").cast("double") / 50.0)
           .withColumn("x2", col("l_discount").cast("double") * 10.0),
         "y", Seq("x1", "x2"), tau = 0.5, lr = 0.5, iters = 3)),
+
+    // --- count-min sketch point estimates ----------------------------------
+    // Per-type user-frequency sketch at (d=4, w=64) — deliberately
+    // collision-heavy so min-over-rows earns its keep; probes every 10th
+    // user against the exact counts.
+    "q249_cms_estimate" -> ((s, d) => {
+      val rows = ev(s, d).filter(col("user_id").isNotNull)
+      val sketch = graft.operators.Sketches.cmsCounts(
+        rows, Seq("event_type"), "user_id", depth = 4, width = 64)
+      val items = rows.filter(col("user_id") % 10 === 0)
+        .select(col("event_type"), col("user_id"))
+      val exact = rows.groupBy(col("event_type"), col("user_id"))
+        .agg(count(lit(1)).as("exact_n"))
+      graft.operators.Sketches.cmsEstimate(
+          sketch, items, Seq("event_type"), "user_id", depth = 4, width = 64)
+        .join(exact, Seq("event_type", "user_id"))
+        .orderBy(col("event_type"), col("user_id"))
+    }),
   )
 
   /** The q200 info-gain split-finder CTE chain, prefix-renamed so the
@@ -479,5 +497,34 @@ object ExtQueries3 {
            UNION ALL SELECT 'x1', b FROM w3
            UNION ALL SELECT 'x2', c FROM w3)
          ORDER BY term""",
+
+    // the identical md5-mod-width bucket arithmetic rebuilds the same
+    // sketch cell-for-cell; absent cells are true zeros via the left
+    // join
+    "q249_cms_estimate" ->
+      """WITH rows AS (SELECT event_type AS g, user_id,
+             CAST(user_id AS VARCHAR) AS it
+           FROM events WHERE user_id IS NOT NULL),
+         h AS (SELECT g, it, t.j AS j,
+             (('0x' || substr(md5('cms' || CAST(t.j AS VARCHAR) || '|' || it),
+               1, 13))::BIGINT % 64) AS b
+           FROM rows, range(0, 4) t(j)),
+         sk AS (SELECT g, j, b, count(*) AS n FROM h GROUP BY 1, 2, 3),
+         items AS (SELECT DISTINCT g, user_id, it FROM rows
+           WHERE user_id % 10 = 0),
+         ph AS (SELECT g, user_id, it, t.j AS j,
+             (('0x' || substr(md5('cms' || CAST(t.j AS VARCHAR) || '|' || it),
+               1, 13))::BIGINT % 64) AS b
+           FROM items, range(0, 4) t(j)),
+         est AS (SELECT ph.g, ph.user_id,
+             CAST(min(coalesce(sk.n, 0)) AS BIGINT) AS estimate
+           FROM ph LEFT JOIN sk ON sk.g = ph.g AND sk.j = ph.j
+             AND sk.b = ph.b
+           GROUP BY 1, 2),
+         ex AS (SELECT g, user_id, count(*) AS exact_n
+           FROM rows GROUP BY 1, 2)
+         SELECT est.g AS event_type, est.user_id AS user_id, estimate, exact_n
+         FROM est JOIN ex ON est.g = ex.g AND est.user_id = ex.user_id
+         ORDER BY est.g, est.user_id""",
   )
 }

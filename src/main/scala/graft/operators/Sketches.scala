@@ -140,4 +140,73 @@ object Sketches {
           fs.delete(s.getPath, true)
       }
   }
+
+  /** Count-min bucket for hash row `j` — the 52-bit md5 uniform's
+    * integer form mod `width` (the one hash every engine here shares),
+    * salted per row so the `depth` rows are independent. */
+  private def cmsBucket(item: org.apache.spark.sql.Column,
+                        j: org.apache.spark.sql.Column,
+                        width: Int, salt: String): org.apache.spark.sql.Column =
+    pmod(conv(substring(md5(concat(lit(salt), j.cast("string"),
+      lit("|"), item)), 1, 13), 16, 10).cast("long"), lit(width.toLong))
+
+  /** Count-min sketch as a FIRST-CLASS bucket-count table — point
+    * frequency estimates for EVERY key in fixed memory, the gap
+    * between [[HeavyHitters]] (only the heavy tail survives a
+    * Misra-Gries purge) and the exact [[AggStore]] (O(distinct keys)
+    * state). Each row of `df` increments `depth` counters
+    * (row j, bucket = md5(salt‖j‖item) mod width); a point estimate is
+    * the MIN over its `depth` counters — always ≥ the true count, and
+    * over by more than 2n/width with probability ≤ 2⁻ᵈᵉᵖᵗʰ
+    * (Cormode & Muthukrishnan 2005).
+    *
+    * Spark-native by construction, no custom aggregate: the sketch IS
+    * a (keys…, j, bucket, n) DataFrame of ≤ depth·width rows per
+    * group, built by one explode(depth) + map-side-combined count —
+    * and it is sum-MERGEABLE cell-wise, so persistence and batch
+    * append ride the [[AggStore]] discipline (sum cells per batch,
+    * re-sum on read) rather than needing a binary blob format. All
+    * hashing is the engine's cross-engine md5 arithmetic — a SQL
+    * oracle replays the identical sketch, cell for cell. */
+  def cmsCounts(df: DataFrame, keys: Seq[String], itemCol: String,
+                depth: Int = 4, width: Int = 256,
+                salt: String = "cms"): DataFrame = {
+    require(depth >= 1 && depth <= 16, s"depth must be in [1,16], got $depth")
+    require(width >= 2, s"width must be >= 2, got $width")
+    df.filter(col(itemCol).isNotNull)
+      .select(keys.map(col) :+ col(itemCol).cast("string").as("__it"): _*)
+      .withColumn("__j", explode(sequence(lit(0), lit(depth - 1))))
+      .withColumn("__b", cmsBucket(col("__it"), col("__j"), width, salt))
+      .groupBy(keys.map(col) :+ col("__j") :+ col("__b"): _*)
+      .agg(count(lit(1)).as("n"))
+      .select(keys.map(col) :+ col("__j").cast("int").as("j") :+
+        col("__b").as("bucket") :+ col("n"): _*)
+  }
+
+  /** Point-frequency estimates for the rows of `items` (same key
+    * columns + `itemCol`) against a [[cmsCounts]] sketch built with
+    * the SAME (depth, width, salt): explode each probe to its `depth`
+    * (j, bucket) cells, left-join the sketch (an absent cell is a
+    * true 0), min per probe. Work = probes × depth joined rows —
+    * never touches the original corpus. Output: (keys…, itemCol,
+    * estimate). */
+  def cmsEstimate(sketch: DataFrame, items: DataFrame, keys: Seq[String],
+                  itemCol: String, depth: Int = 4, width: Int = 256,
+                  salt: String = "cms"): DataFrame = {
+    require(depth >= 1 && depth <= 16, s"depth must be in [1,16], got $depth")
+    require(width >= 2, s"width must be >= 2, got $width")
+    val probes = items.filter(col(itemCol).isNotNull)
+      .select(keys.map(col) :+ col(itemCol).as(itemCol): _*)
+      .distinct()
+      .withColumn("__it", col(itemCol).cast("string"))
+      .withColumn("__j", explode(sequence(lit(0), lit(depth - 1))))
+      .select(keys.map(col) ++ Seq(col(itemCol), col("__it"),
+        col("__j").cast("int").as("j"),
+        cmsBucket(col("__it"), col("__j"), width, salt).as("bucket")): _*)
+    probes
+      .join(sketch.withColumnRenamed("n", "__n"),
+        keys :+ "j" :+ "bucket", "left")
+      .groupBy(keys.map(col) :+ col(itemCol): _*)
+      .agg(min(coalesce(col("__n"), lit(0L))).as("estimate"))
+  }
 }

@@ -101,4 +101,69 @@ class SketchesSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("no sketch store"))
   }
+
+  // --- count-min sketch ----------------------------------------------------
+
+  private def cmsRows = (1 to 600).map(i =>
+    ((i % 2).toString, (i % 37).toString)).toDF("g", "item")
+
+  test("cms: every estimate >= exact; exact at generous width " +
+    "(deterministic hashing — passes once, passes forever)") {
+    val exact = cmsRows.groupBy("g", "item").count()
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    // collision-heavy narrow sketch: >= always
+    val narrow = Sketches.cmsEstimate(
+        Sketches.cmsCounts(cmsRows, Seq("g"), "item", depth = 4, width = 8),
+        cmsRows.select("g", "item"), Seq("g"), "item", depth = 4, width = 8)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(narrow.keySet == exact.keySet)
+    narrow.foreach { case (k, est) => assert(est >= exact(k), s"$k") }
+    assert(narrow.exists { case (k, est) => est > exact(k) }) // width 8 MUST collide
+    // 37 items into 4096 buckets x 4 rows: no colliding row set
+    val wide = Sketches.cmsEstimate(
+        Sketches.cmsCounts(cmsRows, Seq("g"), "item", width = 4096),
+        cmsRows.select("g", "item"), Seq("g"), "item", width = 4096)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(wide == exact)
+  }
+
+  test("cms: sketches are cell-wise sum-mergeable (batch == union)") {
+    val a = cmsRows.filter(col("item").cast("int") < 20)
+    val b = cmsRows.filter(col("item").cast("int") >= 20)
+    val merged = Sketches.cmsCounts(a, Seq("g"), "item", width = 16)
+      .unionByName(Sketches.cmsCounts(b, Seq("g"), "item", width = 16))
+      .groupBy("g", "j", "bucket").agg(sum("n").as("n"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)) ->
+        r.getLong(3)).toMap
+    val whole = Sketches.cmsCounts(cmsRows, Seq("g"), "item", width = 16)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)) ->
+        r.getLong(3)).toMap
+    assert(merged == whole)
+  }
+
+  test("cms: unseen probe estimates its bucket load, never errors; " +
+    "partitioning-invariant; guards") {
+    val probes = Seq(("0", "zzz-unseen"), ("1", "5")).toDF("g", "item")
+    val sk = Sketches.cmsCounts(cmsRows, Seq("g"), "item", width = 8)
+    val est = Sketches.cmsEstimate(sk, probes, Seq("g"), "item", width = 8)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(est.size == 2 && est.values.forall(_ >= 0L))
+    val est2 = Sketches.cmsEstimate(
+        Sketches.cmsCounts(cmsRows.repartition(13), Seq("g"), "item",
+          width = 8),
+        probes, Seq("g"), "item", width = 8)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(est2 == est)
+    intercept[IllegalArgumentException] {
+      Sketches.cmsCounts(cmsRows, Seq("g"), "item", depth = 0)
+    }
+    intercept[IllegalArgumentException] {
+      Sketches.cmsCounts(cmsRows, Seq("g"), "item", width = 1)
+    }
+  }
 }
