@@ -130,6 +130,23 @@ object ExtQueries3 {
         .join(exact, Seq("event_type", "user_id"))
         .orderBy(col("event_type"), col("user_id"))
     }),
+
+    // --- per-cluster embedding centroid drift ------------------------------
+    // The q103 frozen-centroid assignment, corpus split into two
+    // pseudo-epochs by vec_id parity; drift = per-cluster mean-vector
+    // displacement.
+    "q250_centroid_drift" -> ((s, d) => {
+      val emb = t(s, d, "embeddings").filter(col("embedding").isNotNull)
+      val centroids = emb.filter(col("vec_id") < 8)
+        .select((col("vec_id") + 1L).as("cluster_id"),
+          col("embedding").cast("array<double>").as("centroid"))
+      val assigned = graft.operators.KMeans.assign(
+          emb, "embedding", "vec_id", centroids)
+        .withColumn("epoch", pmod(col("vec_id"), lit(2L)))
+      graft.functions.VectorFunctions.centroidDrift(
+          assigned, "cluster_id", "epoch", "embedding")
+        .orderBy(col("cluster_id"))
+    }),
   )
 
   /** The q200 info-gain split-finder CTE chain, prefix-renamed so the
@@ -526,5 +543,47 @@ object ExtQueries3 {
          SELECT est.g AS event_type, est.user_id AS user_id, estimate, exact_n
          FROM est JOIN ex ON est.g = ex.g AND est.user_id = ex.user_id
          ORDER BY est.g, est.user_id""",
+
+    // the q103 argmin assignment, then per-(cluster, parity, dim)
+    // 9-grid DECIMAL means and one sqrt over the summed squared gaps
+    "q250_centroid_drift" ->
+      """WITH c AS (
+           SELECT CAST(vec_id + 1 AS BIGINT) AS cluster_id,
+             embedding AS centroid
+           FROM embeddings WHERE vec_id < 8),
+         d AS (
+           SELECT e.vec_id, c.cluster_id,
+             sum((CAST(e.embedding[CAST(i AS INT)] AS DOUBLE) - CAST(c.centroid[CAST(i AS INT)] AS DOUBLE))
+               * (CAST(e.embedding[CAST(i AS INT)] AS DOUBLE) - CAST(c.centroid[CAST(i AS INT)] AS DOUBLE))) AS d2
+           FROM embeddings e, c, generate_series(1, 64) AS g(i)
+           GROUP BY e.vec_id, c.cluster_id),
+         best AS (
+           SELECT vec_id, cluster_id,
+             row_number() OVER (PARTITION BY vec_id
+               ORDER BY d2 ASC, cluster_id ASC) AS rn
+           FROM d),
+         rows AS (
+           SELECT b.cluster_id, e.vec_id % 2 AS ep, e.embedding
+           FROM embeddings e JOIN best b ON e.vec_id = b.vec_id
+           WHERE b.rn = 1 AND e.embedding IS NOT NULL),
+         counts AS (SELECT cluster_id,
+             sum(CASE WHEN ep = 0 THEN 1 ELSE 0 END) AS n_a,
+             sum(CASE WHEN ep <> 0 THEN 1 ELSE 0 END) AS n_b
+           FROM rows GROUP BY 1),
+         dm AS (SELECT cluster_id, ep, i,
+             round(CAST(sum(CAST(round(CAST(embedding[CAST(i AS INT)] AS DOUBLE), 9)
+               AS DECIMAL(28,9))) AS DOUBLE) / count(*), 9) AS m
+           FROM rows, generate_series(1, 64) AS g(i)
+           GROUP BY 1, 2, 3),
+         dr AS (SELECT a.cluster_id,
+             round(sqrt(CAST(sum(CAST(round((a.m - b.m) * (a.m - b.m), 9)
+               AS DECIMAL(38,9))) AS DOUBLE)), 6) AS drift
+           FROM dm a JOIN dm b ON a.cluster_id = b.cluster_id
+             AND a.i = b.i AND a.ep = 0 AND b.ep = 1
+           GROUP BY 1)
+         SELECT co.cluster_id, CAST(n_a AS BIGINT) AS n_a,
+           CAST(n_b AS BIGINT) AS n_b, drift
+         FROM counts co LEFT JOIN dr USING (cluster_id)
+         ORDER BY cluster_id""",
   )
 }

@@ -244,6 +244,57 @@ object VectorFunctions {
       .agg((sum(round(col("__x").cast("double"), 9).cast("decimal(28,9)"))
         .cast("double") / count(lit(1))).as("mean"))
 
+  /** Per-cluster embedding drift between two epochs — the
+    * representation-shift monitor an embedding corpus needs the way a
+    * numeric column needs [[graft.operators.Eval.psi]]: assign both
+    * epochs to the SAME frozen centroids (the build-once probe-many
+    * discipline), then per cluster compare the epoch-A and epoch-B
+    * member centroids. Output per cluster: member counts and the L2
+    * displacement ‖mean_A − mean_B‖ of its mean vector — a cluster
+    * whose population drifts semantically moves its centroid even when
+    * its SIZE holds steady, and vice versa.
+    *
+    * `epochCol` contract: 0 = epoch A, anything else = epoch B. A
+    * cluster missing an epoch entirely reports its counts with a null
+    * drift (unmeasurable, not 0 — the rocAuc convention). Per-dim
+    * means come from the [[dimMeans]] 9-grid DECIMAL discipline and
+    * round to the 9-grid before differencing; squared gaps re-round
+    * into a DECIMAL(38,9) sum; ONE sqrt at the end, rounded 6.
+    *
+    * Scale shape: one narrow posexplode + one (cluster, epoch, dim)-
+    * keyed partial-agg shuffle; everything after is clusters × dims
+    * rows. */
+  def centroidDrift(df: DataFrame, clusterCol: String, epochCol: String,
+                    vecCol: String): DataFrame = {
+    val rows = df.filter(col(vecCol).isNotNull)
+      .select(col(clusterCol).as("__c"),
+        (col(epochCol).cast("long") =!= 0L).as("__b"), col(vecCol).as("__v"))
+    val counts = rows.groupBy(col("__c"))
+      .agg(sum(when(!col("__b"), 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("__b"), 1L).otherwise(0L)).as("n_b"))
+    val dims = rows
+      .select(col("__c"), col("__b"),
+        posexplode(col("__v")).as(Seq("__i", "__x")))
+      .groupBy(col("__c"), col("__b"), col("__i"))
+      .agg(round(sum(round(col("__x").cast("double"), 9)
+          .cast("decimal(28,9)")).cast("double") / count(lit(1)), 9)
+        .as("__m"))
+    val a = dims.filter(!col("__b"))
+      .select(col("__c"), col("__i"), col("__m").as("__ma"))
+    val b = dims.filter(col("__b"))
+      .select(col("__c"), col("__i"), col("__m").as("__mb"))
+    val drift = a.join(b, Seq("__c", "__i"))
+      .groupBy(col("__c"))
+      .agg(sum(round((col("__ma") - col("__mb")) *
+          (col("__ma") - col("__mb")), 9).cast("decimal(38,9)"))
+        .as("__s2"))
+      .select(col("__c"),
+        round(sqrt(col("__s2").cast("double")), 6).as("drift"))
+    counts.join(drift, Seq("__c"), "left")
+      .select(col("__c").as(clusterCol), col("n_a"), col("n_b"),
+        col("drift"))
+  }
+
   /** Per-dimension corpus statistics: (dim, mean, std) with population
     * std from 9-grid DECIMAL sums of x and x² — partition-order
     * independent (the [[dimMeans]] discipline), so both moments are

@@ -187,4 +187,43 @@ class VectorFunctionsSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       VectorFunctions.powerIteration(cov, iterations = 0))
   }
+
+  // --- centroidDrift -------------------------------------------------------
+
+  test("centroidDrift: identical epochs → 0; a planted per-dim shift " +
+    "reads back exactly") {
+    val same = Seq(
+      (1L, 0L, Seq(1.0, 2.0)), (1L, 1L, Seq(1.0, 2.0)),
+      (2L, 0L, Seq(5.0, 5.0)), (2L, 1L, Seq(5.0, 5.0)))
+      .toDF("cluster_id", "epoch", "v")
+    val r0 = VectorFunctions.centroidDrift(same, "cluster_id", "epoch", "v")
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(r0 == Map(1L -> 0.0, 2L -> 0.0))
+    // epoch B mean shifted +0.3 on dim 1, −0.4 on dim 2 → drift 0.5
+    val shifted = Seq(
+      (1L, 0L, Seq(1.0, 2.0)), (1L, 0L, Seq(3.0, 4.0)),
+      (1L, 1L, Seq(1.3, 1.6)), (1L, 1L, Seq(3.3, 3.6)))
+      .toDF("cluster_id", "epoch", "v")
+    val r1 = VectorFunctions.centroidDrift(shifted, "cluster_id",
+      "epoch", "v").collect().head
+    assert(r1.getLong(1) == 2L && r1.getLong(2) == 2L)
+    assert(r1.getDouble(3) == 0.5)
+  }
+
+  test("centroidDrift: a cluster missing an epoch → counts + null drift; " +
+    "partitioning-invariant") {
+    val df = Seq(
+      (1L, 0L, Seq(1.0, 1.0)), (1L, 1L, Seq(2.0, 1.0)),
+      (7L, 0L, Seq(9.0, 9.0)), (7L, 0L, Seq(8.0, 8.0)))
+      .toDF("cluster_id", "epoch", "v")
+    val out = VectorFunctions.centroidDrift(df, "cluster_id", "epoch", "v")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getDouble(3) == 1.0)
+    assert(out(7L).getLong(1) == 2L && out(7L).getLong(2) == 0L &&
+      out(7L).isNullAt(3))
+    val out2 = VectorFunctions.centroidDrift(df.repartition(9),
+        "cluster_id", "epoch", "v")
+      .collect().map(r => r.getLong(0) -> r.toSeq).toMap
+    assert(out2 == out.map { case (k, r) => k -> r.toSeq })
+  }
 }
