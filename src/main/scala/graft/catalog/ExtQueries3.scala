@@ -147,6 +147,33 @@ object ExtQueries3 {
           assigned, "cluster_id", "epoch", "embedding")
         .orderBy(col("cluster_id"))
     }),
+
+    // --- empirical-CDF quantile transform ----------------------------------
+    // Rank-uniform code table for l_quantity per return flag (a
+    // naturally discrete column — the grid contract).
+    "q251_quantile_transform" -> ((s, d) =>
+      graft.operators.Features.quantileTransform(
+          t(s, d, "lineitem"), "l_returnflag", "l_quantity")
+        .orderBy(col("l_returnflag"), col("value"))),
+
+    // --- autocorrelation function ------------------------------------------
+    // ACF to lag 7 of the daily event-count series per type: the
+    // weekly-period detector for q213/q236.
+    "q252_acf" -> ((s, d) =>
+      graft.operators.TimeSeries.autocorrelation(
+          ev(s, d).groupBy(col("event_type"),
+              col("ts").cast("date").as("day"))
+            .agg(count(lit(1)).cast("double").as("cnt")),
+          "event_type", "day", "cnt", maxLag = 7)
+        .orderBy(col("event_type"), col("lag"))),
+
+    // --- conversion-lag distribution ---------------------------------------
+    // Minutes from first signup to first at-or-after purchase, exact
+    // grid-walk order statistics.
+    "q253_conversion_lag" -> ((s, d) =>
+      graft.operators.Funnel.conversionLag(
+        ev(s, d), "user_id", "ts", "event_type",
+        "signup", "purchase", unitSeconds = 60L)),
   )
 
   /** The q200 info-gain split-finder CTE chain, prefix-renamed so the
@@ -585,5 +612,83 @@ object ExtQueries3 {
            CAST(n_b AS BIGINT) AS n_b, drift
          FROM counts co LEFT JOIN dr USING (cluster_id)
          ORDER BY cluster_id""",
+
+    // u = (2·cum − c)/(2n) — exact integers until the single round
+    "q251_quantile_transform" ->
+      """WITH lvl AS (SELECT l_returnflag AS g,
+             CAST(l_quantity AS DOUBLE) AS v, count(*) AS c
+           FROM lineitem WHERE l_quantity IS NOT NULL GROUP BY 1, 2),
+         tot AS (SELECT g, sum(c) AS n FROM lvl GROUP BY 1),
+         w AS (SELECT g, v, c,
+             sum(c) OVER (PARTITION BY g ORDER BY v) AS cum FROM lvl)
+         SELECT w.g AS l_returnflag, v AS value,
+           CAST(c AS BIGINT) AS n_at_value,
+           round(CAST(2 * cum - c AS DOUBLE) / (2 * n), 6) AS u
+         FROM w JOIN tot USING (g) ORDER BY l_returnflag, value""",
+
+    // same keyed-position self-join construction; products 9-grid
+    // rounded into DECIMAL(38,9), one division per (key, lag)
+    "q252_acf" ->
+      """WITH srs AS (SELECT event_type AS g, CAST(ts AS DATE) AS day,
+             CAST(count(*) AS DOUBLE) AS v
+           FROM events GROUP BY 1, 2),
+         pos AS (SELECT g, v,
+             row_number() OVER (PARTITION BY g ORDER BY day) AS p
+           FROM srs),
+         mu AS (SELECT g, round(CAST(sum(CAST(round(v, 9)
+             AS DECIMAL(38,9))) AS DOUBLE) / count(*), 9) AS mu
+           FROM pos GROUP BY 1),
+         cen AS (SELECT pos.g, p, v - mu AS e FROM pos JOIN mu USING (g)),
+         den AS (SELECT g, sum(CAST(round(e * e, 9) AS DECIMAL(38,9))) AS d
+           FROM cen GROUP BY 1),
+         pairs AS (SELECT a.g, t.lg, a.e AS e, b.e AS ep
+           FROM cen a CROSS JOIN range(1, 8) t(lg)
+           JOIN cen b ON b.g = a.g AND b.p = a.p - t.lg),
+         num AS (SELECT g, lg, count(*) AS n_terms,
+             sum(CAST(round(e * ep, 9) AS DECIMAL(38,9))) AS num
+           FROM pairs GROUP BY 1, 2)
+         SELECT num.g AS event_type, CAST(lg AS INT) AS lag,
+           n_terms,
+           round(CASE WHEN d <> 0 THEN
+             CAST(num AS DOUBLE) / CAST(d AS DOUBLE) END, 6) AS r
+         FROM num JOIN den USING (g) ORDER BY event_type, lag""",
+
+    // floor-to-minute lag grid + the exact ceil-rank order statistics;
+    // both engines floor epoch seconds before differencing
+    "q253_conversion_lag" ->
+      """WITH rows AS (SELECT user_id AS u, event_type AS ty,
+             CAST(ts AS TIMESTAMP) AS ts
+           FROM events WHERE ts IS NOT NULL
+             AND event_type IN ('signup', 'purchase')),
+         ff AS (SELECT u, min(ts) AS f FROM rows
+           WHERE ty = 'signup' GROUP BY 1),
+         cu AS (SELECT r.u, ff.f, min(r.ts) AS t
+           FROM rows r JOIN ff ON r.u = ff.u
+           WHERE r.ty = 'purchase' AND r.ts >= ff.f
+           GROUP BY r.u, ff.f),
+         lags AS (SELECT u, CAST(floor(
+             (CAST(floor(epoch(t)) AS BIGINT)
+               - CAST(floor(epoch(f)) AS BIGINT)) / 60) AS BIGINT) AS lg
+           FROM cu),
+         started AS (SELECT count(*) AS n_started FROM ff),
+         lvl AS (SELECT lg, count(*) AS c FROM lags GROUP BY 1),
+         conv AS (SELECT coalesce(sum(c), 0) AS n_converted,
+             min(lg) AS min_lag, max(lg) AS max_lag FROM lvl),
+         w AS (SELECT lg, c, sum(c) OVER (ORDER BY lg) AS cum FROM lvl),
+         p50 AS (SELECT lg AS p50_lag FROM w, conv
+           WHERE cum >= ceil(CAST(n_converted AS DOUBLE)
+               * CAST(0.5 AS DOUBLE))
+             AND cum - c < ceil(CAST(n_converted AS DOUBLE)
+               * CAST(0.5 AS DOUBLE))),
+         p90 AS (SELECT lg AS p90_lag FROM w, conv
+           WHERE cum >= ceil(CAST(n_converted AS DOUBLE)
+               * CAST(0.9 AS DOUBLE))
+             AND cum - c < ceil(CAST(n_converted AS DOUBLE)
+               * CAST(0.9 AS DOUBLE)))
+         SELECT CAST(n_started AS BIGINT) AS n_started,
+           CAST(n_converted AS BIGINT) AS n_converted,
+           min_lag, p50_lag, p90_lag, max_lag
+         FROM started, conv
+         LEFT JOIN p50 ON true LEFT JOIN p90 ON true""",
   )
 }

@@ -273,6 +273,36 @@ object Features {
         round((col("obs") - e) * (col("obs") - e) / e, 4).as("contrib"))
   }
 
+  /** Empirical-CDF (rank-uniform) quantile transform — the monotone
+    * map to [0,1] that kills ANY marginal distribution shape before a
+    * scale-sensitive consumer (k-means, LSH on mixed features, linear
+    * probes): each distinct value maps to its midrank position
+    * u = (cum − c/2)/n (Hazen plotting position — symmetric, so the
+    * transform of a reversed column is 1 − u of the original). Emitted
+    * as a per-group VALUE→u code table (the [[targetEncode]]
+    * convention: auditable, reusable on serving data via a join; the
+    * caller materializes the feature).
+    *
+    * The walk runs on the per-group distinct-VALUE grid
+    * ([[graft.operators.Ranks.groupedCumSum]] — the Eval discipline:
+    * round truly continuous columns first or the grid IS the corpus).
+    * u derives from exact integers, (2·cum − c)/(2n), so both engines
+    * agree to the bit before the single 6-grid round. Null values
+    * drop. Output: (groupCol, value, n_at_value, u). */
+  def quantileTransform(df: DataFrame, groupCol: String,
+                        valCol: String): DataFrame = {
+    val lvl = df.filter(col(valCol).isNotNull)
+      .select(col(groupCol).as("__g"), col(valCol).cast("double").as("__v"))
+      .groupBy(col("__g"), col("__v")).agg(count(lit(1)).as("__c"))
+    val tot = lvl.groupBy(col("__g")).agg(sum(col("__c")).as("__n"))
+    graft.operators.Ranks.groupedCumSum(lvl, Seq("__g"), "__v", Seq("__c"))
+      .join(tot, "__g")
+      .select(col("__g").as(groupCol), col("__v").as("value"),
+        col("__c").as("n_at_value"),
+        round((lit(2L) * col("cum___c") - col("__c")).cast("double") /
+          (lit(2L) * col("__n")), 6).as("u"))
+  }
+
   /** G-test (log-likelihood ratio) contingency table between two
     * categorical columns — [[chiSquare]]'s information-theoretic twin:
     * per cell the contribution 2·o·ln(o/e). G sums to exactly

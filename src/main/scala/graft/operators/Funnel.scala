@@ -196,4 +196,56 @@ object Funnel {
         round(col("n_users").cast("double") / col("__n"), 6).as("support"))
       .orderBy(col("support").desc, col("from_type"), col("to_type"))
   }
+
+  /** Conversion-lag distribution — how long users take from their
+    * first `fromType` to their first `toType` AT OR AFTER it, the
+    * "time to convert" readout [[funnel]]'s step counts and
+    * [[cohortRetention]]'s day buckets both flatten away. Per user:
+    * lag = min ts(to ≥ first from) − min ts(from), bucketed to whole
+    * `unitSeconds` (floor); users who never convert are counted
+    * (n_started vs n_converted) but contribute no lag.
+    *
+    * The summary percentiles are EXACT ⌈q·n⌉-th order statistics off
+    * the lag-level grid ([[graft.operators.Ranks.groupedCumSum]] — the
+    * conformal discipline; the floor-to-unit bucketing is what keeps
+    * the grid far below corpus size). Per-user reductions are two
+    * conditional min aggs on ONE user-keyed shuffle. Output one row:
+    * (n_started, n_converted, min_lag, p50_lag, p90_lag, max_lag) in
+    * units; the lag order statistics are null when nobody converts. */
+  def conversionLag(events: DataFrame, userCol: String, tsCol: String,
+                    typeCol: String, fromType: String, toType: String,
+                    unitSeconds: Long = 60L): DataFrame = {
+    require(unitSeconds >= 1, s"unitSeconds must be >= 1, got $unitSeconds")
+    val rows = events
+      .filter(col(tsCol).isNotNull && col(typeCol).isin(fromType, toType))
+      .select(col(userCol).as("__u"), col(typeCol).as("__ty"),
+        col(tsCol).cast("timestamp").as("__ts"))
+    val firstFrom = rows.filter(col("__ty") === fromType)
+      .groupBy(col("__u")).agg(min(col("__ts")).as("__f"))
+    val lags = rows.filter(col("__ty") === toType)
+      .join(firstFrom, "__u")
+      .filter(col("__ts") >= col("__f"))
+      .groupBy(col("__u"), col("__f")).agg(min(col("__ts")).as("__t"))
+      .select(col("__u"),
+        floor((unix_timestamp(col("__t")) - unix_timestamp(col("__f"))) /
+          lit(unitSeconds)).as("__lag"))
+    val started = firstFrom.agg(count(lit(1)).as("n_started"))
+    val lvl = lags.groupBy(col("__lag")).agg(count(lit(1)).as("__c"))
+    val conv = lvl.agg(coalesce(sum(col("__c")), lit(0L)).as("n_converted"),
+      min(col("__lag")).as("min_lag"), max(col("__lag")).as("max_lag"))
+    val walked = Ranks.groupedCumSum(lvl, Seq.empty, "__lag", Seq("__c"))
+      .crossJoin(broadcast(conv.select(col("n_converted").as("__n"))))
+    def pick(q: Double, out: String): DataFrame = {
+      val rank = ceil(col("__n").cast("double") * lit(q))
+      walked
+        .filter(col("cum___c") >= rank &&
+          col("cum___c") - col("__c") < rank)
+        .select(col("__lag").as(out))
+    }
+    started.crossJoin(conv)
+      .join(pick(0.5, "p50_lag"), lit(true), "left")
+      .join(pick(0.9, "p90_lag"), lit(true), "left")
+      .select(col("n_started"), col("n_converted"), col("min_lag"),
+        col("p50_lag"), col("p90_lag"), col("max_lag"))
+  }
 }

@@ -506,6 +506,57 @@ object TimeSeries {
             (col("__sn").cast("double") / col("__nn"))), 6).as("mase"))
   }
 
+  /** Autocorrelation function per key up to `maxLag` — the standard
+    * biased estimator r_l = Σ_{t>l}(x_t−μ)(x_{t−l}−μ) / Σ(x_t−μ)²:
+    * the periodicity detector that picks [[holtWintersForecast]]'s
+    * `period` and validates [[seasonalDecompose]]'s choice (a true
+    * weekly cycle spikes r_7), and the independence check behind every
+    * i.i.d.-assuming test in [[Eval]].
+    *
+    * Shape: per-key positions from a keyed row_number (each key's
+    * series sorts inside its own partition), then ONE self-join on
+    * (key, pos − lag) after a lag-explode — n·maxLag joined rows, all
+    * key-co-partitioned; μ and the denominator come from one keyed
+    * moment agg. Products round to the 9-grid into DECIMAL(38,9) sums
+    * (bit-stable across partitionings/engines); one division per
+    * (key, lag). Keys shorter than lag+1 emit no row at that lag;
+    * constant series (zero denominator) emit null r. Output:
+    * (keyCol, lag, n_terms, r rounded 6) for lag 1..maxLag. */
+  def autocorrelation(df: DataFrame, keyCol: String, tsCol: String,
+                      valCol: String, maxLag: Int): DataFrame = {
+    require(maxLag >= 1, s"maxLag must be >= 1, got $maxLag")
+    val w = Window.partitionBy(col("__k")).orderBy(col("__t"))
+    val rows = df.filter(col(tsCol).isNotNull && col(valCol).isNotNull)
+      .select(col(keyCol).as("__k"), col(tsCol).as("__t"),
+        col(valCol).cast("double").as("__v"))
+      .withColumn("__p", row_number().over(w))
+    val dec38 = (c: Column) => round(c, 9).cast("decimal(38,9)")
+    val stats = rows.groupBy(col("__k"))
+      .agg(count(lit(1)).as("__n"), sum(dec38(col("__v"))).as("__s"))
+      .select(col("__k"),
+        round(col("__s").cast("double") / col("__n"), 9).as("__mu"))
+    val centered = rows.join(broadcast(stats), "__k")
+    val denom = centered.groupBy(col("__k"))
+      .agg(sum(dec38((col("__v") - col("__mu")) *
+        (col("__v") - col("__mu")))).as("__d"))
+    val cur = centered.select(col("__k"), col("__p"),
+        (col("__v") - col("__mu")).as("__e"))
+      .withColumn("__lag", explode(sequence(lit(1), lit(maxLag))))
+    val prev = centered.select(col("__k").as("__k2"),
+      col("__p").as("__pp"), (col("__v") - col("__mu")).as("__ep"))
+    cur.join(prev, col("__k") === col("__k2") &&
+        col("__p") - col("__lag") === col("__pp"))
+      .groupBy(col("__k"), col("__lag"))
+      .agg(count(lit(1)).as("n_terms"),
+        sum(dec38(col("__e") * col("__ep"))).as("__num"))
+      .join(denom, "__k")
+      .select(col("__k").as(keyCol), col("__lag").cast("int").as("lag"),
+        col("n_terms"),
+        round(when(col("__d") =!= 0,
+          col("__num").cast("double") / col("__d").cast("double")), 6)
+          .as("r"))
+  }
+
   /** Theil–Sen robust trend per key — slope = the median of all
     * pairwise slopes (v_j−v_i)/(t_j−t_i), intercept = the median of
     * v_i − slope·t_i: the trend estimate a 29%-outlier-contaminated

@@ -139,6 +139,41 @@ class FeaturesSpec2 extends SparkSpec {
     assert(math.abs(g - 2 * 80 * mi) < 1e-4)
   }
 
+  // --- quantileTransform ---------------------------------------------------
+
+  test("quantileTransform: midrank positions — hand case, symmetry, " +
+    "ties share one row") {
+    // g: values 1,2,2,4 → levels (1,c1,u=0.125) (2,c2,u=0.5) (4,c1,u=0.875)
+    val df = Seq(("g", 1.0), ("g", 2.0), ("g", 2.0), ("g", 4.0))
+      .toDF("grp", "v")
+    val out = Features.quantileTransform(df, "grp", "v")
+      .collect().map(r => r.getDouble(1) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(out == Map(1.0 -> ((1L, 0.125)), 2.0 -> ((2L, 0.5)),
+      4.0 -> ((1L, 0.875))))
+    // symmetry: u(v) + u(-v reversed) = 1
+    val neg = Features.quantileTransform(
+        df.select(col("grp"), (-col("v")).as("v")), "grp", "v")
+      .collect().map(r => r.getDouble(1) -> r.getDouble(3)).toMap
+    out.foreach { case (v, (_, u)) => assert(neg(-v) + u == 1.0) }
+  }
+
+  test("quantileTransform: groups independent; u strictly increasing " +
+    "in value; partitioning-invariant") {
+    val df = (1 to 100).map(i =>
+      ((i % 3).toString, (i % 13).toDouble)).toDF("grp", "v")
+    val rows = Features.quantileTransform(df, "grp", "v")
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(3)))
+    rows.groupBy(_._1).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_._2).map(_._3).toSeq
+      assert(sorted == sorted.sorted && sorted.distinct == sorted)
+    }
+    val again = Features.quantileTransform(df.repartition(11), "grp", "v")
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(3)))
+      .sortBy(r => (r._1, r._2))
+    assert(again.toSeq == rows.sortBy(r => (r._1, r._2)).toSeq)
+  }
+
   test("gTest matches chiSquare's margins and beats it on a sparse cell") {
     val df = Seq.fill(50)(("a", "x")) ++ Seq.fill(1)(("a", "y")) ++
       Seq.fill(40)(("b", "x")) ++ Seq.fill(9)(("b", "y"))

@@ -171,4 +171,52 @@ class FunnelSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
     assert(out == Map(("a", "a") -> 1L))
   }
+
+  // --- conversionLag -------------------------------------------------------
+
+  test("conversionLag: hand case — first-from to first-at-or-after-to, " +
+    "floor-to-unit, exact order stats") {
+    val e = Seq(
+      // u1: signup at 100s, purchases at 50s (before — ignored) and 400s
+      // → lag = floor(300/60) = 5
+      (1L, "signup", ts(100L)), (1L, "purchase", ts(50L)),
+      (1L, "purchase", ts(400L)),
+      // u2: signup 0s, purchase 0s (simultaneous counts) → lag 0
+      (2L, "signup", ts(0L)), (2L, "purchase", ts(0L)),
+      // u3: signup, never purchases
+      (3L, "signup", ts(10L)),
+      // u4: purchase only — not started
+      (4L, "purchase", ts(5L)))
+      .toDF("u", "t", "ts")
+    val r = Funnel.conversionLag(e, "u", "ts", "t", "signup", "purchase")
+      .collect().head
+    assert(r.getLong(0) == 3L) // u1, u2, u3 started
+    assert(r.getLong(1) == 2L) // u1, u2 converted
+    assert(r.getLong(2) == 0L) // min
+    assert(r.getLong(3) == 0L) // p50: ceil(2·0.5)=1st of [0,5]
+    assert(r.getLong(4) == 5L) // p90: ceil(2·0.9)=2nd
+    assert(r.getLong(5) == 5L) // max
+  }
+
+  test("conversionLag: nobody converts → counts with null order stats; " +
+    "partitioning-invariant on a spread case") {
+    val none = Seq((1L, "signup", ts(0L)), (2L, "signup", ts(5L)))
+      .toDF("u", "t", "ts")
+    val r0 = Funnel.conversionLag(none, "u", "ts", "t", "signup",
+      "purchase").collect().head
+    assert(r0.getLong(0) == 2L && r0.getLong(1) == 0L)
+    assert(r0.isNullAt(2) && r0.isNullAt(3) && r0.isNullAt(4) &&
+      r0.isNullAt(5))
+    val many = (1 to 50).flatMap(i => Seq(
+      (i.toLong, "signup", ts(i * 10L)),
+      (i.toLong, "purchase", ts(i * 10L + i * 60L))))
+      .toDF("u", "t", "ts")
+    val a = Funnel.conversionLag(many, "u", "ts", "t", "signup",
+      "purchase").collect().head
+    val b = Funnel.conversionLag(many.repartition(9), "u", "ts", "t",
+      "signup", "purchase").collect().head
+    assert(a.toSeq == b.toSeq)
+    // lags are exactly 1..50 minutes → floor = i; p50 = 25th, p90 = 45th
+    assert(a.getLong(3) == 25L && a.getLong(4) == 45L)
+  }
 }

@@ -157,6 +157,47 @@ class TimeSeriesSpec3 extends SparkSpec {
     assert(out2 == exp)
   }
 
+  // --- autocorrelation -----------------------------------------------------
+
+  test("autocorrelation ≡ textbook estimator on a hand series; " +
+    "period spike detected") {
+    def g9(x: Double): Double = math.rint(x * 1e9) / 1e9
+    val vals = Seq(2.0, 4.0, 2.0, 4.0, 2.0, 4.0, 2.0, 4.0)
+    val df = vals.zipWithIndex.map { case (v, i) => ("k", i, v) }
+      .toDF("g", "t", "v")
+    val out = TimeSeries.autocorrelation(df, "g", "t", "v", maxLag = 3)
+      .collect().map(r => r.getInt(1) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    val mu = vals.sum / vals.size
+    def ref(l: Int): Double = {
+      val num = (l until vals.size)
+        .map(t => BigDecimal(g9((vals(t) - mu) * (vals(t - l) - mu)))).sum
+      val den = vals.map(v => BigDecimal(g9((v - mu) * (v - mu)))).sum
+      math.rint((num / den).toDouble * 1e6) / 1e6
+    }
+    (1 to 3).foreach { l =>
+      assert(out(l)._1 == (vals.size - l).toLong)
+      assert(out(l)._2 == ref(l), s"lag $l")
+    }
+    // the alternating series has r1 < 0 < r2 (period-2 cycle)
+    assert(out(1)._2 < 0 && out(2)._2 > 0)
+  }
+
+  test("autocorrelation: constant series → null r; short keys emit no " +
+    "row past their length; groups independent") {
+    val df = (Seq.tabulate(6)(i => ("const", i, 5.0)) ++
+      Seq(("short", 0, 1.0), ("short", 1, 2.0)))
+      .toDF("g", "t", "v")
+    val out = TimeSeries.autocorrelation(df, "g", "t", "v", maxLag = 4)
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r).toMap
+    (1 to 4).foreach(l => assert(out(("const", l)).isNullAt(3)))
+    assert(out.contains(("short", 1)) && !out.contains(("short", 2)))
+    val out2 = TimeSeries.autocorrelation(df.repartition(7), "g", "t",
+        "v", maxLag = 4)
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.toSeq).toMap
+    assert(out2 == out.map { case (k, r) => k -> r.toSeq })
+  }
+
   // --- seasonalOutliers ----------------------------------------------------
 
   test("seasonalOutliers flags a planted spike but not the seasonal peak") {
