@@ -174,6 +174,52 @@ object ExtQueries3 {
       graft.operators.Funnel.conversionLag(
         ev(s, d), "user_id", "ts", "event_type",
         "signup", "purchase", unitSeconds = 60L)),
+
+    // --- interval coalescing -----------------------------------------------
+    // Each event opens a 30-minute activity window per user; merged
+    // maximal windows = activity sessions by interval algebra.
+    "q254_interval_merge" -> ((s, d) =>
+      graft.operators.TimeSeries.mergeIntervals(
+          ev(s, d).select(col("user_id"), col("ts").as("s"),
+            (col("ts") + expr("INTERVAL 30 MINUTES")).as("e")),
+          "user_id", "s", "e")
+        .orderBy(col("user_id"), col("start"))),
+
+    // --- kth-NN distance outlier score -------------------------------------
+    // Isolation readout for embedding curation: distance to the 5th
+    // nearest neighbor, full-probe (= exact brute force — the q228
+    // adjudication) over a 20% query sample; production prunes nprobe.
+    "q255_knn_outlier" -> ((s, d) => {
+      import graft.functions.IvfIndex
+      val emb = t(s, d, "embeddings")
+      val idx = LlmQueries.cachedIvfIndex(s, d + "#all")(
+        IvfIndex.build(emb, "embedding", "vec_id", k = 8))
+      val qs = emb.filter(col("vec_id") % 5 === 0)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cosine_sim").desc, col("vec_id"))
+      IvfIndex.knnJoin(idx, qs, "query_id", "qvec",
+          "embedding", "vec_id", k = 6, nprobe = 8, grid = 4)
+        .filter(col("query_id") =!= col("vec_id"))
+        .withColumn("__rk", row_number().over(w))
+        .filter(col("__rk") === 5)
+        .select(col("query_id").as("vec_id"),
+          round(lit(1.0) - col("cosine_sim"), 4).as("outlier_score"))
+        .orderBy(col("outlier_score").desc, col("vec_id"))
+        .limit(20)
+    }),
+
+    // --- top JSD-contributing terms ----------------------------------------
+    // The WHICH behind q206's corpus-drift number: 20 most drifted
+    // tokens between the doc_id-parity halves.
+    "q256_drift_terms" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      def toks(f: DataFrame) = f.select(explode(
+        expr(graft.plans.Tokens.whitespaceSql("text"))).as("token"))
+      graft.operators.Eval.jsDivergenceTerms(
+        toks(docs.filter(col("doc_id") % 2 === 0)),
+        toks(docs.filter(col("doc_id") % 2 =!= 0)), "token", k = 20)
+    }),
   )
 
   /** The q200 info-gain split-finder CTE chain, prefix-renamed so the
@@ -690,5 +736,74 @@ object ExtQueries3 {
            min_lag, p50_lag, p90_lag, max_lag
          FROM started, conv
          LEFT JOIN p50 ON true LEFT JOIN p90 ON true""",
+
+    // same sweep: running max end over the strict prefix, opening flag,
+    // running opening count as group id — order among exact duplicates
+    // is arbitrary but the sweep is invariant to it
+    "q254_interval_merge" ->
+      """WITH iv AS (SELECT user_id AS k, CAST(ts AS TIMESTAMP) AS s,
+             CAST(ts AS TIMESTAMP) + INTERVAL 30 MINUTE AS e
+           FROM events WHERE ts IS NOT NULL),
+         pm AS (SELECT k, s, e, max(e) OVER (PARTITION BY k
+             ORDER BY s, e
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+           FROM iv),
+         fl AS (SELECT k, s, e,
+             CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END AS nw
+           FROM pm),
+         gr AS (SELECT k, s, e, sum(nw) OVER (PARTITION BY k
+             ORDER BY s, e
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+           FROM fl)
+         SELECT k AS user_id, min(s) AS start, max(e) AS "end",
+           CAST(count(*) AS BIGINT) AS n_merged
+         FROM gr GROUP BY k, g ORDER BY user_id, start""",
+
+    // exact brute force over the query sample (the q228 full-probe
+    // adjudication); self excluded, 4-grid sim rounding BEFORE ranking
+    "q255_knn_outlier" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+           FROM embeddings WHERE vec_id % 5 = 0),
+         sims AS (
+           SELECT q.query_id, e.vec_id,
+             round(sum(CAST(e.embedding[CAST(i AS INT)] AS DOUBLE) * CAST(q.qe[CAST(i AS INT)] AS DOUBLE))
+               / (sqrt(sum(CAST(e.embedding[CAST(i AS INT)] AS DOUBLE) * CAST(e.embedding[CAST(i AS INT)] AS DOUBLE)))
+                  * sqrt(sum(CAST(q.qe[CAST(i AS INT)] AS DOUBLE) * CAST(q.qe[CAST(i AS INT)] AS DOUBLE)))), 4) AS cosine_sim
+           FROM embeddings e, q, generate_series(1, 64) AS g(i)
+           WHERE e.vec_id <> q.query_id
+           GROUP BY q.query_id, e.vec_id),
+         ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+             ORDER BY cosine_sim DESC, vec_id) AS rk FROM sims)
+         SELECT query_id AS vec_id,
+           round(1.0 - cosine_sim, 4) AS outlier_score
+         FROM ranked WHERE rk = 5
+         ORDER BY outlier_score DESC, vec_id LIMIT 20""",
+
+    // the q206 count/term chain carrying the item through, ranked by
+    // contribution — lower-cased tokenization (the engine's whitespace
+    // contract)
+    "q256_drift_terms" ->
+      """WITH ta AS (SELECT unnest(list_filter(
+             string_split_regex(trim(lower(text)), '\s+'), x -> x <> '')) AS i
+           FROM documents WHERE doc_id % 2 = 0),
+         tb AS (SELECT unnest(list_filter(
+             string_split_regex(trim(lower(text)), '\s+'), x -> x <> '')) AS i
+           FROM documents WHERE doc_id % 2 = 1),
+         ca AS (SELECT i, count(*) AS ca FROM ta GROUP BY 1),
+         cb AS (SELECT i, count(*) AS cb FROM tb GROUP BY 1),
+         j AS (SELECT coalesce(ca.i, cb.i) AS i, coalesce(ca, 0) AS ca,
+             coalesce(cb, 0) AS cb
+           FROM ca FULL JOIN cb ON ca.i = cb.i),
+         t AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM j),
+         f AS (SELECT i, ca, cb, ca / CAST(na AS DOUBLE) AS p,
+             cb / CAST(nb AS DOUBLE) AS q FROM j, t),
+         terms AS (SELECT i, ca, cb, round(
+             (CASE WHEN p > 0 THEN p * ln(p / ((p + q) / 2.0)) * 0.5
+               ELSE 0.0 END) +
+             (CASE WHEN q > 0 THEN q * ln(q / ((p + q) / 2.0)) * 0.5
+               ELSE 0.0 END), 9) AS term FROM f)
+         SELECT i AS token, CAST(ca AS BIGINT) AS n_a,
+           CAST(cb AS BIGINT) AS n_b, term
+         FROM terms ORDER BY term DESC, token ASC LIMIT 20""",
   )
 }

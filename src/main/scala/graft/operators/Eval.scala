@@ -165,6 +165,41 @@ object Eval {
         round(col("__jsd").cast("double"), 6).as("jsd"))
   }
 
+  /** Per-item Jensen-Shannon contributions, top-k — the WHICH behind
+    * [[jsDivergence]]'s single number: the k items whose probability
+    * shift contributes most to the corpus-level drift ("these words
+    * appeared/vanished between snapshots"). Same full-outer count
+    * join, same 9-grid term arithmetic; top-k via (term desc, item
+    * asc) with TakeOrderedAndProject pinning the plan — the item
+    * vocabulary never sorts globally. Output: (item, n_a, n_b, term
+    * rounded 9) — term is that item's additive share of the JSD. */
+  def jsDivergenceTerms(a: DataFrame, b: DataFrame, itemCol: String,
+                        k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    def counts(df: DataFrame, out: String): DataFrame =
+      df.filter(col(itemCol).isNotNull)
+        .groupBy(col(itemCol).as("__i")).agg(count(lit(1)).as(out))
+    val joined = counts(a, "__ca").join(counts(b, "__cb"), Seq("__i"),
+        "full_outer")
+      .select(col("__i"), coalesce(col("__ca"), lit(0L)).as("__ca"),
+        coalesce(col("__cb"), lit(0L)).as("__cb"))
+    val totals = joined.agg(sum(col("__ca")).as("__na"),
+      sum(col("__cb")).as("__nb"))
+    val half = (frac: Column, m: Column) =>
+      when(frac > 0, frac * log(frac / m) * 0.5).otherwise(lit(0.0))
+    joined.crossJoin(broadcast(totals))
+      .select(col("__i"), col("__ca"), col("__cb"),
+        (col("__ca").cast("double") / col("__na")).as("__p"),
+        (col("__cb").cast("double") / col("__nb")).as("__q"))
+      .select(col("__i").as(itemCol),
+        col("__ca").as("n_a"), col("__cb").as("n_b"),
+        round(half(col("__p"), (col("__p") + col("__q")) / 2.0) +
+          half(col("__q"), (col("__p") + col("__q")) / 2.0), 9)
+          .as("term"))
+      .orderBy(col("term").desc, col(itemCol).asc)
+      .limit(k)
+  }
+
   /** One-way ANOVA F statistic — does a numeric outcome differ across
     * k groups (the multi-group extension of the two-sample t):
     * F = [SSB/(k−1)] / [SSW/(n−k)], plus η² = SSB/SST (effect size —

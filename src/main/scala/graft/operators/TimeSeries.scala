@@ -506,6 +506,48 @@ object TimeSeries {
             (col("__sn").cast("double") / col("__nn"))), 6).as("mase"))
   }
 
+  /** Coalesce overlapping/touching closed intervals per key — the
+    * interval-algebra union behind activity sessions from fixed
+    * windows, blackout-period merging, and time-range dedup; the
+    * continuous-domain sibling of [[islands]] (which needs integer
+    * adjacency). Intervals [s, e] merge when they overlap OR touch
+    * (next.s ≤ running max e — a shared endpoint is one period).
+    *
+    * The classic sweep: per key, sorted by (start, end), an interval
+    * opens a new group iff its start exceeds the running max end of
+    * everything before it; group id = running count of openings. Both
+    * windows are KEY-partitioned (each key's intervals sort inside its
+    * own partition — no global exchange); duplicates order arbitrarily
+    * under the (s, e) sort but the running max and opening flags are
+    * invariant to that order, so output is deterministic. Degenerate
+    * rows (null or start > end) drop. Output: (keyCol, start, end,
+    * n_merged) — one row per maximal merged interval. */
+  def mergeIntervals(df: DataFrame, keyCol: String, startCol: String,
+                     endCol: String): DataFrame = {
+    val rows = df
+      .filter(col(startCol).isNotNull && col(endCol).isNotNull &&
+        col(startCol) <= col(endCol))
+      .select(col(keyCol).as("__k"), col(startCol).as("__s"),
+        col(endCol).as("__e"))
+    val wPrev = Window.partitionBy(col("__k"))
+      .orderBy(col("__s"), col("__e"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wRun = Window.partitionBy(col("__k"))
+      .orderBy(col("__s"), col("__e"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    rows
+      .withColumn("__pmax", max(col("__e")).over(wPrev))
+      .withColumn("__new",
+        when(col("__pmax").isNull || col("__s") > col("__pmax"), 1L)
+          .otherwise(0L))
+      .withColumn("__g", sum(col("__new")).over(wRun))
+      .groupBy(col("__k"), col("__g"))
+      .agg(min(col("__s")).as("start"), max(col("__e")).as("end"),
+        count(lit(1)).as("n_merged"))
+      .select(col("__k").as(keyCol), col("start"), col("end"),
+        col("n_merged"))
+  }
+
   /** Autocorrelation function per key up to `maxLag` — the standard
     * biased estimator r_l = Σ_{t>l}(x_t−μ)(x_{t−l}−μ) / Σ(x_t−μ)²:
     * the periodicity detector that picks [[holtWintersForecast]]'s

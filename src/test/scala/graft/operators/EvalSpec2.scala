@@ -82,6 +82,25 @@ class EvalSpec2 extends SparkSpec {
     assert(r.getDouble(4) == 7.0 && r.getDouble(5) == 7.0)
   }
 
+  // --- jsDivergenceTerms ---------------------------------------------------
+
+  test("jsDivergenceTerms: terms sum to the corpus JSD; a vanished " +
+    "item dominates") {
+    val a = (Seq.fill(50)("common") ++ Seq.fill(30)("gone") ++
+      Seq.fill(20)("rare")).toDF("i")
+    val b = (Seq.fill(55)("common") ++ Seq.fill(45)("rare")).toDF("i")
+    val terms = Eval.jsDivergenceTerms(a, b, "i", k = 10).collect()
+    assert(terms.length == 3)
+    // 'gone' (30% → 0%) out-drifts 'rare' (20% → 45%) and 'common'
+    assert(terms.head.getString(0) == "gone")
+    assert(terms.head.getLong(1) == 30L && terms.head.getLong(2) == 0L)
+    val total = terms.map(r => BigDecimal(r.getDouble(3))).sum.toDouble
+    val jsd = Eval.jsDivergence(a, b, "i").collect().head.getDouble(3)
+    assert(math.rint(total * 1e6) / 1e6 == jsd)
+    // k truncates deterministically
+    assert(Eval.jsDivergenceTerms(a, b, "i", k = 2).collect().length == 2)
+  }
+
   // --- randomizationTest ---------------------------------------------------
 
   test("randomizationTest ≡ independent driver-side replay") {

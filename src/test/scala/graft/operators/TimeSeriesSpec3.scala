@@ -157,6 +157,53 @@ class TimeSeriesSpec3 extends SparkSpec {
     assert(out2 == exp)
   }
 
+  // --- mergeIntervals ------------------------------------------------------
+
+  test("mergeIntervals: overlap, touch, nest merge; gaps split; " +
+    "degenerate rows drop") {
+    val df = Seq(
+      ("k", 1, 5), ("k", 4, 8),     // overlap → [1,8]
+      ("k", 8, 10),                 // touch → [1,10]
+      ("k", 2, 3),                  // nested
+      ("k", 12, 14),                // gap → own island
+      ("k", 20, 15),                // start > end → dropped
+      ("z", 6, 7))                  // other key untouched
+      .toDF("g", "s", "e")
+    val out = TimeSeries.mergeIntervals(df, "g", "s", "e")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2),
+        r.getLong(3))).toSet
+    assert(out == Set(("k", 1, 10, 4L), ("k", 12, 14, 1L),
+      ("z", 6, 7, 1L)))
+  }
+
+  test("mergeIntervals: duplicate intervals and partitioning do not " +
+    "change the sweep") {
+    val rows = (1 to 200).map { i =>
+      val s = (i * 37) % 500
+      ((i % 4).toString, s, s + (i % 25))
+    } ++ Seq.fill(10)(("0", 100, 120))
+    val df = rows.toDF("g", "s", "e")
+    val a = TimeSeries.mergeIntervals(df, "g", "s", "e")
+      .collect().map(_.toSeq).toSet
+    val b = TimeSeries.mergeIntervals(df.repartition(13), "g", "s", "e")
+      .collect().map(_.toSeq).toSet
+    assert(a == b)
+    // invariant: merged intervals per key are disjoint with gaps
+    a.groupBy(_.head).foreach { case (_, ivs) =>
+      val sorted = ivs.toSeq.map(r => (r(1).asInstanceOf[Int],
+        r(2).asInstanceOf[Int])).sortBy(_._1)
+      sorted.sliding(2).foreach {
+        case Seq((_, e1), (s2, _)) => assert(s2 > e1)
+        case _ =>
+      }
+    }
+    // conservation: every input interval lies inside some output
+    rows.filter(r => r._2 <= r._3).foreach { case (g, s, e) =>
+      assert(a.exists(r => r.head == g &&
+        r(1).asInstanceOf[Int] <= s && e <= r(2).asInstanceOf[Int]))
+    }
+  }
+
   // --- autocorrelation -----------------------------------------------------
 
   test("autocorrelation ≡ textbook estimator on a hand series; " +
