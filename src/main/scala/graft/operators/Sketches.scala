@@ -170,17 +170,28 @@ object Sketches {
     * oracle replays the identical sketch, cell for cell. */
   def cmsCounts(df: DataFrame, keys: Seq[String], itemCol: String,
                 depth: Int = 4, width: Int = 256,
-                salt: String = "cms"): DataFrame = {
+                salt: String = "cms"): DataFrame =
+    cmsCells(df, keys, itemCol, depth, width, salt)
+      .groupBy(keys.map(col) :+ col("j") :+ col("bucket"): _*)
+      .agg(count(lit(1)).as("n"))
+
+  /** The pre-aggregation cell projection behind [[cmsCounts]] — one
+    * (keys…, j, bucket) row per input row per hash row. Public so
+    * persistence can ride [[AggStore]] unchanged: append these cells
+    * with a constant value column and the store's per-cell `n` IS the
+    * merged CMS (spec-proven); [[cmsEstimate]] then serves from the
+    * store's cell table directly. */
+  def cmsCells(df: DataFrame, keys: Seq[String], itemCol: String,
+               depth: Int = 4, width: Int = 256,
+               salt: String = "cms"): DataFrame = {
     require(depth >= 1 && depth <= 16, s"depth must be in [1,16], got $depth")
     require(width >= 2, s"width must be >= 2, got $width")
     df.filter(col(itemCol).isNotNull)
       .select(keys.map(col) :+ col(itemCol).cast("string").as("__it"): _*)
       .withColumn("__j", explode(sequence(lit(0), lit(depth - 1))))
       .withColumn("__b", cmsBucket(col("__it"), col("__j"), width, salt))
-      .groupBy(keys.map(col) :+ col("__j") :+ col("__b"): _*)
-      .agg(count(lit(1)).as("n"))
       .select(keys.map(col) :+ col("__j").cast("int").as("j") :+
-        col("__b").as("bucket") :+ col("n"): _*)
+        col("__b").as("bucket"): _*)
   }
 
   /** Point-frequency estimates for the rows of `items` (same key

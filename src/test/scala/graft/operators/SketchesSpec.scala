@@ -144,6 +144,33 @@ class SketchesSpec extends SparkSpec {
     assert(merged == whole)
   }
 
+  test("cms persistence rides AggStore: two appended cell batches " +
+    "serve the same sketch and estimates as one-shot") {
+    val store = java.nio.file.Files.createTempDirectory("cms").toString + "/s"
+    val a = cmsRows.filter(col("item").cast("int") < 20)
+    val b = cmsRows.filter(col("item").cast("int") >= 20)
+    def cells(df: org.apache.spark.sql.DataFrame) =
+      Sketches.cmsCells(df, Seq("g"), "item", width = 16)
+        .withColumn("one", lit(1.0))
+    AggStore.append(cells(a), Seq("g", "j", "bucket"), "one", store, 1L)
+    AggStore.append(cells(b), Seq("g", "j", "bucket"), "one", store, 2L)
+    val served = AggStore.serve(spark, store)
+      .select(col("g"), col("j"), col("bucket"), col("n"))
+    val oneShot = Sketches.cmsCounts(cmsRows, Seq("g"), "item", width = 16)
+    assert(served.collect().map(_.toSeq).toSet ==
+      oneShot.collect().map(_.toSeq).toSet)
+    val probes = cmsRows.select("g", "item")
+    val estServed = Sketches.cmsEstimate(served, probes, Seq("g"),
+        "item", width = 16)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    val estOne = Sketches.cmsEstimate(oneShot, probes, Seq("g"),
+        "item", width = 16)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(estServed == estOne)
+  }
+
   test("cms: unseen probe estimates its bucket load, never errors; " +
     "partitioning-invariant; guards") {
     val probes = Seq(("0", "zzz-unseen"), ("1", "5")).toDF("g", "item")
