@@ -220,6 +220,34 @@ object ExtQueries3 {
         toks(docs.filter(col("doc_id") % 2 === 0)),
         toks(docs.filter(col("doc_id") % 2 =!= 0)), "token", k = 20)
     }),
+
+    // --- time-weighted average ---------------------------------------------
+    // ∫value dt / span per event type — what the arithmetic mean of an
+    // irregularly sampled stream gets wrong.
+    "q257_twap" -> ((s, d) =>
+      graft.operators.TimeSeries.timeWeightedAverage(
+          ev(s, d), "event_type", "ts", "value")
+        .orderBy(col("event_type"))),
+
+    // --- Lorenz curve ------------------------------------------------------
+    // The inequality curve behind q197's Gini, same spend-per-priority
+    // input.
+    "q258_lorenz" -> ((s, d) =>
+      graft.operators.Eval.lorenzCurve(
+          t(s, d, "orders"), "o_orderpriority", "o_totalprice")
+        .orderBy(col("o_orderpriority"), col("decile"))),
+
+    // --- per-column PSI drift sweep ----------------------------------------
+    // q196's pre/post-1996 split, three columns of one orders scan:
+    // price drifts; custkey and orderkey shouldn't.
+    "q259_psi_sweep" -> ((s, d) => {
+      val o = t(s, d, "orders")
+      graft.operators.Eval.psiSweep(
+          o.filter(col("o_orderdate") < lit("1996-01-01")),
+          o.filter(col("o_orderdate") >= lit("1996-01-01")),
+          Seq("o_custkey", "o_orderkey", "o_totalprice"))
+        .orderBy(col("column"))
+    }),
   )
 
   /** The q200 info-gain split-finder CTE chain, prefix-renamed so the
@@ -805,5 +833,101 @@ object ExtQueries3 {
          SELECT i AS token, CAST(ca AS BIGINT) AS n_a,
            CAST(cb AS BIGINT) AS n_b, term
          FROM terms ORDER BY term DESC, token ASC LIMIT 20""",
+
+    // same floor-epoch seconds, same (t, v) tie-break pinning which
+    // same-second value holds the zero-duration slot
+    "q257_twap" ->
+      """WITH rows AS (SELECT event_type AS k,
+             CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS t,
+             CAST(value AS DOUBLE) AS v
+           FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+         led AS (SELECT k, t, v,
+             lead(t) OVER (PARTITION BY k ORDER BY t, v) AS nt
+           FROM rows),
+         agg AS (SELECT k, count(*) AS n,
+             max(t) - min(t) AS span_sec,
+             sum(CASE WHEN nt IS NOT NULL THEN
+               CAST(round(v * (nt - t), 9) AS DECIMAL(38,9)) END) AS num
+           FROM led GROUP BY 1)
+         SELECT k AS event_type, n, span_sec,
+           round(CASE WHEN span_sec > 0 THEN
+             CAST(num AS DOUBLE) / span_sec END, 6) AS twa
+         FROM agg ORDER BY event_type""",
+
+    // integer ceil-ranks (n·k + 9) // 10, cumulative count AND 9-grid
+    // DECIMAL value sums on the level grid, exact partial share at a
+    // tie-cut
+    "q258_lorenz" ->
+      """WITH r AS (SELECT o_orderpriority AS g,
+             round(CAST(o_totalprice AS DOUBLE), 9) AS v
+           FROM orders WHERE o_totalprice IS NOT NULL),
+         lvl AS (SELECT g, v, count(*) AS c,
+             sum(CAST(round(v, 9) AS DECIMAL(38,9))) AS w
+           FROM r GROUP BY 1, 2),
+         tot AS (SELECT g, CAST(sum(c) AS BIGINT) AS n, sum(w) AS tw
+           FROM lvl GROUP BY 1),
+         wk AS (SELECT g, v, c,
+             sum(c) OVER (PARTITION BY g ORDER BY v) AS cum,
+             sum(w) OVER (PARTITION BY g ORDER BY v) AS cumw
+           FROM lvl),
+         grid AS (SELECT wk.g, v, c, cum, cumw, n, tw, d.d AS d,
+             (n * d.d + 9) // 10 AS rnk
+           FROM wk JOIN tot USING (g) CROSS JOIN range(1, 11) d(d))
+         SELECT g AS o_orderpriority, CAST(d AS INT) AS decile,
+           CAST(rnk AS BIGINT) AS rank,
+           round(CAST(d AS DOUBLE) / 10, 6) AS pop_frac,
+           round(CASE WHEN CAST(tw AS DOUBLE) <> 0 THEN
+             (CAST(cumw AS DOUBLE) - CAST(cum - rnk AS DOUBLE) * v)
+               / CAST(tw AS DOUBLE) END, 6) AS value_share
+         FROM grid WHERE cum >= rnk AND cum - c < rnk
+         ORDER BY o_orderpriority, decile""",
+
+    // per-column grouped deciles + the q196 epsilon-floored terms,
+    // folded to one PSI per column
+    "q259_psi_sweep" ->
+      """WITH ref0 AS (SELECT * FROM orders
+           WHERE o_orderdate < DATE '1996-01-01'),
+         cur0 AS (SELECT * FROM orders
+           WHERE o_orderdate >= DATE '1996-01-01'),
+         refs AS (
+           SELECT 'o_custkey' AS c, CAST(o_custkey AS DOUBLE) AS v
+           FROM ref0 WHERE o_custkey IS NOT NULL
+           UNION ALL
+           SELECT 'o_orderkey', CAST(o_orderkey AS DOUBLE)
+           FROM ref0 WHERE o_orderkey IS NOT NULL
+           UNION ALL
+           SELECT 'o_totalprice', CAST(o_totalprice AS DOUBLE)
+           FROM ref0 WHERE o_totalprice IS NOT NULL),
+         curs AS (
+           SELECT 'o_custkey' AS c, CAST(o_custkey AS DOUBLE) AS v
+           FROM cur0 WHERE o_custkey IS NOT NULL
+           UNION ALL
+           SELECT 'o_orderkey', CAST(o_orderkey AS DOUBLE)
+           FROM cur0 WHERE o_orderkey IS NOT NULL
+           UNION ALL
+           SELECT 'o_totalprice', CAST(o_totalprice AS DOUBLE)
+           FROM cur0 WHERE o_totalprice IS NOT NULL),
+         b AS (SELECT c, quantile_cont(v, [0.1, 0.2, 0.3, 0.4, 0.5,
+             0.6, 0.7, 0.8, 0.9]) AS bounds FROM refs GROUP BY 1),
+         rb AS (SELECT refs.c, 1 + len(list_filter(bounds, x -> v > x))
+               AS bin, count(*) AS rn
+           FROM refs JOIN b USING (c) GROUP BY 1, 2),
+         cb AS (SELECT curs.c, 1 + len(list_filter(bounds, x -> v > x))
+               AS bin, count(*) AS cn
+           FROM curs JOIN b USING (c) GROUP BY 1, 2),
+         j AS (SELECT coalesce(rb.c, cb.c) AS c,
+             coalesce(rb.bin, cb.bin) AS bin,
+             coalesce(rn, 0) AS rn, coalesce(cn, 0) AS cn
+           FROM rb FULL JOIN cb ON rb.c = cb.c AND rb.bin = cb.bin),
+         t AS (SELECT c, sum(rn) AS rt, sum(cn) AS ct FROM j GROUP BY 1),
+         f AS (SELECT j.c, rn, cn,
+             greatest(rn / CAST(rt AS DOUBLE), 1e-6) AS p,
+             greatest(cn / CAST(ct AS DOUBLE), 1e-6) AS q
+           FROM j JOIN t ON j.c = t.c)
+         SELECT c AS "column", CAST(sum(rn) AS BIGINT) AS ref_n,
+           CAST(sum(cn) AS BIGINT) AS cur_n,
+           round(CAST(sum(CAST(round((q - p) * ln(q / p), 9)
+             AS DECIMAL(38,9))) AS DOUBLE), 6) AS psi
+         FROM f GROUP BY c ORDER BY c""",
   )
 }

@@ -652,6 +652,104 @@ object Eval {
           .as("psi_term"))
   }
 
+  /** Lorenz curve per group — the CURVE behind [[gini]]'s single
+    * number: at each population decile k/d, the share of total value
+    * held by the poorest ⌈n·k/d⌉ rows ("the bottom 80% of documents
+    * hold 20% of the tokens"). Diagonal = perfect equality; the area
+    * gap is the Gini.
+    *
+    * Ranks are EXACT integer order statistics, ⌈n·k/d⌉ computed as
+    * (n·k + d − 1) div d in pure integer arithmetic (no float decile
+    * fractions near integer boundaries). The walk runs on the
+    * per-group distinct-value grid ([[graft.operators.Ranks]]
+    * cumulative counts AND cumulative 9-grid DECIMAL value sums —
+    * both compose across buckets); a rank cutting inside a tie level
+    * takes its exact partial share, cumw − (cum − rank)·v. Negative
+    * values break the construction (the [[gini]] caller contract);
+    * nulls drop; zero-total groups yield null shares. Output:
+    * (groupCol, decile, rank, pop_frac, value_share) rounded 6. */
+  def lorenzCurve(df: DataFrame, groupCol: String, valCol: String,
+                  deciles: Int = 10): DataFrame = {
+    require(deciles >= 2, s"deciles must be >= 2, got $deciles")
+    val rows = df.filter(col(valCol).isNotNull)
+      .select(col(groupCol).as("__g"),
+        round(col(valCol).cast("double"), 9).as("__v"))
+    val level = rows.groupBy(col("__g"), col("__v"))
+      .agg(count(lit(1)).as("__c"),
+        sum(round(col("__v"), 9).cast("decimal(38,9)")).as("__w"))
+    val totals = level.groupBy(col("__g"))
+      .agg(sum(col("__c")).as("__n"), sum(col("__w")).as("__tw"))
+    val walked = Ranks.groupedCumSum(level, Seq("__g"), "__v",
+        Seq("__c", "__w"))
+      .join(totals, "__g")
+    walked
+      .withColumn("__d", explode(sequence(lit(1), lit(deciles))))
+      .withColumn("__rank",
+        expr(s"(__n * __d + ${deciles - 1}) div $deciles"))
+      .filter(col("cum___c") >= col("__rank") &&
+        col("cum___c") - col("__c") < col("__rank"))
+      .select(col("__g").as(groupCol), col("__d").cast("int").as("decile"),
+        col("__rank").as("rank"),
+        round(col("__d").cast("double") / deciles, 6).as("pop_frac"),
+        round(when(col("__tw").cast("double") =!= 0.0,
+          (col("cum___w").cast("double") -
+            (col("cum___c") - col("__rank")).cast("double") * col("__v")) /
+            col("__tw").cast("double")), 6).as("value_share"))
+  }
+
+  /** Per-column PSI sweep — [[psi]] for EVERY listed numeric column in
+    * one pass each side: the drift dashboard a serving pipeline
+    * actually runs nightly, not one column at a time. Columns stack
+    * into (column, v) rows; each column gets its own exact ref-decile
+    * bounds (grouped `percentile`) and its own 10-bin comparison; the
+    * per-column PSI is the 9-grid DECIMAL sum of its bin terms.
+    *
+    * Scale shape: two stacked fact passes (ref: bounds + bins; cur:
+    * bins) and columns×bins tiny tables after — the per-column bounds
+    * ride ONE broadcast join. Same ε = 1e-6 floor and null contract
+    * as [[psi]] (nulls drop — pin the same filter in any oracle).
+    * Output one row per column: (column, ref_n, cur_n, psi rounded 6),
+    * ordered by column. */
+  def psiSweep(ref: DataFrame, cur: DataFrame, cols: Seq[String],
+               numBins: Int = 10): DataFrame = {
+    require(cols.nonEmpty, "cols must be non-empty")
+    require(numBins >= 2, s"numBins must be >= 2, got $numBins")
+    val ps = (1 until numBins).map(i => i.toDouble / numBins).mkString(", ")
+    def stacked(df: DataFrame): DataFrame = {
+      val stackArgs = cols
+        .map(c => s"'${c.replace("'", "''")}', CAST(`$c` AS DOUBLE)")
+        .mkString(", ")
+      df.selectExpr(s"stack(${cols.size}, $stackArgs) AS (__col, __v)")
+        .filter(col("__v").isNotNull)
+    }
+    val bounds = stacked(ref).groupBy(col("__col"))
+      .agg(expr(s"percentile(__v, array($ps))").as("__bounds"))
+    def binned(df: DataFrame, out: String): DataFrame =
+      stacked(df).join(broadcast(bounds), "__col")
+        .select(col("__col"), (lit(1) + size(filter(col("__bounds"),
+          b => col("__v") > b))).as("__bin"))
+        .groupBy(col("__col"), col("__bin")).agg(count(lit(1)).as(out))
+    val joined = binned(ref, "__rn")
+      .join(binned(cur, "__cn"), Seq("__col", "__bin"), "full_outer")
+      .select(col("__col"), col("__bin"),
+        coalesce(col("__rn"), lit(0L)).as("__rn"),
+        coalesce(col("__cn"), lit(0L)).as("__cn"))
+    val totals = joined.groupBy(col("__col"))
+      .agg(sum(col("__rn")).as("__rt"), sum(col("__cn")).as("__ct"))
+    joined.join(broadcast(totals), "__col")
+      .select(col("__col"), col("__rn"), col("__cn"),
+        greatest(col("__rn").cast("double") / col("__rt"), lit(1e-6))
+          .as("__p"),
+        greatest(col("__cn").cast("double") / col("__ct"), lit(1e-6))
+          .as("__q"))
+      .groupBy(col("__col"))
+      .agg(sum(col("__rn")).as("ref_n"), sum(col("__cn")).as("cur_n"),
+        sum(round((col("__q") - col("__p")) * log(col("__q") / col("__p")),
+          9).cast("decimal(38,9)")).as("__psi"))
+      .select(col("__col").as("column"), col("ref_n"), col("cur_n"),
+        round(col("__psi").cast("double"), 6).as("psi"))
+  }
+
   /** Gini coefficient per group — inequality of a non-negative quantity
     * (sampling-weight concentration, per-source token share, spend):
     * G = Σᵢ (2i − n − 1)·x₍ᵢ₎ / (n·Σx) over ascending values, 0 =

@@ -506,6 +506,44 @@ object TimeSeries {
             (col("__sn").cast("double") / col("__nn"))), 6).as("mase"))
   }
 
+  /** Time-weighted average per key — the irregular-sampling mean:
+    * each observation holds until the next one, so its weight is its
+    * holding duration in seconds, TWA = Σ v_i·(t_{i+1}−t_i) / span.
+    * The arithmetic mean over-counts whichever regime happens to be
+    * sampled often (the classic sensor/price bug); this is the
+    * integral ∫v dt / T a metering pipeline actually owes. The LAST
+    * observation holds for zero time by this contract (no horizon
+    * assumption smuggled in) — append a horizon row upstream to
+    * extend it.
+    *
+    * One keyed lead window (each key's series sorts inside its own
+    * partition) + one keyed agg. Durations are exact long seconds
+    * (both engines floor epoch seconds identically); v·Δt rounds to
+    * the 9-grid into a DECIMAL(38,9) sum; one division. Keys with a
+    * single observation (span 0) yield null twa. Output: (keyCol, n,
+    * span_sec, twa rounded 6). */
+  def timeWeightedAverage(df: DataFrame, keyCol: String, tsCol: String,
+                          valCol: String): DataFrame = {
+    val rows = df.filter(col(tsCol).isNotNull && col(valCol).isNotNull)
+      .select(col(keyCol).as("__k"),
+        unix_timestamp(col(tsCol).cast("timestamp")).as("__t"),
+        col(valCol).cast("double").as("__v"))
+    // value tie-break pins the order of same-second observations —
+    // without it the lead() pairing (and thus which value holds the
+    // zero-duration slot) is partition-order nondeterministic
+    val w = Window.partitionBy(col("__k")).orderBy(col("__t"), col("__v"))
+    rows.withColumn("__nt", lead(col("__t"), 1).over(w))
+      .groupBy(col("__k"))
+      .agg(count(lit(1)).as("n"),
+        (max(col("__t")) - min(col("__t"))).as("span_sec"),
+        sum(when(col("__nt").isNotNull,
+          round(col("__v") * (col("__nt") - col("__t")), 9)
+            .cast("decimal(38,9)"))).as("__num"))
+      .select(col("__k").as(keyCol), col("n"), col("span_sec"),
+        round(when(col("span_sec") > 0L,
+          col("__num").cast("double") / col("span_sec")), 6).as("twa"))
+  }
+
   /** Coalesce overlapping/touching closed intervals per key — the
     * interval-algebra union behind activity sessions from fixed
     * windows, blackout-period merging, and time-range dedup; the

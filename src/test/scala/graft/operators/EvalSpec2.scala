@@ -82,6 +82,79 @@ class EvalSpec2 extends SparkSpec {
     assert(r.getDouble(4) == 7.0 && r.getDouble(5) == 7.0)
   }
 
+  // --- lorenzCurve ---------------------------------------------------------
+
+  test("lorenzCurve: equality → diagonal; total concentration → step; " +
+    "tie-cut takes the exact partial share") {
+    val equal = (1 to 10).map(_ => ("e", 2.0)).toDF("g", "v")
+    val re = Eval.lorenzCurve(equal, "g", "v")
+      .collect().map(r => r.getInt(1) -> (r.getDouble(3), r.getDouble(4)))
+      .toMap
+    (1 to 10).foreach(k => assert(re(k)._1 == re(k)._2, s"decile $k"))
+    val conc = ((1 to 9).map(_ => ("c", 0.0)) :+ (("c", 100.0)))
+      .toDF("g", "v")
+    val rc = Eval.lorenzCurve(conc, "g", "v")
+      .collect().map(r => r.getInt(1) -> r.getDouble(4)).toMap
+    (1 to 9).foreach(k => assert(rc(k) == 0.0))
+    assert(rc(10) == 1.0)
+    // [1,1,1,3], 2 deciles: rank 2 cuts inside the 1-level → 2/6
+    val cut = Seq(("t", 1.0), ("t", 1.0), ("t", 1.0), ("t", 3.0))
+      .toDF("g", "v")
+    val rt = Eval.lorenzCurve(cut, "g", "v", deciles = 2)
+      .collect().map(r => r.getInt(1) -> (r.getLong(2), r.getDouble(4)))
+      .toMap
+    assert(rt(1) == ((2L, math.rint(2.0 / 6 * 1e6) / 1e6)))
+    assert(rt(2) == ((4L, 1.0)))
+  }
+
+  test("lorenzCurve: groups independent, exactly deciles rows each, " +
+    "monotone shares below the diagonal; partitioning-invariant") {
+    val df = (1 to 300).map(i =>
+      ((i % 3).toString, ((i * 17) % 41).toDouble)).toDF("g", "v")
+    val rows = Eval.lorenzCurve(df, "g", "v").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getDouble(3),
+        r.getDouble(4)))
+    rows.groupBy(_._1).foreach { case (g, rs) =>
+      assert(rs.length == 10, g)
+      val shares = rs.sortBy(_._2).map(_._4).toSeq
+      assert(shares == shares.sorted)
+      rs.foreach { case (_, _, pf, vs) => assert(vs <= pf + 1e-9) }
+      assert(shares.last == 1.0)
+    }
+    val again = Eval.lorenzCurve(df.repartition(13), "g", "v").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getDouble(3),
+        r.getDouble(4))).sortBy(r => (r._1, r._2))
+    assert(again.toSeq == rows.sortBy(r => (r._1, r._2)).toSeq)
+  }
+
+  // --- psiSweep ------------------------------------------------------------
+
+  test("psiSweep ≡ per-column psi; identical frames → 0; constant " +
+    "column → 0") {
+    val ref = (1 to 200).map(i =>
+      ((i % 29).toDouble, (i % 7).toDouble, 5.0)).toDF("a", "b", "c")
+    val cur = (1 to 180).map(i =>
+      (((i * 3) % 31).toDouble, (i % 7).toDouble, 5.0)).toDF("a", "b", "c")
+    val sweep = Eval.psiSweep(ref, cur, Seq("a", "b", "c"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    Seq("a", "b", "c").foreach { c =>
+      val terms = Eval.psi(ref, cur, c).collect()
+        .map(r => BigDecimal(r.getDouble(5)))
+      val expected = math.rint(terms.sum.toDouble * 1e6) / 1e6
+      assert(sweep(c)._3 == expected, c)
+      assert(sweep(c)._1 == 200L && sweep(c)._2 == 180L)
+    }
+    // b: near-identical mod-7 distributions (200 vs 180 rows leave a
+    // sub-millipoint remainder effect) — tiny but not zero
+    assert(sweep("b")._3 < 0.001)
+    assert(sweep("c")._3 == 0.0) // constant
+    assert(sweep("a")._3 > 0.0)  // planted drift
+    val same = Eval.psiSweep(ref, ref, Seq("a", "b", "c"))
+      .collect().map(_.getDouble(3))
+    assert(same.forall(_ == 0.0))
+  }
+
   // --- jsDivergenceTerms ---------------------------------------------------
 
   test("jsDivergenceTerms: terms sum to the corpus JSD; a vanished " +

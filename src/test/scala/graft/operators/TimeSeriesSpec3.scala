@@ -157,6 +157,44 @@ class TimeSeriesSpec3 extends SparkSpec {
     assert(out2 == exp)
   }
 
+  // --- timeWeightedAverage -------------------------------------------------
+
+  test("timeWeightedAverage: hand integral; last point holds zero time") {
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    // v=10 holds 10s, v=20 holds 5s, v=30 holds 0 → (100+100)/15
+    val df = Seq(("k", ts(0), 10.0), ("k", ts(10), 20.0),
+      ("k", ts(15), 30.0)).toDF("g", "ts", "v")
+    val r = TimeSeries.timeWeightedAverage(df, "g", "ts", "v")
+      .collect().head
+    assert(r.getLong(1) == 3L && r.getLong(2) == 15L)
+    assert(r.getDouble(3) == math.rint(200.0 / 15 * 1e6) / 1e6)
+    // oversampled regime does NOT dominate: many samples of v=0 in one
+    // second, then v=6 held 9s → twa = 5.4, arithmetic mean ≈ 1
+    val burst = (0 to 4).map(i => ("b", ts(0), 0.0)) ++
+      Seq(("b", ts(1), 6.0), ("b", ts(10), 0.0))
+    val rb = TimeSeries.timeWeightedAverage(burst.toDF("g", "ts", "v"),
+      "g", "ts", "v").collect().head
+    assert(rb.getDouble(3) == 5.4)
+  }
+
+  test("timeWeightedAverage: single point → null; same-second ties " +
+    "deterministic under repartition") {
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    val one = Seq(("x", ts(5), 7.0)).toDF("g", "ts", "v")
+    val r1 = TimeSeries.timeWeightedAverage(one, "g", "ts", "v")
+      .collect().head
+    assert(r1.getLong(2) == 0L && r1.isNullAt(3))
+    val ties = Seq(("t", ts(0), 3.0), ("t", ts(0), 9.0),
+      ("t", ts(4), 1.0)).toDF("g", "ts", "v")
+    val a = TimeSeries.timeWeightedAverage(ties, "g", "ts", "v")
+      .collect().head
+    val b = TimeSeries.timeWeightedAverage(ties.repartition(7), "g",
+      "ts", "v").collect().head
+    assert(a.toSeq == b.toSeq)
+    // (t,v) order: 3 holds 0s, 9 holds 4s → 36/4 = 9
+    assert(a.getDouble(3) == 9.0)
+  }
+
   // --- mergeIntervals ------------------------------------------------------
 
   test("mergeIntervals: overlap, touch, nest merge; gaps split; " +
