@@ -94,7 +94,12 @@ object ExtQueries3 {
         (2, "i", "n", "in", 0L), (3, "a", "n", "an", 0L),
         (4, "e", "r", "er", 0L))
         .toDF("rank", "left", "right", "merged", "pair_count")
-      graft.operators.Bpe.encode(t(s, d, "documents"), "text", merges)
+      // repartition: documents scans as one split and the per-token
+      // merge fold is CPU-bound — spread it (the q227 one-split lesson)
+      graft.operators.Bpe.encode(
+          t(s, d, "documents")
+            .repartition(s.sparkContext.defaultParallelism),
+          "text", merges)
         .select(col("doc_id"),
           coalesce(size(col("bpe_tokens")), lit(0)).as("n_tokens"),
           coalesce(size(filter(col("bpe_tokens"), x => x === "the")),

@@ -1193,9 +1193,15 @@ object Eval {
                   salt: String = "boot"): DataFrame = {
     require(b >= 10, s"b must be >= 10, got $b")
     require(alpha > 0.0 && alpha < 1.0, s"alpha must be in (0,1), got $alpha")
+    // spread the ×B md5/weight work across the cluster and pin the
+    // 3-column projection — a small parquet source scans as ONE split
+    // and would hash corpus×B rows on one core (the logisticGD fix;
+    // measured 33 s → ~3 s at sf0.1, B = 200)
     val rows = df.filter(col(valCol).isNotNull)
       .select(col(groupCol).as("__g"), col(idCol).cast("string").as("__id"),
         col(valCol).cast("double").as("__v"))
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .localCheckpoint()
     val point = rows.groupBy(col("__g"))
       .agg(count(lit(1)).as("n"),
         round(sum(round(col("__v"), 9).cast("decimal(38,9)"))
@@ -1253,11 +1259,14 @@ object Eval {
                         valCol: String, aLabel: String, bLabel: String,
                         b: Int = 200, salt: String = "perm"): DataFrame = {
     require(b >= 10, s"b must be >= 10, got $b")
+    // same single-split hazard as bootstrapCi: spread the ×B work
     val rows = df
       .filter(col(valCol).isNotNull && col(variantCol).isin(aLabel, bLabel))
       .select(col(idCol).cast("string").as("__id"),
         (col(variantCol) === aLabel).as("__a"),
         col(valCol).cast("double").as("__v"))
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .localCheckpoint()
     val dec9 = (c: Column) => round(c, 9).cast("decimal(38,9)")
     val tot = rows.agg(
       sum(when(col("__a"), 1L).otherwise(0L)).as("n_a"),

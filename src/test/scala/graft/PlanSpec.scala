@@ -259,4 +259,68 @@ class PlanSpec extends SparkSpec {
     }
     assert(out.collect().length == 2)
   }
+
+  test("bootstrapCi: replicate explosion partial-aggregates map-side; " +
+      "order-stat picks never run an unaggregated global window") {
+    import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    import spark.implicits._
+    val df = (1 to 2000).map(i =>
+      ((i % 3).toString, i.toString, (i % 17).toDouble)).toDF("g", "id", "v")
+    val out = graft.operators.Eval.bootstrapCi(df, "g", "id", "v", b = 40)
+    val plan = out.queryExecution.sparkPlan
+    // the ×B explosion must collapse in-task before it shuffles
+    assert(plan.toString.contains("partial"),
+      s"expected map-side partial aggregation in:\n$plan")
+    plan.collect { case w: WindowExec if w.partitionSpec.isEmpty => w }
+      .foreach { w =>
+        assert(w.collect { case a: BaseAggregateExec => a }.nonEmpty,
+          s"global windows may walk bucket-prefix aggregates only:\n$w")
+      }
+    plan.collect {
+      case e: ShuffleExchangeExec if e.outputPartitioning == SinglePartition => e
+    }.foreach { e =>
+      assert(e.collect { case a: BaseAggregateExec => a }.nonEmpty,
+        s"single-partition exchanges must carry aggregated rows only:\n$e")
+    }
+    assert(out.collect().length == 3)
+  }
+
+  test("decisionTreeDepth2: the root threshold reaches the children as " +
+      "a broadcast, never a shuffled or cartesian corpus join") {
+    import spark.implicits._
+    val df = (1 to 3000).map(i =>
+      ((i % 23).toDouble, if (i % 5 == 0) "a" else "b")).toDF("x", "y")
+    val out = graft.operators.Classify.decisionTreeDepth2(df, "x", "y")
+    val plan = out.queryExecution.sparkPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"expected the 1-row threshold to ride a broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"threshold must never cartesian-join the corpus:\n$plan")
+    assert(out.collect().length == 3)
+  }
+
+  test("twap/acf/interval-merge: every window is key-partitioned") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    import spark.implicits._
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    val series = (1 to 500).map(i =>
+      ((i % 5).toString, ts(i.toLong * 7), (i % 11).toDouble))
+      .toDF("g", "ts", "v")
+    val plans = Seq(
+      graft.operators.TimeSeries.timeWeightedAverage(series, "g", "ts", "v"),
+      graft.operators.TimeSeries.autocorrelation(series, "g", "ts", "v", 3),
+      graft.operators.TimeSeries.mergeIntervals(
+        series.select(col("g"), col("ts").as("s"),
+          (col("ts") + expr("INTERVAL 10 SECONDS")).as("e")), "g", "s", "e"))
+    plans.foreach { q =>
+      val windows = q.queryExecution.sparkPlan
+        .collect { case w: WindowExec => w }
+      windows.foreach(w => assert(w.partitionSpec.nonEmpty,
+        s"window must partition by key:\n$w"))
+      assert(q.collect().nonEmpty)
+    }
+  }
 }
