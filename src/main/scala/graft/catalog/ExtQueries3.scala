@@ -253,6 +253,29 @@ object ExtQueries3 {
           Seq("o_custkey", "o_orderkey", "o_totalprice"))
         .orderBy(col("column"))
     }),
+
+    // --- persisted IVF×PQ store lifecycle (rows-only — engine-clustered
+    // layout; correctness = IvfPqStoreSpec's served ≡ in-session proof
+    // + AnnRecallSpec's measured floor, the q219 adjudication) ------------
+    // Full lifecycle per invocation: train both layers on 90%, frozen
+    // append of 10%, partition-pruned ADC+refine serve.
+    "q260_ivfpq_store" -> ((s, d) => {
+      import scala.jdk.CollectionConverters._
+      val emb = t(s, d, "embeddings")
+      val qvec = emb.filter(col("vec_id") === 0).select("embedding")
+        .collect()(0).getList[Float](0).asScala.toSeq
+      val store = java.nio.file.Files
+        .createTempDirectory("graft-ivfpq").toString + "/s"
+      val rest = emb.filter(col("vec_id") =!= 0)
+      graft.functions.IvfPqStore.build(
+        rest.filter(col("vec_id") % 10 =!= 9), "embedding", "vec_id",
+        store, k = 8, iterations = 2, m = 8, ksub = 16)
+      graft.functions.IvfPqStore.append(
+        rest.filter(col("vec_id") % 10 === 9), store, batchId = 1L)
+      graft.functions.IvfPqStore.topK(s, store, qvec, k = 10,
+          nprobe = 4, shortlist = 50)
+        .select(col("vec_id"), round(col("l2_dist"), 4).as("l2_dist"))
+    }),
   )
 
   /** The q200 info-gain split-finder CTE chain, prefix-renamed so the

@@ -1,0 +1,175 @@
+package graft.functions
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted IVF×PQ serving layout — the full 100 TB ANN story in one
+  * store: IVF prunes WHICH partitions a probe scans ([[IvfStore]]'s
+  * `cluster=<id>` layout → partition pruning), PQ shrinks WHAT each
+  * scanned row costs (m one-byte codes instead of dim floats — the
+  * shuffle/scan payload drops ~16×). A store carries BOTH layers over
+  * the same batches:
+  *
+  *  - `<store>/vectors/ab=<b>/cluster=<c>/` — the raw vectors
+  *    ([[IvfStore]] owns this layer: frozen centroids in its
+  *    manifest, batch append, compaction);
+  *  - `<store>/codes/ab=<b>/cluster=<c>/` — the PQ codes, partitioned
+  *    IDENTICALLY so an ADC probe and its exact refine prune the same
+  *    directories;
+  *  - `<store>/_graft_pq_meta.<n>` — the codebooks
+  *    ([[PqIndex.saveCodebooks]] bit-exact manifest swap).
+  *
+  * Crash contract: [[build]] writes codes BEFORE the codebook
+  * manifest, and [[append]] writes codes before [[IvfStore.append]]'s
+  * vectors-manifest swap — so the codes layer is visible only when
+  * both its bytes and the batch registration exist. A crash mid-build
+  * leaves a plain working [[IvfStore]] with the PQ layer simply
+  * absent ([[pqLayerExists]] false, [[topK]] refuses friendly); a
+  * crash mid-append leaves orphan `ab=` dirs no manifest references
+  * (invisible, overwritten by the replay).
+  *
+  * Serving ([[topK]]): probe the frozen centroids (k rows,
+  * driver-side), partition-pruned scan of the probed clusters' CODES
+  * for the ADC shortlist, then the exact re-rank touches only the
+  * shortlist's raw vectors via a broadcast semi-join against the
+  * equally-pruned vectors layer — the corpus's floats are never
+  * scanned. Same ADC-then-L2 arithmetic as the in-session
+  * [[PqIndex.adcRefineTopK]] ∘ [[IvfIndex]] composition, so the
+  * spec can assert served ≡ in-session on identical inputs. */
+object IvfPqStore {
+
+  private def codesPath(store: String) = store + "/codes"
+  private val CodesCol = "pq_codes"
+
+  private def fsOf(spark: SparkSession, path: String) =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Both layers present: the IVF store AND the codebook manifest. */
+  def pqLayerExists(spark: SparkSession, store: String): Boolean =
+    IvfStore.storeExists(spark, store) &&
+      PqIndex.codebooksExist(spark, store)
+
+  private def writeCodes(assigned: DataFrame, cb: PqIndex.Codebooks,
+                         idCol: String, vecCol: String,
+                         store: String): Unit =
+    graft.sources.Sinks.overwritePartitions(
+      PqIndex.encode(assigned.filter(col(vecCol).isNotNull), vecCol, cb,
+          CodesCol)
+        .select(col(idCol), col(CodesCol), col("ab"), col("cluster")),
+      codesPath(store), Seq("ab", "cluster"))
+
+  /** Train both layers and persist: [[IvfStore.build]] (centroids +
+    * cluster-partitioned vectors + its manifest), then PQ codebooks
+    * trained on the stored vectors, the codes layer written for every
+    * visible batch, and the codebook manifest swapped LAST — the PQ
+    * layer's visibility gate. */
+  def build(vectors: DataFrame, vecCol: String, idCol: String,
+            store: String, k: Int = 16, iterations: Int = 2,
+            m: Int = 8, ksub: Int = 16, pqIterations: Int = 3): Unit = {
+    val spark = vectors.sparkSession
+    graft.sources.Manifest.clear(spark, store, "_graft_pq_meta")
+    val cp = new org.apache.hadoop.fs.Path(codesPath(store))
+    val fs = fsOf(spark, store)
+    if (fs.exists(cp)) fs.delete(cp, true)
+    IvfStore.build(vectors, vecCol, idCol, store, k, iterations)
+    val meta = IvfStore.readMeta(spark, store)
+    val raw = spark.read.parquet(IvfStore.vectorsPath(store))
+      .filter(col("ab").isin(meta.batches: _*))
+    val cb = PqIndex.train(raw, meta.vecCol, meta.idCol, m, ksub,
+      pqIterations)
+    writeCodes(raw, cb, meta.idCol, meta.vecCol, store)
+    PqIndex.saveCodebooks(spark, store, cb) // LAST: PQ layer visible
+  }
+
+  /** Append a batch with BOTH layers frozen: assign against the stored
+    * centroids, encode against the stored codebooks, codes first, then
+    * the vectors layer + manifest swap via [[IvfStore.append]] (which
+    * also makes the codes batch visible). Replay of a registered
+    * batchId is a no-op. */
+  def append(vectors: DataFrame, store: String, batchId: Long): Unit = {
+    val spark = vectors.sparkSession
+    require(pqLayerExists(spark, store), s"no IVF×PQ store at $store")
+    val meta = IvfStore.readMeta(spark, store)
+    if (meta.batches.contains(batchId)) return // completed replay
+    val cb = PqIndex.loadCodebooks(spark, store)
+    val assigned = IvfIndex.assign(
+        vectors.filter(col(meta.vecCol).isNotNull),
+        broadcast(IvfStore.centroidsDf(spark, store)),
+        meta.vecCol, meta.idCol)
+      .select(col(meta.idCol), col(meta.vecCol),
+        lit(batchId).as("ab"), col("cluster_id").cast("long").as("cluster"))
+    writeCodes(assigned, cb, meta.idCol, meta.vecCol, store)
+    IvfStore.append(vectors, store, batchId)
+  }
+
+  /** ADC-shortlist + exact-refine top-k over the persisted layout:
+    * centroid probe (k rows, driver-side) → partition-pruned CODES
+    * scan of the `nprobe` winning clusters scored by the broadcast
+    * lookup table → top-`shortlist` by (adc ascending, id) → exact
+    * squared-L2 re-rank of just those ids against the equally-pruned
+    * vectors layer. Output: (idCol, l2_dist) ascending, id tie-break —
+    * the [[PqIndex.adcRefineTopK]] contract served from disk. */
+  def topK(spark: SparkSession, store: String, queryVec: Seq[Float],
+           k: Int, nprobe: Int = 2, shortlist: Int = 100): DataFrame = {
+    require(k >= 1 && shortlist >= k,
+      s"need shortlist >= k >= 1, got k=$k shortlist=$shortlist")
+    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
+    require(pqLayerExists(spark, store), s"no IVF×PQ store at $store")
+    val meta = IvfStore.readMeta(spark, store)
+    val cb = PqIndex.loadCodebooks(spark, store)
+    val q = array(queryVec.map(v => lit(v)): _*)
+    // k-bounded collect: the centroid table IS tiny by contract
+    val probeIds = IvfStore.centroidsDf(spark, store)
+      .withColumn("__sim", graft.plans.CosineSimilarity(col("centroid"), q))
+      .orderBy(col("__sim").desc_nulls_last, col("cluster_id").asc)
+      .limit(nprobe)
+      .select(col("cluster_id"))
+      .collect().map(_.getLong(0)).toSeq
+    val shortIds = spark.read.parquet(codesPath(store))
+      .filter(col("ab").isin(meta.batches: _*) &&
+        col("cluster").isin(probeIds: _*))
+      .withColumn("adc_dist",
+        graft.plans.PqCodes.adc(col(CodesCol), PqIndex.lut(queryVec, cb)))
+      .filter(col("adc_dist").isNotNull)
+      .orderBy(col("adc_dist").asc, col(meta.idCol).asc)
+      .limit(shortlist)
+      .select(meta.idCol)
+    spark.read.parquet(IvfStore.vectorsPath(store))
+      .filter(col("ab").isin(meta.batches: _*) &&
+        col("cluster").isin(probeIds: _*))
+      .join(broadcast(shortIds), Seq(meta.idCol), "left_semi")
+      .withColumn("l2_dist", graft.plans.SquaredL2(col(meta.vecCol), q))
+      .select(col(meta.idCol), col("l2_dist"))
+      .orderBy(col("l2_dist").asc, col(meta.idCol).asc)
+      .limit(k)
+  }
+
+  /** Compact BOTH layers into one negative generation: codes fold
+    * first (under the new gen dir), then [[IvfStore.compactStore]]
+    * swaps the manifest (the visibility pivot for both layers), then
+    * superseded codes dirs sweep LAST — readable at every crash
+    * point, probe results identical before and after. */
+  def compactStore(spark: SparkSession, store: String): Unit = {
+    require(pqLayerExists(spark, store), s"no IVF×PQ store at $store")
+    val meta = IvfStore.readMeta(spark, store)
+    val gen = math.min(0L, meta.batches.min) - 1L
+    val folded = spark.read.parquet(codesPath(store))
+      .filter(col("ab").isin(meta.batches: _*))
+      .select(col(meta.idCol), col(CodesCol), lit(gen).as("ab"),
+        col("cluster"))
+      .repartition(col("cluster"))
+    graft.sources.Sinks.overwritePartitions(folded, codesPath(store),
+      Seq("ab", "cluster"))
+    IvfStore.compactStore(spark, store)
+    val fs = fsOf(spark, store)
+    val root = new org.apache.hadoop.fs.Path(codesPath(store))
+    if (fs.exists(root))
+      fs.listStatus(root).foreach { s =>
+        val name = s.getPath.getName
+        if (s.isDirectory && name.startsWith("ab=") &&
+            name.stripPrefix("ab=").toLongOption.exists(_ != gen))
+          fs.delete(s.getPath, true)
+      }
+  }
+}

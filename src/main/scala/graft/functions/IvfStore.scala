@@ -36,7 +36,7 @@ import org.apache.spark.sql.functions._
   */
 object IvfStore {
 
-  private def vectorsPath(store: String) = store + "/vectors"
+  private[graft] def vectorsPath(store: String) = store + "/vectors"
   private val MetaPrefix                 = "_graft_ivf_meta"
 
   private def fsOf(spark: SparkSession, path: String) =

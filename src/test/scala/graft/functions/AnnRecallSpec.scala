@@ -90,6 +90,24 @@ class AnnRecallSpec extends SparkSpec {
     assert(full == 1.0, f"full probe must equal brute force, got $full%.3f")
   }
 
+  test("persisted IVF×PQ store recall@10 clears the composed floor " +
+      "(codes scan + exact refine served from disk)") {
+    val store = java.nio.file.Files
+      .createTempDirectory("ann-ivfpq").toString + "/s"
+    IvfPqStore.build(emb, "embedding", "vec_id", store,
+      k = 8, iterations = 2, m = 8, ksub = 16, pqIterations = 3)
+    def served(qid: Long, qv: Seq[Float]): Set[Long] =
+      IvfPqStore.topK(spark, store, qv, K + 1, nprobe = 4,
+          shortlist = 60)
+        .collect().map(_.getLong(0)).filter(_ != qid).take(K).toSet
+    val r = meanRecall(served)
+    info(f"IVF×PQ store recall@10 (k=8, nprobe=4, shortlist=60): $r%.3f")
+    // bounded by the IVF probe recall (0.82 measured above) times the
+    // refine stage's shortlist recall — floor pinned under both (the
+    // in-session combo measured 0.7 in PqIndexSpec)
+    assert(r >= 0.6, f"IVF×PQ store recall regressed: $r%.3f")
+  }
+
   test("LSH recall@10: single-table collapses on weak neighbors; multi-table recovers it") {
     // single table, one bucket of 16 ≈ 6% of the corpus probed: a top-10
     // neighbor at cosine ~0.3 agrees on all 4 sign bits only ~13% of the

@@ -1,0 +1,144 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class IvfPqStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val emb = spark.read
+    .parquet(sf("sf0.01") + "/embeddings.parquet")
+    .filter(col("embedding").isNotNull)
+
+  private def tmpStore(): String =
+    java.nio.file.Files.createTempDirectory("ivfpq").toString + "/s"
+
+  private def qv: Seq[Float] = {
+    import scala.jdk.CollectionConverters._
+    emb.filter(col("vec_id") === 0).select("embedding")
+      .collect()(0).getList[Float](0).asScala.toSeq
+  }
+
+  test("served topK ≡ the in-session IVF×PQ composition (identical " +
+      "probe, codes, ADC and refine arithmetic)") {
+    val store = tmpStore()
+    IvfPqStore.build(emb, "embedding", "vec_id", store,
+      k = 8, iterations = 2, m = 8, ksub = 16, pqIterations = 3)
+    val served = IvfPqStore.topK(spark, store, qv, k = 10, nprobe = 4,
+        shortlist = 50)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val ivf = IvfIndex.build(emb, "embedding", "vec_id", k = 8,
+      iterations = 2)
+    try {
+      val q = array(qv.map(v => lit(v)): _*)
+      val probe = ivf.centroids
+        .withColumn("__sim", graft.plans.CosineSimilarity(col("centroid"), q))
+        .orderBy(col("__sim").desc_nulls_last, col("cluster_id").asc)
+        .limit(4).select("cluster_id")
+      val cb = PqIndex.train(ivf.indexed, "embedding", "vec_id",
+        m = 8, ksub = 16, iterations = 3)
+      val probed = PqIndex.encode(ivf.indexed, "embedding", cb)
+        .join(broadcast(probe), Seq("cluster_id"), "left_semi")
+      val inSession = PqIndex.adcRefineTopK(probed, "embedding", "vec_id",
+          cb, qv, k = 10, shortlist = 50)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(served == inSession,
+        s"served $served\nin-session $inSession")
+      assert(served.nonEmpty)
+    } finally ivf.close()
+  }
+
+  test("append with both layers frozen ≡ build-all at full probe; " +
+      "replayed batchId no-ops") {
+    val all = emb.filter($"vec_id" < 400)
+    val storeA = tmpStore(); val storeB = tmpStore()
+    IvfPqStore.build(all, "embedding", "vec_id", storeA, k = 4,
+      m = 8, ksub = 16)
+    // B: same centroids/codebooks trained on the SAME base corpus,
+    // then the remainder appended frozen
+    IvfPqStore.build(all, "embedding", "vec_id", storeB, k = 4,
+      m = 8, ksub = 16)
+    val extra = emb.filter($"vec_id" >= 400 && $"vec_id" < 450)
+    IvfPqStore.append(extra, storeB, batchId = 1L)
+    IvfPqStore.append(extra, storeB, batchId = 1L) // replay: no-op
+    val full = IvfPqStore.topK(spark, storeB, qv, k = 10, nprobe = 4,
+      shortlist = 500).collect()
+    assert(full.length == 10)
+    // the appended ids are servable: probe for a vector FROM the batch
+    import scala.jdk.CollectionConverters._
+    val qExtra = emb.filter($"vec_id" === 410).select("embedding")
+      .collect()(0).getList[Float](0).asScala.toSeq
+    val hits = IvfPqStore.topK(spark, storeB, qExtra, k = 1, nprobe = 4,
+      shortlist = 500).collect()
+    assert(hits.head.getLong(0) == 410L && hits.head.getDouble(1) == 0.0)
+    // base store is untouched by B's append
+    assert(IvfPqStore.topK(spark, storeA, qv, k = 10, nprobe = 4,
+      shortlist = 500).collect().length == 10)
+  }
+
+  test("a probe scans only the nprobe winning cluster partitions — " +
+      "codes AND vectors layers both prune") {
+    val store = tmpStore()
+    IvfPqStore.build(emb, "embedding", "vec_id", store, k = 8,
+      m = 8, ksub = 16)
+    val df = IvfPqStore.topK(spark, store, qv, k = 5, nprobe = 2,
+      shortlist = 20)
+    df.collect()
+    // AQE wraps the joined plan: unwrap adaptive roots and query stages
+    // to reach the actual file scans
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def scansOf(p: SparkPlan): Seq[FileSourceScanExec] = p.flatMap {
+      case a: AdaptiveSparkPlanExec => scansOf(a.executedPlan)
+      case s: QueryStageExec => scansOf(s.plan)
+      case f: FileSourceScanExec => Seq(f)
+      case _ => Seq.empty
+    }
+    val scans = scansOf(df.queryExecution.executedPlan)
+    assert(scans.size >= 2, "expected codes + vectors scans")
+    scans.foreach { f =>
+      assert(f.selectedPartitions.partitionCount <= 2,
+        s"each layer must read at most nprobe=2 cluster partitions, " +
+          s"read ${f.selectedPartitions.partitionCount}")
+    }
+    val planStr = df.queryExecution.executedPlan.toString
+    assert(planStr.contains("PartitionFilters") &&
+      planStr.contains("cluster"),
+      s"expected cluster partition filters in:\n$planStr")
+  }
+
+  test("crash order: without the codebook manifest the PQ layer is " +
+      "absent and refuses friendly; the plain IVF layer still serves") {
+    val store = tmpStore()
+    IvfStore.build(emb, "embedding", "vec_id", store, k = 4)
+    assert(!IvfPqStore.pqLayerExists(spark, store))
+    val e = intercept[IllegalArgumentException] {
+      IvfPqStore.topK(spark, store, qv, k = 5)
+    }
+    assert(e.getMessage.contains("no IVF×PQ store"))
+    intercept[IllegalArgumentException] {
+      IvfPqStore.append(emb.limit(5), store, 1L)
+    }
+    assert(IvfStore.topK(spark, store, qv, k = 5, nprobe = 4)
+      .collect().length == 5)
+  }
+
+  test("compaction folds both layers; probes identical before and " +
+      "after; superseded codes dirs swept") {
+    val store = tmpStore()
+    IvfPqStore.build(emb.filter($"vec_id" < 300), "embedding", "vec_id",
+      store, k = 4, m = 8, ksub = 16)
+    IvfPqStore.append(emb.filter($"vec_id" >= 300 && $"vec_id" < 380),
+      store, batchId = 1L)
+    val before = IvfPqStore.topK(spark, store, qv, k = 10, nprobe = 4,
+      shortlist = 100).collect().map(_.toSeq).toSeq
+    IvfPqStore.compactStore(spark, store)
+    val after = IvfPqStore.topK(spark, store, qv, k = 10, nprobe = 4,
+      shortlist = 100).collect().map(_.toSeq).toSeq
+    assert(after == before)
+    val dirs = new java.io.File(store + "/codes").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(dirs == Set("ab=-1"), s"superseded dirs must sweep: $dirs")
+  }
+}
