@@ -66,13 +66,15 @@ object IvfPqStore {
     * layer's visibility gate. */
   def build(vectors: DataFrame, vecCol: String, idCol: String,
             store: String, k: Int = 16, iterations: Int = 2,
-            m: Int = 8, ksub: Int = 16, pqIterations: Int = 3): Unit = {
+            m: Int = 8, ksub: Int = 16, pqIterations: Int = 3,
+            baseBatchId: Long = 0L): Unit = {
     val spark = vectors.sparkSession
     graft.sources.Manifest.clear(spark, store, "_graft_pq_meta")
     val cp = new org.apache.hadoop.fs.Path(codesPath(store))
     val fs = fsOf(spark, store)
     if (fs.exists(cp)) fs.delete(cp, true)
-    IvfStore.build(vectors, vecCol, idCol, store, k, iterations)
+    IvfStore.build(vectors, vecCol, idCol, store, k, iterations,
+      baseBatchId)
     val meta = IvfStore.readMeta(spark, store)
     val raw = spark.read.parquet(IvfStore.vectorsPath(store))
       .filter(col("ab").isin(meta.batches: _*))

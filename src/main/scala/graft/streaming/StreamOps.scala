@@ -384,6 +384,41 @@ object StreamOps {
       }
       .start()
 
+  /** Streaming ingest into the persisted IVF×PQ store — the
+    * [[ivfAppendSink]] twin with the codes layer kept in lockstep:
+    * the first non-empty micro-batch trains BOTH layers
+    * ([[graft.functions.IvfPqStore.build]] — centroids, codebooks,
+    * cluster-partitioned codes); every later batch assigns and
+    * encodes against the FROZEN layers in O(batch). Same idempotency
+    * contract (manifest-listed batch ids no-op, crashed appends
+    * invisible — the codebook manifest is the PQ layer's visibility
+    * gate); `compactEvery` folds both layers' `ab=` trees. */
+  def ivfPqAppendSink(vectors: DataFrame, vecCol: String, idCol: String,
+                      storePath: String, checkpoint: String,
+                      k: Int = 16, iterations: Int = 2,
+                      m: Int = 8, ksub: Int = 16,
+                      compactEvery: Int = 0)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    vectors.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        if (!graft.functions.IvfPqStore.pqLayerExists(spark, storePath)) {
+          // register the base build under the stream's own id so a
+          // post-crash replay of this micro-batch is a recognized no-op
+          if (!batch.isEmpty)
+            graft.functions.IvfPqStore.build(batch, vecCol, idCol,
+              storePath, k, iterations, m, ksub,
+              baseBatchId = batchId + 1)
+        } else
+          graft.functions.IvfPqStore.append(batch, storePath, batchId + 1)
+        if (compactEvery > 0 && (batchId + 1) % compactEvery == 0 &&
+            graft.functions.IvfPqStore.pqLayerExists(spark, storePath))
+          graft.functions.IvfPqStore.compactStore(spark, storePath)
+        ()
+      }
+      .start()
+
   /** Same running totals on the `transformWithState` API (Spark 4's
     * successor to flatMapGroupsWithState: typed ValueState handles,
     * timer support, state-store-backed). */

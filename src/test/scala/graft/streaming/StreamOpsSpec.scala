@@ -6,7 +6,7 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
 import graft.SparkSpec
-import graft.functions.{IvfStore, VectorFunctions}
+import graft.functions.{IvfPqStore, IvfStore, PqIndex, VectorFunctions}
 
 case class Ev(ts: Timestamp, user_id: Long, value: Double)
 case class Ev2(event_id: Long, ts: Timestamp, user_id: Long)
@@ -450,6 +450,49 @@ class StreamOpsSpec extends SparkSpec {
     val served = IvfStore.topK(spark, store, qv, k = 10, nprobe = 4)
       .select("vec_id").as[Long].collect().toSeq
     assert(served == exact, "nprobe=k serve must equal exact search")
+  }
+
+  test("ivfPqAppendSink: first batch trains both layers, later batches " +
+      "append frozen; exhaustive serve ≡ exact L2 over the stream") {
+    implicit val sqlCtx = spark.sqlContext
+    import scala.jdk.CollectionConverters._
+    val dir = java.nio.file.Files.createTempDirectory("stream-ivfpq")
+    val store = dir.toString + "/s"
+    val emb = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
+    def rows(lo: Long, hi: Long): Seq[(Long, Seq[Float])] =
+      emb.filter(col("vec_id") >= lo && col("vec_id") < hi)
+        .collect().map(r =>
+          (r.getLong(0), r.getList[Float](1).asScala.toSeq)).toSeq
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val q = StreamOps.ivfPqAppendSink(mem.toDF().toDF("vec_id", "embedding"),
+      "embedding", "vec_id", store, dir.toString + "/ckpt", k = 4,
+      m = 8, ksub = 16)
+    mem.addData(rows(1, 200): _*) // batch 0 trains both layers (id 1)
+    q.processAllAvailable()
+    val cbAfterTrain = PqIndex.loadCodebooks(spark, store)
+    mem.addData(rows(200, 300): _*) // appends, both layers frozen
+    q.processAllAvailable()
+    q.stop()
+    val meta = IvfStore.readMeta(spark, store)
+    assert(meta.batches == Seq(1L, 2L), s"micro-batches 0,1 -> keys 1,2: $meta")
+    // the append did NOT retrain the codebooks: bit-identical floats
+    val cbAfterAppend = PqIndex.loadCodebooks(spark, store)
+    assert(cbAfterAppend.cents.flatten.flatten.toSeq ==
+      cbAfterTrain.cents.flatten.flatten.toSeq,
+      "append must freeze the trained codebooks")
+    // every cluster probed + corpus-sized shortlist = exact L2 search
+    val qv = emb.filter(col("vec_id") === 0).select("embedding")
+      .collect()(0).getList[Float](0).asScala.toSeq
+    val qArr = array(qv.map(v => lit(v)): _*)
+    val exact = emb.filter(col("vec_id") >= 1 && col("vec_id") < 300)
+      .withColumn("d", graft.plans.SquaredL2(col("embedding"), qArr))
+      .orderBy(col("d").asc, col("vec_id").asc).limit(10)
+      .select("vec_id").as[Long].collect().toSeq
+    val served = IvfPqStore.topK(spark, store, qv, k = 10, nprobe = 4,
+        shortlist = 500)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(served == exact,
+      "full-probe corpus-shortlist serve must equal exact L2 search")
   }
 
   test("file-source index ingest at sf0.01 ≡ one-shot batch index build (composition)") {
