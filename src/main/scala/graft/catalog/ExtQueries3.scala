@@ -276,6 +276,51 @@ object ExtQueries3 {
           nprobe = 4, shortlist = 50)
         .select(col("vec_id"), round(col("l2_dist"), 4).as("l2_dist"))
     }),
+
+    // --- duplication audit histogram ---------------------------------------
+    // Planted exact dups (the first 50 docs appended again) → sizes 1
+    // and 2 with exact cluster/doc counts.
+    "q261_dedup_report" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val corpus = docs.unionByName(
+        docs.filter(col("doc_id") < 50)
+          .withColumn("doc_id", col("doc_id") + 1000000L))
+      graft.operators.Profile.duplicationHistogram(corpus, "text")
+        .orderBy(col("cluster_size"))
+    }),
+
+    // --- PSI drift timeline ------------------------------------------------
+    // Order-price drift per year against the fixed first-year (1995)
+    // reference: WHEN did the distribution move?
+    "q262_psi_timeline" -> ((s, d) => {
+      val o = t(s, d, "orders")
+      graft.operators.Eval.psiOverTime(
+          o.filter(col("o_orderdate") < lit("1996-01-01")),
+          o.filter(col("o_orderdate") >= lit("1996-01-01"))
+            .withColumn("yr", year(col("o_orderdate"))),
+          "o_totalprice", "yr")
+        .orderBy(col("yr"))
+    }),
+
+    // --- binary-segmentation changepoints ----------------------------------
+    // The q212 CUSUM peak recursed into both sides of the daily order
+    // series.
+    "q263_changepoints2" -> ((s, d) =>
+      graft.operators.TimeSeries.changePoints2(
+          t(s, d, "orders").groupBy(col("o_orderdate").as("day"))
+            .agg(count(lit(1)).cast("double").as("cnt")),
+          "day", "cnt")
+        .orderBy(col("segment"))),
+
+    // --- local-maximum peak detection --------------------------------------
+    // Daily event-count crests per type with prominence >= 3 events.
+    "q264_peaks" -> ((s, d) =>
+      graft.operators.TimeSeries.peaks(
+          ev(s, d).groupBy(col("event_type"),
+              col("ts").cast("date").as("day"))
+            .agg(count(lit(1)).cast("double").as("cnt")),
+          "event_type", "day", "cnt", minProminence = 3.0)
+        .orderBy(col("event_type"), col("day"))),
   )
 
   /** The q200 info-gain split-finder CTE chain, prefix-renamed so the
@@ -957,5 +1002,121 @@ object ExtQueries3 {
            round(CAST(sum(CAST(round((q - p) * ln(q / p), 9)
              AS DECIMAL(38,9))) AS DOUBLE), 6) AS psi
          FROM f GROUP BY c ORDER BY c""",
+
+    // same content-hash clustering as q37; null text is its own level
+    "q261_dedup_report" ->
+      """WITH corpus AS (
+           SELECT text FROM documents
+           UNION ALL SELECT text FROM documents WHERE doc_id < 50),
+         cl AS (SELECT sha256(text) AS h, count(*) AS sz
+           FROM corpus GROUP BY 1)
+         SELECT sz AS cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(sum(sz) AS BIGINT) AS n_docs
+         FROM cl GROUP BY 1 ORDER BY 1""",
+
+    // fixed reference deciles, dense periods × bins frame (absent bins
+    // are real ε-floored zeros), one 9-grid DECIMAL fold per period
+    "q262_psi_timeline" ->
+      """WITH ref AS (SELECT o_totalprice AS v FROM orders
+           WHERE o_orderdate < DATE '1996-01-01'
+             AND o_totalprice IS NOT NULL),
+         curr AS (SELECT year(o_orderdate) AS p, o_totalprice AS v
+           FROM orders WHERE o_orderdate >= DATE '1996-01-01'
+             AND o_totalprice IS NOT NULL),
+         b AS (SELECT quantile_cont(v, [0.1, 0.2, 0.3, 0.4, 0.5,
+             0.6, 0.7, 0.8, 0.9]) AS bounds FROM ref),
+         rb AS (SELECT 1 + len(list_filter(bounds, x -> v > x)) AS bin,
+             count(*) AS rn FROM ref, b GROUP BY 1),
+         cb AS (SELECT p, 1 + len(list_filter(bounds, x -> v > x)) AS bin,
+             count(*) AS cn FROM curr, b GROUP BY 1, 2),
+         dense AS (SELECT pp.p AS p, t.bin AS bin,
+             coalesce(rn, 0) AS rn, coalesce(cn, 0) AS cn
+           FROM (SELECT DISTINCT p FROM cb) pp
+           CROSS JOIN range(1, 11) t(bin)
+           LEFT JOIN rb ON rb.bin = t.bin
+           LEFT JOIN cb ON cb.p = pp.p AND cb.bin = t.bin),
+         tt AS (SELECT p, sum(rn) AS rt, sum(cn) AS ct
+           FROM dense GROUP BY 1),
+         f AS (SELECT dense.p, rn, cn,
+             greatest(rn / CAST(rt AS DOUBLE), 1e-6) AS pr,
+             greatest(cn / CAST(ct AS DOUBLE), 1e-6) AS q
+           FROM dense JOIN tt ON dense.p = tt.p)
+         SELECT CAST(p AS INT) AS yr, CAST(sum(rn) AS BIGINT) AS ref_n,
+           CAST(sum(cn) AS BIGINT) AS cur_n,
+           round(CAST(sum(CAST(round((q - pr) * ln(q / pr), 9)
+             AS DECIMAL(38,9))) AS DOUBLE), 6) AS psi
+         FROM f GROUP BY p ORDER BY yr""",
+
+    // three instantiations of the proven q212 CUSUM block; child
+    // sources gate on the root peak via scalar subqueries
+    "q263_changepoints2" -> {
+      val base =
+        """WITH srs AS (SELECT o_orderdate AS k, CAST(count(*) AS DOUBLE) AS v
+           FROM orders GROUP BY 1),
+         """
+      val le =
+        """,
+         lsrc AS (SELECT * FROM srs
+           WHERE k <= (SELECT k FROM rootb WHERE rk = 1)),
+         """ + cpBlock("le", "lsrc")
+      val gt =
+        """,
+         gsrc AS (SELECT * FROM srs
+           WHERE k > (SELECT k FROM rootb WHERE rk = 1)),
+         """ + cpBlock("gt", "gsrc")
+      val finalSel =
+        """
+         SELECT 'root' AS segment, k AS change_at,
+           round(abs(CAST(cusum AS DOUBLE)), 6) AS max_abs_cusum,
+           round(mean, 6) AS mean, n
+         FROM rootb WHERE rk = 1
+         UNION ALL
+         SELECT 'le' AS segment, k AS change_at,
+           round(abs(CAST(cusum AS DOUBLE)), 6) AS max_abs_cusum,
+           round(mean, 6) AS mean, n
+         FROM leb WHERE rk = 1
+         UNION ALL
+         SELECT 'gt' AS segment, k AS change_at,
+           round(abs(CAST(cusum AS DOUBLE)), 6) AS max_abs_cusum,
+           round(mean, 6) AS mean, n
+         FROM gtb WHERE rk = 1
+         ORDER BY segment"""
+      base + cpBlock("root", "srs") + le + gt + finalSel
+    },
+
+    // same keyed lag/lead neighbor test; prominence compares on the
+    // 9-grid
+    "q264_peaks" ->
+      """WITH srs AS (SELECT event_type AS g, CAST(ts AS DATE) AS day,
+             CAST(count(*) AS DOUBLE) AS v
+           FROM events GROUP BY 1, 2),
+         n AS (SELECT g, day, v,
+             lag(v) OVER (PARTITION BY g ORDER BY day) AS pv,
+             lead(v) OVER (PARTITION BY g ORDER BY day) AS nv
+           FROM srs),
+         pk AS (SELECT g, day, v,
+             round(least(v - pv, v - nv), 9) AS prom
+           FROM n WHERE pv IS NOT NULL AND nv IS NOT NULL
+             AND v > pv AND v > nv)
+         SELECT g AS event_type, day, round(v, 6) AS value,
+           round(prom, 6) AS prominence
+         FROM pk WHERE prom >= round(CAST(3.0 AS DOUBLE), 9)
+         ORDER BY event_type, day""",
   )
+
+  /** The q212 CUSUM-peak CTE chain, prefix-renamed for the q263
+    * binary-segmentation oracle — text kept token-identical to the
+    * proven q212 oracle. */
+  private def cpBlock(p: String, src: String): String =
+    s"""${p}m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(round(v, 9) AS DECIMAL(38,9))) AS DOUBLE)
+               / count(*) AS mean
+           FROM $src),
+         ${p}c AS (SELECT k, ${p}m.n, ${p}m.mean,
+             sum(CAST(round(v - ${p}m.mean, 9) AS DECIMAL(38,9)))
+               OVER (ORDER BY k) AS cusum
+           FROM $src, ${p}m),
+         ${p}b AS (SELECT *, row_number() OVER (
+             ORDER BY abs(CAST(cusum AS DOUBLE)) DESC, k ASC) AS rk
+           FROM ${p}c)"""
 }

@@ -652,6 +652,60 @@ object Eval {
           .as("psi_term"))
   }
 
+  /** PSI drift timeline — [[psi]] per period against ONE fixed
+    * reference: the trajectory view that says not just "the serving
+    * distribution moved" but WHEN it started moving and whether it is
+    * still drifting. Reference deciles compute once; every period of
+    * `cur` gets the full numBins-bin comparison against them (bins
+    * empty in a period are REAL zeros via the dense periods × bins
+    * frame, ε-floored like [[psi]] — a period missing a bin is exactly
+    * the signal).
+    *
+    * Scale shape: one ref percentile agg + one binned count per side;
+    * the dense frame is periods × numBins rows built by explode, never
+    * a row-wise fill. Nulls drop on both sides (the q196 pin). Output
+    * one row per period: (periodCol, ref_n, cur_n, psi rounded 6). */
+  def psiOverTime(ref: DataFrame, cur: DataFrame, valCol: String,
+                  periodCol: String, numBins: Int = 10): DataFrame = {
+    require(numBins >= 2, s"numBins must be >= 2, got $numBins")
+    val ps = (1 until numBins).map(i => i.toDouble / numBins).mkString(", ")
+    val bounds = ref.filter(col(valCol).isNotNull)
+      .agg(expr(s"percentile($valCol, array($ps))").as("__bounds"))
+    def binOf: Column =
+      lit(1) + size(filter(col("__bounds"),
+        b => col(valCol).cast("double") > b))
+    val refBins = ref.filter(col(valCol).isNotNull)
+      .crossJoin(broadcast(bounds))
+      .select(binOf.as("__bin"))
+      .groupBy(col("__bin")).agg(count(lit(1)).as("__rn"))
+    val curBins = cur.filter(col(valCol).isNotNull)
+      .crossJoin(broadcast(bounds))
+      .select(col(periodCol).as("__p"), binOf.as("__bin"))
+      .groupBy(col("__p"), col("__bin")).agg(count(lit(1)).as("__cn"))
+    val dense = curBins.select(col("__p")).distinct()
+      .withColumn("__bin", explode(sequence(lit(1), lit(numBins))))
+      .join(broadcast(refBins), Seq("__bin"), "left")
+      .join(curBins, Seq("__p", "__bin"), "left")
+      .select(col("__p"), col("__bin"),
+        coalesce(col("__rn"), lit(0L)).as("__rn"),
+        coalesce(col("__cn"), lit(0L)).as("__cn"))
+    val totals = dense.groupBy(col("__p"))
+      .agg(sum(col("__rn")).as("__rt"), sum(col("__cn")).as("__ct"))
+    // the when-guard keeps ANSI division from ever seeing a zero total
+    // (an empty reference or an empty period yields null psi, not an
+    // error — degenerate input is unmeasurable, not zero-drift)
+    val pp = greatest(col("__rn").cast("double") / col("__rt"), lit(1e-6))
+    val qq = greatest(col("__cn").cast("double") / col("__ct"), lit(1e-6))
+    val term = when(col("__rt") > 0L && col("__ct") > 0L,
+      round((qq - pp) * log(qq / pp), 9).cast("decimal(38,9)"))
+    dense.join(broadcast(totals), "__p")
+      .groupBy(col("__p"))
+      .agg(sum(col("__rn")).as("ref_n"), sum(col("__cn")).as("cur_n"),
+        sum(term).as("__psi"))
+      .select(col("__p").as(periodCol), col("ref_n"), col("cur_n"),
+        round(col("__psi").cast("double"), 6).as("psi"))
+  }
+
   /** Lorenz curve per group — the CURVE behind [[gini]]'s single
     * number: at each population decile k/d, the share of total value
     * held by the poorest ⌈n·k/d⌉ rows ("the bottom 80% of documents

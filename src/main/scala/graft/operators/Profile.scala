@@ -124,4 +124,21 @@ object Profile {
       .select(col("__r.col_a"), col("__r.col_b"), col("__r.n"),
         col("__r.corr"))
   }
+
+  /** Duplication audit histogram — the before/after readout every
+    * dedup run owes its operator: exact-duplicate clusters by content
+    * hash, folded to one row per CLUSTER SIZE (size, how many clusters
+    * of that size, how many docs they hold). The dedup ratio falls out
+    * as Σ n_docs / Σ n_clusters; a heavy tail at size ≥ 2 is the
+    * boilerplate/mirror signal that decides whether near-dup passes
+    * are worth their cost. Two count aggregations (docs → clusters →
+    * sizes), both map-side combinable; hashes shuffle, text never
+    * does (the q37 discipline). Null text is its own cluster level.
+    * Output: (cluster_size, n_clusters, n_docs) ordered by size. */
+  def duplicationHistogram(df: DataFrame, textCol: String): DataFrame =
+    df.groupBy(sha2(col(textCol).cast("string"), 256).as("__h"))
+      .agg(count(lit(1)).as("__sz"))
+      .groupBy(col("__sz").as("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"),
+        sum(col("__sz")).as("n_docs"))
 }

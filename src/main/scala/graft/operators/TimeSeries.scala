@@ -344,6 +344,63 @@ object TimeSeries {
         col("__n").as("n"))
   }
 
+  /** Binary-segmentation changepoints — [[changePoint]] recursed once
+    * (the decisionTreeDepth2 move): the root CUSUM peak partitions the
+    * series, each side gets its own peak, yielding up to three
+    * boundaries — the standard multi-changepoint heuristic (Scott &
+    * Knott): each recursion level costs two series passes regardless
+    * of segment count. The root boundary rides a 1-row broadcast into
+    * the child filters; an empty side emits no row. Same grid/grain
+    * contract as [[changePoint]] (aggregate to series grain first).
+    * Output: (segment ∈ root/le/gt, change_at, max_abs_cusum, mean,
+    * n), ordered by the caller. */
+  def changePoints2(df: DataFrame, keyCol: String,
+                    valCol: String): DataFrame = {
+    val rows = df.filter(col(valCol).isNotNull)
+      .select(col(keyCol).as("__k"), col(valCol).as("__v"))
+    val root = changePoint(rows, "__k", "__v")
+    val rt = broadcast(root.select(col("change_at").as("__cp")))
+    val le = changePoint(
+      rows.crossJoin(rt).filter(col("__k") <= col("__cp")), "__k", "__v")
+    val gt = changePoint(
+      rows.crossJoin(rt).filter(col("__k") > col("__cp")), "__k", "__v")
+    root.withColumn("segment", lit("root"))
+      .unionByName(le.withColumn("segment", lit("le")))
+      .unionByName(gt.withColumn("segment", lit("gt")))
+      .select(col("segment"), col("change_at"), col("max_abs_cusum"),
+        col("mean"), col("n"))
+  }
+
+  /** Local-maximum peak detection per key — points strictly above BOTH
+    * neighbors with prominence (the smaller of the two rises) at least
+    * `minProminence`: the event-burst / anomaly-crest finder that
+    * thresholds can't express (a peak is relative, not absolute).
+    * Series edges (missing a neighbor) are never peaks — honest, not
+    * extrapolated. Two keyed lag/lead windows (each key's series sorts
+    * inside its own partition); the prominence compares on the 9-grid.
+    * Output: (keyCol, tsCol, value, prominence rounded 6). */
+  def peaks(df: DataFrame, keyCol: String, tsCol: String, valCol: String,
+            minProminence: Double = 0.0): DataFrame = {
+    require(minProminence >= 0.0,
+      s"minProminence must be >= 0, got $minProminence")
+    val w = Window.partitionBy(col("__key")).orderBy(col("__t"))
+    val rows = df.filter(col(tsCol).isNotNull && col(valCol).isNotNull)
+      .select(col(keyCol).as("__key"), col(tsCol).as("__t"),
+        col(valCol).cast("double").as("__v"))
+      .withColumn("__prev", lag(col("__v"), 1).over(w))
+      .withColumn("__next", lead(col("__v"), 1).over(w))
+    rows
+      .filter(col("__prev").isNotNull && col("__next").isNotNull &&
+        col("__v") > col("__prev") && col("__v") > col("__next"))
+      .withColumn("__prom",
+        round(least(col("__v") - col("__prev"), col("__v") - col("__next")),
+          9))
+      .filter(col("__prom") >= round(lit(minProminence), 9))
+      .select(col("__key").as(keyCol), col("__t").as(tsCol),
+        round(col("__v"), 6).as("value"),
+        round(col("__prom"), 6).as("prominence"))
+  }
+
   /** Classical additive seasonal decomposition — value = trend +
     * seasonal + residual, the first model a monitoring pipeline fits
     * to a regular series: trend is the centered moving average over

@@ -82,6 +82,28 @@ class EvalSpec2 extends SparkSpec {
     assert(r.getDouble(4) == 7.0 && r.getDouble(5) == 7.0)
   }
 
+  // --- psiOverTime ---------------------------------------------------------
+
+  test("psiOverTime ≡ per-period psi against the fixed reference; " +
+    "a period missing bins still scores (dense zeros)") {
+    val ref = (1 to 300).map(i => ((i % 31).toDouble)).toDF("v")
+    val cur = ((1 to 200).map(i => (1, (i % 29).toDouble)) ++
+      (1 to 150).map(i => (2, 25.0 + (i % 6)))) // period 2: top bins only
+      .toDF("p", "v")
+    val out = Eval.psiOverTime(ref, cur, "v", "p")
+      .collect().map(r => r.getInt(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    Seq(1, 2).foreach { per =>
+      val terms = Eval.psi(ref, cur.filter(col("p") === per), "v")
+        .collect().map(r => BigDecimal(r.getDouble(5)))
+      assert(out(per)._3 == math.rint(terms.sum.toDouble * 1e6) / 1e6,
+        s"period $per")
+      assert(out(per)._1 == 300L)
+    }
+    // the concentrated period drifts far more than the matched one
+    assert(out(2)._3 > out(1)._3 + 1.0)
+  }
+
   // --- lorenzCurve ---------------------------------------------------------
 
   test("lorenzCurve: equality → diagonal; total concentration → step; " +

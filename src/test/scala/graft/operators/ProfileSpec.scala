@@ -79,4 +79,24 @@ class ProfileSpec extends SparkSpec {
       (math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy)) * 1e6) / 1e6
     assert(out.getDouble(3) == exp)
   }
+
+  // --- duplicationHistogram ------------------------------------------------
+
+  test("duplicationHistogram: planted cluster sizes read back exactly; " +
+    "doc mass conserves; partitioning-invariant") {
+    import spark.implicits._
+    // 5 unique texts, one text ×3, one ×2 → sizes (1→5), (2→1), (3→1)
+    val docs = ((1 to 5).map(i => s"unique $i") ++
+      Seq.fill(3)("tripled") ++ Seq.fill(2)("doubled")).toDF("text")
+    val out = Profile.duplicationHistogram(docs, "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(out == Map(1L -> ((5L, 5L)), 2L -> ((1L, 2L)),
+      3L -> ((1L, 3L))))
+    assert(out.values.map(_._2).sum == 10L) // every doc lands somewhere
+    val out2 = Profile.duplicationHistogram(docs.repartition(7), "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(out2 == out)
+  }
 }

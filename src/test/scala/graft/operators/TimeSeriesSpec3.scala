@@ -157,6 +157,67 @@ class TimeSeriesSpec3 extends SparkSpec {
     assert(out2 == exp)
   }
 
+  // --- changePoints2 -------------------------------------------------------
+
+  test("changePoints2: a two-step series yields the root boundary and " +
+    "the second step inside one side") {
+    // 10 (k 1-10), 30 (k 11-20), 50 (k 21-30): root peak ties along
+    // k 10..20 → earliest 10; le side is constant (strength 0);
+    // gt side (mean 40) peaks at k 20
+    val df = (1 to 30).map(k =>
+      (k, if (k <= 10) 10.0 else if (k <= 20) 30.0 else 50.0))
+      .toDF("k", "v")
+    val out = TimeSeries.changePoints2(df, "k", "v")
+      .collect().map(r => r.getString(0) ->
+        (r.getInt(1), r.getDouble(2), r.getDouble(3), r.getLong(4))).toMap
+    assert(out("root") == ((10, 200.0, 30.0, 30L)))
+    assert(out("le")._2 == 0.0 && out("le")._4 == 10L)
+    assert(out("gt") == ((20, 100.0, 40.0, 20L)))
+  }
+
+  test("changePoints2 ≡ changePoint recursed by hand; empty side " +
+    "emits no row") {
+    val df = (1 to 50).map(k => (k, (k % 13).toDouble + k / 10.0))
+      .toDF("k", "v")
+    val tree = TimeSeries.changePoints2(df, "k", "v")
+      .collect().map(r => r.getString(0) -> r.toSeq.drop(1)).toMap
+    val root = TimeSeries.changePoint(df, "k", "v").collect().head
+    assert(tree("root") == root.toSeq)
+    val cp = root.getInt(0)
+    val le = TimeSeries.changePoint(df.filter(col("k") <= cp), "k", "v")
+      .collect().head
+    val gt = TimeSeries.changePoint(df.filter(col("k") > cp), "k", "v")
+      .collect().head
+    assert(tree("le") == le.toSeq && tree("gt") == gt.toSeq)
+    // root at the maximum key → empty gt side → 2 rows only
+    val upOnly = (1 to 10).map(k => (k, k.toDouble)).toDF("k", "v")
+    val rows = TimeSeries.changePoints2(upOnly, "k", "v").collect()
+    assert(rows.length >= 2 && rows.length <= 3)
+  }
+
+  // --- peaks ---------------------------------------------------------------
+
+  test("peaks: local maxima with prominence; edges never qualify; " +
+    "partitioning-invariant") {
+    val vals = Seq(5.0, 1.0, 8.0, 2.0, 3.0, 2.5, 9.0)
+    val df = vals.zipWithIndex.map { case (v, i) => ("k", i, v) }
+      .toDF("g", "t", "v")
+    val out = TimeSeries.peaks(df, "g", "t", "v")
+      .collect().map(r => r.getInt(1) -> r.getDouble(3)).toMap
+    // peaks at t=2 (8 over 1/2 → prom 6) and t=4 (3 over 2/2.5 →
+    // prom 0.5); edges t=0 (5) and t=6 (9) excluded
+    assert(out == Map(2 -> 6.0, 4 -> 0.5))
+    val strict = TimeSeries.peaks(df, "g", "t", "v", minProminence = 1.0)
+      .collect().map(_.getInt(1)).toSeq
+    assert(strict == Seq(2))
+    val rep = TimeSeries.peaks(df.repartition(5), "g", "t", "v")
+      .collect().map(r => r.getInt(1) -> r.getDouble(3)).toMap
+    assert(rep == out)
+    intercept[IllegalArgumentException] {
+      TimeSeries.peaks(df, "g", "t", "v", minProminence = -1.0)
+    }
+  }
+
   // --- timeWeightedAverage -------------------------------------------------
 
   test("timeWeightedAverage: hand integral; last point holds zero time") {
