@@ -321,6 +321,30 @@ object ExtQueries3 {
             .agg(count(lit(1)).cast("double").as("cnt")),
           "event_type", "day", "cnt", minProminence = 3.0)
         .orderBy(col("event_type"), col("day"))),
+
+    // --- cohort LTV curves -------------------------------------------------
+    // Cumulative per-user event value by cohort week and age.
+    "q265_cohort_ltv" -> ((s, d) =>
+      graft.operators.Funnel.cohortLtv(
+          ev(s, d), "user_id", "ts", "value", "2024-01-01")
+        .orderBy(col("cohort_week"), col("age_weeks"))),
+
+    // --- record-linkage blocking report ------------------------------------
+    // Is (nation, segment) a good enough blocking key for customer
+    // matching? Exact candidate-pair accounting in DECIMAL(38,0).
+    "q266_blocking_report" -> ((s, d) =>
+      graft.operators.Profile.blockingReport(
+        t(s, d, "customer"), Seq("c_nationkey", "c_mktsegment"))),
+
+    // --- embedding-column health profile -----------------------------------
+    // Norm spread / null / raggedness gate over the q125 groups.
+    "q267_vector_health" -> ((s, d) =>
+      graft.operators.Profile.vectorHealth(
+          t(s, d, "embeddings")
+            .select(pmod(col("vec_id"), lit(4L)).as("grp"),
+              col("embedding")),
+          "grp", "embedding")
+        .orderBy(col("grp"))),
   )
 
   /** The q200 info-gain split-finder CTE chain, prefix-renamed so the
@@ -1102,6 +1126,82 @@ object ExtQueries3 {
            round(prom, 6) AS prominence
          FROM pk WHERE prom >= round(CAST(3.0 AS DOUBLE), 9)
          ORDER BY event_type, day""",
+
+    // integer week indexing from the fixed epoch (no locale weeks),
+    // 9-grid DECIMAL revenue sums, keyed cumulative over ages
+    "q265_cohort_ltv" ->
+      """WITH rows AS (SELECT user_id AS u,
+             CAST(floor(datediff('day', DATE '2024-01-01',
+               CAST(ts AS DATE)) / 7) AS BIGINT) AS w,
+             coalesce(CAST(value AS DOUBLE), 0.0) AS v
+           FROM events WHERE ts IS NOT NULL),
+         co AS (SELECT u, min(w) AS cw FROM rows GROUP BY 1),
+         sizes AS (SELECT cw, count(*) AS n_users FROM co GROUP BY 1),
+         cells AS (SELECT co.cw, r.w - co.cw AS age,
+             sum(CAST(round(v, 9) AS DECIMAL(38,9))) AS rev
+           FROM rows r JOIN co ON r.u = co.u GROUP BY 1, 2),
+         wk AS (SELECT cw, age, rev,
+             sum(rev) OVER (PARTITION BY cw ORDER BY age) AS cum
+           FROM cells)
+         SELECT CAST(cw AS INT) AS cohort_week, CAST(age AS INT) AS age_weeks,
+           CAST(n_users AS BIGINT) AS n_users,
+           round(CAST(rev AS DOUBLE), 6) AS revenue,
+           round(CAST(cum AS DOUBLE) / CAST(n_users AS DOUBLE), 6)
+             AS cum_ltv
+         FROM wk JOIN sizes USING (cw) ORDER BY cohort_week, age_weeks""",
+
+    // exact integer pair accounting in DECIMAL(38,0); per-term b(b-1)
+    // is even so the /2 is exact on both engines
+    "q266_blocking_report" ->
+      """WITH b AS (SELECT c_nationkey, c_mktsegment, count(*) AS nb
+           FROM customer GROUP BY 1, 2)
+         SELECT CAST(sum(nb) AS BIGINT) AS n_rows,
+           CAST(count(*) AS BIGINT) AS n_blocks,
+           CAST(max(nb) AS BIGINT) AS max_block,
+           CAST(sum(CAST(nb AS DECIMAL(38,0))
+             * CAST(nb - 1 AS DECIMAL(38,0)) / 2) AS DECIMAL(38,0))
+             AS candidate_pairs,
+           CAST(CAST(sum(nb) AS DECIMAL(38,0))
+             * CAST(sum(nb) - 1 AS DECIMAL(38,0)) / 2 AS DECIMAL(38,0))
+             AS all_pairs,
+           round(1.0 - CAST(sum(CAST(nb AS DECIMAL(38,0))
+               * CAST(nb - 1 AS DECIMAL(38,0)) / 2) AS DOUBLE)
+             / CAST(CAST(sum(nb) AS DECIMAL(38,0))
+               * CAST(sum(nb) - 1 AS DECIMAL(38,0)) / 2 AS DOUBLE), 6)
+             AS reduction_ratio
+         FROM b""",
+
+    // the same left-folded square sum (0.0 + x² prefix ≡ plain fold),
+    // exists/isnan gate, exact interpolated median of norms
+    "q267_vector_health" ->
+      """WITH e AS (SELECT vec_id % 4 AS g, embedding FROM embeddings),
+         r AS (SELECT g, embedding,
+             CASE WHEN embedding IS NOT NULL
+               THEN CAST(len(embedding) AS INT) END AS dim,
+             CASE WHEN embedding IS NOT NULL THEN
+               len(list_filter(embedding, x -> isnan(CAST(x AS DOUBLE))
+                 OR abs(CAST(x AS DOUBLE)) = CAST('Infinity' AS DOUBLE)))
+                 > 0 END AS bad,
+             CASE WHEN embedding IS NOT NULL AND NOT
+               (len(list_filter(embedding, x -> isnan(CAST(x AS DOUBLE))
+                 OR abs(CAST(x AS DOUBLE)) = CAST('Infinity' AS DOUBLE)))
+                 > 0)
+               THEN sqrt(list_reduce(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                 (a, x) -> a + x)) END AS norm
+           FROM e)
+         SELECT g AS grp, CAST(count(*) AS BIGINT) AS n,
+           CAST(count(CASE WHEN embedding IS NULL THEN 1 END) AS BIGINT)
+             AS n_null,
+           CAST(count(DISTINCT dim) AS BIGINT) AS n_dims,
+           CAST(min(dim) AS INT) AS dim,
+           CAST(count(CASE WHEN bad THEN 1 END) AS BIGINT) AS n_nonfinite,
+           CAST(count(CASE WHEN norm = 0.0 THEN 1 END) AS BIGINT)
+             AS n_zero,
+           round(min(norm), 6) AS norm_min,
+           round(quantile_cont(norm, 0.5), 6) AS norm_med,
+           round(max(norm), 6) AS norm_max
+         FROM r GROUP BY g ORDER BY grp""",
   )
 
   /** The q212 CUSUM-peak CTE chain, prefix-renamed for the q263

@@ -197,6 +197,45 @@ object Funnel {
       .orderBy(col("support").desc, col("from_type"), col("to_type"))
   }
 
+  /** Cohort LTV accumulation curves — cumulative value per user by
+    * cohort age: users cohort by their FIRST event's week, every
+    * event's value lands in (cohort, age-in-weeks) cells, and the
+    * running sum over age divided by the cohort's size is the curve
+    * ("week-3 LTV of the January cohort") that [[cohortRetention]]'s
+    * presence counts can't price. Week indexing is an integer day
+    * difference div 7 from a fixed epoch — identical on any engine,
+    * no locale week rules.
+    *
+    * Shape: one user-keyed min agg (cohorting), one (cohort, age)
+    * cell agg of the fact, cohort sizes from the user table, and the
+    * running sum rides [[Ranks.groupedCumSum]] over the cells (ages ×
+    * cohorts rows, never events). Values 9-grid DECIMAL-summed.
+    * Output: (cohort_week, age_weeks, n_users, revenue, cum_ltv
+    * rounded 6) — revenue is the cell's own total, cum_ltv the
+    * running per-user value. */
+  def cohortLtv(events: DataFrame, userCol: String, tsCol: String,
+                valCol: String, epoch: String): DataFrame = {
+    val rows = events.filter(col(tsCol).isNotNull)
+      .select(col(userCol).as("__u"),
+        floor(datediff(col(tsCol).cast("date"), lit(epoch).cast("date"))
+          / 7).as("__w"),
+        coalesce(col(valCol).cast("double"), lit(0.0)).as("__v"))
+    val cohorts = rows.groupBy(col("__u")).agg(min(col("__w")).as("__cw"))
+    val sizes = cohorts.groupBy(col("__cw"))
+      .agg(count(lit(1)).as("n_users"))
+    val cells = rows.join(cohorts, "__u")
+      .groupBy(col("__cw"), (col("__w") - col("__cw")).as("__age"))
+      .agg(sum(round(col("__v"), 9).cast("decimal(38,9)")).as("__rev"))
+    Ranks.groupedCumSum(cells, Seq("__cw"), "__age", Seq("__rev"))
+      .join(broadcast(sizes), "__cw")
+      .select(col("__cw").cast("int").as("cohort_week"),
+        col("__age").cast("int").as("age_weeks"),
+        col("n_users"),
+        round(col("__rev").cast("double"), 6).as("revenue"),
+        round(col("cum___rev").cast("double") /
+          col("n_users").cast("double"), 6).as("cum_ltv"))
+  }
+
   /** Conversion-lag distribution — how long users take from their
     * first `fromType` to their first `toType` AT OR AFTER it, the
     * "time to convert" readout [[funnel]]'s step counts and

@@ -141,4 +141,77 @@ object Profile {
       .groupBy(col("__sz").as("cluster_size"))
       .agg(count(lit(1)).as("n_clusters"),
         sum(col("__sz")).as("n_docs"))
+
+  /** Blocking-quality report for record linkage — evaluate a blocking
+    * key BEFORE paying for the matcher: candidate pairs = Σ n_b(n_b−1)/2
+    * over block sizes, reduction ratio = 1 − candidates / allPairs
+    * (how much of the n² swamp the key drains), plus the max block (the
+    * task that will straggle: candidate work is quadratic in it —
+    * the q191/q234 bounded-key discipline made measurable). All pair
+    * counts are exact integers in DECIMAL(38,0) — n(n−1)/2 overflows
+    * long past n ≈ 4·10⁹, corpus territory. One block-keyed count agg +
+    * a 1-row fold; null block keys form a real block (a null-keyed
+    * matcher still compares them). Output one row: (n_rows, n_blocks,
+    * max_block, candidate_pairs, all_pairs, reduction_ratio rounded 6). */
+  def blockingReport(df: DataFrame, blockCols: Seq[String]): DataFrame = {
+    require(blockCols.nonEmpty, "blockCols must be non-empty")
+    val sizes = df.groupBy(blockCols.map(col): _*)
+      .agg(count(lit(1)).as("__b"))
+    sizes.agg(
+        sum(col("__b")).as("n_rows"),
+        count(lit(1)).as("n_blocks"),
+        max(col("__b")).as("max_block"),
+        sum((col("__b").cast("decimal(38,0)") *
+          (col("__b") - 1L).cast("decimal(38,0)")) / 2).as("__cand"))
+      .select(col("n_rows"), col("n_blocks"), col("max_block"),
+        col("__cand").cast("decimal(38,0)").as("candidate_pairs"),
+        ((col("n_rows").cast("decimal(38,0)") *
+          (col("n_rows") - 1L).cast("decimal(38,0)")) / 2)
+          .cast("decimal(38,0)").as("all_pairs"),
+        round(lit(1.0) - col("__cand").cast("double") /
+          ((col("n_rows").cast("decimal(38,0)") *
+            (col("n_rows") - 1L).cast("decimal(38,0)")) / 2)
+            .cast("double"), 6).as("reduction_ratio"))
+  }
+
+  /** Embedding-column health profile per group — the vector hygiene
+    * gate in front of every ANN/clustering pass: nulls, dimension
+    * drift (ragged arrays break every fixed-dim operator), NaN/Inf
+    * elements, exact-zero vectors (unnormalizable — they poison cosine
+    * with nulls), and the L2-norm spread (min/median/max — a collapsed
+    * or exploding norm distribution is the embedding-model regression
+    * signal). One pass computes per-row health facts via codegen-able
+    * HOFs (no shuffle), one group agg folds them; the median norm is
+    * the exact interpolated percentile; raggedness reports as the
+    * DISTINCT dimension count (n_dims > 1 = ragged, dim = the
+    * smallest observed) — never a per-row collection. Output per
+    * group: (groupCol, n, n_null, n_dims, dim, n_nonfinite, n_zero,
+    * norm_min, norm_med, norm_max) rounded 6. */
+  def vectorHealth(df: DataFrame, groupCol: String,
+                   vecCol: String): DataFrame = {
+    val v = col(vecCol)
+    val sq = expr(
+      s"aggregate($vecCol, CAST(0.0 AS DOUBLE), (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))")
+    val nonfinite = expr(
+      s"exists($vecCol, x -> isnan(CAST(x AS DOUBLE)) OR abs(CAST(x AS DOUBLE)) = CAST('Infinity' AS DOUBLE))")
+    df.select(col(groupCol).as("__g"), v,
+        when(v.isNotNull && !nonfinite, sqrt(sq)).as("__norm"),
+        when(v.isNotNull, nonfinite).as("__bad"),
+        when(v.isNotNull, size(v)).as("__dim"))
+      .groupBy(col("__g"))
+      .agg(count(lit(1)).as("n"),
+        count(when(v.isNull, lit(1))).as("n_null"),
+        countDistinct(col("__dim")).as("n_dims"),
+        min(col("__dim")).as("dim"),
+        count(when(col("__bad") === true, lit(1))).as("n_nonfinite"),
+        count(when(col("__norm") === 0.0, lit(1))).as("n_zero"),
+        min(col("__norm")).as("__nmin"),
+        expr("percentile(__norm, 0.5)").as("__nmed"),
+        max(col("__norm")).as("__nmax"))
+      .select(col("__g").as(groupCol), col("n"), col("n_null"),
+        col("n_dims"), col("dim"), col("n_nonfinite"), col("n_zero"),
+        round(col("__nmin"), 6).as("norm_min"),
+        round(col("__nmed"), 6).as("norm_med"),
+        round(col("__nmax"), 6).as("norm_max"))
+  }
 }

@@ -172,6 +172,33 @@ class FunnelSpec extends SparkSpec {
     assert(out == Map(("a", "a") -> 1L))
   }
 
+  // --- cohortLtv -----------------------------------------------------------
+
+  test("cohortLtv: hand curves — cohorting by first week, cumulative " +
+    "per-user value by age") {
+    def day(d: Int) = java.sql.Timestamp.valueOf(
+      java.time.LocalDate.of(2024, 1, 1).plusDays(d).atStartOfDay())
+    val e = Seq(
+      (1L, day(0), 10.0),   // user 1: cohort week 0
+      (1L, day(8), 5.0),    //   age 1
+      (2L, day(2), 4.0),    // user 2: cohort week 0, age 0
+      (3L, day(9), 20.0))   // user 3: cohort week 1, age 0
+      .toDF("u", "ts", "v")
+    val out = Funnel.cohortLtv(e, "u", "ts", "v", "2024-01-01")
+      .collect().map(r => (r.getInt(0), r.getInt(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    // cohort 0: 2 users; age 0 rev 14 → ltv 7; age 1 rev 5 → ltv 9.5
+    assert(out((0, 0)) == ((2L, 14.0, 7.0)))
+    assert(out((0, 1)) == ((2L, 5.0, 9.5)))
+    assert(out((1, 0)) == ((1L, 20.0, 20.0)))
+    // partitioning invariance
+    val out2 = Funnel.cohortLtv(e.repartition(5), "u", "ts", "v",
+        "2024-01-01")
+      .collect().map(r => (r.getInt(0), r.getInt(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(out2 == out)
+  }
+
   // --- conversionLag -------------------------------------------------------
 
   test("conversionLag: hand case — first-from to first-at-or-after-to, " +

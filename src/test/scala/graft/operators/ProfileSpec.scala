@@ -99,4 +99,49 @@ class ProfileSpec extends SparkSpec {
       .toMap
     assert(out2 == out)
   }
+
+  // --- blockingReport ------------------------------------------------------
+
+  test("blockingReport: hand pair accounting; singleton blocks add no " +
+    "candidates; one-block degenerate = no reduction") {
+    import spark.implicits._
+    // blocks of size 3, 2, 1 → candidates 3 + 1 + 0 = 4 of C(6,2) = 15
+    val df = Seq("a", "a", "a", "b", "b", "c").toDF("k")
+    val r = Profile.blockingReport(df, Seq("k")).collect().head
+    assert(r.getLong(0) == 6L && r.getLong(1) == 3L && r.getLong(2) == 3L)
+    assert(r.getDecimal(3).longValueExact == 4L)
+    assert(r.getDecimal(4).longValueExact == 15L)
+    assert(r.getDouble(5) == math.rint((1.0 - 4.0 / 15) * 1e6) / 1e6)
+    // everything in one block: candidates = all pairs, ratio exactly 0
+    val one = Seq.fill(5)("x").toDF("k")
+    val r1 = Profile.blockingReport(one, Seq("k")).collect().head
+    assert(r1.getDecimal(3) == r1.getDecimal(4))
+    assert(r1.getDouble(5) == 0.0)
+  }
+
+  // --- vectorHealth --------------------------------------------------------
+
+  test("vectorHealth: nulls, NaN, zero vectors, ragged dims and the " +
+    "norm spread all read back") {
+    import spark.implicits._
+    val rows: Seq[(String, Option[Seq[Double]])] = Seq(
+      ("g", Some(Seq(3.0, 4.0))),          // norm 5
+      ("g", Some(Seq(0.0, 0.0))),          // zero vector
+      ("g", Some(Seq(1.0, Double.NaN))),   // nonfinite
+      ("g", None),                          // null
+      ("g", Some(Seq(6.0, 8.0, 0.0))),     // ragged (dim 3), norm 10
+      ("h", Some(Seq(1.0, 0.0))))
+    val out = Profile.vectorHealth(rows.toDF("grp", "v"), "grp", "v")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val g = out("g")
+    assert(g.getLong(1) == 5L && g.getLong(2) == 1L)  // n, n_null
+    assert(g.getLong(3) == 2L)                        // n_dims: 2 and 3
+    assert(g.getInt(4) == 2)                          // min dim
+    assert(g.getLong(5) == 1L && g.getLong(6) == 1L)  // nonfinite, zero
+    assert(g.getDouble(7) == 0.0)                     // norm_min
+    assert(g.getDouble(8) == 5.0)                     // median of 0,5,10
+    assert(g.getDouble(9) == 10.0)                    // norm_max
+    val h = out("h")
+    assert(h.getLong(1) == 1L && h.getDouble(8) == 1.0)
+  }
 }
