@@ -345,6 +345,30 @@ object ExtQueries3 {
               col("embedding")),
           "grp", "embedding")
         .orderBy(col("grp"))),
+
+    // --- deterministic MLM-style token masking -----------------------------
+    // 15% position-keyed md5 coins over the documents corpus — the
+    // reproducible augmentation pass.
+    "q268_mask_tokens" -> ((s, d) =>
+      graft.operators.Quality.maskTokens(
+          t(s, d, "documents"), "doc_id", "text", rate = 0.15)
+        .orderBy(col("doc_id"))),
+
+    // --- Laplace-noised counts (DP release, testing mode) ------------------
+    // ε = 0.5 noisy per-type event counts with the salt-deterministic
+    // draw (the auditable mode; production swaps in fresh entropy).
+    "q269_noisy_counts" -> ((s, d) =>
+      graft.operators.Eval.laplaceNoisyCounts(
+          ev(s, d), "event_type", epsilon = 0.5)
+        .orderBy(col("event_type"))),
+
+    // --- two-sample Poisson rate test --------------------------------------
+    // Do purchases arrive faster than signups over the same 30-day
+    // window?
+    "q270_rate_test" -> ((s, d) =>
+      graft.operators.Eval.poissonRateTest(
+        ev(s, d), "event_type", "purchase", "signup",
+        exposureA = 30.0, exposureB = 30.0)),
   )
 
   /** The q200 info-gain split-finder CTE chain, prefix-renamed so the
@@ -1202,6 +1226,69 @@ object ExtQueries3 {
            round(quantile_cont(norm, 0.5), 6) AS norm_med,
            round(max(norm), 6) AS norm_max
          FROM r GROUP BY g ORDER BY grp""",
+
+    // the same (salt, doc, 0-based position) md5 coin per token; the
+    // oracle re-aggregates per-token rows in position order where the
+    // engine stays a per-row HOF chain
+    "q268_mask_tokens" ->
+      """WITH tok AS (SELECT doc_id, list_filter(
+             string_split_regex(trim(lower(text)), '\s+'), x -> x <> '')
+             AS tk
+           FROM documents),
+         pos AS (SELECT doc_id, unnest(tk) AS tok,
+             CAST(generate_subscripts(tk, 1) - 1 AS BIGINT) AS i
+           FROM tok),
+         m AS (SELECT doc_id, i, tok,
+             (('0x' || substr(md5('msk' || CAST(doc_id AS VARCHAR)
+               || '#' || CAST(i AS VARCHAR)), 1, 13))::BIGINT + 1)
+               / 4503599627370496.0 < CAST(0.15 AS DOUBLE) AS mk
+           FROM pos),
+         agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+             CAST(count(CASE WHEN mk THEN 1 END) AS BIGINT) AS n_masked,
+             string_agg(CASE WHEN mk THEN '[MASK]' ELSE tok END,
+               ' ' ORDER BY i) AS masked_text
+           FROM m GROUP BY 1)
+         SELECT d.doc_id, coalesce(n_tokens, 0) AS n_tokens,
+           coalesce(n_masked, 0) AS n_masked,
+           coalesce(masked_text, '') AS masked_text
+         FROM documents d LEFT JOIN agg USING (doc_id)
+         ORDER BY doc_id""",
+
+    // the exact inverse-CDF Laplace transform from the same md5
+    // uniform; 1/epsilon = 2.0 pinned as a double literal
+    "q269_noisy_counts" ->
+      """WITH c AS (SELECT event_type AS g, count(*) AS n
+           FROM events GROUP BY 1),
+         u AS (SELECT g, n,
+             (('0x' || substr(md5('dp' || g), 1, 13))::BIGINT + 1)
+               / 4503599627370496.0 AS u
+           FROM c)
+         SELECT g AS event_type, CAST(n AS BIGINT) AS n,
+           round(round(-CAST(2.0 AS DOUBLE) * sign(u - 0.5)
+             * ln(1.0 - 2.0 * abs(u - 0.5)), 9), 6) AS noise,
+           round(n + round(-CAST(2.0 AS DOUBLE) * sign(u - 0.5)
+             * ln(1.0 - 2.0 * abs(u - 0.5)), 9), 6) AS noisy_n
+         FROM u ORDER BY event_type""",
+
+    // conditioned Wald z on the log rate ratio; equal 30-day exposures
+    "q270_rate_test" ->
+      """WITH c AS (SELECT
+             sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS ka,
+             sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+               AS kb
+           FROM events WHERE event_type IN ('purchase', 'signup'))
+         SELECT CAST(ka AS BIGINT) AS k_a, CAST(kb AS BIGINT) AS k_b,
+           round(ka / CAST(30.0 AS DOUBLE), 6) AS rate_a,
+           round(kb / CAST(30.0 AS DOUBLE), 6) AS rate_b,
+           round(CASE WHEN ka > 0 AND kb > 0 THEN
+             (ka * CAST(30.0 AS DOUBLE)) / (kb * CAST(30.0 AS DOUBLE))
+             END, 6) AS rate_ratio,
+           round(CASE WHEN ka > 0 AND kb > 0 THEN
+             ln((ka * CAST(30.0 AS DOUBLE)) / (kb * CAST(30.0 AS DOUBLE)))
+               / sqrt(CAST(1.0 AS DOUBLE) / ka + CAST(1.0 AS DOUBLE) / kb)
+             END, 6) AS z
+         FROM c""",
   )
 
   /** The q212 CUSUM-peak CTE chain, prefix-renamed for the q263

@@ -652,6 +652,65 @@ object Eval {
           .as("psi_term"))
   }
 
+  /** Laplace-noised group counts — the ε-differential-privacy release
+    * mechanism for a count table, with the noise draw DETERMINISTIC
+    * from the engine's cross-engine md5 uniform over (salt, group):
+    * noise = −(1/ε)·sgn(u−½)·ln(1−2|u−½|), the exact inverse-CDF
+    * Laplace(1/ε) transform. Determinism is deliberately a TESTING
+    * mode (auditable, engine-reproducible — what makes a SQL oracle
+    * possible at all); a production DP release must swap the salt for
+    * fresh entropy per release and never publish it, or the noise is
+    * recoverable and the ε guarantee void — the scaladoc IS the
+    * warning label. One map-side-combined count agg; noise is one
+    * expression per GROUP row. Output: (groupCol, n, noise, noisy_n
+    * rounded 6). */
+  def laplaceNoisyCounts(df: DataFrame, groupCol: String, epsilon: Double,
+                         salt: String = "dp"): DataFrame = {
+    require(epsilon > 0.0, s"epsilon must be positive, got $epsilon")
+    val counts = df.groupBy(col(groupCol).as("__g"))
+      .agg(count(lit(1)).as("n"))
+    val u = graft.operators.Splits.uniformFromId(col("__g"), salt)
+    val centered = u - lit(0.5)
+    val noise = round(
+      negate(lit(1.0 / epsilon)) * signum(centered) *
+        log(lit(1.0) - lit(2.0) * abs(centered)), 9)
+    counts
+      .select(col("__g").as(groupCol), col("n"),
+        round(noise, 6).as("noise"),
+        round(col("n") + noise, 6).as("noisy_n"))
+  }
+
+  /** Two-sample Poisson rate test — do events arrive FASTER in one
+    * arm (per unit exposure), the count-data question [[propZTest]]'s
+    * per-trial proportions can't ask: rate ratio k_a·T_b / (k_b·T_a)
+    * and the Wald z on the log ratio, z = ln(ratio)/√(1/k_a + 1/k_b)
+    * (conditioning on totals — the standard large-count test).
+    * Exposures are caller-supplied constants (observation windows);
+    * zero counts yield null ratio/z (unmeasurable). ONE
+    * map-side-combined count pass. Output one row: (k_a, k_b,
+    * rate_a, rate_b, rate_ratio, z) rounded 6. */
+  def poissonRateTest(df: DataFrame, variantCol: String, aLabel: String,
+                      bLabel: String, exposureA: Double,
+                      exposureB: Double): DataFrame = {
+    require(exposureA > 0 && exposureB > 0,
+      s"exposures must be positive, got $exposureA, $exposureB")
+    df.filter(col(variantCol).isin(aLabel, bLabel))
+      .agg(
+        sum(when(col(variantCol) === aLabel, 1L).otherwise(0L)).as("k_a"),
+        sum(when(col(variantCol) === bLabel, 1L).otherwise(0L)).as("k_b"))
+      .select(col("k_a"), col("k_b"),
+        round(col("k_a") / lit(exposureA), 6).as("rate_a"),
+        round(col("k_b") / lit(exposureB), 6).as("rate_b"),
+        round(when(col("k_a") > 0 && col("k_b") > 0,
+          (col("k_a") * lit(exposureB)) / (col("k_b") * lit(exposureA))),
+          6).as("rate_ratio"),
+        round(when(col("k_a") > 0 && col("k_b") > 0,
+          log((col("k_a") * lit(exposureB)) /
+            (col("k_b") * lit(exposureA))) /
+            sqrt(lit(1.0) / col("k_a") + lit(1.0) / col("k_b"))), 6)
+          .as("z"))
+  }
+
   /** PSI drift timeline — [[psi]] per period against ONE fixed
     * reference: the trajectory view that says not just "the serving
     * distribution moved" but WHEN it started moving and whether it is

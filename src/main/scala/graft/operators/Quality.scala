@@ -211,4 +211,42 @@ object Quality {
       stripped("[0-9]").as("n_digits"),
       stripped("[ \\t\\n\\r]").as("n_space"))
   }
+
+  /** Deterministic token masking — the MLM-style data-augmentation
+    * primitive: each token masks independently with probability
+    * `rate`, where the coin is the engine's cross-engine md5 uniform
+    * over (salt, doc id, token position) — so the SAME document always
+    * masks the SAME way on any engine, any partitioning, any rerun
+    * (the reproducible-manifest property an augmented corpus needs; a
+    * `rand()` mask can never be audited). Position-keyed, not
+    * token-keyed: two occurrences of one word draw independent coins.
+    *
+    * Runs as ONE per-row codegen-able expression chain (tokenize →
+    * indexed transform → re-join), zero shuffle — an augmentation pass
+    * over 100 TB is a map job, exactly as it should be. Tokens are the
+    * engine's lowercase-whitespace contract. Output: (idCol,
+    * n_tokens, n_masked, masked_text). */
+  def maskTokens(docs: DataFrame, idCol: String, textCol: String,
+                 rate: Double, maskToken: String = "[MASK]",
+                 salt: String = "msk"): DataFrame = {
+    require(rate > 0.0 && rate < 1.0, s"rate must be in (0,1), got $rate")
+    require(!maskToken.contains("'") && !salt.contains("'"),
+      "maskToken/salt must be quote-free (they ride a SQL literal)")
+    val toks = graft.plans.Tokens.whitespaceSql(textCol)
+    val u = s"((CAST(conv(substring(md5(concat('$salt'," +
+      s" CAST($idCol AS STRING), '#', CAST(i AS STRING))), 1, 13)," +
+      s" 16, 10) AS DOUBLE) + 1.0D) / 4503599627370496.0D)"
+    val masked = expr(
+      s"transform($toks, (t, i) -> CASE WHEN $u < ${rate}D" +
+        s" THEN '$maskToken' ELSE t END)")
+    // count by the coin, not the emitted token — an original token
+    // that happens to equal the mask literal must not inflate the count
+    val nMasked = expr(
+      s"aggregate(transform($toks, (t, i) -> CASE WHEN $u < ${rate}D" +
+        s" THEN 1 ELSE 0 END), 0, (a, x) -> a + x)")
+    docs.select(col(idCol),
+      expr(s"size($toks)").cast("long").as("n_tokens"),
+      nMasked.cast("long").as("n_masked"),
+      array_join(masked, " ").as("masked_text"))
+  }
 }

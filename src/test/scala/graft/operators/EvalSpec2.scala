@@ -82,6 +82,54 @@ class EvalSpec2 extends SparkSpec {
     assert(r.getDouble(4) == 7.0 && r.getDouble(5) == 7.0)
   }
 
+  // --- laplaceNoisyCounts --------------------------------------------------
+
+  test("laplaceNoisyCounts ≡ the inverse-CDF replay; noisy − true = " +
+    "noise; guards") {
+    val df = (1 to 100).map(i => ((i % 4).toString)).toDF("g")
+    val out = Eval.laplaceNoisyCounts(df, "g", epsilon = 0.5,
+        salt = "td")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    out.foreach { case (g, (n, noise, noisy)) =>
+      val u = refUniform("td", g)
+      val c = u - 0.5
+      val expect = g9(-(1.0 / 0.5) * math.signum(c) *
+        math.log(1.0 - 2.0 * math.abs(c)))
+      assert(noise == g6(expect), g)
+      assert(noisy == g6(n + expect), g)
+      assert(n == 25L)
+    }
+    intercept[IllegalArgumentException] {
+      Eval.laplaceNoisyCounts(df, "g", epsilon = 0.0)
+    }
+  }
+
+  // --- poissonRateTest -----------------------------------------------------
+
+  test("poissonRateTest: equal rates → ratio 1 and z 0; hand case; " +
+    "zero side → nulls") {
+    val df = (Seq.fill(10)("a") ++ Seq.fill(5)("b") ++ Seq.fill(3)("c"))
+      .toDF("v")
+    val eq = Eval.poissonRateTest(df, "v", "a", "b", 2.0, 1.0)
+      .collect().head
+    assert(eq.getLong(0) == 10L && eq.getLong(1) == 5L)
+    assert(eq.getDouble(2) == 5.0 && eq.getDouble(3) == 5.0)
+    assert(eq.getDouble(4) == 1.0 && eq.getDouble(5) == 0.0)
+    // 10 vs 5 at equal exposure: ratio 2, z = ln 2 / sqrt(0.1 + 0.2)
+    val r = Eval.poissonRateTest(df, "v", "a", "b", 1.0, 1.0)
+      .collect().head
+    assert(r.getDouble(4) == 2.0)
+    assert(r.getDouble(5) ==
+      g6(math.log(2.0) / math.sqrt(1.0 / 10 + 1.0 / 5)))
+    val z0 = Eval.poissonRateTest(df, "v", "a", "missing", 1.0, 1.0)
+      .collect().head
+    assert(z0.getLong(1) == 0L && z0.isNullAt(4) && z0.isNullAt(5))
+    intercept[IllegalArgumentException] {
+      Eval.poissonRateTest(df, "v", "a", "b", 0.0, 1.0)
+    }
+  }
+
   // --- psiOverTime ---------------------------------------------------------
 
   test("psiOverTime ≡ per-period psi against the fixed reference; " +

@@ -154,4 +154,58 @@ class QualitySpec extends SparkSpec {
     assert(out(3L) == ((0L, 0L, 0L, 0L)))
     assert(out(4L) == ((11L, 8L, 0L, 1L)), "accented chars count in n_chars only")
   }
+
+  // --- maskTokens ----------------------------------------------------------
+
+  private def refUniform(salt: String, id: String): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest((salt + id).getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    (java.lang.Long.parseLong(hex.substring(0, 13), 16) + 1.0) /
+      4503599627370496.0
+  }
+
+  test("maskTokens ≡ independent md5-coin replay; deterministic under " +
+    "repartition; empty doc → empty output") {
+    val docs = Seq(
+      (1L, "The Quick brown fox Jumps over the lazy dog again and again"),
+      (2L, "a b c d e f g h i j k l m n o p q r s t"),
+      (3L, "   "),
+      (4L, "single"))
+      .toDF("doc_id", "text")
+    val out = Quality.maskTokens(docs, "doc_id", "text", rate = 0.5,
+        salt = "tm")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    Seq(1L, 2L, 4L).foreach { id =>
+      val toks = docs.filter(col("doc_id") === id)
+        .collect().head.getString(1).toLowerCase
+        .split("\\s+").filter(_.nonEmpty)
+      val expect = toks.zipWithIndex.map { case (t, i) =>
+        if (refUniform("tm", s"$id#$i") < 0.5) "[MASK]" else t }
+      assert(out(id)._1 == toks.length.toLong, s"doc $id")
+      assert(out(id)._2 == expect.count(_ == "[MASK]").toLong, s"doc $id")
+      assert(out(id)._3 == expect.mkString(" "), s"doc $id")
+    }
+    assert(out(3L) == ((0L, 0L, "")))
+    val again = Quality.maskTokens(docs.repartition(7), "doc_id", "text",
+        rate = 0.5, salt = "tm")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(again == out)
+    intercept[IllegalArgumentException] {
+      Quality.maskTokens(docs, "doc_id", "text", rate = 1.5)
+    }
+  }
+
+  test("maskTokens: a pre-existing mask literal in the text never " +
+    "inflates n_masked (the coin counts, not the token)") {
+    // tiny rate: the deterministic coins for this doc draw no mask
+    val docs = Seq((9L, "[mask] [mask] safe")).toDF("doc_id", "text")
+    val r = Quality.maskTokens(docs, "doc_id", "text", rate = 0.0001,
+      maskToken = "[mask]").collect().head
+    assert(r.getLong(1) == 3L)
+    assert(r.getLong(2) == 0L,
+      "existing [mask] tokens must not count as masked")
+  }
 }
