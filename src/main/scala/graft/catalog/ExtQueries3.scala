@@ -369,6 +369,25 @@ object ExtQueries3 {
       graft.operators.Eval.poissonRateTest(
         ev(s, d), "event_type", "purchase", "signup",
         exposureA = 30.0, exposureB = 30.0)),
+
+    // --- bucketed global ordinal (Ranks as a first-class operator) ---------
+    // The de-funnel primitive every grid walk rides, oracled directly:
+    // exact global row_number over orders WITHOUT a single-partition
+    // exchange.
+    "q271_global_ordinal" -> ((s, d) =>
+      graft.operators.Ranks.globalRowNumber(
+          t(s, d, "orders").select(col("o_orderkey")),
+          "o_orderkey", "ord")
+        .orderBy(col("o_orderkey"))),
+
+    // --- exact weighted median ---------------------------------------------
+    // Revenue-weighted median quantity per return flag: where does the
+    // money-weighted middle of the order book sit?
+    "q272_weighted_median" -> ((s, d) =>
+      graft.operators.Features.weightedMedian(
+          t(s, d, "lineitem"), "l_returnflag", "l_quantity",
+          "l_extendedprice")
+        .orderBy(col("l_returnflag"))),
   )
 
   /** The q200 info-gain split-finder CTE chain, prefix-renamed so the
@@ -1289,6 +1308,34 @@ object ExtQueries3 {
                / sqrt(CAST(1.0 AS DOUBLE) / ka + CAST(1.0 AS DOUBLE) / kb)
              END, 6) AS z
          FROM c""",
+
+    // the plain global row_number the bucketed form must equal exactly
+    "q271_global_ordinal" ->
+      """SELECT o_orderkey,
+           CAST(row_number() OVER (ORDER BY o_orderkey) AS BIGINT) AS ord
+         FROM orders ORDER BY o_orderkey""",
+
+    // 2*cum >= tot comparisons on exact DECIMAL sums (no half-total
+    // division), weights collapsed per value level first
+    "q272_weighted_median" ->
+      """WITH r AS (SELECT l_returnflag AS g,
+             CAST(l_quantity AS DOUBLE) AS v,
+             CAST(round(CAST(l_extendedprice AS DOUBLE), 9)
+               AS DECIMAL(38,9)) AS w
+           FROM lineitem WHERE l_quantity IS NOT NULL
+             AND l_extendedprice IS NOT NULL
+             AND CAST(l_extendedprice AS DOUBLE) > 0.0),
+         lvl AS (SELECT g, v, count(*) AS c, sum(w) AS lw
+           FROM r GROUP BY 1, 2),
+         tot AS (SELECT g, CAST(sum(c) AS BIGINT) AS n, sum(lw) AS tw
+           FROM lvl GROUP BY 1),
+         wk AS (SELECT g, v, lw,
+             sum(lw) OVER (PARTITION BY g ORDER BY v) AS cum FROM lvl)
+         SELECT wk.g AS l_returnflag, n,
+           round(CAST(tw AS DOUBLE), 6) AS total_w, v AS wmedian
+         FROM wk JOIN tot USING (g)
+         WHERE cum * 2 >= tw AND (cum - lw) * 2 < tw
+         ORDER BY l_returnflag""",
   )
 
   /** The q212 CUSUM-peak CTE chain, prefix-renamed for the q263

@@ -273,6 +273,38 @@ object Features {
         round((col("obs") - e) * (col("obs") - e) / e, 4).as("contrib"))
   }
 
+  /** Exact weighted lower median per group — the smallest value whose
+    * cumulative weight reaches half the total: the summary a
+    * sampling-weighted corpus owes instead of the row median (a
+    * document counted 100× IS 100 documents). Comparisons run as
+    * 2·cumW ≥ totW on exact DECIMAL(38,9) sums (no half-total
+    * division — decimal division scale rules differ across engines;
+    * doubling is exact), walked on the per-group value-level grid
+    * ([[graft.operators.Ranks.groupedCumSum]] — the conformal
+    * exact-order-statistic discipline, weights collapse per level
+    * first). Null values/weights and non-positive weights drop.
+    * Output: (groupCol, n, total_w rounded 6, wmedian). */
+  def weightedMedian(df: DataFrame, groupCol: String, valCol: String,
+                     weightCol: String): DataFrame = {
+    val rows = df
+      .filter(col(valCol).isNotNull && col(weightCol).isNotNull &&
+        col(weightCol).cast("double") > 0.0)
+      .select(col(groupCol).as("__g"), col(valCol).cast("double").as("__v"),
+        round(col(weightCol).cast("double"), 9).cast("decimal(38,9)")
+          .as("__w"))
+    val lvl = rows.groupBy(col("__g"), col("__v"))
+      .agg(count(lit(1)).as("__c"), sum(col("__w")).as("__lw"))
+    val tot = lvl.groupBy(col("__g"))
+      .agg(sum(col("__c")).as("n"), sum(col("__lw")).as("__tw"))
+    Ranks.groupedCumSum(lvl, Seq("__g"), "__v", Seq("__lw"))
+      .join(tot, "__g")
+      .filter(col("cum___lw") * 2 >= col("__tw") &&
+        (col("cum___lw") - col("__lw")) * 2 < col("__tw"))
+      .select(col("__g").as(groupCol), col("n"),
+        round(col("__tw").cast("double"), 6).as("total_w"),
+        col("__v").as("wmedian"))
+  }
+
   /** Empirical-CDF (rank-uniform) quantile transform — the monotone
     * map to [0,1] that kills ANY marginal distribution shape before a
     * scale-sensitive consumer (k-means, LSH on mixed features, linear

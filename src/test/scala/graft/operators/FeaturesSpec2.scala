@@ -139,6 +139,48 @@ class FeaturesSpec2 extends SparkSpec {
     assert(math.abs(g - 2 * 80 * mi) < 1e-4)
   }
 
+  // --- weightedMedian ------------------------------------------------------
+
+  test("weightedMedian: hand case, unit weights ≡ lower median, a " +
+    "dominant weight wins outright") {
+    // values 1(w1), 2(w1), 3(w5): half of 7 is 3.5 → first cum ≥ 3.5 is 3
+    val df = Seq(("g", 1.0, 1.0), ("g", 2.0, 1.0), ("g", 3.0, 5.0))
+      .toDF("grp", "v", "w")
+    val r = Features.weightedMedian(df, "grp", "v", "w").collect().head
+    assert(r.getLong(1) == 3L && r.getDouble(3) == 3.0)
+    // unit weights: lower median of {1,2,2,4} = 2
+    val unit = Seq(("u", 1.0), ("u", 2.0), ("u", 2.0), ("u", 4.0))
+      .toDF("grp", "v").withColumn("w", lit(1.0))
+    assert(Features.weightedMedian(unit, "grp", "v", "w")
+      .collect().head.getDouble(3) == 2.0)
+    // one heavy row dominates regardless of the crowd
+    val dom = ((1 to 50).map(i => ("d", i.toDouble, 0.1)) :+
+      (("d", 99.0, 1000.0))).toDF("grp", "v", "w")
+    assert(Features.weightedMedian(dom, "grp", "v", "w")
+      .collect().head.getDouble(3) == 99.0)
+  }
+
+  test("weightedMedian: exact half-boundary takes the LOWER value; " +
+    "non-positive/null weights drop; partitioning-invariant") {
+    // weights 1,1 over values 1,2: cum(1)*2 = 2 = tot → v=1 qualifies
+    val half = Seq(("h", 1.0, 1.0), ("h", 2.0, 1.0)).toDF("grp", "v", "w")
+    assert(Features.weightedMedian(half, "grp", "v", "w")
+      .collect().head.getDouble(3) == 1.0)
+    val messy = Seq(("m", 5.0, Some(0.0)), ("m", 6.0, Some(-1.0)),
+      ("m", 7.0, None), ("m", 8.0, Some(2.0))).toDF("grp", "v", "w")
+    val rm = Features.weightedMedian(messy, "grp", "v", "w")
+      .collect().head
+    assert(rm.getLong(1) == 1L && rm.getDouble(3) == 8.0)
+    val big = (1 to 300).map(i =>
+      ((i % 3).toString, (i % 19).toDouble, (i % 7 + 1).toDouble))
+      .toDF("grp", "v", "w")
+    val a = Features.weightedMedian(big, "grp", "v", "w")
+      .collect().map(_.toSeq).toSet
+    val b = Features.weightedMedian(big.repartition(11), "grp", "v", "w")
+      .collect().map(_.toSeq).toSet
+    assert(a == b)
+  }
+
   // --- quantileTransform ---------------------------------------------------
 
   test("quantileTransform: midrank positions — hand case, symmetry, " +
