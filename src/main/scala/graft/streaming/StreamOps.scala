@@ -384,6 +384,65 @@ object StreamOps {
       }
       .start()
 
+  /** Streaming drift monitor — per-micro-batch PSI of `valCol` against
+    * a reference distribution FROZEN at sink creation (decile bounds
+    * and bin fractions collected once — numBins+9 numbers, never the
+    * reference rows again), appended to a parquet monitor table as
+    * (batch_id, n, psi). The serving-side tripwire that says WHICH
+    * micro-batch started looking unlike training data, while the
+    * batch-side [[graft.operators.Eval.psiOverTime]] says when in
+    * event time. Same ε-floor and bin arithmetic as [[graft.operators
+    * .Eval.psi]] (spec asserts per-batch equality); batches with no
+    * non-null values log n = 0 with null psi. */
+  def driftMonitorSink(stream: DataFrame, valCol: String,
+                       ref: DataFrame, monitorPath: String,
+                       checkpoint: String, numBins: Int = 10)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(numBins >= 2, s"numBins must be >= 2, got $numBins")
+    val ps = (1 until numBins).map(i => i.toDouble / numBins).mkString(", ")
+    // freeze the reference ONCE: bounds + per-bin fractions
+    val refVals = ref.filter(col(valCol).isNotNull)
+    val bounds: Seq[Double] = refVals
+      .agg(expr(s"percentile($valCol, array($ps))").as("b"))
+      .collect()(0).getSeq[Double](0)
+    val bArr = array(bounds.map(lit): _*)
+    val refCounts: Map[Int, Long] = refVals
+      .select((lit(1) + size(filter(bArr,
+        b => col(valCol).cast("double") > b))).as("bin"))
+      .groupBy("bin").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val refTotal = refCounts.values.sum.toDouble
+    val refFrac = (1 to numBins).map(b =>
+      math.max(refCounts.getOrElse(b, 0L) / refTotal, 1e-6))
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val binned = batch.filter(col(valCol).isNotNull)
+          .select((lit(1) + size(filter(bArr,
+            b => col(valCol).cast("double") > b))).as("bin"))
+          .groupBy("bin").count()
+          .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+        val n = binned.values.sum
+        val psi: java.lang.Double =
+          if (n == 0L) null
+          else {
+            val terms = (1 to numBins).map { b =>
+              val q = math.max(binned.getOrElse(b, 0L).toDouble / n, 1e-6)
+              val p = refFrac(b - 1)
+              BigDecimal(math.rint((q - p) * math.log(q / p) * 1e9) / 1e9)
+            }
+            math.rint(terms.sum.toDouble * 1e6) / 1e6
+          }
+        val spark = batch.sparkSession
+        import spark.implicits._
+        Seq((batchId, n, Option(psi).map(_.doubleValue)))
+          .toDF("batch_id", "n", "psi")
+          .write.mode("append").parquet(monitorPath)
+        ()
+      }
+      .start()
+  }
+
   /** Streaming ingest into the persisted IVF×PQ store — the
     * [[ivfAppendSink]] twin with the codes layer kept in lockstep:
     * the first non-empty micro-batch trains BOTH layers

@@ -452,6 +452,39 @@ class StreamOpsSpec extends SparkSpec {
     assert(served == exact, "nprobe=k serve must equal exact search")
   }
 
+  test("driftMonitorSink: per-micro-batch PSI against the frozen " +
+      "reference ≡ the batch psi operator; shifted batch trips higher") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("drift")
+    val monitor = dir.toString + "/monitor"
+    val ref = (1 to 500).map(i => (i % 37).toDouble).toDF("value")
+    val mem = MemoryStream[Ev]
+    val q = StreamOps.driftMonitorSink(mem.toDF(), "value", ref,
+      monitor, dir.toString + "/ckpt")
+    val batch0 = (1 to 300).map(i => ((i * 7) % 37).toDouble)  // ref-like
+    val batch1 = (1 to 300).map(i => 30.0 + (i % 7))           // shifted
+    mem.addData(batch0.map(v => Ev(ts("2024-01-01 00:00:01"), 1, v)): _*)
+    q.processAllAvailable()
+    mem.addData(batch1.map(v => Ev(ts("2024-01-01 00:00:02"), 1, v)): _*)
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.read.parquet(monitor)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    assert(rows.keySet == Set(0L, 1L))
+    assert(rows(0L)._1 == 300L && rows(1L)._1 == 300L)
+    // each streamed PSI equals the batch operator on the same slice
+    def batchPsi(vals: Seq[Double]): Double = {
+      val terms = graft.operators.Eval.psi(ref, vals.toDF("value"),
+        "value").collect().map(r => BigDecimal(r.getDouble(5)))
+      math.rint(terms.sum.toDouble * 1e6) / 1e6
+    }
+    assert(rows(0L)._2 == batchPsi(batch0))
+    assert(rows(1L)._2 == batchPsi(batch1))
+    assert(rows(1L)._2 > rows(0L)._2 + 0.5,
+      "the shifted batch must trip far above the ref-like one")
+  }
+
   test("ivfPqAppendSink: first batch trains both layers, later batches " +
       "append frozen; exhaustive serve ≡ exact L2 over the stream") {
     implicit val sqlCtx = spark.sqlContext
