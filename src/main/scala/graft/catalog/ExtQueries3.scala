@@ -388,6 +388,29 @@ object ExtQueries3 {
           t(s, d, "lineitem"), "l_returnflag", "l_quantity",
           "l_extendedprice")
         .orderBy(col("l_returnflag"))),
+
+    // --- entity-resolution clusters (end-to-end composition) ---------------
+    // The full ER pipeline in one query: nation blocks (the q266
+    // report's key) → codegen Jaro-Winkler gate (q191's expression)
+    // → undirected match edges → connected components (q77's engine)
+    // → every customer labeled with its entity id.
+    "q273_er_clusters" -> ((s, d) => {
+      val c = t(s, d, "customer")
+        .select(col("c_custkey"), col("c_nationkey"), col("c_name"))
+      val a = c.select(col("c_custkey").as("ka"),
+        col("c_nationkey").as("na"), col("c_name").as("nma"))
+      val b = c.select(col("c_custkey").as("kb"),
+        col("c_nationkey").as("nb"), col("c_name").as("nmb"))
+      val edges = a.join(b, col("na") === col("nb") && col("ka") < col("kb"))
+        .filter(round(graft.plans.JaroWinkler.jaroWinkler(
+          col("nma"), col("nmb")), 4) >= 0.97)
+        .select(col("ka").as("src"), col("kb").as("dst"))
+      graft.operators.Graph.connectedComponents(edges, "src", "dst",
+          nodes = Some((c, "c_custkey")))
+        .select(col("id").as("c_custkey"),
+          col("component").as("entity_id"))
+        .orderBy(col("c_custkey"))
+    }),
   )
 
   /** The q200 info-gain split-finder CTE chain, prefix-renamed so the
@@ -1336,6 +1359,25 @@ object ExtQueries3 {
          FROM wk JOIN tot USING (g)
          WHERE cum * 2 >= tw AND (cum - lw) * 2 < tw
          ORDER BY l_returnflag""",
+
+    // blocks + the proven rounded-JW gate (q191 parity) + the q77
+    // recursive-CTE connected components; component = min reachable id
+    "q273_er_clusters" ->
+      """WITH RECURSIVE e0 AS (
+           SELECT a.c_custkey AS src, b.c_custkey AS dst
+           FROM customer a JOIN customer b
+             ON a.c_nationkey = b.c_nationkey
+             AND a.c_custkey < b.c_custkey
+           WHERE round(jaro_winkler_similarity(a.c_name, b.c_name), 4)
+             >= 0.97),
+         undirected AS (SELECT src, dst FROM e0
+           UNION SELECT dst, src FROM e0),
+         cc(id, comp) AS (
+           SELECT c_custkey, c_custkey FROM customer
+           UNION
+           SELECT u.dst, cc.comp FROM undirected u JOIN cc ON u.src = cc.id)
+         SELECT id AS c_custkey, CAST(min(comp) AS BIGINT) AS entity_id
+         FROM cc GROUP BY id ORDER BY c_custkey""",
   )
 
   /** The q212 CUSUM-peak CTE chain, prefix-renamed for the q263
