@@ -1216,25 +1216,28 @@ object ExtQueries3 {
              AS cum_ltv
          FROM wk JOIN sizes USING (cw) ORDER BY cohort_week, age_weeks""",
 
-    // exact integer pair accounting in DECIMAL(38,0); per-term b(b-1)
-    // is even so the /2 is exact on both engines
+    // exact integer pair accounting in DECIMAL(38,0), RENDERED as
+    // strings (exact past 2^63; raw DECIMAL outputs are banned — the
+    // q174/q266 type-sensitive-hash rule); per-term b(b-1) is even so
+    // the /2 is exact on both engines
     "q266_blocking_report" ->
       """WITH b AS (SELECT c_nationkey, c_mktsegment, count(*) AS nb
            FROM customer GROUP BY 1, 2)
          SELECT CAST(sum(nb) AS BIGINT) AS n_rows,
            CAST(count(*) AS BIGINT) AS n_blocks,
            CAST(max(nb) AS BIGINT) AS max_block,
-           CAST(sum(CAST(nb AS DECIMAL(38,0))
+           CAST(CAST(sum(CAST(nb AS DECIMAL(38,0))
              * CAST(nb - 1 AS DECIMAL(38,0)) / 2) AS DECIMAL(38,0))
-             AS candidate_pairs,
-           CAST(CAST(sum(nb) AS DECIMAL(38,0))
+             AS VARCHAR) AS candidate_pairs,
+           CAST(CAST(CAST(sum(nb) AS DECIMAL(38,0))
              * CAST(sum(nb) - 1 AS DECIMAL(38,0)) / 2 AS DECIMAL(38,0))
-             AS all_pairs,
-           round(1.0 - CAST(sum(CAST(nb AS DECIMAL(38,0))
-               * CAST(nb - 1 AS DECIMAL(38,0)) / 2) AS DOUBLE)
-             / CAST(CAST(sum(nb) AS DECIMAL(38,0))
-               * CAST(sum(nb) - 1 AS DECIMAL(38,0)) / 2 AS DOUBLE), 6)
-             AS reduction_ratio
+             AS VARCHAR) AS all_pairs,
+           CASE WHEN sum(nb) > 1 THEN
+             round(1.0 - CAST(sum(CAST(nb AS DECIMAL(38,0))
+                 * CAST(nb - 1 AS DECIMAL(38,0)) / 2) AS DOUBLE)
+               / CAST(CAST(sum(nb) AS DECIMAL(38,0))
+                 * CAST(sum(nb) - 1 AS DECIMAL(38,0)) / 2 AS DOUBLE), 6)
+           END AS reduction_ratio
          FROM b""",
 
     // the same left-folded square sum (0.0 + x² prefix ≡ plain fold),

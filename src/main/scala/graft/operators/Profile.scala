@@ -147,16 +147,24 @@ object Profile {
     * over block sizes, reduction ratio = 1 − candidates / allPairs
     * (how much of the n² swamp the key drains), plus the max block (the
     * task that will straggle: candidate work is quadratic in it —
-    * the q191/q234 bounded-key discipline made measurable). All pair
-    * counts are exact integers in DECIMAL(38,0) — n(n−1)/2 overflows
-    * long past n ≈ 4·10⁹, corpus territory. One block-keyed count agg +
-    * a 1-row fold; null block keys form a real block (a null-keyed
-    * matcher still compares them). Output one row: (n_rows, n_blocks,
-    * max_block, candidate_pairs, all_pairs, reduction_ratio rounded 6). */
+    * the q191/q234 bounded-key discipline made measurable). Pair
+    * counts compute as exact integers in DECIMAL(38,0) — n(n−1)/2
+    * overflows long past n ≈ 4·10⁹, corpus territory — and RENDER as
+    * strings: exact past 2^63, and raw DecimalType never reaches a
+    * catalog output (the q174/q266 rule — a type-sensitive hash path
+    * can diverge on value-identical decimals; CatalogSpec sweeps for
+    * it). One block-keyed count agg + a 1-row fold; null block keys
+    * form a real block (a null-keyed matcher still compares them).
+    * A degenerate input (n_rows ≤ 1 → all_pairs = 0) yields a null
+    * reduction_ratio — unmeasurable, not an error (the psiOverTime
+    * contract). Output one row: (n_rows, n_blocks, max_block,
+    * candidate_pairs, all_pairs, reduction_ratio rounded 6). */
   def blockingReport(df: DataFrame, blockCols: Seq[String]): DataFrame = {
     require(blockCols.nonEmpty, "blockCols must be non-empty")
     val sizes = df.groupBy(blockCols.map(col): _*)
       .agg(count(lit(1)).as("__b"))
+    val allPairs = (col("n_rows").cast("decimal(38,0)") *
+      (col("n_rows") - 1L).cast("decimal(38,0)")) / 2
     sizes.agg(
         sum(col("__b")).as("n_rows"),
         count(lit(1)).as("n_blocks"),
@@ -164,14 +172,13 @@ object Profile {
         sum((col("__b").cast("decimal(38,0)") *
           (col("__b") - 1L).cast("decimal(38,0)")) / 2).as("__cand"))
       .select(col("n_rows"), col("n_blocks"), col("max_block"),
-        col("__cand").cast("decimal(38,0)").as("candidate_pairs"),
-        ((col("n_rows").cast("decimal(38,0)") *
-          (col("n_rows") - 1L).cast("decimal(38,0)")) / 2)
-          .cast("decimal(38,0)").as("all_pairs"),
-        round(lit(1.0) - col("__cand").cast("double") /
-          ((col("n_rows").cast("decimal(38,0)") *
-            (col("n_rows") - 1L).cast("decimal(38,0)")) / 2)
-            .cast("double"), 6).as("reduction_ratio"))
+        col("__cand").cast("decimal(38,0)").cast("string")
+          .as("candidate_pairs"),
+        allPairs.cast("decimal(38,0)").cast("string").as("all_pairs"),
+        when(col("n_rows") > 1,
+          round(lit(1.0) - col("__cand").cast("double") /
+            allPairs.cast("decimal(38,0)").cast("double"), 6))
+          .as("reduction_ratio"))
   }
 
   /** Embedding-column health profile per group — the vector hygiene

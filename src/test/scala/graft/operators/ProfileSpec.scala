@@ -103,20 +103,27 @@ class ProfileSpec extends SparkSpec {
   // --- blockingReport ------------------------------------------------------
 
   test("blockingReport: hand pair accounting; singleton blocks add no " +
-    "candidates; one-block degenerate = no reduction") {
+    "candidates; one-block degenerate = no reduction; pair counts " +
+    "render as exact strings; 1-row input = null ratio") {
     import spark.implicits._
     // blocks of size 3, 2, 1 → candidates 3 + 1 + 0 = 4 of C(6,2) = 15
     val df = Seq("a", "a", "a", "b", "b", "c").toDF("k")
     val r = Profile.blockingReport(df, Seq("k")).collect().head
     assert(r.getLong(0) == 6L && r.getLong(1) == 3L && r.getLong(2) == 3L)
-    assert(r.getDecimal(3).longValueExact == 4L)
-    assert(r.getDecimal(4).longValueExact == 15L)
+    assert(r.getString(3) == "4")
+    assert(r.getString(4) == "15")
     assert(r.getDouble(5) == math.rint((1.0 - 4.0 / 15) * 1e6) / 1e6)
     // everything in one block: candidates = all pairs, ratio exactly 0
     val one = Seq.fill(5)("x").toDF("k")
     val r1 = Profile.blockingReport(one, Seq("k")).collect().head
-    assert(r1.getDecimal(3) == r1.getDecimal(4))
+    assert(r1.getString(3) == r1.getString(4))
     assert(r1.getDouble(5) == 0.0)
+    // 1-row input: all_pairs = 0 → reduction_ratio null, not a
+    // DIVIDE_BY_ZERO under ANSI mode
+    val single = Seq("z").toDF("k")
+    val rs = Profile.blockingReport(single, Seq("k")).collect().head
+    assert(rs.getString(3) == "0" && rs.getString(4) == "0")
+    assert(rs.isNullAt(5))
   }
 
   // --- vectorHealth --------------------------------------------------------
