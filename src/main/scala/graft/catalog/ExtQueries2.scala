@@ -578,17 +578,21 @@ object ExtQueries2 {
     // q191's best-per-customer gate, hardened: keep only pairs where
     // customer and supplier each pick the other — the high-precision
     // entity-resolution filter (one-sided best match links every left
-    // row somewhere; reciprocity drops the forced marriages). Two
-    // map-side-combined aggs over the pair scores; the JW loop runs
-    // twice rather than materializing 15M scored pairs (CPU is the
-    // cheaper currency at corpus scale).
+    // row somewhere; reciprocity drops the forced marriages). This is
+    // an ARGMAX query, not a threshold join: measured best-per-customer
+    // jw on this corpus tops out at 0.81, below the 0.82 floor where
+    // JwJoin's exact prefilter exists — so the cross scoring stays, but
+    // localCheckpoint materializes it ONCE (the two best-per-side aggs
+    // shuffle on different keys; without the pin the cartesian computed
+    // twice below the exchanges — the r9 verdict's q234 finding).
     "q234_reciprocal_match" -> ((s, d) => {
-      def scored = t(s, d, "customer").select(col("c_name"))
+      val scored = t(s, d, "customer").select(col("c_name"))
         .repartition(s.sparkContext.defaultParallelism)
         .crossJoin(broadcast(t(s, d, "supplier").select(col("s_name"))))
         .select(col("c_name"), col("s_name"),
           round(graft.plans.JaroWinkler.jaroWinkler(
             col("c_name"), col("s_name")), 4).as("jw"))
+        .localCheckpoint(eager = false)
       val bestPerC = scored.groupBy(col("c_name"))
         .agg(min(struct(negate(col("jw")).as("njw"), col("s_name"),
           col("jw"))).as("b"))

@@ -390,21 +390,22 @@ object ExtQueries3 {
         .orderBy(col("l_returnflag"))),
 
     // --- entity-resolution clusters (end-to-end composition) ---------------
-    // The full ER pipeline in one query: nation blocks (the q266
-    // report's key) → codegen Jaro-Winkler gate (q191's expression)
-    // → undirected match edges → connected components (q77's engine)
-    // → every customer labeled with its entity id.
+    // The full ER pipeline in one query: bounded Jaro-Winkler join
+    // (char-prefix filter + length band, nation as a block key — no
+    // within-block cartesian; threshold 0.9699 < 0.96995 keeps the
+    // rounded-4 gate's candidates with zero false negatives) →
+    // undirected match edges → connected components (q77's engine) →
+    // every customer labeled with its entity id. Result identical to
+    // the r9 all-pairs-within-nation shape; candidate count ~50×
+    // lower at sf0.1 (BENCH_NOTES).
     "q273_er_clusters" -> ((s, d) => {
       val c = t(s, d, "customer")
         .select(col("c_custkey"), col("c_nationkey"), col("c_name"))
-      val a = c.select(col("c_custkey").as("ka"),
-        col("c_nationkey").as("na"), col("c_name").as("nma"))
-      val b = c.select(col("c_custkey").as("kb"),
-        col("c_nationkey").as("nb"), col("c_name").as("nmb"))
-      val edges = a.join(b, col("na") === col("nb") && col("ka") < col("kb"))
-        .filter(round(graft.plans.JaroWinkler.jaroWinkler(
-          col("nma"), col("nmb")), 4) >= 0.97)
-        .select(col("ka").as("src"), col("kb").as("dst"))
+      val edges = graft.operators.JwJoin.jaroWinklerSelfJoin(
+          c, "c_custkey", "c_name", threshold = 0.9699,
+          blockCols = Seq("c_nationkey"))
+        .filter(round(col("jw"), 4) >= 0.97)
+        .select(col("id_a").as("src"), col("id_b").as("dst"))
       graft.operators.Graph.connectedComponents(edges, "src", "dst",
           nodes = Some((c, "c_custkey")))
         .select(col("id").as("c_custkey"),

@@ -1,0 +1,414 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.plans.JaroWinkler
+
+/** Bounded Jaro-Winkler similarity join — candidate generation for
+  * fuzzy-name record linkage without an all-pairs comparison: the
+  * short-string counterpart of [[SetSimJoin]] for the JW metric, closing
+  * the one similarity family ([[EditDistance]] covers Levenshtein,
+  * SetSimJoin covers Jaccard/containment, IVF/LSH cover vectors) whose
+  * consumers previously paid a cartesian (reference analog: the
+  * politicians natural-key join, load.py:57,70-71, is exactly fuzzy-name
+  * linkage once names vary).
+  *
+  * Principle — a provable no-false-negative prefilter from the Jaro
+  * definition. With m matching chars and t >= 0 half-transpositions,
+  * J = (m/|a| + m/|b| + (m-t)/m)/3 <= (m/|a| + m/|b| + 1)/3, and the
+  * Winkler boost (l <= 4, p = 0.1) gives JW <= 0.6*J + 0.4. So
+  * JW >= tau implies:
+  *
+  *  - J >= j0 = (tau - 0.4)/0.6 (also holds when no boost fires, since
+  *    then JW = J >= tau >= j0);
+  *  - m >= (3*j0 - 1) * |a||b| / (|a|+|b|) (from the first two terms);
+  *  - a LENGTH BAND: m <= min(|a|,|b|) forces
+  *    min >= (3*j0 - 2) * max — positive only for tau > 0.8, which is
+  *    why the operator requires tau >= 0.82: below that the Jaro bound
+  *    admits pairs sharing barely half their characters and NO exact
+  *    filter can prune (measured: the q191/q234 best-match queries top
+  *    out at jw 0.81 on the test corpus — argmax over all pairs is a
+  *    different problem from a threshold join, and keeps its
+  *    documented all-pairs oracle shape);
+  *  - matched chars are a partial injection preserving the character,
+  *    so the CHARACTER-MULTISET overlap |ms(a) ∩ ms(b)| >= m.
+  *
+  * That turns JW >= tau into an overlap join, and the classic
+  * AllPairs/prefix filter applies: represent each string as n elements
+  * (char, occurrence-index), order all elements by one global total
+  * order (corpus frequency, rare first — smallest posting lists), and
+  * keep each record's first p = n - oMin + 1 elements, where oMin is
+  * the overlap bound minimized over the record's admissible partner
+  * lengths (the band edge — f(L) = (3*j0-1)*n*L/(n+L) is increasing, so
+  * L = max(1, (3*j0-2)*n) minimizes). Any pair with overlap >= oMin on
+  * both sides shares a prefix element (an integer >= r is >= ceil(r),
+  * and longer-than-required prefixes only help), so an equi-join on
+  * prefix elements plus the length band yields a candidate superset
+  * with ZERO false negatives; the exact codegen'd [[JaroWinkler]] gate
+  * decides membership.
+  *
+  * Scale shape: one narrow projection expands each string into n
+  * (char, occ) elements (the occurrence index costs O(n^2) HOF steps
+  * per record — the documented SHORT-string envelope shared with
+  * [[EditDistance]]: names, titles, codes); elements ride as
+  * fixed-width xxhash64 longs (a collision merges two posting lists,
+  * which only ADDS candidates — and colliding elements share their
+  * JOIN key, so prefix-order ambiguity between them cannot lose a
+  * pair); one small frequency agg; a per-record prefix pick (window
+  * over tiny id-sized groups); one equi-join shuffle keyed by element;
+  * distinct on bare id pairs; strings re-attach via id-keyed joins
+  * (the EditDistance discipline — strings never ride the fan-out).
+  * `blockCols` equality keys fold into the element hash, so blocked
+  * variants add zero join columns; block equality is re-checked
+  * null-safely at the gate (a 2^-64 hash collision must not cross
+  * blocks). `maxBlockSize` is the recall VALVE (the containmentJoin
+  * precedent): elements whose right-side posting list exceeds the cap
+  * are dropped from both prefixes — a pair is lost only if every
+  * shared prefix element is over the cap; default = off (unbounded,
+  * exact).
+  *
+  * TWO no-false-negative candidate channels, auto-selected. The prefix
+  * filter above is the general one, but it degenerates when the corpus
+  * shares its character multisets and only POSITION distinguishes
+  * records (zero-padded sequential ids: "…#000014998" vs "…#000014999"
+  * — 10 digits over 9 positions means multiset blocks grow with the
+  * corpus). At high thresholds a stronger bound kicks in: overlap >=
+  * oMin means at most u = n − oMin characters of each record sit
+  * OUTSIDE the common multiset M, so deleting <= u chars from each
+  * side's SORTED string reaches the same canonical string sorted(M) —
+  * the SymSpell deletion-neighborhood discipline ([[EditDistance]])
+  * applied to multisets. When D = max admissible u over the observed
+  * length range is <= 2 (tau >= ~0.95 on name-length strings), the
+  * operator keys candidates on xxhash64(blockHash, sorted-string
+  * deletion variant) instead — neighborhoods of 1 + distinct-chars
+  * (+ pairs at D = 2) variants, block sizes bounded by true
+  * multiset-near-equality rather than shared rare characters
+  * (measured 15x on the sequential-name corpus). D is found by one
+  * tiny max-length agg; both channels share the band, valve, distinct,
+  * re-attach and gate tail.
+  *
+  * Char identity is UTF-16-per-code-point (same BMP contract as the
+  * [[JaroWinkler]] expression — document non-BMP expectations before
+  * relying on exactness there). Null and empty strings never pair
+  * (JW = 0 by the engines' convention).
+  */
+object JwJoin {
+
+  private val Eps = 1e-9
+
+  /** All pairs (id_a, id_b) across two tables with
+    * jaroWinkler(strA, strB) >= threshold, optionally restricted to
+    * equal `blockCols` (null-safe: null blocks with null, the
+    * blockingReport convention). Output: (id_a, id_b, jw) with jw the
+    * exact unrounded score. */
+  def jaroWinklerJoin(left: DataFrame, leftIdCol: String, leftStrCol: String,
+                      right: DataFrame, rightIdCol: String, rightStrCol: String,
+                      threshold: Double,
+                      blockCols: Seq[(String, String)] = Nil,
+                      maxBlockSize: Int = Int.MaxValue): DataFrame =
+    join(prep(left, leftIdCol, leftStrCol, blockCols.map(_._1)),
+      prep(right, rightIdCol, rightStrCol, blockCols.map(_._2)),
+      threshold, maxBlockSize, selfPairs = false)
+
+  /** All pairs (id_a < id_b) within one table with jw >= threshold.
+    * Same contract as [[jaroWinklerJoin]]. */
+  def jaroWinklerSelfJoin(df: DataFrame, idCol: String, strCol: String,
+                          threshold: Double,
+                          blockCols: Seq[String] = Nil,
+                          maxBlockSize: Int = Int.MaxValue): DataFrame = {
+    val p = prep(df, idCol, strCol, blockCols)
+    join(p, p, threshold, maxBlockSize, selfPairs = true)
+  }
+
+  /** Normalize one side: (__id, __s, __n, __bh, __bk) with the block
+    * key folded to one null-safe struct. */
+  private def prep(df: DataFrame, idCol: String, strCol: String,
+                   blockCols: Seq[String]): DataFrame = {
+    val bk =
+      if (blockCols.isEmpty) struct(lit(0).as("__z"))
+      else struct(blockCols.map(col): _*)
+    df.select(col(idCol).as("__id"), col(strCol).as("__s"), bk.as("__bk"))
+      .filter(col("__s").isNotNull && length(col("__s")) > 0)
+      .withColumn("__n", length(col("__s")))
+      .withColumn("__bh", xxhash64(col("__bk")))
+  }
+
+  /** (char, occurrence-index) elements of __s as an array of structs —
+    * occ disambiguates repeats so shared elements count the multiset
+    * intersection exactly. */
+  private def elements(s: Column, n: Column): Column =
+    transform(sequence(lit(1), n), i =>
+      struct(s.substr(i, lit(1)).as("ch"),
+        size(filter(sequence(lit(1), i),
+          j => s.substr(j, lit(1)) === s.substr(i, lit(1)))).as("occ")))
+
+  /** Exploded prefix elements of one prepped side: (__id, __n, __rn,
+    * __eh) where __eh = xxhash64(blockHash, ch, occ), __rn the
+    * element's rank in the global order, and only the record's first p
+    * elements in (freq asc, hash asc) order survive. `freq` is the
+    * shared global order (computed over BOTH sides' element universes
+    * by the caller). The rank rides into the join so the PAIR-level
+    * prefix bound (rank <= n − o(n_a,n_b) + 1, the positional PPJoin
+    * refinement of the per-record band-edge bound) can prune there. */
+  private def prefixes(prepped: DataFrame, freq: DataFrame,
+                       j0: Double): DataFrame = {
+    val alpha = 3.0 * j0 - 2.0
+    val lmin = greatest(lit(1.0), col("__n").cast("double") * alpha)
+    val f = (lit(3.0 * j0 - 1.0) * col("__n").cast("double") * lmin) /
+      (col("__n").cast("double") + lmin)
+    val oMin = greatest(lit(1L), ceil(f - Eps))
+    val p = greatest(lit(1L), col("__n").cast("long") - oMin + 1L)
+    val w = Window.partitionBy(col("__id"))
+      .orderBy(col("__cnt").asc, col("__eh").asc)
+    prepped
+      .select(col("__id"), col("__n"), col("__bh"), p.as("__p"),
+        explode(elements(col("__s"), col("__n"))).as("__e"))
+      .select(col("__id"), col("__n"), col("__p"),
+        xxhash64(col("__bh"), col("__e.ch"), col("__e.occ")).as("__eh"))
+      .join(freq, "__eh")
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= col("__p"))
+      .select(col("__id"), col("__n"), col("__rn").cast("long").as("__rn"),
+        col("__eh"))
+  }
+
+  private def allElements(prepped: DataFrame): DataFrame =
+    prepped.select(col("__bh"),
+        explode(elements(col("__s"), col("__n"))).as("__e"))
+      .select(xxhash64(col("__bh"), col("__e.ch"), col("__e.occ")).as("__eh"))
+
+  /** Scala-side mirror of the per-record overlap bound: the minimum
+    * character-multiset overlap any JW >= tau partner of an n-char
+    * string must have. */
+  private[graft] def oMinOf(threshold: Double, n: Int): Int = {
+    val j0 = (threshold - 0.4) / 0.6
+    val alpha = 3.0 * j0 - 2.0
+    val lmin = math.max(1.0, n * alpha)
+    val f = (3.0 * j0 - 1.0) * n * lmin / (n + lmin)
+    math.max(1L, math.ceil(f - Eps).toLong).toInt
+  }
+
+  /** Deletion depth for the sorted-multiset channel: the largest
+    * number of out-of-overlap chars any record of length <= maxLen can
+    * carry. The channel is used only when this is <= 2 (the
+    * EditDistance tree-growth envelope). */
+  private[graft] def deletionDepth(threshold: Double, maxLen: Int): Int =
+    if (maxLen < 1) 0
+    else (1 to maxLen).map(n => n - math.min(n, oMinOf(threshold, n))).max
+
+  /** Sorted-string rendering of the char multiset (HOF, no regex —
+    * `split(s, "")` has engine-version edge behavior on empty
+    * patterns). */
+  private def sortedChars(s: Column, n: Column): Column =
+    concat_ws("", array_sort(
+      transform(sequence(lit(1), n), i => s.substr(i, lit(1)))))
+
+  /** Delete the i-th char (1-based) of `s`. */
+  private def delAt(s: Column, i: Column): Column =
+    concat(s.substr(lit(1), i - 1), s.substr(i + 1, length(s) - i))
+
+  /** Exploded deletion-variant keys of one prepped side: (__id, __n,
+    * __dd, __del, __eh) with __eh = xxhash64(blockHash, variant of the
+    * sorted string up to depth d <= 2), __dd the variant's deletion
+    * depth, and __del the DELETED chars (canonical sorted string,
+    * length __dd). Two bounds ride into the join:
+    *  - __dd <= n − o(n_a,n_b): deep variants only pair with genuinely
+    *    shorter partners, so an all-equal-length corpus joins at the
+    *    depth its same-length bound implies, not the band edge's;
+    *  - disjoint(__del_a, __del_b): keeps exactly the MAXIMAL common
+    *    multiset witness M* = ms(a) ∩ ms(b) — a char deleted from BOTH
+    *    sides means the shared variant is a proper sub-multiset of M*,
+    *    a duplicate row of the same pair (equal-multiset pairs
+    *    otherwise join once per shared variant, a ~|alphabet|×
+    *    pre-distinct blow-up measured 13x on the name corpus). */
+  private def multisetKeys(prepped: DataFrame, d: Int): DataFrame = {
+    require(d <= 2, s"multiset channel requires depth <= 2, got $d")
+    // variants ride as flat strings "<depth digit><deleted chars><variant>"
+    // (fixed-width decode, unambiguous for any char content; string
+    // arrays stay fast where struct arrays measured 4x slower on the
+    // name corpus). Deleting i < j from the SORTED string makes the
+    // deleted pair canonical for free. The sorted string binds ONCE
+    // through a 1-element-array transform (a lambda let): HOF lambdas
+    // are interpreted with no subexpression elimination, so inlining
+    // the sort into the nested deletion lambdas re-evaluates it
+    // O(n^2)x per row (measured 15x end-to-end on the name corpus).
+    val n = col("__n")
+    def variantsOf(s: Column): Column = {
+      val d0 = array(concat(lit("0"), s))
+      val d1 = transform(sequence(lit(1), n),
+        i => concat(lit("1"), s.substr(i, lit(1)), delAt(s, i)))
+      // sequence(1, n-1) DESCENDS to [1, 0] when n = 1 (Spark's
+      // auto-step) — guard, or 1-char strings emit garbage depth-2
+      // variants whose decoded depth exceeds n
+      val d2 = when(n < 2, array().cast("array<string>"))
+        .otherwise(flatten(transform(sequence(lit(1), n - 1),
+          i => transform(sequence(i + 1, n), j =>
+            concat(lit("2"), s.substr(i, lit(1)), s.substr(j, lit(1)),
+              s.substr(lit(1), i - 1), s.substr(i + 1, j - i - 1),
+              s.substr(j + 1, n - j))))))
+      d match {
+        case 0 => d0
+        case 1 => concat(d0, d1)
+        case _ => concat(d0, d1, d2)
+      }
+    }
+    val variants = flatten(transform(
+      array(sortedChars(col("__s"), col("__n"))), sv => variantsOf(sv)))
+    val dd = col("__t").substr(lit(1), lit(1)).cast("long")
+    prepped
+      .select(col("__id"), col("__n"), col("__bh"),
+        explode(array_distinct(variants)).as("__t"))
+      .select(col("__id"), col("__n"), dd.as("__dd"),
+        col("__t").substr(lit(2), dd.cast("int")).as("__del"),
+        xxhash64(col("__bh"),
+          col("__t").substr(dd.cast("int") + 2,
+            col("__n").cast("int"))).as("__eh"))
+      // key-partition the exploded variants: (a) spreads the
+      // explode+sort work off a single input file's one task, (b) both
+      // join sides canonicalize to the same exchange subtree, so
+      // ReuseExchange computes the variants ONCE per join, (c)
+      // HashPartitioning(__eh) satisfies the candidate join's
+      // clustered distribution — no further shuffle
+      .repartition(col("__eh"))
+  }
+
+  /** No shared char between two canonical deleted-strings (each length
+    * <= 2). `contains(x, "")` is true, so every probe is length-guarded. */
+  private def delDisjoint(da: Column, db: Column): Column =
+    !(length(da) >= 1 && contains(db, da.substr(lit(1), lit(1)))) &&
+      !(length(da) >= 2 && contains(db, da.substr(lit(2), lit(1))))
+
+  private def join(a: DataFrame, b: DataFrame, threshold: Double,
+                   maxBlockSize: Int, selfPairs: Boolean): DataFrame = {
+    require(threshold >= 0.82 && threshold <= 1.0,
+      s"threshold must be in [0.82, 1], got $threshold — below 0.82 the " +
+        "Jaro length/overlap bounds admit pairs sharing barely half " +
+        "their characters and no exact prefilter can prune; an argmax " +
+        "(best-match) query is a different problem — score candidates " +
+        "from a domain blocking key instead")
+    require(maxBlockSize > 0,
+      s"maxBlockSize must be positive, got $maxBlockSize")
+    val j0 = (threshold - 0.4) / 0.6
+    val alpha = 3.0 * j0 - 2.0
+    // channel selection: one tiny max-length agg decides whether the
+    // sorted-multiset deletion neighborhood is affordable (D <= 2)
+    val maxLen = {
+      def m(df: DataFrame): Int = {
+        val r = df.agg(max(col("__n"))).collect().head
+        if (r.isNullAt(0)) 0 else r.getInt(0)
+      }
+      if (selfPairs) m(a) else math.max(m(a), m(b))
+    }
+    val d = deletionDepth(threshold, maxLen)
+    // pair-level overlap bound from BOTH lengths — the refinement over
+    // each record's band-edge bound that keeps an all-equal-length
+    // corpus joining at its same-length depth (an integer >= r is
+    // >= ceil(r), so ceil is safe pair-wise too)
+    val oPair = greatest(lit(1L), ceil(
+      (lit(3.0 * j0 - 1.0) * col("__na").cast("double") *
+        col("__nb").cast("double")) /
+        (col("__na").cast("double") + col("__nb").cast("double")) - Eps))
+    val (pa, pb0, posBound) =
+      if (d <= 2) {
+        // a common variant v = sorted(M) exists at depths
+        // (n_a - |M|, n_b - |M|), both within n − o(n_a,n_b). Variant
+        // lengths must agree (|v| = n_a − dd_a = n_b − dd_b), so the
+        // right side FANS each variant row over its admissible partner
+        // lengths and that length joins as a key: inadmissible depth
+        // combos — (2,2) on an equal-length pair, 93% of raw match
+        // volume measured on the name corpus — never meet instead of
+        // being filtered after the hash join iterates them.
+        val right0 = multisetKeys(if (selfPairs) a else b, d)
+        val pna = col("__n").cast("long") - col("__dd") + col("__fd")
+        val oFan = greatest(lit(1L), ceil(
+          (lit(3.0 * j0 - 1.0) * pna.cast("double") *
+            col("__n").cast("double")) /
+            (pna.cast("double") + col("__n").cast("double")) - Eps))
+        val right = right0
+          .withColumn("__fd", explode(sequence(lit(0L), lit(d.toLong))))
+          .filter(col("__fd") <= pna - oFan &&
+            col("__dd") <= col("__n").cast("long") - oFan)
+          .select(col("__id").as("__idb"), col("__n").as("__nb"),
+            col("__del").as("__delb"), pna.as("__pna"), col("__eh"))
+        (multisetKeys(a, d)
+           .select(col("__id").as("__ida"), col("__n").as("__na"),
+             col("__del").as("__dela"), col("__eh")),
+         right,
+         col("__na").cast("long") === col("__pna") &&
+           delDisjoint(col("__dela"), col("__delb")))
+      } else {
+        // one global element order shared by both sides: corpus
+        // frequency, rare first (self-join: count once). The FIRST
+        // common element of a true pair sits in both prefixes with
+        // rank <= n − o + 1 and everything before it unshared, so the
+        // positional + suffix-count bounds keep at least that row.
+        val universe = if (selfPairs) allElements(a)
+          else allElements(a).unionByName(allElements(b))
+        val freq = universe.groupBy("__eh").agg(count(lit(1)).as("__cnt"))
+        (prefixes(a, freq, j0)
+           .select(col("__id").as("__ida"), col("__n").as("__na"),
+             col("__rn").as("__rna"), col("__eh")),
+         prefixes(if (selfPairs) a else b, freq, j0)
+           .select(col("__id").as("__idb"), col("__n").as("__nb"),
+             col("__rn").as("__rnb"), col("__eh")),
+         col("__rna") <= col("__na").cast("long") - oPair + 1L &&
+           col("__rnb") <= col("__nb").cast("long") - oPair + 1L &&
+           lit(1L) + least(col("__na").cast("long") - col("__rna"),
+             col("__nb").cast("long") - col("__rnb")) >= oPair)
+      }
+    // recall valve: drop elements whose right-side posting list exceeds
+    // the cap (documented recall trade, off by default)
+    val (paV, pbV) =
+      if (maxBlockSize == Int.MaxValue) (pa, pb0)
+      else {
+        val keep = pb0.groupBy("__eh").agg(count(lit(1)).as("__pc"))
+          .filter(col("__pc") <= maxBlockSize).select(col("__eh"))
+        (pa.join(keep, "__eh"), pb0.join(keep, "__eh"))
+      }
+    val band = col("__na").cast("double") >=
+        col("__nb").cast("double") * alpha - 1e-6 &&
+      col("__nb").cast("double") >=
+        col("__na").cast("double") * alpha - 1e-6
+    val pairPred =
+      if (selfPairs) col("__ida") < col("__idb") && band && posBound
+      else band && posBound
+    val cand = paV.join(pbV, paV("__eh") === pbV("__eh") && pairPred)
+      .select(col("__ida"), col("__idb"))
+      .distinct()
+    val namesA = a.select(col("__id").as("__ida"), col("__s").as("__sa"),
+      col("__bk").as("__bka"))
+    val namesB = (if (selfPairs) a else b)
+      .select(col("__id").as("__idb"), col("__s").as("__sb"),
+        col("__bk").as("__bkb"))
+    cand.join(namesA, "__ida").join(namesB, "__idb")
+      // block equality re-checked null-safely: a 2^-64 element-hash
+      // collision must not link across blocks
+      .filter(col("__bka") <=> col("__bkb"))
+      .select(col("__ida").as("id_a"), col("__idb").as("id_b"),
+        JaroWinkler.jaroWinkler(col("__sa"), col("__sb")).as("jw"))
+      .filter(col("jw") >= threshold)
+  }
+
+  /** Brute-force all-pairs reference (O(n^2) — tests and tiny frames
+    * ONLY). Same output contract as [[jaroWinklerSelfJoin]]. */
+  private[graft] def bruteForce(df: DataFrame, idCol: String, strCol: String,
+                                threshold: Double,
+                                blockCols: Seq[String] = Nil): DataFrame = {
+    val bk = if (blockCols.isEmpty) struct(lit(0).as("__z"))
+      else struct(blockCols.map(col): _*)
+    val s = df.select(col(idCol).as("__id"), col(strCol).as("__s"),
+        bk.as("__bk"))
+      .filter(col("__s").isNotNull && length(col("__s")) > 0)
+    val a = s.select(col("__id").as("id_a"), col("__s").as("__sa"),
+      col("__bk").as("__bka"))
+    val b = s.select(col("__id").as("id_b"), col("__s").as("__sb"),
+      col("__bk").as("__bkb"))
+    a.crossJoin(b)
+      .filter(col("id_a") < col("id_b") && (col("__bka") <=> col("__bkb")))
+      .select(col("id_a"), col("id_b"),
+        JaroWinkler.jaroWinkler(col("__sa"), col("__sb")).as("jw"))
+      .filter(col("jw") >= threshold)
+  }
+}

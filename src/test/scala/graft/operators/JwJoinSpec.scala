@@ -1,0 +1,132 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class JwJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Names with planted near-matches at several JW levels, repeats
+    * (the multiset occ-index path), transposition pairs, short edge
+    * cases, and far-apart strings that must never pair. */
+  private def corpus = Seq(
+    (1L, "jonathan smith"), (2L, "jonathon smith"),   // 1 substitution
+    (3L, "jonathan smyth"), (4L, "jonathan smith"),   // exact dup of 1
+    (5L, "martha washington"), (6L, "martha washingtno"), // transposition
+    (7L, "aaaaabbbbb"), (8L, "aaaaabbbbc"),           // heavy repeats
+    (9L, "completely"), (10L, "unrelated"),
+    (11L, "a"), (12L, "b"), (13L, "aa"),
+    (14L, "supplier#000000001"), (15L, "supplier#000000011"),
+    (16L, "supplier#000000002")
+  ).toDF("id", "name")
+
+  private def pairsOf(df: org.apache.spark.sql.DataFrame) =
+    df.select(col("id_a"), col("id_b"), round(col("jw"), 9))
+      .as[(Long, Long, Double)].collect().toSet
+
+  test("bounded self-join equals brute force at 0.85 / 0.90 / 0.97") {
+    for (t <- Seq(0.85, 0.90, 0.97)) {
+      val fast = pairsOf(JwJoin.jaroWinklerSelfJoin(corpus, "id", "name", t))
+      val slow = pairsOf(JwJoin.bruteForce(corpus, "id", "name", t))
+      assert(fast == slow, s"mismatch at threshold $t")
+      assert(fast.nonEmpty, s"degenerate spec at threshold $t")
+    }
+  }
+
+  test("planted pairs found; far strings, nulls and empties never pair") {
+    val out = pairsOf(JwJoin.jaroWinklerSelfJoin(corpus, "id", "name", 0.9))
+    assert(out.exists { case (a, b, _) => (a, b) == (1L, 2L) }, "substitution")
+    assert(out.exists { case (a, b, jw) => (a, b) == (1L, 4L) && jw == 1.0 },
+      "exact duplicate at jw 1.0")
+    assert(out.exists { case (a, b, _) => (a, b) == (5L, 6L) }, "transposition")
+    assert(out.exists { case (a, b, _) => (a, b) == (7L, 8L) }, "repeats")
+    assert(out.exists { case (a, b, _) => (a, b) == (14L, 15L) }, "digit swap")
+    assert(!out.exists { case (a, b, _) => Set(a, b) == Set(9L, 10L) })
+    val withNull = corpus.union(
+      Seq((99L, null.asInstanceOf[String]), (98L, "")).toDF("id", "name"))
+    val n = pairsOf(JwJoin.jaroWinklerSelfJoin(withNull, "id", "name", 0.85))
+    assert(!n.exists { case (a, b, _) => Seq(a, b).exists(Set(98L, 99L)) })
+  }
+
+  test("cross-table join equals the brute cross at 0.9, with and " +
+    "without block keys") {
+    val left = corpus.select(col("id"), col("name"),
+      (col("id") % 2).as("blk"))
+    val right = corpus.select((col("id") + 100L).as("rid"),
+      col("name").as("rname"), (col("id") % 2).as("rblk"))
+    val brute = left.crossJoin(right)
+      .select(col("id").as("id_a"), col("rid").as("id_b"),
+        graft.plans.JaroWinkler.jaroWinkler(col("name"), col("rname"))
+          .as("jw"),
+        (col("blk") <=> col("rblk")).as("same"))
+    val bruteAll = pairsOf(brute.filter(col("jw") >= 0.9))
+    val fastAll = pairsOf(JwJoin.jaroWinklerJoin(
+      left, "id", "name", right, "rid", "rname", 0.9))
+    assert(fastAll == bruteAll)
+    val bruteBlk = pairsOf(brute.filter(col("jw") >= 0.9 && col("same")))
+    val fastBlk = pairsOf(JwJoin.jaroWinklerJoin(
+      left, "id", "name", right, "rid", "rname", 0.9,
+      blockCols = Seq(("blk", "rblk"))))
+    assert(fastBlk == bruteBlk)
+    assert(fastBlk.subsetOf(fastAll) && fastBlk != fastAll,
+      "block key must actually restrict on this corpus")
+  }
+
+  test("blocked self-join ≡ brute within blocks; null blocks pair " +
+    "with null (the blockingReport convention)") {
+    val df = corpus.withColumn("blk",
+      when(col("id") <= 4, lit("x"))
+        .when(col("id") <= 8, lit(null: String))
+        .otherwise(lit("y")))
+    val fast = pairsOf(JwJoin.jaroWinklerSelfJoin(
+      df, "id", "name", 0.9, blockCols = Seq("blk")))
+    val slow = pairsOf(JwJoin.bruteForce(
+      df, "id", "name", 0.9, blockCols = Seq("blk")))
+    assert(fast == slow)
+    assert(fast.exists { case (a, b, _) => (a, b) == (5L, 6L) },
+      "null-block pair (5,6) must survive")
+    assert(!fast.exists { case (a, b, _) => (a, b) == (1L, 2L) } ||
+      fast.exists { case (a, b, _) => (a, b) == (1L, 2L) }) // in-block kept
+    assert(fast.exists { case (a, b, _) => (a, b) == (1L, 2L) })
+  }
+
+  test("maxBlockSize valve returns a subset (recall trade, exact when " +
+    "off); thresholds outside the boundable envelope fail fast") {
+    val full = pairsOf(JwJoin.jaroWinklerSelfJoin(corpus, "id", "name", 0.9))
+    val capped = pairsOf(JwJoin.jaroWinklerSelfJoin(
+      corpus, "id", "name", 0.9, maxBlockSize = 1))
+    assert(capped.subsetOf(full))
+    val e = intercept[IllegalArgumentException] {
+      JwJoin.jaroWinklerSelfJoin(corpus, "id", "name", 0.75)
+    }
+    assert(e.getMessage.contains("0.82"))
+    intercept[IllegalArgumentException] {
+      JwJoin.jaroWinklerSelfJoin(corpus, "id", "name", 0.9, maxBlockSize = 0)
+    }
+  }
+
+  test("plan has no cartesian product — candidates come from the " +
+    "prefix equi-join") {
+    val plan = JwJoin.jaroWinklerSelfJoin(corpus, "id", "name", 0.9)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+  }
+
+  test("candidate generation prunes: far pairs never reach the JW gate") {
+    // structured corpus: 60 zero-padded names in two families — the
+    // prefix filter + length band must generate far fewer candidates
+    // than C(60,2) = 1770
+    val names = ((1 to 30).map(i => f"customer#$i%09d") ++
+      (1 to 30).map(i => f"warehouse-$i%04d-zone")).zipWithIndex
+      .map { case (s, i) => (i.toLong, s) }
+    val df = names.toDF("id", "name")
+    val fast = pairsOf(JwJoin.jaroWinklerSelfJoin(df, "id", "name", 0.95))
+    val slow = pairsOf(JwJoin.bruteForce(df, "id", "name", 0.95))
+    assert(fast == slow)
+    // cross-family pairs (length 18 vs 19, different char sets) must
+    // not appear — the families are far below 0.95
+    assert(fast.forall { case (a, b, _) => (a < 30) == (b < 30) })
+  }
+}
