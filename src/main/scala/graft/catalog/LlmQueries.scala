@@ -54,6 +54,53 @@ object LlmQueries {
     ivfCache.computeIfAbsent((s, d), _ => build)
   }
 
+  /** Session-scoped cache for on-disk store demos (IVF/PQ/sketch/agg/
+    * index lifecycle queries): one temp store per (session, dataset,
+    * tag), built once by `build`, swept recursively on application end.
+    * Builds are deterministic per dataset, so serving a cached store is
+    * result-identical to a rebuild — without leaking one store tree per
+    * bench/verify invocation (ADVICE r9 on q260, generalized to every
+    * createTempDirectory query). */
+  private[graft] val storeCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), String]()
+  private val storeListenerRegistered =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[SparkSession]()
+
+  private[graft] def evictStoresForSession(s: SparkSession): Unit = {
+    storeListenerRegistered.remove(s)
+    val it = storeCache.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getKey._1 eq s) {
+        try {
+          val root = new java.io.File(e.getValue).getParentFile
+          def rm(f: java.io.File): Unit = {
+            if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+            f.delete(); ()
+          }
+          rm(root)
+        } catch { case _: Throwable => () }
+        it.remove()
+      }
+    }
+  }
+
+  private[graft] def cachedStore(s: SparkSession, d: String, tag: String)(
+      build: String => Unit): String = {
+    if (storeListenerRegistered.add(s))
+      s.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onApplicationEnd(
+            end: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
+          evictStoresForSession(s)
+      })
+    storeCache.computeIfAbsent((s, d, tag), _ => {
+      val p = java.nio.file.Files
+        .createTempDirectory(s"graft-$tag").toString + "/s"
+      build(p)
+      p
+    })
+  }
+
   /** Stopword list shared by query and oracle (subset of the testdata
     * vocabulary so ratios are non-trivial). */
   private val stopwords = Seq("the", "a", "and", "of")
@@ -1099,17 +1146,17 @@ object LlmQueries {
     // count(DISTINCT) oracle; SketchesSpec proves union-exactness and
     // the 5% band at 4k+ cardinalities where estimation kicks in.
     "q134_hll_store" -> ((s, d) => {
-      val store = java.nio.file.Files
-        .createTempDirectory("hll-q134").toString + "/s"
       val docs = t(s, d, "documents")
       def toks(df: org.apache.spark.sql.DataFrame) =
         df.select(col("lang"), explode(TF.tokens(col("text"))).as("token"))
-      graft.operators.Sketches.appendSketches(
-        toks(docs.filter(pmod(col("doc_id"), lit(2)) === 0)),
-        Seq("lang"), "token", store, batchId = 1L)
-      graft.operators.Sketches.appendSketches(
-        toks(docs.filter(pmod(col("doc_id"), lit(2)) === 1)),
-        Seq("lang"), "token", store, batchId = 2L)
+      val store = cachedStore(s, d, "hll-q134") { p =>
+        graft.operators.Sketches.appendSketches(
+          toks(docs.filter(pmod(col("doc_id"), lit(2)) === 0)),
+          Seq("lang"), "token", p, batchId = 1L)
+        graft.operators.Sketches.appendSketches(
+          toks(docs.filter(pmod(col("doc_id"), lit(2)) === 1)),
+          Seq("lang"), "token", p, batchId = 2L)
+      }
       graft.operators.Sketches.distinctCounts(s, store)
         .select(col("lang"), col("distinct_estimate"))
         .orderBy(col("lang"))
@@ -1125,15 +1172,15 @@ object LlmQueries {
     // percentile_disc — a real DuckDB oracle; QuantilesSpec covers the
     // estimation band where compaction kicks in.
     "q139_quantile_store" -> ((s, d) => {
-      val store = java.nio.file.Files
-        .createTempDirectory("kll-q139").toString + "/s"
       val docs = t(s, d, "documents")
-      graft.operators.Quantiles.appendSketches(
-        docs.filter(pmod(col("doc_id"), lit(2)) === 0),
-        Seq("lang"), "n_chars", store, batchId = 1L, k = 800)
-      graft.operators.Quantiles.appendSketches(
-        docs.filter(pmod(col("doc_id"), lit(2)) === 1),
-        Seq("lang"), "n_chars", store, batchId = 2L, k = 800)
+      val store = cachedStore(s, d, "kll-q139") { p =>
+        graft.operators.Quantiles.appendSketches(
+          docs.filter(pmod(col("doc_id"), lit(2)) === 0),
+          Seq("lang"), "n_chars", p, batchId = 1L, k = 800)
+        graft.operators.Quantiles.appendSketches(
+          docs.filter(pmod(col("doc_id"), lit(2)) === 1),
+          Seq("lang"), "n_chars", p, batchId = 2L, k = 800)
+      }
       graft.operators.Quantiles.groupQuantiles(s, store, Seq(0.5, 0.9))
         .select(col("lang"), col("n"), col("min_v"), col("max_v"),
           element_at(col("quantiles"), 1).as("p50"),
@@ -1150,17 +1197,17 @@ object LlmQueries {
     // so counts are EXACT (error bound 0) — a real count/row_number
     // oracle; HeavyHittersSpec covers the purge regime's bounds.
     "q141_heavy_hitters" -> ((s, d) => {
-      val store = java.nio.file.Files
-        .createTempDirectory("freq-q141").toString + "/s"
       val docs = t(s, d, "documents")
       def toks(df: org.apache.spark.sql.DataFrame) =
         df.select(col("lang"), explode(TF.tokens(col("text"))).as("token"))
-      graft.operators.HeavyHitters.appendSketches(
-        toks(docs.filter(pmod(col("doc_id"), lit(2)) === 0)),
-        Seq("lang"), "token", store, batchId = 1L, maxMapSize = 128)
-      graft.operators.HeavyHitters.appendSketches(
-        toks(docs.filter(pmod(col("doc_id"), lit(2)) === 1)),
-        Seq("lang"), "token", store, batchId = 2L, maxMapSize = 128)
+      val store = cachedStore(s, d, "freq-q141") { p =>
+        graft.operators.HeavyHitters.appendSketches(
+          toks(docs.filter(pmod(col("doc_id"), lit(2)) === 0)),
+          Seq("lang"), "token", p, batchId = 1L, maxMapSize = 128)
+        graft.operators.HeavyHitters.appendSketches(
+          toks(docs.filter(pmod(col("doc_id"), lit(2)) === 1)),
+          Seq("lang"), "token", p, batchId = 2L, maxMapSize = 128)
+      }
       graft.operators.HeavyHitters.topItems(s, store, 5)
         .select(col("lang"), col("rank"), col("item"), col("estimate"))
         .orderBy(col("lang"), col("rank"))
@@ -1196,11 +1243,11 @@ object LlmQueries {
     // re-aggregation. Exact mode (k=800) -> a real quantile_disc
     // oracle.
     "q144_quantile_gate" -> ((s, d) => {
-      val store = java.nio.file.Files
-        .createTempDirectory("kll-q144").toString + "/s"
       val docs = t(s, d, "documents")
-      graft.operators.Quantiles.appendSketches(docs, Seq("lang"), "n_chars",
-        store, batchId = 1L, k = 800)
+      val store = cachedStore(s, d, "kll-q144") { p =>
+        graft.operators.Quantiles.appendSketches(docs, Seq("lang"),
+          "n_chars", p, batchId = 1L, k = 800)
+      }
       val thr = graft.operators.Quantiles.groupQuantiles(s, store, Seq(0.1))
         .select(col("lang"), element_at(col("quantiles"), 1).as("p10"))
       docs.join(broadcast(thr), "lang")
@@ -1345,15 +1392,15 @@ object LlmQueries {
     // Two ingest batches of lineitem partials; serving merges partials
     // and must equal a one-pass aggregation of the whole table.
     "q187_agg_store" -> ((s, d) => {
-      val store = java.nio.file.Files
-        .createTempDirectory("graft_q187").toString + "/aggs"
       val li = t(s, d, "lineitem")
       val cut = lit("1997-01-01")
       val keys = Seq("l_returnflag", "l_linestatus")
-      graft.operators.AggStore.append(
-        li.filter(col("l_shipdate") < cut), keys, "l_quantity", store, 1L)
-      graft.operators.AggStore.append(
-        li.filter(col("l_shipdate") >= cut), keys, "l_quantity", store, 2L)
+      val store = cachedStore(s, d, "q187-aggs") { p =>
+        graft.operators.AggStore.append(
+          li.filter(col("l_shipdate") < cut), keys, "l_quantity", p, 1L)
+        graft.operators.AggStore.append(
+          li.filter(col("l_shipdate") >= cut), keys, "l_quantity", p, 2L)
+      }
       graft.operators.AggStore.serve(s, store)
         .orderBy(col("l_returnflag"), col("l_linestatus"))
     }),
@@ -1413,11 +1460,11 @@ object LlmQueries {
     // Same results as q162, but through the persisted range-clustered
     // vocab: build index -> persistVocab -> stats-pruned prefix read.
     "q173_vocab_complete" -> ((s, d) => {
-      val store = java.nio.file.Files
-        .createTempDirectory("graft_q173").toString + "/idx"
-      graft.operators.TextIndex.persistPostings(
-        t(s, d, "documents"), "doc_id", "text", store, numBuckets = 16)
-      graft.operators.TextIndex.persistVocab(s, store, files = 4)
+      val store = cachedStore(s, d, "q173-idx") { p =>
+        graft.operators.TextIndex.persistPostings(
+          t(s, d, "documents"), "doc_id", "text", p, numBuckets = 16)
+        graft.operators.TextIndex.persistVocab(s, p, files = 4)
+      }
       graft.operators.TextIndex.prefixCompleteFromVocab(s, store, "s", k = 4)
     }),
 
@@ -1593,13 +1640,13 @@ object LlmQueries {
       val emb = t(s, d, "embeddings")
       val qv = emb.filter(col("vec_id") === 0).select("embedding")
         .collect()(0).getList[Float](0).asScala.toSeq
-      val store = java.nio.file.Files
-        .createTempDirectory("graft-ivfstore").toString + "/ivf"
       val rest = emb.filter(col("vec_id") =!= 0)
-      graft.functions.IvfStore.build(rest.filter(col("vec_id") % 10 =!= 9),
-        "embedding", "vec_id", store, k = 8, iterations = 2)
-      graft.functions.IvfStore.append(rest.filter(col("vec_id") % 10 === 9),
-        store, batchId = 1L)
+      val store = cachedStore(s, d, "ivfstore-q219") { p =>
+        graft.functions.IvfStore.build(rest.filter(col("vec_id") % 10 =!= 9),
+          "embedding", "vec_id", p, k = 8, iterations = 2)
+        graft.functions.IvfStore.append(rest.filter(col("vec_id") % 10 === 9),
+          p, batchId = 1L)
+      }
       graft.functions.IvfStore.topK(s, store, qv, k = 10, nprobe = 4)
         .select(col("vec_id"), round(col("cosine_sim"), 4).as("cosine_sim"))
     }),

@@ -93,7 +93,8 @@ object IvfPqStore {
     val spark = vectors.sparkSession
     require(pqLayerExists(spark, store), s"no IVF×PQ store at $store")
     val meta = IvfStore.readMeta(spark, store)
-    if (meta.batches.contains(batchId)) return // completed replay
+    if (meta.batches.contains(batchId) || meta.retired.contains(batchId))
+      return // completed replay (possibly folded away by a compaction)
     val cb = PqIndex.loadCodebooks(spark, store)
     val assigned = IvfIndex.assign(
         vectors.filter(col(meta.vecCol).isNotNull),

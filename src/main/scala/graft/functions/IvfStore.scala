@@ -47,10 +47,15 @@ object IvfStore {
 
   /** Manifest: pinned geometry + column names + visible batches +
     * frozen centroids (cluster ids 1..k, the [[IvfIndex.build]]
-    * seeding convention). */
+    * seeding convention). `retired` holds batch ids superseded by a
+    * compaction — tombstones that keep replayed appends recognizable
+    * as no-ops (the streaming-sink idempotency contract survives
+    * compaction) without making superseded `ab=` dirs visible to
+    * data reads. */
   private[graft] final case class Meta(k: Int, dim: Int, idCol: String,
                                        vecCol: String, batches: Seq[Long],
-                                       cents: Array[Array[Double]])
+                                       cents: Array[Array[Double]],
+                                       retired: Seq[Long] = Nil)
 
   def storeExists(spark: SparkSession, store: String): Boolean =
     graft.sources.Manifest.exists(spark, store, MetaPrefix)
@@ -69,13 +74,18 @@ object IvfStore {
         s"corrupt IVF manifest at $store: centroid width ${row.length}, want $dim")
       row.map(b => java.lang.Double.longBitsToDouble(b.toLong))
     }
-    Meta(k, dim, head(2), head(3), head.drop(4).map(_.toLong).toSeq, cents)
+    val ids = head.drop(4).toSeq
+    val (vis, ret) = ids.span(_ != "|")
+    Meta(k, dim, head(2), head(3), vis.map(_.toLong),
+      cents, ret.drop(1).map(_.toLong))
   }
 
   private def writeMeta(spark: SparkSession, store: String, m: Meta): Unit = {
     val sb = new StringBuilder
     sb.append(s"${m.k} ${m.dim} ${m.idCol} ${m.vecCol} " +
-      m.batches.mkString(" ")).append("\n")
+      m.batches.mkString(" ") +
+      (if (m.retired.isEmpty) "" else " | " + m.retired.mkString(" ")))
+      .append("\n")
     m.cents.foreach { c =>
       sb.append(c.map(d => java.lang.Double.doubleToLongBits(d).toString)
         .mkString(" ")).append("\n")
@@ -169,7 +179,8 @@ object IvfStore {
     require(batchId > 0, s"batchId must be > 0, got $batchId (0 is the base" +
       " build's manifest id, negative ids are compaction generations)")
     val m = readMeta(spark, store)
-    if (m.batches.contains(batchId)) return // completed replay
+    if (m.batches.contains(batchId) || m.retired.contains(batchId))
+      return // completed replay (possibly folded away by a compaction)
     writeBatch(vectors, m, store, batchId)
     writeMeta(spark, store, m.copy(batches = m.batches :+ batchId))
   }
@@ -230,7 +241,8 @@ object IvfStore {
       .repartition(col("cluster"))
     graft.sources.Sinks.overwritePartitions(folded, vectorsPath(store),
       Seq("ab", "cluster"))
-    writeMeta(spark, store, m.copy(batches = Seq(gen)))
+    writeMeta(spark, store, m.copy(batches = Seq(gen),
+      retired = (m.retired ++ m.batches.filter(_ > 0)).distinct))
     val fs = fsOf(spark, store)
     if (fs.exists(hPath(vectorsPath(store))))
       fs.listStatus(hPath(vectorsPath(store))).foreach { s =>

@@ -851,9 +851,14 @@ object Eval {
       .agg(sum(col("__rn")).as("__rt"), sum(col("__cn")).as("__ct"))
     joined.join(broadcast(totals), "__col")
       .select(col("__col"), col("__rn"), col("__cn"),
-        greatest(col("__rn").cast("double") / col("__rt"), lit(1e-6))
+        // a side with zero non-null rows makes the fraction 0/0 — an
+        // ANSI DIVIDE_BY_ZERO. Null instead: the column's psi reads
+        // null = unmeasurable, not an error (the psiOverTime contract)
+        when(col("__rt") > 0,
+          greatest(col("__rn").cast("double") / col("__rt"), lit(1e-6)))
           .as("__p"),
-        greatest(col("__cn").cast("double") / col("__ct"), lit(1e-6))
+        when(col("__ct") > 0,
+          greatest(col("__cn").cast("double") / col("__ct"), lit(1e-6)))
           .as("__q"))
       .groupBy(col("__col"))
       .agg(sum(col("__rn")).as("ref_n"), sum(col("__cn")).as("cur_n"),

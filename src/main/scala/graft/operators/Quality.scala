@@ -232,9 +232,14 @@ object Quality {
     require(rate > 0.0 && rate < 1.0, s"rate must be in (0,1), got $rate")
     require(!maskToken.contains("'") && !salt.contains("'"),
       "maskToken/salt must be quote-free (they ride a SQL literal)")
-    val toks = graft.plans.Tokens.whitespaceSql(textCol)
+    // null text must read as zero tokens (the q268 oracle's (0, 0, '')
+    // contract), not null-propagate through size/aggregate/array_join
+    val toks = s"coalesce(${graft.plans.Tokens.whitespaceSql(textCol)}," +
+      " CAST(array() AS ARRAY<STRING>))"
+    // idCol is backtick-quoted inside the generated SQL (the psiSweep
+    // escaping discipline)
     val u = s"((CAST(conv(substring(md5(concat('$salt'," +
-      s" CAST($idCol AS STRING), '#', CAST(i AS STRING))), 1, 13)," +
+      s" CAST(`$idCol` AS STRING), '#', CAST(i AS STRING))), 1, 13)," +
       s" 16, 10) AS DOUBLE) + 1.0D) / 4503599627370496.0D)"
     val masked = expr(
       s"transform($toks, (t, i) -> CASE WHEN $u < ${rate}D" +

@@ -435,9 +435,14 @@ object StreamOps {
           }
         val spark = batch.sparkSession
         import spark.implicits._
-        Seq((batchId, n, Option(psi).map(_.doubleValue)))
-          .toDF("batch_id", "n", "psi")
-          .write.mode("append").parquet(monitorPath)
+        // partition-overwrite keyed on batch_id: a micro-batch replayed
+        // after a crash (foreachBatch ran, checkpoint commit didn't)
+        // converges instead of appending a duplicate monitor row — the
+        // effectively-once contract every other sink here maintains
+        graft.sources.Sinks.overwritePartitions(
+          Seq((batchId, n, Option(psi).map(_.doubleValue)))
+            .toDF("batch_id", "n", "psi"),
+          monitorPath, Seq("batch_id"))
         ()
       }
       .start()

@@ -140,5 +140,16 @@ class IvfPqStoreSpec extends SparkSpec {
     val dirs = new java.io.File(store + "/codes").listFiles()
       .filter(_.isDirectory).map(_.getName).toSet
     assert(dirs == Set("ab=-1"), s"superseded dirs must sweep: $dirs")
+    // post-compaction replay of the folded-away batch id (crash after
+    // compact, before the stream checkpoint committed) must no-op in
+    // BOTH layers — retired tombstones keep the id recognized
+    IvfPqStore.append(emb.filter($"vec_id" >= 300 && $"vec_id" < 380),
+      store, batchId = 1L)
+    assert(IvfPqStore.topK(spark, store, qv, k = 10, nprobe = 4,
+        shortlist = 100).collect().map(_.toSeq).toSeq == before,
+      "replay of a compacted-away batch must not duplicate codes")
+    val dirs2 = new java.io.File(store + "/codes").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(dirs2 == Set("ab=-1"), s"replay must not create new dirs: $dirs2")
   }
 }

@@ -79,6 +79,15 @@ class IvfStoreSpec extends SparkSpec {
     // the vectors tree now holds exactly one (negative) generation
     val gens = IvfStore.readVectors(spark, store).count()
     assert(gens == base.count() + extra.count())
+    // post-compaction replay (crash after compact, before the stream
+    // checkpoint committed): the folded-away batch id must STILL be a
+    // recognized no-op — retired tombstones, not re-ingestion
+    IvfStore.append(extra, store, batchId = 1L)
+    assert(IvfStore.readVectors(spark, store).count() ==
+      base.count() + extra.count(),
+      "replay of a compacted-away batch must no-op")
+    assert(IvfStore.topK(spark, store, qv, k = 10, nprobe = 4)
+      .as[(Long, Double)].collect().toSeq == before)
   }
 
   test("append assignment uses the FROZEN centroids (bit-equal to a " +

@@ -468,11 +468,23 @@ class StreamOpsSpec extends SparkSpec {
     mem.addData(batch1.map(v => Ev(ts("2024-01-01 00:00:02"), 1, v)): _*)
     q.processAllAvailable()
     q.stop()
-    val rows = spark.read.parquet(monitor)
+    def readMonitor() = spark.read.parquet(monitor)
+      // batch_id is a partition dir now; inference reads it as int
+      .select(col("batch_id").cast("long"), col("n"), col("psi"))
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
       .toMap
+    val rows = readMonitor()
     assert(rows.keySet == Set(0L, 1L))
     assert(rows(0L)._1 == 300L && rows(1L)._1 == 300L)
+    // the monitor table is batch_id-partitioned and a replayed batch
+    // CONVERGES (dynamic partition overwrite), never duplicates
+    import spark.implicits._
+    graft.sources.Sinks.overwritePartitions(
+      Seq((1L, rows(1L)._1, Option(rows(1L)._2)))
+        .toDF("batch_id", "n", "psi"), monitor, Seq("batch_id"))
+    assert(spark.read.parquet(monitor).count() == 2,
+      "a replayed monitor row must overwrite its partition, not append")
+    assert(readMonitor() == rows)
     // each streamed PSI equals the batch operator on the same slice
     def batchPsi(vals: Seq[Double]): Double = {
       val terms = graft.operators.Eval.psi(ref, vals.toDF("value"),
