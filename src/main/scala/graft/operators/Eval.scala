@@ -367,9 +367,17 @@ object Eval {
     *
     * Output: one row per input score level — (groupCol, score, n,
     * n_pos, calibrated rounded 6), non-decreasing in score within
-    * each group. Null labels/scores drop. */
+    * each group. Null labels/scores drop.
+    *
+    * Guard: the per-group PAV walk materializes the group's LEVEL
+    * table in one task, so a continuous score fed raw would build a
+    * corpus-sized array. `maxLevelsPerGroup` fails fast with the
+    * round-the-score-first remedy instead of an executor OOM. */
   def isotonicCalibrate(df: DataFrame, groupCol: String,
-                        labelCol: String, scoreCol: String): DataFrame = {
+                        labelCol: String, scoreCol: String,
+                        maxLevelsPerGroup: Int = 1000000): DataFrame = {
+    require(maxLevelsPerGroup >= 1,
+      s"maxLevelsPerGroup must be >= 1, got $maxLevelsPerGroup")
     import df.sparkSession.implicits._
     val level = df
       .filter(col(labelCol).isNotNull && col(scoreCol).isNotNull)
@@ -383,6 +391,11 @@ object Eval {
     level.groupByKey(_._1)
       .flatMapGroups { (g, it) =>
         val levels = it.toArray.sortBy(_._2)
+        if (levels.length > maxLevelsPerGroup)
+          throw new IllegalArgumentException(
+            s"isotonicCalibrate: group '$g' has ${levels.length} distinct " +
+              s"score levels (> $maxLevelsPerGroup) — round the score to " +
+              "a grid first (the rocAuc contract) or raise maxLevelsPerGroup")
         // blocks of (firstLevelIdx, n, pos); merge while the previous
         // block's rate exceeds the new one's (pos_prev·n_new > pos_new·n_prev)
         val stack = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long)]

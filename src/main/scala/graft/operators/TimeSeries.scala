@@ -708,21 +708,37 @@ object TimeSeries {
     * ([[Ranks.groupedCumSum]] per key) — ties collapse to one grid row
     * each, and no per-row rank window runs over the O(n_k²) pair set.
     *
-    * Scale contract: pairs are generated by a key-equi self-join —
-    * O(n_k²) per key, the [[graft.operators.SetSimJoin]] bounded-key
-    * discipline. This is for MANY SHORT series (per-entity daily
-    * metrics); a single 10⁶-point key owes 10¹² pairs and belongs in a
-    * sampled or repeated-median variant, not here. Equal-timestamp
-    * pairs are skipped (vertical slope); keys with < 2 distinct
-    * timestamps emit null slope/intercept. Slopes round to the 9-grid
-    * (the grid IS the comparison key, so both engines walk identical
-    * levels); output (keyCol, n, n_pairs, slope, intercept) rounded 6. */
+    * Scale contract — ENFORCED: pairs are generated by a key-equi
+    * self-join, O(n_k²) per key. This is for MANY SHORT series
+    * (per-entity daily metrics); a single 10⁶-point key owes 10¹²
+    * pairs. Keys over `maxPointsPerKey` are deterministically THINNED
+    * to the cap before pairing — md5-ordered row pick (the q104
+    * salt-deterministic sampling discipline), so the estimator runs on
+    * a reproducible subsample and the output is self-describing:
+    * `n` stays the TRUE point count while `n_pairs` reflects the
+    * pairs actually walked (n_pairs < n(n−1)/2 ⟹ sampled). Equal-
+    * timestamp pairs are skipped (vertical slope); keys with < 2
+    * distinct timestamps emit null slope/intercept. Slopes round to
+    * the 9-grid (the grid IS the comparison key, so both engines walk
+    * identical levels); output (keyCol, n, n_pairs, slope, intercept)
+    * rounded 6. */
   def theilSen(df: DataFrame, keyCol: String, tsCol: String,
-               valCol: String): DataFrame = {
-    val rows = df.filter(col(tsCol).isNotNull && col(valCol).isNotNull)
+               valCol: String, maxPointsPerKey: Int = 10000): DataFrame = {
+    require(maxPointsPerKey >= 2,
+      s"maxPointsPerKey must be >= 2, got $maxPointsPerKey")
+    val all = df.filter(col(tsCol).isNotNull && col(valCol).isNotNull)
       .select(col(keyCol).as("__k"), col(tsCol).cast("double").as("__t"),
         col(valCol).cast("double").as("__v"))
-    val keyStats = rows.groupBy(col("__k")).agg(count(lit(1)).as("n"))
+    val keyStats = all.groupBy(col("__k")).agg(count(lit(1)).as("n"))
+    // deterministic per-key thinning: md5 hash order with a total
+    // tie-break, same shuffle key as the pair join
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("__k"))
+      .orderBy(md5(concat_ws("\u0000", col("__k"), col("__t"),
+        col("__v"))), col("__t"), col("__v"))
+    val rows = all
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= maxPointsPerKey)
+      .drop("__rn")
     val a = rows.select(col("__k"), col("__t").as("__t1"),
       col("__v").as("__v1"))
     val b = rows.select(col("__k"), col("__t").as("__t2"),

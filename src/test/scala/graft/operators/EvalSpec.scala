@@ -544,6 +544,23 @@ class EvalSpec extends SparkSpec {
       (1L to n).map(i => (g, if (i <= p) 1 else 0, s))
     }.toDF("grp", "y", "s")
 
+  test("isotonicCalibrate: a group over maxLevelsPerGroup fails fast " +
+    "with the round-the-score remedy, not an executor OOM") {
+    val many = (1 to 10).map(i => ("g", i % 2, i / 100.0)).toDF("grp", "y", "s")
+    val e = intercept[org.apache.spark.SparkException] {
+      Eval.isotonicCalibrate(many, "grp", "y", "s", maxLevelsPerGroup = 3)
+        .collect()
+    }
+    assert(e.getMessage.contains("round the score") ||
+      Option(e.getCause).exists(_.getMessage.contains("round the score")))
+    // at-the-cap passes
+    assert(Eval.isotonicCalibrate(many, "grp", "y", "s",
+      maxLevelsPerGroup = 10).count() == 10)
+    intercept[IllegalArgumentException] {
+      Eval.isotonicCalibrate(many, "grp", "y", "s", maxLevelsPerGroup = 0)
+    }
+  }
+
   test("isotonicCalibrate: monotone input passes through; violations pool " +
     "to weighted means; full reversal pools everything") {
     val mono = expandLevels(Seq((1.0, 4L, 0L), (2.0, 4L, 2L), (3.0, 4L, 4L)))

@@ -103,6 +103,27 @@ class TimeSeriesSpec3 extends SparkSpec {
     assert(r.getDouble(4) == 0.0)
   }
 
+  test("theilSen: keys over maxPointsPerKey thin deterministically — " +
+    "n stays true, n_pairs drops to the sampled count, repeat runs " +
+    "identical; cap below 2 fails fast") {
+    val pts = (1 to 12).map(t => ("k", t.toDouble, 2.0 * t + 1))
+    val df = pts.toDF("g", "t", "v")
+    def run() = TimeSeries.theilSen(df, "g", "t", "v",
+      maxPointsPerKey = 5).collect().head
+    val r = run()
+    assert(r.getLong(1) == 12L, "n must report the TRUE point count")
+    assert(r.getLong(2) == 10L, "n_pairs must be C(5,2) of the sample")
+    assert(r.getDouble(3) == 2.0, "exact-line sample keeps the slope")
+    val r2 = run()
+    assert(r.toSeq == r2.toSeq, "md5 thinning must be deterministic")
+    // default cap leaves small keys untouched
+    val full = TimeSeries.theilSen(df, "g", "t", "v").collect().head
+    assert(full.getLong(2) == 66L)
+    intercept[IllegalArgumentException] {
+      TimeSeries.theilSen(df, "g", "t", "v", maxPointsPerKey = 1)
+    }
+  }
+
   test("theilSen shrugs off a 30%-contamination outlier where OLS cannot") {
     // exact line v = 2t + 1 on t = 1..7 plus two wild outliers
     val pts = (1 to 7).map(t => ("k", t.toDouble, 2.0 * t + 1)) ++
