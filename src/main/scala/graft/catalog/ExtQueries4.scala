@@ -22,6 +22,29 @@ object ExtQueries4 {
         .filter(round(col("jw"), 4) >= 0.97)
         .select(col("id_a"), col("id_b"), round(col("jw"), 6).as("jw"))
         .orderBy(col("id_a"), col("id_b"))),
+
+    // --- persisted incremental entity registry -----------------------------
+    // Build the registry on 90% of customers, fold the last 10% in as
+    // an APPEND (bounded link against the stored corpus + incremental
+    // CC on touched components only), serve entity ids. The oracle is
+    // an independent full-corpus recursive-CTE clustering — the
+    // incremental ≡ full equivalence IS the test (session-cached
+    // store, swept on app end).
+    "q275_er_registry" -> ((s, d) => {
+      val cust = t(s, d, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
+      val store = LlmQueries.cachedStore(s, d, "er-q275") { p =>
+        graft.operators.ErStore.build(
+          cust.filter(col("c_custkey") % 10 =!= 9),
+          "c_custkey", "c_name", p, threshold = 0.97,
+          blockCols = Seq("c_nationkey"))
+        graft.operators.ErStore.append(
+          cust.filter(col("c_custkey") % 10 === 9), p, batchId = 1L)
+      }
+      graft.operators.ErStore.entities(s, store)
+        .select(col("c_custkey"), col("entity").as("entity_id"))
+        .orderBy(col("c_custkey"))
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -35,5 +58,24 @@ object ExtQueries4 {
          WHERE a.c_custkey < b.c_custkey
            AND round(jaro_winkler_similarity(a.c_name, b.c_name), 4) >= 0.97
          ORDER BY id_a, id_b""",
+
+    // independent full-corpus clustering (the q273 recursive-CTE
+    // pattern) against the registry's INCREMENTAL build+append path;
+    // gate expression identical on both engines (bit-exact jw)
+    "q275_er_registry" ->
+      """WITH RECURSIVE e0 AS (
+           SELECT a.c_custkey AS src, b.c_custkey AS dst
+           FROM customer a JOIN customer b
+             ON a.c_nationkey = b.c_nationkey
+             AND a.c_custkey < b.c_custkey
+           WHERE jaro_winkler_similarity(a.c_name, b.c_name) >= 0.97),
+         undirected AS (SELECT src, dst FROM e0
+           UNION SELECT dst, src FROM e0),
+         cc(id, comp) AS (
+           SELECT c_custkey, c_custkey FROM customer
+           UNION
+           SELECT u.dst, cc.comp FROM undirected u JOIN cc ON u.src = cc.id)
+         SELECT id AS c_custkey, CAST(min(comp) AS BIGINT) AS entity_id
+         FROM cc GROUP BY id ORDER BY c_custkey""",
   )
 }

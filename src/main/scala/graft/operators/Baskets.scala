@@ -49,7 +49,11 @@ object Baskets {
       .crossJoin(broadcast(nBaskets))
       .select(col("item_a"), col("item_b"), col("n_ab"), col("n_a"),
         col("n_b"),
+        // n_a·n_b stays in doubles: a raw long product overflows past
+        // ~3·10⁹ baskets per item (the rocAuc/kendall multiply-before-
+        // cast hazard, r10 audit); exact for counts < 2^53, and lift
+        // renders rounded-6 anyway
         round(col("n_ab").cast("double") * col("__nb") /
-          (col("n_a") * col("n_b")), 6).as("lift"))
+          (col("n_a").cast("double") * col("n_b")), 6).as("lift"))
   }
 }

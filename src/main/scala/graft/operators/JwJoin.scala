@@ -123,9 +123,10 @@ object JwJoin {
   }
 
   /** Normalize one side: (__id, __s, __n, __bh, __bk) with the block
-    * key folded to one null-safe struct. */
-  private def prep(df: DataFrame, idCol: String, strCol: String,
-                   blockCols: Seq[String]): DataFrame = {
+    * key folded to one null-safe struct. private[graft]: [[ErStore]]
+    * persists and replays these shapes. */
+  private[graft] def prep(df: DataFrame, idCol: String, strCol: String,
+                          blockCols: Seq[String]): DataFrame = {
     val bk =
       if (blockCols.isEmpty) struct(lit(0).as("__z"))
       else struct(blockCols.map(col): _*)
@@ -223,7 +224,7 @@ object JwJoin {
     *    a duplicate row of the same pair (equal-multiset pairs
     *    otherwise join once per shared variant, a ~|alphabet|×
     *    pre-distinct blow-up measured 13x on the name corpus). */
-  private def multisetKeys(prepped: DataFrame, d: Int): DataFrame = {
+  private[graft] def multisetKeys(prepped: DataFrame, d: Int): DataFrame = {
     require(d <= 2, s"multiset channel requires depth <= 2, got $d")
     // variants ride as flat strings "<depth digit><deleted chars><variant>"
     // (fixed-width decode, unambiguous for any char content; string
@@ -280,84 +281,62 @@ object JwJoin {
     !(length(da) >= 1 && contains(db, da.substr(lit(1), lit(1)))) &&
       !(length(da) >= 2 && contains(db, da.substr(lit(2), lit(1))))
 
-  private def join(a: DataFrame, b: DataFrame, threshold: Double,
-                   maxBlockSize: Int, selfPairs: Boolean): DataFrame = {
+  private[graft] def requireThreshold(threshold: Double): Unit =
     require(threshold >= 0.82 && threshold <= 1.0,
       s"threshold must be in [0.82, 1], got $threshold — below 0.82 the " +
         "Jaro length/overlap bounds admit pairs sharing barely half " +
         "their characters and no exact prefilter can prune; an argmax " +
         "(best-match) query is a different problem — score candidates " +
         "from a domain blocking key instead")
-    require(maxBlockSize > 0,
-      s"maxBlockSize must be positive, got $maxBlockSize")
+
+  /** Candidate pairs (__ida, __idb) from two MULTISET-KEYED sides
+    * ([[multisetKeys]] shapes — the a side as-is, the b side fanned
+    * here over its admissible partner lengths). private[graft]:
+    * [[ErStore]] replays the a side from its persisted key layout.
+    *
+    * A common variant v = sorted(M) exists at depths (n_a − |M|,
+    * n_b − |M|), both within n − o(n_a,n_b), and variant lengths must
+    * agree (|v| = n_a − dd_a = n_b − dd_b) — so the fanned partner
+    * length joins as a KEY: inadmissible depth combos — (2,2) on an
+    * equal-length pair, 93% of raw match volume measured on the name
+    * corpus — never meet instead of being filtered after the hash
+    * join iterates them. The pair-level overlap bound o(n_a,n_b)
+    * refines each record's band-edge bound (an integer >= r is
+    * >= ceil(r), so ceil is safe pair-wise too). */
+  private[graft] def deletionCandidates(aKeys: DataFrame, bKeys: DataFrame,
+                                        threshold: Double, d: Int,
+                                        selfPairs: Boolean,
+                                        maxBlockSize: Int): DataFrame = {
     val j0 = (threshold - 0.4) / 0.6
     val alpha = 3.0 * j0 - 2.0
-    // channel selection: one tiny max-length agg decides whether the
-    // sorted-multiset deletion neighborhood is affordable (D <= 2)
-    val maxLen = {
-      def m(df: DataFrame): Int = {
-        val r = df.agg(max(col("__n"))).collect().head
-        if (r.isNullAt(0)) 0 else r.getInt(0)
-      }
-      if (selfPairs) m(a) else math.max(m(a), m(b))
-    }
-    val d = deletionDepth(threshold, maxLen)
-    // pair-level overlap bound from BOTH lengths — the refinement over
-    // each record's band-edge bound that keeps an all-equal-length
-    // corpus joining at its same-length depth (an integer >= r is
-    // >= ceil(r), so ceil is safe pair-wise too)
     val oPair = greatest(lit(1L), ceil(
       (lit(3.0 * j0 - 1.0) * col("__na").cast("double") *
         col("__nb").cast("double")) /
         (col("__na").cast("double") + col("__nb").cast("double")) - Eps))
-    val (pa, pb0, posBound) =
-      if (d <= 2) {
-        // a common variant v = sorted(M) exists at depths
-        // (n_a - |M|, n_b - |M|), both within n − o(n_a,n_b). Variant
-        // lengths must agree (|v| = n_a − dd_a = n_b − dd_b), so the
-        // right side FANS each variant row over its admissible partner
-        // lengths and that length joins as a key: inadmissible depth
-        // combos — (2,2) on an equal-length pair, 93% of raw match
-        // volume measured on the name corpus — never meet instead of
-        // being filtered after the hash join iterates them.
-        val right0 = multisetKeys(if (selfPairs) a else b, d)
-        val pna = col("__n").cast("long") - col("__dd") + col("__fd")
-        val oFan = greatest(lit(1L), ceil(
-          (lit(3.0 * j0 - 1.0) * pna.cast("double") *
-            col("__n").cast("double")) /
-            (pna.cast("double") + col("__n").cast("double")) - Eps))
-        val right = right0
-          .withColumn("__fd", explode(sequence(lit(0L), lit(d.toLong))))
-          .filter(col("__fd") <= pna - oFan &&
-            col("__dd") <= col("__n").cast("long") - oFan)
-          .select(col("__id").as("__idb"), col("__n").as("__nb"),
-            col("__del").as("__delb"), pna.as("__pna"), col("__eh"))
-        (multisetKeys(a, d)
-           .select(col("__id").as("__ida"), col("__n").as("__na"),
-             col("__del").as("__dela"), col("__eh")),
-         right,
-         col("__na").cast("long") === col("__pna") &&
-           delDisjoint(col("__dela"), col("__delb")))
-      } else {
-        // one global element order shared by both sides: corpus
-        // frequency, rare first (self-join: count once). The FIRST
-        // common element of a true pair sits in both prefixes with
-        // rank <= n − o + 1 and everything before it unshared, so the
-        // positional + suffix-count bounds keep at least that row.
-        val universe = if (selfPairs) allElements(a)
-          else allElements(a).unionByName(allElements(b))
-        val freq = universe.groupBy("__eh").agg(count(lit(1)).as("__cnt"))
-        (prefixes(a, freq, j0)
-           .select(col("__id").as("__ida"), col("__n").as("__na"),
-             col("__rn").as("__rna"), col("__eh")),
-         prefixes(if (selfPairs) a else b, freq, j0)
-           .select(col("__id").as("__idb"), col("__n").as("__nb"),
-             col("__rn").as("__rnb"), col("__eh")),
-         col("__rna") <= col("__na").cast("long") - oPair + 1L &&
-           col("__rnb") <= col("__nb").cast("long") - oPair + 1L &&
-           lit(1L) + least(col("__na").cast("long") - col("__rna"),
-             col("__nb").cast("long") - col("__rnb")) >= oPair)
-      }
+    val pna = col("__n").cast("long") - col("__dd") + col("__fd")
+    val oFan = greatest(lit(1L), ceil(
+      (lit(3.0 * j0 - 1.0) * pna.cast("double") *
+        col("__n").cast("double")) /
+        (pna.cast("double") + col("__n").cast("double")) - Eps))
+    val pb0 = bKeys
+      .withColumn("__fd", explode(sequence(lit(0L), lit(d.toLong))))
+      .filter(col("__fd") <= pna - oFan &&
+        col("__dd") <= col("__n").cast("long") - oFan)
+      .select(col("__id").as("__idb"), col("__n").as("__nb"),
+        col("__del").as("__delb"), pna.as("__pna"), col("__eh"))
+    val pa = aKeys
+      .select(col("__id").as("__ida"), col("__n").as("__na"),
+        col("__del").as("__dela"), col("__eh"))
+    val posBound = col("__na").cast("long") === col("__pna") &&
+      delDisjoint(col("__dela"), col("__delb"))
+    candJoin(pa, pb0, posBound, alpha, selfPairs, maxBlockSize)
+  }
+
+  /** The shared candidate-join tail: recall valve, length band,
+    * pair predicate, distinct on bare id pairs. */
+  private def candJoin(pa: DataFrame, pb0: DataFrame, posBound: Column,
+                       alpha: Double, selfPairs: Boolean,
+                       maxBlockSize: Int): DataFrame = {
     // recall valve: drop elements whose right-side posting list exceeds
     // the cap (documented recall trade, off by default)
     val (paV, pbV) =
@@ -374,21 +353,79 @@ object JwJoin {
     val pairPred =
       if (selfPairs) col("__ida") < col("__idb") && band && posBound
       else band && posBound
-    val cand = paV.join(pbV, paV("__eh") === pbV("__eh") && pairPred)
+    paV.join(pbV, paV("__eh") === pbV("__eh") && pairPred)
       .select(col("__ida"), col("__idb"))
       .distinct()
-    val namesA = a.select(col("__id").as("__ida"), col("__s").as("__sa"),
-      col("__bk").as("__bka"))
-    val namesB = (if (selfPairs) a else b)
-      .select(col("__id").as("__idb"), col("__s").as("__sb"),
-        col("__bk").as("__bkb"))
+  }
+
+  /** Exact gate on candidate pairs: re-attach names via id-keyed joins
+    * (strings never ride the candidate fan-out), re-check block
+    * equality null-safely (a 2^-64 element-hash collision must not
+    * link across blocks), evaluate the codegen JW. `namesX` shape:
+    * (__idX, __sX, __bkX). private[graft]: [[ErStore]] gates
+    * batch-vs-stored candidates with names from two layouts. */
+  private[graft] def gateJw(cand: DataFrame, namesA: DataFrame,
+                            namesB: DataFrame, threshold: Double): DataFrame =
     cand.join(namesA, "__ida").join(namesB, "__idb")
-      // block equality re-checked null-safely: a 2^-64 element-hash
-      // collision must not link across blocks
       .filter(col("__bka") <=> col("__bkb"))
       .select(col("__ida").as("id_a"), col("__idb").as("id_b"),
         JaroWinkler.jaroWinkler(col("__sa"), col("__sb")).as("jw"))
       .filter(col("jw") >= threshold)
+
+  private[graft] def namesOf(prepped: DataFrame, side: String): DataFrame =
+    prepped.select(col("__id").as(s"__id$side"), col("__s").as(s"__s$side"),
+      col("__bk").as(s"__bk$side"))
+
+  private def join(a: DataFrame, b: DataFrame, threshold: Double,
+                   maxBlockSize: Int, selfPairs: Boolean): DataFrame = {
+    requireThreshold(threshold)
+    require(maxBlockSize > 0,
+      s"maxBlockSize must be positive, got $maxBlockSize")
+    val j0 = (threshold - 0.4) / 0.6
+    val alpha = 3.0 * j0 - 2.0
+    // channel selection: one tiny max-length agg decides whether the
+    // sorted-multiset deletion neighborhood is affordable (D <= 2)
+    val maxLen = {
+      def m(df: DataFrame): Int = {
+        val r = df.agg(max(col("__n"))).collect().head
+        if (r.isNullAt(0)) 0 else r.getInt(0)
+      }
+      if (selfPairs) m(a) else math.max(m(a), m(b))
+    }
+    val d = deletionDepth(threshold, maxLen)
+    val cand =
+      if (d <= 2)
+        deletionCandidates(multisetKeys(a, d),
+          multisetKeys(if (selfPairs) a else b, d),
+          threshold, d, selfPairs, maxBlockSize)
+      else {
+        // one global element order shared by both sides: corpus
+        // frequency, rare first (self-join: count once). The FIRST
+        // common element of a true pair sits in both prefixes with
+        // rank <= n − o + 1 and everything before it unshared, so the
+        // positional + suffix-count bounds keep at least that row.
+        val universe = if (selfPairs) allElements(a)
+          else allElements(a).unionByName(allElements(b))
+        val freq = universe.groupBy("__eh").agg(count(lit(1)).as("__cnt"))
+        val oPair = greatest(lit(1L), ceil(
+          (lit(3.0 * j0 - 1.0) * col("__na").cast("double") *
+            col("__nb").cast("double")) /
+            (col("__na").cast("double") + col("__nb").cast("double")) - Eps))
+        val pa = prefixes(a, freq, j0)
+          .select(col("__id").as("__ida"), col("__n").as("__na"),
+            col("__rn").as("__rna"), col("__eh"))
+        val pb0 = prefixes(if (selfPairs) a else b, freq, j0)
+          .select(col("__id").as("__idb"), col("__n").as("__nb"),
+            col("__rn").as("__rnb"), col("__eh"))
+        val posBound =
+          col("__rna") <= col("__na").cast("long") - oPair + 1L &&
+            col("__rnb") <= col("__nb").cast("long") - oPair + 1L &&
+            lit(1L) + least(col("__na").cast("long") - col("__rna"),
+              col("__nb").cast("long") - col("__rnb")) >= oPair
+        candJoin(pa, pb0, posBound, alpha, selfPairs, maxBlockSize)
+      }
+    gateJw(cand, namesOf(a, "a"), namesOf(if (selfPairs) a else b, "b"),
+      threshold)
   }
 
   /** Brute-force all-pairs reference (O(n^2) — tests and tiny frames

@@ -483,6 +483,42 @@ object StreamOps {
       }
       .start()
 
+  /** Streaming ingest into the persisted entity registry — the
+    * [[ivfAppendSink]] twin for [[graft.operators.ErStore]]: the first
+    * non-empty micro-batch builds the registry (bounded self-link +
+    * initial clustering, registered under the stream's own id so a
+    * post-crash replay no-ops); every later batch bounded-links
+    * against the stored corpus (bucket-pruned key probe) and folds
+    * into the clustering via incremental CC — per-batch work is
+    * O(batch + touched buckets + touched components), never
+    * O(corpus). Same idempotency contract (manifest-listed and
+    * retired batch ids no-op; crashed appends invisible);
+    * `compactEvery` folds the layer trees. */
+  def erAppendSink(records: DataFrame, idCol: String, nameCol: String,
+                   storePath: String, checkpoint: String,
+                   threshold: Double, blockCols: Seq[String] = Nil,
+                   maxLen: Int = 18, numBuckets: Int = 64,
+                   compactEvery: Int = 0)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    records.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        if (!graft.operators.ErStore.storeExists(spark, storePath)) {
+          // an empty first batch must not create a store tree
+          if (!batch.isEmpty)
+            graft.operators.ErStore.build(batch, idCol, nameCol,
+              storePath, threshold, blockCols, maxLen, numBuckets,
+              baseBatchId = batchId + 1)
+        } else
+          graft.operators.ErStore.append(batch, storePath, batchId + 1)
+        if (compactEvery > 0 && (batchId + 1) % compactEvery == 0 &&
+            graft.operators.ErStore.storeExists(spark, storePath))
+          graft.operators.ErStore.compact(spark, storePath)
+        ()
+      }
+      .start()
+
   /** Same running totals on the `transformWithState` API (Spark 4's
     * successor to flatMapGroupsWithState: typed ValueState handles,
     * timer support, state-store-backed). */

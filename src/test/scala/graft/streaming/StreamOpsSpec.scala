@@ -497,6 +497,37 @@ class StreamOpsSpec extends SparkSpec {
       "the shifted batch must trip far above the ref-like one")
   }
 
+  test("erAppendSink: first batch builds the registry, later batches " +
+      "fold in incrementally; entities ≡ full-corpus recompute") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("stream-er")
+    val store = dir.toString + "/s"
+    val cust = spark.read.parquet(sf("sf0.01") + "/customer.parquet")
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
+    def rows(m: Long) = cust.filter(col("c_custkey") % 2 === m)
+      .as[(Long, String, Long)].collect().toSeq
+    val mem = MemoryStream[(Long, String, Long)]
+    val q = StreamOps.erAppendSink(
+      mem.toDF().toDF("c_custkey", "c_name", "c_nationkey"),
+      "c_custkey", "c_name", store, dir.toString + "/ckpt",
+      threshold = 0.97, blockCols = Seq("c_nationkey"))
+    mem.addData(rows(0): _*) // batch 0 builds (manifest id 1)
+    q.processAllAvailable()
+    mem.addData(rows(1): _*) // batch 1 appends (manifest id 2)
+    q.processAllAvailable()
+    q.stop()
+    val served = graft.operators.ErStore.entities(spark, store)
+      .as[(Long, Long)].collect().toMap
+    val edges = graft.operators.JwJoin.jaroWinklerSelfJoin(
+        cust, "c_custkey", "c_name", 0.97, blockCols = Seq("c_nationkey"))
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+    val full = graft.operators.Graph.connectedComponents(edges,
+        "src", "dst", nodes = Some((cust.select("c_custkey"), "c_custkey")))
+      .as[(Long, Long)].collect().toMap
+    assert(served == full,
+      "streamed registry must equal the full-corpus recompute")
+  }
+
   test("ivfPqAppendSink: first batch trains both layers, later batches " +
       "append frozen; exhaustive serve ≡ exact L2 over the stream") {
     implicit val sqlCtx = spark.sqlContext
