@@ -45,6 +45,63 @@ object ExtQueries4 {
         .select(col("c_custkey"), col("entity").as("entity_id"))
         .orderBy(col("c_custkey"))
     }),
+
+    // --- modularity of a node partition ------------------------------------
+    // How community-like is the LANGUAGE partition of the q133/q158
+    // doc graph? Exact per-community intra-edge/degree accounting.
+    "q277_modularity" -> ((s, d) => {
+      val docs = t(s, d, "documents").select(col("doc_id"), col("lang"))
+      val edges = docs.select(col("doc_id").as("src"),
+          pmod(col("doc_id") * col("doc_id") + 1, lit(500L)).as("dst"))
+        .unionByName(docs.select(col("doc_id").as("src"),
+          pmod(col("doc_id") * 37, lit(100L)).as("dst")))
+      graft.operators.Graph.modularity(edges, "src", "dst",
+          docs, "doc_id", "lang")
+        .orderBy(col("community"))
+    }),
+
+    // --- simplified silhouette (clustering quality) ------------------------
+    // The quality readout for the q103 frozen-centroid assignment:
+    // per-cluster mean of (b − a)/max(a, b) against own vs nearest-
+    // other centroid — the large-data silhouette (all-pairs is O(n²)).
+    "q278_silhouette" -> ((s, d) => {
+      val emb = t(s, d, "embeddings").filter(col("embedding").isNotNull)
+      val centroids = emb.filter(col("vec_id") < 8)
+        .select((col("vec_id") + 1L).as("cluster_id"),
+          col("embedding").cast("array<double>").as("centroid"))
+      graft.operators.KMeans.silhouette(emb, "embedding", "vec_id",
+          centroids)
+        .orderBy(col("cluster_id"))
+    }),
+
+    // --- partial autocorrelation (Durbin-Levinson, lags 1..3) --------------
+    // The AR-order detector on the q252 daily event-count series: PACF
+    // cuts off where ACF only decays.
+    "q279_pacf" -> ((s, d) =>
+      graft.operators.TimeSeries.pacf(
+          ev(s, d).groupBy(col("event_type"),
+              col("ts").cast("date").as("day"))
+            .agg(count(lit(1)).cast("double").as("cnt")),
+          "event_type", "day", "cnt")
+        .orderBy(col("event_type"))),
+
+    // --- position-based (U-shaped) attribution -----------------------------
+    // 40/20/40 credit over each converting user's pre-purchase journey
+    // — the standard corrective to q182's last-touch recency bias.
+    "q280_position_attribution" -> ((s, d) =>
+      graft.operators.Funnel.positionAttribution(
+          ev(s, d), "user_id", "ts", "event_id", "event_type", "purchase")
+        .orderBy(col("channel"))),
+
+    // --- time-decay attribution --------------------------------------------
+    // Reciprocal decay by seconds-to-conversion (exact rational
+    // weights — exp() is not ULP-stable across engines), half-life 1
+    // day, one unit of credit per converting user.
+    "q281_time_decay_attribution" -> ((s, d) =>
+      graft.operators.Funnel.timeDecayAttribution(
+          ev(s, d), "user_id", "ts", "event_id", "event_type", "purchase",
+          halfLifeSec = 86400.0)
+        .orderBy(col("channel"))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -77,5 +134,175 @@ object ExtQueries4 {
            SELECT u.dst, cc.comp FROM undirected u JOIN cc ON u.src = cc.id)
          SELECT id AS c_custkey, CAST(min(comp) AS BIGINT) AS entity_id
          FROM cc GROUP BY id ORDER BY c_custkey""",
+
+    // exact integer intra-edge/degree accounting over the canonical
+    // undirected labeled subgraph; two double divisions rounded 6
+    "q277_modularity" ->
+      """WITH e0 AS (SELECT doc_id AS s, (doc_id*doc_id + 1) % 500 AS t
+             FROM documents
+           UNION ALL SELECT doc_id, (doc_id*37) % 100 FROM documents),
+         canon AS (SELECT DISTINCT least(s, t) AS u, greatest(s, t) AS v
+           FROM e0 WHERE s IS NOT NULL AND t IS NOT NULL AND s <> t),
+         lab AS (SELECT doc_id AS n, lang AS c FROM documents
+           WHERE lang IS NOT NULL),
+         le AS (SELECT u, v, lu.c AS cu, lv.c AS cv FROM canon
+           JOIN lab lu ON lu.n = u JOIN lab lv ON lv.n = v),
+         m AS (SELECT count(*) AS m FROM le),
+         degs AS (SELECT u AS n, cu AS c FROM le
+           UNION ALL SELECT v, cv FROM le),
+         comm AS (SELECT c, count(DISTINCT n) AS n_nodes,
+             count(*) AS degree_sum FROM degs GROUP BY 1),
+         intra AS (SELECT cu AS c, count(*) AS intra FROM le
+           WHERE cu = cv GROUP BY 1)
+         SELECT comm.c AS community, CAST(n_nodes AS BIGINT) AS n_nodes,
+           CAST(coalesce(intra, 0) AS BIGINT) AS intra_edges,
+           CAST(degree_sum AS BIGINT) AS degree_sum,
+           round(CAST(coalesce(intra, 0) AS DOUBLE) / m.m
+             - (CAST(degree_sum AS DOUBLE) / (2.0 * m.m))
+               * (CAST(degree_sum AS DOUBLE) / (2.0 * m.m)), 6)
+             AS contribution
+         FROM comm LEFT JOIN intra USING (c), m ORDER BY community""",
+
+    // the q103 distance grid + argmin, then the silhouette ratio on
+    // the 9-grid before the per-cluster DECIMAL mean
+    "q278_silhouette" ->
+      """WITH c AS (
+           SELECT CAST(vec_id + 1 AS BIGINT) AS cluster_id,
+             embedding AS centroid
+           FROM embeddings WHERE vec_id < 8),
+         d AS (
+           SELECT e.vec_id, c.cluster_id,
+             sqrt(sum((CAST(e.embedding[CAST(i AS INT)] AS DOUBLE)
+                 - CAST(c.centroid[CAST(i AS INT)] AS DOUBLE))
+               * (CAST(e.embedding[CAST(i AS INT)] AS DOUBLE)
+                 - CAST(c.centroid[CAST(i AS INT)] AS DOUBLE)))) AS dist
+           FROM embeddings e, c, generate_series(1, 64) AS g(i)
+           WHERE e.embedding IS NOT NULL
+           GROUP BY e.vec_id, c.cluster_id),
+         own AS (SELECT vec_id, cluster_id, dist AS a FROM (
+             SELECT *, row_number() OVER (PARTITION BY vec_id
+               ORDER BY dist ASC, cluster_id ASC) AS rn FROM d)
+           WHERE rn = 1),
+         oth AS (SELECT d.vec_id, min(d.dist) AS b
+           FROM d JOIN own ON d.vec_id = own.vec_id
+             AND d.cluster_id <> own.cluster_id
+           GROUP BY 1),
+         sil AS (SELECT own.cluster_id,
+             round(CASE WHEN greatest(a, b) > 0
+               THEN (b - a) / greatest(a, b) ELSE 0.0 END, 9) AS s
+           FROM own JOIN oth USING (vec_id))
+         SELECT cluster_id, CAST(count(*) AS BIGINT) AS n,
+           round(CAST(sum(CAST(s AS DECIMAL(38,9))) AS DOUBLE)
+             / count(*), 6) AS mean_silhouette
+         FROM sil GROUP BY 1 ORDER BY cluster_id""",
+
+    // the q252 ACF chain to lag 3, pivoted, then the Durbin-Levinson
+    // closed forms — every intermediate on the 9-grid, double-rounded
+    // (9 then 6) exactly as the engine renders
+    "q279_pacf" ->
+      """WITH srs AS (SELECT event_type AS g, CAST(ts AS DATE) AS day,
+             CAST(count(*) AS DOUBLE) AS v
+           FROM events GROUP BY 1, 2),
+         pos AS (SELECT g, v,
+             row_number() OVER (PARTITION BY g ORDER BY day) AS p
+           FROM srs),
+         mu AS (SELECT g, round(CAST(sum(CAST(round(v, 9)
+             AS DECIMAL(38,9))) AS DOUBLE) / count(*), 9) AS mu
+           FROM pos GROUP BY 1),
+         cen AS (SELECT pos.g, p, v - mu AS e FROM pos JOIN mu USING (g)),
+         den AS (SELECT g, sum(CAST(round(e * e, 9) AS DECIMAL(38,9))) AS d
+           FROM cen GROUP BY 1),
+         pairs AS (SELECT a.g, t.lg, a.e AS e, b.e AS ep
+           FROM cen a CROSS JOIN range(1, 4) t(lg)
+           JOIN cen b ON b.g = a.g AND b.p = a.p - t.lg),
+         num AS (SELECT g, lg,
+             sum(CAST(round(e * ep, 9) AS DECIMAL(38,9))) AS num
+           FROM pairs GROUP BY 1, 2),
+         acf AS (SELECT num.g, lg,
+             round(CASE WHEN d <> 0 THEN
+               CAST(num AS DOUBLE) / CAST(d AS DOUBLE) END, 6) AS r
+           FROM num JOIN den USING (g)),
+         piv AS (SELECT g,
+             max(CASE WHEN lg = 1 THEN r END) AS r1,
+             max(CASE WHEN lg = 2 THEN r END) AS r2,
+             max(CASE WHEN lg = 3 THEN r END) AS r3
+           FROM acf GROUP BY 1),
+         f1 AS (SELECT g, r1, r2, r3,
+             round(CASE WHEN 1.0 - r1*r1 <> 0
+               THEN (r2 - r1*r1) / (1.0 - r1*r1) END, 9) AS p22
+           FROM piv),
+         f2 AS (SELECT *, round(r1 * (1.0 - p22), 9) AS p21 FROM f1)
+         SELECT g AS event_type, round(r1, 6) AS pacf1,
+           round(p22, 6) AS pacf2,
+           round(round(CASE WHEN 1.0 - p21*r1 - p22*r2 <> 0
+             THEN (r3 - p21*r2 - p22*r1) / (1.0 - p21*r1 - p22*r2) END,
+             9), 6) AS pacf3
+         FROM f2 ORDER BY event_type""",
+
+    // journey = touches strictly before the FIRST purchase ((ts, id)
+    // total order); U-shaped credits are exact small-integer divisions
+    // on the 9-grid
+    "q280_position_attribution" ->
+      """WITH rows AS (SELECT user_id AS u, event_type AS ty,
+             CAST(ts AS TIMESTAMP) AS ts, event_id AS i
+           FROM events WHERE ts IS NOT NULL),
+         conv AS (SELECT u, ts AS cts, i AS ci FROM (
+             SELECT u, ts, i, row_number() OVER (PARTITION BY u
+               ORDER BY ts, i) AS rn FROM rows WHERE ty = 'purchase')
+           WHERE rn = 1),
+         touch AS (SELECT r.u, r.ty AS ch, r.ts, r.i
+           FROM rows r JOIN conv ON r.u = conv.u
+           WHERE r.ty <> 'purchase'
+             AND (r.ts < cts OR (r.ts = cts AND r.i < ci))),
+         rk AS (SELECT u, ch,
+             row_number() OVER (PARTITION BY u ORDER BY ts, i) AS pos,
+             count(*) OVER (PARTITION BY u) AS k FROM touch),
+         cold AS (SELECT conv.u, NULL AS ch, 0 AS pos, 0 AS k
+           FROM conv LEFT JOIN (SELECT DISTINCT u FROM touch) t
+             ON conv.u = t.u WHERE t.u IS NULL),
+         j AS (SELECT * FROM rk UNION ALL SELECT * FROM cold),
+         cr AS (SELECT coalesce(ch, 'none') AS channel,
+             CASE WHEN k = 0 THEN 1.0 WHEN k = 1 THEN 1.0
+               WHEN k = 2 THEN 0.5
+               WHEN pos = 1 OR pos = k THEN 0.4
+               ELSE 0.2 / (k - 2) END AS c
+           FROM j)
+         SELECT channel, CAST(count(*) AS BIGINT) AS n_touches,
+           round(CAST(sum(CAST(round(c, 9) AS DECIMAL(38,9)))
+             AS DOUBLE), 6) AS credit
+         FROM cr GROUP BY 1 ORDER BY 1""",
+
+    // reciprocal decay on floored epoch-second differences (the q253
+    // flooring discipline); per-user normalization on the 9-grid
+    "q281_time_decay_attribution" ->
+      """WITH rows AS (SELECT user_id AS u, event_type AS ty,
+             CAST(ts AS TIMESTAMP) AS ts, event_id AS i
+           FROM events WHERE ts IS NOT NULL),
+         conv AS (SELECT u, ts AS cts, i AS ci FROM (
+             SELECT u, ts, i, row_number() OVER (PARTITION BY u
+               ORDER BY ts, i) AS rn FROM rows WHERE ty = 'purchase')
+           WHERE rn = 1),
+         touch AS (SELECT r.u, r.ty AS ch,
+             CAST(floor(epoch(cts)) AS BIGINT)
+               - CAST(floor(epoch(r.ts)) AS BIGINT) AS dt
+           FROM rows r JOIN conv ON r.u = conv.u
+           WHERE r.ty <> 'purchase'
+             AND (r.ts < cts OR (r.ts = cts AND r.i < ci))),
+         wt AS (SELECT u, ch,
+             round(1.0 / (1.0 + CAST(dt AS DOUBLE) / 86400.0), 9) AS w
+           FROM touch),
+         tot AS (SELECT u, sum(CAST(w AS DECIMAL(38,9))) AS tw
+           FROM wt GROUP BY 1),
+         cr AS (SELECT ch AS channel,
+             round(w / CAST(tw AS DOUBLE), 9) AS c
+           FROM wt JOIN tot USING (u)
+           UNION ALL
+           SELECT 'none', 1.0 FROM conv
+           LEFT JOIN (SELECT DISTINCT u FROM touch) t ON conv.u = t.u
+           WHERE t.u IS NULL)
+         SELECT channel, CAST(count(*) AS BIGINT) AS n_touches,
+           round(CAST(sum(CAST(round(c, 9) AS DECIMAL(38,9)))
+             AS DOUBLE), 6) AS credit
+         FROM cr GROUP BY 1 ORDER BY 1""",
   )
 }

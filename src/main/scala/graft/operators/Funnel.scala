@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Ordered event-sequence analytics over an event stream: conversion
@@ -286,5 +287,99 @@ object Funnel {
       .join(pick(0.9, "p90_lag"), lit(true), "left")
       .select(col("n_started"), col("n_converted"), col("min_lag"),
         col("p50_lag"), col("p90_lag"), col("max_lag"))
+  }
+
+  /** One journey row per touch: each converting user's non-conversion
+    * events strictly before their FIRST `convType` event (ordered by
+    * ts with idCol as the total tie-break), with the touch's 1-based
+    * position, the journey length k, and the seconds to conversion.
+    * Users whose first conversion has no prior touch surface as one
+    * (user, channel = null, pos = 0, k = 0) row — the q182 cold-start
+    * convention, rendered 'none' by the attribution folds. */
+  private def journeys(events: DataFrame, userCol: String, tsCol: String,
+                       idCol: String, typeCol: String,
+                       convType: String): DataFrame = {
+    val rows = events.filter(col(tsCol).isNotNull)
+      .select(col(userCol).as("__u"), col(typeCol).as("__ty"),
+        col(tsCol).cast("timestamp").as("__ts"), col(idCol).as("__i"))
+    val conv = rows.filter(col("__ty") === convType)
+      .groupBy(col("__u"))
+      .agg(min(struct(col("__ts"), col("__i"))).as("__c"))
+      .select(col("__u"), col("__c.__ts").as("__cts"),
+        col("__c.__i").as("__ci"))
+    val touches = rows.filter(col("__ty") =!= convType)
+      .join(conv, "__u")
+      .filter(col("__ts") < col("__cts") ||
+        (col("__ts") === col("__cts") && col("__i") < col("__ci")))
+    val w = Window.partitionBy(col("__u"))
+      .orderBy(col("__ts").asc, col("__i").asc)
+    val ranked = touches
+      .withColumn("__pos", row_number().over(w))
+      .withColumn("__k", count(lit(1)).over(Window.partitionBy(col("__u"))))
+      .select(col("__u"), col("__ty").as("__ch"),
+        col("__pos").cast("long").as("__pos"),
+        col("__k").cast("long").as("__k"),
+        (unix_timestamp(col("__cts")) - unix_timestamp(col("__ts")))
+          .as("__dt"))
+    val cold = conv.join(ranked.select(col("__u")).distinct(),
+        Seq("__u"), "left_anti")
+      .select(col("__u"), lit(null: String).as("__ch"),
+        lit(0L).as("__pos"), lit(0L).as("__k"), lit(0L).as("__dt"))
+    ranked.unionByName(cold)
+  }
+
+  /** Position-based (U-shaped) attribution — each converting user's
+    * single unit of credit splits 40% to the first touch, 40% to the
+    * last, and 20% evenly across the middles (k = 1 → 1.0, k = 2 →
+    * 0.5/0.5, cold-start → 'none'), summed per channel. The standard
+    * corrective to [[q182]]-style last-touch's recency bias without a
+    * model fit. Per-touch credits are exact double divisions of small
+    * integers rounded to the 9-grid before the DECIMAL sum —
+    * engine-stable. Output: (channel, n_touches, credit rounded 6). */
+  def positionAttribution(events: DataFrame, userCol: String,
+                          tsCol: String, idCol: String, typeCol: String,
+                          convType: String): DataFrame = {
+    val j = journeys(events, userCol, tsCol, idCol, typeCol, convType)
+    val credit =
+      when(col("__k") === 0L, lit(1.0))
+        .when(col("__k") === 1L, lit(1.0))
+        .when(col("__k") === 2L, lit(0.5))
+        .when(col("__pos") === 1L || col("__pos") === col("__k"), lit(0.4))
+        .otherwise(lit(0.2) / (col("__k") - 2L).cast("double"))
+    j.groupBy(coalesce(col("__ch"), lit("none")).as("channel"))
+      .agg(count(lit(1)).as("n_touches"),
+        sum(round(credit, 9).cast("decimal(38,9)")).as("__cr"))
+      .select(col("channel"), col("n_touches"),
+        round(col("__cr").cast("double"), 6).as("credit"))
+  }
+
+  /** Time-decay attribution — per converting user, touch weights
+    * w = 1/(1 + Δt/halfLifeSec) with Δt the seconds to conversion,
+    * normalized to one unit of credit per user, summed per channel.
+    * RECIPROCAL decay, not exponential, deliberately: exp() is not
+    * ULP-identical across engines, while this weight is plain rational
+    * arithmetic on exact integer second differences — the 9-grid
+    * rounds make the whole chain engine-stable. Cold-start conversions
+    * credit 'none'. Output: (channel, n_touches, credit rounded 6). */
+  def timeDecayAttribution(events: DataFrame, userCol: String,
+                           tsCol: String, idCol: String, typeCol: String,
+                           convType: String,
+                           halfLifeSec: Double = 86400.0): DataFrame = {
+    require(halfLifeSec > 0, s"halfLifeSec must be positive, got $halfLifeSec")
+    val j = journeys(events, userCol, tsCol, idCol, typeCol, convType)
+    val w = round(lit(1.0) /
+      (lit(1.0) + col("__dt").cast("double") / lit(halfLifeSec)), 9)
+    val totals = j.filter(col("__k") > 0L)
+      .groupBy(col("__u"))
+      .agg(sum(w.cast("decimal(38,9)")).as("__tw"))
+    val credit =
+      when(col("__k") === 0L, lit(1.0))
+        .otherwise(round(w / col("__tw").cast("double"), 9))
+    j.join(totals, Seq("__u"), "left")
+      .groupBy(coalesce(col("__ch"), lit("none")).as("channel"))
+      .agg(count(lit(1)).as("n_touches"),
+        sum(round(credit, 9).cast("decimal(38,9)")).as("__cr"))
+      .select(col("channel"), col("n_touches"),
+        round(col("__cr").cast("double"), 6).as("credit"))
   }
 }

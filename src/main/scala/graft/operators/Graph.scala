@@ -752,4 +752,58 @@ object Graph {
       .select(col("id"), round(col("__h"), 6).as("hub"),
         round(col("__a"), 6).as("authority"))
   }
+
+  /** Newman modularity of a GIVEN node partition — the quality score
+    * for [[labelPropagation]]/[[connectedComponents]] outputs (or any
+    * domain grouping): per community c, contribution
+    * Q_c = L_c/m − (D_c/2m)² with L_c the intra-community edge count,
+    * D_c the community's degree sum and m the edge count; Q = Σ Q_c,
+    * 0 for random structure, → 1 for dense isolated communities.
+    *
+    * Graph semantics: undirected simple — edges canonicalize to
+    * (least, greatest), duplicates collapse, self-loops drop. The
+    * score is of the LABELED subgraph: an edge with an unlabeled
+    * endpoint drops (and degrees recompute over what is kept), so
+    * partial labelings score the part they cover. All arithmetic is
+    * exact-integer counts into two double divisions rounded 6 —
+    * engine-stable. Shape: one edge canonicalization, two broadcast-
+    * able label joins, two count aggs — no iteration.
+    *
+    * Output per community: (community, n_nodes, intra_edges,
+    * degree_sum, contribution); Σ contribution is Q. */
+  def modularity(edges: DataFrame, srcCol: String, dstCol: String,
+                 labels: DataFrame, labelIdCol: String,
+                 labelCol: String): DataFrame = {
+    val canon = edges
+      .select(least(col(srcCol), col(dstCol)).as("__u"),
+        greatest(col(srcCol), col(dstCol)).as("__v"))
+      .filter(col("__u").isNotNull && col("__v").isNotNull &&
+        col("__u") =!= col("__v"))
+      .distinct()
+    val lab = labels.select(col(labelIdCol).as("__n"),
+        col(labelCol).as("__c"))
+      .filter(col("__n").isNotNull && col("__c").isNotNull)
+    val labeled = canon
+      .join(lab.select(col("__n").as("__u"), col("__c").as("__cu")), "__u")
+      .join(lab.select(col("__n").as("__v"), col("__c").as("__cv")), "__v")
+    val m = labeled.agg(count(lit(1)).as("__m"))
+    val degBySide = labeled.select(col("__u").as("__n"), col("__cu").as("__c"))
+      .unionAll(labeled.select(col("__v").as("__n"), col("__cv").as("__c")))
+    val comm = degBySide.groupBy(col("__c"))
+      .agg(count_distinct(col("__n")).as("n_nodes"),
+        count(lit(1)).as("degree_sum"))
+    val intra = labeled.filter(col("__cu") === col("__cv"))
+      .groupBy(col("__cu").as("__c"))
+      .agg(count(lit(1)).as("intra_edges"))
+    comm.join(intra, Seq("__c"), "left").crossJoin(broadcast(m))
+      .select(col("__c").as("community"), col("n_nodes"),
+        coalesce(col("intra_edges"), lit(0L)).as("intra_edges"),
+        col("degree_sum"),
+        round(coalesce(col("intra_edges"), lit(0L)).cast("double") /
+            col("__m") -
+          (col("degree_sum").cast("double") / (lit(2.0) * col("__m"))) *
+            (col("degree_sum").cast("double") / (lit(2.0) * col("__m"))),
+          6).as("contribution"))
+  }
+
 }

@@ -97,4 +97,48 @@ object KMeans {
       .agg(sum(col("dist2"))).collect()(0).getDouble(0)
     Model(centroids, iter, shift, inertia)
   }
+
+  /** Simplified (centroid-based) silhouette per cluster — the
+    * clustering-quality readout for an [[assign]]ment: per point,
+    * a = distance to its OWN centroid, b = distance to the nearest
+    * OTHER centroid, s = (b − a)/max(a, b) ∈ [−1, 1] (≈1 = well
+    * separated, ≈0 = on a boundary, <0 = closer to another centroid).
+    * The centroid form scores corpus × k — the classic all-pairs
+    * silhouette is O(n²) and belongs nowhere near a corpus; the
+    * simplified form is the standard large-data substitute
+    * (spark.ml's own choice).
+    *
+    * Distances are L2 (not squared — sqrt of the [[graft.plans
+    * .SquaredL2]] codegen hot loop), per-point s rounds to the
+    * 9-grid before the per-cluster DECIMAL mean (the q103 argmin-on-
+    * raw / round-for-display discipline). A point equidistant at 0
+    * from two centroids (max(a,b) = 0) scores 0. Ties in the own-
+    * centroid argmin break to the smallest cluster_id ([[assign]]'s
+    * contract). Output per cluster: (cluster_id, n, mean_silhouette
+    * rounded 6). */
+  def silhouette(vectors: DataFrame, vecCol: String, idCol: String,
+                 centroids: DataFrame): DataFrame = {
+    val scored = vectors.filter(col(vecCol).isNotNull)
+      .crossJoin(broadcast(centroids.select(col("cluster_id"), col("centroid"))))
+      .withColumn("__d", sqrt(SquaredL2(col(vecCol), col("centroid"))))
+      .select(col(idCol).as("__id"), col("cluster_id"), col("__d"))
+    val own = Dedup.keepFirst(scored, Seq("__id"),
+        Seq(col("__d").asc_nulls_last, col("cluster_id").asc))
+      .select(col("__id"), col("cluster_id"), col("__d").as("__a"))
+    val other = scored.join(
+        own.select(col("__id"), col("cluster_id").as("__own")), "__id")
+      .filter(col("cluster_id") =!= col("__own"))
+      .groupBy(col("__id")).agg(min(col("__d")).as("__b"))
+    own.join(other, "__id")
+      .select(col("__id"), col("cluster_id"),
+        round(when(greatest(col("__a"), col("__b")) > 0,
+            (col("__b") - col("__a")) / greatest(col("__a"), col("__b")))
+          .otherwise(lit(0.0)), 9).as("__s"))
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("__s").cast("decimal(38,9)")).as("__sum"))
+      .select(col("cluster_id"), col("n"),
+        round(col("__sum").cast("double") / col("n"), 6)
+          .as("mean_silhouette"))
+  }
 }

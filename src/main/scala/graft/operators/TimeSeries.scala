@@ -775,4 +775,39 @@ object TimeSeries {
         round(col("__slope"), 6).as("slope"),
         round(col("__icept"), 6).as("intercept"))
   }
+
+  /** Partial autocorrelation (Durbin–Levinson closed forms, lags
+    * 1..3) per key — the AR-order detector beside [[autocorrelation]]:
+    * PACF at lag k is the correlation of v_t with v_{t−k} AFTER
+    * regressing out the intervening lags, so an AR(p) series cuts off
+    * sharply past lag p where the plain ACF only decays.
+    *
+    * Shape: one [[autocorrelation]] pass (the q252 grid), one pivot of
+    * r₁..r₃ to a row per key, then the closed-form recursion in plain
+    * column arithmetic — φ₁₁ = r₁; φ₂₂ = (r₂ − r₁²)/(1 − r₁²);
+    * φ₂₁ = r₁(1 − φ₂₂); φ₃₃ = (r₃ − φ₂₁r₂ − φ₂₂r₁)/(1 − φ₂₁r₁ −
+    * φ₂₂r₂). Inputs are the rounded-6 ACF values and every
+    * intermediate rounds to the 9-grid, so both engines walk an
+    * identical double chain. Degenerate denominators (|r₁| = 1, or a
+    * constant series with null ACF) yield null at that lag and past
+    * it. Output per key: (keyCol, pacf1, pacf2, pacf3) rounded 6. */
+  def pacf(df: DataFrame, keyCol: String, tsCol: String,
+           valCol: String): DataFrame = {
+    val acf = autocorrelation(df, keyCol, tsCol, valCol, maxLag = 3)
+    val piv = acf.groupBy(col(keyCol))
+      .agg(max(when(col("lag") === 1, col("r"))).as("__r1"),
+        max(when(col("lag") === 2, col("r"))).as("__r2"),
+        max(when(col("lag") === 3, col("r"))).as("__r3"))
+    val r1 = col("__r1"); val r2 = col("__r2"); val r3 = col("__r3")
+    val d2 = lit(1.0) - r1 * r1
+    val p22 = round(when(d2 =!= 0.0, (r2 - r1 * r1) / d2), 9)
+    val p21 = round(r1 * (lit(1.0) - p22), 9)
+    val d3 = lit(1.0) - p21 * r1 - p22 * r2
+    val p33 = round(when(d3 =!= 0.0,
+      (r3 - p21 * r2 - p22 * r1) / d3), 9)
+    piv.select(col(keyCol),
+      round(r1, 6).as("pacf1"),
+      round(p22, 6).as("pacf2"),
+      round(p33, 6).as("pacf3"))
+  }
 }

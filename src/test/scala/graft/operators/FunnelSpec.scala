@@ -246,4 +246,61 @@ class FunnelSpec extends SparkSpec {
     // lags are exactly 1..50 minutes → floor = i; p50 = 25th, p90 = 45th
     assert(a.getLong(3) == 25L && a.getLong(4) == 45L)
   }
+
+  test("positionAttribution: U-shaped hand case — 40/20/40 over a " +
+    "3-touch journey, 1.0 singles, 0.5/0.5 pairs, cold-start to " +
+    "'none'; post-conversion touches ignored") {
+    val ev = Seq(
+      // user A: x, y, z then buy → x 0.4, y 0.2, z 0.4
+      ("a", "x", "2024-01-01 10:00:00", 1L),
+      ("a", "y", "2024-01-01 11:00:00", 2L),
+      ("a", "z", "2024-01-01 12:00:00", 3L),
+      ("a", "purchase", "2024-01-01 13:00:00", 4L),
+      ("a", "x", "2024-01-01 14:00:00", 5L),   // after conv: ignored
+      // user B: single touch → 1.0
+      ("b", "y", "2024-01-01 10:00:00", 6L),
+      ("b", "purchase", "2024-01-01 11:00:00", 7L),
+      // user C: cold start → none 1.0
+      ("c", "purchase", "2024-01-01 10:00:00", 8L),
+      // user D: two touches → 0.5 each
+      ("d", "x", "2024-01-01 10:00:00", 9L),
+      ("d", "z", "2024-01-01 11:00:00", 10L),
+      ("d", "purchase", "2024-01-01 12:00:00", 11L),
+      // user E: never converts → contributes nothing
+      ("e", "x", "2024-01-01 10:00:00", 12L))
+      .map { case (u, t, s, i) => (u, t, ts(s), i) }
+      .toDF("u", "ty", "ts", "i")
+    val out = Funnel.positionAttribution(ev, "u", "ts", "i", "ty",
+        "purchase")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    assert(out == Map(
+      "x" -> ((2L, 0.9)),      // 0.4 + 0.5
+      "y" -> ((2L, 1.2)),      // 0.2 + 1.0
+      "z" -> ((2L, 0.9)),      // 0.4 + 0.5
+      "none" -> ((1L, 1.0))))
+  }
+
+  test("timeDecayAttribution: reciprocal weights on exact second " +
+    "deltas, one unit of credit per converting user") {
+    // one user, touches 1 day and 2 days before conversion with
+    // half-life 1 day: w = 1/2 and 1/3 → credits 0.6 / 0.4
+    val ev = Seq(
+      ("a", "x", "2024-01-01 00:00:00", 1L),
+      ("a", "y", "2024-01-02 00:00:00", 2L),
+      ("a", "purchase", "2024-01-03 00:00:00", 3L),
+      ("c", "purchase", "2024-01-01 10:00:00", 8L))
+      .map { case (u, t, s, i) => (u, t, ts(s), i) }
+      .toDF("u", "ty", "ts", "i")
+    val out = Funnel.timeDecayAttribution(ev, "u", "ts", "i", "ty",
+        "purchase", halfLifeSec = 86400.0)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    assert(out == Map(
+      "x" -> ((1L, 0.4)), "y" -> ((1L, 0.6)), "none" -> ((1L, 1.0))))
+    intercept[IllegalArgumentException] {
+      Funnel.timeDecayAttribution(ev, "u", "ts", "i", "ty", "purchase",
+        halfLifeSec = 0.0)
+    }
+  }
 }

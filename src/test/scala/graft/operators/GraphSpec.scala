@@ -470,4 +470,27 @@ class GraphSpec extends SparkSpec {
     assert(s.toSeq == s2.toSeq)
     intercept[IllegalArgumentException](Graph.hits(single, iterations = 0))
   }
+
+  test("modularity: two triangles + one bridge = the textbook hand " +
+    "case; unlabeled endpoints drop; duplicate/self/reversed edges " +
+    "canonicalize") {
+    // communities A = {1,2,3}, B = {4,5,6}, bridge 3-4: m = 7,
+    // L_A = L_B = 3, D_A = D_B = 7 → Q_c = 3/7 − (7/14)² = 0.178571
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L), // dup (1,3)
+        (3L, 3L),                                           // self loop
+        (4L, 5L), (5L, 6L), (6L, 4L), (3L, 4L)).toDF("src", "dst")
+    val labels = Seq((1L, "A"), (2L, "A"), (3L, "A"),
+      (4L, "B"), (5L, "B"), (6L, "B")).toDF("id", "c")
+    val out = Graph.modularity(edges, "src", "dst", labels, "id", "c")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(out("A") == ((3L, 3L, 7L, 0.178571)))
+    assert(out("B") == ((3L, 3L, 7L, 0.178571)))
+    // drop node 6's label: edges 5-6 and 6-4 leave the labeled
+    // subgraph (m = 5), B loses a member
+    val partial = Graph.modularity(edges, "src", "dst",
+        labels.filter(col("id") =!= 6L), "id", "c")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(partial("A") == 3L && partial("B") == 2L)
+  }
 }

@@ -103,6 +103,29 @@ class TimeSeriesSpec3 extends SparkSpec {
     assert(r.getDouble(4) == 0.0)
   }
 
+  test("pacf: Durbin-Levinson closed forms agree with a hand " +
+    "computation from the series' own ACF; a constant series yields " +
+    "nulls throughout") {
+    def u(i: Int): Double = ((i * 2654435761L) % 997) / 100.0
+    val rows = (1 to 60).map(i => ("k", i, 0.6 * u(i - 1) + u(i)))
+    val df = rows.toDF("g", "t", "v")
+    val acf = TimeSeries.autocorrelation(df, "g", "t", "v", maxLag = 3)
+      .collect().map(r => r.getInt(1) -> r.getDouble(3)).toMap
+    val (r1, r2, r3) = (acf(1), acf(2), acf(3))
+    def r9(x: Double) = math.rint(x * 1e9) / 1e9
+    val p22 = r9((r2 - r1 * r1) / (1.0 - r1 * r1))
+    val p21 = r9(r1 * (1.0 - p22))
+    val p33 = r9((r3 - p21 * r2 - p22 * r1) / (1.0 - p21 * r1 - p22 * r2))
+    val out = TimeSeries.pacf(df, "g", "t", "v").collect().head
+    assert(out.getDouble(1) == math.rint(r1 * 1e6) / 1e6)
+    assert(out.getDouble(2) == math.rint(p22 * 1e6) / 1e6)
+    assert(out.getDouble(3) == math.rint(p33 * 1e6) / 1e6)
+    // constant series: zero denominator ACF → null r → null pacf chain
+    val const = (1 to 20).map(i => ("c", i, 5.0)).toDF("g", "t", "v")
+    val c = TimeSeries.pacf(const, "g", "t", "v").collect().head
+    assert(c.isNullAt(1) && c.isNullAt(2) && c.isNullAt(3))
+  }
+
   test("theilSen: keys over maxPointsPerKey thin deterministically — " +
     "n stays true, n_pairs drops to the sampled count, repeat runs " +
     "identical; cap below 2 fails fast") {
