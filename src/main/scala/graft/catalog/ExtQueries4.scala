@@ -1,6 +1,7 @@
 package graft.catalog
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Round-10 batch: bounded string-similarity linkage and the entity
@@ -102,6 +103,64 @@ object ExtQueries4 {
           ev(s, d), "user_id", "ts", "event_id", "event_type", "purchase",
           halfLifeSec = 86400.0)
         .orderBy(col("channel"))),
+
+    // --- hard-negative mining ----------------------------------------------
+    // The contrastive-training complement to random negativeSample:
+    // for each anchor, the 3 most-similar vectors OUTSIDE its
+    // pseudo-class (vec_id % 50) from the global top-10 (full probe =
+    // exact, the q228/q255 adjudication; production prunes nprobe).
+    "q282_hard_negatives" -> ((s, d) => {
+      import graft.functions.IvfIndex
+      val emb = t(s, d, "embeddings")
+      val idx = LlmQueries.cachedIvfIndex(s, d + "#all")(
+        IvfIndex.build(emb, "embedding", "vec_id", k = 8))
+      val qs = emb.filter(col("vec_id") % 20 === 0)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cosine_sim").desc, col("vec_id"))
+      IvfIndex.knnJoin(idx, qs, "query_id", "qvec",
+          "embedding", "vec_id", k = 10, nprobe = 8, grid = 4)
+        .filter(col("query_id") =!= col("vec_id") &&
+          pmod(col("query_id"), lit(50L)) =!= pmod(col("vec_id"), lit(50L)))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("vec_id"), col("cosine_sim"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // --- T5-style span corruption ------------------------------------------
+    // Deterministic 3-token-block dropping at 15% with ordinal
+    // sentinels, emitting BOTH seq2seq sides (corrupted input +
+    // targets) — the denoising-pair generator beside q268's MLM coin.
+    "q283_span_corruption" -> ((s, d) =>
+      graft.operators.Quality.corruptSpans(
+          t(s, d, "documents"), "doc_id", "text", rate = 0.15, spanLen = 3)
+        .orderBy(col("doc_id"))),
+
+    // --- sentence BLEU-2 (generation eval) ---------------------------------
+    // Score the q268 masked reconstruction against its own original:
+    // clipped n-gram precisions + brevity penalty, per doc.
+    "q284_bleu2" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val cand = graft.operators.Quality.maskTokens(
+          docs, "doc_id", "text", rate = 0.15)
+        .select(col("doc_id"), col("masked_text"))
+      graft.operators.Eval.bleu2(
+          docs.select(col("doc_id"), col("text")).join(cand, "doc_id"),
+          "doc_id", "text", "masked_text")
+        .orderBy(col("doc_id"))
+    }),
+
+    // --- Huber robust regression (IRLS) ------------------------------------
+    // Price-on-quantity per return flag with outliers fading as 1/|r|
+    // instead of voting quadratically: OLS start + 2 reweighted
+    // passes, absolute delta 10000.
+    "q285_huber_regression" -> ((s, d) =>
+      graft.operators.Features.huberRegression(
+          t(s, d, "lineitem"), "l_returnflag", "l_quantity",
+          "l_extendedprice", delta = 10000.0, iters = 2)
+        .orderBy(col("l_returnflag"))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -304,5 +363,192 @@ object ExtQueries4 {
            round(CAST(sum(CAST(round(c, 9) AS DECIMAL(38,9)))
              AS DOUBLE), 6) AS credit
          FROM cr GROUP BY 1 ORDER BY 1""",
+
+    // the q228 exact-cosine grid, global top-10, then the class gate
+    // and re-rank — semantics matched to the engine's probe-k contract
+    "q282_hard_negatives" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+           FROM embeddings WHERE vec_id % 20 = 0),
+         sims AS (
+           SELECT q.query_id, e.vec_id,
+             round(sum(CAST(e.embedding[CAST(i AS INT)] AS DOUBLE) * CAST(q.qe[CAST(i AS INT)] AS DOUBLE))
+               / (sqrt(sum(CAST(e.embedding[CAST(i AS INT)] AS DOUBLE) * CAST(e.embedding[CAST(i AS INT)] AS DOUBLE)))
+                  * sqrt(sum(CAST(q.qe[CAST(i AS INT)] AS DOUBLE) * CAST(q.qe[CAST(i AS INT)] AS DOUBLE)))), 4) AS cosine_sim
+           FROM embeddings e, q, generate_series(1, 64) AS g(i)
+           GROUP BY q.query_id, e.vec_id),
+         top10 AS (SELECT *, row_number() OVER (PARTITION BY query_id
+             ORDER BY cosine_sim DESC, vec_id) AS rk FROM sims),
+         neg AS (SELECT query_id, vec_id, cosine_sim,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY cosine_sim DESC, vec_id) AS rank
+           FROM top10 WHERE rk <= 10 AND vec_id <> query_id
+             AND (query_id % 50) <> (vec_id % 50))
+         SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id, cosine_sim
+         FROM neg WHERE rank <= 3 ORDER BY query_id, rank""",
+
+    // the q268 md5-coin machinery lifted to 3-token BLOCKS; string_agg
+    // drops the NULL placeholders of non-first masked tokens, the
+    // cumulative masked-block window numbers the sentinels
+    "q283_span_corruption" ->
+      """WITH tok AS (SELECT doc_id, list_filter(
+             string_split_regex(trim(lower(text)), '\s+'), x -> x <> '')
+             AS tk
+           FROM documents),
+         pos AS (SELECT doc_id, unnest(tk) AS tok,
+             CAST(generate_subscripts(tk, 1) - 1 AS BIGINT) AS i
+           FROM tok),
+         m AS (SELECT doc_id, i, tok, i // 3 AS b FROM pos),
+         bm AS (SELECT DISTINCT doc_id, b FROM m),
+         coin AS (SELECT doc_id, b,
+             (('0x' || substr(md5('spn' || CAST(doc_id AS VARCHAR)
+               || '#' || CAST(b AS VARCHAR)), 1, 13))::BIGINT + 1)
+               / 4503599627370496.0 < CAST(0.15 AS DOUBLE) AS mk
+           FROM bm),
+         sent AS (SELECT doc_id, b, mk,
+             coalesce(CAST(sum(CASE WHEN mk THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY b
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS BIGINT), 0) AS k
+           FROM coin),
+         t2 AS (SELECT m.doc_id, m.i, m.tok, m.b, s.mk, s.k
+           FROM m JOIN sent s ON m.doc_id = s.doc_id AND m.b = s.b),
+         corr AS (SELECT doc_id,
+             string_agg(CASE WHEN NOT mk THEN tok
+               WHEN i % 3 = 0 THEN '<extra_id_' || CAST(k AS VARCHAR) || '>'
+               END, ' ' ORDER BY i) AS corrupted_text
+           FROM t2 GROUP BY 1),
+         blocktxt AS (SELECT doc_id, b,
+             '<extra_id_' || CAST(min(k) AS VARCHAR) || '> '
+               || string_agg(tok, ' ' ORDER BY i) AS bt
+           FROM t2 WHERE mk GROUP BY doc_id, b),
+         tgt AS (SELECT doc_id, string_agg(bt, ' ' ORDER BY b)
+             AS targets_text FROM blocktxt GROUP BY 1),
+         counts AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+             CAST(count(DISTINCT CASE WHEN mk THEN b END) AS BIGINT)
+               AS n_spans,
+             CAST(sum(CASE WHEN mk THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_masked_tokens
+           FROM t2 GROUP BY 1)
+         SELECT d.doc_id, coalesce(n_tokens, 0) AS n_tokens,
+           coalesce(n_spans, 0) AS n_spans,
+           coalesce(n_masked_tokens, 0) AS n_masked_tokens,
+           coalesce(corrupted_text, '') AS corrupted_text,
+           coalesce(targets_text, '') AS targets_text
+         FROM documents d
+         LEFT JOIN counts USING (doc_id)
+         LEFT JOIN corr USING (doc_id)
+         LEFT JOIN tgt USING (doc_id)
+         ORDER BY doc_id""",
+
+    // the q268 mask reconstruction as the candidate, then clipped
+    // n-gram precisions over DuckDB list HOFs — every intermediate on
+    // the engine's 9-then-6 grid; chr(1) joins bigrams on both engines
+    "q284_bleu2" ->
+      """WITH tok AS (SELECT doc_id, coalesce(list_filter(
+             string_split_regex(trim(lower(text)), '\s+'), x -> x <> ''),
+             CAST([] AS VARCHAR[])) AS rt
+           FROM documents),
+         pos AS (SELECT doc_id, unnest(rt) AS tok,
+             CAST(generate_subscripts(rt, 1) - 1 AS BIGINT) AS i
+           FROM tok),
+         mrow AS (SELECT doc_id, i,
+             CASE WHEN (('0x' || substr(md5('msk' || CAST(doc_id AS VARCHAR)
+               || '#' || CAST(i AS VARCHAR)), 1, 13))::BIGINT + 1)
+               / 4503599627370496.0 < CAST(0.15 AS DOUBLE)
+               THEN '[mask]' ELSE tok END AS ct
+           FROM pos),
+         carr AS (SELECT doc_id, list(ct ORDER BY i) AS ct
+           FROM mrow GROUP BY 1),
+         arrs AS (SELECT t.doc_id, t.rt,
+             coalesce(c.ct, CAST([] AS VARCHAR[])) AS ct
+           FROM tok t LEFT JOIN carr c USING (doc_id)),
+         big AS (SELECT doc_id, rt, ct,
+             CASE WHEN len(rt) < 2 THEN CAST([] AS VARCHAR[])
+               ELSE list_transform(range(1, len(rt)),
+                 i -> rt[i] || chr(1) || rt[i + 1]) END AS rb,
+             CASE WHEN len(ct) < 2 THEN CAST([] AS VARCHAR[])
+               ELSE list_transform(range(1, len(ct)),
+                 i -> ct[i] || chr(1) || ct[i + 1]) END AS cb
+           FROM arrs),
+         stats AS (SELECT doc_id,
+             CAST(len(rt) AS BIGINT) AS ref_len,
+             CAST(len(ct) AS BIGINT) AS cand_len,
+             coalesce(list_sum(list_transform(list_distinct(ct),
+               g -> least(len(list_filter(ct, x -> x = g)),
+                 len(list_filter(rt, x -> x = g))))), 0) AS m1,
+             coalesce(list_sum(list_transform(list_distinct(cb),
+               g -> least(len(list_filter(cb, x -> x = g)),
+                 len(list_filter(rb, x -> x = g))))), 0) AS m2,
+             CAST(len(cb) AS BIGINT) AS nb
+           FROM big),
+         p AS (SELECT doc_id, ref_len, cand_len,
+             CASE WHEN cand_len > 0
+               THEN round(CAST(m1 AS DOUBLE) / cand_len, 9) END AS p1,
+             CASE WHEN nb > 0
+               THEN round(CAST(m2 AS DOUBLE) / nb, 9) END AS p2,
+             CASE WHEN cand_len = 0 THEN NULL
+               WHEN cand_len >= ref_len THEN 1.0
+               ELSE round(exp(1.0 - CAST(ref_len AS DOUBLE) / cand_len), 9)
+               END AS bp
+           FROM stats)
+         SELECT doc_id, ref_len, cand_len,
+           round(p1, 6) AS p1, round(p2, 6) AS p2,
+           round(bp, 6) AS brevity_penalty,
+           round(bp * coalesce(sqrt(p1 * p2), p1), 6) AS bleu2
+         FROM p ORDER BY doc_id""",
+  ) ++ huberOracle
+
+  /** The q285 IRLS chain: one weighted-stats block per iteration,
+    * text-parameterized like the q246 igBlock — iteration 0 at w = 1
+    * (plain OLS), then two Huber-reweighted passes against the
+    * previous block's params, every weight/product/param on the
+    * engine's 9-grid. */
+  private def hbBlock(p: String, w: String, from: String): String =
+    s"""${p}s AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN round($w, 9) < 1.0 THEN 1 ELSE 0 END)
+             AS BIGINT) AS ndw,
+           CAST(sum(CAST(round(round($w, 9), 9) AS DECIMAL(38,9)))
+             AS DOUBLE) AS sw,
+           CAST(sum(CAST(round(round($w, 9) * x, 9) AS DECIMAL(38,9)))
+             AS DOUBLE) AS swx,
+           CAST(sum(CAST(round(round($w, 9) * y, 9) AS DECIMAL(38,9)))
+             AS DOUBLE) AS swy,
+           CAST(sum(CAST(round(round($w, 9) * x * x, 9) AS DECIMAL(38,9)))
+             AS DOUBLE) AS swxx,
+           CAST(sum(CAST(round(round($w, 9) * x * y, 9) AS DECIMAL(38,9)))
+             AS DOUBLE) AS swxy
+         FROM $from GROUP BY g),
+       ${p}p AS (SELECT g, n, ndw,
+           round(CASE WHEN sw*swxx - swx*swx <> 0
+             THEN (sw*swxy - swx*swy) / (sw*swxx - swx*swx) END, 9) AS b1,
+           round(CASE WHEN sw <> 0 THEN (swy -
+             round(CASE WHEN sw*swxx - swx*swx <> 0
+               THEN (sw*swxy - swx*swy) / (sw*swxx - swx*swx) END, 9)
+             * swx) / sw END, 9) AS b0
+         FROM ${p}s)"""
+
+  private def huberW(pp: String): String =
+    s"""CASE WHEN ${pp}.b0 IS NULL OR ${pp}.b1 IS NULL
+          THEN CAST(NULL AS DOUBLE)
+        WHEN abs(y - (${pp}.b0 + ${pp}.b1 * x)) <= 10000.0 THEN 1.0
+        ELSE 10000.0 / abs(y - (${pp}.b0 + ${pp}.b1 * x)) END"""
+
+  private def huberOracle: Map[String, String] = Map(
+    "q285_huber_regression" ->
+      s"""WITH rows AS (SELECT l_returnflag AS g,
+             CAST(l_quantity AS DOUBLE) AS x,
+             CAST(l_extendedprice AS DOUBLE) AS y
+           FROM lineitem
+           WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
+         ${hbBlock("i0", "1.0", "rows")},
+         r1 AS (SELECT rows.g, x, y, ${huberW("i0p")} AS w
+           FROM rows JOIN i0p ON rows.g = i0p.g),
+         ${hbBlock("i1", "w", "r1")},
+         r2 AS (SELECT rows.g, x, y, ${huberW("i1p")} AS w
+           FROM rows JOIN i1p ON rows.g = i1p.g),
+         ${hbBlock("i2", "w", "r2")}
+         SELECT g AS l_returnflag, n, ndw AS n_downweighted,
+           round(b1, 6) AS slope, round(b0, 6) AS intercept
+         FROM i2p ORDER BY l_returnflag""",
   )
 }

@@ -1434,4 +1434,64 @@ object Eval {
         round(col("__d_obs"), 6).as("diff_obs"),
         col("b_eff"), col("p_value"))
   }
+
+  /** Sentence-level BLEU-2 per (reference, candidate) pair — the
+    * n-gram-precision eval for generated/augmented text (summaries,
+    * denoised reconstructions, translations): clipped unigram and
+    * bigram precisions p₁, p₂ (candidate n-gram counts clipped by the
+    * reference's — repeating a reference word cannot farm credit),
+    * brevity penalty BP = min(1, e^(1−r/c)), score = BP·√(p₁p₂).
+    *
+    * Runs as ONE per-row codegen-able HOF chain, zero shuffle (the
+    * maskTokens map-job discipline): clipped matches are a
+    * Σ-over-distinct-candidate-tokens of min(count_cand, count_ref) —
+    * O(n·m) per row, the short-document envelope; bigrams render as
+    * separator-joined token pairs (\\u0001 — outside the
+    * whitespace-token alphabet). Tokens are the engine's
+    * lowercase-whitespace contract. p₁/p₂ are exact integer ratios
+    * rounded 9; the BP exponent is one e^x of a small rational,
+    * rendered through the 6-grid (the q226 ln discipline — cross-
+    * engine ULP noise sits far inside the grid). A candidate with no
+    * tokens scores null; no bigrams on either side → p₂ null and the
+    * score falls back to BP·p₁ (the standard smoothing-free
+    * short-sentence convention). Output: (idCol, ref_len, cand_len,
+    * p1, p2, brevity_penalty, bleu2) rounded 6. */
+  def bleu2(pairs: DataFrame, idCol: String, refCol: String,
+            candCol: String): DataFrame = {
+    def toks(c: String) = s"coalesce(${graft.plans.Tokens.whitespaceSql(c)}," +
+      " CAST(array() AS ARRAY<STRING>))"
+    def bigrams(arr: String) =
+      s"CASE WHEN size($arr) < 2 THEN CAST(array() AS ARRAY<STRING>)" +
+        s" ELSE transform(sequence(1, size($arr) - 1), i ->" +
+        s" concat(element_at($arr, i), chr(1)," +
+        s" element_at($arr, i + 1))) END"
+    // clipped matches: Σ over DISTINCT candidate grams of
+    // min(count in cand, count in ref)
+    def clipped(cand: String, ref: String) =
+      s"aggregate(transform(array_distinct($cand), g -> least(" +
+        s" size(filter($cand, x -> x = g))," +
+        s" size(filter($ref, x -> x = g)))), 0L, (a, x) -> a + x)"
+    val prepped = pairs.select(col(idCol),
+      expr(toks(refCol)).as("__rt"), expr(toks(candCol)).as("__ct"))
+      .select(col(idCol), col("__rt"), col("__ct"),
+        expr(bigrams("__rt")).as("__rb"), expr(bigrams("__ct")).as("__cb"))
+      .select(col(idCol),
+        size(col("__rt")).cast("long").as("ref_len"),
+        size(col("__ct")).cast("long").as("cand_len"),
+        expr(clipped("__ct", "__rt")).as("__m1"),
+        expr(clipped("__cb", "__rb")).as("__m2"),
+        size(col("__cb")).cast("long").as("__nb"))
+    val p1 = when(col("cand_len") > 0,
+      round(col("__m1").cast("double") / col("cand_len"), 9))
+    val p2 = when(col("__nb") > 0,
+      round(col("__m2").cast("double") / col("__nb"), 9))
+    val bp = when(col("cand_len") === 0, lit(null).cast("double"))
+      .when(col("cand_len") >= col("ref_len"), lit(1.0))
+      .otherwise(round(exp(lit(1.0) -
+        col("ref_len").cast("double") / col("cand_len")), 9))
+    prepped.select(col(idCol), col("ref_len"), col("cand_len"),
+      round(p1, 6).as("p1"), round(p2, 6).as("p2"),
+      round(bp, 6).as("brevity_penalty"),
+      round(bp * coalesce(sqrt(p1 * p2), p1), 6).as("bleu2"))
+  }
 }

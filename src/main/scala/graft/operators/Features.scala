@@ -581,4 +581,80 @@ object Features {
         sqrt(col("__chi2").cast("double") / (col("__n") * minDim))), 6)
         .as("v"))
   }
+
+  /** Huber robust regression per group (IRLS, fixed iterations) — the
+    * M-estimator between [[olsFit]] (outliers drag the fit) and
+    * [[graft.operators.TimeSeries.theilSen]] (median-exact but
+    * O(n²) pairs): start from OLS, then re-fit weighted least squares
+    * with w = min(1, delta/|residual|) — inliers keep weight 1,
+    * outliers fade as 1/|r| instead of voting quadratically.
+    *
+    * `delta` is an ABSOLUTE residual threshold (the caller pins the
+    * scale — a per-iteration MAD re-estimate would be another grid
+    * walk; pre-standardize y or pass a domain delta). Each iteration
+    * is ONE map-side-combinable weighted-stats pass: per-row w and
+    * every product round to the 9-grid, accumulate in DECIMAL(38,9)
+    * (associative — partition order cannot move a bit), the
+    * closed-form solve runs in double from identical decimal sums and
+    * the params re-round to the 9-grid before broadcasting into the
+    * next pass (the logisticGD discipline, q227). Zero weighted
+    * x-variance (or a degenerate group) yields null params from that
+    * iteration on. Output: (groupCol, n, n_downweighted, slope,
+    * intercept) rounded 6, where n_downweighted counts rows with
+    * w < 1 in the LAST iteration. */
+  def huberRegression(df: DataFrame, groupCol: String, xCol: String,
+                      yCol: String, delta: Double,
+                      iters: Int = 2): DataFrame = {
+    require(delta > 0, s"delta must be positive, got $delta")
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val dec9 = (c: Column) => round(c, 9).cast("decimal(38,9)")
+    val rows = df
+      .filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(col(groupCol).as("__g"), col(xCol).cast("double").as("__x"),
+        col(yCol).cast("double").as("__y"))
+      .localCheckpoint(eager = false)
+    def fit(w: Column, prev: DataFrame): DataFrame = {
+      val base = if (prev == null) rows
+        else rows.join(broadcast(prev), Seq("__g"), "left")
+      val wr = round(w, 9)
+      base.groupBy(col("__g")).agg(
+          count(lit(1)).as("n"),
+          sum(when(wr < 1.0, 1L).otherwise(0L)).as("n_downweighted"),
+          sum(dec9(wr)).as("__sw"),
+          sum(dec9(wr * col("__x"))).as("__swx"),
+          sum(dec9(wr * col("__y"))).as("__swy"),
+          sum(dec9(wr * col("__x") * col("__x"))).as("__swxx"),
+          sum(dec9(wr * col("__x") * col("__y"))).as("__swxy"))
+        .select(col("__g"), col("n"), col("n_downweighted"),
+          col("__sw").cast("double").as("__sw"),
+          col("__swx").cast("double").as("__swx"),
+          col("__swy").cast("double").as("__swy"),
+          col("__swxx").cast("double").as("__swxx"),
+          col("__swxy").cast("double").as("__swxy"))
+        .select(col("__g"), col("n"), col("n_downweighted"),
+          round(when(col("__sw") * col("__swxx") -
+              col("__swx") * col("__swx") =!= 0.0,
+            (col("__sw") * col("__swxy") - col("__swx") * col("__swy")) /
+              (col("__sw") * col("__swxx") - col("__swx") * col("__swx"))),
+            9).as("__b1"),
+          col("__sw"), col("__swx"), col("__swy"))
+        .select(col("__g"), col("n"), col("n_downweighted"), col("__b1"),
+          round(when(col("__sw") =!= 0.0,
+            (col("__swy") - col("__b1") * col("__swx")) / col("__sw")), 9)
+            .as("__b0"))
+        .localCheckpoint(eager = false)
+    }
+    val resid = col("__y") - (col("__b0") + col("__b1") * col("__x"))
+    val huberW = when(col("__b0").isNull || col("__b1").isNull,
+        lit(null).cast("double"))
+      .when(abs(resid) <= delta, lit(1.0))
+      .otherwise(lit(delta) / abs(resid))
+    val fitted = (1 to iters).foldLeft(fit(lit(1.0), null)) { (p, _) =>
+      fit(huberW, p.select(col("__g"), col("__b0"), col("__b1")))
+    }
+    fitted.select(col("__g").as(groupCol), col("n"),
+      col("n_downweighted"),
+      round(col("__b1"), 6).as("slope"),
+      round(col("__b0"), 6).as("intercept"))
+  }
 }

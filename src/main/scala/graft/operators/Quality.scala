@@ -254,4 +254,71 @@ object Quality {
       nMasked.cast("long").as("n_masked"),
       array_join(masked, " ").as("masked_text"))
   }
+
+  /** Deterministic SPAN corruption — the T5-style denoising pair
+    * generator beside [[maskTokens]]' single-token MLM coin: tokens
+    * partition into fixed `spanLen` blocks, each block drops with
+    * probability `rate` (md5 coin over (salt, doc id, block index) —
+    * same reproducible-manifest property as maskTokens), and the doc
+    * renders BOTH training sides:
+    *  - `corrupted_text`: surviving tokens with each dropped block
+    *    replaced by one ordinal sentinel `<extra_id_k>` (k counts
+    *    dropped blocks left-to-right);
+    *  - `targets_text`: the dropped blocks in order, each prefixed by
+    *    its sentinel — exactly the seq2seq target T5 trains on.
+    *
+    * One per-row codegen-able expression chain (the sentinel ordinal
+    * is an O(blocks²) indexed filter-count, the maskTokens occurrence
+    * discipline), zero shuffle. Tokens are the engine's
+    * lowercase-whitespace contract; null/empty text yields
+    * (0, 0, 0, '', ''). Output: (idCol, n_tokens, n_spans,
+    * n_masked_tokens, corrupted_text, targets_text). */
+  def corruptSpans(docs: DataFrame, idCol: String, textCol: String,
+                   rate: Double, spanLen: Int = 3,
+                   salt: String = "spn"): DataFrame = {
+    require(rate > 0.0 && rate < 1.0, s"rate must be in (0,1), got $rate")
+    require(spanLen >= 1, s"spanLen must be >= 1, got $spanLen")
+    require(!salt.contains("'"), "salt must be quote-free")
+    val toks = s"coalesce(${graft.plans.Tokens.whitespaceSql(textCol)}," +
+      " CAST(array() AS ARRAY<STRING>))"
+    // md5 uniform over the BLOCK index b
+    def u(b: String) = s"((CAST(conv(substring(md5(concat('$salt'," +
+      s" CAST(`$idCol` AS STRING), '#', CAST($b AS STRING))), 1, 13)," +
+      s" 16, 10) AS DOUBLE) + 1.0D) / 4503599627370496.0D)"
+    def masked(b: String) = s"${u(b)} < ${rate}D"
+    val nBlocks = s"CAST(ceil(size($toks) / CAST($spanLen AS DOUBLE)) AS INT)"
+    // sentinel ordinal of block b = dropped blocks before it.
+    // sequence(0, b) with the b2 < b guard, NOT sequence(0, b-1):
+    // Spark's auto-step DESCENDS to [0, -1] at b = 0 and a phantom
+    // block -1 would draw a coin (the JwJoin d2 lesson)
+    def sent(b: String) =
+      s"concat('<extra_id_', CAST(size(filter(sequence(0, $b)," +
+        s" b2 -> b2 < $b AND ${masked("b2")})) AS STRING), '>')"
+    val corrupted = expr(
+      s"array_join(filter(transform($toks, (t, i) -> CASE" +
+        s" WHEN NOT ${masked(s"(i div $spanLen)")} THEN t" +
+        s" WHEN i % $spanLen = 0 THEN ${sent(s"(i div $spanLen)")}" +
+        s" ELSE CAST(NULL AS STRING) END), x -> x IS NOT NULL), ' ')")
+    val targets = expr(
+      s"array_join(flatten(transform(sequence(0, $nBlocks - 1), b ->" +
+        s" CASE WHEN ${masked("b")} THEN" +
+        s" concat(array(${sent("b")})," +
+        s" slice($toks, b * $spanLen + 1, $spanLen))" +
+        s" ELSE CAST(array() AS ARRAY<STRING>) END)), ' ')")
+    val nSpans = expr(
+      s"size(filter(sequence(0, $nBlocks - 1), b -> ${masked("b")}))")
+    val nMaskedToks = expr(
+      s"size(filter(transform($toks, (t, i) ->" +
+        s" ${masked(s"(i div $spanLen)")}), x -> x))")
+    docs.select(col(idCol),
+      expr(s"size($toks)").cast("long").as("n_tokens"),
+      // sequence(0, -1) descends: guard the empty-token case explicitly
+      when(expr(s"size($toks)") === 0, lit(0L))
+        .otherwise(nSpans.cast("long")).as("n_spans"),
+      nMaskedToks.cast("long").as("n_masked_tokens"),
+      when(expr(s"size($toks)") === 0, lit(""))
+        .otherwise(corrupted).as("corrupted_text"),
+      when(expr(s"size($toks)") === 0, lit(""))
+        .otherwise(targets).as("targets_text"))
+  }
 }

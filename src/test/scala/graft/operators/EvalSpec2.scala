@@ -293,4 +293,40 @@ class EvalSpec2 extends SparkSpec {
       "variant", "v", "x", "y", b = 100).collect().head
     assert(rSep.toSeq == rSep2.toSeq)
   }
+
+  test("bleu2: textbook hand case, identity = 1.0, clipping caps " +
+    "repeated-word farming, degenerate pairs null out") {
+    import spark.implicits._
+    val pairs = Seq(
+      (1L, "the cat sat on the mat", "the cat on the mat"),
+      (2L, "same text here", "same text here"),
+      (3L, "one two three", "the the the the"), // clip: 0 matches
+      (4L, "only", "only"),                     // no bigrams → BP·p1
+      (5L, "some reference", ""),               // empty candidate
+      (6L, "a b", "a b c d")                    // longer cand → bp = 1
+    ).toDF("id", "ref", "cand")
+    val out = Eval.bleu2(pairs, "id", "ref", "cand")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    def r9(x: Double) = math.rint(x * 1e9) / 1e9
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    // pair 1: p1 = 5/5, p2 = 3/4, bp = e^(1-6/5)
+    val bp1 = r9(math.exp(1.0 - 6.0 / 5.0))
+    val r1 = out(1L)
+    assert(r1.getDouble(3) == 1.0 && r1.getDouble(4) == 0.75)
+    assert(r1.getDouble(5) == r6(bp1))
+    assert(r1.getDouble(6) == r6(bp1 * math.sqrt(1.0 * 0.75)))
+    assert(out(2L).getDouble(6) == 1.0, "identity scores 1")
+    // pair 3: 'the' appears 0x in ref → clipped m1 = 0 → bleu 0
+    assert(out(3L).getDouble(3) == 0.0)
+    assert(out(3L).getDouble(6) == 0.0)
+    // pair 4: p2 null, bleu falls back to bp * p1 = 1
+    assert(out(4L).isNullAt(4) && out(4L).getDouble(6) == 1.0)
+    // pair 5: empty candidate → null p1/bp/bleu
+    assert(out(5L).isNullAt(3) && out(5L).isNullAt(5) && out(5L).isNullAt(6))
+    // pair 6: cand longer than ref → brevity penalty exactly 1;
+    // p1 = 2/4, p2 = 1/3
+    assert(out(6L).getDouble(5) == 1.0)
+    assert(out(6L).getDouble(6) ==
+      r6(math.sqrt(r9(2.0 / 4.0) * r9(1.0 / 3.0))))
+  }
 }

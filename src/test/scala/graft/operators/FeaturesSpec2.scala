@@ -230,4 +230,58 @@ class FeaturesSpec2 extends SparkSpec {
       assert(r.getDouble(3) == ch(k).getDouble(3))
     }
   }
+
+  test("huberRegression ≡ an independent driver-side IRLS on the same " +
+    "9-grid; a wild outlier barely moves the robust slope where it " +
+    "drags OLS; huge delta reduces to OLS") {
+    import spark.implicits._
+    val pts = (1 to 20).map(i => ("k", i.toDouble, 2.0 * i + 1)) :+
+      (("k", 21.0, 500.0)) // wild outlier
+    val df = pts.toDF("g", "x", "y")
+    def r9(v: Double) = math.rint(v * 1e9) / 1e9
+    // independent IRLS mirror
+    def irls(delta: Double, iters: Int): (Double, Double, Long) = {
+      val data = pts.map(p => (p._2, p._3))
+      var (b0, b1) = (0.0, 0.0)
+      var ndw = 0L
+      def w(x: Double, y: Double, first: Boolean): Double =
+        if (first) 1.0
+        else {
+          val r = math.abs(y - (b0 + b1 * x))
+          if (r <= delta) 1.0 else delta / r
+        }
+      for (it <- 0 to iters) {
+        val ws = data.map { case (x, y) => r9(w(x, y, it == 0)) }
+        ndw = ws.count(_ < 1.0)
+        val sw = ws.map(r9).map(BigDecimal(_)).sum
+        val swx = data.zip(ws).map { case ((x, _), wv) => BigDecimal(r9(wv * x)) }.sum
+        val swy = data.zip(ws).map { case ((_, y), wv) => BigDecimal(r9(wv * y)) }.sum
+        val swxx = data.zip(ws).map { case ((x, _), wv) => BigDecimal(r9(wv * x * x)) }.sum
+        val swxy = data.zip(ws).map { case ((x, y), wv) => BigDecimal(r9(wv * x * y)) }.sum
+        val (dsw, dswx, dswy, dswxx, dswxy) =
+          (sw.toDouble, swx.toDouble, swy.toDouble, swxx.toDouble,
+            swxy.toDouble)
+        b1 = r9((dsw * dswxy - dswx * dswy) / (dsw * dswxx - dswx * dswx))
+        b0 = r9((dswy - b1 * dswx) / dsw)
+      }
+      (b1, b0, ndw)
+    }
+    val (eb1, eb0, endw) = irls(delta = 5.0, iters = 2)
+    val out = Features.huberRegression(df, "g", "x", "y", delta = 5.0,
+      iters = 2).collect().head
+    assert(out.getLong(1) == 21L)
+    assert(out.getLong(2) == endw)
+    assert(out.getDouble(3) == math.rint(eb1 * 1e6) / 1e6)
+    assert(out.getDouble(4) == math.rint(eb0 * 1e6) / 1e6)
+    // robustness: the OLS slope is dragged far above 2 by the outlier;
+    // the Huber slope stays near 2
+    val ols = Features.huberRegression(df, "g", "x", "y",
+      delta = 1e9, iters = 2).collect().head
+    assert(ols.getDouble(3) > 4.0, s"OLS-equivalent dragged: $ols")
+    assert(math.abs(out.getDouble(3) - 2.0) < 0.5,
+      s"Huber resists the outlier: ${out.getDouble(3)}")
+    intercept[IllegalArgumentException] {
+      Features.huberRegression(df, "g", "x", "y", delta = 0.0)
+    }
+  }
 }

@@ -208,4 +208,50 @@ class QualitySpec extends SparkSpec {
     assert(r.getLong(2) == 0L,
       "existing [mask] tokens must not count as masked")
   }
+
+  test("corruptSpans: sentinels are ordinal and consistent between " +
+    "the corrupted and target sides; dropped token count = spans x " +
+    "block sizes; null/empty text yields the zero row; reruns " +
+    "bit-identical") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f g h i j k l m n o p"),
+      (2L, "one two"),
+      (3L, null.asInstanceOf[String]),
+      (4L, "")).toDF("doc_id", "text")
+    val out = Quality.corruptSpans(docs, "doc_id", "text",
+        rate = 0.5, spanLen = 3)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val r1 = out(1L)
+    assert(r1.getLong(1) == 16L)
+    val nSpans = r1.getLong(2)
+    val nMasked = r1.getLong(3)
+    val corrupted = r1.getString(4)
+    val targets = r1.getString(5)
+    // masked tokens = full blocks of 3 except possibly the last (1)
+    val lastBlockMasked = targets.contains(" p") || targets.endsWith("> p")
+    assert(nMasked == 3 * nSpans - (if (lastBlockMasked) 2 else 0))
+    // each side carries each sentinel exactly once, numbered 0..n-1
+    for (k <- 0L until nSpans) {
+      assert(corrupted.contains(s"<extra_id_$k>"), s"corrupted missing $k")
+      assert(targets.contains(s"<extra_id_$k>"), s"targets missing $k")
+    }
+    assert(!corrupted.contains(s"<extra_id_$nSpans>"))
+    // corrupted keeps the un-dropped tokens in order; targets hold the
+    // dropped ones — together they cover all 16 tokens exactly once
+    val corrToks = corrupted.split(" ").filterNot(_.startsWith("<extra"))
+    val tgtToks = targets.split(" ").filterNot(_.startsWith("<extra"))
+      .filter(_.nonEmpty)
+    assert((corrToks ++ tgtToks).sorted.toSeq ==
+      "a b c d e f g h i j k l m n o p".split(" ").sorted.toSeq)
+    assert(out(3L).getLong(1) == 0L && out(3L).getString(4) == "" &&
+      out(3L).getString(5) == "")
+    assert(out(4L).getLong(1) == 0L)
+    val out2 = Quality.corruptSpans(docs, "doc_id", "text",
+      rate = 0.5, spanLen = 3).collect().map(_.toSeq).toSet
+    assert(out2 == out.values.map(_.toSeq).toSet, "determinism")
+    intercept[IllegalArgumentException] {
+      Quality.corruptSpans(docs, "doc_id", "text", rate = 0.5, spanLen = 0)
+    }
+  }
 }
