@@ -24,6 +24,18 @@ object ExtQueries4 {
         .select(col("id_a"), col("id_b"), round(col("jw"), 6).as("jw"))
         .orderBy(col("id_a"), col("id_b"))),
 
+    // --- bounded JW join, prefix channel -----------------------------------
+    // Part names (7-12 chars, adjective-noun vocab) at 0.95: lengths
+    // vary too much for the multiset channel (depth 3), so this walks
+    // the char-frequency prefix filter — the OTHER candidate channel —
+    // and folds the pair set to a similarity histogram.
+    "q276_jw_prefix_join" -> ((s, d) =>
+      graft.operators.JwJoin.jaroWinklerSelfJoin(
+          t(s, d, "part"), "p_partkey", "p_name", threshold = 0.95)
+        .groupBy(round(col("jw"), 2).as("jw_bucket"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy(col("jw_bucket"))),
+
     // --- persisted incremental entity registry -----------------------------
     // Build the registry on 90% of customers, fold the last 10% in as
     // an APPEND (bounded link against the stored corpus + incremental
@@ -174,6 +186,16 @@ object ExtQueries4 {
          WHERE a.c_custkey < b.c_custkey
            AND round(jaro_winkler_similarity(a.c_name, b.c_name), 4) >= 0.97
          ORDER BY id_a, id_b""",
+
+    // all-pairs reference folded to the same rounded-2 histogram
+    "q276_jw_prefix_join" ->
+      """SELECT round(round(jaro_winkler_similarity(a.p_name, b.p_name),
+             2), 2) AS jw_bucket,
+           CAST(count(*) AS BIGINT) AS n_pairs
+         FROM part a, part b
+         WHERE a.p_partkey < b.p_partkey
+           AND jaro_winkler_similarity(a.p_name, b.p_name) >= 0.95
+         GROUP BY 1 ORDER BY 1""",
 
     // independent full-corpus clustering (the q273 recursive-CTE
     // pattern) against the registry's INCREMENTAL build+append path;

@@ -612,6 +612,11 @@ object Features {
       .filter(col(xCol).isNotNull && col(yCol).isNotNull)
       .select(col(groupCol).as("__g"), col(xCol).cast("double").as("__x"),
         col(yCol).cast("double").as("__y"))
+      // spread the repeated weighted-stats passes across the cluster
+      // and pin the narrow projection (the logisticGD discipline: a
+      // small parquet source scans as few splits and would run every
+      // IRLS pass underparallelized)
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
       .localCheckpoint(eager = false)
     def fit(w: Column, prev: DataFrame): DataFrame = {
       val base = if (prev == null) rows

@@ -365,12 +365,18 @@ object JwJoin {
     * (__idX, __sX, __bkX). private[graft]: [[ErStore]] gates
     * batch-vs-stored candidates with names from two layouts. */
   private[graft] def gateJw(cand: DataFrame, namesA: DataFrame,
-                            namesB: DataFrame, threshold: Double): DataFrame =
+                            namesB: DataFrame, threshold: Double,
+                            keepNames: Boolean = false): DataFrame = {
+    val keep = if (keepNames)
+      Seq(col("__sa"), col("__bka"), col("__sb"), col("__bkb"))
+    else Seq.empty
     cand.join(namesA, "__ida").join(namesB, "__idb")
       .filter(col("__bka") <=> col("__bkb"))
-      .select(col("__ida").as("id_a"), col("__idb").as("id_b"),
-        JaroWinkler.jaroWinkler(col("__sa"), col("__sb")).as("jw"))
+      .select(col("__ida").as("id_a") +: col("__idb").as("id_b") +:
+        JaroWinkler.jaroWinkler(col("__sa"), col("__sb")).as("jw") +:
+        keep: _*)
       .filter(col("jw") >= threshold)
+  }
 
   private[graft] def namesOf(prepped: DataFrame, side: String): DataFrame =
     prepped.select(col("__id").as(s"__id$side"), col("__s").as(s"__s$side"),
@@ -383,6 +389,16 @@ object JwJoin {
       s"maxBlockSize must be positive, got $maxBlockSize")
     val j0 = (threshold - 0.4) / 0.6
     val alpha = 3.0 * j0 - 2.0
+    // DEDUP-FIRST: the whole candidate machinery runs on DISTINCT
+    // (string, block) representatives — a corpus where each name
+    // repeats c times otherwise pays c² through every posting list
+    // (measured 18 s → 2 s on the 200-copies-per-name part corpus);
+    // id pairs expand back at the end through exact string-keyed
+    // joins. The representative id is xxhash64(blockHash, string) — a
+    // collision merely merges two posting lists (the exact gate and
+    // the exact expansion keys still decide).
+    val aD = dedupReps(a)
+    val bD = if (selfPairs) aD else dedupReps(b)
     // channel selection: one tiny max-length agg decides whether the
     // sorted-multiset deletion neighborhood is affordable (D <= 2)
     val maxLen = {
@@ -390,13 +406,13 @@ object JwJoin {
         val r = df.agg(max(col("__n"))).collect().head
         if (r.isNullAt(0)) 0 else r.getInt(0)
       }
-      if (selfPairs) m(a) else math.max(m(a), m(b))
+      if (selfPairs) m(aD) else math.max(m(aD), m(bD))
     }
     val d = deletionDepth(threshold, maxLen)
     val cand =
       if (d <= 2)
-        deletionCandidates(multisetKeys(a, d),
-          multisetKeys(if (selfPairs) a else b, d),
+        deletionCandidates(multisetKeys(aD, d),
+          multisetKeys(bD, d),
           threshold, d, selfPairs, maxBlockSize)
       else {
         // one global element order shared by both sides: corpus
@@ -404,17 +420,17 @@ object JwJoin {
         // common element of a true pair sits in both prefixes with
         // rank <= n − o + 1 and everything before it unshared, so the
         // positional + suffix-count bounds keep at least that row.
-        val universe = if (selfPairs) allElements(a)
-          else allElements(a).unionByName(allElements(b))
+        val universe = if (selfPairs) allElements(aD)
+          else allElements(aD).unionByName(allElements(bD))
         val freq = universe.groupBy("__eh").agg(count(lit(1)).as("__cnt"))
         val oPair = greatest(lit(1L), ceil(
           (lit(3.0 * j0 - 1.0) * col("__na").cast("double") *
             col("__nb").cast("double")) /
             (col("__na").cast("double") + col("__nb").cast("double")) - Eps))
-        val pa = prefixes(a, freq, j0)
+        val pa = prefixes(aD, freq, j0)
           .select(col("__id").as("__ida"), col("__n").as("__na"),
             col("__rn").as("__rna"), col("__eh"))
-        val pb0 = prefixes(if (selfPairs) a else b, freq, j0)
+        val pb0 = prefixes(bD, freq, j0)
           .select(col("__id").as("__idb"), col("__n").as("__nb"),
             col("__rn").as("__rnb"), col("__eh"))
         val posBound =
@@ -424,9 +440,48 @@ object JwJoin {
               col("__nb").cast("long") - col("__rnb")) >= oPair
         candJoin(pa, pb0, posBound, alpha, selfPairs, maxBlockSize)
       }
-    gateJw(cand, namesOf(a, "a"), namesOf(if (selfPairs) a else b, "b"),
-      threshold)
+    // gate on representative pairs (distinct strings), then expand to
+    // id pairs through exact (string, block) keys
+    val repPairs = gateJw(cand, namesOf(aD, "a"), namesOf(bD, "b"),
+      threshold, keepNames = true)
+    val mapA = a.select(xxhash64(col("__bh"), col("__s")).as("id_a"),
+      col("__id").as("__reala"), col("__s").as("__esa"),
+      col("__bk").as("__ebka"))
+    val mapB = (if (selfPairs) a else b)
+      .select(xxhash64(col("__bh"), col("__s")).as("id_b"),
+        col("__id").as("__realb"), col("__s").as("__esb"),
+        col("__bk").as("__ebkb"))
+    val expanded = repPairs
+      .join(mapA, "id_a").join(mapB, "id_b")
+      // a representative-hash collision fans extra rows: the exact
+      // string/block keys reject them here
+      .filter(col("__sa") === col("__esa") && col("__sb") === col("__esb") &&
+        (col("__bka") <=> col("__ebka")) && (col("__bkb") <=> col("__ebkb")))
+    if (!selfPairs)
+      expanded.select(col("__reala").as("id_a"),
+        col("__realb").as("id_b"), col("jw"))
+    else {
+      // rep order (hash) is not id order: normalize, and add the
+      // identical-string diagonal the rep_a < rep_b machinery cannot
+      // see (jw(s, s) = 1.0 exactly, the sim() early exit)
+      val cross = expanded.select(
+        least(col("__reala"), col("__realb")).as("id_a"),
+        greatest(col("__reala"), col("__realb")).as("id_b"), col("jw"))
+      val diag = a.select(col("__id").as("id_a"), col("__s"), col("__bk"))
+        .join(a.select(col("__id").as("id_b"), col("__s"), col("__bk")),
+          Seq("__s", "__bk"))
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"), lit(1.0).as("jw"))
+      cross.unionByName(diag)
+    }
   }
+
+  /** Distinct (string, block) representatives of a prepped side, with
+    * the representative hash as the working __id. */
+  private def dedupReps(prepped: DataFrame): DataFrame =
+    prepped.select(col("__s"), col("__bk"), col("__n"), col("__bh"))
+      .distinct()
+      .withColumn("__id", xxhash64(col("__bh"), col("__s")))
 
   /** Brute-force all-pairs reference (O(n^2) — tests and tiny frames
     * ONLY). Same output contract as [[jaroWinklerSelfJoin]]. */
