@@ -164,6 +164,55 @@ object ExtQueries4 {
         .orderBy(col("doc_id"))
     }),
 
+    // --- rolling regression ------------------------------------------------
+    // Trailing-14-day local slope of each event type's daily volume —
+    // the local-trend detector a single global OLS smooths away.
+    "q286_rolling_regression" -> ((s, d) =>
+      graft.operators.TimeSeries.rollingRegression(
+          ev(s, d).groupBy(col("event_type"),
+              col("ts").cast("date").as("day"))
+            .agg(count(lit(1)).cast("double").as("cnt"))
+            .withColumn("t", datediff(col("day"), lit("2024-01-01"))),
+          "event_type", "t", "cnt", window = 14)
+        .orderBy(col("event_type"), col("t"))),
+
+    // --- additive seasonal decomposition -----------------------------------
+    // Weekly-period trend/seasonal/residual split of the daily series
+    // (7-point centered MA, day-of-week seasonal means re-centered).
+    "q287_seasonal_decompose" -> ((s, d) =>
+      graft.operators.TimeSeries.seasonalDecompose(
+          ev(s, d).groupBy(col("event_type"),
+              col("ts").cast("date").as("day"))
+            .agg(count(lit(1)).cast("double").as("cnt"))
+            .withColumn("t", datediff(col("day"), lit("2024-01-01")))
+            .withColumn("dow", pmod(col("t"), lit(7))),
+          "event_type", "t", "cnt", "dow", period = 7)
+        .orderBy(col("event_type"), col("t"))),
+
+    // --- trimmed mean ------------------------------------------------------
+    // 10%-each-side trimmed mean of extended price per return flag —
+    // exact on the value-level grid, ties trim identically anywhere.
+    "q288_trimmed_mean" -> ((s, d) =>
+      graft.operators.Features.trimmedMean(
+          t(s, d, "lineitem"), "l_returnflag", "l_extendedprice",
+          frac = 0.1)
+        .orderBy(col("l_returnflag"))),
+
+    // --- Benford first-digit profile ---------------------------------------
+    // Are extended prices Benford-distributed? String-exact digit
+    // extraction, per-digit chi-square terms against log10(1+1/d).
+    "q289_benford" -> ((s, d) =>
+      graft.operators.Profile.benfordProfile(
+        t(s, d, "lineitem"), "l_extendedprice")),
+
+    // --- Flesch reading ease -----------------------------------------------
+    // The classic readability gate on engine-exact sentence/word/
+    // vowel-group counts.
+    "q290_flesch" -> ((s, d) =>
+      graft.operators.Quality.fleschReadingEase(
+          t(s, d, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))),
+
     // --- Huber robust regression (IRLS) ------------------------------------
     // Price-on-quantity per return flag with outliers fading as 1/|r|
     // instead of voting quadratically: OLS start + 2 reweighted
@@ -461,6 +510,139 @@ object ExtQueries4 {
          LEFT JOIN corr USING (doc_id)
          LEFT JOIN tgt USING (doc_id)
          ORDER BY doc_id""",
+
+    // the same decimal-grid window sums (olsFit's 4-grid inputs,
+    // exact associative frames) and closed-form solve
+    "q286_rolling_regression" ->
+      """WITH srs AS (SELECT event_type AS g, CAST(ts AS DATE) AS day,
+             CAST(count(*) AS DOUBLE) AS cnt
+           FROM events GROUP BY 1, 2),
+         r AS (SELECT g, datediff('day', DATE '2024-01-01', day) AS t,
+             cnt FROM srs),
+         dec AS (SELECT g, t,
+             CAST(round(CAST(t AS DOUBLE), 4) AS DECIMAL(18,4)) AS td,
+             CAST(round(cnt, 4) AS DECIMAL(18,4)) AS vd
+           FROM r),
+         win AS (SELECT g, t,
+             CAST(count(*) OVER w AS DOUBLE) AS n,
+             CAST(sum(td) OVER w AS DOUBLE) AS sx,
+             CAST(sum(vd) OVER w AS DOUBLE) AS sy,
+             CAST(sum(CAST(td * td AS DECIMAL(38,8))) OVER w AS DOUBLE)
+               AS sxx,
+             CAST(sum(CAST(td * vd AS DECIMAL(38,8))) OVER w AS DOUBLE)
+               AS sxy
+           FROM dec WINDOW w AS (PARTITION BY g ORDER BY td
+             ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+         SELECT g AS event_type, CAST(t AS INT) AS t,
+           CAST(n AS BIGINT) AS n,
+           round(CASE WHEN n*sxx - sx*sx <> 0
+             THEN (n*sxy - sx*sy) / (n*sxx - sx*sx) END, 6) AS slope
+         FROM win ORDER BY event_type, t""",
+
+    // centered 7-MA + per-position means re-centered, every mean on
+    // the 9-grid
+    "q287_seasonal_decompose" ->
+      """WITH srs AS (SELECT event_type AS g, CAST(ts AS DATE) AS day,
+             CAST(count(*) AS DOUBLE) AS cnt
+           FROM events GROUP BY 1, 2),
+         r AS (SELECT g, datediff('day', DATE '2024-01-01', day) AS t,
+             cnt FROM srs),
+         rows2 AS (SELECT g, t, t % 7 AS dow, cnt FROM r),
+         w7 AS (SELECT g, t, dow, cnt,
+             count(*) OVER w AS wn,
+             sum(CAST(round(cnt, 9) AS DECIMAL(38,9))) OVER w AS wsum
+           FROM rows2 WINDOW w AS (PARTITION BY g ORDER BY t
+             ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+         tr AS (SELECT g, t, dow, cnt, CASE WHEN wn = 7
+             THEN round(CAST(wsum AS DOUBLE) / 7, 9) END AS trend
+           FROM w7),
+         det AS (SELECT g, dow, cnt - trend AS dv FROM tr
+           WHERE trend IS NOT NULL),
+         s0 AS (SELECT g, dow,
+             round(CAST(sum(CAST(round(dv, 9) AS DECIMAL(38,9)))
+               AS DOUBLE) / count(*), 9) AS s0
+           FROM det GROUP BY 1, 2),
+         sm AS (SELECT g, round(CAST(sum(CAST(round(s0, 9)
+             AS DECIMAL(38,9))) AS DOUBLE) / count(*), 9) AS smean
+           FROM s0 GROUP BY 1),
+         seas AS (SELECT s0.g, dow, round(s0 - smean, 9) AS seas
+           FROM s0 JOIN sm ON s0.g = sm.g)
+         SELECT tr.g AS event_type, CAST(t AS INT) AS t,
+           round(cnt, 6) AS value, round(trend, 6) AS trend,
+           round(seas, 6) AS seasonal,
+           round(cnt - trend - seas, 6) AS residual
+         FROM tr LEFT JOIN seas ON tr.g = seas.g AND tr.dow = seas.dow
+         ORDER BY event_type, t""",
+
+    // the conversionLag level-grid trim: a level keeps
+    // max(0, min(cum, n-k) - max(cum-c, k)) copies
+    "q288_trimmed_mean" ->
+      """WITH lvl AS (SELECT l_returnflag AS g,
+             CAST(l_extendedprice AS DOUBLE) AS v, count(*) AS c
+           FROM lineitem WHERE l_extendedprice IS NOT NULL
+           GROUP BY 1, 2),
+         tot AS (SELECT g, sum(c) AS n FROM lvl GROUP BY 1),
+         cum AS (SELECT g, v, c,
+             sum(c) OVER (PARTITION BY g ORDER BY v) AS cum FROM lvl),
+         j AS (SELECT cum.g, v, c, cum, n,
+             CAST(floor(n * 0.1) AS BIGINT) AS k
+           FROM cum JOIN tot USING (g)),
+         kept AS (SELECT g, n, k, v,
+             greatest(0, least(cum, n - k) - greatest(cum - c, k)) AS kc
+           FROM j)
+         SELECT g AS l_returnflag, CAST(n AS BIGINT) AS n,
+           k AS n_trimmed_each,
+           round(CASE WHEN n - 2*k > 0 THEN
+             CAST(sum(CAST(round(v * kc, 9) AS DECIMAL(38,9))) AS DOUBLE)
+               / (n - 2*k) END, 6) AS trimmed_mean
+         FROM kept GROUP BY g, n, k ORDER BY 1""",
+
+    // string-exact first significant digit; expected fractions and
+    // chi-square terms on the engine's round-9 log grid
+    "q289_benford" ->
+      """WITH src AS (SELECT regexp_extract(
+             CAST(abs(l_extendedprice) AS VARCHAR), '[1-9]') AS ds
+           FROM lineitem WHERE l_extendedprice IS NOT NULL),
+         cnts AS (SELECT CAST(ds AS INT) AS digit, count(*) AS c
+           FROM src WHERE ds <> '' GROUP BY 1),
+         tot AS (SELECT sum(c) AS n FROM cnts),
+         dg AS (SELECT CAST(UNNEST(generate_series(1, 9)) AS INT)
+           AS digit),
+         p AS (SELECT dg.digit, coalesce(c, 0) AS c, tot.n,
+             round(ln(1.0 + 1.0 / dg.digit) / ln(10.0), 9) AS pd
+           FROM dg LEFT JOIN cnts USING (digit), tot)
+         SELECT digit, CAST(c AS BIGINT) AS n,
+           round(CASE WHEN n > 0 THEN CAST(c AS DOUBLE) / n END, 6)
+             AS observed_frac,
+           round(pd, 6) AS expected_frac,
+           round(CASE WHEN n > 0 THEN
+             (CAST(c AS DOUBLE) - n * pd) * (CAST(c AS DOUBLE) - n * pd)
+               / (n * pd) END, 6) AS chi2_term
+         FROM p ORDER BY digit""",
+
+    // engine-exact sentence/word/vowel-group counts, one double
+    // formula
+    "q290_flesch" ->
+      """WITH c AS (SELECT doc_id, text,
+             CASE WHEN text IS NULL THEN 0 ELSE
+               len(list_filter(string_split_regex(text, '[.!?]+'),
+                 s -> len(regexp_replace(s, '\s+', '', 'g')) > 0)) END
+               AS ns,
+             coalesce(len(list_filter(string_split_regex(
+               trim(lower(text)), '\s+'), x -> x <> '')), 0) AS nw,
+             coalesce(list_sum(list_transform(list_filter(
+               string_split_regex(trim(lower(text)), '\s+'),
+               x -> x <> ''),
+               w -> len(regexp_replace(regexp_replace(w, '[aeiouy]+',
+                 '#', 'g'), '[^#]', '', 'g')))), 0) AS syl
+           FROM documents)
+         SELECT doc_id, CAST(ns AS BIGINT) AS n_sentences,
+           CAST(nw AS BIGINT) AS n_words,
+           CAST(syl AS BIGINT) AS n_syllables,
+           round(CASE WHEN text IS NOT NULL AND ns > 0 AND nw > 0 THEN
+             206.835 - 1.015 * CAST(nw AS DOUBLE) / ns
+               - 84.6 * CAST(syl AS DOUBLE) / nw END, 4) AS flesch
+         FROM c ORDER BY doc_id""",
 
     // the q268 mask reconstruction as the candidate, then clipped
     // n-gram precisions over DuckDB list HOFs — every intermediate on

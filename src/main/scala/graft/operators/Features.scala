@@ -602,6 +602,43 @@ object Features {
     * iteration on. Output: (groupCol, n, n_downweighted, slope,
     * intercept) rounded 6, where n_downweighted counts rows with
     * w < 1 in the LAST iteration. */
+  /** Trimmed mean per group — drop the k = ⌊frac·n⌋ smallest AND
+    * largest values, average the middle: the blunt robust-location
+    * companion to [[winsorize]] (which clamps instead of dropping)
+    * and [[huberRegression]] (which reweights). Exact on the
+    * VALUE-LEVEL grid (the conversionLag discipline — no per-row rank
+    * window): a level with c copies and `cum` cumulative count keeps
+    * max(0, min(cum, n−k) − max(cum−c, k)) copies, so ties trim
+    * identically on any engine and the kept mass is always exactly
+    * n − 2k. 9-grid DECIMAL sum, one division. Groups where
+    * n − 2k <= 0 yield null. Output: (groupCol, n, n_trimmed_each,
+    * trimmed_mean rounded 6). */
+  def trimmedMean(df: DataFrame, groupCol: String, valCol: String,
+                  frac: Double): DataFrame = {
+    require(frac >= 0.0 && frac < 0.5, s"frac must be in [0, 0.5), got $frac")
+    val lvl = df.filter(col(valCol).isNotNull)
+      .select(col(groupCol).as("__g"), col(valCol).cast("double").as("__v"))
+      .groupBy(col("__g"), col("__v")).agg(count(lit(1)).as("__c"))
+    val tot = lvl.groupBy(col("__g")).agg(sum(col("__c")).as("__n"))
+    val k = floor(col("__n") * frac)
+    val kept = greatest(lit(0L),
+      least(col("cum___c"), col("__n") - k) -
+        greatest(col("cum___c") - col("__c"), k))
+    graft.operators.Ranks.groupedCumSum(lvl, Seq("__g"), "__v", Seq("__c"))
+      .join(tot, "__g")
+      .select(col("__g"), col("__n"), k.as("__k"),
+        kept.as("__kept"), col("__v"))
+      .groupBy(col("__g"), col("__n"), col("__k"))
+      .agg(sum(round(col("__v") * col("__kept"), 9)
+        .cast("decimal(38,9)")).as("__s"))
+      .select(col("__g").as(groupCol), col("__n").as("n"),
+        col("__k").as("n_trimmed_each"),
+        round(when(col("__n") - lit(2) * col("__k") > 0,
+          col("__s").cast("double") /
+            (col("__n") - lit(2) * col("__k"))), 6)
+          .as("trimmed_mean"))
+  }
+
   def huberRegression(df: DataFrame, groupCol: String, xCol: String,
                       yCol: String, delta: Double,
                       iters: Int = 2): DataFrame = {

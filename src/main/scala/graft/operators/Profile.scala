@@ -221,4 +221,48 @@ object Profile {
         round(col("__nmed"), 6).as("norm_med"),
         round(col("__nmax"), 6).as("norm_max"))
   }
+
+  /** Benford first-digit profile — the fabrication/quality tripwire
+    * for naturally-occurring positive quantities (amounts, counts,
+    * populations): observed first-significant-digit fractions against
+    * Benford's log₁₀(1 + 1/d), with the per-digit χ² term. A column
+    * that was generated, capped, or unit-converted drifts off the
+    * curve loudly.
+    *
+    * The digit is extracted from the STRING rendering (first char in
+    * 1-9 of the absolute value) — exact on any engine, no
+    * log10/floor float boundary (scientific-notation renderings of
+    * extreme doubles still lead with their mantissa digit). Zeros,
+    * nulls and values with no 1-9 digit drop. One digit-keyed count
+    * agg; expected fractions are the engine's ln-based grid rounded 9
+    * (the q226 log discipline). Output per digit 1..9: (digit, n,
+    * observed_frac, expected_frac, chi2_term) rounded 6, every digit
+    * present (0-count digits included — their χ² term is n·p_d). */
+  def benfordProfile(df: DataFrame, valCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val digit = regexp_extract(abs(col(valCol)).cast("string"),
+      "[1-9]", 0)
+    val counts = df.filter(col(valCol).isNotNull)
+      .select(digit.as("__d"))
+      .filter(col("__d") =!= "")
+      .groupBy(col("__d").cast("int").as("digit"))
+      .agg(count(lit(1)).as("__c"))
+    val n = counts.agg(sum(col("__c")).as("__n"))
+    val digits = (1 to 9).toDF("digit")
+    digits.join(counts, Seq("digit"), "left").crossJoin(broadcast(n))
+      .select(col("digit"), coalesce(col("__c"), lit(0L)).as("n"),
+        col("__n"),
+        round(log(lit(1.0) + lit(1.0) / col("digit")) / log(lit(10.0)), 9)
+          .as("__p"))
+      .select(col("digit"), col("n"),
+        round(when(col("__n") > 0,
+          col("n").cast("double") / col("__n")), 6).as("observed_frac"),
+        round(col("__p"), 6).as("expected_frac"),
+        round(when(col("__n") > 0,
+          (col("n").cast("double") - col("__n") * col("__p")) *
+            (col("n").cast("double") - col("__n") * col("__p")) /
+            (col("__n") * col("__p"))), 6).as("chi2_term"))
+      .orderBy(col("digit"))
+  }
 }

@@ -321,4 +321,40 @@ object Quality {
       when(expr(s"size($toks)") === 0, lit(""))
         .otherwise(targets).as("targets_text"))
   }
+
+  /** Flesch reading ease per document — the classic readability gate
+    * (206.835 − 1.015·words/sentences − 84.6·syllables/words) on
+    * fully ENGINE-EXACT counts: sentences = non-empty [.!?]+ splits,
+    * words = the whitespace-token contract, syllables = the standard
+    * vowel-GROUP heuristic ([aeiouy]+ runs per word — 'beautiful' →
+    * 3, 'queue' → 2; a heuristic, but a deterministic one, which is
+    * what a corpus-wide quality gate needs). All three are integer
+    * counts from global regexp passes, so the formula is one double
+    * expression from identical integers on any engine. Zero
+    * sentences or words → null score. One narrow projection, no
+    * shuffle. Output: (idCol, n_sentences, n_words, n_syllables,
+    * flesch rounded 4). */
+  def fleschReadingEase(docs: DataFrame, idCol: String,
+                        textCol: String): DataFrame = {
+    val t = col(textCol)
+    val sentences = size(filter(split(t, "[.!?]+", -1),
+      s => length(regexp_replace(s, "\\s+", "")) > 0))
+    val toks = expr(s"coalesce(${graft.plans.Tokens.whitespaceSql(textCol)}," +
+      " CAST(array() AS ARRAY<STRING>))")
+    // vowel groups: collapse each [aeiouy]+ run to '#', count the '#'s
+    val syl = expr(
+      s"aggregate(transform(${graft.plans.Tokens.whitespaceSql(textCol)}," +
+        " w -> length(regexp_replace(regexp_replace(w," +
+        " '[aeiouy]+', '#'), '[^#]', ''))), 0L, (a, x) -> a + x)")
+    docs.select(col(idCol),
+      coalesce(when(t.isNotNull, sentences), lit(0)).cast("long")
+        .as("n_sentences"),
+      size(toks).cast("long").as("n_words"),
+      coalesce(syl, lit(0L)).cast("long").as("n_syllables"),
+      round(when(t.isNotNull && sentences > 0 && size(toks) > 0,
+        lit(206.835) -
+          lit(1.015) * size(toks).cast("double") / sentences -
+          lit(84.6) * coalesce(syl, lit(0L)).cast("double") / size(toks)),
+        4).as("flesch"))
+  }
 }

@@ -791,6 +791,103 @@ object TimeSeries {
     * identical double chain. Degenerate denominators (|r₁| = 1, or a
     * constant series with null ACF) yield null at that lag and past
     * it. Output per key: (keyCol, pacf1, pacf2, pacf3) rounded 6. */
+  /** Rolling (trailing-window) OLS slope per key — the local-trend
+    * detector a single global [[graft.operators.Features.olsFit]]
+    * smooths away: at each point, the regression of the last `window`
+    * points of v on t. One keyed window pass computing the five
+    * sufficient stats over `ROWS window−1 PRECEDING..CURRENT` — t and
+    * v round to a 4-decimal DECIMAL grid first (the olsFit
+    * discipline), so the frame sums are exact and associative and the
+    * closed-form solve runs in double from identical sums on any
+    * engine. Contract: `tsCol` must be UNIQUE per key (a row frame
+    * over ties is engine-nondeterministic — the rolling window is
+    * defined by a total order). Warm-up rows (fewer than `window`
+    * points yet) emit their partial-window slope with `n` saying so;
+    * zero t-variance frames emit null. Output per input row:
+    * (keyCol, tsCol, n, slope rounded 6). */
+  def rollingRegression(df: DataFrame, keyCol: String, tsCol: String,
+                        valCol: String, window: Int): DataFrame = {
+    require(window >= 2, s"window must be >= 2, got $window")
+    val t = round(col(tsCol).cast("decimal(18,4)"), 4)
+    val v = round(col(valCol).cast("decimal(18,4)"), 4)
+    val w = Window.partitionBy(col("__k")).orderBy(col("__t"))
+      .rowsBetween(-(window - 1), Window.currentRow)
+    val rows = df.filter(col(tsCol).isNotNull && col(valCol).isNotNull)
+      .select(col(keyCol).as("__k"), col(tsCol).as("__ts"),
+        t.as("__t"), v.as("__v"))
+    rows
+      .withColumn("__n", count(lit(1)).over(w).cast("double"))
+      .withColumn("__sx", sum(col("__t")).over(w).cast("double"))
+      .withColumn("__sy", sum(col("__v")).over(w).cast("double"))
+      .withColumn("__sxx",
+        sum((col("__t") * col("__t")).cast("decimal(38,8)")).over(w)
+          .cast("double"))
+      .withColumn("__sxy",
+        sum((col("__t") * col("__v")).cast("decimal(38,8)")).over(w)
+          .cast("double"))
+      .select(col("__k").as(keyCol), col("__ts").as(tsCol),
+        col("__n").cast("long").as("n"),
+        round(when(col("__n") * col("__sxx") -
+            col("__sx") * col("__sx") =!= 0.0,
+          (col("__n") * col("__sxy") - col("__sx") * col("__sy")) /
+            (col("__n") * col("__sxx") - col("__sx") * col("__sx"))), 6)
+          .as("slope"))
+  }
+
+  /** Classical additive seasonal decomposition per key (period p,
+    * ODD — e.g. 7 for weekly-in-daily): trend = centered p-point
+    * moving average (null at the ±p/2 edges), seasonal = the
+    * per-position mean of (v − trend) re-centered to sum to zero over
+    * the period, residual = v − trend − seasonal. The readable
+    * three-way split behind [[seasonalNaive]]-style models — which
+    * part of the series is structure and which is noise.
+    *
+    * Positions come from `posCol` (e.g. day-of-week), supplied by the
+    * caller so the period phase is a DOMAIN notion, not a row count.
+    * 9-grid DECIMAL means throughout (both the MA and the seasonal
+    * means), so both engines fold identical grids. `tsCol` unique per
+    * key (the rolling-frame contract). Output per row: (keyCol,
+    * tsCol, value, trend, seasonal, residual) rounded 6, trend/
+    * residual null at the edges. */
+  def seasonalDecompose(df: DataFrame, keyCol: String, tsCol: String,
+                        valCol: String, posCol: String,
+                        period: Int): DataFrame = {
+    require(period >= 3 && period % 2 == 1,
+      s"period must be odd and >= 3, got $period (use the centered-MA" +
+        " convention; even periods need the 2xMA variant)")
+    val half = period / 2
+    val dec9 = (c: Column) => round(c, 9).cast("decimal(38,9)")
+    val w = Window.partitionBy(col("__k")).orderBy(col("__ts"))
+      .rowsBetween(-half, half)
+    val rows = df.filter(col(tsCol).isNotNull && col(valCol).isNotNull)
+      .select(col(keyCol).as("__k"), col(tsCol).as("__ts"),
+        col(posCol).as("__pos"), col(valCol).cast("double").as("__v"))
+    val trended = rows
+      .withColumn("__wn", count(lit(1)).over(w))
+      .withColumn("__trend",
+        when(col("__wn") === period,
+          round(sum(dec9(col("__v"))).over(w).cast("double") / period, 9)))
+      .withColumn("__det", col("__v") - col("__trend"))
+    val seas = trended.filter(col("__det").isNotNull)
+      .groupBy(col("__k"), col("__pos"))
+      .agg(round(sum(dec9(col("__det"))).cast("double") /
+        count(lit(1)), 9).as("__s0"))
+    val seasCentered = seas
+      .withColumn("__smean",
+        round(sum(dec9(col("__s0")))
+          .over(Window.partitionBy(col("__k"))).cast("double") /
+          count(lit(1)).over(Window.partitionBy(col("__k"))), 9))
+      .select(col("__k"), col("__pos"),
+        round(col("__s0") - col("__smean"), 9).as("__seas"))
+    trended.join(seasCentered, Seq("__k", "__pos"), "left")
+      .select(col("__k").as(keyCol), col("__ts").as(tsCol),
+        round(col("__v"), 6).as("value"),
+        round(col("__trend"), 6).as("trend"),
+        round(col("__seas"), 6).as("seasonal"),
+        round(col("__v") - col("__trend") - col("__seas"), 6)
+          .as("residual"))
+  }
+
   def pacf(df: DataFrame, keyCol: String, tsCol: String,
            valCol: String): DataFrame = {
     val acf = autocorrelation(df, keyCol, tsCol, valCol, maxLag = 3)

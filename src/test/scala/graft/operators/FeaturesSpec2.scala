@@ -231,6 +231,28 @@ class FeaturesSpec2 extends SparkSpec {
     }
   }
 
+  test("trimmedMean: ties across the cut trim by exact level-grid " +
+    "mass; frac 0 = plain mean; over-trimmed group nulls") {
+    import spark.implicits._
+    // 10 values with ties straddling the 20% cut: sorted
+    // [1,1,1,2,3,4,5,6,9,9], k = 2 → keep [1,2,3,4,5,6] → mean 3.5
+    val vals = Seq(1.0, 1.0, 1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 9.0, 9.0)
+    val df = vals.map(("g", _)).toDF("g", "v")
+    val r = Features.trimmedMean(df, "g", "v", frac = 0.2).collect().head
+    assert(r.getLong(1) == 10L && r.getLong(2) == 2L)
+    assert(r.getDouble(3) == 3.5)
+    val plain = Features.trimmedMean(df, "g", "v", frac = 0.0)
+      .collect().head
+    assert(plain.getDouble(3) == math.rint(vals.sum / 10 * 1e6) / 1e6)
+    // 2 values at frac 0.49 → k = 0 keeps both; 1 value trims nothing
+    val tiny = Seq(("h", 5.0), ("h", 7.0)).toDF("g", "v")
+    assert(Features.trimmedMean(tiny, "g", "v", 0.49)
+      .collect().head.getDouble(3) == 6.0)
+    intercept[IllegalArgumentException] {
+      Features.trimmedMean(df, "g", "v", 0.5)
+    }
+  }
+
   test("huberRegression ≡ an independent driver-side IRLS on the same " +
     "9-grid; a wild outlier barely moves the robust slope where it " +
     "drags OLS; huge delta reduces to OLS") {

@@ -126,6 +126,30 @@ class ProfileSpec extends SparkSpec {
     assert(rs.isNullAt(5))
   }
 
+  // --- benfordProfile ------------------------------------------------------
+
+  test("benfordProfile: string-exact first digits (decimals, " +
+    "sub-1 values, negatives); zeros/nulls drop; all 9 digits " +
+    "present with n*p chi2 for absent ones") {
+    import spark.implicits._
+    val df = Seq[Option[Double]](
+      Some(123.45), Some(0.034), Some(-250.0), Some(1.0e-5),
+      Some(0.0), None, Some(900.1))
+      .toDF("v")
+    val out = Profile.benfordProfile(df, "v")
+      .collect().map(r => r.getInt(0) ->
+        (r.getLong(1), r.getDouble(3), r.get(4))).toMap
+    assert(out.keySet == (1 to 9).toSet, "all digits present")
+    // digits: 1 (123.45), 3 (0.034), 2 (-250), 1 (1e-5), 9 (900.1)
+    assert(out(1)._1 == 2L && out(2)._1 == 1L && out(3)._1 == 1L &&
+      out(9)._1 == 1L)
+    assert(out(4)._1 == 0L && out(4)._3 != null,
+      "absent digit still carries its chi2 term")
+    // expected fractions are the Benford curve
+    assert(out(1)._2 == math.rint(
+      math.rint(math.log(2.0) / math.log(10.0) * 1e9) / 1e9 * 1e6) / 1e6)
+  }
+
   // --- vectorHealth --------------------------------------------------------
 
   test("vectorHealth: nulls, NaN, zero vectors, ragged dims and the " +

@@ -209,6 +209,37 @@ class QualitySpec extends SparkSpec {
       "existing [mask] tokens must not count as masked")
   }
 
+  test("fleschReadingEase: hand counts — sentences on [.!?]+ runs, " +
+    "vowel-group syllables; degenerate docs null the score") {
+    import spark.implicits._
+    val docs = Seq(
+      // 2 sentences, 6 words; syllables: the(1) cat(1) sat(1) a(1)
+      // big(1) mat(1) = 6 → 206.835 − 1.015·3 − 84.6·1
+      (1L, "The cat sat. A big mat!"),
+      (2L, "Beautiful queue today."), // 1 sentence, 3 words; vowel
+      // groups: b-eau-t-i-f-u-l = 3, q-ueue = 1 (one contiguous run),
+      // t-o-d-ay = 2 -> 6
+      (3L, "no terminator here"),     // trailing fragment = 1 sentence
+      (4L, null.asInstanceOf[String]),
+      (5L, "?!?"))                     // punctuation only: 0 words
+      .toDF("doc_id", "text")
+    val out = Quality.fleschReadingEase(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val r1 = out(1L)
+    assert(r1.getLong(1) == 2L && r1.getLong(2) == 6L && r1.getLong(3) == 6L)
+    assert(r1.getDouble(4) ==
+      math.rint((206.835 - 1.015 * 3.0 - 84.6 * 1.0) * 1e4) / 1e4)
+    val r2 = out(2L)
+    assert(r2.getLong(1) == 1L && r2.getLong(2) == 3L && r2.getLong(3) == 6L)
+    assert(out(3L).getLong(1) == 1L && !out(3L).isNullAt(4),
+      "a terminator-less doc is one trailing sentence")
+    assert(out(4L).getLong(2) == 0L && out(4L).isNullAt(4))
+    // "?!?" is one whitespace TOKEN but zero sentences (all segments
+    // empty after the terminator split) → null score
+    assert(out(5L).getLong(1) == 0L && out(5L).getLong(2) == 1L &&
+      out(5L).isNullAt(4))
+  }
+
   test("corruptSpans: sentinels are ordinal and consistent between " +
     "the corrupted and target sides; dropped token count = spans x " +
     "block sizes; null/empty text yields the zero row; reruns " +

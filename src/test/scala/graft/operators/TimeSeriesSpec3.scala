@@ -103,6 +103,51 @@ class TimeSeriesSpec3 extends SparkSpec {
     assert(r.getDouble(4) == 0.0)
   }
 
+  test("rollingRegression: exact line recovers the slope at every " +
+    "full window; warm-up rows report their partial n; zero-variance " +
+    "frames and guards") {
+    val pts = (1 to 20).map(i => ("k", i.toDouble, 3.0 * i - 5))
+    val out = TimeSeries.rollingRegression(pts.toDF("g", "t", "v"),
+        "g", "t", "v", window = 5)
+      .collect()
+      .map(r => r.getDouble(1) ->
+        (r.getLong(2), if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+      .toMap
+    assert(out(1.0)._1 == 1L, "first row sees only itself")
+    assert(out(3.0)._1 == 3L && out(20.0)._1 == 5L)
+    assert((2 to 20).forall(i => out(i.toDouble)._2.contains(3.0)),
+      "every >= 2-point frame of an exact line gives the exact slope")
+    val single = TimeSeries.rollingRegression(pts.toDF("g", "t", "v"),
+      "g", "t", "v", window = 5).filter(col("n") === 1).collect()
+    assert(single.forall(_.isNullAt(3)), "1-point frames have no slope")
+    intercept[IllegalArgumentException] {
+      TimeSeries.rollingRegression(pts.toDF("g", "t", "v"), "g", "t",
+        "v", window = 1)
+    }
+  }
+
+  test("seasonalDecompose: constant + pure period-7 pattern splits " +
+    "exactly — flat trend, the centered pattern as seasonal, zero " +
+    "residual; even period refused") {
+    val pat = Seq(3.0, -1.0, 0.0, 2.0, -2.0, 1.0, -3.0) // sums to 0
+    val pts = (0 until 35).map(i => ("k", i, 10.0 + pat(i % 7)))
+    val df = pts.toDF("g", "t", "v").withColumn("dow", pmod(col("t"), lit(7)))
+    val out = TimeSeries.seasonalDecompose(df, "g", "t", "v", "dow", 7)
+      .collect().map(r => r.getInt(1) -> r).toMap
+    // interior rows: trend = 10, seasonal = pattern, residual = 0
+    for (i <- 3 until 32) {
+      assert(out(i).getDouble(3) == 10.0, s"trend at $i")
+      assert(out(i).getDouble(4) == pat(i % 7), s"seasonal at $i")
+      assert(out(i).getDouble(5) == 0.0, s"residual at $i")
+    }
+    // edges: no full centered window → null trend/residual
+    assert(out(0).isNullAt(3) && out(34).isNullAt(3))
+    assert(out(0).isNullAt(5))
+    intercept[IllegalArgumentException] {
+      TimeSeries.seasonalDecompose(df, "g", "t", "v", "dow", 6)
+    }
+  }
+
   test("pacf: Durbin-Levinson closed forms agree with a hand " +
     "computation from the series' own ACF; a constant series yields " +
     "nulls throughout") {
