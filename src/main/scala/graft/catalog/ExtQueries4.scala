@@ -213,6 +213,25 @@ object ExtQueries4 {
           t(s, d, "documents"), "doc_id", "text")
         .orderBy(col("doc_id"))),
 
+    // --- clustering agreement (pairwise P/R/F1 + adjusted Rand) ------------
+    // Score the q273 ER clusters against the exact-name gold
+    // partition: which fuzzy merges does the 0.97 gate add, and do
+    // they co-cluster what exact equality would?
+    "q291_er_agreement" -> ((s, d) => {
+      val c = t(s, d, "customer")
+        .select(col("c_custkey"), col("c_nationkey"), col("c_name"))
+      val edges = graft.operators.JwJoin.jaroWinklerSelfJoin(
+          c, "c_custkey", "c_name", threshold = 0.9699,
+          blockCols = Seq("c_nationkey"))
+        .filter(round(col("jw"), 4) >= 0.97)
+        .select(col("id_a").as("src"), col("id_b").as("dst"))
+      val pred = graft.operators.Graph.connectedComponents(edges,
+        "src", "dst", nodes = Some((c, "c_custkey")))
+      graft.operators.Eval.clusteringAgreement(
+        c.join(pred, col("c_custkey") === col("id")),
+        "component", "c_name")
+    }),
+
     // --- Huber robust regression (IRLS) ------------------------------------
     // Price-on-quantity per return flag with outliers fading as 1/|r|
     // instead of voting quadratically: OLS start + 2 reweighted
@@ -510,6 +529,79 @@ object ExtQueries4 {
          LEFT JOIN corr USING (doc_id)
          LEFT JOIN tgt USING (doc_id)
          ORDER BY doc_id""",
+
+    // the q273 recursive-CTE clusters vs the exact-name partition:
+    // one contingency pass, exact DECIMAL pair counts rendered as
+    // strings (the q266 rule), double ARI arithmetic
+    "q291_er_agreement" ->
+      """WITH RECURSIVE e0 AS (
+           SELECT a.c_custkey AS src, b.c_custkey AS dst
+           FROM customer a JOIN customer b
+             ON a.c_nationkey = b.c_nationkey
+             AND a.c_custkey < b.c_custkey
+           WHERE round(jaro_winkler_similarity(a.c_name, b.c_name), 4)
+             >= 0.97),
+         undirected AS (SELECT src, dst FROM e0
+           UNION SELECT dst, src FROM e0),
+         cc(id, comp) AS (
+           SELECT c_custkey, c_custkey FROM customer
+           UNION
+           SELECT u.dst, cc.comp FROM undirected u JOIN cc ON u.src = cc.id),
+         pred AS (SELECT id, CAST(min(comp) AS BIGINT) AS p
+           FROM cc GROUP BY id),
+         j AS (SELECT p, c_name AS g
+           FROM pred JOIN customer ON id = c_custkey),
+         cells AS (SELECT p, g, count(*) AS c FROM j GROUP BY 1, 2),
+         pa AS (SELECT p, sum(c) AS a FROM cells GROUP BY 1),
+         gb AS (SELECT g, sum(c) AS b FROM cells GROUP BY 1),
+         tps AS (SELECT CAST(sum(CAST(c AS DECIMAL(38,0))
+             * CAST(c - 1 AS DECIMAL(38,0)) / 2) AS DECIMAL(38,0)) AS tp,
+             sum(c) AS n
+           FROM cells),
+         pps AS (SELECT CAST(sum(CAST(a AS DECIMAL(38,0))
+             * CAST(a - 1 AS DECIMAL(38,0)) / 2) AS DECIMAL(38,0)) AS pp,
+             count(*) AS kp
+           FROM pa),
+         gps AS (SELECT CAST(sum(CAST(b AS DECIMAL(38,0))
+             * CAST(b - 1 AS DECIMAL(38,0)) / 2) AS DECIMAL(38,0)) AS gp,
+             count(*) AS kg
+           FROM gb),
+         f AS (SELECT n, kp, kg, tp, pp, gp,
+             CAST(CAST(n AS DECIMAL(38,0))
+               * CAST(n - 1 AS DECIMAL(38,0)) / 2 AS DECIMAL(38,0)) AS np,
+             CASE WHEN pp > 0
+               THEN CAST(tp AS DOUBLE) / CAST(pp AS DOUBLE) END AS prec,
+             CASE WHEN gp > 0
+               THEN CAST(tp AS DOUBLE) / CAST(gp AS DOUBLE) END AS rec
+           FROM tps, pps, gps)
+         SELECT CAST(n AS BIGINT) AS n, CAST(kp AS BIGINT)
+             AS n_pred_clusters,
+           CAST(kg AS BIGINT) AS n_gold_clusters,
+           CAST(tp AS VARCHAR) AS tp_pairs,
+           CAST(pp AS VARCHAR) AS pred_pairs,
+           CAST(gp AS VARCHAR) AS gold_pairs,
+           round(prec, 6) AS precision,
+           round(rec, 6) AS recall,
+           round(CASE WHEN prec + rec > 0
+             THEN 2.0 * prec * rec / (prec + rec) END, 6) AS f1,
+           round(CASE WHEN n <= 1 THEN NULL
+             WHEN (CAST(pp AS DOUBLE) + CAST(gp AS DOUBLE)) / 2.0
+                 - CAST(pp AS DOUBLE) * CAST(gp AS DOUBLE)
+                   / CAST(np AS DOUBLE) = 0.0
+                 AND CAST(tp AS DOUBLE)
+                 - CAST(pp AS DOUBLE) * CAST(gp AS DOUBLE)
+                   / CAST(np AS DOUBLE) = 0.0
+               THEN 1.0
+             WHEN (CAST(pp AS DOUBLE) + CAST(gp AS DOUBLE)) / 2.0
+                 - CAST(pp AS DOUBLE) * CAST(gp AS DOUBLE)
+                   / CAST(np AS DOUBLE) <> 0.0
+               THEN (CAST(tp AS DOUBLE)
+                 - CAST(pp AS DOUBLE) * CAST(gp AS DOUBLE)
+                   / CAST(np AS DOUBLE))
+                 / ((CAST(pp AS DOUBLE) + CAST(gp AS DOUBLE)) / 2.0
+                   - CAST(pp AS DOUBLE) * CAST(gp AS DOUBLE)
+                     / CAST(np AS DOUBLE)) END, 6) AS ari
+         FROM f""",
 
     // the same decimal-grid window sums (olsFit's 4-grid inputs,
     // exact associative frames) and closed-form solve

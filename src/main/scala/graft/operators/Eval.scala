@@ -1435,6 +1435,66 @@ object Eval {
         col("b_eff"), col("p_value"))
   }
 
+  /** Pairwise agreement between two clusterings of the same items —
+    * the EVALUATION half of the ER family ([[graft.operators.ErStore]]
+    * /q273 produce clusters; this scores them against a gold
+    * partition): pairwise precision/recall/F1 (a pair of items
+    * counts as TP when both clusterings co-cluster it) and the
+    * Adjusted Rand Index, all from ONE contingency-table pass.
+    *
+    * Exact-integer pair accounting in DECIMAL(38,0) — n(n−1)/2
+    * overflows long past n ≈ 4·10⁹, corpus territory — RENDERED as
+    * strings (the q174/q266 rule: raw DECIMAL never reaches a
+    * catalog output). The ARI arithmetic runs in doubles (the
+    * expected-index product overflows even 38 digits at corpus n;
+    * a rounded-6 index loses nothing). Degenerate inputs follow the
+    * scikit convention: max−E = 0 with TP−E = 0 (both partitions
+    * trivial and identical) scores ARI = 1.0; n <= 1 scores null;
+    * a zero pair denominator nulls that ratio. Rows with a null on
+    * either side drop. Output one row: (n, n_pred_clusters,
+    * n_gold_clusters, tp_pairs, pred_pairs, gold_pairs, precision,
+    * recall, f1, ari). */
+  def clusteringAgreement(df: DataFrame, predCol: String,
+                          goldCol: String): DataFrame = {
+    def pairs(c: Column): Column =
+      (c.cast("decimal(38,0)") * (c - 1L).cast("decimal(38,0)")) / 2
+    val cells = df
+      .filter(col(predCol).isNotNull && col(goldCol).isNotNull)
+      .groupBy(col(predCol).as("__p"), col(goldCol).as("__g"))
+      .agg(count(lit(1)).as("__c"))
+    val predSizes = cells.groupBy(col("__p")).agg(sum(col("__c")).as("__a"))
+    val goldSizes = cells.groupBy(col("__g")).agg(sum(col("__c")).as("__b"))
+    val tp = cells.agg(sum(pairs(col("__c"))).cast("decimal(38,0)")
+        .as("__tp"),
+      sum(col("__c")).as("__n"),
+      count(lit(1)).as("__ncells"))
+    val pp = predSizes.agg(sum(pairs(col("__a"))).cast("decimal(38,0)")
+      .as("__pp"), count(lit(1)).as("__kp"))
+    val gp = goldSizes.agg(sum(pairs(col("__b"))).cast("decimal(38,0)")
+      .as("__gp"), count(lit(1)).as("__kg"))
+    val base = tp.crossJoin(pp).crossJoin(gp)
+      .withColumn("__np", pairs(col("__n")).cast("decimal(38,0)"))
+    val (tpD, ppD, gpD, npD) = (col("__tp").cast("double"),
+      col("__pp").cast("double"), col("__gp").cast("double"),
+      col("__np").cast("double"))
+    val e = ppD * gpD / npD
+    val m = (ppD + gpD) / 2.0
+    val prec = when(col("__pp") > 0, tpD / ppD)
+    val rec = when(col("__gp") > 0, tpD / gpD)
+    base.select(col("__n").as("n"),
+      col("__kp").as("n_pred_clusters"), col("__kg").as("n_gold_clusters"),
+      col("__tp").cast("string").as("tp_pairs"),
+      col("__pp").cast("string").as("pred_pairs"),
+      col("__gp").cast("string").as("gold_pairs"),
+      round(prec, 6).as("precision"),
+      round(rec, 6).as("recall"),
+      round(when(prec + rec > 0, lit(2.0) * prec * rec / (prec + rec)),
+        6).as("f1"),
+      round(when(col("__n") <= 1, lit(null).cast("double"))
+        .when(m - e === 0.0 && tpD - e === 0.0, lit(1.0))
+        .when(m - e =!= 0.0, (tpD - e) / (m - e)), 6).as("ari"))
+  }
+
   /** Sentence-level BLEU-2 per (reference, candidate) pair — the
     * n-gram-precision eval for generated/augmented text (summaries,
     * denoised reconstructions, translations): clipped unigram and

@@ -323,4 +323,16 @@ class PlanSpec extends SparkSpec {
       assert(q.collect().nonEmpty)
     }
   }
+
+  test("q273/q274 ER linkage plans are cartesian-free — candidates " +
+    "come from the bounded JW join's equi-keys (r9 verdict task 2)") {
+    for (name <- Seq("q273_er_clusters", "q274_jw_join")) {
+      val plan = SparkEntry.queries(name)(spark, sf("sf0.001"))
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"),
+        s"$name must not cartesian:\n${plan.take(1500)}")
+      assert(!plan.contains("BroadcastNestedLoopJoin"),
+        s"$name must not nested-loop:\n${plan.take(1500)}")
+    }
+  }
 }

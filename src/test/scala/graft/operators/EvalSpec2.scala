@@ -294,6 +294,33 @@ class EvalSpec2 extends SparkSpec {
     assert(rSep.toSeq == rSep2.toSeq)
   }
 
+  test("clusteringAgreement: hand contingency (P = R = 0.5, " +
+    "ARI = 1/6); identity = all-1.0; all-singletons vs itself = " +
+    "ARI 1.0 by the scikit convention; null rows drop") {
+    import spark.implicits._
+    val df = Seq((1, "a", "x"), (2, "a", "x"), (3, "a", "y"),
+      (4, "b", "y"), (5, "b", "y")).toDF("id", "p", "g")
+    val r = Eval.clusteringAgreement(df, "p", "g").collect().head
+    assert(r.getLong(0) == 5L && r.getLong(1) == 2L && r.getLong(2) == 2L)
+    assert(r.getString(3) == "2" && r.getString(4) == "4" &&
+      r.getString(5) == "4")
+    assert(r.getDouble(6) == 0.5 && r.getDouble(7) == 0.5 &&
+      r.getDouble(8) == 0.5)
+    assert(r.getDouble(9) == math.rint(0.4 / 2.4 * 1e6) / 1e6)
+    val same = Eval.clusteringAgreement(
+      df.withColumn("g2", col("p")), "p", "g2").collect().head
+    assert(same.getDouble(6) == 1.0 && same.getDouble(9) == 1.0)
+    val singles = Eval.clusteringAgreement(
+      df.withColumn("p1", col("id")).withColumn("g1", col("id") + 10),
+      "p1", "g1").collect().head
+    assert(singles.getString(3) == "0" && singles.getDouble(9) == 1.0,
+      "trivially-identical singleton partitions score 1.0, not 0/0")
+    val withNull = df.union(Seq((6, null.asInstanceOf[String], "z"))
+      .toDF("id", "p", "g"))
+    assert(Eval.clusteringAgreement(withNull, "p", "g")
+      .collect().head.getLong(0) == 5L)
+  }
+
   test("bleu2: textbook hand case, identity = 1.0, clipping caps " +
     "repeated-word farming, degenerate pairs null out") {
     import spark.implicits._
