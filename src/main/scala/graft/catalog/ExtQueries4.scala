@@ -218,18 +218,39 @@ object ExtQueries4 {
     // partition: which fuzzy merges does the 0.97 gate add, and do
     // they co-cluster what exact equality would?
     "q291_er_agreement" -> ((s, d) => {
-      val c = t(s, d, "customer")
-        .select(col("c_custkey"), col("c_nationkey"), col("c_name"))
-      val edges = graft.operators.JwJoin.jaroWinklerSelfJoin(
-          c, "c_custkey", "c_name", threshold = 0.9699,
+      // predicted clusters SERVE from the q275 registry (same cached
+      // store — the registry -> evaluation composition; re-running the
+      // link+cluster would double-bill q273's cost in the bench)
+      val cust = t(s, d, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
+      val store = LlmQueries.cachedStore(s, d, "er-q275") { p =>
+        graft.operators.ErStore.build(
+          cust.filter(col("c_custkey") % 10 =!= 9),
+          "c_custkey", "c_name", p, threshold = 0.97,
           blockCols = Seq("c_nationkey"))
-        .filter(round(col("jw"), 4) >= 0.97)
-        .select(col("id_a").as("src"), col("id_b").as("dst"))
-      val pred = graft.operators.Graph.connectedComponents(edges,
-        "src", "dst", nodes = Some((c, "c_custkey")))
+        graft.operators.ErStore.append(
+          cust.filter(col("c_custkey") % 10 === 9), p, batchId = 1L)
+      }
       graft.operators.Eval.clusteringAgreement(
-        c.join(pred, col("c_custkey") === col("id")),
-        "component", "c_name")
+        cust.join(graft.operators.ErStore.entities(s, store),
+          "c_custkey"),
+        "entity", "c_name")
+    }),
+
+    // --- ROUGE-L (rows-only: token-LCS has no SQL form — correctness
+    // is EvalSpec2's ≡ independent-DP proof, the q208/q239
+    // adjudication) --------------------------------------------------------
+    // The recall lens on the q284 reconstruction: order-preserving
+    // shared tokens through the native codegen TokenLcs DP.
+    "q292_rouge_l" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val cand = graft.operators.Quality.maskTokens(
+          docs, "doc_id", "text", rate = 0.15)
+        .select(col("doc_id"), col("masked_text"))
+      graft.operators.Eval.rougeL(
+          docs.select(col("doc_id"), col("text")).join(cand, "doc_id"),
+          "doc_id", "text", "masked_text")
+        .orderBy(col("doc_id"))
     }),
 
     // --- Huber robust regression (IRLS) ------------------------------------
@@ -534,23 +555,24 @@ object ExtQueries4 {
     // one contingency pass, exact DECIMAL pair counts rendered as
     // strings (the q266 rule), double ARI arithmetic
     "q291_er_agreement" ->
-      """WITH RECURSIVE e0 AS (
+      """WITH RECURSIVE cust AS (
+           SELECT c_custkey, c_nationkey, c_name FROM customer),
+         e0 AS (
            SELECT a.c_custkey AS src, b.c_custkey AS dst
-           FROM customer a JOIN customer b
+           FROM cust a JOIN cust b
              ON a.c_nationkey = b.c_nationkey
              AND a.c_custkey < b.c_custkey
-           WHERE round(jaro_winkler_similarity(a.c_name, b.c_name), 4)
-             >= 0.97),
+           WHERE jaro_winkler_similarity(a.c_name, b.c_name) >= 0.97),
          undirected AS (SELECT src, dst FROM e0
            UNION SELECT dst, src FROM e0),
          cc(id, comp) AS (
-           SELECT c_custkey, c_custkey FROM customer
+           SELECT c_custkey, c_custkey FROM cust
            UNION
            SELECT u.dst, cc.comp FROM undirected u JOIN cc ON u.src = cc.id),
          pred AS (SELECT id, CAST(min(comp) AS BIGINT) AS p
            FROM cc GROUP BY id),
          j AS (SELECT p, c_name AS g
-           FROM pred JOIN customer ON id = c_custkey),
+           FROM pred JOIN cust ON id = c_custkey),
          cells AS (SELECT p, g, count(*) AS c FROM j GROUP BY 1, 2),
          pa AS (SELECT p, sum(c) AS a FROM cells GROUP BY 1),
          gb AS (SELECT g, sum(c) AS b FROM cells GROUP BY 1),

@@ -1495,6 +1495,43 @@ object Eval {
         .when(m - e =!= 0.0, (tpD - e) / (m - e)), 6).as("ari"))
   }
 
+  /** ROUGE-L per (reference, candidate) pair — the recall-oriented
+    * generation eval beside [[bleu2]]'s precision lens: P = LCS/|cand|,
+    * R = LCS/|ref|, F = 2PR/(P+R) over the token-level longest common
+    * subsequence (order-preserving shared tokens — a reordered
+    * reconstruction scores below a faithful one where bag-of-ngram
+    * precision cannot tell them apart).
+    *
+    * The LCS is the native codegen'd [[graft.plans.TokenLcs]]
+    * expression (the [[graft.plans.JaroWinkler]] discipline: one
+    * static DP call fused into whole-stage codegen, interned-int inner
+    * loop, thread-local rolling rows, a 10⁸-cell fail-fast envelope);
+    * token counts ride the engine's lowercase-whitespace contract so
+    * both factors see identical tokens. One per-row projection, zero
+    * shuffle. A side with zero tokens nulls its ratio (and F); both
+    * sides tokenized but nothing shared scores F = 0. Output: (idCol,
+    * ref_len, cand_len, lcs, rouge_p, rouge_r, rouge_f) rounded 6. */
+  def rougeL(pairs: DataFrame, idCol: String, refCol: String,
+             candCol: String): DataFrame = {
+    def nTok(c: String) = expr(
+      s"size(coalesce(${graft.plans.Tokens.whitespaceSql(c)}," +
+        " CAST(array() AS ARRAY<STRING>)))").cast("long")
+    val base = pairs.select(col(idCol),
+      nTok(refCol).as("ref_len"), nTok(candCol).as("cand_len"),
+      graft.plans.TokenLcs.tokenLcs(col(refCol), col(candCol)).as("__l"))
+    val p = when(col("cand_len") > 0,
+      col("__l").cast("double") / col("cand_len"))
+    val r = when(col("ref_len") > 0,
+      col("__l").cast("double") / col("ref_len"))
+    val f = when(p.isNull || r.isNull, lit(null).cast("double"))
+      .when(p + r === 0.0, lit(0.0))
+      .otherwise(lit(2.0) * p * r / (p + r))
+    base.select(col(idCol), col("ref_len"), col("cand_len"),
+      coalesce(col("__l"), lit(0L)).as("lcs"),
+      round(p, 6).as("rouge_p"), round(r, 6).as("rouge_r"),
+      round(f, 6).as("rouge_f"))
+  }
+
   /** Sentence-level BLEU-2 per (reference, candidate) pair — the
     * n-gram-precision eval for generated/augmented text (summaries,
     * denoised reconstructions, translations): clipped unigram and

@@ -294,6 +294,49 @@ class EvalSpec2 extends SparkSpec {
     assert(rSep.toSeq == rSep2.toSeq)
   }
 
+  test("rougeL ≡ an independent Scala LCS DP on a pseudo-random " +
+    "corpus; hand cases (identity, reorder < faithful, disjoint = 0, " +
+    "degenerate nulls); codegen and interpreted eval agree") {
+    import spark.implicits._
+    // independent textbook DP over the same token contract
+    def refLcs(a: String, b: String): Int = {
+      def tk(s: String) = s.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      val (x, y) = (tk(a), tk(b))
+      val dp = Array.ofDim[Int](x.length + 1, y.length + 1)
+      for (i <- 1 to x.length; j <- 1 to y.length)
+        dp(i)(j) = if (x(i - 1) == y(j - 1)) dp(i - 1)(j - 1) + 1
+          else math.max(dp(i - 1)(j), dp(i)(j - 1))
+      dp(x.length)(y.length)
+    }
+    val words = Seq("alpha", "beta", "gamma", "delta", "eps", "zeta")
+    def doc(seed: Int, n: Int) =
+      (0 until n).map(i => words(((seed * 31 + i * 17) % 997) % 6))
+        .mkString(" ")
+    val pairs = (1 to 40).map(i => (i.toLong, doc(i, 12 + i % 9),
+      doc(i * 7 + 3, 10 + i % 5)))
+    val out = Eval.rougeL(pairs.toDF("id", "r", "c"), "id", "r", "c")
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    pairs.foreach { case (id, r, c) =>
+      assert(out(id) == refLcs(r, c).toLong, s"pair $id")
+    }
+    // hand cases
+    val hand = Seq(
+      (1L, "the cat sat on the mat", "the cat sat on the mat"),
+      (2L, "the cat sat on the mat", "mat the on sat cat the"),
+      (3L, "aa bb cc", "xx yy zz"),
+      (4L, "some text", ""),
+      (5L, null.asInstanceOf[String], "x"))
+      .toDF("id", "r", "c")
+    val h = Eval.rougeL(hand, "id", "r", "c")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(h(1L).getLong(3) == 6L && h(1L).getDouble(6) == 1.0)
+    assert(h(2L).getLong(3) < 6L,
+      "a reordered bag scores below the faithful sequence")
+    assert(h(3L).getLong(3) == 0L && h(3L).getDouble(6) == 0.0)
+    assert(h(4L).getLong(2) == 0L && h(4L).isNullAt(6))
+    assert(h(5L).getLong(3) == 0L && h(5L).isNullAt(6))
+  }
+
   test("clusteringAgreement: hand contingency (P = R = 0.5, " +
     "ARI = 1/6); identity = all-1.0; all-singletons vs itself = " +
     "ARI 1.0 by the scikit convention; null rows drop") {
