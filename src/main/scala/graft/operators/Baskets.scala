@@ -23,15 +23,32 @@ object Baskets {
     * the inherent pair count, NEVER an item-item cross product; item
     * totals are an items-sized broadcast, the basket total one
     * broadcast row. A pathological mega-basket (one basket holding half
-    * the catalog) makes s² explode — cap or split such baskets
-    * upstream; ordinary baskets (orders, sessions) are bounded by
-    * construction. `minCount` prunes AFTER exact counting (it is an
-    * output filter, not an apriori bound). */
+    * the catalog) makes s² explode — `maxBasketSize` is the valve (the
+    * [[SetSimJoin]] maxBlockSize discipline): baskets past the cap
+    * FAIL FAST with the remedy (split or drop them upstream) instead of
+    * detonating one task with catalog²/4 pairs. Ordinary baskets
+    * (orders, sessions) are bounded by construction; the default cap
+    * (100k → ≤ 5·10⁹ pairs from one basket) only trips on degenerate
+    * keys. `minCount` prunes AFTER exact counting (it is an output
+    * filter, not an apriori bound). */
   def cooccurrence(df: DataFrame, basketCol: String, itemCol: String,
-                   minCount: Long = 1L): DataFrame = {
+                   minCount: Long = 1L,
+                   maxBasketSize: Int = 100000): DataFrame = {
     require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    require(maxBasketSize >= 2,
+      s"maxBasketSize must be >= 2, got $maxBasketSize")
     val items = df.select(col(basketCol).as("__b"), col(itemCol).as("__i"))
       .distinct()
+      .withColumn("__bs", count(lit(1))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy(col("__b"))))
+      // assert_true inside the Filter is load-bearing — a pruned
+      // projection column would be optimized away and never fire
+      .filter(assert_true(col("__bs") <= maxBasketSize,
+        concat(lit("cooccurrence: basket "), col("__b").cast("string"),
+          lit(s" holds more than $maxBasketSize distinct items — its" +
+            " pair explosion is quadratic; split or drop mega-baskets" +
+            " upstream, or raise maxBasketSize"))).isNull)
+      .drop("__bs")
     val nBaskets = items.select(col("__b")).distinct()
       .agg(count(lit(1)).as("__nb"))
     val itemCounts = items.groupBy(col("__i")).agg(count(lit(1)).as("__n"))

@@ -212,6 +212,15 @@ object ErStore {
     val m = readMeta(spark, store)
     if (m.batches.contains(batchId) || m.retired.contains(batchId))
       return // completed replay (possibly folded away by a compaction)
+    // entities() folds label deltas latest-ab-wins, so append order must
+    // match id order: a fresh batch with an id BELOW an applied one would
+    // write labels that lose the fold to stale higher-ab rows. The
+    // streaming sink's batchId+1 keys satisfy this by construction.
+    val applied = m.batches ++ m.retired
+    require(applied.forall(_ < batchId),
+      s"batchId must exceed every applied batch id (max ${applied.max}), " +
+        s"got $batchId — label deltas fold latest-id-wins, so appends " +
+        "must carry monotonically increasing ids")
     val p = prepped(df, m).localCheckpoint(eager = false)
     val keys = keyed(p, m).localCheckpoint(eager = false)
     val probeBuckets = keys.select(col("bucket")).distinct()

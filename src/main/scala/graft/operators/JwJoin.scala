@@ -161,12 +161,18 @@ object JwJoin {
       (col("__n").cast("double") + lmin)
     val oMin = greatest(lit(1L), ceil(f - Eps))
     val p = greatest(lit(1L), col("__n").cast("long") - oMin + 1L)
-    val w = Window.partitionBy(col("__id"))
+    // Partition by the string alongside the id: a 2^-64 rep-hash
+    // collision (dedup-first reps derive __id from xxhash64(block,
+    // string)) would otherwise merge two records' element sets and
+    // could crowd a true element out of a prefix — a recall hole the
+    // exact gate cannot repair. The string is short (names) and rides
+    // only this prefix-ranking shuffle.
+    val w = Window.partitionBy(col("__id"), col("__s"))
       .orderBy(col("__cnt").asc, col("__eh").asc)
     prepped
-      .select(col("__id"), col("__n"), col("__bh"), p.as("__p"),
+      .select(col("__id"), col("__n"), col("__bh"), col("__s"), p.as("__p"),
         explode(elements(col("__s"), col("__n"))).as("__e"))
-      .select(col("__id"), col("__n"), col("__p"),
+      .select(col("__id"), col("__n"), col("__s"), col("__p"),
         xxhash64(col("__bh"), col("__e.ch"), col("__e.occ")).as("__eh"))
       .join(freq, "__eh")
       .withColumn("__rn", row_number().over(w))
@@ -309,10 +315,10 @@ object JwJoin {
                                         maxBlockSize: Int): DataFrame = {
     val j0 = (threshold - 0.4) / 0.6
     val alpha = 3.0 * j0 - 2.0
-    val oPair = greatest(lit(1L), ceil(
-      (lit(3.0 * j0 - 1.0) * col("__na").cast("double") *
-        col("__nb").cast("double")) /
-        (col("__na").cast("double") + col("__nb").cast("double")) - Eps))
+    // The pair-level overlap bound is enforced structurally here: the
+    // fanned partner length joins as a key (__na === __pna below), so
+    // oFan — computed against the fanned partner length — IS the
+    // pair-level bound for every pair this channel can emit.
     val pna = col("__n").cast("long") - col("__dd") + col("__fd")
     val oFan = greatest(lit(1L), ceil(
       (lit(3.0 * j0 - 1.0) * pna.cast("double") *

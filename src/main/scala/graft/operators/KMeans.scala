@@ -118,6 +118,11 @@ object KMeans {
     * rounded 6). */
   def silhouette(vectors: DataFrame, vecCol: String, idCol: String,
                  centroids: DataFrame): DataFrame = {
+    // k = 1 has no nearest-other centroid: the inner join below would
+    // silently drop every point and read as "no data" — fail fast.
+    require(centroids.limit(2).count() >= 2,
+      "silhouette needs >= 2 centroids (with k = 1 there is no " +
+        "nearest-other cluster to compare against)")
     val scored = vectors.filter(col(vecCol).isNotNull)
       .crossJoin(broadcast(centroids.select(col("cluster_id"), col("centroid"))))
       .withColumn("__d", sqrt(SquaredL2(col(vecCol), col("centroid"))))

@@ -269,16 +269,25 @@ object Quality {
     *
     * One per-row codegen-able expression chain (the sentinel ordinal
     * is an O(blocks²) indexed filter-count, the maskTokens occurrence
-    * discipline), zero shuffle. Tokens are the engine's
-    * lowercase-whitespace contract; null/empty text yields
-    * (0, 0, 0, '', ''). Output: (idCol, n_tokens, n_spans,
-    * n_masked_tokens, corrupted_text, targets_text). */
+    * discipline), zero shuffle. The quadratic per-doc shape carries a
+    * fail-fast envelope (the [[graft.plans.TokenLcs]] discipline): a
+    * doc whose block count exceeds `maxBlocksPerDoc` raises with a
+    * remedy instead of burning one task for minutes — at the default
+    * 10⁴ blocks the ordinal work is ≤ 10⁸ HOF steps per doc. Raise
+    * `spanLen` or pre-chunk giant docs ([[Pack.chunkTokens]]) to stay
+    * inside it. Tokens are the engine's lowercase-whitespace
+    * contract; null/empty text yields (0, 0, 0, '', '').
+    * Output: (idCol, n_tokens, n_spans, n_masked_tokens,
+    * corrupted_text, targets_text). */
   def corruptSpans(docs: DataFrame, idCol: String, textCol: String,
                    rate: Double, spanLen: Int = 3,
-                   salt: String = "spn"): DataFrame = {
+                   salt: String = "spn",
+                   maxBlocksPerDoc: Int = 10000): DataFrame = {
     require(rate > 0.0 && rate < 1.0, s"rate must be in (0,1), got $rate")
     require(spanLen >= 1, s"spanLen must be >= 1, got $spanLen")
     require(!salt.contains("'"), "salt must be quote-free")
+    require(maxBlocksPerDoc >= 1,
+      s"maxBlocksPerDoc must be >= 1, got $maxBlocksPerDoc")
     val toks = s"coalesce(${graft.plans.Tokens.whitespaceSql(textCol)}," +
       " CAST(array() AS ARRAY<STRING>))"
     // md5 uniform over the BLOCK index b
@@ -287,6 +296,14 @@ object Quality {
       s" 16, 10) AS DOUBLE) + 1.0D) / 4503599627370496.0D)"
     def masked(b: String) = s"${u(b)} < ${rate}D"
     val nBlocks = s"CAST(ceil(size($toks) / CAST($spanLen AS DOUBLE)) AS INT)"
+    // per-row fail-fast envelope on the O(blocks²) ordinal work
+    def guarded(inner: String) =
+      s"CASE WHEN $nBlocks > $maxBlocksPerDoc THEN raise_error(concat(" +
+        s"'corruptSpans: doc ', CAST(`$idCol` AS STRING), ' has ', " +
+        s"CAST($nBlocks AS STRING), ' blocks > maxBlocksPerDoc " +
+        s"$maxBlocksPerDoc (sentinel ordinals are O(blocks^2) per doc) " +
+        s"— raise spanLen or pre-chunk giant docs (Pack.chunkTokens)')) " +
+        s"ELSE $inner END"
     // sentinel ordinal of block b = dropped blocks before it.
     // sequence(0, b) with the b2 < b guard, NOT sequence(0, b-1):
     // Spark's auto-step DESCENDS to [0, -1] at b = 0 and a phantom
@@ -294,17 +311,17 @@ object Quality {
     def sent(b: String) =
       s"concat('<extra_id_', CAST(size(filter(sequence(0, $b)," +
         s" b2 -> b2 < $b AND ${masked("b2")})) AS STRING), '>')"
-    val corrupted = expr(
+    val corrupted = expr(guarded(
       s"array_join(filter(transform($toks, (t, i) -> CASE" +
         s" WHEN NOT ${masked(s"(i div $spanLen)")} THEN t" +
         s" WHEN i % $spanLen = 0 THEN ${sent(s"(i div $spanLen)")}" +
-        s" ELSE CAST(NULL AS STRING) END), x -> x IS NOT NULL), ' ')")
-    val targets = expr(
+        s" ELSE CAST(NULL AS STRING) END), x -> x IS NOT NULL), ' ')"))
+    val targets = expr(guarded(
       s"array_join(flatten(transform(sequence(0, $nBlocks - 1), b ->" +
         s" CASE WHEN ${masked("b")} THEN" +
         s" concat(array(${sent("b")})," +
         s" slice($toks, b * $spanLen + 1, $spanLen))" +
-        s" ELSE CAST(array() AS ARRAY<STRING>) END)), ' ')")
+        s" ELSE CAST(array() AS ARRAY<STRING>) END)), ' ')"))
     val nSpans = expr(
       s"size(filter(sequence(0, $nBlocks - 1), b -> ${masked("b")}))")
     val nMaskedToks = expr(

@@ -33,4 +33,29 @@ class BasketsSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Baskets.cooccurrence(rows, "basket", "item", minCount = 0))
   }
+
+  test("cooccurrence: mega-basket valve fails fast with the remedy; " +
+    "capped runs unchanged below the cap") {
+    val rows = Seq(
+      (1L, "x"), (1L, "y"), (1L, "z"),
+      (2L, "x"), (2L, "y"))
+      .toDF("basket", "item")
+    // cap 3 admits the 3-item basket — results identical to uncapped
+    val capped = Baskets.cooccurrence(rows, "basket", "item",
+      maxBasketSize = 3).collect().map(_.toSeq).toSet
+    val plain = Baskets.cooccurrence(rows, "basket", "item")
+      .collect().map(_.toSeq).toSet
+    assert(capped == plain)
+    // cap 2 trips on basket 1 inside the job, naming the remedy
+    val e = intercept[Exception] {
+      Baskets.cooccurrence(rows, "basket", "item", maxBasketSize = 2)
+        .collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("mega-baskets")), messages(e))
+    intercept[IllegalArgumentException](
+      Baskets.cooccurrence(rows, "basket", "item", maxBasketSize = 1))
+  }
 }

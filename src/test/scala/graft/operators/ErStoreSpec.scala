@@ -116,6 +116,17 @@ class ErStoreSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       ErStore.append(df, store, batchId = 0L)
     }
+    // non-monotonic fresh id refused (entities() folds latest-id-wins);
+    // replaying an APPLIED lower id stays a silent no-op
+    ErStore.append(Seq((3L, "y", 0L)).toDF("id", "name", "blk"),
+      store, batchId = 5L)
+    val e3 = intercept[IllegalArgumentException] {
+      ErStore.append(Seq((4L, "z", 0L)).toDF("id", "name", "blk"),
+        store, batchId = 3L)
+    }
+    assert(e3.getMessage.contains("monotonically increasing"))
+    ErStore.append(Seq((3L, "y", 0L)).toDF("id", "name", "blk"),
+      store, batchId = 5L) // replay: returns before the guard
   }
 
   test("a batch of all-novel names lands as singletons; empty-name and " +

@@ -39,6 +39,16 @@ class KMeansSpec extends SparkSpec {
     assert(out.length == 1 && out.head.getDouble(2) == 0.0)
   }
 
+  test("silhouette: k = 1 fails fast (no nearest-other centroid) " +
+    "instead of silently dropping every point") {
+    val one = Seq((1L, Seq(0.0, 0.0))).toDF("cluster_id", "centroid")
+    val pts = Seq((10L, Seq(1.0, 0.0))).toDF("id", "v")
+    val e = intercept[IllegalArgumentException] {
+      KMeans.silhouette(pts, "v", "id", one)
+    }
+    assert(e.getMessage.contains(">= 2 centroids"))
+  }
+
   test("assign: argmin with cluster-id tie-break (the silhouette 'own' " +
     "side)") {
     val pts = Seq((10L, Seq(5.0, 0.0)), (11L, Seq(1.0, 0.0)))

@@ -285,4 +285,29 @@ class QualitySpec extends SparkSpec {
       Quality.corruptSpans(docs, "doc_id", "text", rate = 0.5, spanLen = 0)
     }
   }
+
+  test("corruptSpans: per-doc block envelope fails fast with the " +
+    "remedy; docs inside the envelope are untouched by the guard") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, (1 to 30).map(i => s"t$i").mkString(" "))).toDF("doc_id", "text")
+    // 30 tokens / spanLen 3 = 10 blocks: cap 10 admits, cap 9 raises
+    val ok = Quality.corruptSpans(docs, "doc_id", "text", rate = 0.5,
+      spanLen = 3, maxBlocksPerDoc = 10).collect()
+    val plain = Quality.corruptSpans(docs, "doc_id", "text", rate = 0.5,
+      spanLen = 3).collect()
+    assert(ok.map(_.toSeq).toSeq == plain.map(_.toSeq).toSeq)
+    val e = intercept[Exception] {
+      Quality.corruptSpans(docs, "doc_id", "text", rate = 0.5,
+        spanLen = 3, maxBlocksPerDoc = 9).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("maxBlocksPerDoc")), messages(e))
+    intercept[IllegalArgumentException] {
+      Quality.corruptSpans(docs, "doc_id", "text", rate = 0.5,
+        maxBlocksPerDoc = 0)
+    }
+  }
 }
