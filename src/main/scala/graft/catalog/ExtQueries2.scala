@@ -579,19 +579,24 @@ object ExtQueries2 {
     // customer and supplier each pick the other — the high-precision
     // entity-resolution filter (one-sided best match links every left
     // row somewhere; reciprocity drops the forced marriages). This is
-    // an ARGMAX query, not a threshold join: measured best-per-customer
-    // jw on this corpus tops out at 0.81, below the 0.82 floor where
-    // JwJoin's exact prefilter exists — so the cross scoring stays, but
-    // localCheckpoint materializes it ONCE (the two best-per-side aggs
-    // shuffle on different keys; without the pin the cartesian computed
-    // twice below the exchanges — the r9 verdict's q234 finding).
+    // an ARGMAX query (best-match jw tops out at 0.81 on this corpus,
+    // below the 0.82 floor where JwJoin's exact threshold prefilter
+    // exists), served by the APPROXIMATE candidate path: IDF-weighted
+    // gram retrieval bounds each side to topM partners, exact codegen
+    // JW on candidates only — near-linear where the r10 form paid the
+    // full cartesian twice. Candidates from BOTH directions (each
+    // argmax needs its own side's recall); measured recall vs the
+    // all-pairs argmax is 1.0 both ways on this corpus (JwJoinSpec's
+    // pinned floor — the AnnRecallSpec discipline); the all-pairs form
+    // stays the DuckDB oracle.
     "q234_reciprocal_match" -> ((s, d) => {
-      val scored = t(s, d, "customer").select(col("c_name"))
-        .repartition(s.sparkContext.defaultParallelism)
-        .crossJoin(broadcast(t(s, d, "supplier").select(col("s_name"))))
-        .select(col("c_name"), col("s_name"),
-          round(graft.plans.JaroWinkler.jaroWinkler(
-            col("c_name"), col("s_name")), 4).as("jw"))
+      val cust = t(s, d, "customer").select(col("c_name"))
+      val supp = t(s, d, "supplier").select(col("s_name"))
+      val scored = graft.operators.JwJoin.bestMatchCandidates(
+          cust, "c_name", "c_name", supp, "s_name", "s_name",
+          symmetric = true)
+        .select(col("id_a").as("c_name"), col("id_b").as("s_name"),
+          round(col("jw"), 4).as("jw"))
         .localCheckpoint(eager = false)
       val bestPerC = scored.groupBy(col("c_name"))
         .agg(min(struct(negate(col("jw")).as("njw"), col("s_name"),

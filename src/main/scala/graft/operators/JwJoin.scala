@@ -450,19 +450,7 @@ object JwJoin {
     // id pairs through exact (string, block) keys
     val repPairs = gateJw(cand, namesOf(aD, "a"), namesOf(bD, "b"),
       threshold, keepNames = true)
-    val mapA = a.select(xxhash64(col("__bh"), col("__s")).as("id_a"),
-      col("__id").as("__reala"), col("__s").as("__esa"),
-      col("__bk").as("__ebka"))
-    val mapB = (if (selfPairs) a else b)
-      .select(xxhash64(col("__bh"), col("__s")).as("id_b"),
-        col("__id").as("__realb"), col("__s").as("__esb"),
-        col("__bk").as("__ebkb"))
-    val expanded = repPairs
-      .join(mapA, "id_a").join(mapB, "id_b")
-      // a representative-hash collision fans extra rows: the exact
-      // string/block keys reject them here
-      .filter(col("__sa") === col("__esa") && col("__sb") === col("__esb") &&
-        (col("__bka") <=> col("__ebka")) && (col("__bkb") <=> col("__ebkb")))
+    val expanded = expandRepPairs(repPairs, a, if (selfPairs) a else b)
     if (!selfPairs)
       expanded.select(col("__reala").as("id_a"),
         col("__realb").as("id_b"), col("jw"))
@@ -482,12 +470,267 @@ object JwJoin {
     }
   }
 
+  /** Expand gated REPRESENTATIVE pairs (id_a/id_b are rep hashes, with
+    * kept names __sa/__bka/__sb/__bkb) back to real id pairs through
+    * exact (string, block) keys — a representative-hash collision fans
+    * extra rows and the exact keys reject them here. Output keeps
+    * (__reala, __realb, jw). */
+  private def expandRepPairs(repPairs: DataFrame, a: DataFrame,
+                             b: DataFrame): DataFrame = {
+    val mapA = a.select(xxhash64(col("__bh"), col("__s")).as("id_a"),
+      col("__id").as("__reala"), col("__s").as("__esa"),
+      col("__bk").as("__ebka"))
+    val mapB = b.select(xxhash64(col("__bh"), col("__s")).as("id_b"),
+      col("__id").as("__realb"), col("__s").as("__esb"),
+      col("__bk").as("__ebkb"))
+    repPairs
+      .join(mapA, "id_a").join(mapB, "id_b")
+      .filter(col("__sa") === col("__esa") && col("__sb") === col("__esb") &&
+        (col("__bka") <=> col("__ebka")) && (col("__bkb") <=> col("__ebkb")))
+  }
+
   /** Distinct (string, block) representatives of a prepped side, with
     * the representative hash as the working __id. */
   private def dedupReps(prepped: DataFrame): DataFrame =
     prepped.select(col("__s"), col("__bk"), col("__n"), col("__bh"))
       .distinct()
       .withColumn("__id", xxhash64(col("__bh"), col("__s")))
+
+  // -----------------------------------------------------------------------
+  // Approximate best-match (argmax) retrieval
+  // -----------------------------------------------------------------------
+
+  /** Exploded gram element hashes of one prepped side: (__id, __eh)
+    * with __eh = xxhash64(blockHash, gram, occurrence-index) — the occ
+    * index gives multiset semantics (a repeated gram is two elements),
+    * the block hash keeps cross-block grams from ever joining. The
+    * universe is UNIGRAMS ∪ gramLen-grams: unigram (char, occ) overlap
+    * is exactly the Jaro matching-chars bound (it retrieves
+    * transposition-heavy partners that share NO adjacent pair — the
+    * "...210" vs "...012" tie family bigrams alone miss), while the
+    * q-grams add the adjacency signal that ranks low-transposition
+    * partners ahead. Strings shorter than gramLen skip the q-gram
+    * layer. Same O(n²)-HOF short-string envelope as [[elements]]. */
+  private def gramTable(prepped: DataFrame, gramLen: Int): DataFrame = {
+    val n = col("__n")
+    def windows(len: Int) =
+      transform(sequence(lit(1), n - (len - 1)), i =>
+        col("__s").substr(i, lit(len)))
+    val uni = windows(1)
+    val grams =
+      if (gramLen == 1) uni
+      else concat(uni,
+        when(n < gramLen, array().cast("array<string>"))
+          .otherwise(windows(gramLen)))
+    // occurrence indices via a count-then-sequence explode, NOT a
+    // per-position filter HOF — HOFs are interpreted (the
+    // charEntropies lesson) and the quadratic occ filter measured 3 s
+    // on 15k names where this shape is a codegen count
+    prepped.select(col("__id"), col("__bh"), explode(grams).as("__g"))
+      .groupBy(col("__id"), col("__bh"), col("__g"))
+      .agg(count(lit(1)).as("__c"))
+      .select(col("__id"),
+        explode(sequence(lit(1L), col("__c"))).as("__occ"),
+        xxhash64(col("__bh"), col("__g")).as("__gh"))
+      .select(col("__id"), xxhash64(col("__gh"), col("__occ")).as("__eh"))
+  }
+
+  /** Proxy-scored candidate rep pairs: every pair sharing at least
+    * one surviving probe gram, scored by the IDF-weighted shared-gram
+    * sum — the retrieval core all best-match forms share. The proxy
+    * exists to BOUND the exact-JW gate (the topM cut keeps ~topM
+    * rows/left where the raw candidate set runs hundreds/left); its
+    * ranking quality is part of the measured recall contract, and the
+    * unigram element layer is what keeps transposition-heavy ties
+    * retrievable (the "...210" vs "...012" family shares no bigram).
+    *
+    * Volume shape: one gram-keyed equi-join (work = Σ posting-list
+    * sizes over each left's probe grams, never |L|·|R|).
+    * `maxDfFraction` drops grams held by more than that fraction of
+    * the right side (stopword valve: corpus-sized posting lists carry
+    * no signal); `probeGrams` bounds each LEFT record to its rarest
+    * surviving grams (rank by right-side df — the AllPairs prefix
+    * discipline applied to retrieval). Explicit-width repartitions
+    * pin the parallelism of the CPU-heavy middle: these tables are
+    * bytes-small, and AQE would coalesce the fan-out + aggregation
+    * onto one task (the covarianceMatrix finding). Downstream rides
+    * the __ida partitioning end-to-end: the pair agg, the per-left
+    * cut window, the gate's broadcast probes — one exchange for the
+    * whole middle.
+    *
+    * Output: (__ida, __idb, __score) at REP grain. */
+  private def bestMatchScoredReps(aD: DataFrame, bD: DataFrame,
+                                  gramLen: Int, maxDfFraction: Double,
+                                  probeGrams: Int): DataFrame = {
+    val ga = gramTable(aD, gramLen).select(col("__id").as("__ida"),
+      col("__eh"))
+    val gb = gramTable(bD, gramLen).select(col("__id").as("__idb"),
+      col("__eh"))
+    val nB = bD.agg(count(lit(1)).cast("double").as("__N"))
+    // (rep, gram) rows are distinct by construction (occ index), so
+    // df = posting-list length; the surviving-gram table is
+    // gram-vocabulary-sized (sublinear in the corpus for short
+    // strings) — broadcast it so the left gram table never shuffles
+    // for the df lookup
+    // IDF weights ride as 1e9-scaled LONGS: exact deterministic sums
+    // (no double reassociation at the topM cut boundary) at long-sum
+    // speed
+    val dfT = gb.groupBy(col("__eh")).agg(count(lit(1)).as("__df"))
+      .crossJoin(broadcast(nB))
+      .filter(col("__df").cast("double") <= col("__N") * maxDfFraction)
+      .select(col("__eh"), col("__df"),
+        round(log(lit(1.0) + col("__N") / col("__df").cast("double")) *
+          1e9).cast("long").as("__w"))
+    val par = aD.sparkSession.sparkContext.defaultParallelism
+    val gaW = ga.join(broadcast(dfT), "__eh")
+      .repartition(par, col("__ida"))
+    val gaP =
+      if (probeGrams == Int.MaxValue)
+        gaW.select(col("__ida"), col("__eh"), col("__w"))
+      else {
+        val w = Window.partitionBy(col("__ida"))
+          .orderBy(col("__df").asc, col("__eh").asc)
+        gaW.withColumn("__pr", row_number().over(w))
+          .filter(col("__pr") <= probeGrams)
+          .select(col("__ida"), col("__eh"), col("__w"))
+      }
+    // the pair aggregation rides the __ida partitioning (a subset of
+    // the grouping key satisfies the clustered distribution): no
+    // exchange between the fan-out, the pair agg, the proxy cut and
+    // the gate
+    gaP.join(gb, "__eh")
+      .groupBy(col("__ida"), col("__idb"))
+      .agg(sum(col("__w")).as("__score"))
+  }
+
+  /** APPROXIMATE best-match candidates: for each left row, up to
+    * `topM` right rows by IDF-weighted shared-gram score, each scored
+    * with the exact codegen [[JaroWinkler]] — the near-linear serving
+    * path for ARGMAX (best-match) linkage, which the bounded
+    * threshold join provably cannot serve (best matches routinely
+    * score below the 0.82 bound floor where no exact prefilter
+    * exists; [[requireThreshold]]). The [[graft.functions.IvfIndex]]
+    * contract applied to strings: the candidate set is a RECALL
+    * TRADE, not exact — measure recall vs the all-pairs argmax on a
+    * sample of YOUR corpus and size `topM`/`probeGrams`/
+    * `maxDfFraction` under the measured value (JwJoinSpec measures
+    * 1.0 at the defaults on the sf0.01 name corpus, both directions;
+    * the all-pairs form stays the oracle). A left row sharing no
+    * surviving gram with any right row emits nothing.
+    *
+    * `symmetric = true` additionally keeps each RIGHT row's topM —
+    * the reciprocal-linkage feed (both sides' argmaxes from ONE
+    * retrieval). Output: (id_a, id_b, jw) — up to topM rows per
+    * DISTINCT left string (the dedup-first discipline: candidates
+    * are retrieved per rep and expanded to ids through exact string
+    * keys; duplicate strings expand past the bound by construction).
+    * The cut ranks by (proxy score desc, partner rep hash);
+    * `blockCols` restrict pairs to equal blocks (null-safe). */
+  def bestMatchCandidates(left: DataFrame, leftIdCol: String,
+                          leftStrCol: String,
+                          right: DataFrame, rightIdCol: String,
+                          rightStrCol: String,
+                          topM: Int = 20, gramLen: Int = 2,
+                          maxDfFraction: Double = 0.25,
+                          probeGrams: Int = 12,
+                          blockCols: Seq[(String, String)] = Nil,
+                          symmetric: Boolean = false): DataFrame = {
+    val (a, b, aD, bD, scores0) = bestMatchPrep(left, leftIdCol,
+      leftStrCol, right, rightIdCol, rightStrCol, topM, gramLen,
+      maxDfFraction, probeGrams, blockCols)
+    // symmetric mode pins the scores EAGERLY — its two cut branches
+    // run concurrently in one job, and a lazy checkpoint lets both
+    // race to compute the retrieval before either caches it (measured
+    // as twin full-pipeline stages)
+    val scores =
+      if (symmetric) scores0.localCheckpoint(eager = true) else scores0
+    def cut(df: DataFrame, keyCol: String, otherCol: String) = {
+      val w = Window.partitionBy(col(keyCol))
+        .orderBy(col("__score").desc, col(otherCol).asc)
+      df.withColumn("__rk", row_number().over(w))
+        .filter(col("__rk") <= topM)
+        .select(col("__ida"), col("__idb"))
+    }
+    val par = left.sparkSession.sparkContext.defaultParallelism
+    val cand =
+      if (!symmetric) cut(scores, "__ida", "__idb")
+      else cut(scores, "__ida", "__idb")
+        // explicit-width repartition on the OTHER side's key: the
+        // right-side cut needs its own exchange and AQE would coalesce
+        // the 2.8M-row sort onto one task
+        .unionByName(cut(scores.repartition(par, col("__idb")),
+          "__idb", "__ida"))
+        .distinct()
+    val repPairs = gateJw(cand, namesOf(aD, "a"), namesOf(bD, "b"),
+      threshold = 0.0, keepNames = true)
+    expandRepPairs(repPairs, a, b)
+      .select(col("__reala").as("id_a"), col("__realb").as("id_b"),
+        col("jw"))
+  }
+
+  /** The argmax itself: each left row's single best right row by
+    * exact JW among its `topM` retrieved candidates (ties to the
+    * smallest right string then the smallest right id — total and
+    * engine-stable). Same approximate contract as
+    * [[bestMatchCandidates]]: the emitted match is the TRUE argmax
+    * exactly when the true argmax survived candidate retrieval
+    * (measured, not proved — the recall-floor discipline). Output:
+    * (id_a, id_b, jw), one row per left row with >= 1 candidate. */
+  def bestMatch(left: DataFrame, leftIdCol: String, leftStrCol: String,
+                right: DataFrame, rightIdCol: String, rightStrCol: String,
+                topM: Int = 20, gramLen: Int = 2,
+                maxDfFraction: Double = 0.25,
+                probeGrams: Int = 12,
+                blockCols: Seq[(String, String)] = Nil): DataFrame = {
+    val (a, b, aD, bD, scores) = bestMatchPrep(left, leftIdCol,
+      leftStrCol, right, rightIdCol, rightStrCol, topM, gramLen,
+      maxDfFraction, probeGrams, blockCols)
+    val cw = Window.partitionBy(col("__ida"))
+      .orderBy(col("__score").desc, col("__idb").asc)
+    val cand = scores.withColumn("__rk", row_number().over(cw))
+      .filter(col("__rk") <= topM)
+      .select(col("__ida"), col("__idb"))
+    val scoredJw = gateJw(cand, namesOf(aD, "a"), namesOf(bD, "b"),
+      threshold = 0.0, keepNames = true)
+    // rep-level argmax (ties: -jw, right string, right rep id), then
+    // expand; among right ids sharing the winning string take the min
+    val best = scoredJw
+      .groupBy(col("id_a"), col("__sa"), col("__bka"))
+      .agg(min(struct(negate(col("jw")).as("njw"), col("__sb"),
+        col("id_b"), col("jw"), col("__bkb"))).as("__m"))
+      .select(col("id_a"), col("__m.id_b").as("id_b"),
+        col("__m.jw").as("jw"), col("__sa"), col("__bka"),
+        col("__m.__sb").as("__sb"), col("__m.__bkb").as("__bkb"))
+    expandRepPairs(best, a, b)
+      .groupBy(col("__reala").as("id_a"))
+      .agg(min(struct(col("__realb"), col("jw"))).as("__m"))
+      .select(col("id_a"), col("__m.__realb").as("id_b"),
+        col("__m.jw").as("jw"))
+  }
+
+  /** Shared head of the best-match forms: prep + dedup reps (pinned —
+    * each feeds several independently-executed subtrees) + the proxy
+    * score table. */
+  private def bestMatchPrep(left: DataFrame, leftIdCol: String,
+                            leftStrCol: String,
+                            right: DataFrame, rightIdCol: String,
+                            rightStrCol: String,
+                            topM: Int, gramLen: Int,
+                            maxDfFraction: Double, probeGrams: Int,
+                            blockCols: Seq[(String, String)])
+      : (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) = {
+    require(topM >= 1, s"topM must be >= 1, got $topM")
+    require(gramLen >= 1, s"gramLen must be >= 1, got $gramLen")
+    require(maxDfFraction > 0.0 && maxDfFraction <= 1.0,
+      s"maxDfFraction must be in (0, 1], got $maxDfFraction")
+    require(probeGrams >= 1, s"probeGrams must be >= 1, got $probeGrams")
+    val a = prep(left, leftIdCol, leftStrCol, blockCols.map(_._1))
+    val b = prep(right, rightIdCol, rightStrCol, blockCols.map(_._2))
+    val aD = dedupReps(a).localCheckpoint(eager = false)
+    val bD = dedupReps(b).localCheckpoint(eager = false)
+    (a, b, aD, bD,
+      bestMatchScoredReps(aD, bD, gramLen, maxDfFraction, probeGrams))
+  }
 
   /** Brute-force all-pairs reference (O(n^2) — tests and tiny frames
     * ONLY). Same output contract as [[jaroWinklerSelfJoin]]. */
