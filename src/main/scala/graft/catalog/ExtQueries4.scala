@@ -253,6 +253,33 @@ object ExtQueries4 {
         .orderBy(col("doc_id"))
     }),
 
+    // --- binned interval-overlap join (no equi key) ------------------------
+    // Per-user daily activity windows vs high-value purchase incident
+    // windows (±30 min), joined on the overlap predicate ALONE — the
+    // event-overlap / downtime-vs-session shape. The bin equi-join
+    // (1-day bins) replaces the nested-loop plan two large interval
+    // sets would otherwise force; the exact overlap predicate gates and
+    // the responsibility-bin trick emits each pair exactly once.
+    "q293_interval_overlap" -> ((s, d) => {
+      val es = unix_timestamp(col("ts"))
+      val sessions = ev(s, d)
+        .select(col("user_id"), es.as("es"))
+        .withColumn("day", expr("es div 86400"))
+        .groupBy(col("user_id"), col("day"))
+        .agg(min(col("es")).as("w_start"), max(col("es")).as("w_end"))
+        .select(concat_ws("_", col("user_id"), col("day")).as("win_id"),
+          col("w_start"), col("w_end"))
+      val incidents = ev(s, d)
+        .filter(col("event_type") === "purchase" && col("value") > 200)
+        .select(col("event_id"),
+          (es - 1800L).as("i_start"), (es + 1800L).as("i_end"))
+      graft.operators.AsOfJoin.intervalOverlapJoin(
+          sessions, "win_id", "w_start", "w_end",
+          incidents, "event_id", "i_start", "i_end",
+          binWidth = 86400L)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // --- Huber robust regression (IRLS) ------------------------------------
     // Price-on-quantity per return flag with outliers fading as 1/|r|
     // instead of voting quadratically: OLS start + 2 reweighted
@@ -265,6 +292,26 @@ object ExtQueries4 {
   )
 
   def oracleSql: Map[String, String] = Map(
+    // plain theta join (DuckDB's IEJoin serves it) over the same two
+    // interval CTEs; inclusive-endpoint overlap, same floor-div day
+    "q293_interval_overlap" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, value,
+             epoch_us(ts) // 1000000 AS es FROM events),
+         sessions AS (SELECT
+             CAST(user_id AS VARCHAR) || '_' ||
+               CAST(es // 86400 AS VARCHAR) AS id_a,
+             min(es) AS w_start, max(es) AS w_end
+           FROM e GROUP BY user_id, es // 86400),
+         incidents AS (SELECT event_id AS id_b,
+             es - 1800 AS i_start, es + 1800 AS i_end
+           FROM e WHERE event_type = 'purchase' AND value > 200)
+         SELECT id_a, id_b,
+           greatest(w_start, i_start) AS overlap_start,
+           least(w_end, i_end) AS overlap_end
+         FROM sessions s JOIN incidents i
+           ON s.w_start <= i.i_end AND i.i_start <= s.w_end
+         ORDER BY id_a, id_b""",
+
     // all-pairs reference: DuckDB's jaro_winkler_similarity is the same
     // classic definition (verified bit-exact on this corpus for q191);
     // both engines gate on the rounded-4 grid and render rounded-6

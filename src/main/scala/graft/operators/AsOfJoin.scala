@@ -138,4 +138,88 @@ object AsOfJoin {
       .select((leftCols.map(col) ++
         payload.map(c => col("__pick").getField(c).as(c))).toIndexedSeq: _*)
   }
+
+  /** General interval-overlap join WITHOUT an equi key — the binned
+    * interval join: two large interval sets joined on the overlap
+    * predicate alone would fall back to a nested-loop plan (every
+    * range join elsewhere in the catalog carries an equi key or a
+    * broadcast band table); here each interval explodes to its
+    * fixed-width time bins, pairs meet through a bin EQUI-join, and
+    * the exact overlap predicate gates.
+    *
+    * Exactly-once without a distinct: a pair is emitted only from the
+    * bin containing the overlap's START (max of the two starts) — any
+    * overlapping pair shares that bin by construction, any shared bin
+    * without overlap fails the gate, and no pair is ever produced
+    * twice, so there is NO pair-level dedup shuffle. Overlap is
+    * INCLUSIVE at the endpoints (touching intervals pair — the
+    * [[graft.operators.TimeSeries.mergeIntervals]] touch convention).
+    *
+    * Endpoints are numeric (cast to long — convert timestamps to
+    * epoch units explicitly); rows with null endpoints or start > end
+    * drop. Optional `keys` equality pairs restrict matches (null-safe,
+    * folded into the join as one hash with an exact null-safe recheck
+    * at the gate). `maxBinsPerInterval` is the fail-fast envelope (the
+    * corruptSpans discipline): an interval spanning more bins than the
+    * cap aborts with a remedy (raise `binWidth` or split giant
+    * intervals) instead of exploding one row into millions.
+    *
+    * Scale shape: work = Σ bins-per-interval rows through ONE
+    * bin-keyed equi-join (shuffle partitioned by bin — time-adjacent
+    * intervals co-locate), never |A|·|B|. Pick `binWidth` near the
+    * median interval length: a few bins per interval, a few intervals
+    * per bin. Output: (id_a, id_b, overlap_start, overlap_end). */
+  def intervalOverlapJoin(left: DataFrame, leftIdCol: String,
+                          leftStartCol: String, leftEndCol: String,
+                          right: DataFrame, rightIdCol: String,
+                          rightStartCol: String, rightEndCol: String,
+                          binWidth: Long,
+                          keys: Seq[(String, String)] = Nil,
+                          maxBinsPerInterval: Int = 10000): DataFrame = {
+    require(binWidth > 0, s"binWidth must be > 0, got $binWidth")
+    require(maxBinsPerInterval >= 1,
+      s"maxBinsPerInterval must be >= 1, got $maxBinsPerInterval")
+    // floor division exact for negative endpoints too (long division
+    // truncates toward zero; pmod is always non-negative). The
+    // division runs in DECIMAL so full-range long endpoints (e.g. raw
+    // nanos > 2^53) never round through a double.
+    def fdiv(c: org.apache.spark.sql.Column) =
+      ((c - pmod(c, lit(binWidth))).cast("decimal(38,0)") / binWidth)
+        .cast("long")
+    def side(df: DataFrame, idCol: String, startCol: String,
+             endCol: String, keyCols: Seq[String], tag: String) = {
+      val s0 = col(startCol).cast("long")
+      val e0 = col(endCol).cast("long")
+      val bk =
+        if (keyCols.isEmpty) struct(lit(0).as("__z"))
+        else struct(keyCols.map(col): _*)
+      df.filter(s0.isNotNull && e0.isNotNull && s0 <= e0)
+        .select(col(idCol).as("__id" + tag), s0.as("__s" + tag),
+          e0.as("__e" + tag), bk.as("__bk" + tag),
+          xxhash64(bk).as("__kh"), fdiv(s0).as("__b0"),
+          fdiv(e0).as("__b1"))
+        .filter(assert_true(col("__b1") - col("__b0") < maxBinsPerInterval,
+          concat(lit("intervalOverlapJoin: interval "),
+            col("__id" + tag).cast("string"),
+            lit(s" spans more than $maxBinsPerInterval bins — raise" +
+              " binWidth or split giant intervals upstream"))).isNull)
+        .select(col("__id" + tag), col("__s" + tag), col("__e" + tag),
+          col("__bk" + tag), col("__kh"),
+          explode(sequence(col("__b0"), col("__b1"))).as("__bin"))
+    }
+    val a = side(left, leftIdCol, leftStartCol, leftEndCol,
+      keys.map(_._1), "a")
+    val b = side(right, rightIdCol, rightStartCol, rightEndCol,
+      keys.map(_._2), "b")
+    val oS = greatest(col("__sa"), col("__sb"))
+    a.join(b, Seq("__kh", "__bin"))
+      // exact overlap + the responsibility bin (the overlap start's):
+      // emits each true pair exactly once, no distinct needed
+      .filter(col("__sa") <= col("__eb") && col("__sb") <= col("__ea") &&
+        col("__bin") === fdiv(oS) &&
+        (col("__bka") <=> col("__bkb")))
+      .select(col("__ida").as("id_a"), col("__idb").as("id_b"),
+        oS.as("overlap_start"),
+        least(col("__ea"), col("__eb")).as("overlap_end"))
+  }
 }
