@@ -280,6 +280,27 @@ object ExtQueries4 {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // --- perceptual-hash media near-dup (rows-only: the decode stub and
+    // the engine-hash-seeded signatures have no SQL form — correctness
+    // is MultimodalSpec's planted-pair proof, the q43/q102 adjudication)
+    // -----------------------------------------------------------------------
+    // Image near-dup end-to-end through the codec seam: synthetic media
+    // + planted same-length one-byte perturbations of the first 50
+    // payloads (ids +1000000) → decode → mean-pool → dHash →
+    // SimHash-family pigeonhole candidate pairs + exact Hamming gate.
+    "q294_media_neardup" -> ((s, d) => {
+      import graft.operators.Multimodal
+      val docs = t(s, d, "documents")
+      val base = Multimodal.syntheticMedia(docs)
+      val planted = Multimodal.syntheticMedia(
+        docs.filter(col("doc_id") < 50)
+          .withColumn("doc_id", col("doc_id") + 1000000L)
+          .withColumn("text", expr("overlay(text PLACING 'Z' FROM 11)")))
+      Multimodal.mediaNearDupPairs(base.unionByName(planted),
+          maxHamming = 8)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // --- Huber robust regression (IRLS) ------------------------------------
     // Price-on-quantity per return flag with outliers fading as 1/|r|
     // instead of voting quadratically: OLS start + 2 reweighted

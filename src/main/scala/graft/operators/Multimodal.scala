@@ -135,6 +135,62 @@ object Multimodal {
     }
   }
 
+  /** 64-bit difference hash (dHash) over a decoded feature grid: bit i
+    * is set when the (i+1)-th of 65 evenly-sampled grid values exceeds
+    * the i-th — the classic gradient perceptual hash, invariant to
+    * uniform brightness/level shifts (only RELATIVE order of adjacent
+    * samples matters). Empty grids hash to 0. Deterministic pure
+    * function of the grid, so replays and cross-partition runs agree. */
+  private[graft] def dHash64(px: Array[Float]): Long = {
+    if (px == null || px.isEmpty) 0L
+    else {
+      var h = 0L
+      var i = 0
+      while (i < 64) {
+        val a = px((i.toLong * px.length / 65).toInt)
+        val b = px(((i + 1).toLong * px.length / 65).toInt)
+        if (b > a) h |= (1L << i)
+        i += 1
+      }
+      h
+    }
+  }
+
+  /** Per-frame perceptual hashes: (media_id, frame_no, phash). */
+  def perceptualHash(decoded: Dataset[DecodedFrame]): DataFrame = {
+    val spark = decoded.sparkSession
+    import spark.implicits._
+    decoded.map(fr => (fr.media_id, fr.frame_no, dHash64(fr.pixels)))
+      .toDF("media_id", "frame_no", "phash")
+  }
+
+  /** Media near-duplicate candidate pairs, end-to-end through the
+    * existing dedup machinery: decode (codec seam) → mean-pool frames →
+    * dHash the pooled grid → [[Dedup.simHashCandidatePairs]]' pigeonhole
+    * block bucketing + exact Hamming gate. One 8-byte signature per
+    * media item is all that shuffles — payloads never leave their
+    * executors. The hash rides the `simhash` column name so every
+    * signature-store / banded-persistence path built for text SimHash
+    * works on media unchanged.
+    *
+    * Approximation contract: near-dup PAYLOADS map to near (small
+    * Hamming) hashes only as faithfully as the decode produces stable
+    * grids — with the stubbed codec a same-length byte perturbation
+    * moves few grid cells (spec-planted and asserted); a real codec
+    * inherits the dHash robustness literature. Output: (id_a, id_b,
+    * hamming), id_a < id_b. */
+  def mediaNearDupPairs(media: DataFrame, maxHamming: Int = 8,
+                        frames: Int = 4, dim: Int = 64,
+                        maxBucketSize: Int = 10000): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val sigs = frameEmbeddings(decodeFrames(media, frames, dim))
+      .as[(Long, Seq[Float])]
+      .map { case (id, e) => (id, dHash64(e.toArray)) }
+      .toDF("media_id", "simhash")
+    Dedup.simHashCandidatePairs(sigs, "media_id", maxHamming, maxBucketSize)
+  }
+
   /** Metadata-only analytics — must not read the payload column (parquet
     * column pruning; assert via explain in specs). */
   def metaStats(media: DataFrame): DataFrame =

@@ -63,4 +63,50 @@ class MultimodalSpec extends SparkSpec {
     assert(!plan.contains("payload"),
       s"payload must be pruned from the scan:\n$plan")
   }
+
+  test("dHash64: deterministic, brightness-shift invariant, empty -> 0") {
+    val px = Array.tabulate(64)(i => (i % 7) / 7.0f)
+    val h1 = Multimodal.dHash64(px)
+    val h2 = Multimodal.dHash64(px.clone())
+    assert(h1 == h2)
+    // uniform level shift preserves every adjacent comparison
+    val shifted = px.map(_ + 0.3f)
+    assert(Multimodal.dHash64(shifted) == h1)
+    assert(Multimodal.dHash64(Array.emptyFloatArray) == 0L)
+    assert(Multimodal.dHash64(null) == 0L)
+  }
+
+  test("mediaNearDupPairs: planted same-length byte perturbations are " +
+    "found as near-dup pairs; disjoint payloads never pair") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+    val base = Multimodal.syntheticMedia(docs)
+    // planted: first 10 docs with one same-length char overlay
+    val planted = Multimodal.syntheticMedia(
+      docs.filter(col("doc_id") < 10)
+        .withColumn("doc_id", col("doc_id") + 1000000L)
+        .withColumn("text", expr("overlay(text PLACING 'Z' FROM 11)")))
+    val pairs = Multimodal.mediaNearDupPairs(base.unionByName(planted),
+        maxHamming = 8)
+      .as[(Long, Long, Long)].collect()
+    val pairSet = pairs.map(p => (p._1, p._2)).toSet
+    // every planted twin pairs with its original
+    for (id <- 0L until 10L)
+      assert(pairSet.contains((id, id + 1000000L)),
+        s"planted twin $id missing from ${pairSet.size} pairs")
+    // disjoint payloads never pair: the pooled grids of two unrelated
+    // random-text docs differ in far more than 8 gradient bits
+    val sigs = Multimodal.frameEmbeddings(
+        Multimodal.decodeFrames(base, frames = 4, dim = 64))
+      .as[(Long, Seq[Float])].collect()
+      .map { case (id, e) => id -> Multimodal.dHash64(e.toArray) }.toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    for ((a, b) <- pairs.map(p => (p._1, p._2)) if a < 1000000L && b < 1000000L) {
+      // any base-base pair the blocking emitted really is Hamming-close
+      assert(ham(sigs(a), sigs(b)) <= 8)
+    }
+    // spot-check: a handful of unrelated doc pairs are far apart and absent
+    for ((a, b) <- Seq((0L, 7L), (1L, 8L), (2L, 9L)) if ham(sigs(a), sigs(b)) > 8)
+      assert(!pairSet.contains((a, b)))
+  }
 }
