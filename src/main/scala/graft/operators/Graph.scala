@@ -105,30 +105,42 @@ object Graph {
                else df.localCheckpoint(eager = false)
       (ck, fingerprint(ck))
     }
+    def lazyCk(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint(eager = false)
+      else df.localCheckpoint(eager = false)
     var (e, sig) = checkpointViaFingerprint(canonical(edges.select(
         col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))))
     var converged = sig.head == 0L
     var iter = 0
     while (!converged && iter < maxIter) {
-      // Each half-round is materialized before the next references it:
-      // a star step reads its input several times (both-directions union
-      // + min-agg + join). Within one job ReuseExchange dedups those
-      // reads, but chaining multiple un-checkpointed rounds crosses AQE
-      // replan boundaries and recomputes the inner round per reference
-      // (measured 4× slower when two rounds shared one checkpoint).
-      // Star steps emit canonically-ordered (min, other) edges by
-      // construction; one distinct per half-round bounds duplicate
-      // growth. `half` has no natural action between itself and `next`,
-      // so it checkpoints eagerly; `next` materializes through its
-      // fingerprint (2 jobs per round, not 3).
-      val half = materialize(largeStar(e).distinct())
-      val (next, nextSig) = checkpointViaFingerprint(smallStar(half).distinct())
+      // TWO full large/small-star rounds per materialized job (the r10
+      // verdict's round-batching): each intermediate is a LAZY
+      // checkpoint — one RDD shared by every reference, so the chained
+      // plan neither regrows lineage nor recomputes a round per
+      // reference through AQE replan boundaries (the r3 4×-slower
+      // finding concerned UN-checkpointed chaining); only the second
+      // round's output materializes, through its convergence
+      // fingerprint. Halving the materialization boundaries halves
+      // both the toy-scale driver job count and the cluster-scale
+      // checkpoint passes; the star shuffles themselves are unchanged.
+      // A star step's both-directions union can race two concurrent
+      // tasks onto one lazily-checkpointed parent partition (each
+      // caches the same deterministic result — benign duplicate work,
+      // bounded by one extra star evaluation and measured far below a
+      // scheduled job's cost at every scale tried). Convergence is
+      // checked every TWO rounds: worst case one redundant fixpoint
+      // round, paid once.
+      val half1 = lazyCk(largeStar(e).distinct())
+      val next1 = lazyCk(smallStar(half1).distinct())
+      val half2 = lazyCk(largeStar(next1).distinct())
+      val (next, nextSig) = checkpointViaFingerprint(
+        smallStar(half2).distinct())
       converged = nextSig == sig
       e = next
       sig = nextSig
-      iter += 1
+      iter += 2
     }
-    if (!converged && iter == maxIter)
+    if (!converged && iter >= maxIter)
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIter rounds " +
         "(expected O(log n); is the edge list adversarial or maxIter too small?)")
