@@ -60,6 +60,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
       (exprs: Seq[Expression]) => SimHash64(exprs(0), nfc = false)))
     ext.injectFunction((
+      FunctionIdentifier("jaro_winkler"),
+      new ExpressionInfo(classOf[JaroWinkler].getName, "jaro_winkler"),
+      (exprs: Seq[Expression]) => JaroWinkler(exprs(0), exprs(1),
+        winkler = true)))
+    ext.injectFunction((
+      FunctionIdentifier("jaro_similarity"),
+      new ExpressionInfo(classOf[JaroWinkler].getName, "jaro_similarity"),
+      (exprs: Seq[Expression]) => JaroWinkler(exprs(0), exprs(1),
+        winkler = false)))
+    ext.injectFunction((
+      FunctionIdentifier("token_lcs"),
+      new ExpressionInfo(classOf[TokenLcs].getName, "token_lcs"),
+      (exprs: Seq[Expression]) => TokenLcs(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("squared_l2"),
+      new ExpressionInfo(classOf[SquaredL2].getName, "squared_l2"),
+      (exprs: Seq[Expression]) => SquaredL2(exprs(0), exprs(1))))
+    ext.injectFunction((
       FunctionIdentifier("shingle_hash_set"),
       new ExpressionInfo(classOf[ShingleHashSet].getName, "shingle_hash_set"),
       (exprs: Seq[Expression]) => exprs match {

@@ -19,5 +19,21 @@ object GraftFunctions {
       "nfc_normalize",
       exprs => NfcNormalize(exprs(0)),
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "jaro_winkler",
+      exprs => JaroWinkler(exprs(0), exprs(1), winkler = true),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "jaro_similarity",
+      exprs => JaroWinkler(exprs(0), exprs(1), winkler = false),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "token_lcs",
+      exprs => TokenLcs(exprs(0), exprs(1)),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "squared_l2",
+      exprs => SquaredL2(exprs(0), exprs(1)),
+      "built-in")
   }
 }

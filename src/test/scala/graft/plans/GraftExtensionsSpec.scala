@@ -55,6 +55,22 @@ class GraftExtensionsSpec extends AnyFunSuite {
       .collect().head.getString(0)
     assert(nfc == "caf\u00e9", s"got ${nfc.toList.map(_.toInt)}")
 
+    // linkage + eval scalars reach pure SQL too (round 11): classic
+    // textbook values — MARTHA/MARHTA jaro 0.944444, jw 0.961111
+    val jw = spark.sql(
+      "SELECT round(jaro_winkler('MARTHA', 'MARHTA'), 6) AS jw, " +
+        "round(jaro_similarity('MARTHA', 'MARHTA'), 6) AS j")
+      .collect().head
+    assert(jw.getDouble(0) == 0.961111 && jw.getDouble(1) == 0.944444, jw)
+    val lcs = spark.sql(
+      "SELECT token_lcs('a b c d', 'a x c d') AS n").collect().head.getLong(0)
+    assert(lcs == 3L, s"token_lcs $lcs")
+    val l2 = spark.sql(
+      "SELECT squared_l2(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)), " +
+        "array(CAST(4.0 AS FLOAT), CAST(6.0 AS FLOAT))) AS d")
+      .collect().head.getDouble(0)
+    assert(l2 == 25.0, s"squared_l2 $l2")
+
     // size parameters must be literals: a column-valued argument raises a
     // clear AnalysisException naming the parameter, not an NPE (ADVICE r1)
     import org.apache.spark.sql.AnalysisException
