@@ -269,22 +269,18 @@ object ExtQueries2 {
         .orderBy(col("l_returnflag"))),
 
     // --- Jaro-Winkler record linkage ---------------------------------------
-    // Best-matching supplier name per customer name (native codegen'd
-    // expression; all-pairs is the ORACLE shape — at scale the JW gate
-    // runs behind a blocked candidate join, see JaroWinkler scaladoc).
+    // Best-matching supplier name per customer name, served by the
+    // APPROXIMATE candidate path (gram retrieval + exact codegen JW on
+    // candidates — measured recall 1.0 vs all-pairs on this corpus,
+    // JwJoinSpec's pinned floor); all-pairs stays the ORACLE shape.
+    // The argmax runs on the round-4 grid with the s_name tie-break
+    // (the oracle's rank convention).
     "q191_jaro_linkage" -> ((s, d) => {
-      // rank = (jw DESC, s_name ASC) ≡ min(struct(-jw, s_name)): the
-      // all-pairs scores never leave the map side — a partial-combined
-      // 15k-group agg replaces the oracle's corpus-sized window sort.
-      // the probe side is one small parquet file → one scan task; spread
-      // it so the 15M-pair JW loop uses every core, not one
-      val scored = t(s, d, "customer").select(col("c_name"))
-        .repartition(s.sparkContext.defaultParallelism)
-        .crossJoin(broadcast(t(s, d, "supplier").select(col("s_name"))))
-        .select(col("c_name"), col("s_name"),
-          round(graft.plans.JaroWinkler.jaroWinkler(
-            col("c_name"), col("s_name")), 4).as("jw"))
-      scored
+      graft.operators.JwJoin.bestMatchCandidates(
+          t(s, d, "customer").select(col("c_name")), "c_name", "c_name",
+          t(s, d, "supplier").select(col("s_name")), "s_name", "s_name")
+        .select(col("id_a").as("c_name"), col("id_b").as("s_name"),
+          round(col("jw"), 4).as("jw"))
         .groupBy(col("c_name"))
         .agg(min(struct(negate(col("jw")).as("njw"), col("s_name"),
           col("jw"))).as("best"))

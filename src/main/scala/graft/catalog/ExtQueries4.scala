@@ -301,6 +301,27 @@ object ExtQueries4 {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // --- winnowing document fingerprints -----------------------------------
+    // The MOSS rolling-hash fingerprint over every document: 3-token
+    // shingles, window 4, rightmost-min ties — substring-granular
+    // summaries at ~2/(w+1) of the shingle count.
+    "q295_winnowing" -> ((s, d) =>
+      graft.operators.Dedup.winnowingFingerprints(
+          t(s, d, "documents"), "doc_id", "text", k = 3, window = 4)
+        .orderBy(col("doc_id"), col("fp_pos"), col("fp_hash"))),
+
+    // --- McNemar's paired test ---------------------------------------------
+    // Two threshold "classifiers" predicting purchase from event value
+    // (cut 100 vs 120), scored on the same events — do they err
+    // systematically differently? Only the discordant pairs count.
+    "q296_mcnemar" -> ((s, d) => {
+      val truth = col("event_type") === "purchase"
+      val scored = ev(s, d).select(
+        (truth === (col("value") > 100.0)).cast("int").as("ok_a"),
+        (truth === (col("value") > 120.0)).cast("int").as("ok_b"))
+      graft.operators.Eval.mcnemar(scored, "ok_a", "ok_b")
+    }),
+
     // --- Huber robust regression (IRLS) ------------------------------------
     // Price-on-quantity per return flag with outliers fading as 1/|r|
     // instead of voting quadratically: OLS start + 2 reweighted
@@ -313,6 +334,52 @@ object ExtQueries4 {
   )
 
   def oracleSql: Map[String, String] = Map(
+    // same integer cells + continuity-corrected (|b-c|-1)^2/(b+c)
+    "q296_mcnemar" ->
+      """WITH r AS (SELECT
+           ((event_type = 'purchase') = (value > 100.0))::INT AS ok_a,
+           ((event_type = 'purchase') = (value > 120.0))::INT AS ok_b
+         FROM events),
+         c AS (SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(count(*) FILTER (ok_a = 1 AND ok_b = 1) AS BIGINT) AS n_both,
+           CAST(count(*) FILTER (ok_a = 1 AND ok_b = 0) AS BIGINT) AS n_a_only,
+           CAST(count(*) FILTER (ok_a = 0 AND ok_b = 1) AS BIGINT) AS n_b_only,
+           CAST(count(*) FILTER (ok_a = 0 AND ok_b = 0) AS BIGINT) AS n_neither
+         FROM r)
+         SELECT n, n_both, n_a_only, n_b_only, n_neither,
+           round(CASE WHEN n_a_only + n_b_only > 0 THEN
+             (abs(CAST(n_a_only AS DOUBLE) - n_b_only) - 1)
+               * (abs(CAST(n_a_only AS DOUBLE) - n_b_only) - 1)
+               / (n_a_only + n_b_only) END, 6) AS chi2
+         FROM c""",
+
+    // identical construction: shingle strings via list_slice (the q88
+    // convention), the engine's 13-hex-digit md5 long, window min with
+    // the rightmost-min tie resolved by a max(pos)-at-min-hash join
+    "q295_winnowing" ->
+      """WITH tk AS (SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'),
+               x -> x <> '') AS t
+           FROM documents),
+         h0 AS (SELECT doc_id,
+             unnest([{'pos': i - 1,
+               'hash': ('0x' || substr(md5(array_to_string(
+                 list_slice(t, i, i + 2), ' ')), 1, 13))::BIGINT}
+               for i in range(1, greatest(len(t) - 2, 0) + 1)]) AS u
+           FROM tk WHERE len(t) >= 3),
+         h AS (SELECT doc_id, u.pos AS pos, u.hash AS hash FROM h0),
+         mins AS (SELECT doc_id, pos AS i,
+             min(hash) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS m
+           FROM h),
+         sel AS (SELECT m.doc_id, max(h.pos) AS fp_pos, m.m AS fp_hash
+           FROM mins m JOIN h ON h.doc_id = m.doc_id
+             AND h.pos BETWEEN m.i - 3 AND m.i AND h.hash = m.m
+           WHERE m.i >= 3
+           GROUP BY m.doc_id, m.i, m.m)
+         SELECT DISTINCT doc_id, fp_pos, fp_hash FROM sel
+         ORDER BY doc_id, fp_pos, fp_hash""",
+
     // plain theta join (DuckDB's IEJoin serves it) over the same two
     // interval CTEs; inclusive-endpoint overlap, same floor-div day
     "q293_interval_overlap" ->

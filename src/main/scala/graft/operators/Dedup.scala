@@ -736,4 +736,52 @@ object Dedup {
     Graph.connectedComponents(pairs, "id_a", "id_b",
       nodes = Some((vectors.select(col(idCol)), idCol)))
   }
+
+  /** Winnowing document fingerprints (Schleimer/Wilkerson/Aiken — the
+    * MOSS algorithm): k-token shingle hashes slide under a w-wide
+    * window, each full window selects its MINIMUM hash (ties to the
+    * RIGHTMOST position — the classic convention that minimizes the
+    * fingerprint count), selections dedup. The guarantee: any shared
+    * token run of length >= w + k − 1 between two documents produces
+    * at least one IDENTICAL (hash) fingerprint in both — substring-
+    * granular matching at ~2/(w+1) of the shingle count, the standard
+    * plagiarism / near-dup fingerprint beside [[duplicateSpans]]' (which
+    * flags corpus-frequent spans; winnowing SUMMARIZES each doc for
+    * later pairwise probing, e.g. through a [[SignatureStore]]).
+    * Docs too short for one full window (fewer than window + k − 1
+    * tokens) emit nothing, as do null texts.
+    *
+    * Hashes are the engine's cross-engine md5 form (13 hex digits →
+    * long), so a SQL oracle rebuilds them verbatim; tokens are the
+    * lowercase-whitespace contract. One narrow shingle projection +
+    * one doc-keyed window — text shuffles once, work O(tokens) per
+    * doc.
+    * Output: (idCol, fp_pos, fp_hash) — fp_pos the 0-based token
+    * position of the selected shingle. */
+  def winnowingFingerprints(docs: DataFrame, idCol: String,
+                            textCol: String, k: Int = 3,
+                            window: Int = 4): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(window >= 1, s"window must be >= 1, got $window")
+    val w = Window.partitionBy(col(idCol)).orderBy(col("__pos").asc)
+      .rowsBetween(-(window - 1), 0)
+    docs
+      .select(col(idCol),
+        expr(graft.plans.Tokens.whitespaceSql(textCol)).as("__toks"))
+      .filter(size(col("__toks")) >= k)
+      .select(col(idCol), explode(expr(
+        s"transform(sequence(0, size(__toks) - $k), p -> " +
+          s"struct(p AS pos, array_join(slice(__toks, p + 1, $k), ' ') " +
+          "AS g))")).as("__e"))
+      .select(col(idCol), col("__e.pos").as("__pos"),
+        expr("CAST(conv(substring(md5(__e.g), 1, 13), 16, 10) AS BIGINT)")
+          .as("__h"))
+      .withColumn("__sel",
+        min(struct(col("__h"), negate(col("__pos")).as("__np"))).over(w))
+      .filter(col("__pos") >= window - 1)
+      .select(col(idCol),
+        negate(col("__sel.__np")).cast("long").as("fp_pos"),
+        col("__sel.__h").as("fp_hash"))
+      .distinct()
+  }
 }

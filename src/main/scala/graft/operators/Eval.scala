@@ -1062,6 +1062,39 @@ object Eval {
         .as("df"))
   }
 
+  /** McNemar's paired test — do two classifiers (or two model
+    * versions) disagree SYSTEMATICALLY on the same items? The paired
+    * complement to [[propZTest]]'s independent-samples rates: only the
+    * DISCORDANT pairs carry information (b = items only A got right,
+    * c = items only B got right), and the continuity-corrected
+    * statistic (|b − c| − 1)² / (b + c) is χ²₁ under H₀: equal error
+    * rates. The standard before/after readout for model upgrades
+    * scored on one eval set.
+    *
+    * ONE fact-sized count pass; everything after is integer-derived
+    * doubles (engine-stable). correctA/correctB are truthy ints
+    * (≠ 0 = correct); rows where either is null drop. b + c = 0
+    * (no disagreements) → null statistic, not 0. Output: one row
+    * (n, n_both, n_a_only, n_b_only, n_neither, chi2 rounded 6). */
+  def mcnemar(df: DataFrame, correctACol: String,
+              correctBCol: String): DataFrame = {
+    val a = col(correctACol).cast("int") =!= 0
+    val b = col(correctBCol).cast("int") =!= 0
+    val counts = df
+      .filter(col(correctACol).isNotNull && col(correctBCol).isNotNull)
+      .agg(count(lit(1)).as("n"),
+        sum(when(a && b, 1L).otherwise(0L)).as("n_both"),
+        sum(when(a && !b, 1L).otherwise(0L)).as("n_a_only"),
+        sum(when(!a && b, 1L).otherwise(0L)).as("n_b_only"),
+        sum(when(!a && !b, 1L).otherwise(0L)).as("n_neither"))
+    val bb = col("n_a_only").cast("double")
+    val cc = col("n_b_only").cast("double")
+    val diff = abs(bb - cc) - 1.0
+    counts.select(col("n"), col("n_both"), col("n_a_only"),
+      col("n_b_only"), col("n_neither"),
+      round(when(bb + cc > 0.0, diff * diff / (bb + cc)), 6).as("chi2"))
+  }
+
   /** Two-proportion z-test — the A/B readout on RATES (conversion,
     * defect rate, positive-label share): z = (p̂_a − p̂_b) /
     * √(p̂(1−p̂)(1/n_a + 1/n_b)) with p̂ pooled — the standard

@@ -555,4 +555,62 @@ class DedupSpec extends SparkSpec {
     assert(ham(1L, 3L) < ham(1L, 4L),
       s"near-dup ${ham(1L, 3L)} should be closer than unrelated ${ham(1L, 4L)}")
   }
+
+  test("winnowingFingerprints ≡ an independent reference winnowing " +
+    "(rightmost-min ties), shared-run guarantee, short/null docs " +
+    "emit nothing, guards") {
+    import org.apache.spark.sql.functions._
+    // independent reference implementation
+    def refWinnow(text: String, k: Int, w: Int): Set[(Long, Long)] = {
+      val toks = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      if (toks.length < k) Set.empty
+      else {
+        val hashes = (0 to toks.length - k).map { p =>
+          val g = toks.slice(p, p + k).mkString(" ")
+          val md5 = java.security.MessageDigest.getInstance("MD5")
+            .digest(g.getBytes("UTF-8")).map("%02x".format(_)).mkString
+          (p.toLong, java.lang.Long.parseLong(md5.take(13), 16))
+        }
+        (w - 1 until hashes.length).flatMap { i =>
+          val win = hashes.slice(i - w + 1, i + 1)
+          val m = win.map(_._2).min
+          Seq(win.filter(_._2 == m).maxBy(_._1)) // rightmost min
+        }.toSet
+      }
+    }
+    val texts = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (3L, "a b"),                                // < k tokens
+      (4L, null.asInstanceOf[String]),            // null text
+      (5L, "x y z w"))                            // 2 shingles < window
+    val out = Dedup.winnowingFingerprints(texts.toDF("doc_id", "text"),
+        "doc_id", "text", k = 3, window = 4)
+      .as[(Long, Long, Long)].collect()
+      .groupBy(_._1).map { case (id, rs) =>
+        id -> rs.map(r => (r._2, r._3)).toSet }
+    assert(out.getOrElse(1L, Set.empty) ==
+      refWinnow(texts.head._2, 3, 4), s"doc 1: ${out.get(1L)}")
+    assert(out.getOrElse(2L, Set.empty) == refWinnow(texts(1)._2, 3, 4))
+    assert(!out.contains(3L) && !out.contains(4L) && !out.contains(5L))
+
+    // guarantee: a shared token run of length >= w + k - 1 = 6 yields
+    // at least one shared fingerprint HASH between the two docs
+    val shared = "one two three four five six"
+    val pair = Seq(
+      (10L, s"aa bb cc $shared dd ee ff"),
+      (11L, s"zz yy $shared xx ww vv uu tt")).toDF("doc_id", "text")
+    val fps = Dedup.winnowingFingerprints(pair, "doc_id", "text",
+        k = 3, window = 4)
+      .as[(Long, Long, Long)].collect().groupBy(_._1)
+      .map { case (id, rs) => id -> rs.map(_._3).toSet }
+    assert((fps(10L) & fps(11L)).nonEmpty, "shared run must fingerprint")
+
+    intercept[IllegalArgumentException] {
+      Dedup.winnowingFingerprints(pair, "doc_id", "text", k = 0)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.winnowingFingerprints(pair, "doc_id", "text", window = 0)
+    }
+  }
 }

@@ -399,4 +399,27 @@ class EvalSpec2 extends SparkSpec {
     assert(out(6L).getDouble(6) ==
       r6(math.sqrt(r9(2.0 / 4.0) * r9(1.0 / 3.0))))
   }
+
+  test("mcnemar: hand 2x2 with continuity correction, no-disagreement " +
+    "null, null rows drop") {
+    import org.apache.spark.sql.functions._
+    // 10 both-right, b = 6 A-only, c = 2 B-only, 2 neither
+    val rows = Seq.fill(10)((1, 1)) ++ Seq.fill(6)((1, 0)) ++
+      Seq.fill(2)((0, 1)) ++ Seq.fill(2)((0, 0))
+    val out = Eval.mcnemar(rows.toDF("ok_a", "ok_b"), "ok_a", "ok_b")
+      .collect().head
+    assert(out.getLong(0) == 20L && out.getLong(1) == 10L &&
+      out.getLong(2) == 6L && out.getLong(3) == 2L && out.getLong(4) == 2L)
+    // (|6-2|-1)^2 / 8 = 9/8 = 1.125
+    assert(out.getDouble(5) == 1.125, out.getDouble(5))
+    // perfect agreement → null chi2, not 0
+    val agree = Eval.mcnemar(Seq((1, 1), (0, 0)).toDF("ok_a", "ok_b"),
+      "ok_a", "ok_b").collect().head
+    assert(agree.isNullAt(5))
+    // null rows drop from every cell
+    val withNull = Seq((Some(1), Some(1)), (None: Option[Int], Some(1)),
+      (Some(1), None: Option[Int])).toDF("ok_a", "ok_b")
+    val n = Eval.mcnemar(withNull, "ok_a", "ok_b").collect().head
+    assert(n.getLong(0) == 1L)
+  }
 }
