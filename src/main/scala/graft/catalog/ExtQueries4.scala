@@ -322,6 +322,42 @@ object ExtQueries4 {
       graft.operators.Eval.mcnemar(scored, "ok_a", "ok_b")
     }),
 
+    // --- cross-table exact Jaccard join ------------------------------------
+    // Planted perturbed twins (the q107 construction) probed AGAINST
+    // the document corpus as two separate tables — the cross-corpus
+    // linkage form of the prefix-filtered set-similarity join (this
+    // week's batch vs the catalog); zero false negatives, exact gate.
+    "q297_jaccard_join" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val twins = docs.filter(col("doc_id") < 20).select(
+        (col("doc_id") + 1000000L).as("doc_id"),
+        concat(col("text"), lit(" zz zz")).as("text"))
+      def sets(df: DataFrame) = df.select(col("doc_id"),
+        graft.plans.ShingleHashSet(col("text")).as("shingles"))
+      graft.operators.SetSimJoin.jaccardJoin(
+          sets(twins), "doc_id", "shingles",
+          sets(docs), "doc_id", "shingles", 0.8, frequencyOrder = true)
+        .select(col("id_a"), col("id_b"), col("intersection"),
+          round(col("jaccard"), 4).as("jaccard"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // --- whole-doc FFD bin packing (rows-only: first-fit decreasing is
+    // inherently sequential per shard — no SQL form; correctness is
+    // PackSpec's ≡ independent-reference proof, the q101/q208
+    // adjudication) ---------------------------------------------------------
+    // Documents packed whole into 256-token windows across 8 shards —
+    // the no-split training-window packer beside q89's concat-stream.
+    "q298_bin_pack" -> ((s, d) => {
+      val docs = t(s, d, "documents").select(col("doc_id"),
+        expr(s"size(${graft.plans.Tokens.whitespaceSql("text")})")
+          .cast("long").as("n_tokens"))
+        .filter(col("n_tokens") > 0)
+      graft.operators.Pack.binPackFFD(docs, "doc_id", "n_tokens",
+          capacity = 256, numShards = 8)
+        .orderBy(col("shard"), col("bin_id"), col("pos_in_bin"))
+    }),
+
     // --- Huber robust regression (IRLS) ------------------------------------
     // Price-on-quantity per return flag with outliers fading as 1/|r|
     // instead of voting quadratically: OLS start + 2 reweighted
@@ -334,6 +370,34 @@ object ExtQueries4 {
   )
 
   def oracleSql: Map[String, String] = Map(
+    // the q107 shingle-string construction, cross-table (twins × docs),
+    // no id-order constraint — values equal up to the 64-bit
+    // shingle-hash collision contract
+    "q297_jaccard_join" ->
+      """WITH twins AS (
+           SELECT doc_id + 1000000 AS doc_id, text || ' zz zz' AS text
+           FROM documents WHERE doc_id < 20),
+         tka AS (SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'),
+               x -> x <> '') AS tk FROM twins),
+         tkb AS (SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'),
+               x -> x <> '') AS tk FROM documents),
+         sa AS (SELECT doc_id,
+             list_distinct([array_to_string(list_slice(tk, i, i+2), ' ')
+               for i in range(1, greatest(len(tk)-2,1)+1)]) AS s FROM tka),
+         sb AS (SELECT doc_id,
+             list_distinct([array_to_string(list_slice(tk, i, i+2), ' ')
+               for i in range(1, greatest(len(tk)-2,1)+1)]) AS s FROM tkb),
+         pairs AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS intersection,
+             CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+               len(list_distinct(list_concat(a.s, b.s))) AS j
+           FROM sa a JOIN sb b ON true)
+         SELECT id_a, id_b, intersection, round(j, 4) AS jaccard
+         FROM pairs WHERE j >= 0.8 ORDER BY id_a, id_b""",
+
     // same integer cells + continuity-corrected (|b-c|-1)^2/(b+c)
     "q296_mcnemar" ->
       """WITH r AS (SELECT

@@ -55,6 +55,82 @@ object Pack {
       .agg(count(lit(1)).as("n_starting_docs"),
         sum(col(tokenCountCol)).as("start_tokens"))
 
+  /** Whole-document bin packing — first-fit decreasing into fixed
+    * `capacity` windows: the NO-SPLIT complement of [[sequencePack]]'s
+    * concat-stream (packing without cross-sequence contamination:
+    * every doc lands entirely inside one window, the trainer pads the
+    * slack instead of masking straddles). Docs sort (tokens desc, id
+    * asc) per shard and each takes the FIRST bin it fits — the classic
+    * FFD guarantee (≤ 11/9·OPT + 1 bins, every bin except at most one
+    * more than half full).
+    *
+    * Execution shape: hash-sharded, then per-shard imperative FFD
+    * inside tasks (`flatMapGroups` — the textRank/isotonic
+    * per-key-imperative precedent; packing is inherently sequential
+    * within a shard, and shards are the parallelism). Per-shard state
+    * is one (tokens, id) pair per doc plus one long per open bin —
+    * size `numShards` so a shard's docs fit executor memory. A doc
+    * larger than `capacity` fails fast with the remedy (chunk it first
+    * — [[chunkTokens]]); null/non-positive token counts fail the same
+    * way. Deterministic: same input → same placement on any
+    * partitioning.
+    *
+    * Output: (idCol, tokenCountCol, shard, bin_id, pos_in_bin) — bin
+    * ids dense from 0 per shard, pos_in_bin the bin load before this
+    * doc. */
+  def binPackFFD(docs: DataFrame, idCol: String, tokenCountCol: String,
+                 capacity: Int, numShards: Int,
+                 shardExpr: Option[Column] = None): DataFrame = {
+    require(capacity > 0, s"capacity must be positive, got $capacity")
+    require(numShards > 0, s"numShards must be positive, got $numShards")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val shard = shardExpr.getOrElse(pmod(col(idCol), lit(numShards.toLong)))
+    docs
+      .select(col(idCol).cast("long").as("__id"),
+        col(tokenCountCol).cast("long").as("__t"),
+        shard.cast("long").as("__shard"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._3)
+      .flatMapGroups { (sh, rows) =>
+        val items = rows.map(r => (r._2, r._1)).toArray
+        items.foreach { case (t, id) =>
+          if (t <= 0 || t > capacity) throw new IllegalArgumentException(
+            s"binPackFFD: doc $id has $t tokens, outside (0, $capacity] " +
+              "— chunk oversized docs first (Pack.chunkTokens) and drop " +
+              "empty ones")
+        }
+        // FFD: descending tokens, id tie-break; first bin that fits
+        scala.util.Sorting.quickSort(items)(
+          Ordering.Tuple2[Long, Long].on[(Long, Long)] {
+            case (t, id) => (-t, id) })
+        val loads = scala.collection.mutable.ArrayBuffer.empty[Long]
+        items.iterator.map { case (t, id) =>
+          var b = 0
+          while (b < loads.length && loads(b) + t > capacity) b += 1
+          if (b == loads.length) loads += 0L
+          val pos = loads(b)
+          loads(b) = pos + t
+          (id, t, sh, b.toLong, pos)
+        }
+      }
+      .toDF("__id", "__t", "shard", "bin_id", "pos_in_bin")
+      .withColumnRenamed("__id", idCol)
+      .withColumnRenamed("__t", tokenCountCol)
+  }
+
+  /** Bin-level roll-up of [[binPackFFD]] output: docs, used tokens and
+    * fill fraction per (shard, bin). */
+  def binStats(packed: DataFrame, tokenCountCol: String,
+               capacity: Int): DataFrame = {
+    require(capacity > 0, s"capacity must be positive, got $capacity")
+    packed.groupBy(col("shard"), col("bin_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col(tokenCountCol)).as("used_tokens"))
+      .withColumn("fill_frac",
+        round(col("used_tokens").cast("double") / capacity, 6))
+  }
+
   /** Context-window chunking (the RAG/embedding-prep shape): each
     * document's token sequence splits into windows of `size` tokens
     * starting every `stride` tokens — consecutive chunks overlap by

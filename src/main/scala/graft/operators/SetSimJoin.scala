@@ -46,58 +46,97 @@ object SetSimJoin {
   def jaccardSelfJoin(df: DataFrame, idCol: String, setCol: String,
                       threshold: Double,
                       frequencyOrder: Boolean = false): DataFrame = {
+    val base = prepJaccard(df, idCol, setCol, threshold)
+    jaccardCore(base, base, threshold, frequencyOrder, selfPairs = true)
+  }
+
+  /** Cross-table variant: all (id_a from `left`, id_b from `right`)
+    * with exact Jaccard >= `threshold` — record linkage / cross-corpus
+    * near-dup where the two sides are different tables (candidate
+    * docs vs a reference corpus, this week's batch vs the catalog).
+    * Same prefix-filter machinery as [[jaccardSelfJoin]] under ONE
+    * global element order computed over BOTH sides (frequency mode
+    * counts each side's sets once); zero false negatives, exact gate.
+    * Same output contract (id equality across tables is not
+    * meaningful and not filtered). */
+  def jaccardJoin(left: DataFrame, leftIdCol: String, leftSetCol: String,
+                  right: DataFrame, rightIdCol: String,
+                  rightSetCol: String, threshold: Double,
+                  frequencyOrder: Boolean = false): DataFrame =
+    jaccardCore(prepJaccard(left, leftIdCol, leftSetCol, threshold),
+      prepJaccard(right, rightIdCol, rightSetCol, threshold),
+      threshold, frequencyOrder, selfPairs = false)
+
+  private def prepJaccard(df: DataFrame, idCol: String, setCol: String,
+                          threshold: Double): DataFrame = {
     require(threshold > 0 && threshold <= 1,
       s"threshold must be in (0, 1], got $threshold")
-    val base = df
-      .select(col(idCol).as("__sid"),
+    df.select(col(idCol).as("__sid"),
         array_sort(array_distinct(col(setCol))).as("__els"))
       .filter(size(col("__els")) > 0)
+  }
 
-    val ordered =
-      if (!frequencyOrder) base
+  private def jaccardCore(baseA: DataFrame, baseB: DataFrame,
+                          threshold: Double, frequencyOrder: Boolean,
+                          selfPairs: Boolean): DataFrame = {
+    def orderedOf(base: DataFrame, freq: DataFrame) =
+      base.select(col("__sid"), explode(col("__els")).as("__el"))
+        .join(freq, Seq("__el"), "left")
+        .groupBy(col("__sid"))
+        .agg(array_sort(collect_list(
+          struct(coalesce(col("__cnt"), lit(0L)).as("__cnt"), col("__el"))))
+          .as("__se"))
+        .select(col("__sid"),
+          transform(col("__se"), s => s.getField("__el")).as("__els"))
+    val (ordA, ordB) =
+      if (!frequencyOrder) (baseA, baseB)
       else {
-        // ascending global frequency, element value tie-break: rare
-        // elements first, so prefixes block on the rarest elements
-        val freq = base.select(explode(col("__els")).as("__el"))
-          .groupBy(col("__el")).agg(count(lit(1)).as("__cnt"))
-        base.select(col("__sid"), explode(col("__els")).as("__el"))
-          .join(freq, "__el")
-          .groupBy(col("__sid"))
-          .agg(array_sort(collect_list(struct(col("__cnt"), col("__el"))))
-            .as("__se"))
-          .select(col("__sid"),
-            transform(col("__se"), s => s.getField("__el")).as("__els"))
+        // ascending global frequency over BOTH sides (self: one side,
+        // counted once), element value tie-break: rare elements first,
+        // so prefixes block on the rarest elements
+        val universe =
+          if (selfPairs) baseA.select(explode(col("__els")).as("__el"))
+          else baseA.select(explode(col("__els")).as("__el"))
+            .unionByName(baseB.select(explode(col("__els")).as("__el")))
+        val freq = universe.groupBy(col("__el"))
+          .agg(count(lit(1)).as("__cnt"))
+        (orderedOf(baseA, freq),
+          if (selfPairs) orderedOf(baseA, freq) else orderedOf(baseB, freq))
       }
-
-    val sets = ordered
+    def setsOf(ordered: DataFrame) = ordered
       .select(col("__sid"), col("__els"), size(col("__els")).as("__n"),
         // prefix length n - ceil(t*n) + 1, never below 1
         greatest(size(col("__els"))
           - ceil(lit(threshold) * size(col("__els"))).cast("int") + 1,
           lit(1)).as("__p"))
+    val setsA = setsOf(ordA)
+    val setsB = if (selfPairs) setsA else setsOf(ordB)
 
     // candidate generation: exploded-prefix equi-join. The length filter
     // (Jaccard >= t implies min(n_a, n_b) >= t * max(n_a, n_b)) rides the
     // join condition; the epsilon slackens PRUNING only — a candidate is
     // never wrongly dropped, the exact gate below decides membership.
-    val prefixes = sets.select(col("__sid"), col("__n"),
+    def prefixesOf(sets: DataFrame) = sets.select(col("__sid"), col("__n"),
       explode(slice(col("__els"), lit(1), col("__p"))).as("__el"))
-    val a = prefixes.select(col("__sid").as("id_a"), col("__n").as("__na"),
-      col("__el"))
-    val b = prefixes.select(col("__sid").as("id_b"), col("__n").as("__nb"),
-      col("__el"))
+    val a = prefixesOf(setsA).select(col("__sid").as("id_a"),
+      col("__n").as("__na"), col("__el"))
+    val b = prefixesOf(setsB).select(col("__sid").as("id_b"),
+      col("__n").as("__nb"), col("__el"))
+    val pairPred =
+      if (selfPairs) col("id_a") < col("id_b")
+      else lit(true)
     val candidates = a.join(b,
-        a("__el") === b("__el") && col("id_a") < col("id_b") &&
+        a("__el") === b("__el") && pairPred &&
           col("__na").cast("double") >= lit(threshold) * col("__nb") - lit(1e-9) &&
           col("__nb").cast("double") >= lit(threshold) * col("__na") - lit(1e-9))
       .select(col("id_a"), col("id_b")).distinct()
 
     // exact gate — candidates only
     val withA = candidates.join(
-      sets.select(col("__sid").as("id_a"), col("__els").as("__ea"),
+      setsA.select(col("__sid").as("id_a"), col("__els").as("__ea"),
         col("__n").as("size_a")), "id_a")
     val withB = withA.join(
-      sets.select(col("__sid").as("id_b"), col("__els").as("__eb"),
+      setsB.select(col("__sid").as("id_b"), col("__els").as("__eb"),
         col("__n").as("size_b")), "id_b")
     withB
       .withColumn("intersection",

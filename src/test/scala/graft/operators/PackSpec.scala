@@ -89,4 +89,77 @@ class PackSpec extends SparkSpec {
       Pack.chunkTokens(docs, "doc_id", "text", size = 4, stride = 5)
     }
   }
+
+  test("binPackFFD ≡ an independent reference FFD per shard; bins " +
+    "valid and dense; FFD half-full property; oversized/empty docs " +
+    "fail fast; repartition-deterministic") {
+    import org.apache.spark.sql.functions._
+    def refFfd(items: Seq[(Long, Long)], capacity: Long)
+        : Map[Long, (Long, Long)] = {
+      val sorted = items.sortBy { case (id, t) => (-t, id) }
+      val loads = scala.collection.mutable.ArrayBuffer.empty[Long]
+      sorted.map { case (id, t) =>
+        var b = 0
+        while (b < loads.length && loads(b) + t > capacity) b += 1
+        if (b == loads.length) loads += 0L
+        val pos = loads(b); loads(b) += t
+        id -> (b.toLong, pos)
+      }.toMap
+    }
+    val items = (0L until 200L).map(id =>
+      (id, 1L + (id * 37 + 11) % 90))           // pseudo-random sizes
+    val df = items.toDF("doc_id", "n_tokens")
+    val out = Pack.binPackFFD(df, "doc_id", "n_tokens",
+        capacity = 128, numShards = 4)
+      .select(col("doc_id"), col("shard"), col("bin_id"), col("pos_in_bin"))
+      .as[(Long, Long, Long, Long)].collect()
+    assert(out.length == 200, "every doc placed exactly once")
+    for (sh <- 0L until 4L) {
+      val want = refFfd(items.filter(_._1 % 4 == sh), 128L)
+      val got = out.filter(_._2 == sh)
+        .map(r => r._1 -> (r._3, r._4)).toMap
+      assert(got == want, s"shard $sh")
+      // validity: per-bin loads <= capacity; dense ids; FFD property —
+      // at most one bin at most half full
+      val byBin = out.filter(_._2 == sh).groupBy(_._3)
+      val sizes = items.toMap
+      val loads = byBin.map { case (b, rs) => b -> rs.map(r => sizes(r._1)).sum }
+      assert(loads.values.forall(_ <= 128L))
+      assert(byBin.keySet == (0L until byBin.size).toSet, "dense bins")
+      assert(loads.values.count(_ <= 64L) <= 1, s"FFD half-full: $loads")
+    }
+    // determinism under repartition
+    val out2 = Pack.binPackFFD(df.repartition(7), "doc_id", "n_tokens",
+        capacity = 128, numShards = 4)
+      .select(col("doc_id"), col("shard"), col("bin_id"), col("pos_in_bin"))
+      .as[(Long, Long, Long, Long)].collect()
+    assert(out.toSet == out2.toSet)
+    // oversized and empty docs fail fast with the remedy
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ messages(x.getCause))
+    val big = intercept[Exception] {
+      Pack.binPackFFD(Seq((1L, 300L)).toDF("doc_id", "n_tokens"),
+        "doc_id", "n_tokens", capacity = 128, numShards = 1).collect()
+    }
+    assert(messages(big).exists(_.contains("chunkTokens")), messages(big))
+    intercept[Exception] {
+      Pack.binPackFFD(Seq((1L, 0L)).toDF("doc_id", "n_tokens"),
+        "doc_id", "n_tokens", capacity = 128, numShards = 1).collect()
+    }
+    intercept[IllegalArgumentException] {
+      Pack.binPackFFD(df, "doc_id", "n_tokens", capacity = 0, numShards = 1)
+    }
+    // binStats roll-up agrees with hand accounting
+    val stats = Pack.binStats(Pack.binPackFFD(df, "doc_id", "n_tokens",
+        capacity = 128, numShards = 4), "n_tokens", 128)
+      .select(col("shard"), col("bin_id"), col("used_tokens"))
+      .as[(Long, Long, Long)].collect()
+    val sizes = items.toMap
+    for ((sh, b, used) <- stats) {
+      val want = out.filter(r => r._2 == sh && r._3 == b)
+        .map(r => sizes(r._1)).sum
+      assert(used == want)
+    }
+  }
 }

@@ -152,4 +152,39 @@ class SetSimJoinSpec extends SparkSpec {
     // the documented recall trade, pinned here
     assert(results(freq = false, cap = 5).isEmpty)
   }
+
+  test("jaccardJoin (cross-table) ≡ brute cross at several thresholds, " +
+    "with and without frequency order; self-join unchanged by the " +
+    "refactor") {
+    import org.apache.spark.sql.DataFrame
+    val left = corpus.filter(col("id") >= 1000)   // twins + exact dup
+    val right = corpus.filter(col("id") < 1000)   // bases
+    def brute(t: Double): Set[(Long, Long, Long)] = {
+      val a = left.select(col("id").as("id_a"),
+        array_distinct(col("els")).as("ea"))
+      val b = right.select(col("id").as("id_b"),
+        array_distinct(col("els")).as("eb"))
+      a.crossJoin(b)
+        .withColumn("i", size(array_intersect(col("ea"), col("eb"))).cast("long"))
+        .withColumn("j", col("i").cast("double") /
+          (size(col("ea")) + size(col("eb")) - col("i")))
+        .filter(col("j") >= t)
+        .select(col("id_a"), col("id_b"), col("i"))
+        .as[(Long, Long, Long)].collect().toSet
+    }
+    for (t <- Seq(0.5, 0.8, 1.0); fo <- Seq(false, true)) {
+      val fast = pairsOf(SetSimJoin.jaccardJoin(left, "id", "els",
+        right, "id", "els", t, frequencyOrder = fo))
+      assert(fast == brute(t), s"threshold $t freq $fo")
+    }
+    // the planted twins link to their bases across the table split
+    val hits = pairsOf(SetSimJoin.jaccardJoin(left, "id", "els",
+      right, "id", "els", 0.8))
+    for (i <- 0L until 10L)
+      assert(hits.exists(p => p._1 == 1000L + i && p._2 == i),
+        s"twin $i must link to base $i")
+    intercept[IllegalArgumentException] {
+      SetSimJoin.jaccardJoin(left, "id", "els", right, "id", "els", 0.0)
+    }
+  }
 }
