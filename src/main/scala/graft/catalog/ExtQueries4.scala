@@ -358,6 +358,31 @@ object ExtQueries4 {
         .orderBy(col("shard"), col("bin_id"), col("pos_in_bin"))
     }),
 
+    // --- cross-correlation function (lead-lag) -----------------------------
+    // Do daily views LEAD daily purchases? CCF of the two global daily
+    // series at lags 0..7 — the lead-lag detector beside q252's ACF.
+    "q299_ccf" -> ((s, d) => {
+      val daily = ev(s, d)
+        .groupBy(col("ts").cast("date").as("day"))
+        .agg(sum(when(col("event_type") === "view", 1L).otherwise(0L))
+            .cast("double").as("views"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .cast("double").as("purchases"))
+        .withColumn("g", lit("all"))
+      graft.operators.TimeSeries.crossCorrelation(
+          daily, "g", "day", "views", "purchases", maxLag = 7)
+        .orderBy(col("lag"))
+    }),
+
+    // --- key-skew report ---------------------------------------------------
+    // The pre-join diagnostic: the 20 heaviest customers by order rows,
+    // with shares and the global key facts — what decides salting and
+    // AQE skew thresholds before a shuffle detonates.
+    "q300_key_skew" -> ((s, d) =>
+      graft.operators.Profile.keySkew(t(s, d, "orders"),
+          Seq("o_custkey"), topK = 20)
+        .orderBy(col("rank"))),
+
     // --- Huber robust regression (IRLS) ------------------------------------
     // Price-on-quantity per return flag with outliers fading as 1/|r|
     // instead of voting quadratically: OLS start + 2 reweighted
@@ -370,6 +395,59 @@ object ExtQueries4 {
   )
 
   def oracleSql: Map[String, String] = Map(
+    // same counts, ranks and percentage arithmetic
+    "q300_key_skew" ->
+      """WITH c AS (SELECT coalesce(CAST(o_custkey AS VARCHAR), 'NULL')
+             AS key, CAST(count(*) AS BIGINT) AS cnt
+           FROM orders GROUP BY 1),
+         t AS (SELECT sum(cnt) AS n_rows,
+             CAST(count(*) AS BIGINT) AS n_keys FROM c),
+         r AS (SELECT key, cnt,
+             row_number() OVER (ORDER BY cnt DESC, key ASC) AS rank,
+             sum(cnt) OVER (ORDER BY cnt DESC, key ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           FROM c)
+         SELECT CAST(rank AS INT) AS rank, key, cnt,
+           round(CAST(cnt AS DOUBLE) * 100.0 / n_rows, 4) AS share_pct,
+           round(CAST(cum AS DOUBLE) * 100.0 / n_rows, 4) AS cum_share_pct,
+           n_rows, n_keys,
+           round(CAST(n_rows AS DOUBLE) / n_keys, 4) AS avg_per_key
+         FROM r, t WHERE rank <= 20 ORDER BY rank""",
+
+    // the q252 construction with a forward (pos + lag) join and the
+    // sqrt(dx*dy) denominator; lag 0 included
+    "q299_ccf" ->
+      """WITH srs AS (SELECT 'all' AS g, CAST(ts AS DATE) AS day,
+             CAST(count(*) FILTER (event_type = 'view') AS DOUBLE) AS x,
+             CAST(count(*) FILTER (event_type = 'purchase') AS DOUBLE) AS y
+           FROM events GROUP BY 1, 2),
+         pos AS (SELECT g, x, y,
+             row_number() OVER (PARTITION BY g ORDER BY day) AS p
+           FROM srs),
+         mu AS (SELECT g,
+             round(CAST(sum(CAST(round(x, 9) AS DECIMAL(38,9)))
+               AS DOUBLE) / count(*), 9) AS mx,
+             round(CAST(sum(CAST(round(y, 9) AS DECIMAL(38,9)))
+               AS DOUBLE) / count(*), 9) AS my
+           FROM pos GROUP BY 1),
+         cen AS (SELECT pos.g, p, x - mx AS ex, y - my AS ey
+           FROM pos JOIN mu USING (g)),
+         den AS (SELECT g,
+             sum(CAST(round(ex * ex, 9) AS DECIMAL(38,9))) AS dx,
+             sum(CAST(round(ey * ey, 9) AS DECIMAL(38,9))) AS dy
+           FROM cen GROUP BY 1),
+         pairs AS (SELECT a.g, t.lg, a.ex AS ex, b.ey AS ey
+           FROM cen a CROSS JOIN range(0, 8) t(lg)
+           JOIN cen b ON b.g = a.g AND b.p = a.p + t.lg),
+         num AS (SELECT g, lg, count(*) AS n_terms,
+             sum(CAST(round(ex * ey, 9) AS DECIMAL(38,9))) AS num
+           FROM pairs GROUP BY 1, 2)
+         SELECT num.g AS g, CAST(lg AS INT) AS lag, n_terms,
+           round(CASE WHEN dx <> 0 AND dy <> 0 THEN
+             CAST(num AS DOUBLE) /
+               sqrt(CAST(dx AS DOUBLE) * CAST(dy AS DOUBLE)) END, 6) AS r
+         FROM num JOIN den USING (g) ORDER BY lag""",
+
     // the q107 shingle-string construction, cross-table (twins × docs),
     // no id-order constraint — values equal up to the 64-bit
     // shingle-hash collision contract

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Table profiling — the data-quality survey a pipeline runs before
@@ -264,5 +265,44 @@ object Profile {
             (col("n").cast("double") - col("__n") * col("__p")) /
             (col("__n") * col("__p"))), 6).as("chi2_term"))
       .orderBy(col("digit"))
+  }
+
+  /** Key-skew report — the pre-join diagnostic that decides salting
+    * ([[SkewJoin]]) and AQE skew thresholds BEFORE a shuffle
+    * detonates: the `topK` heaviest key groups with their row counts,
+    * corpus share and cumulative share, plus the global facts
+    * (n_rows, n_keys, avg rows/key) on every row for one-glance
+    * reading. A hot key holding 5% of a fact table is invisible in
+    * samples and fatal in a shuffle; this is one keyed count + a
+    * distributed top-k (TakeOrderedAndProject — no corpus-wide
+    * window; the only ordered window walks the k result rows).
+    * Composite keys render as one '|'-joined string (null → 'NULL').
+    * Output: (rank, key, cnt, share_pct, cum_share_pct, n_rows,
+    * n_keys, avg_per_key), rank by (cnt desc, key asc). */
+  def keySkew(df: DataFrame, keyCols: Seq[String],
+              topK: Int = 20): DataFrame = {
+    require(keyCols.nonEmpty, "keySkew needs at least one key column")
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val key = concat_ws("|",
+      keyCols.map(c => coalesce(col(c).cast("string"), lit("NULL"))): _*)
+    val counts = df.select(key.as("key"))
+      .groupBy(col("key")).agg(count(lit(1)).as("cnt"))
+    val totals = counts.agg(sum(col("cnt")).as("n_rows"),
+      count(lit(1)).as("n_keys"))
+    val top = counts.orderBy(col("cnt").desc, col("key").asc).limit(topK)
+    val w = Window.orderBy(col("cnt").desc, col("key").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    top.crossJoin(broadcast(totals))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("cnt").desc, col("key").asc)))
+      .withColumn("cum", sum(col("cnt")).over(w))
+      .select(col("rank"), col("key"), col("cnt"),
+        round(col("cnt").cast("double") * 100.0 / col("n_rows"), 4)
+          .as("share_pct"),
+        round(col("cum").cast("double") * 100.0 / col("n_rows"), 4)
+          .as("cum_share_pct"),
+        col("n_rows"), col("n_keys"),
+        round(col("n_rows").cast("double") / col("n_keys"), 4)
+          .as("avg_per_key"))
   }
 }

@@ -694,6 +694,62 @@ object TimeSeries {
           .as("r"))
   }
 
+  /** Cross-correlation function (CCF) per key — does series x LEAD
+    * series y? r(l) correlates x_t with y_(t+l) for l = 0..maxLag (the
+    * lead-lag detector behind "do views this week drive purchases
+    * next week"): r(l) = Σ (x_t − x̄)(y_(t+l) − ȳ) / √(Σ(x−x̄)² ·
+    * Σ(y−ȳ)²) — the biased estimator over the key's full-series
+    * means, the [[autocorrelation]] convention (CCF(x = y, l ≥ 1)
+    * reduces to it, spec-pinned). To probe the opposite direction
+    * (y leading x) swap the columns.
+    *
+    * Same shape as ACF: keyed positions, ONE lag-exploded self-join on
+    * (key, pos + lag), all key-co-partitioned; 9-grid DECIMAL(38,9)
+    * product sums, one division per (key, lag); either side constant →
+    * null r. Rows with null ts/x/y drop. Output: (keyCol, lag,
+    * n_terms, r rounded 6), lag 0 included (aligned Pearson). */
+  def crossCorrelation(df: DataFrame, keyCol: String, tsCol: String,
+                       xCol: String, yCol: String,
+                       maxLag: Int): DataFrame = {
+    require(maxLag >= 0, s"maxLag must be >= 0, got $maxLag")
+    val w = Window.partitionBy(col("__k")).orderBy(col("__t"))
+    val rows = df.filter(col(tsCol).isNotNull && col(xCol).isNotNull &&
+        col(yCol).isNotNull)
+      .select(col(keyCol).as("__k"), col(tsCol).as("__t"),
+        col(xCol).cast("double").as("__x"), col(yCol).cast("double").as("__y"))
+      .withColumn("__p", row_number().over(w))
+    val dec38 = (c: Column) => round(c, 9).cast("decimal(38,9)")
+    val stats = rows.groupBy(col("__k"))
+      .agg(count(lit(1)).as("__n"), sum(dec38(col("__x"))).as("__sx"),
+        sum(dec38(col("__y"))).as("__sy"))
+      .select(col("__k"),
+        round(col("__sx").cast("double") / col("__n"), 9).as("__mx"),
+        round(col("__sy").cast("double") / col("__n"), 9).as("__my"))
+    val centered = rows.join(broadcast(stats), "__k")
+    val denom = centered.groupBy(col("__k"))
+      .agg(sum(dec38((col("__x") - col("__mx")) *
+          (col("__x") - col("__mx")))).as("__dx"),
+        sum(dec38((col("__y") - col("__my")) *
+          (col("__y") - col("__my")))).as("__dy"))
+    val cur = centered.select(col("__k"), col("__p"),
+        (col("__x") - col("__mx")).as("__ex"))
+      .withColumn("__lag", explode(sequence(lit(0), lit(maxLag))))
+    val fut = centered.select(col("__k").as("__k2"),
+      col("__p").as("__pf"), (col("__y") - col("__my")).as("__ey"))
+    cur.join(fut, col("__k") === col("__k2") &&
+        col("__p") + col("__lag") === col("__pf"))
+      .groupBy(col("__k"), col("__lag"))
+      .agg(count(lit(1)).as("n_terms"),
+        sum(dec38(col("__ex") * col("__ey"))).as("__num"))
+      .join(denom, "__k")
+      .select(col("__k").as(keyCol), col("__lag").cast("int").as("lag"),
+        col("n_terms"),
+        round(when(col("__dx") =!= 0 && col("__dy") =!= 0,
+          col("__num").cast("double") /
+            sqrt(col("__dx").cast("double") * col("__dy").cast("double"))), 6)
+          .as("r"))
+  }
+
   /** Theil–Sen robust trend per key — slope = the median of all
     * pairwise slopes (v_j−v_i)/(t_j−t_i), intercept = the median of
     * v_i − slope·t_i: the trend estimate a 29%-outlier-contaminated

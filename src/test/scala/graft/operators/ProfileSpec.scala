@@ -175,4 +175,26 @@ class ProfileSpec extends SparkSpec {
     val h = out("h")
     assert(h.getLong(1) == 1L && h.getDouble(8) == 1.0)
   }
+
+  test("keySkew: hand counts/shares, composite + null keys, topK cut, " +
+    "summary facts on every row, guards") {
+    import org.apache.spark.sql.functions._
+    val rows = (Seq.fill(6)(("a", Some(1))) ++ Seq.fill(3)(("b", Some(2))) ++
+      Seq.fill(1)(("c", None: Option[Int])))
+      .toDF("k1", "k2")
+    val out = Profile.keySkew(rows, Seq("k1", "k2"), topK = 2)
+      .collect().map(r => r.getInt(0) ->
+        (r.getString(1), r.getLong(2), r.getDouble(3), r.getDouble(4),
+          r.getLong(5), r.getLong(6), r.getDouble(7))).toMap
+    assert(out.size == 2, "topK cut")
+    assert(out(1) == (("a|1", 6L, 60.0, 60.0, 10L, 3L, 3.3333)))
+    assert(out(2) == (("b|2", 3L, 30.0, 90.0, 10L, 3L, 3.3333)))
+    // the null key renders and ranks when topK admits it
+    val all = Profile.keySkew(rows, Seq("k1", "k2"), topK = 10)
+      .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(all(3) == "c|NULL")
+    intercept[IllegalArgumentException](Profile.keySkew(rows, Nil))
+    intercept[IllegalArgumentException](
+      Profile.keySkew(rows, Seq("k1"), topK = 0))
+  }
 }

@@ -483,4 +483,57 @@ class TimeSeriesSpec3 extends SparkSpec {
       }
     }
   }
+
+  test("crossCorrelation: ≡ independent reference on a hand series, " +
+    "x=y at lag>=1 ≡ autocorrelation, planted 2-step lead peaks at " +
+    "lag 2, constant side null, guards") {
+    import org.apache.spark.sql.functions._
+    def refCcf(xs: Seq[Double], ys: Seq[Double], lag: Int): Double = {
+      def r9(v: Double) = math.rint(v * 1e9) / 1e9
+      val mx = r9(xs.map(r9).sum / xs.length)
+      val my = r9(ys.map(r9).sum / ys.length)
+      val dx = xs.map(v => r9((v - mx) * (v - mx))).sum
+      val dy = ys.map(v => r9((v - my) * (v - my))).sum
+      val num = (0 until xs.length - lag)
+        .map(t => r9((xs(t) - mx) * (ys(t + lag) - my))).sum
+      math.rint(num / math.sqrt(dx * dy) * 1e6) / 1e6
+    }
+    val xs = Seq(3.0, 1.0, 4.0, 1.0, 5.0, 9.0, 2.0, 6.0)
+    val ys = Seq(2.0, 7.0, 1.0, 8.0, 2.0, 8.0, 1.0, 8.0)
+    val df = xs.indices.map(i => ("k", i, xs(i), ys(i)))
+      .toDF("g", "t", "x", "y")
+    val out = TimeSeries.crossCorrelation(df, "g", "t", "x", "y", 3)
+      .collect().map(r => r.getInt(1) -> r.getDouble(3)).toMap
+    for (l <- 0 to 3)
+      assert(out(l) == refCcf(xs, ys, l), s"lag $l: ${out(l)}")
+
+    // x = y reduces to the ACF at lags >= 1
+    val same = xs.indices.map(i => ("k", i, xs(i), xs(i)))
+      .toDF("g", "t", "x", "y")
+    val ccf = TimeSeries.crossCorrelation(same, "g", "t", "x", "y", 3)
+      .collect().map(r => r.getInt(1) -> r.getDouble(3)).toMap
+    val acf = TimeSeries.autocorrelation(
+        xs.indices.map(i => ("k", i, xs(i))).toDF("g", "t", "v"),
+        "g", "t", "v", 3)
+      .collect().map(r => r.getInt(1) -> r.getDouble(3)).toMap
+    for (l <- 1 to 3) assert(ccf(l) == acf(l), s"lag $l")
+
+    // planted lead: y is x delayed by 2 over a periodic pattern
+    val px = (0 until 40).map(i => Seq(1.0, 5.0, 2.0, 8.0)(i % 4))
+    val py = (0 until 40).map(i => Seq(1.0, 5.0, 2.0, 8.0)(((i - 2) % 4 + 4) % 4))
+    val lead = px.indices.map(i => ("k", i, px(i), py(i)))
+      .toDF("g", "t", "x", "y")
+    val lr = TimeSeries.crossCorrelation(lead, "g", "t", "x", "y", 3)
+      .collect().map(r => r.getInt(1) -> r.getDouble(3)).toMap
+    assert(lr.maxBy(_._2)._1 == 2 && lr(2) > 0.9, lr)
+
+    // constant y → null r at every lag
+    val const = xs.indices.map(i => ("k", i, xs(i), 4.0))
+      .toDF("g", "t", "x", "y")
+    assert(TimeSeries.crossCorrelation(const, "g", "t", "x", "y", 2)
+      .collect().forall(_.isNullAt(3)))
+    intercept[IllegalArgumentException] {
+      TimeSeries.crossCorrelation(df, "g", "t", "x", "y", -1)
+    }
+  }
 }
