@@ -383,6 +383,30 @@ object ExtQueries4 {
           Seq("o_custkey"), topK = 20)
         .orderBy(col("rank"))),
 
+    // --- golden-record survivorship ----------------------------------------
+    // One canonical row per customer from their order history: modal
+    // status (ties smallest), longest priority string (ties smallest),
+    // earliest order date, biggest order, the most recent order's key —
+    // the post-ER merge step with every tie-break pinned.
+    "q301_golden_record" -> ((s, d) =>
+      graft.operators.Merge.goldenRecord(t(s, d, "orders"), "o_custkey",
+          mostFrequent = Seq("o_orderstatus"),
+          longest = Seq("o_orderpriority"),
+          minOf = Seq("o_orderdate"),
+          maxOf = Seq("o_totalprice"),
+          latestBy = Some(("o_orderdate", Seq("o_orderkey"))))
+        .orderBy(col("o_custkey"))),
+
+    // --- expected calibration error ----------------------------------------
+    // The one-number summary of q201's reliability table (ECE + MCE),
+    // computed FROM the same binned aggregation.
+    "q302_ece" -> ((s, d) =>
+      graft.operators.Eval.expectedCalibrationError(
+        ev(s, d)
+          .withColumn("is_pm", (hour(col("ts")) >= 12).cast("int"))
+          .withColumn("p", least(col("value") / lit(500.0), lit(1.0))),
+        "is_pm", "p", numBins = 10)),
+
     // --- Huber robust regression (IRLS) ------------------------------------
     // Price-on-quantity per return flag with outliers fading as 1/|r|
     // instead of voting quadratically: OLS start + 2 reweighted
@@ -395,6 +419,56 @@ object ExtQueries4 {
   )
 
   def oracleSql: Map[String, String] = Map(
+    // the q201 binned table folded to the weighted |gap| sum and max,
+    // per-bin means at the table's rounded-6 rendering
+    "q302_ece" ->
+      """WITH r AS (SELECT CASE WHEN hour(ts) >= 12 THEN 1 ELSE 0 END AS y,
+             least(value / 500.0, 1.0) AS s
+           FROM events WHERE value IS NOT NULL),
+         b AS (SELECT least(greatest(CAST(floor(s * 10) AS INT) + 1, 1),
+             10) AS bin, y, s FROM r),
+         tbl AS (SELECT bin, CAST(count(*) AS BIGINT) AS n,
+             round(CAST(sum(CAST(round(s, 9) AS DECIMAL(28,9))) AS DOUBLE)
+               / count(*), 6) AS mean_score,
+             round(sum(y) / CAST(count(*) AS DOUBLE), 6) AS frac_pos
+           FROM b GROUP BY bin),
+         g AS (SELECT n, abs(mean_score - frac_pos) AS gap FROM tbl)
+         SELECT sum(n) AS n, CAST(count(*) AS BIGINT) AS n_bins_used,
+           round(CAST(sum(CAST(round(n * gap, 9) AS DECIMAL(38,9)))
+             AS DOUBLE) / sum(n), 6) AS ece,
+           round(max(round(gap, 9)), 6) AS mce
+         FROM g""",
+    // one ranked window per strategy with identical pinned tie-breaks
+    "q301_golden_record" ->
+      """WITH dk AS (SELECT DISTINCT o_custkey FROM orders),
+         cnt AS (SELECT o_custkey, o_orderstatus, count(*) AS c
+           FROM orders WHERE o_orderstatus IS NOT NULL GROUP BY 1, 2),
+         mf AS (SELECT o_custkey, o_orderstatus FROM (
+             SELECT *, row_number() OVER (PARTITION BY o_custkey
+               ORDER BY c DESC, o_orderstatus ASC) AS rn FROM cnt)
+           WHERE rn = 1),
+         lg AS (SELECT o_custkey, o_orderpriority FROM (
+             SELECT o_custkey, o_orderpriority, row_number() OVER (
+               PARTITION BY o_custkey
+               ORDER BY len(o_orderpriority) DESC, o_orderpriority ASC)
+               AS rn
+             FROM orders WHERE o_orderpriority IS NOT NULL) WHERE rn = 1),
+         mm AS (SELECT o_custkey, min(o_orderdate) AS o_orderdate,
+             max(o_totalprice) AS o_totalprice
+           FROM orders GROUP BY 1),
+         lt AS (SELECT o_custkey, o_orderkey FROM (
+             SELECT o_custkey, o_orderkey, row_number() OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+             FROM orders WHERE o_orderkey IS NOT NULL) WHERE rn = 1)
+         SELECT dk.o_custkey, lg.o_orderpriority, mm.o_orderdate,
+           mm.o_totalprice, lt.o_orderkey, mf.o_orderstatus
+         FROM dk LEFT JOIN lg USING (o_custkey)
+           LEFT JOIN mm USING (o_custkey)
+           LEFT JOIN lt USING (o_custkey)
+           LEFT JOIN mf USING (o_custkey)
+         ORDER BY dk.o_custkey""",
+
     // same counts, ranks and percentage arithmetic
     "q300_key_skew" ->
       """WITH c AS (SELECT coalesce(CAST(o_custkey AS VARCHAR), 'NULL')

@@ -970,6 +970,29 @@ object Eval {
         round(col("__se").cast("double") / col("n"), 6).as("bin_mse"))
   }
 
+  /** Expected calibration error — the one-number summary of the
+    * [[calibration]] table: ECE = Σ_b (n_b/n)·|mean_score_b −
+    * frac_pos_b| (plus max-gap MCE alongside), computed FROM the same
+    * binned aggregation so the two readouts can never disagree. Per-bin
+    * means derive as rounded-6 doubles exactly as the table renders
+    * them (the report IS the contract), the weighted fold accumulates
+    * on the 9-grid in DECIMAL(38,9). Output: one row (n, n_bins_used,
+    * ece, mce) rounded 6. */
+  def expectedCalibrationError(df: DataFrame, labelCol: String,
+                               scoreCol: String,
+                               numBins: Int = 10): DataFrame = {
+    val tbl = calibration(df, labelCol, scoreCol, numBins)
+      .withColumn("__gap", abs(col("mean_score") - col("frac_pos")))
+    tbl.agg(sum(col("n")).as("__n"),
+        count(lit(1)).as("n_bins_used"),
+        sum(round(col("n") * col("__gap"), 9).cast("decimal(38,9)"))
+          .as("__w"),
+        max(round(col("__gap"), 9)).as("__mce"))
+      .select(col("__n").as("n"), col("n_bins_used"),
+        round(col("__w").cast("double") / col("__n"), 6).as("ece"),
+        round(col("__mce"), 6).as("mce"))
+  }
+
   /** Cumulative gains / lift table — the targeting-efficiency view of a
     * ranking score: bucket the population into `numBins` score bands
     * (band 1 = highest scores, by the score distribution's own

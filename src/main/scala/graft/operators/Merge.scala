@@ -148,4 +148,68 @@ object Merge {
       .select((keys.map(col) ++ attrCols.map(col) ++
         Seq(col("valid_from"), col("valid_to"))): _*)
   }
+
+  /** Survivorship / golden-record merge — after entity resolution
+    * ([[ErStore]], [[graft.operators.Graph.connectedComponents]])
+    * labels duplicate records, pick ONE canonical value per attribute
+    * per entity. Strategies, each with a pinned deterministic
+    * tie-break (unpinned survivorship makes golden records flap
+    * between runs):
+    *
+    *  - `mostFrequent`: the modal non-null value, ties to the
+    *    SMALLEST value;
+    *  - `longest`: the longest string, ties to the smallest value;
+    *  - `minOf` / `maxOf`: plain extremes;
+    *  - `latestBy = (orderCol, cols)`: each col's value from the row
+    *    with the greatest orderCol, ties to the greatest value (one
+    *    max(struct) per col — value-level, not row-level, so each
+    *    column independently takes its newest non-null).
+    *
+    * Nulls never win (an entity all-null in a column yields null).
+    * Scale shape: min/max/longest/latest are ONE map-side-combinable
+    * agg over the entity key; each mostFrequent column adds one
+    * (entity, value)-grain count + keep-first — value-level tables,
+    * never row collections. Output: one row per entity, columns named
+    * as their sources. */
+  def goldenRecord(df: DataFrame, entityCol: String,
+                   mostFrequent: Seq[String] = Nil,
+                   longest: Seq[String] = Nil,
+                   minOf: Seq[String] = Nil,
+                   maxOf: Seq[String] = Nil,
+                   latestBy: Option[(String, Seq[String])] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val picked = mostFrequent ++ longest ++ minOf ++ maxOf ++
+      latestBy.map(_._2).getOrElse(Nil)
+    require(picked.nonEmpty, "goldenRecord needs at least one strategy column")
+    require(picked.distinct.size == picked.size,
+      s"each column may appear under ONE strategy; duplicates: " +
+        picked.diff(picked.distinct).distinct.mkString(", "))
+    val aggs =
+      longest.map(c => min(when(col(c).isNotNull,
+          struct(negate(length(col(c))).as("__l"), col(c).as("__v"))))
+        .getField("__v").as(c)) ++
+      minOf.map(c => min(col(c)).as(c)) ++
+      maxOf.map(c => max(col(c)).as(c)) ++
+      latestBy.toSeq.flatMap { case (ord, cols) =>
+        cols.map(c => max(when(col(c).isNotNull,
+            struct(col(ord).as("__o"), col(c).as("__v"))))
+          .getField("__v").as(c))
+      }
+    val base =
+      if (aggs.isEmpty)
+        df.select(col(entityCol)).distinct()
+      else
+        df.groupBy(col(entityCol)).agg(aggs.head, aggs.tail: _*)
+    mostFrequent.foldLeft(base) { (acc, c) =>
+      val modal = df.filter(col(c).isNotNull)
+        .groupBy(col(entityCol), col(c))
+        .agg(count(lit(1)).as("__cnt"))
+        .withColumn("__rn", row_number().over(
+          Window.partitionBy(col(entityCol))
+            .orderBy(col("__cnt").desc, col(c).asc)))
+        .filter(col("__rn") === 1)
+        .select(col(entityCol), col(c))
+      acc.join(modal, Seq(entityCol), "left")
+    }
+  }
 }

@@ -422,4 +422,32 @@ class EvalSpec2 extends SparkSpec {
     val n = Eval.mcnemar(withNull, "ok_a", "ok_b").collect().head
     assert(n.getLong(0) == 1L)
   }
+
+  test("expectedCalibrationError: hand-computed from its own " +
+    "calibration table; perfectly-calibrated grid ≈ 0; ece <= mce") {
+    import org.apache.spark.sql.functions._
+    val rows = Seq(
+      (1, 0.95), (1, 0.85), (0, 0.90),   // bin 10 and 9
+      (0, 0.05), (0, 0.15), (1, 0.10))   // bin 1 and 2
+      .toDF("y", "s")
+    val tbl = Eval.calibration(rows, "y", "s", numBins = 10)
+      .collect().map(r => (r.getLong(1),
+        math.abs(r.getDouble(2) - r.getDouble(3))))
+    val wantEce = math.rint(tbl.map { case (n, g) =>
+      math.rint(n * g * 1e9) / 1e9 }.sum / tbl.map(_._1).sum * 1e6) / 1e6
+    val wantMce = math.rint(tbl.map(g => math.rint(g._2 * 1e9) / 1e9)
+      .max * 1e6) / 1e6
+    val out = Eval.expectedCalibrationError(rows, "y", "s", 10)
+      .collect().head
+    assert(out.getLong(0) == 6L && out.getLong(1) == tbl.length)
+    assert(out.getDouble(2) == wantEce, s"${out.getDouble(2)} vs $wantEce")
+    assert(out.getDouble(3) == wantMce)
+    assert(out.getDouble(2) <= out.getDouble(3) + 1e-12, "ece <= mce")
+    // single-bin case: one bin, gap = |0.45 - 0.5| = 0.05, so
+    // ece = mce = 0.05 exactly
+    val perfect = Seq((1, 0.45), (0, 0.45)).toDF("y", "s")
+    val p = Eval.expectedCalibrationError(perfect, "y", "s", 10)
+      .collect().head
+    assert(p.getDouble(2) == 0.05 && p.getDouble(3) == 0.05)
+  }
 }

@@ -154,4 +154,47 @@ class MergeSpec extends SparkSpec {
     // later seq also carries the lexicographically larger payload
     assert(viaUpsert == viaCdc)
   }
+
+  test("goldenRecord: every strategy with its pinned tie-break; nulls " +
+    "never win; all-null column yields null; guards") {
+    import org.apache.spark.sql.functions._
+    val rows = Seq(
+      // entity 1: modal priority 'b' (2 votes) over 'a' (1); comment
+      // lengths 5/5/3 with tie 'xxxxx' vs 'yyyyy' -> smallest wins;
+      // latest status by ts 30 -> 'C'; min ts 10
+      (1L, "a", "xxxxx", 10L, "A"),
+      (1L, "b", "yyyyy", 20L, "B"),
+      (1L, "b", "zzz", 30L, "C"),
+      // entity 2: modal tie 1-1 between 'a' and 'b' -> smallest 'a';
+      // latest ts tie at 10 -> greatest status 'B'
+      (2L, "a", "pp", 10L, "A"),
+      (2L, "b", "qq", 10L, "B"))
+      .toDF("eid", "prio", "cmt", "ts", "status")
+    val out = Merge.goldenRecord(rows, "eid",
+        mostFrequent = Seq("prio"), longest = Seq("cmt"),
+        minOf = Seq("ts"), latestBy = Some(("ts", Seq("status"))))
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(4), r.getString(1), r.getLong(2), r.getString(3)))
+      .toMap
+    // column order: eid, longest(cmt), minOf(ts), latest(status), mf(prio)
+    assert(out(1L) == (("b", "xxxxx", 10L, "C")), out(1L))
+    assert(out(2L) == (("a", "pp", 10L, "B")), out(2L))
+
+    // nulls never win; an all-null column stays null
+    val withNulls = Seq(
+      (3L, null.asInstanceOf[String], null.asInstanceOf[String], 5L,
+        null.asInstanceOf[String]),
+      (3L, "z", null.asInstanceOf[String], 6L,
+        null.asInstanceOf[String]))
+      .toDF("eid", "prio", "cmt", "ts", "status")
+    val n = Merge.goldenRecord(withNulls, "eid",
+        mostFrequent = Seq("prio"), longest = Seq("cmt"),
+        minOf = Seq("ts"), latestBy = Some(("ts", Seq("status"))))
+      .collect().head
+    assert(n.getString(4) == "z" && n.isNullAt(1) && n.isNullAt(3))
+
+    intercept[IllegalArgumentException](Merge.goldenRecord(rows, "eid"))
+    intercept[IllegalArgumentException](Merge.goldenRecord(rows, "eid",
+      mostFrequent = Seq("prio"), longest = Seq("prio")))
+  }
 }
