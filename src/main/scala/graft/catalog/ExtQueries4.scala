@@ -407,6 +407,25 @@ object ExtQueries4 {
           .withColumn("p", least(col("value") / lit(500.0), lit(1.0))),
         "is_pm", "p", numBins = 10)),
 
+    // --- Cochran's Q -------------------------------------------------------
+    // Three value-threshold purchase classifiers (cuts 80/100/120)
+    // scored on the same events — one shared success rate? The
+    // k-classifier generalization of q296.
+    "q303_cochran_q" -> ((s, d) => {
+      val truth = col("event_type") === "purchase"
+      val long = ev(s, d).select(col("event_id"),
+          explode(array(
+            struct(lit("c80").as("rater"),
+              (truth === (col("value") > 80.0)).cast("int").as("ok")),
+            struct(lit("c100").as("rater"),
+              (truth === (col("value") > 100.0)).cast("int").as("ok")),
+            struct(lit("c120").as("rater"),
+              (truth === (col("value") > 120.0)).cast("int").as("ok"))))
+            .as("r"))
+        .select(col("event_id"), col("r.rater"), col("r.ok"))
+      graft.operators.Eval.cochranQ(long, "event_id", "rater", "ok")
+    }),
+
     // --- Huber robust regression (IRLS) ------------------------------------
     // Price-on-quantity per return flag with outliers fading as 1/|r|
     // instead of voting quadratically: OLS start + 2 reweighted
@@ -419,6 +438,34 @@ object ExtQueries4 {
   )
 
   def oracleSql: Map[String, String] = Map(
+    // same R/C sums and the (k-1)(k*SC2 - SR^2)/(k*SR - SR2) form
+    "q303_cochran_q" ->
+      """WITH r AS (SELECT event_id,
+             u.rater AS rater, u.ok AS ok
+           FROM events, unnest([
+             {'rater': 'c80',
+              'ok': (((event_type = 'purchase') = (value > 80.0)))::INT},
+             {'rater': 'c100',
+              'ok': (((event_type = 'purchase') = (value > 100.0)))::INT},
+             {'rater': 'c120',
+              'ok': (((event_type = 'purchase') = (value > 120.0)))::INT}
+           ]) t(u)),
+         ri AS (SELECT event_id, sum(ok) AS ri FROM r GROUP BY 1),
+         rs AS (SELECT CAST(count(*) AS BIGINT) AS n_items,
+             sum(CAST(ri AS DECIMAL(19,0))) AS sr,
+             sum(CAST(ri AS DECIMAL(19,0)) * CAST(ri AS DECIMAL(19,0)))
+               AS sr2 FROM ri),
+         cj AS (SELECT rater, sum(ok) AS cj FROM r GROUP BY 1),
+         cs AS (SELECT sum(CAST(cj AS DECIMAL(19,0)) *
+             CAST(cj AS DECIMAL(19,0))) AS sc2 FROM cj)
+         SELECT n_items, CAST(3 AS BIGINT) AS k,
+           round(CASE WHEN 3 * CAST(sr AS DOUBLE) - CAST(sr2 AS DOUBLE)
+               <> 0 THEN
+             (3 * CAST(sc2 AS DOUBLE) - CAST(sr AS DOUBLE)
+               * CAST(sr AS DOUBLE)) * 2
+               / (3 * CAST(sr AS DOUBLE) - CAST(sr2 AS DOUBLE)) END, 6)
+             AS q
+         FROM rs, cs""",
     // the q201 binned table folded to the weighted |gap| sum and max,
     // per-bin means at the table's rounded-6 rendering
     "q302_ece" ->

@@ -993,6 +993,55 @@ object Eval {
         round(col("__mce"), 6).as("mce"))
   }
 
+  /** Cochran's Q — the k-classifier generalization of [[mcnemar]]:
+    * do k related binary outcomes (k model versions scored on the SAME
+    * items) share one success rate? Q = (k−1)·(k·ΣC_j² − (ΣC_j)²) /
+    * (k·ΣR_i − ΣR_i²) with C_j the per-classifier success totals and
+    * R_i the per-item success counts; χ²_(k−1) under H₀. Input is LONG
+    * form (item, rater, correct). The design must be complete — every
+    * item scored by every rater — and the operator FAILS FAST when it
+    * is not (a silently unbalanced Q is wrong, not approximate).
+    *
+    * One (item)-keyed agg for the R_i terms + one (rater)-keyed agg
+    * for the C_j terms, both map-side-combinable; exact integer sums
+    * in DECIMAL(38,0) (ΣC² overflows long at corpus n), one final
+    * double division. All items succeeding or all failing (zero
+    * denominator) → null Q. Output: one row (n_items, k, q rounded
+    * 6). */
+  def cochranQ(df: DataFrame, itemCol: String, raterCol: String,
+               correctCol: String): DataFrame = {
+    val ok = when(col(correctCol).cast("int") =!= 0, 1L).otherwise(0L)
+    val rows = df.filter(col(itemCol).isNotNull &&
+        col(raterCol).isNotNull && col(correctCol).isNotNull)
+      .select(col(itemCol).as("__i"), col(raterCol).as("__r"), ok.as("__x"))
+    val k = rows.select(col("__r")).distinct()
+      .agg(count(lit(1))).collect()(0).getLong(0)
+    require(k >= 2, s"cochranQ needs >= 2 raters, got $k")
+    val items = rows.groupBy(col("__i"))
+      .agg(count(lit(1)).as("__c"), sum(col("__x")).as("__ri"))
+    val bad = items.filter(col("__c") =!= k).limit(1).collect()
+    require(bad.isEmpty,
+      s"cochranQ needs a complete design (every item scored by all $k " +
+        s"raters); item ${bad.headOption.map(_.get(0)).orNull} has " +
+        s"${bad.headOption.map(_.getLong(1)).getOrElse(0L)} scores")
+    val rTerms = items.agg(count(lit(1)).as("n_items"),
+      sum(col("__ri").cast("decimal(38,0)")).as("__sr"),
+      sum(col("__ri").cast("decimal(19,0)") *
+        col("__ri").cast("decimal(19,0)")).as("__sr2"))
+    val cTerms = rows.groupBy(col("__r")).agg(sum(col("__x")).as("__cj"))
+      // cast BEFORE the product: a long C_j² overflows past 3e9 items
+      // (the r10 multiply-before-cast audit)
+      .agg(sum(col("__cj").cast("decimal(19,0)") *
+        col("__cj").cast("decimal(19,0)")).as("__sc2"))
+    val num = (lit(k) * col("__sc2").cast("double") -
+      col("__sr").cast("double") * col("__sr").cast("double")) * (k - 1.0)
+    val den = lit(k) * col("__sr").cast("double") -
+      col("__sr2").cast("double")
+    rTerms.crossJoin(cTerms)
+      .select(col("n_items"), lit(k).as("k"),
+        round(when(den =!= 0.0, num / den), 6).as("q"))
+  }
+
   /** Cumulative gains / lift table — the targeting-efficiency view of a
     * ranking score: bucket the population into `numBins` score bands
     * (band 1 = highest scores, by the score distribution's own

@@ -450,4 +450,40 @@ class EvalSpec2 extends SparkSpec {
       .collect().head
     assert(p.getDouble(2) == 0.05 && p.getDouble(3) == 0.05)
   }
+
+  test("cochranQ: textbook hand case, k=2 consistency with McNemar's " +
+    "uncorrected form, degenerate null, incomplete design fails fast") {
+    import org.apache.spark.sql.functions._
+    // classic 3-rater example: items x raters success matrix
+    val m = Seq(
+      (1L, 1, 1, 1), (2L, 1, 1, 0), (3L, 1, 0, 0), (4L, 0, 1, 0),
+      (5L, 1, 1, 1), (6L, 1, 0, 1), (7L, 1, 1, 0), (8L, 0, 0, 0))
+    def long(rows: Seq[(Long, Int, Int, Int)]) = rows.flatMap {
+      case (i, a, b, c) => Seq((i, "a", a), (i, "b", b), (i, "c", c))
+    }.toDF("item", "rater", "ok")
+    val out = Eval.cochranQ(long(m), "item", "rater", "ok").collect().head
+    // hand: C = (6,5,3), R_i = (3,2,1,1,3,2,2,0); k=3
+    // num = 2*(3*(36+25+9) - 14^2) = 2*(210-196) = 28
+    // den = 3*14 - (9+4+1+1+9+4+4+0) = 42 - 32 = 10 -> Q = 2.8
+    assert(out.getLong(0) == 8L && out.getLong(1) == 3L)
+    assert(out.getDouble(2) == 2.8, out.getDouble(2))
+    // k = 2: Q equals McNemar's UNCORRECTED (b-c)^2/(b+c)
+    val two = Seq((1L, 1, 0), (2L, 1, 0), (3L, 0, 1), (4L, 1, 1),
+      (5L, 0, 0)).flatMap { case (i, a, b) =>
+        Seq((i, "a", a), (i, "b", b)) }.toDF("item", "rater", "ok")
+    val q2 = Eval.cochranQ(two, "item", "rater", "ok")
+      .collect().head.getDouble(2)
+    assert(q2 == math.rint((2.0 - 1.0) * (2.0 - 1.0) / 3.0 * 1e6) / 1e6, q2)
+    // all-success -> zero denominator -> null
+    val allOk = Seq((1L, "a", 1), (1L, "b", 1), (2L, "a", 1), (2L, "b", 1))
+      .toDF("item", "rater", "ok")
+    assert(Eval.cochranQ(allOk, "item", "rater", "ok")
+      .collect().head.isNullAt(2))
+    // incomplete design fails fast
+    val e = intercept[IllegalArgumentException] {
+      Eval.cochranQ(Seq((1L, "a", 1), (1L, "b", 1), (2L, "a", 1))
+        .toDF("item", "rater", "ok"), "item", "rater", "ok")
+    }
+    assert(e.getMessage.contains("complete design"))
+  }
 }
