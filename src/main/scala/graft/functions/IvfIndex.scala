@@ -135,6 +135,55 @@ object IvfIndex {
         col("__sim").as("cosine_sim"))
   }
 
+  /** Batch RADIUS join: for every query row, ALL corpus neighbors at
+    * cosine ≥ `threshold` — the range-search complement to [[knnJoin]]
+    * (top-k answers "the best k whatever they score"; radius answers
+    * "everything genuinely close", the primitive behind duplicate
+    * sweeps and recall-complete candidate generation where a fixed k
+    * either truncates dense neighborhoods or pads sparse ones).
+    *
+    * Same shape as [[knnJoin]]: per-query centroid ranking on a
+    * broadcast, `nprobe` (query, cluster) probes, ONE cluster-keyed
+    * equi-join — work is Σ probed-cluster sizes, never |Q|·|corpus| —
+    * then a narrow threshold filter instead of the top-k window (no
+    * per-query sort at all: the output is gate-selected, not ranked).
+    * The gate compares on the `grid`-rounded cosine (deterministic
+    * boundary resolution, the [[knnJoin]] convention). At full probe
+    * (`nprobe` ≥ k_clusters) results are EXACT and SQL-oracle-able;
+    * below, approximate with recall governed by the same probe
+    * geometry AnnRecallSpec measures. `includeSelf = false` drops
+    * qid = id matches for self-join sweeps. Output: (qIdCol, idCol,
+    * cosine_sim), unbounded rows per query by design — the threshold
+    * is the valve. */
+  def radiusJoin(index: Index, queries: DataFrame, qIdCol: String,
+                 qVecCol: String, vecCol: String, idCol: String,
+                 threshold: Double, nprobe: Int = 2, grid: Int = 6,
+                 includeSelf: Boolean = true): DataFrame = {
+    require(threshold >= -1.0 && threshold <= 1.0,
+      s"threshold must be in [-1, 1], got $threshold")
+    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
+    val w = org.apache.spark.sql.expressions.Window
+    val probeW = w.partitionBy(col("__qid"))
+      .orderBy(col("__csim").desc_nulls_last, col("cluster_id").asc)
+    val probes = queries.filter(col(qVecCol).isNotNull)
+      .select(col(qIdCol).as("__qid"), col(qVecCol).as("__qv"))
+      .crossJoin(broadcast(index.centroids.select(
+        col("cluster_id"), col("centroid"))))
+      .withColumn("__csim",
+        graft.plans.CosineSimilarity(col("__qv"), col("centroid")))
+      .withColumn("__pr", row_number().over(probeW))
+      .filter(col("__pr") <= nprobe)
+      .select(col("__qid"), col("__qv"), col("cluster_id"))
+    val joined = probes.join(index.indexed, Seq("cluster_id"))
+      .withColumn("__sim",
+        round(graft.plans.CosineSimilarity(col(vecCol), col("__qv")), grid))
+      .filter(col("__sim") >= threshold)
+    (if (includeSelf) joined
+     else joined.filter(col("__qid") =!= col(idCol)))
+      .select(col("__qid").as(qIdCol), col(idCol),
+        col("__sim").as("cosine_sim"))
+  }
+
   /** Probe the `nprobe` clusters nearest to `queryVec`, brute-force
     * cosine within them, return top-k (sim desc, id asc). */
   def topK(indexed: DataFrame, centroids: DataFrame, vecCol: String,

@@ -73,4 +73,53 @@ object Baskets {
         round(col("n_ab").cast("double") * col("__nb") /
           (col("n_a").cast("double") * col("n_b")), 6).as("lift"))
   }
+
+  /** Directional association rules a → b from the [[cooccurrence]]
+    * pair table — the actionable form of co-occurrence (a recommender
+    * needs "customers holding a also hold b", not the symmetric
+    * lift): every ordered pair with support = n_ab/N ≥ `minSupport`
+    * and confidence = n_ab/n_a ≥ `minConfidence`, with lift carried
+    * through (lift is direction-free). Each unordered pair fans to its
+    * two directions BEFORE the thresholds, so an asymmetric pair (a
+    * rare item inside a popular one's baskets) can pass a → b while
+    * failing b → a.
+    *
+    * Scale shape: one narrow fan-out over the already-bounded pair
+    * table + the one broadcast basket total; all the heavy work
+    * happened in [[cooccurrence]] (same valve applies). Ratios are
+    * integer-over-integer doubles rounded 6. Output: (antecedent,
+    * consequent, n_both, n_antecedent, support, confidence, lift). */
+  def associationRules(df: DataFrame, basketCol: String, itemCol: String,
+                       minSupport: Double = 0.0,
+                       minConfidence: Double = 0.0,
+                       minCount: Long = 1L,
+                       maxBasketSize: Int = 100000): DataFrame = {
+    require(minSupport >= 0.0 && minSupport <= 1.0,
+      s"minSupport must be in [0, 1], got $minSupport")
+    require(minConfidence >= 0.0 && minConfidence <= 1.0,
+      s"minConfidence must be in [0, 1], got $minConfidence")
+    val pairs = cooccurrence(df, basketCol, itemCol, minCount,
+      maxBasketSize)
+    val nBaskets = df.select(col(basketCol)).distinct()
+      .agg(count(lit(1)).as("__nb"))
+    val directed = pairs.select(
+      explode(array(
+        struct(col("item_a").as("antecedent"),
+          col("item_b").as("consequent"),
+          col("n_ab"), col("n_a").as("n_antecedent"), col("lift")),
+        struct(col("item_b").as("antecedent"),
+          col("item_a").as("consequent"),
+          col("n_ab"), col("n_b").as("n_antecedent"), col("lift"))))
+        .as("__r"))
+      .select(col("__r.*"))
+    directed.crossJoin(broadcast(nBaskets))
+      .select(col("antecedent"), col("consequent"),
+        col("n_ab").as("n_both"), col("n_antecedent"),
+        round(col("n_ab").cast("double") / col("__nb"), 6).as("support"),
+        round(col("n_ab").cast("double") / col("n_antecedent"), 6)
+          .as("confidence"),
+        col("lift"))
+      .filter(col("support") >= minSupport &&
+        col("confidence") >= minConfidence)
+  }
 }

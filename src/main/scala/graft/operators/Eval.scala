@@ -1042,6 +1042,121 @@ object Eval {
         round(when(den =!= 0.0, num / den), 6).as("q"))
   }
 
+  /** Fleiss' kappa — chance-corrected agreement for n raters assigning
+    * k CATEGORIES to the same items (the multi-rater generalization of
+    * `Features.cohenKappa`; [[cochranQ]] asks whether binary raters
+    * share one success RATE where this asks whether categorical raters
+    * AGREE item-by-item). Input is LONG form (item, rater, label);
+    * every item must carry the same number of ratings n ≥ 2 and no
+    * (item, rater) may appear twice — the operator FAILS FAST on
+    * either (a silently unbalanced kappa is wrong, not approximate).
+    *
+    * With n_ij the per-(item, category) rating counts, N items and C_j
+    * the per-category column totals: P̄ = (Σ n_ij² − N·n)/(N·n·(n−1))
+    * and P̄_e = Σ C_j²/(N·n)² — every numerator and denominator an
+    * EXACT integer (DECIMAL(19,0) cast BEFORE each product, the r10
+    * overflow rule; sums in DECIMAL(38,0)), so both engines divide the
+    * identical values once, in a pinned double expression tree; κ =
+    * (P̄ − P̄_e)/(1 − P̄_e), null when 1 − P̄_e = 0 (every rating in one
+    * category — agreement is undefined, not perfect). One (item,
+    * category)-keyed count + one category-keyed count, both map-side-
+    * combinable. Output: one row (n_items, n_raters, n_categories,
+    * p_bar, p_e, kappa) rounded 6. */
+  def fleissKappa(df: DataFrame, itemCol: String, raterCol: String,
+                  labelCol: String): DataFrame = {
+    val rows = df.filter(col(itemCol).isNotNull &&
+        col(raterCol).isNotNull && col(labelCol).isNotNull)
+      .select(col(itemCol).as("__i"), col(raterCol).as("__r"),
+        col(labelCol).cast("string").as("__l"))
+    val dup = rows.groupBy(col("__i"), col("__r"))
+      .agg(count(lit(1)).as("__c")).filter(col("__c") > 1L)
+      .limit(1).collect()
+    require(dup.isEmpty,
+      s"fleissKappa needs one rating per (item, rater); item " +
+        s"${dup.headOption.map(_.get(0)).orNull} / rater " +
+        s"${dup.headOption.map(_.get(1)).orNull} appears " +
+        s"${dup.headOption.map(_.getLong(2)).getOrElse(0L)} times")
+    val perItem = rows.groupBy(col("__i")).agg(count(lit(1)).as("__n"))
+    val ns = perItem.select(col("__n")).distinct().limit(2).collect()
+    require(ns.length == 1,
+      "fleissKappa needs the same number of ratings on every item " +
+        s"(got counts ${ns.map(_.getLong(0)).sorted.mkString(", ")}, ...)")
+    val n = ns(0).getLong(0)
+    require(n >= 2, s"fleissKappa needs >= 2 ratings per item, got $n")
+    // Σ n_ij² over (item, category) cells + the item count
+    val itemTerms = rows.groupBy(col("__i"), col("__l"))
+      .agg(count(lit(1)).as("__nij"))
+      .agg(countDistinct(col("__i")).as("n_items"),
+        sum(col("__nij").cast("decimal(19,0)") *
+          col("__nij").cast("decimal(19,0)")).as("__s2"))
+    // Σ C_j² over category column totals + the category count
+    val catTerms = rows.groupBy(col("__l"))
+      .agg(count(lit(1)).as("__cj"))
+      .agg(count(lit(1)).as("n_categories"),
+        sum(col("__cj").cast("decimal(19,0)") *
+          col("__cj").cast("decimal(19,0)")).as("__sc2"))
+    val nItems = col("n_items").cast("double")
+    val nn = nItems * n.toDouble
+    val pBar = (col("__s2").cast("double") - nn) / (nn * (n - 1.0))
+    val pE = col("__sc2").cast("double") / (nn * nn)
+    itemTerms.crossJoin(catTerms)
+      .select(col("n_items"), lit(n).as("n_raters"), col("n_categories"),
+        round(pBar, 6).as("p_bar"), round(pE, 6).as("p_e"),
+        round(when(lit(1.0) - pE =!= 0.0, (pBar - pE) / (lit(1.0) - pE)), 6)
+          .as("kappa"))
+  }
+
+  /** Kruskal-Wallis H — the k-group rank test ([[mannWhitneyU]]
+    * generalized past two samples; the nonparametric [[anovaF]]): do k
+    * groups draw from one location? Ranks never attach to rows — the
+    * average rank of each DISTINCT value derives from the global value
+    * grid's cumulative counts ((2·cum − cnt + 1)/2, the `spearman`
+    * construction) via [[Ranks.groupedCumSum]]'s bucketed walk, and
+    * per-group rank sums come from (group, value)-level counts joined
+    * onto that grid — so a million-row group costs its value levels,
+    * not a corpus-wide rank window.
+    *
+    * R_g accumulates as exact DECIMAL (counts cast before the rank
+    * product); the per-group R_g²/n_g terms round to the 9-grid into a
+    * DECIMAL(38,9) sum; H = 12/(N(N+1))·Σ − 3(N+1) is one pinned
+    * double tree. Tie correction divides by 1 − Σt(t−1)(t+1)/(N³−N)
+    * with both sides exact DECIMAL(38,0) (counts cast to DECIMAL(12,0)
+    * before the triple product — the documented ≤ 10¹² envelope);
+    * all-one-value input → h_tie null (and h degenerates to 0). Output:
+    * one row (n, k_groups, h, h_tie) rounded 6. */
+  def kruskalWallis(df: DataFrame, groupCol: String,
+                    valueCol: String): DataFrame = {
+    val rows = df.filter(col(groupCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(groupCol).as("__g"), col(valueCol).as("__v"))
+    val levels = rows.groupBy(col("__v")).agg(count(lit(1)).as("__cnt"))
+    val ranks = Ranks.groupedCumSum(levels, Seq.empty, "__v", Seq("__cnt"))
+      .select(col("__v"), col("__cnt"),
+        ((lit(2L) * col("cum___cnt") - col("__cnt") + lit(1L))
+          .cast("double") / 2.0).cast("decimal(19,1)").as("__r"))
+    val rg = rows.groupBy(col("__g"), col("__v"))
+      .agg(count(lit(1)).as("__c"))
+      .join(ranks.drop("__cnt"), Seq("__v"))
+      .groupBy(col("__g"))
+      .agg(sum(col("__c").cast("decimal(19,0)") * col("__r")).as("__rg"),
+        sum(col("__c")).as("__ng"))
+    val stats = rg.agg(
+      sum(col("__ng")).as("n"), count(lit(1)).as("k_groups"),
+      sum(round(col("__rg").cast("double") * col("__rg").cast("double") /
+        col("__ng"), 9).cast("decimal(38,9)")).as("__s"))
+    val t = col("__cnt").cast("decimal(12,0)")
+    val ties = levels.agg(
+      sum((t * (t - 1)) * (t + 1)).as("__tsum"))
+    val nD = col("n").cast("double")
+    val h = lit(12.0) / (nD * (nD + 1.0)) * col("__s").cast("double") -
+      3.0 * (nD + 1.0)
+    val nDec = col("n").cast("decimal(12,0)")
+    val cf = lit(1.0) - col("__tsum").cast("double") /
+      ((nDec * (nDec - 1)) * (nDec + 1)).cast("double")
+    stats.crossJoin(ties)
+      .select(col("n"), col("k_groups"), round(h, 6).as("h"),
+        round(when(cf =!= 0.0, h / cf), 6).as("h_tie"))
+  }
+
   /** Cumulative gains / lift table — the targeting-efficiency view of a
     * ranking score: bucket the population into `numBins` score bands
     * (band 1 = highest scores, by the score distribution's own

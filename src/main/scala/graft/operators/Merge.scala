@@ -131,6 +131,31 @@ object Merge {
     base.join(latest, keys, "left_anti").unionByName(survivors)
   }
 
+  /** Point-in-time snapshot (time travel) from a CDC changelog: the
+    * table state as of sequence position `asOf` (inclusive), rebuilt
+    * from the log alone — [[applyCdc]] answers "apply this delta";
+    * this answers "what did the table look like at T" for audits,
+    * backtests and reproducible training snapshots.
+    *
+    * Semantics: rows at `seqCol` ≤ `asOf` are visible; the latest
+    * visible row per key under `seqCols` tie-broken decides; 'D' keys
+    * are absent. `seqCol` is the visibility clock (an event timestamp
+    * or LSN column name); `seqCols` defaults to that column alone and
+    * must totally order a key's log rows (the [[applyCdc]] contract).
+    * Log-only columns (`opCol`) stay — callers project.
+    *
+    * Scale shape: one narrow visibility filter (partition-pruned when
+    * the log lands time-partitioned) + one key-keyed keep-first; no
+    * base table, no window over anything bigger than the visible log. */
+  def snapshotAsOf(log: DataFrame, keys: Seq[String], seqCol: String,
+                   asOf: Column, opCol: String,
+                   seqCols: Seq[Column] = Nil): DataFrame = {
+    val ord = if (seqCols.nonEmpty) seqCols else Seq(col(seqCol))
+    val visible = log.filter(col(seqCol) <= asOf)
+    Dedup.keepFirst(visible, keys, ord.map(_.desc))
+      .filter(col(opCol) =!= "D")
+  }
+
   def scd2FromChanges(changes: DataFrame, keys: Seq[String], tsCol: String,
                       attrCols: Seq[String],
                       orderCols: Seq[Column] = Nil): DataFrame = {

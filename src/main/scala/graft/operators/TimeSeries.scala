@@ -59,6 +59,53 @@ object TimeSeries {
         when(col("v").isNull, 0).otherwise(1).cast("int").as("observed"))
   }
 
+  /** Dense daily series per key with LINEAR INTERPOLATION across gaps —
+    * [[gapFillDaily]]'s honest sibling for continuous measures: forward
+    * fill asserts "nothing changed since the last reading" (right for
+    * state like account balances), interpolation asserts "it moved
+    * smoothly between readings" (right for sampled sensors, rates,
+    * prices). Same scale shape: per-key daily DECIMAL sums, per-key
+    * spine bounded by each key's own [min, max] span, one keyed
+    * shuffle — no global date cross-join.
+    *
+    * Each synthesized day takes prev + (next − prev)·Δ/span from its
+    * nearest observed neighbors on both sides (two keyed windows
+    * carrying (day, value) structs); integer day distances make the
+    * fraction an exact integer ratio, the interpolation is one pinned
+    * double tree rounded to the 9-grid. Interior gaps only by
+    * construction (the spine starts and ends on observations), so
+    * `filled` is never null. Output: (keyCol, day, filled
+    * DECIMAL(28,9), observed INT). */
+  def gapFillInterpolate(df: DataFrame, keyCol: String, tsCol: String,
+                         valCol: String): DataFrame = {
+    val daily = df
+      .groupBy(col(keyCol), to_date(col(tsCol)).as("day"))
+      .agg(sum(round(col(valCol).cast("decimal(28,9)"), 9)).as("v"))
+    val spine = daily
+      .groupBy(col(keyCol))
+      .agg(min(col("day")).as("mn"), max(col("day")).as("mx"))
+      .select(col(keyCol),
+        explode(sequence(col("mn"), col("mx"), expr("interval 1 day")))
+          .as("day"))
+    val backW = Window.partitionBy(keyCol).orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwdW = Window.partitionBy(keyCol).orderBy("day")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val obs = when(col("v").isNotNull, struct(col("day"), col("v")))
+    val joined = spine.join(daily, Seq(keyCol, "day"), "left")
+      .withColumn("__p", last(obs, ignoreNulls = true).over(backW))
+      .withColumn("__nx", first(obs, ignoreNulls = true).over(fwdW))
+    val frac = datediff(col("day"), col("__p.day")).cast("double") /
+      datediff(col("__nx.day"), col("__p.day")).cast("double")
+    joined.select(col(keyCol), col("day"),
+      when(col("v").isNotNull, col("v"))
+        .otherwise(round(col("__p.v").cast("double") +
+          (col("__nx.v").cast("double") - col("__p.v").cast("double")) *
+            frac, 9).cast("decimal(28,9)"))
+        .as("filled"),
+      when(col("v").isNull, 0).otherwise(1).cast("int").as("observed"))
+  }
+
   /** Per-group robust outlier profile via the median/MAD gate (the
     * scale-free alternative to z-scores: one 10⁹ reading moves a mean
     * and std arbitrarily but not the median; see winsorize's scaladoc
@@ -942,6 +989,70 @@ object TimeSeries {
         round(col("__seas"), 6).as("seasonal"),
         round(col("__v") - col("__trend") - col("__seas"), 6)
           .as("residual"))
+  }
+
+  /** AR(p) forecast by Yule-Walker closed forms, p ∈ {1, 2} — the
+    * autoregressive complement to [[holtForecast]]'s smoothing: where
+    * Holt extrapolates level+trend, AR extrapolates the series' own
+    * measured lag structure (φ from the [[autocorrelation]] grid via
+    * the same Durbin-Levinson forms [[pacf]] prints: φ₂ =
+    * (r₂ − r₁²)/(1 − r₁²), φ₁ = r₁(1 − φ₂); AR(1) is φ₁ = r₁).
+    * Orders past 2 need a general Toeplitz solver and belong to a
+    * dedicated fitter — rejected explicitly, not approximated.
+    *
+    * Forecast recursion on the mean-centered tail: ŷ_{n+k} − μ =
+    * φ₁(ŷ_{n+k−1} − μ) + φ₂(ŷ_{n+k−2} − μ) seeded by the last two
+    * observations, every coefficient and step rounded to the 9-grid
+    * (the [[holtForecast]] bit-reproducibility discipline), horizon
+    * unrolled as plain column arithmetic — per key the work past the
+    * ACF is O(horizon) expressions on one row. Timestamps must be
+    * unique per key (the [[rollingRegression]] contract). Degenerate
+    * keys (constant series, fewer than p+1 points) forecast null, the
+    * honest answer. Output: (keyCol, step 1..horizon, forecast
+    * rounded 6). */
+  def arForecast(df: DataFrame, keyCol: String, tsCol: String,
+                 valCol: String, horizon: Int, p: Int = 2): DataFrame = {
+    require(horizon >= 1 && horizon <= 64,
+      s"horizon must be in [1, 64], got $horizon")
+    require(p == 1 || p == 2,
+      s"arForecast fits AR(1)/AR(2) Yule-Walker closed forms; got p=$p" +
+        " (higher orders need a general Toeplitz solver)")
+    val acf = autocorrelation(df, keyCol, tsCol, valCol, maxLag = 2)
+    val piv = acf.groupBy(col(keyCol))
+      .agg(max(when(col("lag") === 1, col("r"))).as("__r1"),
+        max(when(col("lag") === 2, col("r"))).as("__r2"))
+    val dec38 = (c: Column) => round(c, 9).cast("decimal(38,9)")
+    val rows = df.filter(col(tsCol).isNotNull && col(valCol).isNotNull)
+      .select(col(keyCol), col(tsCol).as("__t"),
+        col(valCol).cast("double").as("__v"))
+    val mu = rows.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("__n"), sum(dec38(col("__v"))).as("__s"))
+      .select(col(keyCol),
+        round(col("__s").cast("double") / col("__n"), 9).as("__mu"))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("__t").desc)
+    val lastTwo = rows.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= 2)
+      .groupBy(col(keyCol))
+      .agg(max(when(col("__rn") === 1, col("__v"))).as("__xn"),
+        max(when(col("__rn") === 2, col("__v"))).as("__xn1"))
+    val base = piv.join(mu, Seq(keyCol)).join(lastTwo, Seq(keyCol))
+    val r1 = col("__r1"); val r2 = col("__r2")
+    val d2 = lit(1.0) - r1 * r1
+    val phi2 = if (p == 2)
+      round(when(d2 =!= 0.0, (r2 - r1 * r1) / d2), 9) else lit(0.0)
+    val phi1 = if (p == 2)
+      round(r1 * (lit(1.0) - phi2), 9) else round(r1, 9)
+    var prev1 = round(col("__xn") - col("__mu"), 9)
+    var prev2 = round(col("__xn1") - col("__mu"), 9)
+    val steps = (1 to horizon).map { k =>
+      val f = round(phi1 * prev1 + phi2 * prev2, 9)
+      prev2 = prev1
+      prev1 = f
+      struct(lit(k).as("step"), round(col("__mu") + f, 6).as("forecast"))
+    }
+    base.select(col(keyCol), explode(array(steps: _*)).as("__f"))
+      .select(col(keyCol), col("__f.step").as("step"),
+        col("__f.forecast").as("forecast"))
   }
 
   def pacf(df: DataFrame, keyCol: String, tsCol: String,

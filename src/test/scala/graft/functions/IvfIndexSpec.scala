@@ -134,4 +134,57 @@ class IvfIndexSpec extends SparkSpec {
     }
     idx.close()
   }
+
+// --- radiusJoin ----------------------------------------------------------
+
+  test("radiusJoin at full probe ≡ per-query brute-force threshold " +
+    "filter, exactly; includeSelf; pruned subset; guards") {
+    val idx = IvfIndex.build(emb, "embedding", "vec_id", k = 8)
+    val qs = emb.filter($"vec_id" % 50 === 0)
+      .select($"vec_id".as("query_id"), $"embedding".as("qvec"))
+    val tau = 0.9
+    val got = IvfIndex.radiusJoin(idx, qs, "query_id", "qvec",
+        "embedding", "vec_id", threshold = tau, nprobe = 8, grid = 6)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1).map { case (k, v) =>
+        k -> v.map(t => (t._2, t._3)).toSet }
+    import scala.jdk.CollectionConverters._
+    qs.collect().foreach { qr =>
+      val qid = qr.getLong(0)
+      val qv = qr.getList[Float](1).asScala.toSeq
+      val q = array(qv.map(v => lit(v)): _*)
+      val exact = emb
+        .withColumn("s", round(VectorFunctions.cosine($"embedding", q), 6))
+        .filter($"s" >= tau)
+        .select($"vec_id", $"s").as[(Long, Double)].collect().toSet
+      assert(got.getOrElse(qid, Set.empty) == exact, s"query $qid diverges")
+      // the query always finds itself at 1.0
+      assert(got(qid).contains((qid, 1.0)))
+    }
+    // includeSelf = false drops exactly the self matches
+    val noSelf = IvfIndex.radiusJoin(idx, qs, "query_id", "qvec",
+        "embedding", "vec_id", threshold = tau, nprobe = 8, grid = 6,
+        includeSelf = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(noSelf == got.flatMap { case (q2, s) =>
+      s.map(t => (q2, t._1)) }.toSet.filterNot(p2 => p2._1 == p2._2))
+    // pruned probe returns a subset of the full-probe result
+    val pruned = IvfIndex.radiusJoin(idx, qs, "query_id", "qvec",
+        "embedding", "vec_id", threshold = tau, nprobe = 2, grid = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    val full = got.flatMap { case (q2, s) =>
+      s.map(t => (q2, t._1, t._2)) }.toSet
+    assert(pruned.subsetOf(full))
+    intercept[IllegalArgumentException] {
+      IvfIndex.radiusJoin(idx, qs, "query_id", "qvec", "embedding",
+        "vec_id", threshold = 1.5)
+    }
+    intercept[IllegalArgumentException] {
+      IvfIndex.radiusJoin(idx, qs, "query_id", "qvec", "embedding",
+        "vec_id", threshold = 0.9, nprobe = 0)
+    }
+    idx.close()
+  }
 }

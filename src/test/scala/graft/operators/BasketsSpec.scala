@@ -58,4 +58,40 @@ class BasketsSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Baskets.cooccurrence(rows, "basket", "item", maxBasketSize = 1))
   }
+
+test("associationRules: hand confidences both directions, " +
+    "threshold gates, presence semantics, guards") {
+    // b1{a,b} b2{a,b} b3{a} b4{a,c}: N=4, n_a=4, n_b=2, n_c=1,
+    // n_ab=2, n_ac=1
+    val rows = Seq((1, "a"), (1, "b"), (2, "a"), (2, "b"), (3, "a"),
+      (4, "a"), (4, "c"), (4, "c")) // repeated (4, c) row: presence
+      .toDF("basket", "item")
+    val all = Baskets.associationRules(rows, "basket", "item")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5),
+          r.getDouble(6))).toMap
+    assert(all.size == 4)
+    assert(all(("a", "b")) == ((2L, 4L, 0.5, 0.5, 1.0)))
+    assert(all(("b", "a")) == ((2L, 2L, 0.5, 1.0, 1.0)))
+    assert(all(("a", "c")) == ((1L, 4L, 0.25, 0.25, 1.0)))
+    assert(all(("c", "a")) == ((1L, 1L, 0.25, 1.0, 1.0)))
+    // confidence gate keeps only the two certain directions
+    val conf = Baskets.associationRules(rows, "basket", "item",
+        minConfidence = 0.6)
+      .select("antecedent", "consequent").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(conf == Set(("b", "a"), ("c", "a")))
+    // support gate drops the singleton pair
+    val sup = Baskets.associationRules(rows, "basket", "item",
+        minSupport = 0.5)
+      .select("antecedent", "consequent").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(sup == Set(("a", "b"), ("b", "a")))
+    intercept[IllegalArgumentException](
+      Baskets.associationRules(rows, "basket", "item", minSupport = 1.5))
+    intercept[IllegalArgumentException](
+      Baskets.associationRules(rows, "basket", "item",
+        minConfidence = -0.1))
+  }
 }

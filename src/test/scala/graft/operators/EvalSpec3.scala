@@ -1,0 +1,134 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** fleissKappa + kruskalWallis (EvalSpec/EvalSpec2 cover the earlier
+  * eval surface). */
+class EvalSpec3 extends SparkSpec {
+  import spark.implicits._
+
+  private def g6(x: Double): Double = math.rint(x * 1e6) / 1e6
+
+  test("fleissKappa: hand 3-item/2-rater case, perfect agreement, " +
+    "single-category null, guards") {
+    // (i1: a,a) (i2: a,b) (i3: b,b): P-bar = 2/3, P_e = 1/2, kappa = 1/3
+    val df = Seq((1L, "r1", "a"), (1L, "r2", "a"), (2L, "r1", "a"),
+      (2L, "r2", "b"), (3L, "r1", "b"), (3L, "r2", "b"))
+      .toDF("item", "rater", "label")
+    val out = Eval.fleissKappa(df, "item", "rater", "label").collect().head
+    assert(out.getLong(0) == 3L && out.getLong(1) == 2L &&
+      out.getLong(2) == 2L)
+    assert(out.getDouble(3) == g6(2.0 / 3.0), out.getDouble(3))
+    assert(out.getDouble(4) == 0.5)
+    assert(out.getDouble(5) == g6(1.0 / 3.0), out.getDouble(5))
+    // perfect agreement across 2 categories -> kappa exactly 1
+    val perfect = Seq((1L, "r1", "a"), (1L, "r2", "a"),
+      (2L, "r1", "b"), (2L, "r2", "b")).toDF("item", "rater", "label")
+    val p = Eval.fleissKappa(perfect, "item", "rater", "label")
+      .collect().head
+    assert(p.getDouble(3) == 1.0 && p.getDouble(4) == 0.5 &&
+      p.getDouble(5) == 1.0)
+    // every rating one category: P_e = 1 -> kappa null (undefined)
+    val mono = Seq((1L, "r1", "a"), (1L, "r2", "a"),
+      (2L, "r1", "a"), (2L, "r2", "a")).toDF("item", "rater", "label")
+    assert(Eval.fleissKappa(mono, "item", "rater", "label")
+      .collect().head.isNullAt(5))
+    // unbalanced design fails fast
+    val e1 = intercept[IllegalArgumentException] {
+      Eval.fleissKappa(Seq((1L, "r1", "a"), (1L, "r2", "a"),
+        (2L, "r1", "a")).toDF("item", "rater", "label"),
+        "item", "rater", "label")
+    }
+    assert(e1.getMessage.contains("same number of ratings"))
+    // duplicate (item, rater) fails fast
+    val e2 = intercept[IllegalArgumentException] {
+      Eval.fleissKappa(Seq((1L, "r1", "a"), (1L, "r1", "b"))
+        .toDF("item", "rater", "label"), "item", "rater", "label")
+    }
+    assert(e2.getMessage.contains("one rating per"))
+    // single rating per item fails fast (n >= 2)
+    val e3 = intercept[IllegalArgumentException] {
+      Eval.fleissKappa(Seq((1L, "r1", "a"), (2L, "r1", "b"))
+        .toDF("item", "rater", "label"), "item", "rater", "label")
+    }
+    assert(e3.getMessage.contains(">= 2 ratings"))
+  }
+
+  test("fleissKappa: equals an independent reference on a " +
+    "pseudo-random 20x3 design") {
+    val raters = Seq("r1", "r2", "r3")
+    val labels = Array("x", "y", "z")
+    val rows = for (i <- 1L to 20L; r <- raters) yield
+      (i, r, labels(((i * 31 + r.hashCode.abs) % 3).toInt))
+    val df = rows.toDF("item", "rater", "label")
+    val out = Eval.fleissKappa(df, "item", "rater", "label").collect().head
+    // independent driver-side reference from the textbook definition
+    val byItem = rows.groupBy(_._1).values.toSeq
+    val nI = byItem.size.toDouble
+    val n = 3.0
+    val s2 = byItem.map(_.groupBy(_._3).values
+      .map(g => g.size.toLong * g.size).sum).sum.toDouble
+    val pBar = (s2 - nI * n) / (nI * n * (n - 1.0))
+    val sc2 = rows.groupBy(_._3).values
+      .map(g => g.size.toLong * g.size).sum.toDouble
+    val pE = sc2 / ((nI * n) * (nI * n))
+    assert(out.getDouble(3) == g6(pBar))
+    assert(out.getDouble(4) == g6(pE))
+    assert(out.getDouble(5) == g6((pBar - pE) / (1.0 - pE)))
+  }
+
+  test("kruskalWallis: hand tie-free case, tie-corrected case, " +
+    "identical groups, all-one-value null") {
+    // A=(1,2) B=(3,4): ranks 1..4, R_A=3, R_B=7 -> H = 2.4, no ties
+    val a = Seq(("A", 1.0), ("A", 2.0), ("B", 3.0), ("B", 4.0))
+      .toDF("g", "v")
+    val o1 = Eval.kruskalWallis(a, "g", "v").collect().head
+    assert(o1.getLong(0) == 4L && o1.getLong(1) == 2L)
+    assert(o1.getDouble(2) == 2.4 && o1.getDouble(3) == 2.4)
+    // A=(1,1) B=(2,2): avg ranks 1.5/3.5 -> H = 2.4, CF = 0.8 -> 3.0
+    // (scipy.stats.kruskal([1,1],[2,2]) = 3.0)
+    val b = Seq(("A", 1.0), ("A", 1.0), ("B", 2.0), ("B", 2.0))
+      .toDF("g", "v")
+    val o2 = Eval.kruskalWallis(b, "g", "v").collect().head
+    assert(o2.getDouble(2) == 2.4 && o2.getDouble(3) == 3.0)
+    // identical groups -> H = 0
+    val c = Seq(("A", 1.0), ("A", 2.0), ("B", 1.0), ("B", 2.0))
+      .toDF("g", "v")
+    val o3 = Eval.kruskalWallis(c, "g", "v").collect().head
+    assert(o3.getDouble(2) == 0.0 && o3.getDouble(3) == 0.0)
+    // all rows one value -> CF = 0 -> h_tie null
+    val d = Seq(("A", 5.0), ("A", 5.0), ("B", 5.0), ("B", 5.0))
+      .toDF("g", "v")
+    val o4 = Eval.kruskalWallis(d, "g", "v").collect().head
+    assert(o4.getDouble(2) == 0.0 && o4.isNullAt(3))
+  }
+
+  test("kruskalWallis: equals an independent average-rank reference " +
+    "on pseudo-random tied data; nulls drop") {
+    val vals = (1 to 60).map(i => (s"g${i % 3}", ((i * 17) % 7).toDouble))
+    val df = vals.toDF("g", "v")
+      .unionByName(Seq(("g0", Option.empty[Double]))
+        .toDF("g", "v"))
+    val out = Eval.kruskalWallis(df, "g", "v").collect().head
+    // reference: average ranks over the sorted multiset
+    val sorted = vals.map(_._2).sorted
+    val rankOf = sorted.distinct.map { v =>
+      val below = sorted.count(_ < v); val t = sorted.count(_ == v)
+      v -> (below + (t + 1) / 2.0)
+    }.toMap
+    val n = vals.size.toDouble
+    val s = vals.groupBy(_._1).values.map { g =>
+      val rg = g.map(r => rankOf(r._2)).sum
+      math.rint(rg * rg / g.size * 1e9) / 1e9
+    }.sum
+    val h = 12.0 / (n * (n + 1.0)) * s - 3.0 * (n + 1.0)
+    val tsum = sorted.groupBy(identity).values
+      .map { g => val t = g.size.toDouble; t * (t - 1.0) * (t + 1.0) }.sum
+    val cf = 1.0 - tsum / (n * (n - 1.0) * (n + 1.0))
+    assert(out.getLong(0) == 60L)
+    assert(math.abs(out.getDouble(2) - h) < 1e-6, s"${out.getDouble(2)} vs $h")
+    assert(math.abs(out.getDouble(3) - h / cf) < 1e-6)
+  }
+}

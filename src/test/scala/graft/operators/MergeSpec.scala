@@ -197,4 +197,32 @@ class MergeSpec extends SparkSpec {
     intercept[IllegalArgumentException](Merge.goldenRecord(rows, "eid",
       mostFrequent = Seq("prio"), longest = Seq("prio")))
   }
+
+test("snapshotAsOf: point-in-time state, deletes, delete-then-" +
+    "reinsert, pre-history empty") {
+    val log = Seq(
+      ("k1", 1L, "I", "a"), ("k1", 3L, "U", "b"), ("k1", 5L, "D", "b"),
+      ("k1", 7L, "I", "c"),
+      ("k2", 2L, "I", "x"),
+      ("k3", 6L, "I", "z"))
+      .toDF("k", "seq", "op", "v")
+    def snap(t: Long) =
+      Merge.snapshotAsOf(log, Seq("k"), "seq", lit(t), "op")
+        .select("k", "v").collect().map(r => r.getString(0) -> r.getString(1))
+        .toMap
+    assert(snap(4L) == Map("k1" -> "b", "k2" -> "x"))
+    assert(snap(5L) == Map("k2" -> "x"))
+    assert(snap(8L) == Map("k1" -> "c", "k2" -> "x", "k3" -> "z"))
+    assert(snap(0L) == Map.empty)
+    // inclusive boundary: the asOf row itself is visible
+    assert(snap(3L)("k1") == "b")
+    // explicit seqCols tie-break: two rows at seq 3 decided by a
+    // second ordering column
+    val tied = Seq(("k1", 3L, 1L, "I", "lo"), ("k1", 3L, 2L, "I", "hi"))
+      .toDF("k", "seq", "sub", "op", "v")
+    val got = Merge.snapshotAsOf(tied, Seq("k"), "seq", lit(3L), "op",
+        seqCols = Seq(col("seq"), col("sub")))
+      .select("v").collect().head.getString(0)
+    assert(got == "hi")
+  }
 }

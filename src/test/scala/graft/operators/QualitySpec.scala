@@ -310,4 +310,33 @@ class QualitySpec extends SparkSpec {
         maxBlocksPerDoc = 0)
     }
   }
+  test("lexicalStats: hand counts, case folding, empty doc, guard") {
+    val docs = Seq(
+      (1L, "The the cat sat on the mat"),
+      (2L, ""),
+      (3L, "Word word WORD"))
+      .toDF("doc_id", "text")
+    val out = Quality.lexicalStats(docs, "doc_id", "text",
+        stopwords = Seq("the", "on"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val d1 = out(1L)
+    // tokens: the,the,cat,sat,on,the,mat (7); types 5; stop 4; len 20
+    assert(d1.getLong(1) == 7L && d1.getLong(2) == 5L)
+    assert(d1.getDouble(3) == math.rint(5.0 / 7.0 * 1e6) / 1e6)
+    assert(d1.getDouble(4) == math.rint(4.0 / 7.0 * 1e6) / 1e6)
+    // hapax: cat,sat,on,mat of 5 types
+    assert(d1.getDouble(5) == 0.8)
+    assert(d1.getDouble(6) == math.rint(20.0 / 7.0 * 1e6) / 1e6)
+    // empty doc survives with zero counts and null ratios
+    val d2 = out(2L)
+    assert(d2.getLong(1) == 0L && d2.getLong(2) == 0L && d2.isNullAt(3) &&
+      d2.isNullAt(4) && d2.isNullAt(5) && d2.isNullAt(6))
+    // case folding: one type, zero hapax
+    val d3 = out(3L)
+    assert(d3.getLong(1) == 3L && d3.getLong(2) == 1L &&
+      d3.getDouble(5) == 0.0)
+    intercept[IllegalArgumentException] {
+      Quality.lexicalStats(docs, "doc_id", "text", stopwords = Nil)
+    }
+  }
 }

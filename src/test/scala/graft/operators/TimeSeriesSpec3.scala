@@ -536,4 +536,92 @@ class TimeSeriesSpec3 extends SparkSpec {
       TimeSeries.crossCorrelation(df, "g", "t", "x", "y", -1)
     }
   }
+
+test("gapFillInterpolate: hand interior gap, multi-key isolation, " +
+    "same-day rows sum first, observed flags") {
+    val rows = Seq(
+      ("k", "2020-01-01 00:00:00", 3.0),
+      ("k", "2020-01-04 00:00:00", 9.0),
+      ("k2", "2020-01-02 00:00:00", 1.0),
+      ("k2", "2020-01-02 06:00:00", 2.0))
+      .toDF("key", "ts", "v")
+      .withColumn("ts", to_timestamp($"ts"))
+    val out = TimeSeries.gapFillInterpolate(rows, "key", "ts", "v")
+      .collect()
+      .map(r => (r.getString(0), r.getDate(1).toString) ->
+        (r.getDecimal(2).doubleValue(), r.getInt(3))).toMap
+    assert(out(("k", "2020-01-01")) == ((3.0, 1)))
+    // 3 + 6*(1/3) = 5, 3 + 6*(2/3) = 7
+    assert(out(("k", "2020-01-02")) == ((5.0, 0)))
+    assert(out(("k", "2020-01-03")) == ((7.0, 0)))
+    assert(out(("k", "2020-01-04")) == ((9.0, 1)))
+    // k2: a single day (two rows summed), no synthesized rows
+    assert(out(("k2", "2020-01-02")) == ((3.0, 1)))
+    assert(out.size == 5)
+    // filled is never null (interior gaps only by construction)
+    assert(TimeSeries.gapFillInterpolate(rows, "key", "ts", "v")
+      .filter($"filled".isNull).count() == 0)
+  }
+
+  test("arForecast: hand AR(2) case, p=1 reduction, degenerate nulls, " +
+    "guards") {
+    // series 1,2,3: mu=2, r1=0, r2=-0.5 -> phi1=0, phi2=-0.5;
+    // forecasts: 2.0, 1.5, 2.0, 2.25
+    val df = Seq(("k", 1, 1.0), ("k", 2, 2.0), ("k", 3, 3.0))
+      .toDF("g", "t", "v")
+    val out = TimeSeries.arForecast(df, "g", "t", "v", horizon = 4)
+      .orderBy($"step").collect()
+      .map(r => r.getInt(1) -> r.getDouble(2)).toMap
+    assert(out == Map(1 -> 2.0, 2 -> 1.5, 3 -> 2.0, 4 -> 2.25), out)
+    // p = 1: phi1 = r1 = 0 -> every forecast is the mean
+    val p1 = TimeSeries.arForecast(df, "g", "t", "v", horizon = 3, p = 1)
+      .collect().map(_.getDouble(2))
+    assert(p1.forall(_ == 2.0))
+    // constant series: zero denominator -> null r -> null forecasts
+    val const = Seq(("k", 1, 5.0), ("k", 2, 5.0), ("k", 3, 5.0))
+      .toDF("g", "t", "v")
+    assert(TimeSeries.arForecast(const, "g", "t", "v", horizon = 2)
+      .collect().forall(_.isNullAt(2)))
+    intercept[IllegalArgumentException](
+      TimeSeries.arForecast(df, "g", "t", "v", horizon = 0))
+    intercept[IllegalArgumentException](
+      TimeSeries.arForecast(df, "g", "t", "v", horizon = 2, p = 3))
+  }
+
+  test("arForecast ≡ an independent driver-side recursion on a " +
+    "pseudo-random series; key independence") {
+    val vals = (1 to 24).map(i => ((i * 13) % 7).toDouble)
+    val df = vals.indices.map(i => ("a", i + 1, vals(i)))
+      .toDF("g", "t", "v")
+      .unionByName(Seq(("b", 1, 1.0), ("b", 2, 2.0), ("b", 3, 3.0))
+        .toDF("g", "t", "v"))
+    val out = TimeSeries.arForecast(df, "g", "t", "v", horizon = 3)
+      .filter($"g" === "a").orderBy($"step")
+      .collect().map(_.getDouble(2)).toSeq
+    // reference: the same biased-ACF + Durbin-Levinson closed forms,
+    // recomputed from scratch with the 9-grid at every pinned point
+    def g9(x: Double) = math.rint(x * 1e9) / 1e9
+    def g6(x: Double) = math.rint(x * 1e6) / 1e6
+    val n = vals.size
+    val mu = g9(vals.map(g9).sum / n)
+    val e = vals.map(_ - mu)
+    val den = e.map(x => g9(x * x)).sum
+    def r(lag: Int) =
+      g6((lag until n).map(i => g9(e(i) * e(i - lag))).sum / den)
+    val (r1, r2) = (r(1), r(2))
+    val phi2 = g9((r2 - r1 * r1) / (1.0 - r1 * r1))
+    val phi1 = g9(r1 * (1.0 - phi2))
+    var (p1v, p2v) = (g9(vals.last - mu), g9(vals(n - 2) - mu))
+    val want = (1 to 3).map { _ =>
+      val f = g9(phi1 * p1v + phi2 * p2v)
+      p2v = p1v; p1v = f
+      g6(mu + f)
+    }
+    assert(out == want, s"$out vs $want")
+    // key b is the hand case, unchanged by a's presence
+    val b = TimeSeries.arForecast(df, "g", "t", "v", horizon = 2)
+      .filter($"g" === "b").orderBy($"step")
+      .collect().map(_.getDouble(2)).toSeq
+    assert(b == Seq(2.0, 1.5))
+  }
 }
