@@ -1148,7 +1148,7 @@ object Eval {
       sum((t * (t - 1)) * (t + 1)).as("__tsum"))
     val nD = col("n").cast("double")
     val h = lit(12.0) / (nD * (nD + 1.0)) * col("__s").cast("double") -
-      3.0 * (nD + 1.0)
+      lit(3.0) * (nD + 1.0)
     val nDec = col("n").cast("decimal(12,0)")
     val cf = lit(1.0) - col("__tsum").cast("double") /
       ((nDec * (nDec - 1)) * (nDec + 1)).cast("double")
@@ -1156,6 +1156,7 @@ object Eval {
       .select(col("n"), col("k_groups"), round(h, 6).as("h"),
         round(when(cf =!= 0.0, h / cf), 6).as("h_tie"))
   }
+
 
   /** Cumulative gains / lift table — the targeting-efficiency view of a
     * ranking score: bucket the population into `numBins` score bands
