@@ -1,0 +1,44 @@
+#!/usr/bin/env bash
+# Snapshot gate — run BEFORE any end-of-round (or sweep) commit.
+#
+# Round 11 lost its entire certification because the end-of-round
+# snapshot committed 766 lines of never-compiled working-tree code with
+# one type error (Eval.scala:1151): CORRECTNESS_r11.json came back empty
+# and BENCH_r11.json rc=1. Invariant, per the round-11 verdict:
+#
+#   1. `sbt Test/compile` must pass on the exact tree being committed.
+#   2. Round artifacts (CORRECTNESS_r*.json, BENCH_r*.json,
+#      LEAKCHECK.json, BENCH_FULL.json) must be committed, not left
+#      untracked/modified.
+#
+# Usage: tools/snapshot_gate.sh   (exits non-zero on any violation)
+set -u
+cd "$(git rev-parse --show-toplevel)"
+
+fail=0
+
+echo "[gate] sbt Test/compile ..."
+if ! sbt -batch "Test/compile" >/tmp/snapshot_gate_compile.log 2>&1; then
+  echo "[gate] FAIL: Test/compile is red — do NOT commit this tree."
+  grep -E "\[error\]" /tmp/snapshot_gate_compile.log | head -20
+  fail=1
+else
+  echo "[gate] Test/compile green."
+fi
+
+dirty=$(git status --porcelain -- 'CORRECTNESS_r*.json' 'BENCH_r*.json' \
+  'BENCH_FULL.json' 'LEAKCHECK.json' 'VERDICT.md' 'ADVICE.md' 2>/dev/null)
+if [ -n "$dirty" ]; then
+  echo "[gate] FAIL: round artifacts untracked/modified — commit them:"
+  echo "$dirty"
+  fail=1
+else
+  echo "[gate] round artifacts clean."
+fi
+
+if [ "$fail" -ne 0 ]; then
+  echo "[gate] BLOCKED. Fix the above, or stash unfinished work" \
+       "(git stash) instead of sweeping it into the snapshot."
+  exit 1
+fi
+echo "[gate] OK to commit."
