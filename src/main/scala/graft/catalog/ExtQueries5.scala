@@ -1,0 +1,483 @@
+package graft.catalog
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-12 batch: the eight operators swept uncompiled into the
+  * round-11 snapshot, now served properly — registered, oracled,
+  * inventoried (SURVEY §2.M) — plus the Friedman test completing the
+  * paired-comparison shelf (McNemar → Cochran's Q → Friedman). */
+object ExtQueries5 {
+
+  import Catalog._
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // --- Kruskal-Wallis H (k-group rank test) ------------------------------
+    // Do the five event types draw their values from one location?
+    // Ranks derive from the global value grid's cumulative counts —
+    // value-level work, never a corpus-wide rank window.
+    "q304_kruskal_wallis" -> ((s, d) =>
+      graft.operators.Eval.kruskalWallis(ev(s, d), "event_type", "value")),
+
+    // --- Fleiss' kappa (multi-rater categorical agreement) -----------------
+    // Three value-threshold raters each filing every event into
+    // lo/mid/hi — do they agree beyond chance? Balanced by
+    // construction (3 ratings per event), the operator's contract.
+    "q305_fleiss_kappa" -> ((s, d) => {
+      val lab = (hi: Double, mid: Double) =>
+        when(col("value") > hi, "hi")
+          .when(col("value") > mid, "mid").otherwise("lo")
+      val long = ev(s, d).select(col("event_id"),
+          explode(array(
+            struct(lit("c80").as("rater"), lab(80.0, 40.0).as("label")),
+            struct(lit("c100").as("rater"), lab(100.0, 50.0).as("label")),
+            struct(lit("c120").as("rater"), lab(120.0, 60.0).as("label"))))
+            .as("r"))
+        .select(col("event_id"), col("r.rater"), col("r.label"))
+      graft.operators.Eval.fleissKappa(long, "event_id", "rater", "label")
+    }),
+
+    // --- linear-interpolation gap fill -------------------------------------
+    // Every third-ish day of readings dropped, the series re-densified
+    // by interpolation between observed neighbors — the continuous-
+    // measure sibling of forward fill.
+    "q306_gap_fill_interpolate" -> ((s, d) =>
+      graft.operators.TimeSeries.gapFillInterpolate(
+          ev(s, d).filter(dayofmonth(col("ts")) % 5 < 2),
+          "event_type", "ts", "value")
+        // render the DECIMAL(28,9) fill as double-rounded-6 (the
+        // q174/q266 no-raw-decimal-output rule)
+        .select(col("event_type"), col("day"),
+          round(col("filled").cast("double"), 6).as("filled"),
+          col("observed"))
+        .orderBy(col("event_type"), col("day"))),
+
+    // --- AR(2) forecast (Yule-Walker closed form) ---------------------------
+    // Three steps ahead on each event type's daily count series from
+    // its own measured lag structure (phi from the ACF grid).
+    "q307_ar_forecast" -> ((s, d) =>
+      graft.operators.TimeSeries.arForecast(
+          ev(s, d).groupBy(col("event_type"),
+              col("ts").cast("date").as("day"))
+            .agg(count(lit(1)).cast("double").as("cnt")),
+          "event_type", "day", "cnt", horizon = 3, p = 2)
+        .orderBy(col("event_type"), col("step"))),
+
+    // --- directional association rules -------------------------------------
+    // q170's supplier co-occurrence fanned to directed a → b rules
+    // with support/confidence gates — the recommender form.
+    "q308_association_rules" -> ((s, d) =>
+      graft.operators.Baskets.associationRules(t(s, d, "lineitem"),
+          "l_orderkey", "l_suppkey", minSupport = 0.002,
+          minConfidence = 0.02, minCount = 25L)
+        .orderBy(col("antecedent"), col("consequent"))),
+
+    // --- point-in-time snapshot from a CDC log -----------------------------
+    // The table state as of 1998-06-30 rebuilt from an op-tagged
+    // changelog (latest visible row per customer; 'D' keys absent) —
+    // time travel for audits and reproducible training snapshots.
+    "q309_snapshot_as_of" -> ((s, d) => {
+      val log = t(s, d, "orders").select(col("o_orderkey"),
+        col("o_custkey"), col("o_orderdate"), col("o_totalprice"),
+        col("o_orderstatus"),
+        when(col("o_orderstatus") === "F", "U")
+          .when(col("o_orderstatus") === "P", "D").otherwise("I").as("op"))
+      graft.operators.Merge.snapshotAsOf(log, Seq("o_custkey"),
+          "o_orderdate", lit("1998-06-30").cast("timestamp"), "op",
+          seqCols = Seq(col("o_orderdate"), col("o_orderkey")))
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderdate").cast("date").as("order_day"),
+          col("o_totalprice"), col("o_orderstatus"), col("op"))
+        .orderBy(col("o_custkey"))
+    }),
+
+    // --- per-document lexical statistics -----------------------------------
+    // Type-token ratio, stopword ratio, hapax ratio, mean token length
+    // — the vocabulary-shape quality gates beside entropy/repetition.
+    "q310_lexical_stats" -> ((s, d) =>
+      graft.operators.Quality.lexicalStats(t(s, d, "documents"),
+          "doc_id", "text",
+          stopwords = Seq("the", "and", "of", "to", "in",
+            "a", "is", "that", "it", "for"))
+        .orderBy(col("doc_id"))),
+
+    // --- radius similarity join (all neighbors within tau) ------------------
+    // Every sampled query's corpus neighbors at cosine >= 0.3 through
+    // the IVF store at FULL probe (= exact, so the brute-force SQL
+    // oracle pins it — the q228 adjudication; production prunes
+    // nprobe). The range-search complement to top-k.
+    "q311_radius_join" -> ((s, d) => {
+      import graft.functions.IvfIndex
+      val emb = t(s, d, "embeddings")
+      val idx = LlmQueries.cachedIvfIndex(s, d + "#all")(
+        IvfIndex.build(emb, "embedding", "vec_id", k = 8))
+      val qs = emb.filter(col("vec_id") % 20 === 0)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+      IvfIndex.radiusJoin(idx, qs, "query_id", "qvec",
+          "embedding", "vec_id", threshold = 0.3, nprobe = 8, grid = 4,
+          includeSelf = false)
+        .orderBy(col("query_id"), col("vec_id"))
+    }),
+
+    // --- incremental golden-record store (streaming survivorship) -----------
+    // q301's survivorship served INCREMENTALLY: orders ingested as
+    // three batches into a GoldenStore (algebraic struct partials +
+    // modal count deltas), golden rows folded at read. Streamed ≡
+    // batch is the operator's contract, so q301's one-shot oracle
+    // pins this too (session-cached store, swept on app end).
+    "q313_golden_store" -> ((s, d) => {
+      val store = LlmQueries.cachedStore(s, d, "golden-q313") { p =>
+        val orders = t(s, d, "orders")
+        (0 to 2).foreach { b =>
+          graft.operators.GoldenStore.append(
+            orders.filter(pmod(col("o_orderkey"), lit(3)) === b),
+            "o_custkey", p, batchId = b.toLong,
+            mostFrequent = Seq("o_orderstatus"),
+            longest = Seq("o_orderpriority"),
+            minOf = Seq("o_orderdate"),
+            maxOf = Seq("o_totalprice"),
+            latestBy = Some(("o_orderdate", Seq("o_orderkey"))))
+        }
+      }
+      graft.operators.GoldenStore.serve(s, store)
+        .orderBy(col("o_custkey"))
+    }),
+
+    // --- Friedman test (complete-block rank test) ---------------------------
+    // Three scoring systems ranked within every event (blocks cancel
+    // between-event level shifts) — do the systems rank the same?
+    "q312_friedman" -> ((s, d) => {
+      val long = ev(s, d).select(col("event_id"),
+          explode(array(
+            struct(lit("c80").as("system"),
+              abs(col("value") - 80.0).as("score")),
+            struct(lit("c100").as("system"),
+              abs(col("value") - 100.0).as("score")),
+            struct(lit("c120").as("system"),
+              abs(col("value") - 120.0).as("score")))).as("r"))
+        .select(col("event_id"), col("r.system"), col("r.score"))
+      graft.operators.Eval.friedman(long, "event_id", "system", "score")
+    }))
+
+  def oracleSql: Map[String, String] = Map(
+    // global value-grid average ranks ((2 cum - cnt + 1)/2 on the
+    // .5-exact DECIMAL(19,1) grid), exact decimal rank sums, the
+    // round-9 R_g^2/n_g accumulation, tie-corrected twin
+    "q304_kruskal_wallis" ->
+      """WITH rows AS (SELECT event_type AS g, value AS v FROM events
+             WHERE event_type IS NOT NULL AND value IS NOT NULL),
+         levels AS (SELECT v, CAST(count(*) AS BIGINT) AS cnt
+             FROM rows GROUP BY 1),
+         ranks AS (SELECT v, cnt,
+             CAST(CAST(2 * sum(cnt) OVER (ORDER BY v) - cnt + 1 AS DOUBLE)
+               / 2.0 AS DECIMAL(19,1)) AS r FROM levels),
+         gv AS (SELECT g, v, CAST(count(*) AS BIGINT) AS c
+             FROM rows GROUP BY 1, 2),
+         rg AS (SELECT g, sum(CAST(c AS DECIMAL(19,0)) * r) AS rg,
+             CAST(sum(c) AS BIGINT) AS ng
+           FROM gv JOIN ranks USING (v) GROUP BY 1),
+         stats AS (SELECT CAST(sum(ng) AS BIGINT) AS n,
+             CAST(count(*) AS BIGINT) AS k_groups,
+             sum(CAST(round(CAST(rg AS DOUBLE) * CAST(rg AS DOUBLE) / ng, 9)
+               AS DECIMAL(38,9))) AS s FROM rg),
+         ties AS (SELECT sum(CAST(cnt AS DECIMAL(12,0)) *
+             (CAST(cnt AS DECIMAL(12,0)) - 1) *
+             (CAST(cnt AS DECIMAL(12,0)) + 1)) AS tsum FROM levels)
+         SELECT n, k_groups,
+           round(12.0 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0))
+             * CAST(s AS DOUBLE) - 3.0 * (CAST(n AS DOUBLE) + 1.0), 6) AS h,
+           round(CASE WHEN 1.0 - CAST(tsum AS DOUBLE) /
+               CAST(CAST(n AS DECIMAL(12,0)) * (CAST(n AS DECIMAL(12,0)) - 1)
+                 * (CAST(n AS DECIMAL(12,0)) + 1) AS DOUBLE) <> 0.0 THEN
+             (12.0 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0))
+               * CAST(s AS DOUBLE) - 3.0 * (CAST(n AS DOUBLE) + 1.0))
+             / (1.0 - CAST(tsum AS DOUBLE) /
+               CAST(CAST(n AS DECIMAL(12,0)) * (CAST(n AS DECIMAL(12,0)) - 1)
+                 * (CAST(n AS DECIMAL(12,0)) + 1) AS DOUBLE)) END, 6)
+             AS h_tie
+         FROM stats, ties""",
+
+    // exact integer Sum n_ij^2 / Sum C_j^2 accounting, one pinned
+    // double tree for p_bar, p_e, kappa
+    "q305_fleiss_kappa" ->
+      """WITH r AS (SELECT event_id, u.rater AS rater, u.label AS label
+           FROM events, unnest([
+             {'rater': 'c80', 'label': CASE WHEN value > 80.0 THEN 'hi'
+                WHEN value > 40.0 THEN 'mid' ELSE 'lo' END},
+             {'rater': 'c100', 'label': CASE WHEN value > 100.0 THEN 'hi'
+                WHEN value > 50.0 THEN 'mid' ELSE 'lo' END},
+             {'rater': 'c120', 'label': CASE WHEN value > 120.0 THEN 'hi'
+                WHEN value > 60.0 THEN 'mid' ELSE 'lo' END}
+           ]) t(u)),
+         it AS (SELECT CAST(count(DISTINCT event_id) AS BIGINT) AS n_items,
+             sum(CAST(nij AS DECIMAL(19,0)) * CAST(nij AS DECIMAL(19,0)))
+               AS s2
+           FROM (SELECT event_id, label, count(*) AS nij
+                 FROM r GROUP BY 1, 2)),
+         ct AS (SELECT CAST(count(*) AS BIGINT) AS n_categories,
+             sum(CAST(cj AS DECIMAL(19,0)) * CAST(cj AS DECIMAL(19,0)))
+               AS sc2
+           FROM (SELECT label, count(*) AS cj FROM r GROUP BY 1))
+         SELECT n_items, CAST(3 AS BIGINT) AS n_raters, n_categories,
+           round((CAST(s2 AS DOUBLE) - CAST(n_items AS DOUBLE) * 3.0)
+             / ((CAST(n_items AS DOUBLE) * 3.0) * 2.0), 6) AS p_bar,
+           round(CAST(sc2 AS DOUBLE) / ((CAST(n_items AS DOUBLE) * 3.0)
+             * (CAST(n_items AS DOUBLE) * 3.0)), 6) AS p_e,
+           round(CASE WHEN 1.0 - CAST(sc2 AS DOUBLE) /
+               ((CAST(n_items AS DOUBLE) * 3.0) * (CAST(n_items AS DOUBLE)
+                 * 3.0)) <> 0.0 THEN
+             ((CAST(s2 AS DOUBLE) - CAST(n_items AS DOUBLE) * 3.0)
+               / ((CAST(n_items AS DOUBLE) * 3.0) * 2.0)
+              - CAST(sc2 AS DOUBLE) / ((CAST(n_items AS DOUBLE) * 3.0)
+               * (CAST(n_items AS DOUBLE) * 3.0)))
+             / (1.0 - CAST(sc2 AS DOUBLE) / ((CAST(n_items AS DOUBLE) * 3.0)
+               * (CAST(n_items AS DOUBLE) * 3.0))) END, 6) AS kappa
+         FROM it, ct""",
+
+    // per-key daily DECIMAL sums, per-key spine, ignore-nulls neighbor
+    // structs both directions, exact integer day-fraction interpolation
+    "q306_gap_fill_interpolate" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+             sum(CAST(round(CAST(value AS DECIMAL(28,9)), 9)
+               AS DECIMAL(28,9))) AS v
+           FROM events WHERE day(ts) % 5 < 2 GROUP BY 1, 2),
+         spine AS (SELECT event_type,
+             CAST(unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS DATE)
+               AS day
+           FROM (SELECT event_type, min(day) AS mn, max(day) AS mx
+                 FROM daily GROUP BY 1)),
+         j AS (SELECT s.event_type, s.day, d.v
+           FROM spine s LEFT JOIN daily d USING (event_type, day)),
+         f AS (SELECT *,
+             last_value(CASE WHEN v IS NOT NULL
+                 THEN {'day': day, 'v': v} END IGNORE NULLS)
+               OVER (PARTITION BY event_type ORDER BY day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p,
+             first_value(CASE WHEN v IS NOT NULL
+                 THEN {'day': day, 'v': v} END IGNORE NULLS)
+               OVER (PARTITION BY event_type ORDER BY day
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nx
+           FROM j)
+         SELECT event_type, day,
+           round(CAST(CASE WHEN v IS NOT NULL THEN v
+             ELSE CAST(round(CAST(p.v AS DOUBLE)
+               + (CAST(nx.v AS DOUBLE) - CAST(p.v AS DOUBLE))
+               * (CAST(date_diff('day', p.day, day) AS DOUBLE)
+                  / CAST(date_diff('day', p.day, nx.day) AS DOUBLE)), 9)
+               AS DECIMAL(28,9)) END AS DOUBLE), 6) AS filled,
+           CAST(CASE WHEN v IS NULL THEN 0 ELSE 1 END AS INT) AS observed
+         FROM f ORDER BY event_type, day""",
+
+    // ACF r1/r2 on the round-9 DECIMAL(38,9) product sums (rounded 6),
+    // Yule-Walker phi closed forms, the 9-grid forecast recursion
+    // unrolled three steps
+    "q307_ar_forecast" ->
+      """WITH daily AS (SELECT event_type AS k, CAST(ts AS DATE) AS day,
+             CAST(count(*) AS DOUBLE) AS v FROM events GROUP BY 1, 2),
+         mu AS (SELECT k, round(CAST(sum(CAST(round(v, 9)
+               AS DECIMAL(38,9))) AS DOUBLE) / count(*), 9) AS mu
+           FROM daily GROUP BY 1),
+         c AS (SELECT d.k, day, v, v - mu AS e
+           FROM daily d JOIN mu USING (k)),
+         lagd AS (SELECT k, e,
+             lag(e, 1) OVER (PARTITION BY k ORDER BY day) AS e1,
+             lag(e, 2) OVER (PARTITION BY k ORDER BY day) AS e2 FROM c),
+         acf AS (SELECT k,
+             sum(CAST(round(e * e, 9) AS DECIMAL(38,9))) AS den,
+             sum(CASE WHEN e1 IS NOT NULL
+               THEN CAST(round(e * e1, 9) AS DECIMAL(38,9)) END) AS n1,
+             sum(CASE WHEN e2 IS NOT NULL
+               THEN CAST(round(e * e2, 9) AS DECIMAL(38,9)) END) AS n2
+           FROM lagd GROUP BY 1),
+         r AS (SELECT k,
+             round(CASE WHEN den <> 0 THEN CAST(n1 AS DOUBLE)
+               / CAST(den AS DOUBLE) END, 6) AS r1,
+             round(CASE WHEN den <> 0 THEN CAST(n2 AS DOUBLE)
+               / CAST(den AS DOUBLE) END, 6) AS r2 FROM acf),
+         last2 AS (SELECT k, max(CASE WHEN rn = 1 THEN v END) AS xn,
+             max(CASE WHEN rn = 2 THEN v END) AS xn1
+           FROM (SELECT k, v, row_number() OVER (PARTITION BY k
+                   ORDER BY day DESC) AS rn FROM daily)
+           WHERE rn <= 2 GROUP BY 1),
+         b1 AS (SELECT r.k, r1, r2, mu, xn, xn1,
+             round(CASE WHEN 1.0 - r1 * r1 <> 0.0
+               THEN (r2 - r1 * r1) / (1.0 - r1 * r1) END, 9) AS phi2
+           FROM r JOIN mu ON mu.k = r.k JOIN last2 ON last2.k = r.k),
+         b2 AS (SELECT *, round(r1 * (1.0 - phi2), 9) AS phi1,
+             round(xn - mu, 9) AS p1, round(xn1 - mu, 9) AS p2 FROM b1),
+         s1 AS (SELECT *, round(phi1 * p1 + phi2 * p2, 9) AS f1 FROM b2),
+         s2 AS (SELECT *, round(phi1 * f1 + phi2 * p1, 9) AS f2 FROM s1),
+         s3 AS (SELECT *, round(phi1 * f2 + phi2 * f1, 9) AS f3 FROM s2)
+         SELECT k AS event_type, step, forecast FROM (
+           SELECT k, CAST(1 AS INT) AS step, round(mu + f1, 6) AS forecast
+             FROM s3
+           UNION ALL SELECT k, CAST(2 AS INT), round(mu + f2, 6) FROM s3
+           UNION ALL SELECT k, CAST(3 AS INT), round(mu + f3, 6) FROM s3)
+         ORDER BY event_type, step""",
+
+    // q170's pair table fanned to both directions, support/confidence
+    // gates applied on the rounded-6 ratios (the engine's filter grid)
+    "q308_association_rules" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey AS b, l_suppkey AS i
+             FROM lineitem),
+         nb AS (SELECT CAST(count(DISTINCT b) AS BIGINT) AS nb FROM items),
+         ic AS (SELECT i, CAST(count(*) AS BIGINT) AS n
+             FROM items GROUP BY i),
+         pairs AS (SELECT a.i AS ia, b.i AS ib,
+             CAST(count(*) AS BIGINT) AS n_ab
+           FROM items a JOIN items b ON a.b = b.b AND a.i < b.i
+           GROUP BY 1, 2 HAVING count(*) >= 25),
+         lifted AS (SELECT p.ia, p.ib, p.n_ab, ia.n AS n_a, ib.n AS n_b,
+             round(CAST(p.n_ab AS DOUBLE) * nb.nb
+               / (CAST(ia.n AS DOUBLE) * ib.n), 6) AS lift
+           FROM pairs p JOIN ic ia ON ia.i = p.ia
+             JOIN ic ib ON ib.i = p.ib, nb),
+         directed AS (
+           SELECT ia AS antecedent, ib AS consequent, n_ab,
+             n_a AS n_ant, lift FROM lifted
+           UNION ALL
+           SELECT ib, ia, n_ab, n_b, lift FROM lifted)
+         SELECT antecedent, consequent, n_ab AS n_both,
+           n_ant AS n_antecedent,
+           round(CAST(n_ab AS DOUBLE) / nb.nb, 6) AS support,
+           round(CAST(n_ab AS DOUBLE) / n_ant, 6) AS confidence, lift
+         FROM directed, nb
+         WHERE round(CAST(n_ab AS DOUBLE) / nb.nb, 6) >= 0.002
+           AND round(CAST(n_ab AS DOUBLE) / n_ant, 6) >= 0.02
+         ORDER BY antecedent, consequent""",
+
+    // visibility filter + latest-per-key under the pinned (seq, key)
+    // tie-break, 'D' keys absent
+    "q309_snapshot_as_of" ->
+      """WITH log AS (SELECT o_orderkey, o_custkey, o_orderdate,
+             o_totalprice, o_orderstatus,
+             CASE WHEN o_orderstatus = 'F' THEN 'U'
+                  WHEN o_orderstatus = 'P' THEN 'D' ELSE 'I' END AS op
+           FROM orders),
+         vis AS (SELECT * FROM log
+           WHERE o_orderdate <= TIMESTAMP '1998-06-30 00:00:00'),
+         r AS (SELECT *, row_number() OVER (PARTITION BY o_custkey
+             ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn FROM vis)
+         SELECT o_orderkey, o_custkey, CAST(o_orderdate AS DATE)
+             AS order_day, o_totalprice, o_orderstatus, op
+         FROM r WHERE rn = 1 AND op <> 'D' ORDER BY o_custkey""",
+
+    // the one whitespace token contract, (doc, token)-grain counts,
+    // integer-over-integer ratios rounded 6; token-less docs survive
+    // with zero counts and null ratios
+    "q310_lexical_stats" ->
+      """WITH toks AS (SELECT doc_id,
+             unnest(list_filter(string_split_regex(lower(text), '\s+'),
+               x -> x <> '')) AS t
+           FROM documents),
+         cells AS (SELECT doc_id, t, CAST(count(*) AS BIGINT) AS c
+           FROM toks GROUP BY 1, 2),
+         per AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+             CAST(count(*) AS BIGINT) AS n_types,
+             CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS hapax,
+             CAST(sum(CASE WHEN t IN ('the','and','of','to','in','a',
+               'is','that','it','for') THEN c ELSE 0 END) AS BIGINT)
+               AS stop,
+             CAST(sum(CAST(length(t) AS BIGINT) * c) AS BIGINT) AS len
+           FROM cells GROUP BY 1)
+         SELECT d.doc_id, coalesce(n_tokens, 0) AS n_tokens,
+           coalesce(n_types, 0) AS n_types,
+           round(CAST(n_types AS DOUBLE) / n_tokens, 6) AS ttr,
+           round(CAST(stop AS DOUBLE) / n_tokens, 6) AS stopword_ratio,
+           round(CAST(hapax AS DOUBLE) / n_types, 6) AS hapax_ratio,
+           round(CAST(len AS DOUBLE) / n_tokens, 6) AS mean_token_len
+         FROM documents d LEFT JOIN per USING (doc_id)
+         ORDER BY d.doc_id""",
+
+    // brute-force cosine over every (query, corpus) pair, threshold on
+    // the grid-4 rounded sim, self-pairs dropped — exact because the
+    // engine runs FULL probe
+    "q311_radius_join" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+           FROM embeddings WHERE vec_id % 20 = 0),
+         sims AS (
+           SELECT q.query_id, e.vec_id,
+             round(sum(CAST(e.embedding[CAST(i AS INT)] AS DOUBLE)
+                 * CAST(q.qe[CAST(i AS INT)] AS DOUBLE))
+               / (sqrt(sum(CAST(e.embedding[CAST(i AS INT)] AS DOUBLE)
+                     * CAST(e.embedding[CAST(i AS INT)] AS DOUBLE)))
+                  * sqrt(sum(CAST(q.qe[CAST(i AS INT)] AS DOUBLE)
+                     * CAST(q.qe[CAST(i AS INT)] AS DOUBLE)))), 4)
+               AS cosine_sim
+           FROM embeddings e, q, generate_series(1, 64) AS g(i)
+           GROUP BY q.query_id, e.vec_id)
+         SELECT query_id, vec_id, cosine_sim FROM sims
+         WHERE cosine_sim >= 0.3 AND query_id <> vec_id
+         ORDER BY query_id, vec_id""",
+
+    // the q301 one-shot survivorship construction — valid here because
+    // streamed ≡ batch is GoldenStore's spec-pinned contract
+    "q313_golden_store" ->
+      """WITH dk AS (SELECT DISTINCT o_custkey FROM orders),
+         cnt AS (SELECT o_custkey, o_orderstatus, count(*) AS c
+           FROM orders WHERE o_orderstatus IS NOT NULL GROUP BY 1, 2),
+         mf AS (SELECT o_custkey, o_orderstatus FROM (
+             SELECT *, row_number() OVER (PARTITION BY o_custkey
+               ORDER BY c DESC, o_orderstatus ASC) AS rn FROM cnt)
+           WHERE rn = 1),
+         lg AS (SELECT o_custkey, o_orderpriority FROM (
+             SELECT o_custkey, o_orderpriority, row_number() OVER (
+               PARTITION BY o_custkey
+               ORDER BY len(o_orderpriority) DESC, o_orderpriority ASC)
+               AS rn
+             FROM orders WHERE o_orderpriority IS NOT NULL) WHERE rn = 1),
+         mm AS (SELECT o_custkey, min(o_orderdate) AS o_orderdate,
+             max(o_totalprice) AS o_totalprice
+           FROM orders GROUP BY 1),
+         lt AS (SELECT o_custkey, o_orderkey FROM (
+             SELECT o_custkey, o_orderkey, row_number() OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+             FROM orders WHERE o_orderkey IS NOT NULL) WHERE rn = 1)
+         SELECT dk.o_custkey, lg.o_orderpriority, mm.o_orderdate,
+           mm.o_totalprice, lt.o_orderkey, mf.o_orderstatus
+         FROM dk LEFT JOIN lg USING (o_custkey)
+           LEFT JOIN mm USING (o_custkey)
+           LEFT JOIN lt USING (o_custkey)
+           LEFT JOIN mf USING (o_custkey)
+         ORDER BY dk.o_custkey""",
+
+    // within-item average ranks off each item's own value grid, exact
+    // DECIMAL rank sums, the round-9 Sum R_j^2 accumulation,
+    // tie-corrected twin
+    "q312_friedman" ->
+      """WITH rows AS (SELECT event_id AS i, u.s AS t, u.score AS v
+           FROM events, unnest([
+             {'s': 'c80', 'score': abs(value - 80.0)},
+             {'s': 'c100', 'score': abs(value - 100.0)},
+             {'s': 'c120', 'score': abs(value - 120.0)}]) AS tt(u)),
+         cells AS (SELECT i, v, CAST(count(*) AS BIGINT) AS cnt
+           FROM rows GROUP BY 1, 2),
+         ranked AS (SELECT i, v, cnt,
+             CAST(CAST(2 * sum(cnt) OVER (PARTITION BY i ORDER BY v)
+               - cnt + 1 AS DOUBLE) / 2.0 AS DECIMAL(19,1)) AS r
+           FROM cells),
+         rj AS (SELECT t, sum(r) AS rj
+           FROM rows JOIN ranked USING (i, v) GROUP BY 1),
+         n AS (SELECT CAST(count(DISTINCT i) AS BIGINT) AS n_items
+           FROM rows),
+         s2 AS (SELECT sum(CAST(round(CAST(rj AS DOUBLE)
+             * CAST(rj AS DOUBLE), 9) AS DECIMAL(38,9))) AS s FROM rj),
+         ties AS (SELECT sum(CAST(cnt AS DECIMAL(12,0)) *
+             (CAST(cnt AS DECIMAL(12,0)) - 1) *
+             (CAST(cnt AS DECIMAL(12,0)) + 1)) AS tsum FROM cells)
+         SELECT n_items, CAST(3 AS BIGINT) AS k_treatments,
+           round(12.0 / (CAST(n_items AS DOUBLE) * 3.0 * 4.0)
+             * CAST(s AS DOUBLE)
+             - 3.0 * CAST(n_items AS DOUBLE) * 4.0, 6) AS chi2,
+           round(CASE WHEN 1.0 - CAST(tsum AS DOUBLE)
+               / (CAST(n_items AS DOUBLE) * 3.0 * 8.0) <> 0.0 THEN
+             (12.0 / (CAST(n_items AS DOUBLE) * 3.0 * 4.0)
+               * CAST(s AS DOUBLE)
+               - 3.0 * CAST(n_items AS DOUBLE) * 4.0)
+             / (1.0 - CAST(tsum AS DOUBLE)
+               / (CAST(n_items AS DOUBLE) * 3.0 * 8.0)) END, 6)
+             AS chi2_tie
+         FROM n, s2, ties""")
+}

@@ -1157,6 +1157,80 @@ object Eval {
         round(when(cf =!= 0.0, h / cf), 6).as("h_tie"))
   }
 
+  /** Friedman test — the complete-block rank test closing the paired-
+    * comparison shelf ([[mcNemar]] 2 binary raters → [[cochranQ]] k
+    * binary raters → Friedman k CONTINUOUS treatments on the same
+    * items): do k treatments rank the same within each block?
+    * [[kruskalWallis]] ranks over the GLOBAL value grid (independent
+    * groups); Friedman ranks WITHIN each item, so between-item level
+    * shifts cancel — the right test when every item sees all k
+    * treatments (k systems scored on one benchmark suite).
+    *
+    * Design must be complete and unreplicated — every (item,
+    * treatment) exactly once, every item all k treatments — and the
+    * operator FAILS FAST otherwise (an unbalanced Friedman is a
+    * different statistic, not an approximation). Ranks come from each
+    * item's OWN (item, value)-level grid via the (2·cum − cnt + 1)/2
+    * average-rank construction ([[kruskalWallis]]'s form, but the
+    * window partitions by item — partitions are k-bounded, never
+    * corpus-wide); ranks land on the .5 grid as exact DECIMAL(19,1),
+    * R_j accumulates exactly, the Σ R_j² terms round to the 9-grid
+    * into a DECIMAL(38,9) sum, and χ² = 12/(N·k·(k+1))·Σ − 3·N·(k+1)
+    * is one pinned double tree. Tie correction divides by
+    * 1 − Σt(t−1)(t+1)/(N·k·(k²−1)) with the tie sum exact DECIMAL
+    * (counts cast to DECIMAL(12,0) before the triple product, the
+    * [[kruskalWallis]] envelope); all treatments tied everywhere →
+    * chi2_tie null. Output: one row (n_items, k_treatments, chi2,
+    * chi2_tie) rounded 6. */
+  def friedman(df: DataFrame, itemCol: String, treatmentCol: String,
+               valueCol: String): DataFrame = {
+    val rows = df.filter(col(itemCol).isNotNull &&
+        col(treatmentCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(itemCol).as("__i"), col(treatmentCol).as("__t"),
+        col(valueCol).cast("double").as("__v"))
+    val dup = rows.groupBy(col("__i"), col("__t"))
+      .agg(count(lit(1)).as("__c")).filter(col("__c") > 1L)
+      .limit(1).collect()
+    require(dup.isEmpty,
+      s"friedman needs one observation per (item, treatment); item " +
+        s"${dup.headOption.map(_.get(0)).orNull} / treatment " +
+        s"${dup.headOption.map(_.get(1)).orNull} appears " +
+        s"${dup.headOption.map(_.getLong(2)).getOrElse(0L)} times")
+    val ks = rows.groupBy(col("__i")).agg(count(lit(1)).as("__k"))
+      .select(col("__k")).distinct().limit(2).collect()
+    require(ks.length == 1,
+      "friedman needs every item to carry all k treatments (got " +
+        s"per-item counts ${ks.map(_.getLong(0)).sorted.mkString(", ")}, ...)")
+    val k = ks(0).getLong(0)
+    require(k >= 2, s"friedman needs >= 2 treatments, got $k")
+    // within-item average ranks off the item's own value grid
+    val cells = rows.groupBy(col("__i"), col("__v"))
+      .agg(count(lit(1)).as("__cnt"))
+    val w = Window.partitionBy(col("__i")).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = cells.withColumn("__cum", sum(col("__cnt")).over(w))
+      .select(col("__i"), col("__v"), col("__cnt"),
+        ((lit(2L) * col("__cum") - col("__cnt") + lit(1L))
+          .cast("double") / 2.0).cast("decimal(19,1)").as("__r"))
+    val rj = rows.join(ranked.select(col("__i"), col("__v"), col("__r")),
+        Seq("__i", "__v"))
+      .groupBy(col("__t")).agg(sum(col("__r")).as("__rj"))
+    val nDf = rows.agg(countDistinct(col("__i")).as("n_items"))
+    val s2 = rj.agg(sum(round(col("__rj").cast("double") *
+        col("__rj").cast("double"), 9).cast("decimal(38,9)")).as("__s"))
+    val t = col("__cnt").cast("decimal(12,0)")
+    val ties = cells.agg(sum((t * (t - 1)) * (t + 1)).as("__tsum"))
+    val nD = col("n_items").cast("double")
+    val kD = lit(k.toDouble)
+    val chi2 = lit(12.0) / (nD * kD * (kD + 1.0)) *
+      col("__s").cast("double") - lit(3.0) * nD * (kD + 1.0)
+    val cf = lit(1.0) - col("__tsum").cast("double") /
+      (nD * kD * (kD * kD - 1.0))
+    nDf.crossJoin(s2).crossJoin(ties)
+      .select(col("n_items"), lit(k).as("k_treatments"),
+        round(chi2, 6).as("chi2"),
+        round(when(cf =!= 0.0, chi2 / cf), 6).as("chi2_tie"))
+  }
 
   /** Cumulative gains / lift table — the targeting-efficiency view of a
     * ranking score: bucket the population into `numBins` score bands

@@ -131,4 +131,74 @@ class EvalSpec3 extends SparkSpec {
     assert(math.abs(out.getDouble(2) - h) < 1e-6, s"${out.getDouble(2)} vs $h")
     assert(math.abs(out.getDouble(3) - h / cf) < 1e-6)
   }
+
+  test("friedman: perfect-consistency hand case, tied case matches " +
+    "scipy, all-tied null, guards") {
+    // 3 items all ranking A<B<C: R=(3,6,9), chi2 = 12/36*126 - 36 = 6
+    // (the N(k-1) maximum — perfectly consistent blocks)
+    val a = (1L to 3L).flatMap(i => Seq((i, "A", 1.0), (i, "B", 2.0),
+      (i, "C", 3.0))).toDF("item", "t", "v")
+    val o1 = Eval.friedman(a, "item", "t", "v").collect().head
+    assert(o1.getLong(0) == 3L && o1.getLong(1) == 3L)
+    assert(o1.getDouble(2) == 6.0 && o1.getDouble(3) == 6.0)
+    // one tied block: item1 ranks (1.5, 1.5, 3), item2 (1, 2, 3) ->
+    // R=(2.5, 3.5, 6), chi2 = 0.5*54.5 - 24 = 3.25; tie sum 2*1*3 = 6,
+    // cf = 1 - 6/48 = 0.875 -> chi2_tie = 3.25/0.875 = 3.714286
+    // (scipy.stats.friedmanchisquare([1,1],[1,2],[2,3]) = 3.7142857...)
+    val b = Seq((1L, "A", 1.0), (1L, "B", 1.0), (1L, "C", 2.0),
+      (2L, "A", 1.0), (2L, "B", 2.0), (2L, "C", 3.0)).toDF("item", "t", "v")
+    val o2 = Eval.friedman(b, "item", "t", "v").collect().head
+    assert(o2.getDouble(2) == 3.25 && o2.getDouble(3) == g6(3.25 / 0.875))
+    // every block fully tied: chi2 = 0, correction factor 0 -> null
+    val c = (1L to 4L).flatMap(i => Seq((i, "A", 7.0), (i, "B", 7.0),
+      (i, "C", 7.0))).toDF("item", "t", "v")
+    val o3 = Eval.friedman(c, "item", "t", "v").collect().head
+    assert(o3.getDouble(2) == 0.0 && o3.isNullAt(3))
+    // incomplete block fails fast
+    val e1 = intercept[IllegalArgumentException] {
+      Eval.friedman(Seq((1L, "A", 1.0), (1L, "B", 2.0), (2L, "A", 1.0))
+        .toDF("item", "t", "v"), "item", "t", "v")
+    }
+    assert(e1.getMessage.contains("all k treatments"))
+    // replicated (item, treatment) fails fast
+    val e2 = intercept[IllegalArgumentException] {
+      Eval.friedman(Seq((1L, "A", 1.0), (1L, "A", 2.0))
+        .toDF("item", "t", "v"), "item", "t", "v")
+    }
+    assert(e2.getMessage.contains("one observation per"))
+    // k = 1 fails fast
+    val e3 = intercept[IllegalArgumentException] {
+      Eval.friedman(Seq((1L, "A", 1.0), (2L, "A", 2.0))
+        .toDF("item", "t", "v"), "item", "t", "v")
+    }
+    assert(e3.getMessage.contains(">= 2 treatments"))
+  }
+
+  test("friedman: equals an independent within-block average-rank " +
+    "reference on pseudo-random tied data") {
+    val ks = Seq("s1", "s2", "s3", "s4")
+    val rows = for (i <- 1L to 25L; (t, j) <- ks.zipWithIndex)
+      yield (i, t, ((i * 13 + j * 7) % 5).toDouble)
+    val df = rows.toDF("item", "t", "v")
+    val out = Eval.friedman(df, "item", "t", "v").collect().head
+    // reference: average ranks within each block over its own multiset
+    val byItem = rows.groupBy(_._1)
+    def rankIn(i: Long, v: Double): Double = {
+      val vs = byItem(i).map(_._3)
+      vs.count(_ < v) + (vs.count(_ == v) + 1) / 2.0
+    }
+    val nI = 25.0; val k = 4.0
+    val s = rows.groupBy(_._2).values.map { g =>
+      val rj = g.map(r => rankIn(r._1, r._3)).sum
+      math.rint(rj * rj * 1e9) / 1e9
+    }.sum
+    val chi2 = 12.0 / (nI * k * (k + 1.0)) * s - 3.0 * nI * (k + 1.0)
+    val tsum = rows.groupBy(r => (r._1, r._3)).values
+      .map { g => val t = g.size.toDouble; t * (t - 1.0) * (t + 1.0) }.sum
+    val cf = 1.0 - tsum / (nI * k * (k * k - 1.0))
+    assert(out.getLong(0) == 25L && out.getLong(1) == 4L)
+    assert(math.abs(out.getDouble(2) - chi2) < 1e-6,
+      s"${out.getDouble(2)} vs $chi2")
+    assert(math.abs(out.getDouble(3) - chi2 / cf) < 1e-6)
+  }
 }
