@@ -519,6 +519,44 @@ object StreamOps {
       }
       .start()
 
+  /** Streaming ingest into the incremental golden-record store — the
+    * [[erAppendSink]] twin for [[graft.operators.GoldenStore]],
+    * closing the ER serving path end to end (erAppendSink labels
+    * entities as records arrive; this keeps their survivorship
+    * current): every micro-batch folds its per-entity algebraic
+    * partials and modal count deltas — touched entities only, never a
+    * corpus rescan — and `GoldenStore.serve` stays identical to a
+    * batch [[graft.operators.Merge.goldenRecord]] over everything
+    * ingested (the store's spec-pinned contract). Same idempotency
+    * contract as the sibling sinks (manifested batch ids no-op on
+    * replay; crashed appends invisible); `compactEvery` bounds
+    * batch-dir growth. The first non-empty micro-batch fixes the
+    * survivorship spec in the store manifest. */
+  def goldenAppendSink(records: DataFrame, entityCol: String,
+                       storePath: String, checkpoint: String,
+                       mostFrequent: Seq[String] = Nil,
+                       longest: Seq[String] = Nil,
+                       minOf: Seq[String] = Nil,
+                       maxOf: Seq[String] = Nil,
+                       latestBy: Option[(String, Seq[String])] = None,
+                       compactEvery: Int = 0)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    records.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        // an empty first batch must not create a store tree
+        if (!batch.isEmpty)
+          graft.operators.GoldenStore.append(batch, entityCol,
+            storePath, batchId + 1, mostFrequent, longest, minOf,
+            maxOf, latestBy)
+        if (compactEvery > 0 && (batchId + 1) % compactEvery == 0 &&
+            graft.operators.GoldenStore.storeExists(spark, storePath))
+          graft.operators.GoldenStore.compactStore(spark, storePath)
+        ()
+      }
+      .start()
+
   /** Same running totals on the `transformWithState` API (Spark 4's
     * successor to flatMapGroupsWithState: typed ValueState handles,
     * timer support, state-store-backed). */

@@ -336,6 +336,20 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("round-12 batch plans are cartesian-free — q308 rules ride " +
+    "broadcast item counts, q309 is one keyed window over the visible " +
+    "log, q311 probes cluster-keyed equi-joins, q313 folds keyed " +
+    "partials (the only nested loops are 1-row/broadcast-bounded " +
+    "scalar joins)") {
+    for (name <- Seq("q308_association_rules", "q309_snapshot_as_of",
+        "q311_radius_join", "q313_golden_store")) {
+      val plan = SparkEntry.queries(name)(spark, sf("sf0.001"))
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"),
+        s"$name must not cartesian:\n${plan.take(1500)}")
+    }
+  }
+
   test("q234 reciprocal best match is cartesian-free — the argmax is " +
     "served by gram-retrieved candidates, not an all-pairs score " +
     "(r10 verdict task 1); the only nested loop is the 1-row " +

@@ -528,6 +528,51 @@ class StreamOpsSpec extends SparkSpec {
       "streamed registry must equal the full-corpus recompute")
   }
 
+  test("goldenAppendSink: micro-batches fold into the golden store; " +
+      "serve ≡ batch goldenRecord over the stream; compaction fires") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("stream-golden")
+    val store = dir.toString + "/s"
+    val orders = spark.read.parquet(sf("sf0.001") + "/orders.parquet")
+      .select(col("o_custkey"), col("o_orderstatus"), col("o_totalprice"),
+        col("o_orderkey"))
+    def rows(m: Long) = orders.filter(col("o_orderkey") % 3 === m)
+      .as[(Long, String, Double, Long)].collect().toSeq
+    val mem = MemoryStream[(Long, String, Double, Long)]
+    val q = StreamOps.goldenAppendSink(
+      mem.toDF().toDF("o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderkey"),
+      "o_custkey", store, dir.toString + "/ckpt",
+      mostFrequent = Seq("o_orderstatus"), maxOf = Seq("o_totalprice"),
+      latestBy = Some(("o_orderkey", Seq("o_orderkey"))),
+      compactEvery = 2)
+    mem.addData(rows(0): _*) // batch 0 creates the store (manifest id 1)
+    q.processAllAvailable()
+    mem.addData(rows(1): _*) // batch 1 folds in + triggers compaction
+    q.processAllAvailable()
+    mem.addData(rows(2): _*) // post-compaction append keeps merging
+    q.processAllAvailable()
+    q.stop()
+    val served = graft.operators.GoldenStore.serve(spark, store)
+      .select("o_custkey", "o_orderstatus", "o_totalprice", "o_orderkey")
+      .as[(Long, String, Double, Long)].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+    val batch = graft.operators.Merge.goldenRecord(orders, "o_custkey",
+        mostFrequent = Seq("o_orderstatus"), maxOf = Seq("o_totalprice"),
+        latestBy = Some(("o_orderkey", Seq("o_orderkey"))))
+      .select("o_custkey", "o_orderstatus", "o_totalprice", "o_orderkey")
+      .as[(Long, String, Double, Long)].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+    assert(served == batch,
+      "streamed survivorship must equal the batch fold")
+    // compaction after store id 2 folded ab dirs to the -1 generation;
+    // the third micro-batch's append then added ab=3
+    val dirs = new java.io.File(store + "/partials").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("ab="))
+      .map(_.getName).sorted
+    assert(dirs.toList == List("ab=-1", "ab=3"), dirs.mkString(","))
+  }
+
   test("ivfPqAppendSink: first batch trains both layers, later batches " +
       "append frozen; exhaustive serve ≡ exact L2 over the stream") {
     implicit val sqlCtx = spark.sqlContext
