@@ -541,16 +541,17 @@ object Eval {
     * Output: (idCol, pCol, rank, p_adj rounded 6) ordered by rank. */
   def bhAdjust(df: DataFrame, idCol: String, pCol: String): DataFrame = {
     val rows = df.filter(col(pCol).isNotNull)
-      .select(col(idCol).as("__id"), col(pCol).cast("double").as("__p"))
+      .select(col(idCol).as("__id"), col(pCol).cast("double").as("__p"),
+        struct(col(pCol).cast("double"), col(idCol)).as("__ord"))
     val m = rows.agg(count(lit(1)).as("__m"))
-    val rankW = Window.orderBy(col("__p").asc, col("__id").asc)
-    val suffixW = Window.orderBy(col("rank").desc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    rows.crossJoin(broadcast(m))
-      .withColumn("rank", row_number().over(rankW))
+    // both corpus-sized walks ride the Ranks two-level machinery — a
+    // million-hypothesis screen never funnels through one task
+    // (the former Window.orderBy form did; r12 scale audit)
+    val ranked = Ranks.globalRowNumber(rows, "__ord", "rank")
+      .crossJoin(broadcast(m))
       .withColumn("__cand", col("__p") * col("__m") / col("rank"))
-      .withColumn("p_adj",
-        round(least(min(col("__cand")).over(suffixW), lit(1.0)), 6))
+    Ranks.globalSuffixMin(ranked, "rank", "__cand", "__sm")
+      .withColumn("p_adj", round(least(col("__sm"), lit(1.0)), 6))
       .select(col("__id").as(idCol), col("__p").as(pCol),
         col("rank").cast("long").as("rank"), col("p_adj"))
       .orderBy(col("rank"))

@@ -92,4 +92,34 @@ object Ranks {
         .drop(s"__lc_$v", s"__off_$v")
     }.drop("__pid")
   }
+
+  /** Exact global running MIN of `valCol` walking `orderCol`
+    * DESCENDING, inclusive of the current row — the suffix-min step of
+    * Benjamini-Hochberg-style monotonization (p_adj(r) = min over
+    * ranks ≥ r) — without a corpus-sized single-partition exchange.
+    * Same two-level shape as [[globalRowNumber]]: range-repartition
+    * descending on `orderCol` (must be unique; `valCol` must be
+    * non-null), per-bucket local suffix mins, bucket-prefix mins
+    * (buckets rows — the ONLY global window) broadcast back. Appends
+    * `outCol`; row order of the output is not defined. */
+  def globalSuffixMin(df: DataFrame, orderCol: String, valCol: String,
+                      outCol: String, buckets: Int = 64): DataFrame = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    val local = df.repartitionByRange(buckets, col(orderCol).desc)
+      .withColumn("__pid", spark_partition_id())
+      .withColumn("__lm",
+        min(col(valCol)).over(
+          Window.partitionBy(col("__pid")).orderBy(col(orderCol).desc)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val offs = local.groupBy(col("__pid"))
+      .agg(min(col(valCol)).as("__bm"))
+      .withColumn("__om",
+        min(col("__bm")).over(Window.orderBy(col("__pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)))
+      .select(col("__pid"), col("__om"))
+    local.join(broadcast(offs), "__pid")
+      // least skips the null __om of the first (highest-rank) bucket
+      .withColumn(outCol, least(col("__lm"), col("__om")))
+      .drop("__pid", "__lm", "__om")
+  }
 }

@@ -20,6 +20,20 @@ class RanksSpec extends SparkSpec {
     }
   }
 
+  test("globalSuffixMin ≡ single-window suffix min across bucket counts") {
+    // ranks 1..400 with a non-monotone value walk (BH's __cand shape)
+    val rows = (1 to 400).map(r => (r.toLong, ((r * 31) % 97).toDouble))
+    val df = scala.util.Random.shuffle(rows).toDF("rank", "v")
+    val expected = rows.map { case (r, _) =>
+      (r, rows.filter(_._1 >= r).map(_._2).min)
+    }.toSet
+    for (b <- Seq(1, 4, 64)) {
+      val got = Ranks.globalSuffixMin(df, "rank", "v", "sm", buckets = b)
+        .select("rank", "sm").as[(Long, Double)].collect().toSet
+      assert(got == expected, s"buckets=$b")
+    }
+  }
+
   test("groupedCumSum ≡ per-group running sum, incl. one-giant-group") {
     val rows = (0 until 400).map { i =>
       (if (i % 5 == 0) "big" else s"g${i % 3}", (i * 31) % 997, i.toLong)
