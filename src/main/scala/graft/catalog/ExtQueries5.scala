@@ -157,6 +157,24 @@ object ExtQueries5 {
               abs(col("value") - 120.0).as("score")))).as("r"))
         .select(col("event_id"), col("r.system"), col("r.score"))
       graft.operators.Eval.friedman(long, "event_id", "system", "score")
+    }),
+
+    // --- Nemenyi post-hoc (critical-difference pairwise) --------------------
+    // q312's omnibus rejected "the three systems rank the same";
+    // Nemenyi says WHICH pairs differ: mean-rank gaps vs the Demšar
+    // critical difference at alpha = 0.05.
+    "q314_nemenyi" -> ((s, d) => {
+      val long = ev(s, d).select(col("event_id"),
+          explode(array(
+            struct(lit("c80").as("system"),
+              abs(col("value") - 80.0).as("score")),
+            struct(lit("c100").as("system"),
+              abs(col("value") - 100.0).as("score")),
+            struct(lit("c120").as("system"),
+              abs(col("value") - 120.0).as("score")))).as("r"))
+        .select(col("event_id"), col("r.system"), col("r.score"))
+      graft.operators.Eval.nemenyi(long, "event_id", "system", "score")
+        .orderBy(col("treatment_a"), col("treatment_b"))
     }))
 
   def oracleSql: Map[String, String] = Map(
@@ -442,6 +460,39 @@ object ExtQueries5 {
            LEFT JOIN lt USING (o_custkey)
            LEFT JOIN mf USING (o_custkey)
          ORDER BY dk.o_custkey""",
+
+    // the q312 rank grid folded to per-system mean ranks; pairwise
+    // gaps vs CD = q_0.05 * sqrt(k(k+1)/(6N)) with k = 3 -> sqrt(2/N),
+    // significance on the rounded-6 grid
+    "q314_nemenyi" ->
+      """WITH rows AS (SELECT event_id AS i, u.s AS t, u.score AS v
+           FROM events, unnest([
+             {'s': 'c80', 'score': abs(value - 80.0)},
+             {'s': 'c100', 'score': abs(value - 100.0)},
+             {'s': 'c120', 'score': abs(value - 120.0)}]) AS tt(u)),
+         cells AS (SELECT i, v, CAST(count(*) AS BIGINT) AS cnt
+           FROM rows GROUP BY 1, 2),
+         ranked AS (SELECT i, v, cnt,
+             CAST(CAST(2 * sum(cnt) OVER (PARTITION BY i ORDER BY v)
+               - cnt + 1 AS DOUBLE) / 2.0 AS DECIMAL(19,1)) AS r
+           FROM cells),
+         rj AS (SELECT t, sum(r) AS rj
+           FROM rows JOIN ranked USING (i, v) GROUP BY 1),
+         n AS (SELECT CAST(count(DISTINCT i) AS BIGINT) AS n_items
+           FROM rows),
+         means AS (SELECT t,
+             round(CAST(rj AS DOUBLE) / n_items, 9) AS mr, n_items
+           FROM rj, n)
+         SELECT a.t AS treatment_a, b.t AS treatment_b,
+           round(a.mr, 6) AS mean_rank_a, round(b.mr, 6) AS mean_rank_b,
+           round(abs(a.mr - b.mr), 6) AS abs_diff,
+           round(2.343 * sqrt(2.0 / CAST(a.n_items AS DOUBLE)), 6)
+             AS critical_difference,
+           CAST(round(abs(a.mr - b.mr), 6) >
+             round(2.343 * sqrt(2.0 / CAST(a.n_items AS DOUBLE)), 6)
+             AS INT) AS significant
+         FROM means a, means b WHERE a.t < b.t
+         ORDER BY treatment_a, treatment_b""",
 
     // within-item average ranks off each item's own value grid, exact
     // DECIMAL rank sums, the round-9 Sum R_j^2 accumulation,

@@ -1158,6 +1158,51 @@ object Eval {
         round(when(cf =!= 0.0, h / cf), 6).as("h_tie"))
   }
 
+  /** Shared complete-block rank machinery for [[friedman]] and
+    * [[nemenyi]]: fail-fast design checks (one observation per (item,
+    * treatment), every item all k treatments, k ≥ 2), within-item
+    * average ranks off each item's own (item, value) grid, exact
+    * DECIMAL(19,1) per-treatment rank sums. Returns (rank sums
+    * (__t, __rj), item-count frame (n_items), value-grid cells
+    * (__i, __v, __cnt), k). `op` names the caller in guard messages. */
+  private def completeBlockRanks(df: DataFrame, itemCol: String,
+      treatmentCol: String, valueCol: String, op: String)
+      : (DataFrame, DataFrame, DataFrame, Long) = {
+    val rows = df.filter(col(itemCol).isNotNull &&
+        col(treatmentCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(itemCol).as("__i"), col(treatmentCol).as("__t"),
+        col(valueCol).cast("double").as("__v"))
+    val dup = rows.groupBy(col("__i"), col("__t"))
+      .agg(count(lit(1)).as("__c")).filter(col("__c") > 1L)
+      .limit(1).collect()
+    require(dup.isEmpty,
+      s"$op needs one observation per (item, treatment); item " +
+        s"${dup.headOption.map(_.get(0)).orNull} / treatment " +
+        s"${dup.headOption.map(_.get(1)).orNull} appears " +
+        s"${dup.headOption.map(_.getLong(2)).getOrElse(0L)} times")
+    val ks = rows.groupBy(col("__i")).agg(count(lit(1)).as("__k"))
+      .select(col("__k")).distinct().limit(2).collect()
+    require(ks.length == 1,
+      s"$op needs every item to carry all k treatments (got " +
+        s"per-item counts ${ks.map(_.getLong(0)).sorted.mkString(", ")}, ...)")
+    val k = ks(0).getLong(0)
+    require(k >= 2, s"$op needs >= 2 treatments, got $k")
+    // within-item average ranks off the item's own value grid
+    val cells = rows.groupBy(col("__i"), col("__v"))
+      .agg(count(lit(1)).as("__cnt"))
+    val w = Window.partitionBy(col("__i")).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = cells.withColumn("__cum", sum(col("__cnt")).over(w))
+      .select(col("__i"), col("__v"), col("__cnt"),
+        ((lit(2L) * col("__cum") - col("__cnt") + lit(1L))
+          .cast("double") / 2.0).cast("decimal(19,1)").as("__r"))
+    val rj = rows.join(ranked.select(col("__i"), col("__v"), col("__r")),
+        Seq("__i", "__v"))
+      .groupBy(col("__t")).agg(sum(col("__r")).as("__rj"))
+    val nDf = rows.agg(countDistinct(col("__i")).as("n_items"))
+    (rj, nDf, cells, k)
+  }
+
   /** Friedman test — the complete-block rank test closing the paired-
     * comparison shelf ([[mcNemar]] 2 binary raters → [[cochranQ]] k
     * binary raters → Friedman k CONTINUOUS treatments on the same
@@ -1185,38 +1230,8 @@ object Eval {
     * chi2_tie) rounded 6. */
   def friedman(df: DataFrame, itemCol: String, treatmentCol: String,
                valueCol: String): DataFrame = {
-    val rows = df.filter(col(itemCol).isNotNull &&
-        col(treatmentCol).isNotNull && col(valueCol).isNotNull)
-      .select(col(itemCol).as("__i"), col(treatmentCol).as("__t"),
-        col(valueCol).cast("double").as("__v"))
-    val dup = rows.groupBy(col("__i"), col("__t"))
-      .agg(count(lit(1)).as("__c")).filter(col("__c") > 1L)
-      .limit(1).collect()
-    require(dup.isEmpty,
-      s"friedman needs one observation per (item, treatment); item " +
-        s"${dup.headOption.map(_.get(0)).orNull} / treatment " +
-        s"${dup.headOption.map(_.get(1)).orNull} appears " +
-        s"${dup.headOption.map(_.getLong(2)).getOrElse(0L)} times")
-    val ks = rows.groupBy(col("__i")).agg(count(lit(1)).as("__k"))
-      .select(col("__k")).distinct().limit(2).collect()
-    require(ks.length == 1,
-      "friedman needs every item to carry all k treatments (got " +
-        s"per-item counts ${ks.map(_.getLong(0)).sorted.mkString(", ")}, ...)")
-    val k = ks(0).getLong(0)
-    require(k >= 2, s"friedman needs >= 2 treatments, got $k")
-    // within-item average ranks off the item's own value grid
-    val cells = rows.groupBy(col("__i"), col("__v"))
-      .agg(count(lit(1)).as("__cnt"))
-    val w = Window.partitionBy(col("__i")).orderBy(col("__v"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val ranked = cells.withColumn("__cum", sum(col("__cnt")).over(w))
-      .select(col("__i"), col("__v"), col("__cnt"),
-        ((lit(2L) * col("__cum") - col("__cnt") + lit(1L))
-          .cast("double") / 2.0).cast("decimal(19,1)").as("__r"))
-    val rj = rows.join(ranked.select(col("__i"), col("__v"), col("__r")),
-        Seq("__i", "__v"))
-      .groupBy(col("__t")).agg(sum(col("__r")).as("__rj"))
-    val nDf = rows.agg(countDistinct(col("__i")).as("n_items"))
+    val (rj, nDf, cells, k) =
+      completeBlockRanks(df, itemCol, treatmentCol, valueCol, "friedman")
     val s2 = rj.agg(sum(round(col("__rj").cast("double") *
         col("__rj").cast("double"), 9).cast("decimal(38,9)")).as("__s"))
     val t = col("__cnt").cast("decimal(12,0)")
@@ -1231,6 +1246,66 @@ object Eval {
       .select(col("n_items"), lit(k).as("k_treatments"),
         round(chi2, 6).as("chi2"),
         round(when(cf =!= 0.0, chi2 / cf), 6).as("chi2_tie"))
+  }
+
+  /** Studentized-range q_α / √2 constants for [[nemenyi]], k = 2..10,
+    * infinite df — Demšar, "Statistical Comparisons of Classifiers
+    * over Multiple Data Sets", JMLR 7 (2006), Table 5. */
+  private val nemenyiQ05 = Map(2 -> 1.960, 3 -> 2.343, 4 -> 2.569,
+    5 -> 2.728, 6 -> 2.850, 7 -> 2.949, 8 -> 3.031, 9 -> 3.102,
+    10 -> 3.164)
+  private val nemenyiQ10 = Map(2 -> 1.645, 3 -> 2.052, 4 -> 2.291,
+    5 -> 2.459, 6 -> 2.589, 7 -> 2.693, 8 -> 2.780, 9 -> 2.855,
+    10 -> 2.920)
+
+  /** Nemenyi post-hoc — WHICH treatments differ, once [[friedman]]
+    * rejects "they all rank the same" (the Demšar 2006 critical-
+    * difference companion; running pairwise tests without the omnibus
+    * gate inflates family-wise error, which is the point of the CD):
+    * treatments a, b differ at level α when their mean-rank gap
+    * exceeds CD = q_α·√(k(k+1)/(6N)), q_α from the studentized range
+    * table (k ≤ 10 — the published grid; larger panels need a
+    * different post-hoc, rejected explicitly).
+    *
+    * Same complete-block contract and rank machinery as [[friedman]]
+    * (fail-fast on replicated/incomplete designs); mean ranks are the
+    * exact DECIMAL rank sums over N on the 9-grid, and significance
+    * compares |gap| to CD on the rounded-6 grid so both engines in a
+    * cross-engine compare resolve boundary cases identically. The
+    * pairwise fan-out is a k-row broadcast self-join — k² pairs,
+    * never data-sized. Output: one row per unordered pair a < b
+    * (treatment_a, treatment_b, mean_rank_a, mean_rank_b, abs_diff,
+    * critical_difference, significant INT), rounded 6. */
+  def nemenyi(df: DataFrame, itemCol: String, treatmentCol: String,
+              valueCol: String, alpha: Double = 0.05): DataFrame = {
+    val qTable =
+      if (alpha == 0.05) nemenyiQ05
+      else if (alpha == 0.10) nemenyiQ10
+      else throw new IllegalArgumentException(
+        s"nemenyi supports alpha 0.05 or 0.10, got $alpha")
+    val (rj, nDf, _, k) =
+      completeBlockRanks(df, itemCol, treatmentCol, valueCol, "nemenyi")
+    require(qTable.contains(k.toInt),
+      s"nemenyi's q table covers k in 2..10, got $k treatments")
+    val qv = qTable(k.toInt)
+    val means = rj.crossJoin(broadcast(nDf))
+      .select(col("__t"),
+        round(col("__rj").cast("double") / col("n_items"), 9).as("__mr"),
+        col("n_items"))
+    val a = means.select(col("__t").as("treatment_a"),
+      col("__mr").as("__ma"), col("n_items"))
+    val b = means.select(col("__t").as("treatment_b"),
+      col("__mr").as("__mb"))
+    val cd = lit(qv) * sqrt(lit(k * (k + 1.0) / 6.0) / col("n_items"))
+    a.crossJoin(broadcast(b))
+      .filter(col("treatment_a") < col("treatment_b"))
+      .select(col("treatment_a"), col("treatment_b"),
+        round(col("__ma"), 6).as("mean_rank_a"),
+        round(col("__mb"), 6).as("mean_rank_b"),
+        round(abs(col("__ma") - col("__mb")), 6).as("abs_diff"),
+        round(cd, 6).as("critical_difference"),
+        (round(abs(col("__ma") - col("__mb")), 6) > round(cd, 6))
+          .cast("int").as("significant"))
   }
 
   /** Cumulative gains / lift table — the targeting-efficiency view of a

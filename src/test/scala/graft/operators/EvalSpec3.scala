@@ -174,6 +174,46 @@ class EvalSpec3 extends SparkSpec {
     assert(e3.getMessage.contains(">= 2 treatments"))
   }
 
+  test("nemenyi: hand CD case (perfect consistency), tie handling, " +
+    "alpha 0.10 table, guards") {
+    // 3 items all ranking A<B<C: mean ranks (1, 2, 3), N = 3, k = 3,
+    // CD = 2.343 * sqrt(2/3) = 1.913052; |A-B| = 1 < CD not significant,
+    // |A-C| = 2 > CD significant
+    val a = (1L to 3L).flatMap(i => Seq((i, "A", 1.0), (i, "B", 2.0),
+      (i, "C", 3.0))).toDF("item", "t", "v")
+    val out = Eval.nemenyi(a, "item", "t", "v").collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getDouble(4), r.getDouble(5), r.getInt(6)))).toMap
+    val cd = g6(2.343 * math.sqrt(2.0 / 3.0))
+    assert(out(("A", "B")) == ((1.0, cd, 0)))
+    assert(out(("A", "C")) == ((2.0, cd, 1)))
+    assert(out(("B", "C")) == ((1.0, cd, 0)))
+    // tied block: item1 (1.5, 1.5, 3), item2 (1, 2, 3) ->
+    // mean ranks A 1.25, B 1.75, C 3
+    val b = Seq((1L, "A", 1.0), (1L, "B", 1.0), (1L, "C", 2.0),
+      (2L, "A", 1.0), (2L, "B", 2.0), (2L, "C", 3.0)).toDF("item", "t", "v")
+    val o2 = Eval.nemenyi(b, "item", "t", "v").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(4)).toMap
+    assert(o2(("A", "B")) == 0.5 && o2(("A", "C")) == 1.75 &&
+      o2(("B", "C")) == 1.25)
+    // alpha 0.10 tightens the gate (smaller q -> smaller CD)
+    val cd10 = Eval.nemenyi(a, "item", "t", "v", alpha = 0.10)
+      .collect().head.getDouble(5)
+    assert(cd10 == g6(2.052 * math.sqrt(2.0 / 3.0)) && cd10 < cd)
+    // unsupported alpha and k > 10 fail fast
+    intercept[IllegalArgumentException](
+      Eval.nemenyi(a, "item", "t", "v", alpha = 0.01))
+    val wide = (1L to 2L).flatMap(i =>
+      (1 to 11).map(j => (i, s"t$j", j.toDouble))).toDF("item", "t", "v")
+    val e = intercept[IllegalArgumentException](
+      Eval.nemenyi(wide, "item", "t", "v"))
+    assert(e.getMessage.contains("2..10"))
+    // shares friedman's complete-block guard
+    intercept[IllegalArgumentException](
+      Eval.nemenyi(Seq((1L, "A", 1.0), (1L, "B", 2.0), (2L, "A", 1.0))
+        .toDF("item", "t", "v"), "item", "t", "v"))
+  }
+
   test("friedman: equals an independent within-block average-rank " +
     "reference on pseudo-random tied data") {
     val ks = Seq("s1", "s2", "s3", "s4")
