@@ -17,12 +17,14 @@ object ExtQueries2 {
         .select(col("user_id"), col("ts").as("signup_ts"))
       val purchases = e.filter(col("event_type") === "purchase")
         .select(col("event_id"), col("user_id"), col("ts").as("purchase_ts"))
-      purchases.join(signups,
-        purchases("user_id") === signups("user_id") &&
+      // rename-keyed self-join (not purchases("user_id") ===
+      // signups("user_id")): both frames derive from one scan, and
+      // same-lineage column refs lean on dataset-id disambiguation
+      purchases.join(signups.withColumnRenamed("user_id", "__su"),
+        col("user_id") === col("__su") &&
           col("purchase_ts") >= col("signup_ts") &&
           col("purchase_ts") < col("signup_ts") + expr("INTERVAL 2 HOURS"))
-        .select(col("event_id"), purchases("user_id").as("user_id"),
-          col("signup_ts"))
+        .select(col("event_id"), col("user_id"), col("signup_ts"))
         .orderBy(col("event_id"), col("signup_ts"))
     }),
 

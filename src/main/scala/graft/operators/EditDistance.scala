@@ -81,9 +81,11 @@ object EditDistance {
         explode(deletionVariants(col("__str"), maxDist)).as("__v"))
       .select(col("__eid"), xxhash64(col("__v")).as("__vh"))
     val a = vars.select(col("__eid").as("id_a"), col("__vh"))
-    val b = vars.select(col("__eid").as("id_b"), col("__vh"))
+    val b = vars.select(col("__eid").as("id_b"), col("__vh").as("__vhb"))
+    // rename-keyed self-join: same-lineage column refs would lean on
+    // dataset-id disambiguation
     val candidates = a.join(b,
-        a("__vh") === b("__vh") && col("id_a") < col("id_b"))
+        col("__vh") === col("__vhb") && col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
       .distinct()
     val namesA = base.select(col("__eid").as("id_a"), col("__str").as("__sa"))

@@ -1729,8 +1729,11 @@ object Eval {
       walked.filter(col("cum___c") >= rank && col("cum___c") - col("__c") < rank)
         .select(col("__g"), round(col("__m"), 6).as(out))
     }
-    point.join(eff, point("__g") === eff("__g"))
-      .select(point("__g"), col("n"), col("mean"), col("b_eff"))
+    // rename-keyed self-join (shared lineage upstream; same-lineage
+    // refs would lean on dataset-id disambiguation)
+    point.join(eff.withColumnRenamed("__g", "__ge"),
+        col("__g") === col("__ge"))
+      .select(col("__g"), col("n"), col("mean"), col("b_eff"))
       .join(pick(alpha / 2.0, "lo"), "__g")
       .join(pick(1.0 - alpha / 2.0, "hi"), "__g")
       .select(col("__g").as(groupCol), col("n"), col("mean"),

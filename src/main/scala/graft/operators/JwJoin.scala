@@ -359,7 +359,10 @@ object JwJoin {
     val pairPred =
       if (selfPairs) col("__ida") < col("__idb") && band && posBound
       else band && posBound
-    paV.join(pbV, paV("__eh") === pbV("__eh") && pairPred)
+    // rename-keyed: in the self-pair case both sides share the scan
+    // lineage, and same-lineage refs lean on dataset-id disambiguation
+    paV.join(pbV.withColumnRenamed("__eh", "__ehb"),
+        col("__eh") === col("__ehb") && pairPred)
       .select(col("__ida"), col("__idb"))
       .distinct()
   }

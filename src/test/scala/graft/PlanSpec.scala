@@ -336,6 +336,17 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q309 snapshot visibility filter pushes to the orders scan — " +
+    "at 100 TB the time-partitioned log prunes before the keyed " +
+    "keep-first ever sees invisible rows") {
+    val df = SparkEntry.queries("q309_snapshot_as_of")(spark, sf("sf0.001"))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") &&
+      plan.contains("LessThanOrEqual(o_orderdate"),
+      s"expected the asOf filter pushed to the scan:\n${plan.take(2000)}")
+  }
+
   test("round-12 batch plans are cartesian-free — q308 rules ride " +
     "broadcast item counts, q309 is one keyed window over the visible " +
     "log, q311 probes cluster-keyed equi-joins, q313 folds keyed " +
