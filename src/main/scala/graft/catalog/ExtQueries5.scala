@@ -3,10 +3,12 @@ package graft.catalog
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Round-12 batch: the eight operators swept uncompiled into the
-  * round-11 snapshot, now served properly — registered, oracled,
-  * inventoried (SURVEY §2.M) — plus the Friedman test completing the
-  * paired-comparison shelf (McNemar → Cochran's Q → Friedman). */
+/** Round-12 batch (q304–q314): the eight operators swept uncompiled
+  * into the round-11 snapshot, now served properly — registered,
+  * oracled, inventoried (SURVEY §2.M) — plus the Friedman test and
+  * its Nemenyi post-hoc completing the paired-comparison shelf
+  * (McNemar → Cochran's Q → Friedman → Nemenyi), and the incremental
+  * golden-record store served against the one-shot oracle. */
 object ExtQueries5 {
 
   import Catalog._
