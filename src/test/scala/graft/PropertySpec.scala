@@ -159,4 +159,55 @@ class PropertySpec extends SparkSpec {
       assert(chunks.filter(!$"is_first").count() == total - owners)
     }
   }
+
+  test("GoldenStore: any batch partition of the rows folds to the " +
+    "same golden records as the one-shot batch merge") {
+    val gen = Gen.listOfN(40, Gen.zip(Gen.choose(0, 6),
+      Gen.oneOf("F", "O", "P"), Gen.choose(1, 9), Gen.choose(0, 500)))
+    for (i <- 1 to 3) {
+      val rows = gen.pureApply(Gen.Parameters.default, Seed(400L + i))
+        .zipWithIndex.map { case ((e, st, d, p), j) =>
+          (e.toLong, st, d, p.toDouble, j.toLong)
+        }
+      val df = rows.toDF("eid", "status", "day", "price", "rowid")
+      val store = java.nio.file.Files
+        .createTempDirectory("prop-golden").toString + "/s"
+      // partition rows into i+1 batches by rowid modulus
+      (0 to i).foreach { b =>
+        graft.operators.GoldenStore.append(
+          df.filter($"rowid" % (i + 1) === b), "eid", store, b.toLong,
+          mostFrequent = Seq("status"), minOf = Seq("day"),
+          maxOf = Seq("price"),
+          latestBy = Some(("day", Seq("rowid"))))
+      }
+      val served = graft.operators.GoldenStore.serve(spark, store)
+        .select("eid", "status", "day", "price", "rowid")
+        .orderBy("eid").collect().toSeq
+      val batch = Merge.goldenRecord(df, "eid",
+          mostFrequent = Seq("status"), minOf = Seq("day"),
+          maxOf = Seq("price"), latestBy = Some(("day", Seq("rowid"))))
+        .select("eid", "status", "day", "price", "rowid")
+        .orderBy("eid").collect().toSeq
+      assert(served == batch, s"split into ${i + 1} batches")
+    }
+  }
+
+  test("Ranks.globalSuffixMin ≡ single-window suffix min on random " +
+    "values across bucket counts") {
+    val gen = Gen.listOfN(120, Gen.choose(-500, 500))
+    for (i <- 1 to 3) {
+      val vals = gen.pureApply(Gen.Parameters.default, Seed(500L + i))
+        .zipWithIndex.map { case (v, r) => (r.toLong + 1L, v.toDouble) }
+      val df = vals.toDF("rank", "v")
+      val expected = vals.map { case (r, _) =>
+        (r, vals.filter(_._1 >= r).map(_._2).min)
+      }.toSet
+      for (b <- Seq(3, 32)) {
+        val got = graft.operators.Ranks
+          .globalSuffixMin(df, "rank", "v", "sm", buckets = b)
+          .select("rank", "sm").as[(Long, Double)].collect().toSet
+        assert(got == expected, s"seed $i buckets $b")
+      }
+    }
+  }
 }
