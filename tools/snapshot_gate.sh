@@ -26,6 +26,23 @@ else
   echo "[gate] Test/compile green."
 fi
 
+#   3. Inventory sync (the round-11 desync finding): every operator /
+#      function / streaming source file must be mentioned in SURVEY.md
+#      — code the checklist can't see is invisible to certification.
+echo "[gate] SURVEY inventory ..."
+allow="TypedAggregators|StreamDemo"   # internal helper / runnable demo
+for f in $(ls src/main/scala/graft/operators src/main/scala/graft/functions \
+    src/main/scala/graft/streaming 2>/dev/null \
+    | grep '\.scala$' | sed 's/\.scala$//' | sort -u); do
+  echo "$f" | grep -qE "^($allow)$" && continue
+  if ! grep -q "$f" SURVEY.md; then
+    echo "[gate] FAIL: $f.scala has no SURVEY.md mention — add a §2 row" \
+         "(or revert the file)."
+    fail=1
+  fi
+done
+[ "$fail" -eq 0 ] && echo "[gate] inventory synced."
+
 dirty=$(git status --porcelain -- 'CORRECTNESS_r*.json' 'BENCH_r*.json' \
   'BENCH_FULL.json' 'LEAKCHECK.json' 'VERDICT.md' 'ADVICE.md' 2>/dev/null)
 if [ -n "$dirty" ]; then
