@@ -50,7 +50,12 @@ object GoldenStore {
                                        maxOf: Seq[String],
                                        latestOrd: Option[String],
                                        latestCols: Seq[String],
-                                       batches: Seq[Long])
+                                       batches: Seq[Long],
+                                       // DataType.json per mostFrequent
+                                       // column — lets serve type an
+                                       // all-null modal column whose
+                                       // delta dir was never created
+                                       modalTypes: Seq[String] = Nil)
 
   private def fmt(xs: Seq[String]) = xs.mkString(" ")
   private def parse(s: String): Seq[String] =
@@ -63,7 +68,9 @@ object GoldenStore {
       .split("\n", -1).map(_.trim)
     GoldenMeta(ls(0), parse(ls(1)), parse(ls(2)), parse(ls(3)),
       parse(ls(4)), parse(ls(5)).headOption, parse(ls(6)),
-      parse(ls(7)).map(_.toLong))
+      parse(ls(7)).map(_.toLong),
+      if (ls.length > 8 && ls(8).nonEmpty) ls(8).split("\t").toSeq
+      else Nil)
   }
 
   private def writeMeta(spark: SparkSession, store: String,
@@ -71,7 +78,18 @@ object GoldenStore {
     graft.sources.Manifest.write(spark, store, MetaPrefix,
       Seq(m.entity, fmt(m.mostFrequent), fmt(m.longest), fmt(m.minOf),
         fmt(m.maxOf), m.latestOrd.getOrElse(""), fmt(m.latestCols),
-        fmt(m.batches.map(_.toString))).mkString("\n"))
+        fmt(m.batches.map(_.toString)),
+        m.modalTypes.mkString("\t")).mkString("\n"))
+
+  /** True when `dir` holds at least one `ab=` batch partition — an
+    * all-empty-batches overwrite leaves only a _SUCCESS skeleton,
+    * which parquet cannot infer a schema from. */
+  private def hasBatchDirs(spark: SparkSession, dir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p) && fs.listStatus(p).exists(s =>
+      s.isDirectory && s.getPath.getName.startsWith("ab="))
+  }
 
   def storeExists(spark: SparkSession, store: String): Boolean =
     graft.sources.Manifest.exists(spark, store, MetaPrefix)
@@ -111,15 +129,18 @@ object GoldenStore {
       "each column may appear under ONE strategy; duplicates: " +
         picked.diff(picked.distinct).distinct.mkString(", "))
     val spark = df.sparkSession
+    val modalTypes =
+      mostFrequent.map(c => df.schema(c).dataType.json)
     val asked = GoldenMeta(entityCol, mostFrequent, longest, minOf,
       maxOf, latestBy.map(_._1), latestBy.map(_._2).getOrElse(Nil),
-      Seq.empty)
+      Seq.empty, modalTypes)
     val meta =
       if (storeExists(spark, store)) {
         val m = readMeta(spark, store)
         require(m.copy(batches = Seq.empty) == asked,
           s"store $store survivorship spec differs from this append's — " +
-            "partials of different specs must not merge")
+            "partials of different specs (or drifted modal column " +
+            "types) must not merge")
         m
       } else asked
     if (meta.batches.contains(batchId)) return // completed replay
@@ -165,17 +186,24 @@ object GoldenStore {
          m.minOf.map(c => col(s"__mn_$c").as(c)) ++
          m.maxOf.map(c => col(s"__mx_$c").as(c)) ++
          m.latestCols.map(c => col(s"__lt_$c").getField("__v").as(c)))): _*)
-    m.mostFrequent.foldLeft(base) { (acc, c) =>
-      val modal = spark.read.parquet(modalPath(store, c))
-        .filter(col("ab").isin(m.batches: _*))
-        .groupBy(col(m.entity), col(c))
-        .agg(sum(col("__cnt")).as("__cnt"))
-        .withColumn("__rn", row_number().over(
-          Window.partitionBy(col(m.entity))
-            .orderBy(col("__cnt").desc, col(c).asc)))
-        .filter(col("__rn") === 1)
-        .select(col(m.entity), col(c))
-      acc.join(modal, Seq(m.entity), "left")
+    m.mostFrequent.zipWithIndex.foldLeft(base) { case (acc, (c, i)) =>
+      // a column null in EVERY batch never wrote a delta dir — the
+      // golden value is null everywhere, typed from the manifest
+      if (!hasBatchDirs(spark, modalPath(store, c)))
+        acc.withColumn(c, lit(null).cast(
+          org.apache.spark.sql.types.DataType.fromJson(m.modalTypes(i))))
+      else {
+        val modal = spark.read.parquet(modalPath(store, c))
+          .filter(col("ab").isin(m.batches: _*))
+          .groupBy(col(m.entity), col(c))
+          .agg(sum(col("__cnt")).as("__cnt"))
+          .withColumn("__rn", row_number().over(
+            Window.partitionBy(col(m.entity))
+              .orderBy(col("__cnt").desc, col(c).asc)))
+          .filter(col("__rn") === 1)
+          .select(col(m.entity), col(c))
+        acc.join(modal, Seq(m.entity), "left")
+      }
     }
   }
 
@@ -190,15 +218,16 @@ object GoldenStore {
     graft.sources.Sinks.overwritePartitions(
       mergedPartials(spark, store, m).withColumn("ab", lit(gen)),
       partialsPath(store), Seq("ab"))
-    m.mostFrequent.foreach { c =>
-      graft.sources.Sinks.overwritePartitions(
-        spark.read.parquet(modalPath(store, c))
-          .filter(col("ab").isin(m.batches: _*))
-          .groupBy(col(m.entity), col(c))
-          .agg(sum(col("__cnt")).as("__cnt"))
-          .withColumn("ab", lit(gen)),
-        modalPath(store, c), Seq("ab"))
-    }
+    m.mostFrequent.filter(c => hasBatchDirs(spark, modalPath(store, c)))
+      .foreach { c =>
+        graft.sources.Sinks.overwritePartitions(
+          spark.read.parquet(modalPath(store, c))
+            .filter(col("ab").isin(m.batches: _*))
+            .groupBy(col(m.entity), col(c))
+            .agg(sum(col("__cnt")).as("__cnt"))
+            .withColumn("ab", lit(gen)),
+          modalPath(store, c), Seq("ab"))
+      }
     writeMeta(spark, store, m.copy(batches = Seq(gen)))
     val fs = new org.apache.hadoop.fs.Path(store)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)

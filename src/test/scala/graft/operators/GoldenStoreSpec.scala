@@ -99,6 +99,32 @@ class GoldenStoreSpec extends SparkSpec {
     assert(GoldenStore.serve(spark, s2).columns.toSeq == Seq("eid", "status"))
   }
 
+  test("a modal column null in EVERY batch serves as a typed null " +
+    "column (no delta dir ever written) and survives compaction") {
+    val store = tmp()
+    val rows = Seq(
+      ("e1", null.asInstanceOf[String], "A", 1, 1.0, 1L),
+      ("e2", null.asInstanceOf[String], "B", 2, 2.0, 2L))
+    (0 to 1).foreach { b =>
+      GoldenStore.append(
+        rows.drop(b).take(1)
+          .toDF("eid", "status", "prio", "day", "price", "okey"),
+        "eid", store, b.toLong,
+        mostFrequent = Seq("status"), longest = Seq("prio"))
+    }
+    val out = GoldenStore.serve(spark, store)
+    assert(out.schema("status").dataType ==
+      org.apache.spark.sql.types.StringType)
+    assert(out.collect().forall(_.isNullAt(2)))
+    // the empty overwrite leaves at most a _SUCCESS skeleton — no
+    // ab= batch partition ever lands
+    val modal = new java.io.File(store + "/modal_status")
+    assert(!modal.exists() ||
+      modal.listFiles().forall(f => !f.getName.startsWith("ab=")))
+    GoldenStore.compactStore(spark, store)
+    assert(GoldenStore.serve(spark, store).collect().forall(_.isNullAt(2)))
+  }
+
   test("compaction folds to one generation, serve identical, dirs " +
     "swept incl. modal dirs; post-compaction appends keep merging") {
     val store = tmp()
