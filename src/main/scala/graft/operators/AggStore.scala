@@ -83,6 +83,10 @@ object AggStore {
         m
       } else AggMeta(keys, valueCol, Seq.empty)
     if (meta.batches.contains(batchId)) return // completed replay
+    // an empty batch writes nothing: on store creation a rows-less
+    // append would manifest an unreadable (schema-less) store, and
+    // later it only adds a skeleton dir (the SignatureStore guard)
+    if (df.isEmpty) return
     graft.sources.Sinks.overwritePartitions(
       partials(df, keys, valueCol).withColumn("ab", lit(batchId)),
       partialsPath(store), Seq("ab"))

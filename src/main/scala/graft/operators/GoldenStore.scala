@@ -144,6 +144,10 @@ object GoldenStore {
         m
       } else asked
     if (meta.batches.contains(batchId)) return // completed replay
+    // an empty batch writes nothing: on store creation a rows-less
+    // append would manifest an unreadable (schema-less) store, and
+    // later it only adds a skeleton dir (the SignatureStore guard)
+    if (df.isEmpty) return
     graft.sources.Sinks.overwritePartitions(
       partials(df, meta).withColumn("ab", lit(batchId)),
       partialsPath(store), Seq("ab"))

@@ -85,6 +85,10 @@ object Sketches {
         m
       } else HllMeta(lgK, keys, Seq.empty)
     if (meta.batches.contains(batchId)) return // completed replay
+    // an empty batch writes nothing: on store creation a rows-less
+    // append would manifest an unreadable (schema-less) store, and
+    // later it only adds a skeleton dir (the SignatureStore guard)
+    if (df.isEmpty) return
     graft.sources.Sinks.overwritePartitions(
       hllSketches(df, keys, valueCol, lgK).withColumn("ab", lit(batchId)),
       sketchesPath(store), Seq("ab"))

@@ -54,6 +54,18 @@ class AggStoreSpec extends SparkSpec {
     intercept[IllegalArgumentException](AggStore.serve(spark, tmp()))
   }
 
+  test("empty batches never create a store nor corrupt one (r12 " +
+    "skeleton-store guard)") {
+    val store = tmp()
+    val empty = Seq.empty[(String, Double)].toDF("g", "v")
+    AggStore.append(empty, Seq("g"), "v", store, 1L)
+    assert(!AggStore.storeExists(spark, store),
+      "a rows-less first append must not manifest an unreadable store")
+    AggStore.append(Seq(("a", 1.0)).toDF("g", "v"), Seq("g"), "v", store, 2L)
+    AggStore.append(empty, Seq("g"), "v", store, 3L) // later empties no-op
+    assert(serveMap(store) == Map("a" -> ((1L, 1.0, 1.0, 1.0, 1.0))))
+  }
+
   test("null values: count skips them, sums unaffected") {
     val store = tmp()
     val df = Seq(("a", Some(2.0)), ("a", None), ("b", None))
