@@ -18,13 +18,13 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * the injection route survives into thrift-server / connect deployments
   * where [[GraftFunctions.register]]'s per-session temp functions do not.
   */
-class GraftExtensions extends (SparkSessionExtensions => Unit) {
-
+object GraftExtensions {
   /** Int parameter of a SQL builder: must be a foldable non-null literal.
     * A column-valued argument would otherwise fail at `eval()` with an
     * unhelpful NPE (or silently yield a wrong value) — raise the standard
-    * analysis errors instead. */
-  private def literalInt(e: Expression, fn: String, param: String): Int = {
+    * analysis errors instead. Shared with [[GraftFunctions]] so the
+    * per-session and extension-injection routes stay behavior-identical. */
+  private[plans] def literalInt(e: Expression, fn: String, param: String): Int = {
     if (!e.foldable)
       throw new org.apache.spark.sql.AnalysisException("NON_FOLDABLE_ARGUMENT",
         Map("funcName" -> s"`$fn`", "paramName" -> s"`$param`", "paramType" -> "\"INT\""))
@@ -34,6 +34,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         Map("parameter" -> s"`$param`", "functionName" -> s"`$fn`"))
     v.asInstanceOf[Number].intValue()
   }
+}
+
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  import GraftExtensions.literalInt
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((

@@ -35,5 +35,31 @@ object GraftFunctions {
       "squared_l2",
       exprs => SquaredL2(exprs(0), exprs(1)),
       "built-in")
+    // parity with the GraftExtensions injection route: the per-session
+    // registry must expose the SAME surface (same builders, same
+    // literal-parameter analysis errors)
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "minhash",
+      exprs => exprs match {
+        case Seq(t)       => MinHashSignature(t, 3, 32, nfc = false)
+        case Seq(t, k, n) => MinHashSignature(t,
+          GraftExtensions.literalInt(k, "minhash", "shingleSize"),
+          GraftExtensions.literalInt(n, "minhash", "numHashes"),
+          nfc = false)
+        case _ => throw new IllegalArgumentException(
+          "minhash(text[, shingleSize, numHashes])")
+      },
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "shingle_hash_set",
+      exprs => exprs match {
+        case Seq(t)    => ShingleHashSet(t, 3, nfc = false)
+        case Seq(t, k) => ShingleHashSet(t,
+          GraftExtensions.literalInt(k, "shingle_hash_set", "shingleSize"),
+          nfc = false)
+        case _ => throw new IllegalArgumentException(
+          "shingle_hash_set(text[, shingleSize])")
+      },
+      "built-in")
   }
 }

@@ -39,6 +39,26 @@ class CosineSimilaritySpec extends SparkSpec {
     assert(math.abs(r - 1.0) < 1e-15)
   }
 
+  test("per-session registry matches the extensions surface: minhash " +
+    "and shingle_hash_set with literal-parameter checks") {
+    GraftFunctions.register(spark)
+    val sig = spark.sql("SELECT minhash('a b c d e f') AS s")
+      .collect().head.getSeq[Long](0)
+    assert(sig.length == 32)
+    val sig8 = spark.sql("SELECT minhash('a b c d e f', 2, 8) AS s")
+      .collect().head.getSeq[Long](0)
+    assert(sig8.length == 8)
+    val sh = spark.sql("SELECT shingle_hash_set('a b c d e', 2) AS s")
+      .collect().head.getSeq[Long](0)
+    assert(sh.length == 4) // 4 distinct 2-shingles from 5 tokens
+    // a column-valued size parameter raises the analysis error, not an NPE
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT minhash('a b', 2, CAST(id AS INT)) FROM range(1)")
+        .collect()
+    }
+    assert(e.getMessage.contains("numHashes"))
+  }
+
   test("interpreted path (eval) agrees with codegen path") {
     // force interpreted evaluation by disabling whole-stage codegen
     val emb = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet").limit(50)
