@@ -177,7 +177,15 @@ object ExtQueries5 {
         .select(col("event_id"), col("r.system"), col("r.score"))
       graft.operators.Eval.nemenyi(long, "event_id", "system", "score")
         .orderBy(col("treatment_a"), col("treatment_b"))
-    }))
+    }),
+
+    // --- Dunn's post-hoc (pairwise z after Kruskal-Wallis) ------------------
+    // q304's omnibus asks "one location?" across the five event
+    // types; Dunn says WHICH pairs differ — each pair judged against
+    // the FULL shared ranking with the tie-corrected variance.
+    "q315_dunn" -> ((s, d) =>
+      graft.operators.Eval.dunn(ev(s, d), "event_type", "value")
+        .orderBy(col("group_a"), col("group_b"))))
 
   def oracleSql: Map[String, String] = Map(
     // global value-grid average ranks ((2 cum - cnt + 1)/2 on the
@@ -532,5 +540,38 @@ object ExtQueries5 {
              / (1.0 - CAST(tsum AS DOUBLE)
                / (CAST(n_items AS DOUBLE) * 3.0 * 8.0)) END, 6)
              AS chi2_tie
-         FROM n, s2, ties""")
+         FROM n, s2, ties""",
+
+    // the q304 global rank grid folded to per-group mean ranks;
+    // pairwise z with the tie-corrected variance
+    // N(N+1)/12 - Sum t(t-1)(t+1) / (12(N-1))
+    "q315_dunn" ->
+      """WITH rows AS (SELECT event_type AS g, value AS v FROM events
+             WHERE event_type IS NOT NULL AND value IS NOT NULL),
+         levels AS (SELECT v, CAST(count(*) AS BIGINT) AS cnt
+             FROM rows GROUP BY 1),
+         ranks AS (SELECT v, cnt,
+             CAST(CAST(2 * sum(cnt) OVER (ORDER BY v) - cnt + 1 AS DOUBLE)
+               / 2.0 AS DECIMAL(19,1)) AS r FROM levels),
+         gv AS (SELECT g, v, CAST(count(*) AS BIGINT) AS c
+             FROM rows GROUP BY 1, 2),
+         rg AS (SELECT g, sum(CAST(c AS DECIMAL(19,0)) * r) AS rg,
+             CAST(sum(c) AS BIGINT) AS ng
+           FROM gv JOIN ranks USING (v) GROUP BY 1),
+         tot AS (SELECT CAST(sum(ng) AS BIGINT) AS n FROM rg),
+         ties AS (SELECT sum(CAST(cnt AS DECIMAL(12,0)) *
+             (CAST(cnt AS DECIMAL(12,0)) - 1) *
+             (CAST(cnt AS DECIMAL(12,0)) + 1)) AS tsum FROM levels),
+         st AS (SELECT CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0) / 12.0
+             - CAST(tsum AS DOUBLE) / (12.0 * (CAST(n AS DOUBLE) - 1.0))
+             AS sig2 FROM tot, ties),
+         means AS (SELECT g, round(CAST(rg AS DOUBLE) / ng, 9) AS mr, ng
+           FROM rg)
+         SELECT a.g AS group_a, b.g AS group_b,
+           a.ng AS n_a, b.ng AS n_b,
+           round(a.mr, 6) AS mean_rank_a, round(b.mr, 6) AS mean_rank_b,
+           round(CASE WHEN round(sig2, 9) > 0.0 THEN (a.mr - b.mr)
+             / sqrt(sig2 * (1.0 / a.ng + 1.0 / b.ng)) END, 6) AS z
+         FROM means a, means b, st WHERE a.g < b.g
+         ORDER BY group_a, group_b""")
 }

@@ -1127,19 +1127,7 @@ object Eval {
     * one row (n, k_groups, h, h_tie) rounded 6. */
   def kruskalWallis(df: DataFrame, groupCol: String,
                     valueCol: String): DataFrame = {
-    val rows = df.filter(col(groupCol).isNotNull && col(valueCol).isNotNull)
-      .select(col(groupCol).as("__g"), col(valueCol).as("__v"))
-    val levels = rows.groupBy(col("__v")).agg(count(lit(1)).as("__cnt"))
-    val ranks = Ranks.groupedCumSum(levels, Seq.empty, "__v", Seq("__cnt"))
-      .select(col("__v"), col("__cnt"),
-        ((lit(2L) * col("cum___cnt") - col("__cnt") + lit(1L))
-          .cast("double") / 2.0).cast("decimal(19,1)").as("__r"))
-    val rg = rows.groupBy(col("__g"), col("__v"))
-      .agg(count(lit(1)).as("__c"))
-      .join(ranks.drop("__cnt"), Seq("__v"))
-      .groupBy(col("__g"))
-      .agg(sum(col("__c").cast("decimal(19,0)") * col("__r")).as("__rg"),
-        sum(col("__c")).as("__ng"))
+    val (rg, levels) = globalGroupRanks(df, groupCol, valueCol)
     val stats = rg.agg(
       sum(col("__ng")).as("n"), count(lit(1)).as("k_groups"),
       sum(round(col("__rg").cast("double") * col("__rg").cast("double") /
@@ -1156,6 +1144,80 @@ object Eval {
     stats.crossJoin(ties)
       .select(col("n"), col("k_groups"), round(h, 6).as("h"),
         round(when(cf =!= 0.0, h / cf), 6).as("h_tie"))
+  }
+
+  /** Shared independent-groups rank machinery for [[kruskalWallis]]
+    * and [[dunn]]: null rows drop, average ranks of each DISTINCT
+    * value derive from the GLOBAL value grid's cumulative counts
+    * ((2·cum − cnt + 1)/2 on the .5-exact DECIMAL(19,1) grid via
+    * [[Ranks.groupedCumSum]]'s bucketed walk — value-level work, never
+    * a corpus rank window), per-group exact-DECIMAL rank sums from
+    * (group, value)-level counts joined onto that grid. Returns
+    * (per-group sums (__g, __rg, __ng), value grid (__v, __cnt)). */
+  private def globalGroupRanks(df: DataFrame, groupCol: String,
+      valueCol: String): (DataFrame, DataFrame) = {
+    val rows = df.filter(col(groupCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(groupCol).as("__g"), col(valueCol).as("__v"))
+    val levels = rows.groupBy(col("__v")).agg(count(lit(1)).as("__cnt"))
+    val ranks = Ranks.groupedCumSum(levels, Seq.empty, "__v", Seq("__cnt"))
+      .select(col("__v"), col("__cnt"),
+        ((lit(2L) * col("cum___cnt") - col("__cnt") + lit(1L))
+          .cast("double") / 2.0).cast("decimal(19,1)").as("__r"))
+    val rg = rows.groupBy(col("__g"), col("__v"))
+      .agg(count(lit(1)).as("__c"))
+      .join(ranks.drop("__cnt"), Seq("__v"))
+      .groupBy(col("__g"))
+      .agg(sum(col("__c").cast("decimal(19,0)") * col("__r")).as("__rg"),
+        sum(col("__c")).as("__ng"))
+    (rg, levels)
+  }
+
+  /** Dunn's post-hoc — WHICH groups differ, once [[kruskalWallis]]
+    * rejects "one location" (Dunn 1964; the independent-groups
+    * counterpart of [[nemenyi]], which serves the complete-block
+    * [[friedman]] side of the shelf). Pairwise mean-rank gaps on the
+    * SHARED global ranking standardize to
+    * z = (R̄_a − R̄_b) / √(σ²·(1/n_a + 1/n_b)) with the tie-corrected
+    * variance σ² = N(N+1)/12 − Σt(t−1)(t+1)/(12(N−1)) — the reason
+    * Dunn is the correct KW follow-up and per-pair Mann-Whitney runs
+    * are not: each pair is judged against the FULL ranking, not a
+    * re-ranked two-group subset. z is the emitted statistic (the
+    * [[propZTest]]/[[welchT]] convention — adjust downstream with
+    * [[bhAdjust]] over the pair table, which is k²-bounded).
+    *
+    * Machinery is [[globalGroupRanks]] verbatim (value-level grid
+    * work); mean ranks round to the 9-grid off exact DECIMAL rank
+    * sums; the tie sum is exact DECIMAL(38,0) under the documented
+    * DECIMAL(12,0) envelope; the pair fan-out is a k-row broadcast
+    * self-join — k² pairs, never data-sized. All values identical →
+    * σ² = 0 → z null. Output: one row per unordered pair a < b
+    * (group_a, group_b, n_a, n_b, mean_rank_a, mean_rank_b, z)
+    * rounded 6. */
+  def dunn(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val (rg, levels) = globalGroupRanks(df, groupCol, valueCol)
+    val t = col("__cnt").cast("decimal(12,0)")
+    val tot = rg.agg(sum(col("__ng")).as("__n"))
+      .crossJoin(levels.agg(sum((t * (t - 1)) * (t + 1)).as("__tsum")))
+    val means = rg.select(col("__g"),
+      round(col("__rg").cast("double") / col("__ng"), 9).as("__mr"),
+      col("__ng"))
+    val a = means.select(col("__g").as("group_a"), col("__mr").as("__ma"),
+      col("__ng").as("n_a"))
+    val b = means.select(col("__g").as("group_b"), col("__mr").as("__mb"),
+      col("__ng").as("n_b"))
+    val nD = col("__n").cast("double")
+    val sig2 = nD * (nD + 1.0) / 12.0 -
+      col("__tsum").cast("double") / (lit(12.0) * (nD - 1.0))
+    val se = sqrt(sig2 * (lit(1.0) / col("n_a").cast("double") +
+      lit(1.0) / col("n_b").cast("double")))
+    a.crossJoin(broadcast(b))
+      .filter(col("group_a") < col("group_b"))
+      .crossJoin(broadcast(tot))
+      .select(col("group_a"), col("group_b"), col("n_a"), col("n_b"),
+        round(col("__ma"), 6).as("mean_rank_a"),
+        round(col("__mb"), 6).as("mean_rank_b"),
+        round(when(round(sig2, 9) > 0.0,
+          (col("__ma") - col("__mb")) / se), 6).as("z"))
   }
 
   /** Shared complete-block rank machinery for [[friedman]] and

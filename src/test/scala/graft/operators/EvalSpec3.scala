@@ -241,4 +241,75 @@ class EvalSpec3 extends SparkSpec {
       s"${out.getDouble(2)} vs $chi2")
     assert(math.abs(out.getDouble(3) - chi2 / cf) < 1e-6)
   }
+
+  test("dunn: hand tie-free case, tie-corrected case, all-one-value " +
+    "null, single group empty") {
+    // A=(1,2,3) B=(4,5,6) C=(7,8,9): ranks 1..9, mean ranks 2/5/8,
+    // sigma^2 = 9*10/12 = 7.5, se = sqrt(7.5 * 2/3) = sqrt(5)
+    val a = Seq(("A", 1.0), ("A", 2.0), ("A", 3.0), ("B", 4.0),
+      ("B", 5.0), ("B", 6.0), ("C", 7.0), ("C", 8.0), ("C", 9.0))
+      .toDF("g", "v")
+    val o1 = Eval.dunn(a, "g", "v")
+      .orderBy("group_a", "group_b").collect()
+    assert(o1.length == 3)
+    val ab = o1(0); val ac = o1(1); val bc = o1(2)
+    assert(ab.getString(0) == "A" && ab.getString(1) == "B" &&
+      ab.getLong(2) == 3L && ab.getLong(3) == 3L &&
+      ab.getDouble(4) == 2.0 && ab.getDouble(5) == 5.0)
+    assert(ab.getDouble(6) == g6(-3.0 / math.sqrt(5.0)))
+    assert(ac.getDouble(6) == g6(-6.0 / math.sqrt(5.0)))
+    assert(bc.getDouble(6) == g6(-3.0 / math.sqrt(5.0)))
+    // ties: A=(1,1,2) B=(2,3,3): avg ranks 1.5/3.5/5.5, mean ranks
+    // round9(6.5/3) and round9(14.5/3), tsum = 3*2*1*3 = 18,
+    // sigma^2 = 6*7/12 - 18/(12*5) = 3.2, se = sqrt(3.2 * 2/3)
+    val b = Seq(("A", 1.0), ("A", 1.0), ("A", 2.0), ("B", 2.0),
+      ("B", 3.0), ("B", 3.0)).toDF("g", "v")
+    val o2 = Eval.dunn(b, "g", "v").collect().head
+    val ma = math.rint(6.5 / 3.0 * 1e9) / 1e9
+    val mb = math.rint(14.5 / 3.0 * 1e9) / 1e9
+    assert(o2.getDouble(4) == g6(ma) && o2.getDouble(5) == g6(mb))
+    assert(o2.getDouble(6) ==
+      g6((ma - mb) / math.sqrt(3.2 * (2.0 / 3.0))))
+    // all rows one value -> sigma^2 = 0 -> z null (mean ranks equal)
+    val c = Seq(("A", 5.0), ("A", 5.0), ("B", 5.0)).toDF("g", "v")
+    val o3 = Eval.dunn(c, "g", "v").collect().head
+    assert(o3.getDouble(4) == 2.0 && o3.getDouble(5) == 2.0 &&
+      o3.isNullAt(6))
+    // one group -> no pairs
+    assert(Eval.dunn(Seq(("A", 1.0), ("A", 2.0)).toDF("g", "v"),
+      "g", "v").collect().isEmpty)
+  }
+
+  test("dunn: equals an independent shared-ranking reference on " +
+    "pseudo-random tied data; agrees with kruskalWallis machinery") {
+    val vals = (1 to 60).map(i => (s"g${i % 3}", ((i * 17) % 7).toDouble))
+    val df = vals.toDF("g", "v")
+    val out = Eval.dunn(df, "g", "v")
+      .orderBy("group_a", "group_b").collect()
+    assert(out.length == 3)
+    // reference: average ranks over the sorted multiset (the
+    // kruskalWallis reference construction), pairwise z
+    val sorted = vals.map(_._2).sorted
+    val rankOf = sorted.distinct.map { v =>
+      val below = sorted.count(_ < v); val t = sorted.count(_ == v)
+      v -> (below + (t + 1) / 2.0)
+    }.toMap
+    val n = vals.size.toDouble
+    val tsum = sorted.groupBy(identity).values
+      .map { g => val t = g.size.toDouble; t * (t - 1.0) * (t + 1.0) }.sum
+    val sig2 = n * (n + 1.0) / 12.0 - tsum / (12.0 * (n - 1.0))
+    val stats = vals.groupBy(_._1).map { case (g, rows) =>
+      g -> (math.rint(rows.map(r => rankOf(r._2)).sum / rows.size * 1e9)
+        / 1e9, rows.size)
+    }
+    for (row <- out) {
+      val (ma, na) = stats(row.getString(0))
+      val (mb, nb) = stats(row.getString(1))
+      assert(row.getLong(2) == na.toLong && row.getLong(3) == nb.toLong)
+      assert(row.getDouble(4) == g6(ma) && row.getDouble(5) == g6(mb))
+      val z = (ma - mb) / math.sqrt(sig2 * (1.0 / na + 1.0 / nb))
+      assert(math.abs(row.getDouble(6) - z) < 1e-6,
+        s"${row.getDouble(6)} vs $z")
+    }
+  }
 }
