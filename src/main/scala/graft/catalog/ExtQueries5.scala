@@ -185,7 +185,25 @@ object ExtQueries5 {
     // the FULL shared ranking with the tie-corrected variance.
     "q315_dunn" -> ((s, d) =>
       graft.operators.Eval.dunn(ev(s, d), "event_type", "value")
-        .orderBy(col("group_a"), col("group_b"))))
+        .orderBy(col("group_a"), col("group_b"))),
+
+    // --- two-group log-rank test -------------------------------------------
+    // ARE the q224 even/odd cohorts' time-to-first-purchase curves
+    // different? Same censoring-honest frame; the hypergeometric
+    // O/E/V fold over the shared duration grid answers with one χ².
+    "q316_log_rank" -> ((s, d) => {
+      val per = ev(s, d).groupBy(col("user_id")).agg(
+        min(col("ts")).as("first_ts"),
+        min(when(col("event_type") === "purchase", col("ts")))
+          .as("conv_ts"),
+        max(col("ts")).as("last_ts"))
+      val durs = per.select(
+        (col("user_id") % 2).cast("int").as("cohort"),
+        datediff(coalesce(col("conv_ts"), col("last_ts")).cast("date"),
+          col("first_ts").cast("date")).as("dur"),
+        col("conv_ts").isNotNull.cast("int").as("ev"))
+      graft.operators.Survival.logRank(durs, "cohort", "dur", "ev")
+    }))
 
   def oracleSql: Map[String, String] = Map(
     // global value-grid average ranks ((2 cum - cnt + 1)/2 on the
@@ -573,5 +591,58 @@ object ExtQueries5 {
            round(CASE WHEN round(sig2, 9) > 0.0 THEN (a.mr - b.mr)
              / sqrt(sig2 * (1.0 / a.ng + 1.0 / b.ng)) END, 6) AS z
          FROM means a, means b, st WHERE a.g < b.g
-         ORDER BY group_a, group_b""")
+         ORDER BY group_a, group_b""",
+
+    // the q224 cohort frame, then the hypergeometric O/E/V fold over
+    // the shared duration grid: 9-grid E = d*na/n and
+    // V = d*(na/n)*(1-na/n)*(n-d)/(n-1) terms summed in DECIMAL(38,9)
+    "q316_log_rank" ->
+      """WITH per AS (SELECT user_id, min(ts) AS first_ts,
+             min(CASE WHEN event_type = 'purchase' THEN ts END) AS conv_ts,
+             max(ts) AS last_ts
+           FROM events GROUP BY 1),
+         r AS (SELECT CAST(user_id % 2 AS INT) AS g,
+             CAST(date_diff('day', CAST(first_ts AS DATE),
+               CAST(coalesce(conv_ts, last_ts) AS DATE)) AS INT) AS dur,
+             CASE WHEN conv_ts IS NOT NULL THEN 1 ELSE 0 END AS ev
+           FROM per),
+         ids AS (SELECT min(g) AS ga, max(g) AS gb FROM r),
+         lvl AS (SELECT dur, sum(ev) AS d, count(*) AS t,
+             sum(CASE WHEN g = (SELECT ga FROM ids) AND ev = 1
+               THEN 1 ELSE 0 END) AS da,
+             sum(CASE WHEN g = (SELECT ga FROM ids)
+               THEN 1 ELSE 0 END) AS ta
+           FROM r GROUP BY 1),
+         tot AS (SELECT sum(t) AS n, sum(ta) AS na FROM lvl),
+         w AS (SELECT l.*, n, na,
+             n - sum(t) OVER (ORDER BY dur) + t AS nr,
+             na - sum(ta) OVER (ORDER BY dur) + ta AS nra
+           FROM lvl l, tot),
+         terms AS (SELECT *,
+             CASE WHEN d > 0 THEN CAST(round(CAST(d AS DOUBLE)
+               * nra / nr, 9) AS DECIMAL(38,9))
+               ELSE CAST(0 AS DECIMAL(38,9)) END AS e,
+             CASE WHEN d > 0 AND nr > 1 THEN CAST(round(
+               CAST(d AS DOUBLE) * (CAST(nra AS DOUBLE) / nr)
+               * (1.0 - CAST(nra AS DOUBLE) / nr)
+               * (CAST(nr AS DOUBLE) - d) / (CAST(nr AS DOUBLE) - 1.0),
+               9) AS DECIMAL(38,9))
+               ELSE CAST(0 AS DECIMAL(38,9)) END AS v
+           FROM w),
+         f AS (SELECT sum(da) AS oa, sum(d) AS dd, sum(e) AS ea,
+             sum(v) AS vv, max(n) AS n, max(na) AS na FROM terms)
+         SELECT ga AS group_a, gb AS group_b,
+           CAST(na AS BIGINT) AS n_a, CAST(n - na AS BIGINT) AS n_b,
+           CAST(oa AS BIGINT) AS observed_a,
+           round(CAST(ea AS DOUBLE), 6) AS expected_a,
+           CAST(dd - oa AS BIGINT) AS observed_b,
+           round(CAST(dd AS DOUBLE) - CAST(ea AS DOUBLE), 6)
+             AS expected_b,
+           round(CASE WHEN round(CAST(vv AS DOUBLE), 9) > 0.0 THEN
+             power((CAST(oa AS DOUBLE) - CAST(ea AS DOUBLE))
+               / sqrt(CAST(vv AS DOUBLE)), 2) END, 6) AS chi2,
+           round(CASE WHEN round(CAST(vv AS DOUBLE), 9) > 0.0 THEN
+             (CAST(oa AS DOUBLE) - CAST(ea AS DOUBLE))
+               / sqrt(CAST(vv AS DOUBLE)) END, 6) AS z
+         FROM f, ids""")
 }

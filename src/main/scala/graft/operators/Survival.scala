@@ -80,4 +80,83 @@ object Survival {
           .otherwise(exp(col("cum___lnq").cast("double"))), 6)
           .as("survival"))
   }
+
+  /** Two-group log-rank test — ARE these two survival curves
+    * different, the question [[kaplanMeier]]'s per-group output
+    * begs (Mantel 1966; eyeballing curve gaps ignores that late
+    * levels rest on tiny risk sets). At each duration level with
+    * d events and risk sets (n, n_a), group a's observed events
+    * compare against the hypergeometric expectation E = d·n_a/n
+    * with variance V = d·(n_a/n)·(1 − n_a/n)·(n − d)/(n − 1);
+    * z = (O_a − ΣE)/√ΣV, χ² = z². Censoring-only levels contribute
+    * nothing to O/E/V but shrink the risk sets — the same honesty
+    * [[kaplanMeier]] buys, which a naive events-rate χ² throws away.
+    *
+    * Shape: the kaplanMeier grid verbatim minus the group partition —
+    * one GLOBAL duration-level aggregation carrying the group-a slice
+    * alongside the totals, one [[Ranks.groupedCumSum]] walk over the
+    * duration grid for both risk sets at once, 9-grid E/V terms
+    * folded in DECIMAL(38,9) (sums compose exactly across buckets),
+    * one final double division. Group identities ride a 1-row
+    * broadcast (a = min, b = max); nothing row-sized hits an ordered
+    * window.
+    *
+    * Contract: exactly two non-null groups or fail fast (k-sample
+    * log-rank needs the full covariance matrix — explicit rejection
+    * beats a silently-approximate diagonal form); null durations/
+    * events drop; `eventCol` casts to int, nonzero = event. All
+    * events tied at risk-set-1 levels or no events at all → V = 0 →
+    * null z/χ². Output: one row (group_a, group_b, n_a, n_b,
+    * observed_a, expected_a, observed_b, expected_b, chi2, z)
+    * rounded 6. */
+  def logRank(df: DataFrame, groupCol: String, durationCol: String,
+              eventCol: String): DataFrame = {
+    val rows = df
+      .filter(col(groupCol).isNotNull && col(durationCol).isNotNull &&
+        col(eventCol).isNotNull)
+      .select(col(groupCol).as("__g"),
+        col(durationCol).cast("double").as("__dur"),
+        (col(eventCol).cast("int") =!= 0).as("__ev"))
+    val gdf = rows.agg(min(col("__g")).as("__ga"), max(col("__g")).as("__gb"),
+      countDistinct(col("__g")).as("__k"))
+    val k = gdf.select(col("__k")).collect()(0).getLong(0)
+    require(k == 2L, s"logRank needs exactly 2 groups, got $k")
+    val ids = gdf.select(col("__ga"), col("__gb"))
+    val lvl = rows.crossJoin(broadcast(ids))
+      .withColumn("__isa", col("__g") <=> col("__ga"))
+      .groupBy(col("__dur")).agg(
+        sum(when(col("__ev"), 1L).otherwise(0L)).as("__d"),
+        count(lit(1)).as("__t"),
+        sum(when(col("__isa") && col("__ev"), 1L).otherwise(0L)).as("__da"),
+        sum(when(col("__isa"), 1L).otherwise(0L)).as("__ta"))
+    val totals = lvl.agg(sum(col("__t")).as("__n"), sum(col("__ta")).as("__na"))
+    val dD = col("__d").cast("double")
+    val nrD = col("__nr").cast("double")
+    val nraD = col("__nra").cast("double")
+    val fold = Ranks.groupedCumSum(lvl, Seq.empty, "__dur", Seq("__t", "__ta"))
+      .crossJoin(broadcast(totals))
+      .withColumn("__nr", col("__n") - col("cum___t") + col("__t"))
+      .withColumn("__nra", col("__na") - col("cum___ta") + col("__ta"))
+      .withColumn("__e", when(col("__d") > 0L,
+        round(dD * nraD / nrD, 9)).otherwise(lit(0.0))
+        .cast("decimal(38,9)"))
+      .withColumn("__v", when(col("__d") > 0L && col("__nr") > 1L,
+        round(dD * (nraD / nrD) * (lit(1.0) - nraD / nrD) *
+          (nrD - dD) / (nrD - lit(1.0)), 9)).otherwise(lit(0.0))
+        .cast("decimal(38,9)"))
+      .agg(sum(col("__da")).as("__oa"), sum(col("__d")).as("__dd"),
+        sum(col("__e")).as("__ea"), sum(col("__v")).as("__vv"),
+        max(col("__n")).as("__n"), max(col("__na")).as("__na"))
+    val eaD = col("__ea").cast("double")
+    val vD = col("__vv").cast("double")
+    val z = (col("__oa").cast("double") - eaD) / sqrt(vD)
+    fold.crossJoin(broadcast(ids))
+      .select(col("__ga").as("group_a"), col("__gb").as("group_b"),
+        col("__na").as("n_a"), (col("__n") - col("__na")).as("n_b"),
+        col("__oa").as("observed_a"), round(eaD, 6).as("expected_a"),
+        (col("__dd") - col("__oa")).as("observed_b"),
+        round(col("__dd").cast("double") - eaD, 6).as("expected_b"),
+        round(when(round(vD, 9) > 0.0, z * z), 6).as("chi2"),
+        round(when(round(vD, 9) > 0.0, z), 6).as("z"))
+  }
 }
