@@ -203,7 +203,14 @@ object ExtQueries5 {
           col("first_ts").cast("date")).as("dur"),
         col("conv_ts").isNotNull.cast("int").as("ev"))
       graft.operators.Survival.logRank(durs, "cohort", "dur", "ev")
-    }))
+    }),
+
+    // --- Brown-Forsythe variance homogeneity -------------------------------
+    // q207's F test asks "did the MEAN move across event types";
+    // Brown-Forsythe asks "did the SPREAD" — the anovaF fold on
+    // absolute deviations from grid-walk group medians.
+    "q317_brown_forsythe" -> ((s, d) =>
+      graft.operators.Eval.leveneTest(ev(s, d), "event_type", "value")))
 
   def oracleSql: Map[String, String] = Map(
     // global value-grid average ranks ((2 cum - cnt + 1)/2 on the
@@ -644,5 +651,46 @@ object ExtQueries5 {
            round(CASE WHEN round(CAST(vv AS DOUBLE), 9) > 0.0 THEN
              (CAST(oa AS DOUBLE) - CAST(ea AS DOUBLE))
                / sqrt(CAST(vv AS DOUBLE)) END, 6) AS z
-         FROM f, ids""")
+         FROM f, ids""",
+
+    // group medians off the (g, value) grid's cumulative walk (the
+    // two levels straddling ranks ceil(n/2) and floor(n/2)+1
+    // average), 9-grid |deviations|, then the q207 anovaF fold
+    "q317_brown_forsythe" ->
+      """WITH r AS (SELECT event_type AS g, CAST(value AS DOUBLE) AS v
+             FROM events
+             WHERE event_type IS NOT NULL AND value IS NOT NULL),
+         lvl AS (SELECT g, v, CAST(count(*) AS BIGINT) AS c
+           FROM r GROUP BY 1, 2),
+         tot AS (SELECT g, CAST(sum(c) AS BIGINT) AS ng
+           FROM lvl GROUP BY 1),
+         w1 AS (SELECT l.g, l.v, l.c, t.ng,
+             sum(c) OVER (PARTITION BY l.g ORDER BY v) AS cum
+           FROM lvl l JOIN tot t USING (g)),
+         med AS (SELECT g,
+             (max(CASE WHEN cum >= (ng + 1) // 2
+                AND cum - c < (ng + 1) // 2 THEN v END)
+              + max(CASE WHEN cum >= ng // 2 + 1
+                AND cum - c < ng // 2 + 1 THEN v END)) / 2.0 AS m
+           FROM w1 GROUP BY g),
+         dev AS (SELECT r.g, round(abs(r.v - med.m), 9) AS z
+           FROM r JOIN med USING (g)),
+         per AS (SELECT g, count(*) AS n,
+             sum(CAST(round(z, 9) AS DECIMAL(38,9))) AS s,
+             sum(CAST(round(z * z, 9) AS DECIMAL(38,9))) AS q
+           FROM dev GROUP BY 1),
+         f AS (SELECT CAST(count(*) AS BIGINT) AS k,
+             CAST(sum(n) AS BIGINT) AS n, sum(s) AS ts, sum(q) AS tq,
+             sum(CAST(round(CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n, 9)
+               AS DECIMAL(38,9))) AS tb
+           FROM per)
+         SELECT k, n,
+           round(CASE WHEN k >= 2 AND n > k
+               AND CAST(tq AS DOUBLE) - CAST(tb AS DOUBLE) > 0
+             THEN ((CAST(tb AS DOUBLE) - CAST(ts AS DOUBLE)
+                 * CAST(ts AS DOUBLE) / CAST(n AS DOUBLE))
+               / (CAST(k AS DOUBLE) - 1.0))
+               / ((CAST(tq AS DOUBLE) - CAST(tb AS DOUBLE))
+               / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE))) END, 6) AS w
+         FROM f""")
 }

@@ -237,6 +237,60 @@ object Eval {
       round(when(sst > 0.0, ssb / sst), 6).as("eta_sq"))
   }
 
+  /** Levene / Brown-Forsythe variance-homogeneity test — the
+    * precondition check [[anovaF]] quietly assumes (and the direct
+    * "did the SPREAD change" question drift monitoring asks; a mean
+    * test sees nothing when a distribution widens symmetrically).
+    * W = the one-way ANOVA F statistic applied to per-row absolute
+    * deviations from each group's center: `center = "median"` is
+    * Brown-Forsythe 1974 (robust to heavy tails — the recommended
+    * default), `"mean"` is Levene 1960.
+    *
+    * Group medians come from the (group, value) LEVEL grid — one
+    * [[Ranks.groupedCumSum]] walk, then the two levels straddling
+    * ranks ⌈n/2⌉ and ⌊n/2⌋+1 average (exact even-n median); a
+    * million-row group costs its value levels, never a per-group sort
+    * (`percentile`'s whole-column state — the [[Features.winsorize]]
+    * trade this path avoids). Centers ride a k-row broadcast back
+    * onto the rows; deviations round to the 9-grid; the F fold is
+    * [[anovaF]] verbatim (per-group DECIMAL sufficient stats, 9-grid
+    * ratio terms).
+    *
+    * Contract: null groups/values drop; all deviations zero (every
+    * group constant) → null W. Output: one row (k, n, w rounded 6). */
+  def leveneTest(df: DataFrame, groupCol: String, valueCol: String,
+                 center: String = "median"): DataFrame = {
+    require(center == "median" || center == "mean",
+      s"center must be 'median' or 'mean', got '$center'")
+    val rows = df
+      .filter(col(groupCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(groupCol).as("__g"), col(valueCol).cast("double").as("__v"))
+    val ctr =
+      if (center == "mean")
+        rows.groupBy(col("__g")).agg(
+          round(sum(round(col("__v"), 9).cast("decimal(38,9)"))
+            .cast("double") / count(lit(1)), 9).as("__m"))
+      else {
+        val lvl = rows.groupBy(col("__g"), col("__v"))
+          .agg(count(lit(1)).as("__c"))
+        val tot = lvl.groupBy(col("__g")).agg(sum(col("__c")).as("__ng"))
+        val lo = ((col("__ng") + lit(1L)) / lit(2L)).cast("long")
+        val hi = (col("__ng") / lit(2L)).cast("long") + lit(1L)
+        Ranks.groupedCumSum(lvl, Seq("__g"), "__v", Seq("__c"))
+          .join(broadcast(tot), Seq("__g"))
+          .withColumn("__vlo", when(col("cum___c") >= lo &&
+            col("cum___c") - col("__c") < lo, col("__v")))
+          .withColumn("__vhi", when(col("cum___c") >= hi &&
+            col("cum___c") - col("__c") < hi, col("__v")))
+          .groupBy(col("__g"))
+          .agg(((max(col("__vlo")) + max(col("__vhi"))) / 2.0).as("__m"))
+      }
+    val dev = rows.join(broadcast(ctr), Seq("__g"))
+      .select(col("__g"), round(abs(col("__v") - col("__m")), 9).as("__z"))
+    anovaF(dev, "__g", "__z")
+      .select(col("k"), col("n"), col("f_stat").as("w"))
+  }
+
   /** Two-sample Kolmogorov-Smirnov statistic — the distribution-drift
     * test on a NUMERIC column: D = sup_x |F_a(x) − F_b(x)| over the
     * empirical CDFs of the two samples. Sensitive to any difference

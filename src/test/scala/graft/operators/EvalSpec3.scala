@@ -312,4 +312,51 @@ class EvalSpec3 extends SparkSpec {
         s"${row.getDouble(6)} vs $z")
     }
   }
+
+  test("leveneTest: Brown-Forsythe hand case, Levene mean variant, " +
+    "all-constant null, bad center guard") {
+    // A = 1..4 (median 2.5 → devs 1.5,.5,.5,1.5), B = 10,20,30
+    // (median 20 → devs 10,0,10): W = 4.067558 by the anovaF fold
+    val a = Seq(("A", 1.0), ("A", 2.0), ("A", 3.0), ("A", 4.0),
+      ("B", 10.0), ("B", 20.0), ("B", 30.0)).toDF("g", "v")
+    val o1 = Eval.leveneTest(a, "g", "v").collect().head
+    assert(o1.getLong(0) == 2L && o1.getLong(1) == 7L)
+    assert(o1.getDouble(2) == 4.067558)
+    // mean-centered: A = 1,2,3 devs 1,0,1; B = 2,4,6 devs 2,0,2 →
+    // SSB = 2/3, SSW = 10/3, W = (2/3)/((10/3)/4) = 0.8
+    val b = Seq(("A", 1.0), ("A", 2.0), ("A", 3.0), ("B", 2.0),
+      ("B", 4.0), ("B", 6.0)).toDF("g", "v")
+    val o2 = Eval.leveneTest(b, "g", "v", center = "mean").collect().head
+    assert(o2.getDouble(2) == 0.8)
+    // every group constant → all deviations 0 → SSW = 0 → null W
+    val c = Seq(("A", 5.0), ("A", 5.0), ("B", 7.0), ("B", 7.0))
+      .toDF("g", "v")
+    assert(Eval.leveneTest(c, "g", "v").collect().head.isNullAt(2))
+    assertThrows[IllegalArgumentException](
+      Eval.leveneTest(a, "g", "v", center = "mode"))
+  }
+
+  test("leveneTest: grid median matches sort median on tied " +
+    "pseudo-random data (odd and even group sizes); equals the " +
+    "brute-force W") {
+    val vals = (1 to 61).map(i => (s"g${i % 3}", ((i * 29) % 13).toDouble))
+    val out = Eval.leveneTest(vals.toDF("g", "v"), "g", "v")
+      .collect().head
+    // brute reference: sort-median per group, |dev| on the 9-grid,
+    // the anovaF sufficient-stat fold
+    def g9(x: Double) = math.rint(x * 1e9) / 1e9
+    val byG = vals.groupBy(_._1).map { case (g, rs) =>
+      val s = rs.map(_._2).sorted
+      val m = (s((s.size + 1) / 2 - 1) + s(s.size / 2)) / 2.0
+      g -> rs.map(r => g9(math.abs(r._2 - m)))
+    }
+    val n = vals.size.toDouble; val k = byG.size.toDouble
+    val sS = byG.values.map(_.sum).sum
+    val q = byG.values.map(_.map(z => g9(z * z)).sum).sum
+    val bS = byG.values.map(z => g9(z.sum * z.sum / z.size)).sum
+    val w = ((bS - sS * sS / n) / (k - 1.0)) / ((q - bS) / (n - k))
+    assert(out.getLong(0) == 3L && out.getLong(1) == 61L)
+    assert(math.abs(out.getDouble(2) - w) < 1e-6,
+      s"${out.getDouble(2)} vs $w")
+  }
 }
