@@ -210,7 +210,15 @@ object ExtQueries5 {
     // Brown-Forsythe asks "did the SPREAD" — the anovaF fold on
     // absolute deviations from grid-walk group medians.
     "q317_brown_forsythe" -> ((s, d) =>
-      graft.operators.Eval.leveneTest(ev(s, d), "event_type", "value")))
+      graft.operators.Eval.leveneTest(ev(s, d), "event_type", "value")),
+
+    // --- Jonckheere-Terpstra ordered trend ---------------------------------
+    // Is value stochastically increasing across event types in their
+    // natural (alphabetic) order? The sharper one-directional
+    // complement to q304's any-difference Kruskal-Wallis.
+    "q318_jonckheere" -> ((s, d) =>
+      graft.operators.Eval.jonckheereTerpstra(
+        ev(s, d), "event_type", "value")))
 
   def oracleSql: Map[String, String] = Map(
     // global value-grid average ranks ((2 cum - cnt + 1)/2 on the
@@ -692,5 +700,61 @@ object ExtQueries5 {
                / (CAST(k AS DOUBLE) - 1.0))
                / ((CAST(tq AS DOUBLE) - CAST(tb AS DOUBLE))
                / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE))) END, 6) AS w
-         FROM f""")
+         FROM f""",
+
+    // dense (level x group) grid, per-group cumulative below-counts,
+    // k-bounded ordered-group prefix within each level, 2J folded in
+    // DECIMAL(38,0); Hollander-Wolfe tie-corrected moments
+    "q318_jonckheere" ->
+      """WITH r AS (SELECT event_type AS g, CAST(value AS DOUBLE) AS v
+             FROM events
+             WHERE event_type IS NOT NULL AND value IS NOT NULL),
+         cells AS (SELECT v, g, CAST(count(*) AS BIGINT) AS c
+           FROM r GROUP BY 1, 2),
+         lv AS (SELECT v, CAST(sum(c) AS BIGINT) AS t
+           FROM cells GROUP BY 1),
+         gr AS (SELECT g, CAST(sum(c) AS BIGINT) AS ng
+           FROM cells GROUP BY 1),
+         dense AS (SELECT lv.v, gr.g, coalesce(c.c, 0) AS c
+           FROM lv CROSS JOIN gr
+           LEFT JOIN cells c ON c.v = lv.v AND c.g = gr.g),
+         cum AS (SELECT *, sum(c) OVER (PARTITION BY g ORDER BY v) - c
+             AS below FROM dense),
+         pref AS (SELECT *,
+             coalesce(sum(below) OVER (PARTITION BY v ORDER BY g
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pb,
+             coalesce(sum(c) OVER (PARTITION BY v ORDER BY g
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pc
+           FROM cum),
+         j AS (SELECT sum(CAST(c AS DECIMAL(38,0))
+             * CAST(2 * pb + pc AS DECIMAL(38,0))) AS j2 FROM pref),
+         gm AS (SELECT CAST(sum(ng) AS DECIMAL(38,0)) AS n,
+             CAST(count(*) AS BIGINT) AS k,
+             sum(CAST(ng AS DECIMAL(38,0)) * ng) AS sn2,
+             sum(CAST(ng AS DECIMAL(38,0)) * (ng - 1)) AS sn21,
+             sum(CAST(ng AS DECIMAL(38,0)) * (ng - 1) * (2 * ng + 5))
+               AS sn25,
+             sum(CAST(ng AS DECIMAL(38,0)) * (ng - 1) * (ng - 2)) AS sn3
+           FROM gr),
+         tm AS (SELECT sum(CAST(t AS DECIMAL(38,0)) * (t - 1)) AS st21,
+             sum(CAST(t AS DECIMAL(38,0)) * (t - 1) * (2 * t + 5))
+               AS st25,
+             sum(CAST(t AS DECIMAL(38,0)) * (t - 1) * (t - 2)) AS st3
+           FROM lv),
+         vr AS (SELECT j2, n, k, sn2,
+             (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)
+               * (2.0 * CAST(n AS DOUBLE) + 5.0)
+               - CAST(sn25 AS DOUBLE) - CAST(st25 AS DOUBLE)) / 72.0
+             + CAST(sn3 AS DOUBLE) * CAST(st3 AS DOUBLE)
+               / (36.0 * CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)
+                 * (CAST(n AS DOUBLE) - 2.0))
+             + CAST(sn21 AS DOUBLE) * CAST(st21 AS DOUBLE)
+               / (8.0 * CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))
+             AS var FROM j, gm, tm)
+         SELECT CAST(n AS BIGINT) AS n, k AS k_groups,
+           round(CAST(j2 AS DOUBLE) / 2.0, 6) AS j_stat,
+           round(CASE WHEN n >= 3 AND round(var, 9) > 0.0 THEN
+             (CAST(2 * j2 - (n * n - sn2) AS DOUBLE) / 4.0) / sqrt(var)
+           END, 6) AS z
+         FROM vr""")
 }

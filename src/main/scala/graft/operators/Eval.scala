@@ -291,6 +291,84 @@ object Eval {
       .select(col("k"), col("n"), col("f_stat").as("w"))
   }
 
+  /** Jonckheere-Terpstra ordered-trend test — IS the value
+    * stochastically increasing across groups taken in their natural
+    * ascending order (Jonckheere 1954; [[kruskalWallis]] asks "any
+    * location difference", JT asks the sharper one-directional
+    * question and buys power when the alternative really is a trend —
+    * dose levels, severity grades, time-ordered cohorts). J = Σ over
+    * ordered group pairs a < b of the Mann-Whitney count
+    * #{x∈a, y∈b : x < y} + ½·ties; large-sample z standardizes J by
+    * the tie-corrected null moments (Hollander & Wolfe: E = (N² −
+    * Σn_g²)/4; Var = A/72 + B/(36N(N−1)(N−2)) + C/(8N(N−1)) with
+    * A = N(N−1)(2N+5) − Σn(n−1)(2n+5) − Σt(t−1)(2t+5),
+    * B = Σn(n−1)(n−2)·Σt(t−1)(t−2), C = Σn(n−1)·Σt(t−1) over group
+    * sizes n and tie groups t; ties vanish → the classic
+    * [N²(2N+3) − Σn²(2n+3)]/72).
+    *
+    * Never row pairs: the corpus reduces to the DENSE (value level ×
+    * group) grid — levels crossJoin a k-row broadcast of group ids,
+    * one [[Ranks.groupedCumSum]] walk per group over the value grid
+    * gives below-counts, one k-BOUNDED ordered window within each
+    * level prefixes the ordered-group slices, and 2J = Σ c·(2·below-
+    * prefix + tie-prefix) folds exactly in DECIMAL(38,0). J − E stays
+    * exact through (2·2J − 4E)/4; the moment sums are level/group-
+    * grid work throughout.
+    *
+    * Contract: null groups/values drop; group order is the column's
+    * natural ascending order (a decreasing trend flips the sign);
+    * N < 3 or zero variance (all values tied) → null z. Output: one
+    * row (n, k_groups, j_stat, z rounded 6). */
+  def jonckheereTerpstra(df: DataFrame, groupCol: String,
+                         valueCol: String): DataFrame = {
+    val rows = df
+      .filter(col(groupCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(groupCol).as("__g"), col(valueCol).cast("double").as("__v"))
+    val cells = rows.groupBy(col("__v"), col("__g"))
+      .agg(count(lit(1)).as("__c"))
+    val levels = cells.groupBy(col("__v")).agg(sum(col("__c")).as("__t"))
+    val groups = cells.groupBy(col("__g")).agg(sum(col("__c")).as("__ng"))
+    // dense grid: every (level, group) cell, zeros where absent
+    val dense = levels.select(col("__v"))
+      .crossJoin(broadcast(groups.select(col("__g"))))
+      .join(cells, Seq("__v", "__g"), "left")
+      .na.fill(0L, Seq("__c"))
+    val win = Window.partitionBy(col("__v")).orderBy(col("__g"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val j2 = Ranks.groupedCumSum(dense, Seq("__g"), "__v", Seq("__c"))
+      .withColumn("__below", col("cum___c") - col("__c"))
+      .withColumn("__pb", coalesce(sum(col("__below")).over(win), lit(0L)))
+      .withColumn("__pc", coalesce(sum(col("__c")).over(win), lit(0L)))
+      .agg(sum(col("__c").cast("decimal(38,0)") *
+        (lit(2L) * col("__pb") + col("__pc")).cast("decimal(38,0)"))
+        .as("__j2"))
+    val nd = col("__ng").cast("decimal(38,0)")
+    val td = col("__t").cast("decimal(38,0)")
+    val gm = groups.agg(sum(nd).as("__n"), count(lit(1)).as("__k"),
+      sum(nd * nd).as("__sn2"), sum(nd * (nd - 1)).as("__sn21"),
+      sum(nd * (nd - 1) * (lit(2L) * nd + lit(5L))).as("__sn25"),
+      sum(nd * (nd - 1) * (nd - 2)).as("__sn3"))
+    val tm = levels.agg(sum(td * (td - 1)).as("__st21"),
+      sum(td * (td - 1) * (lit(2L) * td + lit(5L))).as("__st25"),
+      sum(td * (td - 1) * (td - 2)).as("__st3"))
+    val nD = col("__n").cast("double")
+    val a = nD * (nD - 1.0) * (lit(2.0) * nD + 5.0) -
+      col("__sn25").cast("double") - col("__st25").cast("double")
+    val b = col("__sn3").cast("double") * col("__st3").cast("double")
+    val cc = col("__sn21").cast("double") * col("__st21").cast("double")
+    val variance = a / 72.0 +
+      b / (lit(36.0) * nD * (nD - 1.0) * (nD - 2.0)) +
+      cc / (lit(8.0) * nD * (nD - 1.0))
+    // J − E exact: (2·2J − (N² − Σn²)) / 4 in DECIMAL before the cast
+    val dev = (lit(2L) * col("__j2") -
+      (col("__n") * col("__n") - col("__sn2"))).cast("double") / 4.0
+    j2.crossJoin(broadcast(gm)).crossJoin(broadcast(tm))
+      .select(col("__n").cast("long").as("n"), col("__k").as("k_groups"),
+        round(col("__j2").cast("double") / 2.0, 6).as("j_stat"),
+        round(when(col("__n") >= 3L && round(variance, 9) > 0.0,
+          dev / sqrt(variance)), 6).as("z"))
+  }
+
   /** Two-sample Kolmogorov-Smirnov statistic — the distribution-drift
     * test on a NUMERIC column: D = sup_x |F_a(x) − F_b(x)| over the
     * empirical CDFs of the two samples. Sensitive to any difference

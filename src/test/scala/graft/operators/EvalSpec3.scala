@@ -359,4 +359,60 @@ class EvalSpec3 extends SparkSpec {
     assert(math.abs(out.getDouble(2) - w) < 1e-6,
       s"${out.getDouble(2)} vs $w")
   }
+
+  test("jonckheereTerpstra: hand tied case, perfect trend, sign flip, " +
+    "all-tied null") {
+    // A = 1,2  B = 2,3  C = 4,5: J = 11.5 (one A-B tie at 2),
+    // E = (36 - 12)/4 = 6, tie-corrected var = 6.133333 → z = 2.220825
+    val a = Seq(("A", 1.0), ("A", 2.0), ("B", 2.0), ("B", 3.0),
+      ("C", 4.0), ("C", 5.0)).toDF("g", "v")
+    val o1 = Eval.jonckheereTerpstra(a, "g", "v").collect().head
+    assert(o1.getLong(0) == 6L && o1.getLong(1) == 3L)
+    assert(o1.getDouble(2) == 11.5 && o1.getDouble(3) == 2.220825)
+    // perfect separation: J = 3 pairs * 4 = 12, z = 2.384158
+    val b = Seq(("A", 1.0), ("A", 2.0), ("B", 3.0), ("B", 4.0),
+      ("C", 5.0), ("C", 6.0)).toDF("g", "v")
+    val o2 = Eval.jonckheereTerpstra(b, "g", "v").collect().head
+    assert(o2.getDouble(2) == 12.0 && o2.getDouble(3) == 2.384158)
+    // reversing group order flips the trend: J = 0, z = -2.384158
+    val c = Seq(("C", 1.0), ("C", 2.0), ("B", 3.0), ("B", 4.0),
+      ("A", 5.0), ("A", 6.0)).toDF("g", "v")
+    val o3 = Eval.jonckheereTerpstra(c, "g", "v").collect().head
+    assert(o3.getDouble(2) == 0.0 && o3.getDouble(3) == -2.384158)
+    // every value tied → variance 0 → null z; J = half-count
+    val d = Seq(("A", 5.0), ("A", 5.0), ("B", 5.0)).toDF("g", "v")
+    val o4 = Eval.jonckheereTerpstra(d, "g", "v").collect().head
+    assert(o4.getDouble(2) == 1.0 && o4.isNullAt(3))
+  }
+
+  test("jonckheereTerpstra: equals brute-force pair counting and the " +
+    "independent moment formula on pseudo-random tied data") {
+    val vals = (1 to 72).map(i => (s"g${i % 4}", ((i * 23) % 9).toDouble))
+    val out = Eval.jonckheereTerpstra(vals.toDF("g", "v"), "g", "v")
+      .collect().head
+    val names = vals.map(_._1).distinct.sorted
+    var j = 0.0
+    for {
+      (ga, ia) <- names.zipWithIndex; gb <- names.drop(ia + 1)
+      x <- vals.filter(_._1 == ga).map(_._2)
+      y <- vals.filter(_._1 == gb).map(_._2)
+    } j += (if (x < y) 1.0 else if (x == y) 0.5 else 0.0)
+    val n = vals.size.toDouble
+    val ns = names.map(g => vals.count(_._1 == g).toDouble)
+    val ts = vals.groupBy(_._2).values.map(_.size.toDouble)
+    val e = (n * n - ns.map(x => x * x).sum) / 4.0
+    val va = n * (n - 1) * (2 * n + 5) -
+      ns.map(x => x * (x - 1) * (2 * x + 5)).sum -
+      ts.map(t => t * (t - 1) * (2 * t + 5)).sum
+    val vb = ns.map(x => x * (x - 1) * (x - 2)).sum *
+      ts.map(t => t * (t - 1) * (t - 2)).sum
+    val vc = ns.map(x => x * (x - 1)).sum * ts.map(t => t * (t - 1)).sum
+    val variance = va / 72.0 + vb / (36.0 * n * (n - 1) * (n - 2)) +
+      vc / (8.0 * n * (n - 1))
+    assert(out.getLong(0) == 72L && out.getLong(1) == 4L)
+    assert(out.getDouble(2) == j)
+    val z = (j - e) / math.sqrt(variance)
+    assert(math.abs(out.getDouble(3) - z) < 1e-6,
+      s"${out.getDouble(3)} vs $z")
+  }
 }
