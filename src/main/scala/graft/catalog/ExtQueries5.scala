@@ -218,7 +218,14 @@ object ExtQueries5 {
     // complement to q304's any-difference Kruskal-Wallis.
     "q318_jonckheere" -> ((s, d) =>
       graft.operators.Eval.jonckheereTerpstra(
-        ev(s, d), "event_type", "value")))
+        ev(s, d), "event_type", "value")),
+
+    // --- Jarque-Bera normality screen --------------------------------------
+    // Does value still look Gaussian within each event type? The
+    // absolute moment-based drift check beside q195's two-sample KS.
+    "q319_jarque_bera" -> ((s, d) =>
+      graft.operators.Eval.jarqueBera(ev(s, d), "event_type", "value")
+        .orderBy(col("event_type"))))
 
   def oracleSql: Map[String, String] = Map(
     // global value-grid average ranks ((2 cum - cnt + 1)/2 on the
@@ -756,5 +763,36 @@ object ExtQueries5 {
            round(CASE WHEN n >= 3 AND round(var, 9) > 0.0 THEN
              (CAST(2 * j2 - (n * n - sn2) AS DOUBLE) / 4.0) / sqrt(var)
            END, 6) AS z
-         FROM vr""")
+         FROM vr""",
+
+    // 9-grid group means broadcast back, centered 9-grid deviation
+    // powers summed in DECIMAL(38,9), moment ratios in double
+    "q319_jarque_bera" ->
+      """WITH r AS (SELECT event_type AS g, CAST(value AS DOUBLE) AS v
+             FROM events
+             WHERE event_type IS NOT NULL AND value IS NOT NULL),
+         mu AS (SELECT g, round(CAST(sum(CAST(round(v, 9)
+               AS DECIMAL(38,9))) AS DOUBLE) / count(*), 9) AS m
+           FROM r GROUP BY 1),
+         d AS (SELECT r.g, round(r.v - mu.m, 9) AS dv
+           FROM r JOIN mu USING (g)),
+         agg AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+             sum(CAST(round(dv * dv, 9) AS DECIMAL(38,9))) AS s2,
+             sum(CAST(round(dv * dv * dv, 9) AS DECIMAL(38,9))) AS s3,
+             sum(CAST(round(dv * dv * dv * dv, 9) AS DECIMAL(38,9)))
+               AS s4
+           FROM d GROUP BY 1),
+         m AS (SELECT g, n, CAST(s2 AS DOUBLE) / n AS m2,
+             CAST(s3 AS DOUBLE) / n AS m3, CAST(s4 AS DOUBLE) / n AS m4
+           FROM agg)
+         SELECT g AS event_type, n,
+           round(CASE WHEN m2 > 0.0
+             THEN m3 / (m2 * sqrt(m2)) END, 6) AS skewness,
+           round(CASE WHEN m2 > 0.0 THEN m4 / (m2 * m2) END, 6)
+             AS kurtosis,
+           round(CASE WHEN m2 > 0.0 THEN CAST(n AS DOUBLE) / 6.0
+             * ((m3 / (m2 * sqrt(m2))) * (m3 / (m2 * sqrt(m2)))
+               + (m4 / (m2 * m2) - 3.0) * (m4 / (m2 * m2) - 3.0)
+                 / 4.0) END, 6) AS jb
+         FROM m ORDER BY event_type""")
 }

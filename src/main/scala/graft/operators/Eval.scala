@@ -291,6 +291,56 @@ object Eval {
       .select(col("k"), col("n"), col("f_stat").as("w"))
   }
 
+  /** Jarque-Bera normality screen per group — DOES this column still
+    * look Gaussian (the moment-based drift check beside [[ksTest]]'s
+    * two-sample comparison: KS needs a reference sample, JB asks the
+    * absolute question from skewness and kurtosis alone; many
+    * downstream assumptions — z-gates, 3σ fences, [[welchT]] at small
+    * n — quietly lean on it). JB = n/6·(S² + (K−3)²/4) with
+    * S = m₃/m₂^1.5, K = m₄/m₂² from CENTERED moments.
+    *
+    * Two passes, both narrow: per-group 9-grid means broadcast back
+    * (the [[leveneTest]] shape), then one keyed agg of 9-grid
+    * deviation powers in DECIMAL(38,9) — centering BEFORE the power
+    * sums instead of the raw-moment closed forms because Σx⁴ − 4μΣx³…
+    * cancels catastrophically exactly when the data IS normal (the
+    * case under test); the documented envelope is |dev|⁴·n < 10²⁹.
+    *
+    * Contract: null groups/values drop; constant groups (m₂ = 0) →
+    * null S/K/JB; the χ²₂ reference is a large-sample approximation —
+    * n below ~50 inflates type-I error (caller's concern, emitted
+    * anyway). Output: one row per group (groupCol, n, skewness,
+    * kurtosis, jb) rounded 6, kurtosis in Pearson (not excess) form. */
+  def jarqueBera(df: DataFrame, groupCol: String,
+                 valueCol: String): DataFrame = {
+    val rows = df
+      .filter(col(groupCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(groupCol).as("__g"), col(valueCol).cast("double").as("__v"))
+    val means = rows.groupBy(col("__g")).agg(
+      round(sum(round(col("__v"), 9).cast("decimal(38,9)"))
+        .cast("double") / count(lit(1)), 9).as("__m"))
+    val d = round(col("__v") - col("__m"), 9)
+    val dec9 = (c: Column) => round(c, 9).cast("decimal(38,9)")
+    val agg = rows.join(broadcast(means), Seq("__g"))
+      .groupBy(col("__g")).agg(count(lit(1)).as("n"),
+        sum(dec9(d * d)).as("__s2"), sum(dec9(d * d * d)).as("__s3"),
+        sum(dec9(d * d * d * d)).as("__s4"))
+    val nD = col("n").cast("double")
+    val m2 = col("__s2").cast("double") / nD
+    val m3 = col("__s3").cast("double") / nD
+    val m4 = col("__s4").cast("double") / nD
+    // m2^1.5 as m2·√m2 — sqrt is IEEE-correctly-rounded everywhere,
+    // libm pow(x, 1.5) is not
+    val sk = m3 / (m2 * sqrt(m2))
+    val ku = m4 / (m2 * m2)
+    agg.select(col("__g").as(groupCol), col("n"),
+      round(when(m2 > 0.0, sk), 6).as("skewness"),
+      round(when(m2 > 0.0, ku), 6).as("kurtosis"),
+      round(when(m2 > 0.0,
+        nD / 6.0 * (sk * sk + (ku - 3.0) * (ku - 3.0) / 4.0)), 6)
+        .as("jb"))
+  }
+
   /** Jonckheere-Terpstra ordered-trend test — IS the value
     * stochastically increasing across groups taken in their natural
     * ascending order (Jonckheere 1954; [[kruskalWallis]] asks "any

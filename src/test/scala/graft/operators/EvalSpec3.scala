@@ -415,4 +415,49 @@ class EvalSpec3 extends SparkSpec {
     assert(math.abs(out.getDouble(3) - z) < 1e-6,
       s"${out.getDouble(3)} vs $z")
   }
+
+  test("jarqueBera: hand skewed and symmetric cases, constant-group " +
+    "null, group independence, nulls drop") {
+    // 1,2,3,4,10: mu=4, m2=10.4, m3=33.6, m4=216.8 →
+    // S=1.13842, K=2.788, JB=1.089363; 1..5 symmetric → S=0, K=1.7
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 4.0),
+      ("a", 10.0), ("b", 1.0), ("b", 2.0), ("b", 3.0), ("b", 4.0),
+      ("b", 5.0), ("c", 7.0), ("c", 7.0)).toDF("g", "v")
+    val out = Eval.jarqueBera(df, "g", "v").orderBy("g").collect()
+    assert(out.length == 3)
+    assert(out(0).getLong(1) == 5L &&
+      out(0).getDouble(2) == 1.13842 && out(0).getDouble(3) == 2.788 &&
+      out(0).getDouble(4) == 1.089363)
+    assert(out(1).getDouble(2) == 0.0 && out(1).getDouble(3) == 1.7 &&
+      out(1).getDouble(4) == 0.352083)
+    assert(out(2).getLong(1) == 2L && out(2).isNullAt(2) &&
+      out(2).isNullAt(3) && out(2).isNullAt(4))
+    val withNull = df.union(Seq((null: String, 1.0)).toDF("g", "v"))
+      .union(Seq(("a", null: java.lang.Double)).toDF("g", "v"))
+    val out2 = Eval.jarqueBera(withNull, "g", "v").orderBy("g").collect()
+    assert(out2.length == 3 && out2(0).getLong(1) == 5L)
+  }
+
+  test("jarqueBera: equals an independent centered-moment reference " +
+    "on pseudo-random data") {
+    def g9d(x: Double) = math.rint(x * 1e9) / 1e9
+    val vals = (1 to 100).map(i => (s"g${i % 2}", ((i * 37) % 19) / 3.0))
+    val out = Eval.jarqueBera(vals.toDF("g", "v"), "g", "v")
+      .orderBy("g").collect()
+    for (row <- out) {
+      val xs = vals.filter(_._1 == row.getString(0)).map(_._2)
+      val n = xs.size.toDouble
+      val mu = g9d(xs.map(g9d).sum / n)
+      val dev = xs.map(x => g9d(x - mu))
+      val m2 = dev.map(x => g9d(x * x)).sum / n
+      val m3 = dev.map(x => g9d(x * x * x)).sum / n
+      val m4 = dev.map(x => g9d(x * x * x * x)).sum / n
+      val sk = m3 / math.pow(m2, 1.5); val ku = m4 / (m2 * m2)
+      assert(math.abs(row.getDouble(2) - sk) < 1e-6)
+      assert(math.abs(row.getDouble(3) - ku) < 1e-6)
+      val jb = n / 6.0 * (sk * sk + (ku - 3.0) * (ku - 3.0) / 4.0)
+      assert(math.abs(row.getDouble(4) - jb) < 1e-6,
+        s"${row.getDouble(4)} vs $jb")
+    }
+  }
 }
