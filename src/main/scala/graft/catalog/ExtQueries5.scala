@@ -225,7 +225,18 @@ object ExtQueries5 {
     // absolute moment-based drift check beside q195's two-sample KS.
     "q319_jarque_bera" -> ((s, d) =>
       graft.operators.Eval.jarqueBera(ev(s, d), "event_type", "value")
-        .orderBy(col("event_type"))))
+        .orderBy(col("event_type"))),
+
+    // --- one-hot encoding --------------------------------------------------
+    // Orders' status and priority fanned into 0/1 model-matrix
+    // indicators; vocabulary discovered (bounded), sorted, sanitized.
+    "q320_one_hot" -> ((s, d) =>
+      graft.operators.Features.oneHot(
+          t(s, d, "orders").select(col("o_orderkey"),
+            col("o_orderstatus"), col("o_orderpriority")),
+          Seq("o_orderstatus", "o_orderpriority"))
+        .drop("o_orderstatus", "o_orderpriority")
+        .orderBy(col("o_orderkey"))))
 
   def oracleSql: Map[String, String] = Map(
     // global value-grid average ranks ((2 cum - cnt + 1)/2 on the
@@ -794,5 +805,27 @@ object ExtQueries5 {
              * ((m3 / (m2 * sqrt(m2))) * (m3 / (m2 * sqrt(m2)))
                + (m4 / (m2 * m2) - 3.0) * (m4 / (m2 * m2) - 3.0)
                  / 4.0) END, 6) AS jb
-         FROM m ORDER BY event_type""")
+         FROM m ORDER BY event_type""",
+
+    // the discovered vocabularies written out as literal CASE
+    // indicators (F/O/P; 1-URGENT..5-LOW), sanitized names
+    "q320_one_hot" ->
+      """SELECT o_orderkey,
+           CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END
+             AS o_orderstatus_F,
+           CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END
+             AS o_orderstatus_O,
+           CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END
+             AS o_orderstatus_P,
+           CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END
+             AS o_orderpriority_1_URGENT,
+           CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END
+             AS o_orderpriority_2_HIGH,
+           CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END
+             AS o_orderpriority_3_MEDIUM,
+           CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0
+             END AS o_orderpriority_4_NOT_SPECIFIED,
+           CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END
+             AS o_orderpriority_5_LOW
+         FROM orders ORDER BY o_orderkey""")
 }

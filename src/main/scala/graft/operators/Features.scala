@@ -32,6 +32,57 @@ object Features {
     * Scale shape: one category-keyed partial-agg shuffle + a 1-row
     * global-mean broadcast — the global mean derives from the
     * per-category sums, so the corpus is scanned ONCE. */
+  /** One-hot (dummy) encoding — each listed categorical column fans
+    * into one 0/1 indicator column per observed category (the
+    * model-matrix step [[targetEncode]] is the high-cardinality
+    * alternative to; linear models and tree libraries both eat this
+    * shape). Category vocabularies are BOUNDED by contract:
+    * `maxCategories` caps each column's distinct values and the
+    * operator fails fast beyond it — one-hot on a near-unique column
+    * explodes the schema, which is a modeling bug, not a capacity
+    * setting.
+    *
+    * Scale shape: one distinct-agg per column at PLAN TIME (a
+    * k-bounded driver collect — the vocabulary pins the schema, which
+    * Spark requires static); the encoded frame itself is one narrow
+    * codegen'd projection, no joins, no shuffle. Indicator names are
+    * `col_value` with runs of non-alphanumerics collapsed to `_`;
+    * colliding sanitized names fail fast. Category order (and thus
+    * column order) is the string-ascending vocabulary — deterministic
+    * across runs.
+    *
+    * Contract: values compare as strings (the [[Profile.profileTable]]
+    * stringification convention); a null category yields all-zero
+    * indicators (no implicit null column — add an explicit
+    * `coalesce` upstream if null is a level); the caller owns the
+    * dummy trap (drop a column downstream if fitting with an
+    * intercept). */
+  def oneHot(df: DataFrame, cols: Seq[String],
+             maxCategories: Int = 100): DataFrame = {
+    require(cols.nonEmpty, "cols must be non-empty")
+    require(maxCategories >= 1,
+      s"maxCategories must be >= 1, got $maxCategories")
+    val indicators = cols.flatMap { c =>
+      val vals = df.select(col(c).cast("string").as("__v"))
+        .filter(col("__v").isNotNull)
+        .distinct().orderBy(col("__v")).limit(maxCategories + 1)
+        .collect().map(_.getString(0)).toSeq
+      require(vals.length <= maxCategories,
+        s"column '$c' exceeds maxCategories = $maxCategories distinct " +
+          "values; one-hot on a near-unique column explodes the " +
+          "schema — raise maxCategories deliberately or targetEncode")
+      val names = vals.map(v =>
+        c + "_" + v.replaceAll("[^A-Za-z0-9]+", "_"))
+      require(names.distinct.size == names.size,
+        s"sanitized one-hot names collide for column '$c': " +
+          names.diff(names.distinct).distinct.mkString(", "))
+      vals.zip(names).map { case (v, nm) =>
+        (col(c).cast("string") <=> lit(v)).cast("int").as(nm)
+      }
+    }
+    df.select(df.columns.map(col).toSeq ++ indicators: _*)
+  }
+
   def targetEncode(df: DataFrame, catCol: String, targetCol: String,
                    alpha: Double = 10.0): DataFrame = {
     require(alpha >= 0.0, s"alpha must be >= 0, got $alpha")

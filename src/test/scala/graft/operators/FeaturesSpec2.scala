@@ -306,4 +306,42 @@ class FeaturesSpec2 extends SparkSpec {
       Features.huberRegression(df, "g", "x", "y", delta = 0.0)
     }
   }
+
+  // --- oneHot --------------------------------------------------------------
+
+  test("oneHot: indicator columns in sorted vocabulary order, " +
+    "multi-column, null → all zeros, name sanitization") {
+    val df = Seq(
+      (1L, Some("1-URGENT"), Some("x")),
+      (2L, Some("5-LOW"), Some("y")),
+      (3L, Some("1-URGENT"), None),
+      (4L, None, Some("x"))).toDF("id", "prio", "tag")
+    val out = Features.oneHot(df, Seq("prio", "tag"))
+    assert(out.columns.toSeq == Seq("id", "prio", "tag",
+      "prio_1_URGENT", "prio_5_LOW", "tag_x", "tag_y"))
+    val rows = out.orderBy("id").collect()
+    assert(rows.map(r => (r.getInt(3), r.getInt(4), r.getInt(5),
+      r.getInt(6))).toSeq == Seq(
+      (1, 0, 1, 0), (0, 1, 0, 1), (1, 0, 0, 0), (0, 0, 1, 0)))
+    // schema is deterministic across reruns
+    assert(Features.oneHot(df, Seq("prio", "tag")).columns.toSeq ==
+      out.columns.toSeq)
+  }
+
+  test("oneHot: cardinality valve, name collisions, int categories " +
+    "via stringification") {
+    val wide = (1 to 20).map(i => (i.toLong, s"c$i"))
+      .toDF("id", "c")
+    intercept[IllegalArgumentException] {
+      Features.oneHot(wide, Seq("c"), maxCategories = 10)
+    }
+    val clash = Seq((1L, "a b"), (2L, "a_b")).toDF("id", "c")
+    intercept[IllegalArgumentException] {
+      Features.oneHot(clash, Seq("c"))
+    }
+    val ints = Seq((1L, 7), (2L, 9), (3L, 7)).toDF("id", "k")
+    val out = Features.oneHot(ints, Seq("k")).orderBy("id").collect()
+    assert(out.map(r => (r.getInt(2), r.getInt(3))).toSeq ==
+      Seq((1, 0), (0, 1), (1, 0)))
+  }
 }
