@@ -236,7 +236,28 @@ object ExtQueries5 {
             col("o_orderstatus"), col("o_orderpriority")),
           Seq("o_orderstatus", "o_orderpriority"))
         .drop("o_orderstatus", "o_orderpriority")
-        .orderBy(col("o_orderkey"))))
+        .orderBy(col("o_orderkey"))),
+
+    // --- strongly connected components -------------------------------------
+    // Directed graph derived from event-user residues: 8-cycles per
+    // block, even blocks bridging forward (a 2-deep SCC DAG — the
+    // multi-round peel), and four pure-source tails (the trim path).
+    // SCC = the cycles; the bridges that would merge everything under
+    // undirected CC stay asymmetric here.
+    "q321_scc" -> ((s, d) => {
+      val n = ev(s, d)
+        .select((col("user_id") % 96).cast("long").as("n")).distinct()
+      val blockBase = col("n") - (col("n") % 8)
+      val cycle = n.select(col("n").as("src"),
+        (blockBase + ((col("n") % 8) + 1) % 8).as("dst"))
+      val cross = n.filter(col("n") % 16 < 8)
+        .select(col("n").as("src"), (col("n") + 8).as("dst"))
+      val tails = n.filter(col("n") < 4)
+        .select((col("n") + 960).as("src"), col("n").as("dst"))
+      graft.operators.Graph.stronglyConnectedComponents(
+          cycle.unionAll(cross).unionAll(tails))
+        .orderBy(col("id"))
+    }))
 
   def oracleSql: Map[String, String] = Map(
     // global value-grid average ranks ((2 cum - cnt + 1)/2 on the
@@ -827,5 +848,30 @@ object ExtQueries5 {
              END AS o_orderpriority_4_NOT_SPECIFIED,
            CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END
              AS o_orderpriority_5_LOW
-         FROM orders ORDER BY o_orderkey""")
+         FROM orders ORDER BY o_orderkey""",
+
+    // ground truth by definition: transitive closure (recursive CTE),
+    // component = least mutually-reachable id
+    "q321_scc" ->
+      """WITH RECURSIVE nn AS (SELECT DISTINCT
+             CAST(user_id % 96 AS BIGINT) AS n FROM events),
+         edges AS (
+           SELECT n AS src, (n - n % 8) + ((n % 8) + 1) % 8 AS dst
+             FROM nn
+           UNION ALL SELECT n, n + 8 FROM nn WHERE n % 16 < 8
+           UNION ALL SELECT n + 960, n FROM nn WHERE n < 4),
+         e AS (SELECT DISTINCT src, dst FROM edges WHERE src <> dst),
+         reach AS (
+           SELECT src AS a, dst AS b FROM e
+           UNION
+           SELECT r.a, e.dst FROM reach r JOIN e ON e.src = r.b),
+         verts AS (SELECT src AS id FROM edges
+           UNION SELECT dst FROM edges)
+         SELECT v.id AS id,
+           least(v.id, coalesce(min(CASE WHEN r2.a IS NOT NULL
+             THEN r1.b END), v.id)) AS component
+         FROM verts v
+         LEFT JOIN reach r1 ON r1.a = v.id
+         LEFT JOIN reach r2 ON r2.a = r1.b AND r2.b = v.id
+         GROUP BY v.id ORDER BY id""")
 }

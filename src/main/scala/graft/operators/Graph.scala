@@ -818,4 +818,145 @@ object Graph {
           6).as("contribution"))
   }
 
+  /** Strongly connected components of the DIRECTED graph — the
+    * directed sibling [[connectedComponents]] cannot express (CC
+    * symmetrizes; mutual reachability does not): cycle detection in
+    * dependency/link graphs, condensation before any DAG-only
+    * algorithm. Returns (id, component) for every node appearing in
+    * an edge (plus `nodes` singletons), component = the minimum node
+    * id of the SCC.
+    *
+    * Algorithm: iterative trim + forward-min coloring + backward mark
+    * (Orzan's coloring, the standard distributed SCC): each outer
+    * round (1) TRIMS vertices with no remaining in- or out-edges as
+    * singleton SCCs (eats DAG mass — a pure path peels entirely
+    * through trims), (2) propagates min ids FORWARD to a fixpoint —
+    * c(v) = the least id that reaches v, so every color root r
+    * (c(r) = r) anchors exactly the SCC {v : c(v) = r ∧ v reaches r},
+    * (3) marks that set BACKWARD along in-edges WITHIN the color and
+    * extracts it. Each round extracts at least the SCC of the least
+    * remaining id, so termination is guaranteed; rounds scale with
+    * the SCC-DAG chain depth and propagation with the directed
+    * diameter (the known bounds for label-propagation SCC — there is
+    * no O(log n) pointer-doubling trick on directed reachability).
+    * Every step is a keyed join/agg; per-step lineage truncation and
+    * the `reliable` checkpoint switch follow the [[connectedComponents]]
+    * discipline; fixpoints detect via xxhash64 fingerprints /
+    * monotone counts, never a collect of the frontier.
+    *
+    * Contract: self-loops and duplicate edges tolerated (a self-loop
+    * never makes a cycle by itself); `maxIter` bounds EACH loop
+    * (outer rounds and both inner fixpoints) and overflow throws
+    * rather than returning a partial labeling. */
+  def stronglyConnectedComponents(edges: DataFrame,
+      srcCol: String = "src", dstCol: String = "dst",
+      nodes: Option[(DataFrame, String)] = None,
+      maxIter: Int = 100, reliable: Boolean = false): DataFrame = {
+    if (reliable && edges.sparkSession.sparkContext.getCheckpointDir.isEmpty)
+      throw new IllegalStateException(
+        "stronglyConnectedComponents(reliable = true) needs a reliable " +
+        "checkpoint location: call sparkContext.setCheckpointDir first")
+    def materialize(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint() else df.localCheckpoint()
+    val raw = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+    // the vertex set keeps self-loop-only nodes; the edge set drops
+    // self-loops (never cycle-forming) before everything
+    var rem = materialize(raw.select(col("src").as("id"))
+      .union(raw.select(col("dst").as("id"))).distinct())
+    var e = materialize(
+      raw.filter(col("src") =!= col("dst")).distinct())
+    var doneParts = List.empty[DataFrame]
+    var outer = 0
+    var remCount = rem.count()
+    while (remCount > 0 && outer < maxIter) {
+      val srcs = e.select(col("src").as("id")).distinct()
+      val dsts = e.select(col("dst").as("id")).distinct()
+      val trimmed = materialize(
+        rem.join(srcs, Seq("id"), "left_anti")
+          .union(rem.join(dsts, Seq("id"), "left_anti")).distinct())
+      doneParts ::= trimmed.select(col("id"), col("id").as("component"))
+      val rem2 = materialize(rem.join(trimmed, Seq("id"), "left_anti"))
+      val rem2Count = rem2.count()
+      if (rem2Count > 0) {
+        val e2 = materialize(e
+          .join(rem2.withColumnRenamed("id", "src"), Seq("src"), "left_semi")
+          .join(rem2.withColumnRenamed("id", "dst"), Seq("dst"), "left_semi")
+          .select(col("src"), col("dst")))
+        // forward min-id coloring to fixpoint
+        def colorSig(c: DataFrame): Seq[Any] =
+          c.agg(count(lit(1)), sum(xxhash64(col("id"), col("c"))
+            .cast("decimal(38,0)"))).collect()(0).toSeq
+        var colors = materialize(rem2.select(col("id"), col("id").as("c")))
+        var sig = colorSig(colors)
+        var stable = false
+        var cIter = 0
+        while (!stable && cIter < maxIter) {
+          val contrib = e2
+            .join(colors.select(col("id").as("src"), col("c").as("__cs")),
+              Seq("src"))
+            .groupBy(col("dst").as("id")).agg(min(col("__cs")).as("__cin"))
+          val next = materialize(colors
+            .join(contrib, Seq("id"), "left")
+            .select(col("id"),
+              least(col("c"), coalesce(col("__cin"), col("c"))).as("c")))
+          val nextSig = colorSig(next)
+          stable = nextSig == sig
+          colors = next; sig = nextSig
+          cIter += 1
+        }
+        if (!stable) throw new IllegalStateException(
+          s"SCC forward coloring did not converge in $maxIter rounds " +
+          "(directed diameter exceeds maxIter?)")
+        // backward mark within color from the roots; monotone count
+        var marked = materialize(colors.filter(col("id") === col("c"))
+          .select(col("id"), col("c").as("component")))
+        var mCount = marked.count()
+        var grown = true
+        var mIter = 0
+        while (grown && mIter < maxIter) {
+          val step = e2
+            .join(marked.select(col("id").as("dst"), col("component")),
+              Seq("dst"))
+            .select(col("src").as("id"), col("component"))
+            .join(colors, Seq("id"))
+            .filter(col("c") === col("component"))
+            .select(col("id"), col("component"))
+          val next = materialize(marked.union(step).distinct())
+          val nCount = next.count()
+          grown = nCount != mCount
+          marked = next; mCount = nCount
+          mIter += 1
+        }
+        if (grown) throw new IllegalStateException(
+          s"SCC backward marking did not converge in $maxIter rounds")
+        doneParts ::= marked
+        rem = materialize(rem2.join(marked, Seq("id"), "left_anti"))
+        e = materialize(e2
+          .join(marked.select(col("id").as("src")), Seq("src"), "left_anti")
+          .join(marked.select(col("id").as("dst")), Seq("dst"), "left_anti")
+          .select(col("src"), col("dst")))
+      } else {
+        rem = rem2
+        e = materialize(e.limit(0))
+      }
+      remCount = rem.count()
+      outer += 1
+    }
+    if (remCount > 0) throw new IllegalStateException(
+      s"stronglyConnectedComponents did not finish in $maxIter outer " +
+      "rounds (SCC-DAG chain deeper than maxIter?)")
+    val fromEdges =
+      if (doneParts.isEmpty) rem.select(col("id"), col("id").as("component"))
+      else doneParts.reduce(_ unionAll _)
+    nodes match {
+      case None => fromEdges
+      case Some((n, idCol)) =>
+        val ids = n.select(col(idCol).cast("long").as("id")).distinct()
+        ids.join(fromEdges, Seq("id"), "left")
+          .select(col("id"),
+            coalesce(col("component"), col("id")).as("component"))
+    }
+  }
 }

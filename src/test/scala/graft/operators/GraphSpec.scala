@@ -493,4 +493,73 @@ class GraphSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(partial("A") == 3L && partial("B") == 2L)
   }
+
+  // --- stronglyConnectedComponents -----------------------------------------
+
+  private def scc(edges: Seq[(Long, Long)],
+      nodes: Option[Seq[Long]] = None): Map[Long, Long] =
+    Graph.stronglyConnectedComponents(edges.toDF("src", "dst"),
+        nodes = nodes.map(n => (n.toDF("id"), "id")))
+      .as[(Long, Long)].collect().toMap
+
+  test("scc: two cycles over a bridge stay separate where CC merges; " +
+    "multi-round peel") {
+    // 1→2→3→1 bridged 3→4 into 4→5→6→4: CC sees one component; SCC
+    // sees two. The bridge also forces the second cycle into color 1
+    // on round one, exercising the multi-round extraction.
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L),
+      (4L, 5L), (5L, 6L), (6L, 4L))
+    assert(scc(edges) == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      4L -> 4L, 5L -> 4L, 6L -> 4L))
+    val cc = Graph.connectedComponents(edges.toDF("src", "dst"))
+      .as[(Long, Long)].collect().toMap
+    assert(cc.values.toSet.size == 1)
+  }
+
+  test("scc: a DAG is all singletons (pure trim path); figure-8 is " +
+    "one SCC; 2-cycle; self-loop-only node survives") {
+    assert(scc(Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 3L))) ==
+      Map(1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 4L))
+    // figure-8: cycles {1,2} and {2,3} share 2 → mutually reachable
+    assert(scc(Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L))) ==
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+    assert(scc(Seq((5L, 6L), (6L, 5L))) == Map(5L -> 5L, 6L -> 5L))
+    // 7's only edge is a self-loop: a singleton SCC, not dropped
+    assert(scc(Seq((7L, 7L))) == Map(7L -> 7L))
+  }
+
+  test("scc: duplicate edges tolerated, isolated nodes come back as " +
+    "singletons, deterministic rerun, empty input") {
+    val edges = Seq((1L, 2L), (2L, 1L), (1L, 2L), (2L, 1L), (1L, 1L))
+    assert(scc(edges, nodes = Some(Seq(1L, 2L, 9L))) ==
+      Map(1L -> 1L, 2L -> 1L, 9L -> 9L))
+    assert(scc(edges) == scc(edges))
+    assert(scc(Seq.empty[(Long, Long)]) == Map.empty[Long, Long])
+  }
+
+  test("scc: tail into a cycle — tail trims as singletons, cycle " +
+    "stays one SCC; agrees with a brute-force reachability reference " +
+    "on a pseudo-random graph") {
+    // 10→11→12 feeds cycle 0→1→2→3→0
+    val edges = Seq((10L, 11L), (11L, 12L), (12L, 0L),
+      (0L, 1L), (1L, 2L), (2L, 3L), (3L, 0L))
+    assert(scc(edges) == Map(10L -> 10L, 11L -> 11L, 12L -> 12L,
+      0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 0L))
+    // pseudo-random functional-ish graph on 24 nodes, two edge rules
+    val es = (0L until 24L).flatMap(n =>
+      Seq((n, (n * 5 + 3) % 24), (n, (n + 7) % 24)))
+    val out = scc(es)
+    // brute force: Floyd-Warshall reachability, component = min mutual
+    val ns = (0L until 24L)
+    val reach = Array.ofDim[Boolean](24, 24)
+    for (n <- ns) reach(n.toInt)(n.toInt) = true
+    for ((a, b) <- es) reach(a.toInt)(b.toInt) = true
+    for (k <- 0 until 24; i <- 0 until 24; j <- 0 until 24)
+      if (reach(i)(k) && reach(k)(j)) reach(i)(j) = true
+    val expected = ns.map { u =>
+      u -> ns.filter(v => reach(u.toInt)(v.toInt) &&
+        reach(v.toInt)(u.toInt)).min
+    }.toMap
+    assert(out == expected)
+  }
 }
