@@ -257,7 +257,20 @@ object ExtQueries5 {
       graft.operators.Graph.stronglyConnectedComponents(
           cycle.unionAll(cross).unionAll(tails))
         .orderBy(col("id"))
-    }))
+    }),
+
+    // --- Mann-Kendall trend test -------------------------------------------
+    // Is each event type's daily volume trending? The significance
+    // half of the q242 Theil-Sen duo, on the identical aggregate-first
+    // daily frame.
+    "q322_mann_kendall" -> ((s, d) =>
+      graft.operators.TimeSeries.mannKendall(
+          ev(s, d).groupBy(col("event_type"),
+              datediff(col("ts").cast("date"),
+                lit("2024-01-01").cast("date")).as("t"))
+            .agg(count(lit(1)).cast("double").as("v")),
+          "event_type", "t", "v")
+        .orderBy(col("event_type"))))
 
   def oracleSql: Map[String, String] = Map(
     // global value-grid average ranks ((2 cum - cnt + 1)/2 on the
@@ -873,5 +886,36 @@ object ExtQueries5 {
          FROM verts v
          LEFT JOIN reach r1 ON r1.a = v.id
          LEFT JOIN reach r2 ON r2.a = r1.b AND r2.b = v.id
-         GROUP BY v.id ORDER BY id""")
+         GROUP BY v.id ORDER BY id""",
+
+    // the q242 daily frame; S from the t1 < t2 pair join, z from the
+    // tie-corrected variance with the ±1 continuity correction
+    "q322_mann_kendall" ->
+      """WITH srs AS (SELECT event_type AS k,
+             CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE))
+               AS DOUBLE) AS t,
+             CAST(count(*) AS DOUBLE) AS v
+           FROM events GROUP BY event_type,
+             datediff('day', DATE '2024-01-01', CAST(ts AS DATE))),
+         s AS (SELECT a.k, CAST(sum(CASE WHEN b.v > a.v THEN 1
+               WHEN b.v < a.v THEN -1 ELSE 0 END) AS BIGINT) AS s
+           FROM srs a JOIN srs b ON a.k = b.k AND a.t < b.t
+           GROUP BY 1),
+         n AS (SELECT k, CAST(count(*) AS BIGINT) AS n FROM srs
+           GROUP BY 1),
+         tie AS (SELECT k, sum(CAST(c AS DECIMAL(38,0)) * (c - 1)
+               * (2 * c + 5)) AS ts
+           FROM (SELECT k, v, CAST(count(*) AS BIGINT) AS c
+             FROM srs GROUP BY 1, 2) GROUP BY 1),
+         f AS (SELECT n.k, n.n, coalesce(s.s, 0) AS s,
+             (CAST(n.n AS DOUBLE) * (n.n - 1) * (2 * n.n + 5)
+               - CAST(tie.ts AS DOUBLE)) / 18.0 AS var
+           FROM n LEFT JOIN s ON s.k = n.k
+           LEFT JOIN tie ON tie.k = n.k)
+         SELECT k AS event_type, n, n AS n_used, s,
+           round(CASE WHEN round(var, 9) > 0.0 THEN
+             CASE WHEN s > 0 THEN (CAST(s AS DOUBLE) - 1.0) / sqrt(var)
+               WHEN s < 0 THEN (CAST(s AS DOUBLE) + 1.0) / sqrt(var)
+               ELSE 0.0 END END, 6) AS z
+         FROM f ORDER BY event_type""")
 }

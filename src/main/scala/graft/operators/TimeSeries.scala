@@ -879,6 +879,83 @@ object TimeSeries {
         round(col("__icept"), 6).as("intercept"))
   }
 
+  /** Mann-Kendall monotonic-trend test per key — IS there a trend,
+    * the significance half of the [[theilSen]] duo (MK answers
+    * whether, Theil-Sen how steep — the standard pairing for
+    * environmental/ops series): S = Σ_{i<j} sign(v_j − v_i) over
+    * time-ordered pairs, z from the tie-corrected null variance
+    * Var = (n(n−1)(2n+5) − Σt(t−1)(2t+5))/18 with the ±1 continuity
+    * correction. Distribution-free and level-shift-robust where a
+    * rolling OLS t-test chases spikes.
+    *
+    * Scale contract — theilSen's verbatim: pairs come from a key-equi
+    * self-join, O(n_k²) per key, for MANY SHORT series under the
+    * aggregate-first contract; keys past `maxPointsPerKey` thin
+    * deterministically (md5-ordered pick, same discipline), `n` stays
+    * the true count while `n_used` names the points actually tested
+    * (S, ties, and the variance all derive from the SAME thinned
+    * set — a test on a reproducible subsample, never a mixed one).
+    * Duplicate (key, time) observations FAIL FAST — MK is defined on
+    * a series, and the time-tie variance correction silently changes
+    * the test; aggregate first.
+    *
+    * Output: (keyCol, n, n_used, s, z rounded 6); all values tied (or
+    * n_used < 2) → null z; S = 0 → z = 0 exactly. */
+  def mannKendall(df: DataFrame, keyCol: String, tsCol: String,
+                  valCol: String, maxPointsPerKey: Int = 10000): DataFrame = {
+    require(maxPointsPerKey >= 2,
+      s"maxPointsPerKey must be >= 2, got $maxPointsPerKey")
+    val all = df.filter(col(tsCol).isNotNull && col(valCol).isNotNull)
+      .select(col(keyCol).as("__k"), col(tsCol).cast("double").as("__t"),
+        col(valCol).cast("double").as("__v"))
+    val dup = all.groupBy(col("__k"), col("__t"))
+      .agg(count(lit(1)).as("__c")).filter(col("__c") > 1L)
+      .limit(1).collect()
+    require(dup.isEmpty,
+      s"mannKendall needs one observation per (key, time); key " +
+        s"${dup.headOption.map(_.get(0)).orNull} / t " +
+        s"${dup.headOption.map(_.get(1)).orNull} has " +
+        s"${dup.headOption.map(_.getLong(2)).getOrElse(0L)} rows — " +
+        "aggregate first")
+    val keyStats = all.groupBy(col("__k")).agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("__k"))
+      .orderBy(md5(concat_ws("\u0000", col("__k"), col("__t"),
+        col("__v"))), col("__t"), col("__v"))
+    val rows = all
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= maxPointsPerKey)
+      .drop("__rn")
+    val a = rows.select(col("__k"), col("__t").as("__t1"),
+      col("__v").as("__v1"))
+    val b = rows.select(col("__k"), col("__t").as("__t2"),
+      col("__v").as("__v2"))
+    val s = a.join(b, "__k")
+      .filter(col("__t1") < col("__t2"))
+      .groupBy(col("__k"))
+      .agg(sum(when(col("__v2") > col("__v1"), 1L)
+        .when(col("__v2") < col("__v1"), -1L).otherwise(0L)).as("s"))
+    val used = rows.groupBy(col("__k")).agg(count(lit(1)).as("n_used"))
+    val tc = col("__c").cast("decimal(38,0)")
+    val ties = rows.groupBy(col("__k"), col("__v"))
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(col("__k"))
+      .agg(sum(tc * (tc - 1) * (lit(2L) * tc + lit(5L))).as("__ts"))
+    val nu = col("n_used").cast("double")
+    val varS = (nu * (nu - 1.0) * (lit(2.0) * nu + 5.0) -
+      col("__ts").cast("double")) / 18.0
+    val sD = col("s").cast("double")
+    keyStats
+      .join(used, Seq("__k"), "left")
+      .join(s, Seq("__k"), "left")
+      .join(ties, Seq("__k"), "left")
+      .select(col("__k").as(keyCol), col("n"), col("n_used"),
+        coalesce(col("s"), lit(0L)).as("s"),
+        round(when(round(varS, 9) > 0.0,
+          when(col("s") > 0L, (sD - 1.0) / sqrt(varS))
+            .when(col("s") < 0L, (sD + 1.0) / sqrt(varS))
+            .otherwise(lit(0.0))), 6).as("z"))
+  }
+
   /** Partial autocorrelation (Durbin–Levinson closed forms, lags
     * 1..3) per key — the AR-order detector beside [[autocorrelation]]:
     * PACF at lag k is the correlation of v_t with v_{t−k} AFTER

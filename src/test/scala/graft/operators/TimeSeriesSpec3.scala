@@ -624,4 +624,53 @@ test("gapFillInterpolate: hand interior gap, multi-key isolation, " +
       .collect().map(_.getDouble(2)).toSeq
     assert(b == Seq(2.0, 1.5))
   }
+
+  // --- mannKendall ---------------------------------------------------------
+
+  test("mannKendall: hand cases — mixed, tied, monotone down, S = 0, " +
+    "all-tied null, key independence") {
+    // (1,3,2,4): S = 4, var = 156/18 → z = 1.019049
+    // (1,2,2,3): S = 5, tie t=2 → var = (70-18)/18 → z = 1.44463
+    // (5..1): S = -10 → z = -2.204541; (1,2,1): S = 0 → z = 0
+    // (7,7,7): var 0 → null z
+    val rows =
+      Seq(1.0, 3.0, 2.0, 4.0).zipWithIndex.map { case (v, t) => ("a", t.toDouble, v) } ++
+      Seq(1.0, 2.0, 2.0, 3.0).zipWithIndex.map { case (v, t) => ("b", t.toDouble, v) } ++
+      Seq(5.0, 4.0, 3.0, 2.0, 1.0).zipWithIndex.map { case (v, t) => ("c", t.toDouble, v) } ++
+      Seq(1.0, 2.0, 1.0).zipWithIndex.map { case (v, t) => ("d", t.toDouble, v) } ++
+      Seq(7.0, 7.0, 7.0).zipWithIndex.map { case (v, t) => ("e", t.toDouble, v) }
+    val out = TimeSeries.mannKendall(rows.toDF("k", "t", "v"),
+      "k", "t", "v").orderBy("k").collect()
+    assert(out.map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+      r.getLong(3))).toSeq == Seq(("a", 4L, 4L, 4L), ("b", 4L, 4L, 5L),
+      ("c", 5L, 5L, -10L), ("d", 3L, 3L, 0L), ("e", 3L, 3L, 0L)))
+    assert(out(0).getDouble(4) == 1.019049)
+    assert(out(1).getDouble(4) == 1.44463)
+    assert(out(2).getDouble(4) == -2.204541)
+    assert(out(3).getDouble(4) == 0.0)
+    assert(out(4).isNullAt(4))
+  }
+
+  test("mannKendall: duplicate (key, time) fails fast; thinning keeps " +
+    "n true and tests the n_used subsample; single point null") {
+    intercept[IllegalArgumentException] {
+      TimeSeries.mannKendall(
+        Seq(("a", 1.0, 1.0), ("a", 1.0, 2.0)).toDF("k", "t", "v"),
+        "k", "t", "v").collect()
+    }
+    val long = (1 to 50).map(i => ("a", i.toDouble, i.toDouble))
+    val thin = TimeSeries.mannKendall(long.toDF("k", "t", "v"),
+      "k", "t", "v", maxPointsPerKey = 10).collect().head
+    assert(thin.getLong(1) == 50L && thin.getLong(2) == 10L)
+    // a strictly increasing series stays perfectly concordant on any
+    // subset: S = 10*9/2, z from n_used = 10
+    assert(thin.getLong(3) == 45L)
+    val varS = (10.0 * 9.0 * 25.0) / 18.0
+    assert(thin.getDouble(4) ==
+      math.rint(44.0 / math.sqrt(varS) * 1e6) / 1e6)
+    val one = TimeSeries.mannKendall(
+      Seq(("a", 1.0, 5.0)).toDF("k", "t", "v"), "k", "t", "v")
+      .collect().head
+    assert(one.getLong(3) == 0L && one.isNullAt(4))
+  }
 }
