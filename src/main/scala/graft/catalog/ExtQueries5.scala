@@ -270,7 +270,18 @@ object ExtQueries5 {
                 lit("2024-01-01").cast("date")).as("t"))
             .agg(count(lit(1)).cast("double").as("v")),
           "event_type", "t", "v")
-        .orderBy(col("event_type"))))
+        .orderBy(col("event_type"))),
+
+    // --- Mantel-Haenszel stratified 2x2 ------------------------------------
+    // Does the even/odd user cohort associate with high event values
+    // AFTER controlling for event type (the Simpson's-paradox-safe
+    // reading q181's single pooled table cannot give)?
+    "q323_mantel_haenszel" -> ((s, d) =>
+      graft.operators.Eval.mantelHaenszel(
+        ev(s, d).select(col("event_type"),
+          (col("user_id") % 2).cast("int").as("cohort"),
+          (col("value") > 50.0).cast("int").as("high")),
+        "event_type", "cohort", "high")))
 
   def oracleSql: Map[String, String] = Map(
     // global value-grid average ranks ((2 cum - cnt + 1)/2 on the
@@ -917,5 +928,46 @@ object ExtQueries5 {
              CASE WHEN s > 0 THEN (CAST(s AS DOUBLE) - 1.0) / sqrt(var)
                WHEN s < 0 THEN (CAST(s AS DOUBLE) + 1.0) / sqrt(var)
                ELSE 0.0 END END, 6) AS z
-         FROM f ORDER BY event_type""")
+         FROM f ORDER BY event_type""",
+
+    // per-stratum 2x2 conditional counts, 9-grid MH terms folded in
+    // DECIMAL(38,9), the R correct=TRUE CMH form; double chains
+    // written in the operator's exact association order
+    "q323_mantel_haenszel" ->
+      """WITH r AS (SELECT event_type AS s,
+             CASE WHEN user_id % 2 <> 0 THEN 1 ELSE 0 END AS e,
+             CASE WHEN value > 50.0 THEN 1 ELSE 0 END AS o
+           FROM events WHERE event_type IS NOT NULL
+             AND user_id IS NOT NULL AND value IS NOT NULL),
+         cells AS (SELECT s,
+             CAST(sum(CASE WHEN e = 1 AND o = 1 THEN 1 ELSE 0 END)
+               AS DOUBLE) AS a,
+             CAST(sum(CASE WHEN e = 1 AND o = 0 THEN 1 ELSE 0 END)
+               AS DOUBLE) AS b,
+             CAST(sum(CASE WHEN e = 0 AND o = 1 THEN 1 ELSE 0 END)
+               AS DOUBLE) AS c,
+             CAST(sum(CASE WHEN e = 0 AND o = 0 THEN 1 ELSE 0 END)
+               AS DOUBLE) AS d
+           FROM r GROUP BY 1),
+         t AS (SELECT s, a, b, c, d, a + b + c + d AS n FROM cells),
+         f AS (SELECT CAST(count(*) AS BIGINT) AS k_strata,
+             CAST(sum(n) AS BIGINT) AS n, sum(a) AS sa,
+             sum(CAST(round(a * d / n, 9) AS DECIMAL(38,9))) AS num,
+             sum(CAST(round(b * c / n, 9) AS DECIMAL(38,9))) AS den,
+             sum(CAST(round((a + b) * (a + c) / n, 9)
+               AS DECIMAL(38,9))) AS se,
+             sum(CASE WHEN n >= 2 THEN CAST(round(
+                 (a + b) * (c + d) * ((a + c) * (b + d))
+                   / (n * n * (n - 1.0)), 9) AS DECIMAL(38,9))
+               ELSE CAST(0 AS DECIMAL(38,9)) END) AS sv
+           FROM t)
+         SELECT k_strata, n,
+           round(CASE WHEN CAST(den AS DOUBLE) > 0.0
+             THEN CAST(num AS DOUBLE) / CAST(den AS DOUBLE) END, 6)
+             AS or_mh,
+           round(CASE WHEN round(CAST(sv AS DOUBLE), 9) > 0.0 THEN
+             (abs(sa - CAST(se AS DOUBLE)) - 0.5)
+               * (abs(sa - CAST(se AS DOUBLE)) - 0.5)
+               / CAST(sv AS DOUBLE) END, 6) AS chi2
+         FROM f""")
 }

@@ -341,6 +341,64 @@ object Eval {
         .as("jb"))
   }
 
+  /** Mantel-Haenszel stratified 2×2 analysis — the exposure-outcome
+    * association AFTER controlling for a confounding stratum (Mantel
+    * & Haenszel 1959; the Simpson's-paradox guard: a pooled 2×2 odds
+    * ratio can reverse sign when strata differ in both exposure mix
+    * and base rate — the MH estimate weights each stratum's own
+    * table): OR_MH = Σ(aᵢdᵢ/nᵢ) / Σ(bᵢcᵢ/nᵢ), and the CMH test
+    * χ² = (|Σaᵢ − ΣEᵢ| − ½)² / ΣVᵢ with Eᵢ = (a+b)(a+c)/n and the
+    * hypergeometric Vᵢ = (a+b)(c+d)(a+c)(b+d)/(n²(n−1)) — the R
+    * `mantelhaen.test(correct = TRUE)` form, continuity correction
+    * UNclamped (a perfectly null table scores 0.25/ΣV — the
+    * documented R behavior, kept for parity).
+    *
+    * Shape: ONE stratum-keyed conditional-count agg (map-side
+    * combined), per-stratum 9-grid terms folded in DECIMAL(38,9),
+    * one final row — no joins at all. Margin products run in double
+    * from the start (four 10⁷ margins overflow int64 and the pinned
+    * left-assoc double chain is what the oracle replicates);
+    * single-subject strata contribute V = 0.
+    *
+    * Contract: null stratum/exposure/outcome rows drop; exposure and
+    * outcome cast to int, nonzero = true. No discordant strata at all
+    * (Σbc = 0) → null OR; ΣV = 0 → null χ². Output: one row
+    * (k_strata, n, or_mh, chi2) rounded 6. */
+  def mantelHaenszel(df: DataFrame, stratumCol: String,
+                     exposureCol: String, outcomeCol: String): DataFrame = {
+    val rows = df.filter(col(stratumCol).isNotNull &&
+        col(exposureCol).isNotNull && col(outcomeCol).isNotNull)
+      .select(col(stratumCol).as("__s"),
+        (col(exposureCol).cast("int") =!= 0).as("__e"),
+        (col(outcomeCol).cast("int") =!= 0).as("__o"))
+    val cells = rows.groupBy(col("__s")).agg(
+      sum(when(col("__e") && col("__o"), 1L).otherwise(0L)).as("__a"),
+      sum(when(col("__e") && !col("__o"), 1L).otherwise(0L)).as("__b"),
+      sum(when(!col("__e") && col("__o"), 1L).otherwise(0L)).as("__c"),
+      sum(when(!col("__e") && !col("__o"), 1L).otherwise(0L)).as("__d"))
+    val a = col("__a").cast("double"); val b = col("__b").cast("double")
+    val c = col("__c").cast("double"); val dd = col("__d").cast("double")
+    val n = a + b + c + dd
+    val dec9 = (x: Column) => round(x, 9).cast("decimal(38,9)")
+    val folded = cells.agg(count(lit(1)).as("k_strata"),
+      sum(col("__a") + col("__b") + col("__c") + col("__d")).as("n"),
+      sum(col("__a")).as("__sa"),
+      sum(dec9(a * dd / n)).as("__num"),
+      sum(dec9(b * c / n)).as("__den"),
+      sum(dec9((a + b) * (a + c) / n)).as("__se"),
+      sum(when(n >= 2.0, dec9((a + b) * (c + dd) * ((a + c) * (b + dd))
+        / (n * n * (n - 1.0)))).otherwise(lit(0.0).cast("decimal(38,9)")))
+        .as("__sv"))
+    val dev = abs(col("__sa").cast("double") -
+      col("__se").cast("double")) - 0.5
+    val sv = col("__sv").cast("double")
+    folded.select(col("k_strata"), col("n"),
+      round(when(col("__den").cast("double") > 0.0,
+        col("__num").cast("double") / col("__den").cast("double")), 6)
+        .as("or_mh"),
+      round(when(round(sv, 9) > 0.0, dev * dev / sv), 6).as("chi2"))
+  }
+
   /** Jonckheere-Terpstra ordered-trend test — IS the value
     * stochastically increasing across groups taken in their natural
     * ascending order (Jonckheere 1954; [[kruskalWallis]] asks "any

@@ -460,4 +460,57 @@ class EvalSpec3 extends SparkSpec {
         s"${row.getDouble(4)} vs $jb")
     }
   }
+
+  private def mhRows(tables: Seq[(String, Long, Long, Long, Long)]) =
+    tables.flatMap { case (s, a, b, c, d) =>
+      Seq.fill(a.toInt)((s, 1, 1)) ++ Seq.fill(b.toInt)((s, 1, 0)) ++
+        Seq.fill(c.toInt)((s, 0, 1)) ++ Seq.fill(d.toInt)((s, 0, 0))
+    }.toDF("s", "e", "o")
+
+  test("mantelHaenszel: hand two-stratum case, null-table continuity " +
+    "behavior, degenerate guards") {
+    // (10,5,3,12) + (4,16,2,18): OR_MH = 4.461538, CMH = 4.979979
+    val out = Eval.mantelHaenszel(
+      mhRows(Seq(("s1", 10L, 5L, 3L, 12L), ("s2", 4L, 16L, 2L, 18L))),
+      "s", "e", "o").collect().head
+    assert(out.getLong(0) == 2L && out.getLong(1) == 70L)
+    assert(out.getDouble(2) == 4.461538 && out.getDouble(3) == 4.979979)
+    // perfectly null tables: OR = 1, chi2 = 0.25/SV (the unclamped R
+    // continuity correction) = 0.095
+    val nul = Eval.mantelHaenszel(
+      mhRows(Seq(("s1", 5L, 5L, 5L, 5L), ("s2", 5L, 5L, 5L, 5L))),
+      "s", "e", "o").collect().head
+    assert(nul.getDouble(2) == 1.0 && nul.getDouble(3) == 0.095)
+    // no discordant pairs anywhere (bc = 0) -> null OR
+    val conc = Eval.mantelHaenszel(
+      mhRows(Seq(("s1", 3L, 0L, 0L, 3L))), "s", "e", "o")
+      .collect().head
+    assert(conc.isNullAt(2))
+    val onecell = Eval.mantelHaenszel(
+      mhRows(Seq(("s1", 4L, 0L, 0L, 0L))), "s", "e", "o")
+      .collect().head
+    assert(onecell.isNullAt(3))
+  }
+
+  test("mantelHaenszel: unbalanced strata — equals an independent " +
+    "fold, MH agrees with the stratum-wise direction") {
+    // both strata carry OR > 1 with very different exposure mixes
+    val tabs = Seq(("a", 18L, 12L, 7L, 13L), ("b", 3L, 27L, 1L, 19L))
+    val out = Eval.mantelHaenszel(mhRows(tabs), "s", "e", "o")
+      .collect().head
+    def g9d(x: Double) = math.rint(x * 1e9) / 1e9
+    var num = 0.0; var den = 0.0; var sa = 0L; var se = 0.0; var sv = 0.0
+    for ((_, a, b, c, d) <- tabs) {
+      val n = (a + b + c + d).toDouble
+      num += g9d(a * d / n); den += g9d(b * c / n); sa += a
+      se += g9d((a + b) * (a + c) / n)
+      sv += g9d((a + b) * (c + d) * ((a + c) * (b + d)) /
+        (n * n * (n - 1.0)))
+    }
+    assert(out.getDouble(2) == math.rint(num / den * 1e6) / 1e6)
+    val dev = math.abs(sa - se) - 0.5
+    assert(math.abs(out.getDouble(3) - dev * dev / sv) < 1e-6)
+    // the stratum-wise ORs both exceed 1; MH agrees
+    assert(out.getDouble(2) > 1.0)
+  }
 }
