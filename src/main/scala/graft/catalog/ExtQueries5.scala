@@ -281,7 +281,16 @@ object ExtQueries5 {
         ev(s, d).select(col("event_type"),
           (col("user_id") % 2).cast("int").as("cohort"),
           (col("value") > 50.0).cast("int").as("high")),
-        "event_type", "cohort", "high")))
+        "event_type", "cohort", "high")),
+
+    // --- Cochran-Armitage trend in proportions -----------------------------
+    // Does the finished-order rate trend across the five priority
+    // levels in their natural (1-URGENT < ... < 5-LOW) order?
+    "q324_cochran_armitage" -> ((s, d) =>
+      graft.operators.Eval.cochranArmitage(
+        t(s, d, "orders").select(col("o_orderpriority"),
+          (col("o_orderstatus") === "F").cast("int").as("fin")),
+        "o_orderpriority", "fin")))
 
   def oracleSql: Map[String, String] = Map(
     // global value-grid average ranks ((2 cum - cnt + 1)/2 on the
@@ -969,5 +978,38 @@ object ExtQueries5 {
              (abs(sa - CAST(se AS DOUBLE)) - 0.5)
                * (abs(sa - CAST(se AS DOUBLE)) - 0.5)
                / CAST(sv AS DOUBLE) END, 6) AS chi2
+         FROM f""",
+
+    // group ranks as scores off the k-row ordered window, exact
+    // integer folds, one double division
+    "q324_cochran_armitage" ->
+      """WITH r AS (SELECT o_orderpriority AS g,
+             CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS o
+           FROM orders WHERE o_orderpriority IS NOT NULL
+             AND o_orderstatus IS NOT NULL),
+         per AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(o) AS BIGINT) AS rr FROM r GROUP BY 1),
+         sc AS (SELECT *, row_number() OVER (ORDER BY g) - 1 AS s
+           FROM per),
+         f AS (SELECT CAST(count(*) AS BIGINT) AS k_groups,
+             CAST(sum(n) AS BIGINT) AS n,
+             CAST(sum(rr) AS BIGINT) AS successes,
+             sum(CAST(s AS DECIMAL(38,0)) * rr) AS sr,
+             sum(CAST(s AS DECIMAL(38,0)) * n) AS sn,
+             sum(CAST(s AS DECIMAL(38,0)) * s * n) AS s2n
+           FROM sc)
+         SELECT k_groups, n, successes,
+           round(CASE WHEN round(CAST(successes AS DOUBLE)
+               * (CAST(n AS DOUBLE) - successes)
+               * (CAST(n AS DOUBLE) * CAST(s2n AS DOUBLE)
+                 - CAST(sn AS DOUBLE) * CAST(sn AS DOUBLE))
+               / CAST(n AS DOUBLE), 9) > 0.0 THEN
+             (CAST(n AS DOUBLE) * CAST(sr AS DOUBLE)
+               - CAST(successes AS DOUBLE) * CAST(sn AS DOUBLE))
+             / sqrt(CAST(successes AS DOUBLE)
+               * (CAST(n AS DOUBLE) - successes)
+               * (CAST(n AS DOUBLE) * CAST(s2n AS DOUBLE)
+                 - CAST(sn AS DOUBLE) * CAST(sn AS DOUBLE))
+               / CAST(n AS DOUBLE)) END, 6) AS z
          FROM f""")
 }

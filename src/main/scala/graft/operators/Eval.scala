@@ -399,6 +399,52 @@ object Eval {
       round(when(round(sv, 9) > 0.0, dev * dev / sv), 6).as("chi2"))
   }
 
+  /** Cochran-Armitage trend test — IS a binary rate increasing across
+    * groups taken in their natural ascending order (Cochran 1954,
+    * Armitage 1955; the proportions sibling of [[jonckheereTerpstra]]:
+    * JT tests a trend in a continuous value, CA in a success rate —
+    * dose-response, severity-graded conversion, time-ordered cohort
+    * uptake; [[chiSquare]] sees "some difference" where CA aims all
+    * its power along the ordering). Scores are the group ranks
+    * 0..k−1; z = (N·Σsᵢrᵢ − R·Σsᵢnᵢ) /
+    * √(R(N−R)(N·Σsᵢ²nᵢ − (Σsᵢnᵢ)²)/N) — the textbook statistic
+    * rearranged so every aggregate is an exact integer before the
+    * single double division.
+    *
+    * Shape: one group-keyed conditional-count agg, scores via one
+    * k-BOUNDED ordered window over the group rows, exact DECIMAL
+    * integer folds, one output row. Contract: null groups/outcomes
+    * drop; outcome casts to int, nonzero = success; a descending
+    * trend flips the sign; all successes / all failures / a single
+    * group → null z. Output: (k_groups, n, successes, z rounded 6). */
+  def cochranArmitage(df: DataFrame, groupCol: String,
+                      outcomeCol: String): DataFrame = {
+    val rows = df
+      .filter(col(groupCol).isNotNull && col(outcomeCol).isNotNull)
+      .select(col(groupCol).as("__g"),
+        (col(outcomeCol).cast("int") =!= 0).as("__o"))
+    val per = rows.groupBy(col("__g")).agg(count(lit(1)).as("__n"),
+      sum(when(col("__o"), 1L).otherwise(0L)).as("__r"))
+    val w = Window.orderBy(col("__g"))
+    val scored = per.withColumn("__s", row_number().over(w) - lit(1))
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val f = scored.agg(count(lit(1)).as("k_groups"),
+      sum(col("__n")).as("n"), sum(col("__r")).as("successes"),
+      sum(dec(col("__s")) * dec(col("__r"))).as("__sr"),
+      sum(dec(col("__s")) * dec(col("__n"))).as("__sn"),
+      sum(dec(col("__s")) * dec(col("__s")) * dec(col("__n"))).as("__s2n"))
+    val nD = col("n").cast("double")
+    val rD = col("successes").cast("double")
+    val num = nD * col("__sr").cast("double") -
+      rD * col("__sn").cast("double")
+    val a = nD * col("__s2n").cast("double") -
+      col("__sn").cast("double") * col("__sn").cast("double")
+    val variance = rD * (nD - rD) * a / nD
+    f.select(col("k_groups"), col("n"), col("successes"),
+      round(when(round(variance, 9) > 0.0, num / sqrt(variance)), 6)
+        .as("z"))
+  }
+
   /** Jonckheere-Terpstra ordered-trend test — IS the value
     * stochastically increasing across groups taken in their natural
     * ascending order (Jonckheere 1954; [[kruskalWallis]] asks "any

@@ -513,4 +513,46 @@ class EvalSpec3 extends SparkSpec {
     // the stratum-wise ORs both exceed 1; MH agrees
     assert(out.getDouble(2) > 1.0)
   }
+
+  test("cochranArmitage: hand rising trend, flat → 0, sign flip, " +
+    "degenerate guards, equals independent integer fold") {
+    def rows(tabs: Seq[(String, Int, Int)]) = tabs.flatMap {
+      case (g, n, r) => Seq.fill(r)((g, 1)) ++ Seq.fill(n - r)((g, 0))
+    }.toDF("g", "o")
+    // rates 1/10 → 3/10 → 6/10 across a < b < c: z = 2.371708
+    val o1 = Eval.cochranArmitage(
+      rows(Seq(("a", 10, 1), ("b", 10, 3), ("c", 10, 6))), "g", "o")
+      .collect().head
+    assert(o1.getLong(0) == 3L && o1.getLong(1) == 30L &&
+      o1.getLong(2) == 10L)
+    assert(o1.getDouble(3) == 2.371708)
+    // flat rates → exactly 0
+    val o2 = Eval.cochranArmitage(
+      rows(Seq(("a", 10, 5), ("b", 10, 5), ("c", 10, 5))), "g", "o")
+      .collect().head
+    assert(o2.getDouble(3) == 0.0)
+    // reversing the labels flips the sign
+    val o3 = Eval.cochranArmitage(
+      rows(Seq(("c", 10, 1), ("b", 10, 3), ("a", 10, 6))), "g", "o")
+      .collect().head
+    assert(o3.getDouble(3) == -2.371708)
+    // all successes / single group → null
+    assert(Eval.cochranArmitage(
+      rows(Seq(("a", 5, 5), ("b", 5, 5))), "g", "o")
+      .collect().head.isNullAt(3))
+    assert(Eval.cochranArmitage(
+      rows(Seq(("a", 10, 4))), "g", "o").collect().head.isNullAt(3))
+    // 4-group independent fold
+    val tabs = Seq(("a", 8, 2), ("b", 12, 3), ("c", 10, 9), ("d", 5, 5))
+    val o4 = Eval.cochranArmitage(rows(tabs), "g", "o").collect().head
+    val nT = tabs.map(_._2).sum.toDouble
+    val rT = tabs.map(_._3).sum.toDouble
+    val sr = tabs.zipWithIndex.map { case ((_, _, r), i) => i * r }.sum
+    val sn = tabs.zipWithIndex.map { case ((_, n, _), i) => i * n }.sum
+    val s2n = tabs.zipWithIndex.map { case ((_, n, _), i) => i * i * n }.sum
+    val z = (nT * sr - rT * sn) /
+      math.sqrt(rT * (nT - rT) * (nT * s2n - sn.toDouble * sn) / nT)
+    assert(o4.getDouble(3) == math.rint(z * 1e6) / 1e6)
+    assert(o4.getDouble(3) == 3.615938)
+  }
 }
