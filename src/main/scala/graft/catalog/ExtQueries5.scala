@@ -290,7 +290,19 @@ object ExtQueries5 {
       graft.operators.Eval.cochranArmitage(
         t(s, d, "orders").select(col("o_orderpriority"),
           (col("o_orderstatus") === "F").cast("int").as("fin")),
-        "o_orderpriority", "fin")))
+        "o_orderpriority", "fin")),
+
+    // --- Durbin-Watson residual autocorrelation ----------------------------
+    // Can q242's daily-volume trend lines be believed? DW of each
+    // event type's OLS residuals on the identical frame.
+    "q325_durbin_watson" -> ((s, d) =>
+      graft.operators.TimeSeries.durbinWatson(
+          ev(s, d).groupBy(col("event_type"),
+              datediff(col("ts").cast("date"),
+                lit("2024-01-01").cast("date")).as("t"))
+            .agg(count(lit(1)).cast("double").as("v")),
+          "event_type", "t", "v")
+        .orderBy(col("event_type"))))
 
   def oracleSql: Map[String, String] = Map(
     // global value-grid average ranks ((2 cum - cnt + 1)/2 on the
@@ -1011,5 +1023,50 @@ object ExtQueries5 {
                * (CAST(n AS DOUBLE) * CAST(s2n AS DOUBLE)
                  - CAST(sn AS DOUBLE) * CAST(sn AS DOUBLE))
                / CAST(n AS DOUBLE)) END, 6) AS z
-         FROM f""")
+         FROM f""",
+
+    // the q242 daily frame through the q177 olsFit closed form
+    // (intercept from the UNROUNDED slope, both published on the
+    // 4-grid), 9-grid residuals, lag walk, DECIMAL(38,9) folds
+    "q325_durbin_watson" ->
+      """WITH srs AS (SELECT event_type AS k,
+             CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE))
+               AS DOUBLE) AS t,
+             CAST(count(*) AS DOUBLE) AS v
+           FROM events GROUP BY event_type,
+             datediff('day', DATE '2024-01-01', CAST(ts AS DATE))),
+         g AS (SELECT k,
+             CAST(round(CAST(t AS DECIMAL(18,4)), 4) AS DECIMAL(19,4))
+               AS x,
+             CAST(round(CAST(v AS DECIMAL(18,4)), 4) AS DECIMAL(19,4))
+               AS y
+           FROM srs),
+         s AS (SELECT k, CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+             CAST(sum(CAST(x * y AS DECIMAL(38,8))) AS DOUBLE) AS sxy,
+             CAST(sum(CAST(x * x AS DECIMAL(38,8))) AS DOUBLE) AS sxx
+           FROM g GROUP BY 1),
+         fit AS (SELECT k, CAST(n AS BIGINT) AS n,
+             round((n*sxy - sx*sy)/(n*sxx - sx*sx), 4) AS slope,
+             round((sy - ((n*sxy - sx*sy)/(n*sxx - sx*sx)) * sx)/n, 4)
+               AS icept
+           FROM s WHERE n*sxx - sx*sx <> 0.0),
+         res AS (SELECT g.k, CAST(g.x AS DOUBLE) AS t,
+             round(CAST(g.y AS DOUBLE) - (icept + slope
+               * CAST(g.x AS DOUBLE)), 9) AS e, n
+           FROM g JOIN fit ON g.k = fit.k),
+         lagd AS (SELECT *, lag(e) OVER (PARTITION BY k ORDER BY t)
+             AS ep FROM res),
+         f AS (SELECT k, max(n) AS n,
+             sum(CASE WHEN ep IS NOT NULL THEN CAST(round(
+               (e - ep) * (e - ep), 9) AS DECIMAL(38,9))
+               ELSE CAST(0 AS DECIMAL(38,9)) END) AS num,
+             sum(CAST(round(e * e, 9) AS DECIMAL(38,9))) AS den
+           FROM lagd GROUP BY 1)
+         SELECT k AS event_type, n,
+           round(CASE WHEN n >= 2
+               AND round(CAST(den AS DOUBLE), 9) > 0.0
+             THEN CAST(num AS DOUBLE) / CAST(den AS DOUBLE) END, 6)
+             AS dw
+         FROM f ORDER BY event_type""")
 }

@@ -884,50 +884,65 @@ object Graph {
           .join(rem2.withColumnRenamed("id", "src"), Seq("src"), "left_semi")
           .join(rem2.withColumnRenamed("id", "dst"), Seq("dst"), "left_semi")
           .select(col("src"), col("dst")))
-        // forward min-id coloring to fixpoint
+        // forward min-id coloring to fixpoint. TWO propagation steps
+        // per materialized round, each intermediate a LAZY checkpoint
+        // materialized through the convergence fingerprint — one
+        // driver job per round instead of four (the CC round-batching
+        // + checkpointViaFingerprint discipline; the toy-scale wall
+        // here is job-scheduling overhead, not shuffle work). Worst
+        // case one redundant fixpoint round, paid once.
+        def lazyCk(df: DataFrame): DataFrame =
+          if (reliable) df.checkpoint(eager = false)
+          else df.localCheckpoint(eager = false)
+        def colorStep(c: DataFrame): DataFrame = {
+          val contrib = e2
+            .join(c.select(col("id").as("src"), col("c").as("__cs")),
+              Seq("src"))
+            .groupBy(col("dst").as("id")).agg(min(col("__cs")).as("__cin"))
+          c.join(contrib, Seq("id"), "left")
+            .select(col("id"),
+              least(col("c"), coalesce(col("__cin"), col("c"))).as("c"))
+        }
         def colorSig(c: DataFrame): Seq[Any] =
           c.agg(count(lit(1)), sum(xxhash64(col("id"), col("c"))
             .cast("decimal(38,0)"))).collect()(0).toSeq
-        var colors = materialize(rem2.select(col("id"), col("id").as("c")))
+        var colors = lazyCk(rem2.select(col("id"), col("id").as("c")))
         var sig = colorSig(colors)
         var stable = false
         var cIter = 0
         while (!stable && cIter < maxIter) {
-          val contrib = e2
-            .join(colors.select(col("id").as("src"), col("c").as("__cs")),
-              Seq("src"))
-            .groupBy(col("dst").as("id")).agg(min(col("__cs")).as("__cin"))
-          val next = materialize(colors
-            .join(contrib, Seq("id"), "left")
-            .select(col("id"),
-              least(col("c"), coalesce(col("__cin"), col("c"))).as("c")))
+          val next = lazyCk(colorStep(lazyCk(colorStep(colors))))
           val nextSig = colorSig(next)
           stable = nextSig == sig
           colors = next; sig = nextSig
-          cIter += 1
+          cIter += 2
         }
         if (!stable) throw new IllegalStateException(
           s"SCC forward coloring did not converge in $maxIter rounds " +
           "(directed diameter exceeds maxIter?)")
-        // backward mark within color from the roots; monotone count
-        var marked = materialize(colors.filter(col("id") === col("c"))
-          .select(col("id"), col("c").as("component")))
-        var mCount = marked.count()
-        var grown = true
-        var mIter = 0
-        while (grown && mIter < maxIter) {
+        // backward mark within color from the roots; the monotone
+        // marked count doubles as materializer and convergence test
+        def markStep(m: DataFrame): DataFrame = {
           val step = e2
-            .join(marked.select(col("id").as("dst"), col("component")),
+            .join(m.select(col("id").as("dst"), col("component")),
               Seq("dst"))
             .select(col("src").as("id"), col("component"))
             .join(colors, Seq("id"))
             .filter(col("c") === col("component"))
             .select(col("id"), col("component"))
-          val next = materialize(marked.union(step).distinct())
+          m.union(step).distinct()
+        }
+        var marked = lazyCk(colors.filter(col("id") === col("c"))
+          .select(col("id"), col("c").as("component")))
+        var mCount = marked.count()
+        var grown = true
+        var mIter = 0
+        while (grown && mIter < maxIter) {
+          val next = lazyCk(markStep(lazyCk(markStep(marked))))
           val nCount = next.count()
           grown = nCount != mCount
           marked = next; mCount = nCount
-          mIter += 1
+          mIter += 2
         }
         if (grown) throw new IllegalStateException(
           s"SCC backward marking did not converge in $maxIter rounds")

@@ -956,6 +956,66 @@ object TimeSeries {
             .otherwise(lit(0.0))), 6).as("z"))
   }
 
+  /** Durbin-Watson statistic per key — ARE the residuals of the
+    * per-key trend fit serially correlated (Durbin & Watson 1950; the
+    * diagnostic that says whether [[graft.operators.Features.olsFit]]'s
+    * standard errors can be believed: positively autocorrelated
+    * residuals make a trend look far more certain than it is).
+    * DW = Σ(eₜ − eₜ₋₁)² / Σeₜ² over the time-ordered residuals of the
+    * key's own OLS line — 2 ≈ independent, → 0 positive, → 4 negative
+    * serial correlation.
+    *
+    * Residuals come from the PUBLISHED [[Features.olsFit]]
+    * coefficients (4-grid slope/intercept on the 4-grid inputs — the
+    * rounded numbers a user would read are the ones diagnosed, and
+    * both engines rebuild identical residuals from them), rounded to
+    * the 9-grid; numerator and denominator fold 9-grid squared terms
+    * in DECIMAL(38,9). Shape: one olsFit agg + a k-row broadcast of
+    * coefficients back + ONE keyed lag window ordered by time (the
+    * [[rollingRegression]] shape) + one keyed agg.
+    *
+    * Contract: duplicate (key, time) FAILS FAST (a row lag over ties
+    * is engine-nondeterministic — aggregate first); null rows drop;
+    * perfect fits (Σe² = 0), degenerate fits (null slope), or n < 2
+    * → null DW. Output: (keyCol, n, dw rounded 6). */
+  def durbinWatson(df: DataFrame, keyCol: String, tsCol: String,
+                   valCol: String): DataFrame = {
+    val all = df.filter(col(tsCol).isNotNull && col(valCol).isNotNull)
+      .select(col(keyCol).as("__k"), col(tsCol).as("__t"),
+        col(valCol).as("__v"))
+    val dup = all.groupBy(col("__k"), col("__t"))
+      .agg(count(lit(1)).as("__c")).filter(col("__c") > 1L)
+      .limit(1).collect()
+    require(dup.isEmpty,
+      s"durbinWatson needs one observation per (key, time); key " +
+        s"${dup.headOption.map(_.get(0)).orNull} / t " +
+        s"${dup.headOption.map(_.get(1)).orNull} has " +
+        s"${dup.headOption.map(_.getLong(2)).getOrElse(0L)} rows — " +
+        "aggregate first")
+    val fit = graft.operators.Features.olsFit(all, "__k", "__t", "__v")
+      .select(col("__k"), col("n"), col("slope"), col("intercept"))
+    val x = round(col("__t").cast("decimal(18,4)"), 4).cast("double")
+    val y = round(col("__v").cast("decimal(18,4)"), 4).cast("double")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__k")).orderBy(col("__t"))
+    val res = all.join(broadcast(fit), Seq("__k"))
+      .withColumn("__e",
+        round(y - (col("intercept") + col("slope") * x), 9))
+      .withColumn("__ep", lag(col("__e"), 1).over(w))
+    val dec9 = (c: Column) => round(c, 9).cast("decimal(38,9)")
+    res.groupBy(col("__k"))
+      .agg(first(col("n")).as("n"),
+        sum(when(col("__ep").isNotNull,
+          dec9((col("__e") - col("__ep")) * (col("__e") - col("__ep"))))
+          .otherwise(lit(0.0).cast("decimal(38,9)"))).as("__num"),
+        sum(dec9(col("__e") * col("__e"))).as("__den"))
+      .select(col("__k").as(keyCol), col("n"),
+        round(when(col("n") >= 2L &&
+          round(col("__den").cast("double"), 9) > 0.0,
+          col("__num").cast("double") / col("__den").cast("double")), 6)
+          .as("dw"))
+  }
+
   /** Partial autocorrelation (Durbin–Levinson closed forms, lags
     * 1..3) per key — the AR-order detector beside [[autocorrelation]]:
     * PACF at lag k is the correlation of v_t with v_{t−k} AFTER

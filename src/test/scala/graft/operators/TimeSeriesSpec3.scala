@@ -673,4 +673,63 @@ test("gapFillInterpolate: hand interior gap, multi-key isolation, " +
       .collect().head
     assert(one.getLong(3) == 0L && one.isNullAt(4))
   }
+
+  // --- durbinWatson --------------------------------------------------------
+
+  test("durbinWatson: hand case off the published olsFit residuals; " +
+    "alternating residuals push toward 4; key independence") {
+    // t=1..5, y=(1,2,3,5,4): slope 0.9, intercept 0.3 (4-grid),
+    // e=(-.2,-.1,0,1.1,-.8) -> DW = 2.547368
+    val a = Seq(1.0, 2.0, 3.0, 5.0, 4.0).zipWithIndex
+      .map { case (v, i) => ("a", (i + 1).toDouble, v) }
+    // y = 2 + t + alternating ±1 -> refit residuals alternate,
+    // DW = 3.547631
+    val b = Seq(1.0, -1.0, 1.0, -1.0, 1.0, -1.0).zipWithIndex
+      .map { case (e, i) => ("b", (i + 1).toDouble, 2.0 + (i + 1) + e) }
+    val out = TimeSeries.durbinWatson((a ++ b).toDF("k", "t", "v"),
+      "k", "t", "v").orderBy("k").collect()
+    assert(out.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("a", 5L), ("b", 6L)))
+    assert(out(0).getDouble(2) == 2.547368)
+    assert(out(1).getDouble(2) == 3.547631)
+  }
+
+  test("durbinWatson: perfect fit → null, single point → null, " +
+    "duplicate time fails fast, equals an independent residual fold") {
+    val perfect = (1 to 6).map(i => ("p", i.toDouble, 2.0 * i + 1.0))
+    val o1 = TimeSeries.durbinWatson(perfect.toDF("k", "t", "v"),
+      "k", "t", "v").collect().head
+    assert(o1.isNullAt(2))
+    val o2 = TimeSeries.durbinWatson(
+      Seq(("s", 1.0, 3.0)).toDF("k", "t", "v"), "k", "t", "v")
+      .collect().head
+    assert(o2.isNullAt(2))
+    intercept[IllegalArgumentException] {
+      TimeSeries.durbinWatson(
+        Seq(("d", 1.0, 1.0), ("d", 1.0, 2.0)).toDF("k", "t", "v"),
+        "k", "t", "v").collect()
+    }
+    // independent fold on pseudo-random data
+    val vals = (1 to 40).map(i =>
+      ("r", i.toDouble, ((i * 17) % 7).toDouble + 0.3 * i))
+    val out = TimeSeries.durbinWatson(vals.toDF("k", "t", "v"),
+      "k", "t", "v").collect().head
+    def r4(x: Double) = math.rint(x * 1e4) / 1e4
+    def r9(x: Double) = math.rint(x * 1e9) / 1e9
+    val g = vals.map(v => (r4(v._2), r4(v._3)))
+    val n = g.size.toDouble
+    val sx = g.map(_._1).sum; val sy = g.map(_._2).sum
+    val sxy = g.map(v => v._1 * v._2).sum
+    val sxx = g.map(v => v._1 * v._1).sum
+    // olsFit derives the intercept from the UNROUNDED slope, then
+    // rounds both to the 4-grid
+    val slopeU = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    val slope = r4(slopeU)
+    val icept = r4((sy - slopeU * sx) / n)
+    val e = g.map(v => r9(v._2 - (icept + slope * v._1)))
+    val num = e.sliding(2).map(p => r9((p(1) - p(0)) * (p(1) - p(0)))).sum
+    val den = e.map(x => r9(x * x)).sum
+    assert(math.abs(out.getDouble(2) - num / den) < 1e-6,
+      s"${out.getDouble(2)} vs ${num / den}")
+  }
 }
