@@ -480,7 +480,8 @@ object ExtQueries4 {
              round(sum(y) / CAST(count(*) AS DOUBLE), 6) AS frac_pos
            FROM b GROUP BY bin),
          g AS (SELECT n, abs(mean_score - frac_pos) AS gap FROM tbl)
-         SELECT sum(n) AS n, CAST(count(*) AS BIGINT) AS n_bins_used,
+         SELECT CAST(sum(n) AS BIGINT) AS n,
+           CAST(count(*) AS BIGINT) AS n_bins_used,
            round(CAST(sum(CAST(round(n * gap, 9) AS DECIMAL(38,9)))
              AS DOUBLE) / sum(n), 6) AS ece,
            round(max(round(gap, 9)), 6) AS mce
@@ -521,7 +522,7 @@ object ExtQueries4 {
       """WITH c AS (SELECT coalesce(CAST(o_custkey AS VARCHAR), 'NULL')
              AS key, CAST(count(*) AS BIGINT) AS cnt
            FROM orders GROUP BY 1),
-         t AS (SELECT sum(cnt) AS n_rows,
+         t AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_rows,
              CAST(count(*) AS BIGINT) AS n_keys FROM c),
          r AS (SELECT key, cnt,
              row_number() OVER (ORDER BY cnt DESC, key ASC) AS rank,

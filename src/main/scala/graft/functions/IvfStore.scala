@@ -242,7 +242,7 @@ object IvfStore {
     graft.sources.Sinks.overwritePartitions(folded, vectorsPath(store),
       Seq("ab", "cluster"))
     writeMeta(spark, store, m.copy(batches = Seq(gen),
-      retired = (m.retired ++ m.batches.filter(_ > 0)).distinct))
+      retired = (m.retired ++ m.batches.filter(_ >= 0)).distinct))
     val fs = fsOf(spark, store)
     if (fs.exists(hPath(vectorsPath(store))))
       fs.listStatus(hPath(vectorsPath(store))).foreach { s =>

@@ -36,21 +36,22 @@ object AggStore {
   private val MetaPrefix                  = "_graft_agg_meta"
 
   private[graft] case class AggMeta(keys: Seq[String], value: String,
-                                    batches: Seq[Long])
+                                    batches: Seq[Long],
+                                    retired: Seq[Long] = Nil)
 
   private[graft] def readMeta(spark: SparkSession, store: String): AggMeta = {
     require(storeExists(spark, store), s"no aggregate store at $store")
     val lines = graft.sources.Manifest.read(spark, store, MetaPrefix)
       .trim.split("\n")
-    AggMeta(lines(0).trim.split("\\s+").toSeq, lines(1).trim,
-      if (lines.length > 2 && lines(2).trim.nonEmpty)
-        lines(2).trim.split("\\s+").map(_.toLong).toSeq
-      else Seq.empty)
+    val (vis, ret) = graft.sources.Manifest.parseBatchLine(
+      if (lines.length > 2) lines(2) else "")
+    AggMeta(lines(0).trim.split("\\s+").toSeq, lines(1).trim, vis, ret)
   }
 
   private def writeMeta(spark: SparkSession, store: String, m: AggMeta): Unit =
     graft.sources.Manifest.write(spark, store, MetaPrefix,
-      s"${m.keys.mkString(" ")}\n${m.value}\n${m.batches.mkString(" ")}")
+      s"${m.keys.mkString(" ")}\n${m.value}\n" +
+        graft.sources.Manifest.fmtBatchLine(m.batches, m.retired))
 
   def storeExists(spark: SparkSession, store: String): Boolean =
     graft.sources.Manifest.exists(spark, store, MetaPrefix)
@@ -82,7 +83,8 @@ object AggStore {
             "partials of different measures must not merge")
         m
       } else AggMeta(keys, valueCol, Seq.empty)
-    if (meta.batches.contains(batchId)) return // completed replay
+    if (meta.batches.contains(batchId) ||
+        meta.retired.contains(batchId)) return // completed replay
     // an empty batch writes nothing: on store creation a rows-less
     // append would manifest an unreadable (schema-less) store, and
     // later it only adds a skeleton dir (the SignatureStore guard)
@@ -126,11 +128,15 @@ object AggStore {
     * growth under streaming ingest. */
   def compactStore(spark: SparkSession, store: String): Unit = {
     val meta = readMeta(spark, store)
+    if (meta.batches.isEmpty) return
     val gen = math.min(0L, meta.batches.min) - 1L
     graft.sources.Sinks.overwritePartitions(
       merged(spark, store).withColumn("ab", lit(gen)),
       partialsPath(store), Seq("ab"))
-    writeMeta(spark, store, meta.copy(batches = Seq(gen)))
+    // folded client ids become tombstones (generations, always < 0,
+    // need none — a replay can never arrive with a generation id)
+    writeMeta(spark, store, meta.copy(batches = Seq(gen),
+      retired = (meta.retired ++ meta.batches.filter(_ >= 0)).distinct))
     val fs = new org.apache.hadoop.fs.Path(store)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val root = new org.apache.hadoop.fs.Path(partialsPath(store))

@@ -46,23 +46,24 @@ object CentroidStore {
   private def partialsPath(store: String) = store + "/partials"
   private val MetaPrefix                  = "_graft_centroid_meta"
 
-  private[graft] case class CentroidMeta(dim: Int, batches: Seq[Long])
+  private[graft] case class CentroidMeta(dim: Int, batches: Seq[Long],
+                                         retired: Seq[Long] = Nil)
 
   private[graft] def readMeta(spark: SparkSession,
                               store: String): CentroidMeta = {
     require(storeExists(spark, store), s"no centroid store at $store")
     val lines = graft.sources.Manifest.read(spark, store, MetaPrefix)
       .trim.split("\n")
-    CentroidMeta(lines(0).trim.toInt,
-      if (lines.length > 1 && lines(1).trim.nonEmpty)
-        lines(1).trim.split("\\s+").map(_.toLong).toSeq
-      else Seq.empty)
+    val (vis, ret) = graft.sources.Manifest.parseBatchLine(
+      if (lines.length > 1) lines(1) else "")
+    CentroidMeta(lines(0).trim.toInt, vis, ret)
   }
 
   private def writeMeta(spark: SparkSession, store: String,
                         m: CentroidMeta): Unit =
     graft.sources.Manifest.write(spark, store, MetaPrefix,
-      s"${m.dim}\n${m.batches.mkString(" ")}")
+      s"${m.dim}\n" +
+        graft.sources.Manifest.fmtBatchLine(m.batches, m.retired))
 
   def storeExists(spark: SparkSession, store: String): Boolean =
     graft.sources.Manifest.exists(spark, store, MetaPrefix)
@@ -110,7 +111,8 @@ object CentroidStore {
              batchId: Long): Unit = {
     val spark = df.sparkSession
     val meta = readMeta(spark, store)
-    if (meta.batches.contains(batchId)) return // completed replay
+    if (meta.batches.contains(batchId) ||
+        meta.retired.contains(batchId)) return // completed replay
     if (df.isEmpty) return                     // the AggStore guard
     val vecs = df.filter(col(vecCol).isNotNull)
       .select(transform(col(vecCol), x => x.cast("double")).as("__v"))
@@ -195,7 +197,8 @@ object CentroidStore {
       grid(spark, store).withColumnRenamed("n", "bn")
         .withColumn("ab", lit(gen)),
       partialsPath(store), Seq("ab"))
-    writeMeta(spark, store, meta.copy(batches = Seq(gen)))
+    writeMeta(spark, store, meta.copy(batches = Seq(gen),
+      retired = (meta.retired ++ meta.batches.filter(_ >= 0)).distinct))
     val fs = new org.apache.hadoop.fs.Path(store)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val root = new org.apache.hadoop.fs.Path(partialsPath(store))

@@ -291,7 +291,7 @@ object ErStore {
     graft.sources.Sinks.overwritePartitions(ents, entitiesPath(store),
       Seq("ab"))
     writeMeta(spark, store, m.copy(batches = Seq(gen),
-      retired = (m.retired ++ m.batches.filter(_ > 0)).distinct))
+      retired = (m.retired ++ m.batches.filter(_ >= 0)).distinct))
     val fs = fsOf(spark, store)
     for (layer <- Seq(recordsPath(store), keysPath(store),
         entitiesPath(store))) {

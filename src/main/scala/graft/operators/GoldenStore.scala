@@ -55,7 +55,12 @@ object GoldenStore {
                                        // column — lets serve type an
                                        // all-null modal column whose
                                        // delta dir was never created
-                                       modalTypes: Seq[String] = Nil)
+                                       modalTypes: Seq[String] = Nil,
+                                       // tombstones: client batch ids
+                                       // folded away by compactStore —
+                                       // replay stays a no-op (the
+                                       // IvfStore convention)
+                                       retired: Seq[Long] = Nil)
 
   private def fmt(xs: Seq[String]) = xs.mkString(" ")
   private def parse(s: String): Seq[String] =
@@ -66,11 +71,13 @@ object GoldenStore {
     require(storeExists(spark, store), s"no golden store at $store")
     val ls = graft.sources.Manifest.read(spark, store, MetaPrefix)
       .split("\n", -1).map(_.trim)
+    val (vis, ret) = graft.sources.Manifest.parseBatchLine(ls(7))
     GoldenMeta(ls(0), parse(ls(1)), parse(ls(2)), parse(ls(3)),
       parse(ls(4)), parse(ls(5)).headOption, parse(ls(6)),
-      parse(ls(7)).map(_.toLong),
+      vis,
       if (ls.length > 8 && ls(8).nonEmpty) ls(8).split("\t").toSeq
-      else Nil)
+      else Nil,
+      ret)
   }
 
   private def writeMeta(spark: SparkSession, store: String,
@@ -78,7 +85,7 @@ object GoldenStore {
     graft.sources.Manifest.write(spark, store, MetaPrefix,
       Seq(m.entity, fmt(m.mostFrequent), fmt(m.longest), fmt(m.minOf),
         fmt(m.maxOf), m.latestOrd.getOrElse(""), fmt(m.latestCols),
-        fmt(m.batches.map(_.toString)),
+        graft.sources.Manifest.fmtBatchLine(m.batches, m.retired),
         m.modalTypes.mkString("\t")).mkString("\n"))
 
   /** True when `dir` holds at least one `ab=` batch partition — an
@@ -137,13 +144,14 @@ object GoldenStore {
     val meta =
       if (storeExists(spark, store)) {
         val m = readMeta(spark, store)
-        require(m.copy(batches = Seq.empty) == asked,
+        require(m.copy(batches = Seq.empty, retired = Seq.empty) == asked,
           s"store $store survivorship spec differs from this append's — " +
             "partials of different specs (or drifted modal column " +
             "types) must not merge")
         m
       } else asked
-    if (meta.batches.contains(batchId)) return // completed replay
+    if (meta.batches.contains(batchId) ||
+        meta.retired.contains(batchId)) return // completed replay
     // an empty batch writes nothing: on store creation a rows-less
     // append would manifest an unreadable (schema-less) store, and
     // later it only adds a skeleton dir (the SignatureStore guard)
@@ -218,6 +226,7 @@ object GoldenStore {
     * growth under streaming ingest. */
   def compactStore(spark: SparkSession, store: String): Unit = {
     val m = readMeta(spark, store)
+    if (m.batches.isEmpty) return
     val gen = math.min(0L, m.batches.min) - 1L
     graft.sources.Sinks.overwritePartitions(
       mergedPartials(spark, store, m).withColumn("ab", lit(gen)),
@@ -232,7 +241,8 @@ object GoldenStore {
             .withColumn("ab", lit(gen)),
           modalPath(store, c), Seq("ab"))
       }
-    writeMeta(spark, store, m.copy(batches = Seq(gen)))
+    writeMeta(spark, store, m.copy(batches = Seq(gen),
+      retired = (m.retired ++ m.batches.filter(_ >= 0)).distinct))
     val fs = new org.apache.hadoop.fs.Path(store)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     (partialsPath(store) +: m.mostFrequent.map(modalPath(store, _)))

@@ -28,22 +28,23 @@ object HeavyHitters {
   private val MetaPrefix                  = "_graft_freq_meta"
 
   private[graft] case class FreqMeta(maxMapSize: Int, keys: Seq[String],
-                                     batches: Seq[Long])
+                                     batches: Seq[Long],
+                                     retired: Seq[Long] = Nil)
 
   private[graft] def readMeta(spark: SparkSession, store: String): FreqMeta = {
     require(storeExists(spark, store), s"no heavy-hitters store at $store")
     val lines = graft.sources.Manifest.read(spark, store, MetaPrefix)
       .trim.split("\n")
     val head = lines(0).trim.split("\\s+")
-    FreqMeta(head(0).toInt, lines(1).trim.split("\\s+").toSeq,
-      if (lines.length > 2 && lines(2).trim.nonEmpty)
-        lines(2).trim.split("\\s+").map(_.toLong).toSeq
-      else Seq.empty)
+    val (vis, ret) = graft.sources.Manifest.parseBatchLine(
+      if (lines.length > 2) lines(2) else "")
+    FreqMeta(head(0).toInt, lines(1).trim.split("\\s+").toSeq, vis, ret)
   }
 
   private def writeMeta(spark: SparkSession, store: String, m: FreqMeta): Unit =
     graft.sources.Manifest.write(spark, store, MetaPrefix,
-      s"${m.maxMapSize}\n${m.keys.mkString(" ")}\n${m.batches.mkString(" ")}")
+      s"${m.maxMapSize}\n${m.keys.mkString(" ")}\n" +
+        graft.sources.Manifest.fmtBatchLine(m.batches, m.retired))
 
   def storeExists(spark: SparkSession, store: String): Boolean =
     graft.sources.Manifest.exists(spark, store, MetaPrefix)
@@ -73,7 +74,8 @@ object HeavyHitters {
             "mixed map sizes shift the error bound, refuse instead")
         m
       } else FreqMeta(maxMapSize, keys, Seq.empty)
-    if (meta.batches.contains(batchId)) return // completed replay
+    if (meta.batches.contains(batchId) ||
+        meta.retired.contains(batchId)) return // completed replay
     // an empty batch writes nothing: on store creation a rows-less
     // append would manifest an unreadable (schema-less) store, and
     // later it only adds a skeleton dir (the SignatureStore guard)
@@ -116,10 +118,12 @@ object HeavyHitters {
     * the exact regime (no purges) they are exact either way. */
   def compactStore(spark: SparkSession, store: String): Unit = {
     val meta = readMeta(spark, store)
+    if (meta.batches.isEmpty) return
     val gen = math.min(0L, meta.batches.min) - 1L
     val folded = mergedSketches(spark, store).withColumn("ab", lit(gen))
     graft.sources.Sinks.overwritePartitions(folded, sketchesPath(store), Seq("ab"))
-    writeMeta(spark, store, meta.copy(batches = Seq(gen)))
+    writeMeta(spark, store, meta.copy(batches = Seq(gen),
+      retired = (meta.retired ++ meta.batches.filter(_ >= 0)).distinct))
     val fs = new org.apache.hadoop.fs.Path(store)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val root = new org.apache.hadoop.fs.Path(sketchesPath(store))

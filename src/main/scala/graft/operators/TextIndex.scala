@@ -150,7 +150,8 @@ object TextIndex {
     (((tokenHash(term) % numBuckets) + numBuckets) % numBuckets).toInt
 
   private[graft] case class IndexMeta(numBuckets: Int, nDocs: Long,
-                                      sumDl: Long, batches: Seq[Long])
+                                      sumDl: Long, batches: Seq[Long],
+                                      retired: Seq[Long] = Nil)
 
   /** The HIGHEST-version manifest (the [[graft.sources.Manifest]]
     * versioned-swap protocol — more than one version can momentarily
@@ -159,8 +160,9 @@ object TextIndex {
     require(indexExists(spark, store), s"no persisted index at $store")
     val parts = graft.sources.Manifest.read(spark, store, MetaPrefix)
       .trim.split("\\s+")
-    IndexMeta(parts(0).toInt, parts(1).toLong, parts(2).toLong,
-      parts.drop(3).map(_.toLong).toSeq)
+    val (vis, ret) = graft.sources.Manifest.parseBatchLine(
+      parts.drop(3).mkString(" "))
+    IndexMeta(parts(0).toInt, parts(1).toLong, parts(2).toLong, vis, ret)
   }
 
   /** The marker is the index MANIFEST: bucket modulus, exact corpus
@@ -173,7 +175,8 @@ object TextIndex {
     * closed by construction). */
   private def writeMeta(spark: SparkSession, store: String, m: IndexMeta): Unit =
     graft.sources.Manifest.write(spark, store, MetaPrefix,
-      s"${m.numBuckets} ${m.nDocs} ${m.sumDl} ${m.batches.mkString(" ")}")
+      s"${m.numBuckets} ${m.nDocs} ${m.sumDl} " +
+        graft.sources.Manifest.fmtBatchLine(m.batches, m.retired))
 
   /** True once a meta marker is durable. The marker is written LAST on
     * [[persistPostings]]: a crash mid-write leaves the index invisible
@@ -269,7 +272,8 @@ object TextIndex {
     require(indexExists(spark, store),
       s"no persisted index at $store — build one with persistPostings first")
     val meta = readMeta(spark, store)
-    if (meta.batches.contains(batchId)) return // completed replay
+    if (meta.batches.contains(batchId) ||
+        meta.retired.contains(batchId)) return // completed replay
     val (nDocs, sumDl) =
       writeBatch(docs, idCol, textCol, store, meta.numBuckets, batchId)
     writeMeta(spark, store, meta.copy(nDocs = meta.nDocs + nDocs,
@@ -314,7 +318,8 @@ object TextIndex {
       .select(col("doc_id"), col("dl"), lit(gen).as("ab"))
       .repartition(8)
     graft.sources.Sinks.overwritePartitions(lens, lensPath(store), Seq("ab"))
-    writeMeta(spark, store, meta.copy(batches = Seq(gen)))
+    writeMeta(spark, store, meta.copy(batches = Seq(gen),
+      retired = (meta.retired ++ meta.batches.filter(_ >= 0)).distinct))
     val fs = fsOf(spark, store)
     Seq(postingsPath(store), lensPath(store)).foreach { root =>
       if (fs.exists(hPath(root)))

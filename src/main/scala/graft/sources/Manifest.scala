@@ -70,4 +70,23 @@ private[graft] object Manifest {
     val fs = fsOf(spark, dir)
     versions(fs, dir, prefix).foreach { case (_, p) => fs.delete(p, false) }
   }
+
+  /** One manifest line holding the VISIBLE batch ids plus the RETIRED
+    * tombstones ("v1 v2 | r1 r2" — the [[graft.functions.IvfStore]]
+    * convention): `retired` keeps batch ids superseded by a compaction
+    * recognizable as completed replays, so a micro-batch replayed after
+    * its partials were folded into a compaction generation stays a
+    * no-op instead of double-counting (the streaming-sink idempotency
+    * contract must survive [[compactStore]]). Old manifests without the
+    * separator parse as (ids, empty). */
+  def fmtBatchLine(batches: Seq[Long], retired: Seq[Long]): String =
+    batches.mkString(" ") +
+      (if (retired.isEmpty) "" else " | " + retired.mkString(" "))
+
+  /** Inverse of [[fmtBatchLine]]: (visible, retired). */
+  def parseBatchLine(line: String): (Seq[Long], Seq[Long]) = {
+    val toks = line.trim.split("\\s+").toSeq.filter(_.nonEmpty)
+    val (vis, rest) = toks.span(_ != "|")
+    (vis.map(_.toLong), rest.drop(1).map(_.toLong))
+  }
 }

@@ -73,14 +73,31 @@ def main():
             failures.append((name, f"schema mismatch: duck={dc} spark={sc}"))
             n_fail += 1
             continue
-        # type drift warning: value-equal but differently-typed columns
-        # could still break a type-sensitive hash compare
+        # type drift is a FAILURE: the driver's hash compare is
+        # type-sensitive, so value-equal but differently-typed columns
+        # (e.g. DECIMAL(38,0) vs BIGINT) are driver-red even when the
+        # normalized cells below compare equal. A WARN here was the root
+        # cause of q300/q302 being builder-green and driver-red for two
+        # rounds. Exception: timestamp UNIT drift (DuckDB reads
+        # parquet ts as [us], Spark writes [ns] under nanosAsLong
+        # round-trips) — the driver normalizes timestamps before
+        # hashing; every [us]/[ns]-only query is driver-hash-green
+        # (q24/q29/q30/q31/q63/q74/q75/q100/q254 in CORRECTNESS_r12).
+        def ts_unit_only(a, b):
+            pa, pb = a.split(",", 1), b.split(",", 1)
+            tz_a = pa[1] if len(pa) > 1 else ""
+            tz_b = pb[1] if len(pb) > 1 else ""
+            return (a.startswith("timestamp[") and b.startswith("timestamp[")
+                    and tz_a == tz_b)
         dtypes = {f.name: str(f.type) for f in duck.schema}
         stypes = {f.name: str(f.type) for f in spark.schema}
         drift = {c: (dtypes[c], stypes[c]) for c in dtypes
-                 if dtypes[c] != stypes[c]}
+                 if dtypes[c] != stypes[c]
+                 and not ts_unit_only(dtypes[c], stypes[c])}
         if drift:
-            print(f"WARN {name} type drift (duck, spark): {drift}")
+            failures.append((name, f"type drift (duck, spark): {drift}"))
+            n_fail += 1
+            continue
         if drows != srows:
             msg = f"rows differ: duck={len(drows)} spark={len(srows)}"
             for i, (a, b) in enumerate(zip(drows, srows)):
