@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.catalog.{AnalyticQueries, CoreQueries, ExtQueries, ExtQueries2, ExtQueries3, ExtQueries4, ExtQueries5, LlmQueries, TimeQueries}
+import graft.catalog.{AnalyticQueries, CoreQueries, ExtQueries, ExtQueries2, ExtQueries3, ExtQueries4, ExtQueries5, ExtQueries6, LlmQueries, TimeQueries}
 
 /** Driver contract — one `queries` entry (+ `oracleSql` ANSI equivalent
   * where SQL-expressible) per operator from SURVEY.md §2.
@@ -22,12 +22,12 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CoreQueries.queries ++ TimeQueries.queries ++ LlmQueries.queries ++
       ExtQueries.queries ++ ExtQueries2.queries ++ ExtQueries3.queries ++
-      ExtQueries4.queries ++ ExtQueries5.queries ++
+      ExtQueries4.queries ++ ExtQueries5.queries ++ ExtQueries6.queries ++
       AnalyticQueries.queries
 
   def oracleSql: Map[String, String] =
     CoreQueries.oracleSql ++ TimeQueries.oracleSql ++ LlmQueries.oracleSql ++
       ExtQueries.oracleSql ++ ExtQueries2.oracleSql ++ ExtQueries3.oracleSql ++
       ExtQueries4.oracleSql ++ ExtQueries5.oracleSql ++
-      AnalyticQueries.oracleSql
+      ExtQueries6.oracleSql ++ AnalyticQueries.oracleSql
 }

@@ -1,0 +1,79 @@
+package graft.catalog
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-13 batch: the incremental centroid store served against a
+  * DuckDB oracle (the r12 verdict's registration task — frozen-anchor
+  * assignment is the SQL-replayable q103 shape; three appends vs one
+  * one-shot pass is the q313 streamed-≡-batch shape). */
+object ExtQueries6 {
+
+  import Catalog._
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // --- incremental centroid store (streaming cluster serving) ----------
+    // Anchors pinned as the 4 lowest-id embeddings (4-grid at create),
+    // the corpus ingested as three batches; serveGrid folds per-batch
+    // DECIMAL partial sums into the one-step Lloyd update of the
+    // union. Exactness contract: frozen anchors make the per-batch
+    // partials independent, so streamed ≡ one-shot, and the one-shot
+    // pass is what the oracle replays (session-cached store, swept on
+    // app end).
+    "q326_centroid_store" -> ((s, d) => {
+      val store = LlmQueries.cachedStore(s, d, "centroid-q326") { p =>
+        val emb = t(s, d, "embeddings").filter(col("embedding").isNotNull)
+        graft.operators.CentroidStore.create(
+          emb.filter(col("vec_id") < 4)
+            .select((col("vec_id") + 1L).as("cluster_id"),
+              col("embedding").as("centroid")), p)
+        (0 to 2).foreach { b =>
+          graft.operators.CentroidStore.append(
+            emb.filter(pmod(col("vec_id"), lit(3)) === b),
+            "embedding", p, b.toLong)
+        }
+      }
+      graft.operators.CentroidStore.serveGrid(s, store)
+        .orderBy(col("cluster_id"), col("i"))
+    }))
+
+  def oracleSql: Map[String, String] = Map(
+    // the q103 assignment shape against 4-grid anchors (round-4
+    // distances, lowest-cluster tie-break), then per-(cluster, dim)
+    // means from round-9 DECIMAL(38,9) partial sums — one DuckDB pass
+    // over the union the three appends streamed in; untouched clusters
+    // keep their anchor components with n = 0
+    "q326_centroid_store" ->
+      """WITH a AS (SELECT CAST(vec_id + 1 AS BIGINT) AS cluster_id,
+             CAST(i AS INT) AS i,
+             round(CAST(embedding[CAST(i AS INT)] AS DOUBLE), 4) AS ac
+           FROM embeddings, generate_series(1, 64) AS g(i)
+           WHERE vec_id < 4 AND embedding IS NOT NULL),
+         d AS (SELECT e.vec_id, a.cluster_id,
+             round(sum((CAST(e.embedding[a.i] AS DOUBLE) - a.ac)
+               * (CAST(e.embedding[a.i] AS DOUBLE) - a.ac)), 4) AS d2
+           FROM embeddings e, a
+           WHERE e.embedding IS NOT NULL
+           GROUP BY e.vec_id, a.cluster_id),
+         best AS (SELECT vec_id, cluster_id,
+             row_number() OVER (PARTITION BY vec_id
+               ORDER BY d2 ASC, cluster_id ASC) AS rn
+           FROM d),
+         asg AS (SELECT vec_id, cluster_id FROM best WHERE rn = 1),
+         grid AS (SELECT c.cluster_id, CAST(i AS INT) AS i,
+             CAST(count(*) AS BIGINT) AS n,
+             round(CAST(sum(CAST(round(
+                 CAST(e.embedding[CAST(i AS INT)] AS DOUBLE), 9)
+               AS DECIMAL(38,9))) AS DOUBLE) / count(*), 4) AS mean
+           FROM embeddings e JOIN asg c USING (vec_id),
+             generate_series(1, 64) AS g(i)
+           WHERE e.embedding IS NOT NULL
+           GROUP BY c.cluster_id, i)
+         SELECT a.cluster_id, a.i,
+           CAST(coalesce(grid.n, 0) AS BIGINT) AS n,
+           CASE WHEN grid.n IS NOT NULL THEN grid.mean ELSE a.ac END
+             AS mean
+         FROM a LEFT JOIN grid ON a.cluster_id = grid.cluster_id
+           AND a.i = grid.i
+         ORDER BY a.cluster_id, a.i""")
+}

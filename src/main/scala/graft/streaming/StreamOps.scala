@@ -557,6 +557,40 @@ object StreamOps {
       }
       .start()
 
+  /** Streaming ingest into the incremental centroid store — the
+    * [[goldenAppendSink]] twin for
+    * [[graft.operators.CentroidStore]]: anchors must be pinned with
+    * `CentroidStore.create` BEFORE the stream starts (assignment
+    * against frozen anchors is what makes per-batch partials exact,
+    * so the store cannot self-anchor from an arbitrary first
+    * micro-batch), then every micro-batch assigns its vectors and
+    * appends per-cluster partial sums — `CentroidStore.serve` stays
+    * identical to a one-shot assignment+mean of everything ingested
+    * (the store's spec-pinned contract). Same idempotency contract
+    * as the sibling sinks (manifested or retired batch ids no-op on
+    * replay; crashed appends invisible); `compactEvery` bounds
+    * batch-dir growth. */
+  def centroidAppendSink(records: DataFrame, vecCol: String,
+                         storePath: String, checkpoint: String,
+                         compactEvery: Int = 0)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(graft.operators.CentroidStore.storeExists(
+        records.sparkSession, storePath),
+      s"no centroid store at $storePath — pin anchors with " +
+        "CentroidStore.create before starting the stream")
+    records.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        graft.operators.CentroidStore.append(batch, vecCol, storePath,
+          batchId + 1)
+        if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
+          graft.operators.CentroidStore.compactStore(spark, storePath)
+        ()
+      }
+      .start()
+  }
+
   /** Same running totals on the `transformWithState` API (Spark 4's
     * successor to flatMapGroupsWithState: typed ValueState handles,
     * timer support, state-store-backed). */

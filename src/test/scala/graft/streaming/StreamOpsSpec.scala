@@ -573,6 +573,53 @@ class StreamOpsSpec extends SparkSpec {
     assert(dirs.toList == List("ab=-1", "ab=3"), dirs.mkString(","))
   }
 
+  test("centroidAppendSink: anchors pinned up front, micro-batches fold " +
+      "partials; serveGrid ≡ one-shot assignment+mean; compaction fires") {
+    implicit val sqlCtx = spark.sqlContext
+    import scala.jdk.CollectionConverters._
+    val dir = java.nio.file.Files.createTempDirectory("stream-centroid")
+    val store = dir.toString + "/s"
+    val emb = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
+    val anchors = emb.filter(col("vec_id") < 4)
+      .select((col("vec_id") + 1L).as("cluster_id"),
+        col("embedding").as("centroid"))
+    graft.operators.CentroidStore.create(anchors, store)
+    // the sink refuses to start without pinned anchors
+    intercept[IllegalArgumentException] {
+      StreamOps.centroidAppendSink(
+        MemoryStream[(Long, Seq[Float])].toDF(), "embedding",
+        dir.toString + "/nostore", dir.toString + "/ckpt0")
+    }
+    def rows(m: Long): Seq[(Long, Seq[Float])] =
+      emb.filter(col("vec_id") % 3 === m).collect().map(r =>
+        (r.getLong(0), r.getList[Float](1).asScala.toSeq)).toSeq
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val q = StreamOps.centroidAppendSink(
+      mem.toDF().toDF("vec_id", "embedding"), "embedding", store,
+      dir.toString + "/ckpt", compactEvery = 2)
+    mem.addData(rows(0): _*) // batch 0 appends under manifest id 1
+    q.processAllAvailable()
+    mem.addData(rows(1): _*) // batch 1 folds in + triggers compaction
+    q.processAllAvailable()
+    mem.addData(rows(2): _*) // post-compaction append keeps merging
+    q.processAllAvailable()
+    q.stop()
+    val oneShot = dir.toString + "/oneshot"
+    graft.operators.CentroidStore.create(anchors, oneShot)
+    graft.operators.CentroidStore.append(emb, "embedding", oneShot, 1L)
+    def grid(s: String) = graft.operators.CentroidStore
+      .serveGrid(spark, s).as[(Long, Int, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    assert(grid(store) == grid(oneShot),
+      "streamed centroids must equal the one-shot assignment+mean")
+    // compaction after store id 2 folded ab dirs to -1; micro-batch 2
+    // then appended ab=3
+    val dirs = new java.io.File(store + "/partials").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("ab="))
+      .map(_.getName).sorted
+    assert(dirs.toList == List("ab=-1", "ab=3"), dirs.mkString(","))
+  }
+
   test("ivfPqAppendSink: first batch trains both layers, later batches " +
       "append frozen; exhaustive serve ≡ exact L2 over the stream") {
     implicit val sqlCtx = spark.sqlContext
