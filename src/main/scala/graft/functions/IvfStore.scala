@@ -226,6 +226,63 @@ object IvfStore {
       .limit(k)
   }
 
+  /** Re-anchor the index on `newCentroids` (a (cluster_id, centroid)
+    * frame, ids 1..k — e.g. the served means of a
+    * [[graft.operators.CentroidStore]] fed by the same stream, once
+    * q250-style drift says the frozen anchors have staled): every
+    * visible vector is RE-ASSIGNED against the new anchors and lands
+    * under the next negative generation, which stays INVISIBLE until
+    * the one manifest swap that also installs the new centroids — so
+    * probes serve the old index at every crash point and flip
+    * atomically at the swap (the [[graft.operators.TextIndex
+    * .compactIndex]] protocol). Without this, recall decays as the
+    * corpus drifts and the only remedy is a full [[build]] rebuild
+    * (which clears the manifest and leaves readers a window with NO
+    * index). The result is bit-identical to a fresh assignment of the
+    * same vectors against the same anchors (frozen-anchor assignment
+    * is deterministic); client batch ids fold into `retired`
+    * tombstones, so a replayed streaming append stays a no-op.
+    * O(corpus) assignment — the price of re-anchoring — but one keyed
+    * write, no Lloyd iterations, no driver-side vector traffic. */
+  def retrain(spark: SparkSession, store: String,
+              newCentroids: DataFrame): Unit = {
+    val m = readMeta(spark, store)
+    // k-bounded collect: the centroid frame is tiny by contract
+    val cents = newCentroids
+      .orderBy(col("cluster_id").asc)
+      .select(col("cluster_id").cast("long"),
+        col("centroid").cast("array<double>"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+    require(cents.nonEmpty, "retrain: no centroids")
+    require(cents.forall(_._2.length == m.dim),
+      s"retrain: centroid dim must be ${m.dim}, got " +
+        cents.map(_._2.length).distinct.mkString(", "))
+    require(cents.forall(_._1 >= 1L),
+      "retrain: cluster ids must be >= 1 (the build seeding convention)")
+    require(cents.map(_._1).distinct.length == cents.length,
+      "retrain: duplicate cluster ids")
+    val byId = cents.toMap
+    val kEff = cents.map(_._1).max.toInt
+    val gen = math.min(0L, m.batches.min) - 1L
+    val m2 = m.copy(k = kEff, batches = Seq(gen),
+      cents = Array.tabulate(kEff)(i =>
+        byId.getOrElse(i + 1L, Array.fill(m.dim)(0.0))),
+      retired = (m.retired ++ m.batches.filter(_ >= 0)).distinct)
+    // re-assignment reads through the OLD manifest's visible batches
+    // and writes under the new generation — invisible until the swap
+    writeBatch(readVectors(spark, store).drop("cluster"), m2, store, gen)
+    writeMeta(spark, store, m2) // THE swap: probes flip here, atomically
+    val fs = fsOf(spark, store)
+    if (fs.exists(hPath(vectorsPath(store))))
+      fs.listStatus(hPath(vectorsPath(store))).foreach { s =>
+        val name = s.getPath.getName
+        if (s.isDirectory && name.startsWith("ab=") &&
+            name.stripPrefix("ab=").toLongOption.exists(_ != gen))
+          fs.delete(s.getPath, true)
+      }
+  }
+
   /** Fold every visible batch into ONE negative compaction generation —
     * bounds file/directory growth under streaming ingest (the
     * [[graft.operators.TextIndex.compactIndex]] protocol: rewrite under

@@ -90,6 +90,29 @@ class AnnRecallSpec extends SparkSpec {
     assert(full == 1.0, f"full probe must equal brute force, got $full%.3f")
   }
 
+  test("retrain restores the recall floor after anchor drift: stale " +
+      "half-corpus anchors re-anchored on full-corpus centroids") {
+    val store = java.nio.file.Files
+      .createTempDirectory("ann-retrain").toString + "/ivf"
+    // the drift scenario IvfStore.retrain exists for: anchors trained
+    // on an early half of the corpus, the other half streamed in later
+    IvfStore.build(emb.filter(col("vec_id") % 2 === 0), "embedding",
+      "vec_id", store, k = 8, iterations = 2)
+    IvfStore.append(emb.filter(col("vec_id") % 2 === 1), store, 1L)
+    val fresh = IvfIndex.build(emb, "embedding", "vec_id", k = 8,
+      iterations = 2)
+    try IvfStore.retrain(spark, store, fresh.centroids)
+    finally fresh.close()
+    def served(nprobe: Int)(qid: Long, qv: Seq[Float]): Set[Long] =
+      IvfStore.topK(spark, store, qv, K + 1, nprobe = nprobe)
+        .collect().map(_.getLong(0)).filter(_ != qid).take(K).toSet
+    val r = meanRecall(served(4))
+    info(f"IVF-store recall@10 after retrain (k=8, nprobe=4): $r%.3f")
+    assert(r >= 0.75, f"retrained recall floor regressed: $r%.3f")
+    val full = meanRecall(served(8))
+    assert(full == 1.0, f"full probe after retrain must be exact: $full%.3f")
+  }
+
   test("persisted IVF×PQ store recall@10 clears the composed floor " +
       "(codes scan + exact refine served from disk)") {
     val store = java.nio.file.Files

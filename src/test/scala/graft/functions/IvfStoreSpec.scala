@@ -123,4 +123,43 @@ class IvfStoreSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       IvfStore.append(emb, store, batchId = -3L))
   }
+
+  test("retrain: re-anchored store serves identically to a fresh build " +
+      "pinning the same anchors; superseded dirs swept; folded ids " +
+      "stay tombstoned") {
+    val coarse = tmpStore(); val fine = tmpStore()
+    val base = emb.filter($"vec_id" < 300)
+    val extra = emb.filter($"vec_id" >= 300)
+    IvfStore.build(base, "embedding", "vec_id", coarse, k = 2, iterations = 1)
+    IvfStore.append(extra, coarse, 1L)
+    // the re-anchor target: a fresh k=8 index over the SAME vectors —
+    // after retrain the coarse store must be indistinguishable from it
+    IvfStore.build(emb, "embedding", "vec_id", fine, k = 8, iterations = 2)
+    IvfStore.retrain(spark, coarse, IvfStore.centroidsDf(spark, fine))
+    for (nprobe <- Seq(1, 2, 4, 8)) {
+      val a = IvfStore.topK(spark, coarse, qv, 10, nprobe)
+        .as[(Long, Double)].collect().toSeq
+      val b = IvfStore.topK(spark, fine, qv, 10, nprobe)
+        .as[(Long, Double)].collect().toSeq
+      assert(a == b, s"retrained ≠ fresh build at nprobe=$nprobe")
+    }
+    // one negative generation on disk; the swap swept the old dirs
+    val dirs = new java.io.File(coarse + "/vectors").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("ab="))
+      .map(_.getName)
+    assert(dirs.toList == List("ab=-1"), dirs.mkString(","))
+    // batch 1 was folded into the generation: a replay must not re-land
+    val n = IvfStore.readVectors(spark, coarse).count()
+    IvfStore.append(extra, coarse, 1L)
+    assert(IvfStore.readVectors(spark, coarse).count() == n,
+      "replayed folded batch must stay a no-op after retrain")
+    // geometry guards: wrong dim / dup ids / non-positive ids refuse
+    intercept[IllegalArgumentException](IvfStore.retrain(spark, coarse,
+      Seq((1L, Seq(0.0, 1.0))).toDF("cluster_id", "centroid")))
+    intercept[IllegalArgumentException](IvfStore.retrain(spark, coarse,
+      IvfStore.centroidsDf(spark, fine).withColumn("cluster_id", lit(1L))))
+    intercept[IllegalArgumentException](IvfStore.retrain(spark, coarse,
+      IvfStore.centroidsDf(spark, fine)
+        .withColumn("cluster_id", col("cluster_id") - 1L)))
+  }
 }
