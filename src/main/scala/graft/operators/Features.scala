@@ -73,14 +73,26 @@ object Features {
           "schema — raise maxCategories deliberately or targetEncode")
       val names = vals.map(v =>
         c + "_" + v.replaceAll("[^A-Za-z0-9]+", "_"))
-      require(names.distinct.size == names.size,
-        s"sanitized one-hot names collide for column '$c': " +
-          names.diff(names.distinct).distinct.mkString(", "))
       vals.zip(names).map { case (v, nm) =>
-        (col(c).cast("string") <=> lit(v)).cast("int").as(nm)
+        ((col(c).cast("string") <=> lit(v)).cast("int"), nm)
       }
     }
-    df.select(df.columns.map(col).toSeq ++ indicators: _*)
+    // collision check over the FULL generated set AND the existing
+    // schema — sanitization can collide across encoded columns
+    // ('x' value 'y_z' vs 'x_y' value 'z' both yield x_y_z) or with a
+    // pre-existing dataframe column; either silently produces a
+    // duplicate-named schema that fails ambiguously downstream
+    val allNames = indicators.map(_._2)
+    require(allNames.distinct.size == allNames.size,
+      "sanitized one-hot names collide: " +
+        allNames.diff(allNames.distinct).distinct.mkString(", "))
+    val existing = df.columns.toSet
+    val clash = allNames.filter(existing.contains)
+    require(clash.isEmpty,
+      "one-hot indicator names collide with existing columns: " +
+        clash.mkString(", "))
+    df.select(df.columns.map(col).toSeq ++
+      indicators.map { case (e, nm) => e.as(nm) }: _*)
   }
 
   def targetEncode(df: DataFrame, catCol: String, targetCol: String,

@@ -186,6 +186,34 @@ class PlanSpec extends SparkSpec {
     assert(rows.forall(r => r.getLong(0) == r.getLong(1) && r.getLong(2) == 1L))
   }
 
+  test("q235 bhAdjust: both corpus-sized walks ride the bucketed " +
+      "two-level ranks — no hypothesis-table window ever funnels " +
+      "through one task (the r12 reroute, pinned)") {
+    import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    val df = SparkEntry.queries("q235_bh_adjust")(spark, sf("sf0.001"))
+    val plan = df.queryExecution.sparkPlan
+    val windows = plan.collect { case w: WindowExec => w }
+    assert(windows.nonEmpty, s"expected the two-level rank windows in:\n$plan")
+    // the only globally-sorted windows allowed are the buckets-sized
+    // prefix walks above an aggregation (the islands precedent); the
+    // row-level walks must be bucket-partitioned
+    windows.filter(_.partitionSpec.isEmpty).foreach { w =>
+      assert(w.collect { case a: BaseAggregateExec => a }.nonEmpty,
+        s"global window must walk the bucket-prefix aggregate only:\n$w")
+    }
+    plan.collect {
+      case e: ShuffleExchangeExec if e.outputPartitioning == SinglePartition => e
+    }.foreach { e =>
+      assert(e.collect { case a: BaseAggregateExec => a }.nonEmpty,
+        s"single-partition exchange must carry aggregated (buckets-" +
+          s"sized) rows, never the hypothesis table:\n$e")
+    }
+    assert(df.collect().nonEmpty)
+  }
+
   test("q228 knnJoin: centroids broadcast, rank windows are query-" +
       "partitioned, no cartesian candidate join") {
     import org.apache.spark.sql.catalyst.plans.physical.SinglePartition

@@ -343,5 +343,17 @@ class FeaturesSpec2 extends SparkSpec {
     val out = Features.oneHot(ints, Seq("k")).orderBy("id").collect()
     assert(out.map(r => (r.getInt(2), r.getInt(3))).toSeq ==
       Seq((1, 0), (0, 1), (1, 0)))
+    // CROSS-column collision: col 'x' value 'y_z' and col 'x_y' value
+    // 'z' both sanitize to x_y_z — must fail fast, not emit a
+    // duplicate-named schema
+    val cross = Seq((1L, "y_z", "z")).toDF("id", "x", "x_y")
+    intercept[IllegalArgumentException] {
+      Features.oneHot(cross, Seq("x", "x_y"))
+    }
+    // collision with a PRE-EXISTING dataframe column
+    val pre = Seq((1L, "b", 9)).toDF("id", "a", "a_b")
+    intercept[IllegalArgumentException] {
+      Features.oneHot(pre, Seq("a"))
+    }
   }
 }
