@@ -486,7 +486,7 @@ object Dedup {
       .filter(size(col("__tk")) >= k)
     val wins = toks.select(col(idCol),
       posexplode(transform(sequence(lit(0), size(col("__tk")) - lit(k)),
-        i => xxhash64(concat_ws(" ", slice(col("__tk"), i + 1, lit(k))))))
+        i => xxhash64(concat_ws("\u0000", slice(col("__tk"), i + 1, lit(k))))))
         .as(Seq("start", "__h")))
     val dups = wins.groupBy("__h")
       .agg(countDistinct(col(idCol)).as("__nd"))
