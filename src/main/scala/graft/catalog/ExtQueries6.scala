@@ -35,7 +35,34 @@ object ExtQueries6 {
       }
       graft.operators.CentroidStore.serveGrid(s, store)
         .orderBy(col("cluster_id"), col("i"))
-    }))
+    }),
+
+    // --- exact global ntile without the single-partition funnel ----------
+    // q51's keyed ntile partitions by status; the GLOBAL form is the
+    // one that funnels a corpus through one task when written as
+    // ntile().over(Window.orderBy) — Ranks.globalNtile re-expresses it
+    // on the bucketed two-level rank machinery with pure integer tile
+    // arithmetic. Summarized per tile so the oracle pins every
+    // boundary exactly.
+    "q327_global_ntile" -> ((s, d) =>
+      graft.operators.Ranks.globalNtile(
+          t(s, d, "orders").select(col("o_orderkey")),
+          "o_orderkey", 7, "tile")
+        .groupBy(col("tile"))
+        .agg(count(lit(1)).as("n"),
+          min(col("o_orderkey")).as("min_key"),
+          max(col("o_orderkey")).as("max_key"))
+        .orderBy(col("tile"))),
+
+    // --- weight-of-evidence categorical encoding --------------------------
+    // Does order priority carry signal about finishing? WoE per
+    // priority level + its information-value contribution (Σ iv_term
+    // is the classic IV feature screen).
+    "q328_woe" -> ((s, d) =>
+      graft.operators.Features.woeEncode(
+        t(s, d, "orders").select(col("o_orderpriority"),
+          (col("o_orderstatus") === "F").cast("int").as("fin")),
+        "o_orderpriority", "fin")))
 
   def oracleSql: Map[String, String] = Map(
     // the q103 assignment shape against 4-grid anchors (round-4
@@ -75,5 +102,40 @@ object ExtQueries6 {
              AS mean
          FROM a LEFT JOIN grid ON a.cluster_id = grid.cluster_id
            AND a.i = grid.i
-         ORDER BY a.cluster_id, a.i""")
+         ORDER BY a.cluster_id, a.i""",
+
+    // ANSI ntile is ANSI ntile — the oracle is the window function
+    // itself; the engine side must reproduce every tile boundary
+    "q327_global_ntile" ->
+      """WITH t AS (SELECT o_orderkey,
+             ntile(7) OVER (ORDER BY o_orderkey) AS tile
+           FROM orders)
+         SELECT tile, CAST(count(*) AS BIGINT) AS n,
+           min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+         FROM t GROUP BY tile ORDER BY tile""",
+
+    // identical smoothed-share arithmetic: one conditional-count agg,
+    // additive alpha = 0.5 on (category, class) counts with totals
+    // inflated by alpha*k, one ln per category
+    "q328_woe" ->
+      """WITH r AS (SELECT o_orderpriority AS category,
+             CAST(o_orderstatus = 'F' AS BIGINT) AS y
+           FROM orders WHERE o_orderstatus IS NOT NULL),
+         per AS (SELECT category, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(y) AS BIGINT) AS n_pos,
+             CAST(count(*) - sum(y) AS BIGINT) AS n_neg
+           FROM r GROUP BY 1),
+         tot AS (SELECT CAST(sum(n_pos) AS BIGINT) AS tp,
+             CAST(sum(n_neg) AS BIGINT) AS tn,
+             CAST(count(*) AS BIGINT) AS k FROM per),
+         s AS (SELECT category, n, n_pos, n_neg,
+             (CAST(n_pos AS DOUBLE) + 0.5)
+               / (CAST(tp AS DOUBLE) + 0.5 * k) AS p,
+             (CAST(n_neg AS DOUBLE) + 0.5)
+               / (CAST(tn AS DOUBLE) + 0.5 * k) AS q
+           FROM per, tot)
+         SELECT category, n, n_pos, n_neg,
+           round(ln(p / q), 6) AS woe,
+           round((p - q) * ln(p / q), 6) AS iv_term
+         FROM s ORDER BY category""")
 }

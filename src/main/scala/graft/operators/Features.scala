@@ -95,6 +95,61 @@ object Features {
       indicators.map { case (e, nm) => e.as(nm) }: _*)
   }
 
+  /** Weight-of-evidence encoding — the binary-target sibling of
+    * [[targetEncode]] (the standard credit-scoring / churn-model
+    * categorical representation, and the additive feature-screening
+    * score [[oneHot]] and targetEncode don't give): each category maps
+    * to `ln(p_c / q_c)` where p_c and q_c are its SMOOTHED shares of
+    * the positive and negative populations, plus its information-value
+    * contribution `(p_c − q_c)·woe` — Σ iv_term is the classic IV
+    * feature-strength screen (< 0.02 useless, > 0.3 strong).
+    *
+    * Smoothing: `alpha` pseudo-counts per (category, class) with the
+    * totals inflated by `alpha·k` (k = observed categories), so
+    * single-class categories stay finite and the shares still sum to
+    * 1 — the additive-smoothing convention, pinned here because WoE
+    * variants differ exactly in this seam.
+    *
+    * Determinism: counts are exact BIGINTs; each share is ONE double
+    * division, woe/iv one `ln` and one product, rounded 6 (the q113
+    * BM25 ln-parity precedent). A non-0/1 target FAILS the job
+    * (assert_true inside a Filter — the [[CentroidStore.append]]
+    * valve, zero extra jobs); null targets drop; a null CATEGORY is a
+    * real level (the [[targetEncode]] contract).
+    *
+    * Scale shape: one category-keyed conditional-count agg + a 1-row
+    * totals broadcast — the corpus is scanned once, k-sized tables
+    * everywhere after. Output: (category, n, n_pos, n_neg, woe,
+    * iv_term) ordered by category. */
+  def woeEncode(df: DataFrame, catCol: String, targetCol: String,
+                alpha: Double = 0.5): DataFrame = {
+    require(alpha >= 0.0, s"alpha must be >= 0, got $alpha")
+    val rows = df.filter(col(targetCol).isNotNull)
+      .select(col(catCol).as("category"),
+        col(targetCol).cast("long").as("__y"))
+      .filter(assert_true(col("__y").isin(0L, 1L),
+        concat(lit(s"woeEncode target '$targetCol' must be 0/1, got "),
+          col("__y").cast("string"))).isNull)
+    val per = rows.groupBy(col("category"))
+      .agg(count(lit(1)).as("n"), sum(col("__y")).as("n_pos"))
+      .withColumn("n_neg", col("n") - col("n_pos"))
+    val tot = per.agg(sum(col("n_pos")).cast("long").as("__tp"),
+      sum(col("n_neg")).cast("long").as("__tn"),
+      count(lit(1)).as("__k"))
+    per.crossJoin(broadcast(tot))
+      .withColumn("__p",
+        (col("n_pos").cast("double") + lit(alpha)) /
+          (col("__tp").cast("double") + lit(alpha) * col("__k")))
+      .withColumn("__q",
+        (col("n_neg").cast("double") + lit(alpha)) /
+          (col("__tn").cast("double") + lit(alpha) * col("__k")))
+      .select(col("category"), col("n"), col("n_pos"), col("n_neg"),
+        round(log(col("__p") / col("__q")), 6).as("woe"),
+        round((col("__p") - col("__q")) * log(col("__p") / col("__q")), 6)
+          .as("iv_term"))
+      .orderBy(col("category"))
+  }
+
   def targetEncode(df: DataFrame, catCol: String, targetCol: String,
                    alpha: Double = 10.0): DataFrame = {
     require(alpha >= 0.0, s"alpha must be >= 0, got $alpha")

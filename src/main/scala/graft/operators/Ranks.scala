@@ -122,4 +122,31 @@ object Ranks {
       .withColumn(outCol, least(col("__lm"), col("__om")))
       .drop("__pid", "__lm", "__om")
   }
+
+  /** Exact ANSI `ntile(tiles)` by `orderCol` (must be unique) without
+    * the single-partition funnel `ntile().over(Window.orderBy(k))`
+    * routes every row through: rank rides [[globalRowNumber]], the
+    * total is a 1-row broadcast, and the ANSI tile arithmetic — the
+    * first `n mod tiles` tiles get `n div tiles + 1` rows, the rest
+    * `n div tiles` — is a pure integer projection (no doubles, no
+    * rounding seam; identical to every SQL engine's `ntile` by
+    * construction). Appends `outCol` (LongType); row order of the
+    * output is not defined. */
+  def globalNtile(df: DataFrame, orderCol: String, tiles: Int,
+                  outCol: String, buckets: Int = 64): DataFrame = {
+    require(tiles > 0, s"tiles must be positive, got $tiles")
+    val ranked = globalRowNumber(df, orderCol, "__gnr", buckets)
+    val total = ranked.agg(count(lit(1)).as("__gn"))
+    // `div` is integral long division (never the double `/` — tile
+    // boundaries must be exact at any corpus size)
+    ranked.crossJoin(broadcast(total))
+      .withColumn("__q", expr(s"__gn div $tiles"))
+      .withColumn("__r", col("__gn") % tiles)
+      .withColumn(outCol,
+        when(col("__gnr") <= (col("__q") + 1L) * col("__r"),
+          expr("(__gnr - 1) div (__q + 1) + 1"))
+          .otherwise(col("__r") +
+            expr("(__gnr - 1 - (__q + 1) * __r) div __q") + 1L))
+      .drop("__gnr", "__gn", "__q", "__r")
+  }
 }

@@ -356,4 +356,44 @@ class FeaturesSpec2 extends SparkSpec {
       Features.oneHot(pre, Seq("a"))
     }
   }
+
+  test("woeEncode: hand-checked smoothed shares, IV signs, null " +
+    "handling, non-binary target fails the job") {
+    // cat a: 3 pos / 1 neg; cat b: 1 pos / 3 neg; k = 2, alpha = 0.5
+    // p_a = 3.5/5, q_a = 1.5/5; p_b = 1.5/5, q_b = 3.5/5 (mirrored)
+    val df = Seq(
+      ("a", 1), ("a", 1), ("a", 1), ("a", 0),
+      ("b", 1), ("b", 0), ("b", 0), ("b", 0))
+      .toDF("c", "y")
+    val out = Features.woeEncode(df, "c", "y")
+      .as[(String, Long, Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+    val woeA = math.rint(math.log((3.5 / 5.0) / (1.5 / 5.0)) * 1e6) / 1e6
+    val ivA = math.rint((3.5 / 5.0 - 1.5 / 5.0) *
+      math.log((3.5 / 5.0) / (1.5 / 5.0)) * 1e6) / 1e6
+    assert(out("a") == ((4L, 3L, 1L, woeA, ivA)))
+    // mirrored counts: woe negates exactly, iv_term is identical
+    assert(out("b")._4 == -woeA && out("b")._5 == ivA)
+
+    // null target drops; null CATEGORY is a real level
+    val nulls = Seq((Some("a"), Some(1)), (Some("a"), None),
+      (None, Some(0))).toDF("c", "y")
+    val served = Features.woeEncode(nulls, "c", "y").collect()
+    assert(served.length == 2 &&
+      served.exists(r => r.isNullAt(0) && r.getLong(1) == 1L))
+
+    // single-class category stays finite under smoothing
+    val oneClass = Seq(("a", 1), ("a", 1), ("b", 0)).toDF("c", "y")
+    val fin = Features.woeEncode(oneClass, "c", "y")
+      .select("woe").as[Double].collect()
+    assert(fin.forall(w => !w.isInfinite && !w.isNaN))
+
+    // non-0/1 target is corrupt input, not a skippable row
+    val bad = Seq(("a", 2)).toDF("c", "y")
+    intercept[Exception] {
+      Features.woeEncode(bad, "c", "y").collect()
+    }
+    intercept[IllegalArgumentException](
+      Features.woeEncode(df, "c", "y", alpha = -1.0))
+  }
 }

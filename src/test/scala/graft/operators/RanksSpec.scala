@@ -63,4 +63,26 @@ class RanksSpec extends SparkSpec {
     assert(got == Set(("a", 1, 10L, 1.0), ("a", 2, 30L, 3.0),
       ("a", 3, 60L, 7.0), ("b", 1, 5L, 0.5)))
   }
+
+  test("globalNtile ≡ single-window ntile across bucket counts, tile " +
+    "sizes, and the n < tiles edge") {
+    import org.apache.spark.sql.expressions.Window
+    val keys = (0 until 501).map(i => ((i * 7919) % 2000) - 700L).distinct
+    val df = scala.util.Random.shuffle(keys).toDF("k")
+    for (tiles <- Seq(1, 4, 7); b <- Seq(1, 4, 64)) {
+      val got = Ranks.globalNtile(df, "k", tiles, "t", buckets = b)
+        .as[(Long, Long)].collect().toSet
+      val expected = df
+        .withColumn("t", ntile(tiles).over(Window.orderBy(col("k")))
+          .cast("long"))
+        .as[(Long, Long)].collect().toSet
+      assert(got == expected, s"tiles=$tiles buckets=$b")
+    }
+    // n < tiles: every row its own tile 1..n, trailing tiles empty
+    val tiny = Seq(30L, 10L, 20L).toDF("k")
+    val gotTiny = Ranks.globalNtile(tiny, "k", 7, "t")
+      .as[(Long, Long)].collect().toSet
+    assert(gotTiny == Set((10L, 1L), (20L, 2L), (30L, 3L)))
+    intercept[IllegalArgumentException](Ranks.globalNtile(tiny, "k", 0, "t"))
+  }
 }
