@@ -148,6 +148,51 @@ object IvfPqStore {
       .limit(k)
   }
 
+  /** Re-anchor the COARSE layer on `newCentroids` with the PQ layer
+    * kept consistent — [[IvfStore.retrain]]'s composed sibling (the
+    * plain path refuses on a PQ store: codes are partitioned by this
+    * store's (ab, cluster), so moving only the vectors would strand
+    * them on dead partitions). Codes BYTES never change — PQ encodes
+    * raw vectors, not residuals, so a coarse re-anchor only MOVES
+    * them: the visible codes re-key to each id's NEW cluster (one
+    * id-equi join against the re-assigned vectors, no re-encode) and
+    * land under the same new generation, codes BEFORE the one
+    * vectors-manifest swap that flips both layers atomically (the
+    * [[append]] ordering). Old index served at every crash point;
+    * codebooks untouched, so ADC arithmetic is identical before and
+    * after — only WHICH partitions a probe prunes to changes. */
+  def retrain(spark: SparkSession, store: String,
+              newCentroids: DataFrame): Unit = {
+    require(pqLayerExists(spark, store), s"no IVF×PQ store at $store")
+    val meta = IvfStore.readMeta(spark, store)
+    val m2 = IvfStore.retrainWrite(spark, store, newCentroids)
+    val gen = m2.batches.head
+    // re-key the visible codes to the new assignment: id → new cluster
+    // off the just-written generation (invisible until the swap below)
+    val newAssign = spark.read.parquet(IvfStore.vectorsPath(store))
+      .filter(col("ab") === gen)
+      .select(col(meta.idCol), col("cluster"))
+    val moved = spark.read.parquet(codesPath(store))
+      .filter(col("ab").isin(meta.batches: _*))
+      .select(col(meta.idCol), col(CodesCol))
+      .join(newAssign, Seq(meta.idCol))
+      .select(col(meta.idCol), col(CodesCol), lit(gen).as("ab"),
+        col("cluster"))
+      .repartition(col("cluster"))
+    graft.sources.Sinks.overwritePartitions(moved, codesPath(store),
+      Seq("ab", "cluster"))
+    IvfStore.retrainCommit(spark, store, m2) // both layers flip here
+    val fs = fsOf(spark, store)
+    val root = new org.apache.hadoop.fs.Path(codesPath(store))
+    if (fs.exists(root))
+      fs.listStatus(root).foreach { s =>
+        val name = s.getPath.getName
+        if (s.isDirectory && name.startsWith("ab=") &&
+            name.stripPrefix("ab=").toLongOption.exists(_ != gen))
+          fs.delete(s.getPath, true)
+      }
+  }
+
   /** Compact BOTH layers into one negative generation: codes fold
     * first (under the new gen dir), then [[IvfStore.compactStore]]
     * swaps the manifest (the visibility pivot for both layers), then

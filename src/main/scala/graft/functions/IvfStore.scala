@@ -246,6 +246,25 @@ object IvfStore {
     * write, no Lloyd iterations, no driver-side vector traffic. */
   def retrain(spark: SparkSession, store: String,
               newCentroids: DataFrame): Unit = {
+    // a PQ codes layer is partitioned by THIS store's (ab, cluster) —
+    // re-anchoring only the vectors would strand it on dead partitions
+    // (empty probes, silently); the composed path moves both layers
+    // under the one swap
+    require(!PqIndex.codebooksExist(spark, store),
+      s"$store carries a PQ codes layer — use IvfPqStore.retrain, " +
+        "which moves both layers under one manifest swap")
+    val m2 = retrainWrite(spark, store, newCentroids)
+    retrainCommit(spark, store, m2)
+  }
+
+  /** Phase 1 of [[retrain]]: validate + pin the new anchors, re-assign
+    * every visible vector, land the result under the next negative
+    * generation — INVISIBLE until [[retrainCommit]] swaps the
+    * manifest. Returns the new meta (its sole batch is the new
+    * generation). Idempotent: a crashed attempt recomputes the same
+    * generation and overwrites convergently. */
+  private[functions] def retrainWrite(spark: SparkSession, store: String,
+                                      newCentroids: DataFrame): Meta = {
     val m = readMeta(spark, store)
     // k-bounded collect: the centroid frame is tiny by contract
     val cents = newCentroids
@@ -272,7 +291,16 @@ object IvfStore {
     // re-assignment reads through the OLD manifest's visible batches
     // and writes under the new generation — invisible until the swap
     writeBatch(readVectors(spark, store).drop("cluster"), m2, store, gen)
-    writeMeta(spark, store, m2) // THE swap: probes flip here, atomically
+    m2
+  }
+
+  /** Phase 2 of [[retrain]]: the ONE manifest swap (probes flip here,
+    * atomically), then the best-effort sweep of superseded `ab=`
+    * dirs. */
+  private[functions] def retrainCommit(spark: SparkSession, store: String,
+                                       m2: Meta): Unit = {
+    val gen = m2.batches.head
+    writeMeta(spark, store, m2)
     val fs = fsOf(spark, store)
     if (fs.exists(hPath(vectorsPath(store))))
       fs.listStatus(hPath(vectorsPath(store))).foreach { s =>

@@ -152,4 +152,63 @@ class IvfPqStoreSpec extends SparkSpec {
       .filter(_.isDirectory).map(_.getName).toSet
     assert(dirs2 == Set("ab=-1"), s"replay must not create new dirs: $dirs2")
   }
+
+  test("retrain moves BOTH layers under one swap: full-probe results " +
+      "invariant (codes bytes never change), layers stay keyed " +
+      "identically, plain IvfStore.retrain refuses") {
+    val store = tmpStore()
+    IvfPqStore.build(emb.filter($"vec_id" < 300), "embedding", "vec_id",
+      store, k = 2, m = 8, ksub = 16)
+    IvfPqStore.append(emb.filter($"vec_id" >= 300 && $"vec_id" < 380),
+      store, batchId = 1L)
+    // full probe = exact over the content: the invariant yardstick
+    val before = IvfPqStore.topK(spark, store, qv, k = 10, nprobe = 2,
+      shortlist = 100).collect().map(_.toSeq).toSeq
+    // the plain vectors-only path must refuse — it would strand the
+    // codes layer on dead partitions
+    val fresh = IvfIndex.build(emb.filter($"vec_id" < 380), "embedding",
+      "vec_id", k = 8, iterations = 2)
+    try {
+      intercept[IllegalArgumentException](
+        IvfStore.retrain(spark, store, fresh.centroids))
+      IvfPqStore.retrain(spark, store, fresh.centroids)
+    } finally fresh.close()
+    val meta = IvfStore.readMeta(spark, store)
+    assert(meta.k == 8 && meta.batches.length == 1 &&
+      meta.batches.head < 0L && meta.retired.contains(1L))
+    // full probe over the re-anchored layout: same content, same
+    // codebooks, same ADC arithmetic — identical results
+    val after = IvfPqStore.topK(spark, store, qv, k = 10, nprobe = 8,
+      shortlist = 100).collect().map(_.toSeq).toSeq
+    assert(after == before,
+      "re-anchoring moves bytes, not content: full probe must not move")
+    // the two layers stay keyed identically: every id in the same
+    // (ab, cluster) partition in both
+    val vecKeys = spark.read.parquet(store + "/vectors")
+      .select($"vec_id", $"ab", $"cluster")
+    val codeKeys = spark.read.parquet(store + "/codes")
+      .select($"vec_id".as("cid"), $"ab".as("cab"),
+        $"cluster".as("ccluster"))
+    val joined = vecKeys.join(codeKeys, $"vec_id" === $"cid", "full")
+    assert(joined.filter($"vec_id".isNull || $"cid".isNull ||
+        $"ab" =!= $"cab" || $"cluster" =!= $"ccluster").isEmpty,
+      "codes and vectors must carry identical (id, ab, cluster) keys")
+    // probes still prune to nprobe partitions on the NEW layout
+    // (AQE wraps the joined plan — unwrap to the file scans)
+    val pruned = IvfPqStore.topK(spark, store, qv, k = 5, nprobe = 2,
+      shortlist = 100)
+    pruned.collect()
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def scansOf(p: SparkPlan): Seq[FileSourceScanExec] = p.flatMap {
+      case a: AdaptiveSparkPlanExec => scansOf(a.executedPlan)
+      case s: QueryStageExec => scansOf(s.plan)
+      case f: FileSourceScanExec => Seq(f)
+      case _ => Seq.empty
+    }
+    val scans = scansOf(pruned.queryExecution.executedPlan)
+    assert(scans.nonEmpty &&
+      scans.forall(_.selectedPartitions.partitionCount <= 2),
+      "retrained probe must stay partition-pruned")
+  }
 }
