@@ -62,7 +62,23 @@ object ExtQueries6 {
       graft.operators.Features.woeEncode(
         t(s, d, "orders").select(col("o_orderpriority"),
           (col("o_orderstatus") === "F").cast("int").as("fin")),
-        "o_orderpriority", "fin")))
+        "o_orderpriority", "fin")),
+
+    // --- exact global percent_rank / cume_dist with ties ------------------
+    // The corpus-window forms funnel every row through one task;
+    // Ranks.globalRankStats walks the value LEVEL grid instead.
+    // l_quantity is 50 integer levels with thousands of rows each —
+    // the heavy-ties shape that makes tie-correctness the whole test;
+    // summarized per level so the oracle pins every shared rank.
+    "q329_global_rank_stats" -> ((s, d) =>
+      graft.operators.Ranks.globalRankStats(
+          t(s, d, "lineitem").select(col("l_quantity")), "l_quantity")
+        .filter(col("l_quantity").isNotNull)
+        .groupBy(col("l_quantity"))
+        .agg(count(lit(1)).as("n"),
+          round(min(col("percent_rank")), 6).as("percent_rank"),
+          round(min(col("cume_dist")), 6).as("cume_dist"))
+        .orderBy(col("l_quantity"))))
 
   def oracleSql: Map[String, String] = Map(
     // the q103 assignment shape against 4-grid anchors (round-4
@@ -137,5 +153,17 @@ object ExtQueries6 {
          SELECT category, n, n_pos, n_neg,
            round(ln(p / q), 6) AS woe,
            round((p - q) * ln(p / q), 6) AS iv_term
-         FROM s ORDER BY category""")
+         FROM s ORDER BY category""",
+
+    // ANSI percent_rank/cume_dist are the oracle — constant within a
+    // tie group, so min() per level reads the shared value back
+    "q329_global_rank_stats" ->
+      """WITH r AS (SELECT l_quantity,
+             percent_rank() OVER (ORDER BY l_quantity) AS pr,
+             cume_dist() OVER (ORDER BY l_quantity) AS cd
+           FROM lineitem WHERE l_quantity IS NOT NULL)
+         SELECT l_quantity, CAST(count(*) AS BIGINT) AS n,
+           round(min(pr), 6) AS percent_rank,
+           round(min(cd), 6) AS cume_dist
+         FROM r GROUP BY l_quantity ORDER BY l_quantity""")
 }

@@ -149,4 +149,38 @@ object Ranks {
             expr("(__gnr - 1 - (__q + 1) * __r) div __q") + 1L))
       .drop("__gnr", "__gn", "__q", "__r")
   }
+
+  /** Exact global ANSI `percent_rank` + `cume_dist` of `valueCol`
+    * WITH ties — the corpus-sized forms
+    * `percent_rank()/cume_dist().over(Window.orderBy(v))` funnel
+    * every row through one task to compute; here the corpus reduces
+    * to its value LEVEL grid (distinct values × counts), the
+    * cumulative count walks the grid through [[groupedCumSum]]'s
+    * bucketed machinery, and rows get their stats back by ONE
+    * value-keyed join (ties share a level row, so the join is also
+    * what makes tie-handling exact by construction):
+    * `percent_rank = (cum − cnt)/(n − 1)` (the tie-shared MIN rank,
+    * ANSI), `cume_dist = cum/n` — exact BIGINTs into one double
+    * division each, bit-identical to any SQL engine's window form.
+    * n = 1 → percent_rank 0 (the engines' 0/0 convention). Null
+    * values keep null stats (they are not a level). Appends
+    * `percent_rank` and `cume_dist`; row order undefined. */
+  def globalRankStats(df: DataFrame, valueCol: String,
+                      buckets: Int = 64): DataFrame = {
+    val levels = df.filter(col(valueCol).isNotNull)
+      .groupBy(col(valueCol)).agg(count(lit(1)).as("__cnt"))
+    val walked = groupedCumSum(
+        levels.withColumn("__g", lit(1)), Seq("__g"), valueCol,
+        Seq("__cnt"), buckets)
+      .withColumnRenamed("cum___cnt", "__cum")
+    val n = levels.agg(sum(col("__cnt")).cast("long").as("__n"))
+    val stats = walked.crossJoin(broadcast(n))
+      .select(col(valueCol),
+        when(col("__n") === 1L, lit(0.0))
+          .otherwise((col("__cum") - col("__cnt")).cast("double") /
+            (col("__n") - 1L).cast("double")).as("percent_rank"),
+        (col("__cum").cast("double") / col("__n").cast("double"))
+          .as("cume_dist"))
+    df.join(stats, Seq(valueCol), "left")
+  }
 }

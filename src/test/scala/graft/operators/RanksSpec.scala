@@ -85,4 +85,28 @@ class RanksSpec extends SparkSpec {
     assert(gotTiny == Set((10L, 1L), (20L, 2L), (30L, 3L)))
     intercept[IllegalArgumentException](Ranks.globalNtile(tiny, "k", 0, "t"))
   }
+
+  test("globalRankStats ≡ single-window percent_rank/cume_dist with " +
+    "heavy ties; nulls keep null stats; n = 1 edge") {
+    import org.apache.spark.sql.expressions.Window
+    // 400 rows over 13 levels: every level heavily tied
+    val rows = (0 until 400).map(i => ((i * 31) % 13).toLong)
+    val df = scala.util.Random.shuffle(rows).toDF("v")
+    for (b <- Seq(1, 4, 64)) {
+      val got = Ranks.globalRankStats(df, "v", buckets = b)
+        .as[(Long, Double, Double)].collect().toSet
+      val expected = df.select(col("v"),
+          percent_rank().over(Window.orderBy(col("v"))),
+          cume_dist().over(Window.orderBy(col("v"))))
+        .as[(Long, Double, Double)].collect().toSet
+      assert(got == expected, s"buckets=$b")
+    }
+    val withNull = Seq(Some(1L), Some(1L), Some(2L), None).toDF("v")
+    val gn = Ranks.globalRankStats(withNull, "v").collect()
+    assert(gn.filter(_.isNullAt(0)).forall(r =>
+      r.isNullAt(1) && r.isNullAt(2)), "null value keeps null stats")
+    val one = Seq(7L).toDF("v")
+    assert(Ranks.globalRankStats(one, "v")
+      .as[(Long, Double, Double)].collect().toSet == Set((7L, 0.0, 1.0)))
+  }
 }
