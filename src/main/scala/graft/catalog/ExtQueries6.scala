@@ -78,7 +78,35 @@ object ExtQueries6 {
         .agg(count(lit(1)).as("n"),
           round(min(col("percent_rank")), 6).as("percent_rank"),
           round(min(col("cume_dist")), 6).as("cume_dist"))
-        .orderBy(col("l_quantity"))))
+        .orderBy(col("l_quantity"))),
+
+    // --- per-group rank stats, giant-group safe ---------------------------
+    // The keyed sibling: percent_rank/cume_dist of quantity WITHIN
+    // each return flag (one flag holds half the corpus — exactly the
+    // group size where the plain keyed window becomes the funnel).
+    "q330_grouped_rank_stats" -> ((s, d) =>
+      graft.operators.Ranks.groupedRankStats(
+          t(s, d, "lineitem").select(col("l_returnflag"),
+            col("l_quantity")),
+          Seq("l_returnflag"), "l_quantity")
+        .filter(col("l_quantity").isNotNull)
+        .groupBy(col("l_returnflag"), col("l_quantity"))
+        .agg(count(lit(1)).as("n"),
+          round(min(col("percent_rank")), 6).as("percent_rank"),
+          round(min(col("cume_dist")), 6).as("cume_dist"))
+        .orderBy(col("l_returnflag"), col("l_quantity"))),
+
+    // --- per-group exact ntile, giant-group safe --------------------------
+    "q331_grouped_ntile" -> ((s, d) =>
+      graft.operators.Ranks.groupedNtile(
+          t(s, d, "orders").select(col("o_orderstatus"),
+            col("o_orderkey")),
+          Seq("o_orderstatus"), "o_orderkey", 5, "tile")
+        .groupBy(col("o_orderstatus"), col("tile"))
+        .agg(count(lit(1)).as("n"),
+          min(col("o_orderkey")).as("min_key"),
+          max(col("o_orderkey")).as("max_key"))
+        .orderBy(col("o_orderstatus"), col("tile"))))
 
   def oracleSql: Map[String, String] = Map(
     // the q103 assignment shape against 4-grid anchors (round-4
@@ -165,5 +193,29 @@ object ExtQueries6 {
          SELECT l_quantity, CAST(count(*) AS BIGINT) AS n,
            round(min(pr), 6) AS percent_rank,
            round(min(cd), 6) AS cume_dist
-         FROM r GROUP BY l_quantity ORDER BY l_quantity""")
+         FROM r GROUP BY l_quantity ORDER BY l_quantity""",
+
+    "q330_grouped_rank_stats" ->
+      """WITH r AS (SELECT l_returnflag, l_quantity,
+             percent_rank() OVER (PARTITION BY l_returnflag
+               ORDER BY l_quantity) AS pr,
+             cume_dist() OVER (PARTITION BY l_returnflag
+               ORDER BY l_quantity) AS cd
+           FROM lineitem WHERE l_quantity IS NOT NULL)
+         SELECT l_returnflag, l_quantity,
+           CAST(count(*) AS BIGINT) AS n,
+           round(min(pr), 6) AS percent_rank,
+           round(min(cd), 6) AS cume_dist
+         FROM r GROUP BY l_returnflag, l_quantity
+         ORDER BY l_returnflag, l_quantity""",
+
+    "q331_grouped_ntile" ->
+      """WITH t AS (SELECT o_orderstatus, o_orderkey,
+             ntile(5) OVER (PARTITION BY o_orderstatus
+               ORDER BY o_orderkey) AS tile
+           FROM orders)
+         SELECT o_orderstatus, tile, CAST(count(*) AS BIGINT) AS n,
+           min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+         FROM t GROUP BY o_orderstatus, tile
+         ORDER BY o_orderstatus, tile""")
 }

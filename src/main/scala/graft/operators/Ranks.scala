@@ -183,4 +183,63 @@ object Ranks {
           .as("cume_dist"))
     df.join(stats, Seq(valueCol), "left")
   }
+
+  /** Per-group [[globalRankStats]] — exact ANSI `percent_rank` +
+    * `cume_dist` of `valueCol` within each group, tie-correct, safe
+    * when ONE group holds the corpus (the plain keyed window is fine
+    * for bounded groups; a giant group is the same one-task funnel
+    * the global form has): (group, value) LEVEL grid → per-group
+    * cumulative counts through [[groupedCumSum]]'s bucketed walk →
+    * per-group totals (one keyed agg) → stats back onto rows by ONE
+    * (group, value)-keyed join. Same arithmetic and edge conventions
+    * as the global form. */
+  def groupedRankStats(df: DataFrame, groupCols: Seq[String],
+                       valueCol: String, buckets: Int = 64): DataFrame = {
+    require(groupCols.nonEmpty, "groupCols must be non-empty")
+    val gcols: Seq[Column] = groupCols.map(col)
+    val levels = df.filter(col(valueCol).isNotNull)
+      .groupBy((gcols :+ col(valueCol)): _*)
+      .agg(count(lit(1)).as("__cnt"))
+    val walked = groupedCumSum(levels, groupCols, valueCol,
+        Seq("__cnt"), buckets)
+      .withColumnRenamed("cum___cnt", "__cum")
+    val totals = levels.groupBy(gcols: _*)
+      .agg(sum(col("__cnt")).cast("long").as("__n"))
+    val stats = walked.join(totals, groupCols)
+      .select((gcols :+ col(valueCol) :+
+        when(col("__n") === 1L, lit(0.0))
+          .otherwise((col("__cum") - col("__cnt")).cast("double") /
+            (col("__n") - 1L).cast("double")).as("percent_rank") :+
+        (col("__cum").cast("double") / col("__n").cast("double"))
+          .as("cume_dist")): _*)
+    df.join(stats, groupCols :+ valueCol, "left")
+  }
+
+  /** Per-group [[globalNtile]] — exact ANSI `ntile(tiles)` within each
+    * group by `orderCol` (unique per group), safe when one group holds
+    * the corpus: the per-group row number IS [[groupedCumSum]] of a
+    * constant 1, per-group totals join back (one keyed agg), and the
+    * tile arithmetic is the same pure integer projection. Appends
+    * `outCol` (LongType). */
+  def groupedNtile(df: DataFrame, groupCols: Seq[String],
+                   orderCol: String, tiles: Int, outCol: String,
+                   buckets: Int = 64): DataFrame = {
+    require(groupCols.nonEmpty, "groupCols must be non-empty")
+    require(tiles > 0, s"tiles must be positive, got $tiles")
+    val gcols: Seq[Column] = groupCols.map(col)
+    val ranked = groupedCumSum(df.withColumn("__one", lit(1L)),
+        groupCols, orderCol, Seq("__one"), buckets)
+      .withColumnRenamed("cum___one", "__gnr")
+      .drop("__one")
+    val totals = df.groupBy(gcols: _*).agg(count(lit(1)).as("__gn"))
+    ranked.join(totals, groupCols)
+      .withColumn("__q", expr(s"__gn div $tiles"))
+      .withColumn("__r", col("__gn") % tiles)
+      .withColumn(outCol,
+        when(col("__gnr") <= (col("__q") + 1L) * col("__r"),
+          expr("(__gnr - 1) div (__q + 1) + 1"))
+          .otherwise(col("__r") +
+            expr("(__gnr - 1 - (__q + 1) * __r) div __q") + 1L))
+      .drop("__gnr", "__gn", "__q", "__r")
+  }
 }

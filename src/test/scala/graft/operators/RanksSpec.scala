@@ -109,4 +109,37 @@ class RanksSpec extends SparkSpec {
     assert(Ranks.globalRankStats(one, "v")
       .as[(Long, Double, Double)].collect().toSet == Set((7L, 0.0, 1.0)))
   }
+
+  test("groupedRankStats / groupedNtile ≡ keyed windows, incl. " +
+    "one-giant-group") {
+    import org.apache.spark.sql.expressions.Window
+    // group 'big' holds 80% of rows; values heavily tied
+    val rows = (0 until 500).map { i =>
+      (if (i % 5 == 0) s"g${i % 3}" else "big", ((i * 31) % 11).toLong,
+        i.toLong)
+    }
+    val df = scala.util.Random.shuffle(rows).toDF("g", "v", "k")
+    val wv = Window.partitionBy(col("g")).orderBy(col("v"))
+    for (b <- Seq(1, 4, 64)) {
+      val gotStats = Ranks.groupedRankStats(df, Seq("g"), "v", buckets = b)
+        .select("g", "v", "percent_rank", "cume_dist")
+        .as[(String, Long, Double, Double)].collect().toSet
+      val expStats = df.select(col("g"), col("v"),
+          percent_rank().over(wv), cume_dist().over(wv))
+        .as[(String, Long, Double, Double)].collect().toSet
+      assert(gotStats == expStats, s"rank stats buckets=$b")
+      val wk = Window.partitionBy(col("g")).orderBy(col("k"))
+      val gotTile = Ranks.groupedNtile(df, Seq("g"), "k", 4, "t",
+          buckets = b)
+        .select("g", "k", "t").as[(String, Long, Long)].collect().toSet
+      val expTile = df.select(col("g"), col("k"),
+          ntile(4).over(wk).cast("long"))
+        .as[(String, Long, Long)].collect().toSet
+      assert(gotTile == expTile, s"ntile buckets=$b")
+    }
+    intercept[IllegalArgumentException](
+      Ranks.groupedRankStats(df, Seq.empty, "v"))
+    intercept[IllegalArgumentException](
+      Ranks.groupedNtile(df, Seq("g"), "k", 0, "t"))
+  }
 }
