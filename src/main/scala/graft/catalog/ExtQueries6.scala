@@ -106,7 +106,34 @@ object ExtQueries6 {
         .agg(count(lit(1)).as("n"),
           min(col("o_orderkey")).as("min_key"),
           max(col("o_orderkey")).as("max_key"))
-        .orderBy(col("o_orderstatus"), col("tile"))))
+        .orderBy(col("o_orderstatus"), col("tile"))),
+
+    // --- IVF re-anchor served against SQL ---------------------------------
+    // The drift-loop close (serve → new anchors → retrain), DRIVER-
+    // certified: a Lloyd-trained store is re-anchored onto the 4
+    // lowest-id embeddings, and the retrained store's FULL probe
+    // (nprobe = k degenerates to brute force regardless of the coarse
+    // layout) must reproduce DuckDB's exact cosine top-10 — if retrain
+    // lost, duplicated, or mis-keyed one vector, the full probe moves.
+    "q332_retrained_topk" -> ((s, d) => {
+      val store = LlmQueries.cachedStore(s, d, "ivf-retrain-q332") { p =>
+        val emb = t(s, d, "embeddings").filter(col("embedding").isNotNull)
+        graft.functions.IvfStore.build(emb, "embedding", "vec_id", p,
+          k = 8, iterations = 2)
+        graft.functions.IvfStore.retrain(s, p,
+          emb.filter(col("vec_id") < 4)
+            .select((col("vec_id") + 1L).as("cluster_id"),
+              col("embedding").cast("array<double>").as("centroid")))
+      }
+      import scala.jdk.CollectionConverters._
+      val qv = t(s, d, "embeddings").filter(col("vec_id") === 0)
+        .select(col("embedding")).collect()(0)
+        .getList[Float](0).asScala.toSeq
+      graft.functions.IvfStore.topK(s, store, qv, k = 10, nprobe = 4)
+        .select(col("vec_id"), round(col("cosine_sim"), 4)
+          .as("cosine_sim"))
+        .orderBy(col("cosine_sim").desc, col("vec_id"))
+    }))
 
   def oracleSql: Map[String, String] = Map(
     // the q103 assignment shape against 4-grid anchors (round-4
@@ -217,5 +244,26 @@ object ExtQueries6 {
          SELECT o_orderstatus, tile, CAST(count(*) AS BIGINT) AS n,
            min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
          FROM t GROUP BY o_orderstatus, tile
-         ORDER BY o_orderstatus, tile""")
+         ORDER BY o_orderstatus, tile""",
+
+    // the q42 brute-force cosine shape, self-hit included (the store
+    // indexes the full corpus): a full probe over the RETRAINED
+    // layout must reproduce exact top-10
+    "q332_retrained_topk" ->
+      """WITH q AS (SELECT embedding AS qe FROM embeddings
+           WHERE vec_id = 0),
+         sims AS (
+           SELECT e.vec_id,
+             round(sum(CAST(e.embedding[CAST(i AS INT)] AS DOUBLE)
+                 * CAST(q.qe[CAST(i AS INT)] AS DOUBLE))
+               / (sqrt(sum(CAST(e.embedding[CAST(i AS INT)] AS DOUBLE)
+                     * CAST(e.embedding[CAST(i AS INT)] AS DOUBLE)))
+                  * sqrt(sum(CAST(q.qe[CAST(i AS INT)] AS DOUBLE)
+                     * CAST(q.qe[CAST(i AS INT)] AS DOUBLE)))), 4)
+               AS cosine_sim
+           FROM embeddings e, q, generate_series(1, 64) AS g(i)
+           WHERE e.embedding IS NOT NULL
+           GROUP BY e.vec_id)
+         SELECT vec_id, cosine_sim FROM sims
+         ORDER BY cosine_sim DESC, vec_id ASC LIMIT 10""")
 }
