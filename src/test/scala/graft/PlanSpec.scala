@@ -214,6 +214,34 @@ class PlanSpec extends SparkSpec {
     assert(df.collect().nonEmpty)
   }
 
+  test("q327/q329: global ntile and rank stats never funnel the " +
+      "corpus through one task (the Ranks machinery, pinned per query)") {
+    import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    Seq("q327_global_ntile", "q329_global_rank_stats").foreach { name =>
+      val df = SparkEntry.queries(name)(spark, sf("sf0.001"))
+      val plan = df.queryExecution.sparkPlan
+      // globally-sorted windows may walk only the buckets-sized
+      // prefix aggregate (the islands/q235 precedent)
+      plan.collect { case w: WindowExec if w.partitionSpec.isEmpty => w }
+        .foreach { w =>
+          assert(w.collect { case a: BaseAggregateExec => a }.nonEmpty,
+            s"$name: global window must walk the bucket-prefix " +
+              s"aggregate only:\n$w")
+        }
+      plan.collect {
+        case e: ShuffleExchangeExec if e.outputPartitioning == SinglePartition => e
+      }.foreach { e =>
+        assert(e.collect { case a: BaseAggregateExec => a }.nonEmpty,
+          s"$name: single-partition exchange must carry aggregated " +
+            s"(buckets-sized) rows, never the corpus:\n$e")
+      }
+      assert(df.collect().nonEmpty)
+    }
+  }
+
   test("q228 knnJoin: centroids broadcast, rank windows are query-" +
       "partitioned, no cartesian candidate join") {
     import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
