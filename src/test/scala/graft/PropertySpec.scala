@@ -210,4 +210,52 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("Ranks.globalNtile ANSI invariants on random inputs: tile sizes " +
+    "differ by at most 1, larger tiles first, order-monotone") {
+    val gen = Gen.listOfN(90, Gen.choose(-10000, 10000))
+    for (i <- 1 to 3; tiles <- Seq(3, 7, 13)) {
+      val keys = gen.pureApply(Gen.Parameters.default, Seed(900L + i))
+        .distinct.map(_.toLong)
+      val df = keys.toDF("k")
+      val got = graft.operators.Ranks.globalNtile(df, "k", tiles, "t")
+        .as[(Long, Long)].collect().sortBy(_._1)
+      val sizes = got.groupBy(_._2).map { case (t, xs) => t -> xs.length }
+      val n = keys.length
+      // every tile 1..min(tiles, n) non-empty, sizes within 1,
+      // larger tiles first
+      assert(sizes.keySet == (1 to math.min(tiles, n)).map(_.toLong).toSet)
+      assert(sizes.values.max - sizes.values.min <= 1, s"$sizes")
+      val ordered = (1 to math.min(tiles, n)).map(t => sizes(t.toLong))
+      assert(ordered == ordered.sorted.reverse, s"big tiles first: $ordered")
+      assert(sizes.values.sum == n)
+      // tile is monotone in key order
+      assert(got.map(_._2).sliding(2).forall(p =>
+        p.length < 2 || p(0) <= p(1)))
+    }
+  }
+
+  test("Ranks.globalRankStats invariants on random tied inputs: " +
+    "cume_dist in (0,1] and monotone, percent_rank in [0,1) with 0 at " +
+    "the minimum, both constant within a tie level") {
+    val gen = Gen.listOfN(150, Gen.choose(0, 12))
+    for (i <- 1 to 3) {
+      val vals = gen.pureApply(Gen.Parameters.default, Seed(1300L + i))
+        .map(_.toLong)
+      val df = vals.toDF("v")
+      val got = graft.operators.Ranks.globalRankStats(df, "v")
+        .as[(Long, Double, Double)].collect()
+      val byLevel = got.groupBy(_._1)
+      byLevel.foreach { case (_, xs) =>
+        assert(xs.map(x => (x._2, x._3)).distinct.length == 1,
+          "stats must be constant within a tie level")
+      }
+      val levels = byLevel.keys.toSeq.sorted
+      val cds = levels.map(l => byLevel(l).head._3)
+      val prs = levels.map(l => byLevel(l).head._2)
+      assert(cds.forall(c => c > 0.0 && c <= 1.0) && cds.last == 1.0)
+      assert(cds == cds.sorted && prs == prs.sorted)
+      assert(prs.head == 0.0 && prs.forall(p => p >= 0.0 && p < 1.0))
+    }
+  }
 }
