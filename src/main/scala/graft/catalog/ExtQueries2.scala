@@ -348,7 +348,11 @@ object ExtQueries2 {
       graft.operators.Eval.isotonicCalibrate(
           ev(s, d)
             .withColumn("is_pm", (hour(col("ts")) >= 12).cast("int"))
-            .withColumn("score", round(col("value") / 100.0, 2)),
+            // floor/100, not round(v/100, 2): engines disagree on
+            // decimal-string .xx5 halves (round(1.035, 2) is 1.04 in
+            // Spark, 1.03 in DuckDB), and the score GRID must be
+            // bit-identical for the PAV levels to line up
+            .withColumn("score", floor(col("value")) / lit(100.0)),
           "event_type", "is_pm", "score")
         .orderBy(col("event_type"), col("score"))),
 
@@ -1135,6 +1139,40 @@ object ExtQueries2 {
                - CAST(cumb AS DECIMAL(38,0)) * na)) AS DOUBLE)
                / (CAST(na AS DOUBLE) * nb) END, 6) AS ks_d
          FROM walked, tot GROUP BY na, nb""",
+
+    // the isotonic minimax identity: the unique weighted-L2 isotonic
+    // fit at level i is max_{j<=i} min_{k>=i} of the [j,k] prefix-sum
+    // positive rate — an exact replay of PAVA without the stack walk
+    // (correctly-rounded IEEE division is MONOTONE in the rational it
+    // rounds, so the double max/min lands on the bit-identical block
+    // rate the engine's merge computes). O(levels²) pairs per group:
+    // oracle-scale arithmetic, not the engine's plan
+    "q239_isotonic" ->
+      """WITH rows_ AS (SELECT event_type AS g,
+             floor(value) / 100.0 AS s,
+             CASE WHEN hour(ts) >= 12 THEN 1 ELSE 0 END AS y
+           FROM events WHERE value IS NOT NULL),
+         lvl AS (SELECT g, s, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(y) AS BIGINT) AS p
+           FROM rows_ GROUP BY 1, 2),
+         idx AS (SELECT g, s, n, p,
+             row_number() OVER (PARTITION BY g ORDER BY s) AS i,
+             sum(n) OVER (PARTITION BY g ORDER BY s) AS cn,
+             sum(p) OVER (PARTITION BY g ORDER BY s) AS cp
+           FROM lvl),
+         pairs AS (SELECT a.g, a.i AS j, b.i AS k,
+             CAST(b.cp - a.cp + a.p AS DOUBLE)
+               / CAST(b.cn - a.cn + a.n AS DOUBLE) AS rate
+           FROM idx a JOIN idx b ON a.g = b.g AND a.i <= b.i),
+         suf AS (SELECT g, j, k,
+             min(rate) OVER (PARTITION BY g, j ORDER BY k DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS t
+           FROM pairs),
+         fit AS (SELECT g, k AS i, max(t) AS cal FROM suf GROUP BY 1, 2)
+         SELECT idx.g AS event_type, idx.s AS score, idx.n,
+           idx.p AS n_pos, round(fit.cal, 6) AS calibrated
+         FROM idx JOIN fit ON idx.g = fit.g AND idx.i = fit.i
+         ORDER BY event_type, score""",
 
     // piecewise-constant CDFs on the merged value grid: per segment
     // the exact DECIMAL(38,0) cross-difference × the gap, 9-grid terms,
