@@ -133,7 +133,14 @@ object ExtQueries6 {
         .select(col("vec_id"), round(col("cosine_sim"), 4)
           .as("cosine_sim"))
         .orderBy(col("cosine_sim").desc, col("vec_id"))
-    }))
+    }),
+
+    // --- Tukey (boxplot) IQR fences per group -----------------------------
+    // The profiling convention beside q175's median/MAD gate: which
+    // event types carry values beyond Q1/Q3 ± 1.5 IQR, and how many.
+    "q333_tukey_fences" -> ((s, d) =>
+      graft.operators.Features.tukeyFences(ev(s, d), "event_type",
+        "value")))
 
   def oracleSql: Map[String, String] = Map(
     // the q103 assignment shape against 4-grid anchors (round-4
@@ -265,5 +272,30 @@ object ExtQueries6 {
            WHERE e.embedding IS NOT NULL
            GROUP BY e.vec_id)
          SELECT vec_id, cosine_sim FROM sims
-         ORDER BY cosine_sim DESC, vec_id ASC LIMIT 10""")
+         ORDER BY cosine_sim DESC, vec_id ASC LIMIT 10""",
+
+    // quantile_cont ≡ Spark exact percentile (the q49 parity), fence
+    // arithmetic in the identical double chain, boundary comparisons
+    // against the UNROUNDED fences
+    "q333_tukey_fences" ->
+      """WITH r AS (SELECT event_type AS g, CAST(value AS DOUBLE) AS v
+           FROM events WHERE value IS NOT NULL),
+         q AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+             quantile_cont(v, 0.25) AS q1, quantile_cont(v, 0.75) AS q3
+           FROM r GROUP BY 1),
+         f AS (SELECT g, n, q1, q3,
+             q1 - 1.5 * (q3 - q1) AS lo, q3 + 1.5 * (q3 - q1) AS hi
+           FROM q),
+         c AS (SELECT r.g,
+             CAST(sum(CASE WHEN r.v < f.lo THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_low,
+             CAST(sum(CASE WHEN r.v > f.hi THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_high
+           FROM r JOIN f USING (g) GROUP BY r.g)
+         SELECT f.g AS event_type, f.n, round(f.q1, 4) AS q1,
+           round(f.q3, 4) AS q3, round(f.lo, 4) AS lo_fence,
+           round(f.hi, 4) AS hi_fence,
+           coalesce(c.n_low, 0) AS n_low,
+           coalesce(c.n_high, 0) AS n_high
+         FROM f LEFT JOIN c ON f.g = c.g ORDER BY event_type""")
 }

@@ -150,6 +150,54 @@ object Features {
       .orderBy(col("category"))
   }
 
+  /** Tukey (boxplot) fence report per group — the IQR outlier gate
+    * beside the median/MAD gate (MAD resists heavy tails harder; the
+    * 1.5·IQR fence is the boxplot convention every profiling
+    * pipeline speaks): Q1/Q3 per group, fences at
+    * `Q1 − k·IQR / Q3 + k·IQR`, and the count of rows beyond each
+    * fence. Output: (groupCol, n, q1, q3, lo_fence, hi_fence, n_low,
+    * n_high), rounds 4, ordered by group.
+    *
+    * Determinism: exact `percentile` interpolation (the q49
+    * quantile_cont-parity convention), fence arithmetic in one
+    * pinned double chain, boundary comparisons against the
+    * UNROUNDED fences (both engines compute the identical double).
+    * Two corpus passes by necessity (quantiles, then counts against
+    * them); the fence table joins back keyed, no broadcast
+    * assumption on group count. As with [[winsorize]], exact
+    * `percentile` holds each group's column in aggregation state —
+    * at corpus scale feed fences from the KLL store
+    * ([[graft.operators.Quantiles]]) instead. */
+  def tukeyFences(df: DataFrame, groupCol: String, valCol: String,
+                  k: Double = 1.5): DataFrame = {
+    require(k >= 0.0, s"k must be >= 0, got $k")
+    val rows = df.filter(col(valCol).isNotNull)
+      .select(col(groupCol).as("__g"), col(valCol).cast("double").as("__v"))
+    val fences = rows.groupBy(col("__g"))
+      .agg(count(lit(1)).as("n"),
+        expr("percentile(__v, 0.25)").as("__q1"),
+        expr("percentile(__v, 0.75)").as("__q3"))
+      .withColumn("__lo",
+        col("__q1") - lit(k) * (col("__q3") - col("__q1")))
+      .withColumn("__hi",
+        col("__q3") + lit(k) * (col("__q3") - col("__q1")))
+    val counts = rows
+      .join(fences.select(col("__g"), col("__lo"), col("__hi")), Seq("__g"))
+      .groupBy(col("__g"))
+      .agg(sum(when(col("__v") < col("__lo"), 1L).otherwise(0L))
+          .as("__nl"),
+        sum(when(col("__v") > col("__hi"), 1L).otherwise(0L))
+          .as("__nh"))
+    fences.join(counts, Seq("__g"), "left")
+      .select(col("__g").as(groupCol), col("n"),
+        round(col("__q1"), 4).as("q1"), round(col("__q3"), 4).as("q3"),
+        round(col("__lo"), 4).as("lo_fence"),
+        round(col("__hi"), 4).as("hi_fence"),
+        coalesce(col("__nl"), lit(0L)).as("n_low"),
+        coalesce(col("__nh"), lit(0L)).as("n_high"))
+      .orderBy(col(groupCol))
+  }
+
   def targetEncode(df: DataFrame, catCol: String, targetCol: String,
                    alpha: Double = 10.0): DataFrame = {
     require(alpha >= 0.0, s"alpha must be >= 0, got $alpha")

@@ -396,4 +396,34 @@ class FeaturesSpec2 extends SparkSpec {
     intercept[IllegalArgumentException](
       Features.woeEncode(df, "c", "y", alpha = -1.0))
   }
+
+  test("tukeyFences: hand case, outlier counts against unrounded " +
+    "fences, no-outlier group, k = 0 degenerates to the IQR box") {
+    // group a: 1..8 plus outliers -100 and 100; n = 10
+    // percentile interpolation on sorted [-100,1..8,100]:
+    //   q1 = v[2.25] = 2 + 0.25 = 2.25; q3 = v[6.75] = 6.75
+    //   iqr = 4.5 -> lo = -4.5, hi = 13.5 -> one low, one high
+    val a = (1 to 8).map(v => ("a", v.toDouble)) ++
+      Seq(("a", -100.0), ("a", 100.0))
+    val b = (1 to 5).map(v => ("b", v.toDouble)) // tight: no outliers
+    val df = (a ++ b).toDF("g", "v")
+    val out = Features.tukeyFences(df, "g", "v")
+      .as[(String, Long, Double, Double, Double, Double, Long, Long)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(out("a") == (("a", 10L, 2.25, 6.75, -4.5, 13.5, 1L, 1L)))
+    assert(out("b")._7 == 0L && out("b")._8 == 0L)
+    // k = 0: fences collapse to the box; everything outside Q1..Q3
+    val zero = Features.tukeyFences(df.filter($"g" === "b"), "g", "v",
+        k = 0.0)
+      .as[(String, Long, Double, Double, Double, Double, Long, Long)]
+      .collect().head
+    assert(zero._5 == zero._3 && zero._6 == zero._4)
+    assert(zero._7 == 1L && zero._8 == 1L) // 1 and 5 outside [2, 4]
+    // nulls drop; invalid k refuses
+    val withNull = Seq(("a", Some(1.0)), ("a", None)).toDF("g", "v")
+    assert(Features.tukeyFences(withNull, "g", "v")
+      .select("n").as[Long].collect().head == 1L)
+    intercept[IllegalArgumentException](
+      Features.tukeyFences(df, "g", "v", k = -0.1))
+  }
 }
