@@ -129,10 +129,16 @@ object ExtQueries6 {
       val qv = t(s, d, "embeddings").filter(col("vec_id") === 0)
         .select(col("embedding")).collect()(0)
         .getList[Float](0).asScala.toSeq
-      graft.functions.IvfStore.topK(s, store, qv, k = 10, nprobe = 4)
+      // over-fetch (k=14), round, THEN cut by (rounded sim, vec_id) —
+      // topK cuts by unrounded cosine, the oracle cuts by the rounded
+      // value, so a 4dp tie straddling the rank-10/11 boundary would
+      // otherwise make the two sides disagree; cutting on the same
+      // rounded key on both sides removes the data-dependent seam
+      graft.functions.IvfStore.topK(s, store, qv, k = 14, nprobe = 4)
         .select(col("vec_id"), round(col("cosine_sim"), 4)
           .as("cosine_sim"))
         .orderBy(col("cosine_sim").desc, col("vec_id"))
+        .limit(10)
     }),
 
     // --- Tukey (boxplot) IQR fences per group -----------------------------

@@ -277,16 +277,18 @@ object IvfStore {
     require(cents.forall(_._2.length == m.dim),
       s"retrain: centroid dim must be ${m.dim}, got " +
         cents.map(_._2.length).distinct.mkString(", "))
-    require(cents.forall(_._1 >= 1L),
-      "retrain: cluster ids must be >= 1 (the build seeding convention)")
-    require(cents.map(_._1).distinct.length == cents.length,
-      "retrain: duplicate cluster ids")
+    // ids must be EXACTLY 1..k (the build seeding convention): a gap
+    // would otherwise be silently filled with a zero centroid that
+    // participates in assignment (small-norm vectors can win the zero
+    // anchor) and in probes, distorting the layout with no error
+    val kEff = cents.length
+    require(cents.map(_._1).sorted.sameElements((1 to kEff).map(_.toLong)),
+      s"retrain: cluster ids must be exactly 1..$kEff (contiguous, " +
+        s"no gaps/dups), got ${cents.map(_._1).sorted.mkString(", ")}")
     val byId = cents.toMap
-    val kEff = cents.map(_._1).max.toInt
     val gen = math.min(0L, m.batches.min) - 1L
     val m2 = m.copy(k = kEff, batches = Seq(gen),
-      cents = Array.tabulate(kEff)(i =>
-        byId.getOrElse(i + 1L, Array.fill(m.dim)(0.0))),
+      cents = Array.tabulate(kEff)(i => byId(i + 1L)),
       retired = (m.retired ++ m.batches.filter(_ >= 0)).distinct)
     // re-assignment reads through the OLD manifest's visible batches
     // and writes under the new generation — invisible until the swap

@@ -124,12 +124,16 @@ object Features {
   def woeEncode(df: DataFrame, catCol: String, targetCol: String,
                 alpha: Double = 0.5): DataFrame = {
     require(alpha >= 0.0, s"alpha must be >= 0, got $alpha")
+    // validate the ORIGINAL value (as double) before the long cast —
+    // casting first would truncate a fractional target (0.7 → 0) and
+    // silently pass the 0/1 valve the contract says must fail the job
     val rows = df.filter(col(targetCol).isNotNull)
       .select(col(catCol).as("category"),
-        col(targetCol).cast("long").as("__y"))
-      .filter(assert_true(col("__y").isin(0L, 1L),
+        col(targetCol).cast("double").as("__yd"))
+      .filter(assert_true(col("__yd").isin(0.0, 1.0),
         concat(lit(s"woeEncode target '$targetCol' must be 0/1, got "),
-          col("__y").cast("string"))).isNull)
+          col("__yd").cast("string"))).isNull)
+      .select(col("category"), col("__yd").cast("long").as("__y"))
     val per = rows.groupBy(col("category"))
       .agg(count(lit(1)).as("n"), sum(col("__y")).as("n_pos"))
       .withColumn("n_neg", col("n") - col("n_pos"))

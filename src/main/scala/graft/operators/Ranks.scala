@@ -27,6 +27,23 @@ import org.apache.spark.sql.functions._
   */
 object Ranks {
 
+  /** Equi-join on `keys` with NULL-SAFE equality (`<=>`): ANSI window
+    * semantics treat a NULL partition key as its own partition, so the
+    * per-group machinery must let null group keys match their own
+    * stats rows — a plain `join(right, keys)` silently drops them.
+    * Output keeps the LEFT side's key columns; the right side must
+    * share no non-key column names with the left. */
+  private def nullSafeJoin(left: DataFrame, right: DataFrame,
+                           keys: Seq[String], joinType: String,
+                           broadcastRight: Boolean = false): DataFrame = {
+    val renamed = keys.foldLeft(right) { (d, k) =>
+      d.withColumnRenamed(k, s"__nsj_$k")
+    }
+    val rhs = if (broadcastRight) broadcast(renamed) else renamed
+    val cond = keys.map(k => left(k) <=> rhs(s"__nsj_$k")).reduce(_ && _)
+    left.join(rhs, cond, joinType).drop(keys.map(k => s"__nsj_$k"): _*)
+  }
+
   /** Exact global 1-based `row_number` by `orderCol` (must be unique)
     * without a corpus-sized single-partition exchange. Appends
     * `outCol` (LongType); row order of the output is not defined
@@ -84,8 +101,8 @@ object Ranks {
       d.withColumn(s"__off_$v", sum(col(s"__t_$v")).over(prefW))
     }.select((col("__pid") +: gcols) ++
         valCols.map(v => col(s"__off_$v")): _*)
-    val joined = local.join(broadcast(offs2),
-      ("__pid" +: groupCols).toSeq, "left")
+    val joined = nullSafeJoin(local, offs2,
+      ("__pid" +: groupCols).toSeq, "left", broadcastRight = true)
     valCols.foldLeft(joined) { (d, v) =>
       d.withColumn(s"cum_$v",
         coalesce(col(s"__off_$v"), lit(0)) + col(s"__lc_$v"))
@@ -192,7 +209,8 @@ object Ranks {
     * cumulative counts through [[groupedCumSum]]'s bucketed walk →
     * per-group totals (one keyed agg) → stats back onto rows by ONE
     * (group, value)-keyed join. Same arithmetic and edge conventions
-    * as the global form. */
+    * as the global form. NULL group keys are their own partition
+    * (ANSI): every join here is null-safe (`<=>`). */
   def groupedRankStats(df: DataFrame, groupCols: Seq[String],
                        valueCol: String, buckets: Int = 64): DataFrame = {
     require(groupCols.nonEmpty, "groupCols must be non-empty")
@@ -205,22 +223,23 @@ object Ranks {
       .withColumnRenamed("cum___cnt", "__cum")
     val totals = levels.groupBy(gcols: _*)
       .agg(sum(col("__cnt")).cast("long").as("__n"))
-    val stats = walked.join(totals, groupCols)
+    val stats = nullSafeJoin(walked, totals, groupCols, "inner")
       .select((gcols :+ col(valueCol) :+
         when(col("__n") === 1L, lit(0.0))
           .otherwise((col("__cum") - col("__cnt")).cast("double") /
             (col("__n") - 1L).cast("double")).as("percent_rank") :+
         (col("__cum").cast("double") / col("__n").cast("double"))
           .as("cume_dist")): _*)
-    df.join(stats, groupCols :+ valueCol, "left")
+    nullSafeJoin(df, stats, groupCols :+ valueCol, "left")
   }
 
   /** Per-group [[globalNtile]] — exact ANSI `ntile(tiles)` within each
     * group by `orderCol` (unique per group), safe when one group holds
     * the corpus: the per-group row number IS [[groupedCumSum]] of a
     * constant 1, per-group totals join back (one keyed agg), and the
-    * tile arithmetic is the same pure integer projection. Appends
-    * `outCol` (LongType). */
+    * tile arithmetic is the same pure integer projection. NULL group
+    * keys are their own partition (ANSI): the joins are null-safe
+    * (`<=>`). Appends `outCol` (LongType). */
   def groupedNtile(df: DataFrame, groupCols: Seq[String],
                    orderCol: String, tiles: Int, outCol: String,
                    buckets: Int = 64): DataFrame = {
@@ -232,7 +251,7 @@ object Ranks {
       .withColumnRenamed("cum___one", "__gnr")
       .drop("__one")
     val totals = df.groupBy(gcols: _*).agg(count(lit(1)).as("__gn"))
-    ranked.join(totals, groupCols)
+    nullSafeJoin(ranked, totals, groupCols, "inner")
       .withColumn("__q", expr(s"__gn div $tiles"))
       .withColumn("__r", col("__gn") % tiles)
       .withColumn(outCol,

@@ -161,5 +161,11 @@ class IvfStoreSpec extends SparkSpec {
     intercept[IllegalArgumentException](IvfStore.retrain(spark, coarse,
       IvfStore.centroidsDf(spark, fine)
         .withColumn("cluster_id", col("cluster_id") - 1L)))
+    // GAPPED ids (2, 4, 6, …) refuse too: ids must be exactly 1..k —
+    // a gap would be silently filled with a zero centroid that can win
+    // assignments (small-norm vectors) and distort probes
+    intercept[IllegalArgumentException](IvfStore.retrain(spark, coarse,
+      IvfStore.centroidsDf(spark, fine)
+        .withColumn("cluster_id", col("cluster_id") * 2L)))
   }
 }

@@ -393,6 +393,13 @@ class FeaturesSpec2 extends SparkSpec {
     intercept[Exception] {
       Features.woeEncode(bad, "c", "y").collect()
     }
+    // a FRACTIONAL double target must also fail — the valve checks the
+    // original value, not the long-truncated one (0.7 → 0 would
+    // otherwise silently pass)
+    val frac = Seq(("a", 0.7), ("a", 1.0)).toDF("c", "y")
+    intercept[Exception] {
+      Features.woeEncode(frac, "c", "y").collect()
+    }
     intercept[IllegalArgumentException](
       Features.woeEncode(df, "c", "y", alpha = -1.0))
   }

@@ -142,4 +142,34 @@ class RanksSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Ranks.groupedNtile(df, Seq("g"), "k", 0, "t"))
   }
+
+  test("grouped forms treat a NULL group key as its own partition " +
+    "(ANSI) — null-safe joins, no dropped/null-stats rows") {
+    import org.apache.spark.sql.expressions.Window
+    // a third of the corpus carries a null group key
+    val rows = (0 until 300).map { i =>
+      (if (i % 3 == 0) None else Some(s"g${i % 4}"),
+        ((i * 31) % 7).toLong, i.toLong)
+    }
+    val df = scala.util.Random.shuffle(rows).toDF("g", "v", "k")
+    val wv = Window.partitionBy(col("g")).orderBy(col("v"))
+    val gotStats = Ranks.groupedRankStats(df, Seq("g"), "v", buckets = 4)
+      .select("g", "v", "percent_rank", "cume_dist")
+      .as[(Option[String], Long, Double, Double)].collect().toSet
+    val expStats = df.select(col("g"), col("v"),
+        percent_rank().over(wv), cume_dist().over(wv))
+      .as[(Option[String], Long, Double, Double)].collect().toSet
+    assert(gotStats == expStats, "null group gets real rank stats")
+    val raw = Ranks.groupedRankStats(df, Seq("g"), "v", buckets = 4)
+    assert(raw.count() == 300 && raw.filter(col("g").isNull).count() == 100,
+      "no null-group row dropped")
+    val wk = Window.partitionBy(col("g")).orderBy(col("k"))
+    val gotTile = Ranks.groupedNtile(df, Seq("g"), "k", 4, "t", buckets = 4)
+      .select("g", "k", "t")
+      .as[(Option[String], Long, Long)].collect().toSet
+    val expTile = df.select(col("g"), col("k"),
+        ntile(4).over(wk).cast("long"))
+      .as[(Option[String], Long, Long)].collect().toSet
+    assert(gotTile == expTile, "null group gets real ntile")
+  }
 }

@@ -53,6 +53,35 @@ else
   echo "[gate] round artifacts clean."
 fi
 
+#   4. Certification-last (the round-13 ordering finding, third round
+#      running: code landed AFTER the certification commit, so the
+#      shipped tree was never gated as a whole). The gate stamps a
+#      hash of every code file; the certification commit must include
+#      tools/cert_stamp.txt AND be the last code-bearing commit of the
+#      round. Any later code commit makes the committed stamp
+#      mechanically stale — `tools/snapshot_gate.sh --check-stamp`
+#      verifies HEAD, for the builder at round close and the judge at
+#      review.
+srchash=$( (find src -type f -name '*.scala'; echo build.sbt) \
+  | LC_ALL=C sort | xargs sha256sum | sha256sum | cut -c1-16)
+if [ "${1:-}" = "--check-stamp" ]; then
+  committed=$(git show HEAD:tools/cert_stamp.txt 2>/dev/null || echo none)
+  if [ "$committed" = "$srchash" ] && [ -z "$(git status --porcelain src build.sbt)" ]; then
+    echo "[gate] cert stamp current: HEAD code tree == certified tree ($srchash)."
+    exit "$fail"
+  else
+    echo "[gate] FAIL: cert stamp stale (committed: $committed, tree: $srchash)" \
+         "— code changed since the last certification; re-run gate+test+bench" \
+         "and re-commit tools/cert_stamp.txt as part of the LAST code commit."
+    exit 1
+  fi
+fi
+if [ "$fail" -eq 0 ]; then
+  echo "$srchash" > tools/cert_stamp.txt
+  echo "[gate] cert stamp written ($srchash) — commit tools/cert_stamp.txt" \
+       "WITH the certification; it must be the round's last code-bearing commit."
+fi
+
 if [ "$fail" -ne 0 ]; then
   echo "[gate] BLOCKED. Fix the above, or stash unfinished work" \
        "(git stash) instead of sweeping it into the snapshot."
