@@ -461,9 +461,11 @@ object ExtQueries2 {
 
     // --- TextRank keyword extraction ---------------------------------------
     // Top-3 keywords per document; ONE shuffle, then every document's
-    // tiny graph iterates inside its task. No SQL oracle (iterative) —
-    // KeywordsSpec pins bit-exact equality with an independent
-    // reference implementation.
+    // tiny graph iterates inside its task. Oracled since r14: the 5
+    // fixed iterations unroll as DuckDB CTEs, with the engine's Long
+    // 1e-9-grid accumulation replayed as a BIGINT sum (exact parity).
+    // KeywordsSpec additionally pins bit-exact equality with an
+    // independent reference implementation.
     "q208_textrank" -> ((s, d) =>
       graft.operators.Keywords.textRank(
           t(s, d, "documents"), "doc_id", "text",
@@ -1421,6 +1423,59 @@ object ExtQueries2 {
                / (sea * sea / (CAST(na AS DOUBLE) - 1.0)
                  + seb * seb / (CAST(nb AS DOUBLE) - 1.0)) END, 6) AS df
          FROM m""",
+
+    // TextRank replayed move-for-move: same tokenization (whitespace
+    // split of trim, gated tokens still occupy positions), undirected
+    // adjacent co-occurrence edges, and the 5 PageRank iterations
+    // UNROLLED as CTEs (the q133/q145/q229 fixed-iteration pattern).
+    // Numeric parity is exact by construction: every per-edge
+    // contribution rounds onto the 1e-9 grid via CAST(x·1e9 AS BIGINT)
+    // — DuckDB's double→int cast is rint/half-even, verified — and
+    // accumulates as a BIGINT sum (the engine's Long grid units), so
+    // both sides walk identical IEEE doubles; damping constants are
+    // spelled (1.0 − 0.85) in DOUBLE to reproduce the engine's exact
+    // 0.15000000000000002
+    "q208_textrank" -> {
+      def it(prev: String, out: String) =
+        s"""$out AS (SELECT e.id, e.b AS n,
+             CAST((CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)
+               + CAST(0.85 AS DOUBLE)
+                 * (CAST(sum(CAST(e.w / d.dg * p.s * 1e9 AS BIGINT))
+                      AS DOUBLE) / 1e9)) * 1e9 AS BIGINT) / 1e9 AS s
+           FROM edges e
+           JOIN deg d ON e.id = d.id AND e.a = d.a
+           JOIN $prev p ON e.id = p.id AND e.a = p.n
+           GROUP BY e.id, e.b)"""
+      s"""WITH raw AS (SELECT CAST(doc_id AS BIGINT) AS id,
+             list_filter(string_split_regex(trim(text), '\\s+'),
+               x -> x <> '') AS toks
+           FROM documents),
+         tok0 AS (SELECT id, unnest(range(1, len(toks) + 1)) AS pos,
+             unnest(toks) AS t
+           FROM raw),
+         tok AS (SELECT id, pos, t FROM tok0 WHERE length(t) >= 2),
+         adj AS (SELECT a.id, a.t AS x, b.t AS y
+           FROM tok a JOIN tok b ON a.id = b.id AND b.pos = a.pos + 1
+           WHERE a.t <> b.t),
+         edges AS (SELECT id, a, b, CAST(count(*) AS DOUBLE) AS w
+           FROM (SELECT id, x AS a, y AS b FROM adj
+                 UNION ALL SELECT id, y AS a, x AS b FROM adj)
+           GROUP BY id, a, b),
+         deg AS (SELECT id, a, sum(w) AS dg FROM edges GROUP BY id, a),
+         it0 AS (SELECT id, a AS n, CAST(1.0 AS DOUBLE) AS s FROM deg),
+         ${it("it0", "it1")},
+         ${it("it1", "it2")},
+         ${it("it2", "it3")},
+         ${it("it3", "it4")},
+         ${it("it4", "it5")},
+         ranked AS (SELECT id, n, s, row_number() OVER (
+             PARTITION BY id ORDER BY s DESC, n ASC) AS rn
+           FROM it5)
+         SELECT id AS doc_id, CAST(rn AS INT) AS rank, n AS token,
+           CAST(s * 1e6 AS BIGINT) / 1e6 AS score
+         FROM ranked WHERE rn <= 3
+         ORDER BY doc_id, rank"""
+    },
 
     // same double rankings (score desc / rel desc, id tie-break), gain
     // terms (2^rel − 1)/log2(rank+1) on the 9-grid in DECIMAL(38,9)

@@ -237,11 +237,12 @@ object ExtQueries4 {
         "entity", "c_name")
     }),
 
-    // --- ROUGE-L (rows-only: token-LCS has no SQL form — correctness
-    // is EvalSpec2's ≡ independent-DP proof, the q208/q239
-    // adjudication) --------------------------------------------------------
+    // --- ROUGE-L (oracled since r14: the mask coin is standard md5,
+    // and the token-LCS DP unrolls as an anti-diagonal recursive CTE —
+    // see the oracle) ------------------------------------------------------
     // The recall lens on the q284 reconstruction: order-preserving
     // shared tokens through the native codegen TokenLcs DP.
+    // EvalSpec2 additionally pins ≡ an independent DP reference.
     "q292_rouge_l" -> ((s, d) => {
       val docs = t(s, d, "documents")
       val cand = graft.operators.Quality.maskTokens(
@@ -643,6 +644,72 @@ object ExtQueries4 {
            GROUP BY m.doc_id, m.i, m.m)
          SELECT DISTINCT doc_id, fp_pos, fp_hash FROM sel
          ORDER BY doc_id, fp_pos, fp_hash""",
+
+    // ROUGE-L replayed move-for-move (converted from rows-only in r14):
+    // the maskTokens md5 coin is a STANDARD hash — DuckDB reparses the
+    // same 13 hex chars ((0x-cast ≡ Spark conv(…,16,10), verified) into
+    // the same (0,1] double, so the candidate token list reproduces
+    // exactly ('[mask]' because tokens() lowercases the sentinel) —
+    // and the token-LCS DP unrolls as an ANTI-DIAGONAL recursive CTE:
+    // diagonal t depends only on diagonals t−1/t−2, so each step is a
+    // pure list_transform (no intra-row scan), and the cell (C, R) on
+    // the final diagonal IS the LCS length. P/R/F arithmetic in the
+    // engine's exact double chain, rounded 6.
+    "q292_rouge_l" ->
+      """WITH RECURSIVE base AS (
+           SELECT doc_id,
+             coalesce(list_filter(string_split_regex(lower(text), '\s+'),
+               x -> x <> ''), CAST([] AS VARCHAR[])) AS ref
+           FROM documents),
+         cand AS (
+           SELECT doc_id, ref,
+             list_transform(range(1, len(ref) + 1), k ->
+               CASE WHEN (CAST(CAST(concat('0x', substr(md5(concat('msk',
+                      CAST(doc_id AS VARCHAR), '#',
+                      CAST(k - 1 AS VARCHAR))), 1, 13)) AS UBIGINT)
+                      AS DOUBLE) + 1.0) / 4503599627370496.0
+                    < CAST(0.15 AS DOUBLE)
+                 THEN '[mask]' ELSE ref[k] END) AS cnd
+           FROM base),
+         dims AS (SELECT doc_id, ref, cnd, len(ref) AS rl, len(cnd) AS cl
+           FROM cand),
+         rec AS (
+           SELECT doc_id, ref, cnd, rl, cl, 1 AS t,
+             [CAST(0 AS BIGINT), CAST(0 AS BIGINT)] AS d1,
+             [CAST(0 AS BIGINT)] AS d2
+           FROM dims WHERE rl >= 1 AND cl >= 1
+           UNION ALL
+           SELECT doc_id, ref, cnd, rl, cl, t + 1,
+             list_transform(
+               range(1, least(t + 1, cl) - greatest(0, t + 1 - rl) + 2),
+               k -> CASE
+                 WHEN greatest(0, t + 1 - rl) + k - 1 = 0
+                   OR t + 1 - (greatest(0, t + 1 - rl) + k - 1) = 0
+                 THEN CAST(0 AS BIGINT)
+                 WHEN cnd[greatest(0, t + 1 - rl) + k - 1]
+                   = ref[t + 1 - (greatest(0, t + 1 - rl) + k - 1)]
+                 THEN d2[greatest(0, t + 1 - rl) + k - 1
+                         - greatest(0, t - 1 - rl)] + 1
+                 ELSE greatest(
+                   d1[greatest(0, t + 1 - rl) + k - 1 - greatest(0, t - rl)],
+                   d1[greatest(0, t + 1 - rl) + k - greatest(0, t - rl)])
+               END),
+             d1
+           FROM rec WHERE t < rl + cl),
+         fin AS (SELECT doc_id, d1[1] AS lcs FROM rec WHERE t = rl + cl),
+         pr AS (SELECT d.doc_id, d.rl, d.cl, coalesce(f.lcs, 0) AS lcs,
+             CASE WHEN d.cl > 0
+               THEN CAST(coalesce(f.lcs, 0) AS DOUBLE) / d.cl END AS p,
+             CASE WHEN d.rl > 0
+               THEN CAST(coalesce(f.lcs, 0) AS DOUBLE) / d.rl END AS r
+           FROM dims d LEFT JOIN fin f USING (doc_id))
+         SELECT doc_id, CAST(rl AS BIGINT) AS ref_len,
+           CAST(cl AS BIGINT) AS cand_len, CAST(lcs AS BIGINT) AS lcs,
+           round(p, 6) AS rouge_p, round(r, 6) AS rouge_r,
+           round(CASE WHEN p IS NULL OR r IS NULL THEN NULL
+             WHEN p + r = 0.0 THEN 0.0
+             ELSE 2.0 * p * r / (p + r) END, 6) AS rouge_f
+         FROM pr ORDER BY doc_id""",
 
     // plain theta join (DuckDB's IEJoin serves it) over the same two
     // interval CTEs; inclusive-endpoint overlap, same floor-div day

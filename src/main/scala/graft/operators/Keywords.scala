@@ -25,11 +25,13 @@ import graft.functions.{TextFunctions => TF}
   * with iteration count).
   *
   * Determinism: uniform init; each contribution w/deg·score rounds to
-  * the 9-grid, per-node sums accumulate in exact BigDecimal (the
-  * in-task equivalent of the DECIMAL(38,9) column discipline — 9-grid
-  * inputs make the sum order-free), scores re-round per iteration —
-  * so KeywordsSpec demands EXACT equality with an independent
-  * reference. Ties in the final top-k break lexicographically.
+  * the 9-grid and accumulates as exact INTEGER grid units (Long
+  * 1e-9ths — the in-task equivalent of the DECIMAL(38,9) column
+  * discipline; 9-grid inputs make the sum order-free AND bit-exactly
+  * replayable as a SQL BIGINT sum, which is what the q208 DuckDB
+  * oracle does), scores re-round per iteration — so KeywordsSpec
+  * demands EXACT equality with an independent reference. Ties in the
+  * final top-k break lexicographically.
   */
 object Keywords {
 
@@ -80,14 +82,19 @@ object Keywords {
           for (((a, _), w) <- wts) deg(a) = deg.getOrElse(a, 0.0) + w
           var s = deg.keysIterator.map(_ -> 1.0).toMap
           for (_ <- 1 to iterations) {
-            val acc = new scala.collection.mutable.HashMap[String, BigDecimal]()
+            // contributions land on the 1e-9 grid, so they accumulate
+            // as exact INTEGER grid units (order-free by construction,
+            // and replayable in any SQL engine as a BIGINT sum — the
+            // q208 oracle's seam): k = rint(x·1e9), Σk exact, back to
+            // double by one division
+            val acc = new scala.collection.mutable.HashMap[String, Long]()
             for (((a, b), w) <- wts) {
-              val c = BigDecimal(g9(w / deg(a) * s(a)))
-              acc(b) = acc.getOrElse(b, BigDecimal(0)) + c
+              val k = math.rint(w / deg(a) * s(a) * 1e9).toLong
+              acc(b) = acc.getOrElse(b, 0L) + k
             }
             s = s.map { case (n, _) =>
               n -> g9((1.0 - damping) +
-                damping * acc.getOrElse(n, BigDecimal(0)).toDouble)
+                damping * (acc.getOrElse(n, 0L).toDouble / 1e9))
             }
           }
           s.toSeq.sortBy { case (t, sc) => (-sc, t) }

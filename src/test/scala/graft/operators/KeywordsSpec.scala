@@ -25,10 +25,10 @@ class KeywordsSpec extends SparkSpec {
     var s = deg.keys.map(_ -> 1.0).toMap
     for (_ <- 1 to iterations) {
       val contrib = wts.toSeq.map { case ((a, b), w) =>
-        b -> g9(w / deg(a) * s(a))
+        b -> math.rint(w / deg(a) * s(a) * 1e9).toLong
       }.groupBy(_._1).map { case (n, cs) =>
-        // DECIMAL(38,9) sum of 9-grid terms == exact decimal addition
-        n -> cs.map(c => BigDecimal(c._2)).sum.toDouble
+        // exact integer-grid sum of 1e-9 units, one division back
+        n -> cs.map(_._2).sum.toDouble / 1e9
       }
       s = s.map { case (n, _) =>
         n -> g9((1.0 - damping) + damping * contrib.getOrElse(n, 0.0))
