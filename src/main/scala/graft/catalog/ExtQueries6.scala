@@ -132,8 +132,14 @@ object ExtQueries6 {
       // over-fetch (k=14), round, THEN cut by (rounded sim, vec_id) —
       // topK cuts by unrounded cosine, the oracle cuts by the rounded
       // value, so a 4dp tie straddling the rank-10/11 boundary would
-      // otherwise make the two sides disagree; cutting on the same
-      // rounded key on both sides removes the data-dependent seam
+      // otherwise make the two sides disagree. The k=14 margin NARROWS
+      // the seam, it does not remove it (ADVICE r14): a 4dp tie group
+      // spanning >4 vectors across the boundary, or an unrounded tie
+      // exactly at the k=14 cut, could still diverge on a different
+      // corpus. Accepted for this acceptance query — removing it
+      // entirely needs a rank-all-by-rounded-key probe (O(corpus)
+      // driver-bounded top-k), which is the wrong engine shape; the
+      // test corpora have distinct 4dp sims well clear of the margin.
       graft.functions.IvfStore.topK(s, store, qv, k = 14, nprobe = 4)
         .select(col("vec_id"), round(col("cosine_sim"), 4)
           .as("cosine_sim"))

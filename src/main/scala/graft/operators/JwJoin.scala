@@ -621,6 +621,16 @@ object JwJoin {
     * the all-pairs form stays the oracle). A left row sharing no
     * surviving gram with any right row emits nothing.
     *
+    * `gramLen` is the SCALING knob (measured, SCALE.md round-15): the
+    * retrieval fan-out is Σ right-side posting-list length over each
+    * left row's probe grams, so when the gram vocabulary SATURATES
+    * relative to the corpus (gramLen=2 on digit-dominated names: ~100
+    * digit bigrams), df grows linearly with |right| and the fan-out
+    * quadratically — 10x corpus measured 29x wall at gramLen=2 vs
+    * 8.6x (near-linear) at gramLen=3. Sizing rule: grow gramLen until
+    * the live gram vocabulary outgrows |right| (posting lists stay
+    * O(1) in corpus size), then re-measure recall.
+    *
     * `symmetric = true` additionally keeps each RIGHT row's topM —
     * the reciprocal-linkage feed (both sides' argmaxes from ONE
     * retrieval). Output: (id_a, id_b, jw) — up to topM rows per

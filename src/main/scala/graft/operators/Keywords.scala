@@ -35,6 +35,14 @@ import graft.functions.{TextFunctions => TF}
   */
 object Keywords {
 
+  /** Collation-stable sort key: the string's UTF-8 bytes re-read as
+    * ISO-8859-1, so each byte maps to one char 0–255 and Scala String
+    * comparison on the result IS unsigned-byte (binary UTF-8) order —
+    * the collation SQL engines use for ORDER BY on strings. */
+  private def utf8Key(t: String): String =
+    new String(t.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      java.nio.charset.StandardCharsets.ISO_8859_1)
+
   /** Top-k TextRank keywords per document. Co-occurrence window `w`
     * links each token to the next `w − 1` positions (classic window-2
     * links adjacent tokens); edges are undirected with co-occurrence
@@ -97,7 +105,12 @@ object Keywords {
                 damping * (acc.getOrElse(n, 0L).toDouble / 1e9))
             }
           }
-          s.toSeq.sortBy { case (t, sc) => (-sc, t) }
+          // tie-break on UTF-8 BYTES, not Scala String order (UTF-16
+          // code units): the two diverge for supplementary-plane
+          // tokens tied on score, and the SQL oracle's ORDER BY uses
+          // binary UTF-8 collation (ADVICE r14) — byte order makes the
+          // tie-break collation-stable cross-engine for any input
+          s.toSeq.sortBy { case (t, sc) => (-sc, utf8Key(t)) }
             .take(topK).zipWithIndex
             .map { case ((t, sc), i) =>
               (id, i + 1, t, math.rint(sc * 1e6) / 1e6)

@@ -62,11 +62,17 @@ fi
 #      mechanically stale — `tools/snapshot_gate.sh --check-stamp`
 #      verifies HEAD, for the builder at round close and the judge at
 #      review.
-srchash=$( (find src -type f -name '*.scala'; echo build.sbt) \
+#      Hashed set (ADVICE r14): EVERY file under src (not just
+#      .scala), build.sbt, and the tools harness itself (*.sh, *.py —
+#      excluding the stamp file, which would be self-referential), so
+#      a post-certification edit to the gate or bench/oracle tooling
+#      also stales the stamp.
+srchash=$( (find src -type f; find tools -type f \( -name '*.sh' -o -name '*.py' \); echo build.sbt) \
   | LC_ALL=C sort | xargs sha256sum | sha256sum | cut -c1-16)
 if [ "${1:-}" = "--check-stamp" ]; then
   committed=$(git show HEAD:tools/cert_stamp.txt 2>/dev/null || echo none)
-  if [ "$committed" = "$srchash" ] && [ -z "$(git status --porcelain src build.sbt)" ]; then
+  if [ "$committed" = "$srchash" ] && \
+     [ -z "$(git status --porcelain src build.sbt tools | grep -v 'tools/cert_stamp.txt')" ]; then
     echo "[gate] cert stamp current: HEAD code tree == certified tree ($srchash)."
     exit "$fail"
   else
