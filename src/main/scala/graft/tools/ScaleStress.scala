@@ -198,11 +198,15 @@ object ScaleStress {
 
     val emb = rd("embeddings")
     val vStride = stride(emb, "vec_id")
-    // rep>0 rotates the vector by rep positions: norm-preserving, distinct.
-    val rotated = when(col("rep") === 0, col("embedding")).otherwise(
-      concat(
-        expr("slice(embedding, int(rep) + 1, size(embedding) - int(rep))"),
-        expr("slice(embedding, 1, int(rep))")))
+    // rep>0 rotates the vector by rep MOD dim positions: norm-preserving,
+    // distinct up to dim replicas (rep >= dim wraps — slice length must
+    // stay non-negative; factor=100 over 64-dim vectors crashed on -1).
+    val dim = size(col("embedding"))
+    val rot = pmod(col("rep"), dim).cast("int")
+    val rotated = when(rot === 0, col("embedding"))
+      .otherwise(concat(
+        slice(col("embedding"), rot + 1, dim - rot),
+        slice(col("embedding"), lit(1), rot)))
     wr(replicate(emb, factor).select(
         remap("vec_id", vStride), rotated.as("embedding"), col("label")),
       "embeddings", 4)
