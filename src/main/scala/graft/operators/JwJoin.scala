@@ -67,7 +67,15 @@ import graft.plans.JaroWinkler
   * precedent): elements whose right-side posting list exceeds the cap
   * are dropped from both prefixes — a pair is lost only if every
   * shared prefix element is over the cap; default = off (unbounded,
-  * exact).
+  * exact). Trip behavior, measured (JwJoinSpec "valve under fire"):
+  * on a corpus where one char-multiset class holds ~10% of rows (a
+  * 37-member complete clique, every shared variant key held by the
+  * whole class), a cap of 30 sheds that class WHOLESALE (all 666
+  * clique pairs, in-class recall 0) while every pair outside the
+  * class survives exactly (diverse bases don't share over-cap keys).
+  * Corpus recall when the valve trips is exactly the non-class share
+  * of true pairs — 0.16 on that spec corpus, where the clique
+  * carried 84% of them.
   *
   * TWO no-false-negative candidate channels, auto-selected. The prefix
   * filter above is the general one, but it degenerates when the corpus
@@ -538,6 +546,44 @@ object JwJoin {
       .select(col("__id"), xxhash64(col("__gh"), col("__occ")).as("__eh"))
   }
 
+  /** The `gramLen = 0` AUTO-SIZING probe (the SCALE.md round-15 sizing
+    * rule, mechanized): the retrieval fan-out is Σ right-side
+    * posting-list length over each left row's probe grams, and posting
+    * lists stay O(1) in |right| exactly while the live gram vocabulary
+    * keeps pace with the corpus — so pick the smallest gramLen in
+    * [2, 6] whose live (block, gram) vocabulary on the RIGHT side
+    * reaches |right| distinct strings. When no length saturates (the
+    * corpus outgrows every achievable vocabulary — very short strings
+    * or a tiny alphabet), fall back to the largest vocabulary seen
+    * (smallest length on ties). One pass over the right reps: all five
+    * window lengths explode together and aggregate to five HLL
+    * counters (approx_count_distinct — a few-percent error only moves
+    * the decision between neighboring lengths whose posting behavior
+    * is near-identical at the boundary). Sizing on the right side
+    * alone is sufficient for the symmetric (reciprocal) form too: the
+    * pair fan-out is Σ_g df_left(g)·df_right(g), and O(1) right-side
+    * posting lists bound it by O(total left grams) — linear. */
+  private[graft] def autoGramLen(bD: DataFrame, minG: Int = 2,
+                                 maxG: Int = 6): Int = {
+    val nRight = bD.count()
+    val n = col("__n")
+    val layered = array((minG to maxG).map { g =>
+      struct(lit(g).as("g"),
+        when(n < g, array().cast("array<string>"))
+          .otherwise(transform(sequence(lit(1), n - (g - 1)),
+            i => col("__s").substr(i, lit(g)))).as("ws"))
+    }: _*)
+    val vocab = bD
+      .select(col("__bh"), explode(layered).as("__x"))
+      .select(col("__x.g").as("g"), col("__bh"),
+        explode(col("__x.ws")).as("w"))
+      .groupBy(col("g"))
+      .agg(approx_count_distinct(struct(col("__bh"), col("w"))).as("v"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    (minG to maxG).find(g => vocab.getOrElse(g, 0L) >= nRight)
+      .getOrElse((minG to maxG).maxBy(g => (vocab.getOrElse(g, 0L), -g)))
+  }
+
   /** Proxy-scored candidate rep pairs: every pair sharing at least
     * one surviving probe gram, scored by the IDF-weighted shared-gram
     * sum — the retrieval core all best-match forms share. The proxy
@@ -627,9 +673,12 @@ object JwJoin {
     * relative to the corpus (gramLen=2 on digit-dominated names: ~100
     * digit bigrams), df grows linearly with |right| and the fan-out
     * quadratically — 10x corpus measured 29x wall at gramLen=2 vs
-    * 8.6x (near-linear) at gramLen=3. Sizing rule: grow gramLen until
-    * the live gram vocabulary outgrows |right| (posting lists stay
-    * O(1) in corpus size), then re-measure recall.
+    * 8.6x (near-linear) at gramLen=3. The DEFAULT (`gramLen = 0`) is
+    * AUTO: grow gramLen until the live gram vocabulary outgrows
+    * |right| (posting lists stay O(1) in corpus size) —
+    * [[autoGramLen]], one cheap probe pass over the right reps. The
+    * chosen length is auditable in the result's lineage: the returned
+    * frame's analyzed plan carries a `__jw_gramlen_N` subquery alias.
     *
     * `symmetric = true` additionally keeps each RIGHT row's topM —
     * the reciprocal-linkage feed (both sides' argmaxes from ONE
@@ -643,12 +692,12 @@ object JwJoin {
                           leftStrCol: String,
                           right: DataFrame, rightIdCol: String,
                           rightStrCol: String,
-                          topM: Int = 20, gramLen: Int = 2,
+                          topM: Int = 20, gramLen: Int = 0,
                           maxDfFraction: Double = 0.25,
                           probeGrams: Int = 12,
                           blockCols: Seq[(String, String)] = Nil,
                           symmetric: Boolean = false): DataFrame = {
-    val (a, b, aD, bD, scores0) = bestMatchPrep(left, leftIdCol,
+    val (a, b, aD, bD, g, scores0) = bestMatchPrep(left, leftIdCol,
       leftStrCol, right, rightIdCol, rightStrCol, topM, gramLen,
       maxDfFraction, probeGrams, blockCols)
     // symmetric mode pins the scores EAGERLY — its two cut branches
@@ -679,6 +728,7 @@ object JwJoin {
     expandRepPairs(repPairs, a, b)
       .select(col("__reala").as("id_a"), col("__realb").as("id_b"),
         col("jw"))
+      .alias(s"__jw_gramlen_$g")
   }
 
   /** The argmax itself: each left row's single best right row by
@@ -691,11 +741,11 @@ object JwJoin {
     * (id_a, id_b, jw), one row per left row with >= 1 candidate. */
   def bestMatch(left: DataFrame, leftIdCol: String, leftStrCol: String,
                 right: DataFrame, rightIdCol: String, rightStrCol: String,
-                topM: Int = 20, gramLen: Int = 2,
+                topM: Int = 20, gramLen: Int = 0,
                 maxDfFraction: Double = 0.25,
                 probeGrams: Int = 12,
                 blockCols: Seq[(String, String)] = Nil): DataFrame = {
-    val (a, b, aD, bD, scores) = bestMatchPrep(left, leftIdCol,
+    val (a, b, aD, bD, g, scores) = bestMatchPrep(left, leftIdCol,
       leftStrCol, right, rightIdCol, rightStrCol, topM, gramLen,
       maxDfFraction, probeGrams, blockCols)
     val cw = Window.partitionBy(col("__ida"))
@@ -719,11 +769,13 @@ object JwJoin {
       .agg(min(struct(col("__realb"), col("jw"))).as("__m"))
       .select(col("id_a"), col("__m.__realb").as("id_b"),
         col("__m.jw").as("jw"))
+      .alias(s"__jw_gramlen_$g")
   }
 
   /** Shared head of the best-match forms: prep + dedup reps (pinned —
-    * each feeds several independently-executed subtrees) + the proxy
-    * score table. */
+    * each feeds several independently-executed subtrees) + the
+    * resolved gramLen (0 = auto, [[autoGramLen]]) + the proxy score
+    * table. */
   private def bestMatchPrep(left: DataFrame, leftIdCol: String,
                             leftStrCol: String,
                             right: DataFrame, rightIdCol: String,
@@ -731,9 +783,10 @@ object JwJoin {
                             topM: Int, gramLen: Int,
                             maxDfFraction: Double, probeGrams: Int,
                             blockCols: Seq[(String, String)])
-      : (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) = {
+      : (DataFrame, DataFrame, DataFrame, DataFrame, Int, DataFrame) = {
     require(topM >= 1, s"topM must be >= 1, got $topM")
-    require(gramLen >= 1, s"gramLen must be >= 1, got $gramLen")
+    require(gramLen >= 0,
+      s"gramLen must be >= 1 (or 0 = auto-size), got $gramLen")
     require(maxDfFraction > 0.0 && maxDfFraction <= 1.0,
       s"maxDfFraction must be in (0, 1], got $maxDfFraction")
     require(probeGrams >= 1, s"probeGrams must be >= 1, got $probeGrams")
@@ -741,8 +794,9 @@ object JwJoin {
     val b = prep(right, rightIdCol, rightStrCol, blockCols.map(_._2))
     val aD = dedupReps(a).localCheckpoint(eager = false)
     val bD = dedupReps(b).localCheckpoint(eager = false)
-    (a, b, aD, bD,
-      bestMatchScoredReps(aD, bD, gramLen, maxDfFraction, probeGrams))
+    val g = if (gramLen == 0) autoGramLen(bD) else gramLen
+    (a, b, aD, bD, g,
+      bestMatchScoredReps(aD, bD, g, maxDfFraction, probeGrams))
   }
 
   /** Brute-force all-pairs reference (O(n^2) — tests and tiny frames

@@ -20,7 +20,11 @@ import org.apache.spark.sql.functions._
   * larger TPC-H scale factor would look, rather than N exact copies):
   *   - every key column is remapped `key' = rep * (max(key)+1) + key`, so
   *     the N× corpus has N× distinct entities and foreign keys stay
-  *     aligned (orders↔lineitem replicate with the same orderkey stride);
+  *     aligned — each FK remaps with its PARENT's stride (l_orderkey/
+  *     o_orderkey with the orders stride, o_custkey with the customer
+  *     stride, l_suppkey with the supplier stride; l_partkey is verbatim
+  *     because part is a verbatim dim), so every replica's children
+  *     reference that replica's parents;
   *   - TPC-H-style names are regenerated from the remapped key
   *     (`Customer#%09d`), so name-similarity joins see N× distinct
   *     name-like strings, not N-way exact duplicates;
@@ -74,8 +78,11 @@ object ScaleStress {
       }
       spark.stop()
     // Does the gramLen knob cost recall? Compare the per-customer argmax
-    // (the q191 result shape) between two gramLens: rows where the best
-    // match differs are retrieval recall losses of one side or the other.
+    // (the q191 result shape) between two gramLens. LEFT-join from the
+    // full customer set: a customer with zero retrieved candidates at
+    // either gramLen counts as a disagreement (those are exactly the
+    // likeliest recall losses — silently inner-joining them away
+    // overstated the r15 figures, ADVICE r15 #2).
     case "jw191cmp" :: dir :: g1 :: g2 :: Nil =>
       val spark = session()
       import org.apache.spark.sql.functions._
@@ -86,11 +93,78 @@ object ScaleStress {
           "s_name", "s_name", gramLen = g)
         .groupBy(col("id_a"))
         .agg(max(struct(col("jw"), col("id_b"))).as("b"))
-        .select(col("id_a"), col("b.id_b").as("id_b"), col("b.jw").as("jw"))
-      val j = best(g1.toInt).alias("x").join(best(g2.toInt).alias("y"), "id_a")
+        .select(col("id_a"), col("b.jw").as("jw"))
+      val base = spark.read.parquet(s"$dir/customer.parquet")
+        .select(col("c_name").as("id_a")).distinct()
+      val j = base
+        .join(best(g1.toInt).withColumnRenamed("jw", "jw1"), Seq("id_a"), "left")
+        .join(best(g2.toInt).withColumnRenamed("jw", "jw2"), Seq("id_a"), "left")
       val n = j.count()
-      val agree = j.filter(col("x.jw") === col("y.jw")).count()
+      val agree = j.filter(col("jw1") === col("jw2")).count()
       println(s"[jw191cmp] $dir gramLen $g1 vs $g2: $agree / $n same-score argmax")
+      spark.stop()
+    // Recall vs TRUTH: the bestMatch argmax at a given gramLen (0 =
+    // auto) / topM / probeGrams against the brute-force all-pairs
+    // argmax (the q191 oracle shape, customer×supplier names).
+    // Missing left rows count as misses. Reports exact-tuple agreement
+    // (partner AND score under the (−jw, name, id) tie-break) and
+    // score-level recall (emitted jw == true max jw).
+    case "jwrecall" :: dir :: g :: rest =>
+      val topM = rest.headOption.map(_.toInt).getOrElse(20)
+      val probe = rest.drop(1).headOption.map(_.toInt).getOrElse(12)
+      val spark = session()
+      import org.apache.spark.sql.functions._
+      val cust = spark.read.parquet(s"$dir/customer.parquet")
+        .select(col("c_custkey").as("id"), col("c_name").as("name"))
+      val supp = spark.read.parquet(s"$dir/supplier.parquet")
+        .select(col("s_suppkey").as("id"), col("s_name").as("name"))
+      val truth = cust.crossJoin(broadcast(
+          supp.select(col("id").as("rid"), col("name").as("rname"))))
+        .select(col("id"),
+          graft.plans.JaroWinkler.jaroWinkler(col("name"), col("rname"))
+            .as("jw"), col("rname"), col("rid"))
+        .groupBy(col("id"))
+        .agg(min(struct(negate(col("jw")), col("rname"), col("rid"),
+          col("jw"))).as("m"))
+        .select(col("id"), col("m.rid").as("true_id"),
+          col("m.jw").as("true_jw"))
+      val t0 = System.nanoTime()
+      val got = graft.operators.JwJoin.bestMatch(cust, "id", "name",
+          supp, "id", "name", topM = topM, gramLen = g.toInt,
+          probeGrams = probe)
+        .select(col("id_a").as("id"), col("id_b").as("got_id"),
+          col("jw").as("got_jw"))
+      val j = truth.join(got, Seq("id"), "left").localCheckpoint()
+      val wall = (System.nanoTime() - t0) / 1e9
+      // the chosen gramLen is auditable from the lineage alias
+      val chosen = "__jw_gramlen_(\\d+)".r
+        .findFirstMatchIn(got.queryExecution.analyzed.toString)
+        .map(_.group(1)).getOrElse("?")
+      val n = j.count()
+      val exact = j.filter(col("got_id") === col("true_id") &&
+        col("got_jw") === col("true_jw")).count()
+      val score = j.filter(col("got_jw") === col("true_jw")).count()
+      println(f"[jwrecall] $dir gramLen=$g(chosen $chosen%s) topM=$topM " +
+        f"probeGrams=$probe: exact $exact/$n (${exact.toDouble / n}%.4f)  " +
+        f"score $score/$n (${score.toDouble / n}%.4f)  wall $wall%.1f s")
+      spark.stop()
+    // ANN recall vs corpus size (VERDICT r15 #2): mean recall@10 over
+    // 20 query vectors against exact brute-force cosine, for the
+    // shipped IVF geometry (k=8, nprobe=4), the k ∝ √n scale path,
+    // IVF×PQ, and multi-table LSH — the AnnRecallSpec harness run at
+    // arbitrary corpus scale. Run at 1x and Nx dirs and compare rows.
+    case "annrecall" :: dir :: Nil =>
+      val spark = session()
+      annRecall(spark, dir)
+      spark.stop()
+    // Ingest-path wall vs store size (VERDICT r15 #3): seed each
+    // persisted store from the dir's corpus (untimed), then time TWO
+    // fixed-size batch appends (identical rows at every scale: rep-0
+    // base rows, ids offset to fresh). O(batch + touched buckets)
+    // predicts ~flat lines between a 1x and an Nx store.
+    case "storeingest" :: dir :: root :: Nil =>
+      val spark = session()
+      storeIngest(spark, dir, root)
       spark.stop()
     case _ =>
       System.err.println(
@@ -98,7 +172,10 @@ object ScaleStress {
         "       ScaleStress run <q1,q2,...> <dir1x> <dirNx> <factor> [reps]\n" +
         "       ScaleStress count <q1,q2,...> <dir> [dir2...]\n" +
         "       ScaleStress jw191 <dir> <gramLen> [reps]\n" +
-        "       ScaleStress jw191cmp <dir> <gramLen1> <gramLen2>")
+        "       ScaleStress jw191cmp <dir> <gramLen1> <gramLen2>\n" +
+        "       ScaleStress jwrecall <dir> <gramLen|0=auto> [topM] [probeGrams]\n" +
+        "       ScaleStress annrecall <dir>\n" +
+        "       ScaleStress storeingest <dir> <storeRoot>")
       sys.exit(2)
   }
 
@@ -124,9 +201,13 @@ object ScaleStress {
     df.crossJoin(
       df.sparkSession.range(factor.toLong).select(col("id").as("rep")))
 
-  /** Key stride: max(key)+1 so remapped keys are dense and disjoint. */
-  private def stride(df: DataFrame, key: String): Long =
-    df.agg(max(col(key))).head().getLong(0) + 1L
+  /** Key stride: max(key)+1 so remapped keys are dense and disjoint.
+    * Cast-first so int32 key columns work; empty tables fail fast. */
+  private def stride(df: DataFrame, key: String): Long = {
+    val r = df.agg(max(col(key).cast("long"))).head()
+    require(!r.isNullAt(0), s"stride($key): table is empty")
+    r.getLong(0) + 1L
+  }
 
   private def remap(key: String, strideV: Long) =
     (col("rep") * strideV + col(key)).as(key)
@@ -161,17 +242,27 @@ object ScaleStress {
         col("s_nationkey"), col("s_acctbal")),
       "supplier", 1)
 
+    // Cross-table FKs remap with their OWN parent's stride so every
+    // replica's orders reference that replica's customers (and
+    // lineitems that replica's suppliers) — without this, rep>0
+    // parents are orphans and parent↔child joins measure N× fan-in
+    // skew instead of N× growth. l_partkey stays verbatim: part is a
+    // verbatim dim.
     val ord = rd("orders")
     val oStride = stride(ord, "o_orderkey")
-    wr(replicate(ord, factor).select(
-        remap("o_orderkey", oStride) +: ord.columns.filter(_ != "o_orderkey")
-          .map(col).toSeq: _*),
+    wr(replicate(ord, factor).select(ord.columns.toSeq.map {
+        case "o_orderkey" => remap("o_orderkey", oStride)
+        case "o_custkey"  => remap("o_custkey", cStride)
+        case c            => col(c)
+      }: _*),
       "orders", 8)
 
     val li = rd("lineitem")
-    wr(replicate(li, factor).select(
-        remap("l_orderkey", oStride) +: li.columns.filter(_ != "l_orderkey")
-          .map(col).toSeq: _*),
+    wr(replicate(li, factor).select(li.columns.toSeq.map {
+        case "l_orderkey" => remap("l_orderkey", oStride)
+        case "l_suppkey"  => remap("l_suppkey", sStride)
+        case c            => col(c)
+      }: _*),
       "lineitem", 16)
 
     val ev = rd("events")
@@ -210,6 +301,123 @@ object ScaleStress {
     wr(replicate(emb, factor).select(
         remap("vec_id", vStride), rotated.as("embedding"), col("label")),
       "embeddings", 4)
+  }
+
+  /** Mean recall@10 over 20 query vectors vs exact brute-force cosine,
+    * one row per ANN route — the AnnRecallSpec protocol at arbitrary
+    * corpus size. The √n IVF variant is the scale path: with k ∝ √n
+    * and a FIXED nprobe, the probed corpus fraction is nprobe/√n and
+    * per-query work stays O(√n) while k=8's fixed-fraction probe grows
+    * linearly. */
+  private def annRecall(spark: SparkSession, dir: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    import graft.functions.{IvfIndex, IvfPqStore, VectorFunctions}
+    val K = 10
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .filter(col("embedding").isNotNull).cache()
+    val n = emb.count()
+    val queries = emb.filter(col("vec_id") < 20).orderBy(col("vec_id"))
+      .collect()
+      .map(r => (r.getLong(0), r.getList[Float](1).asScala.toSeq)).toSeq
+    val exact: Map[Long, Set[Long]] = queries.map { case (qid, qv) =>
+      qid -> VectorFunctions.bruteForceTopK(
+          emb.filter(col("vec_id") =!= qid), "embedding", "vec_id", qv, K)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+    }.toMap
+    def recall(name: String)(route: (Long, Seq[Float]) => Set[Long]): Unit = {
+      val r = queries.map { case (qid, qv) =>
+        exact(qid).intersect(route(qid, qv)).size.toDouble / exact(qid).size
+      }
+      println(f"[annrecall] $dir n=$n $name: ${r.sum / r.size}%.3f")
+    }
+    val kRoot = math.max(8, math.round(math.sqrt(n.toDouble)).toInt)
+    for ((label, k, nprobe) <- Seq(("ivf k=8 nprobe=4", 8, 4),
+        (s"ivf k=√n=$kRoot nprobe=4", kRoot, 4),
+        (s"ivf k=√n=$kRoot nprobe=8", kRoot, 8))) {
+      val idx = IvfIndex.build(emb, "embedding", "vec_id", k = k,
+        iterations = 2)
+      try recall(label)((qid, qv) => IvfIndex.topK(
+          idx.indexed.filter(col("vec_id") =!= qid), idx.centroids,
+          "embedding", "vec_id", qv, K, nprobe = nprobe)
+        .select("vec_id").collect().map(_.getLong(0)).toSet)
+      finally idx.close()
+    }
+    val pqStore = java.nio.file.Files
+      .createTempDirectory("annrecall-ivfpq").toString + "/s"
+    IvfPqStore.build(emb, "embedding", "vec_id", pqStore,
+      k = 8, iterations = 2, m = 8, ksub = 16, pqIterations = 3)
+    recall("ivfpq k=8 nprobe=4 shortlist=60")((qid, qv) =>
+      IvfPqStore.topK(spark, pqStore, qv, K + 1, nprobe = 4,
+          shortlist = 60)
+        .collect().map(_.getLong(0)).filter(_ != qid).take(K).toSet)
+    recall("lsh tables=8 planes=4")((qid, qv) =>
+      VectorFunctions.lshTopKMulti(
+          emb.filter(col("vec_id") =!= qid), "embedding", "vec_id", qv, K,
+          numPlanes = 4, tables = 8)
+        .select("vec_id").collect().map(_.getLong(0)).toSet)
+  }
+
+  /** Seed the three incremental stores from the dir's corpus (untimed),
+    * then time two FIXED batch appends each. Batches are rep-0 base
+    * rows (identical at every gen scale) with ids offset fresh, so a
+    * 1x-store and an Nx-store line differ only in store size. */
+  private def storeIngest(spark: SparkSession, dir: String,
+                          root: String): Unit = {
+    val Off1 = 1000000000000L
+    val Off2 = 2000000000000L
+    def timed(label: String)(body: => Unit): Unit = {
+      val t0 = System.nanoTime()
+      body
+      println(f"[storeingest] $dir $label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    def docBatch(lo: Long, hi: Long, off: Long) =
+      docs.filter(col("doc_id") >= lo && col("doc_id") < hi)
+        .select((col("doc_id") + off).as("doc_id"),
+          concat(lit("probe "), col("text")).as("text"))
+    // 1. near-dup dedup store (banded signatures, bucket-pruned)
+    val dd = s"$root/dedupstore"
+    graft.operators.Dedup.dedupAgainstStore(docs, "doc_id", "text", dd)
+    timed("dedupAgainstStore batch1 (1000 docs)") {
+      graft.operators.Dedup.dedupAgainstStore(
+        docBatch(0, 1000, Off1), "doc_id", "text", dd)
+        .write.format("noop").mode("overwrite").save()
+    }
+    timed("dedupAgainstStore batch2 (1000 docs)") {
+      graft.operators.Dedup.dedupAgainstStore(
+        docBatch(1000, 2000, Off2), "doc_id", "text", dd)
+        .write.format("noop").mode("overwrite").save()
+    }
+    // 2. text index (bucket-pruned postings + manifest)
+    val ti = s"$root/textindex"
+    graft.operators.TextIndex.persistPostings(docs, "doc_id", "text", ti)
+    timed("appendToIndex batch1 (1000 docs)") {
+      graft.operators.TextIndex.appendToIndex(
+        docBatch(0, 1000, Off1), "doc_id", "text", ti, batchId = 1L)
+    }
+    timed("appendToIndex batch2 (1000 docs)") {
+      graft.operators.TextIndex.appendToIndex(
+        docBatch(1000, 2000, Off2), "doc_id", "text", ti, batchId = 2L)
+    }
+    // 3. entity registry (bounded JW link + incremental CC, q275 shape)
+    val cust = spark.read.parquet(s"$dir/customer.parquet")
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
+    def custBatch(lo: Long, hi: Long, off: Long) =
+      cust.filter(col("c_custkey") >= lo && col("c_custkey") < hi)
+        .select((col("c_custkey") + off).as("c_custkey"), col("c_name"),
+          col("c_nationkey"))
+    val er = s"$root/erstore"
+    graft.operators.ErStore.build(cust, "c_custkey", "c_name", er,
+      threshold = 0.97, blockCols = Seq("c_nationkey"))
+    timed("ErStore.append batch1 (1500 names)") {
+      graft.operators.ErStore.append(custBatch(0, 1500, Off1), er,
+        batchId = 1L)
+    }
+    timed("ErStore.append batch2 (1500 names)") {
+      graft.operators.ErStore.append(custBatch(1500, 3000, Off2), er,
+        batchId = 2L)
+    }
   }
 
   def run(spark: SparkSession, names: Seq[String], dir1: String,

@@ -106,6 +106,63 @@ class JwJoinSpec extends SparkSpec {
     }
   }
 
+  test("maxBlockSize valve under fire: a degenerate multiset class " +
+    "(~10% of rows) trips the cap and is shed WHOLESALE; every pair " +
+    "outside the class survives exactly (VERDICT r15 #6)") {
+    // one multiset class: all C(9,2)=36 single swaps of the digit
+    // suffix + the base — same char multiset, pairwise jw >= 0.977
+    // (one swap 0.9888, two disjoint swaps 0.9777), so the class is
+    // dense TRUE pairs, not just candidate pressure
+    val base = "customer#012345678".toCharArray
+    val classNames = Seq(new String(base)) ++
+      (for (i <- 9 until 17; j <- (i + 1) to 17) yield {
+        val a = base.clone(); val t = a(i); a(i) = a(j); a(j) = t
+        new String(a)
+      })
+    // 360 diverse names (seeded random letters, so variant keys don't
+    // collide across bases) with planted single-substitution true
+    // pairs — the population that must survive the valve. NOT
+    // zero-padded digits: those share zero-heavy deletion-variant
+    // hubs corpus-wide (the q191 saturation shape) and the first cut
+    // of this spec measured exactly that collateral.
+    val rnd = new scala.util.Random(42)
+    val rest = (1 to 180).flatMap { _ =>
+      val s = "nm#" + (1 to 14).map(_ => ('a' + rnd.nextInt(26)).toChar)
+        .mkString
+      val mut = s.updated(5 + rnd.nextInt(9), 'q')
+      Seq(s, mut)
+    }
+    val all = (classNames ++ rest).zipWithIndex
+      .map { case (s, i) => (i.toLong, s) }.toDF("id", "name")
+    val classIds = (0 until classNames.size).map(_.toLong).toSet
+    val full = pairsOf(JwJoin.jaroWinklerSelfJoin(all, "id", "name", 0.9699))
+    val brute = pairsOf(JwJoin.bruteForce(all, "id", "name", 0.9699))
+    assert(full == brute, "valve off must stay exact under multiset pressure")
+    val capped = pairsOf(JwJoin.jaroWinklerSelfJoin(
+      all, "id", "name", 0.9699, maxBlockSize = 30))
+    assert(capped.subsetOf(full))
+    val lost = full -- capped
+    assert(lost.nonEmpty, "the class must actually trip a cap of 30")
+    // every shared variant key of a class-internal pair is held by all
+    // 37 class members (> cap), so the class sheds wholesale...
+    assert(lost.forall { case (a, b, _) =>
+      classIds(a) && classIds(b) }, s"collateral loss outside the class: " +
+      lost.filterNot { case (a, b, _) => classIds(a) && classIds(b) })
+    // ...and ONLY the class: pairs outside share under-cap keys
+    val classPairs = full.filter { case (a, b, _) => classIds(a) && classIds(b) }
+    assert(capped == full -- classPairs,
+      "valve must shed exactly the degenerate class")
+    // the class is a complete clique (every swap pair clears 0.9699),
+    // so it carries C(37,2) = 666 of the corpus's true pairs — recall
+    // when the valve trips is exactly the non-class share
+    assert(classPairs.size == 666, s"class clique incomplete: ${classPairs.size}")
+    assert(capped.size > 100, "diverse planted pairs must survive")
+    val recall = capped.size.toDouble / full.size
+    info(f"valve recall with 10%% degenerate class, cap 30: $recall%.3f " +
+      f"(${classPairs.size} class pairs shed wholesale, ${capped.size} " +
+      "diverse pairs kept — 100% outside the class)")
+  }
+
   test("plan has no cartesian product — candidates come from the " +
     "prefix equi-join") {
     val plan = JwJoin.jaroWinklerSelfJoin(corpus, "id", "name", 0.9)
@@ -185,6 +242,34 @@ class JwJoinSpec extends SparkSpec {
     // path with the all-pairs form as its oracle
     assert(rCS >= 1.0, s"cust→supp recall $rCS")
     assert(rSC >= 1.0, s"supp→cust recall $rSC")
+  }
+
+  test("autoGramLen mechanizes the sizing rule: grows with corpus " +
+    "saturation, falls back on vocabulary-starved corpora; gramLen=0 " +
+    "default resolves and lands in the lineage") {
+    def prepped(names: Seq[String]) =
+      JwJoin.prep(names.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+        .toDF("id", "name"), "id", "name", Nil)
+    // 16 mixed names: bigram vocabulary alone outgrows the corpus
+    assert(JwJoin.autoGramLen(prepped(corpus.as[(Long, String)]
+      .collect().map(_._2).toSeq)) == 2)
+    // 5000 zero-padded digit names saturate bigrams (<=100 live) AND
+    // trigrams (<=1000 live): the probe must grow past both
+    val dense = (1 to 5000).map(i => f"$i%09d")
+    val g = JwJoin.autoGramLen(prepped(dense))
+    assert(g >= 4, s"expected >= 4 on saturated digit names, got $g")
+    // single-char alphabet: no length can ever reach |corpus| — fall
+    // back to the largest live vocabulary (longest strings win there,
+    // smallest length on ties; never throws)
+    val starved = (1 to 50).map(i => "a" * (i % 5 + 1))
+    val gs = JwJoin.autoGramLen(prepped(starved))
+    assert(gs >= 2 && gs <= 6, s"fallback out of range: $gs")
+    // the default (0 = auto) resolves and is auditable in the lineage
+    val out = JwJoin.bestMatch(corpus, "id", "name",
+      corpus.select((col("id") + 100).as("id"), col("name")), "id", "name")
+    val alias = "__jw_gramlen_(\\d+)".r
+      .findFirstMatchIn(out.queryExecution.analyzed.toString)
+    assert(alias.exists(_.group(1) == "2"), "lineage alias missing")
   }
 
   test("bestMatchCandidates: bounded per left string, cartesian-free " +
