@@ -546,23 +546,30 @@ object JwJoin {
       .select(col("__id"), xxhash64(col("__gh"), col("__occ")).as("__eh"))
   }
 
-  /** The `gramLen = 0` AUTO-SIZING probe (the SCALE.md round-15 sizing
-    * rule, mechanized): the retrieval fan-out is Σ right-side
-    * posting-list length over each left row's probe grams, and posting
-    * lists stay O(1) in |right| exactly while the live gram vocabulary
-    * keeps pace with the corpus — so pick the smallest gramLen in
+  /** The `gramLen = 0` AUTO-SIZING probe. Find the smallest gramLen in
     * [2, 6] whose live (block, gram) vocabulary on the RIGHT side
-    * reaches |right| distinct strings. When no length saturates (the
-    * corpus outgrows every achievable vocabulary — very short strings
-    * or a tiny alphabet), fall back to the largest vocabulary seen
-    * (smallest length on ties). One pass over the right reps: all five
-    * window lengths explode together and aggregate to five HLL
-    * counters (approx_count_distinct — a few-percent error only moves
-    * the decision between neighboring lengths whose posting behavior
-    * is near-identical at the boundary). Sizing on the right side
-    * alone is sufficient for the symmetric (reciprocal) form too: the
-    * pair fan-out is Σ_g df_left(g)·df_right(g), and O(1) right-side
-    * posting lists bound it by O(total left grams) — linear. */
+    * reaches |right| distinct strings (the saturation point, where
+    * posting lists stop growing with the corpus), then pick ONE BELOW
+    * it — the last SATURATED length. Rationale, measured (SCALE.md
+    * round-16): `probeDfBudget`, not vocabulary growth, now carries
+    * the volume guarantee (fan-out <= |left| * budget at any length),
+    * so the length should be chosen for RECALL per budget unit — and
+    * that is densest just below saturation, where true near-matches
+    * still share many grams but each gram narrows the corpus the most.
+    * On the 10x name corpus: the saturating length (4) scores 0.833
+    * same-score argmax recall, one-below (3) scores 0.960, two-below
+    * (2) scores 0.920 — all at the identical budget; at 1x, one-below
+    * (2) scores 1.000. When no length saturates (the corpus outgrows
+    * every achievable vocabulary — very short strings or a tiny
+    * alphabet), fall back to the largest vocabulary seen (smallest
+    * length on ties; no minus-one, since posting behavior never
+    * plateaus). One pass over the right reps: all five window lengths
+    * explode together and aggregate to five HLL counters
+    * (approx_count_distinct — a few-percent error only moves the
+    * decision between neighboring lengths whose posting behavior is
+    * near-identical at the boundary). Sizing on the right side alone
+    * is sufficient for the symmetric (reciprocal) form too: the pair
+    * fan-out stays budget-bounded per LEFT row regardless. */
   private[graft] def autoGramLen(bD: DataFrame, minG: Int = 2,
                                  maxG: Int = 6): Int = {
     val nRight = bD.count()
@@ -581,6 +588,7 @@ object JwJoin {
       .agg(approx_count_distinct(struct(col("__bh"), col("w"))).as("v"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     (minG to maxG).find(g => vocab.getOrElse(g, 0L) >= nRight)
+      .map(g => math.max(minG, g - 1))
       .getOrElse((minG to maxG).maxBy(g => (vocab.getOrElse(g, 0L), -g)))
   }
 
@@ -599,7 +607,10 @@ object JwJoin {
     * the right side (stopword valve: corpus-sized posting lists carry
     * no signal); `probeGrams` bounds each LEFT record to its rarest
     * surviving grams (rank by right-side df — the AllPairs prefix
-    * discipline applied to retrieval). Explicit-width repartitions
+    * discipline applied to retrieval); `probeDfBudget` additionally
+    * caps each left record's CUMULATIVE probed df — the valve that
+    * makes total fan-out <= |left| * budget at any corpus size (see
+    * the inline note at the probe prefix). Explicit-width repartitions
     * pin the parallelism of the CPU-heavy middle: these tables are
     * bytes-small, and AQE would coalesce the fan-out + aggregation
     * onto one task (the covarianceMatrix finding). Downstream rides
@@ -610,7 +621,8 @@ object JwJoin {
     * Output: (__ida, __idb, __score) at REP grain. */
   private def bestMatchScoredReps(aD: DataFrame, bD: DataFrame,
                                   gramLen: Int, maxDfFraction: Double,
-                                  probeGrams: Int): DataFrame = {
+                                  probeGrams: Int,
+                                  probeDfBudget: Long): DataFrame = {
     val ga = gramTable(aD, gramLen).select(col("__id").as("__ida"),
       col("__eh"))
     val gb = gramTable(bD, gramLen).select(col("__id").as("__idb"),
@@ -634,13 +646,35 @@ object JwJoin {
     val gaW = ga.join(broadcast(dfT), "__eh")
       .repartition(par, col("__ida"))
     val gaP =
-      if (probeGrams == Int.MaxValue)
+      if (probeGrams == Int.MaxValue && probeDfBudget == Long.MaxValue)
         gaW.select(col("__ida"), col("__eh"), col("__w"))
       else {
+        // rarest-first probe prefix, DOUBLE-valved: a count cap
+        // (probeGrams, the AllPairs discipline) and a cumulative-df
+        // budget. The budget is what makes the retrieval volume
+        // LINEAR BY CONSTRUCTION: Σ probed posting-list lengths per
+        // left row <= probeDfBudget (+ the always-admitted first
+        // gram), so total fan-out <= |left| * budget at ANY corpus
+        // size — without it, saturated unigram elements (df grows
+        // linearly with the corpus, yet under maxDfFraction) fill the
+        // probe set and the fan-out goes quadratic (measured r16:
+        // 1.9M -> 216M pair rows from 1x -> 10x at probeGrams=12).
+        // Rare grams are cheap, so dozens fit; saturated grams only
+        // enter while budget remains. The admit rule is cum-AFTER <=
+        // budget (not cum-before: that version overshoots by the last
+        // gram's df, which is bounded only by maxDfFraction * |right|
+        // — corpus-LINEAR, and measured r16 it left 114M of the 216M
+        // fan-out standing). The first (rarest) gram is always
+        // admitted so no left row goes probe-less; it is the one
+        // per-row term the cap can't bound, and it's the RAREST
+        // surviving gram — pathological only when a row's sole
+        // surviving gram is near the maxDfFraction stopword line.
         val w = Window.partitionBy(col("__ida"))
           .orderBy(col("__df").asc, col("__eh").asc)
         gaW.withColumn("__pr", row_number().over(w))
-          .filter(col("__pr") <= probeGrams)
+          .withColumn("__cum", sum(col("__df")).over(w))
+          .filter(col("__pr") <= probeGrams &&
+            (col("__cum") <= probeDfBudget || col("__pr") === 1))
           .select(col("__ida"), col("__eh"), col("__w"))
       }
     // the pair aggregation rides the __ida partitioning (a subset of
@@ -662,10 +696,27 @@ object JwJoin {
     * contract applied to strings: the candidate set is a RECALL
     * TRADE, not exact — measure recall vs the all-pairs argmax on a
     * sample of YOUR corpus and size `topM`/`probeGrams`/
-    * `maxDfFraction` under the measured value (JwJoinSpec measures
-    * 1.0 at the defaults on the sf0.01 name corpus, both directions;
-    * the all-pairs form stays the oracle). A left row sharing no
-    * surviving gram with any right row emits nothing.
+    * `probeDfBudget`/`maxDfFraction` under the measured value
+    * (JwJoinSpec measures 1.0 at the defaults on the sf0.01 name
+    * corpus, both directions; the all-pairs form stays the oracle). A
+    * left row sharing no surviving gram with any right row emits
+    * nothing.
+    *
+    * Default sizing (measured, SCALE.md round-16): `probeDfBudget =
+    * 512` is the SCALE knob — it caps each left row's summed
+    * posting-list lengths, making retrieval fan-out linear BY
+    * CONSTRUCTION (<= |left| * budget at any corpus size), where the
+    * r16 diagnosis measured quadratic growth from budget-less probes
+    * (216M pair rows at 10x vs 17.7M budgeted; the budget admits every
+    * rare recall-carrying gram — digit q-grams cost ~6 df each — and
+    * sheds exactly the saturated corpus-linear unigram lists that
+    * carried no recall on the measured corpus). With the gate bounded
+    * by the budget, `topM` defaults to UNBOUNDED: the proxy-ranked cut
+    * is pure recall loss when its only historic job (bounding the
+    * exact-JW gate) is already done — measured at 1x, same-score
+    * argmax recall 0.906 at topM=20, 0.987 at topM=100, 1.000
+    * unbounded, identical budget. Pass a finite topM only to bound
+    * this operator's OUTPUT per left row (candidate-list consumers).
     *
     * `gramLen` is the SCALING knob (measured, SCALE.md round-15): the
     * retrieval fan-out is Σ right-side posting-list length over each
@@ -682,39 +733,48 @@ object JwJoin {
     *
     * `symmetric = true` additionally keeps each RIGHT row's topM —
     * the reciprocal-linkage feed (both sides' argmaxes from ONE
-    * retrieval). Output: (id_a, id_b, jw) — up to topM rows per
-    * DISTINCT left string (the dedup-first discipline: candidates
-    * are retrieved per rep and expanded to ids through exact string
-    * keys; duplicate strings expand past the bound by construction).
+    * retrieval; a no-op under the unbounded default, where both sides
+    * already keep everything). Output: (id_a, id_b, jw) — up to topM
+    * rows per DISTINCT left string (the dedup-first discipline:
+    * candidates are retrieved per rep and expanded to ids through
+    * exact string keys; duplicate strings expand past the bound by
+    * construction).
     * The cut ranks by (proxy score desc, partner rep hash);
     * `blockCols` restrict pairs to equal blocks (null-safe). */
   def bestMatchCandidates(left: DataFrame, leftIdCol: String,
                           leftStrCol: String,
                           right: DataFrame, rightIdCol: String,
                           rightStrCol: String,
-                          topM: Int = 20, gramLen: Int = 0,
+                          topM: Int = Int.MaxValue, gramLen: Int = 0,
                           maxDfFraction: Double = 0.25,
-                          probeGrams: Int = 12,
+                          probeGrams: Int = 64,
+                          probeDfBudget: Long = 512,
                           blockCols: Seq[(String, String)] = Nil,
                           symmetric: Boolean = false): DataFrame = {
     val (a, b, aD, bD, g, scores0) = bestMatchPrep(left, leftIdCol,
       leftStrCol, right, rightIdCol, rightStrCol, topM, gramLen,
-      maxDfFraction, probeGrams, blockCols)
-    // symmetric mode pins the scores EAGERLY — its two cut branches
-    // run concurrently in one job, and a lazy checkpoint lets both
-    // race to compute the retrieval before either caches it (measured
-    // as twin full-pipeline stages)
-    val scores =
-      if (symmetric) scores0.localCheckpoint(eager = true) else scores0
-    def cut(df: DataFrame, keyCol: String, otherCol: String) = {
-      val w = Window.partitionBy(col(keyCol))
-        .orderBy(col("__score").desc, col(otherCol).asc)
-      df.withColumn("__rk", row_number().over(w))
-        .filter(col("__rk") <= topM)
-        .select(col("__ida"), col("__idb"))
-    }
-    val par = left.sparkSession.sparkContext.defaultParallelism
-    val cand =
+      maxDfFraction, probeGrams, probeDfBudget, blockCols)
+    // Unbounded topM (the default): no cut at all — the score pairs ARE
+    // the candidates (already distinct via the pair agg), the budget
+    // bounds the gate, and symmetric mode needs no second branch (both
+    // sides keep everything). Finite topM keeps the proxy-cut
+    // machinery; symmetric then pins the scores EAGERLY — its two cut
+    // branches run concurrently in one job, and a lazy checkpoint lets
+    // both race to compute the retrieval before either caches it
+    // (measured as twin full-pipeline stages).
+    val cand = if (topM == Int.MaxValue) {
+      scores0.select(col("__ida"), col("__idb"))
+    } else {
+      val scores =
+        if (symmetric) scores0.localCheckpoint(eager = true) else scores0
+      def cut(df: DataFrame, keyCol: String, otherCol: String) = {
+        val w = Window.partitionBy(col(keyCol))
+          .orderBy(col("__score").desc, col(otherCol).asc)
+        df.withColumn("__rk", row_number().over(w))
+          .filter(col("__rk") <= topM)
+          .select(col("__ida"), col("__idb"))
+      }
+      val par = left.sparkSession.sparkContext.defaultParallelism
       if (!symmetric) cut(scores, "__ida", "__idb")
       else cut(scores, "__ida", "__idb")
         // explicit-width repartition on the OTHER side's key: the
@@ -723,6 +783,7 @@ object JwJoin {
         .unionByName(cut(scores.repartition(par, col("__idb")),
           "__idb", "__ida"))
         .distinct()
+    }
     val repPairs = gateJw(cand, namesOf(aD, "a"), namesOf(bD, "b"),
       threshold = 0.0, keepNames = true)
     expandRepPairs(repPairs, a, b)
@@ -741,18 +802,31 @@ object JwJoin {
     * (id_a, id_b, jw), one row per left row with >= 1 candidate. */
   def bestMatch(left: DataFrame, leftIdCol: String, leftStrCol: String,
                 right: DataFrame, rightIdCol: String, rightStrCol: String,
-                topM: Int = 20, gramLen: Int = 0,
+                topM: Int = Int.MaxValue, gramLen: Int = 0,
                 maxDfFraction: Double = 0.25,
-                probeGrams: Int = 12,
+                probeGrams: Int = 64,
+                probeDfBudget: Long = 512,
                 blockCols: Seq[(String, String)] = Nil): DataFrame = {
     val (a, b, aD, bD, g, scores) = bestMatchPrep(left, leftIdCol,
       leftStrCol, right, rightIdCol, rightStrCol, topM, gramLen,
-      maxDfFraction, probeGrams, blockCols)
-    val cw = Window.partitionBy(col("__ida"))
-      .orderBy(col("__score").desc, col("__idb").asc)
-    val cand = scores.withColumn("__rk", row_number().over(cw))
-      .filter(col("__rk") <= topM)
-      .select(col("__ida"), col("__idb"))
+      maxDfFraction, probeGrams, probeDfBudget, blockCols)
+    // Default topM = unbounded: `probeDfBudget` already caps the gate
+    // at <= |left| * budget exact-JW calls (a codegen scalar), so the
+    // proxy-ranked cut — a full window sort of the retrieval, kept
+    // from the budget-less era — is pure RECALL LOSS for the argmax
+    // form (measured r16 at 1x: score-recall 0.906 at topM=20, 0.987
+    // at topM=100, ceiling at gate-everything; the map-side-combined
+    // argmax agg below is also cheaper than the row_number sort).
+    // A finite topM keeps the documented proxy-cut semantics.
+    val cand =
+      if (topM == Int.MaxValue) scores.select(col("__ida"), col("__idb"))
+      else {
+        val cw = Window.partitionBy(col("__ida"))
+          .orderBy(col("__score").desc, col("__idb").asc)
+        scores.withColumn("__rk", row_number().over(cw))
+          .filter(col("__rk") <= topM)
+          .select(col("__ida"), col("__idb"))
+      }
     val scoredJw = gateJw(cand, namesOf(aD, "a"), namesOf(bD, "b"),
       threshold = 0.0, keepNames = true)
     // rep-level argmax (ties: -jw, right string, right rep id), then
@@ -782,6 +856,7 @@ object JwJoin {
                             rightStrCol: String,
                             topM: Int, gramLen: Int,
                             maxDfFraction: Double, probeGrams: Int,
+                            probeDfBudget: Long,
                             blockCols: Seq[(String, String)])
       : (DataFrame, DataFrame, DataFrame, DataFrame, Int, DataFrame) = {
     require(topM >= 1, s"topM must be >= 1, got $topM")
@@ -790,14 +865,30 @@ object JwJoin {
     require(maxDfFraction > 0.0 && maxDfFraction <= 1.0,
       s"maxDfFraction must be in (0, 1], got $maxDfFraction")
     require(probeGrams >= 1, s"probeGrams must be >= 1, got $probeGrams")
+    require(probeDfBudget >= 1,
+      s"probeDfBudget must be >= 1, got $probeDfBudget")
     val a = prep(left, leftIdCol, leftStrCol, blockCols.map(_._1))
     val b = prep(right, rightIdCol, rightStrCol, blockCols.map(_._2))
     val aD = dedupReps(a).localCheckpoint(eager = false)
     val bD = dedupReps(b).localCheckpoint(eager = false)
     val g = if (gramLen == 0) autoGramLen(bD) else gramLen
     (a, b, aD, bD, g,
-      bestMatchScoredReps(aD, bD, g, maxDfFraction, probeGrams))
+      bestMatchScoredReps(aD, bD, g, maxDfFraction, probeGrams,
+        probeDfBudget))
   }
+
+  /** Instrumentation hook for the scale harness (`ScaleStress jwdiag`):
+    * the rep-grain proxy-score table a best-match call would cut.
+    * Counting it at 1x vs Nx separates retrieval fan-out growth from
+    * the cut/gate machinery when adjudicating a measured exponent. */
+  private[graft] def scoredRepsProbe(left: DataFrame, leftIdCol: String,
+      leftStrCol: String, right: DataFrame, rightIdCol: String,
+      rightStrCol: String, gramLen: Int = 0,
+      maxDfFraction: Double = 0.25, probeGrams: Int = 64,
+      probeDfBudget: Long = 512): DataFrame =
+    bestMatchPrep(left, leftIdCol, leftStrCol, right, rightIdCol,
+      rightStrCol, 1, gramLen, maxDfFraction, probeGrams, probeDfBudget,
+      Nil)._6
 
   /** Brute-force all-pairs reference (O(n^2) — tests and tiny frames
     * ONLY). Same output contract as [[jaroWinklerSelfJoin]]. */

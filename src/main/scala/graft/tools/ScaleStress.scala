@@ -103,6 +103,36 @@ object ScaleStress {
       val agree = j.filter(col("jw1") === col("jw2")).count()
       println(s"[jw191cmp] $dir gramLen $g1 vs $g2: $agree / $n same-score argmax")
       spark.stop()
+    // Stage diagnosis for a measured best-match exponent: at each dir,
+    // count the rep-grain proxy-score table (retrieval fan-out), then
+    // time the asymmetric and symmetric candidate cuts over the SAME
+    // retrieval — separates "the fan-out grew superlinearly" from "the
+    // symmetric cut/checkpoint machinery is the cost".
+    case "jwdiag" :: gramLen :: dirs =>
+      val spark = session()
+      import org.apache.spark.sql.functions.col
+      for (d <- dirs) {
+        def cust = spark.read.parquet(s"$d/customer.parquet")
+          .select(col("c_name"))
+        def supp = spark.read.parquet(s"$d/supplier.parquet")
+          .select(col("s_name"))
+        def timed(label: String)(body: => Long): Unit = {
+          val t0 = System.nanoTime()
+          val n = body
+          println(f"[jwdiag] $d gramLen=$gramLen $label: $n rows, " +
+            f"${(System.nanoTime() - t0) / 1e9}%.1f s")
+        }
+        timed("scores volume")(graft.operators.JwJoin.scoredRepsProbe(
+          cust, "c_name", "c_name", supp, "s_name", "s_name",
+          gramLen = gramLen.toInt).count())
+        timed("asymmetric cut")(graft.operators.JwJoin.bestMatchCandidates(
+          cust, "c_name", "c_name", supp, "s_name", "s_name",
+          gramLen = gramLen.toInt).count())
+        timed("symmetric cut")(graft.operators.JwJoin.bestMatchCandidates(
+          cust, "c_name", "c_name", supp, "s_name", "s_name",
+          gramLen = gramLen.toInt, symmetric = true).count())
+      }
+      spark.stop()
     // Recall vs TRUTH: the bestMatch argmax at a given gramLen (0 =
     // auto) / topM / probeGrams against the brute-force all-pairs
     // argmax (the q191 oracle shape, customer×supplier names).
@@ -110,8 +140,9 @@ object ScaleStress {
     // (partner AND score under the (−jw, name, id) tie-break) and
     // score-level recall (emitted jw == true max jw).
     case "jwrecall" :: dir :: g :: rest =>
-      val topM = rest.headOption.map(_.toInt).getOrElse(20)
-      val probe = rest.drop(1).headOption.map(_.toInt).getOrElse(12)
+      val topM = rest.headOption.map(_.toInt).getOrElse(Int.MaxValue)
+      val probe = rest.drop(1).headOption.map(_.toInt).getOrElse(64)
+      val budget = rest.drop(2).headOption.map(_.toLong).getOrElse(512L)
       val spark = session()
       import org.apache.spark.sql.functions._
       val cust = spark.read.parquet(s"$dir/customer.parquet")
@@ -131,7 +162,7 @@ object ScaleStress {
       val t0 = System.nanoTime()
       val got = graft.operators.JwJoin.bestMatch(cust, "id", "name",
           supp, "id", "name", topM = topM, gramLen = g.toInt,
-          probeGrams = probe)
+          probeGrams = probe, probeDfBudget = budget)
         .select(col("id_a").as("id"), col("id_b").as("got_id"),
           col("jw").as("got_jw"))
       val j = truth.join(got, Seq("id"), "left").localCheckpoint()
@@ -145,7 +176,8 @@ object ScaleStress {
         col("got_jw") === col("true_jw")).count()
       val score = j.filter(col("got_jw") === col("true_jw")).count()
       println(f"[jwrecall] $dir gramLen=$g(chosen $chosen%s) topM=$topM " +
-        f"probeGrams=$probe: exact $exact/$n (${exact.toDouble / n}%.4f)  " +
+        f"probeGrams=$probe budget=$budget: " +
+        f"exact $exact/$n (${exact.toDouble / n}%.4f)  " +
         f"score $score/$n (${score.toDouble / n}%.4f)  wall $wall%.1f s")
       spark.stop()
     // ANN recall vs corpus size (VERDICT r15 #2): mean recall@10 over
@@ -173,7 +205,8 @@ object ScaleStress {
         "       ScaleStress count <q1,q2,...> <dir> [dir2...]\n" +
         "       ScaleStress jw191 <dir> <gramLen> [reps]\n" +
         "       ScaleStress jw191cmp <dir> <gramLen1> <gramLen2>\n" +
-        "       ScaleStress jwrecall <dir> <gramLen|0=auto> [topM] [probeGrams]\n" +
+        "       ScaleStress jwdiag <gramLen|0=auto> <dir> [dir2...]\n" +
+        "       ScaleStress jwrecall <dir> <gramLen|0=auto> [topM] [probeGrams] [dfBudget]\n" +
         "       ScaleStress annrecall <dir>\n" +
         "       ScaleStress storeingest <dir> <storeRoot>")
       sys.exit(2)

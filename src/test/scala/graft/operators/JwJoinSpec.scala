@@ -251,13 +251,15 @@ class JwJoinSpec extends SparkSpec {
       JwJoin.prep(names.zipWithIndex.map { case (s, i) => (i.toLong, s) }
         .toDF("id", "name"), "id", "name", Nil)
     // 16 mixed names: bigram vocabulary alone outgrows the corpus
+    // (saturation at 2, one-below floors at minG = 2)
     assert(JwJoin.autoGramLen(prepped(corpus.as[(Long, String)]
       .collect().map(_._2).toSeq)) == 2)
     // 5000 zero-padded digit names saturate bigrams (<=100 live) AND
-    // trigrams (<=1000 live): the probe must grow past both
+    // trigrams (<=1000 live): saturation is at >= 4, and the rule
+    // picks one below it (the last saturated length)
     val dense = (1 to 5000).map(i => f"$i%09d")
     val g = JwJoin.autoGramLen(prepped(dense))
-    assert(g >= 4, s"expected >= 4 on saturated digit names, got $g")
+    assert(g >= 3, s"expected >= 3 on saturated digit names, got $g")
     // single-char alphabet: no length can ever reach |corpus| — fall
     // back to the largest live vocabulary (longest strings win there,
     // smallest length on ties; never throws)
@@ -302,5 +304,37 @@ class JwJoinSpec extends SparkSpec {
       .as[(Long, Long, Double)].collect()
     assert(blocked.nonEmpty &&
       blocked.forall { case (a, b, _) => a % 2 == b % 2 })
+  }
+
+  test("probeDfBudget bounds the retrieval: a saturated gram is shed " +
+    "once the cumulative-df cap is hit, the rarest gram is always " +
+    "probed, and an unlimited budget reproduces the unbudgeted set") {
+    // right corpus engineered so every row holds one UNIQUE bigram
+    // (its 2-letter prefix, df = 1), a semi-rare one (c2+'z', df <= 2)
+    // and the HOT suffix "zz" (df = n, plus the saturated 'z' unigram
+    // elements); maxDfFraction = 1.0 keeps the hot grams eligible so
+    // only the budget can shed them
+    val n = 40
+    def name(i: Int) = "" + ('a' + (i - 1) / 26).toChar +
+      ('a' + (i - 1) % 26).toChar + "zz"
+    val right = (1 to n).map(i => (i.toLong, name(i))).toDF("id", "name")
+    val left = (1 to 5).map(i => (i.toLong, name(i))).toDF("id", "name")
+    def vol(budget: Long) = JwJoin.scoredRepsProbe(left, "id", "name",
+      right, "id", "name", gramLen = 2, maxDfFraction = 1.0,
+      probeGrams = 1000, probeDfBudget = budget).count()
+    // budget 1: only the unique prefix bigram fits (first gram always
+    // admitted), so each left row retrieves exactly itself
+    assert(vol(1) == 5L, s"budget=1 volume: ${vol(1)}")
+    // unlimited budget ≡ unbudgeted: the hot "zz"/unigram postings are
+    // probed and every left row retrieves all n right rows
+    assert(vol(Long.MaxValue) == 5L * n, s"got ${vol(Long.MaxValue)}")
+    // the argmax survives a budget that sheds the hot grams: each left
+    // string IS a right string, and its unique prefix gram retrieves it
+    val got = JwJoin.bestMatch(left, "id", "name", right, "id", "name",
+        probeDfBudget = 8)
+      .as[(Long, Long, Double)].collect()
+    assert(got.length == 5 &&
+      got.forall { case (a, b, jw) => a == b && jw == 1.0 },
+      got.mkString(","))
   }
 }
