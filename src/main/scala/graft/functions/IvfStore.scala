@@ -137,9 +137,10 @@ object IvfStore {
     * manifest id the build registers under; the streaming sink passes
     * its first micro-batch's id so a post-crash replay is recognized
     * as already ingested. Column names must be whitespace-free (they
-    * ride the manifest). */
+    * ride the manifest). `k = 0` (default) auto-sizes to
+    * max(8, round(√n)) — [[IvfIndex.build]]'s measured scale rule. */
   def build(vectors: DataFrame, vecCol: String, idCol: String, store: String,
-            k: Int = 16, iterations: Int = 2, baseBatchId: Long = 0L): Unit = {
+            k: Int = 0, iterations: Int = 2, baseBatchId: Long = 0L): Unit = {
     require(baseBatchId >= 0, s"baseBatchId must be >= 0, got $baseBatchId" +
       " (negative ids are compaction generations)")
     Seq(idCol, vecCol).foreach(c => require(!c.exists(_.isWhitespace),

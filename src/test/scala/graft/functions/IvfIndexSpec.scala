@@ -23,6 +23,24 @@ class IvfIndexSpec extends SparkSpec {
       "close() must unpersist the centroid cache")
   }
 
+  test("k = 0 (default) auto-sizes centroids to max(8, round(sqrt(n))) " +
+    "— the measured k-for-scale rule; explicit k still pins geometry") {
+    val n = emb.filter(col("embedding").isNotNull).count()
+    val want = math.max(8L, math.round(math.sqrt(n.toDouble)))
+    val auto = IvfIndex.build(emb, "embedding", "vec_id")
+    try assert(auto.centroids.count() == want,
+      s"n=$n -> expected $want centroids, got ${auto.centroids.count()}")
+    finally auto.close()
+    // the floor: a tiny corpus still gets 8 centroids, not 2
+    val tiny = IvfIndex.build(emb.filter(col("vec_id") < 5),
+      "embedding", "vec_id")
+    try assert(tiny.centroids.count() <= 8) // <= : seeds capped by rows
+    finally tiny.close()
+    intercept[IllegalArgumentException] {
+      IvfIndex.build(emb, "embedding", "vec_id", k = -1)
+    }
+  }
+
   test("probing all clusters reproduces the exact brute-force top-k") {
     import scala.jdk.CollectionConverters._
     val qv = emb.filter($"vec_id" === 0).select("embedding")
