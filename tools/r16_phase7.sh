@@ -2,10 +2,13 @@
 # Round-16 phase 7: full test suite, then the independent VERDICT r15
 # measurements (#2 annrecall 1x/10x, #3 storeingest 1x/10x store,
 # #5 q243 at 100x + q274 true-pair count at 30x).
-set -x
+# -eo pipefail: a red test suite must STOP the measurement phases (ADVICE
+# r16 — tail-truncating an unchecked pipe let failures scroll past); the
+# full test log lands in /tmp/r16_tests.log instead of being cut to 5 lines.
+set -xeo pipefail
 cd /root/repo
 export SPARK_DRIVER_MEM=48g
-sbt -batch test 2>&1 | tail -5
+sbt -batch test 2>&1 | tee /tmp/r16_tests.log | tail -5
 rm -rf /tmp/store1x /tmp/store10x
 sbt -batch \
   "runMain graft.tools.ScaleStress annrecall /root/testdata/sf0.1" \
