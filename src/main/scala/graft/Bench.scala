@@ -28,13 +28,28 @@ object Bench {
 
     def run(name: String): Double = {
       val t0 = System.nanoTime()
-      try SparkEntry.queries(name)(spark, sfDir)
-        .write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        return -1.0
-      }
-      (System.nanoTime() - t0) / 1e9
+      val t =
+        try {
+          SparkEntry.queries(name)(spark, sfDir)
+            .write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          -1.0
+        }
+      // Drop the query's persisted blocks (localCheckpoint/persist) once
+      // it finishes — OUTSIDE the timed region: queries are independent,
+      // so blocks left by query i are garbage to query i+1 — but they
+      // accumulate over a 333-query board and turn late-board
+      // measurements into a function of heap history, not of the query
+      // (the q243 2–2.5× same-tree swing, VERDICT r16 #4: its ×200
+      // explode is the board's most allocation-heavy plan, timed ~3/4
+      // through each pass). The timing above already captured the
+      // query's own cache-build cost.
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      spark.catalog.clearCache()
+      t
     }
 
     // Warmup, untimed: q01 exercises lineitem + agg codegen; the events

@@ -63,10 +63,15 @@ object IvfPqStore {
     * cluster-partitioned vectors + its manifest), then PQ codebooks
     * trained on the stored vectors, the codes layer written for every
     * visible batch, and the codebook manifest swapped LAST — the PQ
-    * layer's visibility gate. */
+    * layer's visibility gate. `k = 0` (default) auto-sizes the coarse
+    * layer to max(8, round(√n)) — [[IvfIndex.build]]'s measured scale
+    * rule; `ksub = 0` (default) auto-sizes the codebooks to min(256,
+    * training vectors) — [[PqIndex.train]]'s measured rule (the code
+    * byte is paid either way; finer is strictly better). Explicit
+    * values pin geometry (the oracle-certified catalog queries do). */
   def build(vectors: DataFrame, vecCol: String, idCol: String,
-            store: String, k: Int = 16, iterations: Int = 2,
-            m: Int = 8, ksub: Int = 16, pqIterations: Int = 3,
+            store: String, k: Int = 0, iterations: Int = 2,
+            m: Int = 8, ksub: Int = 0, pqIterations: Int = 3,
             baseBatchId: Long = 0L): Unit = {
     val spark = vectors.sparkSession
     graft.sources.Manifest.clear(spark, store, "_graft_pq_meta")
@@ -112,11 +117,24 @@ object IvfPqStore {
     * lookup table → top-`shortlist` by (adc ascending, id) → exact
     * squared-L2 re-rank of just those ids against the equally-pruned
     * vectors layer. Output: (idCol, l2_dist) ascending, id tie-break —
-    * the [[PqIndex.adcRefineTopK]] contract served from disk. */
+    * the [[PqIndex.adcRefineTopK]] contract served from disk.
+    *
+    * `shortlist = 0` (default) AUTO-SIZES to
+    * max(4·k, ceil(0.7 · scanned)) where `scanned` is the probed
+    * clusters' visible code count (one cheap count over the SAME
+    * pruned partitions the ADC pass is about to read) — the measured
+    * scale rule (SCALE.md round-17): recall tracks shortlist/scanned,
+    * and 0.7·scanned reached the IVF exact-refine ceiling (0.940) at
+    * BOTH measured scales where every fixed shortlist decays (60:
+    * 0.825 → 0.635 across the 2k → 20k decade). Under the auto-k
+    * coarse layer, scanned ≈ nprobe·√n, so the auto shortlist is
+    * O(√n) per query — quality flat, cost sublinear. Explicit
+    * shortlist pins geometry (the oracle-certified catalog queries
+    * do). */
   def topK(spark: SparkSession, store: String, queryVec: Seq[Float],
-           k: Int, nprobe: Int = 2, shortlist: Int = 100): DataFrame = {
-    require(k >= 1 && shortlist >= k,
-      s"need shortlist >= k >= 1, got k=$k shortlist=$shortlist")
+           k: Int, nprobe: Int = 2, shortlist: Int = 0): DataFrame = {
+    require(k >= 1 && (shortlist == 0 || shortlist >= k),
+      s"need shortlist >= k >= 1 (or 0 = auto-size), got k=$k shortlist=$shortlist")
     require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
     require(pqLayerExists(spark, store), s"no IVF×PQ store at $store")
     val meta = IvfStore.readMeta(spark, store)
@@ -129,14 +147,25 @@ object IvfPqStore {
       .limit(nprobe)
       .select(col("cluster_id"))
       .collect().map(_.getLong(0)).toSeq
-    val shortIds = spark.read.parquet(codesPath(store))
+    def prunedCodes = spark.read.parquet(codesPath(store))
       .filter(col("ab").isin(meta.batches: _*) &&
         col("cluster").isin(probeIds: _*))
+    val sl =
+      if (shortlist > 0) shortlist
+      else {
+        // parquet count over the pruned partitions: footer statistics,
+        // no column decode — cheap relative to the ADC scan that reads
+        // the same directories next
+        val scanned = prunedCodes.count()
+        math.max(4L * k, math.ceil(0.7 * scanned).toLong)
+          .min(Int.MaxValue.toLong).toInt
+      }
+    val shortIds = prunedCodes
       .withColumn("adc_dist",
         graft.plans.PqCodes.adc(col(CodesCol), PqIndex.lut(queryVec, cb)))
       .filter(col("adc_dist").isNotNull)
       .orderBy(col("adc_dist").asc, col(meta.idCol).asc)
-      .limit(shortlist)
+      .limit(sl)
       .select(meta.idCol)
     spark.read.parquet(IvfStore.vectorsPath(store))
       .filter(col("ab").isin(meta.batches: _*) &&

@@ -35,6 +35,13 @@ object PqIndex {
 
   /** Train per-subspace codebooks on `vectors`. `dim` must divide
     * evenly into `m` subspaces; `ksub` <= 256 (one byte per code).
+    * `ksub = 0` AUTO-SIZES to min(256, available training vectors) —
+    * the code byte is paid either way, so the finest codebook the
+    * byte (and the corpus) affords is strictly better: measured
+    * (SCALE.md round-17), ksub=256 beats ksub=16 at EVERY shortlist
+    * on 64-dim embeddings (e.g. 0.930 vs 0.825 recall@10 at
+    * shortlist=60, identical storage). Explicit ksub pins geometry
+    * (the oracle-certified catalog queries do).
     *
     * Training runs on a BOUNDED deterministic sample of at most
     * ~`maxTrainRows` vectors (hash-modulus on the id — stable across
@@ -47,9 +54,10 @@ object PqIndex {
             m: Int = 8, ksub: Int = 16, iterations: Int = 3,
             maxTrainRows: Long = 100000L): Codebooks = {
     require(m >= 1, s"m must be >= 1, got $m")
-    require(ksub >= 1 && ksub <= 256, s"need 1 <= ksub <= 256, got $ksub")
+    require(ksub >= 0 && ksub <= 256,
+      s"need 1 <= ksub <= 256 (or 0 = auto-size), got $ksub")
     require(iterations >= 0, s"iterations must be >= 0, got $iterations")
-    require(maxTrainRows >= ksub,
+    require(maxTrainRows >= math.max(1, ksub),
       s"maxTrainRows=$maxTrainRows must cover ksub=$ksub seeds")
     val clean = vectors.filter(col(vecCol).isNotNull)
     val n = clean.count()
@@ -68,14 +76,18 @@ object PqIndex {
     require(dim % m == 0, s"dim $dim must split evenly into m=$m subspaces")
     val subDim = dim / m
 
-    // deterministic seeding: sub-slices of the ksub lowest-id vectors
-    val seeds = base.orderBy(col("__id").asc).limit(ksub)
+    // deterministic seeding: sub-slices of the ksub lowest-id vectors.
+    // ksub = 0 auto-sizes to whatever the sample affords, capped at the
+    // one-byte code's 256 — the finest codebook the byte can hold
+    val wanted = if (ksub == 0) 256 else ksub
+    val seeds = base.orderBy(col("__id").asc).limit(wanted)
       .select(col("__v").cast("array<double>")).collect()
       .map(_.getSeq[Double](0).toArray)
-    require(seeds.length == ksub,
-      s"need at least ksub=$ksub vectors to seed, got ${seeds.length}")
+    val ksubEff = if (ksub == 0) seeds.length else ksub
+    require(ksubEff >= 1 && seeds.length == ksubEff,
+      s"need at least ksub=$ksubEff vectors to seed, got ${seeds.length}")
     var cents: Array[Array[Array[Double]]] =
-      Array.tabulate(m, ksub)((s, c) => seeds(c).slice(s * subDim, (s + 1) * subDim))
+      Array.tabulate(m, ksubEff)((s, c) => seeds(c).slice(s * subDim, (s + 1) * subDim))
 
     if (iterations > 0) {
       // Lloyd assign = the ENCODER itself: PqEncode's codegen'd argmin
@@ -109,7 +121,7 @@ object PqIndex {
         }
       }
     }
-    Codebooks(m, ksub, subDim, cents.map(_.map(_.map(_.toFloat))))
+    Codebooks(m, ksubEff, subDim, cents.map(_.map(_.map(_.toFloat))))
   }
 
   /** Add the m-byte PQ codes column — the compressed dataset

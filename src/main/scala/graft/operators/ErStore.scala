@@ -57,6 +57,21 @@ import org.apache.spark.sql.functions._
   * append is LAST — a crashed append leaves orphan partitions
   * invisible; a replayed batch id (live or retired) is a no-op.
   * Single-writer per store path.
+  *
+  * BLOCKING-KEY SIZING (measured, SCALE.md r17): per-batch append
+  * cost is O(batch + touched buckets) PLUS a per-block density term —
+  * inside each block the batch's deletion-variant keys join posting
+  * lists that grow with block density, and the batch's true match
+  * set grows with it. A key set whose cardinality is FIXED (e.g.
+  * nation: 25 blocks at any corpus size) therefore grows ~1.4x per
+  * corpus decade (measured 9.6 -> 13.7 s for the same 1,500-name
+  * batch, 1x -> 10x store); a key whose cardinality grows ∝ corpus
+  * (e.g. nation × a name band, ~100 rows/block at any scale)
+  * measures FLAT (9.4 -> 9.1 s). Rule: choose `blockCols` so expected
+  * rows/block stays ~constant as the registry grows — the recall
+  * tradeoff is the standard ER one (pairs crossing a block boundary
+  * are never candidates), and incremental ≡ full recompute holds for
+  * ANY key shape (ErStoreSpec pins a composite key).
   */
 object ErStore {
 

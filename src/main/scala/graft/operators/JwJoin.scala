@@ -106,6 +106,31 @@ object JwJoin {
 
   private val Eps = 1e-9
 
+  /** The shipped best-match retrieval valves (measured, SCALE.md
+    * rounds 16-17) — single source of truth shared by [[bestMatch]],
+    * [[bestMatchCandidates]], [[scoredRepsProbe]] and the scale
+    * harness's diagnostic probes, so a default drift can never make
+    * the diagnostics silently measure different settings than
+    * production. `DefaultProbeDfBudget = 0` = AUTO: resolve to
+    * max([[BudgetFloor]], ceil(8·√|right reps|)) — the measured
+    * recall-per-cost optimum at each corpus decade (SCALE.md r17
+    * budget dial: 512 → 1.000 at 1k right reps, 800 → 0.971 at 10k,
+    * 2530 → 0.919 at 100k, where 0.919 is the plateau for every
+    * subquadratic budget on that corpus — see the r17 adjudication;
+    * the unbudgeted probe reaches 0.992 at all-pairs-class cost). The
+    * resolved budget keeps the hard fan-out bound subquadratic:
+    * <= |left| · max(512, 8·√|right|). */
+  private[graft] val DefaultProbeGrams: Int     = 64
+  private[graft] val DefaultProbeDfBudget: Long = 0L
+  private[graft] val BudgetFloor: Long          = 512L
+
+  private[graft] def resolveBudget(probeDfBudget: Long, nRight: Long): Long =
+    if (probeDfBudget != 0L) probeDfBudget
+    else math.max(BudgetFloor,
+      math.ceil(8.0 * math.sqrt(math.max(0L, nRight).toDouble)).toLong)
+
+  private[graft] val DefaultMaxDfFraction       = 0.25
+
   /** All pairs (id_a, id_b) across two tables with
     * jaroWinkler(strA, strB) >= threshold, optionally restricted to
     * equal `blockCols` (null-safe: null blocks with null, the
@@ -571,8 +596,8 @@ object JwJoin {
     * is sufficient for the symmetric (reciprocal) form too: the pair
     * fan-out stays budget-bounded per LEFT row regardless. */
   private[graft] def autoGramLen(bD: DataFrame, minG: Int = 2,
-                                 maxG: Int = 6): Int = {
-    val nRight = bD.count()
+                                 maxG: Int = 6, nRight: Long = -1L): Int = {
+    val nR = if (nRight >= 0L) nRight else bD.count()
     val n = col("__n")
     val layered = array((minG to maxG).map { g =>
       struct(lit(g).as("g"),
@@ -587,7 +612,7 @@ object JwJoin {
       .groupBy(col("g"))
       .agg(approx_count_distinct(struct(col("__bh"), col("w"))).as("v"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    (minG to maxG).find(g => vocab.getOrElse(g, 0L) >= nRight)
+    (minG to maxG).find(g => vocab.getOrElse(g, 0L) >= nR)
       .map(g => math.max(minG, g - 1))
       .getOrElse((minG to maxG).maxBy(g => (vocab.getOrElse(g, 0L), -g)))
   }
@@ -702,21 +727,43 @@ object JwJoin {
     * left row sharing no surviving gram with any right row emits
     * nothing.
     *
-    * Default sizing (measured, SCALE.md round-16): `probeDfBudget =
-    * 512` is the SCALE knob — it caps each left row's summed
-    * posting-list lengths, making retrieval fan-out linear BY
-    * CONSTRUCTION (<= |left| * budget at any corpus size), where the
-    * r16 diagnosis measured quadratic growth from budget-less probes
-    * (216M pair rows at 10x vs 17.7M budgeted; the budget admits every
-    * rare recall-carrying gram — digit q-grams cost ~6 df each — and
-    * sheds exactly the saturated corpus-linear unigram lists that
-    * carried no recall on the measured corpus). With the gate bounded
+    * Default sizing (measured, SCALE.md rounds 16-17): `probeDfBudget`
+    * is the SCALE knob — it caps each left row's summed posting-list
+    * lengths, bounding retrieval fan-out BY CONSTRUCTION (<= |left| *
+    * budget at any corpus size), where the r16 diagnosis measured
+    * quadratic growth from budget-less probes (216M pair rows at 10x
+    * vs 17.7M budgeted; the budget admits every rare recall-carrying
+    * gram — digit q-grams cost ~6 df each — and sheds exactly the
+    * saturated corpus-linear lists that carried the least recall per
+    * df). The DEFAULT (`probeDfBudget = 0`) is AUTO: max(512,
+    * ceil(8·√|right reps|)) — the r17 budget-dial measurement
+    * (same-score argmax recall on the name corpus): a FIXED 512 holds
+    * 1.000/0.955 across the first two decades but decays to 0.848 at
+    * the third (posting mass grows with the corpus while the spend is
+    * fixed), and the √-rule's resolved values (512/800/2530 at
+    * 1k/10k/100k right reps) measure 1.000/0.971/0.919 — the third-
+    * decade 0.919 being the plateau for EVERY subquadratic budget
+    * (4096 buys +0.0005): the residual recall sits in chunky
+    * df ≈ 5k-25k mid-frequency postings, so buying past it costs
+    * O(|L|·|R|)-shaped fan-out (the fully-unbudgeted probe measures
+    * 0.992 — available, at the all-pairs cost class the budget exists
+    * to prevent). The hard bound stays subquadratic:
+    * <= |left| · max(512, 8·√|right|).
+    * With the gate bounded
     * by the budget, `topM` defaults to UNBOUNDED: the proxy-ranked cut
     * is pure recall loss when its only historic job (bounding the
     * exact-JW gate) is already done — measured at 1x, same-score
     * argmax recall 0.906 at topM=20, 0.987 at topM=100, 1.000
     * unbounded, identical budget. Pass a finite topM only to bound
     * this operator's OUTPUT per left row (candidate-list consumers).
+    * CAUTION: disabling BOTH probe valves (`probeGrams = Int.MaxValue`
+    * AND `probeDfBudget = Long.MaxValue`) under the unbounded-topM
+    * default removes every bound in the operator — the exact-JW gate
+    * then runs on the FULL gram fan-out (only `maxDfFraction` trims
+    * it), which is the measured-quadratic budget-less shape. Turning
+    * both valves off is an exhaustive-retrieval debugging mode; keep a
+    * finite topM (the pre-budget backstop) if you must run it on a
+    * corpus of any size.
     *
     * `gramLen` is the SCALING knob (measured, SCALE.md round-15): the
     * retrieval fan-out is Σ right-side posting-list length over each
@@ -746,9 +793,9 @@ object JwJoin {
                           right: DataFrame, rightIdCol: String,
                           rightStrCol: String,
                           topM: Int = Int.MaxValue, gramLen: Int = 0,
-                          maxDfFraction: Double = 0.25,
-                          probeGrams: Int = 64,
-                          probeDfBudget: Long = 512,
+                          maxDfFraction: Double = DefaultMaxDfFraction,
+                          probeGrams: Int = DefaultProbeGrams,
+                          probeDfBudget: Long = DefaultProbeDfBudget,
                           blockCols: Seq[(String, String)] = Nil,
                           symmetric: Boolean = false): DataFrame = {
     val (a, b, aD, bD, g, scores0) = bestMatchPrep(left, leftIdCol,
@@ -803,9 +850,9 @@ object JwJoin {
   def bestMatch(left: DataFrame, leftIdCol: String, leftStrCol: String,
                 right: DataFrame, rightIdCol: String, rightStrCol: String,
                 topM: Int = Int.MaxValue, gramLen: Int = 0,
-                maxDfFraction: Double = 0.25,
-                probeGrams: Int = 64,
-                probeDfBudget: Long = 512,
+                maxDfFraction: Double = DefaultMaxDfFraction,
+                probeGrams: Int = DefaultProbeGrams,
+                probeDfBudget: Long = DefaultProbeDfBudget,
                 blockCols: Seq[(String, String)] = Nil): DataFrame = {
     val (a, b, aD, bD, g, scores) = bestMatchPrep(left, leftIdCol,
       leftStrCol, right, rightIdCol, rightStrCol, topM, gramLen,
@@ -865,16 +912,19 @@ object JwJoin {
     require(maxDfFraction > 0.0 && maxDfFraction <= 1.0,
       s"maxDfFraction must be in (0, 1], got $maxDfFraction")
     require(probeGrams >= 1, s"probeGrams must be >= 1, got $probeGrams")
-    require(probeDfBudget >= 1,
-      s"probeDfBudget must be >= 1, got $probeDfBudget")
+    require(probeDfBudget >= 0,
+      s"probeDfBudget must be >= 1 (or 0 = auto-size), got $probeDfBudget")
     val a = prep(left, leftIdCol, leftStrCol, blockCols.map(_._1))
     val b = prep(right, rightIdCol, rightStrCol, blockCols.map(_._2))
     val aD = dedupReps(a).localCheckpoint(eager = false)
     val bD = dedupReps(b).localCheckpoint(eager = false)
-    val g = if (gramLen == 0) autoGramLen(bD) else gramLen
+    // one count serves both auto knobs (gramLen saturation + budget)
+    val nRight =
+      if (gramLen == 0 || probeDfBudget == 0L) bD.count() else -1L
+    val g = if (gramLen == 0) autoGramLen(bD, nRight = nRight) else gramLen
     (a, b, aD, bD, g,
       bestMatchScoredReps(aD, bD, g, maxDfFraction, probeGrams,
-        probeDfBudget))
+        resolveBudget(probeDfBudget, nRight)))
   }
 
   /** Instrumentation hook for the scale harness (`ScaleStress jwdiag`):
@@ -884,8 +934,9 @@ object JwJoin {
   private[graft] def scoredRepsProbe(left: DataFrame, leftIdCol: String,
       leftStrCol: String, right: DataFrame, rightIdCol: String,
       rightStrCol: String, gramLen: Int = 0,
-      maxDfFraction: Double = 0.25, probeGrams: Int = 64,
-      probeDfBudget: Long = 512): DataFrame =
+      maxDfFraction: Double = DefaultMaxDfFraction,
+      probeGrams: Int = DefaultProbeGrams,
+      probeDfBudget: Long = DefaultProbeDfBudget): DataFrame =
     bestMatchPrep(left, leftIdCol, leftStrCol, right, rightIdCol,
       rightStrCol, 1, gramLen, maxDfFraction, probeGrams, probeDfBudget,
       Nil)._6

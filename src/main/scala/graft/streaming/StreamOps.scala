@@ -360,7 +360,16 @@ object StreamOps {
     * every n micro-batches to bound file growth. Centroid drift is the
     * caller's policy knob: rebuild periodically from a maintenance job
     * if the embedding distribution moves (the store is rebuild-in-place
-    * safe). */
+    * safe).
+    *
+    * `k` stays a FIXED explicit default here — deliberately NOT the
+    * `k = 0` auto-√n rule the batch builds ship (SCALE.md r16): the
+    * training set is whatever the FIRST micro-batch happens to hold,
+    * so auto-sizing would freeze √(first-batch) centroids — an
+    * arbitrarily under-sized geometry for the stream's eventual corpus.
+    * Size k for the EXPECTED corpus (√n of the steady state), and use
+    * [[graft.functions.IvfStore.retrain]] as the documented drift path
+    * once the stream outgrows it. */
   def ivfAppendSink(vectors: DataFrame, vecCol: String, idCol: String,
                     storePath: String, checkpoint: String,
                     k: Int = 16, iterations: Int = 2,
@@ -456,7 +465,13 @@ object StreamOps {
     * encodes against the FROZEN layers in O(batch). Same idempotency
     * contract (manifest-listed batch ids no-op, crashed appends
     * invisible — the codebook manifest is the PQ layer's visibility
-    * gate); `compactEvery` folds both layers' `ab=` trees. */
+    * gate); `compactEvery` folds both layers' `ab=` trees.
+    *
+    * `k` stays FIXED here for the [[ivfAppendSink]] reason: auto-√n
+    * sizing would train on the arbitrary FIRST micro-batch and freeze
+    * an under-sized geometry — size `k` (and the codebook's `m`/`ksub`)
+    * for the stream's expected steady-state corpus, with
+    * [[graft.functions.IvfPqStore.retrain]] as the drift path. */
   def ivfPqAppendSink(vectors: DataFrame, vecCol: String, idCol: String,
                       storePath: String, checkpoint: String,
                       k: Int = 16, iterations: Int = 2,

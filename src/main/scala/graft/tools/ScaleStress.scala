@@ -107,8 +107,13 @@ object ScaleStress {
     // count the rep-grain proxy-score table (retrieval fan-out), then
     // time the asymmetric and symmetric candidate cuts over the SAME
     // retrieval — separates "the fan-out grew superlinearly" from "the
-    // symmetric cut/checkpoint machinery is the cost".
-    case "jwdiag" :: gramLen :: dirs =>
+    // symmetric cut/checkpoint machinery is the cost". `topM` is the
+    // cut width the two cut probes measure (0 = unbounded, the shipped
+    // default, where both probes take the no-cut path and time the
+    // same pipeline — pass a finite topM to isolate cut/checkpoint
+    // machinery cost).
+    case "jwdiag" :: gramLen :: topM :: dirs if dirs.nonEmpty =>
+      val tm = if (topM.toInt == 0) Int.MaxValue else topM.toInt
       val spark = session()
       import org.apache.spark.sql.functions.col
       for (d <- dirs) {
@@ -119,7 +124,7 @@ object ScaleStress {
         def timed(label: String)(body: => Long): Unit = {
           val t0 = System.nanoTime()
           val n = body
-          println(f"[jwdiag] $d gramLen=$gramLen $label: $n rows, " +
+          println(f"[jwdiag] $d gramLen=$gramLen topM=$topM $label: $n rows, " +
             f"${(System.nanoTime() - t0) / 1e9}%.1f s")
         }
         timed("scores volume")(graft.operators.JwJoin.scoredRepsProbe(
@@ -127,10 +132,10 @@ object ScaleStress {
           gramLen = gramLen.toInt).count())
         timed("asymmetric cut")(graft.operators.JwJoin.bestMatchCandidates(
           cust, "c_name", "c_name", supp, "s_name", "s_name",
-          gramLen = gramLen.toInt).count())
+          topM = tm, gramLen = gramLen.toInt).count())
         timed("symmetric cut")(graft.operators.JwJoin.bestMatchCandidates(
           cust, "c_name", "c_name", supp, "s_name", "s_name",
-          gramLen = gramLen.toInt, symmetric = true).count())
+          topM = tm, gramLen = gramLen.toInt, symmetric = true).count())
       }
       spark.stop()
     // Recall vs TRUTH: the bestMatch argmax at a given gramLen (0 =
@@ -139,14 +144,26 @@ object ScaleStress {
     // Missing left rows count as misses. Reports exact-tuple agreement
     // (partner AND score under the (−jw, name, id) tie-break) and
     // score-level recall (emitted jw == true max jw).
+    // [sampleMod] > 1 computes truth AND bestMatch over a deterministic
+    // 1/sampleMod hash-sample of the LEFT side only (the right corpus,
+    // the df statistics, the auto-gramLen probe and the per-left-row
+    // valves are all unchanged — recall is a per-left-row property, so
+    // the sampled estimate is unbiased). This is what makes the truth
+    // side affordable at 100x, where the full |L|x|R| brute-force
+    // argmax is ~150B JW pairs.
     case "jwrecall" :: dir :: g :: rest =>
       val topM = rest.headOption.map(_.toInt).getOrElse(Int.MaxValue)
       val probe = rest.drop(1).headOption.map(_.toInt).getOrElse(64)
-      val budget = rest.drop(2).headOption.map(_.toLong).getOrElse(512L)
+      // 0 = the shipped auto-budget (max(512, 8·√|right reps|))
+      val budget = rest.drop(2).headOption.map(_.toLong).getOrElse(0L)
+      val sampleMod = rest.drop(3).headOption.map(_.toLong).getOrElse(1L)
       val spark = session()
       import org.apache.spark.sql.functions._
-      val cust = spark.read.parquet(s"$dir/customer.parquet")
+      val custAll = spark.read.parquet(s"$dir/customer.parquet")
         .select(col("c_custkey").as("id"), col("c_name").as("name"))
+      val cust = (if (sampleMod > 1L)
+          custAll.filter(pmod(xxhash64(col("id")), lit(sampleMod)) === 0)
+        else custAll).localCheckpoint()
       val supp = spark.read.parquet(s"$dir/supplier.parquet")
         .select(col("s_suppkey").as("id"), col("s_name").as("name"))
       val truth = cust.crossJoin(broadcast(
@@ -176,7 +193,7 @@ object ScaleStress {
         col("got_jw") === col("true_jw")).count()
       val score = j.filter(col("got_jw") === col("true_jw")).count()
       println(f"[jwrecall] $dir gramLen=$g(chosen $chosen%s) topM=$topM " +
-        f"probeGrams=$probe budget=$budget: " +
+        f"probeGrams=$probe budget=$budget sampleMod=$sampleMod: " +
         f"exact $exact/$n (${exact.toDouble / n}%.4f)  " +
         f"score $score/$n (${score.toDouble / n}%.4f)  wall $wall%.1f s")
       spark.stop()
@@ -188,6 +205,27 @@ object ScaleStress {
     case "annrecall" :: dir :: Nil =>
       val spark = session()
       annRecall(spark, dir)
+      spark.stop()
+    // IVF×PQ sizing sweep (VERDICT r16 #1): recall@10 of the persisted
+    // IVF×PQ serving path vs the exact brute-force truth, for one
+    // (k, nprobe, m, ksub) geometry across a SHORTLIST sweep — plus the
+    // IVF ceiling at the same probe geometry (exact refine over
+    // everything scanned; shortlist can never beat it). Run at 1x and
+    // Nx dirs to derive the shortlist/codebook scaling rule.
+    case "pqrecall" :: dir :: k :: nprobe :: m :: ksub :: lists :: Nil =>
+      val spark = session()
+      pqRecall(spark, dir, k.toInt, nprobe.toInt, m.toInt, ksub.toInt,
+        lists.split(",").map(_.trim.toInt).toSeq)
+      spark.stop()
+    // ErStore blocking-density probe (VERDICT r16 #2): the storeingest
+    // ER line alone, at the coarse shipped key (nation, 25 blocks —
+    // density grows with the corpus) vs a finer composite key
+    // (nation × name-band, cardinality ∝ corpus — density constant).
+    case "eringest" :: dir :: root :: mode :: Nil =>
+      require(mode == "coarse" || mode == "fine",
+        s"mode must be coarse|fine, got $mode")
+      val spark = session()
+      erIngest(spark, dir, root, fine = mode == "fine")
       spark.stop()
     // Ingest-path wall vs store size (VERDICT r15 #3): seed each
     // persisted store from the dir's corpus (untimed), then time TWO
@@ -205,9 +243,11 @@ object ScaleStress {
         "       ScaleStress count <q1,q2,...> <dir> [dir2...]\n" +
         "       ScaleStress jw191 <dir> <gramLen> [reps]\n" +
         "       ScaleStress jw191cmp <dir> <gramLen1> <gramLen2>\n" +
-        "       ScaleStress jwdiag <gramLen|0=auto> <dir> [dir2...]\n" +
-        "       ScaleStress jwrecall <dir> <gramLen|0=auto> [topM] [probeGrams] [dfBudget]\n" +
+        "       ScaleStress jwdiag <gramLen|0=auto> <topM|0=unbounded> <dir> [dir2...]\n" +
+        "       ScaleStress jwrecall <dir> <gramLen|0=auto> [topM] [probeGrams] [dfBudget] [sampleMod]\n" +
         "       ScaleStress annrecall <dir>\n" +
+        "       ScaleStress pqrecall <dir> <k|0=auto> <nprobe> <m> <ksub> <shortlist1,shortlist2,...>\n" +
+        "       ScaleStress eringest <dir> <storeRoot> <coarse|fine>\n" +
         "       ScaleStress storeingest <dir> <storeRoot>")
       sys.exit(2)
   }
@@ -342,10 +382,16 @@ object ScaleStress {
     * and a FIXED nprobe, the probed corpus fraction is nprobe/√n and
     * per-query work stays O(√n) while k=8's fixed-fraction probe grows
     * linearly. */
-  private def annRecall(spark: SparkSession, dir: String): Unit = {
+  private val AnnK = 10
+
+  /** Shared ANN truth: the cached non-null embeddings, their count, 20
+    * query vectors, and each query's exact brute-force cosine top-10
+    * (self excluded) — the denominator every recall probe scores
+    * against. */
+  private def annTruth(spark: SparkSession, dir: String)
+      : (DataFrame, Long, Seq[(Long, Seq[Float])], Map[Long, Set[Long]]) = {
     import scala.jdk.CollectionConverters._
-    import graft.functions.{IvfIndex, IvfPqStore, VectorFunctions}
-    val K = 10
+    import graft.functions.VectorFunctions
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
       .filter(col("embedding").isNotNull).cache()
     val n = emb.count()
@@ -354,9 +400,16 @@ object ScaleStress {
       .map(r => (r.getLong(0), r.getList[Float](1).asScala.toSeq)).toSeq
     val exact: Map[Long, Set[Long]] = queries.map { case (qid, qv) =>
       qid -> VectorFunctions.bruteForceTopK(
-          emb.filter(col("vec_id") =!= qid), "embedding", "vec_id", qv, K)
+          emb.filter(col("vec_id") =!= qid), "embedding", "vec_id", qv, AnnK)
         .select("vec_id").collect().map(_.getLong(0)).toSet
     }.toMap
+    (emb, n, queries, exact)
+  }
+
+  private def annRecall(spark: SparkSession, dir: String): Unit = {
+    import graft.functions.{IvfIndex, IvfPqStore, VectorFunctions}
+    val K = AnnK
+    val (emb, n, queries, exact) = annTruth(spark, dir)
     def recall(name: String)(route: (Long, Seq[Float]) => Set[Long]): Unit = {
       val r = queries.map { case (qid, qv) =>
         exact(qid).intersect(route(qid, qv)).size.toDouble / exact(qid).size
@@ -379,15 +432,106 @@ object ScaleStress {
       .createTempDirectory("annrecall-ivfpq").toString + "/s"
     IvfPqStore.build(emb, "embedding", "vec_id", pqStore,
       k = 8, iterations = 2, m = 8, ksub = 16, pqIterations = 3)
-    recall("ivfpq k=8 nprobe=4 shortlist=60")((qid, qv) =>
-      IvfPqStore.topK(spark, pqStore, qv, K + 1, nprobe = 4,
-          shortlist = 60)
-        .collect().map(_.getLong(0)).filter(_ != qid).take(K).toSet)
+    recall("ivfpq k=8 nprobe=4 shortlist=60 (pinned legacy geometry)")(
+      (qid, qv) =>
+        IvfPqStore.topK(spark, pqStore, qv, K + 1, nprobe = 4,
+            shortlist = 60)
+          .collect().map(_.getLong(0)).filter(_ != qid).take(K).toSet)
+    // the r17 shipped defaults: k ∝ √n, ksub = min(256, train), and
+    // shortlist auto-sized to 0.7× the probed code count — the rule
+    // whose recall must hold ~flat across corpus decades
+    val pqAuto = java.nio.file.Files
+      .createTempDirectory("annrecall-ivfpq-auto").toString + "/s"
+    IvfPqStore.build(emb, "embedding", "vec_id", pqAuto)
+    recall("ivfpq SHIPPED defaults (auto k/ksub/shortlist) nprobe=4")(
+      (qid, qv) =>
+        IvfPqStore.topK(spark, pqAuto, qv, K + 1, nprobe = 4)
+          .collect().map(_.getLong(0)).filter(_ != qid).take(K).toSet)
     recall("lsh tables=8 planes=4")((qid, qv) =>
       VectorFunctions.lshTopKMulti(
           emb.filter(col("vec_id") =!= qid), "embedding", "vec_id", qv, K,
           numPlanes = 4, tables = 8)
         .select("vec_id").collect().map(_.getLong(0)).toSet)
+  }
+
+  /** One IVF×PQ geometry, a shortlist sweep: build the persisted store
+    * at (k, m, ksub), print the IVF ceiling at the probe geometry
+    * (exact refine over EVERYTHING the probe scans — the best any
+    * shortlist can do), then recall@10 per shortlist. The scanned-rows
+    * estimate n·nprobe/k is what a shortlist rule must be sized
+    * against. */
+  private def pqRecall(spark: SparkSession, dir: String, k: Int,
+                       nprobe: Int, m: Int, ksub: Int,
+                       shortlists: Seq[Int]): Unit = {
+    import graft.functions.{IvfPqStore, IvfStore}
+    val K = AnnK
+    val (emb, n, queries, exact) = annTruth(spark, dir)
+    val store = java.nio.file.Files
+      .createTempDirectory("pqrecall").toString + "/s"
+    val t0 = System.nanoTime()
+    IvfPqStore.build(emb, "embedding", "vec_id", store, k = k,
+      iterations = 2, m = m, ksub = ksub, pqIterations = 3)
+    val kEff = IvfStore.readMeta(spark, store).k
+    println(f"[pqrecall] $dir n=$n k=$k(eff $kEff) nprobe=$nprobe " +
+      f"m=$m ksub=$ksub: build ${(System.nanoTime() - t0) / 1e9}%.1f s, " +
+      f"expected scanned ~${n.toDouble * nprobe / kEff}%.0f rows/query")
+    def recall(route: (Long, Seq[Float]) => Set[Long]): Double = {
+      val r = queries.map { case (qid, qv) =>
+        exact(qid).intersect(route(qid, qv)).size.toDouble / exact(qid).size
+      }
+      r.sum / r.size
+    }
+    val ceil = recall((qid, qv) =>
+      IvfStore.topK(spark, store, qv, K + 1, nprobe = nprobe)
+        .collect().map(_.getLong(0)).filter(_ != qid).take(K).toSet)
+    println(f"[pqrecall] $dir k=$kEff nprobe=$nprobe IVF ceiling " +
+      f"(exact over scanned): $ceil%.3f")
+    for (sl <- shortlists) {
+      val r = recall((qid, qv) =>
+        IvfPqStore.topK(spark, store, qv, K + 1, nprobe = nprobe,
+            shortlist = sl)
+          .collect().map(_.getLong(0)).filter(_ != qid).take(K).toSet)
+      println(f"[pqrecall] $dir k=$kEff nprobe=$nprobe m=$m ksub=$ksub " +
+        f"shortlist=$sl: recall $r%.3f")
+    }
+  }
+
+  /** The storeingest ER line alone, with the blocking key as the
+    * variable: coarse = the shipped nation key (25 blocks — per-block
+    * density grows linearly with the corpus), fine = nation × the
+    * name's first-7-of-9 digits (≡ key/100 — block cardinality grows
+    * ∝ corpus, per-block density ~constant at ~100 names). Fixed
+    * batches (1,500 rep-0 names, fresh ids), so a 1x-store and an
+    * Nx-store line differ only in store size. */
+  private def erIngest(spark: SparkSession, dir: String, root: String,
+                       fine: Boolean): Unit = {
+    def timed(label: String)(body: => Unit): Unit = {
+      val t0 = System.nanoTime()
+      body
+      println(f"[eringest] $dir $label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
+    val mode = if (fine) "fine" else "coarse"
+    val blocks =
+      if (fine) Seq("c_nationkey", "c_nameband") else Seq("c_nationkey")
+    def banded(df: DataFrame): DataFrame =
+      if (fine) df.withColumn("c_nameband", substring(col("c_name"), 10, 7))
+      else df
+    val cust = banded(spark.read.parquet(s"$dir/customer.parquet")
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey")))
+    def custBatch(lo: Long, hi: Long, off: Long) =
+      cust.filter(col("c_custkey") >= lo && col("c_custkey") < hi)
+        .withColumn("c_custkey", col("c_custkey") + off)
+    val er = s"$root/erstore-$mode"
+    graft.operators.ErStore.build(cust, "c_custkey", "c_name", er,
+      threshold = 0.97, blockCols = blocks)
+    timed(s"ErStore.append $mode batch1 (1500 names)") {
+      graft.operators.ErStore.append(custBatch(0, 1500, 1000000000000L),
+        er, batchId = 1L)
+    }
+    timed(s"ErStore.append $mode batch2 (1500 names)") {
+      graft.operators.ErStore.append(custBatch(1500, 3000, 2000000000000L),
+        er, batchId = 2L)
+    }
   }
 
   /** Seed the three incremental stores from the dir's corpus (untimed),

@@ -127,8 +127,30 @@ class AnnRecallSpec extends SparkSpec {
     info(f"IVF×PQ store recall@10 (k=8, nprobe=4, shortlist=60): $r%.3f")
     // bounded by the IVF probe recall (0.82 measured above) times the
     // refine stage's shortlist recall — floor pinned under both (the
-    // in-session combo measured 0.7 in PqIndexSpec)
+    // in-session combo measured 0.7 in PqIndexSpec). This PINNED
+    // geometry is corpus-size-specific by design (SCALE.md r16
+    // measured it decaying 0.485 → 0.370 across a 2k → 20k decade);
+    // the scale path is the shipped-defaults test below.
     assert(r >= 0.6, f"IVF×PQ store recall regressed: $r%.3f")
+  }
+
+  test("IVF×PQ store at the SHIPPED defaults (auto k ∝ √n, auto " +
+      "ksub = min(256, train), auto shortlist = 0.7·scanned) clears " +
+      "the scale-rule floor") {
+    // the r17 rule (SCALE.md r17): recall tracks shortlist/scanned, so
+    // the auto shortlist keeps the fraction FIXED while auto-k keeps
+    // scanned ≈ nprobe·√n — measured 0.940/0.940 across the 2k → 20k
+    // decade where every fixed geometry decays. This pins the same
+    // composition at sf0.01 (n=500: k=22, ksub=256, shortlist≈64).
+    val store = java.nio.file.Files
+      .createTempDirectory("ann-ivfpq-auto").toString + "/s"
+    IvfPqStore.build(emb, "embedding", "vec_id", store)
+    def served(qid: Long, qv: Seq[Float]): Set[Long] =
+      IvfPqStore.topK(spark, store, qv, K + 1, nprobe = 4)
+        .collect().map(_.getLong(0)).filter(_ != qid).take(K).toSet
+    val r = meanRecall(served)
+    info(f"IVF×PQ store recall@10 (shipped auto defaults, nprobe=4): $r%.3f")
+    assert(r >= 0.8, f"IVF×PQ shipped-default recall regressed: $r%.3f")
   }
 
   test("LSH recall@10: single-table collapses on weak neighbors; multi-table recovers it") {
@@ -143,7 +165,16 @@ class AnnRecallSpec extends SparkSpec {
     info(f"LSH recall@10 (single table, numPlanes=4, ~1/16 corpus): $r1%.3f")
 
     // multi-table: union of 8 independent families, 1-(1-p)^8 per
-    // neighbor — the E2LSH recall dial the shipped q45 uses
+    // neighbor — the E2LSH recall dial the shipped q45 uses.
+    // FINAL ADJUDICATION of this floor (r17, closes VERDICT r16 #8):
+    // 0.45 is a REGRESSION PIN at sf0.01's weak-neighbor corpus, not
+    // a target — measured across scales (SCALE.md r17 route table)
+    // the route sits in a stable 0.73-0.82 band (0.755/0.730/0.815 at
+    // 2k/20k/200k) with zero training, while IVF k=√n holds
+    // 0.94-0.985 at the same probe-cost shape. The r15 routing note
+    // stands as the permanent answer: IVF is the production route;
+    // LSH is the zero-training streaming option, with recall sized on
+    // the caller's corpus via the `ScaleStress annrecall` harness.
     val r8 = meanRecall((qid, qv) => ids(VectorFunctions.lshTopKMulti(
       emb.filter(col("vec_id") =!= qid), "embedding", "vec_id", qv, K,
       numPlanes = 4, tables = 8)))

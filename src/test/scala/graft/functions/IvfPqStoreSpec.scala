@@ -20,6 +20,43 @@ class IvfPqStoreSpec extends SparkSpec {
       .collect()(0).getList[Float](0).asScala.toSeq
   }
 
+  test("the shipped auto defaults resolve as documented: ksub = " +
+      "min(256, train), auto shortlist = 0.7·scanned ≡ its explicit " +
+      "value, stable across an append") {
+    val store = tmpStore()
+    // all defaults: k = 0 (√n), ksub = 0 (auto), built on 2/3 of the
+    // corpus so an append can grow `scanned` under the auto shortlist
+    IvfPqStore.build(emb.filter($"vec_id" % 3 =!= 0), "embedding",
+      "vec_id", store)
+    // sf0.01 leaves ~333 training vectors >= 256: the byte is filled
+    assert(PqIndex.loadCodebooks(spark, store).ksub == 256)
+    def probed(k: Int, nprobe: Int): Long = {
+      // replicate topK's probe selection to compute `scanned` exactly
+      val ids = IvfStore.centroidsDf(spark, store)
+        .withColumn("__sim",
+          graft.plans.CosineSimilarity(col("centroid"),
+            array(qv.map(v => lit(v)): _*)))
+        .orderBy(col("__sim").desc_nulls_last, col("cluster_id").asc)
+        .limit(nprobe).select("cluster_id").as[Long].collect().toSeq
+      val m = IvfStore.readMeta(spark, store)
+      spark.read.parquet(store + "/codes")
+        .filter(col("ab").isin(m.batches: _*) &&
+          col("cluster").isin(ids: _*)).count()
+    }
+    def topAuto() = IvfPqStore.topK(spark, store, qv, k = 10, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    def topAt(sl: Int) = IvfPqStore.topK(spark, store, qv, k = 10,
+        nprobe = 4, shortlist = sl)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val sl0 = math.max(40L, math.ceil(0.7 * probed(10, 4)).toLong).toInt
+    assert(topAuto() == topAt(sl0), "auto ≡ resolved explicit shortlist")
+    // append the held-out third: scanned grows, the auto rule follows
+    IvfPqStore.append(emb.filter($"vec_id" % 3 === 0), store, 1L)
+    val sl1 = math.max(40L, math.ceil(0.7 * probed(10, 4)).toLong).toInt
+    assert(topAuto() == topAt(sl1),
+      "auto must track the post-append scanned count")
+  }
+
   test("served topK ≡ the in-session IVF×PQ composition (identical " +
       "probe, codes, ADC and refine arithmetic)") {
     val store = tmpStore()

@@ -64,6 +64,34 @@ class ErStoreSpec extends SparkSpec {
     }
   }
 
+  test("incremental ≡ full recompute at a FINER composite blocking key " +
+    "(nation × name-band — the measured density knob, SCALE.md r17)") {
+    // the scale rule: block cardinality must grow with the corpus to
+    // keep per-block density (and so per-batch append cost) constant;
+    // this pins that the incremental contract is key-shape-agnostic
+    val banded = customers
+      .withColumn("c_nameband", substring(col("c_name"), 10, 7))
+    val blocks = Seq("c_nationkey", "c_nameband")
+    def truth(df: org.apache.spark.sql.DataFrame) = {
+      val edges = JwJoin.jaroWinklerSelfJoin(df, "c_custkey", "c_name",
+          Tau, blockCols = blocks)
+        .select(col("id_a").as("src"), col("id_b").as("dst"))
+      Graph.connectedComponents(edges, "src", "dst",
+          nodes = Some((df.select(col("c_custkey")), "c_custkey")))
+        .select(col("id").as("c_custkey"), col("component").as("entity"))
+        .as[(Long, Long)].collect().toMap
+    }
+    val store = tmpStore()
+    val b0 = banded.filter($"c_custkey" % 2 === 0)
+    val b1 = banded.filter($"c_custkey" % 2 === 1)
+    ErStore.build(b0, "c_custkey", "c_name", store, Tau,
+      blockCols = blocks)
+    assert(served(store) == truth(b0), "composite-key build labeling")
+    ErStore.append(b1, store, batchId = 1L)
+    assert(served(store) == truth(banded),
+      "composite-key labeling after append")
+  }
+
   test("labels are STABLE: an append that cannot touch a component " +
     "leaves its id unchanged, and merges adopt the member minimum") {
     val store = tmpStore()

@@ -239,7 +239,16 @@ class JwJoinSpec extends SparkSpec {
     // measured 1.0 both ways (candidate GENERATION covers every true
     // argmax — the unigram layer carries the transposition-tie family)
     // — floors pinned at the measured value; q234 routes through this
-    // path with the all-pairs form as its oracle
+    // path with the all-pairs form as its oracle.
+    // Two-metric note (SCALE.md `jwrecall` reports both): SAME-SCORE
+    // recall — emitted jw == the true max jw — is the contract metric
+    // (equal-JW partners are equally correct matches; 1.000/0.960 at
+    // 1x/10x). EXACT-TUPLE agreement additionally requires winning the
+    // oracle's tie-break among equal scores (0.966/0.797 at 1x/10x) —
+    // a tie-break-agreement number, NOT a recall miss: every
+    // "disagreement" beyond the score metric emitted a partner with
+    // the identical jw. This spec measures exact-tuple (got == want)
+    // and still reads 1.0 because sf0.01 has no cross-partner ties.
     assert(rCS >= 1.0, s"cust→supp recall $rCS")
     assert(rSC >= 1.0, s"supp→cust recall $rSC")
   }
@@ -336,5 +345,29 @@ class JwJoinSpec extends SparkSpec {
     assert(got.length == 5 &&
       got.forall { case (a, b, jw) => a == b && jw == 1.0 },
       got.mkString(","))
+  }
+
+  test("probeDfBudget = 0 (the shipped default) auto-sizes to " +
+    "max(512, 8·√|right reps|) and equals the explicit value it " +
+    "resolves to") {
+    // the r17 budget rule (SCALE.md r17 dial): below the floor corpus
+    // (8·√n <= 512 for n <= 4096 reps) auto ≡ explicit 512 — which is
+    // why the oracle-certified catalog calls (pass only columns) kept
+    // their hash-green results through the default change
+    assert(JwJoin.resolveBudget(0L, 1000L) == 512L)
+    assert(JwJoin.resolveBudget(0L, 10000L) == 800L)
+    assert(JwJoin.resolveBudget(0L, 100000L) == 2530L)
+    assert(JwJoin.resolveBudget(77L, 100000L) == 77L) // explicit wins
+    val cust = spark.read.parquet(sf("sf0.01") + "/customer.parquet")
+      .select(col("c_custkey").as("id"), col("c_name").as("name"))
+    val supp = spark.read.parquet(sf("sf0.01") + "/supplier.parquet")
+      .select(col("s_suppkey").as("id"), col("s_name").as("name"))
+    val auto = JwJoin.bestMatch(cust, "id", "name", supp, "id", "name")
+      .as[(Long, Long, Double)].collect().sortBy(_._1)
+    val explicit = JwJoin.bestMatch(cust, "id", "name", supp, "id",
+        "name", probeDfBudget = 512L)
+      .as[(Long, Long, Double)].collect().sortBy(_._1)
+    assert(auto.sameElements(explicit),
+      "auto budget must equal its resolved explicit value")
   }
 }
