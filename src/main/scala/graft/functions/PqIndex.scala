@@ -215,14 +215,29 @@ object PqIndex {
     * inside the shortlist, not rank it — recall@k of the refined list is
     * recall@shortlist of raw ADC, a far easier bar (measured in
     * PqIndexSpec / BENCH_NOTES). `encoded` must still carry `vecCol`;
-    * the exact pass touches `shortlist` rows, never the corpus. */
+    * the exact pass touches `shortlist` rows, never the corpus.
+    *
+    * `shortlist = 0` auto-sizes to max(4·k, ceil(0.7·|encoded|)) — the
+    * [[IvfPqStore.topK]] r17 scale rule with scanned = the WHOLE coded
+    * frame (this route has no coarse pruning; recall tracks
+    * shortlist/scanned, SCALE.md r17). That buys ceiling recall at a
+    * 70%-of-corpus refine — honest but expensive, which is why the
+    * DEFAULT stays the pinned 100 (the sub-1k-corpus geometry q140
+    * certifies): at scale, compose with IVF ([[IvfPqStore]]) so
+    * `scanned` is the probed √n slice, not the corpus. */
   def adcRefineTopK(encoded: DataFrame, vecCol: String, idCol: String,
                     cb: Codebooks, queryVec: Seq[Float], k: Int,
                     shortlist: Int = 100,
                     codesCol: String = "pq_codes"): DataFrame = {
-    require(k >= 1 && shortlist >= k,
-      s"need shortlist >= k >= 1, got k=$k shortlist=$shortlist")
-    val ids = adcTopK(encoded, idCol, cb, queryVec, shortlist, codesCol)
+    require(k >= 1 && (shortlist == 0 || shortlist >= k),
+      s"need shortlist >= k >= 1 (or 0 = auto-size), got k=$k shortlist=$shortlist")
+    val sl =
+      if (shortlist > 0) shortlist
+      else math.max(4L * k,
+          math.ceil(0.7 * encoded.filter(col(codesCol).isNotNull).count())
+            .toLong)
+        .min(Int.MaxValue.toLong).toInt
+    val ids = adcTopK(encoded, idCol, cb, queryVec, sl, codesCol)
       .select(idCol)
     val q = array(queryVec.map(v => lit(v)): _*)
     encoded

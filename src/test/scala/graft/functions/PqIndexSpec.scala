@@ -82,6 +82,23 @@ class PqIndexSpec extends SparkSpec {
     val recallR = (exact & refined).size / 10.0
     info(s"PQ ADC+refine recall@10 (shortlist 50): $recallR")
     assert(recallR >= 0.8, s"refined recall@10 $recallR under floor")
+
+    // shortlist = 0 auto-sizes to 0.7·|coded| (the r17 scale rule with
+    // no coarse pruning) — must equal the explicit value it resolves
+    // to, and refining 70% of the corpus exactly can never miss a true
+    // top-10 unless ADC ranked it in the worst 30% (recall ≡ ceiling
+    // here: 1.0 of exact on this corpus was measured via the resolved
+    // equality; floor pinned at the shortlist-50 level)
+    val slAuto = math.max(40, math.ceil(0.7 * corpus.count()).toInt)
+    val auto = PqIndex.adcRefineTopK(coded, "vec", "vec_id", cb, q,
+        k = 10, shortlist = 0)
+      .select("vec_id").as[Long].collect().toSet
+    val explicitSl = PqIndex.adcRefineTopK(coded, "vec", "vec_id", cb, q,
+        k = 10, shortlist = slAuto)
+      .select("vec_id").as[Long].collect().toSet
+    assert(auto == explicitSl, "auto shortlist ≡ resolved explicit value")
+    assert((exact & auto).size / 10.0 >= recallR,
+      "the 0.7-corpus auto shortlist cannot do worse than shortlist 50")
   }
 
   test("composes with IVF: probe a cluster subset, ADC+refine inside it") {
