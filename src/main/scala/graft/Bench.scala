@@ -37,18 +37,27 @@ object Bench {
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
           -1.0
         }
-      // Drop the query's persisted blocks (localCheckpoint/persist) once
-      // it finishes — OUTSIDE the timed region: queries are independent,
-      // so blocks left by query i are garbage to query i+1 — but they
-      // accumulate over a 333-query board and turn late-board
-      // measurements into a function of heap history, not of the query
-      // (the q243 2–2.5× same-tree swing, VERDICT r16 #4: its ×200
-      // explode is the board's most allocation-heavy plan, timed ~3/4
-      // through each pass). The timing above already captured the
-      // query's own cache-build cost.
+      // Drop the query's LOCALLY-CHECKPOINTED blocks once it finishes —
+      // OUTSIDE the timed region: queries are independent, so
+      // localCheckpoint blocks left by query i are garbage to query i+1
+      // (lineage is truncated; nothing can or does re-read them after
+      // the noop sink) — but they accumulate over a 333-query board and
+      // turn late-board measurements into a function of heap history,
+      // not of the query (the q243 2–2.5× same-tree swing, VERDICT r16
+      // #4: its ×200 explode is the board's most allocation-heavy plan,
+      // timed ~3/4 through each pass; two boards after this fix read
+      // 8.27/8.14 s). ONLY the localCheckpoint class is dropped:
+      // Dataset-level caches are deliberate cross-query session state
+      // (LlmQueries.cachedIvfIndex's persisted centroids serve
+      // q76/q255/q282 — a blanket clearCache re-clustered them every
+      // query, a consistent 2× on all three). The timing above already
+      // captured the query's own cache-build cost.
+      // (public-API test for "locally checkpointed": isCheckpointed is
+      // true for reliable AND local checkpoints once materialized, and
+      // only reliable ones have a checkpoint file)
       spark.sparkContext.getPersistentRDDs.values
+        .filter(r => r.isCheckpointed && r.getCheckpointFile.isEmpty)
         .foreach(_.unpersist(blocking = false))
-      spark.catalog.clearCache()
       t
     }
 
