@@ -119,7 +119,13 @@ object JwJoin {
     * subquadratic budget on that corpus — see the r17 adjudication;
     * the unbudgeted probe reaches 0.992 at all-pairs-class cost). The
     * resolved budget keeps the hard fan-out bound subquadratic:
-    * <= |left| · max(512, 8·√|right|). */
+    * <= |left| · max(512, 8·√|right|). KNOWN CAVEAT (SCALE.md r17
+    * open finding): right at a vocabulary-saturation transition (the
+    * measured 30k-rep half-decade) the auto gramLen moves up a length
+    * before the budget affords its costlier postings — recall dips
+    * (0.744 vs the 0.896 a pinned shorter gramLen measures there);
+    * pin `gramLen` or raise the budget on corpora near a transition
+    * until the round-18 selector fix. */
   private[graft] val DefaultProbeGrams: Int     = 64
   private[graft] val DefaultProbeDfBudget: Long = 0L
   private[graft] val BudgetFloor: Long          = 512L
