@@ -114,18 +114,18 @@ object JwJoin {
     * production. `DefaultProbeDfBudget = 0` = AUTO: resolve to
     * max([[BudgetFloor]], ceil(8·√|right reps|)) — the measured
     * recall-per-cost optimum at each corpus decade (SCALE.md r17
-    * budget dial: 512 → 1.000 at 1k right reps, 800 → 0.971 at 10k,
-    * 2530 → 0.919 at 100k, where 0.919 is the plateau for every
-    * subquadratic budget on that corpus — see the r17 adjudication;
-    * the unbudgeted probe reaches 0.992 at all-pairs-class cost). The
+    * budget dial, measured on single-length retrieval: 512 → 1.000 at
+    * 1k right reps, 800 → 0.971 at 10k, 2530 → 0.919 at 100k — 0.919
+    * being that retrieval's subquadratic plateau; the unbudgeted
+    * probe reaches 0.992 at all-pairs-class cost). The
     * resolved budget keeps the hard fan-out bound subquadratic:
-    * <= |left| · max(512, 8·√|right|). KNOWN CAVEAT (SCALE.md r17
-    * open finding): right at a vocabulary-saturation transition (the
-    * measured 30k-rep half-decade) the auto gramLen moves up a length
-    * before the budget affords its costlier postings — recall dips
-    * (0.744 vs the 0.896 a pinned shorter gramLen measures there);
-    * pin `gramLen` or raise the budget on corpora near a transition
-    * until the round-18 selector fix. */
+    * <= |left| · max(512, 8·√|right|). The saturation-TRANSITION dip
+    * this rule alone left (0.744 at the measured 30k-rep half-decade,
+    * where the auto gramLen moves up a length before the budget
+    * affords its costlier postings) is closed by the dual-length
+    * union retrieval in [[gramTable]]: measured at the shipped
+    * defaults, 1.000 / 0.983 / 0.896 / 0.964 across 1k/10k/30k/100k
+    * right reps — no knobs, same hard bound. */
   private[graft] val DefaultProbeGrams: Int     = 64
   private[graft] val DefaultProbeDfBudget: Long = 0L
   private[graft] val BudgetFloor: Long          = 512L
@@ -546,24 +546,34 @@ object JwJoin {
     * with __eh = xxhash64(blockHash, gram, occurrence-index) — the occ
     * index gives multiset semantics (a repeated gram is two elements),
     * the block hash keeps cross-block grams from ever joining. The
-    * universe is UNIGRAMS ∪ gramLen-grams: unigram (char, occ) overlap
-    * is exactly the Jaro matching-chars bound (it retrieves
-    * transposition-heavy partners that share NO adjacent pair — the
-    * "...210" vs "...012" tie family bigrams alone miss), while the
-    * q-grams add the adjacency signal that ranks low-transposition
-    * partners ahead. Strings shorter than gramLen skip the q-gram
-    * layer. Same O(n²)-HOF short-string envelope as [[elements]]. */
+    * universe is UNIGRAMS ∪ (gramLen−1)-grams ∪ gramLen-grams:
+    * unigram (char, occ) overlap is exactly the Jaro matching-chars
+    * bound (it retrieves transposition-heavy partners that share NO
+    * adjacent pair — the "...210" vs "...012" tie family bigrams
+    * alone miss), the q-grams add the adjacency signal that ranks
+    * low-transposition partners ahead, and the ONE-SHORTER length is
+    * the r17 saturation-transition hedge (SCALE.md r17 open finding):
+    * a substitution destroys g consecutive g-grams, so right after
+    * the vocabulary-saturation boundary the longer length's
+    * informative postings outprice the budget while the shorter
+    * length's still fit — probing both under ONE rarest-first budget
+    * lets the budget arbitrate (measured: the 30k-rep half-decade
+    * read 0.744 with gramLen-only retrieval vs 0.896 at the shorter
+    * length; the union recovers it with no new bound — fan-out stays
+    * <= |left|·budget). Lengths below 2 are skipped (gramLen = 2
+    * retrieval is unchanged — every oracle-certified scale resolves
+    * there). Strings shorter than a length skip that layer. Same
+    * O(n²)-HOF short-string envelope as [[elements]]. */
   private def gramTable(prepped: DataFrame, gramLen: Int): DataFrame = {
     val n = col("__n")
     def windows(len: Int) =
       transform(sequence(lit(1), n - (len - 1)), i =>
         col("__s").substr(i, lit(len)))
-    val uni = windows(1)
-    val grams =
-      if (gramLen == 1) uni
-      else concat(uni,
-        when(n < gramLen, array().cast("array<string>"))
-          .otherwise(windows(gramLen)))
+    def guarded(len: Int) =
+      when(n < len, array().cast("array<string>"))
+        .otherwise(windows(len))
+    val grams = Seq(gramLen - 1, gramLen).filter(_ >= 2).distinct
+      .foldLeft(windows(1))((acc, l) => concat(acc, guarded(l)))
     // occurrence indices via a count-then-sequence explode, NOT a
     // per-position filter HOF — HOFs are interpreted (the
     // charEntropies lesson) and the quadratic occ filter measured 3 s
@@ -747,14 +757,17 @@ object JwJoin {
     * 1.000/0.955 across the first two decades but decays to 0.848 at
     * the third (posting mass grows with the corpus while the spend is
     * fixed), and the √-rule's resolved values (512/800/2530 at
-    * 1k/10k/100k right reps) measure 1.000/0.971/0.919 — the third-
-    * decade 0.919 being the plateau for EVERY subquadratic budget
-    * (4096 buys +0.0005): the residual recall sits in chunky
-    * df ≈ 5k-25k mid-frequency postings, so buying past it costs
-    * O(|L|·|R|)-shaped fan-out (the fully-unbudgeted probe measures
-    * 0.992 — available, at the all-pairs cost class the budget exists
-    * to prevent). The hard bound stays subquadratic:
-    * <= |left| · max(512, 8·√|right|).
+    * 1k/10k/100k right reps) measured 1.000/0.971/0.919 on
+    * single-length retrieval — with the shipped dual-length union
+    * ([[gramTable]]'s saturation-transition hedge) the same resolved
+    * budgets measure 1.000/0.983/0.964, plus 0.896 at the 30k
+    * half-decade that single-length retrieval dipped to 0.744. The
+    * single-length third-decade plateau (0.919 — 4096 bought +0.0005)
+    * sat in chunky df ≈ 5k-25k mid-frequency postings; buying recall
+    * there without the union costs O(|L|·|R|)-shaped fan-out (the
+    * fully-unbudgeted probe measured 0.992 — available, at the
+    * all-pairs cost class the budget exists to prevent). The hard
+    * bound stays subquadratic: <= |left| · max(512, 8·√|right|).
     * With the gate bounded
     * by the budget, `topM` defaults to UNBOUNDED: the proxy-ranked cut
     * is pure recall loss when its only historic job (bounding the
